@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** CDC core — the reference pipeline's own data-processing surface
+  * (reference: airflow-dags/simple_kafka_etl.py:56-163, README.md:34-38),
+  * re-expressed as declarative Spark plans over the `events` changelog
+  * analog (deterministic mapping: signup→INSERT, click|view|purchase→
+  * UPDATE, error→DELETE; `user_id` = key, `event_id` = Kafka offset,
+  * `ts` = change timestamp, ns-epoch long).
+  *
+  * Scale design: every operator here is a single hash-exchange on
+  * `user_id` (window or groupBy) — the distributed analog of the
+  * reference's per-row Postgres upsert loop
+  * (simple_kafka_etl.py:128-163). No driver-side state, no collect;
+  * AQE handles skewed keys at 100 TB.
+  */
+object Cdc {
+
+  /** Per-key change ordering: ts, then offset as the total-order tiebreak
+    * (same-instant deliveries resolve by Kafka offset, matching the
+    * reference's sequential-consume order, simple_kafka_etl.py:90).
+    */
+  private val byKey = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+  private val byKeyDesc =
+    Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+
+  private val opCol: Column =
+    when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type") === "error", "DELETE")
+      .otherwise("UPDATE")
+
+  /** #1 CDC parse + change classification (simple_kafka_etl.py:76,114).
+    * Pure projection — no shuffle; classification stays inside the
+    * parquet scan's WholeStageCodegen span.
+    */
+  def classify(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        expr("ts div 1000").as("ts"), // µs epoch: DuckDB reads TIMESTAMP_NS truncated to µs
+        col("user_id"),
+        opCol.as("op"),
+        round(col("value"), 2).as("value")
+      )
+
+  /** #2 History table: append-only change log with `original_value`
+    * carried forward from the most recent INSERT of the key — the
+    * analog of the reference's preserved `original_registered_at`
+    * (simple_kafka_etl.py:96-105,146-155). One exchange on user_id.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val changes = classify(spark, dir)
+    changes
+      .withColumn(
+        "original_value",
+        last(when(col("op") === "INSERT", col("value")), ignoreNulls = true)
+          .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id"),
+        col("op").as("change_type"),
+        col("value"),
+        col("original_value")
+      )
+  }
+
+  /** #3 Current-state table: latest record per key, tombstones applied
+    * (simple_kafka_etl.py:108,134-138,158-163). row_number over one
+    * exchange replaces the reference's per-row upsert.
+    */
+  def current(spark: SparkSession, dir: String): DataFrame =
+    classify(spark, dir)
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"),
+        col("value")
+      )
+
+  /** #4 Per-key stats (`user_account_stats`, README.md:38): change
+    * counts by type + first/last change time. Partial aggregation
+    * (map-side combine) then one exchange.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    classify(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        count(when(col("op") === "INSERT", 1)).as("n_inserts"),
+        count(when(col("op") === "UPDATE", 1)).as("n_updates"),
+        count(when(col("op") === "DELETE", 1)).as("n_deletes"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        round(sum(col("value")), 2).as("total_value")
+      )
+
+  /** #5 Idempotent ingest: the reference skips duplicate Kafka
+    * deliveries by offset-key lookup (simple_kafka_etl.py:81-84,
+    * 119-122). We simulate at-least-once redelivery (every 10th offset
+    * delivered twice) and collapse with an exact groupBy on the offset
+    * key — distributed, no per-row existence probe.
+    */
+  def dedupRedelivery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        expr("ts div 1000").as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value")
+      )
+    val redelivered = events.unionAll(events.filter(col("event_id") % 10 === 0))
+    redelivered
+      .groupBy("event_id", "ts", "user_id", "event_type")
+      .agg(
+        round(min(col("value")), 2).as("value"),
+        count(lit(1)).as("n_deliveries")
+      )
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        col("n_deliveries")
+      )
+  }
+
+  /** #6 SCD Type-2: each change versioned with [valid_from, valid_to)
+    * and an is_current flag (open interval + not a tombstone). The
+    * warehouse-native generalization of the reference's history table.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    classify(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(byKey))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("op").as("change_type"),
+        col("value"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        (col("valid_to").isNull && col("op") =!= "DELETE").cast("int").as("is_current")
+      )
+
+  /** #7 Changelog compaction: net effect per key (what a compacted
+    * Kafka topic / merge-on-read would retain) — the latest record,
+    * tagged DELETE if the key's final state is a tombstone.
+    */
+  def compact(spark: SparkSession, dir: String): DataFrame =
+    classify(spark, dir)
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        when(col("op") === "DELETE", "DELETE").otherwise("UPSERT").as("net_op"),
+        col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"),
+        col("value")
+      )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cdc
+
+/** Shared local session for all specs (sf0.001 data). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  val sf: String = "/root/testdata/sf0.001"
+  override def afterAll(): Unit = {
+    // shared across suites in one JVM; let the JVM exit tear it down
+  }
+}
+
+class CdcSpec extends SparkSpec {
+
+  test("classify maps event types to CDC ops, no rows lost") {
+    val df = Cdc.classify(spark, sf).cache()
+    val total = df.count()
+    assert(total > 0)
+    val ops = df.groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.keySet == Set("INSERT", "UPDATE", "DELETE"))
+    assert(ops.values.sum == total)
+  }
+
+  test("current keeps exactly one row per non-tombstoned key") {
+    val cur = Cdc.current(spark, sf)
+    assert(cur.groupBy("user_id").count().filter("count > 1").count() == 0)
+    // a key whose last change is DELETE must not appear
+    val lastOps = Cdc.compact(spark, sf)
+    val deleted = lastOps.filter("net_op = 'DELETE'").select("user_id")
+    assert(cur.join(deleted, "user_id").count() == 0)
+  }
+
+  test("history preserves original INSERT value per key") {
+    import org.apache.spark.sql.functions._
+    val h = Cdc.history(spark, sf)
+    // after the first INSERT of a key, original_value is non-null and
+    // constant until the next INSERT — check the carry-forward holds for
+    // rows that ARE inserts: original_value == value
+    val bad = h.filter(col("change_type") === "INSERT" &&
+      col("original_value") =!= col("value")).count()
+    assert(bad == 0)
+  }
+
+  test("scd2 intervals chain: valid_to of version n = valid_from of n+1, one current per live key") {
+    import org.apache.spark.sql.functions._
+    val s = Cdc.scd2(spark, sf).cache()
+    val currents = s.filter(col("is_current") === 1).groupBy("user_id").count()
+    assert(currents.filter("count > 1").count() == 0)
+    // intervals are well-formed
+    assert(s.filter(col("valid_to").isNotNull && col("valid_to") < col("valid_from")).count() == 0)
+  }
+
+  test("redelivery dedup collapses duplicate offsets") {
+    val d = Cdc.dedupRedelivery(spark, sf).cache()
+    assert(d.groupBy("event_id").count().filter("count > 1").count() == 0)
+    assert(d.filter("n_deliveries = 2").count() > 0)
+    assert(d.filter("event_id % 10 = 0 AND n_deliveries <> 2").count() == 0)
+  }
+
+  test("stats counts sum to n_changes") {
+    import org.apache.spark.sql.functions._
+    val st = Cdc.stats(spark, sf)
+    val bad = st.filter(
+      col("n_inserts") + col("n_updates") + col("n_deletes") =!= col("n_changes")).count()
+    assert(bad == 0)
+  }
+}
