@@ -29,7 +29,20 @@ object SparkEntry {
     "cdc_stats" -> (Cdc.stats _),
     "cdc_dedup_redelivery" -> (Cdc.dedupRedelivery _),
     "cdc_scd2" -> (Cdc.scd2 _),
-    "cdc_compact" -> (Cdc.compact _)
+    "cdc_compact" -> (Cdc.compact _),
+    // Warehouse/OLAP analytics (§2 #9-20)
+    "q_filter_scan" -> (Analytics.filterScan _),
+    "q1_pricing_summary" -> (Analytics.pricingSummary _),
+    "q3_top_orders" -> (Analytics.topOrders _),
+    "q5_region_revenue" -> (Analytics.regionRevenue _),
+    "q_top_parts_per_brand" -> (Analytics.topPartsPerBrand _),
+    "q_customer_ltv" -> (Analytics.customerLtv _),
+    "q_rollup_orders" -> (Analytics.rollupOrders _),
+    "q_sessionize" -> (Analytics.sessionize _),
+    "q_running_totals" -> (Analytics.runningTotals _),
+    "q_funnel" -> (Analytics.funnel _),
+    "q_anti_join" -> (Analytics.antiJoin _),
+    "q_approx_distinct" -> (Analytics.approxDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,6 +116,112 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+    "q_filter_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice, 2) AS l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+           AND l_quantity < 25""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+           AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         GROUP BY r_name, n_name""",
+    "q_top_parts_per_brand" ->
+      """SELECT p_brand, rn, p_partkey, p_name,
+           round(p_retailprice, 2) AS p_retailprice
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+               FROM part)
+         WHERE rn <= 3""",
+    "q_customer_ltv" ->
+      """SELECT o_custkey, c_name, n_orders, ltv
+         FROM (SELECT o_custkey, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS ltv
+               FROM orders GROUP BY o_custkey)
+         JOIN customer ON o_custkey = c_custkey
+         WHERE ltv >= 3000000.0""",
+    "q_rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+           coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+         flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM sess GROUP BY user_id, session_id""",
+    "q_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         s AS (SELECT user_id, min(ts) AS signup_ts FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+         en AS (SELECT e.user_id, min(e.ts) AS engage_ts FROM e
+                JOIN s ON e.user_id = s.user_id
+                WHERE e.event_type IN ('click','view') AND e.ts > s.signup_ts
+                GROUP BY e.user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS convert_ts FROM e
+               JOIN en ON e.user_id = en.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > en.engage_ts
+               GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s) AS n_signup,
+                (SELECT count(*) FROM en) AS n_engaged,
+                (SELECT count(*) FROM c) AS n_converted""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')"""
   )
 }

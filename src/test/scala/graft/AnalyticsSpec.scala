@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+
+  test("filter scan pushes filters and prunes columns at the parquet scan") {
+    val df = Analytics.filterScan(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && !scan.contains("PushedFilters: []"))
+    assert(scan.contains("l_quantity"))
+    // pruned: props/l_tax etc. not read
+    assert(!scan.contains("l_tax"))
+  }
+
+  test("q5 star join broadcasts every dimension — no shuffle exchange for joins") {
+    val df = Analytics.regionRevenue(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = executedPlan(df)
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // the only exchange is the final groupBy(r_name, n_name) aggregation
+    assert(shuffles.size <= 1, s"expected <=1 shuffle, got ${shuffles.size}:\n$plan")
+    assert(plan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("top-n per group emits exactly <=3 rows per brand, rank contiguous") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.topPartsPerBrand(spark, sf).cache()
+    assert(df.groupBy("p_brand").count().filter("count > 3").count() == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+  }
+
+  test("sessionize: session bounds ordered, counts positive") {
+    import org.apache.spark.sql.functions._
+    val s = Analytics.sessionize(spark, sf).cache()
+    assert(s.filter(col("session_end") < col("session_start")).count() == 0)
+    assert(s.filter(col("n_events") < 1).count() == 0)
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val r = Analytics.funnel(spark, sf).collect().head
+    val (s, e, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s >= e && e >= c && s > 0)
+  }
+}
