@@ -42,7 +42,25 @@ object SparkEntry {
     "q_running_totals" -> (Analytics.runningTotals _),
     "q_funnel" -> (Analytics.funnel _),
     "q_anti_join" -> (Analytics.antiJoin _),
-    "q_approx_distinct" -> (Analytics.approxDistinct _)
+    "q_approx_distinct" -> (Analytics.approxDistinct _),
+    // Dedup (§2 #21-26)
+    "dedup_exact" -> (Dedup.exact _),
+    "text_fingerprint" -> (Dedup.fingerprint _),
+    "dedup_minhash" -> (Dedup.minhash _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_jaccard" -> (Dedup.jaccardVerify _),
+    "dedup_embedding" -> (Dedup.embedding _),
+    // Similarity search (§2 #27-29)
+    "ann_bruteforce" -> (Similarity.bruteForce _),
+    "ann_lsh" -> (Similarity.lsh _),
+    "ann_centroid_assign" -> (Similarity.centroidAssign _),
+    // Text analysis (§2 #30-32)
+    "text_tokens" -> (TextOps.tokenCounts _),
+    "text_quality" -> (TextOps.qualityScore _),
+    "text_lang_id" -> (TextOps.langId _),
+    // Multimodal (§2 #33-34)
+    "mm_manifest" -> (Multimodal.manifest _),
+    "mm_features" -> (Multimodal.features _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -222,6 +240,62 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey
-             AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')"""
+             AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')""",
+    "dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0)
+         SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,
+           min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM corpus GROUP BY 1""",
+    "text_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+             len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tok
+           FROM documents)
+         SELECT doc_id, md5(norm) AS fp_md5,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_tok < 3 THEN 1 ELSE n_tok - 2 END AS BIGINT) AS n_shingles
+         FROM t""",
+    "text_tokens" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+         FROM documents""",
+    "text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END, 4) AS punct_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                   / len(toks) END, 4) AS stopword_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks) END, 4)
+             AS avg_token_len,
+           round(least(1.0, len(toks) / 100.0) *
+                 (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
+             AS quality_score
+         FROM t""",
+    "mm_manifest" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+         FROM documents"""
   )
 }

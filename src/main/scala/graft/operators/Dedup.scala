@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication for LLM-training-data pipelines over `documents`.
+  *
+  * The synthetic corpus has no duplicates, so each operator first
+  * builds a deterministic duplicated corpus *inside the query* (exact
+  * copies for exact dedup, token-truncated copies for near-dup) — the
+  * detection pipeline then has real work to do and non-empty output.
+  *
+  * Scale design: near-dup candidate generation is always
+  * explode(bands) → shuffle on (band, bucket) → within-bucket join —
+  * shuffle volume is `bands × docs` (linear), never an O(n²) cross
+  * join. Signatures are computed per-document as single codegen'd
+  * expressions over the token array (no explode of shingles, no
+  * per-shingle shuffle).
+  */
+object Dedup {
+
+  private val MinhashSigSize = 32
+  private val MinhashBands = 8
+  private val MinhashRowsPerBand = MinhashSigSize / MinhashBands
+
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private def toks(c: Column): Column = split(normText(c), " ")
+
+  /** k-token shingles of the normalized text; a doc shorter than k
+    * tokens contributes its whole text as one shingle.
+    */
+  private def shingles(tok: Column, k: Int = 3): Column =
+    when(size(tok) < k, array(concat_ws(" ", tok)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tok) - (k - 1)),
+          i => concat_ws(" ", slice(tok, i, lit(k)))))
+
+  /** Base docs ∪ exact copies of every 7th doc (ids offset by 2M). */
+  private def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.unionAll(
+      docs
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  /** Base docs ∪ near-copies of every 5th doc (ids offset by 1M): the
+    * copy keeps the first 80% of tokens — a realistic truncation dup.
+    */
+  private def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val t = toks(col("text"))
+    val keep = greatest(lit(1), floor(size(t) * 0.8).cast("int"))
+    docs.unionAll(
+      docs
+        .filter(col("doc_id") % 5 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(t, lit(1), keep), " ").as("text")))
+  }
+
+  /** #21 Exact dedup: group by content hash of the normalized text —
+    * one hash-shuffle, the 100 TB-safe way to collapse byte-identical
+    * docs.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    corpusWithExactDups(spark, dir)
+      .groupBy(md5(normText(col("text")).cast("binary")).as("content_md5"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies")
+      )
+
+  /** #22 Document fingerprint: content md5 + token/shingle counts —
+    * the per-doc identity record downstream dedup stages key on.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp_md5"),
+        size(t).cast("long").as("n_tokens"),
+        when(size(t) < 3, 1L).otherwise((size(t) - 2).cast("long")).as("n_shingles")
+      )
+  }
+
+  /** Per-doc MinHash signature: sig[i] = min over shingles of
+    * xxhash64(i, shingle). One codegen'd expression — no explode, no
+    * shuffle; O(sig × shingles) per doc.
+    */
+  private def minhashSignature(tok: Column): Column =
+    transform(
+      sequence(lit(0), lit(MinhashSigSize - 1)),
+      i => array_min(transform(shingles(tok), s => xxhash64(i, s))))
+
+  /** Banded candidate pairs: explode band index, bucket by the hash of
+    * the band's signature slice, self-join on (band, bucket). Carries
+    * the full signatures through for the similarity estimate.
+    */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), minhashSignature(toks(col("text"))).as("sig"))
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        col("sig"),
+        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+      .withColumn(
+        "bucket",
+        hash(col("band"), slice(col("sig"), col("band") * MinhashRowsPerBand + 1,
+          lit(MinhashRowsPerBand))))
+    val a = banded.select(
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** #23 MinHash + LSH near-dup: candidate pairs sharing ≥1 of 8 bands
+    * (4 rows each), with the signature-overlap Jaccard estimate.
+    */
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / MinhashSigSize).as("est_jaccard")
+      )
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"), round(min("est_jaccard"), 4).as("est_jaccard"))
+
+  /** #24 SimHash near-dup: 64-bit per-doc signature (native
+    * `simhash64` bit-vote over codegen'd token hashes), banded into
+    * 4×16-bit chunks; pairs sharing a chunk are scored by Hamming
+    * distance ≤ 12.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val sigs = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), expr("simhash64(transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t)))").as("sig"))
+    val chunked = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val", expr("shiftrightunsigned(sig, chunk * 16) & 65535"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  /** #25 Exact n-gram Jaccard verification of the MinHash candidates:
+    * join candidate pairs back to per-doc shingle sets, compute exact
+    * |∩|/|∪|. The verify stage runs only on LSH survivors — linear in
+    * candidates, not corpus².
+    */
+  def jaccardVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docShingles = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(toks(col("text")))).as("sh"))
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b").distinct()
+    pairs
+      .join(docShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(docShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          4).as("jaccard")
+      )
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, random-
+    * hyperplane LSH buckets, within-bucket pairs scored by the native
+    * `cosine_sim` kernel at ≥ 0.99.
+    */
+  def embedding(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // near-copy: every 4th vector, elementwise ×(1 + 0.002·((i%5)-2)) — tiny angular jitter
+    val perturbed = vecs
+      .filter(col("vec_id") % 4 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.002 * ((i % 5) - 2)) AS FLOAT))")
+          .as("embedding"))
+    val corpus = vecs.unionAll(perturbed)
+    val bucketed = corpus.withColumn("bucket", Similarity.hyperplaneBucket(col("embedding")))
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .distinct()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Encoder row types for the mapPartitions decode stage (top-level so
+  * the generated deserializer can access them).
+  */
+case class MmPayload(doc_id: Long, modality: String, payload: Array[Byte])
+case class MmFeatures(doc_id: Long, modality: String, n_bytes: Long, features: Array[Float])
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary`
+  * with typed metadata. The container has no codec libraries, so the
+  * decode step is a clearly-marked deterministic stub — but the
+  * Spark-side plumbing (schema, binary columns, partition-preserving
+  * mapPartitions, batch shape) is real and what a production pipeline
+  * would keep when swapping in a real decoder.
+  */
+object Multimodal {
+
+  /** #33 Binary payload manifest: each document's bytes as an opaque
+    * payload with modality + size + content hash — the catalog row a
+    * 100 TB multimodal lake partitions by modality. Pure column
+    * expressions; payload bytes never leave the executor.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video")
+          .as("modality"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+        md5(col("text").cast("binary")).as("content_md5")
+      )
+
+  /** #34 Decode / feature-extract plumbing: partition-preserving
+    * `mapPartitions` over batches of payloads → fixed-width feature
+    * vectors. The decode itself is a STUB (deterministic byte
+    * statistics standing in for pixel/sample decoding — the real
+    * decoder would replace `stubDecode` only); batching (64/batch)
+    * mirrors how a vectorized decoder amortizes setup per batch.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = manifest(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("modality"), col("text").cast("binary").as("payload"))
+      .as[MmPayload]
+    payloads
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          // batch-shaped: a real decoder initializes once per batch here
+          batch.iterator.map { p =>
+            MmFeatures(p.doc_id, p.modality, p.payload.length.toLong, stubDecode(p.payload))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB decode: 8 deterministic byte-histogram moments in [0,1) —
+    * stands in for image resize / audio frame-sample feature
+    * extraction (codec libs absent in this environment).
+    */
+  private def stubDecode(bytes: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % 8) += (bytes(i) & 0xff)
+      i += 1
+    }
+    acc.map(a => ((a % 1000L).toFloat / 1000.0f))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup finds every planted exact copy, no false positives") {
+    val d = Dedup.exact(spark, sf).cache()
+    val dups = d.filter(col("n_copies") > 1)
+    // planted: every 7th doc duplicated once
+    assert(dups.filter(col("n_copies") =!= 2).count() == 0)
+    assert(dups.count() == d.filter(col("canonical_id") % 7 === 0).filter(col("n_copies") === 2).count())
+  }
+
+  test("minhash LSH recalls all planted near-dups (80% truncation)") {
+    val pairs = Dedup.minhash(spark, sf).cache()
+    val planted = pairs.filter(col("doc_b") === col("doc_a") + 1000000L)
+    val nPlantedDocs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    // ≥90% recall of planted truncation-dups via 8×4 banding
+    assert(planted.count() >= (nPlantedDocs * 9) / 10,
+      s"recall ${planted.count()}/$nPlantedDocs")
+    // estimates on planted pairs should be high
+    assert(planted.filter(col("est_jaccard") < 0.3).count() == 0)
+  }
+
+  test("jaccard verify scores planted pairs high") {
+    val j = Dedup.jaccardVerify(spark, sf).cache()
+    val planted = j.filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(planted.count() > 0)
+    assert(planted.agg(min("jaccard")).head.getDouble(0) >= 0.5)
+  }
+
+  test("simhash near-dup includes planted pairs at small hamming distance") {
+    val s = Dedup.simhash(spark, sf).cache()
+    val planted = s.filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(planted.count() > 0)
+  }
+
+  test("embedding near-dup finds exactly the planted perturbed vectors") {
+    val e = Dedup.embedding(spark, sf).cache()
+    assert(e.count() > 0)
+    // every pair is (v, v+1M) with cos ≥ 0.99
+    assert(e.filter(col("vec_b") =!= col("vec_a") + 1000000L).count() == 0)
+  }
+
+  test("ann brute force: top-k per query, self excluded, ranks contiguous") {
+    val bf = Similarity.bruteForce(spark, sf).cache()
+    assert(bf.groupBy("query_id").count().filter("count > 10").count() == 0)
+    assert(bf.filter(col("vec_id") === col("query_id")).count() == 0)
+    assert(bf.filter("rank < 1 OR rank > 10").count() == 0)
+  }
+
+  test("ann lsh results are a subset-quality approximation of brute force top-1") {
+    val bf = Similarity.bruteForce(spark, sf).filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("bf_cos"))
+    val ls = Similarity.lsh(spark, sf).filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("lsh_cos"))
+    // lsh top-1 can't beat brute force
+    assert(bf.join(ls, "query_id").filter(col("lsh_cos") > col("bf_cos") + 1e-9).count() == 0)
+  }
+
+  test("centroid assignment: one assignment per vector, cos in [-1,1]") {
+    val c = Similarity.centroidAssign(spark, sf).cache()
+    assert(c.count() == graft.Tables.embeddings(spark, sf).count())
+    assert(c.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+  }
+
+  test("text ops: token counts consistent, quality in [0,1]") {
+    val t = TextOps.tokenCounts(spark, sf).cache()
+    assert(t.filter(col("n_ws_tokens") > col("n_bpe_tokens")).count() == 0)
+    val q = TextOps.qualityScore(spark, sf)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    val l = TextOps.langId(spark, sf)
+    assert(l.filter(col("pred_lang").isNull).count() == 0)
+  }
+
+  test("multimodal: manifest covers all docs; features are 8-dim, deterministic") {
+    val m = Multimodal.manifest(spark, sf)
+    assert(m.count() == graft.Tables.documents(spark, sf).count())
+    val f1 = Multimodal.features(spark, sf).orderBy("doc_id").collect()
+    val f2 = Multimodal.features(spark, sf).orderBy("doc_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.forall(_.getSeq[Float](3).length == 8))
+  }
+}

@@ -38,8 +38,13 @@ def main():
         if not d.is_dir():
             continue
         name = d.name
-        spark_df = duckdb.connect().execute(
-            f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+        try:
+            spark_df = duckdb.connect().execute(
+                f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"✗ NO-OUTPUT  {name}: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"  rows-only  {name}: {len(spark_df)} rows")
             continue
