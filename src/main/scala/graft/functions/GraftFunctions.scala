@@ -15,5 +15,9 @@ object GraftFunctions {
       args => CosineSim(args.head, args(1)),
       "built-in")
     reg.createOrReplaceTempFunction("simhash64", args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      args => MinHashSig(args.head, 32),
+      "built-in")
   }
 }
