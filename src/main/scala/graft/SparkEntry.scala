@@ -43,6 +43,14 @@ object SparkEntry {
     "q_funnel" -> (Analytics.funnel _),
     "q_anti_join" -> (Analytics.antiJoin _),
     "q_approx_distinct" -> (Analytics.approxDistinct _),
+    // Extended warehouse ops (§2 #35-41)
+    "q_asof_join" -> (AnalyticsExt.asofJoin _),
+    "q_range_join" -> (AnalyticsExt.rangeJoin _),
+    "q_percentiles" -> (AnalyticsExt.percentiles _),
+    "q_cube_orders" -> (AnalyticsExt.cubeOrders _),
+    "q_pivot_orders" -> (AnalyticsExt.pivotOrders _),
+    "q_ntile_customers" -> (AnalyticsExt.ntileCustomers _),
+    "q_moment_stats" -> (AnalyticsExt.momentStats _),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
     "text_fingerprint" -> (Dedup.fingerprint _),
@@ -241,6 +249,56 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey
              AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')""",
+    "q_asof_join" ->
+      """WITH ord AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+               ORDER BY o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts,
+           o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+         FROM events e ASOF LEFT JOIN ord o
+           ON e.user_id = o.o_custkey
+          AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)""",
+    "q_range_join" ->
+      """SELECT p.event_id AS p_event_id, p.user_id,
+           count(c.e_ts) AS n_prior_engagements
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS p_ts FROM events
+               WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id, epoch_us(ts) AS e_ts FROM events
+               WHERE event_type IN ('click','view')) c
+           ON c.user_id = p.user_id
+          AND c.e_ts >= p.p_ts - 1800000000 AND c.e_ts <= p.p_ts
+         GROUP BY p.event_id, p.user_id""",
+    "q_percentiles" ->
+      """SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 2) AS p50_acctbal,
+           round(quantile_cont(c_acctbal, 0.9), 2) AS p90_acctbal
+         FROM customer GROUP BY c_mktsegment""",
+    "q_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+           coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q_pivot_orders" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority""",
+    "q_ntile_customers" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+         FROM customer""",
+    "q_moment_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 2) AS sd_qty,
+           round(var_samp(l_quantity), 2) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+         FROM lineitem GROUP BY l_returnflag""",
     "dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extended warehouse operators (§2 #35-41): as-of join, bounded
+  * range join, exact percentiles, CUBE, pivot, ntile banding, and
+  * moment statistics — the remaining standard-OLAP surface.
+  */
+object AnalyticsExt {
+
+  /** #35 As-of join: each event gets the customer's latest order at or
+    * before the event time (events are the driving side, orders the
+    * quote side). Right-side (custkey, date) ties are pre-collapsed to
+    * the max orderkey so the result is deterministic. One shuffle.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts div 1000").as("ts"))
+    val ord = Tables
+      .orders(spark, dir)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    AsOf.join(
+      ev,
+      ord,
+      leftKey = "user_id",
+      rightKey = "o_custkey",
+      leftTime = "ts",
+      rightTime = "o_ts",
+      payload = Seq("o_orderkey", "o_totalprice", "order_date"))
+  }
+
+  /** #36 Bounded range join: for each purchase, engagement (click/view)
+    * counts in the preceding 30 minutes — executed as a bucketed
+    * equi-join (purchase side exploded over 2 half-hour buckets) with
+    * a residual range filter, NOT a nested-loop range join: shuffle
+    * volume stays linear at 100 TB.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      expr("ts div 1000").as("ts"),
+      col("event_type"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_event_id"),
+        col("user_id"),
+        col("ts").as("p_ts"),
+        explode(array(lit(0L), lit(1L))).as("boff"))
+      .withColumn("bucket", col("p_ts") / windowUs - col("boff"))
+      .withColumn("bucket", col("bucket").cast("long"))
+    val engagement = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("e_ts"))
+      .withColumn("bucket", (col("e_ts") / windowUs).cast("long"))
+    purchases
+      .join(
+        engagement,
+        Seq("user_id", "bucket"),
+        "left")
+      .withColumn(
+        "hit",
+        col("e_ts").isNotNull &&
+          col("e_ts") >= col("p_ts") - windowUs && col("e_ts") <= col("p_ts"))
+      .groupBy(col("p_event_id"), col("user_id"))
+      .agg(count(when(col("hit"), 1)).as("n_prior_engagements"))
+  }
+
+  /** #37 Exact interpolated percentiles per group (p50/p90 of customer
+    * balance by segment). At 100 TB the same query shape swaps
+    * `percentile` for `approx_percentile` — kept exact here for the
+    * oracle.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(percentile(col("c_acctbal"), array(lit(0.5), lit(0.9))).as("p"))
+      .select(
+        col("c_mktsegment"),
+        round(element_at(col("p"), 1), 2).as("p50_acctbal"),
+        round(element_at(col("p"), 2), 2).as("p90_acctbal"))
+
+  /** #38 CUBE over (status, priority): all 4 grouping sets in one
+    * pass; nulls coalesced to a sentinel for engine-agnostic output.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n_orders"),
+        col("total"))
+
+  /** #39 Pivot: order counts, priorities × status columns. */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+
+  /** #40 Ntile banding: balance quartile of each customer within its
+    * segment (deterministic tiebreak on custkey).
+    */
+  def ntileCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        ntile(4)
+          .over(Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey")))
+          .cast("long")
+          .as("quartile"))
+
+  /** #41 Moment statistics per group: stddev/variance/correlation/
+    * covariance of lineitem quantity vs price — single partial-agg
+    * pass (all four are one-pass moment sketches, scale-safe).
+    */
+  def momentStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))
+}
