@@ -30,6 +30,7 @@ object SparkEntry {
     "cdc_dedup_redelivery" -> (Cdc.dedupRedelivery _),
     "cdc_scd2" -> (Cdc.scd2 _),
     "cdc_compact" -> (Cdc.compact _),
+    "cdc_envelope_parse" -> (Cdc.envelopeParse _),
     // Warehouse/OLAP analytics (§2 #9-20)
     "q_filter_scan" -> (Analytics.filterScan _),
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
@@ -143,6 +144,19 @@ object SparkEntry {
                  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1""",
+    "cdc_envelope_parse" ->
+      """WITH c AS (
+           SELECT event_id AS id, user_id, props AS account,
+             epoch_us(ts) AS registered_at,
+             CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+           FROM events)
+         SELECT id, user_id, account, registered_at,
+           CASE WHEN __deleted = 'true' THEN 'DELETE'
+                WHEN rn = 1 THEN 'INSERT' ELSE 'UPDATE' END AS op
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id, (__deleted = 'true')
+                  ORDER BY registered_at, id) AS rn
+               FROM c)""",
     "q_filter_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
            round(l_extendedprice, 2) AS l_extendedprice,

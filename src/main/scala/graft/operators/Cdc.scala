@@ -154,6 +154,28 @@ object Cdc {
         (col("valid_to").isNull && col("op") =!= "DELETE").cast("int").as("is_current")
       )
 
+  /** #42 Debezium envelope parse: serialize each change to the exact
+    * flattened-JSON envelope the reference consumes from Kafka
+    * (simple_kafka_etl.py:56-77), then run it through the real
+    * `Formats.parseDebezium` JSON-source path — schema-on-read,
+    * reference-style op classification (first non-tombstone change per
+    * key = INSERT, simple_kafka_etl.py:128-131).
+    */
+  def envelopeParse(spark: SparkSession, dir: String): DataFrame = {
+    val envelopes = Tables
+      .events(spark, dir)
+      .select(
+        to_json(
+          struct(
+            col("event_id").as("id"),
+            col("user_id"),
+            col("props").as("account"),
+            expr("ts div 1000").as("registered_at"),
+            when(col("event_type") === "error", "true").otherwise("false").as("__deleted")
+          )).as("value"))
+    graft.sources.Formats.parseDebezium(envelopes, col("value"))
+  }
+
   /** #7 Changelog compaction: net effect per key (what a compacted
     * Kafka topic / merge-on-read would retain) — the latest record,
     * tagged DELETE if the key's final state is a tombstone.

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink formats. The reference ingests Debezium-flattened JSON
+  * records from Kafka — `{id, user_id, account, registered_at,
+  * __deleted}` (reference: airflow-dags/simple_kafka_etl.py:56-77,
+  * mysql-connector-config-clean.json) — and its consumers classify
+  * INSERT vs UPDATE by whether the key already exists
+  * (simple_kafka_etl.py:128-131). `parseDebezium` reproduces that
+  * surface declaratively: JSON envelope → typed columns → op
+  * classification via a per-key window (first non-tombstone change =
+  * INSERT), one shuffle.
+  */
+object Formats {
+
+  /** The Debezium-flattened value schema the reference consumes. */
+  val debeziumSchema: StructType = StructType(
+    Seq(
+      StructField("id", LongType),
+      StructField("user_id", LongType),
+      StructField("account", StringType),
+      StructField("registered_at", LongType),
+      StructField("__deleted", StringType)
+    ))
+
+  /** Parse a column of Debezium-flattened JSON envelopes into typed
+    * change records with ops classified reference-style.
+    */
+  def parseDebezium(df: DataFrame, jsonCol: Column): DataFrame = {
+    val parsed = df
+      .select(from_json(jsonCol, debeziumSchema).as("r"))
+      .select(col("r.id"), col("r.user_id"), col("r.account"), col("r.registered_at"), col("r.__deleted"))
+    val isDel = col("__deleted") === "true"
+    // rank non-tombstone changes per key: the first is the INSERT
+    val w = Window
+      .partitionBy(col("user_id"), isDel)
+      .orderBy(col("registered_at"), col("id"))
+    parsed
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("id"),
+        col("user_id"),
+        col("account"),
+        col("registered_at"),
+        when(isDel, "DELETE").when(col("rn") === 1, "INSERT").otherwise("UPDATE").as("op"))
+  }
+
+  /** JSONL reader with explicit schema (schema inference is a full
+    * extra scan at 100 TB — never rely on it).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV reader with explicit schema, header expected. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Hive-style partitioned parquet sink with in-partition ordering —
+    * the layout that gives downstream readers partition pruning plus
+    * clustered scans. At 100 TB add `.bucketBy` on the join key via
+    * saveAsTable for co-located joins.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+}

