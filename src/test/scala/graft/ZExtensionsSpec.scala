@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-extension test: kernels must be callable from plain
+  * spark.sql in a session configured with GraftExtensions, with no
+  * manual registry call. (Named Z* so the session swap happens after
+  * the shared-session suites; it restores an active default session
+  * on exit either way.)
+  */
+class ZExtensionsSpec extends AnyFunSuite {
+
+  test("extensions session exposes cosine_sim/simhash64/minhash_sig to spark.sql") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val cos = spark
+        .sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+        .head
+        .getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      // single all-ones feature: every bit votes +1 → sig = -1
+      val sh = spark
+        .sql("SELECT simhash64(array(CAST(-1 AS BIGINT))) AS s")
+        .head
+        .getLong(0)
+      assert(sh == -1L)
+      val sig = spark
+        .sql("SELECT size(minhash_sig(array(CAST(1 AS BIGINT)))) AS n")
+        .head
+        .getInt(0)
+      assert(sig == 32)
+    } finally {
+      spark.stop()
+      GraftSession.local(4) // restore an active default for any later suite
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Cdc
+
+/** Streaming coverage beyond the CDC apply: exactly-once-style stream
+  * dedup of redelivered offsets, and a watermarked stream-stream
+  * interval join — both checked against their batch equivalents.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def withTempDir[T](f: String => T): T = {
+    val d = Files.createTempDirectory("graft-sops").toFile
+    try f(d.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(d)
+    }
+  }
+
+  test("stream dedup collapses redelivered offsets to the batch-distinct count") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      // at-least-once delivery: every 10th offset arrives twice
+      changes.write.mode("append").parquet(inDir)
+      changes.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+
+      val q = CdcStream
+        .readChangelog(spark, inDir)
+        .dropDuplicates("event_id") // prod: dropDuplicatesWithinWatermark bounds state
+        .writeStream
+        .format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("stream_dedup").count() == changes.count())
+      } finally q.stop()
+    }
+  }
+
+  test("watermarked stream-stream interval join matches the batch join") {
+    withTempDir { inDir =>
+      Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
+
+      def side(op: String) = CdcStream
+        .readChangelog(spark, inDir)
+        .filter(col("op") === op)
+        .withColumn("t", timestamp_micros(col("ts")))
+
+      // DELETEs within 1h after an INSERT of the same key
+      val ins = side("INSERT").select(
+        col("user_id").as("i_user"), col("event_id").as("i_id"), col("t").as("i_t"))
+        .withWatermark("i_t", "1 hour")
+      val del = side("DELETE").select(
+        col("user_id").as("d_user"), col("event_id").as("d_id"), col("t").as("d_t"))
+        .withWatermark("d_t", "1 hour")
+      val joined = ins.join(
+        del,
+        expr("i_user = d_user AND d_t >= i_t AND d_t <= i_t + interval 1 hour"))
+
+      val q = joined.writeStream
+        .format("memory")
+        .queryName("stream_join")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        val batch = {
+          val c = Cdc.classify(spark, sf).withColumn("t", timestamp_micros(col("ts")))
+          val bi = c.filter(col("op") === "INSERT").select(
+            col("user_id").as("i_user"), col("event_id").as("i_id"), col("t").as("i_t"))
+          val bd = c.filter(col("op") === "DELETE").select(
+            col("user_id").as("d_user"), col("event_id").as("d_id"), col("t").as("d_t"))
+          bi.join(bd, expr("i_user = d_user AND d_t >= i_t AND d_t <= i_t + interval 1 hour"))
+        }
+        val streamed = spark.table("stream_join")
+        assert(streamed.count() == batch.count())
+        assert(streamed.exceptAll(batch).count() == 0)
+      } finally q.stop()
+    }
+  }
+}
