@@ -52,6 +52,11 @@ object SparkEntry {
     "q_pivot_orders" -> (AnalyticsExt.pivotOrders _),
     "q_ntile_customers" -> (AnalyticsExt.ntileCustomers _),
     "q_moment_stats" -> (AnalyticsExt.momentStats _),
+    // Scale techniques (§2 #43-46)
+    "q_salted_join" -> (Scale.saltedJoin(_, _)),
+    "cdc_merge_incremental" -> (Scale.mergeIncremental _),
+    "q_resample_daily" -> (Scale.resampleDaily _),
+    "q_approx_percentiles" -> (Scale.approxPercentiles _),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
     "text_fingerprint" -> (Dedup.fingerprint _),
@@ -263,6 +268,31 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey
              AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')""",
+    "q_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_nationkey""",
+    "cdc_merge_incremental" ->
+      """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts,
+           round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error'""",
+    "q_resample_daily" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+           FROM events),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         users AS (SELECT DISTINCT user_id FROM ev),
+         cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM users, bounds),
+         agg AS (SELECT user_id, day, count(*) AS n, round(sum(value), 2) AS tv
+                 FROM ev GROUP BY user_id, day)
+         SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
+           coalesce(agg.n, 0) AS n_events, coalesce(agg.tv, 0.0) AS total_value
+         FROM cal LEFT JOIN agg ON cal.user_id = agg.user_id AND cal.day = agg.day""",
     "q_asof_join" ->
       """WITH ord AS (
            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
