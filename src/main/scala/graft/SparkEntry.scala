@@ -72,6 +72,11 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
+    // Corpus text statistics (§2 #47-50)
+    "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
+    "text_tfidf" -> (TextStats.tfidf _),
+    "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
+    "dedup_fuzzy" -> (TextStats.fuzzyVerify _),
     // Multimodal (§2 #33-34)
     "mm_manifest" -> (Multimodal.manifest _),
     "mm_features" -> (Multimodal.features _)
@@ -391,6 +396,58 @@ object SparkEntry {
                  (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
              AS quality_score
          FROM t""",
+    "text_top_terms" ->
+      """WITH td AS (
+           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS term
+           FROM documents)
+         SELECT term, doc_freq, rank FROM (
+           SELECT term, count(*) AS doc_freq,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS rank
+           FROM td GROUP BY term)
+         WHERE rank <= 25""",
+    "text_tfidf" ->
+      """WITH td AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, rank, term, tfidf FROM (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) DESC, tf.term)
+               AS BIGINT) AS rank
+           FROM tf JOIN df USING (term), n)
+         WHERE rank <= 3""",
+    "text_bigrams" ->
+      """WITH t AS (
+           SELECT regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM t)
+         SELECT bigram, n, rank FROM (
+           SELECT bigram, count(*) AS n,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, bigram) AS BIGINT) AS rank
+           FROM b GROUP BY bigram)
+         WHERE rank <= 25""",
+    "dedup_fuzzy" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents),
+         t AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+                 array_to_string(list_slice(regexp_split_to_array(norm, ' '), 1,
+                   greatest(1, CAST(floor(len(regexp_split_to_array(norm, ' ')) * 0.8) AS INT))),
+                   ' ') AS norm_b
+               FROM d WHERE doc_id % 5 = 0)
+         SELECT t.doc_a, t.doc_b,
+           CAST(levenshtein(d.norm, t.norm_b) AS BIGINT) AS edit_dist,
+           round(1.0 - CAST(levenshtein(d.norm, t.norm_b) AS DOUBLE) /
+             greatest(length(d.norm), length(t.norm_b)), 4) AS edit_sim
+         FROM t JOIN d ON t.doc_a = d.doc_id""",
     "mm_manifest" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'

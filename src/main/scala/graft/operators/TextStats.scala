@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level text statistics for LLM-data pipelines: term/document
+  * frequencies, TF-IDF, bigram counts, and edit-distance fuzzy
+  * verification. All explode-then-aggregate plans — shuffle volume
+  * linear in token count, partial aggregation map-side.
+  */
+object TextStats {
+
+  private def toks(c: Column): Column =
+    split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+
+  /** #47 Top terms by document frequency: the vocabulary head — one
+    * explode + two aggregations; top-k via rank filter
+    * (WindowGroupLimit keeps the final exchange tiny).
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val termDoc = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+    termDoc
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("doc_freq").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** #48 TF-IDF: top-3 highest-scoring terms per document.
+    * tf = in-doc count, idf = ln(N / df); the corpus-level df table
+    * is broadcast back onto the exploded terms (df is vocab-sized —
+    * tiny next to the corpus at any scale).
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val termDoc = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = termDoc.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    // rank on the UNROUNDED score (ties then break on term) so both
+    // engines order identically; round only at output
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(
+        col("doc_id"),
+        col("rank"),
+        col("term"),
+        round(col("tfidf_raw"), 4).as("tfidf"))
+  }
+
+  /** #49 Bigram counts: adjacent-token pairs from the position
+    * sequence (no self-join), global top-25 with tiebreak.
+    */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = Tables
+      .documents(spark, dir)
+      .select(
+        explode(
+          when(size(t) < 2, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(t) - 1),
+                i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))).as("bigram"))
+    bigrams
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("bigram"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** #50 Fuzzy edit-distance verify: Levenshtein distance on the
+    * normalized text of near-dup candidate pairs (from the planted
+    * truncation dups: doc vs doc+1M). O(len²) edit distance runs only
+    * on the planted pairs, never corpus×corpus.
+    */
+  def fuzzyVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    val truncated = docs
+      .filter(col("doc_id") % 5 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_b"),
+        col("doc_id").as("doc_a"),
+        array_join(
+          slice(split(col("norm"), " "), lit(1),
+            greatest(lit(1), floor(size(split(col("norm"), " ")) * 0.8).cast("int"))),
+          " ").as("norm_b"))
+    truncated
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("norm", "norm_a"), "doc_a")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        levenshtein(col("norm_a"), col("norm_b")).cast("long").as("edit_dist"),
+        round(
+          lit(1.0) - levenshtein(col("norm_a"), col("norm_b")).cast("double") /
+            greatest(length(col("norm_a")), length(col("norm_b"))),
+          4).as("edit_sim"))
+  }
+}

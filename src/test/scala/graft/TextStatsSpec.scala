@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextStats
+
+class TextStatsSpec extends SparkSpec {
+
+  test("top terms: ranks contiguous 1..k, doc_freq non-increasing") {
+    val t = TextStats.topTerms(spark, sf).orderBy("rank").collect()
+    assert(t.map(_.getLong(2)).toSeq == (1L to t.length))
+    val freqs = t.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tfidf: <=3 terms per doc, scores positive unless term in every doc") {
+    val x = TextStats.tfidf(spark, sf).cache()
+    assert(x.groupBy("doc_id").count().filter("count > 3").count() == 0)
+    assert(x.filter(col("tfidf") < 0).count() == 0)
+  }
+
+  test("bigram count total is bounded by token count minus docs") {
+    val b = TextStats.topBigrams(spark, sf, k = 1000000).agg(sum("n")).head.getLong(0)
+    val tokens = TextStats.topTerms(spark, sf, k = 1) // touch
+    val nTok = graft.operators.TextOps.tokenCounts(spark, sf)
+      .agg(sum("n_ws_tokens")).head.getLong(0)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(b == nTok - nDocs)
+  }
+
+  test("fuzzy verify: planted truncation dups score high similarity") {
+    val f = TextStats.fuzzyVerify(spark, sf).cache()
+    assert(f.count() > 0)
+    assert(f.filter(col("edit_sim") < 0.5).count() == 0)
+    assert(f.filter(col("edit_dist") < 0).count() == 0)
+  }
+}
