@@ -77,9 +77,13 @@ object SparkEntry {
     "text_tfidf" -> (TextStats.tfidf _),
     "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
     "dedup_fuzzy" -> (TextStats.fuzzyVerify _),
-    // Multimodal (§2 #33-34)
+    // Multimodal (§2 #33-34, #53)
     "mm_manifest" -> (Multimodal.manifest _),
-    "mm_features" -> (Multimodal.features _)
+    "mm_features" -> (Multimodal.features _),
+    "mm_feature_stats" -> (Multimodal.featureStats _),
+    // Profiling + quantization (§2 #51-52)
+    "q_profile_customer" -> (Profile.profileCustomer _),
+    "ann_quantize" -> (Similarity.quantize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -448,6 +452,28 @@ object SparkEntry {
            round(1.0 - CAST(levenshtein(d.norm, t.norm_b) AS DOUBLE) /
              greatest(length(d.norm), length(t.norm_b)), 4) AS edit_sim
          FROM t JOIN d ON t.doc_a = d.doc_id""",
+    "q_profile_customer" ->
+      """SELECT 'c_custkey' AS "column",
+           count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           CAST(max(c_custkey) AS VARCHAR) AS max_value FROM customer
+         UNION ALL
+         SELECT 'c_name', count(CASE WHEN c_name IS NULL THEN 1 END),
+           count(DISTINCT c_name), CAST(min(c_name) AS VARCHAR),
+           CAST(max(c_name) AS VARCHAR) FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', count(CASE WHEN c_nationkey IS NULL THEN 1 END),
+           count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS VARCHAR),
+           CAST(max(c_nationkey) AS VARCHAR) FROM customer
+         UNION ALL
+         SELECT 'c_acctbal', count(CASE WHEN c_acctbal IS NULL THEN 1 END),
+           count(DISTINCT c_acctbal), CAST(min(c_acctbal) AS VARCHAR),
+           CAST(max(c_acctbal) AS VARCHAR) FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', count(CASE WHEN c_mktsegment IS NULL THEN 1 END),
+           count(DISTINCT c_mktsegment), CAST(min(c_mktsegment) AS VARCHAR),
+           CAST(max(c_mktsegment) AS VARCHAR) FROM customer""",
     "mm_manifest" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'

