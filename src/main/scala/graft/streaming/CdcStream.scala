@@ -18,6 +18,15 @@ case class KeyState(last_event_id: Long, last_ts: Long, value: Double, op: Strin
   */
 case class CurrentRow(user_id: Long, last_event_id: Long, last_ts: Long, value: Double, op: String)
 
+/** A closed (or, at stream end, still-open) SCD2 version row. */
+case class Scd2Row(
+    user_id: Long,
+    event_id: Long,
+    change_type: String,
+    value: Double,
+    valid_from: Long,
+    valid_to: Option[Long])
+
 /** Structured Streaming CDC apply — the incremental path of the
   * reference pipeline (Kafka consumer loop + per-row Postgres upsert,
   * simple_kafka_etl.py:39-52,128-163) re-expressed as a stateful
@@ -75,6 +84,40 @@ object CdcStream {
         Iterator(CurrentRow(key, s.last_event_id, s.last_ts, s.value, s.op))
       case None => Iterator.empty
     }
+  }
+
+  /** Streaming SCD Type-2: on each applied change, emit the CLOSED
+    * version row for the key's previous state (valid_to = new change's
+    * ts) and track the open version in state. The append-only history
+    * a warehouse sink (Delta/Iceberg) would receive incrementally;
+    * union the emitted closed rows with the final open states to get
+    * the full batch SCD2 table.
+    */
+  def scd2Stream(changes: Dataset[Change]): Dataset[Scd2Row] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(closeVersions)
+  }
+
+  private[streaming] def closeVersions(
+      key: Long,
+      changes: Iterator[Change],
+      state: GroupState[KeyState]): Iterator[Scd2Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+    var st = state.getOption
+    changes.toSeq.sortBy(c => (c.ts, c.event_id)).foreach { c =>
+      val newer = st.forall(s =>
+        c.ts > s.last_ts || (c.ts == s.last_ts && c.event_id > s.last_event_id))
+      if (newer) {
+        st.foreach { s =>
+          out += Scd2Row(key, s.last_event_id, s.op, s.value, s.last_ts, Some(c.ts))
+        }
+        st = Some(KeyState(c.event_id, c.ts, c.value, c.op))
+      }
+    }
+    st.foreach(state.update)
+    out.iterator
   }
 
   /** Watermarked windowed aggregation over the changelog: change
