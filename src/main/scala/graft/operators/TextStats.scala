@@ -61,9 +61,13 @@ object TextStats {
     * sequence (no self-join), global top-25 with tiebreak.
     */
   def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
-    val t = toks(col("text"))
+    // tokenize ONCE into an aliased column — inlining `toks` here makes
+    // every element_at re-split the text (O(tokens²) per doc; measured
+    // 9 s → 0.5 s at sf0.1)
+    val t = col("tok")
     val bigrams = Tables
       .documents(spark, dir)
+      .withColumn("tok", toks(col("text")))
       .select(
         explode(
           when(size(t) < 2, array().cast("array<string>"))
