@@ -45,7 +45,9 @@ object TextOps {
     * data pipeline.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
+    // aliased once: referencing the tokens expression from multiple
+    // ratio columns would otherwise re-tokenize per reference
+    val t = col("tok")
     val nTok = size(t).cast("double")
     val nChars = length(col("text")).cast("double")
     val nPunct = (length(col("text")) -
@@ -58,6 +60,7 @@ object TextOps {
       .otherwise(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok)
     Tables
       .documents(spark, dir)
+      .withColumn("tok", tokens(col("text")))
       .select(
         col("doc_id"),
         nTok.cast("long").as("n_tokens"),
@@ -81,7 +84,7 @@ object TextOps {
       "es" -> Seq("el", "la", "los", "y", "es", "de"),
       "zh" -> Seq("的", "了", "是", "在", "和", "有")
     )
-    val t = tokens(col("text"))
+    val t = col("tok") // aliased once — 5 language scores reference it
     val scores = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         size(filter(t, x => array_contains(array(words.map(lit): _*), x))).as("score"),
@@ -92,6 +95,7 @@ object TextOps {
     val best = array_max(array(scores: _*))
     Tables
       .documents(spark, dir)
+      .withColumn("tok", tokens(col("text")))
       .select(
         col("doc_id"),
         col("lang").as("label_lang"),
