@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, MinHashSig, SimHash64}
+import graft.functions.{CosineSim, MinHashSig, RewriteSetCardinality, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native kernels
   * first-class SQL functions in any session built with
@@ -15,6 +15,7 @@ import graft.functions.{CosineSim, MinHashSig, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteSetCardinality)
     ext.injectFunction(
       (
         FunctionIdentifier("cosine_sim"),

@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteSetCardinality)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteSetCardinality
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim",
@@ -18,6 +22,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_sig",
       args => MinHashSig(args.head, 32),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "intersect_card",
+      args => IntersectCard(args.head, args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "union_card",
+      args => UnionCard(args.head, args(1)),
       "built-in")
   }
 }
