@@ -59,6 +59,12 @@ object Formats {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC reader — the other columnar format a warehouse migration
+    * brings along; same pushdown/pruning behavior as parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned parquet sink with in-partition ordering —
     * the layout that gives downstream readers partition pruning plus
     * clustered scans. At 100 TB add `.bucketBy` on the join key via

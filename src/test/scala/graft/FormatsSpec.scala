@@ -57,6 +57,19 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("orc roundtrip preserves rows and pushes filters") {
+    withTempDir { dir =>
+      val src = Tables.orders(spark, sf)
+      src.write.mode("overwrite").orc(s"$dir/orc")
+      val back = Formats.readOrc(spark, s"$dir/orc")
+      assert(back.count() == src.count())
+      val scan = back
+        .filter(col("o_totalprice") > 400000.0)
+        .queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PushedFilters") && !scan.contains("PushedFilters: []"))
+    }
+  }
+
   test("partitioned write: hive layout by modality, pruned read, rows preserved") {
     withTempDir { dir =>
       val m = Multimodal.manifest(spark, sf)
