@@ -176,20 +176,35 @@ object Dedup {
     * candidates, not corpus².
     */
   def jaccardVerify(spark: SparkSession, dir: String): DataFrame = {
-    // shingle sets as 64-bit hash arrays: per-doc payload is KB-scale,
-    // intersect/union run in-memory per candidate pair, and the whole
-    // verify is 2 hash joins — minimal stage count (measured faster
-    // than both a broadcast variant and an exploded skinny-row join;
-    // at this shape per-stage overhead dominates). 64-bit hashing
-    // makes set equality exact for any realistic corpus.
-    val docShingles = corpusWithNearDups(spark, dir)
+    // ONE tokenize/shingle/hash pass: the KB-scale shingle-hash set
+    // rides along through the banding explode and the bucket self-join,
+    // so candidates arrive with both sides' sets attached — no second
+    // scan, no re-join against the corpus. Set algebra runs on 64-bit
+    // hashes (exact for any realistic corpus); size(array_intersect)
+    // is rewritten to the non-materializing intersect_card kernel by
+    // RewriteSetCardinality.
+    GraftFunctions.register(spark)
+    val base = corpusWithNearDups(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => xxhash64(s))))
+      .withColumn("sig", expr("minhash_sig(sh)"))
+    val banded = base
       .select(
         col("doc_id"),
-        array_distinct(transform(shingles(toks(col("text"))), s => xxhash64(s))).as("sh"))
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b").distinct()
-    pairs
-      .join(docShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(docShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        col("sh"),
+        col("sig"),
+        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+      .withColumn(
+        "bucket",
+        hash(col("band"), slice(col("sig"), col("band") * MinhashRowsPerBand + 1,
+          lit(MinhashRowsPerBand))))
+      .drop("sig")
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
       .select(
         col("doc_a"),
         col("doc_b"),
