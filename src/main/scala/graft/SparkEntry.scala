@@ -57,6 +57,10 @@ object SparkEntry {
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
     "q_resample_daily" -> (Scale.resampleDaily _),
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
+    // Sampling (§2 #54-56)
+    "q_split_assign" -> (Sampling.splitAssign _),
+    "q_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
     "text_fingerprint" -> (Dedup.fingerprint _),
@@ -277,6 +281,16 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey
              AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')""",
+    "q_split_assign" ->
+      """SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket
+               FROM documents)""",
+    "q_hash_sample" ->
+      """SELECT doc_id, md5('graft-sample-1' || text) AS h
+         FROM documents ORDER BY h, doc_id LIMIT 100""",
     "q_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sampling for training-data pipelines: deterministic hash-based
+  * splits (reproducible across engines and runs — a content-addressed
+  * split survives re-partitioning, re-ingestion, and backfills, unlike
+  * random() tagging), stratified downsampling, and exact-k hash
+  * samples. All per-row decisions — zero shuffles except the exact-k
+  * top-n (WindowGroupLimit-style TakeOrdered).
+  */
+object Sampling {
+
+  /** #54 Train/val/test split by content hash: bucket = first 4 hex
+    * chars of md5 → 0..99; <80 train, <90 val, else test. Stable under
+    * any re-ordering or re-partitioning of the corpus.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long") % 100)
+          .as("bucket"))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test")
+          .as("split"))
+
+  /** #55 Stratified sample: per-language fractions via `sampleBy`
+    * (seeded Bernoulli per stratum) — downsample dominant languages,
+    * keep the tail. Rows-only (engine-specific RNG); the spec checks
+    * proportions and determinism.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0)
+    Tables
+      .documents(spark, dir)
+      .stat
+      .sampleBy("lang", fractions, 42L)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** #56 Exact-k uniform sample by hash order: the k docs with the
+    * smallest salted content hash — deterministic, engine-agnostic
+    * (md5 hex strings sort identically everywhere), and unbiased for
+    * any salt. Compiles to TakeOrderedAndProject (per-partition top-k,
+    * no full sort).
+    */
+  def hashSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(concat(lit("graft-sample-1"), col("text")).cast("binary")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(k)
+}
