@@ -52,6 +52,9 @@ object SparkEntry {
     "q_pivot_orders" -> (AnalyticsExt.pivotOrders _),
     "q_ntile_customers" -> (AnalyticsExt.ntileCustomers _),
     "q_moment_stats" -> (AnalyticsExt.momentStats _),
+    "q_grouping_sets" -> (AnalyticsExt.groupingSets _),
+    "q_percent_rank" -> (AnalyticsExt.percentRank _),
+    "q_freq_items" -> (AnalyticsExt.freqItems _),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
@@ -281,6 +284,18 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey
              AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+           coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+           count(1) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
     "q_split_assign" ->
       """SELECT doc_id, bucket,
            CASE WHEN bucket < 80 THEN 'train'

@@ -138,6 +138,47 @@ object AnalyticsExt {
           .cast("long")
           .as("quartile"))
 
+  /** #57 GROUPING SETS: the explicit multi-granularity form (status
+    * totals + priority totals in one pass, no full cube). SQL-level
+    * because the DataFrame API exposes only rollup/cube.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                count(1) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM graft_orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+  }
+
+  /** #58 Percent rank + cumulative distribution of customer balances
+    * within segment — the relative-standing window pair.
+    */
+  def percentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+  }
+
+  /** #59 Frequent items (Karp/misra-gries style sketch via
+    * `stat.freqItems`): heavy hitters without an exact global count —
+    * rows-only (sketch contents are engine/partitioning-specific).
+    */
+  def freqItems(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .stat
+      .freqItems(Array("event_type"), 0.1)
+      .select(explode(col("event_type_freqItems")).as("frequent_event_type"))
+
   /** #41 Moment statistics per group: stddev/variance/correlation/
     * covariance of lineitem quantity vs price — single partial-agg
     * pass (all four are one-pass moment sketches, scale-safe).
