@@ -67,7 +67,10 @@ object Analytics {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).filter(day("o_orderdate") < lit("1998-03-15"))
     val li = Tables.lineitem(spark, dir).filter(day("l_shipdate") > lit("1998-03-15"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    // customer/orders SCALE with the data — no explicit broadcast; AQE
+    // promotes the filtered sides to broadcast when they fit, and
+    // falls back to shuffle joins at 100 TB
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -95,12 +98,15 @@ object Analytics {
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
     val reg = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    // only FIXED-cardinality dims (region: 5, nation: 25) are
+    // explicitly broadcast; customer/orders/supplier scale with SF —
+    // AQE broadcasts them while they fit and shuffles at 100 TB
     Tables
       .lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -129,7 +135,9 @@ object Analytics {
         round(col("p_retailprice"), 2).as("p_retailprice")
       )
 
-  /** #14 Post-aggregation filter (HAVING): high-LTV customers. */
+  /** #14 Post-aggregation filter (HAVING): high-LTV customers.
+    * Customer scales with SF — AQE decides the join strategy.
+    */
   def customerLtv(spark: SparkSession, dir: String): DataFrame =
     Tables
       .orders(spark, dir)
@@ -139,7 +147,7 @@ object Analytics {
         round(sum("o_totalprice"), 2).as("ltv")
       )
       .filter(col("ltv") >= 3000000.0)
-      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select("o_custkey", "c_name", "n_orders", "ltv")
 
@@ -212,15 +220,17 @@ object Analytics {
       .filter(col("event_type") === "signup")
       .groupBy("user_id")
       .agg(min("ts").as("signup_ts"))
+    // per-user aggregates scale with the data — shuffle joins on the
+    // shared user_id partitioning (AQE broadcasts while small)
     val engaged = ev
       .filter(col("event_type").isin("click", "view"))
-      .join(broadcast(signup), "user_id")
+      .join(signup, "user_id")
       .filter(col("ts") > col("signup_ts"))
       .groupBy("user_id")
       .agg(min("ts").as("engage_ts"))
     val converted = ev
       .filter(col("event_type") === "purchase")
-      .join(broadcast(engaged), "user_id")
+      .join(engaged, "user_id")
       .filter(col("ts") > col("engage_ts"))
       .groupBy("user_id")
       .agg(min("ts").as("convert_ts"))
