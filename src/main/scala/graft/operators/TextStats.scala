@@ -32,9 +32,11 @@ object TextStats {
   }
 
   /** #48 TF-IDF: top-3 highest-scoring terms per document.
-    * tf = in-doc count, idf = ln(N / df); the corpus-level df table
-    * is broadcast back onto the exploded terms (df is vocab-sized —
-    * tiny next to the corpus at any scale).
+    * tf = in-doc count, idf = ln(N / df). The df table is vocab-sized
+    * — small for curated corpora but web-scale vocab (URLs, typos) can
+    * be huge, so the tf⋈df join carries no broadcast hint; both sides
+    * are already partitioned by term from their aggregations, and AQE
+    * broadcasts when df actually fits.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -45,7 +47,7 @@ object TextStats {
     // rank on the UNROUNDED score (ties then break on term) so both
     // engines order identically; round only at output
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(broadcast(df_), "term")
+    tf.join(df_, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rank", row_number().over(w).cast("long"))
