@@ -74,6 +74,7 @@ object SparkEntry {
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh" -> (Similarity.lsh _),
+    "ann_lsh_multiprobe" -> (Similarity.lshMultiProbe _),
     "ann_centroid_assign" -> (Similarity.centroidAssign _),
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class MultiProbeSpec extends SparkSpec {
+
+  private def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
+    val hits = approx.select("query_id", "vec_id").intersect(truth).count().toDouble
+    hits / truth.count()
+  }
+
+  test("multi-probe recall@10 is a multiple of single-probe recall") {
+    // the synthetic embeddings are near-uniform (true top-10 sit at
+    // cos ≈ 0.3), so absolute LSH recall is intrinsically low; the
+    // probe knob's job is the RATIO (measured ~0.03 → ~0.23 here)
+    val single = recallAt10(Similarity.lsh(spark, sf))
+    val multi = recallAt10(Similarity.lshMultiProbe(spark, sf))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi >= math.max(0.15, 3 * single),
+      s"multi-probe recall too low: $multi (single: $single)")
+  }
+
+  test("multi-probe results are deduplicated and rank-contiguous") {
+    val m = Similarity.lshMultiProbe(spark, sf).cache()
+    assert(m.groupBy("query_id", "vec_id").count().filter("count > 1").count() == 0)
+    assert(m.filter(col("rank") < 1 || col("rank") > 10).count() == 0)
+  }
+}
