@@ -18,6 +18,15 @@ case class KeyState(last_event_id: Long, last_ts: Long, value: Double, op: Strin
   */
 case class CurrentRow(user_id: Long, last_event_id: Long, last_ts: Long, value: Double, op: String)
 
+/** Change plus its event-time timestamp column (for watermarking). */
+case class ChangeT(
+    event_id: Long,
+    ts: Long,
+    user_id: Long,
+    op: String,
+    value: Double,
+    ts_us: java.sql.Timestamp)
+
 /** A closed (or, at stream end, still-open) SCD2 version row. */
 case class Scd2Row(
     user_id: Long,
@@ -84,6 +93,37 @@ object CdcStream {
         Iterator(CurrentRow(key, s.last_event_id, s.last_ts, s.value, s.op))
       case None => Iterator.empty
     }
+  }
+
+  /** Current-state with event-time TTL: keys idle for `ttlMs` past
+    * the watermark are EXPIRED and their state removed — the guard
+    * that keeps keyed state bounded on an unbounded key space (the
+    * 100 TB streaming concern the plain version defers). Expiry is
+    * announced as a CurrentRow with op = "EXPIRED" so downstream
+    * sinks can retire the key.
+    */
+  def currentStateWithTtl(changes: Dataset[Change], ttlMs: Long): Dataset[CurrentRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .withColumn("ts_us", timestamp_micros(col("ts")))
+      .withWatermark("ts_us", "1 second")
+      .as[ChangeT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[ChangeT], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CurrentRow(key, s.last_event_id, s.last_ts, s.value, "EXPIRED"))
+          } else {
+            val out = applyChanges(key, it.map(c => Change(c.event_id, c.ts, c.user_id, c.op, c.value)), state)
+            state.getOption.foreach { s =>
+              // last_ts is µs; timeout timestamps are ms epoch
+              state.setTimeoutTimestamp(s.last_ts / 1000L + ttlMs)
+            }
+            out
+          }
+      }
   }
 
   /** Streaming SCD Type-2: on each applied change, emit the CLOSED
