@@ -33,7 +33,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      // widen BEFORE multiplying: float-precision products make
+      // cos(x, x·k) overshoot 1.0 by ~4e-8 (caught by KernelProps)
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
@@ -47,7 +49,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
         |double dot = 0.0, nx = 0.0, ny = 0.0;
         |for (int i = 0; i < n; i++) {
-        |  float a = $x.getFloat(i); float b = $y.getFloat(i);
+        |  double a = (double) $x.getFloat(i); double b = (double) $y.getFloat(i);
         |  dot += a * b; nx += a * a; ny += b * b;
         |}
         |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
