@@ -430,6 +430,19 @@ object SparkEntry {
                  (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
              AS quality_score
          FROM t""",
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 10)
+         SELECT query_id, vec_id, cos, rank FROM (
+           SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6)
+               AS cos,
+             CAST(row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(
+                 e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+               AS BIGINT) AS rank
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+         WHERE rank <= 10""",
     "text_top_terms" ->
       """WITH td AS (
            SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
