@@ -430,6 +430,23 @@ object SparkEntry {
                  (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
              AS quality_score
          FROM t""",
+    "ann_centroid_assign" -> {
+      // 64 per-dimension avg terms, float-cast to mirror the Spark
+      // side's float centroid arrays bit-for-bit
+      val terms = (1 to 64).map(i => s"CAST(avg(embedding[$i]) AS FLOAT)").mkString(", ")
+      s"""WITH c AS (SELECT label, [$terms] AS centroid
+                     FROM embeddings GROUP BY label)
+          SELECT vec_id, label, assigned_label, cos FROM (
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+              CAST(c.label AS BIGINT) AS assigned_label,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) AS cos,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(
+                  e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC, c.label) AS rn
+            FROM embeddings e, c)
+          WHERE rn = 1"""
+    },
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                     FROM embeddings WHERE vec_id < 10)
@@ -517,6 +534,34 @@ object SparkEntry {
          SELECT 'c_mktsegment', count(CASE WHEN c_mktsegment IS NULL THEN 1 END),
            count(DISTINCT c_mktsegment), CAST(min(c_mktsegment) AS VARCHAR),
            CAST(max(c_mktsegment) AS VARCHAR) FROM customer""",
+    "text_lang_id" -> {
+      val markers = Seq(
+        "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+        "en" -> Seq("the", "a", "of", "and", "is", "to"),
+        "es" -> Seq("el", "la", "los", "y", "es", "de"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "de"),
+        "zh" -> Seq("的", "了", "是", "在", "和", "有"))
+      val structs = markers
+        .map { case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+          s"struct_pack(lang := '$l', score := len(list_filter(toks, w -> list_contains($list, w))))"
+        }
+        .mkString(",\n             ")
+      s"""WITH t AS (SELECT doc_id, lang AS label_lang,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+           FROM documents),
+         s AS (SELECT doc_id, label_lang, u.s.lang AS lang, u.s.score AS score
+               FROM t, UNNEST([
+             $structs
+           ]) AS u(s))
+         SELECT doc_id, label_lang,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+           CAST(score AS BIGINT) AS marker_hits
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
+         WHERE rn = 1"""
+    },
     "mm_manifest" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
