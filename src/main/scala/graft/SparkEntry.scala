@@ -69,6 +69,7 @@ object SparkEntry {
     "text_fingerprint" -> (Dedup.fingerprint _),
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_idf" -> (Dedup.simhashIdf _),
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
     "dedup_embedding" -> (Dedup.embedding _),
     // Similarity search (§2 #27-29)

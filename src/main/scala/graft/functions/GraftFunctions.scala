@@ -24,6 +24,10 @@ object GraftFunctions {
       args => MinHashSig(args.head, 32),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash64w",
+      args => SimHash64Weighted(args.head, args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "intersect_card",
       args => IntersectCard(args.head, args(1)),
       "built-in")

@@ -170,6 +170,55 @@ object Dedup {
       .filter(col("hamming") <= 6)
   }
 
+  /** #61 IDF-weighted SimHash near-dup: per-token weights ln(N/df)
+    * computed from the corpus df table (one aggregation, joined back
+    * without a broadcast hint — vocab can be web-scale), signature via
+    * the native `simhash64w` weighted bit-vote. On a realistic
+    * Zipfian vocabulary, rare discriminative tokens dominate the
+    * signature and ubiquitous filler stops flipping bits; on this
+    * synthetic uniform-vocab corpus the IDF weights are near-constant,
+    * so results track the unweighted variant (verified by spec) — the
+    * operator under test is the weighting machinery, exercised
+    * end-to-end.
+    */
+  def simhashIdf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = corpusWithNearDups(spark, dir)
+    val tokPos = corpus.select(
+      col("doc_id"),
+      posexplode(toks(col("text"))).as(Seq("pos", "token")))
+    val df_ = tokPos
+      .select(col("doc_id"), col("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val nDocs = corpus.agg(count(lit(1)).cast("double").as("n_docs"))
+    val sigs = tokPos
+      .join(df_, "token")
+      .crossJoin(broadcast(nDocs)) // 1 row; keeps the plan fully lazy
+      .withColumn("w", log(col("n_docs") / col("df")) + lit(0.01)) // +ε keeps ubiquitous tokens a tiny vote
+      .withColumn("h", xxhash64(col("token")))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("h"), col("w")))).as("hw"))
+      .select(
+        col("doc_id"),
+        expr("simhash64w(transform(hw, e -> e.h), transform(hw, e -> e.w))").as("sig"))
+    val chunked = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val", expr("shiftrightunsigned(sig, chunk * 16) & 65535"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
   /** #25 Exact n-gram Jaccard verification of the MinHash candidates:
     * join candidate pairs back to per-doc shingle sets, compute exact
     * |∩|/|∪|. The verify stage runs only on LSH survivors — linear in

@@ -39,6 +39,17 @@ class DedupSpec extends SparkSpec {
     assert(planted.count() > 0)
   }
 
+  test("idf-weighted simhash finds planted pairs comparably to unweighted on uniform vocab") {
+    val unweighted = Dedup.simhash(spark, sf)
+      .filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    val weighted = Dedup.simhashIdf(spark, sf)
+      .filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(weighted > 0)
+    // uniform synthetic vocab → IDF weights near-constant → comparable recall
+    assert(math.abs(weighted - unweighted) <= math.max(5L, unweighted / 2),
+      s"weighted=$weighted unweighted=$unweighted diverged unexpectedly")
+  }
+
   test("embedding near-dup finds exactly the planted perturbed vectors") {
     val e = Dedup.embedding(spark, sf).cache()
     assert(e.count() > 0)
