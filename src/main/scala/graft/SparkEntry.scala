@@ -31,6 +31,8 @@ object SparkEntry {
     "cdc_scd2" -> (Cdc.scd2 _),
     "cdc_compact" -> (Cdc.compact _),
     "cdc_envelope_parse" -> (Cdc.envelopeParse _),
+    "cdc_snapshot_diff" -> (Cdc.snapshotDiff _),
+    "q_json_extract" -> (Analytics.jsonExtract _),
     // Warehouse/OLAP analytics (§2 #9-20)
     "q_filter_scan" -> (Analytics.filterScan _),
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
@@ -180,6 +182,33 @@ object SparkEntry {
                  (PARTITION BY user_id, (__deleted = 'true')
                   ORDER BY registered_at, id) AS rn
                FROM c)""",
+    "cdc_snapshot_diff" ->
+      """WITH snap_before AS (
+           SELECT user_id, event_id AS old_event_id, round(value, 2) AS old_value
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id < 5000)
+           WHERE rn = 1 AND event_type <> 'error'),
+         snap_after AS (
+           SELECT user_id, event_id AS new_event_id, round(value, 2) AS new_value
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1 AND event_type <> 'error')
+         SELECT coalesce(b.user_id, a.user_id) AS user_id,
+           CASE WHEN b.old_event_id IS NULL THEN 'ADDED'
+                WHEN a.new_event_id IS NULL THEN 'REMOVED'
+                WHEN b.old_event_id <> a.new_event_id THEN 'CHANGED'
+                ELSE 'UNCHANGED' END AS diff,
+           b.old_event_id, a.new_event_id, b.old_value, a.new_value
+         FROM snap_before b FULL OUTER JOIN snap_after a ON b.user_id = a.user_id""",
+    "q_json_extract" ->
+      """SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     "q_filter_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
            round(l_extendedprice, 2) AS l_extendedprice,

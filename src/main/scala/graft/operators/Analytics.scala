@@ -254,6 +254,24 @@ object Analytics {
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
+  /** #63 Semi-structured extraction: pull typed fields out of the
+    * JSON `props` column (schema-on-read over a string column — the
+    * raw-event shape every pipeline ingests before schemas settle)
+    * and aggregate on them. `get_json_object` is codegen'd; no UDF.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 2).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** #20 Approximate distinct (HyperLogLog++): distinct users per event
     * type at 2% target error — the constant-memory sketch that replaces
     * an exact distinct's full shuffle at 100 TB. Rows-only check

@@ -176,6 +176,41 @@ object Cdc {
     graft.sources.Formats.parseDebezium(envelopes, col("value"))
   }
 
+  /** #62 Snapshot reconciliation: full-outer diff of the current
+    * state at two points in time (mid-changelog vs end) classifying
+    * every key as ADDED / REMOVED / CHANGED / UNCHANGED — the audit
+    * query a CDC pipeline runs to prove two materializations agree.
+    * Both snapshots share the user_id exchange; the diff is one
+    * full-outer join on the same key.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val changes = classify(spark, dir)
+    def snapshotAt(pred: Column): DataFrame =
+      changes
+        .filter(pred)
+        .withColumn("rn", row_number().over(byKeyDesc))
+        .filter(col("rn") === 1 && col("op") =!= "DELETE")
+        .select(col("user_id"), col("event_id"), col("value"))
+    val mid = 5000L // event_id is dense from 0; first half vs full log
+    val before = snapshotAt(col("event_id") < mid)
+      .select(col("user_id"), col("event_id").as("old_event_id"), col("value").as("old_value"))
+    val after = snapshotAt(lit(true))
+      .select(col("user_id"), col("event_id").as("new_event_id"), col("value").as("new_value"))
+    before
+      .join(after, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(col("old_event_id").isNull, "ADDED")
+          .when(col("new_event_id").isNull, "REMOVED")
+          .when(col("old_event_id") =!= col("new_event_id"), "CHANGED")
+          .otherwise("UNCHANGED")
+          .as("diff"),
+        col("old_event_id"),
+        col("new_event_id"),
+        col("old_value"),
+        col("new_value"))
+  }
+
   /** #7 Changelog compaction: net effect per key (what a compacted
     * Kafka topic / merge-on-read would retain) — the latest record,
     * tagged DELETE if the key's final state is a tombstone.

@@ -62,6 +62,17 @@ class CdcSpec extends SparkSpec {
     assert(d.filter("event_id % 10 = 0 AND n_deliveries <> 2").count() == 0)
   }
 
+  test("snapshot diff partitions keys; CHANGED/ADDED rows carry the after-state") {
+    import org.apache.spark.sql.functions._
+    val d = Cdc.snapshotDiff(spark, sf).cache()
+    // every key appears exactly once
+    assert(d.groupBy("user_id").count().filter("count > 1").count() == 0)
+    assert(d.filter(col("diff") === "ADDED" && col("old_event_id").isNotNull).count() == 0)
+    assert(d.filter(col("diff") === "REMOVED" && col("new_event_id").isNotNull).count() == 0)
+    assert(d.filter(col("diff") === "UNCHANGED" &&
+      col("old_event_id") =!= col("new_event_id")).count() == 0)
+  }
+
   test("stats counts sum to n_changes") {
     import org.apache.spark.sql.functions._
     val st = Cdc.stats(spark, sf)
