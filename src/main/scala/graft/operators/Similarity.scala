@@ -128,19 +128,22 @@ object Similarity {
     * cosine is preserved to ~1e-2 after dequantization.
     */
   def quantize(spark: SparkSession, dir: String): DataFrame = {
+    // norm aliased once — inlining it in the transform lambda would
+    // recompute the 64-element aggregate per element (the recompute
+    // trap; see minhash_sig / bigrams)
     val norm = sqrt(aggregate(
       zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
       lit(0.0),
       (acc, v) => acc + v))
     Tables
       .embeddings(spark, dir)
+      .withColumn("l2_norm_raw", norm)
       .select(
         col("vec_id"),
         col("label").cast("long").as("label"),
-        round(norm, 6).as("l2_norm"),
-        expr("transform(embedding, x -> CAST(round(x / sqrt(aggregate(" +
-          "zip_with(embedding, embedding, (a, b) -> CAST(a AS DOUBLE) * b), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * 127) AS INT))").as("qvec"))
+        round(col("l2_norm_raw"), 6).as("l2_norm"),
+        expr("transform(embedding, x -> CAST(round(x / l2_norm_raw * 127) AS INT))")
+          .as("qvec"))
   }
 
   /** #29 IVF-style centroid stats: per-label centroid (partial-agg
