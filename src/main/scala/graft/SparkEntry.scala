@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_idf" -> (Dedup.simhashIdf _),
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
+    "dedup_clusters" -> (Dedup.clusters _),
     "dedup_embedding" -> (Dedup.embedding _),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),

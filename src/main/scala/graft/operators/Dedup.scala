@@ -265,6 +265,49 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** #64 Near-dup clustering + keep-list: candidate pairs → connected
+    * components (iterative min-label propagation — the alternating
+    * small-star pattern; converges in O(log diameter) rounds, each one
+    * self-join + aggregate) → one canonical doc per cluster. This is
+    * the stage that actually REMOVES duplicates: the output marks
+    * every doc keep/drop. The driver-side loop is iteration control
+    * only (a count per round); all data stays distributed.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b").distinct().cache()
+    val docs = corpusWithNearDups(spark, dir).select(col("doc_id")).cache()
+    // symmetric edge list
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("n_label")), "doc_b")
+        .groupBy("doc_a")
+        .agg(min("n_label").as("min_n_label"))
+      val next = labels
+        .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_n_label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .select(
+        col("doc_id"),
+        col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).cast("int").as("keep"))
+  }
+
   /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, random-
     * hyperplane LSH buckets, within-bucket pairs scored by the native
     * `cosine_sim` kernel at ≥ 0.99.

@@ -57,6 +57,30 @@ class DedupSpec extends SparkSpec {
     assert(e.filter(col("vec_b") =!= col("vec_a") + 1000000L).count() == 0)
   }
 
+  test("near-dup clustering matches a union-find reference; planted pairs share clusters") {
+    val labels = Dedup.clusters(spark, sf).cache()
+    val pairRows = Dedup.minhash(spark, sf).select("doc_a", "doc_b").collect()
+    // union-find reference on the driver (small at spec scale)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairRows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc in a pair must carry the union-find root as cluster id
+    val bad = pairRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      .filter(d => got(d) != find(d))
+    assert(bad.isEmpty, s"cluster mismatch for docs ${bad.take(5).toSeq}")
+    // exactly one keeper per cluster
+    assert(labels.filter(col("keep") === 1)
+      .groupBy("cluster_id").count().filter("count > 1").count() == 0)
+  }
+
   test("ann brute force: top-k per query, self excluded, ranks contiguous") {
     val bf = Similarity.bruteForce(spark, sf).cache()
     assert(bf.groupBy("query_id").count().filter("count > 10").count() == 0)
