@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ntile_customers" -> (AnalyticsExt.ntileCustomers _),
     "q_moment_stats" -> (AnalyticsExt.momentStats _),
     "q_grouping_sets" -> (AnalyticsExt.groupingSets _),
+    "q_trailing_7d" -> (AnalyticsExt.trailing7d _),
     "q_percent_rank" -> (AnalyticsExt.percentRank _),
     "q_freq_items" -> (AnalyticsExt.freqItems _),
     // Scale techniques (§2 #43-46)
@@ -322,6 +323,13 @@ object SparkEntry {
            count(1) AS n_orders, round(sum(o_totalprice), 2) AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "q_trailing_7d" ->
+      """SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d_spend
+         FROM orders""",
     "q_percent_rank" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
            round(percent_rank() OVER w, 6) AS pct_rank,

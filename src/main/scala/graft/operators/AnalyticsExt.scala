@@ -138,6 +138,26 @@ object AnalyticsExt {
           .cast("long")
           .as("quartile"))
 
+  /** #65 RANGE-frame window: 7-day trailing spend per customer — a
+    * value-based frame (all rows within 6 days of the current order's
+    * date), not a row-count frame; same-day orders all see the same
+    * trailing total.
+    */
+  def trailing7d(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_day"))
+      .rangeBetween(-6, 0)
+    Tables
+      .orders(spark, dir)
+      .withColumn("o_day", datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long"))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(sum("o_totalprice").over(w), 2).as("trailing_7d_spend"))
+  }
+
   /** #57 GROUPING SETS: the explicit multi-granularity form (status
     * totals + priority totals in one pass, no full cube). SQL-level
     * because the DataFrame API exposes only rollup/cube.
