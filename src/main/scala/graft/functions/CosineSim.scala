@@ -45,15 +45,27 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(
       ctx,
       ev,
-      (x, y) => s"""
-        |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-        |double dot = 0.0, nx = 0.0, ny = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double a = (double) $x.getFloat(i); double b = (double) $y.getFloat(i);
-        |  dot += a * b; nx += a * a; ny += b * b;
+      (x, y) => {
+        // freshName every local: nullSafeCodeGen inlines this body with
+        // no brace scope for non-nullable inputs, so two cosine_sim calls
+        // fused into one whole-stage would redefine locals and break janino.
+        val n = ctx.freshName("csN")
+        val dot = ctx.freshName("csDot")
+        val nx = ctx.freshName("csNx")
+        val ny = ctx.freshName("csNy")
+        val i = ctx.freshName("csI")
+        val a = ctx.freshName("csA")
+        val b = ctx.freshName("csB")
+        s"""
+        |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $a = (double) $x.getFloat($i); double $b = (double) $y.getFloat($i);
+        |  $dot += $a * $b; $nx += $a * $a; $ny += $b * $b;
         |}
-        |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
+        |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
       """.stripMargin
+      }
     )
 
   override protected def withNewChildrenInternal(

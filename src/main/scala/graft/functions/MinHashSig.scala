@@ -51,21 +51,33 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     nullSafeCodeGen(
       ctx,
       ev,
-      hs => s"""
-        |long[] mins = new long[$numHashes];
-        |java.util.Arrays.fill(mins, Long.MAX_VALUE);
-        |for (int j = 0; j < $hs.numElements(); j++) {
-        |  long h = $hs.getLong(j);
-        |  for (int i = 0; i < $numHashes; i++) {
-        |    long z = h + 0x9e3779b97f4a7c15L * (i + 1);
-        |    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L;
-        |    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL;
-        |    z = z ^ (z >>> 31);
-        |    if (z < mins[i]) mins[i] = z;
+      hs => {
+        // Every local MUST be ctx.freshName'd: for non-nullable inputs
+        // nullSafeCodeGen inlines this body with no brace scope, so two
+        // kernel instances fused into one whole-stage would otherwise
+        // redefine the same Java locals and janino fails the compile
+        // (silent interpreted fallback — the round-1 perf bug).
+        val mins = ctx.freshName("mhMins")
+        val j = ctx.freshName("mhJ")
+        val h = ctx.freshName("mhH")
+        val i = ctx.freshName("mhI")
+        val z = ctx.freshName("mhZ")
+        s"""
+        |long[] $mins = new long[$numHashes];
+        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |for (int $j = 0; $j < $hs.numElements(); $j++) {
+        |  long $h = $hs.getLong($j);
+        |  for (int $i = 0; $i < $numHashes; $i++) {
+        |    long $z = $h + 0x9e3779b97f4a7c15L * ($i + 1);
+        |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+        |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+        |    $z = $z ^ ($z >>> 31);
+        |    if ($z < $mins[$i]) $mins[$i] = $z;
         |  }
         |}
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
       """.stripMargin
+      }
     )
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

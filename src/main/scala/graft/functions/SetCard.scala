@@ -56,19 +56,30 @@ case class IntersectCard(left: Expression, right: Expression) extends SetCardBas
     nullSafeCodeGen(
       ctx,
       ev,
-      (x, y) => s"""
-        |java.util.HashSet rightSet = new java.util.HashSet($y.numElements() * 2);
-        |for (int i = 0; i < $y.numElements(); i++) {
-        |  rightSet.add(java.lang.Long.valueOf($y.getLong(i)));
+      (x, y) => {
+        // freshName every local: nullSafeCodeGen inlines this body with
+        // no brace scope for non-nullable inputs, so two fused instances
+        // (e.g. intersect_card + union_card in one projection after
+        // RewriteSetCardinality) would redefine locals and break janino.
+        val rightSet = ctx.freshName("icRight")
+        val seen = ctx.freshName("icSeen")
+        val n = ctx.freshName("icN")
+        val i = ctx.freshName("icI")
+        val v = ctx.freshName("icV")
+        s"""
+        |java.util.HashSet $rightSet = new java.util.HashSet($y.numElements() * 2);
+        |for (int $i = 0; $i < $y.numElements(); $i++) {
+        |  $rightSet.add(java.lang.Long.valueOf($y.getLong($i)));
         |}
-        |java.util.HashSet seen = new java.util.HashSet($x.numElements() * 2);
-        |int n = 0;
-        |for (int i = 0; i < $x.numElements(); i++) {
-        |  java.lang.Long v = java.lang.Long.valueOf($x.getLong(i));
-        |  if (rightSet.contains(v) && seen.add(v)) n++;
+        |java.util.HashSet $seen = new java.util.HashSet($x.numElements() * 2);
+        |int $n = 0;
+        |for (int $i = 0; $i < $x.numElements(); $i++) {
+        |  java.lang.Long $v = java.lang.Long.valueOf($x.getLong($i));
+        |  if ($rightSet.contains($v) && $seen.add($v)) $n++;
         |}
-        |${ev.value} = n;
-      """.stripMargin)
+        |${ev.value} = $n;
+      """.stripMargin
+      })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCard =
     copy(left = l, right = r)
@@ -95,17 +106,21 @@ case class UnionCard(left: Expression, right: Expression) extends SetCardBase {
     nullSafeCodeGen(
       ctx,
       ev,
-      (x, y) => s"""
-        |java.util.HashSet set =
+      (x, y) => {
+        val set = ctx.freshName("ucSet")
+        val i = ctx.freshName("ucI")
+        s"""
+        |java.util.HashSet $set =
         |  new java.util.HashSet(($x.numElements() + $y.numElements()) * 2);
-        |for (int i = 0; i < $x.numElements(); i++) {
-        |  set.add(java.lang.Long.valueOf($x.getLong(i)));
+        |for (int $i = 0; $i < $x.numElements(); $i++) {
+        |  $set.add(java.lang.Long.valueOf($x.getLong($i)));
         |}
-        |for (int i = 0; i < $y.numElements(); i++) {
-        |  set.add(java.lang.Long.valueOf($y.getLong(i)));
+        |for (int $i = 0; $i < $y.numElements(); $i++) {
+        |  $set.add(java.lang.Long.valueOf($y.getLong($i)));
         |}
-        |${ev.value} = set.size();
-      """.stripMargin)
+        |${ev.value} = $set.size();
+      """.stripMargin
+      })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): UnionCard =
     copy(left = l, right = r)

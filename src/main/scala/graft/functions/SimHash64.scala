@@ -49,18 +49,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(
       ctx,
       ev,
-      hs => s"""
-        |int[] counts = new int[64];
-        |for (int i = 0; i < $hs.numElements(); i++) {
-        |  long h = $hs.getLong(i);
-        |  for (int b = 0; b < 64; b++) {
-        |    if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+      hs => {
+        // freshName every local: nullSafeCodeGen inlines this body with
+        // no brace scope for non-nullable inputs; fixed names collide when
+        // two kernels fuse into one whole-stage (janino redefinition error).
+        val counts = ctx.freshName("shCounts")
+        val i = ctx.freshName("shI")
+        val h = ctx.freshName("shH")
+        val b = ctx.freshName("shB")
+        val sig = ctx.freshName("shSig")
+        s"""
+        |int[] $counts = new int[64];
+        |for (int $i = 0; $i < $hs.numElements(); $i++) {
+        |  long $h = $hs.getLong($i);
+        |  for (int $b = 0; $b < 64; $b++) {
+        |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
         |  }
         |}
-        |long sig = 0L;
-        |for (int b = 0; b < 64; b++) { if (counts[b] > 0) sig |= (1L << b); }
-        |${ev.value} = sig;
+        |long $sig = 0L;
+        |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] > 0) $sig |= (1L << $b); }
+        |${ev.value} = $sig;
       """.stripMargin
+      }
     )
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

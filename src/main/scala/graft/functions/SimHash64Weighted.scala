@@ -52,20 +52,32 @@ case class SimHash64Weighted(left: Expression, right: Expression) extends Binary
     nullSafeCodeGen(
       ctx,
       ev,
-      (hs, ws) => s"""
-        |int n = java.lang.Math.min($hs.numElements(), $ws.numElements());
-        |double[] votes = new double[64];
-        |for (int i = 0; i < n; i++) {
-        |  long h = $hs.getLong(i);
-        |  double w = $ws.getDouble(i);
-        |  for (int b = 0; b < 64; b++) {
-        |    if (((h >>> b) & 1L) == 1L) votes[b] += w; else votes[b] -= w;
+      (hs, ws) => {
+        // freshName every local: nullSafeCodeGen inlines this body with
+        // no brace scope for non-nullable inputs; fixed names collide when
+        // two kernels fuse into one whole-stage (janino redefinition error).
+        val n = ctx.freshName("swN")
+        val votes = ctx.freshName("swVotes")
+        val i = ctx.freshName("swI")
+        val h = ctx.freshName("swH")
+        val w = ctx.freshName("swW")
+        val b = ctx.freshName("swB")
+        val sig = ctx.freshName("swSig")
+        s"""
+        |int $n = java.lang.Math.min($hs.numElements(), $ws.numElements());
+        |double[] $votes = new double[64];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  long $h = $hs.getLong($i);
+        |  double $w = $ws.getDouble($i);
+        |  for (int $b = 0; $b < 64; $b++) {
+        |    if ((($h >>> $b) & 1L) == 1L) $votes[$b] += $w; else $votes[$b] -= $w;
         |  }
         |}
-        |long sig = 0L;
-        |for (int b = 0; b < 64; b++) { if (votes[b] > 0) sig |= (1L << b); }
-        |${ev.value} = sig;
-      """.stripMargin)
+        |long $sig = 0L;
+        |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $sig |= (1L << $b); }
+        |${ev.value} = $sig;
+      """.stripMargin
+      })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHash64Weighted =
     copy(left = l, right = r)
