@@ -92,11 +92,11 @@ object SparkEntry {
     "dedup_fuzzy" -> (TextStats.fuzzyVerify _),
     // Multimodal (§2 #33-34, #53)
     "mm_manifest" -> (Multimodal.manifest _),
-    "mm_features" -> (Multimodal.features _),
-    "mm_feature_stats" -> (Multimodal.featureStats _),
+    "mm_features" -> (Multimodal.featuresFlat _),
+    "mm_feature_stats" -> (Multimodal.featureStatsFlat _),
     // Profiling + quantization (§2 #51-52)
     "q_profile_customer" -> (Profile.profileCustomer _),
-    "ann_quantize" -> (Similarity.quantize _)
+    "ann_quantize" -> (Similarity.quantizeFlat _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,6 +608,53 @@ object SparkEntry {
                 ELSE 'video' END AS modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5
-         FROM documents"""
+         FROM documents""",
+    // stubDecode replica: acc[i % 8] += byte[i]; f = (acc % 1000) / 1000
+    // computed in FLOAT to mirror the Spark side bit-for-bit (documents
+    // are ASCII, so ord(char) == utf-8 byte)
+    "mm_features" ->
+      """WITH idx AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+           FROM documents),
+         acc AS (
+           SELECT doc_id, (i - 1) % 8 AS pos,
+             sum(ord(substr(text, CAST(i AS INT), 1))) AS s
+           FROM idx GROUP BY 1, 2)
+         SELECT a.doc_id,
+           CASE WHEN a.doc_id % 3 = 0 THEN 'image'
+                WHEN a.doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(length(d.text) AS BIGINT) AS n_bytes,
+           CAST(a.pos AS BIGINT) AS pos,
+           round(CAST(CAST(s % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE), 4) AS f
+         FROM acc a JOIN documents d USING (doc_id)""",
+    "mm_feature_stats" ->
+      """WITH idx AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+           FROM documents),
+         acc AS (
+           SELECT doc_id, (i - 1) % 8 AS pos,
+             sum(ord(substr(text, CAST(i AS INT), 1))) AS s
+           FROM idx GROUP BY 1, 2),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             pos,
+             CAST(CAST(s % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE) AS x
+           FROM acc)
+         SELECT modality, count(DISTINCT doc_id) AS n_docs,
+           CAST(pos AS BIGINT) AS pos, round(avg(x), 4) AS mu
+         FROM f GROUP BY modality, pos""",
+    "ann_quantize" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x * x AS DOUBLE)))) AS nrm
+           FROM embeddings)
+         SELECT vec_id, label, round(nrm, 6) AS l2_norm,
+           unnest(range(len(embedding))) AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 127) AS INT) AS q
+         FROM n"""
   )
 }

@@ -63,6 +63,26 @@ object Multimodal {
       .toDF()
   }
 
+  /** Driver-comparable projection of [[features]]: one (doc_id, pos, f)
+    * row per vector element. Arrays stay in the operator (and its
+    * specs); the flat shape is what the hash-compare harness can diff
+    * against a DuckDB oracle, and is also the layout a columnar store
+    * would shred the vector into anyway.
+    */
+  def featuresFlat(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .select(
+        col("doc_id"),
+        col("modality"),
+        col("n_bytes"),
+        posexplode(col("features")).as(Seq("pos", "f_raw")))
+      .select(
+        col("doc_id"),
+        col("modality"),
+        col("n_bytes"),
+        col("pos").cast("long").as("pos"),
+        round(col("f_raw").cast("double"), 4).as("f"))
+
   /** #53 Per-modality feature statistics: distributed array
     * aggregation (posexplode → per-dimension mean → re-assembled
     * vector) over the decoded features — the monitoring/QA stage of a
@@ -81,6 +101,17 @@ object Multimodal {
         col("modality"),
         col("n_docs"),
         expr("transform(entries, e -> round(e.mu, 4))").as("mean_features"))
+
+  /** Driver-comparable projection of [[featureStats]]: one
+    * (modality, pos, mu) row per mean-vector element.
+    */
+  def featureStatsFlat(spark: SparkSession, dir: String): DataFrame =
+    featureStats(spark, dir)
+      .select(
+        col("modality"),
+        col("n_docs"),
+        posexplode(col("mean_features")).as(Seq("pos", "mu")))
+      .select(col("modality"), col("n_docs"), col("pos").cast("long").as("pos"), col("mu"))
 
   /** STUB decode: 8 deterministic byte-histogram moments in [0,1) —
     * stands in for image resize / audio frame-sample feature

@@ -146,6 +146,19 @@ object Similarity {
           .as("qvec"))
   }
 
+  /** Driver-comparable projection of [[quantize]]: one
+    * (vec_id, pos, q) row per quantized element — the shape the
+    * hash-compare harness can diff against a DuckDB oracle.
+    */
+  def quantizeFlat(spark: SparkSession, dir: String): DataFrame =
+    quantize(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("l2_norm"),
+        posexplode(col("qvec")).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("label"), col("l2_norm"), col("pos").cast("long").as("pos"), col("q"))
+
   /** #29 IVF-style centroid stats: per-label centroid (partial-agg
     * per-dimension means via posexplode), then nearest-centroid
     * assignment of every vector — the coarse quantizer of an IVF
