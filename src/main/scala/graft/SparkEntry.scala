@@ -654,7 +654,8 @@ object SparkEntry {
            FROM embeddings)
          SELECT vec_id, label, round(nrm, 6) AS l2_norm,
            unnest(range(len(embedding))) AS pos,
-           CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 127) AS INT) AS q
+           CAST(round(CASE WHEN nrm = 0 THEN 0
+                ELSE CAST(unnest(embedding) AS DOUBLE) / nrm * 127 END) AS INT) AS q
          FROM n"""
   )
 }

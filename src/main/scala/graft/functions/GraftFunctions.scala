@@ -8,6 +8,24 @@ import org.apache.spark.sql.SparkSession
   * versions (Column-from-Expression constructors are internal in 4.x).
   */
 object GraftFunctions {
+
+  /** Arity guard: a silently ignored argument (e.g. `minhash_sig(x, 64)`
+    * returning a 32-hash signature) is a wrong-results bug, not a nicety.
+    */
+  private def checkArity(
+      name: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      expected: Int*): Unit =
+    if (!expected.contains(args.length)) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> expected.mkString(" or "),
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteSetCardinality)) {
       spark.experimental.extraOptimizations =
@@ -16,24 +34,38 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim",
-      args => CosineSim(args.head, args(1)),
+      args => { checkArity("cosine_sim", args, 2); CosineSim(args.head, args(1)) },
       "built-in")
-    reg.createOrReplaceTempFunction("simhash64", args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      args => { checkArity("simhash64", args, 1); SimHash64(args.head) },
+      "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig",
-      args => MinHashSig(args.head, 32),
+      // optional second arg: a literal numHashes (default 32)
+      args => {
+        checkArity("minhash_sig", args, 1, 2)
+        val numHashes = args.lift(1) match {
+          case None => 32
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"minhash_sig: numHashes must be an integer literal, got $other")
+        }
+        MinHashSig(args.head, numHashes)
+      },
       "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64w",
-      args => SimHash64Weighted(args.head, args(1)),
+      args => { checkArity("simhash64w", args, 2); SimHash64Weighted(args.head, args(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "intersect_card",
-      args => IntersectCard(args.head, args(1)),
+      args => { checkArity("intersect_card", args, 2); IntersectCard(args.head, args(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "union_card",
-      args => UnionCard(args.head, args(1)),
+      args => { checkArity("union_card", args, 2); UnionCard(args.head, args(1)) },
       "built-in")
   }
 }

@@ -26,6 +26,11 @@ object Dedup {
   private val MinhashBands = 8
   private val MinhashRowsPerBand = MinhashSigSize / MinhashBands
 
+  /** Pairs from the simhash band join survive at Hamming distance ≤ this
+    * (of 64 bits) — shared by the plain and IDF-weighted variants.
+    */
+  private val SimhashMaxHamming = 6
+
   private def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
@@ -145,8 +150,8 @@ object Dedup {
 
   /** #24 SimHash near-dup: 64-bit per-doc signature (native
     * `simhash64` bit-vote over codegen'd token hashes), banded into
-    * 4×16-bit chunks; pairs sharing a chunk are scored by Hamming
-    * distance ≤ 12.
+    * 4×16-bit chunks; pairs sharing a chunk are kept at Hamming
+    * distance ≤ [[SimhashMaxHamming]].
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -167,7 +172,7 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .groupBy("doc_a", "doc_b")
       .agg(min("hamming").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimhashMaxHamming)
   }
 
   /** #61 IDF-weighted SimHash near-dup: per-token weights ln(N/df)
@@ -216,7 +221,7 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .groupBy("doc_a", "doc_b")
       .agg(min("hamming").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimhashMaxHamming)
   }
 
   /** #25 Exact n-gram Jaccard verification of the MinHash candidates:
@@ -274,13 +279,23 @@ object Dedup {
     * only (a count per round); all data stays distributed.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b").distinct().cache()
-    val docs = corpusWithNearDups(spark, dir).select(col("doc_id")).cache()
-    // symmetric edge list
+    // edges is the only input reused every round — cache it for the loop
+    // and unpersist on exit (round-1 leaked these into every later query
+    // sharing the JVM). labels goes through localCheckpoint, not cache:
+    // it truncates the per-round lineage (otherwise the plan doubles
+    // every iteration) and lets the final result detach from the caches.
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b").distinct()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    val docs = corpusWithNearDups(spark, dir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // min-label propagation only ever DECREASES labels, so the exact
+    // decimal sum (no overflow at any corpus size) is a one-aggregate
+    // convergence probe — no join-against-previous needed per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 15) {
@@ -288,19 +303,16 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("n_label")), "doc_b")
         .groupBy("doc_a")
         .agg(min("n_label").as("min_n_label"))
-      val next = labels
+      labels = labels
         .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_n_label")), Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"))
-        .cache()
-      val changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
+    edges.unpersist()
     labels
       .select(
         col("doc_id"),

@@ -142,7 +142,11 @@ object Similarity {
         col("vec_id"),
         col("label").cast("long").as("label"),
         round(col("l2_norm_raw"), 6).as("l2_norm"),
-        expr("transform(embedding, x -> CAST(round(x / l2_norm_raw * 127) AS INT))")
+        // zero-vector guard: without it an all-zero embedding quantizes to
+        // NaN per element (nulls after the int cast, or a runtime error in
+        // ANSI mode). 0 matches cosine_sim's zero-vector convention.
+        expr("transform(embedding, x -> CAST(round(" +
+          "CASE WHEN l2_norm_raw = 0D THEN 0D ELSE x / l2_norm_raw * 127 END) AS INT))")
           .as("qvec"))
   }
 

@@ -118,8 +118,14 @@ object CdcStream {
           } else {
             val out = applyChanges(key, it.map(c => Change(c.event_id, c.ts, c.user_id, c.op, c.value)), state)
             state.getOption.foreach { s =>
-              // last_ts is µs; timeout timestamps are ms epoch
-              state.setTimeoutTimestamp(s.last_ts / 1000L + ttlMs)
+              // last_ts is µs; timeout timestamps are ms epoch. Clamp past
+              // the current watermark: a stale redelivery for a key whose
+              // applied state is old would otherwise compute a deadline <=
+              // watermark and setTimeoutTimestamp throws, killing the query
+              // — exactly the at-least-once case this operator tolerates.
+              val deadline =
+                math.max(state.getCurrentWatermarkMs() + 1, s.last_ts / 1000L + ttlMs)
+              state.setTimeoutTimestamp(deadline)
             }
             out
           }

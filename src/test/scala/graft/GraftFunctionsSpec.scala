@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("kernel SQL functions reject wrong arity instead of ignoring args") {
+    GraftFunctions.register(spark)
+    val df = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").as("v"))
+    intercept[AnalysisException] { df.select(expr("cosine_sim(v)")).collect() }
+    intercept[AnalysisException] { df.select(expr("cosine_sim(v, v, v)")).collect() }
+    intercept[AnalysisException] { df.select(expr("simhash64(v, v)")).collect() }
+    intercept[AnalysisException] {
+      df.select(expr("intersect_card(v)")).collect()
+    }
+  }
+
+  test("minhash_sig honors a literal numHashes argument") {
+    GraftFunctions.register(spark)
+    val df = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
+      .limit(5)
+    val sizes = df
+      .select(size(expr("minhash_sig(hs)")).as("d"), size(expr("minhash_sig(hs, 64)")).as("w"))
+      .collect()
+    sizes.foreach { r =>
+      assert(r.getInt(0) == 32, "default signature width")
+      assert(r.getInt(1) == 64, "explicit numHashes width")
+    }
+  }
+
+  test("quantize maps a zero-norm embedding to all-zero qvec, not NaN/null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    Seq(
+      (1L, Array.fill(64)(0.0f), 0),
+      (2L, Array.tabulate(64)(i => 0.1f * (i + 1)), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity
+      .quantize(spark, dir)
+      .orderBy("vec_id")
+      .collect()
+    val zero = rows(0)
+    assert(zero.getDouble(zero.fieldIndex("l2_norm")) == 0.0)
+    assert(zero.getSeq[Int](zero.fieldIndex("qvec")).forall(_ == 0))
+    val nonZero = rows(1)
+    assert(nonZero.getSeq[Int](nonZero.fieldIndex("qvec")).exists(_ != 0))
+  }
+}
