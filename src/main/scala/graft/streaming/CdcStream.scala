@@ -66,6 +66,55 @@ object CdcStream {
       .as[Change]
   }
 
+  /** Kafka-source variant of the changelog: subscribe to a Debezium
+    * topic and parse each record's value as a flattened envelope — the
+    * exact feed the reference consumes (KafkaConsumer on
+    * `dbserver1.bankdb.bank_accounts`, simple_kafka_etl.py:49-58).
+    * Requires the `spark-sql-kafka` provider on the classpath at run
+    * time; the parse/classify logic is [[parseKafkaEnvelope]], which is
+    * spec-tested on Kafka-envelope-shaped batch rows without a broker.
+    */
+  def readKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    parseKafkaEnvelope(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** Kafka envelope → typed change records. Keeps the Kafka coordinates
+    * (topic, partition, offset): the reference's idempotent-ingest
+    * check dedups on exactly this triple (simple_kafka_etl.py:81-84,
+    * 119-122) — [[dedupByOffset]] is the streaming analog. Works on both
+    * streaming and batch frames with (topic, partition, offset, value)
+    * columns.
+    */
+  def parseKafkaEnvelope(raw: DataFrame): DataFrame =
+    raw
+      .select(
+        col("topic"),
+        col("partition"),
+        col("offset"),
+        from_json(col("value").cast("string"), graft.sources.Formats.debeziumSchema).as("r"))
+      .select(
+        col("topic"),
+        col("partition"),
+        col("offset"),
+        col("r.id").as("event_id"),
+        col("r.user_id"),
+        col("r.account"),
+        col("r.registered_at").as("ts"),
+        when(col("r.__deleted") === "true", "DELETE").otherwise("UPSERT").as("op"))
+
+  /** At-least-once → effectively-once: drop redelivered records by
+    * Kafka coordinate. On a stream this is state-store dedup (pair with
+    * a watermark to bound the state); on a batch frame it is exact
+    * dedup — same declaration either way.
+    */
+  def dedupByOffset(parsed: DataFrame): DataFrame =
+    parsed.dropDuplicates("topic", "partition", "offset")
+
   /** Latest-change-wins upsert state machine. Changes inside a batch
     * are applied in (ts, event_id) order; stale arrivals (older than
     * the applied state) are ignored — at-least-once safe.
