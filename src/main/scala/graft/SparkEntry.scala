@@ -78,8 +78,8 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embedding _),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
-    "ann_lsh" -> (Similarity.lsh _),
-    "ann_lsh_multiprobe" -> (Similarity.lshMultiProbe _),
+    "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
+    "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
     "ann_centroid_assign" -> (Similarity.centroidAssign _),
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),

@@ -320,9 +320,14 @@ object Dedup {
         (col("doc_id") === col("label")).cast("int").as("keep"))
   }
 
-  /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, random-
-    * hyperplane LSH buckets, within-bucket pairs scored by the native
-    * `cosine_sim` kernel at ≥ 0.99.
+  /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, multi-
+    * table random-hyperplane LSH buckets (bit count derived from corpus
+    * size — `Similarity.numPlanes` — so bucket occupancy stays bounded
+    * at any scale), within-bucket pairs scored by the native
+    * `cosine_sim` kernel at ≥ 0.99. Near-identical vectors agree on
+    * every hyperplane sign with probability ≈ (1−θ/π)^bits per table
+    * (θ ≈ 0 here), so recall stays ~1 even at 22+ bits; two tables
+    * square the residual miss probability.
     */
   def embedding(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -335,10 +340,14 @@ object Dedup {
         expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.002 * ((i % 5) - 2)) AS FLOAT))")
           .as("embedding"))
     val corpus = vecs.unionAll(perturbed)
-    val bucketed = corpus.withColumn("bucket", Similarity.hyperplaneBucket(col("embedding")))
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, "bucket")
+    // corpus = base + every-4th perturbed copy = 1.25× the base count
+    val bits = Similarity.numPlanes((Tables.embeddings(spark, dir).count() * 5) / 4)
+    val bucketed = Similarity.bandedBuckets(corpus, "embedding", bits)
+    val a = bucketed.select(
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("t"), col("bucket"))
+    val b = bucketed.select(
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("t"), col("bucket"))
+    a.join(b, Seq("t", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(
         col("vec_a"),

@@ -19,20 +19,51 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  private val NumPlanes = 6 // 2^6 = 64 buckets
+  /** Target EXPECTED vectors per LSH bucket — the cost knob of the
+    * within-bucket self-join. With occupancy ≤ this, candidate pairs
+    * per vector are O(TargetBucket), so total join work is
+    * O(n · TargetBucket) — linear in corpus size.
+    */
+  val TargetBucket = 256L
 
-  /** Deterministic random hyperplanes (seed 42), 64-dim gaussians. */
-  private val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+  /** Independent hyperplane tables (independent seeds). One table's
+    * banding misses a true neighbor with probability (1 − p^bits);
+    * L tables miss it with (1 − p^bits)^L — the standard LSH recall
+    * recovery that lets each table keep enough bits to bound bucket
+    * occupancy. (Indyk–Motwani '98 amplification.)
+    */
+  val NumTables = 2
+
+  /** Hyperplane count for a corpus of n vectors:
+    * bits = ⌈log2(n / TargetBucket)⌉ clamped to [4, 24], so expected
+    * occupancy n / 2^bits ≤ TargetBucket. A FIXED bit count is the
+    * 100×-scale anti-pattern: occupancy grows linearly with n and the
+    * within-bucket self-join goes O(n²/2^bits). Derived: n = 10⁹
+    * (≈100 TB of 64-dim float rows + text) → 22 bits; the 24-bit clamp
+    * keeps the plane set small (24 dot products/vector); beyond
+    * n ≈ 2^32 raise TargetBucket or add tables rather than bits.
+    */
+  def numPlanes(n: Long): Int = {
+    val bits = math
+      .ceil(math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2.0))
+      .toInt
+    math.min(24, math.max(4, bits))
   }
 
-  /** Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
-    * Cosine-similar vectors land in the same bucket with high
-    * probability (SRP-LSH, Charikar '02).
+  /** Deterministic 64-dim gaussian hyperplanes for table `table` —
+    * independent tables draw from independent seeds.
     */
-  def hyperplaneBucket(vec: Column): Column =
-    planes.zipWithIndex
+  private def planesFor(table: Int, bits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42 + 7919 * table)
+    Seq.fill(bits)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id in table `table`: bit p =
+    * sign(vec · plane_p). Cosine-similar vectors land in the same
+    * bucket with high probability (SRP-LSH, Charikar '02).
+    */
+  def hyperplaneBucket(vec: Column, table: Int, bits: Int): Column =
+    planesFor(table, bits).zipWithIndex
       .map { case (p, i) =>
         val dot = aggregate(
           zip_with(vec, typedlit(p), (x, y) => x * y),
@@ -41,6 +72,25 @@ object Similarity {
         when(dot > 0, lit(1 << i)).otherwise(lit(0))
       }
       .reduce(_ + _)
+
+  /** One row per (table, bucket) per input row: the multi-table LSH
+    * banding join key. `bits` per table, [[NumTables]] tables unless
+    * overridden.
+    */
+  def bandedBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int = NumTables): DataFrame =
+    df.withColumn(
+        "tb",
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), hyperplaneBucket(col(vecCol), t, bits).as("bucket"))): _*)))
+      .withColumn("t", col("tb.t"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+
+  /** Corpus size for deriving [[numPlanes]] — a metadata-cheap count,
+    * the same runtime statistic AQE bases its re-planning on.
+    */
+  private def corpusSize(spark: SparkSession, dir: String): Long =
+    Tables.embeddings(spark, dir).count()
 
   private def queryVectors(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -68,50 +118,50 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
-  /** #28 LSH-bucketed ANN: queries probe only their hyperplane bucket;
-    * candidates are scored and ranked per query. ~bucket-fold fewer
-    * `cosine_sim` evaluations than brute force — the 100 TB path.
+  /** #28 LSH-bucketed ANN: queries probe their hyperplane bucket in
+    * each of [[NumTables]] independent tables; candidates are deduped,
+    * scored, and ranked per query. Bit count derived from corpus size
+    * ([[numPlanes]]) so candidate volume stays O(k · TargetBucket ·
+    * tables) no matter how big the corpus — the 100 TB path.
     */
-  def lsh(spark: SparkSession, dir: String): DataFrame = {
+  def lsh(spark: SparkSession, dir: String, tables: Int = NumTables): DataFrame = {
     GraftFunctions.register(spark)
-    val corpus = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", hyperplaneBucket(col("embedding")))
-    val queries = queryVectors(spark, dir)
-      .withColumn("bucket", hyperplaneBucket(col("q_emb")))
+    val bits = numPlanes(corpusSize(spark, dir))
+    val corpus = bandedBuckets(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", bits, tables)
+    val queries = bandedBuckets(queryVectors(spark, dir), "q_emb", bits, tables)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     corpus
-      .join(broadcast(queries), "bucket")
+      .join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id"),
         round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .distinct() // a candidate found by several tables scores once
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
   }
 
   /** #60 Multi-probe LSH ANN: each query probes its own bucket plus
-    * the 6 buckets at Hamming distance 1 (one hyperplane flip) —
-    * ~7× candidates for ~7× recall of near-boundary neighbors, still
-    * a bucket-bounded equi-join (the standard recall/cost knob;
-    * Lv et al., VLDB '07).
+    * the `bits` buckets at Hamming distance 1 (one hyperplane flip)
+    * in every table — ~(bits+1)× candidates for the recall of
+    * near-boundary neighbors, still a bucket-bounded equi-join (the
+    * standard recall/cost knob; Lv et al., VLDB '07).
     */
-  def lshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+  def lshMultiProbe(spark: SparkSession, dir: String, tables: Int = NumTables): DataFrame = {
     GraftFunctions.register(spark)
-    val corpus = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", hyperplaneBucket(col("embedding")))
-    val probes = (0 until NumPlanes).map(p => col("q_bucket").bitwiseXOR(lit(1 << p)))
-    val queries = queryVectors(spark, dir)
-      .withColumn("q_bucket", hyperplaneBucket(col("q_emb")))
-      .withColumn("bucket", explode(array(col("q_bucket") +: probes: _*)))
-      .drop("q_bucket")
+    val bits = numPlanes(corpusSize(spark, dir))
+    val corpus = bandedBuckets(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", bits, tables)
+    val probes = (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+    val queries = bandedBuckets(queryVectors(spark, dir), "q_emb", bits, tables)
+      .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     corpus
-      .join(broadcast(queries), "bucket")
+      .join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** The 100×-scale contract of the hyperplane LSH family: bit count is
+  * DERIVED from corpus size (expected bucket occupancy bounded by
+  * `TargetBucket` at any n), and multi-table banding recovers the
+  * recall each table's banding gives up. A fixed bit count — the
+  * round-2 design — lets occupancy grow linearly with the corpus and
+  * the within-bucket self-join go quadratic; this spec pins the
+  * replacement.
+  */
+class LshScaleSpec extends SparkSpec {
+
+  test("numPlanes grows with corpus size and clamps to [4, 24]") {
+    assert(Similarity.numPlanes(1) == 4)
+    assert(Similarity.numPlanes(500) == 4)
+    // 100 TB-scale corpus: 1e9 vectors → 22 bits, not 6
+    assert(Similarity.numPlanes(1000000000L) == 22)
+    assert(Similarity.numPlanes(1L << 45) == 24)
+    // monotone non-decreasing in n
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, 1L << 40)
+    assert(ns.map(Similarity.numPlanes).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("expected bucket occupancy n / 2^bits stays ≤ TargetBucket up to the clamp ceiling") {
+    // holds for every corpus size until bits hit the 24-bit clamp
+    // (beyond n = 2^32 the knob is TargetBucket or more tables)
+    for (e <- 0 to 32) {
+      val n = 1L << e
+      val occ = n.toDouble / (1L << Similarity.numPlanes(n))
+      assert(occ <= Similarity.TargetBucket, s"n=$n occupancy $occ")
+    }
+  }
+
+  test("observed max bucket occupancy is a small multiple of the expected mean") {
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    val bits = Similarity.numPlanes(n)
+    val occ = Similarity
+      .bandedBuckets(vecs, "embedding", bits)
+      .groupBy("t", "bucket")
+      .count()
+    val maxOcc = occ.agg(max("count")).head.getLong(0)
+    val mean = math.max(1.0, n.toDouble / (1L << bits))
+    assert(maxOcc <= 8 * mean, s"max occupancy $maxOcc vs mean $mean (bits=$bits)")
+  }
+
+  test("a second hyperplane table does not lose recall vs one table") {
+    def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
+      approx.select("query_id", "vec_id").intersect(truth).count().toDouble / truth.count()
+    }
+    val one = recallAt10(Similarity.lsh(spark, sf, tables = 1))
+    val two = recallAt10(Similarity.lsh(spark, sf, tables = 2))
+    assert(two >= one, s"2-table recall $two < 1-table $one")
+  }
+
+  test("embedding near-dup recall on planted pairs survives the derived-bits banding") {
+    val planted = Tables
+      .embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 0)
+      .count()
+    val found = Dedup
+      .embedding(spark, sf)
+      .filter(col("vec_b") === col("vec_a") + 1000000L)
+      .count()
+    // θ ≈ 0 between a vector and its jittered copy → per-table miss
+    // probability ≈ 0; all planted pairs must surface
+    assert(found == planted, s"found $found of $planted planted pairs")
+  }
+}
