@@ -99,6 +99,60 @@ object SparkEntry {
     "ann_quantize" -> (Similarity.quantizeFlat _)
   )
 
+  /** The minhash universal-hash family as a DuckDB list expression:
+    * sig = [min over shingle hashes h of (aᵢ·(h mod P) + bᵢ) mod P]
+    * with the SAME (aᵢ, bᵢ, P) constants the `minhash_sig` kernel uses
+    * (graft.functions.MinHashSig) — signatures are bit-identical
+    * across engines, which is what lets the LSH dedup chain be
+    * hash-compared instead of rows-only checked.
+    */
+  private def minhashFamilySql: String = {
+    val p = graft.functions.MinHashSig.P
+    (0 until 32)
+      .map(i =>
+        s"list_min([(${graft.functions.MinHashSig.a(i)}*(h % $p) + " +
+          s"${graft.functions.MinHashSig.b(i)}) % $p for h in hs])")
+      .mkString("[", ", ", "]")
+  }
+
+  /** Shared CTE prefix of the near-dup dedup oracles: the duplicated
+    * corpus (every 5th doc truncated to 80% of tokens, ids offset by
+    * 1M), 3-token shingles, the engine-portable 60-bit md5 hash
+    * (`Dedup.hash60` ↔ `('0x' || substr(md5(s),1,15))::BIGINT`),
+    * minhash signatures, and banded candidate pairs (8 bands × 4 rows,
+    * pair survives iff some band slice matches exactly).
+    */
+  private def minhashCandidatesCte(recursive: Boolean): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$kw toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 1000000,
+             tok[1:greatest(1, CAST(floor(len(tok) * 0.8) AS INT))]
+           FROM toks0 WHERE doc_id % 5 = 0),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END AS sh
+           FROM corpus),
+         hsets AS (
+           SELECT doc_id, [('0x' || substr(md5(s), 1, 15))::BIGINT for s in sh] AS hs
+           FROM sh),
+         sigs AS (
+           SELECT doc_id, $minhashFamilySql AS sig, hs FROM hsets),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b, a.hs AS hs_a, b.hs AS hs_b,
+             CAST(len([bb for bb in range(8)
+                       if a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4]]) AS BIGINT)
+               AS n_shared_bands
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -429,6 +483,61 @@ object SparkEntry {
          SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,
            min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM corpus GROUP BY 1""",
+    "dedup_minhash" ->
+      s"""${minhashCandidatesCte(recursive = false)}
+         SELECT doc_a, doc_b, n_shared_bands,
+           round(CAST(len([i for i in range(1, 33) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 32, 4)
+             AS est_jaccard
+         FROM cand WHERE n_shared_bands >= 1""",
+    "dedup_jaccard" ->
+      s"""${minhashCandidatesCte(recursive = false)}
+         SELECT * FROM (
+           SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+               / len(list_distinct(hs_a || hs_b)), 4) AS jaccard
+           FROM cand WHERE n_shared_bands >= 1)
+         WHERE jaccard >= 0.3""",
+    "dedup_clusters" ->
+      s"""${minhashCandidatesCte(recursive = true)},
+         edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                 UNION SELECT doc_b, doc_a FROM edges),
+         walk(a, b) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a)
+         SELECT a AS doc_id, min(b) AS cluster_id,
+           CAST(min(b) = a AS INT) AS keep
+         FROM walk GROUP BY a""",
+    "dedup_simhash" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 1000000,
+             tok[1:greatest(1, CAST(floor(len(tok) * 0.8) AS INT))]
+           FROM toks0 WHERE doc_id % 5 = 0),
+         thash AS (
+           SELECT doc_id, [('0x' || substr(md5(t), 1, 15))::BIGINT for t in tok] AS hs
+           FROM corpus),
+         -- per-bit majority vote; the 60-bit md5 hash never sets bits
+         -- 60-63, so range(60) covers every bit that can win the vote
+         ssig AS (
+           SELECT doc_id,
+             CAST(list_sum([CASE WHEN 2 * list_sum([(h >> bb) & 1 for h in hs]) > len(hs)
+                                 THEN (1::BIGINT << bb) ELSE 0::BIGINT END
+                            for bb in range(60)]) AS BIGINT) AS sig
+           FROM thash),
+         spair AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+           FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+           WHERE len([c for c in range(4)
+                      if ((a.sig >> (c*16)) & 65535) = ((b.sig >> (c*16)) & 65535)]) >= 1)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         FROM spair WHERE bit_count(xor(sig_a, sig_b)) <= 6""",
     "text_fingerprint" ->
       """WITH t AS (
            SELECT doc_id,

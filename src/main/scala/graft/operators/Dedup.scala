@@ -36,6 +36,21 @@ object Dedup {
 
   private def toks(c: Column): Column = split(normText(c), " ")
 
+  /** Engine-portable 60-bit string hash: the first 15 hex digits of
+    * md5, parsed base-16. Identical in any engine with md5 (the DuckDB
+    * oracle computes `('0x' || substr(md5(s),1,15))::BIGINT`) — this is
+    * what lets the whole minhash/simhash chain be hash-compared against
+    * SQL instead of settling for a rows-only check. Nonnegative, so the
+    * kernels' mod-P residues match plain SQL `%`. Swap for `xxhash64`
+    * when oracle parity is not needed and hashing is the bottleneck.
+    */
+  private def hash60(c: Column): Column =
+    // coalesce never fires (conv of 15 md5 hex digits is total) but
+    // marks the expression non-nullable, keeping hash arrays
+    // array<bigint> containsNull=false — the type RewriteSetCardinality
+    // and the kernels key on (xxhash64 carried the same flag)
+    coalesce(conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long"), lit(0L))
+
   /** k-token shingles of the normalized text; a doc shorter than k
     * tokens contributes its whole text as one shingle.
     */
@@ -98,20 +113,22 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature over a `tok` column: each shingle is
-    * string-hashed ONCE (codegen'd xxhash64), then the native
+    * string-hashed ONCE (codegen'd [[hash60]]), then the native
     * `minhash_sig` kernel derives all 32 family mins in a single
     * arithmetic pass — no explode, no shuffle, no re-hashing of
     * shingle strings per family.
     */
   private val minhashSignature: Column =
-    expr("minhash_sig(transform(" +
-      "CASE WHEN size(tok) < 3 THEN array(concat_ws(' ', tok)) " +
-      "ELSE transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3))) END, " +
-      "s -> xxhash64(s)))")
+    call_function(
+      "minhash_sig",
+      transform(shingles(col("tok")), s => hash60(s)))
 
-  /** Banded candidate pairs: explode band index, bucket by the hash of
-    * the band's signature slice, self-join on (band, bucket). Carries
-    * the full signatures through for the similarity estimate.
+  /** Banded candidate pairs: explode band index, self-join on (band,
+    * signature slice). The slice itself is the join key — exact band
+    * equality (a murmur bucket of the slice would admit one false
+    * candidate per ~2³² pair-bands at 100 TB, and would not be
+    * reproducible by the SQL oracle). Carries the full signatures
+    * through for the similarity estimate.
     */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -125,8 +142,7 @@ object Dedup {
         explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
       .withColumn(
         "bucket",
-        hash(col("band"), slice(col("sig"), col("band") * MinhashRowsPerBand + 1,
-          lit(MinhashRowsPerBand))))
+        slice(col("sig"), col("band") * MinhashRowsPerBand + 1, lit(MinhashRowsPerBand)))
     val a = banded.select(
       col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
     val b = banded.select(
@@ -156,7 +172,9 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val sigs = corpusWithNearDups(spark, dir)
-      .select(col("doc_id"), expr("simhash64(transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t)))").as("sig"))
+      .select(
+        col("doc_id"),
+        call_function("simhash64", transform(toks(col("text")), t => hash60(t))).as("sig"))
     val chunked = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -240,8 +258,8 @@ object Dedup {
     GraftFunctions.register(spark)
     val base = corpusWithNearDups(spark, dir)
       .withColumn("tok", toks(col("text")))
-      .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => xxhash64(s))))
-      .withColumn("sig", expr("minhash_sig(sh)"))
+      .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => hash60(s))))
+      .withColumn("sig", call_function("minhash_sig", col("sh")))
     val banded = base
       .select(
         col("doc_id"),
@@ -250,8 +268,7 @@ object Dedup {
         explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
       .withColumn(
         "bucket",
-        hash(col("band"), slice(col("sig"), col("band") * MinhashRowsPerBand + 1,
-          lit(MinhashRowsPerBand))))
+        slice(col("sig"), col("band") * MinhashRowsPerBand + 1, lit(MinhashRowsPerBand)))
       .drop("sig")
     val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
