@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.Dataset
+
+/** JDBC upsert sink: the terminal state of the reference pipeline is a
+  * relational current-state table maintained by per-row upserts and
+  * tombstone deletes (`simple_kafka_etl.py:128-163`, the
+  * `bank_accounts_current` table of `README.md:34-38`). This sink
+  * reproduces those semantics Spark-first: `foreachBatch` stages each
+  * micro-batch through Spark's distributed JDBC writer, then issues
+  * ONE transactional set-based `MERGE` from staging into the target —
+  * not a row-at-a-time loop.
+  *
+  * Scale design: the per-row Python upsert is the reference's
+  * bottleneck; here executors write the staging table in parallel
+  * (`numPartitions` JDBC connections) and the warehouse applies one
+  * MERGE per batch. Latest-(ts, event_id)-wins guards make redelivered
+  * or stale micro-batches no-ops — the idempotence the reference gets
+  * from its Kafka-offset uniqueness probe.
+  *
+  * Tested against in-JVM embedded Derby (`jdbc:derby:memory:...`); in
+  * production the same URL/props point at Postgres or any MERGE-capable
+  * warehouse.
+  */
+object JdbcUpsertSink {
+
+  val TargetTable = "current_state"
+  val StagingTable = "current_state_staging"
+
+  /** Columns of [[CurrentRow]]; quoted lowercase so DDL matches the
+    * identifiers Spark's JDBC writer emits. `op` is VARCHAR (not the
+    * dialect-default CLOB) because the MERGE compares it.
+    */
+  private val columnsDdl =
+    """"user_id" BIGINT NOT NULL, "last_event_id" BIGINT, "last_ts" BIGINT,
+       "value" DOUBLE, "op" VARCHAR(16)"""
+
+  private def withConnection[T](url: String)(f: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn)
+    finally conn.close()
+  }
+
+  /** Create target + staging tables if missing (Derby SQLState X0Y32 =
+    * already exists; any other failure propagates).
+    */
+  def ensureTables(url: String): Unit = withConnection(url) { conn =>
+    def createIfMissing(ddl: String): Unit = {
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    }
+    createIfMissing(
+      s"""CREATE TABLE $TargetTable ($columnsDdl, PRIMARY KEY ("user_id"))""")
+    createIfMissing(s"CREATE TABLE $StagingTable ($columnsDdl)")
+  }
+
+  /** The set-based upsert: latest-change-wins, guarded by
+    * (last_ts, last_event_id) so a redelivered or out-of-order batch
+    * cannot regress the target. One statement, one transaction.
+    *
+    * DELETEs are SOFT: the tombstone row is kept (op = 'DELETE') and
+    * [[readCurrent]] filters it out. A hard DELETE would let a STALE
+    * redelivery of an older non-delete state resurrect the key — the
+    * NOT MATCHED arm has no timestamp to guard against. Retained
+    * tombstones are bounded by the key space and can be purged once
+    * older than the redelivery horizon (the same contract as Kafka
+    * log compaction's delete retention).
+    */
+  private val mergeSql: String =
+    s"""MERGE INTO $TargetTable t
+       USING $StagingTable s ON t."user_id" = s."user_id"
+       WHEN MATCHED
+            AND (s."last_ts" > t."last_ts"
+                 OR (s."last_ts" = t."last_ts" AND s."last_event_id" >= t."last_event_id"))
+         THEN UPDATE SET "last_event_id" = s."last_event_id", "last_ts" = s."last_ts",
+                         "value" = s."value", "op" = s."op"
+       WHEN NOT MATCHED
+         THEN INSERT ("user_id", "last_event_id", "last_ts", "value", "op")
+              VALUES (s."user_id", s."last_event_id", s."last_ts", s."value", s."op")"""
+
+  /** The live current-state view: tombstoned keys filtered out. */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession, url: String):
+      org.apache.spark.sql.DataFrame =
+    spark.read
+      .jdbc(url, TargetTable, new java.util.Properties())
+      .filter(org.apache.spark.sql.functions.col("op") =!= "DELETE")
+
+  /** `foreachBatch` body for a [[CdcStream.currentState]] stream:
+    * truncate staging, land the micro-batch through the distributed
+    * JDBC writer (one row per key — what `flatMapGroupsWithState`
+    * emits), then MERGE into the target transactionally.
+    */
+  def upsertBatch(url: String)(batch: Dataset[CurrentRow], batchId: Long): Unit = {
+    ensureTables(url)
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $StagingTable")
+      finally st.close()
+    }
+    val props = new java.util.Properties()
+    batch.write.mode("append").jdbc(url, StagingTable, props)
+    withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(mergeSql)
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    }
+  }
+}

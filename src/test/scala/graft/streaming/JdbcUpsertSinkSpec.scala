@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Cdc
+
+/** End-to-end JDBC terminal state: streaming CDC apply →
+  * `foreachBatch` → staged MERGE into an embedded-Derby table — the
+  * reference's Postgres `bank_accounts_current` semantics
+  * (`simple_kafka_etl.py:128-163`) with a set-based merge instead of a
+  * per-row loop. Covers the redelivery case: re-applying both the
+  * final and an EARLIER batch must be a no-op (the reference's
+  * idempotent-ingest guarantee, carried by the (ts, event_id) merge
+  * guard instead of an offset-uniqueness probe).
+  */
+class JdbcUpsertSinkSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftUpsert;create=true"
+
+  private def withTempDir[T](f: String => T): T = {
+    val d = Files.createTempDirectory("graft-jdbc").toFile
+    try f(d.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(d)
+    }
+  }
+
+  private def readTable() =
+    JdbcUpsertSink
+      .readCurrent(spark, url)
+      .select("user_id", "last_event_id", "last_ts", "value")
+
+  /** Latest change per key of `changes` as CurrentRow rows (the shape
+    * a currentState micro-batch emits).
+    */
+  private def latestPerKey(changes: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"),
+        col("value"),
+        col("op"))
+      .as[CurrentRow]
+  }
+
+  test("streamed JDBC table equals batch current-state; tombstoned keys absent") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf).cache()
+      val mid = changes.agg(expr("percentile(ts, 0.5)")).head.getDouble(0).toLong
+
+      // two arrival waves through the stateful stream into the sink
+      changes.filter(col("ts") <= mid).write.mode("append").parquet(inDir)
+      val q1 = CdcStream
+        .currentState(CdcStream.readChangelog(spark, inDir))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch(JdbcUpsertSink.upsertBatch(url) _)
+        .start()
+      q1.processAllAvailable()
+      changes.filter(col("ts") > mid).write.mode("append").parquet(inDir)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val got = readTable()
+      val want = Cdc.current(spark, sf)
+        .select("user_id", "last_event_id", "last_ts", "value")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "JDBC table diverged from batch current-state")
+      // keys whose net effect is DELETE must have been merged away
+      val deleted = Cdc.compact(spark, sf).filter("net_op = 'DELETE'").select("user_id")
+      assert(readTable().join(deleted, "user_id").count() == 0)
+    }
+  }
+
+  test("redelivered final batch and stale earlier batch are both no-ops") {
+    val changes = Cdc.classify(spark, sf).cache()
+    val mid = changes.agg(expr("percentile(ts, 0.5)")).head.getDouble(0).toLong
+    val before = readTable().collect().toSet
+    assert(before.nonEmpty, "previous test must have populated the table")
+
+    // exact redelivery of the latest state of every key
+    JdbcUpsertSink.upsertBatch(url)(latestPerKey(changes), batchId = 99L)
+    assert(readTable().collect().toSet == before, "redelivery changed the table")
+
+    // stale redelivery: first-wave state only — the guard must reject
+    JdbcUpsertSink.upsertBatch(url)(
+      latestPerKey(changes.filter(col("ts") <= mid)), batchId = 100L)
+    assert(readTable().collect().toSet == before, "stale batch regressed the table")
+  }
+}
