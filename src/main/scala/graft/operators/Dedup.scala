@@ -306,7 +306,12 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
     val docs = corpusWithNearDups(spark, dir).select(col("doc_id"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // LAZY checkpoints throughout: the convergence probe right after is
+    // the round's single action and materializes the truncated lineage
+    // as a side effect — eager would run a second full job per round
+    // (measured ~2× the loop's wall time).
+    var labels =
+      docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(eager = false)
     // min-label propagation only ever DECREASES labels, so the exact
     // decimal sum (no overflow at any corpus size) is a one-aggregate
     // convergence probe — no join-against-previous needed per round.
@@ -323,7 +328,7 @@ object Dedup {
       labels = labels
         .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_n_label")), Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -14,13 +14,27 @@ import graft.Tables
   */
 object Profile {
 
-  /** Profile every column of `df`: one row per column. */
-  def profile(df: DataFrame): DataFrame = {
+  /** Profile every column of `df`: one row per column.
+    *
+    * `approxDistinct = true` is the at-scale mode: HLL++ sketches
+    * (`approx_count_distinct`, 2% rsd) keep per-column state constant
+    * instead of one exact hash set PER COLUMN in a single pass — at
+    * 100 TB the exact mode's aggregate state is the scan's memory
+    * bottleneck, and a diagnostic profile doesn't need exact
+    * cardinalities. Default stays exact so the driver's
+    * `q_profile_customer` oracle (DuckDB `count(DISTINCT ...)`) can
+    * hash-compare; `ProfileQuantSpec` pins the sketch within 5% of
+    * exact at spec scale.
+    */
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>
+      val distinctAgg =
+        if (approxDistinct) approx_count_distinct(col(c), rsd = 0.02)
+        else count_distinct(col(c))
       Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
+        distinctAgg.as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }

@@ -14,6 +14,21 @@ class ProfileQuantSpec extends SparkSpec {
     assert(p.filter(col("n_nulls") =!= 0).count() == 0) // synthetic data has no nulls
   }
 
+  test("approx profile tracks exact within 5% — the constant-memory 100 TB mode") {
+    val cust = Tables.customer(spark, sf)
+    val exact = Profile.profile(cust)
+      .select(col("column"), col("n_distinct").as("d_exact"))
+    val approx = Profile.profile(cust, approxDistinct = true)
+      .select(col("column"), col("n_distinct").as("d_approx"))
+    val off = exact
+      .join(approx, "column")
+      .filter(abs(col("d_approx") - col("d_exact")) > greatest(lit(1), col("d_exact") * 0.05))
+    assert(off.count() == 0, s"sketches drifted: ${off.collect().mkString(", ")}")
+    // identical shape either way: same columns, same row count
+    assert(Profile.profile(cust, approxDistinct = true).columns.toSeq ==
+      Profile.profile(cust).columns.toSeq)
+  }
+
   test("quantization preserves cosine similarity to ~1e-2") {
     graft.functions.GraftFunctions.register(spark)
     val orig = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
