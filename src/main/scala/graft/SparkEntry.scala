@@ -400,6 +400,12 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, md5('graft-sample-1' || text) AS h
          FROM documents ORDER BY h, doc_id LIMIT 100""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5('graft-strat-1' || text), 1, 15))::BIGINT % 10000 <
+           CASE lang WHEN 'en' THEN 2500
+                     WHEN 'de' THEN 10000 WHEN 'fr' THEN 10000
+                     WHEN 'es' THEN 10000 WHEN 'zh' THEN 10000 ELSE 0 END""",
     "q_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
@@ -531,6 +537,42 @@ object SparkEntry {
                                  THEN (1::BIGINT << bb) ELSE 0::BIGINT END
                             for bb in range(60)]) AS BIGINT) AS sig
            FROM thash),
+         spair AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+           FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+           WHERE len([c for c in range(4)
+                      if ((a.sig >> (c*16)) & 65535) = ((b.sig >> (c*16)) & 65535)]) >= 1)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         FROM spair WHERE bit_count(xor(sig_a, sig_b)) <= 6""",
+    "dedup_simhash_idf" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 1000000,
+             tok[1:greatest(1, CAST(floor(len(tok) * 0.8) AS INT))]
+           FROM toks0 WHERE doc_id % 5 = 0),
+         tokocc AS (SELECT doc_id, unnest(tok) AS token FROM corpus),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tokocc GROUP BY token),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM corpus),
+         -- integer-quantized IDF weights: votes sum exactly, any order
+         wtok AS (
+           SELECT t.doc_id,
+             ('0x' || substr(md5(t.token), 1, 15))::BIGINT AS h,
+             round(ln(n.n_docs / d.df) * 1000) + 10 AS w
+           FROM tokocc t JOIN df d ON t.token = d.token CROSS JOIN n),
+         votes AS (
+           SELECT doc_id, bb,
+             sum(CASE WHEN (h >> bb) & 1 = 1 THEN w ELSE -w END) AS v
+           FROM wtok CROSS JOIN (SELECT unnest(range(60)) AS bb)
+           GROUP BY doc_id, bb),
+         ssig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END) AS BIGINT) AS sig
+           FROM votes GROUP BY doc_id),
          spair AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
            FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id

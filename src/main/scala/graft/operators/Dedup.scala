@@ -193,16 +193,22 @@ object Dedup {
       .filter(col("hamming") <= SimhashMaxHamming)
   }
 
-  /** #61 IDF-weighted SimHash near-dup: per-token weights ln(N/df)
-    * computed from the corpus df table (one aggregation, joined back
-    * without a broadcast hint — vocab can be web-scale), signature via
-    * the native `simhash64w` weighted bit-vote. On a realistic
-    * Zipfian vocabulary, rare discriminative tokens dominate the
-    * signature and ubiquitous filler stops flipping bits; on this
-    * synthetic uniform-vocab corpus the IDF weights are near-constant,
-    * so results track the unweighted variant (verified by spec) — the
-    * operator under test is the weighting machinery, exercised
-    * end-to-end.
+  /** #61 IDF-weighted SimHash near-dup: per-token weights
+    * round(1000·ln(N/df)) + 10 computed from the corpus df table (one
+    * aggregation, joined back without a broadcast hint — vocab can be
+    * web-scale), signature via the native `simhash64w` weighted
+    * bit-vote. On a realistic Zipfian vocabulary, rare discriminative
+    * tokens dominate the signature and ubiquitous filler stops
+    * flipping bits; on this synthetic uniform-vocab corpus the IDF
+    * weights are near-constant, so results track the unweighted
+    * variant (verified by spec).
+    *
+    * Weights are INTEGER-VALUED doubles (1000× quantized ln, +10 ≈ the
+    * former +0.01ε): integer bit-vote sums are exact and
+    * order-independent, so the DuckDB oracle replays the signatures
+    * bit-identically — raw float weights would make near-tied votes
+    * depend on summation order. Quantization error vs. raw ln is
+    * < 0.05% per weight, far below any vote that could matter.
     */
   def simhashIdf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -219,8 +225,8 @@ object Dedup {
     val sigs = tokPos
       .join(df_, "token")
       .crossJoin(broadcast(nDocs)) // 1 row; keeps the plan fully lazy
-      .withColumn("w", log(col("n_docs") / col("df")) + lit(0.01)) // +ε keeps ubiquitous tokens a tiny vote
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("w", round(log(col("n_docs") / col("df")) * 1000) + lit(10.0))
+      .withColumn("h", hash60(col("token")))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("h"), col("w")))).as("hw"))
       .select(

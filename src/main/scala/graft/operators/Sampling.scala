@@ -33,17 +33,26 @@ object Sampling {
           .otherwise("test")
           .as("split"))
 
-  /** #55 Stratified sample: per-language fractions via `sampleBy`
-    * (seeded Bernoulli per stratum) — downsample dominant languages,
-    * keep the tail. Rows-only (engine-specific RNG); the spec checks
-    * proportions and determinism.
+  /** #55 Stratified sample: per-language fractions via DETERMINISTIC
+    * hash-threshold Bernoulli — keep a row iff its salted content hash
+    * mod 10000 falls under the stratum's threshold (en: 2500 = 25%,
+    * tail languages kept whole). Replaces seeded `sampleBy`: an
+    * engine-RNG sample changes under repartitioning and can't be
+    * oracle-checked; a content-addressed sample is reproducible across
+    * engines, runs, AND backfills (same properties as [[splitAssign]])
+    * and is exactly replayed by the DuckDB oracle.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0)
+    // per-stratum keep-thresholds out of 10000
+    val thresholds = Seq("en" -> 2500, "de" -> 10000, "fr" -> 10000, "es" -> 10000, "zh" -> 10000)
+    val bucket =
+      conv(substring(md5(concat(lit("graft-strat-1"), col("text")).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 10000
+    val threshold = thresholds
+      .foldLeft(lit(0)) { case (acc, (lang, t)) => when(col("lang") === lang, lit(t)).otherwise(acc) }
     Tables
       .documents(spark, dir)
-      .stat
-      .sampleBy("lang", fractions, 42L)
+      .filter(bucket < threshold)
       .select(col("doc_id"), col("lang"))
   }
 
