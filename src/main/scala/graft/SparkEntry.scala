@@ -85,6 +85,8 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
+    "text_repetition" -> (TextOps.repetition _),
+    "text_contamination" -> (TextOps.contamination _),
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
@@ -406,6 +408,51 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 2500
                      WHEN 'de' THEN 10000 WHEN 'fr' THEN 10000
                      WHEN 'es' THEN 10000 WHEN 'zh' THEN 10000 ELSE 0 END""",
+    "text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         tri AS (
+           SELECT doc_id, len(tok) AS n_tok,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END AS tri
+           FROM t),
+         base AS (
+           SELECT doc_id, n_tok, len(tri) AS n_tri, len(list_distinct(tri)) AS n_uniq FROM tri),
+         top AS (
+           SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, token, count(*) AS c
+             FROM (SELECT doc_id, unnest(tok) AS token FROM t) GROUP BY doc_id, token)
+           GROUP BY doc_id)
+         SELECT b.doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(n_uniq AS DOUBLE) / n_tri, 4) AS dup_trigram_frac,
+           round(CAST(topc AS DOUBLE) / n_tok, 4) AS top_token_ratio,
+           CAST((1.0 - CAST(n_uniq AS DOUBLE) / n_tri) > 0.2
+                OR (CAST(topc AS DOUBLE) / n_tok) > 0.2 AS INT) AS is_repetitive
+         FROM base b JOIN top USING (doc_id)""",
+    "text_contamination" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([('0x' || substr(md5(s), 1, 15))::BIGINT for s in
+               CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                    ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END])
+             AS hs
+           FROM t),
+         e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         bench AS (SELECT DISTINCT h FROM e WHERE doc_id % 97 = 0),
+         hits AS (SELECT e.doc_id, count(*) AS n_hits
+                  FROM e JOIN bench USING (h) GROUP BY e.doc_id)
+         SELECT s.doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / len(hs), 4) AS contamination_frac,
+           CAST(s.doc_id % 97 = 0 AS INT) AS is_benchmark,
+           CAST(CAST(coalesce(n_hits, 0) AS DOUBLE) / len(hs) >= 0.5 AS INT) AS is_contaminated
+         FROM sh s LEFT JOIN hits USING (doc_id)""",
     "q_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey

@@ -31,10 +31,10 @@ object Dedup {
     */
   private val SimhashMaxHamming = 6
 
-  private def normText(c: Column): Column =
+  private[operators] def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  private def toks(c: Column): Column = split(normText(c), " ")
+  private[operators] def toks(c: Column): Column = split(normText(c), " ")
 
   /** Engine-portable 60-bit string hash: the first 15 hex digits of
     * md5, parsed base-16. Identical in any engine with md5 (the DuckDB
@@ -44,7 +44,7 @@ object Dedup {
     * kernels' mod-P residues match plain SQL `%`. Swap for `xxhash64`
     * when oracle parity is not needed and hashing is the bottleneck.
     */
-  private def hash60(c: Column): Column =
+  private[operators] def hash60(c: Column): Column =
     // coalesce never fires (conv of 15 md5 hex digits is total) but
     // marks the expression non-nullable, keeping hash arrays
     // array<bigint> containsNull=false — the type RewriteSetCardinality
@@ -54,7 +54,7 @@ object Dedup {
   /** k-token shingles of the normalized text; a doc shorter than k
     * tokens contributes its whole text as one shingle.
     */
-  private def shingles(tok: Column, k: Int = 3): Column =
+  private[operators] def shingles(tok: Column, k: Int = 3): Column =
     when(size(tok) < k, array(concat_ws(" ", tok)))
       .otherwise(
         transform(

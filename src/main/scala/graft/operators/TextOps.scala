@@ -103,4 +103,72 @@ object TextOps {
         best.getField("score").cast("long").as("marker_hits")
       )
   }
+
+  /** #67 Repetition-based quality filter (the Gopher/C4-family "mostly
+    * repeated content" checks): per doc, the duplicate-trigram fraction
+    * (1 − unique/total trigrams) and the most-frequent-token share of
+    * all tokens; a doc is flagged repetitive past 20% on either. The
+    * trigram stats are pure per-row array expressions; the top-token
+    * share is one explode + (doc, token) aggregation — linear shuffle,
+    * the standard shape at 100 TB.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .withColumn("tok", Dedup.toks(col("text")))
+      .withColumn("tri", Dedup.shingles(col("tok")))
+    val base = d.select(
+      col("doc_id"),
+      size(col("tok")).cast("long").as("n_tokens"),
+      size(col("tri")).cast("long").as("n_trigrams"),
+      size(array_distinct(col("tri"))).cast("long").as("n_uniq"))
+    val top = d
+      .select(col("doc_id"), explode(col("tok")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_count"))
+    val dupFrac = lit(1.0) - col("n_uniq").cast("double") / col("n_trigrams")
+    val topRatio = col("top_count").cast("double") / col("n_tokens")
+    base
+      .join(top, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(dupFrac, 4).as("dup_trigram_frac"),
+        round(topRatio, 4).as("top_token_ratio"),
+        (dupFrac > 0.2 || topRatio > 0.2).cast("int").as("is_repetitive"))
+  }
+
+  /** #68 Benchmark decontamination: flag training docs whose 3-gram
+    * hash sets overlap an evaluation benchmark (here: every 97th doc
+    * stands in for the benchmark corpus). Shingle sets use the
+    * engine-portable [[Dedup.hash60]]; membership is one left-semi
+    * join on the hash — linear shuffle, and the benchmark side is
+    * small enough that AQE broadcasts it (no hint: benchmark size
+    * scales with the eval suite, not the corpus).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables
+      .documents(spark, dir)
+      .withColumn("tok", Dedup.toks(col("text")))
+      .select(
+        col("doc_id"),
+        array_distinct(transform(Dedup.shingles(col("tok")), s => Dedup.hash60(s))).as("hs"))
+    val exploded = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val bench = exploded.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val hits = exploded
+      .join(bench, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    val frac = coalesce(col("n_hits"), lit(0L)).cast("double") / size(col("hs"))
+    sh.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        round(frac, 4).as("contamination_frac"),
+        (col("doc_id") % 97 === 0).cast("int").as("is_benchmark"),
+        (frac >= 0.5).cast("int").as("is_contaminated"))
+  }
 }

@@ -34,4 +34,26 @@ class TextStatsSpec extends SparkSpec {
     assert(f.filter(col("edit_sim") < 0.5).count() == 0)
     assert(f.filter(col("edit_dist") < 0).count() == 0)
   }
+
+  test("repetition: one row per doc, fractions in [0,1], flag honors thresholds") {
+    val r = graft.operators.TextOps.repetition(spark, sf).cache()
+    assert(r.count() == Tables.documents(spark, sf).count())
+    assert(r.filter(col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1).count() == 0)
+    assert(r.filter(col("top_token_ratio") <= 0 || col("top_token_ratio") > 1).count() == 0)
+    // flag agrees with the (rounded) reported stats away from the boundary
+    val bad = r.filter(
+      (col("is_repetitive") === 1 && col("dup_trigram_frac") < 0.19 && col("top_token_ratio") < 0.19) ||
+        (col("is_repetitive") === 0 && (col("dup_trigram_frac") > 0.21 || col("top_token_ratio") > 0.21)))
+    assert(bad.count() == 0)
+  }
+
+  test("contamination: benchmark docs fully contaminated, rest bounded") {
+    val c = graft.operators.TextOps.contamination(spark, sf).cache()
+    assert(c.count() == Tables.documents(spark, sf).count())
+    // a benchmark doc overlaps itself completely
+    val bench = c.filter(col("is_benchmark") === 1)
+    assert(bench.count() > 0)
+    assert(bench.filter(col("contamination_frac") < 1.0 || col("is_contaminated") =!= 1).count() == 0)
+    assert(c.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
+  }
 }
