@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_simhash_idf" -> (Dedup.simhashIdf _),
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
     "dedup_clusters" -> (Dedup.clusters _),
+    "dedup_apply" -> (Dedup.applyKeepList _),
     "dedup_embedding" -> (Dedup.embedding _),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
@@ -562,6 +563,21 @@ object SparkEntry {
          SELECT a AS doc_id, min(b) AS cluster_id,
            CAST(min(b) = a AS INT) AS keep
          FROM walk GROUP BY a""",
+    "dedup_apply" ->
+      s"""${minhashCandidatesCte(recursive = true)},
+         edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                 UNION SELECT doc_b, doc_a FROM edges),
+         walk(a, b) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+         sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+         FROM labels l JOIN sizes USING (cluster_id)
+         WHERE l.doc_id = l.cluster_id""",
     "dedup_simhash" ->
       """WITH toks0 AS (
            SELECT doc_id,

@@ -348,6 +348,25 @@ object Dedup {
         (col("doc_id") === col("label")).cast("int").as("keep"))
   }
 
+  /** #69 Dedup apply / corpus compaction: the terminal stage of the
+    * near-dup pipeline — exactly one canonical doc per cluster
+    * survives, with per-cluster collapse stats. Downstream training
+    * jobs read THIS, not the raw corpus. One aggregation over the
+    * cluster labels; the heavy lifting happened in [[clusters]].
+    */
+  def applyKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusters(spark, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .filter(col("keep") === 1)
+      .join(sizes, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
+
   /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, multi-
     * table random-hyperplane LSH buckets (bit count derived from corpus
     * size — `Similarity.numPlanes` — so bucket occupancy stays bounded

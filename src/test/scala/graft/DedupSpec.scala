@@ -81,6 +81,15 @@ class DedupSpec extends SparkSpec {
       .groupBy("cluster_id").count().filter("count > 1").count() == 0)
   }
 
+  test("dedup apply: one row per cluster, sizes account for the whole corpus") {
+    val a = Dedup.applyKeepList(spark, sf).cache()
+    val labels = Dedup.clusters(spark, sf)
+    assert(a.count() == labels.filter(col("keep") === 1).count())
+    assert(a.filter(col("doc_id") =!= col("cluster_id")).count() == 0)
+    assert(a.agg(sum("cluster_size")).head.getLong(0) == labels.count())
+    assert(a.filter(col("n_dropped") < 0).count() == 0)
+  }
+
   test("ann brute force: top-k per query, self excluded, ranks contiguous") {
     val bf = Similarity.bruteForce(spark, sf).cache()
     assert(bf.groupBy("query_id").count().filter("count > 10").count() == 0)

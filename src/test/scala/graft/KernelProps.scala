@@ -63,6 +63,21 @@ object KernelProps extends Properties("graft.kernels") {
       merged == expect
     }
 
+  // pins the Mersenne-shift reduction against exact BigInt arithmetic —
+  // the cross-engine contract the DuckDB oracle replays with plain %
+  property("minhash family values equal (a*(h mod P)+b) mod P exactly, any input sign") =
+    Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { h =>
+      val p = BigInt(MinHashSig.P)
+      val r = ((BigInt(h) mod p) + p) mod p
+      val expect = (0 until 32).map(i =>
+        ((BigInt(MinHashSig.a(i)) * r + BigInt(MinHashSig.b(i))) mod p).toLong)
+      minhash(Array(h)) == expect
+    }
+
+  property("minhash signatures live in [0, P)") = Prop.forAll(longsGen) { a =>
+    a.isEmpty || minhash(a).forall(v => v >= 0 && v < MinHashSig.P)
+  }
+
   property("intersect_card matches Set intersection size") =
     Prop.forAll(longsGen, longsGen) { (a, b) =>
       val got = IntersectCard(dummy, dummy)
