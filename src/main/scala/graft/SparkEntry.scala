@@ -67,6 +67,7 @@ object SparkEntry {
     "q_split_assign" -> (Sampling.splitAssign _),
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
     "text_fingerprint" -> (Dedup.fingerprint _),
@@ -409,6 +410,25 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 2500
                      WHEN 'de' THEN 10000 WHEN 'fr' THEN 10000
                      WHEN 'es' THEN 10000 WHEN 'zh' THEN 10000 ELSE 0 END""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS start_off
+           FROM t)
+         SELECT doc_id, lang, n_tokens, start_off,
+           CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) AS seq_first,
+           CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 4096) AS BIGINT) AS seq_last,
+           CAST(CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) <>
+                CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 4096) AS BIGINT) AS INT)
+             AS crosses_boundary
+         FROM o""",
     "text_repetition" ->
       """WITH t AS (
            SELECT doc_id,

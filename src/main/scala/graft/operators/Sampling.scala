@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -54,6 +54,37 @@ object Sampling {
       .documents(spark, dir)
       .filter(bucket < threshold)
       .select(col("doc_id"), col("lang"))
+  }
+
+  /** #70 Sequence packing: concatenate-and-chunk assignment of docs
+    * into fixed `ctxLen`-token training windows — the standard LLM
+    * pretraining packing (concat the shard, slice every ctxLen
+    * tokens). One windowed cumulative sum PER SHARD (`lang` here;
+    * a file/partition id in production): each shard packs
+    * independently, so no global total order is ever required — the
+    * 100 TB-safe formulation of an inherently sequential assignment.
+    * Emits each doc's token offset and first/last window ids plus a
+    * boundary-crossing flag (the docs a loader must split).
+    */
+  def packSequences(spark: SparkSession, dir: String, ctxLen: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val seqOf = (off: Column) => floor(off.cast("double") / ctxLen).cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(Dedup.toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        col("start_off"),
+        seqOf(col("start_off")).as("seq_first"),
+        seqOf(col("start_off") + col("n_tokens") - 1).as("seq_last"))
+      .withColumn("crosses_boundary", (col("seq_first") =!= col("seq_last")).cast("int"))
   }
 
   /** #56 Exact-k uniform sample by hash order: the k docs with the

@@ -36,4 +36,20 @@ class SamplingSpec extends SparkSpec {
     assert(h.count() == 50)
     assert(h.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
+
+  test("sequence packing: contiguous per-shard offsets, windows consistent") {
+    import org.apache.spark.sql.expressions.Window
+    val p = Sampling.packSequences(spark, sf, ctxLen = 512).cache()
+    assert(p.count() == Tables.documents(spark, sf).count())
+    assert(p.filter(col("start_off") < 0 || col("seq_first") > col("seq_last")).count() == 0)
+    // offsets tile each shard exactly: next start = previous start + n_tokens
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val gaps = p
+      .withColumn("prev_end", lag(col("start_off") + col("n_tokens"), 1, 0L).over(w))
+      .filter(col("start_off") =!= col("prev_end"))
+    assert(gaps.count() == 0, "packing left a gap or overlap")
+    // boundary flag consistent with window ids
+    assert(p.filter(
+      (col("crosses_boundary") === 1) =!= (col("seq_first") =!= col("seq_last"))).count() == 0)
+  }
 }
