@@ -257,9 +257,10 @@ object Dedup {
     // ONE tokenize/shingle/hash pass: the KB-scale shingle-hash set
     // rides along through the banding explode and the bucket self-join,
     // so candidates arrive with both sides' sets attached — no second
-    // scan, no re-join against the corpus. Set algebra runs on 64-bit
-    // hashes (exact for any realistic corpus); size(array_intersect)
-    // is rewritten to the non-materializing intersect_card kernel by
+    // scan, no re-join against the corpus. Set algebra runs on 60-bit
+    // hash60 values (exact for any realistic corpus, and replayed
+    // verbatim by the DuckDB oracle); size(array_intersect) is
+    // rewritten to the non-materializing intersect_card kernel by
     // RewriteSetCardinality.
     GraftFunctions.register(spark)
     val base = corpusWithNearDups(spark, dir)
