@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, MinHashSig, RewriteSetCardinality, SimHash64}
+import graft.functions.{CosineSim, Hash60, MinHashSig, RewriteSetCardinality, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native kernels
   * first-class SQL functions in any session built with
@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
         args => MinHashSig(args.head, 32)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("hash60"),
+        new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+        args => Hash60(args.head)))
   }
 }

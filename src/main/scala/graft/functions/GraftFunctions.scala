@@ -67,5 +67,9 @@ object GraftFunctions {
       "union_card",
       args => { checkArity("union_card", args, 2); UnionCard(args.head, args(1)) },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "hash60",
+      args => { checkArity("hash60", args, 1); Hash60(args.head) },
+      "built-in")
   }
 }

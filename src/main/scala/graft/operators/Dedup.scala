@@ -41,15 +41,13 @@ object Dedup {
     * oracle computes `('0x' || substr(md5(s),1,15))::BIGINT`) — this is
     * what lets the whole minhash/simhash chain be hash-compared against
     * SQL instead of settling for a rows-only check. Nonnegative, so the
-    * kernels' mod-P residues match plain SQL `%`. Swap for `xxhash64`
-    * when oracle parity is not needed and hashing is the bottleneck.
+    * kernels' mod-P residues match plain SQL `%`. Computed by the
+    * native [[graft.functions.Hash60]] kernel (digest bytes directly,
+    * no hex-string round-trip); `GraftFunctionsSpec` pins it equal to
+    * the composed conv/substring/md5 form.
     */
   private[operators] def hash60(c: Column): Column =
-    // coalesce never fires (conv of 15 md5 hex digits is total) but
-    // marks the expression non-nullable, keeping hash arrays
-    // array<bigint> containsNull=false — the type RewriteSetCardinality
-    // and the kernels key on (xxhash64 carried the same flag)
-    coalesce(conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long"), lit(0L))
+    call_function("hash60", c)
 
   /** k-token shingles of the normalized text; a doc shorter than k
     * tokens contributes its whole text as one shingle.

@@ -149,6 +149,7 @@ object TextOps {
     * scales with the eval suite, not the corpus).
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // hash60 kernel
     // ONE tokenize/shingle/hash pass: both consumers of `exploded`
     // (per-hash benchmark flag, per-doc membership probe) shuffle on
     // `h` with identical subplans, so ReuseExchange materializes the

@@ -21,6 +21,21 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hash60 kernel equals the composed conv(substr(md5)) form on real and unicode text") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val corpus = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("text").as("s"))
+      .unionAll(Seq("", " ", "héllo wörld", "日本語テキスト", "a\tb\nc", "🚀 emoji").toDF("s"))
+    val checked = corpus.select(
+      expr("hash60(s)").as("fast"),
+      expr("cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)").as("composed"))
+    assert(checked.filter(col("fast") =!= col("composed")).count() == 0)
+    assert(checked.filter(col("fast") < 0).count() == 0, "hash60 must be nonnegative")
+    intercept[AnalysisException] { corpus.select(expr("hash60(s, s)")).collect() }
+  }
+
   test("minhash_sig honors a literal numHashes argument") {
     GraftFunctions.register(spark)
     val df = spark.read
