@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
     "ann_centroid_assign" -> (Similarity.centroidAssign _),
+    "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_quality" -> (TextOps.qualityScore _),

@@ -213,6 +213,118 @@ object Similarity {
         posexplode(col("qvec")).as(Seq("pos", "q")))
       .select(col("vec_id"), col("label"), col("l2_norm"), col("pos").cast("long").as("pos"), col("q"))
 
+  /** Materialize a centroid model as a broadcastable DataFrame. */
+  private def centroidsDf(
+      spark: SparkSession, cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cell", "centroid")
+  }
+
+  /** Nearest-cell assignment of the whole corpus: one broadcast join
+    * over a single scan, top-1 via WindowGroupLimit.
+    */
+  private def ivfAssign(spark: SparkSession, dir: String, cdf: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr("cosine_sim(embedding, centroid)").as("ccos"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** (vec_id, cell) assignment under a freshly trained quantizer —
+    * the inverted-file layout itself (what a store would partition
+    * by); exposed for inspection and the occupancy spec.
+    */
+  def ivfAssignments(spark: SparkSession, dir: String,
+      k: Int = 16, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    ivfAssign(spark, dir, centroidsDf(spark, trainCentroids(spark, dir, k, iters)))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Train a k-means coarse quantizer with `iters` Lloyd's rounds:
+    * assignment and per-cell means run DISTRIBUTED (one broadcast
+    * join + one aggregation per round); only the model itself — k
+    * centroids, k·d floats — ever reaches the driver, the iteration-
+    * control-only pattern. k scales like √n (65k cells for 10⁹
+    * vectors ≈ 17 MB of model), never with the corpus.
+    */
+  private def trainCentroids(
+      spark: SparkSession, dir: String, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // deterministic seeds: the k lowest vec_ids
+    var cents: Seq[(Int, Seq[Float])] = vecs
+      .orderBy("vec_id")
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+      .toSeq
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs
+        .crossJoin(broadcast(centroidsDf(spark, cents)))
+        .select(
+          col("vec_id"),
+          col("embedding"),
+          col("cell"),
+          expr("cosine_sim(embedding, centroid)").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("mu"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("entries"))
+        .select(col("cell"), expr("transform(entries, e -> CAST(e.mu AS FLOAT))").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .toSeq
+    }
+    cents
+  }
+
+  /** #72 IVF ANN: search probes only the `nprobe` nearest cells of the
+    * trained coarse quantizer — candidate volume ≈ corpus·nprobe/k per
+    * query instead of a full scan, the inverted-file structure every
+    * production vector store builds on (FAISS IVF-Flat shape). Cell
+    * assignment is one broadcast join over a single corpus scan; the
+    * probe join is an equi-join on cell id.
+    */
+  def ivf(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = trainCentroids(spark, dir, k, iters)
+    val cdf = centroidsDf(spark, cents)
+    val corpusCells = ivfAssign(spark, dir, cdf)
+    val wQ = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell"))
+    val queryCells = queryVectors(spark, dir)
+      .crossJoin(broadcast(cdf))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        expr("cosine_sim(q_emb, centroid)").as("ccos"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    corpusCells
+      .join(broadcast(queryCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
   /** #29 IVF-style centroid stats: per-label centroid (partial-agg
     * per-dimension means via posexplode), then nearest-centroid
     * assignment of every vector — the coarse quantizer of an IVF

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The IVF contract: (1) cell probing bounds scan cost to ~nprobe/k of
+  * the corpus per query, (2) recall is monotone in nprobe, (3) an
+  * approximate result can never beat exact brute force.
+  */
+class IvfSpec extends SparkSpec {
+
+  private def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
+    approx.select("query_id", "vec_id").intersect(truth).count().toDouble / truth.count()
+  }
+
+  test("ivf results are rank-contiguous top-k that never beat brute force") {
+    val ivf = Similarity.ivf(spark, sf).cache()
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("rank") < 1 || col("rank") > 10).count() == 0)
+    assert(ivf.groupBy("query_id").count().filter("count > 10").count() == 0)
+    val bf = Similarity.bruteForce(spark, sf).filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("bf_cos"))
+    val top = ivf.filter(col("rank") === 1).select(col("query_id"), col("cos").as("ivf_cos"))
+    assert(bf.join(top, "query_id").filter(col("ivf_cos") > col("bf_cos") + 1e-9).count() == 0)
+  }
+
+  test("recall is monotone in nprobe and full probing equals brute force") {
+    val r1 = recallAt10(Similarity.ivf(spark, sf, nprobe = 1))
+    val r2 = recallAt10(Similarity.ivf(spark, sf, nprobe = 2))
+    val rAll = recallAt10(Similarity.ivf(spark, sf, nprobe = 16))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 $r1")
+    assert(rAll >= 0.999, s"probing every cell must recover brute force, got $rAll")
+  }
+
+  test("inverted file partitions the corpus; occupancy bounded so probing stays cheap") {
+    val assign = Similarity.ivfAssignments(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly one cell
+    assert(assign.count() == n)
+    assert(assign.groupBy("vec_id").count().filter("count > 1").count() == 0)
+    // no degenerate cell: the largest inverted list stays a small
+    // multiple of the n/k mean, so an nprobe-cell probe reads a bounded
+    // corpus fraction instead of one giant list
+    val maxCell = assign.groupBy("cell").count().agg(max("count")).head.getLong(0)
+    assert(maxCell <= (4 * n) / 16, s"largest cell $maxCell of $n vectors")
+  }
+}
