@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_scd2" -> (Cdc.scd2 _),
     "cdc_compact" -> (Cdc.compact _),
     "cdc_envelope_parse" -> (Cdc.envelopeParse _),
+    "cdc_maxwell_parse" -> (Cdc.maxwellParse _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiff _),
     "q_json_extract" -> (Analytics.jsonExtract _),
     // Warehouse/OLAP analytics (§2 #9-20)
@@ -243,6 +244,13 @@ object SparkEntry {
                  (PARTITION BY user_id, (__deleted = 'true')
                   ORDER BY registered_at, id) AS rn
                FROM c)""",
+    "cdc_maxwell_parse" ->
+      """SELECT event_id AS id, user_id, props AS account,
+           epoch_us(ts) AS registered_at,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS op
+         FROM events""",
     "cdc_snapshot_diff" ->
       """WITH snap_before AS (
            SELECT user_id, event_id AS old_event_id, round(value, 2) AS old_value

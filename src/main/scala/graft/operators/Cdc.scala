@@ -176,6 +176,35 @@ object Cdc {
     graft.sources.Formats.parseDebezium(envelopes, col("value"))
   }
 
+  /** #73 Maxwell envelope parse: the same changelog re-serialized as
+    * Maxwell JSON (`{database, table, type, ts, data:{...}}` — the
+    * other widely deployed MySQL-binlog CDC format) and parsed back to
+    * the connector-agnostic change-record shape. With [[envelopeParse]]
+    * this makes the ingest surface multi-connector: downstream Cdc /
+    * CdcStream operators never see which daemon produced the feed.
+    */
+  def maxwellParse(spark: SparkSession, dir: String): DataFrame = {
+    val envelopes = Tables
+      .events(spark, dir)
+      .select(
+        to_json(
+          struct(
+            lit("bankdb").as("database"),
+            lit("bank_accounts").as("table"),
+            when(col("event_type") === "signup", "insert")
+              .when(col("event_type") === "error", "delete")
+              .otherwise("update")
+              .as("type"),
+            expr("ts div 1000").as("ts"),
+            struct(
+              col("event_id").as("id"),
+              col("user_id"),
+              col("props").as("account"),
+              round(col("value"), 2).as("value")).as("data")
+          )).as("value"))
+    graft.sources.Formats.parseMaxwell(envelopes, col("value"))
+  }
+
   /** #62 Snapshot reconciliation: full-outer diff of the current
     * state at two points in time (mid-changelog vs end) classifying
     * every key as ADDED / REMOVED / CHANGED / UNCHANGED — the audit

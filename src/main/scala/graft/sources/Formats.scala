@@ -49,6 +49,42 @@ object Formats {
         when(isDel, "DELETE").when(col("rn") === 1, "INSERT").otherwise("UPDATE").as("op"))
   }
 
+  /** The Maxwell daemon's JSON envelope — the other widely deployed
+    * MySQL-binlog CDC format (Zendesk Maxwell): `{database, table,
+    * type: insert|update|delete, ts, data: {...}, old: {...}}`.
+    * Unlike Debezium-flattened records, the op arrives EXPLICIT in
+    * `type`, so no existence window is needed.
+    */
+  val maxwellSchema: StructType = StructType(
+    Seq(
+      StructField("database", StringType),
+      StructField("table", StringType),
+      StructField("type", StringType),
+      StructField("ts", LongType),
+      StructField(
+        "data",
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("user_id", LongType),
+          StructField("account", StringType),
+          StructField("value", DoubleType)
+        )))
+    ))
+
+  /** Parse a column of Maxwell JSON envelopes into the same typed
+    * change-record shape [[parseDebezium]] emits — connector-agnostic
+    * downstream: `Cdc`/`CdcStream` operators run unchanged on either
+    * feed. Pure per-row projection, no shuffle.
+    */
+  def parseMaxwell(df: DataFrame, jsonCol: Column): DataFrame =
+    df.select(from_json(jsonCol, maxwellSchema).as("r"))
+      .select(
+        col("r.data.id").as("id"),
+        col("r.data.user_id").as("user_id"),
+        col("r.data.account").as("account"),
+        col("r.ts").as("registered_at"),
+        upper(col("r.type")).as("op"))
+
   /** JSONL reader with explicit schema (schema inference is a full
     * extra scan at 100 TB — never rely on it).
     */

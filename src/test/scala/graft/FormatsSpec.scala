@@ -85,4 +85,29 @@ class FormatsSpec extends SparkSpec {
         m.filter(col("modality") === "image").count())
     }
   }
+
+  test("maxwell envelope parse types nested data and maps ops; malformed rows null out") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"database":"bankdb","table":"bank_accounts","type":"insert","ts":1700000000,
+         "data":{"id":1,"user_id":7,"account":"a-7","value":10.5}}""".replaceAll("\n\\s*", ""),
+      """{"database":"bankdb","table":"bank_accounts","type":"delete","ts":1700000100,
+         "data":{"id":2,"user_id":7,"account":"a-7","value":0.0}}""".replaceAll("\n\\s*", ""),
+      "not json at all"
+    ).toDF("value")
+    val parsed = graft.sources.Formats.parseMaxwell(rows, col("value")).collect()
+    assert(parsed.length == 3)
+    val first = parsed.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(first.getLong(1) == 7L && first.getString(2) == "a-7" &&
+      first.getLong(3) == 1700000000L && first.getString(4) == "INSERT")
+    assert(parsed.exists(r => !r.isNullAt(4) && r.getString(4) == "DELETE"))
+    // malformed record → all-null row, never an exception
+    assert(parsed.exists(r => r.isNullAt(0) && r.isNullAt(4)))
+    // and the in-query roundtrip matches the batch classify op totals
+    val mx = graft.operators.Cdc.maxwellParse(spark, sf)
+    val ops = mx.groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = graft.operators.Cdc.classify(spark, sf)
+      .groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == ref, s"maxwell op histogram $ops != classify $ref")
+  }
 }
