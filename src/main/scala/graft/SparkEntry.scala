@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_apply" -> (Dedup.applyKeepList _),
+    "dedup_incremental" -> (Dedup.incremental _),
     "dedup_embedding" -> (Dedup.embedding _),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
@@ -572,6 +573,13 @@ object SparkEntry {
            round(CAST(len([i for i in range(1, 33) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 32, 4)
              AS est_jaccard
          FROM cand WHERE n_shared_bands >= 1""",
+    "dedup_incremental" ->
+      s"""${minhashCandidatesCte(recursive = false)}
+         SELECT doc_a, doc_b, n_shared_bands,
+           round(CAST(len([i for i in range(1, 33) if sig_a[i] = sig_b[i]]) AS DOUBLE) / 32, 4)
+             AS est_jaccard
+         FROM cand
+         WHERE n_shared_bands >= 1 AND doc_a < 1000000 AND doc_b >= 1000000""",
     "dedup_jaccard" ->
       s"""${minhashCandidatesCte(recursive = false)}
          SELECT * FROM (

@@ -162,6 +162,45 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"), round(min("est_jaccard"), 4).as("est_jaccard"))
 
+  /** #74 Incremental (delta) dedup: a NEW ingest batch (the 1M-offset
+    * near-copies, standing in for today's crawl) probed against the
+    * EXISTING corpus index — never new×new, never a corpus self-join.
+    * This is how dedup actually runs on a continuously ingested
+    * 100 TB lake: the base side is the persisted banded index (write
+    * it bucketed by (band, bucket) and the shuffle disappears — see
+    * BucketingSpec); per-batch work is O(batch × bands), independent
+    * of corpus size. Output: which new docs duplicate which existing
+    * docs, with the signature-overlap estimate — same schema as
+    * [[minhash]], so admission logic downstream is shared.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val sigs = corpusWithNearDups(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .select(col("doc_id"), minhashSignature.as("sig"))
+    def banded(df: DataFrame) = df
+      .select(
+        col("doc_id"),
+        col("sig"),
+        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+      .withColumn(
+        "bucket",
+        slice(col("sig"), col("band") * MinhashRowsPerBand + 1, lit(MinhashRowsPerBand)))
+    val index = banded(sigs.filter(col("doc_id") < 1000000L)).select(
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val fresh = banded(sigs.filter(col("doc_id") >= 1000000L)).select(
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    index
+      .join(fresh, Seq("band", "bucket"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / MinhashSigSize).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"), round(min("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** #24 SimHash near-dup: 64-bit per-doc signature (native
     * `simhash64` bit-vote over codegen'd token hashes), banded into
     * 4×16-bit chunks; pairs sharing a chunk are kept at Hamming

@@ -81,6 +81,17 @@ class DedupSpec extends SparkSpec {
       .groupBy("cluster_id").count().filter("count > 1").count() == 0)
   }
 
+  test("incremental dedup equals the cross-side subset of full minhash pairs") {
+    val inc = Dedup.incremental(spark, sf).cache()
+    assert(inc.count() > 0)
+    // exactly the (existing, new) pairs — no new×new, no existing×existing
+    assert(inc.filter(col("doc_a") >= 1000000L || col("doc_b") < 1000000L).count() == 0)
+    val full = Dedup.minhash(spark, sf)
+      .filter(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      "incremental probe diverged from the full self-join's cross pairs")
+  }
+
   test("dedup apply: one row per cluster, sizes account for the whole corpus") {
     val a = Dedup.applyKeepList(spark, sf).cache()
     val labels = Dedup.clusters(spark, sf)
