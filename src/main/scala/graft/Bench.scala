@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * A warmup job first absorbs session/codegen/parquet-footer startup
   * so per-query numbers measure the plan, not the JVM.
   *
-  * 65 queries share one JVM, and round-2 showed accumulated heap/GC
+  * The full query suite shares one JVM, and round-2 showed accumulated heap/GC
   * debt inflating late queries up to 10× over their isolated times
   * (q_json_extract: 13.8 s recorded, 0.7 s isolated). Two defenses:
   * drop caches + force a GC + settle BEFORE each query, and record

@@ -247,7 +247,7 @@ object SparkEntry {
                FROM c)""",
     "cdc_maxwell_parse" ->
       """SELECT event_id AS id, user_id, props AS account,
-           epoch_us(ts) AS registered_at,
+           (epoch_us(ts) // 1000000) * 1000000 AS registered_at,
            CASE WHEN event_type = 'signup' THEN 'INSERT'
                 WHEN event_type = 'error' THEN 'DELETE'
                 ELSE 'UPDATE' END AS op

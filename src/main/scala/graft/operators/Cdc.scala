@@ -195,7 +195,9 @@ object Cdc {
               .when(col("event_type") === "error", "delete")
               .otherwise("update")
               .as("type"),
-            expr("ts div 1000").as("ts"),
+            // Maxwell ts is epoch SECONDS (ns div 1e9); the parser
+            // re-expands to the µs timeline
+            expr("ts div 1000000000").as("ts"),
             struct(
               col("event_id").as("id"),
               col("user_id"),

@@ -121,26 +121,30 @@ object Dedup {
       "minhash_sig",
       transform(shingles(col("tok")), s => hash60(s)))
 
-  /** Banded candidate pairs: explode band index, self-join on (band,
-    * signature slice). The slice itself is the join key — exact band
-    * equality (a murmur bucket of the slice would admit one false
-    * candidate per ~2³² pair-bands at 100 TB, and would not be
-    * reproducible by the SQL oracle). Carries the full signatures
-    * through for the similarity estimate.
+  /** One row per (band, signature slice) per input row — the LSH
+    * banding join key every minhash consumer shares (and the oracle
+    * CTE mirrors). The slice itself is the key — exact band equality
+    * (a murmur bucket of the slice would admit one false candidate per
+    * ~2³² pair-bands at 100 TB, and would not be reproducible by the
+    * SQL oracle). All other columns ride through.
     */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val sigs = corpusWithNearDups(spark, dir)
-      .withColumn("tok", toks(col("text")))
-      .select(col("doc_id"), minhashSignature.as("sig"))
-    val banded = sigs
-      .select(
-        col("doc_id"),
-        col("sig"),
-        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+  private def bandedBySig(sigs: DataFrame): DataFrame =
+    sigs
+      .withColumn("band", explode(sequence(lit(0), lit(MinhashBands - 1))))
       .withColumn(
         "bucket",
         slice(col("sig"), col("band") * MinhashRowsPerBand + 1, lit(MinhashRowsPerBand)))
+
+  /** Banded candidate pairs: self-join of [[bandedBySig]] on (band,
+    * slice). Carries the full signatures through for the similarity
+    * estimate.
+    */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val banded = bandedBySig(
+      corpusWithNearDups(spark, dir)
+        .withColumn("tok", toks(col("text")))
+        .select(col("doc_id"), minhashSignature.as("sig")))
     val a = banded.select(
       col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
     val b = banded.select(
@@ -178,17 +182,9 @@ object Dedup {
     val sigs = corpusWithNearDups(spark, dir)
       .withColumn("tok", toks(col("text")))
       .select(col("doc_id"), minhashSignature.as("sig"))
-    def banded(df: DataFrame) = df
-      .select(
-        col("doc_id"),
-        col("sig"),
-        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
-      .withColumn(
-        "bucket",
-        slice(col("sig"), col("band") * MinhashRowsPerBand + 1, lit(MinhashRowsPerBand)))
-    val index = banded(sigs.filter(col("doc_id") < 1000000L)).select(
+    val index = bandedBySig(sigs.filter(col("doc_id") < 1000000L)).select(
       col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
-    val fresh = banded(sigs.filter(col("doc_id") >= 1000000L)).select(
+    val fresh = bandedBySig(sigs.filter(col("doc_id") >= 1000000L)).select(
       col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
     index
       .join(fresh, Seq("band", "bucket"))
@@ -300,19 +296,11 @@ object Dedup {
     // rewritten to the non-materializing intersect_card kernel by
     // RewriteSetCardinality.
     GraftFunctions.register(spark)
-    val base = corpusWithNearDups(spark, dir)
-      .withColumn("tok", toks(col("text")))
-      .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => hash60(s))))
-      .withColumn("sig", call_function("minhash_sig", col("sh")))
-    val banded = base
-      .select(
-        col("doc_id"),
-        col("sh"),
-        col("sig"),
-        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
-      .withColumn(
-        "bucket",
-        slice(col("sig"), col("band") * MinhashRowsPerBand + 1, lit(MinhashRowsPerBand)))
+    val banded = bandedBySig(
+      corpusWithNearDups(spark, dir)
+        .withColumn("tok", toks(col("text")))
+        .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => hash60(s))))
+        .select(col("doc_id"), col("sh"), call_function("minhash_sig", col("sh")).as("sig")))
       .drop("sig")
     val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("bucket"))

@@ -74,7 +74,12 @@ object Formats {
   /** Parse a column of Maxwell JSON envelopes into the same typed
     * change-record shape [[parseDebezium]] emits — connector-agnostic
     * downstream: `Cdc`/`CdcStream` operators run unchanged on either
-    * feed. Pure per-row projection, no shuffle.
+    * feed. Maxwell's `ts` is EPOCH SECONDS (second-granular by
+    * design); it is normalized to the µs timeline every downstream
+    * consumer runs on (watermarks, latest-wins ordering, the JDBC
+    * sink's merge guard) — passing it through raw would misorder
+    * changes against a Debezium feed by a factor of 10⁶. Pure per-row
+    * projection, no shuffle.
     */
   def parseMaxwell(df: DataFrame, jsonCol: Column): DataFrame =
     df.select(from_json(jsonCol, maxwellSchema).as("r"))
@@ -82,7 +87,7 @@ object Formats {
         col("r.data.id").as("id"),
         col("r.data.user_id").as("user_id"),
         col("r.data.account").as("account"),
-        col("r.ts").as("registered_at"),
+        (col("r.ts") * 1000000L).as("registered_at"),
         upper(col("r.type")).as("op"))
 
   /** JSONL reader with explicit schema (schema inference is a full

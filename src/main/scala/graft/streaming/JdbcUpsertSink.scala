@@ -31,11 +31,12 @@ object JdbcUpsertSink {
 
   /** Columns of [[CurrentRow]]; quoted lowercase so DDL matches the
     * identifiers Spark's JDBC writer emits. `op` is VARCHAR (not the
-    * dialect-default CLOB) because the MERGE compares it.
+    * dialect-default CLOB) because the MERGE compares it; DOUBLE
+    * PRECISION is the spelling Derby and Postgres both accept.
     */
   private val columnsDdl =
     """"user_id" BIGINT NOT NULL, "last_event_id" BIGINT, "last_ts" BIGINT,
-       "value" DOUBLE, "op" VARCHAR(16)"""
+       "value" DOUBLE PRECISION, "op" VARCHAR(16)"""
 
   private def withConnection[T](url: String)(f: Connection => T): T = {
     val conn = DriverManager.getConnection(url)
@@ -43,20 +44,32 @@ object JdbcUpsertSink {
     finally conn.close()
   }
 
-  /** Create target + staging tables if missing (Derby SQLState X0Y32 =
-    * already exists; any other failure propagates).
+  /** Create target + staging tables if missing. Existence is probed
+    * through DatabaseMetaData (portable across Derby/Postgres/etc.)
+    * rather than by catching a vendor-specific already-exists
+    * SQLState.
     */
   def ensureTables(url: String): Unit = withConnection(url) { conn =>
-    def createIfMissing(ddl: String): Unit = {
+    def exists(table: String): Boolean = {
+      // unquoted DDL identifiers fold per-vendor: Derby up, Postgres down
+      val rs = conn.getMetaData.getTables(
+        null, null, "%", Array("TABLE"))
+      try {
+        Iterator
+          .continually(rs)
+          .takeWhile(_.next())
+          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+      } finally rs.close()
+    }
+    def create(ddl: String): Unit = {
       val st = conn.createStatement()
       try st.executeUpdate(ddl)
-      catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-      } finally st.close()
+      finally st.close()
     }
-    createIfMissing(
-      s"""CREATE TABLE $TargetTable ($columnsDdl, PRIMARY KEY ("user_id"))""")
-    createIfMissing(s"CREATE TABLE $StagingTable ($columnsDdl)")
+    if (!exists(TargetTable))
+      create(s"""CREATE TABLE $TargetTable ($columnsDdl, PRIMARY KEY ("user_id"))""")
+    if (!exists(StagingTable))
+      create(s"CREATE TABLE $StagingTable ($columnsDdl)")
   }
 
   /** The set-based upsert: latest-change-wins, guarded by

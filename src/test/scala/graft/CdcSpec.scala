@@ -10,6 +10,15 @@ import graft.operators.Cdc
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = GraftSession.local(4)
   val sf: String = "/root/testdata/sf0.001"
+
+  /** recall@10 of an ANN result against the brute-force truth — one
+    * definition shared by every approximate-search spec.
+    */
+  def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
+    val truth = graft.operators.Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
+    approx.select("query_id", "vec_id").intersect(truth).count().toDouble / truth.count()
+  }
+
   override def afterAll(): Unit = {
     // shared across suites in one JVM; let the JVM exit tear it down
   }

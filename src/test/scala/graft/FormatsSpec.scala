@@ -98,8 +98,9 @@ class FormatsSpec extends SparkSpec {
     val parsed = graft.sources.Formats.parseMaxwell(rows, col("value")).collect()
     assert(parsed.length == 3)
     val first = parsed.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    // Maxwell ts is epoch seconds; parse normalizes to the µs timeline
     assert(first.getLong(1) == 7L && first.getString(2) == "a-7" &&
-      first.getLong(3) == 1700000000L && first.getString(4) == "INSERT")
+      first.getLong(3) == 1700000000000000L && first.getString(4) == "INSERT")
     assert(parsed.exists(r => !r.isNullAt(4) && r.getString(4) == "DELETE"))
     // malformed record → all-null row, never an exception
     assert(parsed.exists(r => r.isNullAt(0) && r.isNullAt(4)))

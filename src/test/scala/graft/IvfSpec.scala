@@ -10,11 +10,6 @@ import graft.operators.Similarity
   */
 class IvfSpec extends SparkSpec {
 
-  private def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
-    val truth = Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
-    approx.select("query_id", "vec_id").intersect(truth).count().toDouble / truth.count()
-  }
-
   test("ivf results are rank-contiguous top-k that never beat brute force") {
     val ivf = Similarity.ivf(spark, sf).cache()
     assert(ivf.count() > 0)

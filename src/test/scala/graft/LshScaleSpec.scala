@@ -49,10 +49,6 @@ class LshScaleSpec extends SparkSpec {
   }
 
   test("a second hyperplane table does not lose recall vs one table") {
-    def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
-      val truth = Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
-      approx.select("query_id", "vec_id").intersect(truth).count().toDouble / truth.count()
-    }
     val one = recallAt10(Similarity.lsh(spark, sf, tables = 1))
     val two = recallAt10(Similarity.lsh(spark, sf, tables = 2))
     assert(two >= one, s"2-table recall $two < 1-table $one")

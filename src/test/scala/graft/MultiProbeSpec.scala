@@ -6,12 +6,6 @@ import graft.operators.Similarity
 
 class MultiProbeSpec extends SparkSpec {
 
-  private def recallAt10(approx: org.apache.spark.sql.DataFrame): Double = {
-    val truth = Similarity.bruteForce(spark, sf).select("query_id", "vec_id")
-    val hits = approx.select("query_id", "vec_id").intersect(truth).count().toDouble
-    hits / truth.count()
-  }
-
   test("multi-probe recall@10 is a multiple of single-probe recall") {
     // the synthetic embeddings are near-uniform (true top-10 sit at
     // cos ≈ 0.3), so absolute LSH recall is intrinsically modest; the

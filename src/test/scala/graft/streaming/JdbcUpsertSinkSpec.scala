@@ -87,8 +87,11 @@ class JdbcUpsertSinkSpec extends SparkSpec {
   test("redelivered final batch and stale earlier batch are both no-ops") {
     val changes = Cdc.classify(spark, sf).cache()
     val mid = changes.agg(expr("percentile(ts, 0.5)")).head.getDouble(0).toLong
+    // self-sufficient: seed the table (idempotent if the streamed test
+    // already populated it — this IS the operator under test)
+    JdbcUpsertSink.upsertBatch(url)(latestPerKey(changes), batchId = 98L)
     val before = readTable().collect().toSet
-    assert(before.nonEmpty, "previous test must have populated the table")
+    assert(before.nonEmpty)
 
     // exact redelivery of the latest state of every key
     JdbcUpsertSink.upsertBatch(url)(latestPerKey(changes), batchId = 99L)
