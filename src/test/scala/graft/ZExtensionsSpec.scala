@@ -37,6 +37,9 @@ class ZExtensionsSpec extends AnyFunSuite {
         .head
         .getInt(0)
       assert(sig == 32)
+      // hash60('hello') = 0x5d41402abc4b2a7 (first 15 md5 hex digits)
+      val h = spark.sql("SELECT hash60('hello') AS h").head.getLong(0)
+      assert(h == 419982666956583591L)
     } finally {
       spark.stop()
       GraftSession.local(4) // restore an active default for any later suite
