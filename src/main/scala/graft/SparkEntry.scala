@@ -69,6 +69,9 @@ object SparkEntry {
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "q_pack_composite" -> ((s: SparkSession, d: String) => Sampling.packComposite(s, d)),
+    "q_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
+    "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
     "text_fingerprint" -> (Dedup.fingerprint _),
@@ -439,6 +442,42 @@ object SparkEntry {
                 CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 4096) AS BIGINT) AS INT)
              AS crosses_boundary
          FROM o""",
+    "q_pack_composite" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source,
+             CAST(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, lang, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS start_off
+           FROM t)
+         SELECT doc_id, lang, source, n_tokens, start_off,
+           CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) AS seq_first,
+           CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 4096) AS BIGINT) AS seq_last,
+           CAST(CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) <>
+                CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 4096) AS BIGINT) AS INT)
+             AS crosses_boundary
+         FROM o""",
+    "q_source_cap" ->
+      """SELECT doc_id, source, rank_in_source FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('graft-cap-1' || text), doc_id) AS BIGINT) AS rank_in_source
+           FROM documents)
+         WHERE rank_in_source <= 10""",
+    "q_mixture_weights" ->
+      """WITH t AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source)
+         SELECT source, n_docs, n_tokens,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.7) /
+                 (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) FROM t), 6) AS weight
+         FROM t""",
     "text_repetition" ->
       """WITH t AS (
            SELECT doc_id,

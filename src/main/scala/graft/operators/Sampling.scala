@@ -56,35 +56,100 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
   }
 
-  /** #70 Sequence packing: concatenate-and-chunk assignment of docs
-    * into fixed `ctxLen`-token training windows — the standard LLM
-    * pretraining packing (concat the shard, slice every ctxLen
-    * tokens). One windowed cumulative sum PER SHARD (`lang` here;
-    * a file/partition id in production): each shard packs
-    * independently, so no global total order is ever required — the
-    * 100 TB-safe formulation of an inherently sequential assignment.
-    * Emits each doc's token offset and first/last window ids plus a
-    * boundary-crossing flag (the docs a loader must split).
+  /** Shared packing core: one windowed cumulative sum PER SHARD KEY.
+    * Each shard packs independently, so no global total order is ever
+    * required — the 100 TB-safe formulation of an inherently
+    * sequential assignment. Shard columns become the window partition,
+    * so shuffle volume is one exchange on the shard key.
     */
-  def packSequences(spark: SparkSession, dir: String, ctxLen: Int = 4096): DataFrame = {
+  private def packCore(
+      spark: SparkSession,
+      dir: String,
+      ctxLen: Int,
+      shardCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy("doc_id")
     val seqOf = (off: Column) => floor(off.cast("double") / ctxLen).cast("long")
     Tables
       .documents(spark, dir)
       .select(
-        col("doc_id"),
-        col("lang"),
-        size(Dedup.toks(col("text"))).cast("long").as("n_tokens"))
+        (col("doc_id") +: shardCols.map(col)) :+
+          size(Dedup.toks(col("text"))).cast("long").as("n_tokens"): _*)
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_first", seqOf(col("start_off")))
+      .withColumn("seq_last", seqOf(col("start_off") + col("n_tokens") - 1))
+      .withColumn("crosses_boundary", (col("seq_first") =!= col("seq_last")).cast("int"))
+  }
+
+  /** #70 Sequence packing: concatenate-and-chunk assignment of docs
+    * into fixed `ctxLen`-token training windows — the standard LLM
+    * pretraining packing (concat the shard, slice every ctxLen
+    * tokens). Shard key = `lang` (a file/partition id in production).
+    * Emits each doc's token offset and first/last window ids plus a
+    * boundary-crossing flag (the docs a loader must split).
+    */
+  def packSequences(spark: SparkSession, dir: String, ctxLen: Int = 4096): DataFrame =
+    packCore(spark, dir, ctxLen, Seq("lang"))
+
+  /** #75 Composite-shard packing: the same concat-and-chunk assignment
+    * sharded by a COMPOSITE key (`lang`, `source`) — the shape of a
+    * real pretraining layout where shards are (corpus, language,
+    * shard-file) tuples. Finer shards mean more parallelism and
+    * smaller per-shard state at 100 TB; the assignment inside each
+    * shard is unchanged, so downstream loaders are agnostic to the
+    * shard arity.
+    */
+  def packComposite(spark: SparkSession, dir: String, ctxLen: Int = 4096): DataFrame =
+    packCore(spark, dir, ctxLen, Seq("lang", "source"))
+
+  /** #76 Per-source document cap: keep at most `cap` docs per source,
+    * chosen by salted content-hash rank — the crawl-pipeline policy
+    * that stops any single domain/dump from dominating the training
+    * mix. Deterministic (content-addressed, like [[splitAssign]]) and
+    * engine-agnostic. The rank filter compiles to WindowGroupLimit:
+    * each map task keeps only its local top-`cap` per source BEFORE
+    * the exchange, so shuffle volume is `sources × cap`, not the
+    * corpus — the property that makes a per-domain cap tractable at
+    * 100 TB.
+    */
+  def sourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables
+      .documents(spark, dir)
       .select(
         col("doc_id"),
-        col("lang"),
+        col("source"),
+        md5(concat(lit("graft-cap-1"), col("text")).cast("binary")).as("h"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= cap)
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+  }
+
+  /** #77 Source mixture weights: per-source token counts scaled by a
+    * sampling temperature — weight ∝ n_tokens^alpha, normalized
+    * (alpha < 1 upweights small sources, the standard multi-corpus /
+    * multilingual rebalancing rule). One aggregation over the corpus;
+    * the per-source table is tiny by construction (thousands of
+    * sources at most), so the normalizing total is a broadcast 1-row
+    * cross join, never a driver collect.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String, alpha: Double = 0.7): DataFrame = {
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("scaled", pow(col("n_tokens").cast("double"), alpha))
+    val total = per.agg(sum("scaled").as("total"))
+    per
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("n_docs"),
         col("n_tokens"),
-        col("start_off"),
-        seqOf(col("start_off")).as("seq_first"),
-        seqOf(col("start_off") + col("n_tokens") - 1).as("seq_last"))
-      .withColumn("crosses_boundary", (col("seq_first") =!= col("seq_last")).cast("int"))
+        round(col("scaled") / col("total"), 6).as("weight"))
   }
 
   /** #56 Exact-k uniform sample by hash order: the k docs with the

@@ -52,4 +52,51 @@ class SamplingSpec extends SparkSpec {
     assert(p.filter(
       (col("crosses_boundary") === 1) =!= (col("seq_first") =!= col("seq_last"))).count() == 0)
   }
+
+  test("composite packing: tiles each (lang, source) shard, refines the lang shards") {
+    import org.apache.spark.sql.expressions.Window
+    val p = Sampling.packComposite(spark, sf, ctxLen = 512).cache()
+    assert(p.count() == Tables.documents(spark, sf).count())
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    val gaps = p
+      .withColumn("prev_end", lag(col("start_off") + col("n_tokens"), 1, 0L).over(w))
+      .filter(col("start_off") =!= col("prev_end"))
+    assert(gaps.count() == 0, "composite packing left a gap or overlap")
+    // finer shards: strictly more shards than the lang-only packing,
+    // and per-doc token counts identical between the two
+    val nShards = p.select("lang", "source").distinct().count()
+    val nLangs = p.select("lang").distinct().count()
+    assert(nShards > nLangs)
+    val coarse = Sampling.packSequences(spark, sf, ctxLen = 512)
+      .select("doc_id", "n_tokens")
+    assert(p.select("doc_id", "n_tokens").exceptAll(coarse).count() == 0)
+  }
+
+  test("source cap: at most k per source, deterministic, pre-shuffle group limit") {
+    val cap = 5
+    val c = Sampling.sourceCap(spark, sf, cap).cache()
+    val over = c.groupBy("source").count().filter(col("count") > cap)
+    assert(over.count() == 0)
+    assert(c.filter(col("rank_in_source") < 1 || col("rank_in_source") > cap).count() == 0)
+    // every source with >= cap docs contributes exactly cap
+    val full = Tables.documents(spark, sf).groupBy("source").count()
+      .filter(col("count") >= cap).count()
+    assert(c.groupBy("source").count().filter(col("count") === cap).count() == full)
+    assert(c.exceptAll(Sampling.sourceCap(spark, sf, cap)).count() == 0)
+    // the rank filter must become a WindowGroupLimit (map-side top-k)
+    assert(c.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("mixture weights: normalized, temperature upweights small sources") {
+    val m = Sampling.mixtureWeights(spark, sf, alpha = 0.7).cache()
+    val total = m.agg(sum("weight")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-3, s"weights sum to $total")
+    // alpha < 1 compresses the range: weight ratio < token ratio for
+    // the extreme sources
+    val rows = m.orderBy(col("n_tokens")).collect()
+    val (lo, hi) = (rows.head, rows.last)
+    val tokRatio = hi.getAs[Long]("n_tokens").toDouble / lo.getAs[Long]("n_tokens")
+    val wRatio = hi.getAs[Double]("weight") / lo.getAs[Double]("weight")
+    assert(wRatio <= tokRatio + 1e-9, "temperature failed to compress the mix")
+  }
 }
