@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_apply" -> (Dedup.applyKeepList _),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_spans" -> ((s: SparkSession, d: String) => Dedup.spans(s, d)),
     "dedup_embedding" -> (Dedup.embedding _),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "text_lang_id" -> (TextOps.langId _),
     "text_repetition" -> (TextOps.repetition _),
     "text_contamination" -> (TextOps.contamination _),
+    "text_pii" -> (TextOps.piiRedact _),
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
@@ -523,6 +525,58 @@ object SparkEntry {
            CAST(s.doc_id % 97 = 0 AS INT) AS is_benchmark,
            CAST(CAST(coalesce(n_hits, 0) AS DOUBLE) / len(hs) >= 0.5 AS INT) AS is_contaminated
          FROM sh s LEFT JOIN hits USING (doc_id)""",
+    "text_pii" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' host 10.0.' || (doc_id % 256) || '.17' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' call +49-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  ELSE '' END AS planted
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(planted, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+               AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(planted, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+               AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(planted, '\+\d{2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(planted,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+           FROM p)
+         SELECT doc_id, n_emails, n_ips, n_phones, redacted,
+           CAST(n_emails + n_ips + n_phones > 0 AS INT) AS has_pii
+         FROM c""",
+    "dedup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             array_to_string(tok[(i*8+1):(i*8+8)], ' ') AS block
+           FROM t CROSS JOIN LATERAL
+             (SELECT unnest(range(0, (len(tok)+7)//8)) AS i) r),
+         h AS (
+           SELECT doc_id, idx, block,
+             len(string_split(block, ' ')) >= 3 AS participates,
+             ('0x' || substr(md5(block), 1, 15))::BIGINT AS h
+           FROM b),
+         k AS (
+           SELECT doc_id, idx, block,
+             (NOT participates) OR
+               (row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1) AS keep
+           FROM h)
+         SELECT doc_id, count(*) AS n_blocks,
+           CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_kept,
+           coalesce(string_agg(block, ' ' ORDER BY idx) FILTER (WHERE keep), '')
+             AS cleaned_text
+         FROM k GROUP BY doc_id""",
     "q_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey

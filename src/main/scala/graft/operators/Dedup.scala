@@ -429,4 +429,52 @@ object Dedup {
       .filter(col("cos") >= 0.99)
       .distinct()
   }
+
+  /** #78 Duplicate-span removal (C4/CCNet-style exact span dedup):
+    * chunk each doc into NON-overlapping `blockLen`-token blocks,
+    * keep only the globally-first occurrence of every repeated block
+    * — ordered by (doc_id, position), the deterministic analog of
+    * "first seen wins" — and reassemble the surviving text. This is a
+    * corpus REWRITE, not just a flag: the output is the cleaned text
+    * a training job would read. Blocks shorter than 3 tokens (the
+    * ragged tail of a doc) are always kept — deduping "the" across
+    * the corpus is noise, not dedup.
+    *
+    * Scale shape: explode is linear (n_tokens/blockLen rows per doc),
+    * the first-occurrence pick is one shuffle on the block hash with
+    * the rank filter, and the reassembly is one shuffle back on
+    * doc_id. No pairwise comparison ever happens — the standard
+    * 100 TB exact-substring-dedup layout.
+    */
+  def spans(spark: SparkSession, dir: String, blockLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val nBlocks = expr(s"(size(tok) + ${blockLen - 1}) div $blockLen").cast("int")
+    val blocks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(1), nBlocks),
+            i => array_join(slice(col("tok"), (i - lit(1)) * blockLen + 1, lit(blockLen)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"), col("col").as("block"))
+    val w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    val flagged = blocks
+      .withColumn("participates", size(split(col("block"), " ")) >= 3)
+      .withColumn("h", hash60(col("block")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", !col("participates") || col("rn") === 1)
+    flagged
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("idx"), col("block"))))),
+            x => x.getField("block")),
+          " ").as("cleaned_text"))
+  }
 }

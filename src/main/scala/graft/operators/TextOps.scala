@@ -140,6 +140,54 @@ object TextOps {
         (dupFrac > 0.2 || topRatio > 0.2).cast("int").as("is_repetitive"))
   }
 
+  /** #79 PII redaction: scrub emails, IPv4 addresses, and phone
+    * numbers from the corpus — counts per category plus the redacted
+    * text (what a compliant training pipeline actually emits). Pure
+    * per-row regexp expressions: embarrassingly parallel, zero
+    * shuffles, fully codegen'd.
+    *
+    * The synthetic corpus contains no PII, so the query PLANTS a
+    * deterministic PII suffix on a doc_id schedule (every 3rd doc an
+    * email, every 5th an IP, every 7th a phone) — verification
+    * scaffolding, clearly separated in [[plantPii]]; the DuckDB
+    * oracle replays the same injection, so the hash compare validates
+    * that the redaction regexes mean the same thing in both engines.
+    * Regexes are RE2-safe (no backrefs/lookaround).
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+\\d{2}-\\d{3}-\\d{4}"
+
+  private def plantPii(text: Column, id: Column): Column =
+    concat(
+      text,
+      when(id % 3 === 0, concat(lit(" contact user"), id, lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" host 10.0."), id % 256, lit(".17")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" call +49-555-0"), lpad((id % 1000).cast("string"), 3, "0")))
+        .otherwise(lit("")))
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), plantPii(col("text"), col("doc_id")).as("planted"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("planted"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("planted"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("planted"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("planted"), EmailRe, "<EMAIL>"),
+            Ipv4Re,
+            "<IP>"),
+          PhoneRe,
+          "<PHONE>").as("redacted"))
+      .withColumn(
+        "has_pii",
+        (col("n_emails") + col("n_ips") + col("n_phones") > 0).cast("int"))
+
   /** #68 Benchmark decontamination: flag training docs whose 3-gram
     * hash sets overlap an evaluation benchmark (here: every 97th doc
     * stands in for the benchmark corpus). Shingle sets use the

@@ -92,6 +92,30 @@ class DedupSpec extends SparkSpec {
       "incremental probe diverged from the full self-join's cross pairs")
   }
 
+  test("duplicate-span removal matches an in-memory reference rewrite") {
+    val s = Dedup.spans(spark, sf, blockLen = 8).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // reference model: scan docs in (doc_id, position) order, keep the
+    // first occurrence of every >=3-token block, always keep short tails
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val tok = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val blocks = tok.grouped(8).map(_.mkString(" ")).toVector
+      val kept = blocks.filter { b =>
+        if (b.split(" ", -1).length < 3) true
+        else if (seen.contains(b)) false
+        else { seen += b; true }
+      }
+      (id, blocks.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toSeq
+    val actual = s.select("doc_id", "n_blocks", "n_kept", "cleaned_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1).toSeq
+    assert(actual == expected)
+    // the rewrite did real work on this corpus (cross-doc repeated spans exist)
+    assert(s.filter(col("n_kept") < col("n_blocks")).count() > 0)
+  }
+
   test("dedup apply: one row per cluster, sizes account for the whole corpus") {
     val a = Dedup.applyKeepList(spark, sf).cache()
     val labels = Dedup.clusters(spark, sf)

@@ -56,4 +56,20 @@ class TextStatsSpec extends SparkSpec {
     assert(bench.filter(col("contamination_frac") < 1.0 || col("is_contaminated") =!= 1).count() == 0)
     assert(c.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
   }
+
+  test("pii redaction: planted PII is counted and fully scrubbed") {
+    val p = graft.operators.TextOps.piiRedact(spark, sf).cache()
+    assert(p.count() == Tables.documents(spark, sf).count())
+    // the plant schedule must be detected
+    assert(p.filter(col("doc_id") % 3 === 0 && col("n_emails") < 1).count() == 0)
+    assert(p.filter(col("doc_id") % 5 === 0 && col("n_ips") < 1).count() == 0)
+    assert(p.filter(col("doc_id") % 7 === 0 && col("n_phones") < 1).count() == 0)
+    // nothing PII-shaped survives redaction
+    assert(p.filter(col("redacted").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).count() == 0)
+    assert(p.filter(col("redacted").rlike("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")).count() == 0)
+    assert(p.filter(col("redacted").rlike("\\+\\d{2}-\\d{3}-\\d{4}")).count() == 0)
+    // flag consistent with counts
+    assert(p.filter(
+      (col("has_pii") === 1) =!= (col("n_emails") + col("n_ips") + col("n_phones") > 0)).count() == 0)
+  }
 }
