@@ -55,4 +55,31 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("bucketed CDC outputs: current x stats joins with zero shuffle exchanges") {
+    import graft.operators.Cdc
+    spark.sql("DROP TABLE IF EXISTS cdc_b_current")
+    spark.sql("DROP TABLE IF EXISTS cdc_b_stats")
+    try {
+      Cdc.writeBucketed(spark, sf)
+      val enriched = Cdc.bucketedEnriched(spark)
+      enriched.collect()
+      val plan = enriched.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"bucketed CDC join still shuffles:\n$plan")
+      // equality with the unbucketed join of the live DataFrames
+      val plain = Cdc.current(spark, sf)
+        .join(Cdc.stats(spark, sf), "user_id")
+        .select(
+          col("user_id"), col("last_event_id"), col("value"),
+          col("n_changes"), col("n_updates"), col("total_value"))
+      assert(enriched.exceptAll(plain).count() == 0 && plain.exceptAll(enriched).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdc_b_current")
+      spark.sql("DROP TABLE IF EXISTS cdc_b_stats")
+    }
+  }
 }
