@@ -64,6 +64,8 @@ object SparkEntry {
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
     "q_resample_daily" -> (Scale.resampleDaily _),
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
+    "q_winsorize" -> (Scale.winsorize _),
+    "q_zorder_stats" -> ((s: SparkSession, d: String) => Scale.zorderStats(s, d)),
     // Sampling (§2 #54-56)
     "q_split_assign" -> (Sampling.splitAssign _),
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "text_contamination" -> (TextOps.contamination _),
     "text_pii" -> (TextOps.piiRedact _),
+    "text_unigram_lp" -> (TextOps.unigramLogProb _),
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
@@ -552,6 +555,49 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_ips, n_phones, redacted,
            CAST(n_emails + n_ips + n_phones > 0 AS INT) AS has_pii
          FROM c""",
+    "text_unigram_lp" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS w
+           FROM documents),
+         v AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+         n AS (SELECT sum(c) AS n_total FROM v),
+         d AS (SELECT doc_id, count(*) AS n_tokens, avg(log2(c)) AS alc
+               FROM t JOIN v USING (w) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           round(log2(n_total) - alc, 4) AS avg_surprisal,
+           CAST(round(log2(n_total) - alc, 4) > 8.0 AS INT) AS is_tail
+         FROM d, n""",
+    "q_winsorize" ->
+      """WITH b AS (
+           SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, round(value, 2) AS value,
+           round(greatest(lo, least(hi, value)), 2) AS value_w,
+           CAST(value < lo OR value > hi AS INT) AS clipped
+         FROM events e JOIN b USING (event_type)""",
+    "q_zorder_stats" -> {
+      // 16 interleave terms generated to mirror Scale.morton exactly
+      val mortonSql = (0 until 8)
+        .map(i =>
+          s"((ca >> $i) & 1) * ${1L << (2 * i + 1)} + ((cb >> $i) & 1) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      s"""WITH b AS (
+           SELECT o_orderkey,
+             CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS ca,
+             CAST(ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS cb
+           FROM orders),
+         z AS (SELECT o_orderkey, ca, cb, CAST($mortonSql AS BIGINT) AS zval FROM b),
+         f AS (SELECT ca, cb,
+                 CAST(ntile(32) OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS file_id
+               FROM z)
+         SELECT file_id, count(*) AS n_rows,
+           min(ca) AS min_cust_b, max(ca) AS max_cust_b,
+           min(cb) AS min_price_b, max(cb) AS max_price_b
+         FROM f GROUP BY file_id"""
+    },
     "dedup_spans" ->
       """WITH t AS (
            SELECT doc_id,

@@ -122,4 +122,81 @@ object Scale {
         round(element_at(col("p"), 1), 2).as("p50"),
         round(element_at(col("p"), 2), 2).as("p90"),
         round(element_at(col("p"), 3), 2).as("p99"))
+
+  /** #82 Per-group winsorization: clamp `value` to its event_type's
+    * exact [p05, p95] interpolated percentiles — the standard outlier
+    * treatment before aggregating metrics that a fat tail would
+    * otherwise own. The per-group bounds table has one row per
+    * event_type (fixed cardinality), so the join back is a broadcast;
+    * the data side stays a single scan. At 100 TB the same shape swaps
+    * `percentile` for `approx_percentile` (as [[approxPercentiles]]),
+    * kept exact here for the oracle.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = ev
+      .groupBy("event_type")
+      .agg(percentile(col("value"), array(lit(0.05), lit(0.95))).as("p"))
+      .select(
+        col("event_type"),
+        element_at(col("p"), 1).as("lo"),
+        element_at(col("p"), 2).as("hi"))
+    ev
+      .join(bounds, "event_type")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 2).as("value"),
+        round(greatest(col("lo"), least(col("hi"), col("value"))), 2).as("value_w"),
+        (col("value") < col("lo") || col("value") > col("hi")).cast("int").as("clipped"))
+  }
+
+  /** Bit-interleave two 8-bit bucket ids into a 16-bit Morton
+    * (Z-order) value — multiplication instead of shifts so the same
+    * arithmetic replays in any SQL engine.
+    */
+  private[operators] def morton(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    (0 until 8)
+      .map { i =>
+        shiftright(a, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1)) +
+          shiftright(b, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i))
+      }
+      .reduce(_ + _)
+
+  /** #83 Z-order layout clustering (the Delta/Iceberg OPTIMIZE ZORDER
+    * technique): rank-bucket two query columns into 0..255, interleave
+    * the bits into a Morton code, and range-split the corpus into
+    * "files" in z-value order. Because the z-curve preserves locality
+    * in BOTH dimensions, every file's min/max extent is narrow on each
+    * column — so a point/range predicate on EITHER column prunes most
+    * files from the scan, where a single-column sort only prunes on
+    * its own column. Output = the per-file extent stats a format's
+    * data-skipping index would hold; `ScaleSpec` asserts the pruning
+    * win quantitatively.
+    *
+    * Exact ntile keeps the oracle bit-identical; at 100 TB the bucket
+    * boundaries come from a range-partitioner sample instead (same
+    * layout, no global window).
+    */
+  def zorderStats(spark: SparkSession, dir: String, files: Int = 32): DataFrame = {
+    val wCust = Window.orderBy("o_custkey", "o_orderkey")
+    val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
+    val bucketed = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
+      .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
+      .withColumn("zval", morton(col("ca"), col("cb")))
+    bucketed
+      .withColumn("file_id", ntile(files).over(Window.orderBy("zval", "o_orderkey")).cast("long"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("ca").as("min_cust_b"),
+        max("ca").as("max_cust_b"),
+        min("cb").as("min_price_b"),
+        max("cb").as("max_price_b"))
+  }
 }

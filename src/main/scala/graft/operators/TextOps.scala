@@ -188,6 +188,42 @@ object TextOps {
         "has_pii",
         (col("n_emails") + col("n_ips") + col("n_phones") > 0).cast("int"))
 
+  /** #81 Unigram LM log-prob quality score (the CCNet-style LM filter
+    * with a unigram model standing in for the LM): fit p(w) =
+    * count(w)/N on the corpus itself, then score each doc by its
+    * average token surprisal −log2 p(w). Low = common fluent language,
+    * high = rare-token junk; pipelines bucket the corpus into
+    * head/middle/tail on this score.
+    *
+    * Shape: one tokenize/explode pass feeding BOTH the vocab fit and
+    * the per-doc score (same exchange-reuse trick as
+    * [[contamination]]); the vocab table scales with vocabulary, not
+    * corpus, so AQE broadcasts it (no hint). Using
+    * avg(−log2 p) = log2 N − avg(log2 c) keeps the scalar N out of
+    * the per-token join: it's applied once per DOC via a broadcast
+    * 1-row cross join.
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("w"))
+    val vocab = exploded.groupBy("w").agg(count(lit(1)).as("c"))
+    val totalN = vocab.agg(sum("c").as("n_total"))
+    val perDoc = exploded
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(log2(col("c"))).as("avg_log2_c"))
+    perDoc
+      .crossJoin(broadcast(totalN))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(log2(col("n_total")) - col("avg_log2_c"), 4).as("avg_surprisal"))
+      .withColumn("is_tail", (col("avg_surprisal") > 8.0).cast("int"))
+  }
+
   /** #68 Benchmark decontamination: flag training docs whose 3-gram
     * hash sets overlap an evaluation benchmark (here: every 97th doc
     * stands in for the benchmark corpus). Shingle sets use the

@@ -35,4 +35,42 @@ class ScaleSpec extends SparkSpec {
     val p = Scale.approxPercentiles(spark, sf)
     assert(p.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
   }
+
+  test("winsorize: ~10% clipped, unclipped values untouched, clipped pinned to a bound") {
+    val w = Scale.winsorize(spark, sf).cache()
+    val n = Tables.events(spark, sf).count()
+    assert(w.count() == n)
+    assert(w.filter(col("clipped") === 0 && col("value_w") =!= col("value")).count() == 0)
+    val clipFrac = w.filter(col("clipped") === 1).count().toDouble / n
+    assert(clipFrac > 0.05 && clipFrac < 0.15, s"clip fraction $clipFrac")
+    // every clipped value moved toward the interior
+    assert(w.filter(
+      col("clipped") === 1 &&
+        !(col("value_w") > col("value") || col("value_w") < col("value"))).count() == 0)
+    // per-group: winsorized range is a subset of the raw range
+    val raw = w.groupBy("event_type").agg(min("value").as("rlo"), max("value").as("rhi"))
+    val win = w.groupBy("event_type").agg(min("value_w").as("wlo"), max("value_w").as("whi"))
+    assert(raw.join(win, "event_type")
+      .filter(col("wlo") < col("rlo") || col("whi") > col("rhi")).count() == 0)
+  }
+
+  test("zorder layout: balanced files with narrow extents on BOTH dimensions") {
+    val z = Scale.zorderStats(spark, sf).cache()
+    assert(z.count() == 32)
+    assert(z.agg(sum("n_rows")).head.getLong(0) == Tables.orders(spark, sf).count())
+    // ntile balance: file sizes differ by at most 1
+    val sizes = z.select("n_rows").collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1)
+    // the z-order property: every file is narrow in BOTH dims — a
+    // single-column sort would leave the other dim's extent ~255
+    val widths = z.select(
+      avg(col("max_cust_b") - col("min_cust_b")).as("wa"),
+      avg(col("max_price_b") - col("min_price_b")).as("wb")).head
+    assert(widths.getDouble(0) < 110, s"cust extent ${widths.getDouble(0)}")
+    assert(widths.getDouble(1) < 110, s"price extent ${widths.getDouble(1)}")
+    // data skipping: a point query on either dim prunes most files
+    val hitsA = z.filter(col("min_cust_b") <= 128 && col("max_cust_b") >= 128).count()
+    val hitsB = z.filter(col("min_price_b") <= 128 && col("max_price_b") >= 128).count()
+    assert(hitsA <= 16 && hitsB <= 16, s"point query hits $hitsA/$hitsB of 32 files")
+  }
 }

@@ -57,6 +57,19 @@ class TextStatsSpec extends SparkSpec {
     assert(c.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
   }
 
+  test("unigram log-prob: per-doc scores finite and ordered by token rarity") {
+    val u = graft.operators.TextOps.unigramLogProb(spark, sf).cache()
+    assert(u.count() == Tables.documents(spark, sf).count())
+    // surprisal is -log2 of an empirical probability: strictly positive, finite
+    assert(u.filter(col("avg_surprisal") <= 0 || col("avg_surprisal").isNull).count() == 0)
+    // a doc's score is bounded by the rarest possible token: p >= 1/N
+    val n = u.agg(sum("n_tokens")).head.getLong(0).toDouble
+    val maxPossible = math.log(n) / math.log(2)
+    assert(u.filter(col("avg_surprisal") > maxPossible + 1e-6).count() == 0)
+    assert(u.filter(
+      (col("is_tail") === 1) =!= (col("avg_surprisal") > 8.0)).count() == 0)
+  }
+
   test("pii redaction: planted PII is counted and fully scrubbed") {
     val p = graft.operators.TextOps.piiRedact(spark, sf).cache()
     assert(p.count() == Tables.documents(spark, sf).count())
