@@ -230,4 +230,27 @@ object CdcStream {
         col("op"),
         col("n_changes"),
         col("total_value"))
+
+  /** Gap-based session windows over the changelog: per-(user, session)
+    * activity via `session_window` — the engine merges any events
+    * within `gap` of each other into one variable-length window and
+    * the watermark closes a session (and frees its state) once event
+    * time passes session_end + gap. This is the streaming analog of
+    * the batch lag+cumsum sessionization (`Analytics.sessionize`):
+    * same gap semantics, but incremental and state-bounded — the
+    * 100 TB streaming path never re-sorts history, it merges into
+    * per-key session state as events arrive.
+    */
+  def sessionized(changes: Dataset[Change], gap: String = "30 minutes"): DataFrame =
+    changes
+      .withColumn("ts_us", timestamp_micros(col("ts")))
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(session_window(col("ts_us"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_changes"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"),
+        col("n_changes"),
+        col("total_value"))
 }

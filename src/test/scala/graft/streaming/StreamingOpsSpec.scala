@@ -46,6 +46,44 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming session windows match the batch session_window aggregation") {
+    withTempDir { inDir =>
+      Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
+
+      val q = CdcStream
+        .sessionized(CdcStream.readChangelog(spark, inDir), gap = "30 minutes")
+        .writeStream
+        .format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete") // memory sink holds the full final session table
+        .start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("stream_sessions").cache()
+        val batch = Cdc.classify(spark, sf)
+          .withColumn("ts_us", timestamp_micros(col("ts")))
+          .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_changes"), round(sum("value"), 2).as("total_value"))
+          .select(
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("user_id"), col("n_changes"), col("total_value"))
+        assert(streamed.count() == batch.count())
+        assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+        // session invariants: positive extent; per-user sessions
+        // separated by more than the gap (else they'd have merged)
+        assert(streamed.filter(col("session_end") <= col("session_start")).count() == 0)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("session_start")
+        val tooClose = streamed
+          .withColumn("prev_end", lag("session_end", 1).over(w))
+          .filter(col("prev_end").isNotNull &&
+            col("session_start").cast("long") - col("prev_end").cast("long") < 0L)
+        assert(tooClose.count() == 0, "overlapping sessions for a user")
+      } finally q.stop()
+    }
+  }
+
   test("watermarked stream-stream interval join matches the batch join") {
     withTempDir { inDir =>
       Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
