@@ -74,6 +74,7 @@ object SparkEntry {
     "q_pack_composite" -> ((s: SparkSession, d: String) => Sampling.packComposite(s, d)),
     "q_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
+    "q_neg_sample" -> ((s: SparkSession, d: String) => Sampling.negSample(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
     "text_fingerprint" -> (Dedup.fingerprint _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "mm_manifest" -> (Multimodal.manifest _),
     "mm_features" -> (Multimodal.featuresFlat _),
     "mm_feature_stats" -> (Multimodal.featureStatsFlat _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // Profiling + quantization (§2 #51-52)
     "q_profile_customer" -> (Profile.profileCustomer _),
     "ann_quantize" -> (Similarity.quantizeFlat _)
@@ -473,6 +475,27 @@ object SparkEntry {
                ORDER BY md5('graft-cap-1' || text), doc_id) AS BIGINT) AS rank_in_source
            FROM documents)
          WHERE rank_in_source <= 10""",
+    "q_neg_sample" ->
+      """WITH d AS (
+           SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         a AS (SELECT doc_id AS anchor_id, unnest(range(1, 5)) AS j
+               FROM documents WHERE doc_id % 11 = 0),
+         h AS (SELECT anchor_id, j,
+                 ('0x' || substr(md5('neg-1:' || anchor_id || '-' || j), 1, 15))::BIGINT
+                   % n_docs AS idx
+               FROM a, n)
+         SELECT anchor_id, CAST(j AS BIGINT) AS j, d.doc_id AS neg_id
+         FROM h JOIN d USING (idx) WHERE d.doc_id <> anchor_id""",
+    "mm_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, CAST(strlen(text) // 4 AS BIGINT) AS n_frames,
+             CAST(25 + (doc_id % 2) * 5 AS BIGINT) AS fps
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id, n_frames, fps, CAST(f AS BIGINT) AS frame_idx,
+           round(CAST(f AS DOUBLE) / fps, 2) AS ts_sec
+         FROM v CROSS JOIN LATERAL
+           (SELECT unnest(range(0, n_frames, fps * 2)) AS f) r""",
     "q_mixture_weights" ->
       """WITH t AS (
            SELECT source, count(*) AS n_docs,

@@ -113,6 +113,31 @@ object Multimodal {
         posexplode(col("mean_features")).as(Seq("pos", "mu")))
       .select(col("modality"), col("n_docs"), col("pos").cast("long").as("pos"), col("mu"))
 
+  /** #85 Video frame-sample scheduling: for every video payload, emit
+    * the frame indices a decoder should extract — one frame every
+    * `everySec` seconds of content, from per-video metadata (synthetic
+    * here: 4 bytes/frame, fps 25 or 30 by doc parity). This is the
+    * scheduling half of video ingestion (the decode half is the
+    * [[features]] stub): pure sequence/explode column expressions, so
+    * the fan-out is linear in sampled frames and fully codegen'd —
+    * the shape that lets a 100 TB video lake plan decode work without
+    * touching a single payload byte.
+    */
+  def frameSample(spark: SparkSession, dir: String, everySec: Int = 2): DataFrame =
+    manifest(spark, dir)
+      .filter(col("modality") === "video")
+      .select(
+        col("doc_id"),
+        (col("byte_len") / 4).cast("long").as("n_frames"),
+        (lit(25) + (col("doc_id") % 2) * 5).cast("long").as("fps"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("fps"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("fps") * everySec))
+          .as("frame_idx"))
+      .withColumn("ts_sec", round(col("frame_idx").cast("double") / col("fps"), 2))
+
   /** STUB decode: 8 deterministic byte-histogram moments in [0,1) —
     * stands in for image resize / audio frame-sample feature
     * extraction (codec libs absent in this environment).

@@ -152,6 +152,41 @@ object Sampling {
         round(col("scaled") / col("total"), 6).as("weight"))
   }
 
+  /** #86 Negative sampling for contrastive training: for each anchor
+    * doc (every 11th), draw `k` deterministic pseudo-random negatives
+    * by hashing (anchor, j) onto the dense row index — the
+    * content-addressed analog of a seeded RNG draw, reproducible
+    * across engines and backfills like every sampler here. Accidental
+    * anchor==negative collisions are dropped (the standard in-batch
+    * convention). The dense index comes from a row_number here (exact
+    * for the oracle); a 100 TB corpus maintains the same dense index
+    * as an ingest-time column instead of a global window.
+    */
+  def negSample(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val indexed = docs
+      .withColumn("idx", row_number().over(Window.orderBy("doc_id")).cast("long") - 1)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val draws = docs
+      .filter(col("doc_id") % 11 === 0)
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id").as("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("j"),
+        col("n_docs"))
+      .withColumn(
+        "idx",
+        pmod(
+          Dedup.hash60(concat(lit("neg-1:"), col("anchor_id"), lit("-"), col("j"))),
+          col("n_docs")))
+    draws
+      .join(indexed, "idx")
+      .filter(col("doc_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("doc_id").as("neg_id"))
+  }
+
   /** #56 Exact-k uniform sample by hash order: the k docs with the
     * smallest salted content hash — deterministic, engine-agnostic
     * (md5 hex strings sort identically everywhere), and unbiased for

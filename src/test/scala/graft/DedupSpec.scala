@@ -156,6 +156,15 @@ class DedupSpec extends SparkSpec {
     assert(l.filter(col("pred_lang").isNull).count() == 0)
   }
 
+  test("frame sampling: every video scheduled, indices in range on the fps*2 grid") {
+    val f = Multimodal.frameSample(spark, sf, everySec = 2).cache()
+    val videos = Multimodal.manifest(spark, sf).filter(col("modality") === "video")
+    assert(f.select("doc_id").distinct().count() == videos.count())
+    assert(f.filter(col("frame_idx") < 0 || col("frame_idx") >= col("n_frames")).count() == 0)
+    assert(f.filter(col("frame_idx") % (col("fps") * 2) =!= 0).count() == 0)
+    assert(f.filter(col("frame_idx") === 0).count() == videos.count(), "first frame always sampled")
+  }
+
   test("multimodal: manifest covers all docs; features are 8-dim, deterministic") {
     val m = Multimodal.manifest(spark, sf)
     assert(m.count() == graft.Tables.documents(spark, sf).count())

@@ -87,6 +87,21 @@ class SamplingSpec extends SparkSpec {
     assert(c.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("negative sampling: k deterministic negatives per anchor, never the anchor itself") {
+    val k = 4
+    val s = Sampling.negSample(spark, sf, k).cache()
+    val anchors = Tables.documents(spark, sf).filter(col("doc_id") % 11 === 0).count()
+    // every anchor drew negatives (self-collisions may drop at most a few)
+    val perAnchor = s.groupBy("anchor_id").count()
+    assert(perAnchor.count() == anchors)
+    assert(perAnchor.filter(col("count") > k).count() == 0)
+    assert(s.filter(col("neg_id") === col("anchor_id")).count() == 0)
+    // negatives are real docs (distinct: the same negative may serve many anchors)
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("neg_id"))
+    assert(s.select("neg_id").distinct().exceptAll(docs).count() == 0)
+    assert(s.exceptAll(Sampling.negSample(spark, sf, k)).count() == 0, "not deterministic")
+  }
+
   test("mixture weights: normalized, temperature upweights small sources") {
     val m = Sampling.mixtureWeights(spark, sf, alpha = 0.7).cache()
     val total = m.agg(sum("weight")).head.getDouble(0)
