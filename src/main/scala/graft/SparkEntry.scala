@@ -47,6 +47,7 @@ object SparkEntry {
     "q_funnel" -> (Analytics.funnel _),
     "q_anti_join" -> (Analytics.antiJoin _),
     "q_approx_distinct" -> (Analytics.approxDistinct _),
+    "q_cohort_retention" -> (Analytics.cohortRetention _),
     // Extended warehouse ops (§2 #35-41)
     "q_asof_join" -> (AnalyticsExt.asofJoin _),
     "q_range_join" -> (AnalyticsExt.rangeJoin _),
@@ -475,6 +476,17 @@ object SparkEntry {
                ORDER BY md5('graft-cap-1' || text), doc_id) AS BIGINT) AS rank_in_source
            FROM documents)
          WHERE rank_in_source <= 10""",
+    "q_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // CAST(604800000000 AS BIGINT) AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+         a AS (SELECT cohort_week, week - cohort_week AS week_offset,
+                 count(DISTINCT e.user_id) AS n_users
+               FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+         s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1)
+         SELECT cohort_week, week_offset, n_users, cohort_size,
+           round(CAST(n_users AS DOUBLE) / cohort_size, 4) AS retention
+         FROM a JOIN s USING (cohort_week)""",
     "q_neg_sample" ->
       """WITH d AS (
            SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),

@@ -285,4 +285,33 @@ object Analytics {
         approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
         count(lit(1)).as("n_events")
       )
+
+  /** #87 Cohort retention: users grouped by first-activity week, then
+    * the fraction of each cohort still active N weeks later — the
+    * standard product-analytics retention triangle. Two aggregations
+    * sharing the user_id hash partitioning (the cohort assignment and
+    * the activity join reuse one exchange); the per-cohort size table
+    * is tiny (one row per week) so AQE broadcasts the rate join. At
+    * 100 TB nothing here is more than a linear shuffle on user_id.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), floor(expr("ts div 1000") / WeekUs).cast("long").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = ev
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    active
+      .join(sizes, "cohort_week")
+      .select(
+        col("cohort_week"),
+        col("week_offset"),
+        col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+  }
 }

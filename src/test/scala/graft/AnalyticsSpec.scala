@@ -52,4 +52,19 @@ class AnalyticsSpec extends SparkSpec {
     val (s, e, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(s >= e && e >= c && s > 0)
   }
+
+  test("cohort retention: offset-0 retention is 1.0, rates bounded, cohorts partition users") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.cohortRetention(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+    assert(r.filter(col("n_users") > col("cohort_size")).count() == 0)
+    // by definition every cohort member is active in their first week
+    val w0 = r.filter(col("week_offset") === 0)
+    assert(w0.count() == r.select("cohort_week").distinct().count())
+    assert(w0.filter(col("retention") =!= 1.0).count() == 0)
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(w0.agg(sum("cohort_size")).head.getLong(0) == users)
+  }
 }
