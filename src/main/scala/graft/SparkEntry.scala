@@ -60,6 +60,8 @@ object SparkEntry {
     "q_trailing_7d" -> (AnalyticsExt.trailing7d _),
     "q_percent_rank" -> (AnalyticsExt.percentRank _),
     "q_freq_items" -> (AnalyticsExt.freqItems _),
+    "q_copurchase" -> ((s: SparkSession, d: String) => AnalyticsExt.copurchase(s, d)),
+    "q_mad_outliers" -> (Scale.madOutliers _),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
@@ -476,6 +478,31 @@ object SparkEntry {
                ORDER BY md5('graft-cap-1' || text), doc_id) AS BIGINT) AS rank_in_source
            FROM documents)
          WHERE rank_in_source <= 10""",
+    "q_copurchase" ->
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+         JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 25""",
+    "q_mad_outliers" ->
+      """WITH m AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         d AS (
+           SELECT event_id, e.event_type, value, med, abs(value - med) AS adev
+           FROM events e JOIN m USING (event_type)),
+         md AS (
+           SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           FROM d GROUP BY event_type),
+         s AS (
+           SELECT event_id, d.event_type, round(value, 2) AS value,
+             CASE WHEN mad = 0 THEN 0.0
+                  ELSE round(0.6745 * (value - med) / mad, 4) END AS rscore
+           FROM d JOIN md USING (event_type))
+         SELECT event_id, event_type, value, rscore,
+           CAST(abs(rscore) > 3.5 AS INT) AS is_outlier
+         FROM s""",
     "q_cohort_retention" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) // CAST(604800000000 AS BIGINT) AS week FROM events),

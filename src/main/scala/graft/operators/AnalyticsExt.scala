@@ -212,4 +212,34 @@ object AnalyticsExt {
         round(var_samp(col("l_quantity")), 2).as("var_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))
+
+  /** #89 Co-purchase pairs (market-basket co-occurrence): top part
+    * pairs by the number of orders containing both. The pair fan-out
+    * happens INSIDE each order's collected part set (baskets are
+    * small and bounded), so the explode is O(orders × basket²) with a
+    * tiny constant — never a lineitem self-join, which at 100 TB
+    * would shuffle the fact table twice and square the hot orders.
+    * One groupBy(order), one per-pair count, top-k with a total-order
+    * tiebreak (TakeOrdered, no global sort).
+    */
+  def copurchase(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }

@@ -153,6 +153,37 @@ object Scale {
         (col("value") < col("lo") || col("value") > col("hi")).cast("int").as("clipped"))
   }
 
+  /** #88 MAD robust outlier scoring: per event_type, the modified
+    * z-score 0.6745·(x − median)/MAD (median absolute deviation) with
+    * the standard |score| > 3.5 outlier flag — the robust alternative
+    * to stddev-based scoring when the tail itself is what's being
+    * hunted. Two exact-percentile aggregations (median, then median of
+    * deviations) over the SAME event_type partitioning — the second
+    * agg reuses the first join's exchange — and both stats tables are
+    * per-type (fixed cardinality), so the joins broadcast. 100 TB swap:
+    * `approx_percentile`, as [[winsorize]].
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type").agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev
+      .join(med, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev
+      .join(mad, "event_type")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 2).as("value"),
+        when(col("mad") === 0, 0.0)
+          .otherwise(round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+          .as("rscore"))
+      .withColumn("is_outlier", (abs(col("rscore")) > 3.5).cast("int"))
+  }
+
   /** Bit-interleave two 8-bit bucket ids into a 16-bit Morton
     * (Z-order) value — multiplication instead of shifts so the same
     * arithmetic replays in any SQL engine.

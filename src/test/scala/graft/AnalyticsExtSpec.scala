@@ -56,4 +56,18 @@ class AnalyticsExtSpec extends SparkSpec {
       .agg((max("count") - min("count")).as("spread"))
     assert(spread.filter(col("spread") > 1).count() == 0)
   }
+
+  test("copurchase: canonical pair order, counts bounded by smaller part's order count") {
+    val c = AnalyticsExt.copurchase(spark, sf, topK = 25).cache()
+    assert(c.count() > 0 && c.count() <= 25)
+    assert(c.filter(col("part_a") >= col("part_b")).count() == 0)
+    // a pair can't co-occur more often than either part appears in orders
+    val perPart = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").count()
+    val bounded = c
+      .join(perPart.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("count", "ca"), "part_a")
+      .join(perPart.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("count", "cb"), "part_b")
+    assert(bounded.filter(col("n_orders") > least(col("ca"), col("cb"))).count() == 0)
+  }
 }

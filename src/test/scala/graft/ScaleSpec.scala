@@ -54,6 +54,19 @@ class ScaleSpec extends SparkSpec {
       .filter(col("wlo") < col("rlo") || col("whi") > col("rhi")).count() == 0)
   }
 
+  test("mad outliers: tail flagged, scores centered, zero-MAD guarded") {
+    val m = Scale.madOutliers(spark, sf).cache()
+    assert(m.count() == Tables.events(spark, sf).count())
+    // the skewed value tail must trigger the 3.5 threshold somewhere
+    assert(m.filter(col("is_outlier") === 1).count() > 0)
+    // but outliers are rare by construction of a robust score
+    assert(m.filter(col("is_outlier") === 1).count() < m.count() / 10)
+    assert(m.filter((col("is_outlier") === 1) =!= (abs(col("rscore")) > 3.5)).count() == 0)
+    // roughly half the scores are non-positive (median-centered)
+    val nonPos = m.filter(col("rscore") <= 0).count().toDouble / m.count()
+    assert(nonPos > 0.35 && nonPos < 0.65, s"score centering off: $nonPos")
+  }
+
   test("zorder layout: balanced files with narrow extents on BOTH dimensions") {
     val z = Scale.zorderStats(spark, sf).cache()
     assert(z.count() == 32)
