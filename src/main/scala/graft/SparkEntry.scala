@@ -48,6 +48,7 @@ object SparkEntry {
     "q_anti_join" -> (Analytics.antiJoin _),
     "q_approx_distinct" -> (Analytics.approxDistinct _),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
+    "q_value_histogram" -> ((s: SparkSession, d: String) => Profile.valueHistogram(s, d)),
     // Extended warehouse ops (§2 #35-41)
     "q_asof_join" -> (AnalyticsExt.asofJoin _),
     "q_range_join" -> (AnalyticsExt.rangeJoin _),
@@ -478,6 +479,12 @@ object SparkEntry {
                ORDER BY md5('graft-cap-1' || text), doc_id) AS BIGINT) AS rank_in_source
            FROM documents)
          WHERE rank_in_source <= 10""",
+    "q_value_histogram" ->
+      """SELECT event_type, bucket, round(bucket * 25.0, 2) AS bucket_start, n, lo, hi
+         FROM (
+           SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+             count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+           FROM events GROUP BY 1, 2)""",
     "q_copurchase" ->
       """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a

@@ -56,4 +56,29 @@ object Profile {
   /** #51 Profile of the customer table (driver query). */
   def profileCustomer(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.customer(spark, dir))
+
+  /** #91 Fixed-width value histogram per group: bucket counts with
+    * in-bucket min/max — the distribution profile a warehouse keeps
+    * per column/partition for optimizer statistics and drift
+    * monitoring. One aggregation, buckets derived arithmetically (no
+    * second pass to find ranges) — at 100 TB this is a single
+    * map-side-combined shuffle of (groups × buckets) rows.
+    */
+  def valueHistogram(spark: SparkSession, dir: String, width: Double = 25.0): DataFrame =
+    graft.Tables
+      .events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        floor(col("value") / width).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("value"), 2).as("lo"),
+        round(max("value"), 2).as("hi"))
+      .select(
+        col("event_type"),
+        col("bucket"),
+        round(col("bucket") * width, 2).as("bucket_start"),
+        col("n"),
+        col("lo"),
+        col("hi"))
 }

@@ -111,4 +111,24 @@ class FormatsSpec extends SparkSpec {
       .groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ops == ref, s"maxwell op histogram $ops != classify $ref")
   }
+
+  test("compaction: fragmented dataset rewritten to the size-derived file count, data intact") {
+    withTempDir { dir =>
+      val fragDir = s"$dir/frag"
+      val outDir = s"$dir/compact"
+      val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+      src.repartition(64).write.parquet(fragDir)
+      def parts(d: String) =
+        new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+      assert(parts(fragDir) == 64, "fragmentation setup failed")
+      // pick targetBytes so the listing-derived count lands in (1, 64)
+      val totalBytes = new java.io.File(fragDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val n = Formats.compactBySize(spark, fragDir, outDir, targetBytes = totalBytes / 4)
+      assert(n >= 4 && n <= 5, s"unexpected file count $n")
+      assert(parts(outDir) == n)
+      val out = spark.read.parquet(outDir)
+      assert(out.exceptAll(src).count() == 0 && src.exceptAll(out).count() == 0)
+    }
+  }
 }

@@ -14,6 +14,15 @@ class ProfileQuantSpec extends SparkSpec {
     assert(p.filter(col("n_nulls") =!= 0).count() == 0) // synthetic data has no nulls
   }
 
+  test("value histogram: buckets tile the range, counts total, bounds inside buckets") {
+    val h = Profile.valueHistogram(spark, sf, width = 25.0).cache()
+    assert(h.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
+    // every observed min/max lies inside its bucket's [start, start+width)
+    assert(h.filter(
+      col("lo") < col("bucket_start") || col("hi") >= col("bucket_start") + 25.0).count() == 0)
+    assert(h.filter(col("lo") > col("hi") || col("n") < 1).count() == 0)
+  }
+
   test("approx profile tracks exact within 5% — the constant-memory 100 TB mode") {
     val cust = Tables.customer(spark, sf)
     val exact = Profile.profile(cust)
