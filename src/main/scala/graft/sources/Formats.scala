@@ -96,6 +96,36 @@ object Formats {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** #92 Quarantine reader: JSONL parsed PERMISSIVE with malformed
+    * lines routed to a dead-letter frame instead of poisoning the
+    * batch — the ingest-robustness pattern every production CDC feed
+    * needs (one bad producer record must not fail a 100 TB backfill).
+    * Returns (good, quarantined-raw-lines); both come from ONE pass
+    * over the source (the corrupt-record column is populated by the
+    * same parse).
+    */
+  def readJsonlWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    // cached: Spark disallows querying only the corrupt-record column
+    // straight off the file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    // caching also makes the good/bad split literally one parse pass
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = parsed
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
+
   /** CSV reader with explicit schema, header expected. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
@@ -121,6 +151,16 @@ object Formats {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+
+  /** #93 Schema-evolution read: union parquet datasets written under
+    * DIFFERENT schema versions (columns added over time) into one
+    * frame — `mergeSchema` unifies the footers and back-fills missing
+    * columns with null, the lake-format behavior that lets a 100 TB
+    * table evolve without rewriting history. Metadata-only schema
+    * merge; no data pass.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   /** #90 Small-file compaction: rewrite a fragmented parquet dataset
     * into ⌈bytes/targetBytes⌉ evenly-sized files — the maintenance job

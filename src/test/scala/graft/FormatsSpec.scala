@@ -112,6 +112,44 @@ class FormatsSpec extends SparkSpec {
     assert(ops == ref, s"maxwell op histogram $ops != classify $ref")
   }
 
+  test("quarantine reader: malformed lines routed to dead-letter, good rows intact") {
+    import org.apache.spark.sql.types._
+    withTempDir { dir =>
+      val p = s"$dir/in.jsonl"
+      val w = new java.io.PrintWriter(p)
+      w.println("""{"id": 1, "v": "a"}""")
+      w.println("""{"id": 2, "v": "b"}""")
+      w.println("""{"id": 3, "v": """) // truncated json
+      w.println("""not json at all""")
+      w.println("""{"id": 5, "v": "e"}""")
+      w.close()
+      val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+      val (good, bad) = Formats.readJsonlWithQuarantine(spark, p, schema)
+      assert(good.count() == 3)
+      assert(good.columns.toSeq == Seq("id", "v"))
+      assert(bad.count() == 2)
+      // dead letters carry the original raw line for replay
+      assert(bad.filter(col("raw").contains("not json")).count() == 1)
+    }
+  }
+
+  test("schema evolution: mergeSchema unions v1/v2 layouts, missing columns null") {
+    withTempDir { dir =>
+      val v1 = s"$dir/v1"
+      val v2 = s"$dir/v2"
+      Tables.events(spark, sf).select("event_id", "user_id")
+        .limit(10).write.parquet(v1)
+      Tables.events(spark, sf).select("event_id", "user_id", "value")
+        .limit(10).write.parquet(v2)
+      val all = Formats.readEvolved(spark, v1, v2)
+      assert(all.columns.toSet == Set("event_id", "user_id", "value"))
+      assert(all.count() == 20)
+      // v1 rows surface with null value, v2 rows with real ones
+      assert(all.filter(col("value").isNull).count() == 10)
+      assert(all.filter(col("value").isNotNull).count() == 10)
+    }
+  }
+
   test("compaction: fragmented dataset rewritten to the size-derived file count, data intact") {
     withTempDir { dir =>
       val fragDir = s"$dir/frag"
