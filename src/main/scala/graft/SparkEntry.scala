@@ -494,21 +494,21 @@ object SparkEntry {
          ORDER BY n_orders DESC, part_a, part_b LIMIT 25""",
     "q_mad_outliers" ->
       """WITH m AS (
-           SELECT event_type, quantile_cont(value, 0.5) AS med
+           SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
            FROM events GROUP BY event_type),
          d AS (
            SELECT event_id, e.event_type, value, med, abs(value - med) AS adev
            FROM events e JOIN m USING (event_type)),
          md AS (
-           SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
            FROM d GROUP BY event_type),
          s AS (
            SELECT event_id, d.event_type, round(value, 2) AS value,
-             CASE WHEN mad = 0 THEN 0.0
-                  ELSE round(0.6745 * (value - med) / mad, 4) END AS rscore
+             CASE WHEN mad = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(0.6745 * (value - med) / mad * 10000 + 0.5) AS BIGINT) END AS rscore_e4
            FROM d JOIN md USING (event_type))
-         SELECT event_id, event_type, value, rscore,
-           CAST(abs(rscore) > 3.5 AS INT) AS is_outlier
+         SELECT event_id, event_type, value, rscore_e4,
+           CAST(abs(rscore_e4) > 35000 AS INT) AS is_outlier
          FROM s""",
     "q_cohort_retention" ->
       """WITH e AS (

@@ -167,21 +167,32 @@ object Scale {
     val ev = Tables
       .events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-    val med = ev.groupBy("event_type").agg(percentile(col("value"), lit(0.5)).as("med"))
+    // med/MAD rounded to 6dp BEFORE the score division: engines differ
+    // in the last ulp of percentile interpolation. The score itself is
+    // emitted in integer ten-thousandths via floor(x*1e4 + 0.5) rather
+    // than round(x, 4): the 6dp-rounded med/mad make exact half-way
+    // quotients common, and Spark (BigDecimal HALF_UP on the printed
+    // decimal) and DuckDB (rint on the scaled double) break those ties
+    // differently — floor of the same IEEE double never does.
+    val med = ev
+      .groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
     val dev = ev
       .join(med, "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type").agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val mad = dev
+      .groupBy("event_type")
+      .agg(round(percentile(col("adev"), lit(0.5)), 6).as("mad"))
     dev
       .join(mad, "event_type")
       .select(
         col("event_id"),
         col("event_type"),
         round(col("value"), 2).as("value"),
-        when(col("mad") === 0, 0.0)
-          .otherwise(round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
-          .as("rscore"))
-      .withColumn("is_outlier", (abs(col("rscore")) > 3.5).cast("int"))
+        when(col("mad") === 0, 0L)
+          .otherwise(floor(lit(0.6745) * (col("value") - col("med")) / col("mad") * 10000d + lit(0.5)))
+          .as("rscore_e4"))
+      .withColumn("is_outlier", (abs(col("rscore_e4")) > 35000L).cast("int"))
   }
 
   /** Bit-interleave two 8-bit bucket ids into a 16-bit Morton

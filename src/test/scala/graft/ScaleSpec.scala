@@ -61,9 +61,9 @@ class ScaleSpec extends SparkSpec {
     assert(m.filter(col("is_outlier") === 1).count() > 0)
     // but outliers are rare by construction of a robust score
     assert(m.filter(col("is_outlier") === 1).count() < m.count() / 10)
-    assert(m.filter((col("is_outlier") === 1) =!= (abs(col("rscore")) > 3.5)).count() == 0)
+    assert(m.filter((col("is_outlier") === 1) =!= (abs(col("rscore_e4")) > 35000)).count() == 0)
     // roughly half the scores are non-positive (median-centered)
-    val nonPos = m.filter(col("rscore") <= 0).count().toDouble / m.count()
+    val nonPos = m.filter(col("rscore_e4") <= 0).count().toDouble / m.count()
     assert(nonPos > 0.35 && nonPos < 0.65, s"score centering off: $nonPos")
   }
 
