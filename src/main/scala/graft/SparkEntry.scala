@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_spans" -> ((s: SparkSession, d: String) => Dedup.spans(s, d)),
     "dedup_embedding" -> (Dedup.embedding _),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
@@ -944,6 +945,39 @@ object SparkEntry {
                   e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC, c.label) AS rn
             FROM embeddings e, c)
           WHERE rn = 1"""
+    },
+    "dedup_semantic" -> {
+      // Replays the whole SemDeDup pipeline: planted perturbed copies
+      // (same float arithmetic — double multiply then FLOAT cast),
+      // per-label mean centroids, nearest-centroid assignment, and the
+      // keep-the-outlier prune, all on 6dp-rounded cosines.
+      val terms = (1 to 64).map(i => s"CAST(avg(embedding[$i]) AS FLOAT)").mkString(", ")
+      s"""WITH p AS (
+            SELECT vec_id + 1000000 AS vec_id,
+              [CAST(embedding[i]*(1.0 + 0.002*(((i-1)%5)-2)) AS FLOAT)
+               for i in generate_series(1,64)] AS embedding
+            FROM embeddings WHERE vec_id % 4 = 0),
+          u AS (SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM p),
+          c AS (SELECT label, [$terms] AS centroid
+                FROM embeddings GROUP BY label),
+          a AS (SELECT vec_id, embedding, cell, ccos FROM (
+              SELECT u.vec_id, u.embedding, c.label AS cell,
+                round(list_cosine_similarity(
+                  u.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) AS ccos,
+                row_number() OVER (PARTITION BY u.vec_id
+                  ORDER BY round(list_cosine_similarity(
+                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC, c.label) AS rn
+              FROM u, c) WHERE rn = 1),
+          d AS (SELECT DISTINCT x.vec_id
+                FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+                WHERE round(list_cosine_similarity(
+                    x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.99
+                  AND (y.ccos < x.ccos
+                       OR (y.ccos = x.ccos AND y.vec_id < x.vec_id)))
+          SELECT a.vec_id, CAST(cell AS BIGINT) AS cell, ccos,
+            CAST(d.vec_id IS NULL AS INT) AS keep
+          FROM a LEFT JOIN d USING (vec_id)"""
     },
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

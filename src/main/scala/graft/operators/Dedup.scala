@@ -477,4 +477,81 @@ object Dedup {
             x => x.getField("block")),
           " ").as("cleaned_text"))
   }
+
+  /** #92 SemDeDup — semantic dedup by clustering then within-cluster
+    * cosine pruning (Abbas et al. 2023, arXiv:2303.09540). Unlike the
+    * hyperplane-LSH `embedding` operator above, the candidate scope is
+    * a k-means-style cell: assign every vector to its nearest centroid
+    * (here the per-label per-dimension means — the same deterministic
+    * coarse quantizer `Similarity.centroidAssign` uses), then inside
+    * each cell drop a vector when a near-duplicate (cosine ≥ `tau`)
+    * exists that is FARTHER from the centroid — the paper's rule:
+    * among semantic duplicates, keep the cluster outlier to preserve
+    * diversity. Ties on centroid-cosine break by lower vec_id.
+    *
+    * The corpus is base + every-4th perturbed near-copy (same planted
+    * schedule as `embedding`), so the prune has real work: exactly one
+    * side of each planted pair is dropped.
+    *
+    * Scale shape: centroid table is k×d floats (broadcast); the
+    * assignment is one broadcast-nested-loop pass; the prune joins on
+    * `cell`, so pairwise work is bounded by cell occupancy — SemDeDup's
+    * own contract is k ∝ n/target_cell_size, which keeps the
+    * within-cell quadratic term constant per cell at 100 TB. No global
+    * pairwise join exists in the plan.
+    */
+  def semantic(spark: SparkSession, dir: String, tau: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+    val vecs = base.select(col("vec_id"), col("embedding"))
+    val perturbed = vecs
+      .filter(col("vec_id") % 4 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.002 * ((i % 5) - 2)) AS FLOAT))")
+          .as("embedding"))
+    val corpus = vecs.unionAll(perturbed)
+    val centroids = base
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg("x").as("mu"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("entries"))
+      .select(
+        col("label").as("cell"),
+        expr("transform(entries, e -> CAST(e.mu AS FLOAT))").as("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cell"),
+        round(expr("cosine_sim(embedding, centroid)"), 6).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val right = assigned.select(
+      col("cell"),
+      col("vec_id").as("o_id"),
+      col("embedding").as("o_emb"),
+      col("ccos").as("o_ccos"))
+    val dropped = assigned
+      .join(right, Seq("cell"))
+      .filter(col("o_id") =!= col("vec_id"))
+      .filter(round(expr("cosine_sim(embedding, o_emb)"), 6) >= tau)
+      .filter(
+        col("o_ccos") < col("ccos") ||
+          (col("o_ccos") === col("ccos") && col("o_id") < col("vec_id")))
+      .select("vec_id")
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(1)), Seq("vec_id"), "left_outer")
+      .select(
+        col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        col("ccos"),
+        col("is_dropped").isNull.cast("int").as("keep"))
+  }
 }

@@ -57,6 +57,29 @@ class DedupSpec extends SparkSpec {
     assert(e.filter(col("vec_b") =!= col("vec_a") + 1000000L).count() == 0)
   }
 
+  test("semantic dedup drops exactly one side of each planted pair, keeping the cluster outlier") {
+    val s = Dedup.semantic(spark, sf).cache()
+    val base = graft.Tables.embeddings(spark, sf).count()
+    val planted = base / 4 // every 4th vec_id (0-based ids) gets a near-copy
+    assert(s.count() == base + planted)
+    val droppedCount = s.filter(col("keep") === 0).count()
+    assert(droppedCount == planted, s"dropped $droppedCount, planted $planted")
+    // each dropped vector has its planted partner kept (pair = v <-> v+1M)
+    val dropped = s.filter(col("keep") === 0).select(col("vec_id")).cache()
+    val partner = dropped.select(
+      when(col("vec_id") >= 1000000L, col("vec_id") - 1000000L)
+        .otherwise(col("vec_id") + 1000000L).as("vec_id"))
+    assert(partner.join(s.filter(col("keep") === 1), "vec_id").count() == planted)
+    // the SemDeDup rule: the kept side of a pair is never closer to
+    // the centroid than the dropped side
+    val pairs = s.filter(col("keep") === 0)
+      .select(col("vec_id").as("d_id"), col("ccos").as("d_ccos"))
+      .join(
+        s.filter(col("keep") === 1).select(col("vec_id").as("k_id"), col("ccos").as("k_ccos")),
+        col("k_id") === col("d_id") + 1000000L || col("k_id") === col("d_id") - 1000000L)
+    assert(pairs.filter(col("k_ccos") > col("d_ccos")).count() == 0)
+  }
+
   test("near-dup clustering matches a union-find reference; planted pairs share clusters") {
     val labels = Dedup.clusters(spark, sf).cache()
     val pairRows = Dedup.minhash(spark, sf).select("doc_a", "doc_b").collect()
