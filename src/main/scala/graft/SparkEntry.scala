@@ -74,6 +74,7 @@ object SparkEntry {
     "q_split_assign" -> (Sampling.splitAssign _),
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
+    "q_shuffle_order" -> ((s: SparkSession, d: String) => Sampling.shuffleOrder(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "q_pack_composite" -> ((s: SparkSession, d: String) => Sampling.packComposite(s, d)),
     "q_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
@@ -429,6 +430,14 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, md5('graft-sample-1' || text) AS h
          FROM documents ORDER BY h, doc_id LIMIT 100""",
+    "q_shuffle_order" ->
+      """WITH t AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('graft-shuffle-epoch0:' || doc_id), 1, 15))::BIGINT AS ord
+           FROM documents)
+         SELECT doc_id, ord % 8 AS shard,
+           row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) - 1 AS pos
+         FROM t""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5('graft-strat-1' || text), 1, 15))::BIGINT % 10000 <

@@ -201,4 +201,30 @@ object Sampling {
         md5(concat(lit("graft-sample-1"), col("text")).cast("binary")).as("h"))
       .orderBy(col("h"), col("doc_id"))
       .limit(k)
+
+  /** #93 Deterministic training-order shuffle + sharding: every doc
+    * gets a pseudo-random sort key from its salted id hash; shard =
+    * key mod `nShards`; position = rank of the key INSIDE its shard.
+    * This is the "global shuffle without a global sort" layout every
+    * pretraining job needs: a loader that reads shards round-robin in
+    * position order sees a uniform random permutation of the corpus,
+    * yet the plan contains no total-order sort — one exchange on
+    * `shard` and a per-shard local sort, each shard independent.
+    * Content-addressed like every sampler here: the permutation is
+    * reproducible across engines, runs, and backfills, and changing
+    * the salt re-shuffles for the next epoch.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        Dedup.hash60(concat(lit("graft-shuffle-epoch0:"), col("doc_id"))).as("ord"))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

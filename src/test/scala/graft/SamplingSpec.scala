@@ -114,4 +114,29 @@ class SamplingSpec extends SparkSpec {
     val wRatio = hi.getAs[Double]("weight") / lo.getAs[Double]("weight")
     assert(wRatio <= tokRatio + 1e-9, "temperature failed to compress the mix")
   }
+
+  test("shuffle order: a dense per-shard permutation, balanced, decorrelated from doc_id") {
+    import graft.operators.Sampling
+    val s = Sampling.shuffleOrder(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(s.count() == n)
+    assert(s.select("doc_id").distinct().count() == n)
+    // positions are dense 0..count-1 inside every shard
+    val bad = s.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("c") - 1 || col("mn") =!= 0)
+    assert(bad.count() == 0)
+    // hash-balanced shards: each within 2x of the mean
+    val sizes = s.groupBy("shard").count().select("count").collect().map(_.getLong(0))
+    assert(sizes.length == 8 && sizes.min > n / 16 && sizes.max < n / 4)
+    // pseudo-random order: within a shard, the fraction of adjacent
+    // positions whose doc_ids ascend should hover near 1/2 — a sorted
+    // or id-correlated order would push it toward 0 or 1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("pos")
+    val asc = s.withColumn("nxt", lead("doc_id", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(avg((col("nxt") > col("doc_id")).cast("double")).as("p"))
+      .head().getDouble(0)
+    assert(asc > 0.35 && asc < 0.65, s"order correlated with doc_id: $asc")
+  }
 }
