@@ -107,6 +107,7 @@ object SparkEntry {
     "text_contamination" -> (TextOps.contamination _),
     "text_pii" -> (TextOps.piiRedact _),
     "text_unigram_lp" -> (TextOps.unigramLogProb _),
+    "text_filter_pipeline" -> ((s: SparkSession, d: String) => TextOps.filterPipeline(s, d)),
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
@@ -938,6 +939,95 @@ object SparkEntry {
                  (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
              AS quality_score
          FROM t""",
+    "text_filter_pipeline" -> {
+      // The composed filter stack: each signal CTE is the SAME SQL as
+      // its standalone oracle (quality, repetition, contamination,
+      // lang-id), joined into the one keep/reason verdict.
+      val markers = Seq(
+        "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+        "en" -> Seq("the", "a", "of", "and", "is", "to"),
+        "es" -> Seq("el", "la", "los", "y", "es", "de"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "de"),
+        "zh" -> Seq("的", "了", "是", "在", "和", "有"))
+      val structs = markers
+        .map { case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+          s"struct_pack(lang := '$l', score := len(list_filter(toks, w -> list_contains($list, w))))"
+        }
+        .mkString(",\n             ")
+      s"""WITH qt AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM documents),
+         q AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
+               AS quality_score
+           FROM qt),
+         rt AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         tri AS (
+           SELECT doc_id, len(tok) AS n_tok,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END AS tri
+           FROM rt),
+         rbase AS (
+           SELECT doc_id, n_tok, len(tri) AS n_tri, len(list_distinct(tri)) AS n_uniq FROM tri),
+         rtop AS (
+           SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, token, count(*) AS c
+             FROM (SELECT doc_id, unnest(tok) AS token FROM rt) GROUP BY doc_id, token)
+           GROUP BY doc_id),
+         r AS (
+           SELECT b.doc_id,
+             CAST((1.0 - CAST(n_uniq AS DOUBLE) / n_tri) > 0.2
+                  OR (CAST(topc AS DOUBLE) / n_tok) > 0.2 AS INT) AS is_repetitive
+           FROM rbase b JOIN rtop USING (doc_id)),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([('0x' || substr(md5(s), 1, 15))::BIGINT for s in
+               CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                    ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END])
+             AS hs
+           FROM rt),
+         e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         bench AS (SELECT DISTINCT h FROM e WHERE doc_id % 97 = 0),
+         hits AS (SELECT e.doc_id, count(*) AS n_hits
+                  FROM e JOIN bench USING (h) GROUP BY e.doc_id),
+         con AS (
+           SELECT s.doc_id,
+             CAST(s.doc_id % 97 = 0 AS INT) AS is_benchmark,
+             CAST(CAST(coalesce(n_hits, 0) AS DOUBLE) / len(hs) >= 0.5 AS INT) AS is_contaminated
+           FROM sh s LEFT JOIN hits USING (doc_id)),
+         ls AS (SELECT doc_id, u.s.lang AS lang, u.s.score AS score
+               FROM qt, UNNEST([
+             $structs
+           ]) AS u(s)),
+         lang AS (
+           SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM ls)
+           WHERE rn = 1)
+         SELECT q.doc_id, n_tokens, quality_score, is_repetitive, is_contaminated,
+           is_benchmark, pred_lang,
+           CASE WHEN is_benchmark = 1 THEN 'benchmark'
+                WHEN is_contaminated = 1 THEN 'contaminated'
+                WHEN n_tokens < 15 THEN 'too_short'
+                WHEN quality_score < 0.2 THEN 'low_quality'
+                WHEN is_repetitive = 1 THEN 'repetitive'
+                WHEN pred_lang = 'und' THEN 'lang_unknown'
+                ELSE 'keep' END AS reason,
+           CAST(is_benchmark = 0 AND is_contaminated = 0 AND n_tokens >= 15
+                AND quality_score >= 0.2 AND is_repetitive = 0
+                AND pred_lang <> 'und' AS INT) AS keep
+         FROM q JOIN r USING (doc_id) JOIN con USING (doc_id) JOIN lang USING (doc_id)"""
+    },
     "ann_centroid_assign" -> {
       // 64 per-dimension avg terms, float-cast to mirror the Spark
       // side's float centroid arrays bit-for-bit

@@ -262,4 +262,54 @@ object TextOps {
       (col("doc_id") % 97 === 0).cast("int").as("is_benchmark"),
       (frac >= 0.5).cast("int").as("is_contaminated"))
   }
+
+  /** #94 Corpus filter pipeline: the composed C4/Gopher-style keep/drop
+    * decision — every heuristic filter stage ([[qualityScore]],
+    * [[repetition]], [[contamination]], [[langId]]) joined into ONE
+    * verdict per doc with per-rule flags and a first-failing `reason`
+    * code. This is the operator a pipeline owner actually runs: the
+    * signals individually are diagnostics; the join of them is the
+    * training set.
+    *
+    * Precedence (drop reasons, most categorical first): `benchmark`
+    * (eval docs are never training data), `contaminated` (≥50%
+    * benchmark-shingle overlap), `too_short`, `low_quality`,
+    * `repetitive`, `lang_unknown`; else `keep`.
+    *
+    * Scale shape: four signal subplans (each already linear — see
+    * their docs) joined on `doc_id`; the joins shuffle on the same
+    * key, so AQE coalesces them into co-partitioned exchanges. No new
+    * shuffle class is introduced by composition.
+    */
+  def filterPipeline(
+      spark: SparkSession,
+      dir: String,
+      minTokens: Int = 15,
+      minQuality: Double = 0.2): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val r = repetition(spark, dir).select(col("doc_id"), col("is_repetitive"))
+    val c = contamination(spark, dir)
+      .select(col("doc_id"), col("is_contaminated"), col("is_benchmark"))
+    val l = langId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val reason = when(col("is_benchmark") === 1, "benchmark")
+      .when(col("is_contaminated") === 1, "contaminated")
+      .when(col("n_tokens") < minTokens, "too_short")
+      .when(col("quality_score") < minQuality, "low_quality")
+      .when(col("is_repetitive") === 1, "repetitive")
+      .when(col("pred_lang") === "und", "lang_unknown")
+      .otherwise("keep")
+    q.join(r, "doc_id")
+      .join(c, "doc_id")
+      .join(l, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("quality_score"),
+        col("is_repetitive"),
+        col("is_contaminated"),
+        col("is_benchmark"),
+        col("pred_lang"),
+        reason.as("reason"))
+      .withColumn("keep", (col("reason") === "keep").cast("int"))
+  }
 }

@@ -70,6 +70,30 @@ class TextStatsSpec extends SparkSpec {
       (col("is_tail") === 1) =!= (col("avg_surprisal") > 8.0)).count() == 0)
   }
 
+  test("filter pipeline: verdicts consistent with the component signals, every rule fires") {
+    import graft.operators.TextOps
+    val f = TextOps.filterPipeline(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(f.count() == n)
+    // keep <=> reason = 'keep', and the reason always names a failing rule
+    assert(f.filter((col("keep") === 1) =!= (col("reason") === "keep")).count() == 0)
+    assert(f.filter(col("reason") === "benchmark").filter(col("is_benchmark") =!= 1).count() == 0)
+    assert(f.filter(col("reason") === "repetitive").filter(col("is_repetitive") =!= 1).count() == 0)
+    assert(f.filter(col("reason") === "too_short").filter(col("n_tokens") >= 15).count() == 0)
+    assert(
+      f.filter(col("reason") === "low_quality").filter(col("quality_score") >= 0.2).count() == 0)
+    // the synthetic corpus exercises the rules and still keeps a majority
+    // (repetitive docs exist but are all also short/low-quality, so the
+    // flag fires while the higher-precedence reason wins)
+    val reasons = f.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(
+      Set("keep", "benchmark", "contaminated", "too_short", "low_quality", "lang_unknown")
+        .subsetOf(reasons),
+      s"missing reasons: $reasons")
+    assert(f.filter(col("is_repetitive") === 1).count() > 0)
+    assert(f.filter(col("keep") === 1).count() > n / 2)
+  }
+
   test("pii redaction: planted PII is counted and fully scrubbed") {
     val p = graft.operators.TextOps.piiRedact(spark, sf).cache()
     assert(p.count() == Tables.documents(spark, sf).count())
