@@ -120,7 +120,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // Profiling + quantization (§2 #51-52)
     "q_profile_customer" -> (Profile.profileCustomer _),
-    "ann_quantize" -> (Similarity.quantizeFlat _)
+    "ann_quantize" -> (Similarity.quantizeFlat _),
+    "ann_project" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1044,6 +1045,23 @@ object SparkEntry {
                   e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC, c.label) AS rn
             FROM embeddings e, c)
           WHERE rn = 1"""
+    },
+    "ann_project" -> {
+      // Same ±1 literals in the same textual order as the Spark plan
+      // (both derived from Similarity.rpSign's public md5 parity), so
+      // the signed double sums round identically.
+      val k = 16
+      val rows = (0 until k).map { j =>
+        (0 until 64)
+          .map(i =>
+            s"${if (graft.operators.Similarity.rpSign(i, j) > 0) "+" else "-"} CAST(embedding[${i + 1}] AS DOUBLE)")
+          .mkString(" ")
+      }
+      val ys = rows.map(t => s"round((0.0 $t) / sqrt(CAST($k AS DOUBLE)), 6)").mkString(", ")
+      val poss = (0 until k).map(_.toString).mkString(", ")
+      s"""SELECT vec_id, CAST(unnest([$poss]) AS BIGINT) AS pos,
+            unnest([$ys]) AS y
+          FROM embeddings"""
     },
     "dedup_semantic" -> {
       // Replays the whole SemDeDup pipeline: planted perturbed copies

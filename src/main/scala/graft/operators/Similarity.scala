@@ -359,4 +359,44 @@ object Similarity {
         col("c_label").cast("long").as("assigned_label"),
         col("cos"))
   }
+
+  /** The Rademacher sign matrix for [[randomProjection]]: sign(i, j) =
+    * ±1 from the parity of the engine-portable 60-bit md5 hash of
+    * "graft-rp:i:j" — the same public definition as `hash60`, so any
+    * engine (the DuckDB oracle included) can re-derive the matrix, and
+    * the "random" projection is reproducible across engines, runs, and
+    * backfills. Computed once at plan time; the plan itself carries
+    * only ±1 literals.
+    */
+  private[graft] def rpSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft-rp:$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1 else -1
+  }
+
+  /** #95 Random-projection dimensionality reduction (Achlioptas '01
+    * database-friendly JL): project 64-dim float embeddings to `k`
+    * dims with a ±1 sign matrix, y_j = (Σᵢ ±xᵢ) / √k — norms and
+    * distances preserved in expectation (Johnson–Lindenstrauss), at
+    * k/64 the storage and dot-product cost. This is the scale lever
+    * for every embedding operator here: at 100 TB, brute-force/IVF/
+    * LSH run over the projected vectors at a fraction of the memory
+    * bandwidth, re-scoring survivors on the full vectors.
+    *
+    * Pure per-row projection — zero shuffles, fully codegen'd; each
+    * output dim is a fixed 64-term signed sum, textually identical in
+    * the DuckDB oracle (same literal order → same double rounding).
+    */
+  def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val ys = (0 until k).map { j =>
+      val terms = (0 until 64)
+        .map(i => s"${if (rpSign(i, j) > 0) "+" else "-"} CAST(embedding[$i] AS DOUBLE)")
+        .mkString(" ")
+      s"round((0.0d $terms) / sqrt(CAST($k AS DOUBLE)), 6)"
+    }
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(expr(s"array(${ys.mkString(", ")})")).as(Seq("pos", "y")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
+  }
 }

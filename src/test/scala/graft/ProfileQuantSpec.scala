@@ -66,4 +66,28 @@ class ProfileQuantSpec extends SparkSpec {
     assert(s.count() == 3)
     assert(s.filter(size(col("mean_features")) =!= 8).count() == 0)
   }
+
+  test("random projection: 16 dims per vector, JL norm preservation, deterministic") {
+    import graft.operators.Similarity
+    val p = Similarity.randomProjection(spark, sf).cache()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(p.count() == n * 16)
+    // ||y||^2 concentrates around ||x||^2 (E[ratio]=1, sd ~ sqrt(2/k)=0.35):
+    // the median ratio sits near 1 and the bulk stays in a JL-plausible band
+    val yNorm = p.groupBy("vec_id").agg(sum(col("y") * col("y")).as("y2"))
+    val xNorm = graft.Tables.embeddings(spark, sf)
+      .select(
+        col("vec_id"),
+        expr("aggregate(embedding, 0.0d, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("x2"))
+    val ratios = yNorm.join(xNorm, "vec_id")
+      .select((col("y2") / col("x2")).as("r"))
+    val med = ratios.stat.approxQuantile("r", Array(0.5), 0.01).head
+    assert(med > 0.75 && med < 1.25, s"JL median ratio off: $med")
+    val inBand = ratios.filter(col("r") > 0.3 && col("r") < 2.2).count().toDouble / n
+    assert(inBand > 0.9, s"JL band coverage: $inBand")
+    // sign matrix is a deterministic function, not RNG state
+    assert(Similarity.rpSign(0, 0) == Similarity.rpSign(0, 0))
+    assert(p.exceptAll(Similarity.randomProjection(spark, sf)).count() == 0)
+  }
 }
