@@ -121,7 +121,8 @@ object SparkEntry {
     // Profiling + quantization (§2 #51-52)
     "q_profile_customer" -> (Profile.profileCustomer _),
     "ann_quantize" -> (Similarity.quantizeFlat _),
-    "ann_project" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d))
+    "ann_project" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
+    "ann_project_search" -> ((s: SparkSession, d: String) => Similarity.projectSearch(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1062,6 +1063,36 @@ object SparkEntry {
       s"""SELECT vec_id, CAST(unnest([$poss]) AS BIGINT) AS pos,
             unnest([$ys]) AS y
           FROM embeddings"""
+    },
+    "ann_project_search" -> {
+      // Two-stage replay: identical float projection, 6dp projected
+      // cosine ranking with vec_id tiebreak, exact re-score of the
+      // top-150 survivors.
+      val k = 32
+      val rows = (0 until k).map { j =>
+        (0 until 64)
+          .map(i =>
+            s"${if (graft.operators.Similarity.rpSign(i, j) > 0) "+" else "-"} CAST(embedding[${i + 1}] AS DOUBLE)")
+          .mkString(" ")
+      }
+      val ys = rows.map(t => s"CAST((0.0 $t) / sqrt(CAST($k AS DOUBLE)) AS FLOAT)").mkString(", ")
+      s"""WITH pv AS (SELECT vec_id, embedding, [$ys] AS pvec FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb, pvec AS q_pvec
+                FROM pv WHERE vec_id < 10),
+          cand AS (
+            SELECT query_id, vec_id, embedding, q_emb,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY round(list_cosine_similarity(
+                  pvec::DOUBLE[], q_pvec::DOUBLE[]), 6) DESC, vec_id) AS crank
+            FROM pv, q WHERE vec_id <> query_id)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id,
+              round(list_cosine_similarity(embedding::DOUBLE[], q_emb::DOUBLE[]), 6) AS cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(list_cosine_similarity(
+                  embedding::DOUBLE[], q_emb::DOUBLE[]), 6) DESC, vec_id) AS BIGINT) AS rank
+            FROM cand WHERE crank <= 150)
+          WHERE rank <= 10"""
     },
     "dedup_semantic" -> {
       // Replays the whole SemDeDup pipeline: planted perturbed copies

@@ -399,4 +399,63 @@ object Similarity {
       .select(col("vec_id"), posexplode(expr(s"array(${ys.mkString(", ")})")).as(Seq("pos", "y")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
   }
+
+  /** The [[randomProjection]] matrix applied in-plan as an
+    * `array<float>` column expression over `colName` — shared by the
+    * projected-search operator and usable ahead of any embedding op.
+    */
+  private[graft] def rpArrayExpr(colName: String, k: Int): String = {
+    val ys = (0 until k).map { j =>
+      val terms = (0 until 64)
+        .map(i => s"${if (rpSign(i, j) > 0) "+" else "-"} CAST($colName[$i] AS DOUBLE)")
+        .mkString(" ")
+      s"CAST((0.0d $terms) / sqrt(CAST($k AS DOUBLE)) AS FLOAT)"
+    }
+    s"array(${ys.mkString(", ")})"
+  }
+
+  /** #96 Projected ANN search — the two-stage pattern that makes
+    * brute-force tractable at 100 TB: score ALL candidates in the
+    * `k`-dim projected space (k/64 of the memory bandwidth and FLOPs),
+    * keep the top-`cand` per query, then re-score only those survivors
+    * with exact cosine on the full vectors. JL distance preservation
+    * makes the coarse ranking agree with the exact one often enough
+    * that a modest `cand` recovers high recall (spec-measured vs
+    * [[bruteForce]]).
+    *
+    * Same plan discipline as every search here: queries broadcast,
+    * corpus scanned once, both rank filters compile to
+    * WindowGroupLimit so each partition ships only its local top-k.
+    */
+  def projectSearch(spark: SparkSession, dir: String, k: Int = 32, cand: Int = 150): DataFrame = {
+    GraftFunctions.register(spark)
+    val proj = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), expr(rpArrayExpr("embedding", k)).as("pvec"))
+    val queries = proj
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        col("pvec").as("q_pvec"))
+    val wc = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    proj
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("embedding"),
+        col("q_emb"),
+        round(expr("cosine_sim(pvec, q_pvec)"), 6).as("pcos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
 }

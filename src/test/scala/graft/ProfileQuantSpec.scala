@@ -90,4 +90,16 @@ class ProfileQuantSpec extends SparkSpec {
     assert(Similarity.rpSign(0, 0) == Similarity.rpSign(0, 0))
     assert(p.exceptAll(Similarity.randomProjection(spark, sf)).count() == 0)
   }
+
+  test("projected search: 10 per query, high recall vs exact brute force") {
+    import graft.operators.Similarity
+    val ps = Similarity.projectSearch(spark, sf).cache()
+    val perQ = ps.groupBy("query_id").count()
+    assert(perQ.count() == 10 && perQ.filter(col("count") =!= 10).count() == 0)
+    val exact = Similarity.bruteForce(spark, sf)
+      .select(col("query_id"), col("vec_id"))
+    val recall = ps.select(col("query_id"), col("vec_id"))
+      .intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.7, s"recall@10 via 16-dim candidates: $recall")
+  }
 }
