@@ -65,6 +65,7 @@ object SparkEntry {
     "q_mad_outliers" -> (Scale.madOutliers _),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
+    "q_key_skew" -> (Scale.keySkew _),
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
     "q_resample_daily" -> (Scale.resampleDaily _),
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
@@ -709,6 +710,15 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_nationkey""",
+    "q_key_skew" ->
+      """WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+         hist AS (SELECT c, count(*) AS n_keys FROM per GROUP BY c),
+         t AS (SELECT count(*) AS n_keys_total, sum(c) AS n_rows_total, max(c) AS max_c
+               FROM per)
+         SELECT c, n_keys, round(c * n_keys / n_rows_total, 6) AS row_share,
+           n_keys_total,
+           round(max_c * n_keys_total / CAST(n_rows_total AS DOUBLE), 4) AS skew_ratio
+         FROM hist, t""",
     "cdc_merge_incremental" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts,
            round(value, 2) AS value

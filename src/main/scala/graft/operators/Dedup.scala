@@ -478,7 +478,7 @@ object Dedup {
           " ").as("cleaned_text"))
   }
 
-  /** #92 SemDeDup — semantic dedup by clustering then within-cluster
+  /** #94 SemDeDup — semantic dedup by clustering then within-cluster
     * cosine pruning (Abbas et al. 2023, arXiv:2303.09540). Unlike the
     * hyperplane-LSH `embedding` operator above, the candidate scope is
     * a k-means-style cell: assign every vector to its nearest centroid

@@ -202,7 +202,7 @@ object Sampling {
       .orderBy(col("h"), col("doc_id"))
       .limit(k)
 
-  /** #93 Deterministic training-order shuffle + sharding: every doc
+  /** #95 Deterministic training-order shuffle + sharding: every doc
     * gets a pseudo-random sort key from its salted id hash; shard =
     * key mod `nShards`; position = rank of the key INSIDE its shard.
     * This is the "global shuffle without a global sort" layout every

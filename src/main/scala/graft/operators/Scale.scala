@@ -199,6 +199,41 @@ object Scale {
     * (Z-order) value — multiplication instead of shifts so the same
     * arithmetic replays in any SQL engine.
     */
+  /** #99 Key-skew diagnostic: the count-of-counts histogram of a join/
+    * shuffle key — for each per-key frequency `c`, how many keys carry
+    * it and what share of all rows they account for, with the key
+    * count and max/mean skew ratio on every row for one-scan
+    * consumption. This is the measurement that DECIDES the scale
+    * techniques around it: a heavy tail here is what makes
+    * [[saltedJoin]] (or AQE skew splitting) necessary, and
+    * `target_bucket`-style parameters are read off the histogram's
+    * upper edge.
+    *
+    * Two linear shuffles (key, then c), both with map-side partial
+    * aggregation; the histogram is at most |distinct counts| rows —
+    * tiny at any corpus size. The 1-row totals join is a broadcast.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+    val hist = per.groupBy("c").agg(count(lit(1)).as("n_keys"))
+    val totals = per.agg(
+      count(lit(1)).as("n_keys_total"),
+      sum("c").as("n_rows_total"),
+      max("c").as("max_c"))
+    hist
+      .crossJoin(broadcast(totals))
+      .select(
+        col("c"),
+        col("n_keys"),
+        round(col("c") * col("n_keys") / col("n_rows_total"), 6).as("row_share"),
+        col("n_keys_total"),
+        round(col("max_c") * col("n_keys_total") / col("n_rows_total").cast("double"), 4)
+          .as("skew_ratio"))
+  }
+
   private[operators] def morton(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     (0 until 8)
       .map { i =>

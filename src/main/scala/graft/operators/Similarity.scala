@@ -374,7 +374,7 @@ object Similarity {
     if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1 else -1
   }
 
-  /** #95 Random-projection dimensionality reduction (Achlioptas '01
+  /** #97 Random-projection dimensionality reduction (Achlioptas '01
     * database-friendly JL): project 64-dim float embeddings to `k`
     * dims with a ±1 sign matrix, y_j = (Σᵢ ±xᵢ) / √k — norms and
     * distances preserved in expectation (Johnson–Lindenstrauss), at
@@ -414,7 +414,7 @@ object Similarity {
     s"array(${ys.mkString(", ")})"
   }
 
-  /** #96 Projected ANN search — the two-stage pattern that makes
+  /** #98 Projected ANN search — the two-stage pattern that makes
     * brute-force tractable at 100 TB: score ALL candidates in the
     * `k`-dim projected space (k/64 of the memory bandwidth and FLOPs),
     * keep the top-`cand` per query, then re-score only those survivors

@@ -263,7 +263,7 @@ object TextOps {
       (frac >= 0.5).cast("int").as("is_contaminated"))
   }
 
-  /** #94 Corpus filter pipeline: the composed C4/Gopher-style keep/drop
+  /** #96 Corpus filter pipeline: the composed C4/Gopher-style keep/drop
     * decision — every heuristic filter stage ([[qualityScore]],
     * [[repetition]], [[contamination]], [[langId]]) joined into ONE
     * verdict per doc with per-rule flags and a first-failing `reason`

@@ -67,6 +67,24 @@ class ScaleSpec extends SparkSpec {
     assert(nonPos > 0.35 && nonPos < 0.65, s"score centering off: $nonPos")
   }
 
+  test("key skew: histogram tiles all keys and rows, shares sum to 1, ratio consistent") {
+    val k = Scale.keySkew(spark, sf).cache()
+    val ev = graft.Tables.events(spark, sf)
+    val nRows = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    val agg = k.agg(
+      sum("n_keys").as("keys"),
+      sum(col("c") * col("n_keys")).as("rows"),
+      round(sum("row_share"), 4).as("share")).head()
+    assert(agg.getLong(0) == nKeys && agg.getLong(1) == nRows)
+    assert(math.abs(agg.getDouble(2) - 1.0) < 1e-3)
+    // every row carries the same summary; ratio = max_c / mean rows-per-key
+    assert(k.select("skew_ratio").distinct().count() == 1)
+    val maxC = k.agg(max("c")).head().getLong(0)
+    val expected = maxC * nKeys / nRows.toDouble
+    assert(math.abs(k.head().getAs[Double]("skew_ratio") - expected) < 1e-3)
+  }
+
   test("zorder layout: balanced files with narrow extents on BOTH dimensions") {
     val z = Scale.zorderStats(spark, sf).cache()
     assert(z.count() == 32)
