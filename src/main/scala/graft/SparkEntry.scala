@@ -1119,21 +1119,23 @@ object SparkEntry {
                 UNION ALL SELECT vec_id, embedding FROM p),
           c AS (SELECT label, [$terms] AS centroid
                 FROM embeddings GROUP BY label),
-          a AS (SELECT vec_id, embedding, cell, ccos FROM (
+          a AS (SELECT vec_id, embedding, cell, ccos_e4 FROM (
               SELECT u.vec_id, u.embedding, c.label AS cell,
-                round(list_cosine_similarity(
-                  u.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) AS ccos,
+                CAST(floor(list_cosine_similarity(
+                  u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5) AS BIGINT)
+                  AS ccos_e4,
                 row_number() OVER (PARTITION BY u.vec_id
-                  ORDER BY round(list_cosine_similarity(
-                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC, c.label) AS rn
+                  ORDER BY CAST(floor(list_cosine_similarity(
+                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5) AS BIGINT)
+                    DESC, c.label) AS rn
               FROM u, c) WHERE rn = 1),
           d AS (SELECT DISTINCT x.vec_id
                 FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
-                WHERE round(list_cosine_similarity(
-                    x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.99
-                  AND (y.ccos < x.ccos
-                       OR (y.ccos = x.ccos AND y.vec_id < x.vec_id)))
-          SELECT a.vec_id, CAST(cell AS BIGINT) AS cell, ccos,
+                WHERE floor(list_cosine_similarity(
+                    x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 10000 + 0.5) >= 9900
+                  AND (y.ccos_e4 < x.ccos_e4
+                       OR (y.ccos_e4 = x.ccos_e4 AND y.vec_id < x.vec_id)))
+          SELECT a.vec_id, CAST(cell AS BIGINT) AS cell, ccos_e4,
             CAST(d.vec_id IS NULL AS INT) AS keep
           FROM a LEFT JOIN d USING (vec_id)"""
     },

@@ -521,29 +521,46 @@ object Dedup {
       .select(
         col("label").as("cell"),
         expr("transform(entries, e -> CAST(e.mu AS FLOAT))").as("centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
+    // lazy localCheckpoint: the assignment feeds BOTH sides of the
+    // cell self-join and the final flag join — without it the
+    // broadcast-NLJ assignment subplan executes three times (the
+    // two-phase "cluster, then prune" materialization SemDeDup
+    // prescribes anyway)
+    // centroid cosine in integer ten-thousandths via floor(x*1e4 +
+    // 0.5), not round(x, 6): the centroid means are not bit-identical
+    // across engines (summation order differs in the last ulp), so the
+    // quantization must be coarse enough that an ulp never straddles a
+    // bucket edge in practice — and floor of the same double never
+    // splits a half-way tie the way round() does (the
+    // Scale.madOutliers lesson). Verified straddle-free at all three
+    // test SFs; ties the coarser grid creates break on vec_id, which
+    // is engine-identical.
     val assigned = corpus
       .crossJoin(broadcast(centroids))
       .select(
         col("vec_id"),
         col("embedding"),
         col("cell"),
-        round(expr("cosine_sim(embedding, centroid)"), 6).as("ccos"))
+        floor(expr("cosine_sim(embedding, centroid)") * 10000d + lit(0.5)).as("ccos_e4"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      .localCheckpoint(eager = false)
     val right = assigned.select(
       col("cell"),
       col("vec_id").as("o_id"),
       col("embedding").as("o_emb"),
-      col("ccos").as("o_ccos"))
+      col("ccos_e4").as("o_ccos_e4"))
     val dropped = assigned
       .join(right, Seq("cell"))
       .filter(col("o_id") =!= col("vec_id"))
-      .filter(round(expr("cosine_sim(embedding, o_emb)"), 6) >= tau)
       .filter(
-        col("o_ccos") < col("ccos") ||
-          (col("o_ccos") === col("ccos") && col("o_id") < col("vec_id")))
+        floor(expr("cosine_sim(embedding, o_emb)") * 10000d + lit(0.5)) >=
+          math.round(tau * 10000d))
+      .filter(
+        col("o_ccos_e4") < col("ccos_e4") ||
+          (col("o_ccos_e4") === col("ccos_e4") && col("o_id") < col("vec_id")))
       .select("vec_id")
       .distinct()
     assigned
@@ -551,7 +568,7 @@ object Dedup {
       .select(
         col("vec_id"),
         col("cell").cast("long").as("cell"),
-        col("ccos"),
+        col("ccos_e4"),
         col("is_dropped").isNull.cast("int").as("keep"))
   }
 }

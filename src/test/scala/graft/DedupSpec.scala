@@ -73,9 +73,9 @@ class DedupSpec extends SparkSpec {
     // the SemDeDup rule: the kept side of a pair is never closer to
     // the centroid than the dropped side
     val pairs = s.filter(col("keep") === 0)
-      .select(col("vec_id").as("d_id"), col("ccos").as("d_ccos"))
+      .select(col("vec_id").as("d_id"), col("ccos_e4").as("d_ccos"))
       .join(
-        s.filter(col("keep") === 1).select(col("vec_id").as("k_id"), col("ccos").as("k_ccos")),
+        s.filter(col("keep") === 1).select(col("vec_id").as("k_id"), col("ccos_e4").as("k_ccos")),
         col("k_id") === col("d_id") + 1000000L || col("k_id") === col("d_id") - 1000000L)
     assert(pairs.filter(col("k_ccos") > col("d_ccos")).count() == 0)
   }
