@@ -180,6 +180,46 @@ object SparkEntry {
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
   }
 
+  /** Shared CTE block of the hyperplane-LSH oracles — the exact
+    * relational replay of `Similarity.hyperplaneBucket`: derived bit
+    * count (smallest b with TargetBucket·2^b ≥ n, integer-exact on
+    * both engines), the md5-parity Rademacher sign matrix
+    * (`Similarity.lshSign`), 1e6 fixed-point embedding elements,
+    * integer hyperplane dots (order-independent — integer sums are
+    * exact), and the per-(table, vector) bucket id. `corpus` must
+    * expose (vec_id, embedding); `countExpr` is a scalar subquery
+    * yielding the n that `numPlanes` is derived from.
+    */
+  private def lshBucketsCte(corpus: String, countExpr: String): String = {
+    val tb = graft.operators.Similarity.TargetBucket
+    val nt = graft.operators.Similarity.NumTables
+    s"""params AS (
+          SELECT least(24, greatest(4, coalesce(
+            (SELECT min(b) FROM range(25) rb(b)
+             WHERE ($tb::BIGINT << b) >= ($countExpr)), 24))) AS bits),
+        sgn AS (
+          SELECT t, p, i,
+            CASE WHEN ('0x' || substr(md5('graft-lsh:' || t || ':' || p || ':' || i),
+                       1, 15))::BIGINT % 2 = 0
+                 THEN 1 ELSE -1 END AS s
+          FROM range($nt) r1(t), range(24) r2(p), range(64) r3(i), params
+          WHERE p < bits),
+        el AS (
+          SELECT vec_id,
+            unnest([{'i': i - 1,
+                     'qx': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+                    for i in generate_series(1, 64)]) AS e
+          FROM $corpus),
+        dots AS (
+          SELECT el.vec_id, sgn.t, sgn.p, sum(sgn.s * el.e.qx) AS dot
+          FROM el JOIN sgn ON el.e.i = sgn.i
+          GROUP BY el.vec_id, sgn.t, sgn.p),
+        bk AS (
+          SELECT vec_id, t,
+            CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, t)"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1138,6 +1178,77 @@ object SparkEntry {
           SELECT a.vec_id, CAST(cell AS BIGINT) AS cell, ccos_e4,
             CAST(d.vec_id IS NULL AS INT) AS keep
           FROM a LEFT JOIN d USING (vec_id)"""
+    },
+    "ann_lsh" -> {
+      // candidate set from the replayed buckets; scoring/ranking as in
+      // ann_bruteforce (6dp cosine, vec_id tiebreak)
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM scored)
+          WHERE rank <= 10"""
+    },
+    "ann_lsh_multiprobe" -> {
+      // queries probe their own bucket plus the `bits` one-bit flips
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          qb AS (
+            SELECT vec_id AS query_id, t,
+              unnest(list_prepend(bucket,
+                [xor(bucket, 1::BIGINT << p) for p in range(0, bits)])) AS bucket
+            FROM bk, params WHERE vec_id < 10),
+          cand AS (
+            SELECT DISTINCT qb.query_id, c.vec_id
+            FROM bk c JOIN qb ON c.t = qb.t AND c.bucket = qb.bucket
+            WHERE c.vec_id <> qb.query_id),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM scored)
+          WHERE rank <= 10"""
+    },
+    "dedup_embedding" -> {
+      // planted perturbed corpus (same float arithmetic as the Spark
+      // side: double multiply then FLOAT cast), replayed buckets, and
+      // the ≥0.99 prune at 4dp
+      s"""WITH pert AS (
+            SELECT vec_id + 1000000 AS vec_id,
+              [CAST(embedding[i]*(1.0 + 0.002*(((i-1)%5)-2)) AS FLOAT)
+               for i in generate_series(1,64)] AS embedding
+            FROM embeddings WHERE vec_id % 4 = 0),
+          corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id, embedding FROM pert),
+          ${lshBucketsCte("corpus", "SELECT (count(*) * 5) // 4 FROM embeddings")},
+          pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id)
+          SELECT DISTINCT vec_a, vec_b, cos FROM (
+            SELECT p.vec_a, p.vec_b,
+              round(list_cosine_similarity(
+                ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]), 4) AS cos
+            FROM pairs p JOIN corpus ca ON ca.vec_id = p.vec_a
+                         JOIN corpus cb ON cb.vec_id = p.vec_b)
+          WHERE cos >= 0.99"""
     },
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

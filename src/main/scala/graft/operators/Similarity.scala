@@ -44,34 +44,69 @@ object Similarity {
     * n ≈ 2^32 raise TargetBucket or add tables rather than bits.
     */
   def numPlanes(n: Long): Int = {
-    val bits = math
-      .ceil(math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2.0))
-      .toInt
-    math.min(24, math.max(4, bits))
+    // integer form of ⌈log2(n / TargetBucket)⌉ — the smallest b with
+    // TargetBucket·2^b ≥ n. No floating-point log: the SQL oracle
+    // replays it exactly (min b over range(25)), and a double log
+    // could ceil differently in the last ulp right at a power of two.
+    var bits = 0
+    while (bits < 24 && (TargetBucket << bits) < n) bits += 1
+    math.max(4, bits)
   }
 
-  /** Deterministic 64-dim gaussian hyperplanes for table `table` —
-    * independent tables draw from independent seeds.
+  /** ±1 from the parity of the engine-portable 60-bit md5 hash of a
+    * public string key — the construction behind [[rpSign]] and
+    * [[lshSign]]. Any engine with md5 (the DuckDB oracle) re-derives
+    * the same value, so "random" matrices built from it are
+    * reproducible across engines, runs, and backfills.
     */
-  private def planesFor(table: Int, bits: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42 + 7919 * table)
-    Seq.fill(bits)(Seq.fill(64)(rnd.nextGaussian()))
+  private[graft] def md5Parity(key: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1 else -1
   }
+
+  /** Rademacher hyperplane sign for (table, plane `p`, dim `i`).
+    * Sign vectors stand in for gaussian planes (same SRP collision
+    * behavior in expectation — Achlioptas '01 shows ±1 entries
+    * preserve the JL/SRP guarantees) and, unlike gaussians, are
+    * exactly portable: the oracle rebuilds the plane set from
+    * `md5('graft-lsh:t:p:i')` parity, relationally.
+    */
+  private[graft] def lshSign(table: Int, p: Int, i: Int): Int =
+    md5Parity(s"graft-lsh:$table:$p:$i")
+
+  /** Per-element 1e6 fixed-point quantization of an embedding — the
+    * trick that makes the hyperplane dot product an INTEGER sum:
+    * integer addition is exact and order-independent, so the bucket
+    * bit `sign(Σᵢ ±⌊xᵢ·10⁶⌋)` is bit-identical in any engine
+    * regardless of summation order (a raw double sum could flip a
+    * near-zero dot's sign in the last ulp). Quantization error per
+    * dot is < 64·10⁻⁶ — noise relative to unit-scale embeddings, and
+    * both engines agree on WHICH side of the plane every vector
+    * lands, which is the only property LSH needs.
+    */
+  private def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)))
 
   /** Random-hyperplane LSH bucket id in table `table`: bit p =
-    * sign(vec · plane_p). Cosine-similar vectors land in the same
-    * bucket with high probability (SRP-LSH, Charikar '02).
+    * sign(vec · plane_p) over the [[lshSign]] Rademacher planes and
+    * [[quantized]] fixed-point elements. Cosine-similar vectors land
+    * in the same bucket with high probability (SRP-LSH, Charikar
+    * '02); the integer form is exactly replayable by the SQL oracle.
     */
-  def hyperplaneBucket(vec: Column, table: Int, bits: Int): Column =
-    planesFor(table, bits).zipWithIndex
-      .map { case (p, i) =>
+  def hyperplaneBucket(vec: Column, table: Int, bits: Int): Column = {
+    val q = quantized(vec)
+    (0 until bits)
+      .map { p =>
+        val signs: Seq[Long] = (0 until 64).map(i => lshSign(table, p, i).toLong)
         val dot = aggregate(
-          zip_with(vec, typedlit(p), (x, y) => x * y),
-          lit(0.0),
+          zip_with(q, typedlit(signs), (x, s) => x * s),
+          lit(0L),
           (acc, v) => acc + v)
-        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+        when(dot > 0, lit(1 << p)).otherwise(lit(0))
       }
       .reduce(_ + _)
+  }
 
   /** One row per (table, bucket) per input row: the multi-table LSH
     * banding join key. `bits` per table, [[NumTables]] tables unless
@@ -368,11 +403,7 @@ object Similarity {
     * backfills. Computed once at plan time; the plan itself carries
     * only ±1 literals.
     */
-  private[graft] def rpSign(i: Int, j: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"graft-rp:$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1 else -1
-  }
+  private[graft] def rpSign(i: Int, j: Int): Int = md5Parity(s"graft-rp:$i:$j")
 
   /** #97 Random-projection dimensionality reduction (Achlioptas '01
     * database-friendly JL): project 64-dim float embeddings to `k`
