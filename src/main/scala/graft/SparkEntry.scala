@@ -1250,6 +1250,58 @@ object SparkEntry {
                          JOIN corpus cb ON cb.vec_id = p.vec_b)
           WHERE cos >= 0.99"""
     },
+    "ann_ivf" -> {
+      // Full replay of the 3-round Lloyd train (e4-quantized means and
+      // assignment cosines — see Similarity.trainCentroids), the
+      // corpus cell assignment, the nprobe=2 query probe, and the
+      // final 6dp-cosine rank.
+      val meanTerms = (1 to 64)
+        .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
+        .mkString(", ")
+      def assign(cents: String, out: String) =
+        s"""$out AS (SELECT vec_id, embedding, cell FROM (
+              SELECT u.vec_id, u.embedding, c.cell,
+                row_number() OVER (PARTITION BY u.vec_id
+                  ORDER BY floor(list_cosine_similarity(
+                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM u, $cents c) WHERE rn = 1)"""
+      def means(asg: String, out: String) =
+        s"$out AS (SELECT cell, [$meanTerms] AS centroid FROM $asg GROUP BY cell)"
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings),
+          s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+                 FROM embeddings ORDER BY vec_id LIMIT 16),
+          ${assign("s0", "a1")}, ${means("a1", "c1")},
+          ${assign("c1", "a2")}, ${means("a2", "c2")},
+          ${assign("c2", "a3")}, ${means("a3", "c3")},
+          ${assign("c3", "acorp")},
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 10),
+          qc AS (SELECT query_id, cell FROM (
+              SELECT q.query_id, c.cell,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY floor(list_cosine_similarity(
+                    q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM q, c3 c) WHERE rn <= 2),
+          cand AS (
+            SELECT DISTINCT qc.query_id, a.vec_id
+            FROM acorp a JOIN qc ON a.cell = qc.cell
+            WHERE a.vec_id <> qc.query_id),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM scored)
+          WHERE rank <= 10"""
+    },
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                     FROM embeddings WHERE vec_id < 10)

@@ -255,17 +255,30 @@ object Similarity {
     cents.toDF("cell", "centroid")
   }
 
+  /** Centroid cosine in integer ten-thousandths — the e4 floor
+    * quantization every IVF assignment and probe ranks by. Centroid
+    * means are not bit-identical across engines (summation order
+    * differs in the last ulp), so the ranking key must be coarse
+    * enough that an ulp never straddles a bucket edge — the same
+    * guard `Dedup.semantic` uses (and floor of x+0.5 never splits a
+    * half-way tie the way round() does). Ties the coarser grid
+    * creates break on `cell`, which is engine-identical.
+    */
+  private def ccosE4(vec: String, cent: String): Column =
+    floor(expr(s"cosine_sim($vec, $cent)") * 10000d + lit(0.5))
+
   /** Nearest-cell assignment of the whole corpus: one broadcast join
-    * over a single scan, top-1 via WindowGroupLimit.
+    * over a single scan, top-1 via WindowGroupLimit, ranked on the
+    * [[ccosE4]] quantized cosine.
     */
   private def ivfAssign(spark: SparkSession, dir: String, cdf: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cdf))
       .select(col("vec_id"), col("embedding"), col("cell"),
-        expr("cosine_sim(embedding, centroid)").as("ccos"))
+        ccosE4("embedding", "centroid").as("ccos_e4"))
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -288,6 +301,15 @@ object Similarity {
     * centroids, k·d floats — ever reaches the driver, the iteration-
     * control-only pattern. k scales like √n (65k cells for 10⁹
     * vectors ≈ 17 MB of model), never with the corpus.
+    *
+    * Cross-engine replay: each round's means are e4-quantized
+    * (⌊avg·10⁴+0.5⌋/10⁴ → FLOAT) and each assignment ranks on the
+    * [[ccosE4]] quantized cosine, so the DuckDB oracle unrolls the
+    * whole train as CTEs and lands on bit-identical centroids —
+    * raw double means would diverge in the last ulp of the
+    * engine-dependent summation order and send round r+1 down a
+    * different path. e4 precision costs the quantizer nothing: cell
+    * boundaries are O(10⁻¹)-scale cosine gaps.
     */
   private def trainCentroids(
       spark: SparkSession, dir: String, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
@@ -301,7 +323,7 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
       .toSeq
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
     for (_ <- 1 to iters) {
       val assigned = vecs
         .crossJoin(broadcast(centroidsDf(spark, cents)))
@@ -309,13 +331,13 @@ object Similarity {
           col("vec_id"),
           col("embedding"),
           col("cell"),
-          expr("cosine_sim(embedding, centroid)").as("cos"))
+          ccosE4("embedding", "centroid").as("ccos_e4"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
       cents = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg("x").as("mu"))
+        .agg((floor(avg("x") * 10000d + lit(0.5)) / 10000.0).as("mu"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("entries"))
         .select(col("cell"), expr("transform(entries, e -> CAST(e.mu AS FLOAT))").as("centroid"))
@@ -339,11 +361,11 @@ object Similarity {
     val cents = trainCentroids(spark, dir, k, iters)
     val cdf = centroidsDf(spark, cents)
     val corpusCells = ivfAssign(spark, dir, cdf)
-    val wQ = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell"))
+    val wQ = Window.partitionBy("query_id").orderBy(col("ccos_e4").desc, col("cell"))
     val queryCells = queryVectors(spark, dir)
       .crossJoin(broadcast(cdf))
       .select(col("query_id"), col("q_emb"), col("cell"),
-        expr("cosine_sim(q_emb, centroid)").as("ccos"))
+        ccosE4("q_emb", "centroid").as("ccos_e4"))
       .withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
