@@ -344,12 +344,11 @@ object Dedup {
     // (measured ~2× the loop's wall time).
     var labels =
       docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(eager = false)
-    // min-label propagation only ever DECREASES labels, so the exact
-    // decimal sum (no overflow at any corpus size) is a one-aggregate
-    // convergence probe — no join-against-previous needed per round.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // convergence probe: a per-row changed flag computed inside the
+    // round's own select, summed by the same action that materializes
+    // the checkpoint. Unlike the earlier compare-two-sums probe this
+    // detects the fixpoint IN the round that reaches it — one fewer
+    // full propagation round per query (the r3 dedup_apply drift).
     var converged = false
     var iter = 0
     while (!converged && iter < 15) {
@@ -357,13 +356,15 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("n_label")), "doc_b")
         .groupBy("doc_a")
         .agg(min("n_label").as("min_n_label"))
-      labels = labels
+      val next = labels
         .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_n_label")), Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"))
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"),
+          coalesce(col("min_n_label") < col("label"), lit(false)).cast("long").as("chg"))
         .localCheckpoint(eager = false)
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      converged = next.agg(sum("chg")).head.getLong(0) == 0L
+      labels = next.drop("chg")
       iter += 1
     }
     edges.unpersist()
@@ -380,18 +381,20 @@ object Dedup {
     * jobs read THIS, not the raw corpus. One aggregation over the
     * cluster labels; the heavy lifting happened in [[clusters]].
     */
-  def applyKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusters(spark, dir)
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels
-      .filter(col("keep") === 1)
-      .join(sizes, "cluster_id")
+  def applyKeepList(spark: SparkSession, dir: String): DataFrame =
+    // the canonical doc IS the cluster label (min doc_id of the
+    // component), so the keep-filter + size-join of the r3 version
+    // collapses to ONE aggregation over the cluster labels — no
+    // second shuffle, no join (the 1.61×-of-baseline drift the r3
+    // bench flagged was exactly that extra pass)
+    clusters(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
       .select(
-        col("doc_id"),
+        col("cluster_id").as("doc_id"),
         col("cluster_id"),
         col("cluster_size"),
         (col("cluster_size") - 1).as("n_dropped"))
-  }
 
   /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, multi-
     * table random-hyperplane LSH buckets (bit count derived from corpus
