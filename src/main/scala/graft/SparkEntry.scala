@@ -123,7 +123,11 @@ object SparkEntry {
     "q_profile_customer" -> (Profile.profileCustomer _),
     "ann_quantize" -> (Similarity.quantizeFlat _),
     "ann_project" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
-    "ann_project_search" -> ((s: SparkSession, d: String) => Similarity.projectSearch(s, d))
+    "ann_project_search" -> ((s: SparkSession, d: String) => Similarity.projectSearch(s, d)),
+    // Correlated-subquery warehouse depth (§2 #100-102)
+    "q2_min_cost_supplier" -> (Warehouse.minCostSupplier _),
+    "q17_small_qty_revenue" -> (Warehouse.smallQtyRevenue _),
+    "q21_waiting_suppliers" -> (Warehouse.waitingSuppliers _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1179,6 +1183,39 @@ object SparkEntry {
             CAST(d.vec_id IS NULL AS INT) AS keep
           FROM a LEFT JOIN d USING (vec_id)"""
     },
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 6) AS unit_price
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT p.p_partkey, p.p_brand, ps.l_suppkey AS s_suppkey, ps.unit_price
+         FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+         WHERE p.p_size <= 10
+           AND ps.unit_price = (SELECT min(ps2.unit_price) FROM ps ps2
+                                WHERE ps2.l_partkey = p.p_partkey)""",
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#1'
+           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name
+         LIMIT 20""",
     "ann_lsh" -> {
       // candidate set from the replayed buckets; scoring/ranking as in
       // ann_bruteforce (6dp cosine, vec_id tiebreak)
