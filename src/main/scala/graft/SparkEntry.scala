@@ -124,6 +124,7 @@ object SparkEntry {
     "ann_quantize" -> (Similarity.quantizeFlat _),
     "ann_project" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
     "ann_project_search" -> ((s: SparkSession, d: String) => Similarity.projectSearch(s, d)),
+    "ann_project_indexed" -> ((s: SparkSession, d: String) => Similarity.projectSearchViaIndex(s, d)),
     // Correlated-subquery warehouse depth (§2 #100-102)
     "q2_min_cost_supplier" -> (Warehouse.minCostSupplier _),
     "q17_small_qty_revenue" -> (Warehouse.smallQtyRevenue _),
@@ -222,6 +223,39 @@ object SparkEntry {
           SELECT vec_id, t,
             CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
           FROM dots GROUP BY vec_id, t)"""
+  }
+
+  /** Two-stage projected-search replay, shared by `ann_project_search`
+    * and `ann_project_indexed` (bit-identical by construction):
+    * identical float projection, 6dp projected cosine ranking with
+    * vec_id tiebreak, exact re-score of the top-150 survivors.
+    */
+  private def projectSearchOracle: String = {
+    val k = 32
+    val rows = (0 until k).map { j =>
+      (0 until 64)
+        .map(i =>
+          s"${if (graft.operators.Similarity.rpSign(i, j) > 0) "+" else "-"} CAST(embedding[${i + 1}] AS DOUBLE)")
+        .mkString(" ")
+    }
+    val ys = rows.map(t => s"CAST((0.0 $t) / sqrt(CAST($k AS DOUBLE)) AS FLOAT)").mkString(", ")
+    s"""WITH pv AS (SELECT vec_id, embedding, [$ys] AS pvec FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, pvec AS q_pvec
+              FROM pv WHERE vec_id < 10),
+        cand AS (
+          SELECT query_id, vec_id, embedding, q_emb,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY round(list_cosine_similarity(
+                pvec::DOUBLE[], q_pvec::DOUBLE[]), 6) DESC, vec_id) AS crank
+          FROM pv, q WHERE vec_id <> query_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id,
+            round(list_cosine_similarity(embedding::DOUBLE[], q_emb::DOUBLE[]), 6) AS cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(list_cosine_similarity(
+                embedding::DOUBLE[], q_emb::DOUBLE[]), 6) DESC, vec_id) AS BIGINT) AS rank
+          FROM cand WHERE crank <= 150)
+        WHERE rank <= 10"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1118,36 +1152,10 @@ object SparkEntry {
             unnest([$ys]) AS y
           FROM embeddings"""
     },
-    "ann_project_search" -> {
-      // Two-stage replay: identical float projection, 6dp projected
-      // cosine ranking with vec_id tiebreak, exact re-score of the
-      // top-150 survivors.
-      val k = 32
-      val rows = (0 until k).map { j =>
-        (0 until 64)
-          .map(i =>
-            s"${if (graft.operators.Similarity.rpSign(i, j) > 0) "+" else "-"} CAST(embedding[${i + 1}] AS DOUBLE)")
-          .mkString(" ")
-      }
-      val ys = rows.map(t => s"CAST((0.0 $t) / sqrt(CAST($k AS DOUBLE)) AS FLOAT)").mkString(", ")
-      s"""WITH pv AS (SELECT vec_id, embedding, [$ys] AS pvec FROM embeddings),
-          q AS (SELECT vec_id AS query_id, embedding AS q_emb, pvec AS q_pvec
-                FROM pv WHERE vec_id < 10),
-          cand AS (
-            SELECT query_id, vec_id, embedding, q_emb,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY round(list_cosine_similarity(
-                  pvec::DOUBLE[], q_pvec::DOUBLE[]), 6) DESC, vec_id) AS crank
-            FROM pv, q WHERE vec_id <> query_id)
-          SELECT query_id, vec_id, cos, rank FROM (
-            SELECT query_id, vec_id,
-              round(list_cosine_similarity(embedding::DOUBLE[], q_emb::DOUBLE[]), 6) AS cos,
-              CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY round(list_cosine_similarity(
-                  embedding::DOUBLE[], q_emb::DOUBLE[]), 6) DESC, vec_id) AS BIGINT) AS rank
-            FROM cand WHERE crank <= 150)
-          WHERE rank <= 10"""
-    },
+    "ann_project_search" -> projectSearchOracle,
+    // the materialized-index variant is bit-identical by construction
+    // (same projection floats, same two-stage ranking) — same oracle
+    "ann_project_indexed" -> projectSearchOracle,
     "dedup_semantic" -> {
       // Replays the whole SemDeDup pipeline: planted perturbed copies
       // (same float arithmetic — double multiply then FLOAT cast),

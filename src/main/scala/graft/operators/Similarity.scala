@@ -480,6 +480,76 @@ object Similarity {
     * corpus scanned once, both rank filters compile to
     * WindowGroupLimit so each partition ships only its local top-k.
     */
+  /** Materialize the [[randomProjection]] of the corpus as an index
+    * table: (vec_id, pvec) only — k/64 of the full vectors' bytes.
+    * This is what makes the two-stage bandwidth claim physically true
+    * at 100 TB: [[projectSearchIndexed]]'s coarse stage scans THIS
+    * table (ReadSchema = vec_id + pvec, pinned by
+    * ProjectedIndexSpec), not the 64-dim corpus; the full vectors are
+    * only read for the ~cand survivors per query.
+    */
+  def buildProjectedIndex(spark: SparkSession, dir: String, path: String, k: Int = 32): Unit =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), expr(rpArrayExpr("embedding", k)).as("pvec"))
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  /** #103 Projected ANN search over the MATERIALIZED index — same
+    * two-stage semantics (and bit-identical results) as
+    * [[projectSearch]], but the coarse stage reads only the k-float
+    * `pvec` column from the index table. Survivors (≤ queries × cand
+    * rows — broadcast-sized at any corpus scale) join back to the
+    * full vectors by vec_id for the exact re-score.
+    */
+  def projectSearchIndexed(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 32, cand: Int = 150): DataFrame = {
+    GraftFunctions.register(spark)
+    val index = spark.read.parquet(indexPath)
+    val queries = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        expr(rpArrayExpr("embedding", k)).as("q_pvec"))
+    val wc = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val survivors = index
+      .crossJoin(broadcast(queries.select(col("query_id"), col("q_pvec"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(pvec, q_pvec)"), 6).as("pcos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))), "query_id")
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  /** [[projectSearchIndexed]] behind a deterministic scratch path —
+    * the driver-queryable form: builds (overwrites) the index for
+    * `dir`, then searches it. Shares `ann_project_search`'s oracle:
+    * the two variants are bit-identical by construction.
+    */
+  def projectSearchViaIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_pindex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    buildProjectedIndex(spark, dir, path)
+    projectSearchIndexed(spark, dir, path)
+  }
+
   def projectSearch(spark: SparkSession, dir: String, k: Int = 32, cand: Int = 150): DataFrame = {
     GraftFunctions.register(spark)
     val proj = Tables
