@@ -28,6 +28,7 @@ object JdbcUpsertSink {
 
   val TargetTable = "current_state"
   val StagingTable = "current_state_staging"
+  val LedgerTable = "batch_ledger"
 
   /** Columns of [[CurrentRow]]; quoted lowercase so DDL matches the
     * identifiers Spark's JDBC writer emits. `op` is VARCHAR (not the
@@ -70,6 +71,8 @@ object JdbcUpsertSink {
       create(s"""CREATE TABLE $TargetTable ($columnsDdl, PRIMARY KEY ("user_id"))""")
     if (!exists(StagingTable))
       create(s"CREATE TABLE $StagingTable ($columnsDdl)")
+    if (!exists(LedgerTable))
+      create(s"""CREATE TABLE $LedgerTable ("batch_id" BIGINT NOT NULL PRIMARY KEY)""")
   }
 
   /** The set-based upsert: latest-change-wins, guarded by
@@ -103,13 +106,38 @@ object JdbcUpsertSink {
       .jdbc(url, TargetTable, new java.util.Properties())
       .filter(org.apache.spark.sql.functions.col("op") =!= "DELETE")
 
+  /** True iff `batchId` is already committed in the ledger — and
+    * because the ledger row commits ATOMICALLY with its MERGE, "in the
+    * ledger" means "fully applied", never "half applied".
+    */
+  def isApplied(url: String, batchId: Long): Boolean = withConnection(url) { conn =>
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT 1 FROM $LedgerTable WHERE "batch_id" = $batchId""")
+      try rs.next()
+      finally rs.close()
+    } finally st.close()
+  }
+
   /** `foreachBatch` body for a [[CdcStream.currentState]] stream:
     * truncate staging, land the micro-batch through the distributed
     * JDBC writer (one row per key — what `flatMapGroupsWithState`
     * emits), then MERGE into the target transactionally.
+    *
+    * Exactly-once: the batch id is INSERTed into [[LedgerTable]] in
+    * the SAME transaction as the MERGE (the standard
+    * transactional-sink ledger — e.g. Structured Streaming's own
+    * foreachBatch epoch pattern). A replayed batch id hits the
+    * ledger's primary key and the whole apply is skipped — making
+    * replay a no-op INDEPENDENT of the (ts, event_id) ordering guard,
+    * which remains as defense for cross-batch staleness. The upfront
+    * [[isApplied]] probe is a fast path that also skips the staging
+    * write; the in-transaction insert is the authoritative guard.
     */
   def upsertBatch(url: String)(batch: Dataset[CurrentRow], batchId: Long): Unit = {
     ensureTables(url)
+    if (isApplied(url, batchId)) return
     withConnection(url) { conn =>
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM $StagingTable")
@@ -121,6 +149,13 @@ object JdbcUpsertSink {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
+        // 23505 = unique-violation in both Derby and Postgres
+        try st.executeUpdate(s"""INSERT INTO $LedgerTable ("batch_id") VALUES ($batchId)""")
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "23505" =>
+            // lost the race to a concurrent/earlier apply of this batch
+            conn.rollback(); return
+        }
         st.executeUpdate(mergeSql)
         conn.commit()
       } catch {

@@ -102,4 +102,25 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       latestPerKey(changes.filter(col("ts") <= mid)), batchId = 100L)
     assert(readTable().collect().toSet == before, "stale batch regressed the table")
   }
+
+  test("replayed batch id is a no-op even when its rows would pass the ts guard") {
+    val changes = Cdc.classify(spark, sf).cache()
+    JdbcUpsertSink.upsertBatch(url)(latestPerKey(changes), batchId = 200L)
+    val before = readTable().collect().toSet
+    assert(before.nonEmpty)
+
+    // hostile replay of the SAME batch id: timestamps bumped forward,
+    // values garbled — rows the (ts, event_id) ordering guard alone
+    // would happily apply. The ledger must make the whole batch a
+    // no-op: batch 200 is already committed.
+    val garbled = latestPerKey(
+      changes
+        .withColumn("ts", col("ts") + lit(1000000000L))
+        .withColumn("value", col("value") * 2 + 1))
+    JdbcUpsertSink.upsertBatch(url)(garbled, batchId = 200L)
+    assert(readTable().collect().toSet == before, "ledger failed to reject the replayed batch id")
+
+    assert(JdbcUpsertSink.isApplied(url, 200L))
+    assert(!JdbcUpsertSink.isApplied(url, 201L))
+  }
 }
