@@ -38,14 +38,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def materialize(name: String): Double = {
+    // (first-run, best-of-two): the best suppresses JVM noise for the
+    // baseline compare, but best-of-two alone systematically under-
+    // reports one-shot latency (planning/codegen cost) — the first-run
+    // series is published alongside so single-execution regressions
+    // stay visible.
+    def materialize(name: String): (Double, Double) = {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(50)
       val first = once(name)
-      if (first < 0) return first
+      if (first < 0) return (first, first)
       val second = once(name)
-      if (second < 0) first else math.min(first, second)
+      (first, if (second < 0) first else math.min(first, second))
     }
 
     // warmup: touch every table + exercise codegen paths once
@@ -57,11 +62,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> materialize(n))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (_, best)) => "\"" + k + "\":" + f"$best%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val firsts = results
+      .map { case (k, (first, _)) => "\"" + k + "\":" + f"$first%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$firsts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

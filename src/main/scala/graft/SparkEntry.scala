@@ -733,7 +733,8 @@ object SparkEntry {
     "q_winsorize" ->
       """WITH b AS (
            SELECT event_type,
-             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
            FROM events GROUP BY event_type)
          SELECT event_id, e.event_type, round(value, 2) AS value,
            round(greatest(lo, least(hi, value)), 2) AS value_w,

@@ -130,6 +130,10 @@ object Multimodal {
         col("doc_id"),
         (col("byte_len") / 4).cast("long").as("n_frames"),
         (lit(25) + (col("doc_id") % 2) * 5).cast("long").as("fps"))
+      // degenerate payloads (< 1 frame): Spark's sequence(0, -1, step)
+      // THROWS where the oracle's range() returns no rows — filter
+      // before the explode so both engines emit nothing for them
+      .filter(col("n_frames") > 0)
       .select(
         col("doc_id"),
         col("n_frames"),

@@ -139,10 +139,14 @@ object Scale {
     val bounds = ev
       .groupBy("event_type")
       .agg(percentile(col("value"), array(lit(0.05), lit(0.95))).as("p"))
+      // 6dp-rounded BEFORE the clamp and the clipped comparison:
+      // Spark percentile and DuckDB quantile_cont can differ in the
+      // last ulp, which would flip a boundary row's clipped flag —
+      // the same cross-engine tie class madOutliers guards against
       .select(
         col("event_type"),
-        element_at(col("p"), 1).as("lo"),
-        element_at(col("p"), 2).as("hi"))
+        round(element_at(col("p"), 1), 6).as("lo"),
+        round(element_at(col("p"), 2), 6).as("hi"))
     ev
       .join(bounds, "event_type")
       .select(

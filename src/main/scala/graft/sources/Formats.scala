@@ -104,10 +104,20 @@ object Formats {
     * over the source (the corrupt-record column is populated by the
     * same parse).
     */
+  /** A quarantined read: the parsed `good` frame, the dead-letter
+    * `bad` frame, and `release()`, which drops the shared parse cache
+    * once both are consumed — without it, repeated ingest calls
+    * accumulate cached partitions in executor storage for the life of
+    * the session.
+    */
+  final case class QuarantinedRead(good: DataFrame, bad: DataFrame, private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
   def readJsonlWithQuarantine(
       spark: SparkSession,
       path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): QuarantinedRead = {
     import org.apache.spark.sql.types.StringType
     val withCorrupt = schema.add("_corrupt_record", StringType)
     // cached: Spark disallows querying only the corrupt-record column
@@ -123,7 +133,7 @@ object Formats {
     val bad = parsed
       .filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
-    (good, bad)
+    QuarantinedRead(good, bad, parsed)
   }
 
   /** CSV reader with explicit schema, header expected. */

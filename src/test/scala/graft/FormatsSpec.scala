@@ -124,12 +124,18 @@ class FormatsSpec extends SparkSpec {
       w.println("""{"id": 5, "v": "e"}""")
       w.close()
       val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
-      val (good, bad) = Formats.readJsonlWithQuarantine(spark, p, schema)
+      val qr = Formats.readJsonlWithQuarantine(spark, p, schema)
+      val (good, bad) = (qr.good, qr.bad)
       assert(good.count() == 3)
       assert(good.columns.toSeq == Seq("id", "v"))
       assert(bad.count() == 2)
       // dead letters carry the original raw line for replay
       assert(bad.filter(col("raw").contains("not json")).count() == 1)
+      // releasing drops the shared parse cache from executor storage
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+      qr.release()
+      assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore,
+        "release() did not evict the parse cache")
     }
   }
 
