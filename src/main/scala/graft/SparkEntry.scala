@@ -128,7 +128,12 @@ object SparkEntry {
     // Correlated-subquery warehouse depth (§2 #100-102)
     "q2_min_cost_supplier" -> (Warehouse.minCostSupplier _),
     "q17_small_qty_revenue" -> (Warehouse.smallQtyRevenue _),
-    "q21_waiting_suppliers" -> (Warehouse.waitingSuppliers _)
+    "q21_waiting_suppliers" -> (Warehouse.waitingSuppliers _),
+    "q20_dominant_supplier" -> (Warehouse.dominantSupplier _),
+    // Window/audit depth (§2 #105-107)
+    "q_event_gaps" -> ((s: SparkSession, d: String) => AnalyticsExt.eventGaps(s, d)),
+    "q_percentile_disc" -> (AnalyticsExt.percentileDisc _),
+    "text_lang_confusion" -> (TextOps.langConfusion _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -256,6 +261,39 @@ object SparkEntry {
                 embedding::DOUBLE[], q_emb::DOUBLE[]), 6) DESC, vec_id) AS BIGINT) AS rank
           FROM cand WHERE crank <= 150)
         WHERE rank <= 10"""
+  }
+
+  /** Lang-ID replay (stopword-marker argmax with the same (score,
+    * lang) tiebreak), shared by `text_lang_id` and the confusion
+    * audit that aggregates it.
+    */
+  private def langIdOracle: String = {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+      "en" -> Seq("the", "a", "of", "and", "is", "to"),
+      "es" -> Seq("el", "la", "los", "y", "es", "de"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "de"),
+      "zh" -> Seq("的", "了", "是", "在", "和", "有"))
+    val structs = markers
+      .map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"struct_pack(lang := '$l', score := len(list_filter(toks, w -> list_contains($list, w))))"
+      }
+      .mkString(",\n             ")
+    s"""WITH t AS (SELECT doc_id, lang AS label_lang,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+         FROM documents),
+       s AS (SELECT doc_id, label_lang, u.s.lang AS lang, u.s.score AS score
+             FROM t, UNNEST([
+           $structs
+         ]) AS u(s))
+       SELECT doc_id, label_lang,
+         CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+         CAST(score AS BIGINT) AS marker_hits
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
+       WHERE rn = 1"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1435,34 +1473,46 @@ object SparkEntry {
          SELECT 'c_mktsegment', count(CASE WHEN c_mktsegment IS NULL THEN 1 END),
            count(DISTINCT c_mktsegment), CAST(min(c_mktsegment) AS VARCHAR),
            CAST(max(c_mktsegment) AS VARCHAR) FROM customer""",
-    "text_lang_id" -> {
-      val markers = Seq(
-        "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
-        "en" -> Seq("the", "a", "of", "and", "is", "to"),
-        "es" -> Seq("el", "la", "los", "y", "es", "de"),
-        "fr" -> Seq("le", "la", "les", "et", "est", "de"),
-        "zh" -> Seq("的", "了", "是", "在", "和", "有"))
-      val structs = markers
-        .map { case (l, ws) =>
-          val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
-          s"struct_pack(lang := '$l', score := len(list_filter(toks, w -> list_contains($list, w))))"
-        }
-        .mkString(",\n             ")
-      s"""WITH t AS (SELECT doc_id, lang AS label_lang,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
-           FROM documents),
-         s AS (SELECT doc_id, label_lang, u.s.lang AS lang, u.s.score AS score
-               FROM t, UNNEST([
-             $structs
-           ]) AS u(s))
-         SELECT doc_id, label_lang,
-           CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
-           CAST(score AS BIGINT) AS marker_hits
-         FROM (SELECT *, row_number() OVER
-                 (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
-         WHERE rn = 1"""
-    },
+    "text_lang_id" -> langIdOracle,
+    "text_lang_confusion" ->
+      // one aggregation over the (nested) lang-id replay
+      s"""SELECT label_lang, pred_lang, count(*) AS n_docs,
+            CAST(label_lang = pred_lang AS INT) AS is_correct
+          FROM ($langIdOracle) GROUP BY label_lang, pred_lang""",
+    "q20_dominant_supplier" ->
+      """SELECT s.s_suppkey, s.s_name
+         FROM supplier s
+         WHERE s.s_suppkey IN (
+           SELECT l.l_suppkey
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_type = 'PROMO'
+           GROUP BY l.l_partkey, l.l_suppkey
+           HAVING sum(l.l_quantity) > 0.15 * (SELECT sum(l2.l_quantity)
+                                              FROM lineitem l2
+                                              WHERE l2.l_partkey = l.l_partkey))
+         ORDER BY s.s_suppkey""",
+    "q_event_gaps" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+         g AS (SELECT user_id,
+                 lag(event_id) OVER w AS prev_event_id,
+                 lag(ts) OVER w AS prev_ts,
+                 event_id, ts
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, prev_event_id, event_id,
+           (ts - prev_ts) // 1000000000 AS gap_sec
+         FROM g
+         WHERE prev_ts IS NOT NULL
+           AND (ts - prev_ts) // 1000000000 >= 86400""",
+    "q_percentile_disc" ->
+      """WITH r AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, p, round(value, 2) AS value
+         FROM r, unnest([0.25, 0.5, 0.75, 0.95]) AS u(p)
+         WHERE rn = ceil(p * n)""",
     "mm_manifest" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -242,4 +242,49 @@ object AnalyticsExt {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topK)
   }
+
+  /** #105 Event-gap detection (lag/lead audit): per user, pairs of
+    * consecutive events more than `minGapSec` apart — the silence
+    * audit behind session-boundary checks and sensor-dropout
+    * monitoring. One window over the (user_id) partitioning; gap
+    * arithmetic is integer nanoseconds end to end, so the oracle
+    * replays it exactly (`epoch_ns` on the DuckDB side).
+    */
+  def eventGaps(spark: SparkSession, dir: String, minGapSec: Long = 86400L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_event_id", lag("event_id", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_sec", expr("(ts - prev_ts) div 1000000000"))
+      .filter(col("gap_sec") >= minGapSec)
+      .select(
+        col("user_id"),
+        col("prev_event_id"),
+        col("event_id"),
+        col("gap_sec"))
+  }
+
+  /** #106 Discrete percentiles (percentile_disc parity): per
+    * event_type, the ACTUAL data value at p ∈ {0.25, 0.5, 0.75,
+    * 0.95} — defined explicitly as the row with row_number
+    * ⌈p·n⌉ under the (value, event_id) total order, so both engines
+    * pick the identical row with zero interpolation arithmetic
+    * (interpolated percentiles are the cross-engine ulp hazard
+    * winsorize has to round away; discrete ones are exact by
+    * construction). One window pass + a 4-element probe array.
+    */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("p", explode(typedlit(Seq(0.25, 0.5, 0.75, 0.95))))
+      .filter(col("rn") === ceil(col("p") * col("n")))
+      .select(col("event_type"), col("p"), round(col("value"), 2).as("value"))
+  }
 }

@@ -104,6 +104,18 @@ object TextOps {
       )
   }
 
+  /** #107 Language-ID confusion audit: the (label, prediction) count
+    * matrix of [[langId]] against the corpus's ground-truth `lang`
+    * column — the accuracy report every heuristic classifier needs
+    * before it gates a 100 TB corpus. One aggregation over the
+    * classifier's output; the matrix is at most |langs|² rows.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy("label_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_correct", (col("label_lang") === col("pred_lang")).cast("int"))
+
   /** #67 Repetition-based quality filter (the Gopher/C4-family "mostly
     * repeated content" checks): per doc, the duplicate-trigram fraction
     * (1 − unique/total trigrams) and the most-frequent-token share of

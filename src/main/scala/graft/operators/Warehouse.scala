@@ -73,6 +73,31 @@ object Warehouse {
     """)
   }
 
+  /** #104 Dominant supplier (TPC-H Q20 shape): suppliers shipping more
+    * than 15% of some PROMO part's total quantity — a nested-IN whose
+    * inner aggregate carries its own correlated scalar subquery in the
+    * HAVING clause. Catalyst decorrelates both levels: the IN becomes
+    * a LeftSemi join, the HAVING threshold an aggregate joined back on
+    * partkey. Quantities are integer-valued, so the 0.15·total
+    * comparison is exact cross-engine.
+    */
+  def dominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT s.s_suppkey, s.s_name
+      FROM wh_supplier s
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM wh_lineitem l JOIN wh_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING sum(l.l_quantity) > 0.15 * (SELECT sum(l2.l_quantity)
+                                           FROM wh_lineitem l2
+                                           WHERE l2.l_partkey = l.l_partkey))
+      ORDER BY s.s_suppkey
+    """)
+  }
+
   /** #102 Waiting suppliers (TPC-H Q21 shape): suppliers who were the
     * ONLY late shipper (>60 days after order date) in a multi-supplier
     * order — the EXISTS + NOT EXISTS chain. The inner lateness check

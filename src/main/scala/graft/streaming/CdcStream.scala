@@ -115,6 +115,24 @@ object CdcStream {
   def dedupByOffset(parsed: DataFrame): DataFrame =
     parsed.dropDuplicates("topic", "partition", "offset")
 
+  /** #108 Watermark-bounded streaming dedup: the production form of
+    * [[dedupByOffset]]'s state-store dedup. Plain `dropDuplicates` on
+    * a stream keeps EVERY key seen forever — unbounded state on an
+    * unbounded stream, the 100 TB streaming killer.
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup record once
+    * the watermark passes its event time + delay, so state is bounded
+    * by the redelivery horizon (`delay`) × arrival rate, independent
+    * of stream lifetime — redeliveries inside the horizon are
+    * dropped, which is exactly the at-least-once contract (brokers
+    * redeliver within a bounded window, not arbitrarily late).
+    */
+  def dedupWithinWatermark(changes: Dataset[Change], delay: String = "10 minutes"): DataFrame =
+    changes
+      .withColumn("ts_us", timestamp_micros(col("ts")))
+      .withWatermark("ts_us", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts_us")
+
   /** Latest-change-wins upsert state machine. Changes inside a batch
     * are applied in (ts, event_id) order; stale arrivals (older than
     * the applied state) are ignored — at-least-once safe.

@@ -36,6 +36,14 @@ class WarehouseSpec extends SparkSpec {
     assert(!rows.head.isNullAt(0) && rows.head.getDouble(0) > 0)
   }
 
+  test("q20: nested IN with correlated HAVING decorrelates fully") {
+    val df = Warehouse.dominantSupplier(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("ScalarSubquery"), s"per-row scalar subquery survived:\n$plan")
+    assert(plan.contains("LeftSemi"), s"IN did not become a semi join:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q21: EXISTS / NOT EXISTS chain becomes LeftSemi / LeftAnti joins") {
     val df = Warehouse.waitingSuppliers(spark, sf)
     val plan = physical(df)

@@ -46,6 +46,34 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("watermark-bounded dedup drops cross-batch redeliveries within the horizon") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      changes.write.mode("append").parquet(inDir)
+
+      // delay spans the whole synthetic window, so every redelivery is
+      // inside the horizon and must collapse; in production the same
+      // declaration bounds state to horizon × arrival rate
+      val q = CdcStream
+        .dedupWithinWatermark(CdcStream.readChangelog(spark, inDir), delay = "40 days")
+        .writeStream
+        .format("memory")
+        .queryName("stream_dedup_wm")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        // second wave: every 10th event redelivered in a LATER batch
+        changes.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        assert(spark.table("stream_dedup_wm").count() == changes.count())
+        // the stateful operator really is the watermark-bounded variant
+        val ops = q.lastProgress.stateOperators.map(_.operatorName.toLowerCase)
+        assert(ops.exists(_.contains("withinwatermark")), s"state operators: ${ops.mkString(",")}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming session windows match the batch session_window aggregation") {
     withTempDir { inDir =>
       Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
