@@ -133,7 +133,9 @@ object SparkEntry {
     // Window/audit depth (§2 #105-107)
     "q_event_gaps" -> ((s: SparkSession, d: String) => AnalyticsExt.eventGaps(s, d)),
     "q_percentile_disc" -> (AnalyticsExt.percentileDisc _),
-    "text_lang_confusion" -> (TextOps.langConfusion _)
+    "text_lang_confusion" -> (TextOps.langConfusion _),
+    "q_rolling_median" -> (AnalyticsExt.rollingMedian _),
+    "q_asof_nearest" -> (AnalyticsExt.asofNearest _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1503,6 +1505,40 @@ object SparkEntry {
          FROM g
          WHERE prev_ts IS NOT NULL
            AND (ts - prev_ts) // 1000000000 >= 86400""",
+    "q_rolling_median" ->
+      """SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+             ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW), 6) AS med_7d
+         FROM events""",
+    "q_asof_nearest" ->
+      """WITH ord AS (
+           SELECT o_custkey, epoch_us(o_orderdate) AS o_ts, o_orderkey FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+               ORDER BY o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1),
+         e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+         c AS (
+           SELECT e.event_id, e.user_id, e.ts,
+             max(CASE WHEN o.o_ts <= e.ts THEN o.o_ts END) AS b_t,
+             min(CASE WHEN o.o_ts > e.ts THEN o.o_ts END) AS f_t
+           FROM e LEFT JOIN ord o ON o.o_custkey = e.user_id
+           GROUP BY e.event_id, e.user_id, e.ts),
+         n AS (
+           SELECT *,
+             CASE WHEN b_t IS NULL AND f_t IS NULL THEN NULL
+                  WHEN f_t IS NULL THEN 'b'
+                  WHEN b_t IS NULL THEN 'f'
+                  WHEN ts - b_t <= f_t - ts THEN 'b' ELSE 'f' END AS direction,
+             CASE WHEN b_t IS NULL AND f_t IS NULL THEN NULL
+                  WHEN f_t IS NULL THEN b_t
+                  WHEN b_t IS NULL THEN f_t
+                  WHEN ts - b_t <= f_t - ts THEN b_t ELSE f_t END AS n_t
+           FROM c)
+         SELECT n.event_id, n.user_id, n.ts, o.o_orderkey, n.direction,
+           n.ts - n.n_t AS delta
+         FROM n LEFT JOIN ord o
+           ON o.o_custkey = n.user_id AND o.o_ts = n.n_t""",
     "q_percentile_disc" ->
       """WITH r AS (
            SELECT event_type, event_id, value,

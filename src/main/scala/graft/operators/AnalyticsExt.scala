@@ -243,6 +243,57 @@ object AnalyticsExt {
       .limit(topK)
   }
 
+  /** #110 Nearest-neighbor as-of join: each event matched to its
+    * user's temporally CLOSEST order, backward or forward (ties
+    * backward) — attribution when the touchpoint can precede or
+    * follow the order. Same one-shuffle union-window shape as #35,
+    * with two frames over one sort ([[AsOf.nearest]]).
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"))
+    val ord = Tables
+      .orders(spark, dir)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"),
+        col("o_orderkey"))
+    AsOf.nearest(
+      ev,
+      ord,
+      leftKey = "user_id",
+      rightKey = "o_custkey",
+      leftTime = "ts",
+      rightTime = "o_ts",
+      payload = Seq("o_orderkey"))
+  }
+
+  /** #109 Rolling window median: each event's trailing-7-day median
+    * value within its user's history — a percentile aggregate over a
+    * RANGE frame (the robust rolling baseline behind anomaly flags;
+    * plain avg is what the fat tail owns). One shuffle on user_id;
+    * the frame is integer nanoseconds, 6dp-rounded output (the
+    * cross-engine interpolation guard).
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val sevenDaysNs = 7L * 24 * 3600 * 1000000000L
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"))
+      .rangeBetween(-sevenDaysNs, 0)
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("med_7d", round(percentile(col("value"), lit(0.5)).over(w), 6))
+      .select(col("event_id"), col("user_id"), col("med_7d"))
+  }
+
   /** #105 Event-gap detection (lag/lead audit): per user, pairs of
     * consecutive events more than `minGapSec` apart — the silence
     * audit behind session-boundary checks and sensor-dropout

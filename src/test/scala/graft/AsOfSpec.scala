@@ -42,4 +42,26 @@ class AsOfSpec extends SparkSpec {
     val diffs = expect.collect { case (id, e) if got(id) != e => (id, e, got(id)) }
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
+
+  test("nearest picks the min-|delta| side, ties backward, null when no right rows") {
+    import spark.implicits._
+    // key 1: order at t=100 and t=200 — event at 140 → backward (40 ≤ 60),
+    // event at 160 → forward (40 < 60), event at 150 → TIE → backward.
+    // key 2: only a later order → forward. key 3: no orders → null.
+    val left = Seq((1L, 1L, 140L), (2L, 1L, 160L), (3L, 1L, 150L), (4L, 2L, 50L), (5L, 3L, 10L))
+      .toDF("l_id", "k", "t")
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 90L, 30L))
+      .toDF("rk", "rt", "payload")
+    val got = AsOf
+      .nearest(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.getAs[String]("direction")), Option(r.get(5))))
+      .toMap
+    assert(got(1L) == ((Some(10L), Some("b"), Some(40L))))
+    assert(got(2L) == ((Some(20L), Some("f"), Some(-40L))))
+    assert(got(3L) == ((Some(10L), Some("b"), Some(50L))))
+    assert(got(4L) == ((Some(30L), Some("f"), Some(-40L))))
+    assert(got(5L) == ((None, None, None)))
+  }
 }
