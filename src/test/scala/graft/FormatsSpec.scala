@@ -78,11 +78,18 @@ class FormatsSpec extends SparkSpec {
       assert(dirs.toSet == Set("modality=image", "modality=audio", "modality=video"))
       val back = spark.read.parquet(s"$dir/mm")
       assert(back.count() == m.count())
-      // partition pruning: a modality filter must read only one dir
+      // partition pruning: the filter must land in PartitionFilters and
+      // the scan must select exactly ONE of the three partition dirs —
+      // a count-equality fallback would pass even on a full scan
       val pruned = back.filter(col("modality") === "image")
-      val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
-      assert(scan.contains("modality=image") || pruned.count() ==
-        m.filter(col("modality") === "image").count())
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.toString.contains("PartitionFilters"), scans.head.toString)
+      assert(scans.head.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned partition, scanned ${scans.head.selectedPartitions.partitionCount}")
+      assert(pruned.count() == m.filter(col("modality") === "image").count())
     }
   }
 
