@@ -71,5 +71,18 @@ object GraftFunctions {
       "hash60",
       args => { checkArity("hash60", args, 1); Hash60(args.head) },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "rp_project",
+      args => {
+        checkArity("rp_project", args, 2)
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"rp_project: k must be an integer literal, got $other")
+        }
+        RpProject(args.head, k)
+      },
+      "built-in")
   }
 }

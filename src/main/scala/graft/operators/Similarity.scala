@@ -425,7 +425,7 @@ object Similarity {
     * backfills. Computed once at plan time; the plan itself carries
     * only ±1 literals.
     */
-  private[graft] def rpSign(i: Int, j: Int): Int = md5Parity(s"graft-rp:$i:$j")
+  private[graft] def rpSign(i: Int, j: Int): Int = graft.functions.RpProject.sign(i, j)
 
   /** #97 Random-projection dimensionality reduction (Achlioptas '01
     * database-friendly JL): project 64-dim float embeddings to `k`
@@ -441,31 +441,28 @@ object Similarity {
     * the DuckDB oracle (same literal order → same double rounding).
     */
   def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val ys = (0 until k).map { j =>
-      val terms = (0 until 64)
-        .map(i => s"${if (rpSign(i, j) > 0) "+" else "-"} CAST(embedding[$i] AS DOUBLE)")
-        .mkString(" ")
-      s"round((0.0d $terms) / sqrt(CAST($k AS DOUBLE)), 6)"
-    }
+    GraftFunctions.register(spark)
     Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(expr(s"array(${ys.mkString(", ")})")).as(Seq("pos", "y")))
+      .select(
+        col("vec_id"),
+        posexplode(expr(s"transform(rp_project(embedding, $k), y -> round(y, 6))"))
+          .as(Seq("pos", "y")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
   }
 
   /** The [[randomProjection]] matrix applied in-plan as an
     * `array<float>` column expression over `colName` — shared by the
     * projected-search operator and usable ahead of any embedding op.
+    * Backed by the native `rp_project` kernel: the former k×64-term
+    * textual expansion (2048 adds at k=32) cost seconds of
+    * planning/codegen per query; the kernel is order-identical
+    * arithmetic (same left-to-right sums, same single divide), so
+    * results — and the projection oracles — are bit-for-bit unchanged
+    * (pinned by GraftFunctionsSpec).
     */
-  private[graft] def rpArrayExpr(colName: String, k: Int): String = {
-    val ys = (0 until k).map { j =>
-      val terms = (0 until 64)
-        .map(i => s"${if (rpSign(i, j) > 0) "+" else "-"} CAST($colName[$i] AS DOUBLE)")
-        .mkString(" ")
-      s"CAST((0.0d $terms) / sqrt(CAST($k AS DOUBLE)) AS FLOAT)"
-    }
-    s"array(${ys.mkString(", ")})"
-  }
+  private[graft] def rpArrayExpr(colName: String, k: Int): String =
+    s"transform(rp_project($colName, $k), y -> CAST(y AS FLOAT))"
 
   /** #98 Projected ANN search — the two-stage pattern that makes
     * brute-force tractable at 100 TB: score ALL candidates in the
@@ -488,13 +485,15 @@ object Similarity {
     * ProjectedIndexSpec), not the 64-dim corpus; the full vectors are
     * only read for the ~cand survivors per query.
     */
-  def buildProjectedIndex(spark: SparkSession, dir: String, path: String, k: Int = 32): Unit =
+  def buildProjectedIndex(spark: SparkSession, dir: String, path: String, k: Int = 32): Unit = {
+    GraftFunctions.register(spark)
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), expr(rpArrayExpr("embedding", k)).as("pvec"))
       .write
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** #103 Projected ANN search over the MATERIALIZED index — same
     * two-stage semantics (and bit-identical results) as

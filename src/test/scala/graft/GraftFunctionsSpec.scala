@@ -21,6 +21,26 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rp_project kernel is bit-identical to the literal signed-sum expansion") {
+    GraftFunctions.register(spark)
+    val k = 32
+    // the pre-kernel textual form: same left-to-right adds, one divide
+    val ys = (0 until k).map { j =>
+      val terms = (0 until 64)
+        .map(i =>
+          s"${if (Similarity.rpSign(i, j) > 0) "+" else "-"} CAST(embedding[$i] AS DOUBLE)")
+        .mkString(" ")
+      s"(0.0d $terms) / sqrt(CAST($k AS DOUBLE))"
+    }
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+    val both = df.select(
+      expr(s"rp_project(embedding, $k)").as("kernel"),
+      expr(s"array(${ys.mkString(", ")})").as("literal"))
+    // exact double equality, element by element — no tolerance
+    assert(both.filter(expr("kernel != literal")).count() == 0)
+    assert(both.filter(expr("size(kernel) != 32")).count() == 0)
+  }
+
   test("hash60 kernel equals the composed conv(substr(md5)) form on real and unicode text") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -65,7 +65,9 @@ class KernelCodegenSpec extends SparkSpec {
         expr("simhash64w(a, w)").as("sw1"),
         expr("simhash64w(b, w)").as("sw2"),
         expr("minhash_sig(a)").as("mh1"),
-        expr("minhash_sig(b)").as("mh2"))
+        expr("minhash_sig(b)").as("mh2"),
+        expr("rp_project(v1, 4)").as("rp1"),
+        expr("rp_project(v2, 4)").as("rp2"))
       // the projection must actually be whole-stage codegen'd, otherwise
       // this test proves nothing
       val wholeStage = fused.queryExecution.executedPlan.collect {
