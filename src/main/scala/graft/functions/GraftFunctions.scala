@@ -72,6 +72,19 @@ object GraftFunctions {
       args => { checkArity("hash60", args, 1); Hash60(args.head) },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "lsh_bucket",
+      args => {
+        checkArity("lsh_bucket", args, 3)
+        val lits = args.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"lsh_bucket: table and bits must be integer literals, got $other")
+        }
+        LshBucket(args.head, lits(0), lits(1))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "rp_project",
       args => {
         checkArity("rp_project", args, 2)

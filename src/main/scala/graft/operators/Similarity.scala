@@ -53,18 +53,6 @@ object Similarity {
     math.max(4, bits)
   }
 
-  /** ±1 from the parity of the engine-portable 60-bit md5 hash of a
-    * public string key — the construction behind [[rpSign]] and
-    * [[lshSign]]. Any engine with md5 (the DuckDB oracle) re-derives
-    * the same value, so "random" matrices built from it are
-    * reproducible across engines, runs, and backfills.
-    */
-  private[graft] def md5Parity(key: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1 else -1
-  }
-
   /** Rademacher hyperplane sign for (table, plane `p`, dim `i`).
     * Sign vectors stand in for gaussian planes (same SRP collision
     * behavior in expectation — Achlioptas '01 shows ±1 entries
@@ -73,46 +61,29 @@ object Similarity {
     * `md5('graft-lsh:t:p:i')` parity, relationally.
     */
   private[graft] def lshSign(table: Int, p: Int, i: Int): Int =
-    md5Parity(s"graft-lsh:$table:$p:$i")
-
-  /** Per-element 1e6 fixed-point quantization of an embedding — the
-    * trick that makes the hyperplane dot product an INTEGER sum:
-    * integer addition is exact and order-independent, so the bucket
-    * bit `sign(Σᵢ ±⌊xᵢ·10⁶⌋)` is bit-identical in any engine
-    * regardless of summation order (a raw double sum could flip a
-    * near-zero dot's sign in the last ulp). Quantization error per
-    * dot is < 64·10⁻⁶ — noise relative to unit-scale embeddings, and
-    * both engines agree on WHICH side of the plane every vector
-    * lands, which is the only property LSH needs.
-    */
-  private def quantized(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * lit(1000000.0)))
+    graft.functions.LshBucket.sign(table, p, i)
 
   /** Random-hyperplane LSH bucket id in table `table`: bit p =
-    * sign(vec · plane_p) over the [[lshSign]] Rademacher planes and
-    * [[quantized]] fixed-point elements. Cosine-similar vectors land
-    * in the same bucket with high probability (SRP-LSH, Charikar
-    * '02); the integer form is exactly replayable by the SQL oracle.
+    * sign(vec · plane_p) over the [[lshSign]] Rademacher planes with
+    * 1e6 fixed-point elements — an INTEGER dot, exact and
+    * order-independent in any engine (a raw double sum could flip a
+    * near-zero dot's sign in the last ulp; quantization error
+    * < 64·10⁻⁶ per dot only ever moves WHERE a near-plane vector
+    * hashes, identically in both engines). Cosine-similar vectors
+    * land in the same bucket with high probability (SRP-LSH,
+    * Charikar '02). Computed by the native `lsh_bucket` kernel — one
+    * pass over the vector for all bits; the SQL oracle replays it
+    * relationally from the md5-parity sign matrix.
     */
-  def hyperplaneBucket(vec: Column, table: Int, bits: Int): Column = {
-    val q = quantized(vec)
-    (0 until bits)
-      .map { p =>
-        val signs: Seq[Long] = (0 until 64).map(i => lshSign(table, p, i).toLong)
-        val dot = aggregate(
-          zip_with(q, typedlit(signs), (x, s) => x * s),
-          lit(0L),
-          (acc, v) => acc + v)
-        when(dot > 0, lit(1 << p)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, table: Int, bits: Int): Column =
+    call_function("lsh_bucket", vec, lit(table), lit(bits))
 
   /** One row per (table, bucket) per input row: the multi-table LSH
     * banding join key. `bits` per table, [[NumTables]] tables unless
     * overridden.
     */
-  def bandedBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int = NumTables): DataFrame =
+  def bandedBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int = NumTables): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.withColumn(
         "tb",
         explode(array((0 until tables).map(t =>
@@ -120,6 +91,7 @@ object Similarity {
       .withColumn("t", col("tb.t"))
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb")
+  }
 
   /** Corpus size for deriving [[numPlanes]] — a metadata-cheap count,
     * the same runtime statistic AQE bases its re-planning on.
