@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, Hash60, MinHashSig, RewriteSetCardinality, SimHash64}
+import graft.functions.{CosineSim, Hash60, IntersectCard, LshBucket, MinHashSig, RewriteSetCardinality, RpProject, SimHash64, SimHash64Weighted, UnionCard}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: makes graft's native kernels
   * first-class SQL functions in any session built with
@@ -36,5 +37,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("hash60"),
         new ExpressionInfo(classOf[Hash60].getName, "hash60"),
         args => Hash60(args.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64w"),
+        new ExpressionInfo(classOf[SimHash64Weighted].getName, "simhash64w"),
+        args => SimHash64Weighted(args.head, args(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("intersect_card"),
+        new ExpressionInfo(classOf[IntersectCard].getName, "intersect_card"),
+        args => IntersectCard(args.head, args(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("union_card"),
+        new ExpressionInfo(classOf[UnionCard].getName, "union_card"),
+        args => UnionCard(args.head, args(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("rp_project"),
+        new ExpressionInfo(classOf[RpProject].getName, "rp_project"),
+        args =>
+          RpProject(args.head, args(1) match {
+            case Literal(v: Int, _) => v
+            case other =>
+              throw new IllegalArgumentException(s"rp_project: k must be a literal, got $other")
+          })))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("lsh_bucket"),
+        new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+        args => {
+          val lits = args.drop(1).map {
+            case Literal(v: Int, _) => v
+            case other =>
+              throw new IllegalArgumentException(
+                s"lsh_bucket: table/bits must be literals, got $other")
+          }
+          LshBucket(args.head, lits(0), lits(1))
+        }))
   }
 }
