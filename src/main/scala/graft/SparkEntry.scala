@@ -135,7 +135,14 @@ object SparkEntry {
     "q_percentile_disc" -> (AnalyticsExt.percentileDisc _),
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "q_rolling_median" -> (AnalyticsExt.rollingMedian _),
-    "q_asof_nearest" -> (AnalyticsExt.asofNearest _)
+    "q_asof_nearest" -> (AnalyticsExt.asofNearest _),
+    // Warehouse depth, second batch (§2 #111-116)
+    "q4_late_priority" -> (Warehouse.latePriority _),
+    "q11_important_stock" -> (Warehouse.importantStock _),
+    "q13_cust_distribution" -> (Warehouse.custDistribution _),
+    "q15_top_supplier" -> (Warehouse.topSupplier _),
+    "q19_disjunctive_revenue" -> (Warehouse.disjunctiveRevenue _),
+    "q22_idle_customers" -> (Warehouse.idleCustomers _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1604,6 +1611,66 @@ object SparkEntry {
            unnest(range(len(embedding))) AS pos,
            CAST(round(CASE WHEN nrm = 0 THEN 0
                 ELSE CAST(unnest(embedding) AS DOUBLE) / nrm * 127 END) AS INT) AS q
-         FROM n"""
+         FROM n""",
+    "q4_late_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
+    "q11_important_stock" ->
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+         FROM lineitem
+         GROUP BY l_partkey
+         HAVING sum(l_quantity) > (SELECT 1.5 * sum(l_quantity)
+                                          / count(DISTINCT l_partkey)
+                                   FROM lineitem)
+         ORDER BY total_qty DESC, l_partkey""",
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c
+           LEFT OUTER JOIN orders o
+             ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS revenue_c
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, rev.revenue_c
+         FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
+         WHERE rev.revenue_c = (SELECT max(revenue_c) FROM rev)
+         ORDER BY s.s_suppkey""",
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_c
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 20)
+            OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                AND l.l_quantity BETWEEN 10 AND 40)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                AND l.l_quantity BETWEEN 20 AND 50)""",
+    "q22_idle_customers" ->
+      """SELECT c.c_mktsegment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+           AND c.c_acctbal > (SELECT round(avg(c2.c_acctbal), 4)
+                              FROM customer c2 WHERE c2.c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+         GROUP BY c.c_mktsegment
+         ORDER BY c.c_mktsegment"""
   )
 }

@@ -29,6 +29,7 @@ object Warehouse {
     Tables.part(spark, dir).createOrReplaceTempView("wh_part")
     Tables.orders(spark, dir).createOrReplaceTempView("wh_orders")
     Tables.supplier(spark, dir).createOrReplaceTempView("wh_supplier")
+    Tables.customer(spark, dir).createOrReplaceTempView("wh_customer")
   }
 
   /** #100 Min-cost supplier per part (TPC-H Q2 shape): for each small
@@ -124,6 +125,149 @@ object Warehouse {
       GROUP BY s.s_name
       ORDER BY numwait DESC, s.s_name
       LIMIT 20
+    """)
+  }
+
+  /** #111 Late-order priority audit (TPC-H Q4 shape): per-priority
+    * count of orders in a date window that had at least one lineitem
+    * shipped more than 45 days after the order date. The correlated
+    * EXISTS becomes a LeftSemi join on l_orderkey (pinned by
+    * `WarehouseSpec`) — the probe side is pre-filtered by the pushed
+    * date-window predicate, so the semi join's build input scales
+    * with the window, not the table.
+    */
+  def latePriority(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT o.o_orderpriority, count(*) AS order_count
+      FROM wh_orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM wh_lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority
+    """)
+  }
+
+  /** #112 Important stock (TPC-H Q11 shape): parts whose total shipped
+    * quantity exceeds 1.5× the MEAN per-part share of the global
+    * shipped quantity — the group-aggregate-vs-global-scalar HAVING.
+    * The scalar subquery is uncorrelated: it executes once and
+    * broadcasts, never per-group, and the relative threshold keeps the
+    * result non-empty at every scale factor (a fixed global fraction
+    * empties as the part count grows). Quantities are integer-valued
+    * doubles, so both sums and the count are order-independent — the
+    * threshold division is the same double in any engine.
+    */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM wh_lineitem
+      GROUP BY l_partkey
+      HAVING sum(l_quantity) > (SELECT 1.5 * sum(l_quantity)
+                                       / count(DISTINCT l_partkey)
+                                FROM wh_lineitem)
+      ORDER BY total_qty DESC, l_partkey
+    """)
+  }
+
+  /** #113 Customer order distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … non-urgent orders — the LEFT OUTER
+    * join with a predicate in the ON clause (so order-less customers
+    * survive with count 0) followed by a count-of-counts. Two
+    * aggregations: the first shuffles on c_custkey, the second on the
+    * tiny c_count domain. All-integer arithmetic, exact cross-engine.
+    */
+  def custDistribution(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM wh_customer c
+        LEFT OUTER JOIN wh_orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """)
+  }
+
+  /** #114 Top revenue supplier (TPC-H Q15 shape): supplier(s) whose
+    * discounted revenue equals the maximum over the per-supplier
+    * revenue view — the agg-view + max-equality pattern. Revenue is
+    * accumulated in integer CENTS (`floor(price·(1−disc)·100 + 0.5)`:
+    * the per-row double multiply is IEEE-identical in any engine, and
+    * the integer sum is order-free), so the max-equality cannot be
+    * broken by float summation order — the q15 analog of the
+    * `dedup_semantic` e4 trick.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      WITH rev AS (
+        SELECT l_suppkey,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c
+        FROM wh_lineitem GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, rev.revenue_c
+      FROM wh_supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
+      WHERE rev.revenue_c = (SELECT max(revenue_c) FROM rev)
+      ORDER BY s.s_suppkey
+    """)
+  }
+
+  /** #115 Disjunctive-predicate revenue (TPC-H Q19 shape): a join
+    * whose WHERE is an OR of three brand/size/quantity conjunct
+    * groups. What matters is the plan: Catalyst extracts the common
+    * join key, pushes the part-only disjuncts (brand, size) into the
+    * part scan and the lineitem-only bounds into the lineitem scan,
+    * and evaluates only the residual OR post-join — a naive engine
+    * evaluates the whole disjunction as a filter AFTER a full join.
+    * Revenue in exact integer cents (see [[topSupplier]]).
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT count(*) AS n_items,
+        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS revenue_c
+      FROM wh_lineitem l JOIN wh_part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 20)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+             AND l.l_quantity BETWEEN 10 AND 40)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+             AND l.l_quantity BETWEEN 20 AND 50)
+    """)
+  }
+
+  /** #116 Idle high-balance customers (TPC-H Q22 shape): customers in
+    * selected market segments with an above-average account balance
+    * and NO RECENT order (every testdata customer has at least one
+    * lifetime order, so "idle" is a date-windowed NOT EXISTS) —
+    * global-scalar threshold + anti join + in-list, aggregated per
+    * segment. The average is rounded to 4dp on both engines before
+    * the comparison (the winsorize bounds lesson) so a last-ulp
+    * difference in float summation order cannot flip a customer
+    * across the threshold.
+    */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT c.c_mktsegment, count(*) AS numcust,
+        round(sum(c.c_acctbal), 2) AS totacctbal
+      FROM wh_customer c
+      WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+        AND c.c_acctbal > (SELECT round(avg(c2.c_acctbal), 4)
+                           FROM wh_customer c2 WHERE c2.c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM wh_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment
     """)
   }
 }

@@ -55,4 +55,80 @@ class WarehouseSpec extends SparkSpec {
     val nw = rows.map(_.getLong(1))
     assert(nw.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("q4: EXISTS becomes a LeftSemi join and the date window is pushed") {
+    val df = Warehouse.latePriority(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$plan")
+    // the date-window filter must reach the orders scan, not sit post-join
+    assert(
+      plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+        plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window not pushed into the orders scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+  }
+
+  test("q11: group-vs-global HAVING keeps one uncorrelated scalar, no cartesian") {
+    val df = Warehouse.importantStock(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // threshold honored: every returned part clears 1.5× the mean per-part share
+    import org.apache.spark.sql.functions._
+    val g = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum("l_quantity").as("s"), countDistinct("l_partkey").as("n")).head
+    val threshold = 1.5 * g.getDouble(0) / g.getLong(1)
+    assert(rows.forall(_.getLong(1) > threshold))
+  }
+
+  test("q13: order-less customers survive the outer join with count 0") {
+    val df = Warehouse.custDistribution(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("LeftOuter"), s"expected a left outer join:\n$plan")
+    val rows = df.collect()
+    // distribution covers all customers exactly once
+    val nCust = rows.map(_.getLong(1)).sum
+    val expected = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(nCust == expected, s"distribution covers $nCust of $expected customers")
+  }
+
+  test("q15: integer-cents revenue makes the max-equality exact") {
+    val df = Warehouse.topSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every returned supplier carries the same (maximal) revenue
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("q19: part-side disjuncts are pushed into the part scan") {
+    val df = Warehouse.disjunctiveRevenue(spark, sf)
+    val plan = physical(df)
+    // Catalyst extracts brand IN (...) / size bounds as a scan-level
+    // filter on part — the Or must appear under a Filter over the part
+    // scan, not only post-join
+    assert(
+      plan.contains("Brand#1") && plan.contains("Brand#3"),
+      s"brand disjuncts missing from the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    val row = df.collect().head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+  }
+
+  test("q22: NOT EXISTS becomes LeftAnti with the global threshold applied once") {
+    val df = Warehouse.idleCustomers(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    // idle means idle: the segment counts cannot exceed the customers
+    // with no order on/after the cutoff
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val recent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+    val idle = cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+    assert(rows.map(_.getLong(1)).sum <= idle.count())
+  }
 }
