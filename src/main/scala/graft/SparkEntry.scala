@@ -142,7 +142,11 @@ object SparkEntry {
     "q13_cust_distribution" -> (Warehouse.custDistribution _),
     "q15_top_supplier" -> (Warehouse.topSupplier _),
     "q19_disjunctive_revenue" -> (Warehouse.disjunctiveRevenue _),
-    "q22_idle_customers" -> (Warehouse.idleCustomers _)
+    "q22_idle_customers" -> (Warehouse.idleCustomers _),
+    // LLM-pipeline depth, round-4 continuation (§2 #117-119)
+    "text_boilerplate" -> ((s: SparkSession, d: String) => TextOps.boilerplate(s, d)),
+    "q_pps_sample" -> ((s: SparkSession, d: String) => Sampling.ppsSample(s, d)),
+    "text_kl_drift" -> (TextStats.klDrift _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1671,6 +1675,82 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate >= TIMESTAMP '2000-07-01')
          GROUP BY c.c_mktsegment
-         ORDER BY c.c_mktsegment"""
+         ORDER BY c.c_mktsegment""",
+    "text_boilerplate" ->
+      // the dedup_spans block CTE at blockLen=6 plus a distinct-doc df
+      // table; boiler = participating block present in ≥3 docs
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             array_to_string(tok[(i*6+1):(i*6+6)], ' ') AS block
+           FROM t CROSS JOIN LATERAL
+             (SELECT unnest(range(0, (len(tok)+5)//6)) AS i) r),
+         h AS (
+           SELECT doc_id, idx, block,
+             len(string_split(block, ' ')) >= 3 AS participates,
+             ('0x' || substr(md5(block), 1, 15))::BIGINT AS h
+           FROM b),
+         df AS (
+           SELECT h, count(DISTINCT doc_id) FILTER (WHERE participates) AS df
+           FROM h GROUP BY h),
+         k AS (
+           SELECT x.doc_id, x.idx, x.block,
+             x.participates AND df.df >= 3 AS boiler
+           FROM h x JOIN df USING (h))
+         SELECT doc_id, count(*) AS n_blocks,
+           CAST(sum(CAST(boiler AS INT)) AS BIGINT) AS n_boiler,
+           coalesce(string_agg(block, ' ' ORDER BY idx) FILTER (WHERE NOT boiler), '')
+             AS cleaned_text
+         FROM k GROUP BY doc_id""",
+    "q_pps_sample" ->
+      // hierarchical cumsum replay: per-shard running sums + shard
+      // offsets; integer grid-jump picks telescope to exactly k=100
+      """WITH d AS (
+           SELECT doc_id, n_chars AS w,
+             ('0x' || substr(md5('graft-pps-1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+           FROM documents),
+         s AS (SELECT *, ord % 8 AS shard FROM d),
+         l AS (
+           SELECT *,
+             CAST(sum(w) OVER (PARTITION BY shard ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_local
+           FROM s),
+         st AS (SELECT shard, CAST(sum(w) AS BIGINT) AS shard_w FROM s GROUP BY shard),
+         o AS (
+           SELECT shard,
+             CAST(coalesce(sum(shard_w) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM st),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM s)
+         SELECT doc_id, shard, w, cum, n_picks FROM (
+           SELECT l.doc_id, l.shard, l.w, l.cum_local + o.off AS cum,
+             (l.cum_local + o.off) * 100 // t.w_total
+               - (l.cum_local + o.off - l.w) * 100 // t.w_total AS n_picks
+           FROM l JOIN o USING (shard), t)
+         WHERE n_picks > 0""",
+    "text_kl_drift" ->
+      // per-term e6-quantized KL contributions summed as integers —
+      // order-free, so the per-source drift is exact cross-engine
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents),
+         cont AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+         bysrc AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM cont GROUP BY source),
+         bytok AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM cont GROUP BY w),
+         t AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n_total FROM cont),
+         terms AS (
+           SELECT c.source, b.n_s,
+             CAST(floor((CAST(c.c_sw AS DOUBLE) / b.n_s)
+               * log2((CAST(c.c_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+                      / (CAST(b.n_s AS DOUBLE) * CAST(x.c_w AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS term_e6
+           FROM cont c JOIN bysrc b USING (source) JOIN bytok x USING (w), t)
+         SELECT source, n_s AS n_tokens, count(*) AS n_terms,
+           CAST(sum(term_e6) AS BIGINT) / 1000000.0 AS kl_bits
+         FROM terms GROUP BY source, n_s"""
   )
 }

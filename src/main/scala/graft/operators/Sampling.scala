@@ -214,6 +214,59 @@ object Sampling {
     * reproducible across engines, runs, and backfills, and changing
     * the salt re-shuffles for the next epoch.
     */
+  /** #118 PPS systematic sample (probability proportional to size):
+    * draw ~`k` documents with inclusion probability proportional to
+    * their length — the standard way to sample training data so TOKEN
+    * budget, not document count, is uniformly covered. Classic
+    * systematic PPS: lay every document's weight end-to-end along a
+    * line in a pseudo-random (salted-hash) order, then take one pick
+    * every `W/k` units; a document is picked `⌈⌉`-style each time the
+    * grid line falls inside its segment (`n_picks` ≥ 2 possible for a
+    * doc heavier than the stride — multiplicity is part of the
+    * estimator). All arithmetic is INTEGER (`(cum·k) div W` jumps):
+    * exact in any engine, and the pick count telescopes to exactly k.
+    *
+    * The global cumulative sum — normally a total-order sort, the
+    * scale killer — is built hierarchically like [[shuffleOrder]]'s
+    * permutation: cum-sum WITHIN each hash shard (one exchange on
+    * `shard`, per-shard local sort), plus a per-shard base offset
+    * computed from the nShards-row totals table (bounded driver-free
+    * single-partition window over nShards rows, then broadcast back).
+    * One linear shuffle total, independent shards, no global sort.
+    */
+  def ppsSample(spark: SparkSession, dir: String, k: Int = 100, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars").as("w"),
+        Dedup.hash60(concat(lit("graft-pps-1:"), col("doc_id"))).as("ord"))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+    val wLocal = Window
+      .partitionBy("shard")
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("cum_local", sum("w").over(wLocal))
+    val shardTotals = docs.groupBy("shard").agg(sum("w").as("shard_w"))
+    // nShards rows: the single-partition window is bounded by design
+    val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("off", coalesce(sum("shard_w").over(wShard), lit(0L)))
+      .select(col("shard"), col("off"))
+    val total = shardTotals.agg(sum("shard_w").as("w_total"))
+    local
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(total))
+      .withColumn("cum", col("off") + col("cum_local"))
+      .withColumn(
+        "n_picks",
+        expr(s"(cum * $k) div w_total - ((cum - w) * $k) div w_total"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("shard"), col("w"), col("cum"), col("n_picks"))
+  }
+
   def shuffleOrder(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)

@@ -324,4 +324,62 @@ object TextOps {
         reason.as("reason"))
       .withColumn("keep", (col("reason") === "keep").cast("int"))
   }
+
+  /** #117 Line-level boilerplate removal (the CCNet/RefinedWeb scrub):
+    * drop every text block that appears in at least `dfThreshold`
+    * DISTINCT documents — headers, footers, cookie banners, nav bars.
+    * Unlike [[Dedup.spans]] (which keeps the globally-first occurrence
+    * of a repeated block), boilerplate removal drops ALL occurrences:
+    * a block shared by many documents is template chrome, not content,
+    * and the first copy is as worthless as the last. "Lines" are
+    * non-overlapping `blockLen`-token blocks (this corpus has no
+    * newlines); ragged tails under 3 tokens never participate.
+    *
+    * Scale shape: explode is linear (n_tokens/blockLen rows per doc);
+    * the df table and the probe join BOTH shuffle the same exploded
+    * subplan on the block hash, so ReuseExchange materializes the
+    * tokenize/explode once (the [[contamination]] lesson — the df
+    * aggregation counts distinct docs per hash with a map-side
+    * partial); reassembly is one shuffle back on doc_id. No pairwise
+    * comparison anywhere. At 100 TB the df table is vocabulary-sized
+    * (distinct blocks), and the df≥threshold slice of it — the only
+    * part that changes the output — is tiny and AQE-broadcastable.
+    */
+  def boilerplate(
+      spark: SparkSession,
+      dir: String,
+      blockLen: Int = 6,
+      dfThreshold: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nBlocks = expr(s"(size(tok) + ${blockLen - 1}) div $blockLen").cast("int")
+    val blocks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), Dedup.toks(col("text")).as("tok"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(1), nBlocks),
+            i => array_join(slice(col("tok"), (i - lit(1)) * blockLen + 1, lit(blockLen)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"), col("col").as("block"))
+      .withColumn("participates", size(split(col("block"), " ")) >= 3)
+      .withColumn("h", Dedup.hash60(col("block")))
+    // df over ALL blocks (non-participating ones counted as null →
+    // excluded) so both join sides shuffle the identical subplan
+    val dfTable = blocks
+      .groupBy("h")
+      .agg(count_distinct(when(col("participates"), col("doc_id"))).as("df"))
+    blocks
+      .join(dfTable, Seq("h"))
+      .withColumn("boiler", col("participates") && col("df") >= dfThreshold)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("boiler").cast("long")).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"), struct(col("idx"), col("block"))))),
+            x => x.getField("block")),
+          " ").as("cleaned_text"))
+  }
 }

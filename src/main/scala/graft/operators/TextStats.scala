@@ -113,4 +113,44 @@ object TextStats {
             greatest(length(col("norm_a")), length(col("norm_b"))),
           4).as("edit_sim"))
   }
+
+  /** #119 Token-distribution drift per source: KL(P_source ‖ P_corpus)
+    * in bits over the unigram distribution — the mixture-monitoring
+    * statistic a pretraining pipeline tracks to catch a source whose
+    * crawl changed character (new boilerplate, language shift, spam
+    * influx) before it poisons a training run. Complements
+    * [[graft.operators.Sampling.mixtureWeights]]: weights decide how
+    * much of each source to take, drift tells you when a source's
+    * CONTENT moved.
+    *
+    * Every margin (per-source totals, per-token totals, corpus total)
+    * derives from ONE (source, token) contingency aggregation — a
+    * single explode + one shuffle; the margins are vocab-/source-sized
+    * (small) and broadcast back. Per-term contributions are quantized
+    * to e6 integers before summing (⌊p·log2(p/q)·10⁶ + 0.5⌋), so the
+    * per-source sum is order-independent — exact cross-engine, the
+    * `dedup_semantic` discipline applied to floating KL terms.
+    */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+    val cont = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val bySrc = cont.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val byTok = cont.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val total = cont.agg(sum("c_sw").as("n_total"))
+    val p = col("c_sw").cast("double") / col("n_s")
+    val logRatio = log2(
+      (col("c_sw").cast("double") * col("n_total").cast("double")) /
+        (col("n_s").cast("double") * col("c_w").cast("double")))
+    cont
+      .join(bySrc, "source")
+      .join(byTok, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("term_e6", floor(p * logRatio * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("n_s").as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        (sum("term_e6") / lit(1e6)).as("kl_bits"))
+  }
 }

@@ -139,4 +139,21 @@ class SamplingSpec extends SparkSpec {
       .head().getDouble(0)
     assert(asc > 0.35 && asc < 0.65, s"order correlated with doc_id: $asc")
   }
+
+  test("pps sample: picks telescope to exactly k, weight-biased, deterministic") {
+    val s = Sampling.ppsSample(spark, sf, k = 100).cache()
+    // systematic PPS invariant: total multiplicity is exactly k
+    assert(s.agg(sum("n_picks")).head.getLong(0) == 100)
+    // a doc lighter than the stride can be hit at most once
+    val total = Tables.documents(spark, sf).agg(sum("n_chars")).head.getLong(0)
+    val stride = total / 100
+    assert(s.filter(col("w") < stride && col("n_picks") > 1).count() == 0)
+    // inclusion prob proportional to size: the sample's mean weight
+    // must exceed the corpus mean by a clear margin
+    val meanAll = Tables.documents(spark, sf).agg(avg("n_chars")).head.getDouble(0)
+    val meanSamp = s.agg(avg("w")).head.getDouble(0)
+    assert(meanSamp > meanAll, s"sample mean $meanSamp not above corpus mean $meanAll")
+    val again = Sampling.ppsSample(spark, sf, k = 100)
+    assert(s.exceptAll(again).count() == 0)
+  }
 }

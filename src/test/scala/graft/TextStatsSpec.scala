@@ -109,4 +109,35 @@ class TextStatsSpec extends SparkSpec {
     assert(p.filter(
       (col("has_pii") === 1) =!= (col("n_emails") + col("n_ips") + col("n_phones") > 0)).count() == 0)
   }
+
+  test("boilerplate: df-threshold blocks removed everywhere, clean docs untouched") {
+    val b = graft.operators.TextOps.boilerplate(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(b.count() == docs.count())
+    // the corpus carries natural boilerplate (blocks in >=3 docs)
+    assert(b.agg(sum("n_boiler")).head.getLong(0) > 0)
+    // a doc with no boilerplate keeps its full normalized text
+    val norm = docs.select(
+      col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    val untouched = b.filter(col("n_boiler") === 0).join(norm, "doc_id")
+    assert(untouched.filter(col("cleaned_text") =!= col("norm")).count() == 0)
+    // boiler counts never exceed block counts
+    assert(b.filter(col("n_boiler") > col("n_blocks")).count() == 0)
+  }
+
+  test("kl drift: margins cover the corpus, KL non-negative up to quantization") {
+    val d = TextStats.klDrift(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(d.count() == docs.select("source").distinct().count())
+    // per-source token counts partition the corpus token count
+    val totalTokens = d.agg(sum("n_tokens")).head.getLong(0)
+    val expected = docs.select(
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))).count()
+    assert(totalTokens == expected)
+    // Gibbs inequality: true KL >= 0; e6 quantization can dip at most
+    // 5e-7 per term, so a small negative floor bounds the error
+    val minKl = d.agg(min("kl_bits")).head.getDouble(0)
+    assert(minKl >= -0.001, s"KL below quantization floor: $minKl")
+  }
 }
