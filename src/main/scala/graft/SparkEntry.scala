@@ -146,7 +146,10 @@ object SparkEntry {
     // LLM-pipeline depth, round-4 continuation (§2 #117-119)
     "text_boilerplate" -> ((s: SparkSession, d: String) => TextOps.boilerplate(s, d)),
     "q_pps_sample" -> ((s: SparkSession, d: String) => Sampling.ppsSample(s, d)),
-    "text_kl_drift" -> (TextStats.klDrift _)
+    "text_kl_drift" -> (TextStats.klDrift _),
+    // Product quantization (§2 #120-121)
+    "ann_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
+    "ann_pq_search" -> ((s: SparkSession, d: String) => Similarity.pqSearch(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -241,6 +244,45 @@ object SparkEntry {
           SELECT vec_id, t,
             CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
           FROM dots GROUP BY vec_id, t)"""
+  }
+
+  /** Product-quantization replay shared by `ann_pq_codes` and
+    * `ann_pq_search`: e4 fixed-point subvectors, seed codebooks from
+    * the 16 lowest vec_ids, two unrolled Lloyd rounds on integer
+    * squared-L2 (code tiebreak), integer-grid codeword means — every
+    * sum is over BIGINTs, so the whole train lands bit-identical in
+    * any engine (see Similarity.quantE4). `af` is the final code
+    * assignment under the round-2 codebook `c2`.
+    */
+  private def pqCtes: String = {
+    val meanTerms = (1 to graft.operators.Similarity.PqSubDim)
+      .map(i => s"CAST(floor(avg(sv[$i]) + 0.5) AS BIGINT)")
+      .mkString(", ")
+    val distList =
+      "list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i]) for i in generate_series(1, 16) ])"
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, s, sv, code, dist FROM (
+            SELECT u.vec_id, u.s, u.sv, c.code,
+              CAST($distList AS BIGINT) AS dist,
+              row_number() OVER (PARTITION BY u.vec_id, u.s
+                ORDER BY $distList, c.code) AS rn
+            FROM sub u JOIN $cents c USING (s)) WHERE rn = 1)"""
+    def means(asg: String, out: String) =
+      s"$out AS (SELECT s, code, [$meanTerms] AS cw FROM $asg GROUP BY s, code)"
+    s"""eq AS (SELECT vec_id,
+          [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+           for i in generate_series(1, 64)] AS eq
+        FROM embeddings),
+      sub AS (SELECT vec_id, CAST(r.s AS INT) AS s, eq[(r.s*16+1):(r.s*16+16)] AS sv
+              FROM eq, (SELECT unnest(range(0, 4)) AS s) r),
+      s0 AS (SELECT s,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code,
+               sv AS cw
+             FROM sub
+             WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      ${assign("s0", "a1")}, ${means("a1", "c1")},
+      ${assign("c1", "a2")}, ${means("a2", "c2")},
+      ${assign("c2", "af")}"""
   }
 
   /** Two-stage projected-search replay, shared by `ann_project_search`
@@ -1751,6 +1793,42 @@ object SparkEntry {
            FROM cont c JOIN bysrc b USING (source) JOIN bytok x USING (w), t)
          SELECT source, n_s AS n_tokens, count(*) AS n_terms,
            CAST(sum(term_e6) AS BIGINT) / 1000000.0 AS kl_bits
-         FROM terms GROUP BY source, n_s"""
+         FROM terms GROUP BY source, n_s""",
+    "ann_pq_codes" ->
+      s"""WITH $pqCtes
+         SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
+           dist AS dist_e8
+         FROM af""",
+    "ann_pq_search" ->
+      s"""WITH $pqCtes,
+         qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 10),
+         dt AS (
+           SELECT u.query_id, u.s, c.code,
+             CAST(list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i])
+                             for i in generate_series(1, 16) ]) AS BIGINT) AS d
+           FROM qsub u JOIN c2 c USING (s)),
+         adc AS (
+           SELECT dt.query_id, af.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_e8
+           FROM af JOIN dt ON af.s = dt.s AND af.code = dt.code
+           GROUP BY dt.query_id, af.vec_id),
+         cand AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_e8, vec_id) AS crank
+             FROM adc WHERE vec_id <> query_id)
+           WHERE crank <= 100),
+         ex AS (
+           SELECT c.query_id, c.vec_id,
+             CAST(list_sum([ (e.eq[i] - q.eq[i]) * (e.eq[i] - q.eq[i])
+                             for i in generate_series(1, 64) ]) AS BIGINT) AS dist_e8
+           FROM cand c JOIN eq e ON e.vec_id = c.vec_id
+                       JOIN eq q ON q.vec_id = c.query_id)
+         SELECT query_id, vec_id, dist_e8, rank FROM (
+           SELECT query_id, vec_id, dist_e8,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
+           FROM ex)
+         WHERE rank <= 10"""
   )
 }

@@ -552,4 +552,181 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (#120-121) — Jégou et al. 2011, "Product
+  // Quantization for Nearest Neighbor Search" (TPAMI): split the
+  // vector into M subspaces, k-means each subspace independently, and
+  // store each vector as M one-byte codes. 64 floats (256 B) become
+  // 4 codes (4 B) — the 64× memory compression that lets a 100 TB
+  // embedding corpus's index live in RAM. Search is ADC (asymmetric
+  // distance computation): the query precomputes its distance to every
+  // codeword (M·K values), and each candidate's distance is M table
+  // lookups + a sum — no float math per candidate.
+  // ------------------------------------------------------------------
+
+  /** Subspace geometry: 64 dims = [[PqM]] × [[PqSubDim]]; [[PqK]]
+    * codewords per subspace (a one-byte code at K ≤ 256; K=16 keeps
+    * the replayable oracle's CTE unroll tractable).
+    */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+
+  /** e4 fixed-point integer elements (⌊x·10⁴ + 0.5⌋ as BIGINT): ALL
+    * PQ arithmetic — training distances, codeword means, ADC sums —
+    * runs on integers, so every sum is order-independent and every
+    * comparison exact in any engine. The float→fixed step is the one
+    * per-element double op, identical IEEE everywhere (the
+    * `lsh_bucket` 1e6 trick at PQ's coarser useful precision).
+    */
+  private def quantE4(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+
+  /** (vec_id, s, sv): the corpus exploded into M quantized subvectors
+    * per vector — the unit every PQ stage operates on.
+    */
+  private def pqSubvectors(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
+      .select(
+        col("vec_id"),
+        explode(array((0 until PqM).map(s =>
+          struct(lit(s).as("s"), slice(col("eq"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** Integer squared-L2 between the `sv` subvector and the `cw`
+    * codeword (e4² units) — a zip/fold over 16 BIGINTs, exact and
+    * order-free by construction.
+    */
+  private val pqDist: Column =
+    expr("aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+
+  private def pqCodebookDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("s", "code", "cw")
+  }
+
+  /** Train the M independent subspace codebooks with `iters` Lloyd
+    * rounds — the same distributed shape as [[trainCentroids]] (one
+    * broadcast join + one aggregation per round; only the model — M·K
+    * codewords, M·K·16 longs — reaches the driver), but all M
+    * subspaces train in ONE pass per round: the exploded subvector
+    * table joins the (s, code) codebook on `s`, so each round is a
+    * single corpus-linear job, not M of them. Seeds are the K
+    * lowest-vec_id subvectors; codeword means round to the integer e4
+    * grid (⌊avg + 0.5⌋), which both engines compute identically from
+    * exact integer sums.
+    */
+  private def trainPqCodebooks(
+      spark: SparkSession, dir: String, iters: Int): Seq[(Int, Int, Seq[Long])] = {
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val subs = pqSubvectors(vecs)
+    var cb: Seq[(Int, Int, Seq[Long])] = vecs
+      .orderBy("vec_id")
+      .limit(PqK)
+      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
+      .orderBy("vec_id")
+      .collect()
+      .zipWithIndex
+      .flatMap { case (r, c) =>
+        val eq = r.getSeq[Long](1)
+        (0 until PqM).map(s => (s, c, eq.slice(s * PqSubDim, (s + 1) * PqSubDim)))
+      }
+      .toSeq
+    val wMin = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
+    for (_ <- 1 to iters) {
+      val assigned = subs
+        .join(broadcast(pqCodebookDf(spark, cb)), "s")
+        .withColumn("dist", pqDist)
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+      cb = assigned
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "code", "pos")
+        .agg(floor(avg("x") + lit(0.5)).cast("long").as("mu"))
+        .groupBy("s", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("es"))
+        .select(col("s"), col("code"), expr("transform(es, e -> e.mu)").as("cw"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .toSeq
+    }
+    cb
+  }
+
+  /** #120 PQ code assignment: every corpus vector's M nearest-codeword
+    * codes plus the residual quantization error — the compressed index
+    * itself (what a store persists; 4 B/vector here vs 256 B raw).
+    * One broadcast join over one corpus scan; top-1 per (vec, s) via
+    * WindowGroupLimit.
+    */
+  def pqCodes(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val cb = trainPqCodebooks(spark, dir, iters)
+    val wMin = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
+    pqSubvectors(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .join(broadcast(pqCodebookDf(spark, cb)), "s")
+      .withColumn("dist", pqDist)
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(
+        col("vec_id"),
+        col("s").cast("long").as("s"),
+        col("code").cast("long").as("code"),
+        col("dist").as("dist_e8"))
+  }
+
+  /** #121 PQ ADC search, the production two-stage: the query computes
+    * its M·K distance table once (tiny — broadcast), every
+    * candidate's ASYMMETRIC distance is M integer table lookups
+    * joined on (s, code) — no per-candidate float math, and the
+    * coarse stage touches only the 4-byte codes, the 64× bandwidth
+    * win — then the top-`cand` ADC shortlist is re-ranked by EXACT
+    * integer squared-L2 on the full quantized vectors (survivors are
+    * queries×cand rows — broadcast-sized at any corpus scale). The
+    * join-on-code form (rather than positional array indexing) is
+    * gap-immune if a codeword loses all members during training.
+    * Integer e4² units end to end.
+    */
+  def pqSearch(spark: SparkSession, dir: String, iters: Int = 2,
+      cand: Int = 100, topK: Int = 10): DataFrame = {
+    val cb = trainPqCodebooks(spark, dir, iters)
+    val cbDf = pqCodebookDf(spark, cb)
+    val wMin = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
+    val codes = pqSubvectors(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .join(broadcast(cbDf), "s")
+      .withColumn("dist", pqDist)
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    val dt = pqSubvectors(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cbDf), "s")
+      .withColumn("d", pqDist)
+      .select(col("query_id"), col("s"), col("code"), col("d"))
+    val wc = Window.partitionBy("query_id").orderBy(col("adc_e8"), col("vec_id"))
+    val survivors = codes
+      .join(broadcast(dt), Seq("s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adc_e8"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    val eq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
+    val exactDist = expr(
+      "aggregate(zip_with(eq, q_eq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+    val w = Window.partitionBy("query_id").orderBy(col("dist_e8"), col("vec_id"))
+    eq.join(broadcast(survivors), "vec_id")
+      .join(
+        broadcast(eq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("eq").as("q_eq"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"), exactDist.as("dist_e8"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product-quantization contract: the codes table is a complete M-way
+  * code assignment (the 64×-compressed index), and the two-stage ADC
+  * search (code-only coarse stage, exact integer-L2 re-rank of the
+  * shortlist) recovers most true nearest neighbors.
+  */
+class PqSpec extends SparkSpec {
+
+  private val quant =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+
+  test("pq codes: exactly M codes per vector, in-range, nonnegative residual") {
+    val c = Similarity.pqCodes(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(c.count() == n * Similarity.PqM)
+    assert(c.groupBy("vec_id").count().filter(col("count") =!= Similarity.PqM).count() == 0)
+    assert(c.filter(col("code") < 0 || col("code") >= Similarity.PqK).count() == 0)
+    assert(c.filter(col("dist_e8") < 0).count() == 0)
+    // every subspace uses more than one codeword (training didn't collapse)
+    val used = c.groupBy("s").agg(countDistinct("code").as("k"))
+    assert(used.filter(col("k") < 2).count() == 0, "a subspace collapsed to one codeword")
+  }
+
+  test("pq search: ADC shortlist + exact re-rank recovers most exact-L2 neighbors") {
+    val s = Similarity.pqSearch(spark, sf).cache()
+    assert(s.groupBy("query_id").count().filter(col("count") =!= 10).count() == 0)
+    // exact integer-L2 truth on the same e4 quantized grid
+    val eq = Tables.embeddings(spark, sf).select(col("vec_id"), expr(quant).as("eq"))
+    val q = eq.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("eq").as("q_eq"))
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val truth = eq
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        expr("aggregate(zip_with(eq, q_eq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+          .as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id")
+    val hit = s.select("query_id", "vec_id").intersect(truth).count().toDouble
+    val recall = hit / truth.count()
+    assert(recall >= 0.7, s"recall@10 $recall below 0.7")
+    // the exact re-rank really ranks by the exact distance: within each
+    // query, dist_e8 is non-decreasing in rank
+    val mono = s
+      .withColumn("prev", lag("dist_e8", 1).over(
+        Window.partitionBy("query_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("prev") > col("dist_e8"))
+    assert(mono.count() == 0)
+  }
+}
