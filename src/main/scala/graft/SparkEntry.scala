@@ -149,7 +149,9 @@ object SparkEntry {
     "text_kl_drift" -> (TextStats.klDrift _),
     // Product quantization (§2 #120-121)
     "ann_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
-    "ann_pq_search" -> ((s: SparkSession, d: String) => Similarity.pqSearch(s, d))
+    "ann_pq_search" -> ((s: SparkSession, d: String) => Similarity.pqSearch(s, d)),
+    // Forward fill (§2 #122)
+    "q_locf_fill" -> (Scale.locfFill _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1829,6 +1831,25 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
            FROM ex)
-         WHERE rank <= 10"""
+         WHERE rank <= 10""",
+    "q_locf_fill" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+           FROM events),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         users AS (SELECT DISTINCT user_id FROM ev),
+         cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM users, bounds),
+         agg AS (SELECT user_id, day, round(sum(value), 2) AS tv
+                 FROM ev GROUP BY user_id, day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed,
+           coalesce(last_value(tv IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS filled_value
+         FROM (SELECT cal.user_id, cal.day, agg.tv,
+                 CAST(agg.tv IS NOT NULL AS INT) AS observed
+               FROM cal LEFT JOIN agg
+                 ON cal.user_id = agg.user_id AND cal.day = agg.day)"""
   )
 }

@@ -106,6 +106,52 @@ object Scale {
         coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  /** #122 Forward fill (LOCF — last observation carried forward) over
+    * the [[resampleDaily]] calendar grid: a day with no events
+    * inherits the most recent OBSERVED daily total instead of zero —
+    * the other standard time-series regularization (sensor readings,
+    * balances, prices hold their value; counts reset). Exercises
+    * IGNORE NULLS window semantics: `last(total, ignoreNulls) OVER
+    * (... ROWS UNBOUNDED PRECEDING)` — one window pass over the
+    * already-partitioned grid, no extra exchange beyond the
+    * calendar's. Days before a key's first observation fill with 0.
+    */
+  def locfFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        col("value"))
+    val perDay = ev
+      .groupBy("user_id", "day")
+      .agg(round(sum("value"), 2).as("total_value"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val calendar = Tables
+      .events(spark, dir)
+      .select(col("user_id"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(perDay, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        col("day"),
+        (col("total_value").isNotNull).cast("int").as("observed"),
+        coalesce(last("total_value", ignoreNulls = true).over(w), lit(0.0)).as("filled_value"))
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("observed"),
+        col("filled_value"))
+  }
+
   /** #46 Approximate percentiles (KLL-style sketch in Spark): the
     * constant-memory quantile path a 100 TB pipeline actually runs;
     * rows-only (sketch outputs are engine-specific).

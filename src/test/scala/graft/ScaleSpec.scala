@@ -104,4 +104,25 @@ class ScaleSpec extends SparkSpec {
     val hitsB = z.filter(col("min_price_b") <= 128 && col("max_price_b") >= 128).count()
     assert(hitsA <= 16 && hitsB <= 16, s"point query hits $hitsA/$hitsB of 32 files")
   }
+
+  test("locf fill: same grid as resample, observed days exact, gaps carry the last value") {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.operators.Scale.locfFill(spark, sf).cache()
+    val r = graft.operators.Scale.resampleDaily(spark, sf)
+    assert(f.count() == r.count(), "LOCF grid differs from the resample calendar")
+    // observed rows carry their own daily total
+    val obs = r.filter(col("n_events") > 0)
+      .select(col("user_id"), col("day"), col("total_value"))
+    val mismatch = f.filter(col("observed") === 1)
+      .join(obs, Seq("user_id", "day"))
+      .filter(col("filled_value") =!= col("total_value"))
+    assert(mismatch.count() == 0)
+    // gap rows repeat the previous filled value (or 0 before first obs)
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val bad = f
+      .withColumn("prev", lag("filled_value", 1).over(w))
+      .filter(col("observed") === 0)
+      .filter(col("filled_value") =!= coalesce(col("prev"), lit(0.0)))
+    assert(bad.count() == 0, "a gap day did not carry the previous value")
+  }
 }
