@@ -151,7 +151,9 @@ object SparkEntry {
     "ann_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "ann_pq_search" -> ((s: SparkSession, d: String) => Similarity.pqSearch(s, d)),
     // Forward fill (§2 #122)
-    "q_locf_fill" -> (Scale.locfFill _)
+    "q_locf_fill" -> (Scale.locfFill _),
+    // Data-quality constraint audit (§2 #123)
+    "q_dq_audit" -> (Profile.dqAudit _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1850,6 +1852,48 @@ object SparkEntry {
          FROM (SELECT cal.user_id, cal.day, agg.tv,
                  CAST(agg.tv IS NOT NULL AS INT) AS observed
                FROM cal LEFT JOIN agg
-                 ON cal.user_id = agg.user_id AND cal.day = agg.day)"""
+                 ON cal.user_id = agg.user_id AND cal.day = agg.day)""",
+    "q_dq_audit" ->
+      """WITH o AS (
+           SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nk,
+             count(*) FILTER (WHERE o_totalprice <= 0) AS bad_price,
+             count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                                 OR o_orderdate >= TIMESTAMP '2030-01-01') AS bad_date,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS null_cust
+           FROM orders),
+         l AS (
+           SELECT count(*) AS n,
+             (SELECT count(*) FROM
+               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS nk,
+             count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS bad_qty,
+             count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_disc
+           FROM lineitem),
+         c AS (SELECT count(*) AS n, count(DISTINCT c_custkey) AS nk FROM customer),
+         e AS (
+           SELECT count(*) AS n,
+             count(*) FILTER (WHERE event_type NOT IN
+               ('signup','click','view','purchase','error')) AS bad_type
+           FROM events),
+         fo AS (SELECT count(*) AS v FROM orders o2
+                WHERE NOT EXISTS (SELECT 1 FROM customer c2
+                                  WHERE c2.c_custkey = o2.o_custkey)),
+         fl AS (SELECT count(*) AS v FROM lineitem l2
+                WHERE NOT EXISTS (SELECT 1 FROM orders o3
+                                  WHERE o3.o_orderkey = l2.l_orderkey))
+         SELECT table_name, rule, n_checked, n_violations,
+           CAST(n_violations = 0 AS INT) AS pass
+         FROM (
+           SELECT 'orders' AS table_name, 'pk_unique:o_orderkey' AS rule,
+             n AS n_checked, n - nk AS n_violations FROM o
+           UNION ALL SELECT 'orders', 'fk:o_custkey->customer', o.n, fo.v FROM o, fo
+           UNION ALL SELECT 'orders', 'not_null:o_custkey', n, null_cust FROM o
+           UNION ALL SELECT 'orders', 'range:o_totalprice>0', n, bad_price FROM o
+           UNION ALL SELECT 'orders', 'range:o_orderdate in [1990,2030)', n, bad_date FROM o
+           UNION ALL SELECT 'lineitem', 'pk_unique:(l_orderkey,l_linenumber)', n, n - nk FROM l
+           UNION ALL SELECT 'lineitem', 'fk:l_orderkey->orders', l.n, fl.v FROM l, fl
+           UNION ALL SELECT 'lineitem', 'range:l_quantity in [1,50]', n, bad_qty FROM l
+           UNION ALL SELECT 'lineitem', 'range:l_discount in [0,1]', n, bad_disc FROM l
+           UNION ALL SELECT 'customer', 'pk_unique:c_custkey', n, n - nk FROM c
+           UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)"""
   )
 }

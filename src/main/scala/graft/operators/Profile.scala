@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -81,4 +81,98 @@ object Profile {
         col("n"),
         col("lo"),
         col("hi"))
+
+  /** #123 Data-quality constraint audit (the Deequ/dbt-test shape): a
+    * declarative rule suite — primary-key uniqueness, referential
+    * integrity, null checks, range and accepted-value domains —
+    * evaluated in bulk, one result row per rule with checked/violation
+    * counts. This is the gate a pipeline runs BEFORE publishing a
+    * table; the testdata itself fails one rule (lineitem's
+    * (l_orderkey, l_linenumber) is not unique), so the report has
+    * real findings, not a wall of green.
+    *
+    * Plan shape: ALL in-scan rules for a table fold into ONE
+    * aggregation pass (conditional counts side-by-side, then unpivoted
+    * — the [[profile]] layout); each referential-integrity rule is one
+    * LeftAnti join, the only per-rule extra scan class. Every count is
+    * an exact integer, so the oracle compare is trivially exact.
+    */
+  def dqRules(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      customer: DataFrame,
+      events: DataFrame): DataFrame = {
+    def rules(agg: DataFrame, entries: (String, String, Column, Column)*): DataFrame = {
+      val structs = entries.map { case (table, rule, checked, viol) =>
+        struct(
+          lit(table).as("table_name"),
+          lit(rule).as("rule"),
+          checked.as("n_checked"),
+          viol.as("n_violations"))
+      }
+      agg
+        .select(explode(array(structs: _*)).as("e"))
+        .select(col("e.table_name"), col("e.rule"), col("e.n_checked"), col("e.n_violations"))
+    }
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("o_orderkey")).as("nk"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(
+        col("o_orderdate") < lit("1990-01-01").cast("timestamp")
+          || col("o_orderdate") >= lit("2030-01-01").cast("timestamp"),
+        1L).otherwise(0L)).as("bad_date"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"))
+    val l = lineitem.agg(
+      count(lit(1)).as("n"),
+      count_distinct(struct(col("l_orderkey"), col("l_linenumber"))).as("nk"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("bad_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("bad_disc"))
+    val c = customer.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("c_custkey")).as("nk"))
+    val e = events.agg(
+      count(lit(1)).as("n"),
+      sum(when(
+        !col("event_type").isin("signup", "click", "view", "purchase", "error"),
+        1L).otherwise(0L)).as("bad_type"))
+    // referential integrity: LeftAnti violation counts (no hint — the
+    // dimension side scales, AQE picks the join strategy)
+    val orphO = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk_cust"))
+    val orphL = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk_ord"))
+    val oRules = rules(
+      o.crossJoin(orphO),
+      ("orders", "pk_unique:o_orderkey", col("n"), col("n") - col("nk")),
+      ("orders", "fk:o_custkey->customer", col("n"), col("v_fk_cust")),
+      ("orders", "not_null:o_custkey", col("n"), col("null_cust")),
+      ("orders", "range:o_totalprice>0", col("n"), col("bad_price")),
+      ("orders", "range:o_orderdate in [1990,2030)", col("n"), col("bad_date")))
+    val lRules = rules(
+      l.crossJoin(orphL),
+      ("lineitem", "pk_unique:(l_orderkey,l_linenumber)", col("n"), col("n") - col("nk")),
+      ("lineitem", "fk:l_orderkey->orders", col("n"), col("v_fk_ord")),
+      ("lineitem", "range:l_quantity in [1,50]", col("n"), col("bad_qty")),
+      ("lineitem", "range:l_discount in [0,1]", col("n"), col("bad_disc")))
+    val cRules = rules(c, ("customer", "pk_unique:c_custkey", col("n"), col("n") - col("nk")))
+    val eRules = rules(
+      e,
+      ("events", "domain:event_type", col("n"), col("bad_type")))
+    oRules
+      .unionAll(lRules)
+      .unionAll(cRules)
+      .unionAll(eRules)
+      .withColumn("pass", (col("n_violations") === 0).cast("int"))
+  }
+
+  /** #123 driver binding of [[dqRules]] to the sf tables. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame =
+    dqRules(
+      Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir),
+      Tables.customer(spark, dir),
+      graft.Tables.events(spark, dir))
 }

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** Data-quality audit contract: the rule engine detects exactly the
+  * planted violations on corrupted inputs, and the real testdata's one
+  * genuine defect (lineitem's non-unique (l_orderkey, l_linenumber))
+  * is reported while every other rule passes.
+  */
+class DqSpec extends SparkSpec {
+
+  test("dq audit on the sf tables: lineitem pk rule fails, the rest pass") {
+    val a = Profile.dqAudit(spark, sf).cache()
+    assert(a.count() == 11)
+    val failing = a.filter(col("pass") === 0).collect()
+    assert(failing.length == 1, s"expected exactly one failing rule, got ${failing.toSeq}")
+    assert(failing.head.getString(1) == "pk_unique:(l_orderkey,l_linenumber)")
+    assert(failing.head.getLong(3) > 0)
+    // checked counts equal the table sizes
+    val n = a.filter(col("table_name") === "orders").select(max("n_checked")).head.getLong(0)
+    assert(n == Tables.orders(spark, sf).count())
+  }
+
+  test("dq rules flag exactly the planted violations on corrupted inputs") {
+    import spark.implicits._
+    val ts = Timestamp.valueOf("1995-06-01 00:00:00")
+    val badTs = Timestamp.valueOf("1931-01-01 00:00:00")
+    // orders: duplicate key 1, orphan custkey 99, negative price, pre-1990 date
+    val orders = Seq(
+      (1L, 10L, "O", 5.0, ts, "1-URGENT"),
+      (1L, 10L, "O", 5.0, ts, "1-URGENT"),
+      (2L, 99L, "O", -3.0, badTs, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val customer = Seq((10L, "c", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // lineitem: orphan orderkey 7, quantity 99 out of range
+    val lineitem = Seq(
+      (1L, 1L, 1L, 1, 99.0, 1.0, 0.05, 0.0),
+      (7L, 1L, 1L, 1, 5.0, 1.0, 2.00, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val events = Seq((1L, 1L, 1L, "teleport", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val a = Profile.dqRules(orders, lineitem, customer, events).cache()
+    def viol(rule: String): Long =
+      a.filter(col("rule") === rule).head.getLong(3)
+    assert(viol("pk_unique:o_orderkey") == 1)
+    assert(viol("fk:o_custkey->customer") == 1)
+    assert(viol("range:o_totalprice>0") == 1)
+    assert(viol("range:o_orderdate in [1990,2030)") == 1)
+    assert(viol("fk:l_orderkey->orders") == 1)
+    assert(viol("range:l_quantity in [1,50]") == 1)
+    assert(viol("range:l_discount in [0,1]") == 1)
+    assert(viol("domain:event_type") == 1)
+    assert(viol("not_null:o_custkey") == 0)
+    assert(viol("pk_unique:c_custkey") == 0)
+  }
+}
