@@ -153,7 +153,9 @@ object SparkEntry {
     // Forward fill (§2 #122)
     "q_locf_fill" -> (Scale.locfFill _),
     // Data-quality constraint audit (§2 #123)
-    "q_dq_audit" -> (Profile.dqAudit _)
+    "q_dq_audit" -> (Profile.dqAudit _),
+    // Co-purchase PageRank (§2 #124)
+    "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -1894,6 +1896,37 @@ object SparkEntry {
            UNION ALL SELECT 'lineitem', 'range:l_quantity in [1,50]', n, bad_qty FROM l
            UNION ALL SELECT 'lineitem', 'range:l_discount in [0,1]', n, bad_disc FROM l
            UNION ALL SELECT 'customer', 'pk_unique:c_custkey', n, n - nk FROM c
-           UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)"""
+           UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)""",
+    "q_pagerank" -> {
+      // three unrolled integer power iterations; `//` is floor division
+      // on nonnegative ints = Spark's `div`
+      def round(prev: String, out: String) =
+        s"""$out AS (
+              SELECT e.dst AS part,
+                CAST(15 * 100000000 // (100 * n.n_nodes)
+                     + (85 * sum(r.r * e.w // o.wout)) // 100 AS BIGINT) AS r
+              FROM edges e
+              JOIN outw o ON o.src = e.src
+              JOIN $prev r ON r.part = e.src, n
+              GROUP BY e.dst, n.n_nodes)"""
+      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         edges AS (SELECT part_a AS src, part_b AS dst, w FROM pairs
+                   UNION ALL SELECT part_b, part_a, w FROM pairs),
+         outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+         n AS (SELECT count(*) AS n_nodes FROM outw),
+         r0 AS (SELECT src AS part, CAST(100000000 // n_nodes AS BIGINT) AS r
+                FROM outw, n),
+         ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")}
+         SELECT part, pr_e8, rank FROM (
+           SELECT part, r AS pr_e8,
+             CAST(row_number() OVER (ORDER BY r DESC, part) AS BIGINT) AS rank
+           FROM r3)
+         WHERE rank <= 50"""
+    }
   )
 }

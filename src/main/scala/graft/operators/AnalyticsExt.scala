@@ -243,6 +243,70 @@ object AnalyticsExt {
       .limit(topK)
   }
 
+  /** #124 PageRank over the co-purchase graph: which parts sit at the
+    * center of the basket network — the "customers also bought"
+    * centrality every recommender seeds with. Three unrolled power
+    * iterations (d=0.85) where EVERYTHING is integer: ranks live in
+    * e8 fixed-point BIGINTs, each contribution is `r·w div W(u)`
+    * (floor division), and the damping mix is `(85·Σ) div 100` — so
+    * the trajectory is bit-identical in any engine and the DuckDB
+    * oracle replays all three rounds as CTEs (the k-means/CC
+    * iterative-replay discipline applied to graph centrality).
+    *
+    * Scale shape: the edge list is built once from per-order baskets
+    * (fan-out bounded by basket², never a fact self-join) and cached;
+    * each iteration is one join on `src` (co-partitioned with the
+    * out-weight table) + one aggregation on `dst` — the standard
+    * distributed power-iteration layout, linear shuffle per round.
+    * Co-purchase edges are symmetric, so no dangling-mass term is
+    * needed: every node with an out-edge receives contributions.
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3, topK: Int = 50): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
+      .cache()
+    val outW = edges.groupBy("src").agg(sum("w").as("wout"))
+    val nDf = outW.agg(count(lit(1)).as("n_nodes"))
+    var ranks = outW
+      .crossJoin(broadcast(nDf))
+      .select(col("src").as("part"), expr("CAST(100000000 div n_nodes AS BIGINT)").as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(outW, "src")
+        .join(ranks.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), expr("r * w div wout").as("c"))
+        .groupBy("part")
+        .agg(sum("c").as("cs"))
+        .crossJoin(broadcast(nDf))
+        .select(
+          col("part"),
+          expr("CAST(15 * 100000000 div (100 * n_nodes) + (85 * cs) div 100 AS BIGINT)").as("r"))
+    }
+    ranks
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("r").desc, col("part"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("part"), col("r").as("pr_e8"), col("rank"))
+  }
+
   /** #110 Nearest-neighbor as-of join: each event matched to its
     * user's temporally CLOSEST order, backward or forward (ties
     * backward) — attribution when the touchpoint can precede or

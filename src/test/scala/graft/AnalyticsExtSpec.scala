@@ -70,4 +70,26 @@ class AnalyticsExtSpec extends SparkSpec {
       .join(perPart.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("count", "cb"), "part_b")
     assert(bounded.filter(col("n_orders") > least(col("ca"), col("cb"))).count() == 0)
   }
+
+  test("pagerank: top-50 well-formed, deterministic, centrality tracks degree") {
+    val pr = graft.operators.AnalyticsExt.pageRank(spark, sf).cache()
+    val rows = pr.collect()
+    assert(rows.length == 50)
+    // rank order is the score order with part tiebreak
+    val scores = rows.sortBy(_.getLong(2)).map(_.getLong(1))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(rows.forall(_.getLong(1) > 0))
+    // deterministic across runs (integer arithmetic end to end)
+    val again = graft.operators.AnalyticsExt.pageRank(spark, sf)
+    assert(pr.exceptAll(again).count() == 0)
+    // centrality sanity: the top-10 parts have above-average basket degree
+    val deg = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").count()
+    val avgDeg = deg.agg(avg("count")).head.getDouble(0)
+    val topDeg = pr.filter(col("rank") <= 10)
+      .join(deg.withColumnRenamed("l_partkey", "part"), "part")
+      .agg(avg("count")).head.getDouble(0)
+    assert(topDeg > avgDeg, s"top-ranked degree $topDeg not above average $avgDeg")
+  }
 }
