@@ -583,17 +583,26 @@ object Similarity {
   private def quantE4(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
 
+  /** Explode an integer-vector column into the M (s, sv) subvectors,
+    * carrying any extra columns through — the unit every PQ stage
+    * operates on.
+    */
+  private def pqSubvectorsOf(df: DataFrame, eqCol: String, carry: Seq[String]): DataFrame = {
+    val kept = carry.map(col)
+    df.select(
+        kept :+ explode(array((0 until PqM).map(s =>
+          struct(lit(s).as("s"), slice(col(eqCol), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("e"): _*)
+      .select(kept :+ col("e.s").as("s") :+ col("e.sv").as("sv"): _*)
+  }
+
   /** (vec_id, s, sv): the corpus exploded into M quantized subvectors
-    * per vector — the unit every PQ stage operates on.
+    * per vector.
     */
   private def pqSubvectors(vecs: DataFrame): DataFrame =
-    vecs
-      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
-      .select(
-        col("vec_id"),
-        explode(array((0 until PqM).map(s =>
-          struct(lit(s).as("s"), slice(col("eq"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    pqSubvectorsOf(
+      vecs.select(col("vec_id"), quantE4(col("embedding")).as("eq")),
+      "eq",
+      Seq("vec_id"))
 
   /** Integer squared-L2 between the `sv` subvector and the `cw`
     * codeword (e4² units) — a zip/fold over 16 BIGINTs, exact and
@@ -618,22 +627,16 @@ object Similarity {
     * grid (⌊avg + 0.5⌋), which both engines compute identically from
     * exact integer sums.
     */
-  private def trainPqCodebooks(
-      spark: SparkSession, dir: String, iters: Int): Seq[(Int, Int, Seq[Long])] = {
-    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val subs = pqSubvectors(vecs)
-    var cb: Seq[(Int, Int, Seq[Long])] = vecs
-      .orderBy("vec_id")
-      .limit(PqK)
-      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
-      .orderBy("vec_id")
-      .collect()
-      .zipWithIndex
-      .flatMap { case (r, c) =>
-        val eq = r.getSeq[Long](1)
-        (0 until PqM).map(s => (s, c, eq.slice(s * PqSubDim, (s + 1) * PqSubDim)))
-      }
-      .toSeq
+  /** The Lloyd loop proper over an exploded (vec_id, s, sv) frame and
+    * seed codebooks — shared by whole-vector PQ ([[pqCodes]]) and
+    * residual PQ ([[ivfAdcSearch]]).
+    */
+  private def trainPqOnSubs(
+      spark: SparkSession,
+      subs: DataFrame,
+      seeds: Seq[(Int, Int, Seq[Long])],
+      iters: Int): Seq[(Int, Int, Seq[Long])] = {
+    var cb = seeds
     val wMin = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
     for (_ <- 1 to iters) {
       val assigned = subs
@@ -653,6 +656,30 @@ object Similarity {
         .toSeq
     }
     cb
+  }
+
+  /** Seed codebooks from the PqK lowest-vec_id rows of an
+    * (vec_id, eq) integer-vector frame; code = vec_id rank.
+    */
+  private def pqSeeds(eqDf: DataFrame): Seq[(Int, Int, Seq[Long])] =
+    eqDf
+      .orderBy("vec_id")
+      .limit(PqK)
+      .orderBy("vec_id")
+      .collect()
+      .zipWithIndex
+      .flatMap { case (r, c) =>
+        val eq = r.getSeq[Long](1)
+        (0 until PqM).map(s => (s, c, eq.slice(s * PqSubDim, (s + 1) * PqSubDim)))
+      }
+      .toSeq
+
+  private def trainPqCodebooks(
+      spark: SparkSession, dir: String, iters: Int): Seq[(Int, Int, Seq[Long])] = {
+    val eqDf = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
+    trainPqOnSubs(spark, pqSubvectorsOf(eqDf, "eq", Seq("vec_id")), pqSeeds(eqDf), iters)
   }
 
   /** #120 PQ code assignment: every corpus vector's M nearest-codeword
@@ -727,6 +754,92 @@ object Similarity {
         "query_id")
       .select(col("query_id"), col("vec_id"), exactDist.as("dist_e8"))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** #125 IVFADC (Jégou et al. 2011 §IV): the full FAISS production
+    * architecture — an IVF coarse quantizer partitions the corpus into
+    * cells, and PQ encodes each vector's RESIDUAL from its cell
+    * centroid (residuals concentrate near zero, so the same code
+    * budget quantizes them far more finely than raw vectors). Search
+    * probes the `nprobe` nearest cells; within each probed cell the
+    * query forms its residual against THAT cell's centroid, builds the
+    * M·K ADC table, and scores candidates by code lookups alone; the
+    * pooled shortlist is re-ranked by exact integer L2 on the full
+    * vectors. At 100 TB the at-rest footprint per vector is one cell
+    * id + M codes (5 B), and a query touches nprobe/k of the corpus'
+    * codes — bandwidth, memory, AND compute all shrink together.
+    *
+    * Determinism inherits from both parents: the IVF train is the
+    * e4-cosine [[trainCentroids]]; residuals are exact BIGINT
+    * differences (`eq − ceq`, both on the e4 grid — centroid floats
+    * round-trip the grid exactly); the residual PQ train, ADC sums,
+    * and re-rank are the same all-integer machinery as [[pqSearch]].
+    * The oracle replays the entire chain: 3 IVF rounds, residuals,
+    * 2 PQ rounds, per-cell ADC, exact re-rank.
+    */
+  def ivfAdcSearch(spark: SparkSession, dir: String, k: Int = 16, ivfIters: Int = 3,
+      pqIters: Int = 2, nprobe: Int = 2, cand: Int = 100, topK: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val cdf = centroidsDf(spark, trainCentroids(spark, dir, k, ivfIters))
+    val ceq = cdf.select(col("cell"), quantE4(col("centroid")).as("ceq"))
+    // residuals of the assigned corpus: exact integer differences
+    val res = ivfAssign(spark, dir, cdf)
+      .select(col("vec_id"), col("cell"), quantE4(col("embedding")).as("eqv"))
+      .join(broadcast(ceq), "cell")
+      .select(col("vec_id"), col("cell"), expr("zip_with(eqv, ceq, (x, y) -> x - y)").as("req"))
+    val subs = pqSubvectorsOf(res, "req", Seq("vec_id", "cell"))
+    val cb = trainPqOnSubs(
+      spark,
+      subs.select(col("vec_id"), col("s"), col("sv")),
+      pqSeeds(res.select(col("vec_id"), col("req").as("eq"))),
+      pqIters)
+    val cbDf = pqCodebookDf(spark, cb)
+    val wMin = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
+    val codes = subs
+      .join(broadcast(cbDf), "s")
+      .withColumn("dist", pqDist)
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("s"), col("code"))
+    // query side: nprobe nearest cells, one residual PER PROBED CELL
+    val wQ = Window.partitionBy("query_id").orderBy(col("ccos_e4").desc, col("cell"))
+    val queryCells = queryVectors(spark, dir)
+      .crossJoin(broadcast(cdf))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        ccosE4("q_emb", "centroid").as("ccos_e4"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), quantE4(col("q_emb")).as("q_eq"), col("cell"))
+    val qres = queryCells
+      .join(broadcast(ceq), "cell")
+      .select(col("query_id"), col("cell"),
+        expr("zip_with(q_eq, ceq, (x, y) -> x - y)").as("qreq"))
+    val dt = pqSubvectorsOf(qres, "qreq", Seq("query_id", "cell"))
+      .join(broadcast(cbDf), "s")
+      .withColumn("d", pqDist)
+      .select(col("query_id"), col("cell"), col("s"), col("code"), col("d"))
+    val wc = Window.partitionBy("query_id").orderBy(col("adc_e8"), col("vec_id"))
+    val survivors = codes
+      .join(broadcast(dt), Seq("cell", "s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adc_e8"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    val eq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantE4(col("embedding")).as("eq"))
+    val exactDist2 = expr(
+      "aggregate(zip_with(eq, q_eq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+    val w2 = Window.partitionBy("query_id").orderBy(col("dist_e8"), col("vec_id"))
+    eq.join(broadcast(survivors), "vec_id")
+      .join(
+        broadcast(eq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("eq").as("q_eq"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"), exactDist2.as("dist_e8"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= topK)
   }
 }

@@ -56,4 +56,28 @@ class PqSpec extends SparkSpec {
       .filter(col("prev").isNotNull && col("prev") > col("dist_e8"))
     assert(mono.count() == 0)
   }
+
+  test("ivfadc: residual PQ in probed cells recovers most exact-L2 neighbors") {
+    val s = Similarity.ivfAdcSearch(spark, sf).cache()
+    assert(s.groupBy("query_id").count().filter(col("count") =!= 10).count() == 0)
+    val eq = Tables.embeddings(spark, sf).select(col("vec_id"), expr(quant).as("eq"))
+    val q = eq.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("eq").as("q_eq"))
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val truth = eq
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        expr("aggregate(zip_with(eq, q_eq, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+          .as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id")
+    val recall = s.select("query_id", "vec_id").intersect(truth).count().toDouble / truth.count()
+    assert(recall >= 0.7, s"ivfadc recall@10 $recall below 0.7")
+    // deterministic end to end (integer arithmetic + e4 cosine train)
+    val again = Similarity.ivfAdcSearch(spark, sf)
+    assert(s.exceptAll(again).count() == 0)
+  }
 }
