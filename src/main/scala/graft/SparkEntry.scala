@@ -157,7 +157,15 @@ object SparkEntry {
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125)
-    "ann_ivfadc" -> ((s: SparkSession, d: String) => Similarity.ivfAdcSearch(s, d))
+    "ann_ivfadc" -> ((s: SparkSession, d: String) => Similarity.ivfAdcSearch(s, d)),
+    // Warehouse depth, third batch (§2 #126-132)
+    "q7_volume_shipping" -> (Warehouse.volumeShipping _),
+    "q8_market_share" -> (Warehouse.marketShare _),
+    "q10_returned_items" -> (Warehouse.returnedItems _),
+    "q12_ship_priority" -> (Warehouse.shipPriorityClasses _),
+    "q14_promo_share" -> (Warehouse.promoShare _),
+    "q16_supplier_relationship" -> (Warehouse.supplierRelationship _),
+    "q18_large_volume" -> (Warehouse.largeVolumeCustomers _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -2029,6 +2037,100 @@ object SparkEntry {
                ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
            FROM ex)
          WHERE rank <= 10"""
-    }
+    },
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_c
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
+         GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q8_market_share" ->
+      """SELECT o_year,
+           round(CAST(nation_rev_c AS DOUBLE) / total_rev_c, 4) AS mkt_share
+         FROM (
+           SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+               THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS nation_rev_c,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_rev_c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n2.n_regionkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+           WHERE r.r_name = 'ASIA'
+           GROUP BY year(o.o_orderdate))
+         ORDER BY o_year""",
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_c
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-07-01'
+         GROUP BY c.c_custkey, c.c_name, n.n_name
+         ORDER BY revenue_c DESC, c.c_custkey
+         LIMIT 20""",
+    "q12_ship_priority" ->
+      """SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         GROUP BY l.l_returnflag
+         ORDER BY l.l_returnflag""",
+    "q14_promo_share" ->
+      """SELECT round(100.0 * CAST(promo_c AS DOUBLE) / total_c, 4) AS promo_share
+         FROM (
+           SELECT
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS promo_c,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_c
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l.l_shipdate < TIMESTAMP '1999-01-01')""",
+    "q16_supplier_relationship" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand <> 'Brand#1'
+           AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_suppkey % 10 = 0)
+         GROUP BY p.p_brand, p.p_type, p.p_size
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+         LIMIT 20""",
+    "q18_large_volume" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
+                                GROUP BY l2.l_orderkey
+                                HAVING sum(l2.l_quantity) > 300)
+         GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+         ORDER BY total_qty DESC, o.o_orderkey
+         LIMIT 20"""
   )
 }

@@ -30,6 +30,8 @@ object Warehouse {
     Tables.orders(spark, dir).createOrReplaceTempView("wh_orders")
     Tables.supplier(spark, dir).createOrReplaceTempView("wh_supplier")
     Tables.customer(spark, dir).createOrReplaceTempView("wh_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("wh_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("wh_region")
   }
 
   /** #100 Min-cost supplier per part (TPC-H Q2 shape): for each small
@@ -268,6 +270,173 @@ object Warehouse {
                           AND o.o_orderdate >= TIMESTAMP '2000-07-01')
       GROUP BY c.c_mktsegment
       ORDER BY c.c_mktsegment
+    """)
+  }
+
+  /** #126 Volume shipping between nation pairs (TPC-H Q7 shape): the
+    * bidirectional nation-pair disjunction — revenue flowing between
+    * NATION_3 and NATION_19 in either orientation, by ship year. Two
+    * nation dimension joins (fixed 25 rows — broadcast), the pair OR
+    * evaluated post-join, cents-exact revenue.
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS revenue_c
+      FROM wh_lineitem l
+      JOIN wh_supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN wh_orders o ON o.o_orderkey = l.l_orderkey
+      JOIN wh_customer c ON c.c_custkey = o.o_custkey
+      JOIN wh_nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN wh_nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
+      GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year
+    """)
+  }
+
+  /** #127 Market share (TPC-H Q8 shape): one supplier nation's share
+    * of revenue to ASIA customers per order year — the conditional-
+    * numerator ratio. Numerator and denominator are exact integer
+    * cents from ONE aggregation (no second scan); the final share is
+    * one bigint/bigint division, identical IEEE in any engine,
+    * rounded to 4dp.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT o_year,
+        round(CAST(nation_rev_c AS DOUBLE) / total_rev_c, 4) AS mkt_share
+      FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+            THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS nation_rev_c,
+          CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_rev_c
+        FROM wh_lineitem l
+        JOIN wh_orders o ON o.o_orderkey = l.l_orderkey
+        JOIN wh_customer c ON c.c_custkey = o.o_custkey
+        JOIN wh_nation n2 ON n2.n_nationkey = c.c_nationkey
+        JOIN wh_region r ON r.r_regionkey = n2.n_regionkey
+        JOIN wh_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN wh_nation n1 ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY year(o.o_orderdate))
+      ORDER BY o_year
+    """)
+  }
+
+  /** #128 Returned-item revenue report (TPC-H Q10 shape): top-20
+    * customers by revenue lost to returns ('R' lineitems) in a
+    * half-year window — join + agg + deterministic top-k on exact
+    * integer cents (no float-ordering ambiguity in the LIMIT).
+    */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT c.c_custkey, c.c_name, n.n_name,
+        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS revenue_c
+      FROM wh_customer c
+      JOIN wh_orders o ON o.o_custkey = c.c_custkey
+      JOIN wh_lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN wh_nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+      ORDER BY revenue_c DESC, c.c_custkey
+      LIMIT 20
+    """)
+  }
+
+  /** #129 Shipping-priority classes (TPC-H Q12 shape): for LATE
+    * shipments (>60 days after order date), counts of high-priority
+    * (1-URGENT/2-HIGH) vs other orders per return flag — the
+    * conditional-aggregation CASE bucket pattern, all-integer.
+    */
+  def shipPriorityClasses(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT l.l_returnflag,
+        CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM wh_lineitem l JOIN wh_orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag
+    """)
+  }
+
+  /** #130 Promotion revenue share (TPC-H Q14 shape): PROMO parts'
+    * percentage of a year's revenue — conditional numerator over one
+    * join+agg, exact cents, one final double division rounded 4dp.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT round(100.0 * CAST(promo_c AS DOUBLE) / total_c, 4) AS promo_share
+      FROM (
+        SELECT
+          CAST(sum(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS promo_c,
+          CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_c
+        FROM wh_lineitem l JOIN wh_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01')
+    """)
+  }
+
+  /** #131 Supplier relationship count (TPC-H Q16 shape): how many
+    * distinct suppliers serve each small (brand, type, size) part
+    * bucket, EXCLUDING a blocklist via NOT IN — the null-free NOT IN
+    * compiles to a LeftAnti join (`WarehouseSpec` pins it), never a
+    * per-row subquery. count(DISTINCT) after the anti join.
+    */
+  def supplierRelationship(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT p.p_brand, p.p_type, p.p_size,
+        count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM wh_lineitem l JOIN wh_part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l.l_suppkey NOT IN (SELECT s_suppkey FROM wh_supplier
+                                WHERE s_suppkey % 10 = 0)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+      ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+      LIMIT 20
+    """)
+  }
+
+  /** #132 Large-volume customers (TPC-H Q18 shape): orders whose
+    * total quantity clears a threshold, found via IN over a grouped
+    * HAVING — the semi-join-on-aggregate pattern. Integer quantities
+    * make the threshold exact; top-20 on (qty, orderkey).
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+      FROM wh_customer c
+      JOIN wh_orders o ON o.o_custkey = c.c_custkey
+      JOIN wh_lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM wh_lineitem l2
+                             GROUP BY l2.l_orderkey
+                             HAVING sum(l2.l_quantity) > 300)
+      GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+      ORDER BY total_qty DESC, o.o_orderkey
+      LIMIT 20
     """)
   }
 }

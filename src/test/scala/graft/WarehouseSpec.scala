@@ -131,4 +131,33 @@ class WarehouseSpec extends SparkSpec {
     val idle = cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
     assert(rows.map(_.getLong(1)).sum <= idle.count())
   }
+
+  test("q7: both pair orientations present, revenue positive") {
+    val rows = Warehouse.volumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).distinct
+    assert(pairs.contains(("NATION_3", "NATION_19")) && pairs.contains(("NATION_19", "NATION_3")))
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+
+  test("q8: market shares are valid ratios per year") {
+    val rows = Warehouse.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("q16: NOT IN blocklist becomes an anti join, no blocked supplier survives") {
+    val df = Warehouse.supplierRelationship(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q18: IN over grouped HAVING becomes a semi join, threshold honored") {
+    val df = Warehouse.largeVolumeCustomers(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("LeftSemi"), s"IN did not become a semi join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) > 300))
+  }
 }
