@@ -158,6 +158,9 @@ object SparkEntry {
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125)
     "ann_ivfadc" -> ((s: SparkSession, d: String) => Similarity.ivfAdcSearch(s, d)),
+    // SCD family completion (§2 #133-134)
+    "cdc_scd3" -> (Cdc.scd3 _),
+    "cdc_scd2_lookup" -> (Cdc.scd2Lookup _),
     // Warehouse depth, third batch (§2 #126-132)
     "q7_volume_shipping" -> (Warehouse.volumeShipping _),
     "q8_market_share" -> (Warehouse.marketShare _),
@@ -2038,6 +2041,43 @@ object SparkEntry {
            FROM ex)
          WHERE rank <= 10"""
     },
+    "cdc_scd3" ->
+      """WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value
+           FROM events),
+         w AS (
+           SELECT *,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM c)
+         SELECT user_id, value AS current_value, prev_value,
+           ts AS last_ts, event_id AS last_event_id
+         FROM w WHERE rn = 1 AND op <> 'DELETE'""",
+    "cdc_scd2_lookup" ->
+      """WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value
+           FROM events),
+         sd AS (
+           SELECT user_id, valid_from, event_id, change_type, value FROM (
+             SELECT user_id, ts AS valid_from, event_id, op AS change_type, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                 ORDER BY event_id DESC) AS rn
+             FROM c) WHERE rn = 1),
+         o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_ts FROM orders)
+         SELECT o.o_orderkey, o.o_custkey, o.o_ts,
+           sd.event_id AS dim_event_id, sd.change_type AS dim_change_type,
+           sd.value AS dim_value
+         FROM o ASOF LEFT JOIN sd
+           ON sd.user_id = o.o_custkey AND o.o_ts >= sd.valid_from""",
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -258,6 +258,69 @@ object Cdc {
         col("value")
       )
 
+  /** #133 SCD Type 3: current value plus the immediately-previous
+    * value per key — the "what changed last" dimension layout (one
+    * history column instead of SCD2's row-per-version). One window
+    * pass computes both the previous value (ascending lag) and the
+    * latest-row pick (descending rank) over the same key
+    * partitioning; tombstoned keys are dropped like [[current]].
+    */
+  def scd3(spark: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    classify(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(asc))
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select(
+        col("user_id"),
+        col("value").as("current_value"),
+        col("prev_value"),
+        col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"))
+  }
+
+  /** #134 Point-in-time SCD2 dimension lookup: each fact row (orders)
+    * joined to the dimension VERSION that was valid at the fact's
+    * timestamp — the temporal join every SCD2 warehouse runs on every
+    * fact load. Under contiguous version intervals this is exactly a
+    * backward as-of join on `valid_from` per key, so it rides
+    * [[AsOf.join]]'s single-shuffle union-window plan: no range
+    * predicate ever reaches a join, no per-row interval probe.
+    * Version ties at the same timestamp are pre-collapsed to the
+    * max event_id (the as-of contract).
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val tieW = Window.partitionBy("user_id", "valid_from").orderBy(col("event_id").desc)
+    val dim = classify(spark, dir)
+      .select(
+        col("user_id"),
+        col("ts").as("valid_from"),
+        col("event_id"),
+        col("op").as("change_type"),
+        col("value"))
+      .withColumn("_rn", row_number().over(tieW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val facts = graft.Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"))
+    AsOf
+      .join(
+        facts,
+        dim,
+        leftKey = "o_custkey",
+        rightKey = "user_id",
+        leftTime = "o_ts",
+        rightTime = "valid_from",
+        payload = Seq("event_id", "change_type", "value"))
+      .withColumnRenamed("event_id", "dim_event_id")
+      .withColumnRenamed("change_type", "dim_change_type")
+      .withColumnRenamed("value", "dim_value")
+  }
+
   /** #80 Bucketed CDC warehouse layout: materialize the current-state
     * and per-key stats tables `bucketBy(user_id)` into the catalog, so
     * every downstream key-join between CDC outputs (current × stats,

@@ -89,4 +89,39 @@ class CdcSpec extends SparkSpec {
       col("n_inserts") + col("n_updates") + col("n_deletes") =!= col("n_changes")).count()
     assert(bad == 0)
   }
+
+  test("scd3 agrees with current on the live value and carries a real previous") {
+    import org.apache.spark.sql.functions._
+    val s3 = Cdc.scd3(spark, sf).cache()
+    val cur = Cdc.current(spark, sf)
+    // same keys as current (both drop tombstoned keys)
+    assert(s3.select("user_id").exceptAll(cur.select("user_id")).count() == 0)
+    assert(cur.select("user_id").exceptAll(s3.select("user_id")).count() == 0)
+    // current_value matches the current table's value
+    val joined = s3.join(cur.select(col("user_id"), col("value")), "user_id")
+    assert(joined.filter(col("current_value") =!= col("value")).count() == 0)
+    // keys with >1 change have a non-null previous value
+    val st = Cdc.stats(spark, sf).select(col("user_id"), col("n_changes"))
+    val multi = s3.join(st, "user_id").filter(col("n_changes") > 1)
+    assert(multi.filter(col("prev_value").isNull).count() == 0)
+  }
+
+  test("scd2 lookup picks the version valid at each fact timestamp") {
+    import org.apache.spark.sql.functions._
+    val lk = Cdc.scd2Lookup(spark, sf).cache()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(lk.count() == orders.count(), "left join must preserve every fact")
+    // replay the semantics directly: latest change at or before o_ts
+    val changes = Cdc.classify(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val manual = lk
+      .join(changes, col("user_id") === col("o_custkey") && col("ts") <= col("o_ts"), "left")
+      .groupBy("o_orderkey", "dim_event_id")
+      .agg(max(struct(col("ts"), col("event_id"))).as("best"))
+    val bad = manual.filter(
+      col("dim_event_id").isNotNull && col("best.event_id") =!= col("dim_event_id"))
+    assert(bad.count() == 0, "a fact matched a version that is not the latest <= its ts")
+    // facts before the key's first version carry null dimension columns
+    assert(lk.filter(col("dim_event_id").isNull && col("dim_value").isNotNull).count() == 0)
+  }
 }
