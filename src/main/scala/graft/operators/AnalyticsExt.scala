@@ -278,18 +278,23 @@ object AnalyticsExt {
       .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("w"))
-    val edges = pairs
-      .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
-      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
       .cache()
-    val outW = edges.groupBy("src").agg(sum("w").as("wout"))
+    def edges0(p: org.apache.spark.sql.DataFrame) = p
+      .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
+      .unionAll(p.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
+    // edges carry (src, wout, dst, w) pre-joined ONCE — each round then
+    // only joins the rank vector; both the weighted edges and the rank
+    // snapshots are cut from their lineage (cache / lazy
+    // localCheckpoint, the Dedup.clusters iteration discipline) so
+    // round r+1 never re-plans or re-executes round r's subtree
+    val outW = edges0(pairs).groupBy("src").agg(sum("w").as("wout"))
+    val edges = edges0(pairs).join(outW, "src").cache()
     val nDf = outW.agg(count(lit(1)).as("n_nodes"))
     var ranks = outW
       .crossJoin(broadcast(nDf))
       .select(col("src").as("part"), expr("CAST(100000000 div n_nodes AS BIGINT)").as("r"))
     for (_ <- 1 to iters) {
       ranks = edges
-        .join(outW, "src")
         .join(ranks.withColumnRenamed("part", "src"), "src")
         .select(col("dst").as("part"), expr("r * w div wout").as("c"))
         .groupBy("part")
@@ -298,6 +303,7 @@ object AnalyticsExt {
         .select(
           col("part"),
           expr("CAST(15 * 100000000 div (100 * n_nodes) + (85 * cs) div 100 AS BIGINT)").as("r"))
+        .localCheckpoint(false)
     }
     ranks
       .withColumn(
