@@ -161,6 +161,8 @@ object SparkEntry {
     // SCD family completion (§2 #133-134)
     "cdc_scd3" -> (Cdc.scd3 _),
     "cdc_scd2_lookup" -> (Cdc.scd2Lookup _),
+    // Incremental z-order recluster (§2 #135)
+    "q_zorder_recluster" -> ((s: SparkSession, d: String) => Scale.zorderRecluster(s, d)),
     // Warehouse depth, third batch (§2 #126-132)
     "q7_volume_shipping" -> (Warehouse.volumeShipping _),
     "q8_market_share" -> (Warehouse.marketShare _),
@@ -2040,6 +2042,67 @@ object SparkEntry {
                ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
            FROM ex)
          WHERE rank <= 10"""
+    },
+    "q_zorder_recluster" -> {
+      // frozen-boundary delta routing replayed relationally; same
+      // generated Morton terms as q_zorder_stats
+      val mortonSql = (0 until 8)
+        .map(i =>
+          s"((ca >> $i) & 1) * ${1L << (2 * i + 1)} + ((cb >> $i) & 1) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                        WHERE o_orderkey % 10 <> 0),
+         delta AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 10 = 0),
+         b AS (SELECT *,
+                 CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS ca,
+                 CAST(ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS cb
+               FROM base),
+         z AS (SELECT *, CAST($mortonSql AS BIGINT) AS zval FROM b),
+         zf AS (SELECT *, CAST(ntile(32) OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS file_id
+                FROM z),
+         cab AS (SELECT bv, bok FROM (
+                   SELECT o_custkey AS bv, o_orderkey AS bok,
+                     row_number() OVER (PARTITION BY ca
+                       ORDER BY o_custkey DESC, o_orderkey DESC) AS rn
+                   FROM b) WHERE rn = 1),
+         cbb AS (SELECT bv, bok FROM (
+                   SELECT o_totalprice AS bv, o_orderkey AS bok,
+                     row_number() OVER (PARTITION BY cb
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                   FROM b) WHERE rn = 1),
+         fb AS (SELECT bz, bok FROM (
+                  SELECT zval AS bz, o_orderkey AS bok,
+                    row_number() OVER (PARTITION BY file_id
+                      ORDER BY zval DESC, o_orderkey DESC) AS rn
+                  FROM zf) WHERE rn = 1),
+         dca AS (SELECT d.o_orderkey, least(count(c.bv), 255) AS ca
+                 FROM delta d LEFT JOIN cab c
+                   ON c.bv < d.o_custkey OR (c.bv = d.o_custkey AND c.bok < d.o_orderkey)
+                 GROUP BY d.o_orderkey),
+         dcb AS (SELECT d.o_orderkey, least(count(c.bv), 255) AS cb
+                 FROM delta d LEFT JOIN cbb c
+                   ON c.bv < d.o_totalprice OR (c.bv = d.o_totalprice AND c.bok < d.o_orderkey)
+                 GROUP BY d.o_orderkey),
+         dz AS (SELECT d.o_orderkey, dca.ca, dcb.cb, CAST($mortonSql AS BIGINT) AS zval
+                FROM delta d JOIN dca USING (o_orderkey) JOIN dcb USING (o_orderkey)),
+         df AS (SELECT z.o_orderkey, z.ca, z.cb, z.zval,
+                  least(count(f.bz) + 1, 32) AS file_id
+                FROM dz z LEFT JOIN fb f
+                  ON f.bz < z.zval OR (f.bz = z.zval AND f.bok < z.o_orderkey)
+                GROUP BY z.o_orderkey, z.ca, z.cb, z.zval),
+         tagged AS (SELECT file_id, ca, cb, 0 AS is_delta FROM zf
+                    UNION ALL SELECT file_id, ca, cb, 1 AS is_delta FROM df),
+         nb AS (SELECT count(*) AS n_base_total FROM base)
+         SELECT file_id,
+           CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+           CAST(sum(is_delta) AS BIGINT) AS n_delta,
+           count(*) AS n_total,
+           min(ca) AS min_cust_b, max(ca) AS max_cust_b,
+           min(cb) AS min_price_b, max(cb) AS max_price_b,
+           CAST(count(*) > (3 * ((n_base_total + 31) // 32)) // 2 AS INT) AS needs_rewrite
+         FROM tagged, nb
+         GROUP BY file_id, n_base_total"""
     },
     "cdc_scd3" ->
       """WITH c AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -325,5 +325,107 @@ object Scale {
         max("ca").as("max_cust_b"),
         min("cb").as("min_price_b"),
         max("cb").as("max_price_b"))
+  }
+
+  /** #135 Incremental z-order recluster: fold a DELTA batch into an
+    * EXISTING z-ordered layout without rewriting it — the maintenance
+    * mode of [[zorderStats]]'s OPTIMIZE ZORDER. The persisted layout
+    * state is tiny (256 per-dim quantile boundaries + `files` z-range
+    * uppers, all derived from the base corpus and broadcast); each
+    * delta row is bucketed against those FROZEN boundaries (count of
+    * boundary tuples lexicographically below it — a bounded broadcast
+    * nested-loop, 256 comparisons/row, never a shuffle), Morton-coded,
+    * and routed to the file whose z-range covers it. Only files whose
+    * combined row count overflows 3/2× the target are flagged for
+    * rewrite — the point of incremental maintenance: the delta
+    * disturbs O(delta) files, not the corpus.
+    *
+    * All-integer routing (rank buckets, Morton codes, lexicographic
+    * tuple counts, integer overflow threshold) keeps the whole
+    * incremental path oracle-exact.
+    */
+  def zorderRecluster(
+      spark: SparkSession,
+      dir: String,
+      files: Int = 32,
+      overflowNum: Int = 3,
+      overflowDen: Int = 2): DataFrame = {
+    val all = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = all.filter(col("o_orderkey") % 10 =!= 0)
+    val delta = all.filter(col("o_orderkey") % 10 === 0)
+    val wCust = Window.orderBy("o_custkey", "o_orderkey")
+    val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
+    val zfiled = base
+      .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
+      .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
+      .withColumn("zval", morton(col("ca"), col("cb")))
+      .withColumn("file_id", ntile(files).over(Window.orderBy("zval", "o_orderkey")).cast("long"))
+      .cache()
+    // the persisted layout state (broadcast-sized at any corpus scale)
+    val caBounds = zfiled
+      .groupBy("ca")
+      .agg(max(struct(col("o_custkey").as("v"), col("o_orderkey").as("ok"))).as("ub"))
+      .select(col("ub.v").as("bv"), col("ub.ok").as("bok"))
+    val cbBounds = zfiled
+      .groupBy("cb")
+      .agg(max(struct(col("o_totalprice").as("v"), col("o_orderkey").as("ok"))).as("ub"))
+      .select(col("ub.v").as("bv"), col("ub.ok").as("bok"))
+    val fBounds = zfiled
+      .groupBy("file_id")
+      .agg(max(struct(col("zval").as("z"), col("o_orderkey").as("ok"))).as("ub"))
+      .select(col("ub.z").as("bz"), col("ub.ok").as("bok"))
+    def countBelow(bounds: DataFrame, v: Column, ok: Column, out: String): DataFrame =
+      delta
+        .join(
+          broadcast(bounds),
+          col("bv") < v || (col("bv") === v && col("bok") < ok),
+          "left")
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(count(col("bv")).as(out))
+    val dca = countBelow(caBounds, col("o_custkey"), col("o_orderkey"), "nca")
+      .select(col("o_orderkey"), least(col("nca"), lit(255L)).as("ca"))
+    val dcb = countBelow(cbBounds, col("o_totalprice"), col("o_orderkey"), "ncb")
+      .select(col("o_orderkey"), least(col("ncb"), lit(255L)).as("cb"))
+    val deltaZ = delta
+      .join(dca, "o_orderkey")
+      .join(dcb, "o_orderkey")
+      .withColumn("zval", morton(col("ca"), col("cb")))
+    val deltaFiled = deltaZ
+      .join(
+        broadcast(fBounds),
+        col("bz") < col("zval") ||
+          (col("bz") === col("zval") && col("bok") < col("o_orderkey")),
+        "left")
+      .groupBy("o_orderkey", "ca", "cb", "zval")
+      .agg(count(col("bz")).as("nf"))
+      .select(
+        col("o_orderkey"),
+        col("ca"),
+        col("cb"),
+        col("zval"),
+        least(col("nf") + 1, lit(files.toLong)).as("file_id"))
+    val tagged = zfiled
+      .select(col("file_id"), col("ca"), col("cb"), lit(0L).as("is_delta"))
+      .unionAll(deltaFiled.select(col("file_id"), col("ca"), col("cb"), lit(1L).as("is_delta")))
+    val nBase = base.agg(count(lit(1)).as("n_base_total"))
+    tagged
+      .groupBy("file_id")
+      .agg(
+        sum(lit(1L) - col("is_delta")).as("n_base"),
+        sum(col("is_delta")).as("n_delta"),
+        count(lit(1)).as("n_total"),
+        min("ca").as("min_cust_b"),
+        max("ca").as("max_cust_b"),
+        min("cb").as("min_price_b"),
+        max("cb").as("max_price_b"))
+      .crossJoin(broadcast(nBase))
+      .withColumn(
+        "needs_rewrite",
+        (col("n_total") >
+          expr(s"($overflowNum * ((n_base_total + ${files - 1}) div $files)) div $overflowDen"))
+          .cast("int"))
+      .drop("n_base_total")
   }
 }

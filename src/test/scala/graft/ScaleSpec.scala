@@ -105,6 +105,28 @@ class ScaleSpec extends SparkSpec {
     assert(hitsA <= 16 && hitsB <= 16, s"point query hits $hitsA/$hitsB of 32 files")
   }
 
+  test("zorder recluster: delta fully routed, few rewrites, extents stay narrow") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Scale.zorderRecluster(spark, sf).cache()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nDelta = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val nBase = orders.filter(col("o_orderkey") % 10 =!= 0).count()
+    // every base and delta row lands in exactly one file
+    assert(r.agg(sum("n_delta")).head.getLong(0) == nDelta)
+    assert(r.agg(sum("n_base")).head.getLong(0) == nBase)
+    // incremental maintenance disturbs few files (a ~10% delta cannot
+    // overflow most of a balanced layout)
+    val rewrites = r.filter(col("needs_rewrite") === 1).count()
+    assert(rewrites < 16, s"$rewrites of 32 files flagged for rewrite")
+    // frozen-boundary routing preserves the z-layout's locality: the
+    // per-file extents stay narrow on BOTH dimensions
+    val widths = r.agg(
+      avg(col("max_cust_b") - col("min_cust_b")).as("wa"),
+      avg(col("max_price_b") - col("min_price_b")).as("wb")).head
+    assert(widths.getDouble(0) < 130, s"cust extent ${widths.getDouble(0)}")
+    assert(widths.getDouble(1) < 130, s"price extent ${widths.getDouble(1)}")
+  }
+
   test("locf fill: same grid as resample, observed days exact, gaps carry the last value") {
     import org.apache.spark.sql.expressions.Window
     val f = graft.operators.Scale.locfFill(spark, sf).cache()
