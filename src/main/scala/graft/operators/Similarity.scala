@@ -674,7 +674,7 @@ object Similarity {
       }
       .toSeq
 
-  private def trainPqCodebooks(
+  private[graft] def trainPqCodebooks(
       spark: SparkSession, dir: String, iters: Int): Seq[(Int, Int, Seq[Long])] = {
     val eqDf = Tables
       .embeddings(spark, dir)
@@ -682,16 +682,22 @@ object Similarity {
     trainPqOnSubs(spark, pqSubvectorsOf(eqDf, "eq", Seq("vec_id")), pqSeeds(eqDf), iters)
   }
 
-  /** #120 PQ code assignment: every corpus vector's M nearest-codeword
-    * codes plus the residual quantization error — the compressed index
-    * itself (what a store persists; 4 B/vector here vs 256 B raw).
-    * One broadcast join over one corpus scan; top-1 per (vec, s) via
-    * WindowGroupLimit.
+  /** #137 Code assignment under a FROZEN codebook — the streaming
+    * maintenance primitive: a production PQ index does NOT retrain per
+    * ingest batch; new vectors are encoded against the codebook the
+    * last OPTIMIZE froze, so an incremental batch costs one broadcast
+    * join over the batch (M·K distance comparisons/vector), is
+    * embarrassingly parallel, and produces codes bit-identical to a
+    * full recompute under the same codebook (all-integer arithmetic —
+    * `streaming/PqStreamSpec` pins streamed ≡ batch).
     */
-  def pqCodes(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
-    val cb = trainPqCodebooks(spark, dir, iters)
+  def pqAssignFrozen(vecs: DataFrame, cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    val spark = vecs.sparkSession
     val wMin = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
-    pqSubvectors(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    pqSubvectorsOf(
+      vecs.select(col("vec_id"), quantE4(col("embedding")).as("eq")),
+      "eq",
+      Seq("vec_id"))
       .join(broadcast(pqCodebookDf(spark, cb)), "s")
       .withColumn("dist", pqDist)
       .withColumn("rn", row_number().over(wMin))
@@ -702,6 +708,17 @@ object Similarity {
         col("code").cast("long").as("code"),
         col("dist").as("dist_e8"))
   }
+
+  /** #120 PQ code assignment: every corpus vector's M nearest-codeword
+    * codes plus the residual quantization error — the compressed index
+    * itself (what a store persists; 4 B/vector here vs 256 B raw).
+    * One broadcast join over one corpus scan; top-1 per (vec, s) via
+    * WindowGroupLimit.
+    */
+  def pqCodes(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
+    pqAssignFrozen(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      trainPqCodebooks(spark, dir, iters))
 
   /** #121 PQ ADC search, the production two-stage: the query computes
     * its M·K distance table once (tiny — broadcast), every
