@@ -156,8 +156,9 @@ object SparkEntry {
     "q_dq_audit" -> (Profile.dqAudit _),
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
-    // IVFADC (§2 #125)
+    // IVFADC (§2 #125, #138)
     "ann_ivfadc" -> ((s: SparkSession, d: String) => Similarity.ivfAdcSearch(s, d)),
+    "ann_ivfadc_indexed" -> ((s: SparkSession, d: String) => Similarity.ivfAdcViaIndex(s, d)),
     // SCD family completion (§2 #133-134)
     "cdc_scd3" -> (Cdc.scd3 _),
     "cdc_scd2_lookup" -> (Cdc.scd2Lookup _),
@@ -370,6 +371,110 @@ object SparkEntry {
        FROM (SELECT *, row_number() OVER
                (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
        WHERE rn = 1"""
+  }
+
+  /** Shared IVFADC replay: 3-round e4-cosine IVF train (as ann_ivf),
+    * exact BIGINT residuals, 2-round integer PQ train on residuals,
+    * per-probed-cell ADC, exact integer-L2 re-rank of the top-100.
+    * `ann_ivfadc` and `ann_ivfadc_indexed` are bit-identical by
+    * construction, so both entries use this text.
+    */
+  private def ivfAdcOracle: String = {
+    val meanTerms64 = (1 to 64)
+        .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
+        .mkString(", ")
+      def iassign(cents: String, out: String) =
+        s"""$out AS (SELECT vec_id, embedding, cell FROM (
+              SELECT u.vec_id, u.embedding, c.cell,
+                row_number() OVER (PARTITION BY u.vec_id
+                  ORDER BY floor(list_cosine_similarity(
+                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM u, $cents c) WHERE rn = 1)"""
+      def imeans(asg: String, out: String) =
+        s"$out AS (SELECT cell, [$meanTerms64] AS centroid FROM $asg GROUP BY cell)"
+      val pqMeanTerms = (1 to 16)
+        .map(i => s"CAST(floor(avg(sv[$i]) + 0.5) AS BIGINT)")
+        .mkString(", ")
+      val pdist =
+        "list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i]) for i in generate_series(1, 16) ])"
+      def passign(cents: String, out: String) =
+        s"""$out AS (SELECT vec_id, cell, s, sv, code FROM (
+              SELECT u.vec_id, u.cell, u.s, u.sv, c.code,
+                row_number() OVER (PARTITION BY u.vec_id, u.s
+                  ORDER BY $pdist, c.code) AS rn
+              FROM rsub u JOIN $cents c USING (s)) WHERE rn = 1)"""
+      def pmeans(asg: String, out: String) =
+        s"$out AS (SELECT s, code, [$pqMeanTerms] AS cw FROM $asg GROUP BY s, code)"
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings),
+         s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                  embedding AS centroid
+                FROM embeddings ORDER BY vec_id LIMIT 16),
+         ${iassign("s0", "ia1")}, ${imeans("ia1", "ic1")},
+         ${iassign("ic1", "ia2")}, ${imeans("ia2", "ic2")},
+         ${iassign("ic2", "ia3")}, ${imeans("ia3", "ic3")},
+         ${iassign("ic3", "acorp")},
+         eq AS (SELECT vec_id,
+                  [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+                   for i in generate_series(1, 64)] AS eq
+                FROM embeddings),
+         ceq AS (SELECT cell,
+                   [CAST(floor(CAST(centroid[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+                    for i in generate_series(1, 64)] AS ceq
+                 FROM ic3),
+         res AS (SELECT a.vec_id, a.cell,
+                   [e.eq[i] - c.ceq[i] for i in generate_series(1, 64)] AS req
+                 FROM acorp a JOIN eq e USING (vec_id) JOIN ceq c USING (cell)),
+         rsub AS (SELECT vec_id, cell, CAST(r.s AS INT) AS s,
+                    req[(r.s*16+1):(r.s*16+16)] AS sv
+                  FROM res, (SELECT unnest(range(0, 4)) AS s) r),
+         ps0 AS (SELECT s,
+                   CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code,
+                   sv AS cw
+                 FROM rsub
+                 WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+         ${passign("ps0", "pa1")}, ${pmeans("pa1", "pc1")},
+         ${passign("pc1", "pa2")}, ${pmeans("pa2", "pc2")},
+         ${passign("pc2", "paf")},
+         q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+         qc AS (SELECT query_id, cell FROM (
+             SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY floor(list_cosine_similarity(
+                   q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                   DESC, c.cell) AS rn
+             FROM q, ic3 c) WHERE rn <= 2),
+         qres AS (SELECT qc.query_id, qc.cell,
+                    [e.eq[i] - c.ceq[i] for i in generate_series(1, 64)] AS qreq
+                  FROM qc JOIN eq e ON e.vec_id = qc.query_id JOIN ceq c USING (cell)),
+         qsub AS (SELECT query_id, cell, CAST(r.s AS INT) AS s,
+                    qreq[(r.s*16+1):(r.s*16+16)] AS sv
+                  FROM qres, (SELECT unnest(range(0, 4)) AS s) r),
+         dt AS (SELECT u.query_id, u.cell, u.s, c.code,
+                  CAST(list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i])
+                                  for i in generate_series(1, 16) ]) AS BIGINT) AS d
+                FROM qsub u JOIN pc2 c USING (s)),
+         adc AS (SELECT dt.query_id, paf.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_e8
+                 FROM paf JOIN dt ON paf.cell = dt.cell AND paf.s = dt.s
+                                 AND paf.code = dt.code
+                 GROUP BY dt.query_id, paf.vec_id),
+         cand AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_e8, vec_id) AS crank
+             FROM adc WHERE vec_id <> query_id) WHERE crank <= 100),
+         ex AS (SELECT c.query_id, c.vec_id,
+                  CAST(list_sum([ (e.eq[i] - qe.eq[i]) * (e.eq[i] - qe.eq[i])
+                                  for i in generate_series(1, 64) ]) AS BIGINT) AS dist_e8
+                FROM cand c JOIN eq e ON e.vec_id = c.vec_id
+                            JOIN eq qe ON qe.vec_id = c.query_id)
+         SELECT query_id, vec_id, dist_e8, rank FROM (
+           SELECT query_id, vec_id, dist_e8,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
+           FROM ex)
+         WHERE rank <= 10"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1943,106 +2048,8 @@ object SparkEntry {
            FROM r3)
          WHERE rank <= 50"""
     },
-    "ann_ivfadc" -> {
-      // full IVFADC replay: 3-round e4-cosine IVF train (as ann_ivf),
-      // exact BIGINT residuals, 2-round integer PQ train on residuals,
-      // per-probed-cell ADC, exact integer-L2 re-rank of the top-100
-      val meanTerms64 = (1 to 64)
-        .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
-        .mkString(", ")
-      def iassign(cents: String, out: String) =
-        s"""$out AS (SELECT vec_id, embedding, cell FROM (
-              SELECT u.vec_id, u.embedding, c.cell,
-                row_number() OVER (PARTITION BY u.vec_id
-                  ORDER BY floor(list_cosine_similarity(
-                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
-                    DESC, c.cell) AS rn
-              FROM u, $cents c) WHERE rn = 1)"""
-      def imeans(asg: String, out: String) =
-        s"$out AS (SELECT cell, [$meanTerms64] AS centroid FROM $asg GROUP BY cell)"
-      val pqMeanTerms = (1 to 16)
-        .map(i => s"CAST(floor(avg(sv[$i]) + 0.5) AS BIGINT)")
-        .mkString(", ")
-      val pdist =
-        "list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i]) for i in generate_series(1, 16) ])"
-      def passign(cents: String, out: String) =
-        s"""$out AS (SELECT vec_id, cell, s, sv, code FROM (
-              SELECT u.vec_id, u.cell, u.s, u.sv, c.code,
-                row_number() OVER (PARTITION BY u.vec_id, u.s
-                  ORDER BY $pdist, c.code) AS rn
-              FROM rsub u JOIN $cents c USING (s)) WHERE rn = 1)"""
-      def pmeans(asg: String, out: String) =
-        s"$out AS (SELECT s, code, [$pqMeanTerms] AS cw FROM $asg GROUP BY s, code)"
-      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings),
-         s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-                  embedding AS centroid
-                FROM embeddings ORDER BY vec_id LIMIT 16),
-         ${iassign("s0", "ia1")}, ${imeans("ia1", "ic1")},
-         ${iassign("ic1", "ia2")}, ${imeans("ia2", "ic2")},
-         ${iassign("ic2", "ia3")}, ${imeans("ia3", "ic3")},
-         ${iassign("ic3", "acorp")},
-         eq AS (SELECT vec_id,
-                  [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
-                   for i in generate_series(1, 64)] AS eq
-                FROM embeddings),
-         ceq AS (SELECT cell,
-                   [CAST(floor(CAST(centroid[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
-                    for i in generate_series(1, 64)] AS ceq
-                 FROM ic3),
-         res AS (SELECT a.vec_id, a.cell,
-                   [e.eq[i] - c.ceq[i] for i in generate_series(1, 64)] AS req
-                 FROM acorp a JOIN eq e USING (vec_id) JOIN ceq c USING (cell)),
-         rsub AS (SELECT vec_id, cell, CAST(r.s AS INT) AS s,
-                    req[(r.s*16+1):(r.s*16+16)] AS sv
-                  FROM res, (SELECT unnest(range(0, 4)) AS s) r),
-         ps0 AS (SELECT s,
-                   CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code,
-                   sv AS cw
-                 FROM rsub
-                 WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-         ${passign("ps0", "pa1")}, ${pmeans("pa1", "pc1")},
-         ${passign("pc1", "pa2")}, ${pmeans("pa2", "pc2")},
-         ${passign("pc2", "paf")},
-         q AS (SELECT vec_id AS query_id, embedding AS q_emb
-               FROM embeddings WHERE vec_id < 10),
-         qc AS (SELECT query_id, cell FROM (
-             SELECT q.query_id, c.cell,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY floor(list_cosine_similarity(
-                   q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
-                   DESC, c.cell) AS rn
-             FROM q, ic3 c) WHERE rn <= 2),
-         qres AS (SELECT qc.query_id, qc.cell,
-                    [e.eq[i] - c.ceq[i] for i in generate_series(1, 64)] AS qreq
-                  FROM qc JOIN eq e ON e.vec_id = qc.query_id JOIN ceq c USING (cell)),
-         qsub AS (SELECT query_id, cell, CAST(r.s AS INT) AS s,
-                    qreq[(r.s*16+1):(r.s*16+16)] AS sv
-                  FROM qres, (SELECT unnest(range(0, 4)) AS s) r),
-         dt AS (SELECT u.query_id, u.cell, u.s, c.code,
-                  CAST(list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i])
-                                  for i in generate_series(1, 16) ]) AS BIGINT) AS d
-                FROM qsub u JOIN pc2 c USING (s)),
-         adc AS (SELECT dt.query_id, paf.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_e8
-                 FROM paf JOIN dt ON paf.cell = dt.cell AND paf.s = dt.s
-                                 AND paf.code = dt.code
-                 GROUP BY dt.query_id, paf.vec_id),
-         cand AS (SELECT query_id, vec_id FROM (
-             SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_e8, vec_id) AS crank
-             FROM adc WHERE vec_id <> query_id) WHERE crank <= 100),
-         ex AS (SELECT c.query_id, c.vec_id,
-                  CAST(list_sum([ (e.eq[i] - qe.eq[i]) * (e.eq[i] - qe.eq[i])
-                                  for i in generate_series(1, 64) ]) AS BIGINT) AS dist_e8
-                FROM cand c JOIN eq e ON e.vec_id = c.vec_id
-                            JOIN eq qe ON qe.vec_id = c.query_id)
-         SELECT query_id, vec_id, dist_e8, rank FROM (
-           SELECT query_id, vec_id, dist_e8,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
-           FROM ex)
-         WHERE rank <= 10"""
-    },
+    "ann_ivfadc" -> ivfAdcOracle,
+    "ann_ivfadc_indexed" -> ivfAdcOracle,
     "q_zorder_recluster" -> {
       // frozen-boundary delta routing replayed relationally; same
       // generated Morton terms as q_zorder_stats

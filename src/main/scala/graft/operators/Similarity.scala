@@ -797,6 +797,17 @@ object Similarity {
     */
   def ivfAdcSearch(spark: SparkSession, dir: String, k: Int = 16, ivfIters: Int = 3,
       pqIters: Int = 2, nprobe: Int = 2, cand: Int = 100, topK: Int = 10): DataFrame = {
+    val (cdf, cbDf, codes) = trainIvfAdc(spark, dir, k, ivfIters, pqIters)
+    ivfAdcProbe(spark, dir, codes, cdf, cbDf, nprobe, cand, topK)
+  }
+
+  /** IVF train + residual-PQ train + corpus code assignment — the
+    * index-build stage shared by [[ivfAdcSearch]] (inline) and
+    * [[buildIvfAdcIndex]] (persisted): returns (centroids, codebook,
+    * codes).
+    */
+  private def trainIvfAdc(spark: SparkSession, dir: String, k: Int, ivfIters: Int,
+      pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val cdf = centroidsDf(spark, trainCentroids(spark, dir, k, ivfIters))
     val ceq = cdf.select(col("cell"), quantE4(col("centroid")).as("ceq"))
@@ -819,6 +830,17 @@ object Similarity {
       .withColumn("rn", row_number().over(wMin))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("s"), col("code"))
+    (cdf, cbDf, codes)
+  }
+
+  /** The search stage over an IVFADC index (inline or read from
+    * disk): probe cells, per-cell query residual + ADC table, code
+    * joins, exact re-rank.
+    */
+  private def ivfAdcProbe(spark: SparkSession, dir: String, codes: DataFrame,
+      cdf: DataFrame, cbDf: DataFrame, nprobe: Int, cand: Int, topK: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val ceq = cdf.select(col("cell"), quantE4(col("centroid")).as("ceq"))
     // query side: nprobe nearest cells, one residual PER PROBED CELL
     val wQ = Window.partitionBy("query_id").orderBy(col("ccos_e4").desc, col("cell"))
     val queryCells = queryVectors(spark, dir)
@@ -858,5 +880,47 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), exactDist2.as("dist_e8"))
       .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** #138 Materialize the IVFADC index at rest: codes
+    * (vec_id, cell, s, code — the 5 B/vector payload), centroids
+    * (k×64 floats), and the residual-PQ codebook (M·K×16 longs). This
+    * is what makes IVFADC's at-rest claim physically true: a search
+    * scans THIS table's integer columns in its coarse stage; the full
+    * float vectors are only read for the ≤ queries×cand re-rank
+    * survivors and the broadcast-sized query set.
+    */
+  def buildIvfAdcIndex(spark: SparkSession, dir: String, base: String, k: Int = 16,
+      ivfIters: Int = 3, pqIters: Int = 2): Unit = {
+    val (cdf, cbDf, codes) = trainIvfAdc(spark, dir, k, ivfIters, pqIters)
+    codes.write.mode("overwrite").parquet(s"$base/codes")
+    cdf.write.mode("overwrite").parquet(s"$base/centroids")
+    cbDf.write.mode("overwrite").parquet(s"$base/codebook")
+  }
+
+  /** #138 IVFADC search over the PERSISTED index — bit-identical to
+    * [[ivfAdcSearch]] (same integer arithmetic over the same frozen
+    * model), but the coarse stage's input is the at-rest codes table.
+    */
+  def ivfAdcSearchIndexed(spark: SparkSession, dir: String, base: String,
+      nprobe: Int = 2, cand: Int = 100, topK: Int = 10): DataFrame =
+    ivfAdcProbe(
+      spark,
+      dir,
+      spark.read.parquet(s"$base/codes"),
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebook"),
+      nprobe,
+      cand,
+      topK)
+
+  /** [[ivfAdcSearchIndexed]] behind a deterministic scratch path — the
+    * driver-queryable form; shares `ann_ivfadc`'s oracle (bit-identical
+    * by construction).
+    */
+  def ivfAdcViaIndex(spark: SparkSession, dir: String): DataFrame = {
+    val p = s"/tmp/graft_ivfadc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    buildIvfAdcIndex(spark, dir, p)
+    ivfAdcSearchIndexed(spark, dir, p)
   }
 }

@@ -80,4 +80,22 @@ class PqSpec extends SparkSpec {
     val again = Similarity.ivfAdcSearch(spark, sf)
     assert(s.exceptAll(again).count() == 0)
   }
+
+  test("ivfadc over the persisted index is bit-identical and scans codes, not vectors") {
+    val inline = Similarity.ivfAdcSearch(spark, sf)
+    val indexed = Similarity.ivfAdcViaIndex(spark, sf).cache()
+    assert(indexed.exceptAll(inline).count() == 0)
+    assert(inline.exceptAll(indexed).count() == 0)
+    // the at-rest index is the integer 5 B/vector payload: codes table
+    // carries ONLY (vec_id, cell, s, code)
+    val p = s"/tmp/graft_ivfadc_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val codes = spark.read.parquet(s"$p/codes")
+    assert(codes.columns.sorted.toSeq == Seq("cell", "code", "s", "vec_id"))
+    assert(codes.count() == Tables.embeddings(spark, sf).count() * Similarity.PqM)
+    // the search plan reads the codes table; the full embedding column
+    // appears only in the query-side and re-rank scans (vec_id-filtered
+    // or survivor-joined), never in an unfiltered coarse corpus scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), s"indexed search does not scan the codes table:\n$plan")
+  }
 }
