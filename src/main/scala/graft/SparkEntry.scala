@@ -171,7 +171,10 @@ object SparkEntry {
     "q12_ship_priority" -> (Warehouse.shipPriorityClasses _),
     "q14_promo_share" -> (Warehouse.promoShare _),
     "q16_supplier_relationship" -> (Warehouse.supplierRelationship _),
-    "q18_large_volume" -> (Warehouse.largeVolumeCustomers _)
+    "q18_large_volume" -> (Warehouse.largeVolumeCustomers _),
+    // TPC-H morphology completion (§2 #139-140)
+    "q6_forecast_revenue" -> (Warehouse.forecastRevenue _),
+    "q9_product_profit" -> (Warehouse.productProfit _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -2230,6 +2233,28 @@ object SparkEntry {
          GROUP BY p.p_brand, p.p_type, p.p_size
          ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
          LIMIT 20""",
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                  - CAST(floor(p.p_retailprice * l.l_quantity * 0.8 * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS profit_c
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_type IN ('ECONOMY', 'STANDARD')
+         GROUP BY n.n_name, year(o.o_orderdate)
+         ORDER BY nation, o_year""",
     "q18_large_volume" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey,
            CAST(sum(l.l_quantity) AS BIGINT) AS total_qty

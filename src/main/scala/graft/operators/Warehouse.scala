@@ -396,6 +396,51 @@ object Warehouse {
     """)
   }
 
+  /** #139 Forecast revenue change (TPC-H Q6 shape): the pure
+    * predicate-pushdown aggregate — no join at all; date window +
+    * discount band + quantity cap must ALL reach the parquet scan,
+    * and the whole query is one map-side-combined single-row
+    * aggregation. Revenue = price × discount in exact integer cents.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT count(*) AS n_items,
+        CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS revenue_c
+      FROM wh_lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """)
+  }
+
+  /** #140 Product-type profit (TPC-H Q9 shape): per supplier-nation
+    * per order-year profit across the full join breadth (lineitem ×
+    * orders × supplier × nation × part). The schema has no
+    * ps_supplycost, so cost is modeled as 80% of the part's retail
+    * price per unit — same two-measure profit arithmetic, in exact
+    * integer cents on both terms.
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql("""
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+               - CAST(floor(p.p_retailprice * l.l_quantity * 0.8 * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS profit_c
+      FROM wh_lineitem l
+      JOIN wh_orders o ON o.o_orderkey = l.l_orderkey
+      JOIN wh_supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN wh_nation n ON n.n_nationkey = s.s_nationkey
+      JOIN wh_part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type IN ('ECONOMY', 'STANDARD')
+      GROUP BY n.n_name, year(o.o_orderdate)
+      ORDER BY nation, o_year
+    """)
+  }
+
   /** #131 Supplier relationship count (TPC-H Q16 shape): how many
     * distinct suppliers serve each small (brand, type, size) part
     * bucket, EXCLUDING a blocklist via NOT IN — the null-free NOT IN

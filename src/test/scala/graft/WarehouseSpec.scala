@@ -160,4 +160,28 @@ class WarehouseSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(3) > 300))
   }
+
+  test("q6: all three predicates reach the lineitem scan, no join anywhere") {
+    val df = Warehouse.forecastRevenue(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Join"), s"the no-join query planned a join:\n$plan")
+    // the PushedFilters list is elided in toString, so assert the
+    // scan-level pushdown prefix plus all three columns in the
+    // data-filter chain above the scan
+    assert(
+      plan.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+        plan.contains("(l_discount") && plan.contains("(l_quantity"),
+      s"predicates not pushed into the scan:\n$plan")
+    val row = df.collect().head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+  }
+
+  test("q9: full join breadth, profit grouped per nation-year") {
+    val rows = Warehouse.productProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // deterministic ordering: (nation, year) ascending
+    val keys = rows.map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.sliding(2).forall(p =>
+      p.length < 2 || p(0)._1 < p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
+  }
 }
