@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_apply" -> (Dedup.applyKeepList _),
+    "dedup_report" -> (Dedup.report _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_spans" -> ((s: SparkSession, d: String) => Dedup.spans(s, d)),
     "dedup_embedding" -> (Dedup.embedding _),
@@ -1147,6 +1148,25 @@ object SparkEntry {
            CAST(cluster_size - 1 AS BIGINT) AS n_dropped
          FROM labels l JOIN sizes USING (cluster_id)
          WHERE l.doc_id = l.cluster_id""",
+    "dedup_report" ->
+      s"""${minhashCandidatesCte(recursive = true)},
+         edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                 UNION SELECT doc_b, doc_a FROM edges),
+         walk(a, b) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+         src AS (SELECT doc_id, source FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000, source FROM documents WHERE doc_id % 5 = 0)
+         SELECT s.source, count(*) AS n_docs,
+           CAST(sum(CAST(l.doc_id <> l.cluster_id AS INT)) AS BIGINT) AS n_dups,
+           round(CAST(sum(CAST(l.doc_id <> l.cluster_id AS INT)) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+         FROM labels l JOIN src s USING (doc_id)
+         GROUP BY s.source""",
     "dedup_simhash" ->
       """WITH toks0 AS (
            SELECT doc_id,

@@ -396,6 +396,32 @@ object Dedup {
         col("cluster_size"),
         (col("cluster_size") - 1).as("n_dropped"))
 
+  /** #141 Per-source dedup report: duplication rate by source over the
+    * near-dup cluster labels — the dashboard a pipeline owner watches
+    * to spot a crawler or vendor feeding recycled content BEFORE it
+    * skews the training mixture. Composes [[clusters]] wholesale
+    * (a doc is a duplicate iff it is not its cluster's canonical) with
+    * one join to the source map and one aggregation over the handful
+    * of sources; the rate is an exact integer/integer division rounded
+    * at output.
+    */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // the dup-corpus source map: planted near-copies (+1M ids) inherit
+    // their base doc's source
+    val src = docs.unionAll(
+      docs
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source")))
+    clusters(spark, dir)
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("cluster_id")).cast("long")).as("n_dups"))
+      .withColumn("dup_rate", round(col("n_dups").cast("double") / col("n_docs"), 4))
+  }
+
   /** #26 Embedding-cosine near-dup: corpus ∪ perturbed copies, multi-
     * table random-hyperplane LSH buckets (bit count derived from corpus
     * size — `Similarity.numPlanes` — so bucket occupancy stays bounded

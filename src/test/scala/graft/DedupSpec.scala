@@ -196,4 +196,17 @@ class DedupSpec extends SparkSpec {
     assert(f1.sameElements(f2))
     assert(f1.forall(_.getSeq[Float](3).length == 8))
   }
+
+  test("dedup report: covers the dup-corpus, rates valid, planted dups detected") {
+    val r = Dedup.report(spark, sf).cache()
+    val nBase = graft.Tables.documents(spark, sf).count()
+    val nPlanted = graft.Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0).count()
+    // every doc of the dup-corpus is attributed to exactly one source row
+    assert(r.agg(sum("n_docs")).head.getLong(0) == nBase + nPlanted)
+    assert(r.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() == 0)
+    assert(r.filter(col("n_dups") > col("n_docs")).count() == 0)
+    // the planted every-5th near-copies make the overall dup mass real
+    val dups = r.agg(sum("n_dups")).head.getLong(0)
+    assert(dups >= nPlanted, s"only $dups dups found for $nPlanted planted copies")
+  }
 }
