@@ -286,9 +286,12 @@ object AnalyticsExt {
     // only joins the rank vector; both the weighted edges and the rank
     // snapshots are cut from their lineage (cache / lazy
     // localCheckpoint, the Dedup.clusters iteration discipline) so
-    // round r+1 never re-plans or re-executes round r's subtree
+    // round r+1 never re-plans or re-executes round r's subtree.
+    // edges is repartitioned on `src` BEFORE caching so the cached
+    // blocks carry hash(src) output partitioning — every round's join
+    // shuffles only the (tiny) rank vector, never the edge list.
     val outW = edges0(pairs).groupBy("src").agg(sum("w").as("wout"))
-    val edges = edges0(pairs).join(outW, "src").cache()
+    val edges = edges0(pairs).join(outW, "src").repartition(col("src")).cache()
     val nDf = outW.agg(count(lit(1)).as("n_nodes"))
     var ranks = outW
       .crossJoin(broadcast(nDf))
@@ -305,12 +308,23 @@ object AnalyticsExt {
           expr("CAST(15 * 100000000 div (100 * n_nodes) + (85 * cs) div 100 AS BIGINT)").as("r"))
         .localCheckpoint(false)
     }
-    ranks
+    // eager-materialize the final top-k THROUGH the loop's lazy
+    // checkpoints, then release the cached edge frames before
+    // returning — the Dedup.clusters exit discipline. Without the
+    // unpersist, pairs+edges outlive the query in the shared bench
+    // JVM and evict later queries' working set (the r4 cache-leak
+    // finding); the returned frame is checkpoint-backed, so callers
+    // re-read bounded top-k blocks, not the lineage.
+    val out = ranks
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("r").desc, col("part"))).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("part"), col("r").as("pr_e8"), col("rank"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** #110 Nearest-neighbor as-of join: each event matched to its

@@ -59,17 +59,30 @@ object Dedup {
           sequence(lit(1), size(tok) - (k - 1)),
           i => concat_ws(" ", slice(tok, i, lit(k)))))
 
-  /** Base docs ∪ exact copies of every 7th doc (ids offset by 2M). */
+  /** The planted-dup corpus construction, shared by every site that
+    * derives from it (corpus builders here, [[report]]'s source
+    * attribution, and the DuckDB oracles' `src` CTEs in SparkEntry) —
+    * one set of constants so the sites cannot silently drift.
+    */
+  private[operators] val NearDupEvery = 5
+  private[operators] val NearDupOffset = 1000000L
+  private[operators] val ExactDupEvery = 7
+  private[operators] val ExactDupOffset = 2000000L
+
+  /** Base docs ∪ exact copies of every [[ExactDupEvery]]th doc (ids
+    * offset by [[ExactDupOffset]]).
+    */
   private def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     docs.unionAll(
       docs
-        .filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .filter(col("doc_id") % ExactDupEvery === 0)
+        .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text")))
   }
 
-  /** Base docs ∪ near-copies of every 5th doc (ids offset by 1M): the
-    * copy keeps the first 80% of tokens — a realistic truncation dup.
+  /** Base docs ∪ near-copies of every [[NearDupEvery]]th doc (ids
+    * offset by [[NearDupOffset]]): the copy keeps the first 80% of
+    * tokens — a realistic truncation dup.
     */
   private def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -77,9 +90,9 @@ object Dedup {
     val keep = greatest(lit(1), floor(size(t) * 0.8).cast("int"))
     docs.unionAll(
       docs
-        .filter(col("doc_id") % 5 === 0)
+        .filter(col("doc_id") % NearDupEvery === 0)
         .select(
-          (col("doc_id") + 1000000L).as("doc_id"),
+          (col("doc_id") + NearDupOffset).as("doc_id"),
           array_join(slice(t, lit(1), keep), " ").as("text")))
   }
 
@@ -407,12 +420,14 @@ object Dedup {
     */
   def report(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    // the dup-corpus source map: planted near-copies (+1M ids) inherit
-    // their base doc's source
+    // the dup-corpus source map: planted near-copies inherit their base
+    // doc's source — same [[NearDupEvery]]/[[NearDupOffset]] constants
+    // as corpusWithNearDups, so the attribution cannot drift from the
+    // clusters it labels
     val src = docs.unionAll(
       docs
-        .filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("source")))
+        .filter(col("doc_id") % NearDupEvery === 0)
+        .select((col("doc_id") + NearDupOffset).as("doc_id"), col("source")))
     clusters(spark, dir)
       .join(src, "doc_id")
       .groupBy("source")

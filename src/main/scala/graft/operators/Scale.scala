@@ -410,7 +410,7 @@ object Scale {
       .select(col("file_id"), col("ca"), col("cb"), lit(0L).as("is_delta"))
       .unionAll(deltaFiled.select(col("file_id"), col("ca"), col("cb"), lit(1L).as("is_delta")))
     val nBase = base.agg(count(lit(1)).as("n_base_total"))
-    tagged
+    val out = tagged
       .groupBy("file_id")
       .agg(
         sum(lit(1L) - col("is_delta")).as("n_base"),
@@ -427,5 +427,12 @@ object Scale {
           expr(s"($overflowNum * ((n_base_total + ${files - 1}) div $files)) div $overflowDen"))
           .cast("int"))
       .drop("n_base_total")
+      // eager-materialize (bounded: one row per file) then release the
+      // cached base layout — zfiled otherwise outlives the query in a
+      // shared JVM (the r4 cache-leak finding, Dedup.clusters exit
+      // discipline)
+      .localCheckpoint(eager = true)
+    zfiled.unpersist()
+    out
   }
 }

@@ -914,13 +914,28 @@ object Similarity {
       cand,
       topK)
 
-  /** [[ivfAdcSearchIndexed]] behind a deterministic scratch path — the
+  /** [[ivfAdcSearchIndexed]] behind a per-run scratch path — the
     * driver-queryable form; shares `ann_ivfadc`'s oracle (bit-identical
-    * by construction).
+    * by construction). The scratch dir is unique per invocation
+    * (two concurrent sessions on the same dataset must not race on a
+    * shared path) and deleted before returning: the bounded top-k
+    * result is eagerly materialized off the index first, so the caller
+    * holds checkpoint blocks, not a lazy plan over deleted files.
     */
   def ivfAdcViaIndex(spark: SparkSession, dir: String): DataFrame = {
-    val p = s"/tmp/graft_ivfadc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    buildIvfAdcIndex(spark, dir, p)
-    ivfAdcSearchIndexed(spark, dir, p)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfadc_").toString
+    try {
+      buildIvfAdcIndex(spark, dir, p)
+      ivfAdcSearchIndexed(spark, dir, p).localCheckpoint(eager = true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files
+        .walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -48,23 +48,43 @@ object MultiTableApply {
     } finally { cached.unpersist(); () }
   }
 
-  /** Consistent snapshot of one table: only batches at or below the
-    * manifest watermark are visible. All tables read through the SAME
-    * watermark value, so the view is cross-table consistent.
+  /** Consistent snapshot of one table: only batches PRESENT in the
+    * manifest are visible — membership, not `<= max`. A `<=`-watermark
+    * read is only torn-state-safe under strictly in-order single-writer
+    * commits, which `applyBatch` (arbitrary `batchId`) does not
+    * enforce: an orphaned uncommitted batch with a LOWER id would
+    * become visible the moment any higher batch commits. The
+    * left-semi join against the one-row-per-batch manifest keeps the
+    * guarantee writer-order-free; partition pruning still applies via
+    * dynamic partition pruning / the trivially small build side.
+    * All tables resolve the SAME manifest snapshot, so the view stays
+    * cross-table consistent.
     */
   def readConsistent(spark: SparkSession, base: String, table: String): DataFrame = {
-    val watermark = committedWatermark(spark, base)
+    val committed = committedBatches(spark, base)
     spark.read
       .option("basePath", s"$base/$table")
       .parquet(s"$base/$table/batch_id=*")
-      .filter(col("batch_id") <= watermark)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
   }
 
-  /** The highest committed batch id (−1 when nothing committed). */
+  /** The set of committed batch ids (empty when nothing committed).
+    * Only a MISSING manifest maps to "nothing committed"; any real
+    * read failure (IO error, permissions, corrupt footer) propagates —
+    * an empty-but-plausible snapshot must never mask an error.
+    */
+  def committedBatches(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    if (!new java.io.File(s"$base/_manifest").exists())
+      Seq.empty[Long].toDF("batch_id")
+    else spark.read.parquet(s"$base/_manifest").select(col("batch_id")).distinct()
+  }
+
+  /** The highest committed batch id (−1 when nothing committed); the
+    * manifest-missing probe is explicit, real read errors propagate.
+    */
   def committedWatermark(spark: SparkSession, base: String): Long = {
-    val m = try spark.read.parquet(s"$base/_manifest")
-    catch { case _: Throwable => return -1L }
-    val r = m.agg(max("batch_id")).head
+    val r = committedBatches(spark, base).agg(max("batch_id")).head
     if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 }

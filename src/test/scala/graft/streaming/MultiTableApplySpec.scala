@@ -67,4 +67,22 @@ class MultiTableApplySpec extends SparkSpec {
       assert(MultiTableApply.readConsistent(spark, base, "orders").count() == 3)
     }
   }
+
+  test("orphaned LOWER-id batch stays invisible after a higher batch commits") {
+    withTempDir { base =>
+      val tables = Seq("orders", "lineitem")
+      // batch 2 crashes mid-write (orders slice only, never committed) …
+      mkBatch(Seq(9L))
+        .filter(col("table") === "orders")
+        .drop("table")
+        .write.mode("overwrite").parquet(s"$base/orders/batch_id=2")
+      // … and then batch 5 commits out of order. A `<= max(manifest)`
+      // watermark read would now expose the torn batch 2; membership
+      // must not.
+      MultiTableApply.applyBatch(mkBatch(Seq(1L)), tables, 5L, base)
+      assert(MultiTableApply.committedWatermark(spark, base) == 5L)
+      assert(MultiTableApply.readConsistent(spark, base, "orders").count() == 1)
+      assert(MultiTableApply.readConsistent(spark, base, "lineitem").count() == 1)
+    }
+  }
 }
