@@ -158,16 +158,43 @@ object Sampling {
     * content-addressed analog of a seeded RNG draw, reproducible
     * across engines and backfills like every sampler here. Accidental
     * anchor==negative collisions are dropped (the standard in-batch
-    * convention). The dense index comes from a row_number here (exact
-    * for the oracle); a 100 TB corpus maintains the same dense index
-    * as an ingest-time column instead of a global window.
+    * convention). The dense index is built HIERARCHICALLY, the
+    * [[ppsSample]] construction: shard by a monotone range split of
+    * `doc_id`, rank locally within each shard (one exchange on
+    * `shard`, per-shard local sort), and add per-shard base offsets
+    * from the nShards-row counts table — because the sharding is
+    * monotone in `doc_id`, `offset + local_rank` IS the global dense
+    * rank, bit-identical to a global row_number, with no
+    * single-partition window anywhere in the plan.
     */
-  def negSample(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+  def negSample(spark: SparkSession, dir: String, k: Int = 4, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val indexed = docs
-      .withColumn("idx", row_number().over(Window.orderBy("doc_id")).cast("long") - 1)
+    val bounds = docs.agg(
+      min("doc_id").as("lo"),
+      max("doc_id").as("hi"),
+      count(lit(1)).as("n_docs"))
+    // monotone integer range shard: 0 .. nShards-1, nondecreasing in
+    // doc_id (skewed occupancy would cost balance, never correctness)
+    val sharded = docs
+      .crossJoin(broadcast(bounds))
+      .withColumn(
+        "shard",
+        expr(s"((doc_id - lo) * $nShards) div (hi - lo + 1)"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+    val local = sharded
+      .select(col("doc_id"), col("shard"))
+      .withColumn("rn", row_number().over(wLocal).cast("long"))
+    val shardCounts = sharded.groupBy("shard").agg(count(lit(1)).as("c"))
+    // nShards rows: the single-partition window is bounded by design
+    val wShard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardCounts
+      .withColumn("off", coalesce(sum("c").over(wShard), lit(0L)))
+      .select(col("shard"), col("off"))
+    val indexed = local
+      .join(broadcast(offsets), "shard")
+      .select(col("doc_id"), (col("off") + col("rn") - 1).as("idx"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val draws = docs
       .filter(col("doc_id") % 11 === 0)

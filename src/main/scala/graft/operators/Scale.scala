@@ -303,21 +303,24 @@ object Scale {
     * data-skipping index would hold; `ScaleSpec` asserts the pruning
     * win quantitatively.
     *
-    * Exact ntile keeps the oracle bit-identical; at 100 TB the bucket
-    * boundaries come from a range-partitioner sample instead (same
-    * layout, no global window).
+    * Exact ntile keeps the oracle bit-identical (`scaleMode = false`,
+    * the driver query); `scaleMode = true` is the 100 TB path: bucket
+    * boundaries come from a SAMPLED quantile sketch
+    * (`approxQuantile`, rank error ≤ 0.1%) and each row is bucketed
+    * against the broadcast boundary array — two linear passes, zero
+    * global windows in the plan (`ScaleSpec` pins it window-free).
     */
-  def zorderStats(spark: SparkSession, dir: String, files: Int = 32): DataFrame = {
-    val wCust = Window.orderBy("o_custkey", "o_orderkey")
-    val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
-    val bucketed = Tables
-      .orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
-      .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
-      .withColumn("zval", morton(col("ca"), col("cb")))
-    bucketed
-      .withColumn("file_id", ntile(files).over(Window.orderBy("zval", "o_orderkey")).cast("long"))
+  def zorderStats(
+      spark: SparkSession,
+      dir: String,
+      files: Int = 32,
+      scaleMode: Boolean = false): DataFrame =
+    zfile(
+      Tables
+        .orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      files,
+      scaleMode)
       .groupBy("file_id")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -325,7 +328,46 @@ object Scale {
         max("ca").as("max_cust_b"),
         min("cb").as("min_price_b"),
         max("cb").as("max_price_b"))
-  }
+
+  /** The z-ordered layout build shared by [[zorderStats]] and
+    * [[zorderRecluster]]: rank-bucket both dimensions to 0..255,
+    * Morton-interleave, split into `files` z-ranges.
+    *
+    * Exact mode ranks with global ntile windows (oracle-exact, single-
+    * partition — test scale only). Scale mode replaces every global
+    * window with the range-partitioner-sample construction: 255 cut
+    * points per dimension from a mergeable quantile sketch, then a
+    * per-row count of boundaries ≤ value against the broadcast
+    * boundary array (a codegen'd 255-element array scan, no shuffle),
+    * and the same sampled construction again for the `files` z-range
+    * uppers. Boundary-sample skew costs file balance (bounded by the
+    * sketch's 0.1% rank error), never layout correctness.
+    */
+  private def zfile(df0: DataFrame, files: Int, scaleMode: Boolean): DataFrame =
+    if (!scaleMode) {
+      val wCust = Window.orderBy("o_custkey", "o_orderkey")
+      val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
+      df0
+        .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
+        .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
+        .withColumn("zval", morton(col("ca"), col("cb")))
+        .withColumn(
+          "file_id",
+          ntile(files).over(Window.orderBy("zval", "o_orderkey")).cast("long"))
+    } else {
+      def bucketOf(v: Column, bounds: Array[Double]): Column =
+        size(filter(array(bounds.map(lit(_)): _*), b => b <= v)).cast("long")
+      val probs = (1 until 256).map(_ / 256.0).toArray
+      val Array(custCuts, priceCuts) =
+        df0.stat.approxQuantile(Array("o_custkey", "o_totalprice"), probs, 0.001)
+      val bucketed = df0
+        .withColumn("ca", bucketOf(col("o_custkey").cast("double"), custCuts))
+        .withColumn("cb", bucketOf(col("o_totalprice").cast("double"), priceCuts))
+        .withColumn("zval", morton(col("ca"), col("cb")))
+      val zCuts = bucketed.stat
+        .approxQuantile("zval", (1 until files).map(_.toDouble / files).toArray, 0.001)
+      bucketed.withColumn("file_id", bucketOf(col("zval").cast("double"), zCuts) + 1)
+    }
 
   /** #135 Incremental z-order recluster: fold a DELTA batch into an
     * EXISTING z-ordered layout without rewriting it — the maintenance
@@ -349,20 +391,14 @@ object Scale {
       dir: String,
       files: Int = 32,
       overflowNum: Int = 3,
-      overflowDen: Int = 2): DataFrame = {
+      overflowDen: Int = 2,
+      scaleMode: Boolean = false): DataFrame = {
     val all = Tables
       .orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val base = all.filter(col("o_orderkey") % 10 =!= 0)
     val delta = all.filter(col("o_orderkey") % 10 === 0)
-    val wCust = Window.orderBy("o_custkey", "o_orderkey")
-    val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
-    val zfiled = base
-      .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
-      .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
-      .withColumn("zval", morton(col("ca"), col("cb")))
-      .withColumn("file_id", ntile(files).over(Window.orderBy("zval", "o_orderkey")).cast("long"))
-      .cache()
+    val zfiled = zfile(base, files, scaleMode).cache()
     // the persisted layout state (broadcast-sized at any corpus scale)
     val caBounds = zfiled
       .groupBy("ca")

@@ -105,6 +105,33 @@ class ScaleSpec extends SparkSpec {
     assert(hitsA <= 16 && hitsB <= 16, s"point query hits $hitsA/$hitsB of 32 files")
   }
 
+  test("zorder scale mode: sampled boundaries, plan window-free, layout still prunes") {
+    val z = Scale.zorderStats(spark, sf, 32, scaleMode = true).cache()
+    // the 100 TB contract: NO window operator anywhere in the plan —
+    // bucketing is a broadcast boundary-array scan, not a global ntile
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"scale-mode plan contains a window:\n$plan")
+    // same layout contract as exact mode: complete, near-balanced
+    // (sampled boundaries trade exact balance for scale), still narrow
+    // in BOTH dims so point queries prune
+    assert(z.count() == 32)
+    assert(z.agg(sum("n_rows")).head.getLong(0) == Tables.orders(spark, sf).count())
+    val n = Tables.orders(spark, sf).count().toDouble
+    val sizes = z.select("n_rows").collect().map(_.getLong(0))
+    assert(sizes.max < n / 32 * 1.5, s"worst file ${sizes.max} of avg ${n / 32}")
+    val widths = z.select(
+      avg(col("max_cust_b") - col("min_cust_b")).as("wa"),
+      avg(col("max_price_b") - col("min_price_b")).as("wb")).head
+    assert(widths.getDouble(0) < 110, s"cust extent ${widths.getDouble(0)}")
+    assert(widths.getDouble(1) < 110, s"price extent ${widths.getDouble(1)}")
+    val hitsA = z.filter(col("min_cust_b") <= 128 && col("max_cust_b") >= 128).count()
+    val hitsB = z.filter(col("min_price_b") <= 128 && col("max_price_b") >= 128).count()
+    assert(hitsA <= 16 && hitsB <= 16, s"point query hits $hitsA/$hitsB of 32 files")
+    // recluster composes the same scale-mode base build, window-free
+    val rc = Scale.zorderRecluster(spark, sf, scaleMode = true)
+    assert(rc.count() == 32)
+  }
+
   test("zorder recluster: delta fully routed, few rewrites, extents stay narrow") {
     import org.apache.spark.sql.functions._
     val r = graft.operators.Scale.zorderRecluster(spark, sf).cache()
