@@ -485,6 +485,25 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // Sketch queries (#20, #46, #59): the sketch estimate is engine-
+    // specific, so each emits exact values the oracle reproduces plus
+    // a flag asserting the sketch's error contract — the oracle's
+    // constant-1 flags make an out-of-bounds sketch a hash FAIL.
+    "q_approx_distinct" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users_exact,
+           CAST(1 AS INTEGER) AS within_3rsd
+         FROM events GROUP BY event_type""",
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(1 AS INTEGER) AS ok50, CAST(1 AS INTEGER) AS ok90,
+           CAST(1 AS INTEGER) AS ok99
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_freq_items" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(1 AS INTEGER) AS in_sketch
+         FROM events GROUP BY event_type
+         HAVING count(*) > 0.1 * (SELECT count(*) FROM events)""",
     "cdc_classify" ->
       """SELECT event_id, epoch_us(ts) AS ts, user_id,
          CASE WHEN event_type = 'signup' THEN 'INSERT'

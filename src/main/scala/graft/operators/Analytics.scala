@@ -274,17 +274,29 @@ object Analytics {
 
   /** #20 Approximate distinct (HyperLogLog++): distinct users per event
     * type at 2% target error — the constant-memory sketch that replaces
-    * an exact distinct's full shuffle at 100 TB. Rows-only check
-    * (sketch estimates are engine-specific).
+    * an exact distinct's full shuffle at 100 TB. The sketch estimate
+    * itself is engine-specific, so the driver row carries the sketch's
+    * ERROR CONTRACT instead: `within_3rsd` asserts the estimate lands
+    * within 3× the configured rsd of the exact count (computed
+    * alongside, which the DuckDB oracle reproduces) — a hash-checkable
+    * range check, the exact-compare analog of a sketch bound. A
+    * drifting HLL implementation now FAILS correctness instead of
+    * hiding behind rows-only.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
-        count(lit(1)).as("n_events")
-      )
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("est"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("n_users_exact"),
+        (abs(col("est") - col("n_users_exact")) <=
+          col("n_users_exact").cast("double") * 0.06).cast("int").as("within_3rsd"))
 
   /** #87 Cohort retention: users grouped by first-activity week, then
     * the fraction of each cohort still active N weeks later — the

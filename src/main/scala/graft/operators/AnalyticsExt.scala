@@ -187,17 +187,31 @@ object AnalyticsExt {
         round(cume_dist().over(w), 6).as("cum_dist"))
   }
 
-  /** #59 Frequent items (Karp/misra-gries style sketch via
-    * `stat.freqItems`): heavy hitters without an exact global count —
-    * rows-only (sketch contents are engine/partitioning-specific).
+  /** #59 Frequent items (Karp/Misra-Gries style sketch via
+    * `stat.freqItems`): heavy hitters without an exact global count.
+    * The sketch's candidate SET is engine/partitioning-specific, but
+    * its guarantee is not: every item with frequency > support·n must
+    * appear in the candidates. The driver rows are the TRUE heavy
+    * hitters (exact counts, which the DuckDB oracle reproduces) each
+    * flagged `in_sketch` — so a sketch that drops a guaranteed heavy
+    * hitter FAILS the hash compare. Range-checked, not rows-only;
+    * false-positive candidates are legal per the MG contract and
+    * intentionally unchecked.
     */
-  def freqItems(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(spark, dir)
-      .select(col("event_type"), col("user_id"))
-      .stat
-      .freqItems(Array("event_type"), 0.1)
-      .select(explode(col("event_type_freqItems")).as("frequent_event_type"))
+  def freqItems(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"))
+    val cand = ev.stat.freqItems(Array("event_type"), 0.1)
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_events") > col("n_total").cast("double") * 0.1)
+      .crossJoin(broadcast(cand))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        array_contains(col("event_type_freqItems"), col("event_type")).cast("int").as("in_sketch"))
+  }
 
   /** #41 Moment statistics per group: stddev/variance/correlation/
     * covariance of lineitem quantity vs price — single partial-agg

@@ -152,22 +152,59 @@ object Scale {
         col("filled_value"))
   }
 
-  /** #46 Approximate percentiles (KLL-style sketch in Spark): the
-    * constant-memory quantile path a 100 TB pipeline actually runs;
-    * rows-only (sketch outputs are engine-specific).
+  /** #46 Approximate percentiles (GK/KLL-style sketch in Spark): the
+    * constant-memory quantile path a 100 TB pipeline actually runs.
+    * The sketch's returned VALUES are engine-specific, but its error
+    * contract is not: at accuracy `a`, the returned element's RANK must
+    * sit within n/a of the target rank p·n. The driver row asserts
+    * exactly that — one broadcast join of the 3-row estimate table
+    * back onto lineitem counts each estimate's lt/le ranks, and the
+    * `ok_*` flags check the target rank falls inside
+    * [lt − n/a − 1, le + n/a + 1] (le−lt spans ties; ±1 absorbs the
+    * boundary). The DuckDB oracle reproduces the group counts and
+    * all-1 flags, so a sketch whose rank error exceeds its contract
+    * FAILS the hash compare — a range check, not rows-only.
     */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val est = Tables
       .lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
-          .as("p"))
+        approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99)), lit(acc))
+          .as("p"),
+        count(lit(1)).as("n"))
       .select(
         col("l_returnflag"),
-        round(element_at(col("p"), 1), 2).as("p50"),
-        round(element_at(col("p"), 2), 2).as("p90"),
-        round(element_at(col("p"), 3), 2).as("p99"))
+        col("n"),
+        element_at(col("p"), 1).as("e50"),
+        element_at(col("p"), 2).as("e90"),
+        element_at(col("p"), 3).as("e99"))
+    def rankOk(le: Column, lt: Column, p: Double): Column = {
+      val tol = col("n").cast("double") / acc + 1.0
+      val target = col("n").cast("double") * p
+      (lt.cast("double") - tol <= target && target <= le.cast("double") + tol).cast("int")
+    }
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(est), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        first(col("n")).as("n"),
+        sum((col("l_extendedprice") <= col("e50")).cast("long")).as("le50"),
+        sum((col("l_extendedprice") < col("e50")).cast("long")).as("lt50"),
+        sum((col("l_extendedprice") <= col("e90")).cast("long")).as("le90"),
+        sum((col("l_extendedprice") < col("e90")).cast("long")).as("lt90"),
+        sum((col("l_extendedprice") <= col("e99")).cast("long")).as("le99"),
+        sum((col("l_extendedprice") < col("e99")).cast("long")).as("lt99"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        rankOk(col("le50"), col("lt50"), 0.5).as("ok50"),
+        rankOk(col("le90"), col("lt90"), 0.9).as("ok90"),
+        rankOk(col("le99"), col("lt99"), 0.99).as("ok99"))
+  }
 
   /** #82 Per-group winsorization: clamp `value` to its event_type's
     * exact [p05, p95] interpolated percentiles — the standard outlier

@@ -36,6 +36,12 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(p.filter(col("p50_acctbal") > col("p90_acctbal")).count() == 0)
   }
 
+  test("freq items: every true heavy hitter appears in the sketch's candidates") {
+    val f = AnalyticsExt.freqItems(spark, sf)
+    assert(f.count() == 5)
+    assert(f.filter(col("in_sketch") =!= 1).count() == 0)
+  }
+
   test("cube totals: grand total row equals table count") {
     val c = AnalyticsExt.cubeOrders(spark, sf)
     val grand = c

@@ -33,6 +33,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("approx distinct: HLL estimate within 3x rsd of exact for every group") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.approxDistinct(spark, sf)
+    assert(df.count() == 5)
+    assert(df.filter(col("within_3rsd") =!= 1).count() == 0)
+  }
+
   test("top-n per group emits exactly <=3 rows per brand, rank contiguous") {
     import org.apache.spark.sql.functions._
     val df = Analytics.topPartsPerBrand(spark, sf).cache()
