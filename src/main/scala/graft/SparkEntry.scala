@@ -151,6 +151,8 @@ object SparkEntry {
     // Product quantization (§2 #120-121)
     "ann_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "ann_pq_search" -> ((s: SparkSession, d: String) => Similarity.pqSearch(s, d)),
+    // OPQ rotation ahead of PQ (§2 #142)
+    "ann_opq_search" -> ((s: SparkSession, d: String) => Similarity.opqSearch(s, d)),
     // Forward fill (§2 #122)
     "q_locf_fill" -> (Scale.locfFill _),
     // Data-quality constraint audit (§2 #123)
@@ -280,7 +282,109 @@ object SparkEntry {
     * any engine (see Similarity.quantE4). `af` is the final code
     * assignment under the round-2 codebook `c2`.
     */
-  private def pqCtes: String = {
+  /** Two-stage PQ ADC search replay body over a `pfx`-prefixed
+    * training CTE chain: query distance tables off the round-2
+    * codebook, ADC via code joins, top-100 shortlist, exact
+    * integer-L2 re-rank; final CTE `${pfx}res` holds the top-10.
+    */
+  private def pqSearchBody(pfx: String): String =
+    s"""${pfx}qsub AS (SELECT vec_id AS query_id, s, sv FROM ${pfx}sub WHERE vec_id < 10),
+         ${pfx}dt AS (
+           SELECT u.query_id, u.s, c.code,
+             CAST(list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i])
+                             for i in generate_series(1, 16) ]) AS BIGINT) AS d
+           FROM ${pfx}qsub u JOIN ${pfx}c2 c USING (s)),
+         ${pfx}adc AS (
+           SELECT dt.query_id, af.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_e8
+           FROM ${pfx}af af JOIN ${pfx}dt dt ON af.s = dt.s AND af.code = dt.code
+           GROUP BY dt.query_id, af.vec_id),
+         ${pfx}cand AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_e8, vec_id) AS crank
+             FROM ${pfx}adc WHERE vec_id <> query_id)
+           WHERE crank <= 100),
+         ${pfx}ex AS (
+           SELECT c.query_id, c.vec_id,
+             CAST(list_sum([ (e.eq[i] - q.eq[i]) * (e.eq[i] - q.eq[i])
+                             for i in generate_series(1, 64) ]) AS BIGINT) AS dist_e8
+           FROM ${pfx}cand c JOIN ${pfx}eq e ON e.vec_id = c.vec_id
+                       JOIN ${pfx}eq q ON q.vec_id = c.query_id),
+         ${pfx}res AS (
+           SELECT query_id, vec_id, dist_e8, rank FROM (
+             SELECT query_id, vec_id, dist_e8,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
+             FROM ${pfx}ex)
+           WHERE rank <= 10)"""
+
+  private def pqSearchOracle(ctes: String): String =
+    s"""WITH $ctes,
+         ${pqSearchBody("")}
+         SELECT query_id, vec_id, dist_e8, rank FROM res"""
+
+  private def plainEqList: String =
+    """[CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+           for i in generate_series(1, 64)]"""
+
+  private def pqCtes: String = pqCtesWith(plainEqList)
+
+  /** A rotated-quantized list for one OPQ candidate: slot j reads dim
+    * perm(j) with sign(j) — the SAME Scala-computed constants the
+    * Spark expression inlines, so both engines evaluate a
+    * literal-identical float op per element.
+    */
+  private def opqEqList(salt: Int): String = {
+    val (perm, sign) = graft.operators.Similarity.opqPermSign(salt)
+    (0 until 64)
+      .map { j =>
+        val p = perm(j) + 1
+        val sgn = if (sign(j) > 0) "1.0" else "-1.0"
+        s"CAST(floor(CAST(embedding[$p] AS DOUBLE) * $sgn * 10000.0 + 0.5) AS BIGINT)"
+      }
+      .mkString("[", ", ", "]")
+  }
+
+  /** The OPQ rotation-selection replay: train + search under every
+    * candidate (identity first, then the fixed salts), count each
+    * candidate's recall hits against the brute-force exact-L2 truth,
+    * and emit the winner's rows — `ORDER BY hits DESC, tag` replays
+    * Spark's first-max-wins argmax (identity wins ties).
+    */
+  private def opqSearchOracle: String = {
+    val salts = graft.operators.Similarity.OpqSalts
+    val tags = "i" +: salts.indices.map(k => ('a' + k).toChar.toString)
+    val eqs = plainEqList +: salts.map(opqEqList)
+    val chains = tags.zip(eqs).map { case (t, eq) =>
+      s"${pqCtesWith(eq, s"${t}_")}, ${pqSearchBody(s"${t}_")}"
+    }
+    val scores = tags.zipWithIndex
+      .map { case (t, k) =>
+        s"""SELECT '${k}_$t' AS tag, (SELECT count(*) FROM ${t}_res r
+             JOIN truth t ON r.query_id = t.query_id AND r.vec_id = t.vec_id) AS c"""
+      }
+      .mkString(" UNION ALL ")
+    val pick = tags.zipWithIndex
+      .map { case (t, k) =>
+        s"""SELECT query_id, vec_id, dist_e8, rank FROM ${t}_res
+            WHERE (SELECT tag FROM win) = '${k}_$t'"""
+      }
+      .mkString(" UNION ALL ")
+    s"""WITH ${chains.mkString(",\n")},
+        truth AS (SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_sum([ (e.eq[i] - q.eq[i]) * (e.eq[i] - q.eq[i])
+                                  for i in generate_series(1, 64) ]), e.vec_id) AS rn
+          FROM i_eq e JOIN i_eq q ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE rn <= 10),
+        sc AS ($scores),
+        win AS (SELECT tag FROM sc ORDER BY c DESC, tag LIMIT 1)
+        $pick"""
+  }
+
+  private def pqCtesWith(eqList: String, pfx: String = ""): String = {
     val meanTerms = (1 to graft.operators.Similarity.PqSubDim)
       .map(i => s"CAST(floor(avg(sv[$i]) + 0.5) AS BIGINT)")
       .mkString(", ")
@@ -292,23 +396,21 @@ object SparkEntry {
               CAST($distList AS BIGINT) AS dist,
               row_number() OVER (PARTITION BY u.vec_id, u.s
                 ORDER BY $distList, c.code) AS rn
-            FROM sub u JOIN $cents c USING (s)) WHERE rn = 1)"""
+            FROM ${pfx}sub u JOIN $cents c USING (s)) WHERE rn = 1)"""
     def means(asg: String, out: String) =
       s"$out AS (SELECT s, code, [$meanTerms] AS cw FROM $asg GROUP BY s, code)"
-    s"""eq AS (SELECT vec_id,
-          [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
-           for i in generate_series(1, 64)] AS eq
+    s"""${pfx}eq AS (SELECT vec_id, $eqList AS eq
         FROM embeddings),
-      sub AS (SELECT vec_id, CAST(r.s AS INT) AS s, eq[(r.s*16+1):(r.s*16+16)] AS sv
-              FROM eq, (SELECT unnest(range(0, 4)) AS s) r),
-      s0 AS (SELECT s,
+      ${pfx}sub AS (SELECT vec_id, CAST(r.s AS INT) AS s, eq[(r.s*16+1):(r.s*16+16)] AS sv
+              FROM ${pfx}eq, (SELECT unnest(range(0, 4)) AS s) r),
+      ${pfx}s0 AS (SELECT s,
                CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code,
                sv AS cw
-             FROM sub
+             FROM ${pfx}sub
              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-      ${assign("s0", "a1")}, ${means("a1", "c1")},
-      ${assign("c1", "a2")}, ${means("a2", "c2")},
-      ${assign("c2", "af")}"""
+      ${assign(s"${pfx}s0", s"${pfx}a1")}, ${means(s"${pfx}a1", s"${pfx}c1")},
+      ${assign(s"${pfx}c1", s"${pfx}a2")}, ${means(s"${pfx}a2", s"${pfx}c2")},
+      ${assign(s"${pfx}c2", s"${pfx}af")}"""
   }
 
   /** Two-stage projected-search replay, shared by `ann_project_search`
@@ -1967,37 +2069,8 @@ object SparkEntry {
          SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
            dist AS dist_e8
          FROM af""",
-    "ann_pq_search" ->
-      s"""WITH $pqCtes,
-         qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 10),
-         dt AS (
-           SELECT u.query_id, u.s, c.code,
-             CAST(list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i])
-                             for i in generate_series(1, 16) ]) AS BIGINT) AS d
-           FROM qsub u JOIN c2 c USING (s)),
-         adc AS (
-           SELECT dt.query_id, af.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_e8
-           FROM af JOIN dt ON af.s = dt.s AND af.code = dt.code
-           GROUP BY dt.query_id, af.vec_id),
-         cand AS (
-           SELECT query_id, vec_id FROM (
-             SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_e8, vec_id) AS crank
-             FROM adc WHERE vec_id <> query_id)
-           WHERE crank <= 100),
-         ex AS (
-           SELECT c.query_id, c.vec_id,
-             CAST(list_sum([ (e.eq[i] - q.eq[i]) * (e.eq[i] - q.eq[i])
-                             for i in generate_series(1, 64) ]) AS BIGINT) AS dist_e8
-           FROM cand c JOIN eq e ON e.vec_id = c.vec_id
-                       JOIN eq q ON q.vec_id = c.query_id)
-         SELECT query_id, vec_id, dist_e8, rank FROM (
-           SELECT query_id, vec_id, dist_e8,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY dist_e8, vec_id) AS BIGINT) AS rank
-           FROM ex)
-         WHERE rank <= 10""",
+    "ann_pq_search" -> pqSearchOracle(pqCtes),
+    "ann_opq_search" -> opqSearchOracle,
     "q_locf_fill" ->
       """WITH ev AS (
            SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value

@@ -55,6 +55,15 @@ class PqSpec extends SparkSpec {
         Window.partitionBy("query_id").orderBy("rank")))
       .filter(col("prev").isNotNull && col("prev") > col("dist_e8"))
     assert(mono.count() == 0)
+
+    // OPQ: the signed-permutation rotation is orthogonal, so the same
+    // brute-force truth applies (L2 is rotation-invariant up to the
+    // e4 grid); rotated codes must not LOSE recall vs plain PQ
+    val o = Similarity.opqSearch(spark, sf).cache()
+    assert(o.groupBy("query_id").count().filter(col("count") =!= 10).count() == 0)
+    val oHit = o.select("query_id", "vec_id").intersect(truth).count().toDouble
+    val oRecall = oHit / truth.count()
+    assert(oRecall >= recall, s"OPQ recall@10 $oRecall below plain PQ $recall")
   }
 
   test("ivfadc: residual PQ in probed cells recovers most exact-L2 neighbors") {
@@ -86,16 +95,31 @@ class PqSpec extends SparkSpec {
     val indexed = Similarity.ivfAdcViaIndex(spark, sf).cache()
     assert(indexed.exceptAll(inline).count() == 0)
     assert(inline.exceptAll(indexed).count() == 0)
-    // the at-rest index is the integer 5 B/vector payload: codes table
-    // carries ONLY (vec_id, cell, s, code)
-    val p = s"/tmp/graft_ivfadc_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val codes = spark.read.parquet(s"$p/codes")
-    assert(codes.columns.sorted.toSeq == Seq("cell", "code", "s", "vec_id"))
-    assert(codes.count() == Tables.embeddings(spark, sf).count() * Similarity.PqM)
-    // the search plan reads the codes table; the full embedding column
-    // appears only in the query-side and re-rank scans (vec_id-filtered
-    // or survivor-joined), never in an unfiltered coarse corpus scan
-    val plan = indexed.queryExecution.executedPlan.toString
-    assert(plan.contains("codes"), s"indexed search does not scan the codes table:\n$plan")
+    // build to an explicit path to inspect the at-rest payload — the
+    // driver-facing ivfAdcViaIndex now cleans up its per-run scratch
+    // dir, so the index is re-materialized here for inspection
+    val p = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    try {
+      Similarity.buildIvfAdcIndex(spark, sf, p)
+      // the at-rest index is the integer 5 B/vector payload: codes
+      // table carries ONLY (vec_id, cell, s, code)
+      val codes = spark.read.parquet(s"$p/codes")
+      assert(codes.columns.sorted.toSeq == Seq("cell", "code", "s", "vec_id"))
+      assert(codes.count() == Tables.embeddings(spark, sf).count() * Similarity.PqM)
+      // the search plan reads the codes table; the full embedding column
+      // appears only in the query-side and re-rank scans (vec_id-filtered
+      // or survivor-joined), never in an unfiltered coarse corpus scan
+      val viaIdx = Similarity.ivfAdcSearchIndexed(spark, sf, p)
+      val plan = viaIdx.queryExecution.executedPlan.toString
+      assert(plan.contains("codes"), s"indexed search does not scan the codes table:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(p))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }
