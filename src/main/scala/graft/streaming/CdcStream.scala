@@ -271,4 +271,41 @@ object CdcStream {
         col("user_id"),
         col("n_changes"),
         col("total_value"))
+
+  /** #143 Watermarked stream-stream interval join: right-side events
+    * within `[left.t, left.t + horizon]` of a same-key left event —
+    * the streaming attribution shape (touchpoint ↔ conversion,
+    * INSERT ↔ DELETE audit, order ↔ shipment). Both sides declare a
+    * `delay` watermark and the join predicate time-bounds BOTH
+    * directions, which is exactly what lets the engine EXPIRE state:
+    * a buffered left row can stop waiting once the right watermark
+    * passes `t + horizon`, and vice versa — without the interval
+    * bound, stream-stream join state grows forever. Inputs are
+    * (key, id, t)-shaped frames; output carries both ids, the key,
+    * and both event times. `StreamingOpsSpec` pins streamed ≡ batch
+    * on the same inputs (the #84/#108 discipline).
+    *
+    * Scale: state is horizon × per-key arrival rate per side —
+    * independent of stream length; the join itself is the standard
+    * symmetric hash exchange on `key`, linear per micro-batch.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      horizon: String = "1 hour",
+      delay: String = "1 hour"): DataFrame =
+    left
+      .select(col("key").as("l_key"), col("id").as("l_id"), col("t").as("l_t"))
+      .withWatermark("l_t", delay)
+      .join(
+        right
+          .select(col("key").as("r_key"), col("id").as("r_id"), col("t").as("r_t"))
+          .withWatermark("r_t", delay),
+        expr(s"l_key = r_key AND r_t >= l_t AND r_t <= l_t + interval $horizon"))
+      .select(
+        col("l_key").as("key"),
+        col("l_id"),
+        col("r_id"),
+        col("l_t"),
+        col("r_t"))
 }

@@ -116,40 +116,34 @@ class StreamingOpsSpec extends SparkSpec {
     withTempDir { inDir =>
       Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
 
-      def side(op: String) = CdcStream
-        .readChangelog(spark, inDir)
+      // DELETEs within 1h after an INSERT of the same key — the
+      // first-class operator, driven streaming and batch alike
+      def side(df: org.apache.spark.sql.DataFrame, op: String) = df
         .filter(col("op") === op)
-        .withColumn("t", timestamp_micros(col("ts")))
+        .select(
+          col("user_id").as("key"),
+          col("event_id").as("id"),
+          timestamp_micros(col("ts")).as("t"))
+      def attributed(src: org.apache.spark.sql.DataFrame) =
+        CdcStream.intervalJoin(side(src, "INSERT"), side(src, "DELETE"))
 
-      // DELETEs within 1h after an INSERT of the same key
-      val ins = side("INSERT").select(
-        col("user_id").as("i_user"), col("event_id").as("i_id"), col("t").as("i_t"))
-        .withWatermark("i_t", "1 hour")
-      val del = side("DELETE").select(
-        col("user_id").as("d_user"), col("event_id").as("d_id"), col("t").as("d_t"))
-        .withWatermark("d_t", "1 hour")
-      val joined = ins.join(
-        del,
-        expr("i_user = d_user AND d_t >= i_t AND d_t <= i_t + interval 1 hour"))
-
-      val q = joined.writeStream
+      val stream = CdcStream.readChangelog(spark, inDir).toDF()
+      val q = attributed(stream).writeStream
         .format("memory")
         .queryName("stream_join")
         .outputMode("append")
         .start()
       try {
         q.processAllAvailable()
-        val batch = {
-          val c = Cdc.classify(spark, sf).withColumn("t", timestamp_micros(col("ts")))
-          val bi = c.filter(col("op") === "INSERT").select(
-            col("user_id").as("i_user"), col("event_id").as("i_id"), col("t").as("i_t"))
-          val bd = c.filter(col("op") === "DELETE").select(
-            col("user_id").as("d_user"), col("event_id").as("d_id"), col("t").as("d_t"))
-          bi.join(bd, expr("i_user = d_user AND d_t >= i_t AND d_t <= i_t + interval 1 hour"))
-        }
+        val batch = attributed(Cdc.classify(spark, sf))
         val streamed = spark.table("stream_join")
         assert(streamed.count() == batch.count())
         assert(streamed.exceptAll(batch).count() == 0)
+        assert(batch.exceptAll(streamed).count() == 0)
+        // the streaming plan really holds watermarked symmetric join
+        // state (not a static-static join)
+        val ops = q.lastProgress.stateOperators.map(_.operatorName.toLowerCase)
+        assert(ops.exists(_.contains("join")), s"state operators: ${ops.mkString(",")}")
       } finally q.stop()
     }
   }
