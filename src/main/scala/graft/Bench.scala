@@ -77,9 +77,11 @@ object Bench {
       if (!Files.exists(p)) Map.empty
       else {
         val Row = """\|\s*(\S+)\s*\|\s*([0-9.]+)\s*\|""".r
-        scala.io.Source
-          .fromFile(p.toFile)
-          .getLines()
+        // explicit UTF-8: the forked JVM's default charset may be
+        // POSIX/ASCII and the file contains multibyte prose
+        Files
+          .readString(p, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator
           .collect { case Row(n, s) => n -> s.toDouble }
           .toMap
       }
