@@ -71,6 +71,7 @@ object SparkEntry {
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
     "q_winsorize" -> (Scale.winsorize _),
     "q_zorder_stats" -> ((s: SparkSession, d: String) => Scale.zorderStats(s, d)),
+    "q_bloom_join" -> ((s: SparkSession, d: String) => Scale.bloomJoin(s, d)),
     // Sampling (§2 #54-56)
     "q_split_assign" -> (Sampling.splitAssign _),
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
@@ -591,6 +592,16 @@ object SparkEntry {
     // specific, so each emits exact values the oracle reproduces plus
     // a flag asserting the sketch's error contract — the oracle's
     // constant-1 flags make an out-of-bounds sketch a hash FAIL.
+    // Bloom join pruning (#144): the bloom filter admits false
+    // positives only, so the pruned-then-joined result is
+    // bit-identical to the plain join — the oracle IS the plain join.
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderpriority""",
     "q_approx_distinct" ->
       """SELECT event_type, count(*) AS n_events,
            count(DISTINCT user_id) AS n_users_exact,

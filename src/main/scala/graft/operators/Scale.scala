@@ -321,6 +321,120 @@ object Scale {
           .as("skew_ratio"))
   }
 
+  /** #144 Bloom-filter join pruning (the runtime-filter / semi-join
+    * reduction every 100 TB fact↔dim join wants): build a Bloom
+    * filter over the dim side's join keys, broadcast its bit array
+    * (2^bitsLog2 bits — KBs, vs a dim too large to broadcast whole),
+    * and drop fact rows that cannot possibly join BEFORE the shuffle.
+    * Bloom filters admit false POSITIVES only, so the subsequent real
+    * join removes them and the result is bit-identical to the plain
+    * join — which is exactly what makes the oracle trivial (plain SQL
+    * join) while the PLAN changes: the fact side shuffles ~selectivity
+    * of its rows instead of all of them.
+    *
+    * Construction is pure codegen'd expressions, no UDF and no custom
+    * Catalyst node: k salted hash60 positions per key; the build side
+    * bit-ORs per-word masks (one tiny shuffle over ≤ m/64 words) and
+    * assembles the dense word array in one row; the probe side tests
+    * all k bits against the broadcast array. With m/n ≈ 16 bits/key
+    * and k=3 the false-positive rate is well under 1% — `BloomSpec`
+    * measures the pass-rate against true selectivity and pins the
+    * no-false-negative guarantee.
+    */
+  private def bloomPosition(i: Int, key: Column, m: Long): Column =
+    pmod(Dedup.hash60(concat(lit(s"graft-bloom-$i:"), key)), lit(m))
+
+  /** Build the Bloom bit array over `keys` (a one-column frame): one
+    * tiny shuffle over ≤ m/64 words, assembled into a single dense
+    * long-array row (broadcast-sized at any dim cardinality).
+    */
+  private[graft] def bloomBits(keys: DataFrame, bitsLog2: Int, k: Int): DataFrame = {
+    val m = 1L << bitsLog2
+    val nWords = (m / 64).toInt
+    val key = col(keys.columns.head)
+    keys
+      .select(explode(array((1 to k).map(i => bloomPosition(i, key, m)): _*)).as("pos"))
+      .select(
+        expr("pos div 64").as("word"),
+        expr("CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)").as("mask"))
+      .groupBy("word")
+      .agg(expr("bit_or(mask)").as("w"))
+      .agg(expr("map_from_entries(collect_list(struct(word, w)))").as("wm"))
+      .select(
+        expr(s"transform(sequence(0, ${nWords - 1}), i -> " +
+          "coalesce(element_at(wm, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))").as("bloom"))
+  }
+
+  /** Keep only `df` rows whose `keyCol` might be in the filter: k
+    * codegen'd bit tests against the broadcast array — false
+    * positives possible (the real join removes them), false negatives
+    * impossible.
+    */
+  private[graft] def bloomProbe(
+      df: DataFrame,
+      keyCol: String,
+      bits: DataFrame,
+      bitsLog2: Int,
+      k: Int): DataFrame = {
+    val m = 1L << bitsLog2
+    var probed = df.crossJoin(broadcast(bits))
+    (1 to k).foreach { i =>
+      probed = probed.withColumn(s"_p$i", bloomPosition(i, col(keyCol), m))
+    }
+    val mightContain = (1 to k)
+      .map(i =>
+        expr(s"(element_at(bloom, CAST(_p$i div 64 AS INT) + 1) & " +
+          s"(CAST(1 AS BIGINT) << CAST(_p$i % 64 AS INT))) != 0"))
+      .reduce(_ && _)
+    probed.filter(mightContain).drop("bloom").drop((1 to k).map(i => s"_p$i"): _*)
+  }
+
+  private def bloomDim(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+
+  def bloomJoin(
+      spark: SparkSession,
+      dir: String,
+      bitsLog2: Int = 14,
+      k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dim = bloomDim(spark, dir)
+    val pruned = bloomProbe(
+      Tables
+        .orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice")),
+      "o_custkey",
+      bloomBits(dim, bitsLog2, k),
+      bitsLog2,
+      k)
+    pruned
+      .join(dim, pruned("o_custkey") === dim("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("revenue_cents"))
+  }
+
+  /** The pruned fact frame alone (pre-join), for the spec's pass-rate
+    * and no-false-negative measurements.
+    */
+  private[graft] def bloomPrunedFact(
+      spark: SparkSession,
+      dir: String,
+      bitsLog2: Int = 14,
+      k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    bloomProbe(
+      Tables.orders(spark, dir).select(col("o_custkey")),
+      "o_custkey",
+      bloomBits(bloomDim(spark, dir), bitsLog2, k),
+      bitsLog2,
+      k)
+  }
+
   private[operators] def morton(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     (0 until 8)
       .map { i =>
