@@ -27,6 +27,12 @@ case class ChangeT(
     value: Double,
     ts_us: java.sql.Timestamp)
 
+/** One Misra-Gries slot-table emission: the shard's candidate items
+  * with their (under-)counts, stamped with a per-shard version so a
+  * reader takes the latest emission per shard.
+  */
+case class MgEmit(shard: Int, version: Long, items: Map[String, Long])
+
 /** A closed (or, at stream end, still-open) SCD2 version row. */
 case class Scd2Row(
     user_id: Long,
@@ -271,6 +277,45 @@ object CdcStream {
         col("user_id"),
         col("n_changes"),
         col("total_value"))
+
+  /** #145 Streaming heavy hitters: sharded Misra-Gries slot tables
+    * maintained in `mapGroupsWithState` — the streaming analog of #59
+    * (`stat.freqItems`) with MEMORY BOUNDED BY `slots`, not by item
+    * cardinality, and state sharded by item hash so no single task
+    * owns the table. Each item lives in exactly ONE shard, so an item
+    * heavy in the whole stream is at least as heavy relative to its
+    * shard — the per-shard MG guarantee (any item with shard count >
+    * n_shard/(slots+1) survives, and its counter undercounts by at
+    * most n_shard/(slots+1)) therefore lifts to the global support
+    * contract, exactly how mergeable-summary systems shard MG.
+    * Emissions carry a per-shard version; readers take the latest.
+    */
+  def streamingHeavyHitters(
+      changes: Dataset[Change],
+      slots: Int = 2,
+      nShards: Int = 2): Dataset[MgEmit] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(c => math.floorMod(c.op.hashCode, nShards))
+      .mapGroupsWithState[MgEmit, MgEmit](GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[Change], state: GroupState[MgEmit]) =>
+          var table = state.getOption.map(_.items).getOrElse(Map.empty[String, Long])
+          rows.foreach { c =>
+            val item = c.op
+            if (table.contains(item)) table = table.updated(item, table(item) + 1)
+            else if (table.size < slots) table = table.updated(item, 1L)
+            else {
+              // the MG decrement: charge one count to every slot AND
+              // the arriving item (its implicit counter drops 0 → -1,
+              // i.e. it is not inserted); empty slots free up
+              table = table.map { case (k, v) => k -> (v - 1) }.filter(_._2 > 0)
+            }
+          }
+          val next = MgEmit(shard, state.getOption.map(_.version).getOrElse(0L) + 1, table)
+          state.update(next)
+          next
+      }
+  }
 
   /** #143 Watermarked stream-stream interval join: right-side events
     * within `[left.t, left.t + horizon]` of a same-key left event —

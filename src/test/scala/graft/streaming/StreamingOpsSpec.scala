@@ -112,6 +112,67 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters: sharded Misra-Gries honors the MG guarantee across batches") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      val (slots, nShards) = (2, 2)
+      // wave 1: the first half of the changelog
+      changes.filter(col("event_id") % 2 === 0).write.mode("append").parquet(inDir)
+
+      val q = CdcStream
+        .streamingHeavyHitters(CdcStream.readChangelog(spark, inDir), slots, nShards)
+        .writeStream
+        .format("memory")
+        .queryName("stream_mg")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        // wave 2: the rest, in a later batch — state must carry over
+        changes.filter(col("event_id") % 2 === 1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+
+        // latest emission per shard
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("shard").orderBy(col("version").desc)
+        val latest = spark
+          .table("stream_mg")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("shard"), explode(col("items")).as(Seq("item", "mg_count")))
+          .cache()
+
+        // the self-computing MG contract per shard: exact counts from
+        // the batch view, threshold = n_shard/(slots+1); sharding
+        // replicated driver-side over the known ops (same
+        // String.hashCode the stream keys on)
+        val ops = changes.select("op").distinct().collect().map(_.getString(0))
+        val shardOf = ops.map(o => o -> math.floorMod(o.hashCode, nShards)).toMap
+        val counts = changes.groupBy("op").count().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val byShard = counts.groupBy { case (op, _) => shardOf(op) }
+        byShard.foreach { case (shard, items) =>
+          val nShard = items.map(_._2).sum
+          val threshold = nShard.toDouble / (slots + 1)
+          val streamed = latest
+            .filter(col("shard") === shard)
+            .collect()
+            .map(r => r.getString(1) -> r.getLong(2))
+            .toMap
+          items.foreach { case (op, exactCount) =>
+            if (exactCount > threshold)
+              assert(streamed.contains(op), s"MG dropped guaranteed-heavy '$op' in shard $shard")
+            streamed.get(op).foreach { mg =>
+              assert(mg <= exactCount, s"MG overcounts '$op': $mg > $exactCount")
+              assert(exactCount - mg <= threshold + 1,
+                s"MG undercount of '$op' exceeds bound: $exactCount - $mg > $threshold")
+            }
+          }
+        }
+      } finally q.stop()
+    }
+  }
+
   test("watermarked stream-stream interval join matches the batch join") {
     withTempDir { inDir =>
       Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
