@@ -100,6 +100,8 @@ object SparkEntry {
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
+    // LSH-DBSCAN density clustering (§2 #146)
+    "ann_dbscan" -> ((s: SparkSession, d: String) => Similarity.dbscan(s, d)),
     "ann_centroid_assign" -> (Similarity.centroidAssign _),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     // Text analysis (§2 #30-32)
@@ -1644,6 +1646,78 @@ object SparkEntry {
                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
             FROM scored)
           WHERE rank <= 10"""
+    },
+    "ann_dbscan" -> {
+      // full replay: planted-density corpus (family anti-jitter pairs
+      // + sub-threshold pairs, identical float arithmetic), multiprobe
+      // LSH candidate edges, 4dp cosine eps, degrees, roles, and the
+      // three unrolled core-core min-label rounds
+      def jit(sign: String, offset: Long, mod: Int) =
+        s"""SELECT vec_id + $offset AS vec_id,
+              [CAST(embedding[i] * (1.0 $sign ${graft.operators.Similarity.DbscanAmp} *
+                    ((((i-1) % 11) - 5) / 5.0)) AS FLOAT)
+               for i in generate_series(1, 64)] AS embedding
+            FROM embeddings WHERE vec_id % 10 = $mod"""
+      def lround(prev: String, out: String) =
+        s"""$out AS MATERIALIZED (
+              SELECT l.vec_id,
+                least(min(l.label), coalesce(min(n.label), min(l.label))) AS label
+              FROM $prev l
+              LEFT JOIN ce ON ce.vec_a = l.vec_id
+              LEFT JOIN $prev n ON n.vec_id = ce.vec_b
+              GROUP BY l.vec_id)"""
+      s"""WITH corpus AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL ${jit("+", 1000000L, 0)}
+            UNION ALL ${jit("-", 2000000L, 0)}
+            UNION ALL ${jit("+", 3000000L, 5)}),
+          ${lshBucketsCte("corpus", "SELECT (count(*) * 13) // 10 FROM embeddings")},
+          pb AS MATERIALIZED (
+            SELECT vec_id, t,
+              unnest(list_prepend(bucket,
+                [xor(bucket, 1::BIGINT << p) for p in range(0, bits)])) AS bucket
+            FROM bk, params),
+          cand AS MATERIALIZED (
+            SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+            FROM bk a JOIN pb c ON a.t = c.t AND a.bucket = c.bucket
+            WHERE a.vec_id < c.vec_id),
+          ed AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM (
+              SELECT cand.vec_a, cand.vec_b,
+                round(list_cosine_similarity(
+                  ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]), 4) AS cos
+              FROM cand JOIN corpus ca ON ca.vec_id = cand.vec_a
+                        JOIN corpus cb ON cb.vec_id = cand.vec_b)
+            WHERE cos >= ${graft.operators.Similarity.DbscanEps}),
+          sym AS MATERIALIZED (SELECT vec_a, vec_b FROM ed
+                  UNION ALL SELECT vec_b, vec_a FROM ed),
+          dg AS MATERIALIZED (
+            SELECT c.vec_id, coalesce(d.degree, CAST(0 AS BIGINT)) AS degree
+            FROM corpus c LEFT JOIN (
+              SELECT vec_a AS vec_id, CAST(count(*) AS BIGINT) AS degree
+              FROM sym GROUP BY 1) d USING (vec_id)),
+          core AS MATERIALIZED (SELECT vec_id FROM dg WHERE degree >= 2),
+          ce AS MATERIALIZED (SELECT s.vec_a, s.vec_b FROM sym s
+                 JOIN core a ON s.vec_a = a.vec_id
+                 JOIN core b ON s.vec_b = b.vec_id),
+          l0 AS MATERIALIZED (SELECT vec_id, vec_id AS label FROM core),
+          ${lround("l0", "l1")}, ${lround("l1", "l2")}, ${lround("l2", "l3")},
+          bo AS MATERIALIZED (
+            SELECT s.vec_a AS vec_id, min(l.label) AS cluster_id
+            FROM sym s JOIN core c ON s.vec_b = c.vec_id
+                       JOIN l3 l ON l.vec_id = s.vec_b
+            WHERE s.vec_a NOT IN (SELECT vec_id FROM core)
+            GROUP BY s.vec_a)
+          SELECT dg.vec_id, 'core' AS role, l3.label AS cluster_id, dg.degree
+          FROM dg JOIN l3 ON l3.vec_id = dg.vec_id
+          UNION ALL
+          SELECT bo.vec_id, 'border', bo.cluster_id, dg.degree
+          FROM bo JOIN dg USING (vec_id)
+          UNION ALL
+          SELECT dg.vec_id, 'noise', CAST(-1 AS BIGINT), dg.degree
+          FROM dg
+          WHERE dg.vec_id NOT IN (SELECT vec_id FROM l3)
+            AND dg.vec_id NOT IN (SELECT vec_id FROM bo)"""
     },
     "dedup_embedding" -> {
       // planted perturbed corpus (same float arithmetic as the Spark

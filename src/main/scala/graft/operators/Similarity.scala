@@ -179,6 +179,120 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
+  // ------------------------------------------------------------------
+  // #146 Density clustering (DBSCAN over the LSH candidate graph):
+  // dense regions become clusters, sparse points become noise —
+  // the "find groups of near-identical content without choosing k"
+  // primitive (near-dup families, template farms, spam bursts).
+  // ------------------------------------------------------------------
+
+  /** DBSCAN geometry: eps is a 4dp cosine threshold; minPts counts
+    * neighbors EXCLUDING self. The planted corpus amplitude (0.12 on
+    * the ((i%11)-5)/5 pattern) calibrates family cosines ≥ 0.996 and
+    * anti-jittered sibling cosines ≤ 0.994 at every SF — so the eps
+    * boundary sits ≥ 1e-3 from every realized cosine and 4dp rounding
+    * can never flip a membership.
+    */
+  val DbscanEps = 0.995
+  val DbscanAmp = "0.12"
+
+  /** The planted-density corpus: every 10th vector spawns TWO
+    * anti-jittered copies (a dense family: base is within eps of both
+    * copies, but the copies — deviating in OPPOSITE directions — are
+    * NOT within eps of each other: base becomes core, copies become
+    * borders); every (10k+5)th spawns ONE copy (a pair below the
+    * density threshold: both ends noise). Base vectors are mutually
+    * far (max raw cosine ≈ 0.39), so families never merge.
+    */
+  private def dbscanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def jittered(pred: Column, offset: Long, sign: String) =
+      base
+        .filter(pred)
+        .select(
+          (col("vec_id") + offset).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> " +
+            s"CAST(x * (1.0 $sign $DbscanAmp * (((i % 11) - 5) / 5.0)) AS FLOAT))")
+            .as("embedding"))
+    base
+      .unionAll(jittered(col("vec_id") % 10 === 0, 1000000L, "+"))
+      .unionAll(jittered(col("vec_id") % 10 === 0, 2000000L, "-"))
+      .unionAll(jittered(col("vec_id") % 10 === 5, 3000000L, "+"))
+  }
+
+  /** #146 LSH-DBSCAN: density-based clustering where the neighbor
+    * relation is LSH-candidate ∧ cosine ≥ eps — the scale form: the
+    * candidate graph is bucket-bounded (multi-probe Hamming-1
+    * expansion for recall, the #60 knob), never all-pairs, so edge
+    * discovery is one equi-join at any corpus size. Roles follow
+    * textbook DBSCAN: core = degree ≥ minPts; border = non-core
+    * within eps of a core (labeled by its MINIMUM core neighbor's
+    * cluster — deterministic, unlike visit-order DBSCAN); noise =
+    * the rest. Core-core components resolve by THREE unrolled
+    * min-label rounds (fixed unroll ⇒ the DuckDB oracle replays each
+    * round as a CTE; the planted families are stars, which converge
+    * in one).
+    */
+  def dbscan(spark: SparkSession, dir: String, minPts: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = dbscanCorpus(spark, dir)
+    val bits = numPlanes((corpusSize(spark, dir) * 13L) / 10L)
+    val b = bandedBuckets(corpus, "embedding", bits)
+    val probes = (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+    val bProbe = b.withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
+    val left = b.select(
+      col("t"), col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val right = bProbe.select(
+      col("t"), col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val edges = left
+      .join(right, Seq("t", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .distinct()
+      .filter(col("cos") >= DbscanEps)
+      .select("vec_a", "vec_b")
+      .localCheckpoint(eager = false)
+    val sym = edges.unionAll(edges.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val deg = sym.groupBy(col("vec_a").as("vec_id")).agg(count(lit(1)).as("degree"))
+    val allDeg = corpus
+      .select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+    val core = allDeg.filter(col("degree") >= minPts).select(col("vec_id"))
+    val coreEdges = sym
+      .join(core.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+      .join(core.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+      .select("vec_a", "vec_b")
+    var labels = core.select(col("vec_id"), col("vec_id").as("label"))
+    for (_ <- 1 to 3) {
+      labels = labels
+        .join(coreEdges.withColumnRenamed("vec_a", "vec_id"), Seq("vec_id"), "left")
+        .join(
+          labels.select(col("vec_id").as("vec_b"), col("label").as("nb_label")),
+          Seq("vec_b"),
+          "left")
+        .groupBy("vec_id")
+        .agg(least(min("label"), coalesce(min("nb_label"), min("label"))).as("label"))
+    }
+    val coreOut = allDeg
+      .join(core, Seq("vec_id"), "left_semi")
+      .join(labels, "vec_id")
+      .select(col("vec_id"), lit("core").as("role"), col("label").as("cluster_id"), col("degree"))
+    val borderOut = sym
+      .join(core.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+      .join(labels.select(col("vec_id").as("vec_b"), col("label")), "vec_b")
+      .groupBy(col("vec_a").as("vec_id"))
+      .agg(min("label").as("cluster_id"))
+      .join(core, Seq("vec_id"), "left_anti")
+      .join(allDeg, "vec_id")
+      .select(col("vec_id"), lit("border").as("role"), col("cluster_id"), col("degree"))
+    val noiseOut = allDeg
+      .join(coreOut.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(borderOut.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("noise").as("role"), lit(-1L).as("cluster_id"), col("degree"))
+    coreOut.unionAll(borderOut).unionAll(noiseOut)
+  }
+
   /** #52 L2-normalize + int8 quantization: the memory path for ANN at
     * 100 TB (4× smaller vectors, SIMD-friendly int dot products).
     * Emits the per-vector scale so scores are recoverable; spec checks
