@@ -47,6 +47,7 @@ object SparkEntry {
     "q_funnel" -> (Analytics.funnel _),
     "q_anti_join" -> (Analytics.antiJoin _),
     "q_approx_distinct" -> (Analytics.approxDistinct _),
+    "q_cms_counts" -> ((s: SparkSession, d: String) => Analytics.cmsCounts(s, d)),
     "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_value_histogram" -> ((s: SparkSession, d: String) => Profile.valueHistogram(s, d)),
     // Extended warehouse ops (§2 #35-41)
@@ -609,6 +610,27 @@ object SparkEntry {
            count(DISTINCT user_id) AS n_users_exact,
            CAST(1 AS INTEGER) AS within_3rsd
          FROM events GROUP BY event_type""",
+    // Count-min sketch (#147): all-integer md5-parity hashes, so the
+    // oracle replays the ESTIMATE itself — counters, min-lookup,
+    // realized overcount — not just a contract flag.
+    "q_cms_counts" ->
+      """WITH ev AS (SELECT user_id FROM events),
+         pos AS MATERIALIZED (
+           SELECT user_id, d,
+             ('0x' || substr(md5('graft-cms-' || d || ':' || user_id), 1, 15))::BIGINT
+               % 256 AS b
+           FROM ev, range(3) r(d)),
+         counters AS MATERIALIZED (
+           SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY d, b),
+         exact AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM ev GROUP BY user_id),
+         est AS (
+           SELECT up.user_id, min(co.c) AS n_cms
+           FROM (SELECT DISTINCT user_id, d, b FROM pos) up
+           JOIN counters co USING (d, b)
+           GROUP BY up.user_id)
+         SELECT e.user_id, e.n_exact, s.n_cms, s.n_cms - e.n_exact AS overcount
+         FROM exact e JOIN est s USING (user_id)""",
     "q_approx_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
            CAST(1 AS INTEGER) AS ok50, CAST(1 AS INTEGER) AS ok90,

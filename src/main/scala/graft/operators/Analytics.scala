@@ -298,6 +298,52 @@ object Analytics {
         (abs(col("est") - col("n_users_exact")) <=
           col("n_users_exact").cast("double") * 0.06).cast("int").as("within_3rsd"))
 
+  /** #147 Count-min sketch (Cormode–Muthukrishnan 2005): per-key
+    * point-count estimates from a FIXED depth×width counter table —
+    * the constant-memory companion to the heavy-hitter sketch (#59):
+    * MG answers "which items are frequent", CMS answers "how often is
+    * THIS item", both in O(table) memory at any stream size. Build is
+    * one explode(depth) + one groupBy over (d, bucket) — a
+    * counter-table-sized shuffle, never keyed by item; the point query
+    * is min over the item's depth buckets (overestimates only —
+    * collisions add, never subtract, so `n_cms ≥ n_exact` is a hard
+    * invariant and `overcount` is the realized collision mass,
+    * E[overcount] ≤ n/width per row).
+    *
+    * Unlike HLL/KLL, every CMS operation is integer arithmetic over
+    * md5-parity hash positions — so the DuckDB oracle replays the
+    * ESTIMATE itself bit-exactly (counters, min-lookup, overcount),
+    * not just a contract flag: the strongest oracle form a sketch can
+    * have.
+    */
+  def cmsCounts(spark: SparkSession, dir: String, depth: Int = 3, width: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def bucket(d: Int): org.apache.spark.sql.Column =
+      pmod(
+        graft.operators.Dedup.hash60(concat(lit(s"graft-cms-$d:"), col("user_id"))),
+        lit(width.toLong))
+    val positions = ev.select(
+      col("user_id"),
+      explode(array((0 until depth).map(d =>
+        struct(lit(d.toLong).as("d"), bucket(d).as("b"))): _*)).as("e"))
+      .select(col("user_id"), col("e.d").as("d"), col("e.b").as("b"))
+    val counters = positions.groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val est = positions
+      .distinct()
+      .join(broadcast(counters), Seq("d", "b"))
+      .groupBy("user_id")
+      .agg(min("c").as("n_cms"))
+    exact
+      .join(est, "user_id")
+      .select(
+        col("user_id"),
+        col("n_exact"),
+        col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+  }
+
   /** #87 Cohort retention: users grouped by first-activity week, then
     * the fraction of each cohort still active N weeks later — the
     * standard product-analytics retention triangle. Two aggregations

@@ -40,6 +40,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.filter(col("within_3rsd") =!= 1).count() == 0)
   }
 
+  test("count-min sketch: never undercounts, total mass conserved, overcount bounded") {
+    import org.apache.spark.sql.functions._
+    val c = Analytics.cmsCounts(spark, sf).cache()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(c.count() == nUsers)
+    // exact side really is exact
+    assert(c.agg(sum("n_exact")).head.getLong(0) == nEvents)
+    // CMS hard invariant: estimates only ever overcount
+    assert(c.filter(col("n_cms") < col("n_exact")).count() == 0)
+    assert(c.filter(col("overcount") =!= col("n_cms") - col("n_exact")).count() == 0)
+    // realized collision mass stays near the E[overcount] <= n/width
+    // contract (width 256, depth 3 — generous 4x slack per row)
+    assert(c.filter(col("overcount") > lit(4.0) * nEvents / 256).count() == 0)
+  }
+
   test("top-n per group emits exactly <=3 rows per brand, rank contiguous") {
     import org.apache.spark.sql.functions._
     val df = Analytics.topPartsPerBrand(spark, sf).cache()
