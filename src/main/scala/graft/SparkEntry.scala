@@ -118,6 +118,8 @@ object SparkEntry {
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
     "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
+    // KMV/theta overlap sketch (§2 #148)
+    "text_kmv_overlap" -> ((s: SparkSession, d: String) => TextStats.kmvOverlap(s, d)),
     "dedup_fuzzy" -> (TextStats.fuzzyVerify _),
     // Multimodal (§2 #33-34, #53)
     "mm_manifest" -> (Multimodal.manifest _),
@@ -1046,6 +1048,46 @@ object SparkEntry {
            CAST((1.0 - CAST(n_uniq AS DOUBLE) / n_tri) > 0.2
                 OR (CAST(topc AS DOUBLE) / n_tok) > 0.2 AS INT) AS is_repetitive
          FROM base b JOIN top USING (doc_id)""",
+    // KMV overlap (#148): integer k-th-min thetas + integer-division
+    // estimators — the estimates replay bit-exactly beside the exact
+    // values they approximate.
+    "text_kmv_overlap" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([('0x' || substr(md5(s), 1, 15))::BIGINT for s in
+               CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                    ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END])
+             AS hs
+           FROM t),
+         e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         a AS MATERIALIZED (SELECT DISTINCT h FROM e WHERE doc_id % 97 <> 0),
+         b AS MATERIALIZED (SELECT DISTINCT h FROM e WHERE doc_id % 97 = 0),
+         ku AS MATERIALIZED (
+           SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+           ORDER BY h LIMIT 64),
+         vals AS (SELECT
+           (SELECT max(h) FROM (SELECT h FROM a ORDER BY h LIMIT 64)) AS theta_a,
+           (SELECT max(h) FROM (SELECT h FROM b ORDER BY h LIMIT 64)) AS theta_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM ku
+             WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS rho,
+           (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_distinct_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_distinct_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM a
+             WHERE h IN (SELECT h FROM b)) AS exact_overlap)
+         SELECT CAST(64 AS BIGINT) AS k, theta_a, theta_b,
+           CAST((1152921504606846976 // theta_a) * 63 AS BIGINT) AS est_distinct_a,
+           CAST((1152921504606846976 // theta_b) * 63 AS BIGINT) AS est_distinct_b,
+           exact_distinct_a, exact_distinct_b, rho,
+           CAST((rho * 10000) // 64 AS BIGINT) AS jaccard_est_bp,
+           exact_overlap,
+           CAST((exact_overlap * 10000) //
+                (exact_distinct_a + exact_distinct_b - exact_overlap) AS BIGINT)
+             AS jaccard_exact_bp
+         FROM vals""",
     "text_contamination" ->
       """WITH t AS (
            SELECT doc_id,

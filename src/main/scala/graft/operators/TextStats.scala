@@ -153,4 +153,62 @@ object TextStats {
         count(lit(1)).as("n_terms"),
         (sum("term_e6") / lit(1e6)).as("kl_bits"))
   }
+
+  /** #148 KMV (k-minimum-values / theta) overlap sketch: cross-corpus
+    * distinct-cardinality and Jaccard estimates from two k-row
+    * sketches — "how much does corpus B overlap corpus A" WITHOUT
+    * materializing either distinct set at the comparison site, the
+    * at-scale form of the #68 contamination question (there: exact
+    * membership; here: a 64-row summary per corpus that ships
+    * anywhere). Sketch = the k smallest distinct shingle hashes
+    * (TakeOrdered — no global sort); estimator: distinct(A) is
+    * approximately (k-1)·H/theta_A for hash space H = 2^60 and theta = k-th min;
+    * Jaccard is approximately rho/k over the union sketch (Beyer et al. 2007 /
+    * theta-sketch intersection). Every step — md5-parity hash60, k-th
+    * min, integer-division estimators, membership counts — is integer
+    * arithmetic, so the DuckDB oracle replays the ESTIMATES
+    * bit-exactly alongside the exact values they approximate
+    * (`TextStatsSpec` asserts the KMV error bounds hold).
+    */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables
+      .documents(spark, dir)
+      .withColumn("tok", Dedup.toks(col("text")))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(transform(Dedup.shingles(col("tok")), s => Dedup.hash60(s))))
+          .as("h"))
+    val a = e.filter(col("doc_id") % 97 =!= 0).select("h").distinct()
+    val b = e.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    def kmv(s: DataFrame) = s.orderBy("h").limit(k)
+    val u = a.unionAll(b).distinct()
+    val kmvU = kmv(u)
+    val row = kmv(a)
+      .agg(max("h").as("theta_a"))
+      .crossJoin(kmv(b).agg(max("h").as("theta_b")))
+      .crossJoin(
+        kmvU
+          .join(a, Seq("h"), "left_semi")
+          .join(b, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("rho")))
+      .crossJoin(a.agg(count(lit(1)).as("exact_distinct_a")))
+      .crossJoin(b.agg(count(lit(1)).as("exact_distinct_b")))
+      .crossJoin(a.join(b, Seq("h"), "left_semi").agg(count(lit(1)).as("exact_overlap")))
+    row.select(
+      lit(k.toLong).as("k"),
+      col("theta_a"),
+      col("theta_b"),
+      expr(s"CAST((1152921504606846976 div theta_a) * ${k - 1} AS BIGINT)")
+        .as("est_distinct_a"),
+      expr(s"CAST((1152921504606846976 div theta_b) * ${k - 1} AS BIGINT)")
+        .as("est_distinct_b"),
+      col("exact_distinct_a"),
+      col("exact_distinct_b"),
+      col("rho"),
+      expr(s"CAST((rho * 10000) div $k AS BIGINT)").as("jaccard_est_bp"),
+      col("exact_overlap"),
+      expr("CAST((exact_overlap * 10000) div (exact_distinct_a + exact_distinct_b - exact_overlap) AS BIGINT)")
+        .as("jaccard_exact_bp"))
+  }
 }

@@ -140,4 +140,20 @@ class TextStatsSpec extends SparkSpec {
     val minKl = d.agg(min("kl_bits")).head.getDouble(0)
     assert(minKl >= -0.001, s"KL below quantization floor: $minKl")
   }
+
+  test("kmv overlap: estimators inside their error bounds, sketch never lies about containment") {
+    import graft.operators.TextStats
+    val r = TextStats.kmvOverlap(spark, sf).head()
+    val (estA, exactA) = (r.getAs[Long]("est_distinct_a"), r.getAs[Long]("exact_distinct_a"))
+    val (estB, exactB) = (r.getAs[Long]("est_distinct_b"), r.getAs[Long]("exact_distinct_b"))
+    // KMV relative error ~ 1/sqrt(k-2) (k=64 -> ~12.7%); assert 3 sigma
+    assert(math.abs(estA - exactA).toDouble / exactA < 0.4, s"est_a $estA vs $exactA")
+    assert(math.abs(estB - exactB).toDouble / exactB < 0.4, s"est_b $estB vs $exactB")
+    // Jaccard estimate within 3*sqrt(0.25/k) + quantization of exact
+    val (jEst, jExact) = (r.getAs[Long]("jaccard_est_bp"), r.getAs[Long]("jaccard_exact_bp"))
+    assert(math.abs(jEst - jExact) <= 2000, s"jaccard est $jEst vs exact $jExact bp")
+    // structural sanity: theta ordering and rho bounded by k
+    assert(r.getAs[Long]("rho") <= r.getAs[Long]("k"))
+    assert(r.getAs[Long]("exact_overlap") >= 0)
+  }
 }
