@@ -317,6 +317,43 @@ object CdcStream {
       }
   }
 
+  /** #149 Streaming count-min maintenance: the #147 CMS counter table
+    * kept incrementally — state keyed by (depth, bucket), so the
+    * store holds exactly depth×width longs regardless of stream
+    * length or item cardinality, and each micro-batch shuffles only
+    * its own increments (a counter-table-sized exchange). Because the
+    * CMS build is a pure additive aggregation over deterministic
+    * hash positions, the streamed table is BIT-IDENTICAL to a batch
+    * build over the same prefix — `StreamingOpsSpec` pins streamed ≡
+    * batch across two waves (the #137 frozen-model discipline applied
+    * to a sketch).
+    */
+  def streamingCms(
+      changes: Dataset[Change],
+      depth: Int = 3,
+      width: Int = 256): Dataset[(Long, Long, Long)] = {
+    import changes.sparkSession.implicits._
+    changes
+      .flatMap { c =>
+        (0 until depth).map { d =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md
+            .digest(s"graft-cms-$d:${c.user_id}".getBytes("UTF-8"))
+            .map("%02x".format(_))
+            .mkString
+            .take(15)
+          (d.toLong, java.lang.Long.parseLong(hex, 16) % width)
+        }
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (key._1, key._2, c)
+      }
+  }
+
   /** #143 Watermarked stream-stream interval join: right-side events
     * within `[left.t, left.t + horizon]` of a same-key left event —
     * the streaming attribution shape (touchpoint ↔ conversion,

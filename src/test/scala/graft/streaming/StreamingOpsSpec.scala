@@ -173,6 +173,42 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS: counter table streamed over two waves equals the batch build") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      changes.filter(col("event_id") % 2 === 0).write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingCms(CdcStream.readChangelog(spark, inDir))
+        .toDF("d", "b", "c")
+        .writeStream
+        .format("memory")
+        .queryName("stream_cms")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("event_id") % 2 === 1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        // counters are cumulative, so the latest emission per (d,b) is
+        // its max
+        val streamed = spark.table("stream_cms").groupBy("d", "b").agg(max("c").as("c"))
+        // batch build over the full changelog with the same kernel
+        graft.functions.GraftFunctions.register(spark)
+        val batch = changes
+          .select(
+            explode(array((0 until 3).map(d =>
+              struct(
+                lit(d.toLong).as("d"),
+                expr(s"pmod(hash60(concat('graft-cms-$d:', CAST(user_id AS STRING))), 256)")
+                  .as("b"))): _*)).as("e"))
+          .select(col("e.d").as("d"), col("e.b").as("b"))
+          .groupBy("d", "b")
+          .agg(count(lit(1)).as("c"))
+        assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+      } finally q.stop()
+    }
+  }
+
   test("watermarked stream-stream interval join matches the batch join") {
     withTempDir { inDir =>
       Cdc.classify(spark, sf).write.mode("append").parquet(inDir)
