@@ -82,6 +82,7 @@ object SparkEntry {
     "q_pack_composite" -> ((s: SparkSession, d: String) => Sampling.packComposite(s, d)),
     "q_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
+    "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     "q_neg_sample" -> ((s: SparkSession, d: String) => Sampling.negSample(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
@@ -1015,6 +1016,25 @@ object SparkEntry {
            round(CAST(f AS DOUBLE) / fps, 2) AS ts_sec
          FROM v CROSS JOIN LATERAL
            (SELECT unnest(range(0, n_frames, fps * 2)) AS f) r""",
+    // Token-budget apportionment (#150): Hamilton largest-remainder,
+    // all-integer — quotas telescope to exactly the budget.
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(sum(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         b AS (
+           SELECT source, n_tokens,
+             (n_tokens * 1000000) // (SELECT sum(n_tokens) FROM t) AS base,
+             (n_tokens * 1000000) % (SELECT sum(n_tokens) FROM t) AS rem
+           FROM t),
+         s AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS r FROM b)
+         SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+           CAST(rem AS BIGINT) AS rem,
+           CAST(base + CAST(row_number() OVER (ORDER BY rem DESC, source)
+                 <= (SELECT r FROM s) AS BIGINT) AS BIGINT) AS quota
+         FROM b""",
     "q_mixture_weights" ->
       """WITH t AS (
            SELECT source, count(*) AS n_docs,

@@ -152,6 +152,43 @@ object Sampling {
         round(col("scaled") / col("total"), 6).as("weight"))
   }
 
+  /** #150 Token-budget allocation (largest-remainder apportionment):
+    * turn per-source token masses into integer per-source quotas that
+    * sum EXACTLY to a global training budget — the step between
+    * mixture weights (#77) and the samplers: a data-mixing job needs
+    * "how many tokens do I take from each source", and naive
+    * floor(w·B) under-fills while rounding over-fills. Hamilton's
+    * method, all-integer: base_i = (n_i·B) div N, then the R = B − Σ
+    * base leftover seats go to the R largest remainders
+    * ((n_i·B) mod N, source tiebreak) — exact in any engine, total
+    * telescopes to B by construction. The rank-over-sources window is
+    * bounded by source cardinality (20 here), never corpus size.
+    */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+    val total = per.agg(sum("n_tokens").as("n_total"))
+    val based = per
+      .crossJoin(broadcast(total))
+      .withColumn("base", expr(s"(n_tokens * $budget) div n_total"))
+      .withColumn("rem", expr(s"(n_tokens * $budget) % n_total"))
+    val spare = based.agg((lit(budget) - sum("base")).as("r"))
+    // bounded window: one row per source
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    based
+      .crossJoin(broadcast(spare))
+      .withColumn("rrank", row_number().over(wRem).cast("long"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("base"),
+        col("rem"),
+        (col("base") + (col("rrank") <= col("r")).cast("long")).as("quota"))
+  }
+
   /** #86 Negative sampling for contrastive training: for each anchor
     * doc (every 11th), draw `k` deterministic pseudo-random negatives
     * by hashing (anchor, j) onto the dense row index — the

@@ -156,4 +156,19 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.ppsSample(spark, sf, k = 100)
     assert(s.exceptAll(again).count() == 0)
   }
+
+  test("token budget: quotas telescope exactly to the budget, off-by-at-most-one from proportional") {
+    import graft.operators.Sampling
+    val budget = 1000000L
+    val q = Sampling.tokenBudget(spark, sf, budget).cache()
+    // Hamilton's method: the leftover seats make the total EXACT
+    assert(q.agg(sum("quota")).head.getLong(0) == budget)
+    // each quota is base or base+1, and base = floor-proportional
+    assert(q.filter(col("quota") < col("base") || col("quota") > col("base") + 1).count() == 0)
+    val total = q.agg(sum("n_tokens")).head.getLong(0)
+    assert(q.filter(col("base") =!= expr(s"(n_tokens * $budget) div $total")).count() == 0)
+    // deterministic
+    val again = Sampling.tokenBudget(spark, sf, budget)
+    assert(q.exceptAll(again).count() == 0)
+  }
 }
