@@ -109,6 +109,7 @@ object SparkEntry {
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_quality" -> (TextOps.qualityScore _),
+    "text_curriculum" -> ((s: SparkSession, d: String) => TextOps.curriculum(s, d)),
     "text_lang_id" -> (TextOps.langId _),
     "text_repetition" -> (TextOps.repetition _),
     "text_contamination" -> (TextOps.contamination _),
@@ -1468,6 +1469,33 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual
          FROM documents""",
+    // Curriculum ordering (#151): exact quality deciles on the e4
+    // grid + salted-hash shuffle within each decile.
+    "text_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             CAST(floor(least(1.0, len(toks) / 100.0) *
+               (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END) *
+               10000.0 + 0.5) AS BIGINT) AS q_e4
+           FROM t),
+         r AS (
+           SELECT doc_id, q_e4,
+             row_number() OVER (ORDER BY q_e4, doc_id) AS rk,
+             ('0x' || substr(md5('graft-curr-1:' || doc_id), 1, 15))::BIGINT AS ord
+           FROM q)
+         SELECT doc_id, q_e4,
+           CAST(((rk - 1) * 10) // (SELECT count(*) FROM q) AS BIGINT) AS decile,
+           CAST(ord % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY ((rk - 1) * 10) // (SELECT count(*) FROM q), ord % 8
+             ORDER BY ord, doc_id) AS BIGINT) AS pos
+         FROM r""",
     "text_quality" ->
       """WITH t AS (
            SELECT doc_id, text,

@@ -71,6 +71,61 @@ object TextOps {
       )
   }
 
+  /** #151 Curriculum ordering: the corpus laid out easy→hard for
+    * staged pretraining — exact quality DECILE (from the #31
+    * composite score on the e4 integer grid) plus a deterministic
+    * shuffle WITHIN each decile (salted-hash order, the #95 layout),
+    * so a loader that walks deciles in order and shards round-robin
+    * inside each sees quality-monotone batches with no intra-stage
+    * ordering bias. The global quality rank is built hierarchically
+    * (monotone range-shard on q_e4 → per-shard rank + offsets —
+    * bit-identical to a global row_number, no single-partition data
+    * window, the #86 construction); the within-decile windows
+    * partition on (decile, shard), bounded at corpus/nShards/10.
+    */
+  def curriculum(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val rankShards = 8
+    val t = col("tok")
+    val nTok = size(t).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
+    val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct / nChars)
+    val qE4 = floor(
+      least(lit(1.0), nTok / 100.0) * (lit(1.0) - punctRatio) * lit(10000.0) + lit(0.5))
+      .cast("long")
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("tok", tokens(col("text")))
+      .select(col("doc_id"), qE4.as("q_e4"))
+    // hierarchical global rank on (q_e4, doc_id): q_e4 ∈ [0, 10000],
+    // so a fixed monotone split of that range shards without a pass
+    val sharded = docs.withColumn("rshard", expr(s"(q_e4 * $rankShards) div 10001"))
+    val wLocal = Window.partitionBy("rshard").orderBy("q_e4", "doc_id")
+    val local = sharded.withColumn("rn", row_number().over(wLocal).cast("long"))
+    val counts = sharded.groupBy("rshard").agg(count(lit(1)).as("c"))
+    val wShard = Window.orderBy("rshard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("c").over(wShard), lit(0L)))
+      .select(col("rshard"), col("off"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val ranked = local
+      .join(broadcast(offsets), "rshard")
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("q_e4"),
+        expr("((off + rn - 1) * 10) div n_docs").as("decile"),
+        graft.operators.Dedup.hash60(concat(lit("graft-curr-1:"), col("doc_id"))).as("ord"))
+    val wPos = Window.partitionBy("decile", "shard").orderBy("ord", "doc_id")
+    ranked
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("doc_id"), col("q_e4"), col("decile"), col("shard"), col("pos"))
+  }
+
   /** #32 Language ID: stopword-profile heuristic — score each language
     * by how many of its marker words appear; argmax wins, 'und' when
     * nothing matches. Rows-only (the heuristic, not the label, is under

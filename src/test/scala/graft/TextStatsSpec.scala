@@ -156,4 +156,30 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("rho") <= r.getAs[Long]("k"))
     assert(r.getAs[Long]("exact_overlap") >= 0)
   }
+
+  test("curriculum: balanced quality-monotone deciles, dense shuffled positions inside each") {
+    import graft.operators.TextOps
+    val c = TextOps.curriculum(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(c.count() == n)
+    // deciles are balanced to within 1
+    val sizes = c.groupBy("decile").count().collect().map(_.getLong(1))
+    assert(sizes.length == 10 && sizes.max - sizes.min <= 1, sizes.mkString(","))
+    // quality is monotone ACROSS deciles (ties may touch boundaries)
+    val bounds = c.groupBy("decile")
+      .agg(min("q_e4").as("lo"), max("q_e4").as("hi"))
+      .orderBy("decile").collect()
+    bounds.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("hi") <= w(1).getAs[Long]("lo"),
+        s"decile ${w(0).getLong(0)} overlaps ${w(1).getLong(0)}")
+    }
+    // positions are dense 1..m within every (decile, shard)
+    val bad = c.groupBy("decile", "shard")
+      .agg(count(lit(1)).as("m"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("m") || col("mn") =!= 1L)
+    assert(bad.count() == 0)
+    // deterministic
+    val again = TextOps.curriculum(spark, sf)
+    assert(c.exceptAll(again).count() == 0)
+  }
 }
