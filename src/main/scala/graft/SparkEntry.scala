@@ -104,6 +104,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
     // LSH-DBSCAN density clustering (§2 #146)
     "ann_dbscan" -> ((s: SparkSession, d: String) => Similarity.dbscan(s, d)),
+    // Triplet mining (§2 #152)
+    "ann_triplets" -> ((s: SparkSession, d: String) => Similarity.tripletMine(s, d)),
     "ann_centroid_assign" -> (Similarity.centroidAssign _),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     // Text analysis (§2 #30-32)
@@ -1758,6 +1760,49 @@ object SparkEntry {
                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
             FROM scored)
           WHERE rank <= 10"""
+    },
+    "ann_triplets" -> {
+      // planted pos/neg corpus, multiprobe bucket replay, 4dp cosine
+      // banding, deterministic per-anchor selection
+      def jit(amp: String, offset: Long) =
+        s"""SELECT vec_id + $offset AS vec_id,
+              [CAST(embedding[i] * (1.0 + $amp * ((((i-1) % 11) - 5) / 5.0)) AS FLOAT)
+               for i in generate_series(1, 64)] AS embedding
+            FROM embeddings WHERE vec_id % 10 = 0"""
+      s"""WITH corpus AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL ${jit("0.06", 1000000L)}
+            UNION ALL ${jit("0.25", 2000000L)}),
+          ${lshBucketsCte("corpus", "SELECT (count(*) * 12) // 10 FROM embeddings")},
+          pb AS MATERIALIZED (
+            SELECT vec_id, t,
+              unnest(list_prepend(bucket,
+                [xor(bucket, 1::BIGINT << p) for p in range(0, bits)])) AS bucket
+            FROM bk, params),
+          cand AS MATERIALIZED (
+            SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS cand_id
+            FROM bk a JOIN pb c ON a.t = c.t AND a.bucket = c.bucket
+            WHERE a.vec_id % 10 = 0 AND a.vec_id < 1000000
+              AND a.vec_id <> c.vec_id),
+          sc AS MATERIALIZED (
+            SELECT cand.anchor_id, cand.cand_id,
+              round(list_cosine_similarity(
+                ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]), 4) AS cos
+            FROM cand JOIN corpus ca ON ca.vec_id = cand.anchor_id
+                      JOIN corpus cb ON cb.vec_id = cand.cand_id),
+          pos AS (
+            SELECT anchor_id, cand_id AS pos_id, cos AS cos_pos FROM (
+              SELECT anchor_id, cand_id, cos,
+                row_number() OVER (PARTITION BY anchor_id ORDER BY cand_id) AS rn
+              FROM sc WHERE cos >= 0.998) WHERE rn = 1),
+          neg AS (
+            SELECT anchor_id, cand_id AS neg_id, cos AS cos_neg FROM (
+              SELECT anchor_id, cand_id, cos,
+                row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY cos DESC, cand_id) AS rn
+              FROM sc WHERE cos >= 0.97 AND cos < 0.998) WHERE rn = 1)
+          SELECT pos.anchor_id, pos_id, cos_pos, neg_id, cos_neg
+          FROM pos JOIN neg USING (anchor_id)"""
     },
     "ann_dbscan" -> {
       // full replay: planted-density corpus (family anti-jitter pairs

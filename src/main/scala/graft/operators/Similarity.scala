@@ -293,6 +293,70 @@ object Similarity {
     coreOut.unionAll(borderOut).unionAll(noiseOut)
   }
 
+  /** #152 Triplet mining for contrastive training: per anchor, one
+    * POSITIVE (a true near-duplicate, cosine ≥ posEps) and one HARD
+    * NEGATIVE (similar-but-not-duplicate, cosine in [negLo, posEps))
+    * — the (a, p, n) rows a contrastive/embedding trainer consumes,
+    * where the negative being HARD (near the margin) is what makes
+    * the gradient informative. Discovery is the multiprobe-LSH
+    * candidate graph (bucket-bounded, never all-pairs); selection is
+    * deterministic (positive: lowest candidate id above posEps;
+    * negative: highest cosine below it, id tiebreak). The planted
+    * corpus spawns per family one tight copy (cos ∈ [0.9991, 0.9996]
+    * across SFs) and one moderate copy (cos ∈ [0.9838, 0.9932]) — both
+    * ≥ 1e-3 clear of the 4dp thresholds, so rounding can never flip a
+    * band assignment. Anchors whose edges the LSH misses drop out
+    * identically in both engines (the oracle replays the buckets).
+    */
+  def tripletMine(
+      spark: SparkSession,
+      dir: String,
+      posEps: Double = 0.998,
+      negLo: Double = 0.97): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def jit(amp: String, offset: Long) =
+      base
+        .filter(col("vec_id") % 10 === 0)
+        .select(
+          (col("vec_id") + offset).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> " +
+            s"CAST(x * (1.0 + $amp * (((i % 11) - 5) / 5.0)) AS FLOAT))").as("embedding"))
+    val corpus = base.unionAll(jit("0.06", 1000000L)).unionAll(jit("0.25", 2000000L))
+    val bits = numPlanes((corpusSize(spark, dir) * 12L) / 10L)
+    val b = bandedBuckets(corpus, "embedding", bits)
+    val probes = (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+    val anchors = b
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+      .select(col("t"), col("bucket"), col("vec_id").as("anchor_id"), col("embedding").as("a_emb"))
+    val candSide = b
+      .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
+      .select(col("t"), col("bucket"), col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val cand = anchors
+      .join(candSide, Seq("t", "bucket"))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .select(
+        col("anchor_id"),
+        col("cand_id"),
+        round(expr("cosine_sim(a_emb, c_emb)"), 4).as("cos"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val wPos = Window.partitionBy("anchor_id").orderBy(col("cand_id"))
+    val pos = cand
+      .filter(col("cos") >= posEps)
+      .withColumn("rn", row_number().over(wPos))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"), col("cos").as("cos_pos"))
+    val wNeg = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("cand_id"))
+    val neg = cand
+      .filter(col("cos") >= negLo && col("cos") < posEps)
+      .withColumn("rn", row_number().over(wNeg))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"), col("cos").as("cos_neg"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("cos_pos"), col("neg_id"), col("cos_neg"))
+  }
+
   /** #52 L2-normalize + int8 quantization: the memory path for ANN at
     * 100 TB (4× smaller vectors, SIMD-friendly int dot products).
     * Emits the per-vector scale so scores are recoverable; spec checks

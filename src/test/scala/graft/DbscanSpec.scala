@@ -55,4 +55,22 @@ class DbscanSpec extends SparkSpec {
     val again = Similarity.dbscan(spark, sf)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
+
+  test("triplet mining: planted pos/neg recovered per anchor, bands respected") {
+    val t = Similarity.tripletMine(spark, sf).cache()
+    val nFam = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 0).count()
+    // >= 90% of families yield a complete (anchor, pos, neg) triple
+    // (LSH recall is the only slack, replayed identically by the oracle)
+    assert(t.count() >= (nFam * 9) / 10, s"${t.count()} of $nFam families")
+    // the planted structure is what gets mined: pos = the tight copy,
+    // neg = the moderate copy, for every emitted anchor
+    assert(t.filter(col("pos_id") =!= col("anchor_id") + 1000000L).count() == 0)
+    assert(t.filter(col("neg_id") =!= col("anchor_id") + 2000000L).count() == 0)
+    // band contracts
+    assert(t.filter(col("cos_pos") < 0.998).count() == 0)
+    assert(t.filter(col("cos_neg") >= 0.998 || col("cos_neg") < 0.97).count() == 0)
+    // hard negative is genuinely harder than random: far above the
+    // max natural cross-pair cosine (~0.39)
+    assert(t.agg(min("cos_neg")).head.getDouble(0) > 0.9)
+  }
 }
