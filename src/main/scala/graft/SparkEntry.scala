@@ -83,6 +83,8 @@ object SparkEntry {
     "q_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_mixture_weights" -> ((s: SparkSession, d: String) => Sampling.mixtureWeights(s, d)),
     "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
+    // Priority sampling with unbiased subset-sum estimator (§2 #153)
+    "q_priority_sample" -> ((s: SparkSession, d: String) => Sampling.prioritySample(s, d)),
     "q_neg_sample" -> ((s: SparkSession, d: String) => Sampling.negSample(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
@@ -1038,6 +1040,28 @@ object SparkEntry {
            CAST(base + CAST(row_number() OVER (ORDER BY rem DESC, source)
                  <= (SELECT r FROM s) AS BIGINT) AS BIGINT) AS quota
          FROM b""",
+    "q_priority_sample" ->
+      // DLT priority sampling on the 2^20 fixed-point grid: u from the
+      // md5-parity hash60 kernel, prio = (w<<20) div u, top-16 per
+      // source, tau = 17th priority, est = max(w<<20, tau) — all-BIGINT
+      """WITH d AS (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+             ('0x' || substr(md5('graft-priority-1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1048576 + 1 AS u
+           FROM documents),
+         r AS (
+           SELECT source, doc_id, w, (w * 1048576) // u AS prio,
+             row_number() OVER (PARTITION BY source
+               ORDER BY (w * 1048576) // u DESC, doc_id) AS rn
+           FROM d),
+         t AS (
+           SELECT source,
+             coalesce(max(CASE WHEN rn = 17 THEN prio END), 0) AS tau
+           FROM r WHERE rn <= 17 GROUP BY source)
+         SELECT r.source, doc_id, w, prio, tau,
+           greatest(w * 1048576, tau) AS est_scaled
+         FROM r JOIN t ON r.source = t.source
+         WHERE rn <= 16""",
     "q_mixture_weights" ->
       """WITH t AS (
            SELECT source, count(*) AS n_docs,

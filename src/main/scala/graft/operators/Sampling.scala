@@ -189,6 +189,56 @@ object Sampling {
         (col("base") + (col("rrank") <= col("r")).cast("long")).as("quota"))
   }
 
+  /** #153 Priority sampling (Duffield–Lund–Thorup, JACM 2007): per
+    * source, a weight-sensitive k-sample that carries its own unbiased
+    * subset-sum estimator — the sampler to use when downstream wants
+    * "estimate any aggregate over the full corpus from the sample
+    * alone". Priority q_i = w_i/u_i with u_i ∈ (0,1] a per-doc hash
+    * draw; keep the k highest priorities; τ = the (k+1)-th priority;
+    * the included docs' ŵ_i = max(w_i, τ) sum to an unbiased estimate
+    * of Σw (exact when a source has ≤ k docs — then τ=0, ŵ=w). The
+    * whole algorithm runs on a 2^20 fixed-point grid: u = (hash60 mod
+    * 2^20)+1, prio = (w·2^20) div u — all-BIGINT (w ≤ 1e6 keeps every
+    * product < 2^43), so both engines replay the sample AND the
+    * estimator bit-exactly; ties broken by doc_id.
+    *
+    * Scale: one window partitioned BY SOURCE (never unpartitioned) with
+    * an rn ≤ k+1 filter directly above it — WindowGroupLimit bounds it
+    * map-side; τ is a per-source 1-row aggregate of that same k+1-row
+    * frame, broadcast back. Shuffle volume = sources × (k+1), not the
+    * corpus.
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val scale = 1L << 20
+    val wr = Window.partitionBy("source").orderBy(col("prio").desc, col("doc_id"))
+    val top = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars").cast("long").as("w"),
+        (Dedup.hash60(concat(lit("graft-priority-1:"), col("doc_id"))) % scale + 1L).as("u"))
+      .withColumn("prio", expr(s"(w * $scale) div u"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k + 1)
+      .localCheckpoint(eager = false)
+    val tau = top
+      .groupBy("source")
+      .agg(coalesce(max(when(col("rn") === k + 1, col("prio"))), lit(0L)).as("tau"))
+    top
+      .filter(col("rn") <= k)
+      .join(broadcast(tau), "source")
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("w"),
+        col("prio"),
+        col("tau"),
+        greatest(col("w") * scale, col("tau")).as("est_scaled"))
+  }
+
   /** #86 Negative sampling for contrastive training: for each anchor
     * doc (every 11th), draw `k` deterministic pseudo-random negatives
     * by hashing (anchor, j) onto the dense row index — the

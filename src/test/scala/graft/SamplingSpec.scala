@@ -171,4 +171,32 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.tokenBudget(spark, sf, budget)
     assert(q.exceptAll(again).count() == 0)
   }
+
+  test("priority sample: k per source, DLT estimator unbiased-ish, tau is the threshold") {
+    val k = 16
+    val s = Sampling.prioritySample(spark, sf, k).cache()
+    val docs = Tables.documents(spark, sf).cache()
+    // exactly min(k, n_source) rows per source (every source has >= 25 docs)
+    val perSource = s.groupBy("source").count()
+    assert(perSource.filter(col("count") =!= k).count() == 0)
+    assert(perSource.count() == docs.select("source").distinct().count())
+    // every included priority beats tau, and the estimator is max(w<<20, tau)
+    assert(s.filter(col("prio") <= col("tau")).count() == 0)
+    assert(s.filter(col("est_scaled") =!= greatest(col("w") * (1L << 20), col("tau"))).count() == 0)
+    // the DLT subset-sum estimate tracks the true per-source token mass:
+    // unbiased by construction, so with k=16 every source lands well
+    // within a 3x band (empirically ~1.25x worst-case here)
+    val est = s.groupBy("source").agg((sum("est_scaled") / (1L << 20)).as("est"))
+    val truth = docs.groupBy("source").agg(sum("n_chars").as("tot"))
+    val bad = est.join(truth, "source")
+      .filter(col("est") > col("tot") * 3 || col("est") < col("tot") / 3)
+    assert(bad.count() == 0, bad.collect().mkString(","))
+    // and the POOLED estimate (20 independent groups) is tight
+    val pooled = est.agg(sum("est")).head.getDouble(0)
+    val total = docs.agg(sum("n_chars")).head.getLong(0).toDouble
+    assert(math.abs(pooled - total) / total < 0.25, s"pooled $pooled vs $total")
+    val again = Sampling.prioritySample(spark, sf, k)
+    assert(s.exceptAll(again).count() == 0)
+    docs.unpersist()
+  }
 }
