@@ -112,6 +112,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),
+    // Document chunking with overlap (§2 #154)
+    "text_chunks" -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
     "text_quality" -> (TextOps.qualityScore _),
     "text_curriculum" -> ((s: SparkSession, d: String) => TextOps.curriculum(s, d)),
     "text_lang_id" -> (TextOps.langId _),
@@ -1487,6 +1489,25 @@ object SparkEntry {
            CAST(n_tok AS BIGINT) AS n_tokens,
            CAST(CASE WHEN n_tok < 3 THEN 1 ELSE n_tok - 2 END AS BIGINT) AS n_shingles
          FROM t""",
+    "text_chunks" ->
+      // sliding win=32/stride=24 token windows; starts = multiples of
+      // stride below the token count, final window may be short,
+      // empty doc -> one empty chunk row
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS tok
+           FROM documents),
+         s AS (
+           SELECT doc_id, tok,
+             unnest(range(0, greatest(len(tok), 1), 24)) AS start_tok
+           FROM t)
+         SELECT doc_id,
+           CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(tok[start_tok + 1 : start_tok + 32]) AS BIGINT) AS n_tok,
+           array_to_string(tok[start_tok + 1 : start_tok + 32], ' ') AS chunk
+         FROM s""",
     "text_tokens" ->
       """SELECT doc_id,
            CAST(CASE WHEN trim(text) = '' THEN 0

@@ -40,6 +40,34 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars_actual")
       )
 
+  /** #154 Document chunking with overlap: slide a `win`-token window
+    * by `stride` tokens (overlap = win − stride) — the chunker that
+    * feeds RAG indexing and fixed-context pretraining when documents
+    * must not be split mid-context. Window starts are the multiples of
+    * `stride` below the token count (an empty doc yields one empty
+    * chunk row, so the output still covers the corpus), the final
+    * window may be short, and `chunk_idx = start div stride` so the
+    * index needs no ordinal explode. Purely per-row — an explode with
+    * bounded fan-out (≤ n_tok/stride per doc) and ZERO shuffles: at
+    * 100 TB this is a map-only stage whose output feeds the packers
+    * (#70/#75) and the ANN indexers downstream.
+    */
+  def chunkDocs(spark: SparkSession, dir: String, win: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && win >= stride, "need stride >= 1 and win >= stride")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .withColumn(
+        "start_tok",
+        explode(sequence(lit(0), greatest(size(col("tok")) - 1, lit(0)), lit(stride))))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(start_tok div $stride AS BIGINT)").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("tok"), col("start_tok") + 1, lit(win))).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("tok"), col("start_tok") + 1, lit(win))).as("chunk"))
+  }
+
   /** #31 Quality scoring: length/punctuation/stopword signals + a
     * composite score — the heuristic pre-filter stage of a training-
     * data pipeline.

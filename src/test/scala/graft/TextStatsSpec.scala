@@ -182,4 +182,38 @@ class TextStatsSpec extends SparkSpec {
     val again = TextOps.curriculum(spark, sf)
     assert(c.exceptAll(again).count() == 0)
   }
+
+  test("chunking: stride starts, full coverage, bounded windows, exact reconstruction") {
+    val win = 32; val stride = 24
+    val c = graft.operators.TextOps.chunkDocs(spark, sf, win, stride).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+    // chunk count per doc = floor((n-1)/stride)+1; starts are dense stride multiples
+    val per = c.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max(col("start_tok") + col("n_tok")).as("covered"),
+        max("n_tok").as("mx"))
+      .join(docs, "doc_id")
+    assert(per.filter(col("k") =!= expr(s"(n - 1) div $stride + 1")).count() == 0)
+    // the windows jointly cover every token, and none exceeds win
+    assert(per.filter(col("covered") =!= col("n")).count() == 0)
+    assert(per.filter(col("mx") > win).count() == 0)
+    assert(c.filter(col("start_tok") =!= col("chunk_idx") * stride).count() == 0)
+    // non-final chunks are longer than the stride (else a token gap)
+    val finalIdx = c.groupBy("doc_id").agg(max("chunk_idx").as("last"))
+    assert(c.join(finalIdx, "doc_id")
+      .filter(col("chunk_idx") < col("last") && col("n_tok") <= stride).count() == 0)
+    // chunk text round-trips: token count of the chunk string == n_tok
+    assert(c.filter(col("n_tok") > 0 &&
+      size(split(col("chunk"), " ")) =!= col("n_tok")).count() == 0)
+    // exact reconstruction of one multi-chunk doc from stride prefixes
+    val pick = c.filter(col("chunk_idx") >= 2).select("doc_id").head.getLong(0)
+    val parts = c.filter(col("doc_id") === pick).orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getString(4)))
+    val rebuilt = parts.map { case (i, s) =>
+      val t = s.split(" "); if (i == parts.last._1) t else t.take(stride)
+    }.flatten.mkString(" ")
+    val orig = Tables.documents(spark, sf).filter(col("doc_id") === pick)
+      .select(lower(trim(col("text")))).head.getString(0).split("\\s+").mkString(" ")
+    assert(rebuilt == orig)
+  }
 }
