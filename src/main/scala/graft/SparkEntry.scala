@@ -67,6 +67,8 @@ object SparkEntry {
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
     "q_key_skew" -> (Scale.keySkew _),
+    // Rendezvous sharding (§2 #155)
+    "q_shard_rendezvous" -> ((s: SparkSession, d: String) => Scale.rendezvousShards(s, d)),
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
     "q_resample_daily" -> (Scale.resampleDaily _),
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
@@ -1268,6 +1270,22 @@ object SparkEntry {
            n_keys_total,
            round(max_c * n_keys_total / CAST(n_rows_total AS DOUBLE), 4) AS skew_ratio
          FROM hist, t""",
+    "q_shard_rendezvous" ->
+      // HRW argmax over md5-parity hashes for S=8 and S=9; first-max
+      // argmax via list_position == Spark array_position
+      """WITH d AS (
+           SELECT doc_id,
+             [('0x' || substr(md5('graft-hrw-1:' || s || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              for s in range(0, 8)] AS h8,
+             [('0x' || substr(md5('graft-hrw-1:' || s || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              for s in range(0, 9)] AS h9
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_position(h8, list_max(h8)) - 1 AS BIGINT) AS shard_a,
+           CAST(list_position(h9, list_max(h9)) - 1 AS BIGINT) AS shard_b,
+           CAST(list_position(h8, list_max(h8)) <> list_position(h9, list_max(h9))
+             AS BIGINT) AS moved
+         FROM d""",
     "cdc_merge_incremental" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts,
            round(value, 2) AS value

@@ -300,6 +300,34 @@ object Scale {
     * aggregation; the histogram is at most |distinct counts| rows —
     * tiny at any corpus size. The 1-row totals join is a broadcast.
     */
+  /** #155 Rendezvous (highest-random-weight) sharding: shard(doc) =
+    * argmax over shards s of hash(s, doc) — the stable shard
+    * assignment for incremental pipelines. The property modulo
+    * sharding lacks: growing S → S+1 moves ONLY the docs whose new
+    * shard's hash wins (≈ 1/(S+1) of the corpus), and every mover
+    * lands ON the new shard — so a reshard touches one shard's worth
+    * of data, not the whole corpus. Emitted as the S=8 vs S=9
+    * assignment pair with the `moved` flag, so the movement contract
+    * is IN the oracled result. Per-row arithmetic only (S bounded
+    * hash evaluations inside one `transform`, first-max argmax by
+    * `array_position`) — zero shuffles, map-only at any scale.
+    */
+  def rendezvousShards(spark: SparkSession, dir: String, s0: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def assign(n: Int) = {
+      val hs = s"transform(sequence(0, ${n - 1}), " +
+        "s -> hash60(concat('graft-hrw-1:', s, ':', doc_id)))"
+      expr(s"CAST(array_position($hs, array_max($hs)) - 1 AS BIGINT)")
+    }
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        assign(s0).as("shard_a"),
+        assign(s0 + 1).as("shard_b"))
+      .withColumn("moved", (col("shard_a") =!= col("shard_b")).cast("long"))
+  }
+
   def keySkew(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables
       .events(spark, dir)

@@ -177,4 +177,25 @@ class ScaleSpec extends SparkSpec {
       .filter(col("filled_value") =!= coalesce(col("prev"), lit(0.0)))
     assert(bad.count() == 0, "a gap day did not carry the previous value")
   }
+
+  test("rendezvous sharding: minimal movement on reshard, every mover lands on the new shard") {
+    val r = graft.operators.Scale.rendezvousShards(spark, sf).cache()
+    val n = r.count()
+    assert(n == Tables.documents(spark, sf).count())
+    // shards in range
+    assert(r.filter(col("shard_a") < 0 || col("shard_a") > 7).count() == 0)
+    assert(r.filter(col("shard_b") < 0 || col("shard_b") > 8).count() == 0)
+    // THE HRW contract: a doc moves iff the new shard's hash wins,
+    // so every mover's destination is the new shard (8)
+    assert(r.filter(col("moved") === 1 && col("shard_b") =!= 8).count() == 0)
+    // and movement is ~1/9 of the corpus, nowhere near modulo's ~8/9
+    val moved = r.filter(col("moved") === 1).count().toDouble / n
+    assert(moved > 0.03 && moved < 0.25, s"moved fraction $moved")
+    // balance: no 8-shard bucket holds more than 3x its fair share
+    val mx = r.groupBy("shard_a").count().agg(max("count")).head.getLong(0)
+    assert(mx.toDouble / n < 3.0 / 8.0, s"max shard share ${mx.toDouble / n}")
+    // deterministic
+    val again = graft.operators.Scale.rendezvousShards(spark, sf)
+    assert(r.exceptAll(again).count() == 0)
+  }
 }
