@@ -128,6 +128,8 @@ object SparkEntry {
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
     "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
+    // Collocation mining by integer Dice (§2 #157)
+    "text_collocations" -> ((s: SparkSession, d: String) => TextStats.collocations(s, d)),
     // KMV/theta overlap sketch (§2 #148)
     "text_kmv_overlap" -> ((s: SparkSession, d: String) => TextStats.kmvOverlap(s, d)),
     "dedup_fuzzy" -> (TextStats.fuzzyVerify _),
@@ -150,6 +152,8 @@ object SparkEntry {
     // Window/audit depth (§2 #105-107)
     "q_event_gaps" -> ((s: SparkSession, d: String) => AnalyticsExt.eventGaps(s, d)),
     "q_percentile_disc" -> (AnalyticsExt.percentileDisc _),
+    // Equi-depth histogram (§2 #156)
+    "q_equidepth_hist" -> ((s: SparkSession, d: String) => AnalyticsExt.equidepthHist(s, d)),
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "q_rolling_median" -> (AnalyticsExt.rollingMedian _),
     "q_asof_nearest" -> (AnalyticsExt.asofNearest _),
@@ -2067,6 +2071,38 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY count(*) DESC, bigram) AS BIGINT) AS rank
            FROM b GROUP BY bigram)
          WHERE rank <= 25""",
+    "text_collocations" ->
+      // Dice-ranked bigrams on the e6 integer grid, min count 5
+      """WITH t AS (
+           SELECT regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         uc AS (
+           SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         pc AS (
+           SELECT p.a AS a, p.b AS b, count(*) AS c_ab
+           FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                   i -> {'a': tk[i], 'b': tk[i + 1]})) AS p FROM t)
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         d AS (
+           SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+             (2 * c_ab * 1000000) // (ua.c + ub.c) AS dice_e6
+           FROM pc JOIN uc ua ON pc.a = ua.w JOIN uc ub ON pc.b = ub.w)
+         SELECT rank, a, b, c_ab, c_a, c_b, dice_e6 FROM (
+           SELECT CAST(row_number() OVER (ORDER BY dice_e6 DESC, a, b) AS BIGINT) AS rank, *
+           FROM d) WHERE rank <= 25""",
+    "q_equidepth_hist" ->
+      // rank-defined B=8 bins: bin = ((rn-1)*8) div n + 1 under the
+      // (value, event_id) total order -- populations equal +-1
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, CAST((rn - 1) * 8 // n AS BIGINT) + 1 AS bin,
+           count(*) AS n_rows, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+         FROM r GROUP BY 1, 2""",
     "dedup_fuzzy" ->
       """WITH d AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

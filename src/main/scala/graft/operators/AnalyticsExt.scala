@@ -436,4 +436,30 @@ object AnalyticsExt {
       .filter(col("rn") === ceil(col("p") * col("n")))
       .select(col("event_type"), col("p"), round(col("value"), 2).as("value"))
   }
+
+  /** #156 Equi-depth histogram: per event_type, B rank-defined bins
+    * over `value` — the optimizer/statistics histogram (equal ROW
+    * counts per bin, data-adaptive boundaries) as opposed to #91's
+    * fixed-width value bins. Bin of a row = ((rn−1)·B) div n + 1
+    * under the (value, event_id) total order — all-integer, bin
+    * populations equal ±1 by construction, no interpolation
+    * arithmetic anywhere (the same discrete discipline as #106).
+    * One window pass partitioned BY TYPE + a partial-agg rollup; at
+    * 100 TB the per-type sort is the hierarchical-rank construction
+    * (#86) if a single type outgrows a partition.
+    */
+  def equidepthHist(spark: SparkSession, dir: String, bins: Int = 8): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("bin", expr(s"CAST((rn - 1) * $bins div n AS BIGINT) + 1"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(min("value"), 2).as("lo"),
+        round(max("value"), 2).as("hi"))
+  }
 }

@@ -84,6 +84,49 @@ object TextStats {
       .filter(col("rank") <= k)
   }
 
+  /** #157 Collocation mining: adjacent-token pairs ranked by Dice
+    * coefficient 2·c_ab/(c_a+c_b) — the measure that surfaces phrases
+    * ("machine learning") over merely-frequent pairs ("of the"),
+    * without PMI's log (a cross-engine ulp hazard): the score lives on
+    * an e6 integer grid, dice_e6 = (2·c_ab·10⁶) div (c_a+c_b), exact
+    * in any engine. Counts come from one bigram explode + one unigram
+    * explode (both linear, partial-agg combined); the two
+    * vocabulary-sized joins shuffle on the token, never the corpus;
+    * top-k via the rank-filter window (WindowGroupLimit map-side).
+    */
+  def collocations(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 25,
+      minCount: Int = 5): DataFrame = {
+    val t = col("tok")
+    val docs = Tables.documents(spark, dir).withColumn("tok", toks(col("text")))
+    val uni = docs.select(explode(t).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = docs
+      .select(
+        explode(
+          when(size(t) < 2, array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(t) - 1),
+                i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .withColumn("dice_e6", expr("(2 * c_ab * 1000000) div (c_a + c_b)"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("dice_e6").desc, col("a"), col("b")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("dice_e6"))
+  }
+
   /** #50 Fuzzy edit-distance verify: Levenshtein distance on the
     * normalized text of near-dup candidate pairs (from the planted
     * truncation dups: doc vs doc+1M). O(len²) edit distance runs only

@@ -98,4 +98,27 @@ class AnalyticsExtSpec extends SparkSpec {
       .agg(avg("count")).head.getDouble(0)
     assert(topDeg > avgDeg, s"top-ranked degree $topDeg not above average $avgDeg")
   }
+
+  test("equi-depth histogram: bins tile each type, populations equal +-1, boundaries ordered") {
+    val bins = 8
+    val h = graft.operators.AnalyticsExt.equidepthHist(spark, sf, bins).cache()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    // every type gets all B bins (each type has >> B rows) and rows tile exactly
+    assert(h.count() == types * bins)
+    val per = h.groupBy("event_type")
+      .agg(sum("n_rows").as("rows"), max("n_rows").as("mx"), min("n_rows").as("mn"))
+    val truth = Tables.events(spark, sf).groupBy("event_type").count()
+    assert(per.join(truth, "event_type").filter(col("rows") =!= col("count")).count() == 0)
+    // equal depth +-1
+    assert(per.filter(col("mx") - col("mn") > 1).count() == 0)
+    // boundaries: within a bin lo <= hi; across bins hi(b) <= lo(b+1) up to ties
+    assert(h.filter(col("lo") > col("hi")).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val crossed = h.withColumn("prev_hi", lag("hi", 1).over(w))
+      .filter(col("prev_hi").isNotNull && col("prev_hi") > col("lo"))
+    assert(crossed.count() == 0)
+    val again = graft.operators.AnalyticsExt.equidepthHist(spark, sf, bins)
+    assert(h.exceptAll(again).count() == 0)
+  }
 }

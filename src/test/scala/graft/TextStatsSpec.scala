@@ -216,4 +216,22 @@ class TextStatsSpec extends SparkSpec {
       .select(lower(trim(col("text")))).head.getString(0).split("\\s+").mkString(" ")
     assert(rebuilt == orig)
   }
+
+  test("collocations: dense top-25 by integer Dice, scores consistent and bounded") {
+    val c = graft.operators.TextStats.collocations(spark, sf).cache()
+    val rows = c.orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
+    assert(rows.length == 25)
+    // dice non-increasing down the ranking
+    val d = rows.map(_.getLong(6))
+    assert(d.zip(d.tail).forall { case (x, y) => x >= y })
+    // score formula holds and is bounded: 2ab <= a+b => dice_e6 <= 1e6
+    assert(c.filter(col("dice_e6") =!= expr("(2 * c_ab * 1000000) div (c_a + c_b)")).count() == 0)
+    assert(c.filter(col("dice_e6") > 1000000L).count() == 0)
+    // a bigram can't outnumber either of its unigrams; min count respected
+    assert(c.filter(col("c_ab") > col("c_a") || col("c_ab") > col("c_b")).count() == 0)
+    assert(c.filter(col("c_ab") < 5).count() == 0)
+    val again = graft.operators.TextStats.collocations(spark, sf)
+    assert(c.exceptAll(again).count() == 0)
+  }
 }
