@@ -87,6 +87,8 @@ object SparkEntry {
     "q_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudget(s, d)),
     // Priority sampling with unbiased subset-sum estimator (§2 #153)
     "q_priority_sample" -> ((s: SparkSession, d: String) => Sampling.prioritySample(s, d)),
+    // Quota-filling document selection (§2 #158)
+    "q_quota_fill" -> ((s: SparkSession, d: String) => Sampling.quotaFill(s, d)),
     "q_neg_sample" -> ((s: SparkSession, d: String) => Sampling.negSample(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
@@ -1048,6 +1050,42 @@ object SparkEntry {
            CAST(base + CAST(row_number() OVER (ORDER BY rem DESC, source)
                  <= (SELECT r FROM s) AS BIGINT) AS BIGINT) AS quota
          FROM b""",
+    "q_quota_fill" ->
+      // Hamilton quotas on budget = total_tokens // 4, then per source
+      // take docs in shard-major salted-hash order until the running
+      // token total first reaches the quota (crossing doc included)
+      """WITH tok AS (
+           SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM tok),
+         per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+         bs AS (
+           SELECT source, n_tokens,
+             (n_tokens * (SELECT n_total // 4 FROM tot)) // (SELECT sum(n_tokens) FROM per) AS base,
+             (n_tokens * (SELECT n_total // 4 FROM tot)) % (SELECT sum(n_tokens) FROM per) AS rem
+           FROM per),
+         sp AS (SELECT (SELECT n_total // 4 FROM tot) - sum(base) AS r FROM bs),
+         q AS (
+           SELECT source,
+             base + CAST(row_number() OVER (ORDER BY rem DESC, source)
+                     <= (SELECT r FROM sp) AS BIGINT) AS quota
+           FROM bs),
+         o AS (
+           SELECT source, doc_id, n_tok,
+             ('0x' || substr(md5('graft-quota-1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+           FROM tok),
+         c AS (
+           SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+               ORDER BY ord % 8, ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM o)
+         SELECT c.source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum,
+           CAST(quota AS BIGINT) AS quota
+         FROM c JOIN q ON c.source = q.source
+         WHERE cum - n_tok < quota""",
     "q_priority_sample" ->
       // DLT priority sampling on the 2^20 fixed-point grid: u from the
       // md5-parity hash60 kernel, prio = (w<<20) div u, top-16 per

@@ -189,6 +189,52 @@ object Sampling {
         (col("base") + (col("rrank") <= col("r")).cast("long")).as("quota"))
   }
 
+  /** #158 Quota filling: materialize the #150 token quotas into an
+    * actual document selection — the final step of the mixture chain
+    * (#77 weights → #150 integer quotas → the docs themselves). Per
+    * source, documents are laid out in a deterministic salted-hash
+    * order and taken until the running token total first reaches the
+    * source's quota (the crossing doc included, so every quota is met,
+    * never starved). The global budget is data-derived (total
+    * tokens div `frac`), so the query scales with SF. The per-source
+    * running total is built HIERARCHICALLY exactly like [[ppsSample]]:
+    * cumsum within (source, shard) + per-shard offsets from the
+    * sources×nShards totals table (broadcast) — the selection order is
+    * shard-major pseudo-random, no source-sized sort partition
+    * anywhere.
+    */
+  def quotaFill(spark: SparkSession, dir: String, frac: Int = 4, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(Dedup.toks(col("text"))).cast("long").as("n_tok"))
+    // bounded driver state: ONE row (the corpus token total)
+    val nTotal = tok.agg(sum("n_tok")).head.getLong(0)
+    val quotas = tokenBudget(spark, dir, nTotal / frac).select(col("source"), col("quota"))
+    val ordered = tok
+      .withColumn("ord", Dedup.hash60(concat(lit("graft-quota-1:"), col("doc_id"))))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+    val wLocal = Window
+      .partitionBy("source", "shard")
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ordered.withColumn("cum_local", sum("n_tok").over(wLocal))
+    val totals = ordered.groupBy("source", "shard").agg(sum("n_tok").as("shard_w"))
+    // bounded window: nShards rows per source
+    val wOff =
+      Window.partitionBy("source").orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum("shard_w").over(wOff), lit(0L)))
+      .select(col("source"), col("shard"), col("off"))
+    local
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", col("off") + col("cum_local"))
+      .join(broadcast(quotas), "source")
+      .filter(col("cum") - col("n_tok") < col("quota"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum"), col("quota"))
+  }
+
   /** #153 Priority sampling (Duffield–Lund–Thorup, JACM 2007): per
     * source, a weight-sensitive k-sample that carries its own unbiased
     * subset-sum estimator — the sampler to use when downstream wants

@@ -172,6 +172,29 @@ class SamplingSpec extends SparkSpec {
     assert(q.exceptAll(again).count() == 0)
   }
 
+  test("quota fill: every quota met minimally in the deterministic order, never starved") {
+    val f = Sampling.quotaFill(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val nTotal = docs.agg(sum(size(split(lower(trim(col("text"))), "\\s+")))).head.getLong(0)
+    val quotas = Sampling.tokenBudget(spark, sf, nTotal / 4)
+      .select(col("source"), col("quota"))
+    // every source with a positive quota is served
+    assert(f.select("source").distinct().count() ==
+      quotas.filter(col("quota") > 0).count())
+    // quota met: the selected tokens reach the quota...
+    val per = f.groupBy("source").agg(sum("n_tok").as("got"), max("quota").as("q"),
+      max(col("cum") - col("n_tok")).as("last_start"))
+    assert(per.filter(col("got") < col("q")).count() == 0)
+    // ...minimally: dropping the last (highest-cum) pick would starve it
+    assert(per.filter(col("last_start") >= col("q")).count() == 0)
+    // selection takes roughly a quarter of the corpus tokens
+    val got = f.agg(sum("n_tok")).head.getLong(0).toDouble
+    assert(got / nTotal > 0.2 && got / nTotal < 0.4, s"selected fraction ${got / nTotal}")
+    // deterministic
+    val again = Sampling.quotaFill(spark, sf)
+    assert(f.exceptAll(again).count() == 0)
+  }
+
   test("priority sample: k per source, DLT estimator unbiased-ish, tau is the threshold") {
     val k = 16
     val s = Sampling.prioritySample(spark, sf, k).cache()
