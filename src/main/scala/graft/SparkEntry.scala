@@ -156,6 +156,8 @@ object SparkEntry {
     "q_percentile_disc" -> (AnalyticsExt.percentileDisc _),
     // Equi-depth histogram (§2 #156)
     "q_equidepth_hist" -> ((s: SparkSession, d: String) => AnalyticsExt.equidepthHist(s, d)),
+    // Per-key OLS trend (§2 #159)
+    "q_ols_trend" -> (AnalyticsExt.olsTrend _),
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "q_rolling_median" -> (AnalyticsExt.rollingMedian _),
     "q_asof_nearest" -> (AnalyticsExt.asofNearest _),
@@ -2129,6 +2131,25 @@ object SparkEntry {
          SELECT rank, a, b, c_ab, c_a, c_b, dice_e6 FROM (
            SELECT CAST(row_number() OVER (ORDER BY dice_e6 DESC, a, b) AS BIGINT) AS rank, *
            FROM d) WHERE rank <= 25""",
+    "q_ols_trend" ->
+      // closed-form OLS per customer: integer day index x cents, e4
+      // slope/intercept by toward-zero integer division
+      """WITH p AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+           FROM orders),
+         a AS (
+           SELECT o_custkey, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM p GROUP BY o_custkey)
+         SELECT o_custkey, n,
+           CAST(((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx) AS BIGINT) AS slope_e4,
+           CAST((sy * 10000 - (((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx)) * sx) // n
+             AS BIGINT) AS intercept_e4
+         FROM a
+         WHERE n >= 2 AND n * sxx - sx * sx > 0""",
     "q_equidepth_hist" ->
       // rank-defined B=8 bins: bin = ((rn-1)*8) div n + 1 under the
       // (value, event_id) total order -- populations equal +-1

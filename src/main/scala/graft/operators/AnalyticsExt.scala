@@ -437,6 +437,38 @@ object AnalyticsExt {
       .select(col("event_type"), col("p"), round(col("value"), 2).as("value"))
   }
 
+  /** #159 Per-key OLS trend: closed-form least-squares slope/intercept
+    * of customer spend (cents) over order day — the per-entity trend
+    * extractor (LTV trajectory, churn signal) as ONE partial-agg pass:
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) over integer day index ×
+    * integer cents, emitted on the e4 grid by integer division (both
+    * engines truncate toward zero — verified, and Cauchy–Schwarz
+    * bounds every intermediate under 2⁶³). Zero windows, zero joins:
+    * five integer sums per key, then per-row arithmetic — the cheapest
+    * possible distributed shape for a regression per key. Keys with
+    * one order or a single distinct day carry no slope and are
+    * excluded (denominator 0).
+    */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("y"))
+    o.groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 2 && expr("n * sxx - sx * sx") > 0)
+      .withColumn("slope_e4", expr("((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)"))
+      .withColumn("intercept_e4", expr("(sy * 10000 - slope_e4 * sx) div n"))
+      .select(col("o_custkey"), col("n"), col("slope_e4"), col("intercept_e4"))
+  }
+
   /** #156 Equi-depth histogram: per event_type, B rank-defined bins
     * over `value` — the optimizer/statistics histogram (equal ROW
     * counts per bin, data-adaptive boundaries) as opposed to #91's

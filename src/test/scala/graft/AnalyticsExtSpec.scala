@@ -99,6 +99,33 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(topDeg > avgDeg, s"top-ranked degree $topDeg not above average $avgDeg")
   }
 
+  test("ols trend: matches Spark's regr_slope, identity holds, deterministic") {
+    val t = graft.operators.AnalyticsExt.olsTrend(spark, sf).cache()
+    assert(t.count() > 0 && t.filter(col("n") < 2).count() == 0)
+    // the e4 integer slope tracks the float regr_slope to quantization
+    val ref = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("double").as("x"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").cast("double").as("y"))
+      .groupBy("o_custkey").agg(expr("regr_slope(y, x)").as("s"), count(lit(1)).as("cnt"))
+    val joined = t.join(ref, "o_custkey")
+      .withColumn("diff", abs(col("slope_e4") / 1e4 - col("s")))
+    assert(joined.filter(col("diff") > 1.0).count() == 0,
+      "integer slope deviates from regr_slope beyond quantization")
+    // division identity: sy*1e4 - slope*sx - intercept*n is a remainder < n
+    val agg = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("y"))
+      .groupBy("o_custkey").agg(sum("x").as("sx"), sum("y").as("sy"))
+    val id = t.join(agg, "o_custkey")
+      .withColumn("r", col("sy") * 10000 - col("slope_e4") * col("sx")
+        - col("intercept_e4") * col("n"))
+    assert(id.filter(abs(col("r")) >= col("n")).count() == 0)
+    val again = graft.operators.AnalyticsExt.olsTrend(spark, sf)
+    assert(t.exceptAll(again).count() == 0)
+  }
+
   test("equi-depth histogram: bins tile each type, populations equal +-1, boundaries ordered") {
     val bins = 8
     val h = graft.operators.AnalyticsExt.equidepthHist(spark, sf, bins).cache()
