@@ -158,6 +158,8 @@ object SparkEntry {
     "q_equidepth_hist" -> ((s: SparkSession, d: String) => AnalyticsExt.equidepthHist(s, d)),
     // Per-key OLS trend (§2 #159)
     "q_ols_trend" -> (AnalyticsExt.olsTrend _),
+    // Weighted discrete percentiles (§2 #160)
+    "q_weighted_percentile" -> (AnalyticsExt.weightedPercentile _),
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "q_rolling_median" -> (AnalyticsExt.rollingMedian _),
     "q_asof_nearest" -> (AnalyticsExt.asofNearest _),
@@ -2131,6 +2133,29 @@ object SparkEntry {
          SELECT rank, a, b, c_ab, c_a, c_b, dice_e6 FROM (
            SELECT CAST(row_number() OVER (ORDER BY dice_e6 DESC, a, b) AS BIGINT) AS rank, *
            FROM d) WHERE rank <= 25""",
+    "q_weighted_percentile" ->
+      // discrete quantity-weighted price percentiles: winner = the row
+      // whose running-qty interval (cum-w, cum] contains the integer
+      // threshold ceil(num*W/den)
+      """WITH b AS (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+         c AS (
+           SELECT *,
+             CAST(sum(qty) OVER (PARTITION BY l_returnflag
+               ORDER BY price_c, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) AS wtot
+           FROM b),
+         pp AS (
+           SELECT unnest([{'num': 1, 'den': 4}, {'num': 1, 'den': 2},
+                          {'num': 3, 'den': 4}, {'num': 9, 'den': 10}]) AS pr)
+         SELECT l_returnflag, CAST(pr.num AS DOUBLE) / pr.den AS p, price_c
+         FROM c, pp
+         WHERE cum - qty < (pr.num * wtot + pr.den - 1) // pr.den
+           AND (pr.num * wtot + pr.den - 1) // pr.den <= cum""",
     "q_ols_trend" ->
       // closed-form OLS per customer: integer day index x cents, e4
       // slope/intercept by toward-zero integer division

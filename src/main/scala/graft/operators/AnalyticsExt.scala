@@ -437,6 +437,46 @@ object AnalyticsExt {
       .select(col("event_type"), col("p"), round(col("value"), 2).as("value"))
   }
 
+  /** #160 Weighted discrete percentiles: per return flag, the price at
+    * which a fraction p of total QUANTITY (not row count) is reached —
+    * the inventory/value-at-risk percentile, where heavy rows count
+    * proportionally. Fully discrete and all-integer: threshold
+    * T = ⌈(num·W)/den⌉ = (num·W + den − 1) div den over exact
+    * fractions p = num/den, winner = the row whose running quantity
+    * interval (cum − w, cum] contains T under the (price, orderkey,
+    * linenumber) total order. No interpolation arithmetic, exact
+    * cross-engine like #106. At 100 TB the per-flag running sum uses
+    * the hierarchical-cumsum construction (#118) since the group
+    * cardinality is tiny.
+    */
+  def weightedPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_c"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .withColumn(
+        "cum",
+        sum("qty").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wtot", sum("qty").over(Window.partitionBy("l_returnflag")))
+      .withColumn(
+        "pr",
+        expr("explode(array(struct(1 AS num, 4 AS den), struct(1 AS num, 2 AS den), " +
+          "struct(3 AS num, 4 AS den), struct(9 AS num, 10 AS den)))"))
+      .withColumn("t", expr("(pr.num * wtot + pr.den - 1) div pr.den"))
+      .filter(col("cum") - col("qty") < col("t") && col("t") <= col("cum"))
+      .select(
+        col("l_returnflag"),
+        (col("pr.num").cast("double") / col("pr.den")).as("p"),
+        col("price_c"))
+  }
+
   /** #159 Per-key OLS trend: closed-form least-squares slope/intercept
     * of customer spend (cents) over order day — the per-entity trend
     * extractor (LTV trajectory, churn signal) as ONE partial-agg pass:

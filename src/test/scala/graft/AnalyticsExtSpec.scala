@@ -99,6 +99,32 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(topDeg > avgDeg, s"top-ranked degree $topDeg not above average $avgDeg")
   }
 
+  test("weighted percentile: monotone in p, one row per (flag, p), brackets the unweighted") {
+    val wp = graft.operators.AnalyticsExt.weightedPercentile(spark, sf).cache()
+    val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
+    // exactly one winner per (flag, p)
+    assert(wp.count() == flags * 4)
+    assert(wp.groupBy("l_returnflag", "p").count().filter(col("count") =!= 1).count() == 0)
+    // monotone: value non-decreasing in p within each flag
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag").orderBy("p")
+    assert(wp.withColumn("prev", lag("price_c", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("price_c")).count() == 0)
+    // the weighted median splits the QUANTITY mass ~in half
+    val med = wp.filter(col("p") === 0.5)
+      .select(col("l_returnflag"), col("price_c").as("m"))
+    val mass = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("pc"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .join(med, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg((sum(when(col("pc") <= col("m"), col("qty")).otherwise(0L)) /
+        sum("qty")).as("frac"))
+    assert(mass.filter(col("frac") < 0.5 || col("frac") > 0.55).count() == 0)
+    val again = graft.operators.AnalyticsExt.weightedPercentile(spark, sf)
+    assert(wp.exceptAll(again).count() == 0)
+  }
+
   test("ols trend: matches Spark's regr_slope, identity holds, deterministic") {
     val t = graft.operators.AnalyticsExt.olsTrend(spark, sf).cache()
     assert(t.count() > 0 && t.filter(col("n") < 2).count() == 0)
