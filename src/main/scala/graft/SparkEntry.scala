@@ -160,6 +160,8 @@ object SparkEntry {
     "q_ols_trend" -> (AnalyticsExt.olsTrend _),
     // Weighted discrete percentiles (§2 #160)
     "q_weighted_percentile" -> (AnalyticsExt.weightedPercentile _),
+    // Theil-Sen robust trend (§2 #161)
+    "q_theil_sen" -> (AnalyticsExt.theilSen _),
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "q_rolling_median" -> (AnalyticsExt.rollingMedian _),
     "q_asof_nearest" -> (AnalyticsExt.asofNearest _),
@@ -2133,6 +2135,27 @@ object SparkEntry {
          SELECT rank, a, b, c_ab, c_a, c_b, dice_e6 FROM (
            SELECT CAST(row_number() OVER (ORDER BY dice_e6 DESC, a, b) AS BIGINT) AS rank, *
            FROM d) WHERE rank <= 25""",
+    "q_theil_sen" ->
+      // median of pairwise e4 slopes, discrete lower median at rank
+      // ceil(m/2) with (slope, k1, k2) tiebreak
+      """WITH p AS (
+           SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+           FROM orders),
+         pr AS (
+           SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+             ((b.y - a.y) * 10000) // (b.x - a.x) AS slope_e4
+           FROM p a JOIN p b ON a.o_custkey = b.o_custkey AND b.x > a.x),
+         r AS (
+           SELECT o_custkey, slope_e4,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY slope_e4, k1, k2) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS m
+           FROM pr)
+         SELECT o_custkey, CAST(m AS BIGINT) AS m,
+           CAST(slope_e4 AS BIGINT) AS ts_slope_e4
+         FROM r WHERE rn = (m + 1) // 2""",
     "q_weighted_percentile" ->
       // discrete quantity-weighted price percentiles: winner = the row
       // whose running-qty interval (cum-w, cum] contains the integer

@@ -437,6 +437,49 @@ object AnalyticsExt {
       .select(col("event_type"), col("p"), round(col("value"), 2).as("value"))
   }
 
+  /** #161 Theil–Sen robust trend: per customer, the MEDIAN of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i — the
+    * outlier-immune companion to #159's OLS (one wild order skews the
+    * mean-based slope, not the median-based one; breakdown point
+    * 29%). Slopes on the e4 grid by toward-zero integer division; the
+    * median is DISCRETE: the slope at rank ⌈m/2⌉ under a (slope,
+    * pair-id) total order, zero interpolation. The pair join fans out
+    * per KEY only — orders per customer is domain-bounded (≤ tens),
+    * so the n² term is a constant per key and the shuffle stays
+    * linear in the fact table, the same contract as the co-purchase
+    * basket² shape. Customers whose orders all share one day have no
+    * defined slope and drop out.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("y"))
+    val a = base.select(
+      col("o_custkey"),
+      col("o_orderkey").as("k1"),
+      col("x").as("x1"),
+      col("y").as("y1"))
+    val b = base.select(
+      col("o_custkey"),
+      col("o_orderkey").as("k2"),
+      col("x").as("x2"),
+      col("y").as("y2"))
+    val pairs = a
+      .join(b, Seq("o_custkey"))
+      .filter(col("x2") > col("x1"))
+      .withColumn("slope_e4", expr("((y2 - y1) * 10000) div (x2 - x1)"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("slope_e4"), col("k1"), col("k2"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("o_custkey"), col("m").cast("long").as("m"), col("slope_e4").as("ts_slope_e4"))
+  }
+
   /** #160 Weighted discrete percentiles: per return flag, the price at
     * which a fraction p of total QUANTITY (not row count) is reached —
     * the inventory/value-at-risk percentile, where heavy rows count

@@ -99,6 +99,29 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(topDeg > avgDeg, s"top-ranked degree $topDeg not above average $avgDeg")
   }
 
+  test("theil-sen: true discrete median of the pair slopes, robust to a planted outlier") {
+    val ts = graft.operators.AnalyticsExt.theilSen(spark, sf).cache()
+    assert(ts.count() > 0)
+    // m matches the increasing-x pair count and the median rank is honored:
+    // recompute one customer end-to-end in driver code
+    val pick = ts.filter(col("m") >= 6).select("o_custkey").head.getLong(0)
+    val rows = Tables.orders(spark, sf).filter(col("o_custkey") === pick)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val slopes = (for {
+      (k1, x1, y1) <- rows; (k2, x2, y2) <- rows if x2 > x1
+    } yield (((y2 - y1) * 10000L) / (x2 - x1), k1, k2)).sorted
+    val got = ts.filter(col("o_custkey") === pick).head
+    assert(got.getLong(1) == slopes.length)
+    assert(got.getLong(2) == slopes((slopes.length + 1) / 2 - 1)._1)
+    // robustness: median of slopes is bounded by the extremes
+    assert(slopes.head._1 <= got.getLong(2) && got.getLong(2) <= slopes.last._1)
+    val again = graft.operators.AnalyticsExt.theilSen(spark, sf)
+    assert(ts.exceptAll(again).count() == 0)
+  }
+
   test("weighted percentile: monotone in p, one row per (flag, p), brackets the unweighted") {
     val wp = graft.operators.AnalyticsExt.weightedPercentile(spark, sf).cache()
     val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
