@@ -69,6 +69,8 @@ object SparkEntry {
     "q_key_skew" -> (Scale.keySkew _),
     // Rendezvous sharding (§2 #155)
     "q_shard_rendezvous" -> ((s: SparkSession, d: String) => Scale.rendezvousShards(s, d)),
+    // Join-size estimation from hashed sketches (§2 #162)
+    "q_join_size_est" -> ((s: SparkSession, d: String) => Scale.joinSizeEstimate(s, d)),
     "cdc_merge_incremental" -> (Scale.mergeIncremental _),
     "q_resample_daily" -> (Scale.resampleDaily _),
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
@@ -1318,6 +1320,28 @@ object SparkEntry {
            n_keys_total,
            round(max_c * n_keys_total / CAST(n_rows_total AS DOUBLE), 4) AS skew_ratio
          FROM hist, t""",
+    "q_join_size_est" ->
+      // AMS inner product over 2^16 hash buckets vs the exact key-
+      // histogram product; overcount-only contract + e4 ratio
+      """WITH s1 AS (
+           SELECT ('0x' || substr(md5('graft-js-1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             % 65536 AS b, count(*) AS c1
+           FROM events GROUP BY 1),
+         s2 AS (
+           SELECT ('0x' || substr(md5('graft-js-1:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+             % 65536 AS b, count(*) AS c2
+           FROM orders GROUP BY 1),
+         est AS (
+           SELECT CAST(sum(c1 * c2) AS BIGINT) AS est_rows FROM s1 JOIN s2 USING (b)),
+         ex AS (
+           SELECT CAST(sum(n1 * n2) AS BIGINT) AS exact_rows FROM
+             (SELECT user_id, count(*) AS n1 FROM events GROUP BY 1) e
+             JOIN (SELECT o_custkey, count(*) AS n2 FROM orders GROUP BY 1) o
+             ON e.user_id = o.o_custkey)
+         SELECT exact_rows, est_rows,
+           CAST(est_rows >= exact_rows AS BIGINT) AS overcount_only,
+           (est_rows * 10000) // exact_rows AS ratio_e4
+         FROM ex, est""",
     "q_shard_rendezvous" ->
       // HRW argmax over md5-parity hashes for S=8 and S=9; first-max
       // argmax via list_position == Spark array_position

@@ -300,6 +300,48 @@ object Scale {
     * aggregation; the histogram is at most |distinct counts| rows —
     * tiny at any corpus size. The 1-row totals join is a broadcast.
     */
+  /** #162 Join-size estimation from hashed frequency sketches: the
+    * AMS/count-min inner product Σ_b c₁(b)·c₂(b) over B hash buckets
+    * of the join key estimates |events ⋈ orders| WITHOUT executing
+    * the join — the planner diagnostic that decides broadcast vs
+    * shuffle vs skew handling before committing resources, from two
+    * B-row sketches instead of two key-cardinality histograms.
+    * Overcount-only by construction (collisions can only ADD cross
+    * products), so the result row carries the exact size, the
+    * estimate, the est ≥ exact contract flag, and the e4 overcount
+    * ratio — all integers, everything replayed by the oracle. Build
+    * cost: one counter-sized groupBy per side (B rows), a B-row
+    * join, a 1-row aggregate; the exact side is the key-histogram
+    * product (the thing you could NOT afford at planning time — here
+    * it doubles as the contract's ground truth).
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String, bLog2: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bCount = (1L << bLog2)
+    def bucketed(df: DataFrame, key: String, out: String) =
+      df.select(pmod(Dedup.hash60(concat(lit("graft-js-1:"), col(key))), lit(bCount)).as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as(out))
+    val sk = bucketed(Tables.events(spark, dir), "user_id", "c1")
+      .join(bucketed(Tables.orders(spark, dir), "o_custkey", "c2"), "b")
+      .agg(sum(col("c1") * col("c2")).as("est_rows"))
+    val exact = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n1"))
+      .join(
+        Tables.orders(spark, dir).groupBy(col("o_custkey").as("user_id")).agg(count(lit(1)).as("n2")),
+        "user_id")
+      .agg(sum(col("n1") * col("n2")).as("exact_rows"))
+    exact
+      .crossJoin(sk)
+      .select(
+        col("exact_rows"),
+        col("est_rows"),
+        (col("est_rows") >= col("exact_rows")).cast("long").as("overcount_only"),
+        expr("(est_rows * 10000) div exact_rows").as("ratio_e4"))
+  }
+
   /** #155 Rendezvous (highest-random-weight) sharding: shard(doc) =
     * argmax over shards s of hash(s, doc) — the stable shard
     * assignment for incremental pipelines. The property modulo

@@ -178,6 +178,23 @@ class ScaleSpec extends SparkSpec {
     assert(bad.count() == 0, "a gap day did not carry the previous value")
   }
 
+  test("join-size estimate: overcount-only and close, exact side is the true join size") {
+    val r = graft.operators.Scale.joinSizeEstimate(spark, sf).cache()
+    assert(r.count() == 1)
+    val row = r.head
+    // the exact side really is the join's output size
+    val truth = Tables.events(spark, sf).select(col("user_id"))
+      .join(Tables.orders(spark, sf).select(col("o_custkey").as("user_id")), "user_id")
+      .count()
+    assert(row.getLong(0) == truth, s"exact_rows ${row.getLong(0)} vs join count $truth")
+    // the sketch can only overcount, and by < 2x at 2^16 buckets
+    assert(row.getLong(2) == 1L)
+    assert(row.getLong(3) >= 10000L && row.getLong(3) < 20000L,
+      s"ratio_e4 ${row.getLong(3)}")
+    val again = graft.operators.Scale.joinSizeEstimate(spark, sf)
+    assert(r.exceptAll(again).count() == 0)
+  }
+
   test("rendezvous sharding: minimal movement on reshard, every mover lands on the new shard") {
     val r = graft.operators.Scale.rendezvousShards(spark, sf).cache()
     val n = r.count()
