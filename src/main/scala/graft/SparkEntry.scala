@@ -99,6 +99,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_idf" -> (Dedup.simhashIdf _),
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
+    // Exact prefix-filter similarity join (§2 #163)
+    "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_apply" -> (Dedup.applyKeepList _),
     "dedup_report" -> (Dedup.report _),
@@ -1458,6 +1460,46 @@ object SparkEntry {
                / len(list_distinct(hs_a || hs_b)), 4) AS jaccard
            FROM cand WHERE n_shared_bands >= 1)
          WHERE jaccard >= 0.3""",
+    "dedup_prefix_join" ->
+      // prefix-filter exact Jaccard >= 3/5 join: rarity-ordered
+      // prefixes, candidates share a prefix token, integer verify
+      """WITH toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 1000000,
+             tok[1:greatest(1, CAST(floor(len(tok) * 0.8) AS INT))]
+           FROM toks0 WHERE doc_id % 5 = 0),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END AS sh
+           FROM corpus),
+         sets AS (SELECT doc_id, list_distinct(sh) AS ts FROM sh),
+         e AS (SELECT doc_id, unnest(ts) AS tok FROM sets),
+         dft AS (SELECT tok, count(*) AS df FROM e GROUP BY tok),
+         srt AS (
+           SELECT e.doc_id, list(e.tok ORDER BY dft.df, e.tok) AS stoks
+           FROM e JOIN dft USING (tok) GROUP BY e.doc_id),
+         pref AS (
+           SELECT doc_id,
+             unnest(stoks[1 : len(stoks) - (3 * len(stoks) + 4) // 5 + 1]) AS tok
+           FROM srt),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_inter,
+             CAST(len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_union
+           FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+                     JOIN sets sb ON sb.doc_id = cand.doc_b)
+         SELECT doc_a, doc_b, n_inter, n_union,
+           (n_inter * 10000) // n_union AS jaccard_e4
+         FROM v WHERE 5 * n_inter >= 3 * n_union""",
     "dedup_clusters" ->
       s"""${minhashCandidatesCte(recursive = true)},
          edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),

@@ -299,6 +299,62 @@ object Dedup {
     * |∩|/|∪|. The verify stage runs only on LSH survivors — linear in
     * candidates, not corpus².
     */
+  /** #163 Exact set-similarity join via prefix filtering (the
+    * PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al.
+    * 2008): find all pairs with token-set Jaccard ≥ 0.6 EXACTLY — no
+    * LSH recall loss, no probabilistic contract. The prefix-filter
+    * theorem: order every doc's tokens by global rarity (df asc, token
+    * tiebreak); if J(A,B) ≥ t, the first n−⌈t·n⌉+1 tokens of A and B
+    * must share an element — so candidates come from joining ONLY on
+    * prefix tokens, which are the RAREST tokens (tiny posting lists:
+    * shuffle = Σ prefix lengths keyed on rare tokens, never corpus²).
+    * Survivors get exact verification with the integer predicate
+    * 5·|A∩B| ≥ 3·|A∪B| — zero float arithmetic end to end, so both
+    * engines produce the identical pair set. The exact complement to
+    * the MinHash (#23) estimate-then-verify path. Sets are 3-token
+    * SHINGLES, not tokens: on a shared-vocabulary corpus every doc
+    * pair overlaps heavily at the token level (measured: J ≥ 0.6 for
+    * ~80% of ALL pairs here, exploding the join), while shingle sets
+    * are near-unique across unrelated docs — so prefixes really are
+    * rare and the candidate set collapses to true near-dups.
+    */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sets = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(toks(col("text")))).as("ts"))
+      .localCheckpoint(eager = false)
+    val e = sets.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val dft = e.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = e
+      .join(dft, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"), expr("transform(st, s -> s.tok)").as("stoks"))
+      .withColumn("n", size(col("stoks")))
+      .select(
+        col("doc_id"),
+        explode(expr("slice(stoks, 1, n - (3 * n + 4) div 5 + 1)")).as("tok"))
+    val cand = pref
+      .select(col("doc_id").as("doc_a"), col("tok"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn(
+        "n_union",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 3)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_inter"),
+        col("n_union"),
+        expr("(n_inter * 10000) div n_union").as("jaccard_e4"))
+  }
+
   def jaccardVerify(spark: SparkSession, dir: String): DataFrame = {
     // ONE tokenize/shingle/hash pass: the KB-scale shingle-hash set
     // rides along through the banding explode and the bucket self-join,

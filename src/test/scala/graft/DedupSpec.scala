@@ -209,4 +209,36 @@ class DedupSpec extends SparkSpec {
     val dups = r.agg(sum("n_dups")).head.getLong(0)
     assert(dups >= nPlanted, s"only $dups dups found for $nPlanted planted copies")
   }
+
+  test("prefix join: EXACTLY the brute-force Jaccard>=0.6 pair set, no recall loss") {
+    val p = Dedup.prefixJoin(spark, sf).cache()
+    // brute-force ground truth over the same corpus (test-SF-sized only)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val t = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val keep = greatest(lit(1), floor(size(t) * 0.8).cast("int"))
+    def sh(tok: org.apache.spark.sql.Column) =
+      when(size(tok) < 3, array(concat_ws(" ", tok)))
+        .otherwise(transform(sequence(lit(1), size(tok) - 2),
+          i => concat_ws(" ", slice(tok, i, lit(3)))))
+    val corpus = docs.select(col("doc_id"), array_distinct(sh(t)).as("ts"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_distinct(sh(slice(t, lit(1), keep))).as("ts")))
+    val a = corpus.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+    val b = corpus.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("i", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("u", (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("i"))
+      .filter(col("i") * 5 >= col("u") * 3)
+      .select("doc_a", "doc_b")
+    // set equality both ways: prefix filtering loses NOTHING and adds nothing
+    assert(p.select("doc_a", "doc_b").exceptAll(truth).count() == 0)
+    assert(truth.exceptAll(p.select("doc_a", "doc_b")).count() == 0)
+    // the planted truncation copies are found
+    assert(p.filter(col("doc_b") === col("doc_a") + 1000000L).count() > 0)
+    // score formula holds
+    assert(p.filter(col("jaccard_e4") =!= expr("(n_inter * 10000) div n_union")).count() == 0)
+    val again = Dedup.prefixJoin(spark, sf)
+    assert(p.exceptAll(again).count() == 0)
+  }
 }
