@@ -354,6 +354,30 @@ object CdcStream {
       }
   }
 
+  /** #164 Stream-static enrichment join: attach a static dimension
+    * (customer attributes) to a CDC change stream — the standard
+    * "enrich before sinking" stage. Stream-static joins are
+    * STATELESS in Structured Streaming: the static side is
+    * re-resolved per micro-batch and broadcast, no watermark, no join
+    * state to expire — `StreamStaticSpec` pins both streamed ≡ batch
+    * equality AND the zero-state-operator plan property (the contract
+    * that separates this from #143's symmetric stateful join). Left
+    * join: a change whose key has no dimension row still flows,
+    * null-enriched — enrichment must never drop or delay data.
+    *
+    * Scale: per micro-batch cost = batch × broadcast(dim); a dim too
+    * big to broadcast becomes a shuffle join per batch — both are
+    * Catalyst's call, the operator stays declarative.
+    */
+  def enrichWithDim(changes: DataFrame, dim: DataFrame): DataFrame =
+    changes.join(
+      broadcast(dim.select(
+        col("c_custkey").as("user_id"),
+        col("c_nationkey"),
+        col("c_mktsegment"))),
+      Seq("user_id"),
+      "left")
+
   /** #143 Watermarked stream-stream interval join: right-side events
     * within `[left.t, left.t + horizon]` of a same-key left event —
     * the streaming attribution shape (touchpoint ↔ conversion,

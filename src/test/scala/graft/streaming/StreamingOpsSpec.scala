@@ -244,4 +244,31 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("stream-static enrichment equals the batch join and holds NO streaming state") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      changes.write.mode("append").parquet(inDir)
+      val dim = graft.Tables.customer(spark, sf)
+
+      val q = CdcStream
+        .enrichWithDim(CdcStream.readChangelog(spark, inDir).toDF(), dim)
+        .writeStream
+        .format("memory")
+        .queryName("stream_enrich")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("stream_enrich")
+        val batch = CdcStream.enrichWithDim(changes.toDF(), dim)
+        assert(streamed.count() == changes.count(), "enrichment must never drop rows")
+        assert(streamed.exceptAll(batch).count() == 0)
+        assert(batch.exceptAll(streamed).count() == 0)
+        // the defining contract vs #143: stream-static joins are STATELESS
+        assert(q.lastProgress.stateOperators.isEmpty,
+          s"unexpected state operators: ${q.lastProgress.stateOperators.map(_.operatorName).mkString(",")}")
+      } finally q.stop()
+    }
+  }
 }
