@@ -91,6 +91,8 @@ object SparkEntry {
     "q_priority_sample" -> ((s: SparkSession, d: String) => Sampling.prioritySample(s, d)),
     // Quota-filling document selection (§2 #158)
     "q_quota_fill" -> ((s: SparkSession, d: String) => Sampling.quotaFill(s, d)),
+    // Length-bucketed batching (§2 #165)
+    "q_length_batching" -> ((s: SparkSession, d: String) => Sampling.lengthBatching(s, d)),
     "q_neg_sample" -> ((s: SparkSession, d: String) => Sampling.negSample(s, d)),
     // Dedup (§2 #21-26)
     "dedup_exact" -> (Dedup.exact _),
@@ -1060,6 +1062,26 @@ object SparkEntry {
            CAST(base + CAST(row_number() OVER (ORDER BY rem DESC, source)
                  <= (SELECT r FROM s) AS BIGINT) AS BIGINT) AS quota
          FROM b""",
+    "q_length_batching" ->
+      // 16-token length buckets, shard-major hash order within each,
+      // batches of 8, per-batch padding accounting
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS len,
+             ('0x' || substr(md5('graft-batch-1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+           FROM documents),
+         r AS (
+           SELECT (len + 15) // 16 AS bucket_id, len,
+             row_number() OVER (PARTITION BY (len + 15) // 16
+               ORDER BY ord % 8, ord, doc_id) AS rn
+           FROM d),
+         b AS (
+           SELECT bucket_id, CAST((rn - 1) // 8 AS BIGINT) AS batch_idx, len FROM r)
+         SELECT bucket_id, batch_idx, count(*) AS n_docs,
+           CAST(max(len) AS BIGINT) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(len) - sum(len) AS BIGINT) AS waste
+         FROM b GROUP BY 1, 2""",
     "q_quota_fill" ->
       // Hamilton quotas on budget = total_tokens // 4, then per source
       // take docs in shard-major salted-hash order until the running

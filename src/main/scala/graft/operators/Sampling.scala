@@ -189,6 +189,53 @@ object Sampling {
         (col("base") + (col("rrank") <= col("r")).cast("long")).as("quota"))
   }
 
+  /** #165 Length-bucketed batching: group sequences of similar token
+    * length into fixed-size training batches so per-batch padding
+    * (batch · max_len − Σ len) stays small — the dynamic-batching
+    * schedule every seq2seq/packing-free trainer runs. Buckets are
+    * 16-token bands (all-integer: bucket = (len+15) div 16); within a
+    * bucket docs take a deterministic salted-hash order and
+    * batch_idx = (rank−1) div B. The per-bucket rank is HIERARCHICAL
+    * ([[ppsSample]]'s construction — (bucket, shard) local ranks +
+    * broadcast shard offsets, shard-major order) because bucket
+    * cardinality is tiny (~10) and a bucket-sized sort partition
+    * would be the #1-style scale killer. Output is the batch manifest
+    * with its padding accounting — the waste column IS the metric the
+    * technique exists to minimize.
+    */
+  def lengthBatching(spark: SparkSession, dir: String, batch: Int = 8, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(Dedup.toks(col("text"))).cast("long").as("len"),
+        Dedup.hash60(concat(lit("graft-batch-1:"), col("doc_id"))).as("ord"))
+      .withColumn("bucket_id", expr("(len + 15) div 16"))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+    val wLocal = Window.partitionBy("bucket_id", "shard").orderBy(col("ord"), col("doc_id"))
+    val local = docs.withColumn("rn_local", row_number().over(wLocal).cast("long"))
+    val counts = docs.groupBy("bucket_id", "shard").agg(count(lit(1)).as("c"))
+    // bounded window: nShards rows per bucket
+    val wOff = Window
+      .partitionBy("bucket_id")
+      .orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select(col("bucket_id"), col("shard"), col("off"))
+    local
+      .join(broadcast(offsets), Seq("bucket_id", "shard"))
+      .withColumn("batch_idx", expr(s"(off + rn_local - 1) div $batch"))
+      .groupBy("bucket_id", "batch_idx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("len").as("max_len"),
+        sum("len").as("sum_len"))
+      .withColumn("waste", col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   /** #158 Quota filling: materialize the #150 token quotas into an
     * actual document selection — the final step of the mixture chain
     * (#77 weights → #150 integer quotas → the docs themselves). Per

@@ -172,6 +172,26 @@ class SamplingSpec extends SparkSpec {
     assert(q.exceptAll(again).count() == 0)
   }
 
+  test("length batching: tiles the corpus, full batches except tails, waste bounded by the band") {
+    val b = Sampling.lengthBatching(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(b.agg(sum("n_docs")).head.getLong(0) == n)
+    assert(b.filter(col("n_docs") > 8 || col("n_docs") < 1).count() == 0)
+    // only the last batch of a bucket may be partial
+    val lastIdx = b.groupBy("bucket_id").agg(max("batch_idx").as("last"))
+    assert(b.join(lastIdx, "bucket_id")
+      .filter(col("batch_idx") < col("last") && col("n_docs") =!= 8).count() == 0)
+    // bucketing is honored: max_len inside the bucket's 16-token band
+    assert(b.filter(col("max_len") > col("bucket_id") * 16 ||
+      col("max_len") <= (col("bucket_id") - 1) * 16).count() == 0)
+    // THE point of the technique: within-batch padding is bounded by the
+    // band width (waste <= n_docs * 15), vs unbounded for random batching
+    assert(b.filter(col("waste") > col("n_docs") * 15).count() == 0)
+    assert(b.filter(col("waste") =!= col("n_docs") * col("max_len") - col("sum_len")).count() == 0)
+    val again = Sampling.lengthBatching(spark, sf)
+    assert(b.exceptAll(again).count() == 0)
+  }
+
   test("quota fill: every quota met minimally in the deterministic order, never starved") {
     val f = Sampling.quotaFill(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
