@@ -329,14 +329,21 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
       .select(col("doc_id"), expr("transform(st, s -> s.tok)").as("stoks"))
-      .withColumn("n", size(col("stoks")))
+      .withColumn("n", size(col("stoks")).cast("long"))
       .select(
         col("doc_id"),
-        explode(expr("slice(stoks, 1, n - (3 * n + 4) div 5 + 1)")).as("tok"))
+        col("n"),
+        explode(expr("slice(stoks, 1, CAST(n - (3 * n + 4) div 5 + 1 AS INT))")).as("tok"))
+    // PPJoin's length filter: J >= 3/5 forces 3*n_a <= 5*n_b and
+    // vice versa, so size-mismatched candidates are pruned BEFORE the
+    // distinct + verify — pure pruning, the result set is invariant
+    // (every verified pair satisfies the bound by definition)
     val cand = pref
-      .select(col("doc_id").as("doc_a"), col("tok"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("tok")), "tok")
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("tok"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("tok")), "tok")
+      .filter(
+        col("doc_a") < col("doc_b") &&
+          col("n_a") * 3 <= col("n_b") * 5 && col("n_b") * 3 <= col("n_a") * 5)
       .select("doc_a", "doc_b")
       .distinct()
     cand
