@@ -121,9 +121,12 @@ object Bench {
         f"""  "$n": {"pos":$i,"first":$first%.3f,"best":$best%.3f$extra}"""
       }
       .mkString("{\n", ",\n", "\n}")
-    Files.writeString(
-      Paths.get("BENCH_DETAIL.json"),
-      f"""{"sf":"$sfDir","order":"alphabetical","total_best":$total%.3f,"queries":\n$detail}\n""")
+    // filtered (SPARK_GRAFT_ONLY) iteration runs must not clobber the
+    // committed full-suite record
+    if (only.isEmpty)
+      Files.writeString(
+        Paths.get("BENCH_DETAIL.json"),
+        f"""{"sf":"$sfDir","order":"alphabetical","total_best":$total%.3f,"queries":\n$detail}\n""")
 
     // queries first, verdict fields last — the tail survives capture
     println(
