@@ -63,6 +63,8 @@ object SparkEntry {
     "q_percent_rank" -> (AnalyticsExt.percentRank _),
     "q_freq_items" -> (AnalyticsExt.freqItems _),
     "q_copurchase" -> ((s: SparkSession, d: String) => AnalyticsExt.copurchase(s, d)),
+    // Connected components (§2 #166)
+    "q_components" -> ((s: SparkSession, d: String) => AnalyticsExt.components(s, d)),
     "q_mad_outliers" -> (Scale.madOutliers _),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
@@ -2668,6 +2670,38 @@ object SparkEntry {
            UNION ALL SELECT 'lineitem', 'range:l_discount in [0,1]', n, bad_disc FROM l
            UNION ALL SELECT 'customer', 'pk_unique:c_custkey', n, n - nk FROM c
            UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)""",
+    "q_components" -> {
+      // six unrolled min-label rounds + converged flag (l6 ≡ l5),
+      // support-≥2 symmetric edges, singletons stay themselves
+      // every round references the previous one TWICE — without
+      // MATERIALIZED, DuckDB inlines the chain and the plan doubles
+      // per round (2^6 blowup of the pair-generation subtree)
+      def round(prev: String, out: String) =
+        s"""$out AS MATERIALIZED (
+              SELECT l.part, least(l.label, coalesce(mn.m, l.label)) AS label
+              FROM $prev l LEFT JOIN (
+                SELECT e.src AS part, min(l2.label) AS m
+                FROM sym e JOIN $prev l2 ON l2.part = e.dst GROUP BY e.src) mn
+              USING (part))"""
+      s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pairs
+                 UNION ALL SELECT part_b, part_a FROM pairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS part, l_partkey AS label FROM po),
+         ${round("l0", "l1")}, ${round("l1", "l2")}, ${round("l2", "l3")},
+         ${round("l3", "l4")}, ${round("l4", "l5")}, ${round("l5", "l6")},
+         conv AS (
+           SELECT CAST(NOT EXISTS (
+             SELECT 1 FROM l6 JOIN l5 USING (part)
+             WHERE l6.label <> l5.label) AS BIGINT) AS converged),
+         sizes AS (SELECT label, count(*) AS comp_size FROM l6 GROUP BY label)
+         SELECT part, l6.label AS component, comp_size, converged
+         FROM l6 JOIN sizes USING (label), conv"""
+    },
     "q_pagerank" -> {
       // three unrolled integer power iterations; `//` is floor division
       // on nonnegative ints = Spark's `div`

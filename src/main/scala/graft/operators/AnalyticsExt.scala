@@ -341,6 +341,72 @@ object AnalyticsExt {
     out
   }
 
+  /** #166 Connected components over the co-purchase graph: which
+    * parts form closed purchasing ecosystems — the graph primitive
+    * under recommendation clustering, fraud rings, and the dedup
+    * keep-list (#64's CC, promoted to a first-class generic query).
+    * Six fixed min-label propagation rounds (label(p) ← min over p
+    * and its neighbors), the k-means/PageRank iterative-replay
+    * discipline: the oracle unrolls the SAME six rounds as CTEs, so
+    * even a not-yet-converged state would compare bit-exactly — and
+    * the result carries a `converged` flag (round 6 ≡ round 5),
+    * computed identically in both engines, so the contract is
+    * visible in the data. Support-≥2 edges keep the graph sparse;
+    * isolated parts are their own singleton components.
+    *
+    * Scale: each round = one join of the label vector against the
+    * dst-partitioned cached edge list + a groupBy min — linear per
+    * round; labels snapshots are lineage-cut per round and the
+    * cached frames are released on exit (the #124 discipline).
+    */
+  def components(spark: SparkSession, dir: String, rounds: Int = 6, minSupport: Int = 2): DataFrame = {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = po
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .cache()
+    val sym = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .repartition(col("dst"))
+      .cache()
+    val verts = po.select(col("l_partkey").as("part")).distinct()
+    var labels = verts.select(col("part"), col("part").as("label")).localCheckpoint(eager = false)
+    var prev = labels
+    for (_ <- 1 to rounds) {
+      prev = labels
+      val nmin = sym
+        .join(labels.select(col("part").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("part"))
+        .agg(min("nl").as("m"))
+      labels = labels
+        .join(nmin, Seq("part"), "left")
+        .select(col("part"), least(col("label"), coalesce(col("m"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    // bounded driver state: one scalar (did the last round change anything?)
+    val converged = labels
+      .join(prev.select(col("part"), col("label").as("prev_label")), "part")
+      .filter(col("label") =!= col("prev_label"))
+      .isEmpty
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+    val out = labels
+      .join(sizes, "label")
+      .select(
+        col("part"),
+        col("label").as("component"),
+        col("comp_size"),
+        lit(if (converged) 1L else 0L).as("converged"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
+    sym.unpersist()
+    out
+  }
+
   /** #110 Nearest-neighbor as-of join: each event matched to its
     * user's temporally CLOSEST order, backward or forward (ties
     * backward) — attribution when the touchpoint can precede or

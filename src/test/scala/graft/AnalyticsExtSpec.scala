@@ -99,6 +99,43 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(topDeg > avgDeg, s"top-ranked degree $topDeg not above average $avgDeg")
   }
 
+  test("components: matches a union-find reference exactly, converged, sizes tile the parts") {
+    val c = graft.operators.AnalyticsExt.components(spark, sf).cache()
+    val po = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    val nParts = po.select("l_partkey").distinct().count()
+    assert(c.count() == nParts)
+    // the 6-round propagation actually converged on this graph
+    assert(c.filter(col("converged") =!= 1L).count() == 0)
+    // comp_size really is the component's cardinality
+    val bad = c.groupBy("component").agg(count(lit(1)).as("n"), max("comp_size").as("s"),
+      min("comp_size").as("s2"))
+      .filter(col("n") =!= col("s") || col("s") =!= col("s2"))
+    assert(bad.count() == 0)
+    // union-find reference over the same support->=2 edge set
+    val edges = po.as("a")
+      .join(po.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .count().filter(col("count") >= 2)
+      .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = c.select("part").collect().map(_.getLong(0))
+      .map(p => p -> find(p)).toMap
+    val got = c.select("part", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "component labels differ from union-find min-label reference")
+    val again = graft.operators.AnalyticsExt.components(spark, sf)
+    assert(c.exceptAll(again).count() == 0)
+  }
+
   test("theil-sen: true discrete median of the pair slopes, robust to a planted outlier") {
     val ts = graft.operators.AnalyticsExt.theilSen(spark, sf).cache()
     assert(ts.count() > 0)
