@@ -84,6 +84,8 @@ object SparkEntry {
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_shuffle_order" -> ((s: SparkSession, d: String) => Sampling.shuffleOrder(s, d)),
+    // Multi-epoch shuffle schedule (§2 #167)
+    "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Sampling.multiEpochShuffle(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "q_pack_composite" -> ((s: SparkSession, d: String) => Sampling.packComposite(s, d)),
     "q_source_cap" -> ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
@@ -931,6 +933,19 @@ object SparkEntry {
          SELECT doc_id, ord % 8 AS shard,
            row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) - 1 AS pos
          FROM t""",
+    "q_epoch_shuffle" ->
+      // fresh permutation per epoch (seed carries the epoch); epoch 0
+      // is bit-identical to q_shuffle_order
+      """WITH d AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents),
+         h AS (
+           SELECT doc_id, epoch,
+             ('0x' || substr(md5('graft-shuffle-epoch' || epoch || ':'
+               || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+           FROM d)
+         SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, ord % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, ord % 8
+             ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+         FROM h""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5('graft-strat-1' || text), 1, 15))::BIGINT % 10000 <

@@ -474,6 +474,37 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("w"), col("cum"), col("n_picks"))
   }
 
+  /** #167 Multi-epoch shuffle schedule: [[shuffleOrder]] extended
+    * across training epochs — each epoch re-deals the corpus into a
+    * FRESH deterministic permutation (seed string carries the epoch,
+    * so epoch 0 is bit-identical to #95's output), because reusing
+    * one order across epochs correlates batch composition and hurts
+    * convergence. Cross-epoch decorrelation is a spec'd property:
+    * the fraction of docs landing in the same shard two epochs in a
+    * row ≈ 1/nShards (hash independence), not 1. Per-epoch cost is
+    * #95's single exchange; epochs explode is bounded fan-out.
+    */
+  def multiEpochShuffle(
+      spark: SparkSession,
+      dir: String,
+      epochs: Int = 3,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("ord"), col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn(
+        "ord",
+        Dedup.hash60(
+          concat(lit("graft-shuffle-epoch"), col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"), col("shard"), col("pos"))
+  }
+
   def shuffleOrder(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)

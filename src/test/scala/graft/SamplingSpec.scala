@@ -172,6 +172,28 @@ class SamplingSpec extends SparkSpec {
     assert(q.exceptAll(again).count() == 0)
   }
 
+  test("epoch shuffle: epoch 0 equals the single-epoch order, epochs decorrelated") {
+    val m = Sampling.multiEpochShuffle(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(m.count() == n * 3)
+    // epoch 0 is bit-identical to the #95 single-epoch schedule
+    val e0 = m.filter(col("epoch") === 0L).select("doc_id", "shard", "pos")
+    val single = Sampling.shuffleOrder(spark, sf)
+    assert(e0.exceptAll(single).count() == 0 && single.exceptAll(e0).count() == 0)
+    // positions dense per (epoch, shard)
+    val bad = m.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("c") - 1 || col("mn") =!= 0L)
+    assert(bad.count() == 0)
+    // decorrelation: same-shard repeat rate across consecutive epochs ~ 1/8
+    val rep = m.filter(col("epoch") === 0L).select(col("doc_id"), col("shard").as("s0"))
+      .join(m.filter(col("epoch") === 1L).select(col("doc_id"), col("shard").as("s1")), "doc_id")
+      .filter(col("s0") === col("s1")).count().toDouble / n
+    assert(rep > 0.05 && rep < 0.25, s"same-shard repeat rate $rep")
+    val again = Sampling.multiEpochShuffle(spark, sf)
+    assert(m.exceptAll(again).count() == 0)
+  }
+
   test("length batching: tiles the corpus, full batches except tails, waste bounded by the band") {
     val b = Sampling.lengthBatching(spark, sf).cache()
     val n = Tables.documents(spark, sf).count()
