@@ -215,7 +215,11 @@ object SparkEntry {
     "q18_large_volume" -> (Warehouse.largeVolumeCustomers _),
     // TPC-H morphology completion (§2 #139-140)
     "q6_forecast_revenue" -> (Warehouse.forecastRevenue _),
-    "q9_product_profit" -> (Warehouse.productProfit _)
+    "q9_product_profit" -> (Warehouse.productProfit _),
+    // Grouped weighted median (§2 #168)
+    "q_weighted_median" -> (AnalyticsExt.weightedMedian _),
+    // Batch Misra-Gries merge (§2 #169)
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.mgMerge(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -2963,6 +2967,60 @@ object SparkEntry {
                                 HAVING sum(l2.l_quantity) > 300)
          GROUP BY c.c_custkey, c.c_name, o.o_orderkey
          ORDER BY total_qty DESC, o.o_orderkey
-         LIMIT 20"""
+         LIMIT 20""",
+    "q_weighted_median" ->
+      // order-count-weighted lower median of customer balance per
+      // nation: winner row's running-weight interval (cum-w, cum]
+      // contains T = ceil(W/2)
+      """WITH w AS (SELECT o_custkey, count(*) AS w FROM orders GROUP BY 1),
+         b AS (
+           SELECT c_nationkey, c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c, w.w
+           FROM customer JOIN w ON c_custkey = o_custkey),
+         c AS (
+           SELECT *,
+             CAST(sum(w) OVER (PARTITION BY c_nationkey
+               ORDER BY bal_c, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY c_nationkey) AS BIGINT) AS wtot
+           FROM b)
+         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, wtot AS w_total,
+           bal_c AS median_bal_c
+         FROM c
+         WHERE cum - w < (wtot + 1) // 2 AND (wtot + 1) // 2 <= cum""",
+    "text_heavy_hitters" ->
+      // batch Misra-Gries merge replay: per-shard top-16 counters each
+      // reduced by the shard's 17th count, summed, reduced once more by
+      // the merged 17th — the oracle replays the merged counters
+      // bit-exactly and emits the constant-1 contract flag the theorem
+      // demands (Spark emits the measured check)
+      """WITH tok AS (
+           SELECT doc_id % 4 AS shard,
+             unnest(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         ps AS (SELECT shard, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY shard
+                  ORDER BY c DESC, term) AS rk FROM ps),
+         dec AS (SELECT shard, c AS dec FROM rk WHERE rk = 17),
+         summ AS (
+           SELECT r.shard, r.term, r.c - coalesce(d.dec, 0) AS cnt
+           FROM rk r LEFT JOIN dec d ON r.shard = d.shard
+           WHERE r.rk <= 16 AND r.c - coalesce(d.dec, 0) > 0),
+         m0 AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS m FROM summ GROUP BY 1),
+         mr AS (SELECT *, row_number() OVER (ORDER BY m DESC, term) AS rk FROM m0),
+         mdec AS (SELECT coalesce(max(m), 0) AS mdec FROM mr WHERE rk = 17),
+         mf AS (SELECT term, m - mdec AS mg FROM mr, mdec
+                WHERE rk <= 16 AND m - mdec > 0),
+         ex AS (SELECT term, count(*) AS n_exact FROM tok GROUP BY 1),
+         nt AS (SELECT count(*) AS n_total FROM tok),
+         t10 AS (
+           SELECT term, n_exact,
+             CAST(row_number() OVER (ORDER BY n_exact DESC, term) AS BIGINT) AS rank
+           FROM ex QUALIFY rank <= 10)
+         SELECT rank, t10.term, n_exact, coalesce(mf.mg, 0) AS mg_count,
+           CAST(n_exact * 17 > n_total AS INT) AS guaranteed,
+           1 AS mg_ok
+         FROM t10 LEFT JOIN mf ON t10.term = mf.term, nt"""
   )
 }

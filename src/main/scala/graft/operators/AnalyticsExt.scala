@@ -643,4 +643,48 @@ object AnalyticsExt {
         round(min("value"), 2).as("lo"),
         round(max("value"), 2).as("hi"))
   }
+
+  /** #168 Grouped weighted median: per nation, the customer account
+    * balance at which half the nation's ORDER VOLUME is reached — each
+    * customer weighted by lifetime order count, so a whale with 40
+    * orders pulls the median 40× harder than a one-order account. The
+    * segmentation median every pricing/credit team actually wants
+    * (the row-median treats both customers equally and lies).
+    *
+    * Same all-integer discipline as the weighted percentiles (#160):
+    * balances in cents, weights as exact BIGINT counts, lower weighted
+    * median = the row whose running-weight interval (cum − w, cum]
+    * contains T = ⌈W/2⌉ = (W+1) div 2 under the (bal_c, custkey)
+    * total order. Zero interpolation, exact in any engine.
+    *
+    * Scale: one partial-agg pass for the weights, one broadcast-ready
+    * join (weights frame = |customers| but two columns), one window
+    * partitioned BY NATION — no global ordering anywhere; a nation
+    * outgrowing a partition takes the hierarchical-cumsum
+    * construction (#118) unchanged.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("w"))
+    val c = Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_c"))
+    val ord = Window.partitionBy("c_nationkey").orderBy(col("bal_c"), col("c_custkey"))
+    c.join(w, c("c_custkey") === w("o_custkey"))
+      .withColumn(
+        "cum",
+        sum("w").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wtot", sum("w").over(Window.partitionBy("c_nationkey")))
+      .withColumn("t", expr("(wtot + 1) div 2"))
+      .filter(col("cum") - col("w") < col("t") && col("t") <= col("cum"))
+      .select(
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("wtot").cast("long").as("w_total"),
+        col("bal_c").as("median_bal_c"))
+  }
 }

@@ -254,4 +254,82 @@ object TextStats {
       expr("CAST((exact_overlap * 10000) div (exact_distinct_a + exact_distinct_b - exact_overlap) AS BIGINT)")
         .as("jaccard_exact_bp"))
   }
+
+  /** #169 Batch Misra-Gries MERGE (mergeable summaries): per-shard MG
+    * slot tables over document tokens, combined by the Agarwal et al.
+    * (PODS'12) merge law — add counters, subtract the (k+1)-th largest
+    * combined value, drop non-positive. This is the batch complement
+    * of the STREAMING sharded MG (#145): there state lives per shard
+    * forever; here each shard ships a ≤k-row summary and a single
+    * merge reconstitutes the global heavy hitters — the shape a 1000-
+    * executor job actually uses (per-partition sketch, tiny final
+    * reduce; the driver never sees more than shards × k counters).
+    *
+    * Per-shard summary = exact per-shard counts ranked (count desc,
+    * term), top k kept, each reduced by the (k+1)-th largest — a valid
+    * MG summary of the shard with error ≤ n_shard/(k+1). The merged
+    * table preserves the global contract (error ≤ n_total/(k+1), any
+    * term with count > n_total/(k+1) survives) — Agarwal's theorem,
+    * asserted per row: the driver rows are the exact top-10 terms,
+    * each carrying the replayed merged counter, a `guaranteed` flag
+    * (support > n/(k+1)) and `mg_ok` — Spark computes the contract
+    * check, the oracle emits the constant 1 the theorem demands, so a
+    * contract violation is a hash FAIL (the #59/#148 discipline).
+    *
+    * Scale: one (shard, term) partial-agg pass over the corpus; every
+    * rank window is either WindowGroupLimit-bounded (per-shard top-k)
+    * or over the ≤ shards·k merged summary — no global data ordering.
+    */
+  def mgMerge(
+      spark: SparkSession,
+      dir: String,
+      slots: Int = 16,
+      nShards: Int = 4): DataFrame = {
+    val tok = Tables
+      .documents(spark, dir)
+      .select((col("doc_id") % nShards).as("shard"), explode(toks(col("text"))).as("term"))
+    val perShard = tok.groupBy("shard", "term").agg(count(lit(1)).as("c"))
+    val wr = Window.partitionBy("shard").orderBy(col("c").desc, col("term"))
+    val ranked = perShard
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= slots + 1)
+    val dec = ranked.filter(col("rk") === slots + 1).select(col("shard"), col("c").as("dec"))
+    val summ = ranked
+      .filter(col("rk") <= slots)
+      .join(broadcast(dec), Seq("shard"), "left")
+      .withColumn("cnt", col("c") - coalesce(col("dec"), lit(0L)))
+      .filter(col("cnt") > 0)
+    val merged = summ.groupBy("term").agg(sum("cnt").as("m"))
+    // merged summary is ≤ shards·k rows — the global window is bounded
+    // by the summary size, never the corpus
+    val mr = merged.withColumn("rk", row_number().over(Window.orderBy(col("m").desc, col("term"))))
+    val mdec = mr.filter(col("rk") === slots + 1).agg(coalesce(max("m"), lit(0L)).as("mdec"))
+    val mergedFinal = mr
+      .filter(col("rk") <= slots)
+      .crossJoin(broadcast(mdec))
+      .withColumn("mg", col("m") - col("mdec"))
+      .filter(col("mg") > 0)
+      .select(col("term"), col("mg"))
+    val exact = tok.groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val ntot = tok.agg(count(lit(1)).as("n_total"))
+    exact
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .crossJoin(broadcast(ntot))
+      .join(mergedFinal, Seq("term"), "left")
+      .withColumn("mg_count", coalesce(col("mg"), lit(0L)))
+      .select(
+        col("rank"),
+        col("term"),
+        col("n_exact"),
+        col("mg_count"),
+        (col("n_exact") * (slots + 1) > col("n_total")).cast("int").as("guaranteed"),
+        (!(col("n_exact") * (slots + 1) > col("n_total")) ||
+          (col("mg_count") > 0 &&
+            (col("n_exact") - col("mg_count")) * (slots + 1) <= col("n_total")))
+          .cast("int")
+          .as("mg_ok"))
+  }
 }

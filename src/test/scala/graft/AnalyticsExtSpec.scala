@@ -234,4 +234,32 @@ class AnalyticsExtSpec extends SparkSpec {
     val again = graft.operators.AnalyticsExt.equidepthHist(spark, sf, bins)
     assert(h.exceptAll(again).count() == 0)
   }
+
+  test("weighted median: matches brute-force weighted expansion per nation") {
+    val m = graft.operators.AnalyticsExt.weightedMedian(spark, sf).cache()
+    // brute force: per nation, walk the (bal_c, custkey) order until the
+    // running order-count weight reaches ceil(W/2)
+    val w = Tables.orders(spark, sf).groupBy("o_custkey").count()
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_c"))
+      .join(w, col("c_custkey") === col("o_custkey"))
+      .select("nk", "bal_c", "c_custkey", "count")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).map { case (nk, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val wtot = sorted.map(_._4).sum
+      val t = (wtot + 1) / 2
+      var cum = 0L
+      val win = sorted.find { r => cum += r._4; cum >= t }.get
+      (nk, wtot, win._2)
+    }.toSet
+    val got = m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // exactly one median row per nation present in the joined data
+    assert(m.groupBy("c_nationkey").count().filter(col("count") =!= 1).count() == 0)
+    val again = graft.operators.AnalyticsExt.weightedMedian(spark, sf)
+    assert(m.exceptAll(again).count() == 0)
+  }
 }

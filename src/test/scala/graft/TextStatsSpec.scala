@@ -234,4 +234,25 @@ class TextStatsSpec extends SparkSpec {
     val again = graft.operators.TextStats.collocations(spark, sf)
     assert(c.exceptAll(again).count() == 0)
   }
+
+  test("MG merge: contract holds, counters never overcount, guaranteed terms survive") {
+    val slots = 16
+    val m = graft.operators.TextStats.mgMerge(spark, sf, slots = slots).cache()
+    val rows = m.orderBy("rank").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    // the mergeable-summaries theorem, measured: every row passes its
+    // own contract check (support > n/(k+1) => present AND undercount
+    // bounded by n/(k+1))
+    assert(m.filter(col("mg_ok") =!= 1).count() == 0)
+    // MG counters NEVER overcount (decrements only)
+    assert(m.filter(col("mg_count") > col("n_exact")).count() == 0)
+    // every guaranteed-support term actually survives the merge
+    assert(m.filter(col("guaranteed") === 1 && col("mg_count") <= 0).count() == 0)
+    // a smaller slot table weakens the contract but must still honor it
+    val tight = graft.operators.TextStats.mgMerge(spark, sf, slots = 4)
+    assert(tight.filter(col("mg_ok") =!= 1).count() == 0)
+    val again = graft.operators.TextStats.mgMerge(spark, sf, slots = slots)
+    assert(m.exceptAll(again).count() == 0)
+  }
 }
