@@ -107,6 +107,8 @@ object SparkEntry {
     "dedup_jaccard" -> (Dedup.jaccardVerify _),
     // Exact prefix-filter similarity join (§2 #163)
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
+    // Sorted-neighborhood near-dup (§2 #170)
+    "dedup_snm" -> ((s: SparkSession, d: String) => Dedup.snm(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_apply" -> (Dedup.applyKeepList _),
     "dedup_report" -> (Dedup.report _),
@@ -219,7 +221,11 @@ object SparkEntry {
     // Grouped weighted median (§2 #168)
     "q_weighted_median" -> (AnalyticsExt.weightedMedian _),
     // Batch Misra-Gries merge (§2 #169)
-    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.mgMerge(s, d))
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.mgMerge(s, d)),
+    // Sparse inverted-index document similarity (§2 #171)
+    "text_sparse_sim" -> ((s: SparkSession, d: String) => TextStats.sparseSim(s, d)),
+    // Top-p nucleus corpus selection (§2 #172)
+    "q_top_p_select" -> ((s: SparkSession, d: String) => TextOps.topPSelect(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3021,6 +3027,115 @@ object SparkEntry {
          SELECT rank, t10.term, n_exact, coalesce(mf.mg, 0) AS mg_count,
            CAST(n_exact * 17 > n_total AS INT) AS guaranteed,
            1 AS mg_ok
-         FROM t10 LEFT JOIN mf ON t10.term = mf.term, nt"""
+         FROM t10 LEFT JOIN mf ON t10.term = mf.term, nt""",
+    "dedup_snm" ->
+      // sorted-neighborhood replay: global rank under the 24-char
+      // normalized-prefix key, window pairs at rank distance 1..4,
+      // shingle-hash Jaccard >= 0.3 (the hierarchical Spark rank is
+      // identical to the plain row_number by construction)
+      """WITH toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 1000000,
+             tok[1:greatest(1, CAST(floor(len(tok) * 0.8) AS INT))]
+           FROM toks0 WHERE doc_id % 5 = 0),
+         keyed AS (
+           SELECT doc_id,
+             substr(array_to_string(tok, ' '), 1, 24) AS k,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END AS sh
+           FROM corpus),
+         hs AS (
+           SELECT doc_id, k,
+             list_distinct([('0x' || substr(md5(s), 1, 15))::BIGINT for s in sh]) AS hs
+           FROM keyed),
+         rk AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn
+           FROM hs),
+         pairs AS (
+           SELECT a.doc_id AS id_l, b.doc_id AS id_r, d.d AS dist,
+             a.hs AS hs_l, b.hs AS hs_r
+           FROM rk a
+           CROSS JOIN range(1, 5) d(d)
+           JOIN rk b ON b.rn = a.rn + d.d)
+         SELECT * FROM (
+           SELECT least(id_l, id_r) AS doc_a, greatest(id_l, id_r) AS doc_b,
+             dist,
+             round(CAST(len(list_intersect(hs_l, hs_r)) AS DOUBLE)
+               / len(list_distinct(hs_l || hs_r)), 4) AS jaccard
+           FROM pairs)
+         WHERE jaccard >= 0.3""",
+    "text_sparse_sim" ->
+      // inverted-index cosine replay: integer tf dot products over the
+      // df-pruned 3-token shingle vocabulary, one sqrt on the exact
+      // integer norm product, rank on the raw double with
+      // (doc_a, doc_b) tiebreak
+      """WITH toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         td AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                    ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)]
+                    END) AS term
+           FROM toks0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         kept AS (
+           SELECT tf.doc_id, tf.term, tf.tf
+           FROM tf JOIN df ON tf.term = df.term
+           WHERE df.df BETWEEN 2 AND 100),
+         norms AS (
+           SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm2
+           FROM kept GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot, count(*) AS n_shared
+           FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         c AS (
+           SELECT doc_a, doc_b, n_shared, dot,
+             dot / sqrt(CAST(na.nrm2 * nb.nrm2 AS DOUBLE)) AS cr
+           FROM pairs
+           JOIN norms na ON doc_a = na.doc_id
+           JOIN norms nb ON doc_b = nb.doc_id)
+         SELECT doc_a, doc_b, n_shared, dot, round(cr, 6) AS cosine
+         FROM c
+         QUALIFY row_number() OVER (ORDER BY cr DESC, doc_a, doc_b) <= 50""",
+    "q_top_p_select" ->
+      // nucleus selection replay: e4 quality ordering per source,
+      // integer token cumsum, cut at T = ceil(0.9 * W)
+      """WITH t AS (
+           SELECT doc_id, source, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM documents),
+         q AS (
+           SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
+             CAST(floor(least(1.0, len(toks) / 100.0) *
+               (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END) *
+               10000.0 + 0.5) AS BIGINT) AS q_e4
+           FROM t),
+         c AS (
+           SELECT *,
+             CAST(sum(ntok) OVER (PARTITION BY source
+               ORDER BY q_e4 DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(ntok) OVER (PARTITION BY source) AS BIGINT) AS wtot,
+             count(*) OVER (PARTITION BY source) AS ndocs
+           FROM q)
+         SELECT source, CAST(max(ndocs) AS BIGINT) AS n_docs, count(*) AS n_sel,
+           max(wtot) AS tok_total, CAST(sum(ntok) AS BIGINT) AS tok_sel,
+           min(q_e4) AS cut_q_e4
+         FROM c
+         WHERE cum - ntok < (9 * wtot + 9) // 10
+         GROUP BY source"""
   )
 }

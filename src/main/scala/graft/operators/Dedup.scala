@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -392,6 +393,82 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))),
           4).as("jaccard")
       )
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** #170 Sorted-neighborhood near-dup (SNM, Hernández–Stolfo): sort
+    * the corpus by a blocking key (the 24-char normalized-text prefix),
+    * slide a fixed window of `w` positions, and Jaccard-verify only
+    * pairs within the window — the classic entity-resolution blocking
+    * family, complementary to LSH banding (#23): SNM catches prefix-
+    * preserving edits (truncation, suffix append) with ONE sort and
+    * O(n·w) candidate pairs, no signature computation at all, and its
+    * miss profile (prefix-destroying edits) is exactly what the
+    * MinHash path covers — production dedup runs both.
+    *
+    * The global sort rank is built hierarchically (the #86/#118
+    * discipline): a 2-char-prefix shard is monotone in the sort key,
+    * so per-shard row_number + nShards-row cumulative offsets
+    * reconstruct the global rank with no single-partition data window
+    * (the oracle's plain row_number is provably identical). Window
+    * pairs are EQUI-joins on rank+d (d ∈ 1..w) — never a range join.
+    * At 100 TB the prefix shard comes from a range-partitioner sample
+    * instead (the z-order scale-path construction); occupancy, not
+    * correctness, is what moves.
+    */
+  def snm(
+      spark: SparkSession,
+      dir: String,
+      w: Int = 4,
+      keyLen: Int = 24): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = corpusWithNearDups(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("k", substring(col("norm"), 1, keyLen))
+      .withColumn("tok", split(col("norm"), " "))
+      .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => hash60(s))))
+      .select(col("doc_id"), col("k"), col("sh"))
+    val sharded = docs.withColumn(
+      "shard",
+      ascii(substring(col("k"), 1, 1)) * 256 + ascii(substring(col("k"), 2, 1)))
+    val local = sharded.withColumn(
+      "lrn",
+      row_number()
+        .over(Window.partitionBy("shard").orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val ranked = local
+      .join(broadcast(offsets), "shard")
+      .withColumn("rn", col("off") + col("lrn"))
+      .select(col("rn"), col("doc_id"), col("sh"))
+    val probes = ranked
+      .select(
+        col("rn"),
+        col("doc_id").as("id_l"),
+        col("sh").as("sh_l"),
+        explode(sequence(lit(1), lit(w))).as("d"))
+      .withColumn("rn_r", col("rn") + col("d"))
+    probes
+      .join(
+        ranked.select(col("rn").as("rn_r"), col("doc_id").as("id_r"), col("sh").as("sh_r")),
+        "rn_r")
+      .select(
+        least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"),
+        col("d").cast("long").as("dist"),
+        round(
+          size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+            size(array_union(col("sh_l"), col("sh_r"))),
+          4).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
   }
 

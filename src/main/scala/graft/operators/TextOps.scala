@@ -154,6 +154,63 @@ object TextOps {
       .select(col("doc_id"), col("q_e4"), col("decile"), col("shard"), col("pos"))
   }
 
+  /** #172 Top-p (nucleus) corpus selection per source: keep the
+    * smallest highest-quality prefix of each source whose TOKEN mass
+    * reaches a fraction p of the source total — "the best 90% of
+    * tokens per source", the mass-targeted counterpart of the
+    * count-targeted per-source cap (#76): a mixing pipeline budgets
+    * tokens, not documents, and a quality-ordered nucleus is how the
+    * trash tail gets dropped without distorting source token budgets.
+    *
+    * All-integer: the #31 composite quality on the e4 grid orders docs
+    * (q_e4 desc, doc_id), token masses are exact BIGINTs, and the cut
+    * is the weighted-threshold construction (#160/#168): selected =
+    * rows whose running-mass interval starts below T = ⌈p·W⌉ =
+    * (num·W + den − 1) div den. Output is one row per source with the
+    * selection accounting and the quality floor of the retained
+    * nucleus. Windows partition BY SOURCE — bounded, no global
+    * ordering; the per-source cumsum takes the hierarchical
+    * construction (#118) if a source outgrows a partition.
+    */
+  def topPSelect(
+      spark: SparkSession,
+      dir: String,
+      num: Int = 9,
+      den: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("tok")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
+    val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct / nChars)
+    val qE4 = floor(
+      least(lit(1.0), size(t).cast("double") / 100.0) * (lit(1.0) - punctRatio) *
+        lit(10000.0) + lit(0.5)).cast("long")
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("tok", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(t).cast("long").as("ntok"),
+        qE4.as("q_e4"))
+    val ord = Window.partitionBy("source").orderBy(col("q_e4").desc, col("doc_id"))
+    docs
+      .withColumn(
+        "cum",
+        sum("ntok").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wtot", sum("ntok").over(Window.partitionBy("source")))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("cum") - col("ntok") < expr(s"($num * wtot + $den - 1) div $den"))
+      .groupBy("source")
+      .agg(
+        max("ndocs").as("n_docs"),
+        count(lit(1)).as("n_sel"),
+        max("wtot").as("tok_total"),
+        sum("ntok").as("tok_sel"),
+        min("q_e4").as("cut_q_e4"))
+  }
+
   /** #32 Language ID: stopword-profile heuristic — score each language
     * by how many of its marker words appear; argmax wins, 'und' when
     * nothing matches. Rows-only (the heuristic, not the label, is under

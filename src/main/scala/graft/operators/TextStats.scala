@@ -255,6 +255,76 @@ object TextStats {
         .as("jaccard_exact_bp"))
   }
 
+  /** #171 Sparse document similarity via inverted-index join: top-k
+    * most-similar document pairs by cosine over (df-pruned) 3-token
+    * SHINGLE frequency vectors — the sparse complement of the
+    * embedding ANN family (#27/#94): no embeddings needed, exact over
+    * the lexical vector space, and the workhorse of plagiarism/
+    * near-topic mining. Shingles, not unigrams, are the unit: this
+    * corpus (like any heavily templated one) has a tiny repeated
+    * unigram vocabulary where every term is a stopword, while the
+    * shingle space is large and discriminative (max df ≈ 25 here).
+    *
+    * Scale shape: NEVER doc×doc. Pairs materialize per shingle from
+    * its posting list (the #89 basket² pattern) after df pruning caps
+    * the list at `maxDf` — fan-out is Σ_t df_t² with df_t ≤ maxDf,
+    * linear in vocabulary; df ≤ 1 shingles generate no pairs and are
+    * dropped free. Boilerplate shingles above the cap carry near-zero
+    * discrimination — pruning them is the standard inverted-index
+    * contract (and the oracle applies the same one).
+    *
+    * Exactness: dot products are integer (tf·tf sums), norms are
+    * integer sums; cosine = dot / sqrt(na²·nb²) uses ONE sqrt on an
+    * exactly-representable integer product (< 2⁵³) — sqrt is IEEE
+    * correctly-rounded, so both engines produce the identical double,
+    * rank identically on the raw value, and round only at output.
+    */
+  def sparseSim(
+      spark: SparkSession,
+      dir: String,
+      maxDf: Int = 100,
+      k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tf = Tables
+      .documents(spark, dir)
+      .withColumn("tok", Dedup.toks(col("text")))
+      .select(col("doc_id"), explode(Dedup.shingles(col("tok"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = tf.join(
+      df_.filter(col("df") >= 2 && col("df") <= maxDf).select("term"),
+      "term")
+    val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm2"))
+    val posting = kept
+      .groupBy("term")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+    val pairs = posting
+      .select(
+        explode(
+          expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)),
+                   y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+                                     'w', x.tf * y.tf))))"""))
+          .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.w").as("w"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("w").as("dot"), count(lit(1)).as("n_shared"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm2").as("nb2")), "doc_b")
+      .withColumn("cr", col("dot") / sqrt((col("na2") * col("nb2")).cast("double")))
+      .orderBy(col("cr").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_shared"),
+        col("dot"),
+        round(col("cr"), 6).as("cosine"))
+  }
+
   /** #169 Batch Misra-Gries MERGE (mergeable summaries): per-shard MG
     * slot tables over document tokens, combined by the Agarwal et al.
     * (PODS'12) merge law — add counters, subtract the (k+1)-th largest

@@ -241,4 +241,20 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.prefixJoin(spark, sf)
     assert(p.exceptAll(again).count() == 0)
   }
+
+  test("SNM: planted truncation dups land in the sort window and verify") {
+    val s = Dedup.snm(spark, sf).cache()
+    // planted pairs share their 24-char prefix => identical sort key =>
+    // adjacent up to prefix collisions; nearly all must be recovered
+    val planted = s.filter(col("doc_b") === col("doc_a") + 1000000L && col("doc_a") % 5 === 0)
+    val nPlanted = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0).count()
+    assert(planted.count() >= (nPlanted * 9) / 10, s"${planted.count()} of $nPlanted planted dups found")
+    // every emitted pair is threshold-verified and within the window
+    assert(s.filter(col("jaccard") < 0.3).count() == 0)
+    assert(s.filter(col("dist") < 1 || col("dist") > 4).count() == 0)
+    // no duplicate pairs: window positions are unique
+    assert(s.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0)
+    val again = Dedup.snm(spark, sf)
+    assert(s.exceptAll(again).count() == 0)
+  }
 }

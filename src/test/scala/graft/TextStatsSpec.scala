@@ -235,6 +235,70 @@ class TextStatsSpec extends SparkSpec {
     assert(c.exceptAll(again).count() == 0)
   }
 
+  test("sparse sim: basket-explode pairs equal the self-join construction, cosine bounded") {
+    val s = graft.operators.TextStats.sparseSim(spark, sf).cache()
+    assert(s.count() == 50)
+    assert(s.filter(col("cosine") <= 0 || col("cosine") > 1).count() == 0)
+    assert(s.filter(col("n_shared") < 1).count() == 0)
+    // independent construction: shingle self-join instead of
+    // posting-list explode — same pruned vocab, same arithmetic
+    val t = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val sh3 = when(size(t) < 3, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3)))))
+    val tf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(sh3).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val kept = tf.join(
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100).select("term"), "term")
+    val a = kept.select(col("term"), col("doc_id").as("doc_a"), col("tf").as("tfa"))
+    val b = kept.select(col("term"), col("doc_id").as("doc_b"), col("tf").as("tfb"))
+    val dots = a.join(b, "term").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tfa") * col("tfb")).as("dot2"), count(lit(1)).as("ns2"))
+    val joined = s.join(dots, Seq("doc_a", "doc_b"), "left")
+    assert(joined.filter(col("dot") =!= col("dot2") || col("n_shared") =!= col("ns2")).count() == 0)
+    val again = graft.operators.TextStats.sparseSim(spark, sf)
+    assert(s.exceptAll(again).count() == 0)
+  }
+
+  test("top-p select: covers >= 90% of token mass minimally, per source") {
+    val s = graft.operators.TextOps.topPSelect(spark, sf).cache()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(s.count() == nSources)
+    // coverage: selected mass reaches the ceil(0.9 W) threshold
+    assert(s.filter(col("tok_sel") * 10 < col("tok_total") * 9).count() == 0)
+    assert(s.filter(col("n_sel") > col("n_docs") || col("tok_sel") > col("tok_total")).count() == 0)
+    // brute-force replication: same quality ordering, same cut
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(lower(trim(col("text"))), "\\s+")).as("tok"),
+        col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
+    val q = docs.select(col("source"), col("doc_id"), size(col("tok")).cast("long").as("ntok"),
+      floor(least(lit(1.0), size(col("tok")).cast("double") / 100.0) *
+        (lit(1.0) - when(nChars === 0, 0.0).otherwise(nPunct / nChars)) * 10000.0 + 0.5)
+        .cast("long").as("q_e4"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = q.groupBy(_._1).map { case (src, rs) =>
+      val sorted = rs.sortBy(r => (-r._4, r._2))
+      val w = sorted.map(_._3).sum
+      val t = (9 * w + 9) / 10
+      var cum = 0L
+      val sel = sorted.takeWhile { r => val before = cum; cum += r._3; before < t }
+      (src, rs.length.toLong, sel.length.toLong, w, sel.map(_._3).sum, sel.map(_._4).min)
+    }.toSet
+    val got = s.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    val again = graft.operators.TextOps.topPSelect(spark, sf)
+    assert(s.exceptAll(again).count() == 0)
+  }
+
   test("MG merge: contract holds, counters never overcount, guaranteed terms survive") {
     val slots = 16
     val m = graft.operators.TextStats.mgMerge(spark, sf, slots = slots).cache()
