@@ -135,6 +135,126 @@ object JdbcUpsertSink {
     * [[isApplied]] probe is a fast path that also skips the staging
     * write; the in-transaction insert is the authoritative guard.
     */
+  /** #173 Enriched JDBC sink: the stream-static enrichment join
+    * (#164) promoted to the warehouse terminal-state path — each
+    * current-state micro-batch is dimension-attached (broadcast left
+    * join, stateless, inside `foreachBatch`) and MERGEd into a WIDE
+    * current-state table carrying the dimension columns. This is the
+    * standard "enrich before sinking" production shape: the warehouse
+    * table serves point reads with the dimension already denormalized,
+    * no read-time join.
+    *
+    * Same transactional discipline as [[upsertBatch]]: staging +
+    * set-based MERGE + ledger-in-the-same-transaction (its own ledger
+    * — the enriched and plain sinks commit independently). A key with
+    * no dimension row lands null-enriched — enrichment never drops or
+    * delays data (the #164 contract, preserved through the sink).
+    */
+  val EnrichedTable = "current_state_enriched"
+  val EnrichedStaging = "current_state_enriched_staging"
+  val EnrichedLedger = "enriched_batch_ledger"
+
+  private val enrichedColumnsDdl =
+    s"""$columnsDdl, "c_nationkey" BIGINT, "c_mktsegment" VARCHAR(16)"""
+
+  def ensureEnrichedTables(url: String): Unit = withConnection(url) { conn =>
+    def exists(table: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      try {
+        Iterator
+          .continually(rs)
+          .takeWhile(_.next())
+          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+      } finally rs.close()
+    }
+    def create(ddl: String): Unit = {
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl)
+      finally st.close()
+    }
+    if (!exists(EnrichedTable))
+      create(s"""CREATE TABLE $EnrichedTable ($enrichedColumnsDdl, PRIMARY KEY ("user_id"))""")
+    if (!exists(EnrichedStaging))
+      create(s"CREATE TABLE $EnrichedStaging ($enrichedColumnsDdl)")
+    if (!exists(EnrichedLedger))
+      create(s"""CREATE TABLE $EnrichedLedger ("batch_id" BIGINT NOT NULL PRIMARY KEY)""")
+  }
+
+  private val enrichedMergeSql: String =
+    s"""MERGE INTO $EnrichedTable t
+       USING $EnrichedStaging s ON t."user_id" = s."user_id"
+       WHEN MATCHED
+            AND (s."last_ts" > t."last_ts"
+                 OR (s."last_ts" = t."last_ts" AND s."last_event_id" >= t."last_event_id"))
+         THEN UPDATE SET "last_event_id" = s."last_event_id", "last_ts" = s."last_ts",
+                         "value" = s."value", "op" = s."op",
+                         "c_nationkey" = s."c_nationkey", "c_mktsegment" = s."c_mktsegment"
+       WHEN NOT MATCHED
+         THEN INSERT ("user_id", "last_event_id", "last_ts", "value", "op",
+                      "c_nationkey", "c_mktsegment")
+              VALUES (s."user_id", s."last_event_id", s."last_ts", s."value", s."op",
+                      s."c_nationkey", s."c_mktsegment")"""
+
+  private def enrichedApplied(url: String, batchId: Long): Boolean =
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"""SELECT 1 FROM $EnrichedLedger WHERE "batch_id" = $batchId""")
+        try rs.next()
+        finally rs.close()
+      } finally st.close()
+    }
+
+  /** The live enriched view: tombstones filtered, dimension attached. */
+  def readCurrentEnriched(spark: org.apache.spark.sql.SparkSession, url: String):
+      org.apache.spark.sql.DataFrame =
+    spark.read
+      .jdbc(url, EnrichedTable, new java.util.Properties())
+      .filter(org.apache.spark.sql.functions.col("op") =!= "DELETE")
+
+  /** `foreachBatch` body: enrich the micro-batch against the static
+    * dimension (broadcast left join — stateless per the #164
+    * contract), stage, MERGE, ledger — one transaction.
+    */
+  def upsertEnrichedBatch(url: String, dim: org.apache.spark.sql.DataFrame)(
+      batch: Dataset[CurrentRow],
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    ensureEnrichedTables(url)
+    if (enrichedApplied(url, batchId)) return
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $EnrichedStaging")
+      finally st.close()
+    }
+    val enriched = batch
+      .toDF()
+      .join(
+        broadcast(dim.select(
+          col("c_custkey").as("user_id"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"))),
+        Seq("user_id"),
+        "left")
+    enriched.write.mode("append").jdbc(url, EnrichedStaging, new java.util.Properties())
+    withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        try st.executeUpdate(s"""INSERT INTO $EnrichedLedger ("batch_id") VALUES ($batchId)""")
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "23505" =>
+            conn.rollback(); return
+        }
+        st.executeUpdate(enrichedMergeSql)
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    }
+  }
+
   def upsertBatch(url: String)(batch: Dataset[CurrentRow], batchId: Long): Unit = {
     ensureTables(url)
     if (isApplied(url, batchId)) return

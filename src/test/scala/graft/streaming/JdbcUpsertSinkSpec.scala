@@ -123,4 +123,61 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(JdbcUpsertSink.isApplied(url, 200L))
     assert(!JdbcUpsertSink.isApplied(url, 201L))
   }
+
+  test("enriched sink: streamed wide table equals batch current-state joined to the dim") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf).cache()
+      val mid = changes.agg(expr("percentile(ts, 0.5)")).head.getDouble(0).toLong
+      val dim = graft.Tables.customer(spark, sf)
+
+      changes.filter(col("ts") <= mid).write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .currentState(CdcStream.readChangelog(spark, inDir))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch(JdbcUpsertSink.upsertEnrichedBatch(url, dim) _)
+        .start()
+      q.processAllAvailable()
+      changes.filter(col("ts") > mid).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+
+      val got = JdbcUpsertSink
+        .readCurrentEnriched(spark, url)
+        .select("user_id", "last_event_id", "last_ts", "value", "c_nationkey", "c_mktsegment")
+      val want = Cdc.current(spark, sf)
+        .join(
+          dim.select(
+            col("c_custkey").as("user_id"),
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_mktsegment")),
+          Seq("user_id"),
+          "left")
+        .select("user_id", "last_event_id", "last_ts", "value", "c_nationkey", "c_mktsegment")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "enriched JDBC table diverged from batch current-state x dim")
+      // enrichment must never drop rows: same key set as the plain view
+      assert(got.count() == want.count())
+
+      // replayed batch id on the enriched ledger is a no-op
+      val before = got.collect().toSet
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val garbled = {
+        import spark.implicits._
+        changes
+          .withColumn("ts", col("ts") + lit(1000000000L))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("ts").as("last_ts"), col("value"), col("op"))
+          .as[CurrentRow]
+      }
+      JdbcUpsertSink.upsertEnrichedBatch(url, dim)(garbled, batchId = 0L)
+      val after = JdbcUpsertSink
+        .readCurrentEnriched(spark, url)
+        .select("user_id", "last_event_id", "last_ts", "value", "c_nationkey", "c_mktsegment")
+        .collect().toSet
+      assert(after == before, "enriched ledger failed to reject a replayed batch id")
+    }
+  }
 }
