@@ -225,7 +225,11 @@ object SparkEntry {
     // Sparse inverted-index document similarity (§2 #171)
     "text_sparse_sim" -> ((s: SparkSession, d: String) => TextStats.sparseSim(s, d)),
     // Top-p nucleus corpus selection (§2 #172)
-    "q_top_p_select" -> ((s: SparkSession, d: String) => TextOps.topPSelect(s, d))
+    "q_top_p_select" -> ((s: SparkSession, d: String) => TextOps.topPSelect(s, d)),
+    // Event-type transition matrix (§2 #174)
+    "q_event_transitions" -> (AnalyticsExt.eventTransitions _),
+    // Source-diversity diagnostics (§2 #175)
+    "q_source_diversity" -> (Sampling.sourceDiversity _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3136,6 +3140,40 @@ object SparkEntry {
            min(q_e4) AS cut_q_e4
          FROM c
          WHERE cum - ntok < (9 * wtot + 9) // 10
-         GROUP BY source"""
+         GROUP BY source""",
+    "q_event_transitions" ->
+      // first-order Markov transitions per user timeline; p on the e6
+      // integer grid by integer division
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         t AS (
+           SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n_trans
+           FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+               FROM t GROUP BY 1)
+         SELECT from_type, to_type, n_trans, n_from,
+           CAST((n_trans * 1000000) // n_from AS BIGINT) AS p_e6
+         FROM t JOIN f USING (from_type)""",
+    "q_source_diversity" ->
+      // Simpson on the e6 integer grid; Shannon via e6-quantized
+      // per-source contributions summed as integers (the #119
+      // discipline)
+      """WITH per AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, count(*) AS s FROM per),
+         terms AS (
+           SELECT per.n_s, tot.n, tot.s,
+             CAST(floor((CAST(n_s AS DOUBLE) / n)
+               * log2(CAST(n AS DOUBLE) / n_s) * 1000000 + 0.5) AS BIGINT) AS h_e6,
+             n_s * (n_s - 1) AS st
+           FROM per, tot)
+         SELECT n AS n_docs, s AS n_sources,
+           CAST((CAST(sum(st) AS BIGINT) * 1000000) // (max(n) * (max(n) - 1)) AS BIGINT)
+             AS simpson_e6,
+           CAST(sum(h_e6) AS BIGINT) / 1000000.0 AS shannon_bits
+         FROM terms GROUP BY n, s"""
   )
 }

@@ -644,6 +644,38 @@ object AnalyticsExt {
         round(max("value"), 2).as("hi"))
   }
 
+  /** #174 Event-type transition matrix: per-user Markov transitions
+    * over the changelog — for each (from, to) event-type pair, how
+    * often `to` directly follows `from` in a user's timeline, with the
+    * per-from transition probability on the e6 integer grid. The
+    * sequence-model companion to the funnel (#18) and session (#16)
+    * operators: funnels check ONE prescribed path, the transition
+    * matrix is the full first-order dynamics (what actually follows
+    * what), the input to churn path mining and next-event prediction.
+    *
+    * One lag window per user (bounded partitions — a user's history,
+    * never the table), one partial-agg count, margins joined back at
+    * type-pair cardinality (tiny). p_e6 = (n_trans·10⁶) div n_from —
+    * exact integer division in any engine.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTotals = trans
+      .groupBy("from_type")
+      .agg(sum("n_trans").as("n_from"))
+    trans
+      .join(fromTotals, "from_type")
+      .withColumn("p_e6", expr("(n_trans * 1000000) div n_from"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"), col("p_e6"))
+  }
+
   /** #168 Grouped weighted median: per nation, the customer account
     * balance at which half the nation's ORDER VOLUME is reached — each
     * customer weighted by lifetime order count, so a whale with 40

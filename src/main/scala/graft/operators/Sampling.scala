@@ -134,6 +134,43 @@ object Sampling {
     * sources at most), so the normalizing total is a broadcast 1-row
     * cross join, never a driver collect.
     */
+  /** #175 Source-diversity diagnostics: the one-row mixture health
+    * check a data-mixing pipeline alarms on — document and source
+    * counts, Gini-Simpson concentration, and Shannon entropy of the
+    * source distribution. Complements #77 (weights say how much to
+    * TAKE per source) and #119 (drift says when a source's CONTENT
+    * moved): diversity says when the MIXTURE itself collapsed (one
+    * crawl swamping the corpus drops entropy before anything else
+    * notices).
+    *
+    * Exact cross-engine: Simpson λ = Σ n_s(n_s−1) / (N(N−1)) lives on
+    * the e6 integer grid by integer division; Shannon bits use the
+    * #119 discipline — per-source contributions p·log2(1/p) quantized
+    * to e6 integers BEFORE the sum, so the total is order-independent
+    * and identical in any engine. One groupBy(source) partial-agg
+    * pass; everything downstream is source-cardinality-sized.
+    */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+    val tot = per.agg(sum("n_s").as("n"), count(lit(1)).as("s"))
+    val p = col("n_s").cast("double") / col("n")
+    per
+      .crossJoin(broadcast(tot))
+      .withColumn("simpson_term", expr("n_s * (n_s - 1)"))
+      .withColumn(
+        "h_e6",
+        floor(p * log2(col("n").cast("double") / col("n_s")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("n").as("n_docs"), col("s").as("n_sources"))
+      .agg(
+        expr("CAST((sum(simpson_term) * 1000000) div (max(n) * (max(n) - 1)) AS BIGINT)")
+          .as("simpson_e6"),
+        (sum("h_e6") / lit(1e6)).as("shannon_bits"))
+  }
+
   def mixtureWeights(spark: SparkSession, dir: String, alpha: Double = 0.7): DataFrame = {
     val per = Tables
       .documents(spark, dir)

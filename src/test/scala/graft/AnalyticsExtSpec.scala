@@ -235,6 +235,24 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(h.exceptAll(again).count() == 0)
   }
 
+  test("event transitions: counts telescope, rows sum to their margins, p_e6 rows sum to ~1e6") {
+    val t = graft.operators.AnalyticsExt.eventTransitions(spark, sf).cache()
+    // every user with k events contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    assert(t.agg(sum("n_trans")).head.getLong(0) == total - users)
+    // margin consistency: per-from transition counts sum to n_from
+    val bad = t.groupBy("from_type", "n_from").agg(sum("n_trans").as("s"))
+      .filter(col("s") =!= col("n_from"))
+    assert(bad.count() == 0)
+    // each matrix row's probabilities sum to 1e6 up to floor loss (< n_cols)
+    val rows = t.groupBy("from_type").agg(sum("p_e6").as("p"), count(lit(1)).as("k"))
+    assert(rows.filter(col("p") > 1000000L || col("p") <= lit(1000000L) - col("k")).count() == 0)
+    val again = graft.operators.AnalyticsExt.eventTransitions(spark, sf)
+    assert(t.exceptAll(again).count() == 0)
+  }
+
   test("weighted median: matches brute-force weighted expansion per nation") {
     val m = graft.operators.AnalyticsExt.weightedMedian(spark, sf).cache()
     // brute force: per nation, walk the (bal_c, custkey) order until the

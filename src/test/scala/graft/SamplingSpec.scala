@@ -264,4 +264,23 @@ class SamplingSpec extends SparkSpec {
     assert(s.exceptAll(again).count() == 0)
     docs.unpersist()
   }
+
+  test("source diversity: one row, exact Simpson, Shannon bounded by log2(S)") {
+    val d = Sampling.sourceDiversity(spark, sf).cache()
+    assert(d.count() == 1)
+    val row = d.head
+    val docs = Tables.documents(spark, sf)
+    assert(row.getLong(0) == docs.count())
+    assert(row.getLong(1) == docs.select("source").distinct().count())
+    // exact integer replication of Simpson
+    val counts = docs.groupBy("source").count().collect().map(_.getLong(1))
+    val n = counts.sum
+    val expectedSimpson = counts.map(c => c * (c - 1)).sum * 1000000L / (n * (n - 1))
+    assert(row.getLong(2) == expectedSimpson)
+    // entropy bounds: 0 <= H <= log2(S) (+ quantization slack)
+    val h = row.getDouble(3)
+    assert(h >= 0.0 && h <= math.log(row.getLong(1).toDouble) / math.log(2.0) + 1e-4)
+    val again = Sampling.sourceDiversity(spark, sf)
+    assert(d.exceptAll(again).count() == 0)
+  }
 }
