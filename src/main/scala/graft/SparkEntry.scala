@@ -229,7 +229,9 @@ object SparkEntry {
     // Event-type transition matrix (§2 #174)
     "q_event_transitions" -> (AnalyticsExt.eventTransitions _),
     // Source-diversity diagnostics (§2 #175)
-    "q_source_diversity" -> (Sampling.sourceDiversity _)
+    "q_source_diversity" -> (Sampling.sourceDiversity _),
+    // Triangle count + clustering coefficient (§2 #176)
+    "q_triangles" -> ((s: SparkSession, d: String) => AnalyticsExt.triangles(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3174,6 +3176,44 @@ object SparkEntry {
            CAST((CAST(sum(st) AS BIGINT) * 1000000) // (max(n) * (max(n) - 1)) AS BIGINT)
              AS simpson_e6,
            CAST(sum(h_e6) AS BIGINT) / 1000000.0 AS shannon_bits
-         FROM terms GROUP BY n, s"""
+         FROM terms GROUP BY n, s""",
+    "q_triangles" ->
+      // degree-oriented node-iterator replay: basket pairs -> edges at
+      // co-occurrence >= 2 -> (deg, id) orientation -> wedges from a
+      // common source -> equi-close on the ordered pair; EXISTS keeps
+      // wedge multiplicity (wedge rows carry their source u)
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e AS (SELECT pa, pb FROM pr WHERE n >= 2),
+         d AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         oe AS (
+           SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS u,
+                  CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS v,
+                  CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg ELSE da.deg END AS dv
+           FROM e JOIN d da ON da.node = e.pa JOIN d db ON db.node = e.pb),
+         w AS (
+           SELECT a.u,
+                  CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN a.v ELSE b.v END AS lo,
+                  CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN b.v ELSE a.v END AS hi
+           FROM oe a JOIN oe b ON a.u = b.u AND a.v < b.v),
+         tri AS (
+           SELECT count(*) AS n_triangles FROM w
+           WHERE EXISTS (SELECT 1 FROM oe WHERE oe.u = w.lo AND oe.v = w.hi)),
+         dd AS (
+           SELECT count(*) AS n_nodes,
+             CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS open_wedges
+           FROM d),
+         ee AS (SELECT count(*) AS n_edges FROM e),
+         ww AS (SELECT count(*) AS n_wedges FROM w)
+         SELECT n_nodes, n_edges, open_wedges, n_wedges, n_triangles,
+           CAST((3 * n_triangles * 1000000) // greatest(open_wedges, 1) AS BIGINT) AS cc_e6
+         FROM dd, ee, ww, tri"""
   )
 }

@@ -644,6 +644,98 @@ object AnalyticsExt {
         round(max("value"), 2).as("hi"))
   }
 
+  /** #176 Triangle count + global clustering coefficient over the
+    * co-purchase graph — the graph-family capstone beside PageRank
+    * (#124) and connected components (#166): triangles measure
+    * community cohesion (parts bought together in CLOSED loops), and
+    * the clustering coefficient 3T/W is the standard graph-health
+    * statistic.
+    *
+    * Degree-oriented node-iterator (the MapReduce-classic shape):
+    * orient every edge small→large under the (degree, id) total order
+    * — the orientation is acyclic and bounds out-degree by O(√m), so
+    * wedge fan-out is Σ outdeg² ≤ m^1.5, never Σ deg² (which a hub
+    * node would blow up). Each triangle has exactly ONE source node
+    * under the orientation ⇒ counted once, no division by 3. The
+    * wedge-close is an EQUI-join on the ≺-ordered pair — hash join,
+    * no OR predicate. Edges come from the #89 basket² explode
+    * (co-occurrence ≥ minOrders), never a fact self-join.
+    *
+    * All-integer; one driver row: nodes, edges, oriented wedges,
+    * triangles, and cc_e6 = (3T·10⁶) div W_open with
+    * W_open = Σ deg(deg−1)/2 — exact in any engine.
+    */
+  def triangles(spark: SparkSession, dir: String, minOrders: Int = 2): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    val e = baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('pa', x, 'pb', y))))"""))
+          .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select("pa", "pb")
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val oe = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+      .select(
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pa"))
+          .otherwise(col("pb"))
+          .as("u"),
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pb"))
+          .otherwise(col("pa"))
+          .as("v"),
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("db"))
+          .otherwise(col("da"))
+          .as("dv"))
+    val a = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val b = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = a
+      .join(b, Seq("u"))
+      .filter(col("x") < col("y"))
+      .select(
+        col("u"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x"))
+          .otherwise(col("y"))
+          .as("lo"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y"))
+          .otherwise(col("x"))
+          .as("hi"))
+    val tri = wedges.join(
+      oe.select(col("u").as("lo"), col("v").as("hi")),
+      Seq("lo", "hi"),
+      "left_semi")
+    deg
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        expr("CAST(sum(deg * (deg - 1)) div 2 AS BIGINT)").as("open_wedges"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("open_wedges"),
+        col("n_wedges"),
+        col("n_triangles"),
+        expr("CAST((3 * n_triangles * 1000000) div greatest(open_wedges, 1) AS BIGINT)")
+          .as("cc_e6"))
+  }
+
   /** #174 Event-type transition matrix: per-user Markov transitions
     * over the changelog — for each (from, to) event-type pair, how
     * often `to` directly follows `from` in a user's timeline, with the

@@ -235,6 +235,37 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(h.exceptAll(again).count() == 0)
   }
 
+  test("triangles: equals brute-force edge-intersection count, invariants hold") {
+    val t = graft.operators.AnalyticsExt.triangles(spark, sf).cache()
+    assert(t.count() == 1)
+    val row = t.head
+    val (nNodes, nEdges, openW, nWedges, nTri, ccE6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    // brute force: rebuild the same edge set, sum |N(a) n N(b)| over edges / 3
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Int]()
+    baskets.foreach { parts =>
+      val s = parts.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairCounts((s(i), s(j))) = pairCounts.getOrElse((s(i), s(j)), 0) + 1
+    }
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    assert(nNodes == adj.size)
+    assert(nEdges == edges.size)
+    val triBrute = edges.toSeq.map { case (a, b) => (adj(a) & adj(b)).size.toLong }.sum / 3
+    assert(nTri == triBrute, s"operator $nTri vs brute $triBrute")
+    assert(openW == adj.values.map(s => s.size.toLong * (s.size - 1)).sum / 2)
+    assert(nTri <= nWedges && nWedges <= openW)
+    assert(ccE6 == 3 * nTri * 1000000L / math.max(openW, 1L))
+    val again = graft.operators.AnalyticsExt.triangles(spark, sf)
+    assert(t.exceptAll(again).count() == 0)
+  }
+
   test("event transitions: counts telescope, rows sum to their margins, p_e6 rows sum to ~1e6") {
     val t = graft.operators.AnalyticsExt.eventTransitions(spark, sf).cache()
     // every user with k events contributes exactly k-1 transitions
