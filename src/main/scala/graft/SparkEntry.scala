@@ -231,7 +231,13 @@ object SparkEntry {
     // Source-diversity diagnostics (§2 #175)
     "q_source_diversity" -> (Sampling.sourceDiversity _),
     // Triangle count + clustering coefficient (§2 #176)
-    "q_triangles" -> ((s: SparkSession, d: String) => AnalyticsExt.triangles(s, d))
+    "q_triangles" -> ((s: SparkSession, d: String) => AnalyticsExt.triangles(s, d)),
+    // RFM segmentation (§2 #177)
+    "q_rfm" -> (Warehouse.rfm _),
+    // U-shape multi-touch attribution (§2 #178)
+    "q_attribution" -> ((s: SparkSession, d: String) => AnalyticsExt.attribution(s, d)),
+    // Association rules by lift (§2 #179)
+    "q_basket_lift" -> ((s: SparkSession, d: String) => AnalyticsExt.basketLift(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3214,6 +3220,99 @@ object SparkEntry {
          ww AS (SELECT count(*) AS n_wedges FROM w)
          SELECT n_nodes, n_edges, open_wedges, n_wedges, n_triangles,
            CAST((3 * n_triangles * 1000000) // greatest(open_wedges, 1) AS BIGINT) AS cc_e6
-         FROM dd, ee, ww, tri"""
+         FROM dd, ee, ww, tri""",
+    "q_rfm" ->
+      // within-nation quintile scores via rank-defined banding
+      // ((rn-1)*5) div n + 1 — no percentile interpolation anywhere
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+         per AS (
+           SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+           FROM orders GROUP BY 1),
+         base AS (
+           SELECT p.o_custkey AS c_custkey,
+             CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(date_diff('day', p.last_order, ref.ref) AS BIGINT) AS recency_days,
+             p.frequency, p.monetary_c
+           FROM per p JOIN customer c ON c.c_custkey = p.o_custkey, ref),
+         r AS (
+           SELECT *,
+             count(*) OVER (PARTITION BY c_nationkey) AS n_nat,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY recency_days DESC, c_custkey) AS BIGINT) AS rn_r,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY frequency, c_custkey) AS BIGINT) AS rn_f,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY monetary_c, c_custkey) AS BIGINT) AS rn_m
+           FROM base)
+         SELECT c_custkey, c_nationkey, recency_days, frequency, monetary_c,
+           ((rn_r - 1) * 5) // n_nat + 1 AS r_score,
+           ((rn_f - 1) * 5) // n_nat + 1 AS f_score,
+           ((rn_m - 1) * 5) // n_nat + 1 AS m_score,
+           (((rn_r - 1) * 5) // n_nat + 1) * 100
+             + (((rn_f - 1) * 5) // n_nat + 1) * 10
+             + (((rn_m - 1) * 5) // n_nat + 1) AS rfm_code
+         FROM r""",
+    "q_attribution" ->
+      // U-shape position credit in exact basis points: 40/20/40 with
+      // the middle share Hamilton-apportioned so each conversion
+      // telescopes to exactly 10000
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+         conv AS (
+           SELECT user_id, ts_us AS conv_us, event_id AS conv_id
+           FROM ev WHERE event_type = 'purchase'),
+         j AS (
+           SELECT conv.conv_id, t.event_id, t.event_type, t.ts_us
+           FROM conv JOIN ev t
+             ON t.user_id = conv.user_id AND t.event_type <> 'purchase'
+           WHERE t.ts_us >= conv.conv_us - 86400000000 AND t.ts_us < conv.conv_us),
+         r AS (
+           SELECT *,
+             CAST(row_number() OVER (PARTITION BY conv_id
+               ORDER BY ts_us, event_id) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS n
+           FROM j),
+         c AS (
+           SELECT event_type, conv_id,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN rn = 1 OR rn = n THEN 4000
+                  ELSE 2000 // (n - 2)
+                       + (CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+             END AS bp
+           FROM r)
+         SELECT event_type, count(*) AS n_touch,
+           count(DISTINCT conv_id) AS n_conversions,
+           CAST(sum(bp) AS BIGINT) AS credit_bp
+         FROM c GROUP BY 1""",
+    "q_basket_lift" ->
+      // market-basket rule metrics on the e6 integer grid; top-25 by
+      // (lift, pair)
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM bp),
+         ic AS (SELECT l_partkey, count(*) AS c_item FROM bp GROUP BY 1),
+         pr AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         m AS (
+           SELECT part_a, part_b, c_ab, ca.c_item AS c_a, cb.c_item AS c_b,
+             (c_ab * 1000000) // n_baskets AS support_e6,
+             (c_ab * 1000000) // ca.c_item AS conf_ab_e6,
+             (c_ab * 1000000) // cb.c_item AS conf_ba_e6,
+             (c_ab * n_baskets * 1000000) // (ca.c_item * cb.c_item) AS lift_e6
+           FROM pr
+           JOIN ic ca ON ca.l_partkey = pr.part_a
+           JOIN ic cb ON cb.l_partkey = pr.part_b, n
+           WHERE c_ab >= 2)
+         SELECT part_a, part_b, c_ab, c_a, c_b,
+           support_e6, conf_ab_e6, conf_ba_e6, lift_e6
+         FROM m
+         QUALIFY row_number() OVER (ORDER BY lift_e6 DESC, part_a, part_b) <= 25"""
   )
 }

@@ -644,6 +644,121 @@ object AnalyticsExt {
         round(max("value"), 2).as("hi"))
   }
 
+  /** #178 U-shape multi-touch attribution: each `purchase` event's
+    * conversion credit split over the same user's non-purchase
+    * touchpoints in the 24 hours before it — 40% to the first touch,
+    * 40% to the last, 20% shared by the middles (the position-based
+    * model marketing teams default to between last-touch (#35's
+    * as-of) and data-driven Shapley). Credit lives in EXACT basis
+    * points: 10000 per conversion, degenerate paths get 10000 (n=1)
+    * or 5000/5000 (n=2), and the middle share is Hamilton-apportioned
+    * (base = 2000 div (n−2), remainder +1 to the earliest middles) so
+    * every conversion telescopes to exactly 10000 — no float leakage,
+    * exact in any engine (the #150 apportionment discipline applied
+    * to attribution).
+    *
+    * Join shape: conversions ⋈ touches on user then time-window
+    * filter — per-user bounded fan-out, credit windows partition BY
+    * CONVERSION (a path's touchpoints, never the table). Integer µs
+    * time arithmetic throughout.
+    */
+  def attribution(spark: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
+    val winUs = windowHours.toLong * 3600000000L
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        col("event_type"))
+    val conv = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("conv_us"), col("event_id").as("conv_id"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+    val j = conv
+      .join(touch, "user_id")
+      .filter(col("ts_us") >= col("conv_us") - winUs && col("ts_us") < col("conv_us"))
+    val w = Window.partitionBy("conv_id")
+    val r = j
+      .withColumn("rn", row_number().over(w.orderBy(col("ts_us"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn(
+        "bp",
+        expr("""CAST(CASE WHEN n = 1 THEN 10000
+                          WHEN n = 2 THEN 5000
+                          WHEN rn = 1 OR rn = n THEN 4000
+                          ELSE 2000 div (n - 2)
+                               + (CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+                     END AS BIGINT)"""))
+    r.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_touch"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum("bp").as("credit_bp"))
+  }
+
+  /** #179 Association rules by lift: the co-purchase pairs (#89)
+    * promoted to the full market-basket rule metrics — support,
+    * directed confidence, and lift = P(ab)/(P(a)P(b)), the measure
+    * that separates genuinely-associated pairs from pairs that merely
+    * contain popular parts (confidence alone always crowns the
+    * bestsellers). Top-k by lift among pairs co-occurring ≥ minCount
+    * times.
+    *
+    * All metrics live on the e6 integer grid (c_ab·10⁶ div N etc.) —
+    * exact cross-engine, no float ratios. Counts come from ONE
+    * distinct (order, part) projection: pair counts via the #89
+    * basket² explode (never a fact self-join), item counts via one
+    * partial agg, both joined at pair cardinality. The top-k rank is
+    * a TakeOrdered on (lift, pair) — map-side bounded.
+    */
+  def basketLift(
+      spark: SparkSession,
+      dir: String,
+      minCount: Int = 2,
+      topK: Int = 25): DataFrame = {
+    val bp = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val n = bp.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = bp.groupBy(col("l_partkey")).agg(count(lit(1)).as("c_item"))
+    val pairs = bp
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(itemCounts.select(col("l_partkey").as("part_a"), col("c_item").as("c_a")), "part_a")
+      .join(itemCounts.select(col("l_partkey").as("part_b"), col("c_item").as("c_b")), "part_b")
+      .crossJoin(broadcast(n))
+      .withColumn("support_e6", expr("(c_ab * 1000000) div n_baskets"))
+      .withColumn("conf_ab_e6", expr("(c_ab * 1000000) div c_a"))
+      .withColumn("conf_ba_e6", expr("(c_ab * 1000000) div c_b"))
+      .withColumn("lift_e6", expr("(c_ab * n_baskets * 1000000) div (c_a * c_b)"))
+      .orderBy(col("lift_e6").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+      .select(
+        col("part_a"),
+        col("part_b"),
+        col("c_ab"),
+        col("c_a"),
+        col("c_b"),
+        col("support_e6"),
+        col("conf_ab_e6"),
+        col("conf_ba_e6"),
+        col("lift_e6"))
+  }
+
   /** #176 Triangle count + global clustering coefficient over the
     * co-purchase graph — the graph-family capstone beside PageRank
     * (#124) and connected components (#166): triangles measure

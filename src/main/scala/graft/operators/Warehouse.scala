@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -483,5 +484,68 @@ object Warehouse {
       ORDER BY total_qty DESC, o.o_orderkey
       LIMIT 20
     """)
+  }
+
+  /** #177 RFM segmentation: per customer, Recency (days since last
+    * order, measured from the corpus max date), Frequency (lifetime
+    * order count) and Monetary (lifetime spend in cents), each scored
+    * into within-NATION quintiles — the classic marketing segmentation
+    * (555 = best-of-market whales, 111 = churned one-timers), scored
+    * within market because cross-market balance/price levels aren't
+    * comparable.
+    *
+    * All-integer: metrics are exact BIGINTs, quintile = ((rn−1)·5)
+    * div n + 1 under a (metric, custkey) total order — the #156
+    * rank-defined banding, zero percentile interpolation. Recency
+    * scores INVERTED (most recent = 5). Windows partition BY NATION —
+    * bounded, no global ordering (the #58 percent-rank discipline);
+    * the reference date is one broadcast scalar.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val refDate = o.agg(max(to_date(col("o_orderdate"))).as("ref"))
+    val per = o
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+          .as("monetary_c"))
+    val base = per
+      .crossJoin(broadcast(refDate))
+      .join(
+        Tables.customer(spark, dir).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey")),
+        "o_custkey")
+      .withColumn("recency_days", datediff(col("ref"), col("last_order")).cast("long"))
+    val wN = Window.partitionBy("c_nationkey")
+    base
+      .withColumn("n_nat", count(lit(1)).over(wN))
+      .withColumn(
+        "rn_r",
+        row_number()
+          .over(wN.orderBy(col("recency_days").desc, col("o_custkey")))
+          .cast("long"))
+      .withColumn(
+        "rn_f",
+        row_number().over(wN.orderBy(col("frequency"), col("o_custkey"))).cast("long"))
+      .withColumn(
+        "rn_m",
+        row_number().over(wN.orderBy(col("monetary_c"), col("o_custkey"))).cast("long"))
+      .withColumn("r_score", expr("((rn_r - 1) * 5) div n_nat + 1"))
+      .withColumn("f_score", expr("((rn_f - 1) * 5) div n_nat + 1"))
+      .withColumn("m_score", expr("((rn_m - 1) * 5) div n_nat + 1"))
+      .select(
+        col("o_custkey").as("c_custkey"),
+        col("c_nationkey"),
+        col("recency_days"),
+        col("frequency"),
+        col("monetary_c"),
+        col("r_score"),
+        col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
   }
 }

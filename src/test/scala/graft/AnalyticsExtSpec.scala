@@ -235,6 +235,50 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(h.exceptAll(again).count() == 0)
   }
 
+  test("attribution: credit telescopes to exactly 10000 bp per attributed conversion") {
+    val a = graft.operators.AnalyticsExt.attribution(spark, sf).cache()
+    assert(a.count() > 0)
+    // independent reconstruction of the touchpoint join
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("conv_us"), col("event_id").as("conv_id"))
+    val j = conv.join(ev.filter(col("event_type") =!= "purchase"), "user_id")
+      .filter(col("ts_us") >= col("conv_us") - 86400000000L && col("ts_us") < col("conv_us"))
+      .cache()
+    val attributed = j.select("conv_id").distinct().count()
+    val touches = j.count()
+    assert(a.agg(sum("credit_bp")).head.getLong(0) == 10000L * attributed)
+    assert(a.agg(sum("n_touch")).head.getLong(0) == touches)
+    assert(a.filter(col("credit_bp") <= 0 || col("n_touch") <= 0).count() == 0)
+    // a type can't credit more conversions than it touches
+    assert(a.filter(col("n_conversions") > col("n_touch")).count() == 0)
+    // purchases never appear as touchpoints
+    assert(a.filter(col("event_type") === "purchase").count() == 0)
+    j.unpersist()
+    val again = graft.operators.AnalyticsExt.attribution(spark, sf)
+    assert(a.exceptAll(again).count() == 0)
+  }
+
+  test("basket lift: metric formulas exact, ordering by lift, bounds hold") {
+    val b = graft.operators.AnalyticsExt.basketLift(spark, sf).cache()
+    assert(b.count() == 25)
+    // formula identities on the emitted integers
+    val n = Tables.lineitem(spark, sf).select("l_orderkey").distinct().count()
+    assert(b.filter(col("support_e6") =!= expr(s"(c_ab * 1000000) div $n")).count() == 0)
+    assert(b.filter(col("conf_ab_e6") =!= expr("(c_ab * 1000000) div c_a")).count() == 0)
+    assert(b.filter(col("lift_e6") =!= expr(s"(c_ab * $n * 1000000) div (c_a * c_b)")).count() == 0)
+    // a pair can't out-count its items; confidences bounded by 1e6
+    assert(b.filter(col("c_ab") > col("c_a") || col("c_ab") > col("c_b")).count() == 0)
+    assert(b.filter(col("conf_ab_e6") > 1000000L || col("conf_ba_e6") > 1000000L).count() == 0)
+    // lift non-increasing down the list
+    val lifts = b.orderBy(col("lift_e6").desc, col("part_a"), col("part_b"))
+      .collect().map(_.getAs[Long]("lift_e6"))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+    val again = graft.operators.AnalyticsExt.basketLift(spark, sf)
+    assert(b.exceptAll(again).count() == 0)
+  }
+
   test("triangles: equals brute-force edge-intersection count, invariants hold") {
     val t = graft.operators.AnalyticsExt.triangles(spark, sf).cache()
     assert(t.count() == 1)

@@ -184,4 +184,36 @@ class WarehouseSpec extends SparkSpec {
     assert(keys.sliding(2).forall(p =>
       p.length < 2 || p(0)._1 < p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
   }
+
+  test("rfm: one row per ordering customer, quintiles balanced within nation") {
+    import org.apache.spark.sql.functions._
+    val r = Warehouse.rfm(spark, sf).cache()
+    val customersWithOrders = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(r.count() == customersWithOrders)
+    // scores in range, code consistent
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(r.filter(col(c) < 1 || col(c) > 5).count() == 0, c)
+    assert(r.filter(
+      col("rfm_code") =!= col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .count() == 0)
+    assert(r.filter(col("recency_days") < 0).count() == 0)
+    // rank-defined quintiles: populations within a nation differ by <= 1
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val per = r.groupBy("c_nationkey", c).count()
+        .groupBy("c_nationkey").agg((max("count") - min("count")).as("spread"))
+      assert(per.filter(col("spread") > 1).count() == 0, s"$c unbalanced")
+    }
+    // the top spender of each nation with >= 5 customers scores m=5
+    // (smaller nations can't populate the top band: ((n-1)*5) div n + 1 < 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(col("monetary_c").desc, col("c_custkey").desc)
+    val top = r
+      .withColumn("n_nat", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("n_nat") >= 5)
+    assert(top.filter(col("m_score") =!= 5).count() == 0)
+    val again = Warehouse.rfm(spark, sf)
+    assert(r.exceptAll(again).count() == 0)
+  }
 }
