@@ -237,7 +237,11 @@ object SparkEntry {
     // U-shape multi-touch attribution (§2 #178)
     "q_attribution" -> ((s: SparkSession, d: String) => AnalyticsExt.attribution(s, d)),
     // Association rules by lift (§2 #179)
-    "q_basket_lift" -> ((s: SparkSession, d: String) => AnalyticsExt.basketLift(s, d))
+    "q_basket_lift" -> ((s: SparkSession, d: String) => AnalyticsExt.basketLift(s, d)),
+    // Gini spend inequality (§2 #180)
+    "q_gini" -> ((s: SparkSession, d: String) => AnalyticsExt.gini(s, d)),
+    // Shingle-novelty scoring (§2 #181)
+    "text_novelty" -> (TextStats.novelty _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3313,6 +3317,46 @@ object SparkEntry {
          SELECT part_a, part_b, c_ab, c_a, c_b,
            support_e6, conf_ab_e6, conf_ba_e6, lift_e6
          FROM m
-         QUALIFY row_number() OVER (ORDER BY lift_e6 DESC, part_a, part_b) <= 25"""
+         QUALIFY row_number() OVER (ORDER BY lift_e6 DESC, part_a, part_b) <= 25""",
+    "q_gini" ->
+      // sorted-rank Gini identity on whole-dollar spend; the e6 scale
+      // runs through HUGEINT (Spark side: DECIMAL(38,0)) — exact both
+      """WITH per AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT x,
+             CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+           FROM per),
+         a AS (
+           SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six, max(x) AS mx
+           FROM r)
+         SELECT n AS n_customers, sx AS total_usd,
+           CAST((CAST(2 * six - (n + 1) * sx AS HUGEINT) * 1000000)
+             // CAST(n * sx AS HUGEINT) AS BIGINT) AS gini_e6,
+           CAST((mx * 1000000) // sx AS BIGINT) AS top1_share_e6
+         FROM a""",
+    "text_novelty" ->
+      // corpus-unique shingle fraction per document on the e6 grid
+      """WITH toks0 AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                    ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)]
+               END)) AS s
+           FROM toks0),
+         df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST((sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+             AS novelty_e6
+         FROM sh JOIN df ON sh.s = df.s
+         GROUP BY doc_id"""
   )
 }

@@ -697,6 +697,61 @@ object AnalyticsExt {
         sum("bp").as("credit_bp"))
   }
 
+  /** #180 Gini coefficient of customer spend: the inequality summary
+    * behind every "top x% of customers drive y% of revenue" deck, and
+    * the distribution-level companion to the per-key skew diagnostic
+    * (#99) — skew says which keys are heavy, Gini says how unequal
+    * the whole distribution is. One row: customer count, total spend,
+    * Gini on the e6 grid, and the top-1-customer revenue share.
+    *
+    * Exact: spend in whole dollars (per-row floor, integer sums), the
+    * sorted-rank identity G = (2Σi·xᵢ − (n+1)Σxᵢ)/(n·Σxᵢ) with the
+    * rank built hierarchically (monotone spend-range shard + offsets
+    * ≡ global row_number — the #86 construction, no single-partition
+    * data window). The e6 scaling runs through DECIMAL(38,0) because
+    * (n·Σx)·10⁶ exceeds 2⁶³ already at test scale — the same decimal
+    * path a 1000× corpus needs, exercised now, with DuckDB's HUGEINT
+    * `//` agreeing exactly.
+    */
+  def gini(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val per = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"))
+    val bounds = per.agg(min("x").as("lo"), max("x").as("hi"))
+    val sharded = per
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((x - lo) * $nShards) div (hi - lo + 1)"))
+    val local = sharded.withColumn(
+      "rn",
+      row_number()
+        .over(Window.partitionBy("shard").orderBy(col("x"), col("o_custkey")))
+        .cast("long"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    local
+      .join(broadcast(offsets), "shard")
+      .withColumn("i", col("off") + col("rn"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"),
+        max("x").as("mx"))
+      .select(
+        col("n").as("n_customers"),
+        col("sx").as("total_usd"),
+        expr("""CAST((CAST(2 * six - (n + 1) * sx AS DECIMAL(38, 0)) * 1000000)
+                 div CAST(n * sx AS DECIMAL(38, 0)) AS BIGINT)""").as("gini_e6"),
+        expr("CAST((mx * 1000000) div sx AS BIGINT)").as("top1_share_e6"))
+  }
+
   /** #179 Association rules by lift: the co-purchase pairs (#89)
     * promoted to the full market-basket rule metrics — support,
     * directed confidence, and lift = P(ab)/(P(a)P(b)), the measure

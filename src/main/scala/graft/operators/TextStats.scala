@@ -255,6 +255,33 @@ object TextStats {
         .as("jaccard_exact_bp"))
   }
 
+  /** #181 Shingle-novelty scoring: per document, the fraction of its
+    * distinct 3-shingles that appear NOWHERE else in the corpus
+    * (df = 1) — the memorization/diversity signal a pretraining
+    * pipeline tracks: near-zero novelty flags boilerplate and near-
+    * dups the lexical way (no embeddings), high novelty marks the
+    * long-tail documents worth upweighting. The inverse view of the
+    * #68 contamination check (there: overlap with a reference set;
+    * here: overlap with the REST of the corpus).
+    *
+    * One shingle explode + one df aggregation + one join back at
+    * shingle granularity — shuffle linear in shingle count; the
+    * novelty ratio lives on the e6 integer grid (exact cross-engine).
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables
+      .documents(spark, dir)
+      .withColumn("tok", Dedup.toks(col("text")))
+      .select(col("doc_id"), explode(array_distinct(Dedup.shingles(col("tok")))).as("s"))
+    val df_ = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(df_, "s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_e6", expr("(n_unique * 1000000) div n_shingles"))
+  }
+
   /** #171 Sparse document similarity via inverted-index join: top-k
     * most-similar document pairs by cosine over (df-pruned) 3-token
     * SHINGLE frequency vectors — the sparse complement of the

@@ -260,6 +260,29 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(a.exceptAll(again).count() == 0)
   }
 
+  test("gini: matches BigInt brute force, bounds hold") {
+    val g = graft.operators.AnalyticsExt.gini(spark, sf).cache()
+    assert(g.count() == 1)
+    val row = g.head
+    val spends = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"))
+      .select("o_custkey", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = spends.sortBy(r => (r._2, r._1)).map(_._2)
+    val n = BigInt(sorted.length)
+    val sx = sorted.map(BigInt(_)).sum
+    val six = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expectedGini = ((BigInt(2) * six - (n + 1) * sx) * 1000000) / (n * sx)
+    assert(row.getLong(0) == sorted.length)
+    assert(BigInt(row.getLong(1)) == sx)
+    assert(BigInt(row.getLong(2)) == expectedGini, s"got ${row.getLong(2)} want $expectedGini")
+    assert(row.getLong(3) == sorted.max * 1000000L / sx.toLong)
+    assert(row.getLong(2) >= 0 && row.getLong(2) < 1000000L)
+    val again = graft.operators.AnalyticsExt.gini(spark, sf)
+    assert(g.exceptAll(again).count() == 0)
+  }
+
   test("basket lift: metric formulas exact, ordering by lift, bounds hold") {
     val b = graft.operators.AnalyticsExt.basketLift(spark, sf).cache()
     assert(b.count() == 25)

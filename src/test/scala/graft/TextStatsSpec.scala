@@ -235,6 +235,32 @@ class TextStatsSpec extends SparkSpec {
     assert(c.exceptAll(again).count() == 0)
   }
 
+  test("novelty: ratios bounded, recomputed exactly from collected shingle sets") {
+    val n = graft.operators.TextStats.novelty(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(n.count() == docs.count())
+    assert(n.filter(col("novelty_e6") < 0 || col("novelty_e6") > 1000000L).count() == 0)
+    assert(n.filter(col("n_unique") > col("n_shingles")).count() == 0)
+    assert(n.filter(col("novelty_e6") =!= expr("(n_unique * 1000000) div n_shingles")).count() == 0)
+    // brute force over collected shingle sets
+    val t = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val sh3 = when(size(t) < 3, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3)))))
+    val sets = docs.select(col("doc_id"), array_distinct(sh3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val dfCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    sets.foreach(_._2.foreach(s => dfCount(s) += 1))
+    val expected = sets.map { case (id, sh) =>
+      (id, sh.size.toLong, sh.count(dfCount(_) == 1).toLong)
+    }.toSet
+    val got = n.select("doc_id", "n_shingles", "n_unique")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    val again = graft.operators.TextStats.novelty(spark, sf)
+    assert(n.exceptAll(again).count() == 0)
+  }
+
   test("sparse sim: basket-explode pairs equal the self-join construction, cosine bounded") {
     val s = graft.operators.TextStats.sparseSim(spark, sf).cache()
     assert(s.count() == 50)
