@@ -241,7 +241,9 @@ object SparkEntry {
     // Gini spend inequality (§2 #180)
     "q_gini" -> ((s: SparkSession, d: String) => AnalyticsExt.gini(s, d)),
     // Shingle-novelty scoring (§2 #181)
-    "text_novelty" -> (TextStats.novelty _)
+    "text_novelty" -> (TextStats.novelty _),
+    // CUSUM changepoint detection (§2 #182)
+    "q_changepoint" -> (AnalyticsExt.changepoint _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3357,6 +3359,26 @@ object SparkEntry {
            CAST((sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
              AS novelty_e6
          FROM sh JOIN df ON sh.s = df.s
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    "q_changepoint" ->
+      // division-free CUSUM: trajectory scaled by n preserves the
+      // argmax; changepoint = (|S| desc, day asc) winner per type
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS t, count(*) AS n_days
+           FROM daily GROUP BY 1),
+         s AS (
+           SELECT d.event_type, d.day, t.n_days, t.t,
+             CAST(sum(t.n_days * d.c - t.t) OVER (PARTITION BY d.event_type
+               ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM daily d JOIN t USING (event_type))
+         SELECT event_type, n_days, t AS total_events, day AS cp_day_idx,
+           s AS s_at_cp, abs(s) AS s_abs
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(s) DESC, day) = 1"""
   )
 }

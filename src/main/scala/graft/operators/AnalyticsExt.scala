@@ -697,6 +697,53 @@ object AnalyticsExt {
         sum("bp").as("credit_bp"))
   }
 
+  /** #182 CUSUM changepoint detection: per event type, the day where
+    * the cumulative deviation of daily volume from its mean peaks —
+    * the classic single-changepoint locator (Page's CUSUM / binary
+    * segmentation's first split): a level shift in event rate pulls
+    * the cumulative sum into a V whose apex IS the shift day.
+    * Monitoring teams run exactly this over daily metric series to
+    * date a regression or a traffic-mix change.
+    *
+    * Division-free: instead of S_k = Σ(c_d − T/n) (a rational mean),
+    * everything is scaled by n — S'_k = Σ(n·c_d − T) = n·S_k, which
+    * preserves the argmax exactly and keeps the whole trajectory in
+    * BIGINTs. Changepoint = (|S'| desc, day asc) winner per type.
+    * Per-type day windows are bounded (the series length, never the
+    * event table); one partial-agg pass builds the daily counts.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+    val totals = daily
+      .groupBy("event_type")
+      .agg(sum("c").as("t"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy(col("day"))
+    val cusum = daily
+      .join(totals, "event_type")
+      .withColumn(
+        "s",
+        sum(col("n_days") * col("c") - col("t"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s_abs", abs(col("s")))
+    cusum
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy("event_type").orderBy(col("s_abs").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("t").as("total_events"),
+        col("day").as("cp_day_idx"),
+        col("s").as("s_at_cp"),
+        col("s_abs"))
+  }
+
   /** #180 Gini coefficient of customer spend: the inequality summary
     * behind every "top x% of customers drive y% of revenue" deck, and
     * the distribution-level companion to the per-key skew diagnostic

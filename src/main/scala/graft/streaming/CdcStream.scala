@@ -354,6 +354,45 @@ object CdcStream {
       }
   }
 
+  /** #183 Per-key throttle (debounce): emit at most one change per key
+    * per `intervalUs` of EVENT time — the flap-suppression stage in
+    * front of an expensive sink (a key updating 1000×/s must not issue
+    * 1000 warehouse merges; one per interval carries the same current
+    * state). Greedy spacing semantics: process a key's changes in
+    * (ts, event_id) order, emit a change iff its ts is at least
+    * `intervalUs` past the last EMITTED ts — the first change of every
+    * quiet period always passes, so a throttled stream never delays
+    * the edge that matters (the flap START), it drops the middle.
+    *
+    * State per key = ONE long (last emitted ts) in
+    * `flatMapGroupsWithState` — memory bounded by the key space,
+    * independent of rate. Deterministic given per-key in-order
+    * arrival (the changelog contract the upstream dedup/apply stages
+    * already assume); `StreamingOpsSpec` pins streamed ≡ the greedy
+    * reference across two arrival waves with state carried over.
+    */
+  def throttled(changes: Dataset[Change], intervalUs: Long): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Change](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Change], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(c => (c.ts, c.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[Change]
+          sorted.foreach { c =>
+            if (last == Long.MinValue || c.ts >= last + intervalUs) {
+              out += c
+              last = c.ts
+            }
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** #164 Stream-static enrichment join: attach a static dimension
     * (customer attributes) to a CDC change stream — the standard
     * "enrich before sinking" stage. Stream-static joins are

@@ -260,6 +260,32 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(a.exceptAll(again).count() == 0)
   }
 
+  test("changepoint: apex matches per-type brute-force CUSUM") {
+    val cp = graft.operators.AnalyticsExt.changepoint(spark, sf).cache()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(cp.count() == types)
+    assert(cp.filter(col("s_abs") =!= abs(col("s_at_cp"))).count() == 0)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val t = sorted.map(_._3).sum
+      val n = sorted.length.toLong
+      var s = 0L
+      val traj = sorted.map { case (_, day, c) => s += n * c - t; (day, s) }
+      assert(traj.last._2 == 0L, s"CUSUM must telescope to 0 for $et")
+      val apex = traj.maxBy { case (day, sv) => (math.abs(sv), -day) }
+      (et, n, t, apex._1, apex._2)
+    }.toSet
+    val got = cp.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    val again = graft.operators.AnalyticsExt.changepoint(spark, sf)
+    assert(cp.exceptAll(again).count() == 0)
+  }
+
   test("gini: matches BigInt brute force, bounds hold") {
     val g = graft.operators.AnalyticsExt.gini(spark, sf).cache()
     assert(g.count() == 1)

@@ -271,4 +271,46 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("throttle: streamed emissions equal the greedy spacing reference across waves") {
+    withTempDir { inDir =>
+      val intervalUs = 86400000000L // 1 day of event time
+      val changes = Cdc.classify(spark, sf).cache()
+      val mid = changes.agg(expr("percentile(ts, 0.5)")).head.getDouble(0).toLong
+
+      changes.filter(col("ts") <= mid).write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .throttled(CdcStream.readChangelog(spark, inDir), intervalUs)
+        .writeStream
+        .format("memory")
+        .queryName("stream_throttle")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") > mid).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+
+        import spark.implicits._
+        // greedy spacing reference over each key's full ordered series
+        val expected = changes.as[Change].collect()
+          .groupBy(_.user_id).values.flatMap { rows =>
+            var last = Long.MinValue
+            rows.sortBy(c => (c.ts, c.event_id)).filter { c =>
+              val ok = last == Long.MinValue || c.ts >= last + intervalUs
+              if (ok) last = c.ts
+              ok
+            }
+          }.toSet
+        val got = spark.table("stream_throttle").as[Change].collect().toSet
+        assert(got == expected, s"${got.size} emitted vs ${expected.size} expected")
+        // it actually throttles (the synthetic stream flaps well inside a day)
+        assert(got.size < changes.count())
+        // the first change of every key always passes (the edge that matters)
+        val firsts = changes.as[Change].collect()
+          .groupBy(_.user_id).values.map(_.minBy(c => (c.ts, c.event_id))).toSet
+        assert(firsts.subsetOf(got))
+      } finally q.stop()
+    }
+  }
 }
