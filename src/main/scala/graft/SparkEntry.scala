@@ -243,7 +243,11 @@ object SparkEntry {
     // Shingle-novelty scoring (§2 #181)
     "text_novelty" -> (TextStats.novelty _),
     // CUSUM changepoint detection (§2 #182)
-    "q_changepoint" -> (AnalyticsExt.changepoint _)
+    "q_changepoint" -> (AnalyticsExt.changepoint _),
+    // Changelog sequence audit (§2 #184)
+    "cdc_sequence_audit" -> (Cdc.sequenceAudit _),
+    // Incremental view maintenance (§2 #185)
+    "cdc_ivm_agg" -> ((s: SparkSession, d: String) => Cdc.ivmAgg(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3379,6 +3383,54 @@ object SparkEntry {
            s AS s_at_cp, abs(s) AS s_abs
          FROM s
          QUALIFY row_number() OVER (PARTITION BY event_type
-           ORDER BY abs(s) DESC, day) = 1"""
+           ORDER BY abs(s) DESC, day) = 1""",
+    "cdc_sequence_audit" ->
+      // liveness via the integer marker trick: last INSERT/DELETE row's
+      // rn*2+isInsert, max over preceding rows, parity = live
+      """WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+           FROM c),
+         m AS (
+           SELECT *, max(CASE WHEN op <> 'UPDATE'
+               THEN rn * 2 + CASE WHEN op = 'INSERT' THEN 1 ELSE 0 END END)
+             OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lm
+           FROM r)
+         SELECT op,
+           CASE WHEN op = 'INSERT' AND lm IS NOT NULL AND lm % 2 = 1
+                  THEN 'double_insert'
+                WHEN op = 'UPDATE' AND (lm IS NULL OR lm % 2 = 0)
+                  THEN 'update_while_absent'
+                WHEN op = 'DELETE' AND (lm IS NULL OR lm % 2 = 0)
+                  THEN 'delete_while_absent'
+                ELSE 'ok' END AS violation,
+           count(*) AS n, count(DISTINCT user_id) AS n_keys
+         FROM m GROUP BY 1, 2""",
+    "cdc_ivm_agg" ->
+      // the INDEPENDENT from-scratch recompute: a hash-MATCH against
+      // the Spark side's base+delta maintenance IS the IVM theorem
+      """WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value
+           FROM events),
+         s AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rk
+           FROM c)
+         SELECT user_id % 16 AS bucket, count(*) AS n_live,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+         FROM s WHERE rk = 1 AND op <> 'DELETE'
+         GROUP BY 1"""
   )
 }

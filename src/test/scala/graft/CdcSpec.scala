@@ -124,4 +124,48 @@ class CdcSpec extends SparkSpec {
     // facts before the key's first version carry null dimension columns
     assert(lk.filter(col("dim_event_id").isNull && col("dim_value").isNotNull).count() == 0)
   }
+
+  test("sequence audit matches a per-key state-machine replay") {
+    val audit = Cdc.sequenceAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute-force replay of the absent/live state machine per key
+    val rows = Cdc.classify(spark, sf)
+      .select("user_id", "ts", "event_id", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tallies = collection.mutable.Map.empty[(String, String), (Long, collection.mutable.Set[Long])]
+    rows.groupBy(_._1).foreach { case (uid, evs) =>
+      var live = false
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, op) =>
+        val violation = op match {
+          case "INSERT" if live   => "double_insert"
+          case "UPDATE" if !live  => "update_while_absent"
+          case "DELETE" if !live  => "delete_while_absent"
+          case _                  => "ok"
+        }
+        if (op == "INSERT") live = true
+        if (op == "DELETE") live = false
+        val (n, keys) = tallies.getOrElseUpdate((op, violation), (0L, collection.mutable.Set.empty[Long]))
+        tallies((op, violation)) = (n + 1, keys += uid)
+      }
+    }
+    val expected = tallies.map { case (k, (n, keys)) => k -> (n, keys.size.toLong) }.toMap
+    assert(audit == expected)
+    // every op accounted for
+    assert(audit.values.map(_._1).sum == rows.length)
+  }
+
+  test("ivm maintenance equals the from-scratch recompute of the view") {
+    import org.apache.spark.sql.functions._
+    val maintained = Cdc.ivmAgg(spark, sf)
+    // independent recompute: current live state -> per-bucket aggregate
+    val recomputed = Cdc.current(spark, sf)
+      .select(
+        (col("user_id") % 16).as("bucket"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_live"), sum("cents").as("sum_value_cents"))
+    assert(maintained.exceptAll(recomputed).count() == 0)
+    assert(recomputed.exceptAll(maintained).count() == 0)
+    assert(maintained.count() > 0)
+  }
 }
