@@ -247,7 +247,9 @@ object SparkEntry {
     // Changelog sequence audit (§2 #184)
     "cdc_sequence_audit" -> (Cdc.sequenceAudit _),
     // Incremental view maintenance (§2 #185)
-    "cdc_ivm_agg" -> ((s: SparkSession, d: String) => Cdc.ivmAgg(s, d))
+    "cdc_ivm_agg" -> ((s: SparkSession, d: String) => Cdc.ivmAgg(s, d)),
+    // Zone-map pruning simulator (§2 #186)
+    "q_zonemap_prune" -> ((s: SparkSession, d: String) => Scale.zonemapPrune(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3431,6 +3433,34 @@ object SparkEntry {
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS sum_value_cents
          FROM s WHERE rk = 1 AND op <> 'DELETE'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q_zonemap_prune" -> {
+      // per-file [min,max] envelopes vs a 90-day window; a file is
+      // scanned iff the envelope intersects — the parquet row-group test
+      def layout(name: String, fileExpr: String) =
+        s"""SELECT '$name' AS layout, count(*) AS n_files,
+              CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END) AS BIGINT)
+                AS files_scanned,
+              CAST(sum(n_rows) AS BIGINT) AS rows_total,
+              CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN n_rows ELSE 0 END) AS BIGINT)
+                AS rows_scanned,
+              CAST(sum(n_match) AS BIGINT) AS rows_matched
+            FROM (
+              SELECT $fileExpr AS file_id, min(d) AS mn, max(d) AS mx,
+                count(*) AS n_rows,
+                CAST(sum(CASE WHEN d >= lo AND d < hi THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_match,
+                any_value(lo) AS lo, any_value(hi) AS hi
+              FROM r GROUP BY 1)"""
+      s"""WITH o AS (
+           SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+           FROM orders),
+         b AS (SELECT min(d) AS d0, min(d) + 400 AS lo, min(d) + 490 AS hi FROM o),
+         r AS (SELECT * FROM o, b)
+         ${layout("insert_order", "o_orderkey // 4096")}
+         UNION ALL
+         ${layout("date_clustered", "(d - d0) // 32")}"""
+    }
   )
 }

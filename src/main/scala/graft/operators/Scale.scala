@@ -692,4 +692,81 @@ object Scale {
     zfiled.unpersist()
     out
   }
+
+  /** #186 Zone-map pruning simulator: per-file min/max statistics
+    * evaluated against a date predicate — the row-group/file-skipping
+    * mechanic that decides whether a 100 TB scan touches 100 TB or
+    * 1 TB. Two layouts of the same orders fact are compared:
+    * `insert_order` files (keys arrive in o_orderkey order — the
+    * layout every append-only ingest produces) vs `date_clustered`
+    * files (rows binned by order month — what a partition-by-date or
+    * z-order rewrite yields). The zone map is the SAME structure for
+    * both; only the layout changes how tight each file's [min,max]
+    * envelope is, and therefore how many files a 90-day predicate
+    * can skip.
+    *
+    * Everything derives relationally: the predicate window is
+    * [min_date+400d, +90d) off the broadcast 1-row global min; a file
+    * is scanned iff its envelope intersects the window (`max >= lo
+    * AND min <= hi` — the exact parquet row-group test). Output: one
+    * row per layout with file/row scan accounting; `rows_matched` is
+    * layout-invariant (pruning must never change the answer) and the
+    * spec asserts it. Plan: two groupBys on synthetic file ids + one
+    * broadcast of per-file stats — zone-map maintenance cost, not
+    * scan cost.
+    */
+  def zonemapPrune(
+      spark: SparkSession,
+      dir: String,
+      rowsPerFile: Int = 4096,
+      daysPerFile: Int = 32): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')").as("d"))
+    val bounds = ord.agg(
+      min("d").as("d0"),
+      (min("d") + 400).as("lo"),
+      (min("d") + 490).as("hi"))
+    val rows = ord.crossJoin(broadcast(bounds))
+
+    def account(layout: String, fileId: Column): DataFrame = {
+      val zones = rows
+        .select(
+          fileId.as("file_id"),
+          col("d"),
+          col("lo"),
+          col("hi"),
+          (col("d") >= col("lo") && col("d") < col("hi")).cast("long").as("m"))
+        .groupBy("file_id")
+        .agg(
+          min("d").as("mn"),
+          max("d").as("mx"),
+          count(lit(1)).as("n_rows"),
+          sum("m").as("n_match"),
+          first("lo").as("lo"),
+          first("hi").as("hi"))
+        .withColumn(
+          "scanned",
+          (col("mx") >= col("lo") && col("mn") < col("hi")).cast("long"))
+      zones
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum("scanned").as("files_scanned"),
+          sum("n_rows").as("rows_total"),
+          sum(col("scanned") * col("n_rows")).as("rows_scanned"),
+          sum("n_match").as("rows_matched"))
+        .select(
+          lit(layout).as("layout"),
+          col("n_files"),
+          col("files_scanned"),
+          col("rows_total"),
+          col("rows_scanned"),
+          col("rows_matched"))
+    }
+
+    account("insert_order", expr(s"o_orderkey div $rowsPerFile"))
+      .unionByName(account("date_clustered", expr(s"(d - d0) div $daysPerFile")))
+  }
 }

@@ -215,4 +215,25 @@ class ScaleSpec extends SparkSpec {
     val again = graft.operators.Scale.rendezvousShards(spark, sf)
     assert(r.exceptAll(again).count() == 0)
   }
+
+  test("zonemap prune: answer is layout-invariant, pruning is safe, clustering prunes more") {
+    val z = Scale.zonemapPrune(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (_, _, totIns, scanIns, matIns) = z("insert_order")
+    val (filesDc, scannedDc, totDc, scanDc, matDc) = z("date_clustered")
+    // pruning must never change the answer
+    assert(matIns == matDc && totIns == totDc)
+    // safety: every matching row lives in a scanned file
+    assert(matIns <= scanIns && matDc <= scanDc)
+    assert(scannedDc <= filesDc)
+    // the date-clustered layout prunes at least as well as insert-order
+    assert(scanDc <= scanIns)
+    // brute-force the match count independently
+    val d = expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+    val lo = graft.Tables.orders(spark, sf).agg(min(d)).head.getInt(0) + 400
+    val exact = graft.Tables.orders(spark, sf)
+      .filter(d >= lo && d < lo + 90).count()
+    assert(matIns == exact)
+  }
 }
