@@ -249,7 +249,13 @@ object SparkEntry {
     // Incremental view maintenance (§2 #185)
     "cdc_ivm_agg" -> ((s: SparkSession, d: String) => Cdc.ivmAgg(s, d)),
     // Zone-map pruning simulator (§2 #186)
-    "q_zonemap_prune" -> ((s: SparkSession, d: String) => Scale.zonemapPrune(s, d))
+    "q_zonemap_prune" -> ((s: SparkSession, d: String) => Scale.zonemapPrune(s, d)),
+    // Streaming state sizing under TTL (§2 #187)
+    "cdc_state_ttl" -> (Cdc.stateTtlAudit _),
+    // Watermark lateness audit (§2 #188)
+    "cdc_watermark_lateness" -> ((s: SparkSession, d: String) => Cdc.watermarkLateness(s, d)),
+    // Chi-square categorical association (§2 #189)
+    "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3461,6 +3467,69 @@ object SparkEntry {
          ${layout("insert_order", "o_orderkey // 4096")}
          UNION ALL
          ${layout("date_clustered", "(d - d0) // 32")}"""
-    }
+    },
+    "cdc_state_ttl" ->
+      """WITH lastk AS (
+           SELECT user_id, max(epoch_us(ts)) AS last_ts, count(*) AS n_changes
+           FROM events GROUP BY user_id),
+         h AS (SELECT max(last_ts) AS head_ts FROM lastk),
+         x AS (
+           SELECT hd.horizon_days,
+             CASE WHEN last_ts >= head_ts - hd.horizon_days * 86400000000
+               THEN 1 ELSE 0 END AS retained,
+             n_changes
+           FROM lastk, h, (VALUES (7), (30), (90)) hd(horizon_days))
+         SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
+           CAST(sum(retained) AS BIGINT) AS n_keys_retained,
+           CAST(sum(1 - retained) AS BIGINT) AS n_keys_expired,
+           CAST(sum(retained * n_changes) AS BIGINT) AS n_changes_retained
+         FROM x GROUP BY 1""",
+    "cdc_watermark_lateness" ->
+      // the flat global prefix-max over the planted-jitter arrival
+      // order: the Spark side's sharded hierarchy must equal this
+      // exactly
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts FROM events),
+         a AS (
+           SELECT *, ts + ('0x' || substr(md5('graft-wm:' || event_id), 1, 15))::BIGINT
+             % 7200000001 AS arr
+           FROM e),
+         p AS (
+           SELECT ts, max(ts) OVER (ORDER BY arr, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+           FROM a),
+         l AS (
+           SELECT CASE WHEN prior IS NULL OR prior <= ts THEN 0
+                       ELSE prior - ts END AS lat
+           FROM p)
+         SELECT CASE WHEN lat = 0 THEN 'on_time'
+                     WHEN lat <= 60000000 THEN 'under_1m'
+                     WHEN lat <= 3600000000 THEN 'under_1h'
+                     WHEN lat <= 86400000000 THEN 'under_1d'
+                     ELSE 'over_1d' END AS bucket,
+           count(*) AS n_events, CAST(max(lat) AS BIGINT) AS max_lateness_us
+         FROM l GROUP BY 1""",
+    "q_chi2_assoc" ->
+      // HUGEINT replay of the DECIMAL(38,0) floor divisions (the
+      // q_gini discipline): (n*O - R*C)^2 * 1e6 // (n*R*C) per cell
+      """WITH cells AS (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS o
+           FROM orders GROUP BY 1, 2),
+         rm AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         x AS (
+           SELECT cells.o_orderstatus, cells.o_orderpriority, o AS n_cell,
+             CAST((CAST(r AS HUGEINT) * c * 1000000) // CAST(n AS HUGEINT)
+               AS BIGINT) AS expected_e6,
+             CAST((CAST(n * o - r * c AS HUGEINT) * CAST(n * o - r * c AS HUGEINT)
+                   * 1000000)
+               // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_e6
+           FROM cells JOIN rm USING (o_orderstatus)
+             JOIN cm USING (o_orderpriority), t)
+         SELECT o_orderstatus, o_orderpriority, n_cell, expected_e6, contrib_e6,
+           CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_total_e6
+         FROM x"""
   )
 }

@@ -1028,4 +1028,43 @@ object AnalyticsExt {
         col("wtot").cast("long").as("w_total"),
         col("bal_c").as("median_bal_c"))
   }
+
+  /** #189 Chi-square association audit: is order PRIORITY independent
+    * of order STATUS? The contingency-table test every profiling
+    * stage runs on categorical column pairs — a large statistic says
+    * the pair carries joint structure (worth a composite feature or a
+    * partition key), a small one says the columns are independent.
+    * Per-cell contribution and the total statistic, both on the e6
+    * integer grid: chi2 cell = (n*O - R*C)^2 / (n*R*C), computed as
+    * DECIMAL(38,0) floor divisions (the squared term passes 2^63
+    * already at test scale; DuckDB replays in HUGEINT — the #180
+    * discipline). One count pass, two margin reductions broadcast
+    * back, everything else arithmetic.
+    */
+  def chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy("o_orderstatus").agg(sum("o").as("r"))
+    val colm = cells.groupBy("o_orderpriority").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"))
+    val contrib = cells
+      .join(broadcast(rowm), "o_orderstatus")
+      .join(broadcast(colm), "o_orderpriority")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o").as("n_cell"),
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("expected_e6"),
+        expr("""CAST((CAST(n * o - r * c AS DECIMAL(38,0)) * CAST(n * o - r * c AS DECIMAL(38,0))
+                      * 1000000)
+                 div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""")
+          .as("contrib_e6"))
+    contrib.withColumn(
+      "chi2_total_e6",
+      sum("contrib_e6").over(Window.partitionBy()))
+  }
 }

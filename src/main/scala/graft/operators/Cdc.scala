@@ -480,4 +480,107 @@ object Cdc {
           - coalesce(col("old_s"), lit(0L))).as("sum_value_cents"))
       .filter(col("n_live") > 0)
   }
+
+  /** #187 Streaming state sizing under TTL: for each candidate state
+    * TTL (7/30/90 days of event time), how many keys' state survives
+    * at the stream head and how many would have been evicted — the
+    * capacity-planning query behind every `GroupState` TTL choice:
+    * state memory at 100 TB is `keys retained × bytes/key`, and this
+    * measures the first factor per policy BEFORE deploying it.
+    * A key is retained iff its last change is within the horizon of
+    * the snapshot instant (the global max ts). One groupBy(user_id)
+    * max + a 3-row horizon explode over a 1-row broadcast — the whole
+    * audit is two partial-agg passes.
+    */
+  def stateTtlAudit(spark: SparkSession, dir: String): DataFrame = {
+    val lastPerKey = classify(spark, dir)
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("n_changes"))
+    val head = lastPerKey.agg(max("last_ts").as("head_ts"))
+    lastPerKey
+      .crossJoin(broadcast(head))
+      .select(
+        explode(array(lit(7L), lit(30L), lit(90L))).as("horizon_days"),
+        (col("last_ts") >= col("head_ts") - col("horizon_days") * 86400000000L)
+          .cast("long")
+          .as("retained"),
+        col("n_changes"))
+      .groupBy("horizon_days")
+      .agg(
+        sum("retained").as("n_keys_retained"),
+        sum(lit(1L) - col("retained")).as("n_keys_expired"),
+        sum(col("retained") * col("n_changes")).as("n_changes_retained"))
+  }
+
+  /** #188 Watermark lateness audit: per-event lateness = (max event
+    * time seen over all PRIOR arrivals) − own event time, in arrival
+    * order — the out-of-orderness distribution that picks a watermark
+    * delay: `withWatermark(p99 lateness)` keeps 99% of events out of
+    * the late-drop path while bounding state. Bucketed counts +
+    * per-bucket max are the tuning curve.
+    *
+    * The synthetic changelog arrives perfectly ordered, so arrival
+    * time is simulated as `ts + jitter`, jitter an md5-derived
+    * 0..2h transport delay (the planted-dup corpus discipline: the
+    * disorder is planted deterministically and the oracle replays
+    * it bit-exactly).
+    *
+    * The running max over arrival order is a GLOBAL prefix scan — the
+    * classic single-partition window trap. Here it is hierarchical
+    * (the #86/#118 shard discipline): arrivals split into `shards`
+    * arrival-time ranges (span derived from max arrival, a pure
+    * integer expression — range-sharding is order-consistent); the
+    * in-shard prefix max is a bounded-partition window, the
+    * cross-shard carry-in is a window over the `shards`-row shard-max
+    * table, broadcast back. Exact equality with the flat scan — the
+    * DuckDB oracle IS the flat global window, so the hash-MATCH
+    * proves the decomposition.
+    */
+  def watermarkLateness(spark: SparkSession, dir: String, shards: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val jitterUs = 7200000001L // 0..2h
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts"))
+      .withColumn(
+        "arr",
+        col("ts") + pmod(
+          Dedup.hash60(concat(lit("graft-wm:"), col("event_id"))),
+          lit(jitterUs)))
+    val span = ev.agg(expr(s"CAST((max(arr) + $shards) div $shards AS BIGINT)").as("w"))
+    val sharded = ev
+      .crossJoin(broadcast(span))
+      .withColumn("shard", expr("arr div w"))
+    val inShard = sharded.withColumn(
+      "pre_mx",
+      max("ts").over(
+        Window
+          .partitionBy("shard")
+          .orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val carry = sharded
+      .groupBy("shard")
+      .agg(max("ts").as("smx"))
+      .withColumn(
+        "carry_mx",
+        max("smx").over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("shard"), col("carry_mx"))
+    inShard
+      .join(broadcast(carry), "shard")
+      // greatest() skips nulls: prior is null only for the very first
+      // arrival, whose lateness is 0 by the outer greatest(0, null)
+      .withColumn(
+        "lateness_us",
+        greatest(lit(0L), greatest(col("pre_mx"), col("carry_mx")) - col("ts")))
+      .withColumn(
+        "bucket",
+        when(col("lateness_us") === 0, "on_time")
+          .when(col("lateness_us") <= 60000000L, "under_1m")
+          .when(col("lateness_us") <= 3600000000L, "under_1h")
+          .when(col("lateness_us") <= 86400000000L, "under_1d")
+          .otherwise("over_1d"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max("lateness_us").as("max_lateness_us"))
+  }
 }

@@ -404,4 +404,31 @@ class AnalyticsExtSpec extends SparkSpec {
     val again = graft.operators.AnalyticsExt.weightedMedian(spark, sf)
     assert(m.exceptAll(again).count() == 0)
   }
+
+  test("chi2: contributions match a BigInt brute force, margins consistent") {
+    val rows = graft.operators.AnalyticsExt.chi2Assoc(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // independent brute force from raw counts
+    val counts = graft.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = BigInt(counts.values.sum)
+    val rm = counts.groupBy(_._1._1).map { case (k, m) => k -> BigInt(m.values.sum) }
+    val cm = counts.groupBy(_._1._2).map { case (k, m) => k -> BigInt(m.values.sum) }
+    var totE = BigInt(0)
+    val expect = counts.map { case ((st, pr), o) =>
+      val d = n * BigInt(o) - rm(st) * cm(pr)
+      val contrib = (d * d * 1000000) / (n * rm(st) * cm(pr))
+      val expd = (rm(st) * cm(pr) * 1000000) / n
+      totE += contrib
+      (st, pr) -> (expd.toLong, contrib.toLong)
+    }
+    rows.foreach { case (pr, st, nc, exp, con, tot) =>
+      assert(counts((st, pr)) == nc)
+      val (e, c) = expect((st, pr))
+      assert(e == exp && c == con, s"cell ($st,$pr)")
+      assert(tot == totE.toLong)
+    }
+    assert(rows.map(_._3).sum == n.toLong)
+  }
 }

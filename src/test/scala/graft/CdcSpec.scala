@@ -154,6 +154,36 @@ class CdcSpec extends SparkSpec {
     assert(audit.values.map(_._1).sum == rows.length)
   }
 
+  test("state ttl audit: horizons tile the key space, retention monotone in horizon") {
+    import org.apache.spark.sql.functions._
+    val ttl = Cdc.stateTtlAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ttl.keySet == Set(7L, 30L, 90L))
+    val keys = Cdc.classify(spark, sf).select("user_id").distinct().count()
+    val changes = Cdc.classify(spark, sf).count()
+    ttl.values.foreach { case (ret, exp, chg) =>
+      assert(ret + exp == keys)
+      assert(chg <= changes)
+    }
+    // longer horizon retains at least as many keys and changes
+    assert(ttl(7L)._1 <= ttl(30L)._1 && ttl(30L)._1 <= ttl(90L)._1)
+    assert(ttl(7L)._3 <= ttl(30L)._3 && ttl(30L)._3 <= ttl(90L)._3)
+  }
+
+  test("watermark lateness: sharded hierarchy equals the flat global prefix scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Cdc.watermarkLateness(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // shards=1 degenerates to the flat single-window global scan
+    val flat = Cdc.watermarkLateness(spark, sf, shards = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == flat)
+    // buckets tile all events; jitter actually plants disorder
+    assert(got.values.map(_._1).sum == Cdc.classify(spark, sf).count())
+    assert(got.keySet.size > 1, "planted jitter must produce out-of-order arrivals")
+  }
+
   test("ivm maintenance equals the from-scratch recompute of the view") {
     import org.apache.spark.sql.functions._
     val maintained = Cdc.ivmAgg(spark, sf)
