@@ -255,7 +255,9 @@ object SparkEntry {
     // Watermark lateness audit (§2 #188)
     "cdc_watermark_lateness" -> ((s: SparkSession, d: String) => Cdc.watermarkLateness(s, d)),
     // Chi-square categorical association (§2 #189)
-    "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _)
+    "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _),
+    "text_ks_drift" -> (TextStats.ksDrift _),
+    "q_abc_pareto" -> ((s: SparkSession, d: String) => AnalyticsExt.abcPareto(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3530,6 +3532,63 @@ object SparkEntry {
              JOIN cm USING (o_orderpriority), t)
          SELECT o_orderstatus, o_orderpriority, n_cell, expected_e6, contrib_e6,
            CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_total_e6
-         FROM x"""
+         FROM x""",
+    "text_ks_drift" ->
+      // Cross-multiplied two-sample KS on the (source × distinct
+      // length) grid; HUGEINT replays the DECIMAL(38,0) floor div.
+      """WITH cont AS (
+           SELECT source, n_chars AS len, count(*) AS c_sl
+           FROM documents GROUP BY 1, 2),
+         bylen AS (SELECT len, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cont GROUP BY 1),
+         bysrc AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS n_s FROM cont GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_sl) AS BIGINT) AS n FROM cont),
+         grid AS (
+           SELECT s.source, l.len, s.n_s, l.c_l, COALESCE(c.c_sl, 0) AS c_sl
+           FROM bysrc s CROSS JOIN bylen l
+           LEFT JOIN cont c ON c.source = s.source AND c.len = l.len),
+         cum AS (
+           SELECT source, len, n_s,
+             sum(c_sl) OVER (PARTITION BY source ORDER BY len) AS ca,
+             sum(c_l) OVER (PARTITION BY source ORDER BY len) AS c_all
+           FROM grid),
+         scored AS (
+           SELECT source, len, n_s, n - n_s AS nb,
+             abs(CAST(ca AS HUGEINT) * (n - n_s)
+                 - CAST(c_all - ca AS HUGEINT) * n_s) AS num
+           FROM cum, tot),
+         best AS (
+           SELECT source, len, n_s, nb, num,
+             row_number() OVER (PARTITION BY source ORDER BY num DESC, len) AS rk
+           FROM scored)
+         SELECT source, n_s AS n_docs,
+           CAST((num * 1000000) // (CAST(n_s AS HUGEINT) * nb) AS BIGINT) AS ks_e6,
+           len AS at_len
+         FROM best WHERE rk = 1""",
+    "q_abc_pareto" ->
+      // FLAT global-window replay of the hierarchical rank/cumsum —
+      // the hash-MATCH proves the shard decomposition.
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM rev),
+         ranked AS (
+           SELECT rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+           FROM rev),
+         classed AS (
+           SELECT rev,
+             CASE
+               WHEN CAST((CAST(cum AS HUGEINT) * 1000000) // t AS BIGINT) <= 800000
+                 THEN 'A'
+               WHEN CAST((CAST(cum AS HUGEINT) * 1000000) // t AS BIGINT) <= 950000
+                 THEN 'B'
+               ELSE 'C' END AS abc_class
+           FROM ranked, t)
+         SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_revenue_usd,
+           CAST((CAST(sum(rev) AS HUGEINT) * 1000000) // max(t) AS BIGINT)
+             AS class_share_e6
+         FROM classed, t GROUP BY 1"""
   )
 }

@@ -1067,4 +1067,69 @@ object AnalyticsExt {
       "chi2_total_e6",
       sum("contrib_e6").over(Window.partitionBy()))
   }
+
+  /** #191 ABC / Pareto revenue classification: parts banded into the
+    * classic inventory classes by cumulative revenue share — A while
+    * the running share is ≤ 80%, B to 95%, C above — the "top x% of
+    * SKUs drive y% of revenue" cut that decides stocking policy, and
+    * the class-banded companion to #180's single-number Gini.
+    *
+    * Exact: whole-dollar per-row floors summed as BIGINTs (the #180
+    * money grid), the descending revenue rank and its cumulative sum
+    * built HIERARCHICALLY — monotone revenue-range shards, in-shard
+    * windows, a shards-row offset table broadcast back (the #86/#180
+    * construction; no single-partition window over the part dim,
+    * which at warehouse scale is NOT small). The DuckDB oracle is the
+    * FLAT global window, so the hash-MATCH proves the decomposition.
+    * Share scaling runs DECIMAL(38,0) ↔ HUGEINT (cum·10⁶ > 2⁶³ at
+    * scale). Class cuts compare integer e6 shares — no float ratios.
+    */
+  def abcPareto(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val rev = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * (1.0d - l_discount)) AS BIGINT)").as("r"))
+      .groupBy("l_partkey")
+      .agg(sum("r").as("rev"))
+    val bounds = rev.agg(min("rev").as("lo"), max("rev").as("hi"))
+    // shard 0 = highest revenue; equal revenues never span shards, so
+    // shard index is monotone in the (rev desc, partkey) total order.
+    val sharded = rev
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((hi - rev) * $nShards) div (hi - lo + 1)"))
+    val ws = Window.partitionBy("shard").orderBy(col("rev").desc, col("l_partkey"))
+    val local = sharded.withColumn("csum", sum("rev").over(ws))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("rev").as("s"))
+      .withColumn(
+        "roff",
+        coalesce(
+          sum("s").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("roff"))
+    val tot = rev.agg(sum("rev").as("t"))
+    val classed = local
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "share_e6",
+        expr("CAST((CAST(roff + csum AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)"))
+      .withColumn(
+        "abc_class",
+        when(col("share_e6") <= 800000, "A")
+          .when(col("share_e6") <= 950000, "B")
+          .otherwise("C"))
+    classed
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_revenue_usd"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("abc_class"),
+        col("n_parts"),
+        col("class_revenue_usd"),
+        expr("CAST((CAST(class_revenue_usd AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)")
+          .as("class_share_e6"))
+  }
 }

@@ -429,4 +429,62 @@ object TextStats {
           .cast("int")
           .as("mg_ok"))
   }
+
+  /** #190 Two-sample KS drift per source: the Kolmogorov–Smirnov
+    * distance between each source's document-LENGTH distribution and
+    * the rest of the corpus — the distribution-shape drift alarm
+    * beside #119's token-content drift: KL says a source's WORDS
+    * moved, KS says its document SHAPE moved (truncation bug, new
+    * chunking, boilerplate inflation), and length is the cheapest
+    * shape proxy a pipeline has (here the pre-computed `n_chars` —
+    * the scan never touches `text`).
+    *
+    * Exact and all-integer: D = max over x of |F_s(x) − F_rest(x)| is
+    * evaluated on the cross-multiplied grid |ca·n_rest − c_rest·n_s|
+    * (no float CDFs), maximized per source, and reported as
+    * ks_e6 = ⌊D_num·10⁶ / (n_s·n_rest)⌋ with the argmax length
+    * (smallest on ties). The evaluation grid is sources × distinct
+    * lengths — both BOUNDED domains (lengths ≤ max doc size), so the
+    * grid is dimension-sized no matter the corpus row count; the
+    * cumulative windows partition BY SOURCE (never a global window),
+    * and the cross products run through DECIMAL(38,0) ↔ DuckDB
+    * HUGEINT (the #180 discipline — n_s·n_rest·10⁶ passes 2⁶³ well
+    * below 100 TB corpus counts).
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("n_chars").as("len"))
+    val cont = docs.groupBy("source", "len").agg(count(lit(1)).as("c_sl"))
+    val byLen = cont.groupBy("len").agg(sum("c_sl").as("c_l"))
+    val bySrc = cont.groupBy("source").agg(sum("c_sl").as("n_s"))
+    val total = cont.agg(sum("c_sl").as("n"))
+    // Every (source, length) jump point of either CDF: sources ×
+    // distinct lengths, missing cells zero-filled.
+    val grid = bySrc
+      .crossJoin(byLen)
+      .join(cont, Seq("source", "len"), "left")
+      .na
+      .fill(0L, Seq("c_sl"))
+    val w = Window.partitionBy("source").orderBy("len")
+    val scored = grid
+      .withColumn("ca", sum("c_sl").over(w))
+      .withColumn("c_all", sum("c_l").over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("nb", col("n") - col("n_s"))
+      .withColumn(
+        "num",
+        expr("abs(CAST(ca AS DECIMAL(38,0)) * nb - CAST(c_all - ca AS DECIMAL(38,0)) * n_s)"))
+    scored
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy("source").orderBy(col("num").desc, col("len"))))
+      .filter(col("rk") === 1)
+      .select(
+        col("source"),
+        col("n_s").as("n_docs"),
+        expr("CAST((num * 1000000) div (CAST(n_s AS DECIMAL(38,0)) * nb) AS BIGINT)")
+          .as("ks_e6"),
+        col("len").as("at_len"))
+  }
 }

@@ -431,4 +431,44 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(rows.map(_._3).sum == n.toLong)
   }
+
+  test("abc pareto: classes partition parts, shares exact, A leads") {
+    val rows = graft.operators.AnalyticsExt
+      .abcPareto(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    // brute force: per-part whole-dollar revenue, desc cumsum, class cuts
+    val rev = Tables
+      .lineitem(spark, sf)
+      .selectExpr(
+        "l_partkey",
+        "CAST(floor(l_extendedprice * (1.0d - l_discount)) AS BIGINT) AS r")
+      .groupBy("l_partkey")
+      .agg(sum("r").as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, v) => (-v, k) }
+    val t = BigInt(rev.map(_._2).sum)
+    var cum = BigInt(0)
+    val classOf = rev.map { case (_, v) =>
+      cum += v
+      val share = cum * 1000000 / t
+      if (share <= 800000) "A" else if (share <= 950000) "B" else "C"
+    }
+    val exp = classOf
+      .zip(rev.map(_._2))
+      .groupBy(_._1)
+      .map { case (c, xs) => c -> (xs.length.toLong, xs.map(_._2).sum) }
+    rows.foreach { case (c, np, crev, shr) =>
+      assert(exp(c) == ((np, crev)), s"class $c")
+      assert(shr == (BigInt(crev) * 1000000 / t).toLong, s"class $c share")
+    }
+    // partition: counts and revenue sum to the whole part set
+    assert(rows.map(_._2).sum == rev.length)
+    assert(rows.map(_._3).sum == t.toLong)
+    // Pareto shape: A holds the largest share
+    assert(rows.find(_._1 == "A").get._4 >= rows.map(_._4).max)
+  }
 }

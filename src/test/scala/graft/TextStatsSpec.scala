@@ -345,4 +345,37 @@ class TextStatsSpec extends SparkSpec {
     val again = graft.operators.TextStats.mgMerge(spark, sf, slots = slots)
     assert(m.exceptAll(again).count() == 0)
   }
+
+  test("ks drift: matches BigInt brute force per source, bounds hold") {
+    val rows = TextStats.ksDrift(spark, sf).collect()
+    val docs = Tables
+      .documents(spark, sf)
+      .select("source", "n_chars")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val lens = docs.map(_._2).distinct.sorted
+    val n = BigInt(docs.length)
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val (src, nDocs, ks, atLen) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val mine = bySrc(src).map(_._2)
+      val ns = BigInt(mine.length)
+      val nb = n - ns
+      assert(nDocs == mine.length)
+      // brute-force KS: max cross-multiplied CDF gap over the grid,
+      // smallest argmax length on ties
+      var bestNum = BigInt(-1); var bestLen = -1L
+      lens.foreach { x =>
+        val ca = BigInt(mine.count(_ <= x))
+        val cb = BigInt(docs.count(d => d._1 != src && d._2 <= x))
+        val num = (ca * nb - cb * ns).abs
+        if (num > bestNum) { bestNum = num; bestLen = x }
+      }
+      assert(atLen == bestLen, s"source $src argmax")
+      assert(ks == (bestNum * 1000000 / (ns * nb)).toLong, s"source $src ks")
+      assert(ks >= 0 && ks <= 1000000)
+    }
+  }
 }
