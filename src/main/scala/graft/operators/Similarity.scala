@@ -688,16 +688,19 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
-  /** [[projectSearchIndexed]] behind a deterministic scratch path —
-    * the driver-queryable form: builds (overwrites) the index for
-    * `dir`, then searches it. Shares `ann_project_search`'s oracle:
-    * the two variants are bit-identical by construction.
+  /** [[projectSearchIndexed]] behind a per-run scratch path — the
+    * driver-queryable form: builds the index for `dir`, then searches
+    * it. Shares `ann_project_search`'s oracle: the two variants are
+    * bit-identical by construction. Same scratch discipline as
+    * [[ivfAdcViaIndex]]: unique dir per invocation (no cross-session
+    * race on a shared path), result eagerly materialized before the
+    * index files are deleted.
     */
-  def projectSearchViaIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_pindex_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    buildProjectedIndex(spark, dir, path)
-    projectSearchIndexed(spark, dir, path)
-  }
+  def projectSearchViaIndex(spark: SparkSession, dir: String): DataFrame =
+    withScratchDir("graft_pindex_") { path =>
+      buildProjectedIndex(spark, dir, path)
+      projectSearchIndexed(spark, dir, path).localCheckpoint(eager = true)
+    }
 
   def projectSearch(spark: SparkSession, dir: String, k: Int = 32, cand: Int = 150): DataFrame = {
     GraftFunctions.register(spark)
@@ -1218,16 +1221,23 @@ object Similarity {
     * result is eagerly materialized off the index first, so the caller
     * holds checkpoint blocks, not a lazy plan over deleted files.
     */
-  def ivfAdcViaIndex(spark: SparkSession, dir: String): DataFrame = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ivfadc_").toString
-    try {
+  def ivfAdcViaIndex(spark: SparkSession, dir: String): DataFrame =
+    withScratchDir("graft_ivfadc_") { p =>
       buildIvfAdcIndex(spark, dir, p)
       ivfAdcSearchIndexed(spark, dir, p).localCheckpoint(eager = true)
-    } finally {
+    }
+
+  /** Per-invocation scratch directory, deleted on exit. `f` must
+    * eagerly materialize anything it returns (the dir is gone when
+    * this returns).
+    */
+  private def withScratchDir[A](prefix: String)(f: String => A): A = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    try f(p)
+    finally {
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(p)
       java.nio.file.Files
-        .walk(root)
+        .walk(java.nio.file.Paths.get(p))
         .sorted(java.util.Comparator.reverseOrder())
         .iterator()
         .asScala
