@@ -24,18 +24,26 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** The `events` changelog table. Its `ts` column is parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read
-    * it as a raw nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`)
-    * which is also what the DuckDB oracle emits via `epoch_ns(ts)` —
-    * exact integer parity, no µs-truncation ambiguity.
+  /** The `events` changelog table, with `ts` normalized to a
+    * nanosecond-epoch long regardless of how the driver generated the
+    * parquet. Two generations exist: TIMESTAMP(NANOS) physical (read
+    * as a raw ns long via `spark.sql.legacy.parquet.nanosAsLong`) and
+    * TIMESTAMP(MICROS) physical (read as a timestamp, converted here
+    * with integer `unix_micros * 1000` under the session's UTC zone —
+    * no float math, so no low-order corruption). Either way the
+    * DuckDB oracle's `epoch_us(ts)` agrees with `ts div 1000` exactly.
     *
     * Schema: event_id long, ts long (ns), user_id long,
     * event_type string, value double, props string.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** `ts` as a µs TimestampType column (for streaming / window-by-time).
