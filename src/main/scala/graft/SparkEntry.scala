@@ -257,7 +257,15 @@ object SparkEntry {
     // Chi-square categorical association (§2 #189)
     "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _),
     "text_ks_drift" -> (TextStats.ksDrift _),
-    "q_abc_pareto" -> ((s: SparkSession, d: String) => AnalyticsExt.abcPareto(s, d))
+    "q_abc_pareto" -> ((s: SparkSession, d: String) => AnalyticsExt.abcPareto(s, d)),
+    // Skyline / Pareto-frontier preference query (§2 #192)
+    "q_skyline" -> ((s: SparkSession, d: String) => AnalyticsExt.skyline(s, d)),
+    // Rolling 7-day active users: sliding exact count-distinct (§2 #193)
+    "q_rolling_mau" -> (AnalyticsExt.rollingMau _),
+    // SCD2 interval-align join: bitemporal attribute alignment (§2 #194)
+    "cdc_scd2_align" -> (Cdc.scd2Align _),
+    // Event-sequence regex match, MATCH_RECOGNIZE shape (§2 #195)
+    "q_event_regex" -> (AnalyticsExt.eventRegex _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3589,6 +3597,73 @@ object SparkEntry {
            CAST(sum(rev) AS BIGINT) AS class_revenue_usd,
            CAST((CAST(sum(rev) AS HUGEINT) * 1000000) // max(t) AS BIGINT)
              AS class_share_e6
-         FROM classed, t GROUP BY 1"""
+         FROM classed, t GROUP BY 1""",
+    "q_skyline" ->
+      // Quadratic NOT-EXISTS dominance replay of the grid-pruned
+      // staircase plan — the hash-MATCH proves the pruning is lossless.
+      """WITH pts AS (
+           SELECT p_partkey,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+         SELECT p.p_partkey, p.price_c, p.p_size
+         FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.price_c <= p.price_c AND q.p_size <= p.p_size
+             AND (q.price_c < p.price_c OR q.p_size < p.p_size))""",
+    "q_rolling_mau" ->
+      // Self-join-per-day replay of the bounded 7-way cover explode.
+      """WITH pres AS (
+           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day AS target_day FROM pres)
+         SELECT d.target_day,
+           count(DISTINCT p.user_id) AS n_active_7d
+         FROM days d
+         JOIN pres p ON p.day BETWEEN d.target_day - 6 AND d.target_day
+         GROUP BY 1""",
+    "cdc_scd2_align" ->
+      """WITH ch AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value
+           FROM events),
+         h AS (SELECT max(ts) + 1 AS h FROM ch),
+         va AS (
+           SELECT user_id, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      (SELECT h FROM h)) AS valid_to,
+             value AS acct_value
+           FROM ch
+           WHERE op = 'INSERT' OR (op = 'UPDATE' AND event_id % 2 = 0)),
+         vb AS (
+           SELECT user_id, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      (SELECT h FROM h)) AS valid_to,
+             value AS engagement_value
+           FROM ch WHERE op = 'UPDATE' AND event_id % 2 = 1)
+         SELECT a.user_id,
+           greatest(a.valid_from, b.valid_from) AS seg_from,
+           least(a.valid_to, b.valid_to) AS seg_to,
+           a.acct_value, b.engagement_value
+         FROM va a
+         JOIN vb b ON a.user_id = b.user_id
+           AND a.valid_from < b.valid_to AND b.valid_from < a.valid_to""",
+    "q_event_regex" ->
+      """WITH seqs AS (
+           SELECT user_id,
+             string_agg(
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                    WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                    ELSE 'e' END,
+               '' ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1)
+         SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+             AS n_browse_to_buy
+         FROM seqs"""
   )
 }

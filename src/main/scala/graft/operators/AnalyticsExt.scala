@@ -1132,4 +1132,127 @@ object AnalyticsExt {
         expr("CAST((CAST(class_revenue_usd AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)")
           .as("class_share_e6"))
   }
+
+  /** #192 Skyline / Pareto-frontier preference query: the parts no
+    * other part beats on BOTH price and size (minimize `p_retailprice`,
+    * minimize `p_size`) — the classic "best tradeoff set" operator
+    * (Börzsönyi et al., ICDE 2001) that product search and
+    * supplier-selection queries run at warehouse scale.
+    *
+    * Distributed shape: a fixed-width price grid (B bins) reduces to a
+    * per-bin min-size STAIRCASE (one tiny aggregate); its strict
+    * prefix-min, broadcast back, prunes every point dominated by a
+    * strictly-cheaper bin — the surviving candidate set is
+    * O(B + skyline), independent of the fact row count, so the exact
+    * residual pass (a range-frame running min over survivors only)
+    * never sees the full table. At 100 TB, raise B; the fact table is
+    * touched once, map-side, against a broadcast staircase. Money on
+    * the cent grid (BIGINT); dominance strict-somewhere, so exact
+    * (price,size) duplicates are both retained — matching the oracle's
+    * NOT EXISTS replay bit-for-bit.
+    */
+  def skyline(spark: SparkSession, dir: String, bins: Int = 64): DataFrame = {
+    val pts = Tables
+      .part(spark, dir)
+      .select(
+        col("p_partkey"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("price_c"),
+        col("p_size").cast("long").as("p_size"))
+    val bounds = pts.agg(min("price_c").as("lo"), max("price_c").as("hi"))
+    val binned = pts
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((price_c - lo) * $bins) div (hi - lo + 1)"))
+    // staircase: min size per price bin, then min over all strictly lower bins
+    val stairs = binned
+      .groupBy("bin")
+      .agg(min("p_size").as("bin_min"))
+      .withColumn(
+        "pref_min",
+        min("bin_min").over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bin"), col("pref_min"))
+    val survivors = binned
+      .join(broadcast(stairs), "bin")
+      .filter(col("pref_min").isNull || col("pref_min") > col("p_size"))
+    // exact residual: dominated iff a strictly cheaper survivor is no
+    // larger, or an equal-price survivor is strictly smaller
+    val strictCheaper =
+      Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("price_c")
+    survivors
+      .withColumn("run_min", min("p_size").over(strictCheaper))
+      .withColumn("eq_min", min("p_size").over(samePrice))
+      .filter(
+        (col("run_min").isNull || col("run_min") > col("p_size")) &&
+          col("p_size") === col("eq_min"))
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+  }
+
+  /** #193 Rolling 7-day active users (sliding exact count-distinct):
+    * for every active day, the number of DISTINCT users seen in the
+    * trailing 7-day window — the rolling-MAU/WAU metric that naive
+    * windowing cannot express (distinct does not decompose over a
+    * sliding frame).
+    *
+    * Distributed shape: dedup to per-(day, user) presence, then each
+    * presence row COVERS the next 7 target days (a bounded 7-way
+    * explode — `sequence` + `explode`, map-side), and one hash
+    * aggregate counts distinct users per covered day. O(7·presence)
+    * rows shuffled on target_day — linear, no global window, no
+    * per-day full rescan; window length w scales cost as O(w·n),
+    * independent of the corpus day span. Target days restricted to
+    * days with activity (inner join with the presence day set), so
+    * the output domain is data-defined on both engines.
+    */
+  def rollingMau(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val pres = Tables
+      .events(spark, dir)
+      .select(expr(s"ts div ${nsPerDay}L").as("day"), col("user_id"))
+      .distinct()
+    val days = pres.select(col("day").as("target_day")).distinct()
+    val covered = pres
+      .select(explode(expr("sequence(day, day + 6)")).as("target_day"), col("user_id"))
+    covered
+      .join(days, "target_day")
+      .groupBy("target_day")
+      .agg(countDistinct("user_id").as("n_active_7d"))
+  }
+
+  /** #195 Event-sequence pattern match (MATCH_RECOGNIZE shape): each
+    * user's event history becomes an ordered symbol string
+    * (signup→s, click→c, view→v, purchase→p, error→e) and a regex
+    * counts the browse-to-buy runs `v[vc]*p` — a view followed by any
+    * browsing that ends in a purchase. This is the SQL-2016
+    * MATCH_RECOGNIZE / funnel-regex operator: sequence predicates no
+    * join can express cheaply, compiled to one per-key aggregation.
+    *
+    * Shape: one hash exchange on `user_id`; `collect_list(struct)` +
+    * `array_sort` orders by (ts, event_id) inside the aggregate —
+    * per-key state is activity-bounded (the sessionization contract),
+    * never a global sort. The regex runs codegen'd per key. Both
+    * engines scan left-to-right non-overlapping with a greedy,
+    * alternation-free pattern, so Java and RE2 agree exactly.
+    */
+  def eventRegex(spark: SparkSession, dir: String): DataFrame = {
+    val sym = when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "purchase", "p")
+      .otherwise("e")
+    Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        struct(col("ts"), col("event_id"), sym.as("ch")).as("ev"))
+      .groupBy("user_id")
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(ev)), x -> x.ch)"), "")
+          .as("seq"))
+      .select(
+        col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        size(expr("regexp_extract_all(seq, 'v[vc]*p', 0)")).cast("long")
+          .as("n_browse_to_buy"))
+  }
 }

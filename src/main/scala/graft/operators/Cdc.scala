@@ -583,4 +583,63 @@ object Cdc {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_events"), max("lateness_us").as("max_lateness_us"))
   }
+
+  /** #194 SCD2 interval-align join (temporal alignment): two
+    * independently-versioned attribute histories of the same key —
+    * the account's VALUE (versioned by signup/purchase events) and
+    * its ENGAGEMENT level (versioned by click/view events) — aligned
+    * into the piecewise segments where both are simultaneously known,
+    * each segment carrying both attributes. This is the bitemporal
+    * "align two SCD2 dimensions" operator every warehouse needs when
+    * dimensions version on different cadences; a plain equi-join on
+    * version ids cannot express it.
+    *
+    * Shape: each side is one per-key window (`lead` closes the
+    * interval; the shared horizon = global max ts closes the last
+    * version — a 1-row broadcast), then ONE equi-join on `user_id`
+    * with the overlap predicate and `greatest/least` intersection
+    * bounds. Per-key version counts are activity-bounded, so the join
+    * fan-out is the true segment count, not a cross product; both
+    * sides share the `user_id` hash partitioning — one exchange each.
+    */
+  def scd2Align(spark: SparkSession, dir: String): DataFrame = {
+    val ch = classify(spark, dir) // ts in µs
+    def versions(pred: Column, attr: Column, name: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ch.filter(pred)
+        .select(col("user_id"), col("ts"), col("event_id"), attr.as(name))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .drop("event_id")
+        .withColumnRenamed("ts", "valid_from")
+    }
+    val horizon = ch.agg((max("ts") + 1).as("h"))
+    // classify() drops event_type, so the two histories split on op +
+    // offset parity: INSERTs and even-offset UPDATEs version the value
+    // history, odd-offset UPDATEs version the engagement history.
+    val va = versions(
+      col("op") === "INSERT" || (col("op") === "UPDATE" && col("event_id") % 2 === 0),
+      round(col("value"), 2),
+      "acct_value")
+    val vb = versions(
+      col("op") === "UPDATE" && col("event_id") % 2 === 1,
+      round(col("value"), 2),
+      "engagement_value")
+    def closed(v: DataFrame): DataFrame =
+      v.crossJoin(broadcast(horizon))
+        .withColumn("valid_to", coalesce(col("valid_to"), col("h")))
+        .drop("h")
+    closed(va)
+      .alias("a")
+      .join(
+        closed(vb).alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.valid_from") < col("b.valid_to") &&
+          col("b.valid_from") < col("a.valid_to"))
+      .select(
+        col("a.user_id").as("user_id"),
+        greatest(col("a.valid_from"), col("b.valid_from")).as("seg_from"),
+        least(col("a.valid_to"), col("b.valid_to")).as("seg_to"),
+        col("a.acct_value"),
+        col("b.engagement_value"))
+  }
 }

@@ -471,4 +471,95 @@ class AnalyticsExtSpec extends SparkSpec {
     // Pareto shape: A holds the largest share
     assert(rows.find(_._1 == "A").get._4 >= rows.map(_._4).max)
   }
+
+  test("skyline: equals the quadratic dominance brute force") {
+    val got = AnalyticsExt
+      .skyline(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pts = Tables
+      .part(spark, sf)
+      .selectExpr(
+        "p_partkey",
+        "CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c",
+        "CAST(p_size AS BIGINT) AS p_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = pts
+      .filter { case (_, pc, sz) =>
+        !pts.exists { case (_, qc, qz) =>
+          qc <= pc && qz <= sz && (qc < pc || qz < sz)
+        }
+      }
+      .sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+    assert(got.nonEmpty)
+    // frontier is a strict staircase once equal-point duplicates collapse:
+    // sorted by price, sizes strictly decrease across distinct points
+    val dedup = got.map(t => (t._2, t._3)).distinct.sortBy(identity)
+    dedup.sliding(2).foreach {
+      case Array((pc1, s1), (pc2, s2)) =>
+        assert(pc1 < pc2 || s1 == s2)
+        if (pc1 < pc2) assert(s2 < s1, s"staircase broken at $pc2")
+      case _ =>
+    }
+  }
+
+  test("rolling mau: trailing-7d distinct users match a brute-force window") {
+    val got = AnalyticsExt
+      .rollingMau(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val pres = Tables
+      .events(spark, sf)
+      .selectExpr("ts div 86400000000000 AS day", "user_id")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val days = pres.map(_._1).distinct
+    val exp = days.map { d =>
+      d -> pres.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.length.toLong
+    }.toMap
+    assert(got == exp)
+    // window is a superset of the single day: n_active_7d >= daily actives
+    val daily = pres.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.length }
+    daily.foreach { case (d, n) => assert(got(d) >= n) }
+  }
+
+  test("event regex: counts match a scala-regex replay of each user's sequence") {
+    val got = AnalyticsExt
+      .eventRegex(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val seqs = Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (u, evs) =>
+        val s = evs
+          .sortBy(e => (e._2, e._3))
+          .map(e =>
+            e._4 match {
+              case "signup"   => 's'
+              case "click"    => 'c'
+              case "view"     => 'v'
+              case "purchase" => 'p'
+              case _          => 'e'
+            })
+          .mkString
+        u -> s
+      }
+    val re = "v[vc]*p".r
+    seqs.foreach { case (u, s) =>
+      val (n, m) = got(u)
+      assert(n == s.length.toLong, s"user $u length")
+      assert(m == re.findAllIn(s).length.toLong, s"user $u matches")
+    }
+    assert(got.size == seqs.size)
+  }
 }

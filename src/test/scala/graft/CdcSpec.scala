@@ -198,4 +198,57 @@ class CdcSpec extends SparkSpec {
     assert(recomputed.exceptAll(maintained).count() == 0)
     assert(maintained.count() > 0)
   }
+
+  test("scd2 align: segments tile each key's joint validity, attributes correct") {
+    import org.apache.spark.sql.functions._
+    val segs = Cdc.scd2Align(spark, sf).cache()
+    assert(segs.count() > 0)
+    // every segment is non-empty and both attributes are present
+    assert(segs.filter(col("seg_from") >= col("seg_to")).count() == 0)
+    assert(
+      segs
+        .filter(col("acct_value").isNull || col("engagement_value").isNull)
+        .count() == 0)
+    // per key, segments never overlap: sum of lengths == covered span
+    val perKey = segs
+      .groupBy("user_id")
+      .agg(
+        sum(col("seg_to") - col("seg_from")).as("sum_len"),
+        min("seg_from").as("lo"),
+        max("seg_to").as("hi"),
+        count(lit(1)).as("n"))
+    // each a-version intersects >= 1 b-version per emitted key, and the
+    // union of segments cannot exceed the overall [lo, hi) envelope
+    assert(perKey.filter(col("sum_len") > col("hi") - col("lo")).count() == 0)
+    // brute-force replay on one sampled user
+    val u = segs.select("user_id").orderBy("user_id").first().getLong(0)
+    val ch = Cdc
+      .classify(spark, sf)
+      .filter(col("user_id") === u)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(3), r.getDouble(4))) // event_id, ts, op, value
+    val horizon = Cdc.classify(spark, sf).agg(max("ts")).first().getLong(0) + 1
+    def vers(p: ((Long, Long, String, Double)) => Boolean) = {
+      val vs = ch.filter(p).sortBy(e => (e._2, e._1))
+      vs.zipWithIndex.map { case ((_, ts, _, v), i) =>
+        val to = if (i + 1 < vs.length) vs(i + 1)._2 else horizon
+        (ts, to, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val va = vers(e => e._3 == "INSERT" || (e._3 == "UPDATE" && e._1 % 2 == 0))
+    val vb = vers(e => e._3 == "UPDATE" && e._1 % 2 == 1)
+    val exp = for {
+      (af, at, av) <- va
+      (bf, bt, bv) <- vb
+      if af < bt && bf < at
+    } yield (math.max(af, bf), math.min(at, bt), av, bv)
+    val gotU = segs
+      .filter(col("user_id") === u)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(s => (s._1, s._2))
+    assert(gotU.toSeq == exp.sortBy(s => (s._1, s._2)).toSeq)
+    segs.unpersist()
+  }
 }
