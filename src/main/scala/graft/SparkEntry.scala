@@ -265,7 +265,15 @@ object SparkEntry {
     // SCD2 interval-align join: bitemporal attribute alignment (§2 #194)
     "cdc_scd2_align" -> (Cdc.scd2Align _),
     // Event-sequence regex match, MATCH_RECOGNIZE shape (§2 #195)
-    "q_event_regex" -> (AnalyticsExt.eventRegex _)
+    "q_event_regex" -> (AnalyticsExt.eventRegex _),
+    // EWMA trailing smoothing, dyadic-exact (§2 #196)
+    "q_ewma" -> (AnalyticsExt.ewma _),
+    // Hapax-legomena vocabulary health (§2 #197)
+    "text_hapax" -> (TextStats.hapax _),
+    // Corpus checksum manifest (§2 #198)
+    "q_corpus_checksum" -> (Profile.corpusChecksum _),
+    // Perceptual-hash near-dup over payloads (§2 #199)
+    "mm_phash_neardup" -> ((s: SparkSession, d: String) => Multimodal.phashNearDup(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3664,6 +3672,89 @@ object SparkEntry {
          SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
            CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
              AS n_browse_to_buy
-         FROM seqs"""
+         FROM seqs""",
+    "q_ewma" ->
+      // Flat band-join replay of the cover-explode; all-positive cents,
+      // so DuckDB // and Spark div agree on the quotient.
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type, a.day,
+           CAST(sum(b.c * (CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT)))
+             AS BIGINT) AS num,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT))
+             AS BIGINT) AS den,
+           CAST(sum(b.c * (CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT)))
+             // sum(CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT))
+             AS BIGINT) AS ewma_cents
+         FROM daily a
+         JOIN daily b ON b.event_type = a.event_type
+           AND b.day BETWEEN a.day - 15 AND a.day
+         GROUP BY 1, 2""",
+    "text_hapax" ->
+      """WITH td AS (
+           SELECT source, unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         tc AS (SELECT source, term, count(*) AS c FROM td GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           CAST(count(*) FILTER (c = 2) AS BIGINT) AS n_dis,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((count(*) FILTER (c = 1)) * 1000000 // count(*) AS BIGINT)
+             AS hapax_rate_e6
+         FROM tc GROUP BY 1""",
+    "q_corpus_checksum" ->
+      """WITH d AS (
+           SELECT source, n_chars,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents),
+         per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(h & 1073741823) AS BIGINT) AS digest_lo,
+             CAST(sum(h >> 30) AS BIGINT) AS digest_hi
+           FROM d GROUP BY 1)
+         SELECT source, n_docs, total_chars, digest_lo, digest_hi FROM per
+         UNION ALL
+         SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
+           CAST(sum(total_chars) AS BIGINT), CAST(sum(digest_lo) AS BIGINT),
+           CAST(sum(digest_hi) AS BIGINT)
+         FROM per""",
+    "mm_phash_neardup" ->
+      // Full relational replay of the block-hash → band → Hamming plan.
+      """WITH toks0 AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 3000000,
+             list_concat(['reenc0'], tok[2:len(tok)])
+           FROM toks0 WHERE doc_id % 6 = 0),
+         ph AS (
+           SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN ((i+1) * len(tok)) // 15 - (i * len(tok)) // 15 = 0 THEN 0
+                 ELSE (('0x' || substr(md5('graft-ph:' || array_to_string(
+                        tok[(i * len(tok)) // 15 + 1:((i+1) * len(tok)) // 15], ' ')),
+                        1, 15))::BIGINT
+                       & 15) * (CAST(1 AS BIGINT) << (i * 4))
+               END for i in range(0, 15)]) AS BIGINT) AS ph
+           FROM corpus),
+         bands AS (
+           SELECT doc_id, ph, r.b,
+             (ph // (CAST(1 AS BIGINT) << (r.b * 15))) % 32768 AS v
+           FROM ph, (SELECT unnest(range(0, 4)) AS b) r),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ph AS ph_a, b.ph AS ph_b
+           FROM bands a
+           JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12"""
   )
 }

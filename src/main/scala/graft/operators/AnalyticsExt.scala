@@ -1255,4 +1255,54 @@ object AnalyticsExt {
         size(expr("regexp_extract_all(seq, 'v[vc]*p', 0)")).cast("long")
           .as("n_browse_to_buy"))
   }
+
+  /** #196 EWMA trailing smoothing (α = 1/2, 16-day horizon): the
+    * exponentially-weighted moving average of each event type's daily
+    * spend — the smoothing primitive behind anomaly baselines and
+    * forecast seeds, beside #182's CUSUM (which detects) and #168's
+    * OLS (which extrapolates).
+    *
+    * EWMA's recursion is inherently sequential; the distributed form
+    * exploits that α = 1/2 truncated at 16 lags is EXACT dyadic
+    * arithmetic: weight of lag i is 2^(15-i) on a 2^16 grid, so
+    * num/den BIGINTs replace floats entirely. Each daily point COVERS
+    * its next 16 target days (bounded explode, the #193 cover-join
+    * shape), one hash agg sums weighted cents — O(16·days·keys)
+    * rows, linear, no per-key sequential scan, no window at all.
+    * Output carries the exact rational (num, den) plus the truncated
+    * cents quotient (all inputs positive, so Spark `div` and DuckDB
+    * `//` agree).
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+    val present = daily.select(col("event_type"), col("day").as("target_day"))
+    daily
+      .select(
+        col("event_type"),
+        col("c"),
+        col("day"),
+        explode(expr("sequence(0, 15)")).as("off"))
+      .select(
+        col("event_type"),
+        (col("day") + col("off")).as("target_day"),
+        expr("c * shiftleft(CAST(1 AS BIGINT), 15 - off)").as("wc"),
+        expr("shiftleft(CAST(1 AS BIGINT), 15 - off)").as("w"))
+      .join(present, Seq("event_type", "target_day"))
+      .groupBy("event_type", "target_day")
+      .agg(sum("wc").as("num"), sum("w").as("den"))
+      .select(
+        col("event_type"),
+        col("target_day").as("day"),
+        col("num"),
+        col("den"),
+        expr("num div den").as("ewma_cents"))
+  }
 }

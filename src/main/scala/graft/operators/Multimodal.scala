@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -154,5 +154,85 @@ object Multimodal {
       i += 1
     }
     acc.map(a => ((a % 1000L).toFloat / 1000.0f))
+  }
+
+  /** Every [[ReencEvery]]th payload gets a "re-encoded" variant (same
+    * content length, the leading block perturbed — the header/metadata
+    * change a transcode makes; id offset by [[ReencOffset]]) — the
+    * planted artifact the perceptual-hash stage must catch.
+    */
+  val ReencEvery = 6
+  val ReencOffset = 3000000L
+
+  /** #199 Perceptual-hash near-dup over binary payloads: a 60-bit
+    * block-structured content hash — each payload is first NORMALIZED
+    * to 15 equal-width blocks of its OWN length (the resolution
+    * normalization a real pHash gets from the 32×32 resize, so hashes
+    * are comparable across payload sizes), each block contributing one
+    * 4-bit lane; local edits flip only the lanes they touch (the
+    * per-block hash is the stub to swap for a DCT when codecs exist).
+    * Banded 4×15 bits for LSH candidate generation, exact Hamming
+    * verify (`bit_count(xor)` ≤ 12 of 60) on candidates only. The
+    * multimodal twin of text MinHash banding: shuffle = 4 band rows
+    * per payload, NEVER all-pairs; Hamming runs as two codegen'd
+    * integer ops on the candidate set.
+    */
+  def phashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tokCol = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val base = docs.select(col("doc_id"), tokCol.as("tok"))
+    // 60-bit block hash over 15 equal-width blocks of the payload's own
+    // length. The 15 nibble lanes are UNROLLED as plain column
+    // expressions (a Scala loop, not a higher-order `aggregate` — a
+    // lambda under a Union trips Catalyst's constraint rewrite), so the
+    // whole hash stays inside one codegen span with zero lambdas.
+    def phExpr: Column =
+      (0 until 15)
+        .map { i =>
+          val len = expr(s"(($i + 1) * size(tok)) div 15 - ($i * size(tok)) div 15")
+          val block = array_join(
+            slice(col("tok"), expr(s"($i * size(tok)) div 15 + 1"), len),
+            " ")
+          when(len === 0, lit(0L))
+            .otherwise(
+              Dedup
+                .hash60(concat(lit("graft-ph:"), block))
+                .bitwiseAND(lit(15L)) * lit(1L << (4 * i)))
+        }
+        .reduce(_ + _)
+        .as("ph")
+    val variant = base
+      .filter(col("doc_id") % ReencEvery === 0)
+      .select(
+        (col("doc_id") + ReencOffset).as("doc_id"),
+        concat(
+          array(lit("reenc0")),
+          slice(col("tok"), lit(2), size(col("tok")) - 1)).as("tok"))
+    val hashed = base
+      .select(col("doc_id"), phExpr)
+      .unionAll(variant.select(col("doc_id"), phExpr))
+    val bands = hashed.select(
+      col("doc_id"),
+      col("ph"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS b, (ph div shiftleft(CAST(1 AS BIGINT), b * 15)) % 32768 AS v))"))
+        .as("band"))
+      .select(col("doc_id"), col("ph"), col("band.b").as("b"), col("band.v").as("v"))
+    bands
+      .alias("a")
+      .join(
+        bands.alias("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.ph").as("ph_a"),
+        col("b.ph").as("ph_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }

@@ -175,4 +175,41 @@ object Profile {
       Tables.lineitem(spark, dir),
       Tables.customer(spark, dir),
       graft.Tables.events(spark, dir))
+
+  /** #198 Corpus checksum manifest: an ORDER-INDEPENDENT per-source
+    * digest (doc count, char volume, and the content-hash sum split
+    * into two 30-bit lanes) plus a `__all__` rollup row — the dataset
+    * version fingerprint a 100 TB lake publishes per snapshot so a
+    * consumer can verify "same corpus" without re-reading it.
+    * Commutative sums make the digest independent of partitioning,
+    * task order, and file layout — the property a Merkle-style
+    * manifest needs when files are written in parallel; at larger
+    * corpora the 30-bit lanes widen to DECIMAL(38,0), same shape.
+    *
+    * Shape: one map-side hash per doc + a ROLLUP aggregate; no
+    * shuffle beyond the 2-level rollup exchange.
+    */
+  def corpusChecksum(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val h = Dedup.hash60(col("text"))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("n_chars"),
+        (h.bitwiseAND(lit(0x3FFFFFFFL))).as("h_lo"),
+        shiftrightunsigned(h, 30).as("h_hi"))
+      .rollup("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("h_lo").as("digest_lo"),
+        sum("h_hi").as("digest_hi"))
+      .select(
+        coalesce(col("source"), lit("__all__")).as("source"),
+        col("n_docs"),
+        col("total_chars"),
+        col("digest_lo"),
+        col("digest_hi"))
+  }
 }

@@ -487,4 +487,37 @@ object TextStats {
           .as("ks_e6"),
         col("len").as("at_len"))
   }
+
+  /** #197 Hapax-legomena vocabulary health: per source, the size of
+    * the within-source vocabulary, how much of it occurs exactly once
+    * (hapax) or exactly twice (dis legomena), and the hapax rate —
+    * the Zipf-tail health check: natural text runs ~40-60% hapax;
+    * heavily-duplicated or templated corpora collapse toward 0, OCR
+    * noise inflates it toward 1. A vocabulary-SHAPE signal beside
+    * #119 KL (content drift) and #190 KS (length drift).
+    *
+    * Shape: one explode → (source, term) count → per-source counting
+    * aggregate. Shuffle linear in token volume with map-side partial
+    * aggregation; vocabulary dimension never materializes on one
+    * node. All-integer; rate on the e6 grid.
+    */
+  def hapax(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"),
+        sum("c").as("n_tokens"))
+      .select(
+        col("source"),
+        col("vocab_size"),
+        col("n_hapax"),
+        col("n_dis"),
+        col("n_tokens"),
+        expr("(n_hapax * 1000000) div vocab_size").as("hapax_rate_e6"))
 }

@@ -562,4 +562,37 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(got.size == seqs.size)
   }
+
+  test("ewma: dyadic num/den match a brute-force trailing-16 window") {
+    val got = AnalyticsExt
+      .ewma(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val daily = Tables
+      .events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got.keySet == daily.keySet)
+    daily.keys.foreach { case (t, d) =>
+      var num = 0L; var den = 0L
+      (0 to 15).foreach { i =>
+        daily.get((t, d - i)).foreach { c =>
+          num += c << (15 - i); den += 1L << (15 - i)
+        }
+      }
+      val (gn, gd, ge) = got((t, d))
+      assert(gn == num && gd == den, s"($t,$d)")
+      assert(ge == num / den, s"($t,$d) quotient")
+    }
+    // a day present in the series always contributes weight 2^15
+    got.values.foreach { case (_, den, _) => assert(den >= (1L << 15)) }
+  }
 }

@@ -257,4 +257,59 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.snm(spark, sf)
     assert(s.exceptAll(again).count() == 0)
   }
+
+  test("phash near-dup: pair set equals a scala brute-force replay") {
+    val p = Multimodal.phashNearDup(spark, sf).cache()
+    val got = p
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // independent replay: tokens → 15 relative blocks → md5 nibbles →
+    // all-pairs Hamming (the LSH banding can only MISS pairs the
+    // all-pairs scan finds, never add; equality proves it missed none
+    // with hamming under the band-guaranteed bound)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def phash(tok: Array[String]): Long = {
+      val n = tok.length
+      (0 until 15).map { i =>
+        val st = i * n / 15
+        val en = (i + 1) * n / 15
+        if (en - st == 0) 0L
+        else (h60("graft-ph:" + tok.slice(st, en).mkString(" ")) & 15L) << (4 * i)
+      }.sum
+    }
+    val baseDocs = Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+")))
+    val corpus = baseDocs ++ baseDocs
+      .filter(_._1 % Multimodal.ReencEvery == 0)
+      .map { case (id, tok) =>
+        (id + Multimodal.ReencOffset, Array("reenc0") ++ tok.drop(1))
+      }
+    val hashes = corpus.map { case (id, tok) => (id, phash(tok)) }
+    def bands(ph: Long): Seq[Long] = (0 until 4).map(b => (ph >> (b * 15)) & 32767L)
+    val exp = (for {
+      (ia, pa) <- hashes
+      (ib, pb) <- hashes
+      if ia < ib
+      if bands(pa).zip(bands(pb)).exists { case (x, y) => x == y }
+      h = java.lang.Long.bitCount(pa ^ pb).toLong
+      if h <= 12
+    } yield ((ia, ib), h)).toMap
+    assert(got == exp)
+    // every planted re-encode is recovered (leading-block edit flips
+    // at most one nibble per band, so at least 3 of 4 bands survive)
+    val planted = baseDocs.map(_._1).filter(_ % Multimodal.ReencEvery == 0)
+    planted.foreach { id =>
+      assert(got.contains((id, id + Multimodal.ReencOffset)), s"planted $id missing")
+      assert(got((id, id + Multimodal.ReencOffset)) <= 4)
+    }
+    p.unpersist()
+  }
 }

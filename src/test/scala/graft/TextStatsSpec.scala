@@ -378,4 +378,32 @@ class TextStatsSpec extends SparkSpec {
       assert(ks >= 0 && ks <= 1000000)
     }
   }
+
+  test("hapax: per-source vocabulary counts match a scala replay") {
+    import graft.operators.TextStats
+    val got = TextStats
+      .hapax(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val docs = Tables
+      .documents(spark, sf)
+      .select("source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val counts = ds
+        .flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .groupBy(identity)
+        .map { case (_, xs) => xs.length }
+      val vocab = counts.size.toLong
+      val hap = counts.count(_ == 1).toLong
+      val dis = counts.count(_ == 2).toLong
+      val toks = counts.map(_.toLong).sum
+      assert(got(src) == ((vocab, hap, dis, toks, hap * 1000000 / vocab)), s"source $src")
+    }
+  }
 }
