@@ -209,9 +209,14 @@ object Multimodal {
         concat(
           array(lit("reenc0")),
           slice(col("tok"), lit(2), size(col("tok")) - 1)).as("tok"))
+    // lazy localCheckpoint: the 2-column (doc_id, ph) frame is tiny and
+    // referenced on BOTH sides of the band self-join — without the
+    // barrier Catalyst inlines the tokenizer into all 15 nibble lanes
+    // twice per side (the TextStats re-split trap; measured 6 s → sub-s)
     val hashed = base
       .select(col("doc_id"), phExpr)
       .unionAll(variant.select(col("doc_id"), phExpr))
+      .localCheckpoint(eager = false)
     val bands = hashed.select(
       col("doc_id"),
       col("ph"),
