@@ -273,7 +273,13 @@ object SparkEntry {
     // Corpus checksum manifest (§2 #198)
     "q_corpus_checksum" -> (Profile.corpusChecksum _),
     // Perceptual-hash near-dup over payloads (§2 #199)
-    "mm_phash_neardup" -> ((s: SparkSession, d: String) => Multimodal.phashNearDup(s, d))
+    "mm_phash_neardup" -> ((s: SparkSession, d: String) => Multimodal.phashNearDup(s, d)),
+    // K-core decomposition by fixed-round peeling (§2 #200)
+    "q_kcore" -> ((s: SparkSession, d: String) => AnalyticsExt.kcore(s, d)),
+    // Quantile normalization across sources (§2 #201)
+    "q_quantile_norm" -> ((s: SparkSession, d: String) => AnalyticsExt.quantileNormalize(s, d)),
+    // Lag-1 autocorrelation per series (§2 #202)
+    "q_autocorr" -> (AnalyticsExt.autocorr _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3755,6 +3761,82 @@ object SparkEntry {
            JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b,
            CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
-         FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12"""
+         FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12""",
+    "q_kcore" -> kcoreOracle(k = 3, rounds = 8),
+    "q_quantile_norm" ->
+      // FLAT global-window replay of the hierarchical global rank —
+      // the hash-MATCH proves the shard decomposition (#191 pattern).
+      """WITH d AS (SELECT doc_id, source, n_chars AS len FROM documents),
+         g AS (SELECT len AS g_len,
+                 row_number() OVER (ORDER BY len, doc_id) AS grank
+               FROM d),
+         t AS (SELECT count(*) AS n FROM d),
+         s AS (SELECT doc_id, source, len,
+                 row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+                   AS srank,
+                 count(*) OVER (PARTITION BY source) AS n_s
+               FROM d)
+         SELECT s.doc_id, s.source, s.len, g.g_len AS norm_len
+         FROM s, t, g
+         WHERE g.grank = (s.srank * t.n + s.n_s - 1) // s.n_s""",
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type, a.c AS x, b.c AS y
+           FROM daily a
+           JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + 1),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM p GROUP BY 1)
+         SELECT event_type, m,
+           CAST(m * sxy - sx * sy AS BIGINT) AS num,
+           CAST(m * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(m * syy - sy * sy AS BIGINT) AS den_y,
+           CAST((CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+             ((abs(CAST(m * sxy - sx * sy AS HUGEINT)) * 1000
+               // CAST(m * sxx - sx * sx AS HUGEINT))
+              * (abs(CAST(m * sxy - sx * sy AS HUGEINT)) * 1000
+                 // CAST(m * syy - sy * sy AS HUGEINT)))
+             AS BIGINT) AS r2_signed_e6
+         FROM agg"""
   )
+
+  /** Generated fixed-round peeling replay for `q_kcore`: `rounds`
+    * degree/keep/restrict CTE triples — bit-identical to the Spark
+    * loop whether or not the peel converged early (the restriction is
+    * idempotent at the fixpoint).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // every CTE MATERIALIZED: each e_i references e_{i-1} three times,
+    // so default inlining would expand the base scan 3^rounds times
+    val iters = (0 until rounds)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg
+             FROM (SELECT pa AS node FROM e$i UNION ALL SELECT pb FROM e$i)
+             GROUP BY 1),
+           k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+           e${i + 1} AS MATERIALIZED (SELECT pa, pb FROM e$i
+             WHERE pa IN (SELECT node FROM k$i)
+               AND pb IN (SELECT node FROM k$i))"""
+      }
+      .mkString(",\n         ")
+    s"""WITH bp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e0 AS MATERIALIZED (SELECT pa, pb FROM pr WHERE n >= 2),
+         $iters
+         SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM (SELECT pa AS node FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
+         GROUP BY 1"""
+  }
 }

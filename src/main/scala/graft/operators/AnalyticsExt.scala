@@ -1256,6 +1256,57 @@ object AnalyticsExt {
           .as("n_browse_to_buy"))
   }
 
+  /** #200 K-core decomposition (fixed-round peeling): the maximal
+    * subgraph of the co-purchase graph in which every part keeps
+    * degree ≥ k — the graph-density backbone extraction behind
+    * community seeding and spam/anomaly filtering, the peeled
+    * complement of #176's triangle census.
+    *
+    * Shape: each peel round is degree-count + two semi-joins
+    * restricting edges to surviving nodes — all hash exchanges on
+    * node ids; `rounds` is fixed (the #166 components discipline: at
+    * 100 TB you iterate to convergence with checkpointed lineage —
+    * each round here ends in a lazy localCheckpoint so the plan never
+    * stacks) and the spec asserts the fixpoint really was reached at
+    * test scale (one more round changes nothing). Output: each core
+    * member with its within-core degree.
+    */
+  def kcore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 8): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    var edges = baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('pa', x, 'pb', y))))"""))
+          .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select("pa", "pb")
+      .localCheckpoint(eager = false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(edges).filter(col("deg") >= k).select("node")
+      edges = edges
+        .join(keep.select(col("node").as("pa")), Seq("pa"), "left_semi")
+        .join(keep.select(col("node").as("pb")), Seq("pb"), "left_semi")
+        .select("pa", "pb")
+        .localCheckpoint(eager = false)
+    }
+    degrees(edges).select(col("node"), col("deg").as("core_deg"))
+  }
+
   /** #196 EWMA trailing smoothing (α = 1/2, 16-day horizon): the
     * exponentially-weighted moving average of each event type's daily
     * spend — the smoothing primitive behind anomaly baselines and
@@ -1304,5 +1355,122 @@ object AnalyticsExt {
         col("num"),
         col("den"),
         expr("num div den").as("ewma_cents"))
+  }
+
+  /** #201 Quantile normalization across sources: each document's
+    * length is replaced by the GLOBAL length at the same within-source
+    * rank quantile — the distribution-alignment transform (classic in
+    * batch-effect removal) that makes per-source features comparable
+    * when sources were collected under different length regimes;
+    * #190's KS measures the drift, this removes it.
+    *
+    * All-integer: within-source rank r_s of n_s maps to global
+    * position ⌈r_s·N/n_s⌉ (type-1 discrete quantile — no
+    * interpolation arithmetic), looked up by an equi-join against the
+    * globally-ranked value table. The GLOBAL rank is built
+    * HIERARCHICALLY (value-range shards + broadcast offset table —
+    * the #191 construction; equal values cannot straddle shards, so
+    * the shard index is monotone and no single-partition window ever
+    * sees the corpus). Within-source windows partition on `source`;
+    * at 100 TB a mega-source would get the same shard treatment.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("len"))
+    val bounds = docs.agg(min("len").as("lo"), max("len").as("hi"))
+    val sharded = docs
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((len - lo) * $nShards) div (hi - lo + 1)"))
+    val ws = Window.partitionBy("shard").orderBy(col("len"), col("doc_id"))
+    val local = sharded.withColumn("lrank", row_number().over(ws))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "roff",
+        coalesce(
+          sum("cnt").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("roff"))
+    val global = local
+      .join(broadcast(offsets), "shard")
+      .select(col("len").as("g_len"), (col("roff") + col("lrank")).as("grank"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val wsrc = Window.partitionBy("source").orderBy(col("len"), col("doc_id"))
+    val ranked = docs
+      .withColumn("srank", row_number().over(wsrc))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("target", expr("(srank * n + n_s - 1) div n_s"))
+      .join(global, col("target") === col("grank"))
+      .select(col("doc_id"), col("source"), col("len"), col("g_len").as("norm_len"))
+  }
+
+  /** #202 Lag-1 autocorrelation per series (daily spend per event
+    * type): the serial-dependence diagnostic behind seasonality
+    * detection and forecast-model choice — #168's OLS fits the trend,
+    * this measures whether residual day-to-day persistence exists at
+    * all.
+    *
+    * Exact integer Pearson over consecutive-day pairs: one self-join
+    * on (series, day+1), one aggregation collecting the five power
+    * sums, then the correlation reported as exact BIGINT moments
+    * (num, den_a, den_b) plus the signed squared correlation on the
+    * e6 grid — cross products run DECIMAL(38,0) ↔ HUGEINT (the #189
+    * discipline), zero floats, zero square roots. Gaps in the
+    * calendar simply produce no pair (both engines agree by
+    * construction).
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      // tiny (series × days) frame read on both sides of the lag join —
+      // barrier it so the events scan+agg runs once, not twice
+      .localCheckpoint(eager = false)
+    val pairs = daily
+      .alias("a")
+      .join(
+        daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") === col("a.day") + 1)
+      .select(
+        col("a.event_type").as("event_type"),
+        col("a.c").as("x"),
+        col("b.c").as("y"))
+    pairs
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .select(
+        col("event_type"),
+        col("m"),
+        expr("CAST(m * sxy - sx * sy AS BIGINT)").as("num"),
+        expr("CAST(m * sxx - sx * sx AS BIGINT)").as("den_x"),
+        expr("CAST(m * syy - sy * sy AS BIGINT)").as("den_y"),
+        // r² as a product of two e3-scaled quotients (|num|·10³ div den,
+        // each ≤ 10³ by Cauchy-Schwarz): num² would overflow DECIMAL(38)
+        // and HUGEINT past sf0.1, the factored form never does.
+        // Magnitudes divided (floor == trunc on both engines), sign
+        // applied after in the integer domain.
+        expr("""CAST(CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END *
+                 ((abs(CAST(m * sxy - sx * sy AS DECIMAL(38,0))) * 1000
+                   div CAST(m * sxx - sx * sx AS DECIMAL(38,0)))
+                  * (abs(CAST(m * sxy - sx * sy AS DECIMAL(38,0))) * 1000
+                     div CAST(m * syy - sy * sy AS DECIMAL(38,0))))
+                AS BIGINT)""").as("r2_signed_e6"))
   }
 }

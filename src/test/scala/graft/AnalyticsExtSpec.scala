@@ -595,4 +595,134 @@ class AnalyticsExtSpec extends SparkSpec {
     // a day present in the series always contributes weight 2^15
     got.values.foreach { case (_, den, _) => assert(den >= (1L << 15)) }
   }
+
+  test("kcore: fixpoint reached and every member has core degree >= k") {
+    val core = AnalyticsExt.kcore(spark, sf, k = 3, rounds = 8).cache()
+    assert(core.count() > 0)
+    assert(core.filter(col("core_deg") < 3).count() == 0, "peel did not converge")
+    // one more round changes nothing (true fixpoint at this scale)
+    val more = AnalyticsExt.kcore(spark, sf, k = 3, rounds = 9)
+    assert(core.exceptAll(more).count() == 0 && more.exceptAll(core).count() == 0)
+    // the 3-core is a subgraph of the full graph's >= 3-degree nodes
+    val members = core.select("node").collect().map(_.getLong(0)).toSet
+    val pairInstances: Seq[(Long, Long)] = Tables
+      .lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }
+    // NB: .iterator first — Map.collect emitting (pa, pb) tuples would
+    // rebuild a Map keyed by pa and silently collapse parallel edges
+    val edges = pairInstances
+      .groupBy(identity)
+      .iterator
+      .collect { case (e, xs) if xs.size >= 2 => e }
+      .toSet
+    // scala replay of the peel
+    var alive = edges
+    var changed = true
+    while (changed) {
+      val deg = alive.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map {
+        case (n, xs) => n -> xs.size
+      }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = alive.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != alive.size
+      alive = next
+    }
+    val expDeg = alive.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map {
+      case (n, xs) => n -> xs.size.toLong
+    }
+    val gotDeg =
+      core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDeg == expDeg)
+    assert(members == expDeg.keySet)
+    core.unpersist()
+  }
+
+  test("quantile normalize: rank-preserving and distribution-aligned") {
+    val qn = AnalyticsExt.quantileNormalize(spark, sf).cache()
+    val docs = Tables
+      .documents(spark, sf)
+      .selectExpr("doc_id", "source", "n_chars AS len")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(qn.count() == docs.length)
+    // scala replay: global sorted lens, per-source ranks, type-1 lookup
+    val globalSorted = docs.sortBy(d => (d._3, d._1)).map(_._3)
+    val n = docs.length
+    val exp = docs
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (_, ds) =>
+        val sorted = ds.sortBy(d => (d._3, d._1))
+        val ns = sorted.length
+        sorted.zipWithIndex.map { case ((id, src, len), i) =>
+          val target = ((i + 1).toLong * n + ns - 1) / ns
+          (id, (src, len, globalSorted((target - 1).toInt)))
+        }
+      }
+    val got = qn
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == exp.toMap)
+    // the last doc of every source maps to the global maximum
+    val gmax = globalSorted.last
+    got.values.groupBy(_._1).foreach { case (src, vs) =>
+      assert(vs.map(_._3).max == gmax, s"source $src tail")
+    }
+    qn.unpersist()
+  }
+
+  test("autocorr: exact moments match a scala replay") {
+    val got = AnalyticsExt
+      .autocorr(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val daily = Tables
+      .events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val types = daily.keys.map(_._1).toSeq.distinct
+    types.foreach { t =>
+      val series = daily.collect { case ((`t`, d), c) => (d, c) }.toSeq.sortBy(_._1)
+      val byDay = series.toMap
+      val pairs = series.flatMap { case (d, x) => byDay.get(d + 1).map(y => (x, y)) }
+      val m = pairs.length.toLong
+      if (m > 0) {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val num = m * sxy - sx * sy
+        val denx = m * sxx - sx * sx
+        val deny = m * syy - sy * sy
+        val sign = if (num < 0) -1L else 1L
+        val q1 = (BigInt(num).abs * 1000) / BigInt(denx)
+        val q2 = (BigInt(num).abs * 1000) / BigInt(deny)
+        val (gm, gn, gdx, gdy, gr2) = got(t)
+        assert(gm == m && gn == num && gdx == denx && gdy == deny, s"type $t moments")
+        assert(gr2 == sign * (q1 * q2).toLong, s"type $t r2")
+        assert(math.abs(gr2) <= 1000000, s"type $t bound")
+      }
+    }
+    assert(got.keySet == types.toSet)
+  }
 }
