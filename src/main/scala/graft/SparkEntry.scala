@@ -279,7 +279,11 @@ object SparkEntry {
     // Quantile normalization across sources (§2 #201)
     "q_quantile_norm" -> ((s: SparkSession, d: String) => AnalyticsExt.quantileNormalize(s, d)),
     // Lag-1 autocorrelation per series (§2 #202)
-    "q_autocorr" -> (AnalyticsExt.autocorr _)
+    "q_autocorr" -> (AnalyticsExt.autocorr _),
+    // Poisson-bootstrap confidence interval (§2 #203)
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) => Scale.bootstrapCi(s, d)),
+    // Zipf octave-ratio diagnostic (§2 #204)
+    "text_zipf" -> (TextStats.zipfOctaves _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3763,6 +3767,53 @@ object SparkEntry {
            CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12""",
     "q_kcore" -> kcoreOracle(k = 3, rounds = 8),
+    "q_bootstrap_ci" ->
+      // Full replay of the md5-quantized Poisson weights; positive
+      // sums so div and // agree on every quotient.
+      """WITH rows0 AS (
+           SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         wt AS (
+           SELECT o_orderkey, cents, r.rep,
+             (('0x' || substr(md5('graft-boot:' || o_orderkey || ':' || (r.rep // 6)),
+                              1, 15))::BIGINT >> ((r.rep % 6) * 10)) & 1023 AS h
+           FROM rows0, (SELECT unnest(range(0, 100)) AS rep) r),
+         ww AS (
+           SELECT rep, cents,
+             CASE WHEN h < 377 THEN 0 WHEN h < 754 THEN 1
+                  WHEN h < 942 THEN 2 WHEN h < 1004 THEN 3 ELSE 4 END AS w
+           FROM wt),
+         reps AS (
+           SELECT rep,
+             CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+           FROM ww GROUP BY 1),
+         ranked AS (
+           SELECT rep, mean_cents,
+             row_number() OVER (ORDER BY mean_cents, rep) AS rk
+           FROM reps)
+         SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           min(CASE WHEN rk = 3 THEN mean_cents END) AS ci_lo_cents,
+           min(CASE WHEN rk = 98 THEN mean_cents END) AS ci_hi_cents,
+           CAST(sum(mean_cents) // count(*) AS BIGINT) AS boot_mean_cents
+         FROM ranked""",
+    "text_zipf" ->
+      """WITH td AS (
+           SELECT source, unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         tc AS (SELECT source, term, count(*) AS c FROM td GROUP BY 1, 2),
+         rk AS (
+           SELECT source, term, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
+           FROM tc),
+         oct AS (
+           SELECT source, c, r, CAST(log2(r) AS BIGINT) AS octave
+           FROM rk WHERE (r & (r - 1)) = 0)
+         SELECT source, octave, CAST(r AS BIGINT) AS rank, CAST(c AS BIGINT) AS freq,
+           (c * 1000000) // (lag(c) OVER (PARTITION BY source ORDER BY r))
+             AS octave_ratio_e6
+         FROM oct""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

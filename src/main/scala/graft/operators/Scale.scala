@@ -769,4 +769,72 @@ object Scale {
     account("insert_order", expr(s"o_orderkey div $rowsPerFile"))
       .unionByName(account("date_clustered", expr(s"(d - d0) div $daysPerFile")))
   }
+
+  /** #203 Poisson-bootstrap confidence interval: B bootstrap replicas
+    * of mean order value, each built by giving every row an
+    * independent Poisson(1)-distributed multiplicity — the
+    * DISTRIBUTED bootstrap (Chamandy et al., "Estimating uncertainty
+    * for massive data streams"): classic resampling needs n draws
+    * over a global index, Poisson weights need only a per-row hash,
+    * so the whole thing is one map + one aggregate at any corpus
+    * size. The multiplicity is a deterministic md5-derived Poisson(1)
+    * quantization (pmf steps 368/368/184/61/19 per mille — the
+    * replayable stand-in for an RNG, same discipline as the LSH sign
+    * matrices); replica means are exact cents quotients and the CI is
+    * the discrete 2.5%/97.5% order statistic over the B replica
+    * means (#106 percentile_disc pattern — no interpolation).
+    * Shuffle: B rows per input row into a B-sized aggregate —
+    * replicas size B ≪ n, window over B rows only.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String, b: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    // one md5 yields SIX 10-bit weight lanes (replicas rep = 6g + lane):
+    // explode to the md5 GROUP first (⌈B/6⌉ hashes per row — md5 is the
+    // price of replayable randomness), then fan each hash into its six
+    // lanes. Poisson(1) pmf quantized on the 1024 grid:
+    // 377/377/188/62/20 ≈ .368/.368/.184/.061/.019.
+    val groups = (b + 5) / 6
+    val weighted = rows
+      .select(
+        col("o_orderkey"),
+        col("cents"),
+        explode(expr(s"sequence(0, ${groups - 1})")).as("g"))
+      .withColumn("h60", expr("hash60(concat('graft-boot:', o_orderkey, ':', g))"))
+      .select(
+        col("cents"),
+        col("g"),
+        col("h60"),
+        explode(expr("sequence(0, 5)")).as("lane"))
+      .withColumn("rep", col("g") * 6 + col("lane"))
+      .filter(col("rep") < b)
+      .withColumn(
+        "h",
+        expr("shiftrightunsigned(h60, CAST(lane * 10 AS INT)) & 1023"))
+      .withColumn(
+        "w",
+        when(col("h") < 377, 0L)
+          .when(col("h") < 754, 1L)
+          .when(col("h") < 942, 2L)
+          .when(col("h") < 1004, 3L)
+          .otherwise(4L))
+    val reps = weighted
+      .groupBy("rep")
+      .agg(sum(expr("w * cents")).as("wsum"), sum("w").as("n_eff"))
+      .select(col("rep"), expr("wsum div n_eff").as("mean_cents"))
+    val wAsc = Window.orderBy(col("mean_cents"), col("rep"))
+    val ranked = reps.withColumn("rk", row_number().over(wAsc))
+    val lowIdx = math.max(1, math.ceil(b * 0.025).toInt)
+    val hiIdx = math.ceil(b * 0.975).toInt
+    ranked
+      .agg(
+        count(lit(1)).as("n_replicas"),
+        min(when(col("rk") === lowIdx, col("mean_cents"))).as("ci_lo_cents"),
+        min(when(col("rk") === hiIdx, col("mean_cents"))).as("ci_hi_cents"),
+        expr("CAST(sum(mean_cents) div count(1) AS BIGINT)").as("boot_mean_cents"))
+  }
 }

@@ -520,4 +520,38 @@ object TextStats {
         col("n_dis"),
         col("n_tokens"),
         expr("(n_hapax * 1000000) div vocab_size").as("hapax_rate_e6"))
+
+  /** #204 Zipf octave-ratio diagnostic: the rank-frequency curve of
+    * each source's vocabulary sampled at power-of-two ranks, with the
+    * frequency ratio per octave — an ALL-INTEGER Zipf-fit check (an
+    * ideal slope −1 law halves frequency per octave → ratio_e6 ≈
+    * 500 000; templated corpora run flat, noisy ones fall off a
+    * cliff). Sampling at octaves instead of fitting log-log OLS keeps
+    * the statistic exact: float log sums over shuffled partitions are
+    * order-nondeterministic, integer order statistics are not (the
+    * #190 discipline).
+    *
+    * Per-source ranks use a source-partitioned window (#201's note:
+    * a mega-source would get the hierarchical shard treatment);
+    * `log2` is exact on powers of two in both engines.
+    */
+  def zipfOctaves(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("term"))
+    val byOct = Window.partitionBy("source").orderBy(col("r"))
+    tc.withColumn("r", row_number().over(w))
+      .filter(expr("(r & (r - 1)) = 0")) // powers of two, incl. rank 1
+      .withColumn("octave", expr("CAST(log2(r) AS BIGINT)"))
+      .withColumn("prev_c", lag("c", 1).over(byOct))
+      .select(
+        col("source"),
+        col("octave"),
+        col("r").cast("long").as("rank"),
+        col("c").as("freq"),
+        expr("(c * 1000000) div prev_c").as("octave_ratio_e6"))
+  }
 }

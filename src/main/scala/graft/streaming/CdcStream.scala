@@ -453,4 +453,34 @@ object CdcStream {
         col("r_id"),
         col("l_t"),
         col("r_t"))
+
+  /** #205 Streaming rolling distinct users: the #193 rolling-MAU
+    * metric kept incrementally — sliding event-time windows
+    * (`width` wide, sliding by `slide`) with an EXACT distinct count.
+    * Streaming aggregation cannot express `countDistinct` directly,
+    * so the plan CHAINS two stateful aggregations (Spark ≥3.4
+    * multiple-stateful-operator support): dedup to per-(window, user)
+    * presence first, then count presence rows per window — each
+    * stage's state is watermark-bounded (presence state = windows ×
+    * active users in them, counter state = open windows), and results
+    * emit append-mode when the watermark closes a window. The spec
+    * pins streamed ≡ the batch `window()` aggregation over the same
+    * prefix.
+    */
+  def rollingDistinctUsers(
+      changes: Dataset[Change],
+      width: String = "7 days",
+      slide: String = "1 day",
+      delay: String = "1 hour"): DataFrame =
+    changes
+      .withColumn("ts_us", timestamp_micros(col("ts")))
+      .withWatermark("ts_us", delay)
+      .groupBy(window(col("ts_us"), width, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("window")
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n_distinct_users"))
 }

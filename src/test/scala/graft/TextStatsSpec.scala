@@ -406,4 +406,42 @@ class TextStatsSpec extends SparkSpec {
       assert(got(src) == ((vocab, hap, dis, toks, hap * 1000000 / vocab)), s"source $src")
     }
   }
+
+  test("zipf octaves: power-of-two ranks with exact frequency ratios") {
+    import graft.operators.TextStats
+    val z = TextStats
+      .zipfOctaves(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(z.nonEmpty)
+    // ranks are powers of two and octave = log2(rank)
+    z.foreach { case (_, oct, rank, _, _) =>
+      assert((rank & (rank - 1)) == 0 && rank >= 1)
+      assert(rank == (1L << oct.toInt))
+    }
+    // scala replay on one source
+    val src = z.head._1
+    val counts = Tables
+      .documents(spark, sf)
+      .filter(col("source") === src)
+      .select("text")
+      .collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .groupBy(identity)
+      .toSeq
+      .map { case (t, xs) => (t, xs.length.toLong) }
+      .sortBy { case (t, c) => (-c, t) }
+    val mine = z.filter(_._1 == src).sortBy(_._2)
+    mine.foreach { case (_, _, rank, freq, ratio) =>
+      assert(freq == counts((rank - 1).toInt)._2, s"rank $rank freq")
+      if (rank > 1) {
+        val prev = counts((rank / 2 - 1).toInt)._2
+        assert(ratio == freq * 1000000 / prev, s"rank $rank ratio")
+        // frequencies are non-increasing in rank
+        assert(ratio <= 1000000)
+      } else assert(ratio == -1L)
+    }
+  }
 }

@@ -313,4 +313,44 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming rolling distinct equals the batch sliding-window count") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      changes.write.mode("append").parquet(inDir)
+      // redeliver a slice: distinctness must absorb duplicates
+      changes.filter(col("event_id") % 7 === 0).write.mode("append").parquet(inDir)
+
+      val q = CdcStream
+        .rollingDistinctUsers(CdcStream.readChangelog(spark, inDir))
+        .writeStream
+        .format("memory")
+        .queryName("stream_rolling_mau")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_rolling_mau")
+          .collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getLong(2)))
+          .toSet
+        val batch = changes
+          .withColumn("ts_us", timestamp_micros(col("ts")))
+          .groupBy(window(col("ts_us"), "7 days", "1 day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("window")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .select(col("window.start"), col("window.end"), col("n_distinct_users"))
+          .collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getLong(2)))
+          .toSet
+        // append mode emits only watermark-closed windows: got ⊆ batch,
+        // every emitted count exact, and most windows do close
+        assert(got.nonEmpty)
+        assert(got.subsetOf(batch), s"${got.size} emitted vs ${batch.size} batch")
+        assert(got.size >= batch.size / 2, s"only ${got.size} of ${batch.size} closed")
+      } finally q.stop()
+    }
+  }
 }
