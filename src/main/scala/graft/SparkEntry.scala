@@ -283,7 +283,11 @@ object SparkEntry {
     // Poisson-bootstrap confidence interval (§2 #203)
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) => Scale.bootstrapCi(s, d)),
     // Zipf octave-ratio diagnostic (§2 #204)
-    "text_zipf" -> (TextStats.zipfOctaves _)
+    "text_zipf" -> (TextStats.zipfOctaves _),
+    // Containment join: excerpt/quotation detection (§2 #206)
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    // Conversion-lag percentiles (§2 #207)
+    "q_conversion_lag" -> ((s: SparkSession, d: String) => AnalyticsExt.conversionLag(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3814,6 +3818,64 @@ object SparkEntry {
            (c * 1000000) // (lag(c) OVER (PARTITION BY source ORDER BY r))
              AS octave_ratio_e6
          FROM oct""",
+    "dedup_containment" ->
+      // ALL-PAIRS ground truth (no prefix filter): the hash-MATCH
+      // proves the asymmetric prefix filter lossless, not just fast.
+      """WITH toks0 AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM toks0
+           UNION ALL
+           SELECT doc_id + 4000000,
+             tok[CAST(floor(len(tok) * 0.2) AS INT) + 1 :
+                 CAST(floor(len(tok) * 0.2) AS INT) +
+                 greatest(1, CAST(floor(len(tok) * 0.5) AS INT)
+                             - CAST(floor(len(tok) * 0.2) AS INT))]
+           FROM toks0 WHERE doc_id % 8 = 0),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ')
+                        for i in range(1, len(tok) - 1)] END AS s
+           FROM corpus),
+         hs AS (
+           SELECT doc_id,
+             list_distinct([('0x' || substr(md5(x), 1, 15))::BIGINT for x in s]) AS hs
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(a.hs) AS BIGINT) AS n_shingles_a,
+             CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter
+           FROM hs a JOIN hs b ON a.doc_id != b.doc_id)
+         SELECT doc_a, doc_b, n_shingles_a, inter,
+           (inter * 1000000) // n_shingles_a AS containment_e6
+         FROM pairs
+         WHERE (inter * 1000000) // n_shingles_a >= 800000""",
+    "q_conversion_lag" ->
+      // FLAT global-window replay of the hierarchical lag rank.
+      """WITH fv AS (
+           SELECT user_id, min(epoch_us(ts)) AS v
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         fp AS (
+           SELECT e.user_id, fv.v, min(epoch_us(e.ts)) AS p
+           FROM events e JOIN fv ON fv.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v
+           GROUP BY 1, 2),
+         lags AS (SELECT user_id, p - v AS lag_us FROM fp),
+         r AS (
+           SELECT lag_us,
+             row_number() OVER (ORDER BY lag_us, user_id) AS rk
+           FROM lags),
+         n AS (SELECT count(*) AS n FROM lags),
+         t AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                     ('p99', 99, 100)) AS v(pctl, num, den))
+         SELECT t.pctl,
+           CAST((n.n * t.num + t.den - 1) // t.den AS BIGINT) AS rank,
+           r.lag_us, CAST(n.n AS BIGINT) AS n_converted
+         FROM t, n, r
+         WHERE r.rk = (n.n * t.num + t.den - 1) // t.den""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

@@ -1256,6 +1256,64 @@ object AnalyticsExt {
           .as("n_browse_to_buy"))
   }
 
+  /** #207 Conversion-lag percentiles: per converting user, the time
+    * from FIRST view to the first purchase after it, summarized as
+    * discrete p50/p90/p99 order statistics — the funnel-latency
+    * companion to #18 (which counts conversions; this measures how
+    * long they take). µs lags via truncate-then-diff (each ns stamp
+    * `div 1000` before subtracting — the classify() convention, so
+    * both timestamp generations agree with `epoch_us` exactly).
+    *
+    * Percentile ranks are type-1 discrete (⌈q·n⌉ — the #106 zero-
+    * interpolation discipline) over a global lag rank built
+    * HIERARCHICALLY (#191 value-range shards + broadcast offsets —
+    * converting users are NOT small at warehouse scale). One
+    * events-table pass per leg, user_id exchanges only.
+    */
+  def conversionLag(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val firstView = ev
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min("us").as("v"))
+    val lags = ev
+      .filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("us") > col("v"))
+      .groupBy("user_id", "v")
+      .agg(min("us").as("p"))
+      .select(col("user_id"), (col("p") - col("v")).as("lag_us"))
+    val bounds = lags.agg(min("lag_us").as("lo"), max("lag_us").as("hi"))
+    val sharded = lags
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((lag_us - lo) * $nShards) div (hi - lo + 1)"))
+    val ws = Window.partitionBy("shard").orderBy(col("lag_us"), col("user_id"))
+    val local = sharded.withColumn("lrank", row_number().over(ws))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "roff",
+        coalesce(
+          sum("cnt").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("roff"))
+    val ranked = local
+      .join(broadcast(offsets), "shard")
+      .select(col("lag_us"), (col("roff") + col("lrank")).as("grank"))
+    val total = lags.agg(count(lit(1)).as("n"))
+    val targets = spark
+      .createDataFrame(Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .toDF("pctl", "num", "den")
+    targets
+      .crossJoin(broadcast(total))
+      .withColumn("rank", expr("(n * num + den - 1) div den"))
+      .join(ranked, col("rank") === col("grank"))
+      .select(col("pctl"), col("rank"), col("lag_us"), col("n").as("n_converted"))
+  }
+
   /** #200 K-core decomposition (fixed-round peeling): the maximal
     * subgraph of the co-purchase graph in which every part keeps
     * degree ≥ k — the graph-density backbone extraction behind

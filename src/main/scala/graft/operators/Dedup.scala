@@ -755,4 +755,78 @@ object Dedup {
         col("ccos_e4"),
         col("is_dropped").isNull.cast("int").as("keep"))
   }
+
+  /** Planted-excerpt constants: every [[ExcerptEvery]]th doc gets a
+    * contiguous 30% slice (tokens 20%..50%) as an "excerpt" variant,
+    * id offset by [[ExcerptOffset]] — containment ≈ 1 by construction.
+    */
+  val ExcerptEvery = 8
+  val ExcerptOffset = 4000000L
+
+  /** #206 Containment join (asymmetric Jaccard): pairs where doc A's
+    * shingle set is ≥ τ CONTAINED in doc B — the excerpt/quotation
+    * detector symmetric near-dup misses (a paragraph lifted into a
+    * long doc has tiny Jaccard but containment ≈ 1; the text-reuse
+    * primitive behind quote attribution and contamination tracing).
+    *
+    * Exact, via the asymmetric prefix filter (PPJoin's containment
+    * variant): order each A-set by global document frequency
+    * (rarest-first); if A is τ-contained in ANY B, then among A's
+    * ⌊(1−τ)·|A|⌋+1 RAREST shingles at least one is in B — so only
+    * that prefix probes the inverted index, while the B side indexes
+    * everything (no length filter: containers can be any size).
+    * Candidates shuffle O(prefix·df); the exact verify intersects the
+    * two bounded per-doc shingle arrays. The oracle is the all-pairs
+    * ground truth, so the hash-MATCH proves the prefix filter
+    * LOSSLESS, not just fast.
+    */
+  def containment(spark: SparkSession, dir: String, tauE6: Long = 800000L): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id"), toks(col("text")).as("tok"))
+    val lo = expr("CAST(floor(size(tok) * 0.2) AS INT) + 1")
+    val len =
+      expr("greatest(1, CAST(floor(size(tok) * 0.5) AS INT) - CAST(floor(size(tok) * 0.2) AS INT))")
+    val corpus = base
+      .unionAll(
+        base
+          .filter(col("doc_id") % ExcerptEvery === 0)
+          .select(
+            (col("doc_id") + ExcerptOffset).as("doc_id"),
+            slice(col("tok"), lo, len).as("tok")))
+      .select(
+        col("doc_id"),
+        array_distinct(transform(shingles(col("tok")), s => hash60(s))).as("hs"))
+      .localCheckpoint(eager = false)
+    val post = corpus.select(col("doc_id"), explode(col("hs")).as("h"))
+    val df = post.groupBy("h").agg(count(lit(1)).as("df"))
+    // rarest-first order inside each set; prefix = floor((1-τ)|A|) + 1
+    val aPref = post
+      .join(df, "h")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("st"))
+      .select(
+        col("doc_id").as("doc_a"),
+        expr("transform(st, s -> s.h)").as("sorted_h"),
+        size(col("st")).as("na"))
+      .select(
+        col("doc_a"),
+        col("na"),
+        explode(
+          expr(s"slice(sorted_h, 1, CAST((na * (1000000 - $tauE6)) div 1000000 AS INT) + 1)"))
+          .as("h"))
+    val cands = aPref
+      .join(post.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "na")
+      .distinct()
+    cands
+      .join(corpus.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(corpus.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("containment_e6", expr("(inter * 1000000) div na"))
+      .filter(col("containment_e6") >= tauE6)
+      .select(col("doc_a"), col("doc_b"), col("na").cast("long").as("n_shingles_a"),
+        col("inter"), col("containment_e6"))
+  }
 }

@@ -596,6 +596,43 @@ class AnalyticsExtSpec extends SparkSpec {
     got.values.foreach { case (_, den, _) => assert(den >= (1L << 15)) }
   }
 
+  test("conversion lag: discrete percentiles match a scala replay") {
+    val got = AnalyticsExt
+      .conversionLag(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev
+      .filter(_._2 == "view")
+      .groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val lags = ev
+      .filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) =>
+        firstView.get(u).filter(us > _).map(v => (u, us, v))
+      }
+      .groupBy(_._1)
+      .map { case (u, xs) => (u, xs.map(_._2).min - xs.head._3) }
+      .toSeq
+      .sortBy { case (u, lag) => (lag, u) }
+    val n = lags.length.toLong
+    assert(n > 0)
+    Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)).foreach {
+      case (p, num, den) =>
+        val rank = (n * num + den - 1) / den
+        val (grank, lag, gn) = got(p)
+        assert(grank == rank && gn == n, s"$p rank")
+        assert(lag == lags((rank - 1).toInt)._2, s"$p value")
+    }
+    // percentile values are monotone
+    assert(got("p50")._2 <= got("p90")._2 && got("p90")._2 <= got("p99")._2)
+  }
+
   test("kcore: fixpoint reached and every member has core degree >= k") {
     val core = AnalyticsExt.kcore(spark, sf, k = 3, rounds = 8).cache()
     assert(core.count() > 0)

@@ -312,4 +312,49 @@ class DedupSpec extends SparkSpec {
     }
     p.unpersist()
   }
+
+  test("containment: pair set equals the all-pairs brute force; excerpts found") {
+    val c = Dedup.containment(spark, sf).cache()
+    val got = c
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def shingleSet(tok: Array[String]): Set[Long] =
+      (if (tok.length < 3) Array(tok.mkString(" "))
+       else tok.sliding(3).map(_.mkString(" ")).toArray).map(h60).toSet
+    val baseDocs = Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+")))
+    val corpus = baseDocs ++ baseDocs
+      .filter(_._1 % Dedup.ExcerptEvery == 0)
+      .map { case (id, tok) =>
+        val lo = math.floor(tok.length * 0.2).toInt
+        val len = math.max(
+          1,
+          math.floor(tok.length * 0.5).toInt - math.floor(tok.length * 0.2).toInt)
+        (id + Dedup.ExcerptOffset, tok.slice(lo, lo + len))
+      }
+    val sets = corpus.map { case (id, tok) => (id, shingleSet(tok)) }
+    val exp = (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if ia != ib
+      inter = (sa & sb).size.toLong
+      cont = inter * 1000000L / sa.size
+      if cont >= 800000L
+    } yield ((ia, ib), (sa.size.toLong, inter, cont))).toMap
+    assert(got == exp)
+    // the planted excerpts are all recovered as contained in their source
+    baseDocs.map(_._1).filter(_ % Dedup.ExcerptEvery == 0).foreach { id =>
+      assert(got.contains((id + Dedup.ExcerptOffset, id)), s"excerpt of $id missing")
+    }
+    c.unpersist()
+  }
 }
