@@ -287,7 +287,11 @@ object SparkEntry {
     // Containment join: excerpt/quotation detection (§2 #206)
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     // Conversion-lag percentiles (§2 #207)
-    "q_conversion_lag" -> ((s: SparkSession, d: String) => AnalyticsExt.conversionLag(s, d))
+    "q_conversion_lag" -> ((s: SparkSession, d: String) => AnalyticsExt.conversionLag(s, d)),
+    // Cross-modal retrieval top-k (§2 #208)
+    "mm_crossmodal_topk" -> ((s: SparkSession, d: String) => Multimodal.crossModalTopK(s, d)),
+    // Late-arriving-dimension restatement (§2 #209)
+    "cdc_restatement" -> (Cdc.restatement _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3876,6 +3880,61 @@ object SparkEntry {
            r.lag_us, CAST(n.n AS BIGINT) AS n_converted
          FROM t, n, r
          WHERE r.rk = (n.n * t.num + t.den - 1) // t.den""",
+    "mm_crossmodal_topk" -> {
+      // image-modality queries probe audio-modality buckets under the
+      // shared hyperplane family; bits from the audio corpus size
+      s"""WITH ${lshBucketsCte(
+        "embeddings",
+        "SELECT count(*) FROM embeddings WHERE vec_id % 3 = 1")},
+          qb AS (
+            SELECT vec_id AS query_id, t,
+              unnest(list_prepend(bucket,
+                [xor(bucket, 1::BIGINT << p) for p in range(0, bits)])) AS bucket
+            FROM bk, params WHERE vec_id % 3 = 0),
+          cand AS (
+            SELECT DISTINCT qb.query_id, c.vec_id
+            FROM bk c JOIN qb ON c.t = qb.t AND c.bucket = qb.bucket
+            WHERE c.vec_id % 3 = 1),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM scored)
+          WHERE rank <= 3"""
+    },
+    "cdc_restatement" ->
+      """WITH ch AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value,
+             epoch_us(ts) +
+               (('0x' || substr(md5('graft-rst:' || event_id), 1, 15))::BIGINT
+                % 7200000001) AS arr
+           FROM events),
+         h AS (SELECT max(ts) + 1 AS h FROM ch),
+         v AS (
+           SELECT user_id, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      (SELECT h FROM h)) AS valid_to,
+             arr AS dim_arr, value AS dim_value
+           FROM ch
+           WHERE op = 'INSERT' OR (op = 'UPDATE' AND event_id % 2 = 0)),
+         f AS (
+           SELECT user_id, ts AS fact_ts, arr AS fact_arr, event_id AS fact_id
+           FROM ch WHERE op = 'UPDATE' AND event_id % 2 = 1)
+         SELECT f.fact_id, f.user_id, f.fact_ts, v.dim_value,
+           v.dim_arr - f.fact_arr AS arrived_late_by_us
+         FROM f JOIN v ON v.user_id = f.user_id
+           AND v.valid_from <= f.fact_ts AND f.fact_ts < v.valid_to
+         WHERE v.dim_arr > f.fact_arr""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

@@ -584,6 +584,67 @@ object Cdc {
       .agg(count(lit(1)).as("n_events"), max("lateness_us").as("max_lateness_us"))
   }
 
+  /** #209 Late-arriving-dimension restatement: the facts whose
+    * correct dimension attribution was UNKNOWABLE when they arrived —
+    * the dimension version covering the fact's event time reached the
+    * warehouse (by changelog offset) only after the fact itself. A
+    * #134 point-in-time lookup silently attributes these correctly in
+    * a full rebuild; an INCREMENTAL pipeline attributed them wrong at
+    * ingest and must restate — this operator computes exactly that
+    * restatement set, with how late the truth arrived. Streams split
+    * as in #194: INSERT/even-offset UPDATEs version the dimension,
+    * odd-offset UPDATEs are the facts.
+    *
+    * Shape: one per-key `lead` window closes versions, one user_id
+    * equi-join with interval containment attaches the
+    * valid-at-fact-time version, and the restatement test is a plain
+    * column comparison of arrival offsets. All user_id exchanges.
+    */
+  def restatement(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // the synthetic changelog delivers in event-time order, so arrival
+    // is modeled as ts + deterministic md5 jitter (0..2h — the #188
+    // watermark-audit construction): out-of-order delivery with a
+    // replayable clock
+    val jitterUs = 7200000001L
+    val ch = classify(spark, dir).withColumn(
+      "arr",
+      col("ts") + pmod(
+        Dedup.hash60(concat(lit("graft-rst:"), col("event_id"))),
+        lit(jitterUs)))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val horizon = ch.agg((max("ts") + 1).as("h"))
+    val versions = ch
+      .filter(col("op") === "INSERT" || (col("op") === "UPDATE" && col("event_id") % 2 === 0))
+      .select(col("user_id"), col("ts"), col("event_id"), col("arr"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .drop("event_id")
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("user_id"),
+        col("ts").as("valid_from"),
+        coalesce(col("valid_to"), col("h")).as("valid_to"),
+        col("arr").as("dim_arr"),
+        col("value").as("dim_value"))
+    val facts = ch
+      .filter(col("op") === "UPDATE" && col("event_id") % 2 === 1)
+      .select(
+        col("user_id"),
+        col("ts").as("fact_ts"),
+        col("arr").as("fact_arr"),
+        col("event_id").as("fact_id"))
+    facts
+      .join(versions, Seq("user_id"))
+      .filter(col("valid_from") <= col("fact_ts") && col("fact_ts") < col("valid_to"))
+      .filter(col("dim_arr") > col("fact_arr"))
+      .select(
+        col("fact_id"),
+        col("user_id"),
+        col("fact_ts"),
+        col("dim_value"),
+        (col("dim_arr") - col("fact_arr")).as("arrived_late_by_us"))
+  }
+
   /** #194 SCD2 interval-align join (temporal alignment): two
     * independently-versioned attribute histories of the same key —
     * the account's VALUE (versioned by signup/purchase events) and

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -163,6 +164,50 @@ object Multimodal {
     */
   val ReencEvery = 6
   val ReencOffset = 3000000L
+
+  /** #208 Cross-modal retrieval top-k: for every "image"-modality
+    * item, the k nearest "audio"-modality items in the SHARED
+    * embedding space (the CLIP-style aligned-encoder retrieval a
+    * multimodal lake runs for caption search and pair mining; here
+    * modality is the #33 manifest convention `vec_id % 3`, the
+    * encoders are the stub). Both sides bucket under the SAME
+    * hyperplane family — valid because cross-modal alignment means
+    * one space — so the probe is a bucket equi-join exactly like
+    * same-modality ANN (#28): candidate volume O(queries ·
+    * TargetBucket · tables), never queries × corpus; bits derived
+    * from the AUDIO corpus size.
+    */
+  def crossModalTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val audioCount = vecs.filter(col("vec_id") % 3 === 1).count()
+    val bits = Similarity.numPlanes(audioCount)
+    val corpus = Similarity.bandedBuckets(
+      vecs.filter(col("vec_id") % 3 === 1), "embedding", bits)
+    // cross-modal neighbors sit near hyperplane boundaries far more
+    // often than same-item ANN, so the query side multi-probes its
+    // bucket plus all 1-bit flips (the #60 shape) — still
+    // bucket-bounded, ~(bits+1)× candidates
+    val probes = (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+    val queries = Similarity
+      .bandedBuckets(
+        vecs
+          .filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "q_emb",
+        bits)
+      .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus
+      .join(queries, Seq("t", "bucket"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 
   /** #199 Perceptual-hash near-dup over binary payloads: a 60-bit
     * block-structured content hash — each payload is first NORMALIZED

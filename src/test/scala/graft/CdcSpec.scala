@@ -199,6 +199,48 @@ class CdcSpec extends SparkSpec {
     assert(maintained.count() > 0)
   }
 
+  test("restatement: exactly the facts whose covering version arrived later") {
+    import org.apache.spark.sql.functions._
+    val r = Cdc.restatement(spark, sf).cache()
+    val got = r
+      .collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4))))
+      .toMap
+    def arrOf(eventId: Long, ts: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"graft-rst:$eventId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ts + java.lang.Long.parseLong(hex.substring(0, 15), 16) % 7200000001L
+    }
+    val ch = Cdc
+      .classify(spark, sf)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3), x.getDouble(4)))
+    val horizon = ch.map(_._2).max + 1
+    val byUser = ch.groupBy(_._3)
+    val exp = byUser.toSeq.flatMap { case (u, evs) =>
+      val vers = evs
+        .filter(e => e._4 == "INSERT" || (e._4 == "UPDATE" && e._1 % 2 == 0))
+        .sortBy(e => (e._2, e._1))
+      val closed = vers.zipWithIndex.map { case ((id, ts, _, _, v), i) =>
+        val to = if (i + 1 < vers.length) vers(i + 1)._2 else horizon
+        (ts, to, arrOf(id, ts), v)
+      }
+      evs.filter(e => e._4 == "UPDATE" && e._1 % 2 == 1).flatMap { f =>
+        val fArr = arrOf(f._1, f._2)
+        closed
+          .find(c => c._1 <= f._2 && f._2 < c._2)
+          .filter(_._3 > fArr)
+          .map(c => f._1 -> ((u, f._2, c._4, c._3 - fArr)))
+      }
+    }.toMap
+    assert(got == exp)
+    assert(got.nonEmpty, "late-arriving versions must exist in the synthetic stream")
+    // every restated fact is strictly late
+    assert(r.filter(col("arrived_late_by_us") <= 0).count() == 0)
+    r.unpersist()
+  }
+
   test("scd2 align: segments tile each key's joint validity, attributes correct") {
     import org.apache.spark.sql.functions._
     val segs = Cdc.scd2Align(spark, sf).cache()

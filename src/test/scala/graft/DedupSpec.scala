@@ -313,6 +313,38 @@ class DedupSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("crossmodal topk: modality discipline and bucket-candidate recall") {
+    val x = Multimodal.crossModalTopK(spark, sf).cache()
+    // sides are strictly image -> audio
+    assert(x.filter(col("query_id") % 3 =!= 0).count() == 0)
+    assert(x.filter(col("vec_id") % 3 =!= 1).count() == 0)
+    // at most k per query, ranks contiguous from 1
+    val perQ = x.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") > 3).count() == 0)
+    assert(perQ.filter(col("n") =!= col("mx")).count() == 0)
+    // recall vs the exact cross-modal brute force
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = vecs
+      .filter(col("vec_id") % 3 === 1)
+      .crossJoin(
+        vecs
+          .filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+    val hit = x.select("query_id", "vec_id").intersect(exact).count().toDouble
+    val recall = hit / exact.count()
+    assert(recall >= 0.3, s"cross-modal recall@3 = $recall")
+    x.unpersist()
+  }
+
   test("containment: pair set equals the all-pairs brute force; excerpts found") {
     val c = Dedup.containment(spark, sf).cache()
     val got = c
