@@ -291,7 +291,9 @@ object SparkEntry {
     // Cross-modal retrieval top-k (§2 #208)
     "mm_crossmodal_topk" -> ((s: SparkSession, d: String) => Multimodal.crossModalTopK(s, d)),
     // Late-arriving-dimension restatement (§2 #209)
-    "cdc_restatement" -> (Cdc.restatement _)
+    "cdc_restatement" -> (Cdc.restatement _),
+    // Changelog balance curve: deltas integrated to a daily series (§2 #210)
+    "cdc_balance_curve" -> (Cdc.balanceCurve _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3935,6 +3937,30 @@ object SparkEntry {
          FROM f JOIN v ON v.user_id = f.user_id
            AND v.valid_from <= f.fact_ts AND f.fact_ts < v.valid_to
          WHERE v.dim_arr > f.fact_arr""",
+    "cdc_balance_curve" ->
+      """WITH ch AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             CAST(floor(round(value, 2) * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         st AS (
+           SELECT ts, user_id, event_id,
+             CASE WHEN op = 'DELETE' THEN 0 ELSE cents END AS stored
+           FROM ch),
+         d AS (
+           SELECT ts // 86400000000 AS day,
+             stored - coalesce(lag(stored) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), 0) AS delta
+           FROM st),
+         daily AS (
+           SELECT day, CAST(sum(delta) AS BIGINT) AS net_delta_cents
+           FROM d GROUP BY 1)
+         SELECT day, net_delta_cents,
+           CAST(sum(net_delta_cents) OVER (ORDER BY day) AS BIGINT)
+             AS balance_cents
+         FROM daily""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

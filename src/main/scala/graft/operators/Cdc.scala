@@ -584,6 +584,42 @@ object Cdc {
       .agg(count(lit(1)).as("n_events"), max("lateness_us").as("max_lateness_us"))
   }
 
+  /** #210 Changelog balance curve (derivative → integral): the daily
+    * total-live-value time series of the whole keyspace, computed
+    * from per-change DELTAS — each change contributes
+    * (stored-after − stored-before) under the #3 current-state
+    * machine (INSERT/UPDATE store the new value, DELETE stores 0),
+    * daily net deltas aggregate, and a cumulative sum over days
+    * integrates back to the absolute curve. This is the O(changes)
+    * shape: the naive "for every day, sum every key's last value"
+    * rebuild is O(days × keys) and re-scans history per day; the
+    * delta form touches each change once — how a warehouse keeps a
+    * balance-sheet curve under CDC.
+    *
+    * One per-key lag window (cents state machine, exact), one daily
+    * aggregate, one cumsum over the DAY dimension (bounded by the
+    * calendar, not the data; at decades × minutes granularity the
+    * #191 shard construction applies).
+    */
+  def balanceCurve(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val ch = classify(spark, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("stored", when(col("op") === "DELETE", 0L).otherwise(col("cents")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val deltas = ch
+      .withColumn("delta", col("stored") - coalesce(lag("stored", 1).over(w), lit(0L)))
+      .select(expr(s"ts div ${usPerDay}L").as("day"), col("delta"))
+      .groupBy("day")
+      .agg(sum("delta").as("net_delta_cents"))
+    deltas
+      .withColumn(
+        "balance_cents",
+        sum("net_delta_cents").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("net_delta_cents"), col("balance_cents"))
+  }
+
   /** #209 Late-arriving-dimension restatement: the facts whose
     * correct dimension attribution was UNKNOWABLE when they arrived —
     * the dimension version covering the fact's event time reached the

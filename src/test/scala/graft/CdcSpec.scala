@@ -199,6 +199,31 @@ class CdcSpec extends SparkSpec {
     assert(maintained.count() > 0)
   }
 
+  test("balance curve: integral of deltas equals the point-in-time state sum") {
+    import org.apache.spark.sql.functions._
+    val curve = Cdc.balanceCurve(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.nonEmpty)
+    // cumulative integrity: balance(d) = sum of net deltas through d
+    var run = 0L
+    curve.foreach { case (_, nd, bal) => run += nd; assert(bal == run) }
+    // the FINAL balance equals the current-state table's value sum
+    val live = Cdc.current(spark, sf)
+      .selectExpr("CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .agg(sum("c")).first().getLong(0)
+    assert(curve.last._3 == live, s"final ${curve.last._3} vs current-state $live")
+    // a mid-series day: balance equals the brute-force as-of state sum
+    val midDay = curve(curve.length / 2)._1
+    val ch = Cdc.classify(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3), x.getDouble(4)))
+    val cutoff = (midDay + 1) * 86400000000L
+    val asOf = ch.filter(_._2 < cutoff).groupBy(_._3).values.map { evs =>
+      val last = evs.maxBy(e => (e._2, e._1))
+      if (last._4 == "DELETE") 0L else math.floor(last._5 * 100 + 0.5).toLong
+    }.sum
+    assert(curve.find(_._1 == midDay).get._3 == asOf, s"as-of day $midDay")
+  }
+
   test("restatement: exactly the facts whose covering version arrived later") {
     import org.apache.spark.sql.functions._
     val r = Cdc.restatement(spark, sf).cache()
