@@ -293,7 +293,9 @@ object SparkEntry {
     // Late-arriving-dimension restatement (§2 #209)
     "cdc_restatement" -> (Cdc.restatement _),
     // Changelog balance curve: deltas integrated to a daily series (§2 #210)
-    "cdc_balance_curve" -> (Cdc.balanceCurve _)
+    "cdc_balance_curve" -> (Cdc.balanceCurve _),
+    // Benford first-digit audit (§2 #211)
+    "q_benford" -> (Profile.benford _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3961,6 +3963,25 @@ object SparkEntry {
            CAST(sum(net_delta_cents) OVER (ORDER BY day) AS BIGINT)
              AS balance_cents
          FROM daily""",
+    "q_benford" ->
+      """WITH exp6(digit, expected_e6) AS (
+           SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+             (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+             (9, 45757)) AS v),
+         c AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n_orders
+           FROM orders GROUP BY 1),
+         n AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM c)
+         SELECT CAST(e.digit AS BIGINT) AS digit,
+           CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST((coalesce(c.n_orders, 0) * 1000000) // n.n AS BIGINT)
+             AS observed_e6,
+           CAST(e.expected_e6 AS BIGINT) AS expected_e6,
+           CAST(abs((coalesce(c.n_orders, 0) * 1000000) // n.n - e.expected_e6)
+             AS BIGINT) AS abs_dev_e6
+         FROM exp6 e LEFT JOIN c ON c.digit = e.digit, n""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

@@ -176,6 +176,41 @@ object Profile {
       Tables.customer(spark, dir),
       graft.Tables.events(spark, dir))
 
+  /** #211 Benford first-digit audit: the leading-digit distribution
+    * of order values against Benford's law — the forensic
+    * data-quality screen for fabricated or truncated monetary data
+    * (natural multi-magnitude amounts follow log10(1+1/d); entry
+    * errors and synthetic rounding show up as large deviations).
+    * Expected frequencies are PRECOMPUTED e6 integer constants, so
+    * the whole audit is integer arithmetic — no engine-side log10.
+    * One map (digit extraction on the whole-dollar string) + one
+    * 9-row aggregate; the broadcast constants join is free.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    // log10(1 + 1/d) on the e6 grid, d = 1..9
+    val expected = Seq(
+      (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L), (5L, 79181L),
+      (6L, 66947L), (7L, 57992L), (8L, 51153L), (9L, 45757L))
+    val exp6 = spark.createDataFrame(expected).toDF("digit", "expected_e6")
+    val counts = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_orders"))
+    val total = counts.agg(sum("n_orders").as("n"))
+    counts
+      .join(broadcast(exp6), Seq("digit"), "right_outer")
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        expr("(coalesce(n_orders, 0) * 1000000) div n").as("observed_e6"),
+        col("expected_e6"),
+        expr("abs((coalesce(n_orders, 0) * 1000000) div n - expected_e6)").as("abs_dev_e6"))
+  }
+
   /** #198 Corpus checksum manifest: an ORDER-INDEPENDENT per-source
     * digest (doc count, char volume, and the content-hash sum split
     * into two 30-bit lanes) plus a `__all__` rollup row — the dataset

@@ -28,6 +28,32 @@ class ProfileQuantSpec extends SparkSpec {
     }
   }
 
+  test("benford: digit counts replay exactly; deviations bounded") {
+    val rows = Profile
+      .benford(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    val prices = Tables
+      .orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS d")
+      .collect()
+      .map(_.getLong(0))
+    val exp = prices.map(_.toString.head.asDigit.toLong).groupBy(identity).map {
+      case (d, xs) => d -> xs.length.toLong
+    }
+    val n = prices.length.toLong
+    rows.foreach { case (d, cnt, obs, e6, dev) =>
+      assert(cnt == exp.getOrElse(d, 0L), s"digit $d count")
+      assert(obs == cnt * 1000000 / n, s"digit $d observed")
+      assert(dev == math.abs(obs - e6), s"digit $d deviation")
+    }
+    assert(rows.map(_._2).sum == n)
+    // digit-1 leads in any Benford-ish (or even uniform-log) price set
+    assert(rows.head._2 >= rows.last._2)
+  }
+
   test("profile: one row per column, distinct counts sane") {
     val p = Profile.profile(Tables.customer(spark, sf)).cache()
     assert(p.count() == Tables.customer(spark, sf).columns.length)
