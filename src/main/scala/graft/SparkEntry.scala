@@ -295,7 +295,11 @@ object SparkEntry {
     // Changelog balance curve: deltas integrated to a daily series (§2 #210)
     "cdc_balance_curve" -> (Cdc.balanceCurve _),
     // Benford first-digit audit (§2 #211)
-    "q_benford" -> (Profile.benford _)
+    "q_benford" -> (Profile.benford _),
+    // FIFO inventory allocation via cumulative interval join (§2 #212)
+    "q_fifo_allocation" -> (Warehouse.fifoAllocation _),
+    // Eventually-follows matrix, process mining (§2 #213)
+    "q_eventually_follows" -> (Warehouse.eventuallyFollows _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3982,6 +3986,45 @@ object SparkEntry {
            CAST(abs((coalesce(c.n_orders, 0) * 1000000) // n.n - e.expected_e6)
              AS BIGINT) AS abs_dev_e6
          FROM exp6 e LEFT JOIN c ON c.digit = e.digit, n""",
+    "q_fifo_allocation" ->
+      """WITH li AS (
+           SELECT l_partkey, l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+         rin AS (
+           SELECT l_partkey, l_orderkey AS in_order, l_linenumber AS in_line,
+             sum(qty) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS in_to,
+             sum(qty) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS in_from
+           FROM li WHERE l_orderkey % 2 = 0),
+         rout AS (
+           SELECT l_partkey, l_orderkey AS out_order, l_linenumber AS out_line,
+             sum(qty) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS out_to,
+             sum(qty) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS out_from
+           FROM li WHERE l_orderkey % 2 = 1)
+         SELECT i.l_partkey, i.in_order, i.in_line, o.out_order, o.out_line,
+           CAST(least(i.in_to, o.out_to) - greatest(i.in_from, o.out_from)
+             AS BIGINT) AS qty_matched
+         FROM rin i JOIN rout o ON o.l_partkey = i.l_partkey
+           AND i.in_from < o.out_to AND o.out_from < i.in_to""",
+    "q_eventually_follows" ->
+      """WITH spans AS (
+           SELECT user_id, event_type,
+             min(epoch_us(ts)) AS first_ts, max(epoch_us(ts)) AS last_ts
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users_both,
+           CAST(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_follows,
+           CAST((sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS follow_rate_e6
+         FROM spans a JOIN spans b
+           ON a.user_id = b.user_id AND a.event_type != b.event_type
+         GROUP BY 1, 2""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

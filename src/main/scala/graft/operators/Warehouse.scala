@@ -548,4 +548,105 @@ object Warehouse {
         col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
   }
+
+  /** #212 FIFO inventory allocation: match each part's outflows to
+    * its inflows in first-in-first-out order — the cost-basis /
+    * lot-matching operator (COGS attribution, tax-lot accounting)
+    * that looks inherently sequential but is EXACTLY an interval
+    * join: each movement occupies the cumulative-quantity range
+    * [cum_before, cum_after) on its side, and FIFO matches are
+    * precisely the overlaps of inflow and outflow ranges, with
+    * matched qty = min(ends) − max(starts). Inflows = even-orderkey
+    * line items, outflows = odd (the synthetic in/out split);
+    * quantities are exact integers.
+    *
+    * Shape: one per-(part, side) cumsum window + ONE part equi-join
+    * with the overlap predicate — fan-out is the true match count
+    * (each inflow overlaps a contiguous run of outflows), never a
+    * per-part cross product. All exchanges on `l_partkey`.
+    */
+  def fifoAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty"))
+    def ranged(side: DataFrame): DataFrame = {
+      val w = Window
+        .partitionBy("l_partkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      side
+        .withColumn("cum_to", sum("qty").over(w))
+        .withColumn("cum_from", col("cum_to") - col("qty"))
+    }
+    val inflows = ranged(li.filter(col("l_orderkey") % 2 === 0)).select(
+      col("l_partkey"),
+      col("l_orderkey").as("in_order"),
+      col("l_linenumber").as("in_line"),
+      col("cum_from").as("in_from"),
+      col("cum_to").as("in_to"))
+    val outflows = ranged(li.filter(col("l_orderkey") % 2 === 1)).select(
+      col("l_partkey"),
+      col("l_orderkey").as("out_order"),
+      col("l_linenumber").as("out_line"),
+      col("cum_from").as("out_from"),
+      col("cum_to").as("out_to"))
+    inflows
+      .join(
+        outflows,
+        Seq("l_partkey"))
+      .filter(col("in_from") < col("out_to") && col("out_from") < col("in_to"))
+      .select(
+        col("l_partkey"),
+        col("in_order"),
+        col("in_line"),
+        col("out_order"),
+        col("out_line"),
+        (least(col("in_to"), col("out_to")) -
+          greatest(col("in_from"), col("out_from"))).as("qty_matched"))
+  }
+
+  /** #213 Eventually-follows matrix (process mining): for every
+    * ordered pair of event types (a, b), how many users have SOME
+    * a-event strictly before SOME b-event — the directly/eventually-
+    * follows relation process-discovery algorithms (alpha miner,
+    * heuristics miner) start from; #174's transition matrix counts
+    * ADJACENT steps, this counts reachability.
+    *
+    * Shape: one (user, type) min/max-ts aggregate, a per-user
+    * type-pair join (≤ |types|² fan per user, alphabet-bounded), one
+    * counting aggregate. The rate denominator is users having both
+    * types at all.
+    */
+  def eventuallyFollows(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min("us").as("first_ts"), max("us").as("last_ts"))
+    val a = spans.select(
+      col("user_id"),
+      col("event_type").as("type_a"),
+      col("first_ts").as("a_first"))
+    val b = spans.select(
+      col("user_id"),
+      col("event_type").as("type_b"),
+      col("last_ts").as("b_last"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(
+        count(lit(1)).as("n_users_both"),
+        sum(when(col("a_first") < col("b_last"), 1L).otherwise(0L)).as("n_follows"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_users_both"),
+        col("n_follows"),
+        expr("(n_follows * 1000000) div n_users_both").as("follow_rate_e6"))
+  }
 }

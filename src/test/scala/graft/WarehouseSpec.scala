@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Warehouse
 
 /** The decorrelation contract of the correlated-subquery warehouse
@@ -215,5 +217,87 @@ class WarehouseSpec extends SparkSpec {
     assert(top.filter(col("m_score") =!= 5).count() == 0)
     val again = Warehouse.rfm(spark, sf)
     assert(r.exceptAll(again).count() == 0)
+  }
+
+  test("fifo allocation: matches replay a sequential FIFO simulation") {
+    val alloc = Warehouse.fifoAllocation(spark, sf).cache()
+    // every match is positive and bounded by both movements' quantities
+    assert(alloc.filter(col("qty_matched") <= 0).count() == 0)
+    // per part: matched volume equals min(total inflow, total outflow)
+    val li = Tables
+      .lineitem(spark, sf)
+      .selectExpr(
+        "l_partkey", "l_orderkey", "CAST(l_linenumber AS BIGINT) AS l_linenumber",
+        "l_shipdate", "CAST(l_quantity AS BIGINT) AS qty")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.get(3).toString, r.getLong(4)))
+    val byPart = li.groupBy(_._1)
+    val gotPerPart = alloc
+      .groupBy("l_partkey")
+      .agg(sum("qty_matched").as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    byPart.foreach { case (pk, rows) =>
+      val inQ = rows.filter(_._2 % 2 == 0).map(_._5).sum
+      val outQ = rows.filter(_._2 % 2 == 1).map(_._5).sum
+      val expTotal = math.min(inQ, outQ)
+      assert(gotPerPart.getOrElse(pk, 0L) == expTotal, s"part $pk volume")
+    }
+    // sequential FIFO replay on the heaviest part: same pair->qty map
+    val pk = gotPerPart.maxBy(_._2)._1
+    val rows = byPart(pk)
+    def queue(side: Long) = rows
+      .filter(_._2 % 2 == side)
+      .sortBy(r => (r._4, r._2, r._3))
+      .map(r => ((r._2, r._3), r._5))
+      .toBuffer
+    val ins = queue(0); val outs = queue(1)
+    val exp = collection.mutable.Map.empty[(Long, Long, Long, Long), Long]
+    while (ins.nonEmpty && outs.nonEmpty) {
+      val ((io, il), iq) = ins.head
+      val ((oo, ol), oq) = outs.head
+      val m = math.min(iq, oq)
+      exp((io, il, oo, ol)) = m
+      if (iq == m) ins.remove(0) else ins(0) = ((io, il), iq - m)
+      if (oq == m) outs.remove(0) else outs(0) = ((oo, ol), oq - m)
+    }
+    val gotPk = alloc
+      .filter(col("l_partkey") === pk)
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getLong(5)))
+      .toMap
+    assert(gotPk == exp.toMap, s"part $pk FIFO pairing")
+    alloc.unpersist()
+  }
+
+  test("eventually-follows: counts match a scala replay, diagonal absent") {
+    val ef = Warehouse.eventuallyFollows(spark, sf).cache()
+    assert(ef.filter(col("type_a") === col("type_b")).count() == 0)
+    val got = ef
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val spans = Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2))
+      .map { case ((u, t), xs) => (u, t, xs.map(_._3).min, xs.map(_._3).max) }
+      .toSeq
+    val byUser = spans.groupBy(_._1)
+    val exp = collection.mutable.Map.empty[(String, String), (Long, Long)]
+    byUser.values.foreach { ts =>
+      for (a <- ts; b <- ts if a._2 != b._2) {
+        val (n, f) = exp.getOrElse((a._2, b._2), (0L, 0L))
+        exp((a._2, b._2)) = (n + 1, f + (if (a._3 < b._4) 1 else 0))
+      }
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, (n, f)) =>
+      assert(got(k) == ((n, f, f * 1000000 / n)), s"pair $k")
+    }
+    ef.unpersist()
   }
 }
