@@ -299,7 +299,11 @@ object SparkEntry {
     // FIFO inventory allocation via cumulative interval join (§2 #212)
     "q_fifo_allocation" -> (Warehouse.fifoAllocation _),
     // Eventually-follows matrix, process mining (§2 #213)
-    "q_eventually_follows" -> (Warehouse.eventuallyFollows _)
+    "q_eventually_follows" -> (Warehouse.eventuallyFollows _),
+    // SCD2 version compaction: islands merge of no-op churn (§2 #214)
+    "cdc_scd2_compact" -> (Cdc.scd2Compact _),
+    // Gram matrix: distributed X'X for PCA prep (§2 #215)
+    "ann_gram_matrix" -> (Similarity.gramMatrix _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -4025,6 +4029,48 @@ object SparkEntry {
          FROM spans a JOIN spans b
            ON a.user_id = b.user_id AND a.event_type != b.event_type
          GROUP BY 1, 2""",
+    "cdc_scd2_compact" ->
+      """WITH live AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CAST(floor(round(value, 2) / 10) AS BIGINT) AS band
+           FROM events WHERE event_type != 'error'),
+         h AS (SELECT max(ts) + 1 AS h FROM live),
+         runs AS (
+           SELECT user_id, ts, event_id, band,
+             CASE WHEN lag(band) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                    OR lag(band) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) != band
+                  THEN 1 ELSE 0 END AS run_start
+           FROM live),
+         runid AS (
+           SELECT user_id, ts, band,
+             CAST(sum(run_start) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS run_id
+           FROM runs),
+         merged AS (
+           SELECT user_id, run_id, min(ts) AS valid_from,
+             min(band) AS value_band,
+             CAST(count(*) AS BIGINT) AS n_versions_merged
+           FROM runid GROUP BY 1, 2)
+         SELECT user_id, run_id, value_band, valid_from,
+           coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id),
+                    (SELECT h FROM h)) AS valid_to,
+           n_versions_merged
+         FROM merged""",
+    "ann_gram_matrix" ->
+      """WITH q AS (
+           SELECT [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   for i in generate_series(1, 64)] AS q
+           FROM embeddings),
+         cells AS (
+           SELECT i.i - 1 AS i, j.j - 1 AS j, q[i.i] * q[j.j] AS p
+           FROM q, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+           WHERE j.j >= i.i)
+         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(sum(p) AS BIGINT) AS sum_e12,
+           CAST(count(*) AS BIGINT) AS n_vecs
+         FROM cells GROUP BY 1, 2""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

@@ -584,6 +584,55 @@ object Cdc {
       .agg(count(lit(1)).as("n_events"), max("lateness_us").as("max_lateness_us"))
   }
 
+  /** #214 SCD2 version compaction (islands merge): adjacent versions
+    * carrying the SAME value collapse into one interval — the no-op
+    * update churn (heartbeats, touch-writes, idempotent retries)
+    * that bloats slowly-changing dimensions; compaction preserves
+    * point-in-time semantics exactly while shrinking the history
+    * table. Classic gaps-and-islands: a run starts where the value
+    * differs from its predecessor (lag), run ids are the running sum
+    * of starts, and one aggregate per (key, run) merges the interval.
+    * Two per-key windows + one aggregate, all on `user_id`.
+    *
+    * To make the churn real, the version stream quantizes values to
+    * the 10-dollar band (consecutive small changes inside a band are
+    * the planted no-ops).
+    */
+  def scd2Compact(spark: SparkSession, dir: String): DataFrame = {
+    val ch = classify(spark, dir)
+      .filter(col("op") =!= "DELETE")
+      .withColumn("band", expr("CAST(floor(value / 10) AS BIGINT)"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val horizon = ch.agg((max("ts") + 1).as("h"))
+    val runs = ch
+      .withColumn(
+        "run_start",
+        when(lag("band", 1).over(w).isNull || lag("band", 1).over(w) =!= col("band"), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "run_id",
+        sum("run_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val merged = runs
+      .groupBy("user_id", "run_id")
+      .agg(
+        min("ts").as("valid_from"),
+        min("band").as("value_band"), // constant within a run by construction
+        count(lit(1)).as("n_versions_merged"))
+    merged
+      .withColumn(
+        "valid_to",
+        lead(col("valid_from"), 1)
+          .over(Window.partitionBy("user_id").orderBy("run_id")))
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("user_id"),
+        col("run_id"),
+        col("value_band"),
+        col("valid_from"),
+        coalesce(col("valid_to"), col("h")).as("valid_to"),
+        col("n_versions_merged"))
+  }
+
   /** #210 Changelog balance curve (derivative → integral): the daily
     * total-live-value time series of the whole keyspace, computed
     * from per-change DELTAS — each change contributes

@@ -1244,4 +1244,28 @@ object Similarity {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  /** #215 Gram matrix (distributed X′X): the d×d second-moment matrix
+    * of the embedding corpus — the input PCA/whitening/linear-probe
+    * fits start from; d ≪ n makes this the textbook map-side-combine
+    * reduction (each row contributes its d² outer product, partial
+    * sums combine per partition, only d² cells ever shuffle —
+    * constant output no matter the corpus size). Elements on the e6
+    * fixed-point grid so sums are exact BIGINTs in any order and any
+    * engine; upper triangle only (symmetric).
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+      .select(
+        explode(
+          expr("""flatten(transform(q, (x, i) ->
+                   transform(slice(q, i + 1, size(q) - i), (y, j) ->
+                     named_struct('i', i, 'j', i + j, 'p', x * y))))"""))
+          .as("c"))
+      .groupBy(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"))
+      .agg(sum("c.p").as("sum_e12"), count(lit(1)).as("n_vecs"))
 }

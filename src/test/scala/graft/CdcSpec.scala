@@ -199,6 +199,32 @@ class CdcSpec extends SparkSpec {
     assert(maintained.count() > 0)
   }
 
+  test("scd2 compaction: runs tile the history, adjacent bands differ") {
+    import org.apache.spark.sql.functions._
+    val c = Cdc.scd2Compact(spark, sf).cache()
+    // merged version counts account for every non-DELETE change
+    val total = Cdc.classify(spark, sf).filter(col("op") =!= "DELETE").count()
+    assert(c.agg(sum("n_versions_merged")).first().getLong(0) == total)
+    // intervals chain per user: valid_to of run k = valid_from of k+1
+    val byUser = c
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    byUser.values.foreach { runs =>
+      val s = runs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"interval gap between runs ${a._2} and ${b._2}")
+          assert(a._3 != b._3, s"adjacent runs share band ${a._3} — not compacted")
+        case _ =>
+      }
+      assert(s.forall(r => r._4 < r._5))
+    }
+    // compaction really merged something
+    assert(c.filter(col("n_versions_merged") > 1).count() > 0)
+    c.unpersist()
+  }
+
   test("balance curve: integral of deltas equals the point-in-time state sum") {
     import org.apache.spark.sql.functions._
     val curve = Cdc.balanceCurve(spark, sf).collect().map(r =>

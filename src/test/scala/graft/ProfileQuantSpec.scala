@@ -28,6 +28,27 @@ class ProfileQuantSpec extends SparkSpec {
     }
   }
 
+  test("gram matrix: upper triangle matches a scala fixed-point replay") {
+    val g = Similarity
+      .gramMatrix(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecs = Tables
+      .embeddings(spark, sf)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000000.0).toLong).toArray)
+    val d = vecs.head.length
+    assert(g.size == d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val s = vecs.map(v => v(i) * v(j)).sum
+      assert(g((i.toLong, j.toLong)) == ((s, vecs.length.toLong)), s"cell ($i,$j)")
+    }
+    // diagonal is non-negative (sum of squares)
+    (0 until d).foreach(i => assert(g((i.toLong, i.toLong))._1 >= 0))
+  }
+
   test("benford: digit counts replay exactly; deviations bounded") {
     val rows = Profile
       .benford(spark, sf)
