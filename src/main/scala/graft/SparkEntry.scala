@@ -303,7 +303,11 @@ object SparkEntry {
     // SCD2 version compaction: islands merge of no-op churn (§2 #214)
     "cdc_scd2_compact" -> (Cdc.scd2Compact _),
     // Gram matrix: distributed X'X for PCA prep (§2 #215)
-    "ann_gram_matrix" -> (Similarity.gramMatrix _)
+    "ann_gram_matrix" -> (Similarity.gramMatrix _),
+    // Cohort LTV curve (§2 #216)
+    "q_ltv_curve" -> (Warehouse.ltvCurve _),
+    // Tombstone GC / retention reclaim audit (§2 #217)
+    "cdc_tombstone_gc" -> (Cdc.tombstoneGc _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -4071,6 +4075,54 @@ object SparkEntry {
            CAST(sum(p) AS BIGINT) AS sum_e12,
            CAST(count(*) AS BIGINT) AS n_vecs
          FROM cells GROUP BY 1, 2""",
+    "q_ltv_curve" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+         aged AS (
+           SELECT f.cohort_m, o.m - f.cohort_m AS age_months,
+             o.o_custkey, o.cents
+           FROM o JOIN f ON f.o_custkey = o.o_custkey),
+         cells AS (
+           SELECT cohort_m, age_months,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+           FROM aged GROUP BY 1, 2)
+         SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+           CAST(age_months AS BIGINT) AS age_months, n_active, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_months)
+             AS BIGINT) AS cum_rev_cents
+         FROM cells""",
+    "cdc_tombstone_gc" ->
+      """WITH ch AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op
+           FROM events),
+         r AS (
+           SELECT user_id, op, ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rk
+           FROM ch),
+         lastc AS (
+           SELECT user_id, ts AS last_ts, op = 'DELETE' AS dead
+           FROM r WHERE rk = 1),
+         cnt AS (SELECT user_id, count(*) AS n_rows FROM ch GROUP BY 1),
+         mx AS (SELECT max(ts) AS mx FROM ch)
+         SELECT CAST(h.horizon_days AS BIGINT) AS horizon_days,
+           CAST(sum(CASE WHEN dead AND last_ts < mx - h.horizon_days * 86400000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_reclaimable,
+           CAST(sum(CASE WHEN dead AND last_ts < mx - h.horizon_days * 86400000000
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_reclaimed,
+           CAST(sum(CASE WHEN dead AND NOT (last_ts < mx - h.horizon_days * 86400000000)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones_retained
+         FROM lastc JOIN cnt USING (user_id), mx,
+           (SELECT unnest([7, 30, 90]) AS horizon_days) h
+         GROUP BY 1""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

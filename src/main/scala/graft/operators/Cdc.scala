@@ -584,6 +584,47 @@ object Cdc {
       .agg(count(lit(1)).as("n_events"), max("lateness_us").as("max_lateness_us"))
   }
 
+  /** #217 Tombstone GC audit: per retention horizon, which DEAD keys
+    * (last change = DELETE) are old enough that their ENTIRE history
+    * can be physically reclaimed, and how many rows that frees — the
+    * vacuum/retention planning companion to #187 (which sizes LIVE
+    * state): a CDC warehouse cannot drop a tombstone until the
+    * horizon passes, or a replayed consumer would resurrect the key.
+    * One per-key last-change + count aggregate, a 1-row max-ts
+    * broadcast, a 3-way horizon explode, one counting aggregate.
+    */
+  def tombstoneGc(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = classify(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("op"))).as("last"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("user_id"),
+        col("last.ts").as("last_ts"),
+        (col("last.op") === "DELETE").as("dead"),
+        col("n_rows"))
+    val mx = classify(spark, dir).agg(max("ts").as("mx"))
+    perKey
+      .crossJoin(broadcast(mx))
+      .select(
+        col("user_id"),
+        col("dead"),
+        col("n_rows"),
+        col("last_ts"),
+        col("mx"),
+        explode(expr("array(7L, 30L, 90L)")).as("horizon_days"))
+      .withColumn(
+        "reclaimable",
+        col("dead") && col("last_ts") < col("mx") - col("horizon_days") * 86400000000L)
+      .groupBy("horizon_days")
+      .agg(
+        sum(when(col("reclaimable"), 1L).otherwise(0L)).as("n_keys_reclaimable"),
+        sum(when(col("reclaimable"), col("n_rows")).otherwise(0L)).as("n_rows_reclaimed"),
+        sum(when(col("dead") && !col("reclaimable"), 1L).otherwise(0L))
+          .as("n_tombstones_retained"))
+  }
+
   /** #214 SCD2 version compaction (islands merge): adjacent versions
     * carrying the SAME value collapse into one interval — the no-op
     * update churn (heartbeats, touch-writes, idempotent retries)

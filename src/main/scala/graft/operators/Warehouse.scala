@@ -610,6 +610,51 @@ object Warehouse {
           greatest(col("in_from"), col("out_from"))).as("qty_matched"))
   }
 
+  /** #216 Cohort LTV curve: for each acquisition cohort (month of a
+    * customer's FIRST order), cumulative revenue by cohort age in
+    * months — the lifetime-value triangle marketing runs payback
+    * math on; #87's retention triangle counts the customers, this
+    * accumulates what they spend. Whole-cent BIGINTs; month index is
+    * integer year·12+month so age subtraction is exact; the cumsum
+    * runs per cohort over the AGE dimension (calendar-bounded).
+    */
+  def ltvCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val firstM = orders.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+    val aged = orders
+      .join(firstM, "o_custkey")
+      .select(
+        col("cohort_m"),
+        (col("m") - col("cohort_m")).as("age_months"),
+        col("o_custkey"),
+        col("cents"))
+    val cells = aged
+      .groupBy("cohort_m", "age_months")
+      .agg(
+        countDistinct("o_custkey").as("n_active"),
+        sum("cents").as("rev_cents"))
+    cells
+      .withColumn(
+        "cum_rev_cents",
+        sum("rev_cents").over(
+          Window
+            .partitionBy("cohort_m")
+            .orderBy("age_months")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("cohort_m").cast("long").as("cohort_m"),
+        col("age_months").cast("long").as("age_months"),
+        col("n_active"),
+        col("rev_cents"),
+        col("cum_rev_cents"))
+  }
+
   /** #213 Eventually-follows matrix (process mining): for every
     * ordered pair of event types (a, b), how many users have SOME
     * a-event strictly before SOME b-event — the directly/eventually-

@@ -199,6 +199,26 @@ class CdcSpec extends SparkSpec {
     assert(maintained.count() > 0)
   }
 
+  test("tombstone gc: horizons monotone, reclaim accounted against dead keys") {
+    import org.apache.spark.sql.functions._
+    val gc = Cdc.tombstoneGc(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gc.keySet == Set(7L, 30L, 90L))
+    // dead keys partition into reclaimable + retained at every horizon
+    val lastOps = Cdc.compact(spark, sf)
+    val dead = lastOps.filter(col("net_op") === "DELETE").count()
+    gc.values.foreach { case (rec, _, ret) => assert(rec + ret == dead) }
+    // longer horizon reclaims no more than a shorter one
+    assert(gc(7L)._1 >= gc(30L)._1 && gc(30L)._1 >= gc(90L)._1)
+    assert(gc(7L)._2 >= gc(30L)._2 && gc(30L)._2 >= gc(90L)._2)
+    // reclaimed rows can never exceed the whole changelog
+    val total = Cdc.classify(spark, sf).count()
+    gc.values.foreach { case (_, rows, _) => assert(rows <= total) }
+    // dead keys exist (whether reclaimable depends on when they died
+    // relative to the horizon — at tiny SFs all deaths can be recent)
+    assert(dead > 0, "synthetic stream must have tombstoned keys")
+  }
+
   test("scd2 compaction: runs tile the history, adjacent bands differ") {
     import org.apache.spark.sql.functions._
     val c = Cdc.scd2Compact(spark, sf).cache()

@@ -271,6 +271,46 @@ class WarehouseSpec extends SparkSpec {
     alloc.unpersist()
   }
 
+  test("ltv curve: cumulative revenue replays and conserves total spend") {
+    val c = Warehouse.ltvCurve(spark, sf).cache()
+    val rows = c
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val orders = Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val first = orders.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    val cells = orders
+      .map { case (k, m, cents) => ((first(k).toLong, (m - first(k)).toLong), (k, cents)) }
+      .groupBy(_._1)
+      .map { case (key, xs) =>
+        key -> (xs.map(_._2._1).distinct.length.toLong, xs.map(_._2._2).sum)
+      }
+    assert(rows.keySet == cells.keySet)
+    cells.foreach { case (key, (n, rev)) =>
+      val (gn, grev, _) = rows(key)
+      assert(gn == n && grev == rev, s"cell $key")
+    }
+    // cumulative column: per cohort, running sum over age
+    cells.keys.map(_._1).toSeq.distinct.foreach { cm =>
+      val ages = cells.keys.filter(_._1 == cm).map(_._2).toSeq.sorted
+      var run = 0L
+      ages.foreach { a =>
+        run += cells((cm, a))._2
+        assert(rows((cm, a))._3 == run, s"cohort $cm age $a cum")
+      }
+    }
+    // conservation: total revenue equals the orders table total
+    assert(rows.values.map(_._2).sum == orders.map(_._3).sum)
+    c.unpersist()
+  }
+
   test("eventually-follows: counts match a scala replay, diagonal absent") {
     val ef = Warehouse.eventuallyFollows(spark, sf).cache()
     assert(ef.filter(col("type_a") === col("type_b")).count() == 0)
