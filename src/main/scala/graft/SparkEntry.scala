@@ -307,7 +307,9 @@ object SparkEntry {
     // Cohort LTV curve (§2 #216)
     "q_ltv_curve" -> (Warehouse.ltvCurve _),
     // Tombstone GC / retention reclaim audit (§2 #217)
-    "cdc_tombstone_gc" -> (Cdc.tombstoneGc _)
+    "cdc_tombstone_gc" -> (Cdc.tombstoneGc _),
+    // RAKE keyword extraction (§2 #218)
+    "text_rake" -> ((s: SparkSession, d: String) => TextStats.rake(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -4123,6 +4125,46 @@ object SparkEntry {
          FROM lastc JOIN cnt USING (user_id), mx,
            (SELECT unnest([7, 30, 90]) AS horizon_days) h
          GROUP BY 1""",
+    "text_rake" ->
+      """WITH toks0 AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         pos AS (
+           SELECT doc_id, e.p, e.w,
+             e.w IN ('the','a','of','and','to','in','is','it','that','for')
+               AS is_stop
+           FROM (SELECT doc_id,
+                   unnest([{'p': i - 1, 'w': tok[i]}
+                           for i in generate_series(1, len(tok))]) AS e
+                 FROM toks0)),
+         runs AS (
+           SELECT doc_id, p, w, is_stop,
+             CASE WHEN NOT is_stop AND coalesce(
+                    lag(is_stop) OVER (PARTITION BY doc_id ORDER BY p), true)
+                  THEN 1 ELSE 0 END AS run_start
+           FROM pos),
+         runid AS (
+           SELECT doc_id, p, w, is_stop,
+             CAST(sum(run_start) OVER (PARTITION BY doc_id ORDER BY p)
+               AS BIGINT) AS run_id
+           FROM runs),
+         nr AS (SELECT doc_id, p, w, run_id FROM runid WHERE NOT is_stop),
+         ph AS (
+           SELECT doc_id, run_id, string_agg(w, ' ' ORDER BY p) AS phrase,
+             CAST(count(*) AS BIGINT) AS len
+           FROM nr GROUP BY 1, 2),
+         ws AS (
+           SELECT w,
+             (CAST(sum(len) AS BIGINT) * 1000000) // count(*) AS wscore_e6
+           FROM nr JOIN ph USING (doc_id, run_id) GROUP BY 1),
+         psc AS (
+           SELECT doc_id, run_id, CAST(sum(wscore_e6) AS BIGINT) AS score_e6
+           FROM nr JOIN ws USING (w) GROUP BY 1, 2)
+         SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(len) AS n_words, CAST(min(score_e6) AS BIGINT) AS score_e6
+         FROM ph JOIN psc USING (doc_id, run_id)
+         GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 10""",
     "q_quantile_norm" ->
       // FLAT global-window replay of the hierarchical global rank —
       // the hash-MATCH proves the shard decomposition (#191 pattern).

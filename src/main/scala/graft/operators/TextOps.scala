@@ -21,7 +21,7 @@ object TextOps {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
-  private val stopwords: Seq[String] =
+  val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
   /** #30 Token counting: whitespace tokens + a BPE-ish segmentation

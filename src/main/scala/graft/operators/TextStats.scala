@@ -521,6 +521,62 @@ object TextStats {
         col("n_tokens"),
         expr("(n_hapax * 1000000) div vocab_size").as("hapax_rate_e6"))
 
+  /** #218 RAKE keyword extraction: candidate phrases are the maximal
+    * stopword-free token runs (gaps-and-islands per doc), every word
+    * scores degree/frequency over those phrases (degree = Σ phrase
+    * length across its occurrences — RAKE's co-occurrence weight),
+    * and a phrase scores the sum of its words — the classic
+    * unsupervised keyword extractor (Rose et al. 2010), corpus-wide.
+    * All-integer: word scores on the e6 grid (degree·10⁶ div freq),
+    * phrase scores exact BIGINT sums; top-10 via distributed
+    * TakeOrdered (orderBy+limit — no global window).
+    *
+    * Shape: one posexplode, per-doc island windows (activity-bounded
+    * keys), one word-stats aggregate joined back, one phrase
+    * aggregate. Stopword list shared with #31 ([[TextOps.stopwords]]).
+    */
+  def rake(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val pos = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "w")))
+      .withColumn("is_stop", col("w").isin(TextOps.stopwords: _*))
+    val wd = Window.partitionBy("doc_id").orderBy("p")
+    val runs = pos
+      .withColumn(
+        "run_start",
+        when(!col("is_stop") && coalesce(lag("is_stop", 1).over(wd), lit(true)), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "run_id",
+        sum("run_start").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!col("is_stop"))
+    val phrases = runs
+      .groupBy("doc_id", "run_id")
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(p, w))), x -> x.w)"), " ")
+          .as("phrase"),
+        count(lit(1)).as("len"))
+    val wordStats = runs
+      .join(phrases.select(col("doc_id"), col("run_id"), col("len")), Seq("doc_id", "run_id"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("degree"))
+      .withColumn("wscore_e6", expr("(degree * 1000000) div freq"))
+    // join on the word key — vocabulary is NOT broadcast-small at scale
+    val phraseScores = runs
+      .join(wordStats.select(col("w"), col("wscore_e6")), Seq("w"))
+      .groupBy("doc_id", "run_id")
+      .agg(sum("wscore_e6").as("score_e6"))
+    phrases
+      .join(phraseScores, Seq("doc_id", "run_id"))
+      .groupBy("phrase")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        min("len").as("n_words"),
+        min("score_e6").as("score_e6")) // identical phrases score identically
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** #204 Zipf octave-ratio diagnostic: the rank-frequency curve of
     * each source's vocabulary sampled at power-of-two ranks, with the
     * frequency ratio per octave — an ALL-INTEGER Zipf-fit check (an

@@ -407,6 +407,53 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("rake: top phrases match a scala replay of the full pipeline") {
+    import graft.operators.{TextOps, TextStats}
+    val got = TextStats
+      .rake(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    val stops = TextOps.stopwords.toSet
+    val docs = Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+")))
+    // islands: stopword-free runs per doc
+    val phrases = docs.flatMap { case (id, tok) =>
+      val runs = collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      tok.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.map(ws => (id, ws))
+    }
+    val wordStats = phrases
+      .flatMap { case (_, ws) => ws.map(w => (w, ws.length.toLong)) }
+      .groupBy(_._1)
+      .map { case (w, xs) =>
+        w -> (xs.map(_._2).sum * 1000000L / xs.length)
+      }
+    val scored = phrases.map { case (_, ws) =>
+      (ws.mkString(" "), ws.length.toLong, ws.map(wordStats).sum)
+    }
+    val agg = scored
+      .groupBy(_._1)
+      .map { case (p, xs) => (p, xs.length.toLong, xs.head._2, xs.head._3) }
+      .toSeq
+      .sortBy { case (p, _, _, s) => (-s, p) }
+      .take(10)
+    assert(got.toSeq == agg.map(t => (t._1, t._2, t._3, t._4)))
+    // scores strictly ordered (desc) with phrase tiebreak
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ =>
+    }
+  }
+
   test("zipf octaves: power-of-two ranks with exact frequency ratios") {
     import graft.operators.TextStats
     val z = TextStats
