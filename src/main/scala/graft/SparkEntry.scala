@@ -2779,38 +2779,7 @@ object SparkEntry {
            UNION ALL SELECT 'lineitem', 'range:l_discount in [0,1]', n, bad_disc FROM l
            UNION ALL SELECT 'customer', 'pk_unique:c_custkey', n, n - nk FROM c
            UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)""",
-    "q_components" -> {
-      // six unrolled min-label rounds + converged flag (l6 ≡ l5),
-      // support-≥2 symmetric edges, singletons stay themselves
-      // every round references the previous one TWICE — without
-      // MATERIALIZED, DuckDB inlines the chain and the plan doubles
-      // per round (2^6 blowup of the pair-generation subtree)
-      def round(prev: String, out: String) =
-        s"""$out AS MATERIALIZED (
-              SELECT l.part, least(l.label, coalesce(mn.m, l.label)) AS label
-              FROM $prev l LEFT JOIN (
-                SELECT e.src AS part, min(l2.label) AS m
-                FROM sym e JOIN $prev l2 ON l2.part = e.dst GROUP BY e.src) mn
-              USING (part))"""
-      s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pairs AS (
-           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
-           FROM po a JOIN po b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-         sym AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pairs
-                 UNION ALL SELECT part_b, part_a FROM pairs),
-         l0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS part, l_partkey AS label FROM po),
-         ${round("l0", "l1")}, ${round("l1", "l2")}, ${round("l2", "l3")},
-         ${round("l3", "l4")}, ${round("l4", "l5")}, ${round("l5", "l6")},
-         conv AS (
-           SELECT CAST(NOT EXISTS (
-             SELECT 1 FROM l6 JOIN l5 USING (part)
-             WHERE l6.label <> l5.label) AS BIGINT) AS converged),
-         sizes AS (SELECT label, count(*) AS comp_size FROM l6 GROUP BY label)
-         SELECT part, l6.label AS component, comp_size, converged
-         FROM l6 JOIN sizes USING (label), conv"""
-    },
+    "q_components" -> componentsOracle(maxRounds = 12),
     "q_pagerank" -> {
       // three unrolled integer power iterations; `//` is floor division
       // on nonnegative ints = Spark's `div`
@@ -3792,7 +3761,7 @@ object SparkEntry {
          SELECT doc_a, doc_b,
            CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12""",
-    "q_kcore" -> kcoreOracle(k = 3, rounds = 8),
+    "q_kcore" -> kcoreOracle(k = 3, maxRounds = 16),
     "q_bootstrap_ci" ->
       // Full replay of the md5-quantized Poisson weights; positive
       // sums so div and // agree on every quotient.
@@ -4210,15 +4179,17 @@ object SparkEntry {
          FROM agg"""
   )
 
-  /** Generated fixed-round peeling replay for `q_kcore`: `rounds`
+  /** Generated capped-round peeling replay for `q_kcore`: `maxRounds`
     * degree/keep/restrict CTE triples — bit-identical to the Spark
     * loop whether or not the peel converged early (the restriction is
-    * idempotent at the fixpoint).
+    * idempotent at the fixpoint). `converged` replays the Spark
+    * loop's convergence scalar: peeling only removes edges, so
+    * last-two-rounds edge-count equality ⟺ fixpoint within the cap.
     */
-  private def kcoreOracle(k: Int, rounds: Int): String = {
+  private def kcoreOracle(k: Int, maxRounds: Int): String = {
     // every CTE MATERIALIZED: each e_i references e_{i-1} three times,
     // so default inlining would expand the base scan 3^rounds times
-    val iters = (0 until rounds)
+    val iters = (0 until maxRounds)
       .map { i =>
         s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg
              FROM (SELECT pa AS node FROM e$i UNION ALL SELECT pb FROM e$i)
@@ -4236,9 +4207,51 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2),
          e0 AS MATERIALIZED (SELECT pa, pb FROM pr WHERE n >= 2),
-         $iters
-         SELECT node, CAST(count(*) AS BIGINT) AS core_deg
-         FROM (SELECT pa AS node FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
-         GROUP BY 1"""
+         $iters,
+         conv AS (SELECT CAST((SELECT count(*) FROM e${maxRounds - 1})
+                            = (SELECT count(*) FROM e$maxRounds) AS BIGINT) AS converged)
+         SELECT node, CAST(count(*) AS BIGINT) AS core_deg, converged
+         FROM (SELECT pa AS node FROM e$maxRounds UNION ALL SELECT pb FROM e$maxRounds), conv
+         GROUP BY 1, 3"""
+  }
+
+  /** Generated capped-round short-cutting label-propagation replay
+    * for `q_components`: each round is a neighbor-min hop CTE (tᵢ)
+    * then a pointer-jump CTE (lᵢ = t(t)) — bit-identical to the
+    * Spark loop whether or not it early-exited (both steps are
+    * idempotent at the fixpoint). Every round references the
+    * previous one more than once, so every CTE is MATERIALIZED —
+    * default inlining would blow the plan up exponentially in
+    * `maxRounds`.
+    */
+  private def componentsOracle(maxRounds: Int): String = {
+    def round(prev: String, i: Int) =
+      s"""t$i AS MATERIALIZED (
+            SELECT l.part, least(l.label, coalesce(mn.m, l.label)) AS label
+            FROM $prev l LEFT JOIN (
+              SELECT e.src AS part, min(l2.label) AS m
+              FROM sym e JOIN $prev l2 ON l2.part = e.dst GROUP BY e.src) mn
+            USING (part)),
+          l$i AS MATERIALIZED (
+            SELECT h.part, j.label AS label
+            FROM t$i h JOIN t$i j ON j.part = h.label)"""
+    val iters = (1 to maxRounds).map(i => round(s"l${i - 1}", i)).mkString(",\n         ")
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pairs
+                 UNION ALL SELECT part_b, part_a FROM pairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS part, l_partkey AS label FROM po),
+         $iters,
+         conv AS (
+           SELECT CAST(NOT EXISTS (
+             SELECT 1 FROM l$maxRounds a JOIN l${maxRounds - 1} b USING (part)
+             WHERE a.label <> b.label) AS BIGINT) AS converged),
+         sizes AS (SELECT label, count(*) AS comp_size FROM l$maxRounds GROUP BY label)
+         SELECT part, l$maxRounds.label AS component, comp_size, converged
+         FROM l$maxRounds JOIN sizes USING (label), conv"""
   }
 }

@@ -345,21 +345,45 @@ object AnalyticsExt {
     * parts form closed purchasing ecosystems — the graph primitive
     * under recommendation clustering, fraud rings, and the dedup
     * keep-list (#64's CC, promoted to a first-class generic query).
-    * Six fixed min-label propagation rounds (label(p) ← min over p
-    * and its neighbors), the k-means/PageRank iterative-replay
-    * discipline: the oracle unrolls the SAME six rounds as CTEs, so
-    * even a not-yet-converged state would compare bit-exactly — and
-    * the result carries a `converged` flag (round 6 ≡ round 5),
-    * computed identically in both engines, so the contract is
-    * visible in the data. Support-≥2 edges keep the graph sparse;
-    * isolated parts are their own singleton components.
     *
-    * Scale: each round = one join of the label vector against the
-    * dst-partitioned cached edge list + a groupBy min — linear per
-    * round; labels snapshots are lineage-cut per round and the
-    * cached frames are released on exit (the #124 discipline).
+    * Convergence-adaptive short-cutting label propagation: each round
+    * is (a) a neighbor-min hop — label(p) ← min over p and its
+    * neighbors — then (b) a pointer jump, label(p) ← label(label(p)).
+    * The jump composes chains, so the propagation radius roughly
+    * doubles per round (path-graph recurrence c₁=2, cᵣ₊₁ = 2cᵣ + 2 —
+    * see `AnalyticsExtSpec` "planted path"): 12 capped rounds cover
+    * diameter ≳8000, versus 6 for the previous fixed 6-hop version,
+    * which a diameter-7 chain already defeats. The jump is an inner
+    * self-join that is always total, because every label value is
+    * itself a vertex id present in the frame.
+    *
+    * The loop exits early the first round the label vector stops
+    * changing (one bounded driver scalar per round); `converged`
+    * records whether the fixpoint was reached within `maxRounds`.
+    * Replayability is preserved because both steps are IDEMPOTENT at
+    * the fixpoint: the DuckDB oracle unrolls all `maxRounds` rounds
+    * as CTEs and still compares bit-exactly to an early-exited run —
+    * and on a not-yet-converged graph both engines truncate at the
+    * same round with identical intermediate algebra. Support-≥2
+    * edges keep the graph sparse; isolated parts are their own
+    * singleton components.
+    *
+    * Scale: each round = two hash joins against the dst-partitioned
+    * cached edge list + a groupBy min — linear per round, O(log
+    * diameter) rounds; label snapshots are eagerly lineage-cut per
+    * round (they double as the convergence-check materialization)
+    * and the cached frames are released on exit (#124 discipline).
+    *
+    * `shortcut = false` recovers the legacy plain-hop propagation —
+    * kept so the spec can demonstrate the divergence-by-diameter
+    * failure mode the jump removes.
     */
-  def components(spark: SparkSession, dir: String, rounds: Int = 6, minSupport: Int = 2): DataFrame = {
+  def components(
+      spark: SparkSession,
+      dir: String,
+      maxRounds: Int = 12,
+      minSupport: Int = 2,
+      shortcut: Boolean = true): DataFrame = {
     val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = po
       .select(col("l_orderkey"), col("l_partkey").as("part_a"))
@@ -375,24 +399,32 @@ object AnalyticsExt {
       .repartition(col("dst"))
       .cache()
     val verts = po.select(col("l_partkey").as("part")).distinct()
-    var labels = verts.select(col("part"), col("part").as("label")).localCheckpoint(eager = false)
-    var prev = labels
-    for (_ <- 1 to rounds) {
-      prev = labels
+    var labels = verts.select(col("part"), col("part").as("label")).localCheckpoint(eager = true)
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      round += 1
       val nmin = sym
         .join(labels.select(col("part").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("part"))
         .agg(min("nl").as("m"))
-      labels = labels
+      val hop = labels
         .join(nmin, Seq("part"), "left")
         .select(col("part"), least(col("label"), coalesce(col("m"), col("label"))).as("label"))
-        .localCheckpoint(eager = false)
+      val next = (if (shortcut)
+                    hop
+                      .join(
+                        hop.select(col("part").as("jp"), col("label").as("jl")),
+                        col("label") === col("jp"))
+                      .select(col("part"), col("jl").as("label"))
+                  else hop).localCheckpoint(eager = true)
+      // bounded driver state: one scalar per round (did anything change?)
+      converged = labels
+        .join(next.select(col("part"), col("label").as("next_label")), "part")
+        .filter(col("label") =!= col("next_label"))
+        .isEmpty
+      labels = next
     }
-    // bounded driver state: one scalar (did the last round change anything?)
-    val converged = labels
-      .join(prev.select(col("part"), col("label").as("prev_label")), "part")
-      .filter(col("label") =!= col("prev_label"))
-      .isEmpty
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
     val out = labels
       .join(sizes, "label")
@@ -1314,22 +1346,26 @@ object AnalyticsExt {
       .select(col("pctl"), col("rank"), col("lag_us"), col("n").as("n_converted"))
   }
 
-  /** #200 K-core decomposition (fixed-round peeling): the maximal
-    * subgraph of the co-purchase graph in which every part keeps
-    * degree ≥ k — the graph-density backbone extraction behind
+  /** #200 K-core decomposition (convergence-adaptive peeling): the
+    * maximal subgraph of the co-purchase graph in which every part
+    * keeps degree ≥ k — the graph-density backbone extraction behind
     * community seeding and spam/anomaly filtering, the peeled
     * complement of #176's triangle census.
     *
     * Shape: each peel round is degree-count + two semi-joins
     * restricting edges to surviving nodes — all hash exchanges on
-    * node ids; `rounds` is fixed (the #166 components discipline: at
-    * 100 TB you iterate to convergence with checkpointed lineage —
-    * each round here ends in a lazy localCheckpoint so the plan never
-    * stacks) and the spec asserts the fixpoint really was reached at
-    * test scale (one more round changes nothing). Output: each core
-    * member with its within-core degree.
+    * node ids. The loop exits early the first round that removes no
+    * edge (the per-round edge count is both the convergence scalar
+    * and the checkpoint materialization), capped at `maxRounds`; the
+    * `converged` column records whether the peel fixpoint was reached
+    * within the cap. Restriction is IDEMPOTENT at the fixpoint, so
+    * the DuckDB oracle unrolls all `maxRounds` rounds and compares
+    * bit-exactly to an early-exited run (the #166 replay
+    * discipline); its converged flag is the same last-two-rounds
+    * edge-count equality, computed in-data. Output: each core member
+    * with its within-core degree.
     */
-  def kcore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 8): DataFrame = {
+  def kcore(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 16): DataFrame = {
     val baskets = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -1354,15 +1390,27 @@ object AnalyticsExt {
         .unionAll(e.select(col("pb").as("node")))
         .groupBy("node")
         .agg(count(lit(1)).as("deg"))
-    (1 to rounds).foreach { _ =>
+    // peeling only removes edges, so count equality ⟺ fixpoint — one
+    // bounded driver scalar per round, doubling as the materialization
+    var nEdges = edges.count()
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      round += 1
       val keep = degrees(edges).filter(col("deg") >= k).select("node")
       edges = edges
         .join(keep.select(col("node").as("pa")), Seq("pa"), "left_semi")
         .join(keep.select(col("node").as("pb")), Seq("pb"), "left_semi")
         .select("pa", "pb")
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
+      val n = edges.count()
+      converged = n == nEdges
+      nEdges = n
     }
-    degrees(edges).select(col("node"), col("deg").as("core_deg"))
+    degrees(edges).select(
+      col("node"),
+      col("deg").as("core_deg"),
+      lit(if (converged) 1L else 0L).as("converged"))
   }
 
   /** #196 EWMA trailing smoothing (α = 1/2, 16-day horizon): the

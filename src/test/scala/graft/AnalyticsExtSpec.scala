@@ -634,11 +634,12 @@ class AnalyticsExtSpec extends SparkSpec {
   }
 
   test("kcore: fixpoint reached and every member has core degree >= k") {
-    val core = AnalyticsExt.kcore(spark, sf, k = 3, rounds = 8).cache()
+    val core = AnalyticsExt.kcore(spark, sf, k = 3, maxRounds = 16).cache()
     assert(core.count() > 0)
     assert(core.filter(col("core_deg") < 3).count() == 0, "peel did not converge")
-    // one more round changes nothing (true fixpoint at this scale)
-    val more = AnalyticsExt.kcore(spark, sf, k = 3, rounds = 9)
+    assert(core.filter(col("converged") =!= 1L).count() == 0, "converged flag not set")
+    // a higher cap changes nothing (the loop early-exited at the true fixpoint)
+    val more = AnalyticsExt.kcore(spark, sf, k = 3, maxRounds = 17)
     assert(core.exceptAll(more).count() == 0 && more.exceptAll(core).count() == 0)
     // the 3-core is a subgraph of the full graph's >= 3-degree nodes
     val members = core.select("node").collect().map(_.getLong(0)).toSet
@@ -682,6 +683,37 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(gotDeg == expDeg)
     assert(members == expDeg.keySet)
     core.unpersist()
+  }
+
+  test("components: planted diameter-20 path converges under short-cutting, not under 6 plain hops") {
+    // a chain part 1 - 2 - ... - 21 (diameter 20), each edge supported by
+    // two orders so it survives the minSupport >= 2 filter; written as a
+    // minimal lineitem parquet so the operator runs its real scan path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_path_graph").toFile
+    tmp.deleteOnExit()
+    val rows = for {
+      p <- 1L to 20L // edge p -(two orders)- p+1
+      rep <- 0 to 1
+      end <- Seq(p, p + 1)
+    } yield (p * 2 + rep, end) // orderkey 2p and 2p+1 both contain {p, p+1}
+    import spark.implicits._
+    rows.toDF("l_orderkey", "l_partkey").write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/lineitem.parquet")
+    // legacy plain-hop propagation at the old fixed 6 rounds: a
+    // diameter-20 chain provably does NOT converge (radius 6 < 20)
+    val plain = graft.operators.AnalyticsExt
+      .components(spark, tmp.getAbsolutePath, maxRounds = 6, shortcut = false)
+    assert(plain.filter(col("converged") === 1L).count() == 0,
+      "6 plain hops should not converge a diameter-20 path")
+    assert(plain.select("component").distinct().count() > 1,
+      "unconverged plain propagation should still show >1 label on a single chain")
+    // short-cutting: radius ~doubles per round, converges well inside the cap
+    val cc = graft.operators.AnalyticsExt.components(spark, tmp.getAbsolutePath)
+    assert(cc.filter(col("converged") =!= 1L).count() == 0, "short-cutting did not converge")
+    assert(cc.select("component").distinct().count() == 1, "path graph is one component")
+    assert(cc.filter(col("component") =!= 1L).count() == 0, "component label is the min part id")
+    assert(cc.filter(col("comp_size") =!= 21L).count() == 0)
+    assert(cc.count() == 21)
   }
 
   test("quantile normalize: rank-preserving and distribution-aligned") {
