@@ -281,7 +281,7 @@ object SparkEntry {
     // Lag-1 autocorrelation per series (§2 #202)
     "q_autocorr" -> (AnalyticsExt.autocorr _),
     // Poisson-bootstrap confidence interval (§2 #203)
-    "q_bootstrap_ci" -> ((s: SparkSession, d: String) => Scale.bootstrapCi(s, d)),
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) => Scale.bootstrapCi(s, d, b = BootstrapB)),
     // Zipf octave-ratio diagnostic (§2 #204)
     "text_zipf" -> (TextStats.zipfOctaves _),
     // Containment join: excerpt/quotation detection (§2 #206)
@@ -3616,7 +3616,7 @@ object SparkEntry {
       // staircase plan — the hash-MATCH proves the pruning is lossless.
       """WITH pts AS (
            SELECT p_partkey,
-             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
              CAST(p_size AS BIGINT) AS p_size
            FROM part)
          SELECT p.p_partkey, p.price_c, p.p_size
@@ -3762,36 +3762,7 @@ object SparkEntry {
            CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12""",
     "q_kcore" -> kcoreOracle(k = 3, maxRounds = 16),
-    "q_bootstrap_ci" ->
-      // Full replay of the md5-quantized Poisson weights; positive
-      // sums so div and // agree on every quotient.
-      """WITH rows0 AS (
-           SELECT o_orderkey,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-           FROM orders),
-         wt AS (
-           SELECT o_orderkey, cents, r.rep,
-             (('0x' || substr(md5('graft-boot:' || o_orderkey || ':' || (r.rep // 6)),
-                              1, 15))::BIGINT >> ((r.rep % 6) * 10)) & 1023 AS h
-           FROM rows0, (SELECT unnest(range(0, 100)) AS rep) r),
-         ww AS (
-           SELECT rep, cents,
-             CASE WHEN h < 377 THEN 0 WHEN h < 754 THEN 1
-                  WHEN h < 942 THEN 2 WHEN h < 1004 THEN 3 ELSE 4 END AS w
-           FROM wt),
-         reps AS (
-           SELECT rep,
-             CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
-           FROM ww GROUP BY 1),
-         ranked AS (
-           SELECT rep, mean_cents,
-             row_number() OVER (ORDER BY mean_cents, rep) AS rk
-           FROM reps)
-         SELECT CAST(count(*) AS BIGINT) AS n_replicas,
-           min(CASE WHEN rk = 3 THEN mean_cents END) AS ci_lo_cents,
-           min(CASE WHEN rk = 98 THEN mean_cents END) AS ci_hi_cents,
-           CAST(sum(mean_cents) // count(*) AS BIGINT) AS boot_mean_cents
-         FROM ranked""",
+    "q_bootstrap_ci" -> bootstrapCiOracle(b = BootstrapB),
     "text_zipf" ->
       """WITH td AS (
            SELECT source, unnest(regexp_split_to_array(
@@ -4034,13 +4005,18 @@ object SparkEntry {
            n_versions_merged
          FROM merged""",
     "ann_gram_matrix" ->
-      """WITH q AS (
+      // the Spark side is dimension-agnostic (driven by size(embedding));
+      // the oracle's series bound comes from EmbeddingDim so a testdata
+      // dimension change fails the dim-guard in `Similarity.gramMatrix`'s
+      // spec loudly instead of silently truncating the oracle
+      s"""WITH q AS (
            SELECT [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
-                   for i in generate_series(1, 64)] AS q
+                   for i in generate_series(1, $EmbeddingDim)] AS q
            FROM embeddings),
          cells AS (
            SELECT i.i - 1 AS i, j.j - 1 AS j, q[i.i] * q[j.j] AS p
-           FROM q, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+           FROM q, generate_series(1, $EmbeddingDim) i(i),
+                   generate_series(1, $EmbeddingDim) j(j)
            WHERE j.j >= i.i)
          SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
            CAST(sum(p) AS BIGINT) AS sum_e12,
@@ -4162,14 +4138,14 @@ object SparkEntry {
          agg AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS m,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
            FROM p GROUP BY 1)
          SELECT event_type, m,
-           CAST(m * sxy - sx * sy AS BIGINT) AS num,
-           CAST(m * sxx - sx * sx AS BIGINT) AS den_x,
-           CAST(m * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+           CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+           CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
            CAST((CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
              ((abs(CAST(m * sxy - sx * sy AS HUGEINT)) * 1000
                // CAST(m * sxx - sx * sx AS HUGEINT))
@@ -4178,6 +4154,59 @@ object SparkEntry {
              AS BIGINT) AS r2_signed_e6
          FROM agg"""
   )
+
+  /** Replica count for `q_bootstrap_ci` — single source of truth for
+    * BOTH the Spark call and the generated oracle, so changing B can
+    * never silently break hash parity (the kcoreOracle(k, rounds)
+    * precedent).
+    */
+  private val BootstrapB = 100
+
+  /** Embedding dimensionality of the driver's `embeddings.parquet`
+    * (`TESTDATA.md`). Single source of truth for every oracle whose
+    * SQL must enumerate the dimensions (DuckDB has no dynamic
+    * `size(array)` inside a comprehension bound); the gram-matrix
+    * spec asserts the testdata actually has this dim.
+    */
+  val EmbeddingDim = 64
+
+  /** Generated replay of the md5-quantized Poisson bootstrap for
+    * `q_bootstrap_ci`: `range(0, b)` replicas and the discrete
+    * 2.5%/97.5% ranks derived from the SAME formulas as
+    * `Scale.bootstrapCi` (lowIdx = max(1, ⌈b·0.025⌉), hiIdx =
+    * ⌈b·0.975⌉). Positive sums so div and // agree on every quotient.
+    */
+  private def bootstrapCiOracle(b: Int): String = {
+    val lowIdx = math.max(1, math.ceil(b * 0.025).toInt)
+    val hiIdx = math.ceil(b * 0.975).toInt
+    s"""WITH rows0 AS (
+           SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         wt AS (
+           SELECT o_orderkey, cents, r.rep,
+             (('0x' || substr(md5('graft-boot:' || o_orderkey || ':' || (r.rep // 6)),
+                              1, 15))::BIGINT >> ((r.rep % 6) * 10)) & 1023 AS h
+           FROM rows0, (SELECT unnest(range(0, $b)) AS rep) r),
+         ww AS (
+           SELECT rep, cents,
+             CASE WHEN h < 377 THEN 0 WHEN h < 754 THEN 1
+                  WHEN h < 942 THEN 2 WHEN h < 1004 THEN 3 ELSE 4 END AS w
+           FROM wt),
+         reps AS (
+           SELECT rep,
+             CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+           FROM ww GROUP BY 1),
+         ranked AS (
+           SELECT rep, mean_cents,
+             row_number() OVER (ORDER BY mean_cents, rep) AS rk
+           FROM reps)
+         SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           min(CASE WHEN rk = $lowIdx THEN mean_cents END) AS ci_lo_cents,
+           min(CASE WHEN rk = $hiIdx THEN mean_cents END) AS ci_hi_cents,
+           CAST(sum(mean_cents) // count(*) AS BIGINT) AS boot_mean_cents
+         FROM ranked"""
+  }
 
   /** Generated capped-round peeling replay for `q_kcore`: `maxRounds`
     * degree/keep/restrict CTE triples — bit-identical to the Spark

@@ -1188,7 +1188,7 @@ object AnalyticsExt {
       .part(spark, dir)
       .select(
         col("p_partkey"),
-        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("price_c"),
         col("p_size").cast("long").as("p_size"))
     val bounds = pts.agg(min("price_c").as("lo"), max("price_c").as("hi"))
     val binned = pts
@@ -1554,19 +1554,26 @@ object AnalyticsExt {
         col("b.c").as("y"))
     pairs
       .groupBy("event_type")
+      // power sums and moment cross products in DECIMAL(38,0) (↔ the
+      // oracle's HUGEINT): raw 64-bit would wrap silently in Spark but
+      // raise in DuckDB once x·y crosses 2^63 at larger SFs — same
+      // discipline r2_signed_e6 below already applies
       .agg(
         count(lit(1)).as("m"),
         sum("x").as("sx"),
         sum("y").as("sy"),
-        sum(expr("x * y")).as("sxy"),
-        sum(expr("x * x")).as("sxx"),
-        sum(expr("y * y")).as("syy"))
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
       .select(
         col("event_type"),
         col("m"),
-        expr("CAST(m * sxy - sx * sy AS BIGINT)").as("num"),
-        expr("CAST(m * sxx - sx * sx AS BIGINT)").as("den_x"),
-        expr("CAST(m * syy - sy * sy AS BIGINT)").as("den_y"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("num"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+          .as("den_x"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("den_y"),
         // r² as a product of two e3-scaled quotients (|num|·10³ div den,
         // each ≤ 10³ by Cauchy-Schwarz): num² would overflow DECIMAL(38)
         // and HUGEINT past sf0.1, the factored form never does.

@@ -40,6 +40,11 @@ class ProfileQuantSpec extends SparkSpec {
       .collect()
       .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000000.0).toLong).toArray)
     val d = vecs.head.length
+    // dim guard: the DuckDB oracles enumerate SparkEntry.EmbeddingDim
+    // dimensions — a testdata dim change must fail HERE, loudly, not as
+    // a silent oracle truncation
+    assert(d == graft.SparkEntry.EmbeddingDim,
+      s"embeddings dim $d != SparkEntry.EmbeddingDim ${graft.SparkEntry.EmbeddingDim}")
     assert(g.size == d * (d + 1) / 2)
     for (i <- 0 until d; j <- i until d) {
       val s = vecs.map(v => v(i) * v(j)).sum
