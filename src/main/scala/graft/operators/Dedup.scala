@@ -334,17 +334,29 @@ object Dedup {
       .select(
         col("doc_id"),
         col("n"),
-        explode(expr("slice(stoks, 1, CAST(n - (3 * n + 4) div 5 + 1 AS INT))")).as("tok"))
+        posexplode(expr("slice(stoks, 1, CAST(n - (3 * n + 4) div 5 + 1 AS INT))"))
+          .as(Seq("pos", "tok")))
     // PPJoin's length filter: J >= 3/5 forces 3*n_a <= 5*n_b and
-    // vice versa, so size-mismatched candidates are pruned BEFORE the
-    // distinct + verify — pure pruning, the result set is invariant
-    // (every verified pair satisfies the bound by definition)
+    // vice versa — and the POSITIONAL filter (Xiao et al. 2008 §3.2):
+    // for a token matched at 0-based rarity-rank pos_a/pos_b, the
+    // overlap is at most min(pos_a, pos_b) shared tokens strictly
+    // before it, plus 1, plus min(remaining suffix lengths); J >= 3/5
+    // needs overlap >= ceil(3(n_a+n_b)/8), so rows whose bound falls
+    // short are pruned BEFORE the distinct + verify. Both are pure
+    // pruning, the result set is invariant: the bound dominates the
+    // true overlap, so every matching row of a qualifying pair
+    // survives (and the exactness spec vs brute force pins it).
     val cand = pref
-      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("tok"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("tok")), "tok")
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("pos").as("pos_a"), col("tok"))
+      .join(
+        pref.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("pos").as("pos_b"), col("tok")),
+        "tok")
       .filter(
         col("doc_a") < col("doc_b") &&
           col("n_a") * 3 <= col("n_b") * 5 && col("n_b") * 3 <= col("n_a") * 5)
+      .filter(expr("""least(pos_a, pos_b) + 1
+                      + least(n_a - pos_a - 1, n_b - pos_b - 1)
+                      >= (3 * (n_a + n_b) + 7) div 8"""))
       .select("doc_a", "doc_b")
       .distinct()
     cand
