@@ -114,6 +114,8 @@ object SparkEntry {
     "dedup_report" -> (Dedup.report _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_spans" -> ((s: SparkSession, d: String) => Dedup.spans(s, d)),
+    // Misaligned exact-substring dedup (§2 #219)
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     // Similarity search (§2 #27-29)
@@ -1442,6 +1444,44 @@ object SparkEntry {
            coalesce(string_agg(block, ' ' ORDER BY idx) FILTER (WHERE keep), '')
              AS cleaned_text
          FROM k GROUP BY doc_id""",
+    "dedup_substring" ->
+      // stride-1 rolling 10-token windows + first-occurrence ranking +
+      // gaps-and-islands maximal-run merge; the planted copies are
+      // offset-shifted (source offset 5, copy offset 3) behind
+      // doc-unique junk so no aligned 8-block ever matches them
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM t
+           UNION ALL
+           SELECT doc_id + 6000000,
+             list_concat(['zzq' || doc_id || 'a', 'zzq' || doc_id || 'b', 'zzq' || doc_id || 'c'],
+                         tok[6 : len(tok) - 5])
+           FROM t WHERE doc_id % 6 = 0 AND len(tok) >= 25),
+         wins AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS start,
+             ('0x' || substr(md5(array_to_string(tok[(i+1):(i+10)], ' ')), 1, 15))::BIGINT AS h
+           FROM corpus CROSS JOIN LATERAL
+             (SELECT unnest(range(0, len(tok) - 9)) AS i) r
+           WHERE len(tok) >= 10),
+         dup AS (
+           SELECT doc_id, start FROM (
+             SELECT doc_id, start,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+             FROM wins) WHERE rn > 1),
+         isl AS (
+           SELECT doc_id, start,
+             sum(CASE WHEN prev IS NULL OR start - prev > 10 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start) AS g
+           FROM (SELECT doc_id, start,
+                   lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+                 FROM dup))
+         SELECT doc_id, min(start) AS span_start, max(start) + 9 AS span_end,
+           max(start) + 9 - min(start) + 1 AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+         FROM isl GROUP BY doc_id, g""",
     "q_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey

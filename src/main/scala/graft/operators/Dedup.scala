@@ -674,6 +674,87 @@ object Dedup {
           " ").as("cleaned_text"))
   }
 
+  /** #219 Misaligned exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * suffix-array morphology, re-expressed as rolling windows):
+    * detect every ≥`k`-token EXACT duplicate substring at ARBITRARY
+    * token offsets. The aligned-block `spans` operator (#78) hashes
+    * non-overlapping 8-token blocks, so a copy shifted by any
+    * non-multiple of the block length changes every block string and
+    * is invisible to it; here every stride-1 `k`-token window is
+    * hashed with its position, so a shared run of ≥ k tokens matches
+    * regardless of phase. Pipeline: rolling hash60 windows →
+    * global first-occurrence ranking over the window hash (ordered
+    * (doc_id, start) — "first seen wins", later occurrences flagged,
+    * self-repetition included) → per-doc maximal-run merge of the
+    * flagged windows (gaps-and-islands: a window whose start is
+    * > k past the previous flagged start opens a new island, so
+    * overlapping or back-to-back duplicate intervals coalesce into
+    * one maximal span).
+    *
+    * The corpus plants misaligned copies: every 6th doc with ≥ 25
+    * tokens re-emits tokens 6..n-5 (1-based) behind THREE doc-unique
+    * junk tokens — the copied region sits at 0-based offset 5 in the
+    * source but 3 in the copy, a relative shift of 2, so no aligned
+    * 8-block ever matches (the spec proves that) while every interior
+    * window does: the detected span is exactly [3, m+2] for m = n-10
+    * copied tokens.
+    *
+    * Scale shape: windows are one linear explode (n_tokens rows per
+    * doc, stride 1 — k× the block count of #78 but still linear),
+    * ranking is one shuffle on the 60-bit window hash, islands one
+    * shuffle back on doc_id. No pairwise comparison anywhere — the
+    * same layout Lee et al. get from a suffix array, with the
+    * distributed-join cost model instead of shared-memory LCP scans.
+    */
+  def substringSpans(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+    val planted = base
+      .filter(col("doc_id") % 6 === 0 && size(col("tok")) >= 25)
+      .select(
+        (col("doc_id") + 6000000L).as("doc_id"),
+        concat(
+          array(
+            concat(lit("zzq"), col("doc_id"), lit("a")),
+            concat(lit("zzq"), col("doc_id"), lit("b")),
+            concat(lit("zzq"), col("doc_id"), lit("c"))),
+          expr("slice(tok, 6, size(tok) - 10)")).as("tok"))
+    val corpus = base.unionAll(planted)
+    // guard BEFORE sequence(): sequence(1, n-k+1) with n < k would
+    // generate a DESCENDING sequence, not an empty one
+    val wins = corpus
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(s"transform(sequence(1, n - $k + 1), i -> hash60(array_join(slice(tok, i, $k), ' ')))"))
+          .as(Seq("start", "h")))
+      .select(col("doc_id"), col("start").cast("long").as("start"), col("h"))
+    val firstSeen = Window.partitionBy("h").orderBy("doc_id", "start")
+    val dup = wins
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .select("doc_id", "start")
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    dup
+      .withColumn(
+        "new_isl",
+        when(col("start") - lag("start", 1).over(byDoc) <= k, 0L).otherwise(1L))
+      .withColumn("isl", sum("new_isl").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min("start").as("span_start"), max("start").as("max_start"), count(lit(1)).as("n_windows"))
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        (col("max_start") + (k - 1)).as("span_end"),
+        (col("max_start") + (k - 1) - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
   /** #94 SemDeDup — semantic dedup by clustering then within-cluster
     * cosine pruning (Abbas et al. 2023, arXiv:2303.09540). Unlike the
     * hyperplane-LSH `embedding` operator above, the candidate scope is

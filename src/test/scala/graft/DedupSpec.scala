@@ -242,6 +242,53 @@ class DedupSpec extends SparkSpec {
     assert(p.exceptAll(again).count() == 0)
   }
 
+  test("substring dedup: catches planted MISALIGNED copies that aligned 8-blocks provably miss") {
+    val spans = Dedup.substringSpans(spark, sf).cache()
+    val t = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val srcs = Tables.documents(spark, sf)
+      .select(col("doc_id"), t.as("tok"))
+      .filter(col("doc_id") % 6 === 0 && size(col("tok")) >= 25)
+      .select(col("doc_id"), col("tok"), size(col("tok")).cast("long").as("n"))
+      .cache()
+    val nPlanted = srcs.count()
+    assert(nPlanted > 0)
+    // every planted copy is caught as EXACTLY the span [3, m+2]
+    // (m = n-10 copied tokens behind the 3 unique junk tokens), with
+    // every interior window flagged: start 3, length m, m-9 windows
+    val got = spans.filter(col("doc_id") >= 6000000L)
+      .join(srcs.select((col("doc_id") + 6000000L).as("doc_id"), col("n")), "doc_id")
+    assert(got.count() == nPlanted, "each planted doc has exactly one maximal span")
+    assert(got.filter(col("span_start") =!= 3L).count() == 0)
+    assert(got.filter(col("span_len") =!= col("n") - 10L).count() == 0)
+    assert(got.filter(col("span_end") =!= col("n") - 8L).count() == 0)
+    assert(got.filter(col("n_windows") =!= col("n") - 19L).count() == 0)
+    // the aligned-8-block detector (dedup_spans' geometry) PROVABLY
+    // misses them: the copy shifts content by 2 (mod 8), so no full
+    // 8-token block of any planted doc equals any aligned block of its
+    // source — zero shared block strings across all planted pairs
+    def blocks8(tok: org.apache.spark.sql.Column) =
+      filter(
+        transform(sequence(lit(1), floor((size(tok) + lit(7)) / lit(8)).cast("int")),
+          i => array_join(slice(tok, (i - lit(1)) * 8 + 1, lit(8)), " ")),
+        b => size(split(b, " ")) === 8)
+    val plantedToks = srcs.select(
+      col("doc_id"),
+      concat(
+        array(
+          concat(lit("zzq"), col("doc_id"), lit("a")),
+          concat(lit("zzq"), col("doc_id"), lit("b")),
+          concat(lit("zzq"), col("doc_id"), lit("c"))),
+        expr("slice(tok, 6, size(tok) - 10)")).as("ptok"))
+    val crossMatches = srcs.join(plantedToks, "doc_id")
+      .select(explode(array_intersect(blocks8(col("tok")), blocks8(col("ptok")))))
+      .count()
+    assert(crossMatches == 0, s"aligned blocks unexpectedly matched $crossMatches times")
+    // deterministic
+    val again = Dedup.substringSpans(spark, sf)
+    assert(spans.exceptAll(again).count() == 0 && again.exceptAll(spans).count() == 0)
+    srcs.unpersist(); spans.unpersist()
+  }
+
   test("SNM: planted truncation dups land in the sort window and verify") {
     val s = Dedup.snm(spark, sf).cache()
     // planted pairs share their 24-char prefix => identical sort key =>
