@@ -116,6 +116,8 @@ object SparkEntry {
     "dedup_spans" -> ((s: SparkSession, d: String) => Dedup.spans(s, d)),
     // Misaligned exact-substring dedup (§2 #219)
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
+    // Misaligned-substring corpus rewrite (§2 #220)
+    "dedup_substring_rewrite" -> ((s: SparkSession, d: String) => Dedup.substringRewrite(s, d)),
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     // Similarity search (§2 #27-29)
@@ -282,6 +284,8 @@ object SparkEntry {
     "q_quantile_norm" -> ((s: SparkSession, d: String) => AnalyticsExt.quantileNormalize(s, d)),
     // Lag-1 autocorrelation per series (§2 #202)
     "q_autocorr" -> (AnalyticsExt.autocorr _),
+    // Seasonal-trend decomposition (§2 #221)
+    "q_seasonal_decomp" -> (AnalyticsExt.seasonalDecomp _),
     // Poisson-bootstrap confidence interval (§2 #203)
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) => Scale.bootstrapCi(s, d, b = BootstrapB)),
     // Zipf octave-ratio diagnostic (§2 #204)
@@ -1482,6 +1486,52 @@ object SparkEntry {
            max(start) + 9 - min(start) + 1 AS span_len,
            CAST(count(*) AS BIGINT) AS n_windows
          FROM isl GROUP BY doc_id, g""",
+    "dedup_substring_rewrite" ->
+      // same corpus + flagged-window front half as dedup_substring;
+      // then: covered = union of flagged [start, start+9] position
+      // ranges, survivor = any position not covered, reassembled in
+      // order; fully-covered docs surface as n_kept=0 / empty text
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, tok FROM t
+           UNION ALL
+           SELECT doc_id + 6000000,
+             list_concat(['zzq' || doc_id || 'a', 'zzq' || doc_id || 'b', 'zzq' || doc_id || 'c'],
+                         tok[6 : len(tok) - 5])
+           FROM t WHERE doc_id % 6 = 0 AND len(tok) >= 25),
+         wins AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS start,
+             ('0x' || substr(md5(array_to_string(tok[(i+1):(i+10)], ' ')), 1, 15))::BIGINT AS h
+           FROM corpus CROSS JOIN LATERAL
+             (SELECT unnest(range(0, len(tok) - 9)) AS i) r
+           WHERE len(tok) >= 10),
+         dup AS (
+           SELECT doc_id, start FROM (
+             SELECT doc_id, start,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+             FROM wins) WHERE rn > 1),
+         covered AS (
+           SELECT DISTINCT doc_id, CAST(start + o AS BIGINT) AS p
+           FROM dup CROSS JOIN LATERAL (SELECT unnest(range(0, 10)) AS o) r),
+         pos AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, tok[i] AS tk
+           FROM corpus CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(tok) + 1)) AS i) r),
+         kept AS (
+           SELECT pos.doc_id, pos.p, pos.tk
+           FROM pos LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+           WHERE c.p IS NULL),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tk, ' ' ORDER BY p) AS cleaned_text
+           FROM kept GROUP BY doc_id)
+         SELECT corpus.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+           coalesce(n_kept, 0) AS n_kept,
+           coalesce(cleaned_text, '') AS cleaned_text
+         FROM corpus LEFT JOIN agg ON agg.doc_id = corpus.doc_id""",
     "q_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
@@ -4166,6 +4216,39 @@ object SparkEntry {
          SELECT s.doc_id, s.source, s.len, g.g_len AS norm_len
          FROM s, t, g
          WHERE g.grank = (s.srank * t.n + s.n_s - 1) // s.n_s""",
+    "q_seasonal_decomp" ->
+      // classical decomposition replay: full gap-free centered 7-day
+      // frames only; seasonal quotient sign-factored (DuckDB // floors
+      // on negatives, Spark div truncates — magnitudes divided, sign
+      // re-applied)
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         tw AS (
+           SELECT event_type, day, c,
+             sum(c) OVER w AS wsum, count(*) OVER w AS wcnt,
+             min(day) OVER w AS wmin, max(day) OVER w AS wmax
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         kept AS (
+           SELECT event_type, day, c, wsum // 7 AS trend,
+             c - wsum // 7 AS det, day % 7 AS dow
+           FROM tw WHERE wcnt = 7 AND wmax - wmin = 6),
+         seas AS (
+           SELECT event_type, dow, sum(det) AS snum, count(*) AS sn
+           FROM kept GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, dow,
+             CASE WHEN snum < 0 THEN -(abs(snum) // sn) ELSE snum // sn END AS seasonal
+           FROM seas)
+         SELECT k.event_type, CAST(k.day AS BIGINT) AS day,
+           CAST(k.dow AS BIGINT) AS dow, k.c AS cents,
+           CAST(k.trend AS BIGINT) AS trend_cents,
+           CAST(sc.seasonal AS BIGINT) AS seasonal_cents,
+           CAST(k.det - sc.seasonal AS BIGINT) AS remainder_cents
+         FROM kept k JOIN sc ON sc.event_type = k.event_type AND sc.dow = k.dow""",
     "q_autocorr" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

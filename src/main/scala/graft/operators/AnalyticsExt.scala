@@ -1514,6 +1514,73 @@ object AnalyticsExt {
       .select(col("doc_id"), col("source"), col("len"), col("g_len").as("norm_len"))
   }
 
+  /** #221 Seasonal-trend decomposition (STL-lite, classical
+    * decomposition): each event type's daily spend split into
+    * trend + weekly seasonal + remainder — the additive model behind
+    * seasonality-aware anomaly baselines, completing the time-series
+    * family: #196 EWMA smooths, #182 CUSUM detects, #168 OLS
+    * extrapolates, this EXPLAINS the weekly shape.
+    *
+    * All-integer classical decomposition: trend = centered 7-day
+    * moving sum div 7 (cents positive, so Spark `div` ≡ DuckDB `//`),
+    * kept only where the frame is FULL and GAP-FREE (7 rows spanning
+    * exactly 6 days — a ROWS frame over a gappy calendar would span
+    * more, so both guards are asserted in-data); seasonal(dow) =
+    * per-weekday mean of the detrended series as a sign-factored
+    * truncating quotient (detrended can be negative, where Spark div
+    * truncates but DuckDB // floors — magnitudes divided, sign
+    * re-applied, the #202 discipline); remainder closes the additive
+    * identity cents = trend + seasonal + remainder exactly.
+    *
+    * Scale: one partial-agg pass to days (series × days rows), one
+    * 7-row window partitioned BY SERIES (never global), one tiny
+    * (series × 7) seasonal aggregate broadcast back. Linear, gap-safe,
+    * exact in any engine.
+    */
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val kept = daily
+      .withColumn("wsum", sum("c").over(w))
+      .withColumn("wcnt", count(lit(1)).over(w))
+      .withColumn("wmin", min("day").over(w))
+      .withColumn("wmax", max("day").over(w))
+      .filter(col("wcnt") === 7 && col("wmax") - col("wmin") === 6)
+      .select(
+        col("event_type"),
+        col("day"),
+        col("c"),
+        expr("wsum div 7").as("trend"),
+        (col("c") - expr("wsum div 7")).as("det"),
+        pmod(col("day"), lit(7)).as("dow"))
+      .localCheckpoint(eager = false)
+    val seasonal = kept
+      .groupBy("event_type", "dow")
+      .agg(sum("det").as("snum"), count(lit(1)).as("sn"))
+      .select(
+        col("event_type"),
+        col("dow"),
+        expr("CASE WHEN snum < 0 THEN -(abs(snum) div sn) ELSE snum div sn END").as("seasonal"))
+    kept
+      .join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("dow"),
+        col("c").as("cents"),
+        col("trend").as("trend_cents"),
+        col("seasonal").as("seasonal_cents"),
+        (col("det") - col("seasonal")).as("remainder_cents"))
+  }
+
   /** #202 Lag-1 autocorrelation per series (daily spend per event
     * type): the serial-dependence diagnostic behind seasonality
     * detection and forecast-model choice — #168's OLS fits the trend,

@@ -707,7 +707,13 @@ object Dedup {
     * same layout Lee et al. get from a suffix array, with the
     * distributed-join cost model instead of shared-memory LCP scans.
     */
-  def substringSpans(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The shared front half of the misaligned-substring pair (#219 /
+    * #220): the planted-copy corpus (doc_id, tok) and the flagged
+    * duplicate windows (doc_id, 0-based start) — every stride-1
+    * `k`-token window whose hash has a strictly earlier (doc_id,
+    * start) occurrence.
+    */
+  private def substringDup(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val base = Tables
       .documents(spark, dir)
@@ -722,7 +728,7 @@ object Dedup {
             concat(lit("zzq"), col("doc_id"), lit("b")),
             concat(lit("zzq"), col("doc_id"), lit("c"))),
           expr("slice(tok, 6, size(tok) - 10)")).as("tok"))
-    val corpus = base.unionAll(planted)
+    val corpus = base.unionAll(planted).localCheckpoint(eager = false)
     // guard BEFORE sequence(): sequence(1, n-k+1) with n < k would
     // generate a DESCENDING sequence, not an empty one
     val wins = corpus
@@ -739,6 +745,11 @@ object Dedup {
       .withColumn("rn", row_number().over(firstSeen))
       .filter(col("rn") > 1)
       .select("doc_id", "start")
+    (corpus, dup)
+  }
+
+  def substringSpans(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (_, dup) = substringDup(spark, dir, k)
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
     dup
       .withColumn(
@@ -753,6 +764,50 @@ object Dedup {
         (col("max_start") + (k - 1)).as("span_end"),
         (col("max_start") + (k - 1) - col("span_start") + 1).as("span_len"),
         col("n_windows"))
+  }
+
+  /** #220 Misaligned-substring corpus REWRITE — the back half of the
+    * Lee et al. 2022 procedure #219 only detects: physically remove
+    * every token covered by a non-first-occurrence duplicate window
+    * and reassemble the surviving text (what the training job reads).
+    * A token survives iff NO flagged `k`-window covers it, so the
+    * first occurrence of every substring stays intact corpus-wide and
+    * later copies lose exactly their duplicated run (plus nothing
+    * else — the doc-unique junk prefixes of #219's planted copies
+    * survive verbatim, which the spec pins).
+    *
+    * Scale shape: covered positions are a bounded explode (k rows per
+    * flagged window), the survivor pick is one left-anti hash join on
+    * (doc_id, position), reassembly one shuffle back on doc_id — all
+    * linear, the exact cost profile of the detection pass it extends.
+    */
+  def substringRewrite(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (corpus, dup) = substringDup(spark, dir, k)
+    val positions = corpus.select(
+      col("doc_id"),
+      posexplode(col("tok")).as(Seq("p", "t")))
+    val covered = dup
+      .select(col("doc_id"), explode(expr(s"sequence(start, start + ${k - 1})")).as("p"))
+      .distinct()
+    val survivors = positions
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("t")))), x => x.getField("t")),
+          " ").as("cleaned_text"))
+    // left join from the corpus: a FULLY-covered doc (e.g. a 10-token
+    // doc equal to an earlier doc's window) must surface as n_kept=0
+    // with empty text, not silently vanish
+    corpus
+      .select(col("doc_id"), size(col("tok")).cast("long").as("n_tokens"))
+      .join(survivors, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** #94 SemDeDup — semantic dedup by clustering then within-cluster

@@ -136,6 +136,53 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(c.exceptAll(again).count() == 0)
   }
 
+  test("seasonal decomposition: additive identity exact, full gap-free frames, scala replay") {
+    val sd = AnalyticsExt.seasonalDecomp(spark, sf).cache()
+    assert(sd.count() > 0)
+    // the additive identity closes EXACTLY on every row
+    assert(sd.filter(
+      col("cents") =!= col("trend_cents") + col("seasonal_cents") + col("remainder_cents"))
+      .count() == 0)
+    // full centered frames: a contiguous d-day series keeps d-6 rows
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSeries = daily.groupBy(_._1)
+    val gotCounts = sd.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSeries.foreach { case (et, rows) =>
+      val days = rows.map(_._2).sorted
+      val contiguous = days.zip(days.drop(1)).forall { case (a, b) => b == a + 1 }
+      if (contiguous) assert(gotCounts(et) == days.length - 6, s"$et kept-row count")
+    }
+    // scala replay of one full series
+    val (et, rows) = perSeries.head
+    val byDay = rows.sortBy(_._2)
+    val c = byDay.map(_._3)
+    val expected = (3 until byDay.length - 3).map { i =>
+      val day = byDay(i)._2
+      val trend = c.slice(i - 3, i + 4).sum / 7 // positive: / == div
+      (day, c(i), trend, c(i) - trend, day % 7)
+    }
+    val snum = expected.groupBy(_._5).map { case (dw, xs) =>
+      val s = xs.map(_._4).sum
+      val n = xs.length
+      dw -> (if (s < 0) -(math.abs(s) / n) else s / n)
+    }
+    val exp = expected.map { case (day, cents, trend, det, dw) =>
+      (day, cents, trend, snum(dw), det - snum(dw))
+    }.toSet
+    val got = sd.filter(col("event_type") === et)
+      .select("day", "cents", "trend_cents", "seasonal_cents", "remainder_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == exp, s"scala replay mismatch for $et")
+    sd.unpersist()
+  }
+
   test("theil-sen: true discrete median of the pair slopes, robust to a planted outlier") {
     val ts = graft.operators.AnalyticsExt.theilSen(spark, sf).cache()
     assert(ts.count() > 0)

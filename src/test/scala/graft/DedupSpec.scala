@@ -289,6 +289,42 @@ class DedupSpec extends SparkSpec {
     srcs.unpersist(); spans.unpersist()
   }
 
+  test("substring rewrite: planted copies reduce to their junk prefix; kept = tokens - span coverage") {
+    val rw = Dedup.substringRewrite(spark, sf).cache()
+    val spans = Dedup.substringSpans(spark, sf)
+    // per-doc conservation: the rewrite removes EXACTLY the union of
+    // the detector's maximal spans (islands are merged coverage)
+    val removed = spans.groupBy("doc_id").agg(sum("span_len").as("n_removed"))
+    val bad = rw
+      .join(removed, Seq("doc_id"), "left")
+      .filter(col("n_kept") =!= col("n_tokens") - coalesce(col("n_removed"), lit(0L)))
+    assert(bad.count() == 0, "n_kept != n_tokens - span coverage somewhere")
+    // every planted copy loses its whole copied region and keeps the
+    // 3-token junk prefix verbatim
+    val planted = rw.filter(col("doc_id") >= 6000000L).cache()
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_kept") =!= 3L).count() == 0)
+    assert(
+      planted
+        .filter(col("cleaned_text") =!= concat(
+          lit("zzq"), col("doc_id") - 6000000L, lit("a zzq"),
+          col("doc_id") - 6000000L, lit("b zzq"),
+          col("doc_id") - 6000000L, lit("c")))
+        .count() == 0)
+    // docs with no detected span pass through bit-identical
+    val untouched = rw
+      .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") < 6000000L)
+    assert(untouched.count() > 0)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    assert(
+      untouched.join(docs, "doc_id").filter(col("cleaned_text") =!= col("norm")).count() == 0)
+    assert(untouched.filter(col("n_kept") =!= col("n_tokens")).count() == 0)
+    planted.unpersist(); rw.unpersist()
+  }
+
   test("SNM: planted truncation dups land in the sort window and verify") {
     val s = Dedup.snm(spark, sf).cache()
     // planted pairs share their 24-char prefix => identical sort key =>
