@@ -146,6 +146,8 @@ object SparkEntry {
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
     "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
+    // Positional-index exact phrase search (§2 #222)
+    "text_phrase_search" -> ((s: SparkSession, d: String) => TextStats.phraseSearch(s, d)),
     // Collocation mining by integer Dice (§2 #157)
     "text_collocations" -> ((s: SparkSession, d: String) => TextStats.collocations(s, d)),
     // KMV/theta overlap sketch (§2 #148)
@@ -2404,6 +2406,36 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY count(*) DESC, bigram) AS BIGINT) AS rank
            FROM b GROUP BY bigram)
          WHERE rank <= 25""",
+    "text_phrase_search" ->
+      // positional-index phrase replay: top-3 trigram queries, word-
+      // level join proposing start = p - idx, hit iff all 3 distinct
+      // idx arrived (repeat-word-safe)
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         tris AS (
+           SELECT unnest(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS phrase
+           FROM t WHERE len(tk) >= 3),
+         topq AS (
+           SELECT phrase FROM (
+             SELECT phrase, row_number() OVER (ORDER BY count(*) DESC, phrase) AS rk
+             FROM tris GROUP BY phrase)
+           WHERE rk <= 3),
+         pw AS (
+           SELECT phrase, CAST(i - 1 AS BIGINT) AS idx, string_split(phrase, ' ')[i] AS w
+           FROM topq CROSS JOIN LATERAL (SELECT unnest(range(1, 4)) AS i) r),
+         pos AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, tk[i] AS w
+           FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+         hits AS (
+           SELECT pw.phrase, pos.doc_id, pos.p - pw.idx AS start
+           FROM pos JOIN pw ON pw.w = pos.w
+           GROUP BY 1, 2, 3 HAVING count(DISTINCT pw.idx) = 3)
+         SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(start) AS BIGINT) AS first_start
+         FROM hits GROUP BY 1, 2""",
     "text_collocations" ->
       // Dice-ranked bigrams on the e6 integer grid, min count 5
       """WITH t AS (

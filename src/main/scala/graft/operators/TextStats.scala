@@ -610,4 +610,61 @@ object TextStats {
         col("c").as("freq"),
         expr("(c * 1000000) div prev_c").as("octave_ratio_e6"))
   }
+
+  /** #222 Positional-index exact phrase search — the distributed grep:
+    * find every occurrence of a multi-token phrase at exact token
+    * adjacency, the retrieval primitive behind contamination probes,
+    * boilerplate hunting, and quote tracking. Query phrases here are
+    * the corpus's own top-`nPhrases` trigrams (count desc, text
+    * tiebreak — deterministic), so the operator exercises both halves:
+    * n-gram stats pick the queries, the positional index answers them.
+    *
+    * The classic IR positional-index plan, relationally: token
+    * positions (doc_id, p, w) join the tiny broadcast (phrase, idx,
+    * word) table on the WORD; every match proposes the phrase start
+    * p − idx; a start is a hit iff all `len` distinct idx values
+    * arrived (count-distinct per (phrase, doc_id, start) — correct
+    * even when a phrase repeats a word, where a plain count
+    * over-matches). Out-of-bounds starts can never collect all idx.
+    *
+    * Scale: positions are one linear explode; the join is
+    * broadcast-small on the right (n_phrases × len rows); candidate
+    * volume is Σ df(phrase words) — rare-word phrases prune to almost
+    * nothing, stopword phrases degrade to the posting-list scan every
+    * positional index pays. One shuffle on (phrase, doc, start).
+    */
+  def phraseSearch(spark: SparkSession, dir: String, nPhrases: Int = 3): DataFrame = {
+    val t = col("tok")
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .select(col("doc_id"), col("tok"))
+      .localCheckpoint(eager = false)
+    val phrases = docs
+      .select(
+        explode(
+          when(size(t) < 3, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(t) - 2),
+                i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+          .as("phrase"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("phrase"))).cast("long"))
+      .filter(col("rank") <= nPhrases)
+    val phraseWords = phrases
+      .select(col("phrase"), posexplode(split(col("phrase"), " ")).as(Seq("idx", "w")))
+      .select(col("phrase"), col("idx").cast("long").as("idx"), col("w"))
+    val positions = docs.select(col("doc_id"), posexplode(t).as(Seq("p", "w")))
+    positions
+      .join(broadcast(phraseWords), "w")
+      .select(col("phrase"), col("doc_id"), (col("p") - col("idx")).as("start"), col("idx"))
+      .groupBy("phrase", "doc_id", "start")
+      .agg(count_distinct(col("idx")).as("nw"))
+      .filter(col("nw") === 3)
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("start").cast("long").as("first_start"))
+      .select(col("phrase"), col("doc_id"), col("n_hits"), col("first_start"))
+  }
 }

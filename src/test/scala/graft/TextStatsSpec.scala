@@ -491,4 +491,33 @@ class TextStatsSpec extends SparkSpec {
       } else assert(ratio == -1L)
     }
   }
+
+  test("phrase search: scala replay exact; per-phrase hits sum to the corpus trigram count") {
+    val ps = graft.operators.TextStats.phraseSearch(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val triCounts = docs
+      .flatMap { case (_, tk) => if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")) else Nil }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val top3 = triCounts.toSeq.sortBy { case (p, c) => (-c, p) }.take(3).map(_._1)
+    val expected = (for {
+      phrase <- top3
+      (docId, tk) <- docs
+      if tk.length >= 3
+      starts = tk.sliding(3).zipWithIndex.collect {
+        case (w, i) if w.mkString(" ") == phrase => i.toLong
+      }.toSeq
+      if starts.nonEmpty
+    } yield (phrase, docId, starts.length.toLong, starts.min)).toSet
+    val got = ps.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "phrase search differs from the scala positional replay")
+    // total hits per phrase == the phrase's corpus trigram frequency
+    top3.foreach { p =>
+      val total = got.toSeq.filter(_._1 == p).map(_._3).sum
+      assert(total == triCounts(p), s"phrase '$p' hit total")
+    }
+    ps.unpersist()
+  }
 }
