@@ -288,6 +288,8 @@ object SparkEntry {
     "q_autocorr" -> (AnalyticsExt.autocorr _),
     // Seasonal-trend decomposition (§2 #221)
     "q_seasonal_decomp" -> (AnalyticsExt.seasonalDecomp _),
+    // Seasonal-remainder MAD anomaly flags (§2 #223)
+    "q_anomaly_flags" -> (AnalyticsExt.anomalyFlags _),
     // Poisson-bootstrap confidence interval (§2 #203)
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) => Scale.bootstrapCi(s, d, b = BootstrapB)),
     // Zipf octave-ratio diagnostic (§2 #204)
@@ -4249,38 +4251,42 @@ object SparkEntry {
          FROM s, t, g
          WHERE g.grank = (s.srank * t.n + s.n_s - 1) // s.n_s""",
     "q_seasonal_decomp" ->
-      // classical decomposition replay: full gap-free centered 7-day
-      // frames only; seasonal quotient sign-factored (DuckDB // floors
-      // on negatives, Spark div truncates — magnitudes divided, sign
-      // re-applied)
-      """WITH daily AS (
-           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2),
-         tw AS (
-           SELECT event_type, day, c,
-             sum(c) OVER w AS wsum, count(*) OVER w AS wcnt,
-             min(day) OVER w AS wmin, max(day) OVER w AS wmax
-           FROM daily
-           WINDOW w AS (PARTITION BY event_type ORDER BY day
-                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         kept AS (
-           SELECT event_type, day, c, wsum // 7 AS trend,
-             c - wsum // 7 AS det, day % 7 AS dow
-           FROM tw WHERE wcnt = 7 AND wmax - wmin = 6),
-         seas AS (
-           SELECT event_type, dow, sum(det) AS snum, count(*) AS sn
-           FROM kept GROUP BY 1, 2),
-         sc AS (
-           SELECT event_type, dow,
-             CASE WHEN snum < 0 THEN -(abs(snum) // sn) ELSE snum // sn END AS seasonal
-           FROM seas)
+      s"""$seasonalKernelSql
          SELECT k.event_type, CAST(k.day AS BIGINT) AS day,
            CAST(k.dow AS BIGINT) AS dow, k.c AS cents,
            CAST(k.trend AS BIGINT) AS trend_cents,
            CAST(sc.seasonal AS BIGINT) AS seasonal_cents,
            CAST(k.det - sc.seasonal AS BIGINT) AS remainder_cents
          FROM kept k JOIN sc ON sc.event_type = k.event_type AND sc.dow = k.dow""",
+    "q_anomaly_flags" ->
+      // seasonal-remainder MAD flags: lower discrete medians via
+      // row_number at rank (n+1)//2 under the (value, day) total
+      // order — zero interpolation; 3×MAD threshold, strict >
+      s"""$seasonalKernelSql,
+         rem AS (
+           SELECT k.event_type, k.day, CAST(k.det - sc.seasonal AS BIGINT) AS rem
+           FROM kept k JOIN sc ON sc.event_type = k.event_type AND sc.dow = k.dow),
+         medr AS (
+           SELECT event_type, rem AS med FROM (
+             SELECT event_type, rem, day,
+               row_number() OVER (PARTITION BY event_type ORDER BY rem, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM rem)
+           WHERE rn = (n + 1) // 2),
+         dev AS (
+           SELECT r.event_type, r.day, r.rem, m.med, abs(r.rem - m.med) AS adev
+           FROM rem r JOIN medr m ON m.event_type = r.event_type),
+         madr AS (
+           SELECT event_type, adev AS mad FROM (
+             SELECT event_type, adev, day,
+               row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM dev)
+           WHERE rn = (n + 1) // 2)
+         SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.rem AS remainder_cents,
+           d.med AS med_cents, m.mad AS mad_cents,
+           CAST(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM dev d JOIN madr m ON m.event_type = d.event_type""",
     "q_autocorr" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -4309,6 +4315,36 @@ object SparkEntry {
              AS BIGINT) AS r2_signed_e6
          FROM agg"""
   )
+
+  /** Shared CTE prefix for the classical-decomposition oracles
+    * (`q_seasonal_decomp`, `q_anomaly_flags`): full gap-free centered
+    * 7-day frames only; seasonal quotient sign-factored (DuckDB //
+    * floors on negatives, Spark div truncates — magnitudes divided,
+    * sign re-applied).
+    */
+  private val seasonalKernelSql: String =
+    """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         tw AS (
+           SELECT event_type, day, c,
+             sum(c) OVER w AS wsum, count(*) OVER w AS wcnt,
+             min(day) OVER w AS wmin, max(day) OVER w AS wmax
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         kept AS (
+           SELECT event_type, day, c, wsum // 7 AS trend,
+             c - wsum // 7 AS det, day % 7 AS dow
+           FROM tw WHERE wcnt = 7 AND wmax - wmin = 6),
+         seas AS (
+           SELECT event_type, dow, sum(det) AS snum, count(*) AS sn
+           FROM kept GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, dow,
+             CASE WHEN snum < 0 THEN -(abs(snum) // sn) ELSE snum // sn END AS seasonal
+           FROM seas)"""
 
   /** Replica count for `q_bootstrap_ci` — single source of truth for
     * BOTH the Spark call and the generated oracle, so changing B can

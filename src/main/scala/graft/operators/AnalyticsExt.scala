@@ -1581,6 +1581,49 @@ object AnalyticsExt {
         (col("det") - col("seasonal")).as("remainder_cents"))
   }
 
+  /** #223 Seasonal-remainder anomaly flags: the capstone of the
+    * time-series family — #221's decomposition explains trend and
+    * weekly shape; what's left (the remainder) is where anomalies
+    * live, and the robust threshold is the MAD rule (flag when
+    * |remainder − median| > 3·MAD), immune to the anomalies' own
+    * pull in a way that z-scores are not (#113's argument, applied to
+    * the deseasonalized series rather than the raw one — a weekly
+    * spike that is NORMAL for a Saturday no longer flags).
+    *
+    * All-integer: lower discrete medians via row_number at rank
+    * (n+1) div 2 under the (value, day) total order — zero
+    * interpolation, the #106 percentile_disc pattern; strict > on
+    * the 3×MAD comparison so a zero-MAD series flags every nonzero
+    * deviation. Per-series windows only; the median/MAD frames are
+    * (series × 1) broadcasts.
+    */
+  def anomalyFlags(spark: SparkSession, dir: String): DataFrame = {
+    val rem = seasonalDecomp(spark, dir)
+      .select(col("event_type"), col("day"), col("remainder_cents").as("rem"))
+      .localCheckpoint(eager = false)
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(value), col("day"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(value).as(out))
+    }
+    val med = lowerMedian(rem, "rem", "med")
+    val dev = rem
+      .join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("rem") - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev
+      .join(broadcast(mad), "event_type")
+      .select(
+        col("event_type"),
+        col("day"),
+        col("rem").as("remainder_cents"),
+        col("med").as("med_cents"),
+        col("mad").as("mad_cents"),
+        (col("adev") > col("mad") * 3).cast("long").as("is_anomaly"))
+  }
+
   /** #202 Lag-1 autocorrelation per series (daily spend per event
     * type): the serial-dependence diagnostic behind seasonality
     * detection and forecast-model choice — #168's OLS fits the trend,

@@ -183,6 +183,29 @@ class AnalyticsExtSpec extends SparkSpec {
     sd.unpersist()
   }
 
+  test("anomaly flags: lower-median/MAD replay exact; flag rule holds on every row") {
+    val af = AnalyticsExt.anomalyFlags(spark, sf).cache()
+    val rem = AnalyticsExt.seasonalDecomp(spark, sf)
+      .select("event_type", "day", "remainder_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(af.count() == rem.length)
+    def lowerMed(xs: Seq[(Long, Long)]): Long = { // (value, day) order
+      val sorted = xs.sortBy(identity).map(_._1)
+      sorted((sorted.length + 1) / 2 - 1)
+    }
+    val expected = rem.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val med = lowerMed(rows.toSeq.map(r => (r._3, r._2)))
+      val mad = lowerMed(rows.toSeq.map(r => (math.abs(r._3 - med), r._2)))
+      rows.toSeq.map(r =>
+        (et, r._2, r._3, med, mad, if (math.abs(r._3 - med) > 3 * mad) 1L else 0L))
+    }.toSet
+    val got = af.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected, "anomaly flags differ from the scala median/MAD replay")
+    af.unpersist()
+  }
+
   test("theil-sen: true discrete median of the pair slopes, robust to a planted outlier") {
     val ts = graft.operators.AnalyticsExt.theilSen(spark, sf).cache()
     assert(ts.count() > 0)
