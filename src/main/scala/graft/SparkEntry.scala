@@ -124,6 +124,8 @@ object SparkEntry {
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
+    // Range (threshold) ANN search (§2 #224)
+    "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     // LSH-DBSCAN density clustering (§2 #146)
     "ann_dbscan" -> ((s: SparkSession, d: String) => Similarity.dbscan(s, d)),
     // Triplet mining (§2 #152)
@@ -2164,6 +2166,26 @@ object SparkEntry {
                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
             FROM scored)
           WHERE rank <= 10"""
+    },
+    "ann_range_search" -> {
+      // multiprobe bucket replay, threshold instead of rank
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          qb AS (
+            SELECT vec_id AS query_id, t,
+              unnest(list_prepend(bucket,
+                [xor(bucket, 1::BIGINT << p) for p in range(0, bits)])) AS bucket
+            FROM bk, params WHERE vec_id < 10),
+          cand AS (
+            SELECT DISTINCT qb.query_id, c.vec_id
+            FROM bk c JOIN qb ON c.t = qb.t AND c.bucket = qb.bucket
+            WHERE c.vec_id <> qb.query_id)
+          SELECT query_id, vec_id, cos FROM (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+          WHERE cos >= 0.2"""
     },
     "ann_triplets" -> {
       // planted pos/neg corpus, multiprobe bucket replay, 4dp cosine

@@ -179,6 +179,45 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
+  /** #224 Range (threshold) ANN search: ALL corpus vectors with
+    * cosine ≥ `tau` of each query — the "everything similar enough"
+    * primitive behind dedup sweeps, contamination scans, and
+    * recall-oriented retrieval, where top-k's fixed cutoff either
+    * truncates dense neighborhoods or pads sparse ones. Same
+    * multiprobe-LSH candidate contract as #60 (own bucket + all
+    * one-bit flips per table, deterministic and oracle-replayable);
+    * survivors keep their 6dp cosine, no rank, no limit. The 6dp
+    * threshold compare is engine-safe because the cos column itself
+    * hash-matches across engines on every ANN query.
+    *
+    * Scale: candidate volume is O(queries · bucket · (bits+1) ·
+    * tables) with bits = log2(n/256) — corpus-size-independent bucket
+    * occupancy, the same 100 TB path as every LSH op here.
+    */
+  def rangeSearch(
+      spark: SparkSession,
+      dir: String,
+      tau: Double = 0.2,
+      tables: Int = NumTables): DataFrame = {
+    GraftFunctions.register(spark)
+    val bits = numPlanes(corpusSize(spark, dir))
+    val corpus = bandedBuckets(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", bits, tables)
+    val probes = (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+    val queries = bandedBuckets(queryVectors(spark, dir), "q_emb", bits, tables)
+      .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
+    corpus
+      .join(broadcast(queries), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .distinct()
+      .filter(col("cos") >= tau)
+  }
+
   // ------------------------------------------------------------------
   // #146 Density clustering (DBSCAN over the LSH candidate graph):
   // dense regions become clusters, sparse points become noise —

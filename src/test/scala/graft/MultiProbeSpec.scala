@@ -23,4 +23,29 @@ class MultiProbeSpec extends SparkSpec {
     assert(m.groupBy("query_id", "vec_id").count().filter("count > 1").count() == 0)
     assert(m.filter(col("rank") < 1 || col("rank") > 10).count() == 0)
   }
+
+  test("range search: threshold honored, subset of brute-force tau-set, covers multiprobe survivors") {
+    val r = Similarity.rangeSearch(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("cos") < 0.2).count() == 0)
+    // no pair beyond the brute-force threshold set (same 6dp cosine)
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val truth = emb
+      .crossJoin(
+        broadcast(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(org.apache.spark.sql.functions.expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+    assert(r.exceptAll(truth).count() == 0, "range search returned a pair below tau or a wrong cos")
+    // every multiprobe top-10 row passing tau MUST appear (identical
+    // candidate contract, range drops only the rank cutoff)
+    val mp = Similarity.lshMultiProbe(spark, sf)
+      .filter(col("cos") >= 0.2).select("query_id", "vec_id", "cos")
+    assert(mp.exceptAll(r).count() == 0, "a multiprobe survivor above tau is missing")
+    val again = Similarity.rangeSearch(spark, sf)
+    assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
+    r.unpersist()
+  }
 }
