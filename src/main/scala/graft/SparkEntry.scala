@@ -65,6 +65,9 @@ object SparkEntry {
     "q_copurchase" -> ((s: SparkSession, d: String) => AnalyticsExt.copurchase(s, d)),
     // Connected components (§2 #166)
     "q_components" -> ((s: SparkSession, d: String) => AnalyticsExt.components(s, d)),
+    // Incremental components: delta fold ≡ batch (§2 #225)
+    "q_components_incremental" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.componentsIncremental(s, d)),
     "q_mad_outliers" -> (Scale.madOutliers _),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
@@ -2926,6 +2929,9 @@ object SparkEntry {
            UNION ALL SELECT 'customer', 'pk_unique:c_custkey', n, n - nk FROM c
            UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)""",
     "q_components" -> componentsOracle(maxRounds = 12),
+    // the incremental fold's contract IS batch equality — shared oracle
+    // (the #103/#138 pattern)
+    "q_components_incremental" -> componentsOracle(maxRounds = 12),
     "q_pagerank" -> {
       // three unrolled integer power iterations; `//` is floor division
       // on nonnegative ints = Spark's `div`

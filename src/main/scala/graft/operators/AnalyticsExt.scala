@@ -399,7 +399,35 @@ object AnalyticsExt {
       .repartition(col("dst"))
       .cache()
     val verts = po.select(col("l_partkey").as("part")).distinct()
-    var labels = verts.select(col("part"), col("part").as("label")).localCheckpoint(eager = true)
+    val seed = verts.select(col("part"), col("part").as("label"))
+    val (labels, converged) = propagateMinLabels(seed, sym, maxRounds, shortcut)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+    val out = labels
+      .join(sizes, "label")
+      .select(
+        col("part"),
+        col("label").as("component"),
+        col("comp_size"),
+        lit(if (converged) 1L else 0L).as("converged"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
+    sym.unpersist()
+    out
+  }
+
+  /** The capped early-exit min-label loop shared by [[components]]
+    * and [[componentsIncremental]]: per round a neighbor-min hop then
+    * (optionally) a pointer jump, eager lineage cut, one bounded
+    * convergence scalar. Any seed labeling that is a per-vertex UPPER
+    * bound on the component minimum (identity labels, or a prior
+    * run's labels) converges to the same fixpoint.
+    */
+  private def propagateMinLabels(
+      seed: DataFrame,
+      sym: DataFrame,
+      maxRounds: Int,
+      shortcut: Boolean): (DataFrame, Boolean) = {
+    var labels = seed.localCheckpoint(eager = true)
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
@@ -425,6 +453,70 @@ object AnalyticsExt {
         .isEmpty
       labels = next
     }
+    (labels, converged)
+  }
+
+  /** #225 Incremental connected components: fold a DELTA ingest batch
+    * (the 10% of orders with l_orderkey % 10 = 0 — the #74/#135
+    * incremental-maintenance split) into an EXISTING components state
+    * without recomputing from scratch. State = the base run's label
+    * vector plus its pair-support counts; the fold is (a) incremental
+    * support maintenance — delta pair counts summed onto the base
+    * counts, only delta orders rescanned — then (b) the SAME
+    * short-cutting propagation seeded with the base labels (new parts
+    * seed identity). Any upper-bound seeding converges to the same
+    * fixpoint, so the contract is bit-equality with the BATCH
+    * operator on the full input: this query shares `q_components`'
+    * oracle verbatim (the #103/#138 shared-oracle pattern), and the
+    * spec additionally pins frame-equality against [[components]].
+    *
+    * Scale: the delta rescan is |delta| work; the seeded propagation
+    * converges in O(log merged-diameter) rounds and typically fewer
+    * than the cold run — merged regions already share base labels.
+    */
+  def componentsIncremental(
+      spark: SparkSession,
+      dir: String,
+      maxRounds: Int = 12,
+      minSupport: Int = 2): DataFrame = {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    def pairCounts(df: DataFrame): DataFrame = df
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(df.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+    // ---- base state (what a prior run would have persisted) ----
+    val poBase = po.filter(col("l_orderkey") % 10 =!= 0).localCheckpoint(eager = false)
+    val basePairs = pairCounts(poBase).localCheckpoint(eager = false)
+    val baseSym = basePairs
+      .filter(col("w") >= minSupport)
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(basePairs.filter(col("w") >= minSupport)
+        .select(col("part_b").as("src"), col("part_a").as("dst")))
+      .repartition(col("dst"))
+      .cache()
+    val baseSeed = poBase.select(col("l_partkey").as("part")).distinct()
+      .select(col("part"), col("part").as("label"))
+    val (baseLabels, _) = propagateMinLabels(baseSeed, baseSym, maxRounds, shortcut = true)
+    // ---- incremental fold of the delta batch ----
+    val deltaPairs = pairCounts(po.filter(col("l_orderkey") % 10 === 0))
+    val fullPairs = basePairs
+      .select(col("part_a"), col("part_b"), col("w"))
+      .unionAll(deltaPairs)
+      .groupBy("part_a", "part_b")
+      .agg(sum("w").as("w"))
+      .filter(col("w") >= minSupport)
+      .cache()
+    val sym = fullPairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(fullPairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .repartition(col("dst"))
+      .cache()
+    val seed = po.select(col("l_partkey").as("part")).distinct()
+      .join(baseLabels.select(col("part"), col("label").as("base_label")), Seq("part"), "left")
+      .select(col("part"), coalesce(col("base_label"), col("part")).as("label"))
+    val (labels, converged) = propagateMinLabels(seed, sym, maxRounds, shortcut = true)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
     val out = labels
       .join(sizes, "label")
@@ -434,7 +526,8 @@ object AnalyticsExt {
         col("comp_size"),
         lit(if (converged) 1L else 0L).as("converged"))
       .localCheckpoint(eager = true)
-    pairs.unpersist()
+    baseSym.unpersist()
+    fullPairs.unpersist()
     sym.unpersist()
     out
   }

@@ -755,6 +755,15 @@ class AnalyticsExtSpec extends SparkSpec {
     core.unpersist()
   }
 
+  test("incremental components: delta fold equals the batch run frame-for-frame") {
+    val inc = graft.operators.AnalyticsExt.componentsIncremental(spark, sf).cache()
+    val batch = graft.operators.AnalyticsExt.components(spark, sf)
+    assert(inc.filter(col("converged") =!= 1L).count() == 0)
+    assert(inc.exceptAll(batch).count() == 0 && batch.exceptAll(inc).count() == 0,
+      "incremental fold diverged from the batch operator")
+    inc.unpersist()
+  }
+
   test("components: planted diameter-20 path converges under short-cutting, not under 6 plain hops") {
     // a chain part 1 - 2 - ... - 21 (diameter 20), each edge supported by
     // two orders so it survives the minSupport >= 2 filter; written as a
