@@ -85,6 +85,8 @@ object SparkEntry {
     // Sampling (§2 #54-56)
     "q_split_assign" -> (Sampling.splitAssign _),
     "q_stratified_sample" -> (Sampling.stratifiedSample _),
+    // Neyman-allocation stratified sampling (§2 #226)
+    "q_neyman_alloc" -> ((s: SparkSession, d: String) => Sampling.neymanAlloc(s, d)),
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_shuffle_order" -> ((s: SparkSession, d: String) => Sampling.shuffleOrder(s, d)),
     // Multi-epoch shuffle schedule (§2 #167)
@@ -1061,6 +1063,61 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 2500
                      WHEN 'de' THEN 10000 WHEN 'fr' THEN 10000
                      WHEN 'es' THEN 10000 WHEN 'zh' THEN 10000 ELSE 0 END""",
+    "q_neyman_alloc" ->
+      // Neyman n_h ∝ N_h·S_h with HUGEINT moments, exact integer sqrt
+      // (double sqrt + one-ulp CASE clamps), Hamilton largest-remainder
+      // apportionment, md5 hash-rank realization
+      """WITH rows0 AS (
+           SELECT o_orderpriority AS stratum, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         mom AS (
+           SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             sum(CAST(cents AS HUGEINT) * cents) AS syy
+           FROM rows0 GROUP BY 1),
+         varc AS (
+           SELECT stratum, n_pop,
+             CAST((CAST(n_pop AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                  // (CAST(n_pop AS HUGEINT) * n_pop) AS BIGINT) AS var_c2
+           FROM mom),
+         sq AS (
+           SELECT stratum, n_pop, var_c2,
+             CAST(floor(sqrt(CAST(var_c2 AS DOUBLE))) AS BIGINT) AS s0
+           FROM varc),
+         sstd AS (
+           SELECT stratum, n_pop,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_c2 THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > var_c2 THEN 1 ELSE 0 END) AS s_cents
+           FROM sq),
+         wts AS (
+           SELECT stratum, n_pop, s_cents, n_pop * s_cents AS w FROM sstd),
+         tot AS (SELECT sum(w) AS wt FROM wts),
+         based AS (
+           SELECT stratum, n_pop, s_cents, w,
+             (CAST(1000 AS BIGINT) * w) // wt AS base,
+             (CAST(1000 AS BIGINT) * w) % wt AS rem
+           FROM wts, tot),
+         alloc AS (
+           SELECT stratum, n_pop, s_cents,
+             base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+                          <= 1000 - (SELECT sum(base) FROM based)
+                     THEN 1 ELSE 0 END) AS alloc_n
+           FROM based),
+         ranked AS (
+           SELECT stratum, cents,
+             row_number() OVER (PARTITION BY stratum ORDER BY
+               ('0x' || substr(md5('graft-ney-1:' || o_orderkey), 1, 15))::BIGINT,
+               o_orderkey) AS rn
+           FROM rows0),
+         samp AS (
+           SELECT r.stratum, CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(r.cents) AS BIGINT) AS sampled_cents
+           FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+           WHERE r.rn <= a.alloc_n GROUP BY 1)
+         SELECT a.stratum, a.n_pop, a.s_cents, CAST(a.alloc_n AS BIGINT) AS alloc_n,
+           s.n_sampled, s.sampled_cents
+         FROM alloc a JOIN samp s ON s.stratum = a.stratum""",
     "q_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, lang,

@@ -521,6 +521,95 @@ object Sampling {
     * row ≈ 1/nShards (hash independence), not 1. Per-epoch cost is
     * #95's single exchange; epochs explode is bounded fan-out.
     */
+  /** #226 Neyman-allocation stratified sampling: split a budget of
+    * `b` sample rows across the order-priority strata OPTIMALLY —
+    * n_h ∝ N_h·S_h (Neyman 1934: allocation proportional to stratum
+    * size × stratum standard deviation minimizes the stratified
+    * mean's variance at fixed budget) — then realize each stratum's
+    * sample by deterministic hash rank. The survey-sampling answer to
+    * "which sources deserve sample budget" that proportional
+    * allocation (#55) gets wrong when strata differ in spread.
+    *
+    * All-integer end to end, including the standard deviation:
+    * SS_h = N·Σy² − (Σy)² runs DECIMAL(38,0) ↔ HUGEINT (the #202
+    * discipline — Σy² alone is ~4e20 at sf0.1, past 2^63), variance =
+    * SS div N², and S_h = EXACT integer sqrt via the one-ulp-clamp
+    * trick: s₀ = floor(sqrt(double v)), then ±1 CASE corrections —
+    * double sqrt is correctly rounded so s₀ is within one of ⌊√v⌋,
+    * and the clamps land it exactly, identically in both engines.
+    * Budget apportionment is largest-remainder (Hamilton): base
+    * share b·w_h div W each, the leftover seats to the largest
+    * remainders (priority-name tiebreak) — Σ n_h = b exactly.
+    * Realized sample: per-stratum hash-rank top n_h (md5 order, the
+    * #56 exact-k pattern); output carries the allocation AND the
+    * realized sampled-cents sum so both halves hash-compare.
+    *
+    * Scale: two aggregate passes (moments, then apportionment over a
+    * 5-row frame) + one per-stratum rank window — never global.
+    */
+  def neymanAlloc(spark: SparkSession, dir: String, b: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderpriority").as("stratum"),
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .localCheckpoint(eager = false)
+    val moments = rows
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_pop"),
+        sum("cents").as("sy"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("syy"))
+      // exact integer sqrt of the integer variance: double sqrt is
+      // within one ulp, the two CASE clamps make it exact
+      .withColumn(
+        "var_c2",
+        expr("""CAST((CAST(n_pop AS DECIMAL(38,0)) * syy
+                      - CAST(sy AS DECIMAL(38,0)) * sy)
+                     div (CAST(n_pop AS DECIMAL(38,0)) * n_pop) AS BIGINT)"""))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(var_c2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "s_cents",
+        expr("""s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_c2 THEN 1 ELSE 0 END)
+                   - (CASE WHEN s0 * s0 > var_c2 THEN 1 ELSE 0 END)"""))
+      .select(col("stratum"), col("n_pop"), col("var_c2"), col("s_cents"))
+    // largest-remainder apportionment of b over weights w_h = N_h·S_h
+    // (5-row frame: the scalar attach + rank window are bounded)
+    val weighted = moments.withColumn("w", col("n_pop") * col("s_cents"))
+    val tot = weighted.agg(sum("w").as("wt"))
+    val based = weighted
+      .crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(CAST($b AS BIGINT) * w) div wt"))
+      .withColumn("rem", expr(s"(CAST($b AS BIGINT) * w) % wt"))
+    val wRem = Window.orderBy(col("rem").desc, col("stratum"))
+    val alloc = based
+      .withColumn("seats_left", lit(b.toLong) - sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rrank", row_number().over(wRem))
+      .withColumn("alloc_n", col("base") + when(col("rrank") <= col("seats_left"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_pop"), col("s_cents"), col("alloc_n"))
+    // realized sample: per-stratum md5 rank, top alloc_n
+    val wRank = Window.partitionBy("stratum").orderBy(col("ord"), col("o_orderkey"))
+    rows
+      .withColumn("ord", Dedup.hash60(concat(lit("graft-ney-1:"), col("o_orderkey"))))
+      .withColumn("rn", row_number().over(wRank))
+      .join(broadcast(alloc), "stratum")
+      .filter(col("rn") <= col("alloc_n"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_sampled"), sum("cents").as("sampled_cents"))
+      .join(broadcast(alloc), "stratum")
+      .select(
+        col("stratum"),
+        col("n_pop"),
+        col("s_cents"),
+        col("alloc_n"),
+        col("n_sampled"),
+        col("sampled_cents"))
+  }
+
   def multiEpochShuffle(
       spark: SparkSession,
       dir: String,

@@ -283,4 +283,42 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.sourceDiversity(spark, sf)
     assert(d.exceptAll(again).count() == 0)
   }
+
+  test("neyman allocation: exact isqrt, Hamilton quotas within 1, budget exactly spent") {
+    val a = graft.operators.Sampling.neymanAlloc(spark, sf).cache()
+    val got = a.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.map(_._4).sum == 1000L, "allocation must spend the budget exactly")
+    got.foreach { case (_, _, _, allocN, nSampled, _) => assert(nSampled == allocN) }
+    // integer sqrt exactness + quota bound, replayed with BigInt moments
+    val pop = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+      .groupBy(_._1).map { case (st, xs) =>
+        val ys = xs.map(_._2); val n = BigInt(ys.length)
+        val varC2 = (n * ys.map(y => y * y).sum - ys.sum * ys.sum) / (n * n)
+        st -> (ys.length.toLong, varC2)
+      }
+    val sExp = pop.map { case (st, (n, v)) =>
+      var s = BigInt(math.sqrt(v.toDouble).toLong)
+      while (s * s > v) s -= 1
+      while ((s + 1) * (s + 1) <= v) s += 1
+      st -> (n, s.toLong)
+    }
+    got.foreach { case (st, nPop, sCents, _, _, _) =>
+      val (n, s) = sExp(st)
+      assert(nPop == n && sCents == s, s"stratum $st isqrt/n mismatch")
+    }
+    val wTot = sExp.values.map { case (n, s) => BigInt(n) * BigInt(s) }.sum
+    got.foreach { case (st, _, _, allocN, _, _) =>
+      val (n, s) = sExp(st)
+      val quota = BigDecimal(BigInt(1000) * BigInt(n) * BigInt(s)) / BigDecimal(wTot)
+      assert((BigDecimal(allocN) - quota).abs < 1,
+        s"stratum $st allocation $allocN strays >=1 from quota $quota")
+    }
+    val again = graft.operators.Sampling.neymanAlloc(spark, sf)
+    assert(a.exceptAll(again).count() == 0)
+    a.unpersist()
+  }
 }
