@@ -65,6 +65,8 @@ object SparkEntry {
     "q_copurchase" -> ((s: SparkSession, d: String) => AnalyticsExt.copurchase(s, d)),
     // Connected components (§2 #166)
     "q_components" -> ((s: SparkSession, d: String) => AnalyticsExt.components(s, d)),
+    // Personalized PageRank (§2 #227)
+    "q_ppr" -> ((s: SparkSession, d: String) => AnalyticsExt.personalizedPageRank(s, d)),
     // Incremental components: delta fold ≡ batch (§2 #225)
     "q_components_incremental" ->
       ((s: SparkSession, d: String) => AnalyticsExt.componentsIncremental(s, d)),
@@ -2989,6 +2991,45 @@ object SparkEntry {
     // the incremental fold's contract IS batch equality — shared oracle
     // (the #103/#138 pattern)
     "q_components_incremental" -> componentsOracle(maxRounds = 12),
+    "q_ppr" -> {
+      // PPR: teleport lands only on seed nodes (part % 100 = 0), the
+      // vector keeps zero-rank nodes via the left join; all-nonneg
+      // integer so // ≡ div
+      def round(prev: String, out: String) =
+        s"""$out AS MATERIALIZED (
+              SELECT a.part,
+                CAST((CASE WHEN a.part % 100 = 0
+                      THEN 15 * 100000000 // (100 * ns.n_seeds) ELSE 0 END)
+                     + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS r
+              FROM nodes a
+              LEFT JOIN (
+                SELECT e.dst AS part, sum(r.r * e.w // o.wout) AS cs
+                FROM edges e
+                JOIN outw o ON o.src = e.src
+                JOIN $prev r ON r.part = e.src
+                GROUP BY e.dst) c ON c.part = a.part, ns)"""
+      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         edges AS (SELECT part_a AS src, part_b AS dst, w FROM pairs
+                   UNION ALL SELECT part_b, part_a, w FROM pairs),
+         outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+         nodes AS (SELECT src AS part FROM outw),
+         ns AS (SELECT count(*) AS n_seeds FROM nodes WHERE part % 100 = 0),
+         r0 AS MATERIALIZED (
+           SELECT part, CAST(CASE WHEN part % 100 = 0
+             THEN 100000000 // ns.n_seeds ELSE 0 END AS BIGINT) AS r
+           FROM nodes, ns),
+         ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")}
+         SELECT part, ppr_e8, rank FROM (
+           SELECT part, r AS ppr_e8,
+             CAST(row_number() OVER (ORDER BY r DESC, part) AS BIGINT) AS rank
+           FROM r3)
+         WHERE rank <= 50"""
+    },
     "q_pagerank" -> {
       // three unrolled integer power iterations; `//` is floor division
       // on nonnegative ints = Spark's `div`

@@ -341,6 +341,88 @@ object AnalyticsExt {
     out
   }
 
+  /** #227 Personalized PageRank (PPR) over the co-purchase graph:
+    * random walks that TELEPORT back to a seed set instead of the
+    * uniform vector — "similar to THESE parts", the
+    * recommendation-from-context primitive (#124 ranks global
+    * centrality; PPR ranks closeness to the seeds). Seeds are the
+    * parts ≡ 0 (mod 100) among graph vertices — deterministic and
+    * corpus-proportional. Same all-integer e8 trajectory as #124
+    * (contributions `r·w div wout`, damping `(85·Σ) div 100`), with
+    * two PPR-specific differences: the teleport term lands ONLY on
+    * seeds, and the rank vector must keep zero-rank nodes alive (a
+    * left join against the vertex frame — dropping them would lose
+    * nodes that first receive mass in a later round).
+    *
+    * Scale shape: identical to #124 — pre-joined src-partitioned
+    * cached edges, one rank-vector join + dst-aggregation per round,
+    * lazy lineage cuts, caches released on exit.
+    */
+  def personalizedPageRank(
+      spark: SparkSession,
+      dir: String,
+      iters: Int = 3,
+      topK: Int = 50): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .cache()
+    def edges0(p: DataFrame) = p
+      .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
+      .unionAll(p.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
+    val outW = edges0(pairs).groupBy("src").agg(sum("w").as("wout"))
+    val edges = edges0(pairs).join(outW, "src").repartition(col("src")).cache()
+    val nodes = outW
+      .select(col("src").as("part"), (col("src") % 100 === 0).cast("long").as("is_seed"))
+      .localCheckpoint(eager = false)
+    val nSeedsDf = nodes.agg(sum("is_seed").as("n_seeds"))
+    var ranks = nodes
+      .crossJoin(broadcast(nSeedsDf))
+      .select(
+        col("part"),
+        expr("CAST(CASE WHEN is_seed = 1 THEN 100000000 div n_seeds ELSE 0 END AS BIGINT)")
+          .as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), expr("r * w div wout").as("c"))
+        .groupBy("part")
+        .agg(sum("c").as("cs"))
+      ranks = nodes
+        .join(contribs, Seq("part"), "left")
+        .crossJoin(broadcast(nSeedsDf))
+        .select(
+          col("part"),
+          expr("""CAST(CASE WHEN is_seed = 1 THEN 15 * 100000000 div (100 * n_seeds)
+                       ELSE 0 END
+                      + (85 * coalesce(cs, 0)) div 100 AS BIGINT)""").as("r"))
+        .localCheckpoint(false)
+    }
+    val out = ranks
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("r").desc, col("part"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("part"), col("r").as("ppr_e8"), col("rank"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
+    edges.unpersist()
+    out
+  }
+
   /** #166 Connected components over the co-purchase graph: which
     * parts form closed purchasing ecosystems — the graph primitive
     * under recommendation clustering, fraud rings, and the dedup

@@ -755,6 +755,39 @@ class AnalyticsExtSpec extends SparkSpec {
     core.unpersist()
   }
 
+  test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
+    val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
+    // scala integer replay over the collected edge list
+    val po = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = po.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    val edges = pairCount.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wout = edges.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val nodes = wout.keySet.toSeq.sorted
+    val nSeeds = nodes.count(_ % 100 == 0)
+    var r = nodes.map(p => p -> (if (p % 100 == 0) 100000000L / nSeeds else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val cs = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => r(s) * w / wout(s) }.sum
+      }
+      r = nodes.map { p =>
+        val tele = if (p % 100 == 0) 15L * 100000000L / (100L * nSeeds) else 0L
+        p -> (tele + 85L * cs.getOrElse(p, 0L) / 100L)
+      }.toMap
+    }
+    val expTop = r.toSeq.sortBy { case (p, v) => (-v, p) }.take(50)
+      .zipWithIndex.map { case ((p, v), i) => (p, v, i + 1L) }.toSet
+    val got = ppr.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == expTop, "ppr differs from the scala integer replay")
+    // every surfaced seed carries at least its teleport floor
+    val floorV = 15L * 100000000L / (100L * nSeeds)
+    assert(ppr.filter(col("part") % 100 === 0 && col("ppr_e8") < floorV).count() == 0)
+    ppr.unpersist()
+  }
+
   test("incremental components: delta fold equals the batch run frame-for-frame") {
     val inc = graft.operators.AnalyticsExt.componentsIncremental(spark, sf).cache()
     val batch = graft.operators.AnalyticsExt.components(spark, sf)
