@@ -518,22 +518,25 @@ object AnalyticsExt {
         .join(labels.select(col("part").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("part"))
         .agg(min("nl").as("m"))
+      // the round's OLD label rides along as `prev`, so the
+      // convergence check is a scan of the checkpointed frame — no
+      // extra join per round
       val hop = labels
         .join(nmin, Seq("part"), "left")
-        .select(col("part"), least(col("label"), coalesce(col("m"), col("label"))).as("label"))
+        .select(
+          col("part"),
+          col("label").as("prev"),
+          least(col("label"), coalesce(col("m"), col("label"))).as("label"))
       val next = (if (shortcut)
                     hop
                       .join(
                         hop.select(col("part").as("jp"), col("label").as("jl")),
                         col("label") === col("jp"))
-                      .select(col("part"), col("jl").as("label"))
+                      .select(col("part"), col("prev"), col("jl").as("label"))
                   else hop).localCheckpoint(eager = true)
       // bounded driver state: one scalar per round (did anything change?)
-      converged = labels
-        .join(next.select(col("part"), col("label").as("next_label")), "part")
-        .filter(col("label") =!= col("next_label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select("part", "label")
     }
     (labels, converged)
   }
