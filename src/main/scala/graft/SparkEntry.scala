@@ -70,6 +70,10 @@ object SparkEntry {
     // Incremental components: delta fold ≡ batch (§2 #225)
     "q_components_incremental" ->
       ((s: SparkSession, d: String) => AnalyticsExt.componentsIncremental(s, d)),
+    // HITS hubs/authorities on the bipartite purchase graph (§2 #228)
+    "q_hits" -> ((s: SparkSession, d: String) => AnalyticsExt.hits(s, d)),
+    // Degree assortativity of the co-purchase graph (§2 #229)
+    "q_assortativity" -> ((s: SparkSession, d: String) => AnalyticsExt.assortativity(s, d)),
     "q_mad_outliers" -> (Scale.madOutliers _),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
@@ -295,6 +299,12 @@ object SparkEntry {
     "q_quantile_norm" -> ((s: SparkSession, d: String) => AnalyticsExt.quantileNormalize(s, d)),
     // Lag-1 autocorrelation per series (§2 #202)
     "q_autocorr" -> (AnalyticsExt.autocorr _),
+    // Interval union coverage per supplier (§2 #230)
+    "q_interval_union" -> (AnalyticsExt.intervalUnion _),
+    // Lagged cross-correlation matrix (§2 #231)
+    "q_crosscorr" -> ((s: SparkSession, d: String) => AnalyticsExt.crossCorr(s, d)),
+    // Mann-Whitney AUC with exact tie handling (§2 #232)
+    "q_auc" -> ((s: SparkSession, d: String) => AnalyticsExt.auc(s, d)),
     // Seasonal-trend decomposition (§2 #221)
     "q_seasonal_decomp" -> (AnalyticsExt.seasonalDecomp _),
     // Seasonal-remainder MAD anomaly flags (§2 #223)
@@ -3030,6 +3040,76 @@ object SparkEntry {
            FROM r3)
          WHERE rank <= 50"""
     },
+    "q_hits" -> {
+      // two unrolled HITS iterations; each half-step is an exact
+      // BIGINT weighted sum + e6 max-normalization with floor
+      // division (nonneg, so // ≡ div)
+      def authStep(hPrev: String, out: String) =
+        s"""${out}r AS (SELECT e.part, sum(h.h * e.w) AS ar
+                        FROM edges e JOIN $hPrev h ON h.cust = e.cust
+                        GROUP BY e.part),
+            $out AS (SELECT part,
+                       CAST(ar * 1000000 // (SELECT max(ar) FROM ${out}r) AS BIGINT) AS a
+                     FROM ${out}r)"""
+      def hubStep(aPrev: String, out: String) =
+        s"""${out}r AS (SELECT e.cust, sum(a.a * e.w) AS hr
+                        FROM edges e JOIN $aPrev a ON a.part = e.part
+                        GROUP BY e.cust),
+            $out AS (SELECT cust,
+                       CAST(hr * 1000000 // (SELECT max(hr) FROM ${out}r) AS BIGINT) AS h
+                     FROM ${out}r)"""
+      s"""WITH edges AS (
+           SELECT o_custkey AS cust, l_partkey AS part, count(*) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM edges),
+         ${authStep("h0", "a1")}, ${hubStep("a1", "h1")},
+         ${authStep("h1", "a2")}, ${hubStep("a2", "h2")},
+         topa AS (SELECT 'authority' AS kind, part AS node, a AS score_e6,
+                    CAST(row_number() OVER (ORDER BY a DESC, part) AS BIGINT) AS rank
+                  FROM a2),
+         toph AS (SELECT 'hub' AS kind, cust AS node, h AS score_e6,
+                    CAST(row_number() OVER (ORDER BY h DESC, cust) AS BIGINT) AS rank
+                  FROM h2)
+         SELECT kind, node, score_e6, rank FROM topa WHERE rank <= 20
+         UNION ALL
+         SELECT kind, node, score_e6, rank FROM toph WHERE rank <= 20""".stripMargin
+    },
+    "q_assortativity" ->
+      // edge-level endpoint-degree Pearson moments in HUGEINT; the
+      // r2 quotient is the factored e3×e3 form (each factor ≤ 1000 by
+      // Cauchy-Schwarz, so no overflow where num² would)
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
+                   UNION ALL SELECT part_b, part_a FROM pairs),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         xy AS (SELECT ds.deg AS x, dd.deg AS y
+                FROM edges e
+                JOIN deg ds ON ds.src = e.src
+                JOIN deg dd ON dd.src = e.dst),
+         mom AS (SELECT count(*) AS m,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+                 FROM xy)
+         SELECT m,
+           CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+           CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+           CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
+           CAST((CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+             ((abs(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+               // (CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+              * (abs(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+                 // (CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)))
+           AS BIGINT) AS r2_signed_e6
+         FROM mom""",
     "q_pagerank" -> {
       // three unrolled integer power iterations; `//` is floor division
       // on nonnegative ints = Spark's `div`
@@ -4413,6 +4493,92 @@ object SparkEntry {
            d.med AS med_cents, m.mad AS mad_cents,
            CAST(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          FROM dev d JOIN madr m ON m.event_type = d.event_type""",
+    "q_interval_union" ->
+      // gaps-and-islands sweep replayed with the same per-supplier
+      // windows; endpoints least/greatest-normalized (the synthetic
+      // corpus ships some lines before the order date)
+      """WITH iv AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             least(epoch_us(o_orderdate), epoch_us(l_shipdate)) // 86400000000 AS s,
+             greatest(epoch_us(o_orderdate), epoch_us(l_shipdate)) // 86400000000 AS e
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         w AS (
+           SELECT *, max(e) OVER (PARTITION BY l_suppkey
+               ORDER BY s, e, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+           FROM iv),
+         flg AS (
+           SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                          THEN 1 ELSE 0 END AS is_new
+           FROM w),
+         isl AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY l_suppkey
+               ORDER BY s, e, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM flg),
+         mi AS (SELECT l_suppkey, island, min(s) AS is_, max(e) AS ie
+                FROM isl GROUP BY 1, 2)
+         SELECT l_suppkey AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(ie - is_ + 1) AS BIGINT) AS covered_days,
+           min(is_) AS first_day, max(ie) AS last_day
+         FROM mi GROUP BY 1""",
+    "q_auc" ->
+      // per-distinct-score counts + global negatives-below prefix;
+      // 2U keeps the half-tie term integer; HUGEINT quotient
+      """WITH s AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+           FROM orders),
+         bv AS (
+           SELECT v, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+           FROM s GROUP BY v),
+         cum AS (
+           SELECT v, n_pos, n_neg,
+             CAST(coalesce(sum(n_neg) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+           FROM bv),
+         agg AS (
+           SELECT CAST(sum(n_pos) AS BIGINT) AS n1, CAST(sum(n_neg) AS BIGINT) AS n0,
+             sum(CAST(n_pos AS HUGEINT) * (2 * cnb + n_neg)) AS u2,
+             CAST(sum(CASE WHEN n_pos > 0 AND n_neg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt
+           FROM cum)
+         SELECT n1 AS n_pos, n0 AS n_neg, nt AS n_tied_scores,
+           CAST((u2 * 1000000) // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_e6
+         FROM agg""",
+    "q_crosscorr" ->
+      // off-diagonal lagged Pearson family; same HUGEINT moment and
+      // factored-r2 discipline as q_autocorr
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, 3)),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.c AS x, b.c AS y
+           FROM daily a
+           CROSS JOIN lags l
+           JOIN daily b ON a.event_type < b.event_type AND b.day = a.day + l.lag),
+         agg AS (
+           SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM p GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, lag, m,
+           CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+           CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+           CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
+           CAST((CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+             ((abs(CAST(m * sxy - sx * sy AS HUGEINT)) * 1000
+               // CAST(m * sxx - sx * sx AS HUGEINT))
+              * (abs(CAST(m * sxy - sx * sy AS HUGEINT)) * 1000
+                 // CAST(m * syy - sy * sy AS HUGEINT)))
+             AS BIGINT) AS r2_signed_e6
+         FROM agg""",
     "q_autocorr" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -423,6 +423,353 @@ object AnalyticsExt {
     out
   }
 
+  /** #228 HITS hubs & authorities over the BIPARTITE customer→part
+    * purchase graph (Kleinberg 1999): authorities = parts bought by
+    * well-connected customers, hubs = customers who buy authoritative
+    * parts — the mutual-reinforcement pair that PageRank's single
+    * score collapses. The bipartite direction matters: on the
+    * symmetric co-purchase graph (#124's edge set) hubs and
+    * authorities degenerate to the same eigenvector, so this is the
+    * one graph query that genuinely needs the customer→part edges.
+    *
+    * All-integer trajectory (the #124/#227 discipline): hub scores
+    * start at e6; each half-step is an exact weighted BIGINT sum
+    * (`Σ h·w`, bounded by e6 × per-node line count — no overflow on
+    * either engine) followed by max-normalization back onto the e6
+    * grid with floor division (`raw * 1e6 div max`), so the whole
+    * 2-iteration trajectory is bit-identical in DuckDB's unrolled-CTE
+    * replay. Max-normalization (not L2) keeps it integer-exact and is
+    * scale-equivalent for the ranking.
+    *
+    * Scale shape: the edge list is built once (orders⋈lineitem, one
+    * shuffle) and cached TWICE — partitioned by `cust` for the
+    * authority half-step and by `part` for the hub half-step — so
+    * each round shuffles only the two score vectors, never the edges
+    * (the two-copy layout a real HITS deployment uses at 100 TB).
+    * The per-round max is a 1-row broadcast. Top-k per side via
+    * rank-filter; output is the two leaderboards in one frame.
+    */
+  def hits(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20): DataFrame = {
+    val edgesRaw = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("w"))
+    val edgesByCust = edgesRaw.repartition(col("cust")).cache()
+    val edgesByPart = edgesRaw.repartition(col("part")).cache()
+    var hubs = edgesByCust
+      .select(col("cust"))
+      .distinct()
+      .select(col("cust"), lit(1000000L).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = edgesByCust
+        .join(hubs, "cust")
+        .select(col("part"), expr("h * w").as("c"))
+        .groupBy("part")
+        .agg(sum("c").as("ar"))
+      val amax = araw.agg(max("ar").as("amax"))
+      auths = araw
+        .crossJoin(broadcast(amax))
+        .select(col("part"), expr("ar * 1000000 div amax").as("a"))
+        .localCheckpoint(false)
+      val hraw = edgesByPart
+        .join(auths, "part")
+        .select(col("cust"), expr("a * w").as("c"))
+        .groupBy("cust")
+        .agg(sum("c").as("hr"))
+      val hmax = hraw.agg(max("hr").as("hmax"))
+      hubs = hraw
+        .crossJoin(broadcast(hmax))
+        .select(col("cust"), expr("hr * 1000000 div hmax").as("h"))
+        .localCheckpoint(false)
+    }
+    val topA = auths
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("a").desc, col("part"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(
+        lit("authority").as("kind"),
+        col("part").as("node"),
+        col("a").as("score_e6"),
+        col("rank"))
+    val topH = hubs
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("h").desc, col("cust"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(lit("hub").as("kind"), col("cust").as("node"), col("h").as("score_e6"), col("rank"))
+    val out = topA.unionAll(topH).localCheckpoint(eager = true)
+    edgesByCust.unpersist()
+    edgesByPart.unpersist()
+    out
+  }
+
+  /** #229 Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees across edges — positive means
+    * popular parts co-occur with popular parts (hub-clustered
+    * baskets), negative means hubs bridge the periphery
+    * (Newman 2002). The one-number structural summary that tells a
+    * recommender whether the graph is core-periphery or assortative
+    * before it picks an embedding strategy.
+    *
+    * Exact integer moments: degrees are BIGINT neighbor counts from
+    * the symmetric support-filtered edge list (#166's graph); the
+    * edge-level (deg(src), deg(dst)) pairs feed the same
+    * DECIMAL(38,0)↔HUGEINT cross-product discipline as `autocorr` —
+    * raw 64-bit would wrap in Spark but raise in DuckDB once Σx·y
+    * crosses 2^63 — and r² ships as the factored e3×e3 signed
+    * quotient (Cauchy–Schwarz bounds each factor ≤ 10³, so the
+    * product never overflows where num² would).
+    *
+    * Scale: degree = one groupBy on the edge list; attaching both
+    * endpoint degrees = two joins keyed by src/dst; the moment
+    * aggregate is a single partial-agg pass — linear, no windows.
+    */
+  def assortativity(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = po
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg, "src")
+      .withColumnRenamed("deg", "x")
+      .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "y"), "dst")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(
+        col("m"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("num"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+          .as("den_x"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("den_y"),
+        expr("""CAST(CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END *
+                 ((abs(CAST(m * sxy - sx * sy AS DECIMAL(38,0))) * 1000
+                   div CAST(m * sxx - sx * sx AS DECIMAL(38,0)))
+                  * (abs(CAST(m * sxy - sx * sy AS DECIMAL(38,0))) * 1000
+                     div CAST(m * syy - sy * sy AS DECIMAL(38,0))))
+                AS BIGINT)""").as("r2_signed_e6"))
+  }
+
+  /** #230 Interval union coverage (sweep-line as windows): per
+    * supplier, the number of distinct calendar days covered by the
+    * UNION of its lineitems' [order-date, ship-date] activity
+    * intervals, plus the count of merged disjoint intervals —
+    * the dedup-aware utilization metric (summing raw durations
+    * double-counts overlap; the union is what capacity planning and
+    * SLA exposure actually need). The synthetic corpus ships some
+    * lines before the order date, so endpoints are normalized with
+    * least/greatest — every interval is well-formed by construction.
+    *
+    * The classic sweep line is sequential; its distributed form is
+    * gaps-and-islands: order intervals by start WITHIN each supplier,
+    * an interval starts a new island iff its start exceeds the
+    * running max end of all prior intervals, island id = running
+    * count of starts, then one (supplier, island) aggregate gives
+    * each merged interval and a supplier aggregate sums coverage.
+    * Every window is partitioned by supplier — no global windows, and
+    * per-supplier row counts are the natural partition grain at
+    * 100 TB (skewed suppliers are still single-key bounded).
+    * Inclusive-day lengths; all integer epoch-day arithmetic, µs
+    * division identical in both engines.
+    */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val iv = Tables
+      .lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr(s"""least(unix_micros(CAST(o_orderdate AS TIMESTAMP)),
+                       unix_micros(CAST(l_shipdate AS TIMESTAMP))) div ${usPerDay}L""")
+          .as("s"),
+        expr(s"""greatest(unix_micros(CAST(o_orderdate AS TIMESTAMP)),
+                          unix_micros(CAST(l_shipdate AS TIMESTAMP))) div ${usPerDay}L""")
+          .as("e"))
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("s"), col("e"), col("l_orderkey"), col("l_linenumber"))
+    val islands = iv
+      .withColumn(
+        "prev_max_e",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "is_new",
+        (col("prev_max_e").isNull || col("s") > col("prev_max_e")).cast("long"))
+      .withColumn("island", sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(min("s").as("is_"), max("e").as("ie"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("ie") - col("is_") + 1).as("covered_days"),
+        min("is_").as("first_day"),
+        max("ie").as("last_day"))
+  }
+
+  /** #232 AUC / Mann-Whitney rank test: does order value separate
+    * finished orders from the rest? The threshold-free classifier
+    * metric (equivalently: the probability a random positive
+    * outscores a random negative), computed EXACTLY with the tie
+    * convention (ties count ½) — the quantity sklearn's
+    * roc_auc_score estimates, on the integer grid.
+    *
+    * Scale shape: rows collapse to per-distinct-score (n_pos, n_neg)
+    * counts first — the frame the rank math runs on is bounded by
+    * score cardinality, not row count. The global "negatives below
+    * this score" prefix is built hierarchically: a monotone
+    * score-range shard + within-shard cumsum + an ≤nShards-row shard
+    * offset carry (the #180 Gini construction — no global data
+    * window). 2U = Σ n_pos·(2·cum_neg_below + n_neg) keeps the ½-tie
+    * term integer; the e6 quotient runs through DECIMAL(38,0) ↔
+    * HUGEINT because 2·n₁·n₀·10⁶ crosses 2⁶³ far below 100 TB scale.
+    */
+  def auc(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val byVal = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"))
+      .groupBy("v")
+      .agg(sum("pos").as("n_pos"), (count(lit(1)) - sum("pos")).as("n_neg"))
+    val bounds = byVal.agg(min("v").as("lo"), max("v").as("hi"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((v - lo) * $nShards) div (hi - lo + 1)"))
+      .localCheckpoint(eager = false)
+    val local = sharded.withColumn(
+      "local_below",
+      coalesce(
+        sum("n_neg").over(
+          Window.partitionBy("shard").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("n_neg").as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    local
+      .join(broadcast(offsets), "shard")
+      .withColumn("cnb", col("off") + col("local_below"))
+      .agg(
+        sum("n_pos").as("n1"),
+        sum("n_neg").as("n0"),
+        sum(expr("CAST(n_pos AS DECIMAL(38,0)) * (2 * cnb + n_neg)")).as("u2"),
+        sum(expr("CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN 1 ELSE 0 END AS BIGINT)"))
+          .as("nt"))
+      .select(
+        col("n1").as("n_pos"),
+        col("n0").as("n_neg"),
+        col("nt").as("n_tied_scores"),
+        expr("""CAST((u2 * 1000000)
+                 div (2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)""").as("auc_e6"))
+  }
+
+  /** #231 Lagged cross-correlation matrix: Pearson r² between every
+    * unordered pair of event types' daily-spend series at lags
+    * 0/1/2 days — the lead-lag screen ("do clicks predict purchases
+    * two days later?") that decides which features deserve a model.
+    * #202's autocorrelation is the diagonal of this matrix; this is
+    * the off-diagonal family.
+    *
+    * Same exact-integer discipline as #202: daily cents series, one
+    * lag-offset equi-join per (pair, lag) — the join key is the
+    * shifted day, so it stays an equi-join after the 3-lag explode —
+    * and all moment cross products in DECIMAL(38,0) ↔ HUGEINT with
+    * the factored e3×e3 signed r² quotient. The daily frame is tiny
+    * (series × days) and lineage-cut once; the pair×lag fan-out is
+    * alphabet-bounded (types² · lags), never row-bounded.
+    */
+  def crossCorr(spark: SparkSession, dir: String, maxLag: Int = 2): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      .localCheckpoint(eager = false)
+    val lags = spark.range(0, maxLag + 1).select(col("id").as("lag"))
+    val pairs = daily
+      .alias("a")
+      .crossJoin(broadcast(lags))
+      .join(
+        daily.alias("b"),
+        col("a.event_type") < col("b.event_type") &&
+          col("b.day") === col("a.day") + col("lag"))
+      .select(
+        col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("lag"),
+        col("a.c").as("x"),
+        col("b.c").as("y"))
+    pairs
+      .groupBy("type_a", "type_b", "lag")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("lag"),
+        col("m"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("num"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+          .as("den_x"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("den_y"),
+        expr("""CAST(CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END *
+                 ((abs(CAST(m * sxy - sx * sy AS DECIMAL(38,0))) * 1000
+                   div CAST(m * sxx - sx * sx AS DECIMAL(38,0)))
+                  * (abs(CAST(m * sxy - sx * sy AS DECIMAL(38,0))) * 1000
+                     div CAST(m * syy - sy * sy AS DECIMAL(38,0))))
+                AS BIGINT)""").as("r2_signed_e6"))
+  }
+
   /** #166 Connected components over the co-purchase graph: which
     * parts form closed purchasing ecosystems — the graph primitive
     * under recommendation clustering, fraud rings, and the dedup

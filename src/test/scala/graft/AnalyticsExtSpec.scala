@@ -906,4 +906,180 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(got.keySet == types.toSet)
   }
+
+  test("hits: exact integer replay of the 2-iteration trajectory; both leaderboards") {
+    val got = AnalyticsExt.hits(spark, sf).cache()
+    // scala replay over the collected bipartite edge list
+    val ords = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect()
+      .flatMap(r => ords.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .groupBy(identity)
+      .map { case ((c, p), xs) => (c, p, xs.length.toLong) }
+      .toSeq
+    var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 2) {
+      val ar = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map { case (c, _, w) => h(c) * w }.sum
+      }
+      val amax = ar.values.max
+      a = ar.map { case (p, v) => p -> v * 1000000L / amax }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map { case (_, p, w) => a(p) * w }.sum
+      }
+      val hmax = hr.values.max
+      h = hr.map { case (c, v) => c -> v * 1000000L / hmax }
+    }
+    def top(m: Map[Long, Long], kind: String) = m.toSeq
+      .sortBy { case (n, v) => (-v, n) }.take(20)
+      .zipWithIndex.map { case ((n, v), i) => (kind, n, v, i + 1L) }
+    val exp = (top(a, "authority") ++ top(h, "hub")).toSet
+    val g = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(g == exp, "hits differs from the scala integer replay")
+    // each normalization pins at least one score to exactly 1e6
+    assert(got.filter(col("kind") === "authority" && col("score_e6") === 1000000L).count() >= 1)
+    assert(got.filter(col("kind") === "hub" && col("score_e6") === 1000000L).count() >= 1)
+    got.unpersist()
+  }
+
+  test("assortativity: exact moments match a scala replay; r2 within the e6 bound") {
+    val row = AnalyticsExt.assortativity(spark, sf).collect().head
+    val po = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = po.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).iterator.collect { case (e, xs) if xs.size >= 2 => e }.toSeq
+    val sym = pairs.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    val deg = sym.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    val xy = sym.map { case (s, d) => (deg(s), deg(d)) }
+    val m = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val num = BigInt(m) * sxy - BigInt(sx) * sy
+    val denx = BigInt(m) * sxx - BigInt(sx) * sx
+    val deny = BigInt(m) * syy - BigInt(sy) * sy
+    assert(row.getLong(0) == m)
+    assert(row.getLong(1) == num.toLong && row.getLong(2) == denx.toLong
+      && row.getLong(3) == deny.toLong)
+    val sign = if (num < 0) -1L else 1L
+    val expR2 = sign * ((num.abs * 1000 / denx) * (num.abs * 1000 / deny)).toLong
+    assert(row.getLong(4) == expR2)
+    assert(math.abs(row.getLong(4)) <= 1000000)
+    // symmetric edge list: the x and y marginals coincide
+    assert(sx == sy && denx == deny)
+  }
+
+  test("interval union: scala sweep replay; coverage bounded by span and by raw sum") {
+    val got = AnalyticsExt.intervalUnion(spark, sf).cache()
+    val usPerDay = 86400000000L
+    val ords = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS od")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val ivs = Tables.lineitem(spark, sf)
+      .selectExpr("l_suppkey", "l_orderkey", "unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS sd")
+      .collect()
+      .flatMap { r =>
+        ords.get(r.getLong(1)).map { od =>
+          val sd = r.getLong(2)
+          val s = math.min(od, sd); val e = math.max(od, sd)
+          (r.getLong(0), s / usPerDay, e / usPerDay)
+        }
+      }
+    val exp = ivs.groupBy(_._1).map { case (supp, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
+      // sequential sweep merge
+      var merged = List.empty[(Long, Long)]
+      sorted.foreach { case (s, e) =>
+        merged match {
+          case (ms, me) :: rest if s <= me => merged = (ms, math.max(me, e)) :: rest
+          case _ => merged = (s, e) :: merged
+        }
+      }
+      val cov = merged.map { case (s, e) => e - s + 1 }.sum
+      supp -> (merged.size.toLong, cov, sorted.map(_._1).min, merged.map(_._2).max)
+    }
+    val g = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(g == exp, "interval union differs from the sequential sweep replay")
+    // coverage never exceeds the span, never exceeds the raw inclusive sum
+    got.collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(4) - r.getLong(3) + 1)
+    }
+    got.unpersist()
+  }
+
+  test("auc: matches a direct scala replay with the half-tie convention") {
+    val row = AnalyticsExt.auc(spark, sf).collect().head
+    val scored = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v",
+        "o_orderstatus = 'F' AS pos")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val n1 = scored.count(_._2).toLong
+    val n0 = scored.length - n1
+    // 2U = sum over positives of (2 * #neg strictly below + #neg tied)
+    val negByV = scored.filter(!_._2).groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    var u2 = BigInt(0)
+    scored.filter(_._2).foreach { case (v, _) =>
+      val below = negByV.toSeq.filter(_._1 < v).map(_._2).sum
+      val tied = negByV.getOrElse(v, 0L)
+      u2 += 2L * below + tied
+    }
+    val expAuc = (u2 * 1000000 / (BigInt(2) * n1 * n0)).toLong
+    assert(row.getLong(0) == n1 && row.getLong(1) == n0)
+    assert(row.getLong(3) == expAuc, "auc differs from the scala replay")
+    assert(row.getLong(3) >= 0 && row.getLong(3) <= 1000000)
+    // n_tied_scores counts score values carrying both classes
+    val posV = scored.filter(_._2).map(_._1).toSet
+    assert(row.getLong(2) == posV.intersect(negByV.keySet).size.toLong)
+  }
+
+  test("crosscorr: lag-0 moments symmetric; every pair/lag matches a scala replay") {
+    val got = AnalyticsExt.crossCorr(spark, sf).cache()
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type", "day").agg(sum("cents").as("c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    val rows = got.collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    for {
+      i <- types.indices; j <- i + 1 until types.length
+      lag <- 0L to 2L
+    } {
+      val (ta, tb) = (types(i), types(j))
+      val sa = daily.collect { case ((`ta`, d), c) => (d, c) }.toMap
+      val sb = daily.collect { case ((`tb`, d), c) => (d, c) }.toMap
+      val pairs = sa.toSeq.flatMap { case (d, x) => sb.get(d + lag).map(y => (x, y)) }
+      val m = pairs.length.toLong
+      if (m > 0) {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        val num = BigInt(m) * sxy - BigInt(sx) * sy
+        val denx = BigInt(m) * sxx - BigInt(sx) * sx
+        val deny = BigInt(m) * syy - BigInt(sy) * sy
+        val sign = if (num < 0) -1L else 1L
+        val expR2 = sign * ((num.abs * 1000 / denx) * (num.abs * 1000 / deny)).toLong
+        val (gm, gn, gdx, gdy, gr2) = rows((ta, tb, lag))
+        assert(gm == m && gn == num.toLong && gdx == denx.toLong && gdy == deny.toLong,
+          s"pair ($ta,$tb) lag $lag moments")
+        assert(gr2 == expR2, s"pair ($ta,$tb) lag $lag r2")
+      }
+    }
+    // all 10 unordered pairs at 3 lags surface on the test corpus
+    assert(got.count() == types.length.toLong * (types.length - 1) / 2 * 3)
+    got.unpersist()
+  }
 }
