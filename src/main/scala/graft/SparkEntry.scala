@@ -305,6 +305,16 @@ object SparkEntry {
     "q_crosscorr" -> ((s: SparkSession, d: String) => AnalyticsExt.crossCorr(s, d)),
     // Mann-Whitney AUC with exact tie handling (§2 #232)
     "q_auc" -> ((s: SparkSession, d: String) => AnalyticsExt.auc(s, d)),
+    // Calibration / reliability bins (§2 #233)
+    "q_calibration" -> ((s: SparkSession, d: String) => AnalyticsExt.calibration(s, d)),
+    // Kaplan-Meier survival curve with right-censoring (§2 #234)
+    "q_kaplan_meier" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.kaplanMeier(s, d, KmCensorMonths)),
+    // SAX motif discovery over daily series (§2 #235)
+    "q_sax_motifs" -> (AnalyticsExt.saxMotifs _),
+    // Time-constrained funnel (§2 #236)
+    "q_funnel_windowed" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.funnelWindowed(s, d, FunnelWindowDays)),
     // Seasonal-trend decomposition (§2 #221)
     "q_seasonal_decomp" -> (AnalyticsExt.seasonalDecomp _),
     // Seasonal-remainder MAD anomaly flags (§2 #223)
@@ -4547,6 +4557,111 @@ object SparkEntry {
          SELECT n1 AS n_pos, n0 AS n_neg, nt AS n_tied_scores,
            CAST((u2 * 1000000) // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_e6
          FROM agg""",
+    "q_calibration" ->
+      // equal-width cents bins via min/max scalars; e6 rate and floor
+      // mean quotients — nonneg, // ≡ div
+      """WITH s AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+           FROM orders),
+         b AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+         binned AS (SELECT ((v - lo) * 10) // (hi - lo + 1) AS bin, v, pos FROM s, b),
+         agg AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(v) AS BIGINT) AS sv
+           FROM binned GROUP BY bin)
+         SELECT bin, n, n_pos,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_e6,
+           CAST(sv // n AS BIGINT) AS mean_cents
+         FROM agg""",
+    "q_kaplan_meier" ->
+      // identical integer survival trajectory replayed as a recursive
+      // CTE: S_t = S_{t-1} * (n_t - d_t) // n_t from S = 1e6; censor
+      // horizon interpolated from the same KmCensorMonths constant
+      s"""WITH bycust AS (
+           SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0,
+             max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m1
+           FROM orders GROUP BY o_custkey),
+         mm AS (SELECT max(m1) AS mmax FROM bycust),
+         lifes AS (
+           SELECT CAST(m1 - m0 AS BIGINT) AS t,
+             CASE WHEN m1 < mmax - $KmCensorMonths THEN 1 ELSE 0 END AS death
+           FROM bycust, mm),
+         byt AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(death) AS BIGINT) AS d
+                 FROM lifes GROUP BY t),
+         risk AS (
+           SELECT t, d,
+             CAST(sum(cnt) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+           FROM byt),
+         km AS (
+           WITH RECURSIVE rec(i, t, n, d, surv) AS (
+             SELECT i, t, n, d, CAST(1000000 * (n - d) // n AS BIGINT)
+             FROM risk WHERE i = 1
+             UNION ALL
+             SELECT s.i, s.t, s.n, s.d, CAST(k.surv * (s.n - s.d) // s.n AS BIGINT)
+             FROM risk s JOIN rec k ON s.i = k.i + 1)
+           SELECT * FROM rec)
+         SELECT t, n AS n_risk, d, surv AS surv_e6 FROM km""",
+    "q_sax_motifs" ->
+      // quartile symbols under the (value, day) total order; 3-day
+      // contiguous words; top-1 per series with (count, word) tiebreak
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         sym AS (
+           SELECT event_type, day,
+             CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY c, day) AS BIGINT) AS s
+           FROM daily),
+         ld AS (
+           SELECT event_type, day, s,
+             lead(s, 1) OVER w AS s2, lead(s, 2) OVER w AS s3,
+             lead(day, 1) OVER w AS d2, lead(day, 2) OVER w AS d3
+           FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         words AS (
+           SELECT event_type, s * 100 + s2 * 10 + s3 AS word
+           FROM ld
+           WHERE s3 IS NOT NULL AND d2 = day + 1 AND d3 = day + 2),
+         counts AS (
+           SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM words GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_words FROM words GROUP BY 1),
+         ranked AS (
+           SELECT event_type, word, n_occurrences,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n_occurrences DESC, word) AS rk
+           FROM counts)
+         SELECT r.event_type, r.word AS motif, r.n_occurrences, t.n_words
+         FROM ranked r JOIN totals t ON t.event_type = r.event_type
+         WHERE r.rk = 1""",
+    "q_funnel_windowed" -> {
+      // greedy earliest-chain with step windows (µs) interpolated
+      // from the same FunnelWindowDays constant as the Spark call
+      val usW = FunnelWindowDays * 86400000000L
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         signup AS (SELECT user_id, min(ts) AS signup_ts FROM ev
+                    WHERE event_type = 'signup' GROUP BY user_id),
+         engaged AS (
+           SELECT e.user_id, min(e.ts) AS engage_ts
+           FROM ev e JOIN signup s ON s.user_id = e.user_id
+           WHERE e.event_type IN ('click', 'view')
+             AND e.ts > s.signup_ts AND e.ts <= s.signup_ts + $usW
+           GROUP BY e.user_id),
+         converted AS (
+           SELECT e.user_id, min(e.ts) AS convert_ts
+           FROM ev e JOIN engaged g ON g.user_id = e.user_id
+           WHERE e.event_type = 'purchase'
+             AND e.ts > g.engage_ts AND e.ts <= g.engage_ts + $usW
+           GROUP BY e.user_id)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM signup) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM engaged) AS n_engaged_7d,
+           (SELECT CAST(count(*) AS BIGINT) FROM converted) AS n_converted_7d"""
+    },
     "q_crosscorr" ->
       // off-diagonal lagged Pearson family; same HUGEINT moment and
       // factored-r2 discipline as q_autocorr
@@ -4644,6 +4759,14 @@ object SparkEntry {
     * precedent).
     */
   private val BootstrapB = 100
+
+  /** KM right-censor horizon (months) and funnel step window (days) —
+    * the Spark calls and the DuckDB oracles derive from these same
+    * constants (the BootstrapB precedent: changing one cannot
+    * silently break hash parity).
+    */
+  private val KmCensorMonths = 2
+  private val FunnelWindowDays = 7
 
   /** Embedding dimensionality of the driver's `embeddings.parquet`
     * (`TESTDATA.md`). Single source of truth for every oracle whose

@@ -770,6 +770,190 @@ object AnalyticsExt {
                 AS BIGINT)""").as("r2_signed_e6"))
   }
 
+  /** #233 Calibration / reliability bins: bucket order value into 10
+    * equal-width bins and report the observed finished-order rate per
+    * bin — the reliability diagram that pairs with #232's AUC (AUC
+    * says the score RANKS well; calibration says whether its
+    * magnitude MEANS anything). Equal-width bins on the cents grid
+    * keep the whole query integer-exact: bucket = (v−lo)·10 div
+    * span via a 1-row min/max broadcast, rates on the e6 grid, mean
+    * score as a floor quotient. One scan + one 10-row aggregate — no
+    * windows, no sort, linear at any scale.
+    */
+  def calibration(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val scored = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"))
+    val bounds = scored.agg(min("v").as("lo"), max("v").as("hi"))
+    scored
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((v - lo) * $nBins) div (hi - lo + 1)"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("pos").as("n_pos"),
+        sum("v").as("sv"))
+      .select(
+        col("bin"),
+        col("n"),
+        col("n_pos"),
+        expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("pos_rate_e6"),
+        expr("CAST(sv div n AS BIGINT)").as("mean_cents"))
+  }
+
+  /** #234 Kaplan–Meier survival curve of customer lifetime: S(t) =
+    * P(customer still active t months after acquisition), with
+    * right-censoring for customers whose last order lands within the
+    * censor horizon of the corpus end (they are "still alive" — a
+    * naive churn-rate curve counts them as dead and biases survival
+    * down; KM's at-risk denominators are exactly the fix,
+    * Kaplan & Meier 1958). The retention capstone next to #87's
+    * cohort counts and #216's LTV triangle.
+    *
+    * All-integer: lifetimes in whole months (year·12+month indices),
+    * the survival product runs on the e6 grid with stepwise floor
+    * division S_t = S_{t−1}·(n_t − d_t) div n_t — sequential by
+    * definition, but the step table is CALENDAR-BOUNDED (≤ #months
+    * rows), so the fold happens inside one collected array scalar
+    * via codegen'd higher-order `aggregate` over `slice` — bounded
+    * model state, the k-means-centroid pattern, never a row-scale
+    * collect. The at-risk suffix sum is one window over the same
+    * bounded per-month aggregate (documented in
+    * PlanDisciplineSpec). The DuckDB oracle replays the identical
+    * trajectory as a recursive CTE.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String, censorMonths: Int = 2): DataFrame = {
+    val byCust = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").cast("long").as("m"))
+      .groupBy("o_custkey")
+      .agg(min("m").as("m0"), max("m").as("m1"))
+    val corpusMax = byCust.agg(max("m1").as("mmax"))
+    val lifes = byCust
+      .crossJoin(broadcast(corpusMax))
+      .select(
+        (col("m1") - col("m0")).as("t"),
+        (col("m1") < col("mmax") - censorMonths).cast("long").as("death"))
+    val byT = lifes
+      .groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum("death").as("d"))
+    val withRisk = byT
+      .withColumn(
+        "n",
+        sum("cnt").over(
+          Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(col("t"), col("n"), col("d"))
+    // bounded (≤ #calendar-months) step table → one array scalar; the
+    // e6 survival fold is a codegen'd higher-order aggregate per step
+    withRisk
+      .agg(expr("sort_array(collect_list(named_struct('t', t, 'n', n, 'd', d)))").as("steps"))
+      .select(
+        explode(
+          expr("""transform(steps, (x, i) -> named_struct(
+                    't', x.t, 'n_risk', x.n, 'd', x.d,
+                    'surv_e6', aggregate(slice(steps, 1, i + 1), 1000000L,
+                                 (acc, y) -> acc * (y.n - y.d) div y.n)))"""))
+          .as("s"))
+      .select(col("s.t"), col("s.n_risk"), col("s.d"), col("s.surv_e6"))
+  }
+
+  /** #235 SAX motif discovery: symbolize each event type's daily
+    * cents series into value quartiles (the SAX alphabet, Lin et al.
+    * 2003 — rank-based, so no float breakpoints) and count 3-day
+    * sliding words over CONTIGUOUS days; the top word per series is
+    * its dominant weekly micro-shape ("rise-rise-fall"), the motif
+    * primitive behind time-series indexing and anomaly grammars.
+    *
+    * Exact/deterministic: quartile symbol = ntile(4) under the
+    * (value, day) total order — identical assignment in both engines;
+    * words from two day-ordered leads with day-contiguity guards (a
+    * gap breaks the word, as SAX requires); word encoded as the
+    * integer s₁·100 + s₂·10 + s₃. All windows partitioned by
+    * event_type; the top-1 pick is a rank with (count desc, word)
+    * tiebreak inside the alphabet-bounded (type × ≤64 words) count
+    * frame.
+    */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+    val sym = daily.withColumn(
+      "s",
+      ntile(4).over(Window.partitionBy("event_type").orderBy(col("c"), col("day"))).cast("long"))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val words = sym
+      .withColumn("s2", lead("s", 1).over(wDay))
+      .withColumn("s3", lead("s", 2).over(wDay))
+      .withColumn("d2", lead("day", 1).over(wDay))
+      .withColumn("d3", lead("day", 2).over(wDay))
+      .filter(
+        col("s3").isNotNull &&
+          col("d2") === col("day") + 1 && col("d3") === col("day") + 2)
+      .select(col("event_type"), (col("s") * 100 + col("s2") * 10 + col("s3")).as("word"))
+    val counts = words
+      .groupBy("event_type", "word")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val totals = words.groupBy("event_type").agg(count(lit(1)).as("n_words"))
+    counts
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy("event_type").orderBy(col("n_occurrences").desc, col("word"))))
+      .filter(col("rk") === 1)
+      .join(totals, "event_type")
+      .select(col("event_type"), col("word").as("motif"), col("n_occurrences"), col("n_words"))
+  }
+
+  /** #236 Time-constrained funnel: signup → engagement → purchase
+    * where EACH step must land within 7 days of the previous one —
+    * the product-analytics funnel semantics (#18's funnel counts
+    * "eventually converted"; this counts "converted while the intent
+    * was live", which is what activation metrics actually mean).
+    * Greedy earliest-chain semantics: the first engagement inside the
+    * signup window anchors the purchase window — deterministic and
+    * the convention funnel tools use.
+    *
+    * Same scale shape as #18: per-user min aggregates chained by
+    * user_id-keyed joins with the window predicate pushed into the
+    * join filter — linear, no windows, no self-joins on raw events.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val usWindow = windowDays * 86400000000L
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+    val signup = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("ts").as("signup_ts"))
+    val engaged = ev
+      .filter(col("event_type").isin("click", "view"))
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts") && col("ts") <= col("signup_ts") + usWindow)
+      .groupBy("user_id")
+      .agg(min("ts").as("engage_ts"))
+    val converted = ev
+      .filter(col("event_type") === "purchase")
+      .join(engaged, "user_id")
+      .filter(col("ts") > col("engage_ts") && col("ts") <= col("engage_ts") + usWindow)
+      .groupBy("user_id")
+      .agg(min("ts").as("convert_ts"))
+    signup
+      .agg(count(lit(1)).as("n_signup"))
+      .crossJoin(engaged.agg(count(lit(1)).as("n_engaged_7d")))
+      .crossJoin(converted.agg(count(lit(1)).as("n_converted_7d")))
+  }
+
   /** #166 Connected components over the co-purchase graph: which
     * parts form closed purchasing ecosystems — the graph primitive
     * under recommendation clustering, fraud rings, and the dedup

@@ -1082,4 +1082,125 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(got.count() == types.length.toLong * (types.length - 1) / 2 * 3)
     got.unpersist()
   }
+
+  test("calibration: bins partition the orders; rates exact; bin count bounded") {
+    val got = AnalyticsExt.calibration(spark, sf).cache()
+    val scored = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v",
+        "o_orderstatus = 'F' AS pos")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val lo = scored.map(_._1).min; val hi = scored.map(_._1).max
+    val exp = scored.groupBy { case (v, _) => (v - lo) * 10 / (hi - lo + 1) }.map {
+      case (bin, xs) =>
+        val n = xs.length.toLong; val np = xs.count(_._2).toLong
+        val sv = xs.map(_._1).sum
+        bin -> (n, np, np * 1000000L / n, sv / n)
+    }
+    val g = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(g == exp, "calibration differs from the scala replay")
+    assert(g.values.map(_._1).sum == scored.length.toLong)
+    assert(g.keySet.forall(b => b >= 0 && b <= 9))
+    got.unpersist()
+  }
+
+  test("kaplan meier: sequential scala fold replay; monotone non-increasing survival") {
+    val got = AnalyticsExt.kaplanMeier(spark, sf).cache()
+    val byCust = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+      .groupBy(_._1).map { case (c, xs) => c -> (xs.map(_._2).min, xs.map(_._2).max) }
+    val mmax = byCust.values.map(_._2).max
+    val lifes = byCust.values.toSeq.map { case (m0, m1) =>
+      (m1 - m0, if (m1 < mmax - 2) 1L else 0L)
+    }
+    val byT = lifes.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    var surv = 1000000L
+    val exp = byT.zipWithIndex.map { case ((t, _, d), i) =>
+      val n = byT.drop(i).map(_._2).sum // at-risk: lifetimes >= t
+      surv = surv * (n - d) / n
+      (t, n, d, surv)
+    }.toSet
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(g == exp, "KM curve differs from the sequential scala fold")
+    // survival is non-increasing in t and within [0, 1e6]
+    val byTime = got.collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    byTime.sliding(2).foreach {
+      case Array((_, s1), (_, s2)) => assert(s2 <= s1, "survival must be non-increasing")
+      case _ =>
+    }
+    assert(byTime.forall { case (_, s) => s >= 0 && s <= 1000000 })
+    // at-risk at the earliest observed lifetime equals the full cohort
+    val minT = byTime.head._1
+    assert(got.filter(col("t") === minT).collect().head.getLong(1) == byCust.size.toLong)
+    got.unpersist()
+  }
+
+  test("sax motifs: scala replay of symbolization and word counts; one motif per type") {
+    val got = AnalyticsExt.saxMotifs(spark, sf).cache()
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type", "day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = daily.groupBy(_._1).map { case (t, rows) =>
+      // ntile(4) under the (c, day) total order
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      val sym = sorted.zipWithIndex.map { case ((_, day, _), i) =>
+        // ntile bucket for 0-based rank i of n rows
+        val big = n % 4; val base = n / 4
+        val s = if (big == 0) i / base + 1
+        else if (i < (base + 1) * big) i / (base + 1) + 1
+        else big + (i - (base + 1) * big) / base + 1
+        day -> s.toLong
+      }.toMap
+      val days = rows.map(_._2).sorted
+      val words = days.flatMap { d =>
+        if (sym.contains(d + 1) && sym.contains(d + 2))
+          Some(sym(d) * 100 + sym(d + 1) * 10 + sym(d + 2))
+        else None
+      }
+      val top = words.groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+        .toSeq.sortBy { case (w, c) => (-c, w) }.head
+      t -> (top._1, top._2, words.length.toLong)
+    }
+    val g = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(g == exp, "sax motifs differ from the scala replay")
+    assert(g.keySet == daily.map(_._1).toSet)
+    got.unpersist()
+  }
+
+  test("funnel windowed: nested within the unconstrained funnel; scala replay") {
+    val gotRow = AnalyticsExt.funnelWindowed(spark, sf).collect().head
+    val free = graft.operators.Analytics.funnel(spark, sf).collect().head
+    // time-constrained stages can never exceed the unconstrained ones
+    assert(gotRow.getLong(0) == free.getLong(0), "signup stage has no window")
+    assert(gotRow.getLong(1) <= free.getLong(1))
+    // scala replay of the greedy chain
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000 AS ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val w = 7L * 86400000000L
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1).map {
+      case (u, xs) => u -> xs.map(_._2).min
+    }
+    val engaged = ev.filter(e => Set("click", "view")(e._3))
+      .flatMap { case (u, ts, _) =>
+        signup.get(u).filter(s => ts > s && ts <= s + w).map(_ => (u, ts))
+      }
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val converted = ev.filter(_._3 == "purchase")
+      .flatMap { case (u, ts, _) =>
+        engaged.get(u).filter(g0 => ts > g0 && ts <= g0 + w).map(_ => u)
+      }
+      .distinct
+    assert(gotRow.getLong(0) == signup.size.toLong)
+    assert(gotRow.getLong(1) == engaged.size.toLong)
+    assert(gotRow.getLong(2) == converted.length.toLong)
+  }
 }

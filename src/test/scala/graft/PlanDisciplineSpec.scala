@@ -50,7 +50,9 @@ class PlanDisciplineSpec extends SparkSpec {
         "replica-mean ranking over a PER-REPLICA aggregate: exactly B=100 rows"),
       "q_zorder_stats" -> (3 ->
         ("exact-ntile oracle mode by design; the 100 TB path is " +
-          "zorderStats(scaleMode=true), pinned window-free by ScaleSpec")))
+          "zorderStats(scaleMode=true), pinned window-free by ScaleSpec")),
+      "q_kaplan_meier" -> (1 ->
+        "at-risk suffix sum over a PER-LIFETIME-MONTH aggregate: <= #calendar-months rows"))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {
