@@ -273,6 +273,11 @@ object SparkEntry {
     "cdc_state_ttl" -> (Cdc.stateTtlAudit _),
     // Watermark lateness audit (§2 #188)
     "cdc_watermark_lateness" -> ((s: SparkSession, d: String) => Cdc.watermarkLateness(s, d)),
+    // Out-of-order repair audit with planted late delivery (§2 #237)
+    "cdc_ooo_repair" ->
+      ((s: SparkSession, d: String) => Cdc.outOfOrderRepair(s, d, OooDelayOffsets)),
+    // ANN recall/MRR evaluation harness (§2 #238)
+    "ann_eval_recall" -> ((s: SparkSession, d: String) => Similarity.evalRecall(s, d)),
     // Chi-square categorical association (§2 #189)
     "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _),
     "text_ks_drift" -> (TextStats.ksDrift _),
@@ -2203,6 +2208,82 @@ object SparkEntry {
          GROUP BY s.s_name
          ORDER BY numwait DESC, s.s_name
          LIMIT 20""",
+    "cdc_ooo_repair" -> {
+      // planted late delivery replayed with the same three windows;
+      // delay interpolated from the shared OooDelayOffsets constant
+      s"""WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value,
+             event_id + CASE WHEN event_id % 7 = 3
+                             THEN $OooDelayOffsets ELSE 0 END AS arrival_seq
+           FROM events),
+         w AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY arrival_seq DESC, event_id DESC) AS rn_arrival,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn_ts,
+             lag(ts) OVER (PARTITION BY user_id
+               ORDER BY arrival_seq, event_id) AS prev_ts
+           FROM c),
+         a AS (
+           SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_changes,
+             CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+             max(CASE WHEN rn_arrival = 1 THEN event_id END) AS naive_event_id,
+             max(CASE WHEN rn_arrival = 1 THEN op END) AS naive_op,
+             max(CASE WHEN rn_arrival = 1 THEN value END) AS naive_value,
+             max(CASE WHEN rn_ts = 1 THEN event_id END) AS repaired_event_id,
+             max(CASE WHEN rn_ts = 1 THEN op END) AS repaired_op,
+             max(CASE WHEN rn_ts = 1 THEN value END) AS repaired_value
+           FROM w GROUP BY user_id)
+         SELECT * FROM a WHERE naive_event_id <> repaired_event_id"""
+    },
+    "ann_eval_recall" -> {
+      // lsh candidates + ranks and the brute-force ground truth, both
+      // replayed as in their own oracles, compared with one left join
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          lscored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id),
+          ls AS (
+            SELECT query_id, vec_id, lrank FROM (
+              SELECT query_id, vec_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS lrank
+              FROM lscored)
+            WHERE lrank <= 10),
+          qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+          bf AS (
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.query_id, e.vec_id,
+                CAST(row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                  AS BIGINT) AS rank
+              FROM embeddings e, qs q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 10)
+          SELECT bf.query_id,
+            CAST(count(ls.lrank) AS BIGINT) AS n_hits10,
+            CAST(count(ls.lrank) * 1000000 // 10 AS BIGINT) AS recall10_e6,
+            CAST(max(CASE WHEN bf.rank = 1
+                 THEN coalesce(1000000 // ls.lrank, 0) END) AS BIGINT) AS rr_e6
+          FROM bf LEFT JOIN ls
+            ON ls.query_id = bf.query_id AND ls.vec_id = bf.vec_id
+          GROUP BY bf.query_id"""
+    },
     "ann_lsh" -> {
       // candidate set from the replayed buckets; scoring/ranking as in
       // ann_bruteforce (6dp cosine, vec_id tiebreak)
@@ -4767,6 +4848,11 @@ object SparkEntry {
     */
   private val KmCensorMonths = 2
   private val FunnelWindowDays = 7
+
+  /** Planted late-delivery offset shift for cdc_ooo_repair — shared
+    * by the Spark call and the oracle SQL.
+    */
+  private val OooDelayOffsets = 1000L
 
   /** Embedding dimensionality of the driver's `embeddings.parquet`
     * (`TESTDATA.md`). Single source of truth for every oracle whose

@@ -829,4 +829,57 @@ object Cdc {
         col("a.acct_value"),
         col("b.engagement_value"))
   }
+
+  /** #237 Out-of-order repair audit: which keys' CURRENT state is
+    * wrong if the consumer applies changes in ARRIVAL (offset) order
+    * instead of event-time order — the failure mode a CDC pipeline
+    * hits when a producer retry or partition rebalance delivers a
+    * late event with a newer offset but an older timestamp. The
+    * reference applies rows in consumption order
+    * (`simple_kafka_etl.py:119-146`), so its `_current` table IS the
+    * naive state. The driver corpus arrives perfectly ordered, so —
+    * exactly like #5's simulated redelivery — the disorder is
+    * PLANTED deterministically: every event with `event_id % 7 == 3`
+    * is "stuck in a retry queue" and re-enters the stream 1000
+    * offsets late (`arrival_seq = event_id + 1000`); everything
+    * downstream treats arrival_seq as the consumption order.
+    *
+    * Reports every key where arrival-order state and event-time state
+    * (#3's (ts, event_id) order) disagree, both states side by side,
+    * plus the key's inversion count (adjacent arrival pairs whose
+    * timestamps go backwards — the severity of the disorder, not just
+    * its existence).
+    *
+    * Scale: three per-key windows (two arg-max row_numbers + one lag)
+    * over one user_id partitioning — a single exchange, then a
+    * per-key aggregate; linear, no self-joins.
+    */
+  def outOfOrderRepair(spark: SparkSession, dir: String, delayOffsets: Long = 1000L)
+      : DataFrame = {
+    val ch = classify(spark, dir)
+      .withColumn(
+        "arrival_seq",
+        col("event_id") + when(col("event_id") % 7 === 3, lit(delayOffsets)).otherwise(lit(0L)))
+    val byArrival =
+      Window.partitionBy("user_id").orderBy(col("arrival_seq").desc, col("event_id").desc)
+    val byArrivalAsc =
+      Window.partitionBy("user_id").orderBy(col("arrival_seq"), col("event_id"))
+    val flagged = ch
+      .withColumn("rn_arrival", row_number().over(byArrival))
+      .withColumn("rn_ts", row_number().over(byKeyDesc))
+      .withColumn("prev_ts", lag("ts", 1).over(byArrivalAsc))
+      .withColumn("inv", (col("prev_ts").isNotNull && col("ts") < col("prev_ts")).cast("long"))
+    flagged
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        sum("inv").as("n_inversions"),
+        max(when(col("rn_arrival") === 1, col("event_id"))).as("naive_event_id"),
+        max(when(col("rn_arrival") === 1, col("op"))).as("naive_op"),
+        max(when(col("rn_arrival") === 1, col("value"))).as("naive_value"),
+        max(when(col("rn_ts") === 1, col("event_id"))).as("repaired_event_id"),
+        max(when(col("rn_ts") === 1, col("op"))).as("repaired_op"),
+        max(when(col("rn_ts") === 1, col("value"))).as("repaired_value"))
+      .filter(col("naive_event_id") =!= col("repaired_event_id"))
+  }
 }

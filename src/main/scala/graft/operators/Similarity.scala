@@ -151,6 +151,32 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
+  /** #238 ANN evaluation harness: recall@10 and reciprocal rank of
+    * the LSH index (#28) against the brute-force ground truth (#27),
+    * per query — the quality gate every approximate index must
+    * publish before it replaces an exact scan (#27's Scaladoc calls
+    * it "the recall ground truth the others are scored against"; this
+    * operator turns that prose contract into a first-class query).
+    * Recall@10 = |bf top-10 ∩ lsh top-10| on the e6 grid; RR = the
+    * e6 floor quotient 10⁶ div (lsh rank of bf's #1 neighbor), 0 on
+    * a miss — all integers, both input frames already hash-stable.
+    *
+    * Scale: both sides are the existing bucket-bounded pipelines;
+    * the comparison itself is one (query, neighbor)-keyed left join
+    * on two k-row-per-query frames — negligible over the index cost.
+    */
+  def evalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForce(spark, dir)
+    val ls = lsh(spark, dir).select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
+    bf.join(ls, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("lrank")).as("n_hits10"),
+        expr("CAST(count(lrank) * 1000000 div 10 AS BIGINT)").as("recall10_e6"),
+        max(when(col("rank") === 1, coalesce(expr("CAST(1000000 div lrank AS BIGINT)"), lit(0L))))
+          .as("rr_e6"))
+  }
+
   /** #60 Multi-probe LSH ANN: each query probes its own bucket plus
     * the `bits` buckets at Hamming distance 1 (one hyperplane flip)
     * in every table — ~(bits+1)× candidates for the recall of

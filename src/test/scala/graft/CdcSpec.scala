@@ -364,4 +364,44 @@ class CdcSpec extends SparkSpec {
     assert(gotU.toSeq == exp.sortBy(s => (s._1, s._2)).toSeq)
     segs.unpersist()
   }
+
+  test("ooo repair: scala replay of the planted delay; repaired state equals cdc_current") {
+    val got = Cdc.outOfOrderRepair(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts div 1000 AS ts", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._3)
+    // replay: arrival = event_id (+1000 when id % 7 == 3); naive state =
+    // max arrival (event_id tiebreak), repaired = max (ts, event_id)
+    val affected = byUser.flatMap { case (u, xs) =>
+      val naive = xs.maxBy { case (e, _, _) =>
+        (e + (if (e % 7 == 3) 1000L else 0L), e)
+      }._1
+      val repaired = xs.maxBy { case (e, ts, _) => (ts, e) }._1
+      val sortedByArrival = xs.sortBy { case (e, _, _) =>
+        (e + (if (e % 7 == 3) 1000L else 0L), e)
+      }
+      val inv = sortedByArrival.sliding(2).count {
+        case Array((_, t1, _), (_, t2, _)) => t2 < t1
+        case _ => false
+      }.toLong
+      if (naive != repaired) Some(u -> (xs.length.toLong, inv, naive, repaired)) else None
+    }
+    val g = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))
+      .toMap
+    assert(g == affected, "ooo repair differs from the scala replay")
+    // every affected key shows at least one inversion, and the repaired
+    // state is exactly what cdc_current (ts-order) reports for that key
+    assert(got.filter(org.apache.spark.sql.functions.col("n_inversions") === 0L).count() == 0)
+    val cur = Cdc.current(spark, sf)
+      .select("user_id", "last_event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      val u = r.getLong(0)
+      // keys whose repaired op is DELETE are absent from current
+      if (cur.contains(u)) assert(cur(u) == r.getLong(6), s"user $u repaired state")
+    }
+    got.unpersist()
+  }
 }

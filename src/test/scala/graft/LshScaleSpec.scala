@@ -67,4 +67,29 @@ class LshScaleSpec extends SparkSpec {
     // probability ≈ 0; all planted pairs must surface
     assert(found == planted, s"found $found of $planted planted pairs")
   }
+
+  test("ann eval: recall/MRR agree with a direct set comparison of the two indexes") {
+    val ev = graft.operators.Similarity.evalRecall(spark, sf).cache()
+    val bf = graft.operators.Similarity.bruteForce(spark, sf)
+      .select("query_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ls = graft.operators.Similarity.lsh(spark, sf)
+      .select("query_id", "vec_id", "rank")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val exp = bf.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.count { case (qq, v, _) => ls.contains((qq, v)) }.toLong
+      val rr = rows.find(_._3 == 1L).flatMap { case (qq, v, _) =>
+        ls.get((qq, v)).map(1000000L / _)
+      }.getOrElse(0L)
+      q -> (hits, hits * 1000000L / 10L, rr)
+    }
+    val g = ev.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(g == exp, "eval harness differs from the direct comparison")
+    assert(g.keySet.size == 10)
+    assert(g.values.forall { case (h, rec, rr) =>
+      h >= 0 && h <= 10 && rec <= 1000000 && rr <= 1000000
+    })
+    ev.unpersist()
+  }
 }
