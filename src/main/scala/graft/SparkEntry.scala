@@ -353,7 +353,27 @@ object SparkEntry {
     // Tombstone GC / retention reclaim audit (§2 #217)
     "cdc_tombstone_gc" -> (Cdc.tombstoneGc _),
     // RAKE keyword extraction (§2 #218)
-    "text_rake" -> ((s: SparkSession, d: String) => TextStats.rake(s, d))
+    "text_rake" -> ((s: SparkSession, d: String) => TextStats.rake(s, d)),
+    // Local clustering coefficient per vertex (§2 #239)
+    "q_clustering_coeff" -> ((s: SparkSession, d: String) => AnalyticsExt.localClustering(s, d)),
+    // Growth accounting: new/retained/resurrected/churned (§2 #240)
+    "q_growth_accounting" -> (AnalyticsExt.growthAccounting _),
+    // Precision-recall curve at equi-depth thresholds (§2 #241)
+    "q_pr_curve" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.prCurve(s, d, nBins = PrCurveBins)),
+    // Mann-Kendall trend test per daily series (§2 #242)
+    "q_mann_kendall" -> (AnalyticsExt.mannKendall _),
+    // NDCG@10 ranking-quality evaluation (§2 #244)
+    "ann_eval_ndcg" ->
+      ((s: SparkSession, d: String) => Similarity.evalNdcg(s, d, NdcgWeightsE6)),
+    // Spearman rank correlation with exact tie ranks (§2 #243)
+    "q_spearman" -> ((s: SparkSession, d: String) => AnalyticsExt.spearman(s, d)),
+    // MinHash estimator calibration audit (§2 #245)
+    "dedup_eval" -> (Dedup.estimatorEval _),
+    // Herfindahl-Hirschman market concentration (§2 #246)
+    "q_hhi" -> (Warehouse.hhi _),
+    // TextRank keyword extraction (§2 #247)
+    "text_textrank" -> ((s: SparkSession, d: String) => TextStats.textRank(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -2283,6 +2303,54 @@ object SparkEntry {
           FROM bf LEFT JOIN ls
             ON ls.query_id = bf.query_id AND ls.vec_id = bf.vec_id
           GROUP BY bf.query_id"""
+    },
+    "ann_eval_ndcg" -> {
+      // same composed bf+lsh replay as ann_eval_recall, discounted by
+      // the shared NdcgWeightsE6 constants as a VALUES table; IDCG is
+      // derived from the same constants, never restated
+      val wvals = NdcgWeightsE6.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }
+        .mkString(", ")
+      val idcg = NdcgWeightsE6.zipWithIndex.map { case (w, i) => (10L - i) * w }.sum
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          lscored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id),
+          ls AS (
+            SELECT query_id, vec_id, lrank FROM (
+              SELECT query_id, vec_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS lrank
+              FROM lscored)
+            WHERE lrank <= 10),
+          qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+          bf AS (
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.query_id, e.vec_id,
+                CAST(row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                  AS BIGINT) AS rank
+              FROM embeddings e, qs q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 10),
+          wt(lrank, w) AS (VALUES $wvals)
+          SELECT ls.query_id,
+            CAST(count(bf.rank) AS BIGINT) AS n_relevant,
+            CAST(sum(coalesce(11 - bf.rank, 0) * wt.w) AS BIGINT) AS dcg_e6,
+            CAST(sum(coalesce(11 - bf.rank, 0) * wt.w) * 1000000 // $idcg AS BIGINT)
+              AS ndcg_e6
+          FROM ls
+          LEFT JOIN bf ON bf.query_id = ls.query_id AND bf.vec_id = ls.vec_id
+          JOIN wt ON wt.lrank = ls.lrank
+          GROUP BY ls.query_id"""
     },
     "ann_lsh" -> {
       // candidate set from the replayed buckets; scoring/ranking as in
@@ -4801,7 +4869,261 @@ object SparkEntry {
               * (abs(CAST(m * sxy - sx * sy AS HUGEINT)) * 1000
                  // CAST(m * syy - sy * sy AS HUGEINT)))
              AS BIGINT) AS r2_signed_e6
-         FROM agg"""
+         FROM agg""",
+    "q_clustering_coeff" ->
+      // #176's degree-oriented replay + a 3-way corner explode of the
+      // closed-wedge frame; lcc = 2*tri*1e6 div (deg*(deg-1)), 0 at
+      // deg < 2; nodes in no triangle kept via left join
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e AS (SELECT pa, pb FROM pr WHERE n >= 2),
+         d AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         oe AS (
+           SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS u,
+                  CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS v,
+                  CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg ELSE da.deg END AS dv
+           FROM e JOIN d da ON da.node = e.pa JOIN d db ON db.node = e.pb),
+         w AS (
+           SELECT a.u,
+                  CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN a.v ELSE b.v END AS lo,
+                  CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN b.v ELSE a.v END AS hi
+           FROM oe a JOIN oe b ON a.u = b.u AND a.v < b.v),
+         tri AS (
+           SELECT u, lo, hi FROM w
+           WHERE EXISTS (SELECT 1 FROM oe WHERE oe.u = w.lo AND oe.v = w.hi)),
+         corners AS (
+           SELECT u AS node FROM tri
+           UNION ALL SELECT lo FROM tri
+           UNION ALL SELECT hi FROM tri),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1)
+         SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           coalesce(pn.n_tri, 0) AS n_tri,
+           CASE WHEN d.deg < 2 THEN 0
+                ELSE CAST((2 * coalesce(pn.n_tri, 0) * 1000000)
+                     // (d.deg * (d.deg - 1)) AS BIGINT) END AS lcc_e6
+         FROM d LEFT JOIN pn ON pn.node = d.node""",
+    "q_growth_accounting" ->
+      // per-user lag over distinct activity days; churned(d) =
+      // active(d-1) - retained(d) via a day -> day-1 self-join
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         f AS (
+           SELECT day,
+             CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) = day - 1
+                  THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) < day - 1
+                  THEN 1 ELSE 0 END AS is_resurrected
+           FROM ud),
+         daily AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS active,
+             CAST(sum(is_new) AS BIGINT) AS new_users,
+             CAST(sum(is_retained) AS BIGINT) AS retained,
+             CAST(sum(is_resurrected) AS BIGINT) AS resurrected
+           FROM f GROUP BY 1)
+         SELECT d.day, d.active, d.new_users, d.retained, d.resurrected,
+           CAST(coalesce(p.active, 0) - d.retained AS BIGINT) AS churned
+         FROM daily d LEFT JOIN daily p ON p.day = d.day - 1""",
+    "q_pr_curve" ->
+      // distinct-score grid with prefix sums; a threshold row is the
+      // first rank of its equi-depth bin; tp = tot_pos - pos_below
+      // since predicted-positive means v >= threshold; bin count
+      // interpolated from the shared PrCurveBins constant
+      s"""WITH s AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+           FROM orders),
+         bv AS (
+           SELECT v, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+           FROM s GROUP BY v),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+             CAST(sum(n_neg) AS BIGINT) AS tot_neg
+           FROM bv),
+         r AS (
+           SELECT v, n_pos, n_neg,
+             CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rank,
+             CAST(coalesce(sum(n_pos) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pos_below,
+             CAST(coalesce(sum(n_neg) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS neg_below
+           FROM bv)
+         SELECT ((rank - 1) * $PrCurveBins) // nd AS bin, v AS threshold_cents,
+           tot_pos - pos_below AS tp, tot_neg - neg_below AS fp,
+           pos_below AS fn,
+           CAST((tot_pos - pos_below) * 1000000
+             // greatest(tot_pos - pos_below + tot_neg - neg_below, 1) AS BIGINT)
+             AS precision_e6,
+           CAST((tot_pos - pos_below) * 1000000 // greatest(tot_pos, 1) AS BIGINT)
+             AS recall_e6,
+           CAST((2 * ((tot_pos - pos_below) * 1000000
+                 // greatest(tot_pos - pos_below + tot_neg - neg_below, 1))
+               * ((tot_pos - pos_below) * 1000000 // greatest(tot_pos, 1)))
+             // greatest(((tot_pos - pos_below) * 1000000
+                 // greatest(tot_pos - pos_below + tot_neg - neg_below, 1))
+               + ((tot_pos - pos_below) * 1000000 // greatest(tot_pos, 1)), 1) AS BIGINT)
+             AS f1_e6
+         FROM r, tot
+         WHERE rank = 1 OR ((rank - 1) * $PrCurveBins) // nd > ((rank - 2) * $PrCurveBins) // nd""",
+    "q_mann_kendall" ->
+      // calendar-bounded pairwise sign sweep per type + tie-corrected
+      // variance numerator var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5)
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT a.event_type,
+             CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1),
+         t AS (
+           SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2),
+         ties AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+             CAST(sum(t) AS BIGINT) AS n_days
+           FROM t GROUP BY 1)
+         SELECT s.event_type, n_days, n_pairs, s_stat, n_distinct,
+           CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var18
+         FROM s JOIN ties ON s.event_type = ties.event_type""",
+    "q_spearman" ->
+      // doubled tie-average ranks rank2 = 2*below + cnt + 1 on each
+      // variable's distinct grid; HUGEINT moments; factored e3*e3
+      // signed rho^2 (the #202 discipline)
+      """WITH base AS (
+           SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+             CAST(coalesce(o.y, 0) AS BIGINT) AS y
+           FROM customer c LEFT JOIN (
+             SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+             FROM orders GROUP BY 1) o ON o.o_custkey = c.c_custkey),
+         rx AS (
+           SELECT v, 2 * (CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+             + cnt + 1 AS rank2
+           FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)),
+         ry AS (
+           SELECT v, 2 * (CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+             + cnt + 1 AS rank2
+           FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)),
+         ranked AS (
+           SELECT rx.rank2 AS r2x, ry.rank2 AS r2y
+           FROM base JOIN rx ON rx.v = base.x JOIN ry ON ry.v = base.y),
+         agg AS (
+           SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(r2x) AS HUGEINT) AS sx, CAST(sum(r2y) AS HUGEINT) AS sy,
+             sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+             sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+             sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+           FROM ranked),
+         mom AS (
+           SELECT CAST(m AS BIGINT) AS n_customers,
+             m * sxy - sx * sy AS num,
+             m * sxx - sx * sx AS den_x,
+             m * syy - sy * sy AS den_y
+           FROM agg)
+         SELECT n_customers,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+             ((abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y)) AS BIGINT)
+             AS rho2_signed_e6
+         FROM mom""",
+    "dedup_eval" -> {
+      // the #23 estimate and the #25 exact statistic from the same
+      // replayed candidate rows, both on the e6 grid, plus the error
+      s"""${minhashCandidatesCte(recursive = false)}
+         SELECT doc_a, doc_b,
+           CAST(len([i for i in range(1, 33) if sig_a[i] = sig_b[i]]) * 1000000 // 32
+             AS BIGINT) AS est_e6,
+           CAST(len(list_intersect(hs_a, hs_b)) * 1000000
+             // len(list_distinct(hs_a || hs_b)) AS BIGINT) AS exact_e6,
+           CAST(len([i for i in range(1, 33) if sig_a[i] = sig_b[i]]) * 1000000 // 32
+             - len(list_intersect(hs_a, hs_b)) * 1000000
+               // len(list_distinct(hs_a || hs_b)) AS BIGINT) AS err_signed_e6
+         FROM cand WHERE n_shared_bands >= 1"""
+    },
+    "q_hhi" ->
+      // single-quotient HHI: (sum rev_i^2)*1e6 // (sum rev_i)^2 in
+      // HUGEINT - shares never materialized, no per-supplier rounding
+      """WITH bysupp AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+           FROM lineitem GROUP BY 1),
+         bynat AS (
+           SELECT s.s_nationkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(rev) AS BIGINT) AS total_cents,
+             sum(CAST(rev AS HUGEINT) * rev) AS sq,
+             CAST(max(rev) AS BIGINT) AS max_rev
+           FROM bysupp b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+           GROUP BY 1)
+         SELECT CAST(b.s_nationkey AS BIGINT) AS nationkey, n.n_name,
+           n_suppliers, total_cents,
+           CAST((sq * 1000000) // (CAST(total_cents AS HUGEINT) * total_cents)
+             AS BIGINT) AS hhi_e6,
+           CAST((max_rev * 1000000) // total_cents AS BIGINT) AS cr1_e6
+         FROM bynat b JOIN nation n ON n.n_nationkey = b.s_nationkey""",
+    "text_textrank" ->
+      // window-2 co-occurrence graph + the #124 integer e8 trajectory
+      // unrolled 2 rounds; vertices = edge endpoints; top-20
+      """WITH toks0 AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         pos AS (
+           SELECT doc_id, e.p, e.w
+           FROM (SELECT doc_id,
+                   unnest([{'p': i - 1, 'w': tok[i]}
+                           for i in generate_series(1, len(tok))]) AS e
+                 FROM toks0)
+           WHERE e.w NOT IN ('the','a','of','and','to','in','is','it','that','for')),
+         pc AS (
+           SELECT least(a.w, b.w) AS w_lo, greatest(a.w, b.w) AS w_hi,
+             CAST(count(*) AS BIGINT) AS cw
+           FROM pos a JOIN pos b
+             ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2
+               AND a.w <> b.w
+           GROUP BY 1, 2),
+         e AS (
+           SELECT w_lo AS src, w_hi AS dst, cw FROM pc
+           UNION ALL SELECT w_hi, w_lo, cw FROM pc),
+         ow AS (SELECT src, CAST(sum(cw) AS BIGINT) AS wout FROM e GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ow),
+         r0 AS (SELECT src AS word, CAST(100000000 // n AS BIGINT) AS r FROM ow, nn),
+         r1 AS (
+           SELECT e.dst AS word,
+             CAST(15 * 100000000 // (100 * n) + (85 * sum(r0.r * e.cw // ow.wout)) // 100
+               AS BIGINT) AS r
+           FROM e JOIN ow ON ow.src = e.src JOIN r0 ON r0.word = e.src, nn
+           GROUP BY 1, n),
+         r2 AS (
+           SELECT e.dst AS word,
+             CAST(15 * 100000000 // (100 * n) + (85 * sum(r1.r * e.cw // ow.wout)) // 100
+               AS BIGINT) AS r
+           FROM e JOIN ow ON ow.src = e.src JOIN r1 ON r1.word = e.src, nn
+           GROUP BY 1, n)
+         SELECT word, r AS tr_e8,
+           CAST(row_number() OVER (ORDER BY r DESC, word) AS BIGINT) AS rank
+         FROM r2 QUALIFY rank <= 20"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles
@@ -4848,6 +5170,20 @@ object SparkEntry {
     */
   private val KmCensorMonths = 2
   private val FunnelWindowDays = 7
+
+  /** Equi-depth threshold count for `q_pr_curve` — same
+    * single-source-of-truth discipline as BootstrapB.
+    */
+  private val PrCurveBins = 10
+
+  /** NDCG position discounts w_i = ⌊10⁶/log₂(i+1)⌋, i = 1..10 — the
+    * #211 precomputed-constants pattern (no engine-side log₂); single
+    * source of truth for the Spark call and the generated oracle.
+    * IDCG = Σ (11−i)·w_i = 29,966,086 is derived, never restated.
+    */
+  private val NdcgWeightsE6: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L, 315464L, 301029L,
+      289064L)
 
   /** Planted late-delivery offset shift for cdc_ooo_repair — shared
     * by the Spark call and the oracle SQL.

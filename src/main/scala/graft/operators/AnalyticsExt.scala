@@ -2405,4 +2405,365 @@ object AnalyticsExt {
                      div CAST(m * syy - sy * sy AS DECIMAL(38,0))))
                 AS BIGINT)""").as("r2_signed_e6"))
   }
+
+  /** #239 Local clustering coefficient: per-vertex triangle density
+    * over the co-purchase graph — lcc(v) = 2·tri(v)·10⁶ div
+    * (deg(v)·(deg(v)−1)) — the node-level refinement of #176's single
+    * global coefficient. #176 says how clustered the GRAPH is; this
+    * says which PARTS sit inside closed purchasing communities
+    * (high lcc = ecosystem anchor, low lcc at high degree = bridge /
+    * hub spanning otherwise-unrelated baskets — the classic
+    * structural-role split the global number can't see).
+    *
+    * Same degree-oriented node-iterator as #176 (orientation bounds
+    * wedge fan-out by Σ outdeg² ≤ m^1.5): each closed wedge yields one
+    * triangle with corners (u, lo, hi); per-vertex counts are the
+    * 3-way corner explode of that triangle frame — alphabet-3
+    * fan-out, then one groupBy on the node key. Degrees ride the
+    * existing degree frame; nodes in no triangle keep lcc = 0 via a
+    * left join. All-integer: 2·tri·10⁶ < 2⁶³ needs deg ≲ 10⁹ — safe.
+    */
+  def localClustering(spark: SparkSession, dir: String, minOrders: Int = 2): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    val e = baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('pa', x, 'pb', y))))"""))
+          .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select("pa", "pb")
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val oe = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+      .select(
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pa"))
+          .otherwise(col("pb"))
+          .as("u"),
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("pb"))
+          .otherwise(col("pa"))
+          .as("v"),
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")), col("db"))
+          .otherwise(col("da"))
+          .as("dv"))
+    val a = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val b = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = a
+      .join(b, Seq("u"))
+      .filter(col("x") < col("y"))
+      .select(
+        col("u"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x"))
+          .otherwise(col("y"))
+          .as("lo"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y"))
+          .otherwise(col("x"))
+          .as("hi"))
+    val tri = wedges.join(
+      oe.select(col("u").as("lo"), col("v").as("hi")),
+      Seq("lo", "hi"),
+      "left_semi")
+    val perNode = tri
+      .select(explode(array(col("u"), col("lo"), col("hi"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("""CASE WHEN deg < 2 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((2 * coalesce(n_tri, 0) * 1000000)
+                      div (deg * (deg - 1)) AS BIGINT) END""").as("lcc_e6"))
+  }
+
+  /** #240 Growth accounting: the day-over-day active-user ledger —
+    * every active user on day d is exactly one of NEW (first-ever
+    * activity), RETAINED (also active on d−1), or RESURRECTED (seen
+    * before, but absent on d−1); CHURNED on day d counts users active
+    * on d−1 who did not return — active(d) = new+retained+resurrected
+    * and churned(d) = active(d−1) − retained(d) hold as integer
+    * identities (both spec-pinned). This is the standard growth
+    * decomposition under every DAU dashboard; #193's rolling MAU
+    * counts heads, this explains the flux behind the count.
+    *
+    * One (user, day) distinct, one per-user lag window (single user_id
+    * exchange), a day-keyed aggregate, then a day→day−1 self-join on
+    * the CALENDAR-bounded daily frame — linear in events, never in
+    * users × days.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val ud = Tables
+      .events(spark, dir)
+      .select(col("user_id"), expr(s"ts div ${nsPerDay}L").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = ud
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .select(
+        col("day"),
+        (col("prev_day").isNull).cast("long").as("is_new"),
+        // <=> keeps the flag 0 (not NULL) on first-ever activity rows
+        (col("prev_day") <=> (col("day") - 1)).cast("long").as("is_retained"),
+        (col("prev_day").isNotNull && col("prev_day") < col("day") - 1)
+          .cast("long")
+          .as("is_resurrected"))
+    val daily = flagged
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("active"),
+        sum("is_new").as("new_users"),
+        sum("is_retained").as("retained"),
+        sum("is_resurrected").as("resurrected"))
+      .localCheckpoint(eager = false)
+    daily
+      .join(
+        daily.select(col("day") + 1 as "day", col("active").as("active_prev")),
+        Seq("day"),
+        "left")
+      .select(
+        col("day"),
+        col("active"),
+        col("new_users"),
+        col("retained"),
+        col("resurrected"),
+        (coalesce(col("active_prev"), lit(0L)) - col("retained")).as("churned"))
+  }
+
+  /** #241 Precision-recall curve at equi-depth thresholds: sweep 10
+    * rank-defined thresholds over the DISTINCT order-value grid and
+    * report the exact confusion row (tp/fp/fn) plus e6
+    * precision/recall/F1 at each — the operating-point table #232's
+    * single AUC number summarizes away (AUC says the score ranks;
+    * this says what you get if you actually deploy a cutoff).
+    *
+    * Scale shape is #232's: rows collapse to per-distinct-score
+    * (n_pos, n_neg) counts first, and BOTH global constructs — the
+    * below-threshold prefix sums and the distinct-score rank that
+    * defines the equi-depth bins — are built hierarchically (monotone
+    * value-range shard + within-shard window + ≤nShards-row carry),
+    * so no global data window exists. A threshold row is selected by
+    * pure expression (its rank is the first in its bin:
+    * ((rank−1)·B) div n ≠ ((rank−2)·B) div n), not by an extra
+    * aggregate-join. tp = total_pos − pos_below since "predicted
+    * positive" means value ≥ threshold. F1's 2pr/(p+r) stays in
+    * BIGINT (p·r ≤ 10¹²).
+    */
+  def prCurve(spark: SparkSession, dir: String, nBins: Int = 10, nShards: Int = 8): DataFrame = {
+    val byVal = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"))
+      .groupBy("v")
+      .agg(sum("pos").as("n_pos"), (count(lit(1)) - sum("pos")).as("n_neg"))
+    val bounds = byVal.agg(
+      min("v").as("lo"),
+      max("v").as("hi"),
+      count(lit(1)).as("nd"),
+      sum("n_pos").as("tot_pos"),
+      sum("n_neg").as("tot_neg"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((v - lo) * $nShards) div (hi - lo + 1)"))
+      .localCheckpoint(eager = false)
+    val wsh = Window.partitionBy("shard").orderBy("v")
+    val local = sharded
+      .withColumn("local_rn", row_number().over(wsh).cast("long"))
+      .withColumn(
+        "local_pos_below",
+        coalesce(sum("n_pos").over(wsh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(
+        "local_neg_below",
+        coalesce(sum("n_neg").over(wsh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wcar = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"), sum("n_pos").as("p"), sum("n_neg").as("g"))
+      .withColumn("off_rn", coalesce(sum("c").over(wcar), lit(0L)))
+      .withColumn("off_pos", coalesce(sum("p").over(wcar), lit(0L)))
+      .withColumn("off_neg", coalesce(sum("g").over(wcar), lit(0L)))
+      .select(col("shard"), col("off_rn"), col("off_pos"), col("off_neg"))
+    local
+      .join(broadcast(offsets), "shard")
+      .withColumn("rank", col("off_rn") + col("local_rn"))
+      .withColumn("pos_below", col("off_pos") + col("local_pos_below"))
+      .withColumn("neg_below", col("off_neg") + col("local_neg_below"))
+      .filter(expr(s"rank = 1 OR ((rank - 1) * $nBins) div nd > ((rank - 2) * $nBins) div nd"))
+      .select(
+        expr(s"((rank - 1) * $nBins) div nd").as("bin"),
+        col("v").as("threshold_cents"),
+        (col("tot_pos") - col("pos_below")).as("tp"),
+        (col("tot_neg") - col("neg_below")).as("fp"),
+        col("pos_below").as("fn"),
+        expr("""CAST((tot_pos - pos_below) * 1000000
+                 div greatest(tot_pos - pos_below + tot_neg - neg_below, 1) AS BIGINT)""")
+          .as("precision_e6"),
+        expr("CAST((tot_pos - pos_below) * 1000000 div greatest(tot_pos, 1) AS BIGINT)")
+          .as("recall_e6"))
+      .withColumn(
+        "f1_e6",
+        expr("CAST((2 * precision_e6 * recall_e6) div greatest(precision_e6 + recall_e6, 1) AS BIGINT)"))
+  }
+
+  /** #242 Mann-Kendall trend test per event-type daily series: the
+    * nonparametric S statistic S = Σ_{i<j} sign(x_j − x_i) plus the
+    * tie-corrected variance numerator — monotone-trend detection with
+    * NO distributional assumption and NO slope model, the hypothesis
+    * test that goes with #161's Theil-Sen estimate (Theil-Sen says how
+    * steep; Mann-Kendall says whether the trend is real). All exact
+    * integers: S, n, and var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * (18·Var(S) with tie groups t) — callers compare S² against
+    * var18/18·z² without ever leaving the grid.
+    *
+    * The pairwise sweep is a per-type self-join on day_i < day_j —
+    * CALENDAR-bounded (days², not rows²) exactly like #161's per-key
+    * pair fan-out, over a lineage-cut daily aggregate frame; tie
+    * groups are one groupBy on (type, cents). Linear in the fact
+    * table, quadratic only in the bounded day dimension.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      .localCheckpoint(eager = false)
+    val s = daily
+      .alias("a")
+      .join(
+        daily.alias("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(
+        sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+        sum("t").as("n_days"))
+    s.join(ties, "event_type")
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_pairs"),
+        col("s_stat"),
+        col("n_distinct"),
+        expr("CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)")
+          .as("var18"))
+  }
+
+  /** #243 Spearman rank correlation between customer account balance
+    * and realized lifetime spend — "does the static attribute rank
+    * customers the way their revenue does?", the monotone-association
+    * screen that is immune to the cents-scale outliers Pearson (#41)
+    * chases. Exact fractional tie ranks kept integer by DOUBLING:
+    * rank2(v) = 2·|{below}| + t(v) + 1 (twice the average rank of
+    * v's tie group), so moments run on the integer grid and the
+    * signed factored r² quotient (#202's discipline) replays
+    * bit-exactly in HUGEINT.
+    *
+    * Scale shape: both global rank constructions are the #232
+    * hierarchical build — per-distinct-value counts, monotone
+    * value-range shard, within-shard prefix window, ≤nShards-row
+    * carry — then two value-keyed joins attach rank2x/rank2y back to
+    * customers and one partial-agg pass takes the moments. No global
+    * data window anywhere; customers with no orders enter at spend 0
+    * (a genuine, heavily-tied rank group — exactly what the tie
+    * doubling exists for).
+    */
+  def spearman(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("y"))
+    val base = Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("x"))
+      .join(spend, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint(eager = false)
+
+    // rank2(v) = 2*below + cnt + 1 over the distinct-value grid,
+    // built shard-hierarchically (#232) — returns (v, rank2)
+    def rank2(values: DataFrame): DataFrame = {
+      val byV = values.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"))
+      val sharded = byV
+        .crossJoin(broadcast(bounds))
+        .withColumn("shard", expr(s"((v - lo) * $nShards) div (hi - lo + 1)"))
+        .localCheckpoint(eager = false)
+      val wsh = Window.partitionBy("shard").orderBy("v")
+      val local = sharded.withColumn(
+        "local_below",
+        coalesce(sum("cnt").over(wsh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val offsets = sharded
+        .groupBy("shard")
+        .agg(sum("cnt").as("c"))
+        .withColumn(
+          "off",
+          coalesce(
+            sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("shard"), col("off"))
+      local
+        .join(broadcast(offsets), "shard")
+        .select(col("v"), (lit(2L) * (col("off") + col("local_below")) + col("cnt") + 1).as("rank2"))
+    }
+
+    val rx = rank2(base.select(col("x").as("v")))
+    val ry = rank2(base.select(col("y").as("v")))
+    val ranked = base
+      .join(rx.select(col("v").as("x"), col("rank2").as("r2x")), "x")
+      .join(ry.select(col("v").as("y"), col("rank2").as("r2y")), "y")
+    ranked
+      .agg(
+        count(lit(1)).as("m"),
+        sum("r2x").as("sx"),
+        sum("r2y").as("sy"),
+        sum(expr("CAST(r2x AS DECIMAL(38,0)) * r2y")).as("sxy"),
+        sum(expr("CAST(r2x AS DECIMAL(38,0)) * r2x")).as("sxx"),
+        sum(expr("CAST(r2y AS DECIMAL(38,0)) * r2y")).as("syy"))
+      .select(
+        col("m").as("n_customers"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))")
+          .as("num"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))")
+          .as("den_x"),
+        expr("CAST(CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))")
+          .as("den_y"))
+      .select(
+        col("n_customers"),
+        // the factored e3*e3 signed rho^2 (num^2 would overflow where
+        // each |num|*1000 div den factor is <= 10^3 by Cauchy-Schwarz)
+        expr("""CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                 ((abs(num) * 1000 div den_x) * (abs(num) * 1000 div den_y))
+                AS BIGINT)""").as("rho2_signed_e6"))
+  }
 }

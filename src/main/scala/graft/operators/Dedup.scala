@@ -408,6 +408,54 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** #245 MinHash estimator evaluation: for every banded candidate
+    * pair, the signature-overlap Jaccard ESTIMATE (#23's admission
+    * statistic) side by side with the exact shingle Jaccard (#25's
+    * verify statistic) and the signed error — the calibration audit
+    * every production dedup pipeline publishes before trusting the
+    * estimate to gate deletions (the dedup analog of #238/#244's ANN
+    * evaluation family: #23 is the approximate index, #25 the ground
+    * truth, this the scorecard). A biased-high estimator deletes
+    * unique documents; biased-low floods the verify stage — the error
+    * distribution is the knob-tuning evidence for bands × rows.
+    *
+    * One tokenize/shingle/hash pass (the #25 discipline): signature
+    * AND shingle-hash set ride together through the banding explode
+    * and bucket self-join, so both statistics come from the same
+    * candidate row — no second scan. All-integer e6 grid:
+    * est = matches·10⁶ div 32, exact = inter·10⁶ div union.
+    */
+  def estimatorEval(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val banded = bandedBySig(
+      corpusWithNearDups(spark, dir)
+        .withColumn("tok", toks(col("text")))
+        .withColumn("sh", array_distinct(transform(shingles(col("tok")), s => hash60(s))))
+        .select(col("doc_id"), col("sh"), call_function("minhash_sig", col("sh")).as("sig")))
+    val a = banded.select(
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(col("sh_a")).as("sh_a"),
+        first(col("sh_b")).as("sh_b"),
+        first(col("sig_a")).as("sig_a"),
+        first(col("sig_b")).as("sig_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        expr(s"""CAST((size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), p -> p))
+                  * 1000000) div $MinhashSigSize AS BIGINT)""").as("est_e6"),
+        expr("""CAST((size(array_intersect(sh_a, sh_b)) * CAST(1000000 AS BIGINT))
+                 div size(array_union(sh_a, sh_b)) AS BIGINT)""").as("exact_e6"))
+      .withColumn("err_signed_e6", col("est_e6") - col("exact_e6"))
+  }
+
   /** #170 Sorted-neighborhood near-dup (SNM, Hernández–Stolfo): sort
     * the corpus by a blocking key (the 24-char normalized-text prefix),
     * slide a fixed window of `w` positions, and Jaccard-verify only

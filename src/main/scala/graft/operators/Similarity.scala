@@ -177,6 +177,42 @@ object Similarity {
           .as("rr_e6"))
   }
 
+  /** #244 NDCG@10 evaluation: position-discounted ranking quality of
+    * the LSH index (#28) against the brute-force truth (#27) — the
+    * metric that distinguishes "found the right 10" from "found them
+    * in the right ORDER", which #238's recall/MRR pair cannot (recall
+    * ignores position entirely; MRR sees only the top-1). Graded
+    * relevance = 11 − bf_rank; discounts are PRECOMPUTED e6 integer
+    * constants w_i = ⌊10⁶/log₂(i+1)⌋ passed in from the caller's
+    * single source of truth (the #211 Benford precomputed-constants
+    * pattern — no engine-side log₂), so DCG = Σ rel·w is an exact
+    * BIGINT and ndcg_e6 = DCG·10⁶ div IDCG replays bit-exactly.
+    *
+    * Both sides are the existing bucket-bounded pipelines; the
+    * comparison is one (query, neighbor)-keyed left join on
+    * k-row-per-query frames plus a 10-row broadcast weights join.
+    */
+  def evalNdcg(spark: SparkSession, dir: String, weightsE6: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val idcg = weightsE6.zipWithIndex.map { case (w, i) => (10L - i) * w }.sum
+    val wdf = weightsE6.zipWithIndex
+      .map { case (w, i) => (i + 1L, w) }
+      .toDF("lrank", "w")
+    val bf = bruteForce(spark, dir).select(col("query_id"), col("vec_id"), col("rank"))
+    val ls = lsh(spark, dir).select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
+    ls.join(bf, Seq("query_id", "vec_id"), "left")
+      .join(broadcast(wdf), "lrank")
+      .groupBy("query_id")
+      .agg(
+        sum(expr("coalesce(11 - rank, 0) * w")).as("dcg_e6"),
+        count(col("rank")).as("n_relevant"))
+      .select(
+        col("query_id"),
+        col("n_relevant"),
+        col("dcg_e6"),
+        expr(s"CAST(dcg_e6 * 1000000 div ${idcg}L AS BIGINT)").as("ndcg_e6"))
+  }
+
   /** #60 Multi-probe LSH ANN: each query probes its own bucket plus
     * the `bits` buckets at Hamming distance 1 (one hyperplane flip)
     * in every table — ~(bits+1)× candidates for the recall of

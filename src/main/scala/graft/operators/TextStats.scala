@@ -667,4 +667,75 @@ object TextStats {
       .agg(count(lit(1)).as("n_hits"), min("start").cast("long").as("first_start"))
       .select(col("phrase"), col("doc_id"), col("n_hits"), col("first_start"))
   }
+
+  /** #247 TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * PageRank over the word co-occurrence graph — words voted
+    * important by being near OTHER important words, the global
+    * graph-centrality complement to #218's RAKE (RAKE scores words by
+    * local phrase membership; TextRank lets importance FLOW, so a
+    * word gains rank from well-connected neighbors it never shares a
+    * phrase with). Corpus-level keywords, the cross-document variant.
+    *
+    * Graph: non-stopword tokens at original positions p < q with
+    * q − p ≤ 2 (the standard window-2 co-occurrence), unordered pairs
+    * weighted by corpus count — the position self-join fans out ≤ 2
+    * rows per token, linear, never tokens². The rank loop is #124's
+    * exact all-integer e8 trajectory verbatim (contributions
+    * r·w div wout, damped 15/100 + 85·Σ/100, vertices = edge
+    * endpoints), 2 unrolled iterations so the DuckDB oracle replays
+    * the identical algebra as CTEs; edges are pre-joined with wout,
+    * src-partitioned and cached once — rounds shuffle only the rank
+    * vector. Top-20 via rank-filtered window (WindowGroupLimit).
+    */
+  def textRank(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20): DataFrame = {
+    val pos = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "w")))
+      .filter(!col("w").isin(TextOps.stopwords: _*))
+      .localCheckpoint(eager = false)
+    val pc = pos
+      .alias("a")
+      .join(
+        pos.alias("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.p") > col("a.p") && col("b.p") <= col("a.p") + 2 &&
+          col("a.w") =!= col("b.w"))
+      .select(
+        least(col("a.w"), col("b.w")).as("w_lo"),
+        greatest(col("a.w"), col("b.w")).as("w_hi"))
+      .groupBy("w_lo", "w_hi")
+      .agg(count(lit(1)).as("cw"))
+      .cache()
+    def edges0(p: DataFrame) = p
+      .select(col("w_lo").as("src"), col("w_hi").as("dst"), col("cw"))
+      .unionAll(p.select(col("w_hi").as("src"), col("w_lo").as("dst"), col("cw")))
+    val outW = edges0(pc).groupBy("src").agg(sum("cw").as("wout"))
+    val edges = edges0(pc).join(outW, "src").repartition(col("src")).cache()
+    val nDf = outW.agg(count(lit(1)).as("n_nodes"))
+    var ranks = outW
+      .crossJoin(broadcast(nDf))
+      .select(col("src").as("word"), expr("CAST(100000000 div n_nodes AS BIGINT)").as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(ranks.withColumnRenamed("word", "src"), "src")
+        .select(col("dst").as("word"), expr("r * cw div wout").as("c"))
+        .groupBy("word")
+        .agg(sum("c").as("cs"))
+        .crossJoin(broadcast(nDf))
+        .select(
+          col("word"),
+          expr("CAST(15 * 100000000 div (100 * n_nodes) + (85 * cs) div 100 AS BIGINT)").as("r"))
+        .localCheckpoint(false)
+    }
+    val out = ranks
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("r").desc, col("word"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("word"), col("r").as("tr_e8"), col("rank"))
+      .localCheckpoint(eager = true)
+    pc.unpersist()
+    edges.unpersist()
+    out
+  }
 }

@@ -694,4 +694,54 @@ object Warehouse {
         col("n_follows"),
         expr("(n_follows * 1000000) div n_users_both").as("follow_rate_e6"))
   }
+
+  /** #246 Herfindahl-Hirschman market concentration: per supplier
+    * nation, HHI = Σ shareᵢ² of each supplier's revenue share plus
+    * CR1 (largest single share) and the effective competitor count —
+    * the antitrust-grade concentration screen (DOJ thresholds: HHI
+    * > 0.25 ≡ 250 000 on the e6 grid = highly concentrated) that
+    * tells a sourcing strategy whether a nation's supply base is a
+    * market or a monopoly. #180's Gini measures inequality of the
+    * same distribution; HHI measures CONCENTRATION — a two-supplier
+    * 50/50 nation is perfectly equal (Gini 0) yet dangerously
+    * concentrated (HHI 0.5), which is why both screens exist.
+    *
+    * Single-quotient exactness: HHI·10⁶ = (Σ revᵢ²)·10⁶ div (Σrevᵢ)²
+    * — shares are never materialized, so no per-supplier rounding
+    * accumulates. Cross products in DECIMAL(38,0) ↔ HUGEINT (revᵢ²
+    * crosses 2⁶³ at ~$10⁸ per supplier-nation — far below 100 TB).
+    * Two partial-agg passes (supplier rollup, nation rollup) joined
+    * to `nation` — linear, no windows.
+    */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("l_suppkey")
+      .agg(sum("cents").as("rev"))
+      .join(
+        Tables.supplier(spark, dir).select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        "l_suppkey")
+    bySupp
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum("rev").as("total_cents"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("sq"),
+        max("rev").as("max_rev"))
+      .join(
+        Tables.nation(spark, dir).select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+        "s_nationkey")
+      .select(
+        col("s_nationkey").cast("long").as("nationkey"),
+        col("n_name"),
+        col("n_suppliers"),
+        col("total_cents"),
+        expr("""CAST((sq * 1000000)
+                 div (CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)""")
+          .as("hhi_e6"),
+        expr("CAST((max_rev * 1000000) div total_cents AS BIGINT)").as("cr1_e6"))
+  }
 }

@@ -1203,4 +1203,163 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(gotRow.getLong(1) == engaged.size.toLong)
     assert(gotRow.getLong(2) == converted.length.toLong)
   }
+
+  test("local clustering: brute-force per-node replay; corners sum to 3x global triangles") {
+    val got = AnalyticsExt.localClustering(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // rebuild the support->=2 co-purchase graph in scala
+    val baskets = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    val pairCounts = baskets
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    val adj = edges.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    assert(got.keySet == adj.keySet, "one output row per graph node")
+    var triTotal = 0L
+    adj.foreach { case (n, nb) =>
+      val deg = nb.size.toLong
+      val tri = nb.toSeq.sorted.combinations(2).count(c => edges((c(0), c(1))))
+      triTotal += tri
+      val expLcc = if (deg < 2) 0L else 2L * tri * 1000000L / (deg * (deg - 1))
+      val (gd, gt, gl) = got(n)
+      assert(gd == deg && gt == tri.toLong && gl == expLcc, s"node $n mismatch")
+      assert(gl >= 0 && gl <= 1000000)
+    }
+    // every triangle is counted at its 3 corners; ties to #176's global count
+    val globalTri =
+      AnalyticsExt.triangles(spark, sf).select("n_triangles").head.getLong(0)
+    assert(triTotal == 3 * globalTri)
+  }
+
+  test("growth accounting: per-user scala replay; ledger identities hold") {
+    val got = AnalyticsExt.growthAccounting(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val ud = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 86400000000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ud.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    val days = ud.map(_._2).distinct.sorted
+    val active = ud.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    days.foreach { d =>
+      var nNew, nRet, nRes = 0L
+      byUser.values.foreach { ds =>
+        val i = ds.indexOf(d)
+        if (i == 0) nNew += 1
+        else if (i > 0 && ds(i - 1) == d - 1) nRet += 1
+        else if (i > 0) nRes += 1
+      }
+      val (a, nw, rt, rs, ch) = got(d)
+      assert(a == active(d) && nw == nNew && rt == nRet && rs == nRes, s"day $d")
+      assert(a == nw + rt + rs, "active = new + retained + resurrected")
+      assert(ch == active.getOrElse(d - 1, 0L) - rt, "churned = active(d-1) - retained")
+    }
+    // every user is new exactly once
+    assert(got.values.map(_._2).sum == byUser.size.toLong)
+  }
+
+  test("pr curve: exact confusion replay at every threshold; monotone recall") {
+    val rows = AnalyticsExt.prCurve(spark, sf)
+      .orderBy("threshold_cents").collect()
+    val scored = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v",
+        "o_orderstatus = 'F' AS pos")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val totPos = scored.count(_._2).toLong
+    val distinct = scored.map(_._1).distinct.sorted
+    assert(rows.length == math.min(10, distinct.length))
+    // bin 0 threshold is the global min score => everything predicted
+    // positive => recall exactly 1e6
+    assert(rows.head.getLong(1) == distinct.head)
+    assert(rows.head.getLong(6) == 1000000L)
+    var prevRecall = Long.MaxValue
+    rows.foreach { r =>
+      val t = r.getLong(1)
+      val tp = scored.count(x => x._2 && x._1 >= t).toLong
+      val fp = scored.count(x => !x._2 && x._1 >= t).toLong
+      val fn = totPos - tp
+      assert(r.getLong(2) == tp && r.getLong(3) == fp && r.getLong(4) == fn, s"t=$t")
+      val p = tp * 1000000L / math.max(tp + fp, 1L)
+      val rc = tp * 1000000L / math.max(totPos, 1L)
+      assert(r.getLong(5) == p && r.getLong(6) == rc)
+      assert(r.getLong(7) == 2 * p * rc / math.max(p + rc, 1L))
+      assert(rc <= prevRecall, "recall non-increasing in threshold")
+      prevRecall = rc
+    }
+  }
+
+  test("mann kendall: exact pairwise scala replay; S bounded by pair count") {
+    val got = AnalyticsExt.mannKendall(spark, sf)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val daily = Tables.events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type", "day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.length)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val tieGroups = series.groupBy(identity).values.map(_.length.toLong)
+      val var18 = n * (n - 1) * (2 * n + 5) -
+        tieGroups.map(g => g * (g - 1) * (2 * g + 5)).sum
+      val (gn, gp, gs, gd, gv) = got(t)
+      assert(gn == n && gp == n * (n - 1) / 2 && gs == s, s"type $t")
+      assert(gd == tieGroups.size.toLong && gv == var18)
+      assert(math.abs(gs) <= gp, "S bounded by the pair count")
+    }
+  }
+
+  test("spearman: exact doubled-tie-rank replay; rho2 within [-1e6, 1e6]") {
+    val row = AnalyticsExt.spearman(spark, sf).collect().head
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spend = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val pts = cust.map { case (k, x) => (x, spend.getOrElse(k, 0L)) }
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+      byV.keys.toSeq.sorted.foldLeft((0L, Map.empty[Long, Long])) {
+        case ((below, acc), v) =>
+          (below + byV(v), acc + (v -> (2 * below + byV(v) + 1)))
+      }._2
+    }
+    val rx = rank2(pts.map(_._1).toSeq)
+    val ry = rank2(pts.map(_._2).toSeq)
+    val m = BigInt(pts.length)
+    val xs = pts.map(p => BigInt(rx(p._1)))
+    val ys = pts.map(p => BigInt(ry(p._2)))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(a => a * a).sum
+    val num = m * sxy - sx * sy
+    val (denX, denY) = (m * sxx - sx * sx, m * syy - sy * sy)
+    val exp = (if (num < 0) -1 else 1) *
+      ((num.abs * 1000 / denX) * (num.abs * 1000 / denY))
+    assert(row.getLong(0) == pts.length.toLong)
+    assert(BigInt(row.getLong(1)) == exp, "rho2 differs from the scala replay")
+    assert(math.abs(row.getLong(1)) <= 1000000L)
+  }
 }

@@ -472,4 +472,27 @@ class DedupSpec extends SparkSpec {
     }
     c.unpersist()
   }
+
+  test("estimator eval: est/exact agree with the standalone #23/#25 queries; error closes") {
+    val ev = Dedup.estimatorEval(spark, sf).cache()
+    // same candidate pairs as the minhash query (banding is shared)
+    val mh = Dedup.minhash(spark, sf)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val g = ev.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(g.keySet == mh.keySet, "eval covers exactly the banded candidate pairs")
+    g.foreach { case (k, (est, exact, err)) =>
+      // est_e6 is the integer-grid version of minhash's 4dp estimate
+      assert(math.abs(est / 1e6 - mh(k)) < 5e-4, s"pair $k estimate")
+      assert(err == est - exact, "error column closes")
+      assert(est >= 0 && est <= 1000000 && exact > 0 && exact <= 1000000)
+    }
+    // planted near-dups (+1M offsets) must be measured as highly similar
+    val planted = g.filter { case ((a, b), _) => b == a + 1000000L }
+    assert(planted.nonEmpty)
+    assert(planted.values.forall(_._2 >= 500000L), "planted pairs exact-jaccard >= 0.5")
+    ev.unpersist()
+  }
 }

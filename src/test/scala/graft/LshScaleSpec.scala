@@ -92,4 +92,31 @@ class LshScaleSpec extends SparkSpec {
     })
     ev.unpersist()
   }
+
+  test("ann eval ndcg: independently derived discounts; direct DCG replay; [0,1e6]") {
+    // derive the e6 discounts from scratch — the spec must not trust
+    // the production constants it is checking
+    val w = (1 to 10).map(i => math.floor(1e6 / (math.log(i + 1) / math.log(2))).toLong)
+    val idcg = w.zipWithIndex.map { case (wi, i) => (10L - i) * wi }.sum
+    val nd = SparkEntry.queries("ann_eval_ndcg")(spark, sf).cache()
+    val bfRank = graft.operators.Similarity.bruteForce(spark, sf)
+      .select("query_id", "vec_id", "rank")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ls = graft.operators.Similarity.lsh(spark, sf)
+      .select("query_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = ls.groupBy(_._1).map { case (q, rows) =>
+      val dcg = rows.map { case (qq, v, lrank) =>
+        bfRank.get((qq, v)).map(br => (11L - br) * w(lrank.toInt - 1)).getOrElse(0L)
+      }.sum
+      val nRel = rows.count { case (qq, v, _) => bfRank.contains((qq, v)) }.toLong
+      q -> ((nRel, dcg, dcg * 1000000L / idcg))
+    }
+    val g = nd.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g == exp, "ndcg differs from the direct replay")
+    assert(g.values.forall { case (_, _, n) => n >= 0 && n <= 1000000 })
+    // a perfectly-ordered full-recall query would score exactly 1e6
+    nd.unpersist()
+  }
 }

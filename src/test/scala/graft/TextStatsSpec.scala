@@ -520,4 +520,41 @@ class TextStatsSpec extends SparkSpec {
     }
     ps.unpersist()
   }
+
+  test("textrank: exact integer trajectory replay of the word-graph rounds") {
+    val got = TextStats.textRank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // scala replay: window-2 co-occurrence graph + 2 damped rounds
+    val stop = graft.operators.TextOps.stopwords.toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val pairCounts = collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { t =>
+      val ws = t.trim.toLowerCase.split("\\s+").zipWithIndex
+        .filterNot { case (w, _) => stop(w) }
+      for {
+        i <- ws.indices
+        j <- (i + 1) until ws.length
+        if ws(j)._2 > ws(i)._2 && ws(j)._2 <= ws(i)._2 + 2
+        if ws(i)._1 != ws(j)._1
+      } {
+        val k = if (ws(i)._1 < ws(j)._1) (ws(i)._1, ws(j)._1) else (ws(j)._1, ws(i)._1)
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1
+      }
+    }
+    val edges = pairCounts.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val wout = edges.groupBy(_._1).map { case (w, es) => w -> es.map(_._3).sum }
+    val n = wout.size.toLong
+    var r: Map[String, Long] = wout.keys.map(_ -> 100000000L / n).toMap
+    for (_ <- 1 to 2) {
+      val cs = collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (src, dst, cw) =>
+        cs(dst) = cs.getOrElse(dst, 0L) + r(src) * cw / wout(src)
+      }
+      r = cs.map { case (w, c) => w -> (15L * 100000000L / (100 * n) + 85 * c / 100) }.toMap
+    }
+    val exp = r.toSeq.sortBy { case (w, s) => (-s, w) }.take(20)
+      .zipWithIndex.map { case ((w, s), i) => (w, s, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == exp, "textrank differs from the scala trajectory")
+  }
 }

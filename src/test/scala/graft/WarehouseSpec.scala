@@ -340,4 +340,31 @@ class WarehouseSpec extends SparkSpec {
     }
     ef.unpersist()
   }
+
+  test("hhi: exact BigInt replay; bounds 1/n <= hhi <= 1; cr1 dominates equality line") {
+    val got = graft.operators.Warehouse.hhi(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_suppkey", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("l_suppkey").agg(sum("c").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nat = graft.Tables.supplier(spark, sf)
+      .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byNat = nat.filter(s => li.contains(s._1)).groupBy(_._2)
+      .map { case (n, ss) => n -> ss.map(s => li(s._1)) }
+    assert(got.keySet == byNat.keySet)
+    byNat.foreach { case (n, revs) =>
+      val tot = revs.sum
+      val hhi = (revs.map(r => BigInt(r) * r).sum * 1000000 / (BigInt(tot) * tot)).toLong
+      val cr1 = revs.max * 1000000L / tot
+      val (gn, gt, gh, gc) = got(n)
+      assert(gn == revs.size.toLong && gt == tot && gh == hhi && gc == cr1, s"nation $n")
+      // HHI lives in [1/n, 1]; CR1 can never sit below the equal-share line
+      assert(gh >= 1000000L / revs.size - 1 && gh <= 1000000L)
+      assert(gc >= 1000000L / revs.size - 1)
+    }
+  }
 }
