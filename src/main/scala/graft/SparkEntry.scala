@@ -373,7 +373,15 @@ object SparkEntry {
     // Herfindahl-Hirschman market concentration (§2 #246)
     "q_hhi" -> (Warehouse.hhi _),
     // TextRank keyword extraction (§2 #247)
-    "text_textrank" -> ((s: SparkSession, d: String) => TextStats.textRank(s, d))
+    "text_textrank" -> ((s: SparkSession, d: String) => TextStats.textRank(s, d)),
+    // WebDataset-style shard packing manifest (§2 #248)
+    "mm_shard_pack" ->
+      ((s: SparkSession, d: String) => Multimodal.shardPack(s, d, MmShardBudgetBytes)),
+    // GDPR erasure / purge-manifest audit (§2 #249)
+    "cdc_erasure_audit" ->
+      ((s: SparkSession, d: String) => Cdc.erasureAudit(s, d, ErasureHorizonDays)),
+    // Holt double-exponential smoothing (§2 #250)
+    "q_holt" -> (AnalyticsExt.holt _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5123,7 +5131,85 @@ object SparkEntry {
            GROUP BY 1, n)
          SELECT word, r AS tr_e8,
            CAST(row_number() OVER (ORDER BY r DESC, word) AS BIGINT) AS rank
-         FROM r2 QUALIFY rank <= 20"""
+         FROM r2 QUALIFY rank <= 20""",
+    "mm_shard_pack" ->
+      // sequential tar-writer assignment: shard = cum-bytes-before
+      // div budget (shared MmShardBudgetBytes constant), then the
+      // per-shard manifest aggregate
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents),
+         cum AS (
+           SELECT modality, doc_id, byte_len,
+             CAST(coalesce(sum(byte_len) OVER (PARTITION BY modality ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM m)
+         SELECT modality, cum_before // $MmShardBudgetBytes AS shard_file,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(byte_len) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM cum GROUP BY 1, 2""",
+    "cdc_erasure_audit" ->
+      // per-key change-type census + final-op filter + 1-row corpus
+      // clock; horizon interpolated from ErasureHorizonDays
+      s"""WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op
+           FROM events),
+         lastop AS (
+           SELECT user_id, op AS final_op FROM (
+             SELECT user_id, op, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+           WHERE rn = 1),
+         agg AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_history_rows,
+             CAST(count(CASE WHEN op = 'INSERT' THEN 1 END) AS BIGINT) AS n_inserts,
+             CAST(count(CASE WHEN op = 'UPDATE' THEN 1 END) AS BIGINT) AS n_updates,
+             CAST(count(CASE WHEN op = 'DELETE' THEN 1 END) AS BIGINT) AS n_deletes,
+             min(ts) AS first_ts, max(ts) AS last_ts
+           FROM c GROUP BY 1),
+         clock AS (SELECT max(ts) AS now_ts FROM c)
+         SELECT a.user_id, n_history_rows, n_inserts, n_updates, n_deletes,
+           first_ts, last_ts,
+           (now_ts - last_ts) // 86400000000 AS tombstone_age_days,
+           CAST(now_ts - last_ts >= $ErasureHorizonDays * CAST(86400000000 AS BIGINT)
+             AS BIGINT) AS purge_eligible
+         FROM agg a JOIN lastop l ON l.user_id = a.user_id, clock
+         WHERE l.final_op = 'DELETE'""",
+    "q_holt" -> {
+      // identical sign-factored dyadic trajectory as a recursive CTE;
+      // newl is substituted textually into the b update because SQL
+      // cannot bind a local - both engines fold the repeat via CSE
+      def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
+      val newl = tq("s.y + 3 * (h.l + h.b)")
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         rec AS (
+           WITH RECURSIVE h(event_type, i, day, y, l, b) AS (
+             SELECT event_type, i, day, y, y, CAST(0 AS BIGINT) FROM idx WHERE i = 1
+             UNION ALL
+             SELECT s.event_type, s.i, s.day, s.y,
+               $newl,
+               ${tq(s"($newl - h.l) + 3 * h.b")}
+             FROM idx s JOIN h ON s.event_type = h.event_type AND s.i = h.i + 1)
+           SELECT * FROM h)
+         SELECT event_type, day, y AS cents, l AS level_c, b AS trend_c,
+           l + b AS forecast_next_c
+         FROM rec"""
+    }
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles
@@ -5175,6 +5261,13 @@ object SparkEntry {
     * single-source-of-truth discipline as BootstrapB.
     */
   private val PrCurveBins = 10
+
+  /** Shard byte budget for `mm_shard_pack` and retention horizon for
+    * `cdc_erasure_audit` — shared Spark-call/oracle constants (the
+    * BootstrapB discipline).
+    */
+  private val MmShardBudgetBytes = 262144L
+  private val ErasureHorizonDays = 7
 
   /** NDCG position discounts w_i = ⌊10⁶/log₂(i+1)⌋, i = 1..10 — the
     * #211 precomputed-constants pattern (no engine-side log₂); single

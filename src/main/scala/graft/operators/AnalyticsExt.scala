@@ -2766,4 +2766,59 @@ object AnalyticsExt {
                  ((abs(num) * 1000 div den_x) * (abs(num) * 1000 div den_y))
                 AS BIGINT)""").as("rho2_signed_e6"))
   }
+
+  /** #250 Holt double-exponential smoothing per event-type daily
+    * series: level + trend state with dyadic α = β = ¼, the
+    * forecasting workhorse between #196's EWMA (level only — lags
+    * every trend) and #139's seasonal model — plus the one-step-ahead
+    * forecast l+b each day. All-integer: the dyadic gains make every
+    * update a shift-scale sum, and division is SIGN-FACTORED
+    * (−(−a div 4) for a<0) so Spark's truncating `div` and DuckDB's
+    * flooring `//` replay the identical trajectory even when the
+    * trend state goes negative (#221's cross-engine discipline).
+    *
+    * The fold is sequential BY DEFINITION, but the step table is
+    * CALENDAR-bounded, so it runs inside one collected array scalar
+    * per series via a codegen'd higher-order aggregate-over-slice —
+    * the #234 Kaplan-Meier pattern (bounded model state, never a
+    * per-row window over unbounded data). l_t appears twice in the
+    * lambda (for itself and inside b_t) because SQL lambdas cannot
+    * bind locals; both occurrences are the same expression, folded
+    * once by codegen CSE.
+    */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    // sign-factored truncating quarter: identical in both engines
+    def q(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) div 4) ELSE ($a) div 4 END)"
+    val newL = q("s.y + 3 * (acc.l + acc.b)")
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    daily
+      .groupBy("event_type")
+      .agg(expr("sort_array(collect_list(named_struct('day', day, 'y', y)))").as("steps"))
+      .select(
+        col("event_type"),
+        explode(
+          expr(s"""transform(steps, (x, i) -> named_struct(
+                     'day', x.day, 'cents', x.y,
+                     'st', aggregate(slice(steps, 2, i),
+                             named_struct('l', element_at(steps, 1).y, 'b', 0L),
+                             (acc, s) -> named_struct(
+                               'l', $newL,
+                               'b', ${q(s"($newL - acc.l) + 3 * acc.b")}))))"""))
+          .as("h"))
+      .select(
+        col("event_type"),
+        col("h.day").as("day"),
+        col("h.cents").as("cents"),
+        col("h.st.l").as("level_c"),
+        col("h.st.b").as("trend_c"),
+        (col("h.st.l") + col("h.st.b")).as("forecast_next_c"))
+  }
 }

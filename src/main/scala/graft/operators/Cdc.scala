@@ -882,4 +882,54 @@ object Cdc {
         max(when(col("rn_ts") === 1, col("value"))).as("repaired_value"))
       .filter(col("naive_event_id") =!= col("repaired_event_id"))
   }
+
+  /** #249 Erasure (right-to-be-forgotten) audit: the purge manifest a
+    * CDC warehouse must produce when a key is tombstoned — GDPR/CCPA
+    * erasure is not "the current table forgot the row" (#3 already
+    * guarantees that): every HISTORY row, pre-delete version, and
+    * carried-forward original value still exists and must be
+    * physically located before a compaction/crypto-shred pass can
+    * run. Per tombstoned key (final op = DELETE, the #3 state
+    * machine): rows to purge by change type, the key's total stored
+    * value-bearing rows, first/last change time, age of the
+    * tombstone against the corpus clock, and the `purge_eligible`
+    * flag under the retention horizon (old enough that replaying
+    * consumers — the #217 constraint — can no longer resurrect it).
+    * #217 sizes reclaim in aggregate; this is the per-key work
+    * order.
+    *
+    * One user_id exchange (the same single-shuffle discipline as
+    * #3/#4): per-key last-op aggregate + change-type counts in one
+    * pass, the corpus max-ts as a 1-row broadcast. Linear; output is
+    * bounded by the tombstoned-key count.
+    */
+  def erasureAudit(spark: SparkSession, dir: String, horizonDays: Int = 7): DataFrame = {
+    val ch = classify(spark, dir)
+    val perKey = ch
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_history_rows"),
+        count(when(col("op") === "INSERT", 1)).as("n_inserts"),
+        count(when(col("op") === "UPDATE", 1)).as("n_updates"),
+        count(when(col("op") === "DELETE", 1)).as("n_deletes"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        max_by(col("op"), struct(col("ts"), col("event_id"))).as("final_op"))
+    val clock = ch.agg(max("ts").as("now_ts"))
+    perKey
+      .filter(col("final_op") === "DELETE")
+      .crossJoin(broadcast(clock))
+      .select(
+        col("user_id"),
+        col("n_history_rows"),
+        col("n_inserts"),
+        col("n_updates"),
+        col("n_deletes"),
+        col("first_ts"),
+        col("last_ts"),
+        expr("(now_ts - last_ts) div 86400000000").as("tombstone_age_days"),
+        (col("now_ts") - col("last_ts") >= lit(horizonDays) * 86400000000L)
+          .cast("long")
+          .as("purge_eligible"))
+  }
 }

@@ -285,4 +285,35 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** #248 WebDataset-style shard packing: assign every payload to a
+    * size-budgeted shard file per modality (the tar-shard layout
+    * multimodal training loaders stream — Beaumont/webdataset
+    * convention) and emit the per-shard manifest a dataloader
+    * actually opens with: item count, byte total, doc-id span. The
+    * assignment is the sequential tar-writer's: items in
+    * deterministic (doc_id) order, shard = cumulative-bytes-before
+    * div budget — a shard may overflow by at most its last item,
+    * exactly like a real tar writer that never splits a member.
+    * #70 packs TOKENS into fixed context windows; this packs BYTES
+    * into fixed files — same concat-and-chunk algebra, different
+    * resource.
+    *
+    * One per-modality window cumsum (the #70 packCore shape — the
+    * modality key bounds each partition the way `lang` does there)
+    * then a (modality, shard)-keyed aggregate; output cardinality =
+    * shard count = corpus_bytes/budget, linear and bounded.
+    */
+  def shardPack(spark: SparkSession, dir: String, budgetBytes: Long = 262144L): DataFrame = {
+    val w = Window.partitionBy("modality").orderBy("doc_id")
+    manifest(spark, dir)
+      .withColumn("cum_before", sum("byte_len").over(w) - col("byte_len"))
+      .withColumn("shard_file", expr(s"cum_before div ${budgetBytes}L"))
+      .groupBy("modality", "shard_file")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("byte_len").as("shard_bytes"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
 }

@@ -1362,4 +1362,37 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(BigInt(row.getLong(1)) == exp, "rho2 differs from the scala replay")
     assert(math.abs(row.getLong(1)) <= 1000000L)
   }
+
+  test("holt: sequential scala fold replay; forecast closes; level tracks a constant series") {
+    val got = AnalyticsExt.holt(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    def tq(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+    val daily = Tables.events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("event_type", "day").agg(sum("cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2)
+      var l = series.head._3
+      var b = 0L
+      series.zipWithIndex.foreach { case ((_, day, y), i) =>
+        if (i > 0) {
+          val nl = tq(y + 3 * (l + b))
+          b = tq((nl - l) + 3 * b)
+          l = nl
+        }
+        val (gc, gl, gb, gf) = got((t, day))
+        assert(gc == y && gl == l && gb == b, s"$t day $day")
+        assert(gf == l + b, "forecast = level + trend")
+      }
+    }
+    assert(got.size == daily.length)
+  }
 }

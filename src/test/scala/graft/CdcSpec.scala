@@ -404,4 +404,30 @@ class CdcSpec extends SparkSpec {
     }
     got.unpersist()
   }
+
+  test("erasure audit: exactly the tombstoned keys; census ties to stats; eligibility exact") {
+    val ea = Cdc.erasureAudit(spark, sf).cache()
+    // audited keys = keys absent from current but present in the changelog
+    val curKeys = Cdc.current(spark, sf).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    val allKeys = Cdc.classify(spark, sf).select("user_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val audited = ea.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(audited == allKeys -- curKeys, "audit rows = tombstoned keys exactly")
+    // row census agrees with cdc_stats for those keys
+    val st = Cdc.stats(spark, sf)
+      .select("user_id", "n_changes", "n_inserts", "n_updates", "n_deletes")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val nowTs = Cdc.classify(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("ts")).head.getLong(0)
+    ea.collect().foreach { r =>
+      val u = r.getLong(0)
+      assert(st(u) == ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))), s"user $u")
+      val age = (nowTs - r.getLong(6)) / 86400000000L
+      assert(r.getLong(7) == age, s"user $u age")
+      assert(r.getLong(8) == (if (nowTs - r.getLong(6) >= 7L * 86400000000L) 1L else 0L))
+    }
+    ea.unpersist()
+  }
 }

