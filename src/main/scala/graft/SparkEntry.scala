@@ -381,7 +381,11 @@ object SparkEntry {
     "cdc_erasure_audit" ->
       ((s: SparkSession, d: String) => Cdc.erasureAudit(s, d, ErasureHorizonDays)),
     // Holt double-exponential smoothing (§2 #250)
-    "q_holt" -> (AnalyticsExt.holt _)
+    "q_holt" -> (AnalyticsExt.holt _),
+    // Top session opening paths (§2 #251)
+    "q_top_paths" -> ((s: SparkSession, d: String) => AnalyticsExt.topPaths(s, d)),
+    // Two-proportion z-test A/B read-out (§2 #252)
+    "q_ab_test" -> (AnalyticsExt.abTest _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5209,7 +5213,67 @@ object SparkEntry {
          SELECT event_type, day, y AS cents, l AS level_c, b AS trend_c,
            l + b AS forecast_next_c
          FROM rec"""
-    }
+    },
+    "q_top_paths" ->
+      // #16's sessionization + first-3 rank filter + path assembly +
+      // alphabet-bounded top-10 with (count desc, path) tiebreak
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts, event_id, event_type
+           FROM events),
+         gaps AS (
+           SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > 30 * 60 * 1000 * 1000
+                     THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+           FROM gaps),
+         steps AS (
+           SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS step
+           FROM sess QUALIFY step <= 3),
+         paths AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY step) AS path,
+             CAST(count(*) AS BIGINT) AS n_steps
+           FROM steps GROUP BY 1, 2),
+         counts AS (
+           SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+             min(n_steps) AS n_steps
+           FROM paths GROUP BY 1)
+         SELECT path, n_sessions, n_steps,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+         FROM counts QUALIFY rank <= 10""",
+    "q_ab_test" ->
+      // the staged-quotient two-proportion z^2 replayed verbatim:
+      // q1 = d^2 // (n1 n2), then q1 * N * 1e6 // (C (N - C))
+      """WITH j AS (
+           SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm_a,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         arms AS (
+           SELECT arm_a, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+           FROM j GROUP BY 1),
+         w AS (
+           SELECT max(CASE WHEN arm_a = 1 THEN n END) AS n1,
+             max(CASE WHEN arm_a = 1 THEN c END) AS c1,
+             max(CASE WHEN arm_a = 0 THEN n END) AS n2,
+             max(CASE WHEN arm_a = 0 THEN c END) AS c2
+           FROM arms)
+         SELECT n1, c1, n2, c2,
+           CAST(c1 * 1000000 // n1 AS BIGINT) AS rate_a_e6,
+           CAST(c2 * 1000000 // n2 AS BIGINT) AS rate_b_e6,
+           CAST(CASE WHEN c1 * n2 - c2 * n1 < 0 THEN -1 ELSE 1 END AS BIGINT) AS direction,
+           CAST(((CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+               * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+               // (CAST(n1 AS HUGEINT) * n2))
+               * (n1 + n2) * 1000000
+             // (CAST(c1 + c2 AS HUGEINT) * (n1 + n2 - c1 - c2)) AS BIGINT) AS z2_e6
+         FROM w"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

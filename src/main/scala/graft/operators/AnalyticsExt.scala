@@ -2821,4 +2821,109 @@ object AnalyticsExt {
         col("h.st.b").as("trend_c"),
         (col("h.st.l") + col("h.st.b")).as("forecast_next_c"))
   }
+
+  /** #251 Top session paths: the k most common opening event-type
+    * sequences (first 3 steps) across #16's sessions — the
+    * "how do visits actually start" table product analytics reads
+    * before designing a funnel (#18 checks ONE hypothesized path;
+    * this discovers which paths exist, the empirical input to that
+    * hypothesis). Paths use '>' separators and keep shorter sessions
+    * as shorter paths, so 1-step bounces rank against 3-step flows.
+    *
+    * Same sessionization as #16 (30-min gaps, (ts, event_id) total
+    * order) in one user_id exchange; the first-3 extraction is a
+    * rank filter inside the session (WindowGroupLimit — each map
+    * task keeps ≤3 rows per session before any exchange), the path
+    * assembly one (user, session)-keyed aggregate, and the top-k a
+    * rank-filtered count frame bounded by the type-alphabet³ path
+    * space — never by sessions.
+    */
+  def topPaths(spark: SparkSession, dir: String, steps: Int = 3, topK: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val inSession =
+      Window.partitionBy("user_id", "session_id").orderBy(col("ts"), col("event_id"))
+    val paths = Tables
+      .events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "is_new",
+        (col("prev_ts").isNull || (col("ts") - col("prev_ts") > gapUs)).cast("long"))
+      .withColumn(
+        "session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("step", row_number().over(inSession))
+      .filter(col("step") <= steps)
+      .groupBy("user_id", "session_id")
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(step, event_type))), x -> x.event_type)"), ">")
+          .as("path"),
+        count(lit(1)).as("n_steps"))
+    paths
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), min("n_steps").as("n_steps"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("n_sessions").desc, col("path")))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** #252 Two-proportion z-test (A/B test read-out): does order
+    * completion rate differ between the BUILDING market segment and
+    * the rest? — the experiment-analysis primitive behind every
+    * conversion A/B dashboard, computed EXACTLY: z² is a rational in
+    * the counts, z² = (c₁n₂ − c₂n₁)²·N div (n₁n₂C(N−C)) with
+    * C = c₁+c₂, N = n₁+n₂ (the pooled-variance two-proportion
+    * statistic with every float cancelled), published on the e6 grid
+    * — compare against 3.841·10⁶ (χ²₁ at 95%) without ever leaving
+    * integers. #189's chi² tests a full contingency table; this is
+    * the 2×2 one-degree case every experiment actually reads, with
+    * the direction sign and both rates alongside.
+    *
+    * One customer→orders equi-join + a 2-row aggregate + a 1-row
+    * projection; cross products run in DECIMAL(38,0) ↔ HUGEINT. The
+    * quotient is STAGED — q₁ = d² div (n₁n₂), then z²·10⁶ =
+    * q₁·N·10⁶ div (C(N−C)) — because the single-quotient numerator
+    * d²·N·10⁶ would overflow DECIMAL(38) near n ≈ 10⁸ per arm while
+    * the staged form holds to ~2·10⁹ (d² ≤ (n₁n₂)² is the binding
+    * term); the staged formula IS the published contract, replayed
+    * verbatim by the oracle, so both engines agree bit-for-bit and
+    * the ≤1-ulp-per-stage quantization is defined, not accidental.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables
+      .orders(spark, dir)
+      .join(
+        Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .select(
+        (col("c_mktsegment") === "BUILDING").cast("long").as("arm_a"),
+        (col("o_orderstatus") === "F").cast("long").as("conv"))
+      .groupBy("arm_a")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    arms
+      .agg(
+        max(when(col("arm_a") === 1, col("n"))).as("n1"),
+        max(when(col("arm_a") === 1, col("c"))).as("c1"),
+        max(when(col("arm_a") === 0, col("n"))).as("n2"),
+        max(when(col("arm_a") === 0, col("c"))).as("c2"))
+      .select(
+        col("n1"),
+        col("c1"),
+        col("n2"),
+        col("c2"),
+        expr("CAST(c1 * 1000000 div n1 AS BIGINT)").as("rate_a_e6"),
+        expr("CAST(c2 * 1000000 div n2 AS BIGINT)").as("rate_b_e6"),
+        expr("CAST(CASE WHEN c1 * n2 - c2 * n1 < 0 THEN -1 ELSE 1 END AS BIGINT)")
+          .as("direction"),
+        expr("""CAST(((CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1)
+                  * (CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1)
+                  div (CAST(n1 AS DECIMAL(38,0)) * n2))
+                  * (n1 + n2) * 1000000
+                 div (CAST(c1 + c2 AS DECIMAL(38,0))
+                      * (n1 + n2 - c1 - c2)) AS BIGINT)""").as("z2_e6"))
+  }
 }

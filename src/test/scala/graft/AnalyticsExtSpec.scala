@@ -1395,4 +1395,67 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(got.size == daily.length)
   }
+
+  test("top paths: scala sessionize+path replay; counts tie to #16's session count") {
+    val got = AnalyticsExt.topPaths(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000 AS ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 30L * 60 * 1000 * 1000
+    val pathCounts = collection.mutable.Map.empty[String, (Long, Long)]
+    var totalSessions = 0L
+    ev.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var sessions = Vector.empty[Vector[String]]
+      var prevTs = Long.MinValue
+      sorted.foreach { case (_, ts, _, t) =>
+        if (prevTs == Long.MinValue || ts - prevTs > gap) sessions :+= Vector(t)
+        else sessions = sessions.init :+ (sessions.last :+ t)
+        prevTs = ts
+      }
+      totalSessions += sessions.length
+      sessions.foreach { s =>
+        val p = s.take(3)
+        val key = p.mkString(">")
+        val (n, st) = pathCounts.getOrElse(key, (0L, Long.MaxValue))
+        pathCounts(key) = (n + 1, math.min(st, p.length.toLong))
+      }
+    }
+    val exp = pathCounts.toSeq.sortBy { case (p, (n, _)) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, (n, st)), i) => (p, n, st, i + 1L) }
+    assert(got.sortBy(_._4).toSeq == exp, "top paths differ from the scala replay")
+    // the ranked paths cover at most every session once
+    assert(got.map(_._2).sum <= totalSessions)
+    val s16 = graft.operators.Analytics.sessionize(spark, sf).count()
+    assert(totalSessions == s16, "replayed session count ties to #16")
+  }
+
+  test("ab test: staged-quotient z2 replay; chi2 cross-check within quantization") {
+    val row = AnalyticsExt.abTest(spark, sf).collect().head
+    val base = Tables.orders(spark, sf)
+      .join(
+        Tables.customer(spark, sf).selectExpr("c_custkey AS o_custkey", "c_mktsegment"),
+        "o_custkey")
+      .selectExpr("c_mktsegment = 'BUILDING' AS a", "o_orderstatus = 'F' AS conv")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    val n1 = base.count(_._1).toLong
+    val c1 = base.count(x => x._1 && x._2).toLong
+    val n2 = base.length - n1
+    val c2 = base.count(x => !x._1 && x._2).toLong
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n1, c1, n2, c2)))
+    assert(row.getLong(4) == c1 * 1000000L / n1 && row.getLong(5) == c2 * 1000000L / n2)
+    val d = BigInt(c1) * n2 - BigInt(c2) * n1
+    assert(row.getLong(6) == (if (d < 0) -1L else 1L))
+    val q1 = d * d / (BigInt(n1) * n2)
+    val exp = q1 * (n1 + n2) * 1000000 / (BigInt(c1 + c2) * (n1 + n2 - c1 - c2))
+    assert(BigInt(row.getLong(7)) == exp, "z2 differs from the staged replay")
+    // float cross-check: the staged integer z2 tracks the textbook
+    // formula within its quantization
+    val (p1, p2) = (c1.toDouble / n1, c2.toDouble / n2)
+    val p = (c1 + c2).toDouble / (n1 + n2)
+    val zf = (p1 - p2) * (p1 - p2) / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(row.getLong(7) / 1e6 - zf) < 0.01 * math.max(1.0, zf))
+  }
 }
