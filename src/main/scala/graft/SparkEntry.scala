@@ -385,7 +385,13 @@ object SparkEntry {
     // Top session opening paths (§2 #251)
     "q_top_paths" -> ((s: SparkSession, d: String) => AnalyticsExt.topPaths(s, d)),
     // Two-proportion z-test A/B read-out (§2 #252)
-    "q_ab_test" -> (AnalyticsExt.abTest _)
+    "q_ab_test" -> (AnalyticsExt.abTest _),
+    // Markov stationary distribution (§2 #253)
+    "q_markov_stationary" -> ((s: SparkSession, d: String) => AnalyticsExt.markovStationary(s, d)),
+    // p-chart control limits without sqrt (§2 #254)
+    "q_control_chart" -> (AnalyticsExt.controlChart _),
+    // Farthest-point k-center landmark selection (§2 #255)
+    "ann_fps" -> ((s: SparkSession, d: String) => Similarity.fps(s, d, FpsK))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5273,7 +5279,66 @@ object SparkEntry {
                // (CAST(n1 AS HUGEINT) * n2))
                * (n1 + n2) * 1000000
              // (CAST(c1 + c2 AS HUGEINT) * (n1 + n2 - c1 - c2)) AS BIGINT) AS z2_e6
-         FROM w"""
+         FROM w""",
+    "q_markov_stationary" ->
+      // #174's counts + 3 unrolled power-iteration rounds on the e6
+      // grid; zero-mass states kept by the left join each round
+      """WITH seq AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         t AS (
+           SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM t GROUP BY 1),
+         st AS (SELECT DISTINCT state FROM
+                (SELECT from_type AS state FROM t UNION ALL SELECT to_type FROM t)),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+         p0 AS (SELECT state, CAST(1000000 // k AS BIGINT) AS pi FROM st, kk),
+         p1 AS (
+           SELECT st.state, CAST(coalesce(x.p, 0) AS BIGINT) AS pi
+           FROM st LEFT JOIN (
+             SELECT t.to_type AS state, sum(p0.pi * t.n // ft.n_from) AS p
+             FROM t JOIN ft USING (from_type) JOIN p0 ON p0.state = t.from_type
+             GROUP BY 1) x USING (state)),
+         p2 AS (
+           SELECT st.state, CAST(coalesce(x.p, 0) AS BIGINT) AS pi
+           FROM st LEFT JOIN (
+             SELECT t.to_type AS state, sum(p1.pi * t.n // ft.n_from) AS p
+             FROM t JOIN ft USING (from_type) JOIN p1 ON p1.state = t.from_type
+             GROUP BY 1) x USING (state)),
+         p3 AS (
+           SELECT st.state, CAST(coalesce(x.p, 0) AS BIGINT) AS pi
+           FROM st LEFT JOIN (
+             SELECT t.to_type AS state, sum(p2.pi * t.n // ft.n_from) AS p
+             FROM t JOIN ft USING (from_type) JOIN p2 ON p2.state = t.from_type
+             GROUP BY 1) x USING (state))
+         SELECT state, pi AS pi_e6 FROM p3""",
+    "q_control_chart" ->
+      // squared 3-sigma inequality on the integer grid - no sqrt:
+      // flag iff (c_d*T - C*n_d)^2 > 9*C*(T-C)*n_d
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c_d
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS t, CAST(sum(c_d) AS BIGINT) AS ctot
+                 FROM byday)
+         SELECT day, n_d, c_d,
+           CAST(c_d * 1000000 // n_d AS BIGINT) AS rate_e6,
+           CAST((CAST(c_d AS HUGEINT) * t - CAST(ctot AS HUGEINT) * n_d)
+                  * (CAST(c_d AS HUGEINT) * t - CAST(ctot AS HUGEINT) * n_d)
+                > 9 * CAST(ctot AS HUGEINT) * (t - ctot) * n_d AS BIGINT)
+             AS out_of_control,
+           CAST((CAST(c_d AS HUGEINT) * t - CAST(ctot AS HUGEINT) * n_d)
+                  * (CAST(c_d AS HUGEINT) * t - CAST(ctot AS HUGEINT) * n_d) * 1000000
+                // (9 * CAST(ctot AS HUGEINT) * (t - ctot) * n_d) AS BIGINT)
+             AS dev_ratio_e6
+         FROM byday, tot""",
+    "ann_fps" -> fpsOracle(FpsK)
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles
@@ -5332,6 +5397,45 @@ object SparkEntry {
     */
   private val MmShardBudgetBytes = 262144L
   private val ErasureHorizonDays = 7
+
+  /** Landmark count for `ann_fps` — shared by the Spark call and the
+    * generated oracle (the BootstrapB discipline).
+    */
+  private val FpsK = 8
+
+  /** Generated farthest-point-sampling replay: k−1 unrolled greedy
+    * rounds, each picking the minimum max-cosine vector (vec_id
+    * tiebreak) against every previously selected landmark via scalar
+    * subqueries — derived from the SAME FpsK constant as the Spark
+    * call.
+    */
+  private def fpsOracle(k: Int): String = {
+    val rounds = new StringBuilder
+    for (r <- 2 to k) {
+      val prevUnion =
+        (1 until r).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+      rounds.append(
+        s""",
+          c$r AS MATERIALIZED ($prevUnion),
+          m$r AS MATERIALIZED (
+            SELECT a.vec_id,
+              max(round(list_cosine_similarity(a.emb, b.emb), 6)) AS mx
+            FROM e a, e b
+            WHERE b.vec_id IN (SELECT id FROM c$r)
+              AND a.vec_id NOT IN (SELECT id FROM c$r)
+            GROUP BY 1),
+          s$r AS MATERIALIZED (
+            SELECT vec_id AS id, mx FROM m$r ORDER BY mx, vec_id LIMIT 1)""")
+    }
+    val out = (1 to k).map { r =>
+      if (r == 1) s"SELECT CAST(1 AS BIGINT) AS rank, (SELECT id FROM s1) AS vec_id, 1.0 AS cov_cos"
+      else s"SELECT CAST($r AS BIGINT), (SELECT id FROM s$r), (SELECT mx FROM s$r)"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          s1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM e)${rounds.toString}
+          $out"""
+  }
 
   /** NDCG position discounts w_i = ⌊10⁶/log₂(i+1)⌋, i = 1..10 — the
     * #211 precomputed-constants pattern (no engine-side log₂); single

@@ -2926,4 +2926,97 @@ object AnalyticsExt {
                  div (CAST(c1 + c2 AS DECIMAL(38,0))
                       * (n1 + n2 - c1 - c2)) AS BIGINT)""").as("z2_e6"))
   }
+
+  /** #253 Markov stationary distribution: the long-run occupancy of
+    * #174's event-type transition matrix — "where does the user
+    * process asymptotically spend its time", the one-vector summary
+    * that turns the transition table into a forecast (and the
+    * discrete cousin of #124's PageRank without teleport). Exact
+    * integer power iteration on the e6 grid: π₀ uniform, each round
+    * π'(j) = Σᵢ π(i)·c(i,j) div c(i,·) — the same div-per-edge
+    * contribution algebra as #124/#227/#247, so the 3-round
+    * trajectory replays bit-exactly as unrolled CTEs. The matrix is
+    * ALPHABET-bounded (types² cells): rounds are joins on a
+    * broadcast-size frame, and the one data-scale pass is #174's
+    * single user_id exchange building the counts.
+    */
+  def markovStationary(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .localCheckpoint(eager = false)
+    val edges = trans
+      .join(trans.groupBy("from_type").agg(sum("n_trans").as("n_from")), "from_type")
+    val states = trans
+      .select(col("from_type").as("state"))
+      .unionAll(trans.select(col("to_type").as("state")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nDf = states.agg(count(lit(1)).as("k"))
+    var pi = states
+      .crossJoin(broadcast(nDf))
+      .select(col("state"), expr("CAST(1000000 div k AS BIGINT)").as("pi_e6"))
+    for (_ <- 1 to iters) {
+      pi = states
+        .join(
+          edges
+            .join(pi.select(col("state").as("from_type"), col("pi_e6")), "from_type")
+            .select(col("to_type").as("state"), expr("pi_e6 * n_trans div n_from").as("c"))
+            .groupBy("state")
+            .agg(sum("c").as("p")),
+          Seq("state"),
+          "left")
+        .select(col("state"), coalesce(col("p"), lit(0L)).as("pi_e6"))
+    }
+    pi.select(col("state"), col("pi_e6"))
+  }
+
+  /** #254 p-chart control limits (statistical process control): per
+    * day, is the order-completion rate outside the ±3σ band around
+    * the corpus rate? The Shewhart attribute chart ops teams run on
+    * conversion/defect streams — and computable EXACTLY with no
+    * square root: the 3σ test (p_d − p̄)² > 9·p̄(1−p̄)/n_d multiplies
+    * out to (c_d·T − C·n_d)² > 9·C·(T−C)·n_d on the integer grid
+    * (c_d, n_d per day; C, T corpus totals), so the flag, the
+    * squared deviation, and the squared limit are all exact BIGINTs
+    * — the #226 isqrt clamp isn't even needed when the INEQUALITY is
+    * the deliverable. One day-keyed aggregate + a 1-row totals
+    * broadcast; cross products in DECIMAL(38,0) ↔ HUGEINT.
+    */
+  def controlChart(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        (col("o_orderstatus") === "F").cast("long").as("conv"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_d"), sum("conv").as("c_d"))
+    val tot = byDay.agg(sum("n_d").as("t"), sum("c_d").as("ctot"))
+    byDay
+      .crossJoin(broadcast(tot))
+      .select(
+        col("day"),
+        col("n_d"),
+        col("c_d"),
+        expr("CAST(c_d * 1000000 div n_d AS BIGINT)").as("rate_e6"),
+        expr("""CAST((CAST(c_d AS DECIMAL(38,0)) * t - CAST(ctot AS DECIMAL(38,0)) * n_d)
+                  * (CAST(c_d AS DECIMAL(38,0)) * t - CAST(ctot AS DECIMAL(38,0)) * n_d)
+                 AS DECIMAL(38,0))""").as("dev_sq"),
+        expr("CAST(9 * CAST(ctot AS DECIMAL(38,0)) * (t - ctot) * n_d AS DECIMAL(38,0))")
+          .as("limit_sq"))
+      .select(
+        col("day"),
+        col("n_d"),
+        col("c_d"),
+        col("rate_e6"),
+        (col("dev_sq") > col("limit_sq")).cast("long").as("out_of_control"),
+        // e6 ratio of squared deviation to squared limit: >1e6 = violation
+        expr("CAST(dev_sq * 1000000 div limit_sq AS BIGINT)").as("dev_ratio_e6"))
+  }
 }

@@ -1458,4 +1458,50 @@ class AnalyticsExtSpec extends SparkSpec {
     val zf = (p1 - p2) * (p1 - p2) / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
     assert(math.abs(row.getLong(7) / 1e6 - zf) < 0.01 * math.max(1.0, zf))
   }
+
+  test("markov stationary: exact 3-round power-iteration replay; mass nearly conserved") {
+    val got = AnalyticsExt.markovStationary(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tr = AnalyticsExt.eventTransitions(spark, sf)
+      .select("from_type", "to_type", "n_trans", "n_from")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val states = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+    val k = states.length.toLong
+    var pi: Map[String, Long] = states.map(_ -> 1000000L / k).toMap
+    for (_ <- 1 to 3) {
+      val next = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      tr.foreach { case (f, t, n, nf) => next(t) += pi(f) * n / nf }
+      pi = states.map(s => s -> next(s)).toMap
+    }
+    assert(got == pi, "stationary vector differs from the scala replay")
+    // each round loses < 1 per edge to truncation; mass stays near 1e6
+    val mass = got.values.sum
+    assert(mass <= 1000000L && mass >= 1000000L - 3 * tr.length, s"mass $mass")
+  }
+
+  test("control chart: squared-inequality replay; flag consistent with the ratio") {
+    val rows = AnalyticsExt.controlChart(spark, sf).collect()
+    val byDay = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "o_orderstatus = 'F' AS conv")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val t = byDay.length.toLong
+    val ctot = byDay.count(_._2).toLong
+    val exp = byDay.groupBy(_._1).map { case (d, xs) =>
+      val (n, c) = (xs.length.toLong, xs.count(_._2).toLong)
+      val dev = BigInt(c) * t - BigInt(ctot) * n
+      val lim = BigInt(9) * ctot * (t - ctot) * n
+      d -> ((n, c, c * 1000000L / n,
+        if (dev * dev > lim) 1L else 0L, (dev * dev * 1000000 / lim).toLong))
+    }
+    assert(rows.length == exp.size)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(exp(d) == ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))),
+        s"day $d")
+      // flag and ratio tell the same story
+      assert((r.getLong(4) == 1L) == (r.getLong(5) > 1000000L))
+    }
+  }
 }

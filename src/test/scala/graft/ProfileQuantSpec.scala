@@ -216,4 +216,36 @@ class ProfileQuantSpec extends SparkSpec {
       }
     }
   }
+
+  test("fps: greedy scala replay; coverage radius curve monotone") {
+    val got = graft.operators.Similarity.fps(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var chosen = Vector(vecs.keys.min)
+    var exp = Vector((1L, chosen.head, 1.0))
+    for (r <- 2 to 8) {
+      val cands = vecs.keys.filterNot(chosen.contains).map { v =>
+        v -> chosen.map(c => cos(vecs(v), vecs(c))).max
+      }
+      val (pick, mx) = cands.minBy { case (v, m) => (m, v) }
+      chosen :+= pick
+      exp :+= ((r.toLong, pick, mx))
+    }
+    assert(got.toVector == exp, "fps differs from the greedy scala replay")
+    // once the two farthest points are in, each further landmark is
+    // CLOSER to the chosen set: the coverage cosine never decreases
+    got.drop(1).sliding(2).foreach {
+      case Array((_, _, c1), (_, _, c2)) => assert(c2 >= c1, "coverage curve monotone")
+      case _ =>
+    }
+  }
 }
