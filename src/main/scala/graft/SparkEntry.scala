@@ -391,7 +391,11 @@ object SparkEntry {
     // p-chart control limits without sqrt (§2 #254)
     "q_control_chart" -> (AnalyticsExt.controlChart _),
     // Farthest-point k-center landmark selection (§2 #255)
-    "ann_fps" -> ((s: SparkSession, d: String) => Similarity.fps(s, d, FpsK))
+    "ann_fps" -> ((s: SparkSession, d: String) => Similarity.fps(s, d, FpsK)),
+    // Safety stock / reorder point with exact isqrt (§2 #256)
+    "q_safety_stock" -> (AnalyticsExt.safetyStock _),
+    // ABC-XYZ inventory planning matrix (§2 #257)
+    "q_xyz_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.xyzMatrix(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5338,7 +5342,91 @@ object SparkEntry {
                 // (9 * CAST(ctot AS HUGEINT) * (t - ctot) * n_d) AS BIGINT)
              AS dev_ratio_e6
          FROM byday, tot""",
-    "ann_fps" -> fpsOracle(FpsK)
+    "ann_fps" -> fpsOracle(FpsK),
+    "q_safety_stock" ->
+      // weekly-demand moments + HUGEINT variance + the #226 one-ulp
+      // isqrt clamp of 8*var (z^2 * L = 4 * 2)
+      """WITH wd AS (
+           SELECT l.l_partkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS BIGINT) // 7 AS week,
+             CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qw
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+         m AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(qw) AS BIGINT) AS sq,
+             sum(CAST(qw AS HUGEINT) * qw) AS sqq
+           FROM wd GROUP BY 1),
+         v AS (
+           SELECT l_partkey, n_weeks, sq,
+             CAST((CAST(n_weeks AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)
+               // (CAST(n_weeks AS HUGEINT) * (n_weeks - 1)) AS BIGINT) AS var_q,
+             sq // n_weeks AS mean_w
+           FROM m WHERE n_weeks >= 2),
+         r AS (
+           SELECT *, CAST(floor(sqrt(CAST(8 * var_q AS DOUBLE))) AS BIGINT) AS s0
+           FROM v),
+         c AS (
+           SELECT l_partkey, n_weeks, sq, var_q, mean_w,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= 8 * var_q THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > 8 * var_q THEN 1 ELSE 0 END) AS ss
+           FROM r)
+         SELECT l_partkey, n_weeks, sq AS total_qty, mean_w AS mean_weekly_qty,
+           var_q, ss AS safety_stock, 2 * mean_w + ss AS reorder_point
+         FROM c""",
+    "q_xyz_matrix" ->
+      // #191's flat share replay crossed with the single-quotient
+      // cv^2 classes; n_weeks = 1 parts are Z by convention
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM rev),
+         ranked AS (
+           SELECT l_partkey, rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+           FROM rev),
+         classed AS (
+           SELECT l_partkey, rev,
+             CASE
+               WHEN CAST((CAST(cum AS HUGEINT) * 1000000) // t AS BIGINT) <= 800000
+                 THEN 'A'
+               WHEN CAST((CAST(cum AS HUGEINT) * 1000000) // t AS BIGINT) <= 950000
+                 THEN 'B'
+               ELSE 'C' END AS abc_class
+           FROM ranked, t),
+         wd AS (
+           SELECT l.l_partkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS BIGINT) // 7 AS week,
+             CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qw
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+         m AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(qw) AS BIGINT) AS sq,
+             sum(CAST(qw AS HUGEINT) * qw) AS sqq
+           FROM wd GROUP BY 1),
+         xyz AS (
+           SELECT l_partkey,
+             CASE WHEN n_weeks < 2 THEN 'Z'
+               WHEN (CAST(n_weeks AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)
+                    * n_weeks * 1000000
+                    // ((CAST(n_weeks AS HUGEINT) - 1) * CAST(sq AS HUGEINT) * sq)
+                    < 250000 THEN 'X'
+               WHEN (CAST(n_weeks AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)
+                    * n_weeks * 1000000
+                    // ((CAST(n_weeks AS HUGEINT) - 1) * CAST(sq AS HUGEINT) * sq)
+                    < 1000000 THEN 'Y'
+               ELSE 'Z' END AS xyz_class
+           FROM m)
+         SELECT c.abc_class, x.xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(c.rev) AS BIGINT) AS cell_revenue_usd,
+           CAST((CAST(sum(c.rev) AS HUGEINT) * 1000000) // max(t.t) AS BIGINT)
+             AS cell_share_e6
+         FROM classed c JOIN xyz x ON x.l_partkey = c.l_partkey, t
+         GROUP BY 1, 2"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

@@ -1826,6 +1826,30 @@ object AnalyticsExt {
     * scale). Class cuts compare integer e6 shares — no float ratios.
     */
   def abcPareto(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val (classed, tot) = abcClassed(spark, dir, nShards)
+    classed
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_revenue_usd"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("abc_class"),
+        col("n_parts"),
+        col("class_revenue_usd"),
+        expr("CAST((CAST(class_revenue_usd AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)")
+          .as("class_share_e6"))
+  }
+
+  /** The per-part ABC classification shared by #191 and #257: the
+    * hierarchical cumulative-revenue-share build (monotone rev-desc
+    * shard + within-shard cumsum + ≤nShards-row carry — equal
+    * revenues never span shards, so the shard index is monotone in
+    * the (rev desc, partkey) total order) and the 80/95 class cut.
+    * Returns the classed per-part frame plus the 1-row revenue total.
+    */
+  private def abcClassed(
+      spark: SparkSession,
+      dir: String,
+      nShards: Int): (DataFrame, DataFrame) = {
     val rev = Tables
       .lineitem(spark, dir)
       .select(
@@ -1834,8 +1858,6 @@ object AnalyticsExt {
       .groupBy("l_partkey")
       .agg(sum("r").as("rev"))
     val bounds = rev.agg(min("rev").as("lo"), max("rev").as("hi"))
-    // shard 0 = highest revenue; equal revenues never span shards, so
-    // shard index is monotone in the (rev desc, partkey) total order.
     val sharded = rev
       .crossJoin(broadcast(bounds))
       .withColumn("shard", expr(s"((hi - rev) * $nShards) div (hi - lo + 1)"))
@@ -1862,16 +1884,112 @@ object AnalyticsExt {
         when(col("share_e6") <= 800000, "A")
           .when(col("share_e6") <= 950000, "B")
           .otherwise("C"))
+    (classed, tot)
+  }
+
+  /** The per-part weekly-demand moment frame shared by #256/#257:
+    * observed-week demand (qty summed per epoch-week a part actually
+    * sold — the demand-history contract; structural zero weeks are a
+    * documented non-goal, matching how interval-based inventory
+    * models read a transaction log) with n, Σq, Σq² per part.
+    */
+  private def weeklyDemand(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(
+        col("l_partkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) div 7")
+          .as("week"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "week")
+      .agg(sum("q").as("qw"))
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n_weeks"),
+        sum("qw").as("sq"),
+        sum(expr("CAST(qw AS DECIMAL(38,0)) * qw")).as("sqq"))
+
+  /** #256 Safety stock / reorder point: per part, the buffer a
+    * service-level policy holds against demand variability over the
+    * replenishment lead time — ss = z·√(L·Var) with z = 2 (~97.7%
+    * one-sided) and L = 2 weeks, reorder = L·mean + ss. The standard
+    * inventory-control read-out over the same demand history #212
+    * allocates FIFO lots from. All-integer: weekly-demand moments in
+    * DECIMAL(38,0), sample variance var = (nΣq² − (Σq)²) div
+    * (n(n−1)), and the square root is the #226 one-ulp-clamp EXACT
+    * integer sqrt (s₀ = floor(double sqrt), ±1 CASE corrections) of
+    * z²·L·var — so ss = isqrt(4·2·var) exactly, identically in both
+    * engines. Parts need ≥2 observed weeks (variance undefined
+    * below). One join + two aggregate passes, linear, no windows.
+    */
+  def safetyStock(spark: SparkSession, dir: String): DataFrame =
+    weeklyDemand(spark, dir)
+      .filter(col("n_weeks") >= 2)
+      .withColumn(
+        "var_q",
+        expr("""CAST((CAST(n_weeks AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * sq)
+                 div (CAST(n_weeks AS DECIMAL(38,0)) * (n_weeks - 1)) AS BIGINT)"""))
+      .withColumn("mean_w", expr("sq div n_weeks"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(8 * var_q AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "ss",
+        expr("""s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= 8 * var_q THEN 1 ELSE 0 END)
+                   - (CASE WHEN s0 * s0 > 8 * var_q THEN 1 ELSE 0 END)"""))
+      .select(
+        col("l_partkey"),
+        col("n_weeks"),
+        col("sq").as("total_qty"),
+        col("mean_w").as("mean_weekly_qty"),
+        col("var_q"),
+        col("ss").as("safety_stock"),
+        (lit(2L) * col("mean_w") + col("ss")).as("reorder_point"))
+
+  /** #257 ABC-XYZ inventory matrix: the 9-cell planning grid every
+    * S&OP process starts from — #191's ABC (revenue concentration)
+    * crossed with XYZ demand-variability classes, cv² = Var/mean² on
+    * the e6 grid as the SINGLE exact quotient cv²·10⁶ = (nΣq²−(Σq)²)
+    * ·n·10⁶ div ((n−1)·(Σq)²) (X < 0.25·10⁶, Y < 10⁶, else Z — the
+    * standard cv<0.5/cv<1 cuts, squared so no sqrt exists anywhere).
+    * AX parts (high value, steady) get automated min-max; CZ parts
+    * (low value, erratic) get make-to-order — the matrix is the
+    * decision, which is why it is the deliverable rather than the
+    * per-part frame. Parts with one observed week are class Z by
+    * convention (variability unknowable). Reuses #191's hierarchical
+    * share build verbatim; one join on the part key; output ≤ 9
+    * rows.
+    */
+  def xyzMatrix(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val (classed, tot) = abcClassed(spark, dir, nShards)
+    val xyz = weeklyDemand(spark, dir)
+      .withColumn(
+        "cv2_e6",
+        expr("""CASE WHEN n_weeks < 2 THEN CAST(NULL AS BIGINT)
+                 ELSE CAST((CAST(n_weeks AS DECIMAL(38,0)) * sqq
+                            - CAST(sq AS DECIMAL(38,0)) * sq) * n_weeks * 1000000
+                      div ((CAST(n_weeks AS DECIMAL(38,0)) - 1)
+                           * CAST(sq AS DECIMAL(38,0)) * sq) AS BIGINT) END"""))
+      .withColumn(
+        "xyz_class",
+        when(col("cv2_e6").isNull, "Z")
+          .when(col("cv2_e6") < 250000, "X")
+          .when(col("cv2_e6") < 1000000, "Y")
+          .otherwise("Z"))
+      .select(col("l_partkey"), col("xyz_class"))
     classed
-      .groupBy("abc_class")
-      .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_revenue_usd"))
+      .join(xyz, "l_partkey")
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("cell_revenue_usd"))
       .crossJoin(broadcast(tot))
       .select(
         col("abc_class"),
+        col("xyz_class"),
         col("n_parts"),
-        col("class_revenue_usd"),
-        expr("CAST((CAST(class_revenue_usd AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)")
-          .as("class_share_e6"))
+        col("cell_revenue_usd"),
+        expr("CAST((CAST(cell_revenue_usd AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)")
+          .as("cell_share_e6"))
   }
 
   /** #192 Skyline / Pareto-frontier preference query: the parts no

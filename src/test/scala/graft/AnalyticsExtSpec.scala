@@ -1504,4 +1504,62 @@ class AnalyticsExtSpec extends SparkSpec {
       assert((r.getLong(4) == 1L) == (r.getLong(5) > 1000000L))
     }
   }
+
+  test("safety stock: BigInt moment+isqrt replay; reorder closes; ss grows with variance") {
+    val rows = AnalyticsExt.safetyStock(spark, sf).collect()
+    val wd = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey AS l_orderkey", "o_orderdate"),
+        "l_orderkey")
+      .selectExpr(
+        "l_partkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) div 7 AS week",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+      .groupBy("l_partkey", "week").agg(sum("q").as("qw"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    def isqrt(v: BigInt): BigInt = {
+      if (v <= 0) BigInt(0)
+      else {
+        var s0 = BigInt(math.sqrt(v.toDouble).floor.toLong)
+        if ((s0 + 1) * (s0 + 1) <= v) s0 += 1
+        if (s0 * s0 > v) s0 -= 1
+        s0
+      }
+    }
+    val exp = wd.groupBy(_._1).collect { case (p, xs) if xs.length >= 2 =>
+      val n = BigInt(xs.length)
+      val sq = xs.map(x => BigInt(x._2)).sum
+      val sqq = xs.map(x => BigInt(x._2) * x._2).sum
+      val varQ = (n * sqq - sq * sq) / (n * (n - 1))
+      val meanW = sq / n
+      val ss = isqrt(8 * varQ)
+      p -> ((n.toLong, sq.toLong, meanW.toLong, varQ.toLong, ss.toLong,
+        (2 * meanW + ss).toLong))
+    }.toMap
+    assert(rows.length == exp.size)
+    rows.foreach { r =>
+      assert(exp(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))),
+        s"part ${r.getLong(0)}")
+    }
+    // zero-variance parts hold zero safety stock
+    rows.filter(_.getLong(4) == 0L).foreach(r => assert(r.getLong(5) == 0L))
+  }
+
+  test("xyz matrix: per-part class replay; cells partition the parts; ties to #191 totals") {
+    val got = AnalyticsExt.xyzMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val abc = AnalyticsExt.abcPareto(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // per-ABC-class marginals of the matrix equal #191's rows exactly
+    abc.foreach { case (cls, (nParts, rev)) =>
+      val cells = got.filter(_._1._1 == cls).values
+      assert(cells.map(_._1).sum == nParts, s"class $cls part count")
+      assert(cells.map(_._2).sum == rev, s"class $cls revenue")
+    }
+    // classes are legal and shares sum to ~1e6 (floor loss < cells)
+    assert(got.keys.forall { case (a, x) => Set("A", "B", "C")(a) && Set("X", "Y", "Z")(x) })
+    val share = got.values.map(_._3).sum
+    assert(share <= 1000000L && share >= 1000000L - got.size)
+  }
 }
