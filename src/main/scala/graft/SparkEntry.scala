@@ -395,7 +395,13 @@ object SparkEntry {
     // Safety stock / reorder point with exact isqrt (§2 #256)
     "q_safety_stock" -> (AnalyticsExt.safetyStock _),
     // ABC-XYZ inventory planning matrix (§2 #257)
-    "q_xyz_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.xyzMatrix(s, d))
+    "q_xyz_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.xyzMatrix(s, d)),
+    // Nation basket Jaccard similarity (§2 #258)
+    "q_nation_similarity" -> (AnalyticsExt.nationSimilarity _),
+    // Half-life discounted LTV (§2 #259)
+    "q_discounted_ltv" -> (AnalyticsExt.discountedLtv _),
+    // Burstiness / Fano factor per event type (§2 #260)
+    "q_burstiness" -> (AnalyticsExt.burstiness _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5426,7 +5432,61 @@ object SparkEntry {
            CAST((CAST(sum(c.rev) AS HUGEINT) * 1000000) // max(t.t) AS BIGINT)
              AS cell_share_e6
          FROM classed c JOIN xyz x ON x.l_partkey = c.l_partkey, t
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q_nation_similarity" ->
+      // inverted-index pairing on the part key; union by
+      // inclusion-exclusion; e6 integer Jaccard
+      """WITH np AS (
+           SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS nation, l.l_partkey
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey),
+         sizes AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_parts
+                   FROM np GROUP BY 1),
+         inter AS (
+           SELECT a.nation AS nation_a, b.nation AS nation_b,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM np a JOIN np b
+             ON a.l_partkey = b.l_partkey AND a.nation < b.nation
+           GROUP BY 1, 2)
+         SELECT nation_a, nation_b, sa.n_parts AS na, sb.n_parts AS nb, n_common,
+           CAST(n_common * 1000000 // (sa.n_parts + sb.n_parts - n_common) AS BIGINT)
+             AS jaccard_e6
+         FROM inter
+         JOIN sizes sa ON sa.nation = inter.nation_a
+         JOIN sizes sb ON sb.nation = inter.nation_b""",
+    "q_discounted_ltv" ->
+      // dyadic half-life decay: cents // 2^age, age from the 1-row
+      // corpus clock, shift capped at 62
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         clock AS (SELECT max(m) AS mmax FROM o)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           CAST(sum(cents // CAST(pow(2, least(mmax - m, 62)) AS BIGINT)) AS BIGINT)
+             AS discounted_cents
+         FROM o, clock GROUP BY 1""",
+    "q_burstiness" ->
+      // single-quotient Fano factor: the n denominators cancel so no
+      // intermediate division truncates
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             sum(CAST(c AS HUGEINT) * c) AS scc
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days, n_events,
+           CAST((CAST(n_days AS HUGEINT) * scc
+                 - CAST(n_events AS HUGEINT) * n_events) * 1000000
+                // (CAST(n_days - 1 AS HUGEINT) * n_events) AS BIGINT) AS fano_e6
+         FROM m WHERE n_days >= 2"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

@@ -1992,6 +1992,118 @@ object AnalyticsExt {
           .as("cell_share_e6"))
   }
 
+  /** #258 Nation basket similarity: Jaccard between every pair of
+    * nations' DISTINCT-part purchase sets — "which markets buy the
+    * same catalog", the assortment-overlap screen behind market
+    * clustering and transfer-pricing comparisons. Built the
+    * `text_sparse_sim` way (#171): an INVERTED INDEX on the part key
+    * — per part, the nations buying it pair up — so intersection
+    * counts come from a posting-list join whose fan-out per part is
+    * nations-per-part², alphabet-bounded (≤25²), never parts². Union
+    * by inclusion-exclusion from per-nation set sizes; e6 integer
+    * Jaccard. One lineitem→customer join is the only data-scale
+    * pass; everything after runs on (nation, part) distincts.
+    */
+  def nationSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val np = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .join(
+        Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .select(col("c_nationkey").cast("long").as("nation"), col("l_partkey"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = np.groupBy("nation").agg(count(lit(1)).as("n_parts"))
+    val inter = np
+      .alias("a")
+      .join(np.alias("b"), col("a.l_partkey") === col("b.l_partkey") &&
+        col("a.nation") < col("b.nation"))
+      .groupBy(col("a.nation").as("nation_a"), col("b.nation").as("nation_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("nation").as("nation_a"), col("n_parts").as("na"))),
+        "nation_a")
+      .join(broadcast(sizes.select(col("nation").as("nation_b"), col("n_parts").as("nb"))),
+        "nation_b")
+      .select(
+        col("nation_a"),
+        col("nation_b"),
+        col("na"),
+        col("nb"),
+        col("n_common"),
+        expr("CAST(n_common * 1000000 div (na + nb - n_common) AS BIGINT)")
+          .as("jaccard_e6"))
+  }
+
+  /** #259 Half-life discounted LTV: per customer, lifetime spend
+    * where each order's cents are discounted by 2^(age in months) —
+    * the recency-weighted value ranking CRM prioritization actually
+    * uses (a $1000 order three half-lives ago counts $125; #14's
+    * plain LTV treats them equally, #216's curve shows the raw
+    * timing). DYADIC decay keeps it exact: cents div 2^age is a
+    * right-shift, no float discounting, identical in any engine;
+    * age = corpus max month − order month from a 1-row broadcast
+    * clock. One aggregate pass; shift capped at 62 so the divisor
+    * stays in BIGINT at any corpus span.
+    */
+  def discountedLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val clock = o.agg(max("m").as("mmax"))
+    o.crossJoin(broadcast(clock))
+      .select(
+        col("o_custkey"),
+        col("cents"),
+        expr("least(mmax - m, CAST(62 AS BIGINT))").as("age"))
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum("cents").as("raw_cents"),
+        sum(expr("cents div CAST(pow(2, age) AS BIGINT)")).as("discounted_cents"))
+  }
+
+  /** #260 Burstiness / Fano factor: per event type, the
+    * variance-to-mean ratio of daily event counts on the e6 grid —
+    * the index-of-dispersion screen that separates Poisson-like
+    * steady streams (≈10⁶) from bursty ones (≫10⁶), the one-number
+    * triage before reaching for #182's changepoints or #223's
+    * anomaly flags. Single exact quotient: Fano·10⁶ =
+    * (nΣc²−(Σc)²)·10⁶ div ((n−1)·Σc) — variance AND mean share the
+    * n denominator, so it cancels and no intermediate division
+    * truncates. One day-keyed aggregate per type over the
+    * calendar-bounded daily frame; DECIMAL(38,0) cross products.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), expr(s"ts div ${nsPerDay}L").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("c").as("n_events"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"))
+      .filter(col("n_days") >= 2)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_events"),
+        expr("""CAST((CAST(n_days AS DECIMAL(38,0)) * scc
+                      - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000
+                 div (CAST(n_days - 1 AS DECIMAL(38,0)) * n_events) AS BIGINT)""")
+          .as("fano_e6"))
+  }
+
   /** #192 Skyline / Pareto-frontier preference query: the parts no
     * other part beats on BOTH price and size (minimize `p_retailprice`,
     * minimize `p_size`) — the classic "best tradeoff set" operator

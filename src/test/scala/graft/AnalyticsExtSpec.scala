@@ -1562,4 +1562,68 @@ class AnalyticsExtSpec extends SparkSpec {
     val share = got.values.map(_._3).sum
     assert(share <= 1000000L && share >= 1000000L - got.size)
   }
+
+  test("nation similarity: brute-force set replay; jaccard symmetric-complete and bounded") {
+    val got = AnalyticsExt.nationSimilarity(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val np = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey AS l_orderkey", "o_custkey"),
+        "l_orderkey")
+      .join(Tables.customer(spark, sf).selectExpr("c_custkey AS o_custkey", "c_nationkey"),
+        "o_custkey")
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS n", "l_partkey")
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sets = np.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nations = sets.keys.toSeq.sorted
+    val exp = (for {
+      i <- nations.indices; j <- (i + 1) until nations.length
+      (a, b) = (nations(i), nations(j))
+      inter = (sets(a) & sets(b)).size.toLong
+      if inter > 0
+    } yield (a, b) -> ((sets(a).size.toLong, sets(b).size.toLong, inter,
+      inter * 1000000L / (sets(a).size + sets(b).size - inter)))).toMap
+    assert(got == exp, "similarity differs from the brute-force set replay")
+    got.values.foreach { case (_, _, _, j) => assert(j >= 0 && j <= 1000000L) }
+  }
+
+  test("discounted ltv: dyadic decay replay; discounted never exceeds raw") {
+    val got = AnalyticsExt.discountedLtv(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mmax = o.map(_._2).max
+    val exp = o.groupBy(_._1).map { case (c, xs) =>
+      c -> ((xs.length.toLong, xs.map(_._3).sum,
+        xs.map(x => x._3 / (1L << math.min(mmax - x._2, 62L).toInt)).sum))
+    }
+    assert(got == exp, "discounted ltv differs from the scala replay")
+    got.values.foreach { case (_, raw, disc) => assert(disc <= raw) }
+  }
+
+  test("burstiness: single-quotient fano replay; uniform-series floor") {
+    val got = AnalyticsExt.burstiness(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 86400000000000 AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, xs) =>
+      val n = BigInt(xs.length)
+      if (n >= 2) {
+        val s = xs.map(x => BigInt(x._2)).sum
+        val ss = xs.map(x => BigInt(x._2) * x._2).sum
+        val fano = ((n * ss - s * s) * 1000000 / ((n - 1) * s)).toLong
+        assert(got(t) == ((n.toLong, s.toLong, fano)), s"type $t")
+        assert(fano >= 0)
+      }
+    }
+  }
 }
