@@ -401,7 +401,11 @@ object SparkEntry {
     // Half-life discounted LTV (§2 #259)
     "q_discounted_ltv" -> (AnalyticsExt.discountedLtv _),
     // Burstiness / Fano factor per event type (§2 #260)
-    "q_burstiness" -> (AnalyticsExt.burstiness _)
+    "q_burstiness" -> (AnalyticsExt.burstiness _),
+    // Functional-dependency discovery (§2 #261)
+    "q_fd_check" -> (Profile.fdCheck _),
+    // 2-D density heatmap on the integer grid (§2 #262)
+    "q_heatmap_2d" -> ((s: SparkSession, d: String) => Profile.heatmap2d(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5486,7 +5490,66 @@ object SparkEntry {
            CAST((CAST(n_days AS HUGEINT) * scc
                  - CAST(n_events AS HUGEINT) * n_events) * 1000000
                 // (CAST(n_days - 1 AS HUGEINT) * n_events) AS BIGINT) AS fano_e6
-         FROM m WHERE n_days >= 2"""
+         FROM m WHERE n_days >= 2""",
+    "q_fd_check" ->
+      // per-candidate groupBy(lhs) + exact distinct-rhs counts; a
+      // zero violation count is a contract, never an estimate
+      """WITH
+         f1 AS (
+           SELECT 'nation' AS table_name, 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+             CAST(max(nr) AS BIGINT) AS max_rhs_per_key
+           FROM (SELECT CAST(n_nationkey AS VARCHAR) AS l,
+                   count(DISTINCT CAST(n_regionkey AS VARCHAR)) AS nr
+                 FROM nation GROUP BY 1)),
+         f2 AS (
+           SELECT 'part', 'p_brand', 'p_type',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nr) AS BIGINT)
+           FROM (SELECT p_brand AS l, count(DISTINCT p_type) AS nr
+                 FROM part GROUP BY 1)),
+         f3 AS (
+           SELECT 'documents', 'source', 'lang',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nr) AS BIGINT)
+           FROM (SELECT source AS l, count(DISTINCT lang) AS nr
+                 FROM documents GROUP BY 1)),
+         f4 AS (
+           SELECT 'events', 'user_id', 'event_type',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nr) AS BIGINT)
+           FROM (SELECT CAST(user_id AS VARCHAR) AS l,
+                   count(DISTINCT event_type) AS nr
+                 FROM events GROUP BY 1)),
+         f5 AS (
+           SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nr) AS BIGINT)
+           FROM (SELECT CAST(l_partkey AS VARCHAR) AS l,
+                   count(DISTINCT CAST(l_suppkey AS VARCHAR)) AS nr
+                 FROM lineitem GROUP BY 1)),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+               UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5)
+         SELECT *, CAST(n_violating_keys = 0 AS BIGINT) AS holds FROM u""",
+    "q_heatmap_2d" ->
+      // twice-applied #233 integer binning from 1-row min/max scalars
+      """WITH per AS (
+           SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(floor(any_value(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1),
+         b AS (SELECT min(v) AS xlo, max(v) AS xhi,
+                 min(n_lines) AS ylo, max(n_lines) AS yhi FROM per)
+         SELECT ((v - xlo) * 8) // (xhi - xlo + 1) AS xbin,
+           ((n_lines - ylo) * 8) // (yhi - ylo + 1) AS ybin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(v) AS BIGINT) AS cell_cents
+         FROM per, b GROUP BY 1, 2"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

@@ -247,4 +247,80 @@ object Profile {
         col("digest_lo"),
         col("digest_hi"))
   }
+
+  /** #261 Functional-dependency discovery: for each CANDIDATE rule
+    * lhs → rhs, how many lhs keys map to more than one rhs value —
+    * the profiling primitive (Papenbrock/Naumann FD-discovery
+    * family) that finds the dependencies #123's declarative audit
+    * can then ASSERT. A holding FD is a normalization/compression
+    * opportunity and an implicit join key; a 99%-holding FD is
+    * usually a data bug — which is why the violation COUNT (not just
+    * the flag) is the deliverable. Candidates span a true PK FD
+    * (nation key → region), near-FDs, and known-false pairs, so both
+    * outcomes are exercised.
+    *
+    * Per candidate: one groupBy(lhs) with two distinct-count
+    * aggregates, then a 1-row rollup — map-side partial aggregation
+    * does the heavy lifting; rules over different tables union into
+    * one frame. Exact counts (count_distinct, not approx) because a
+    * violation count of zero is a CONTRACT, not an estimate.
+    */
+  def fdCheck(spark: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, table: String, lhs: String, rhs: String): DataFrame =
+      df.select(col(lhs).cast("string").as("l"), col(rhs).cast("string").as("r"))
+        .groupBy("l")
+        .agg(count_distinct(col("r")).as("nr"))
+        .agg(
+          lit(table).as("table_name"),
+          lit(lhs).as("lhs"),
+          lit(rhs).as("rhs"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max("nr").as("max_rhs_per_key"))
+        .withColumn("holds", (col("n_violating_keys") === 0L).cast("long"))
+    fd(Tables.nation(spark, dir), "nation", "n_nationkey", "n_regionkey")
+      .unionAll(fd(Tables.part(spark, dir), "part", "p_brand", "p_type"))
+      .unionAll(fd(Tables.documents(spark, dir), "documents", "source", "lang"))
+      .unionAll(fd(Tables.events(spark, dir), "events", "user_id", "event_type"))
+      .unionAll(fd(Tables.lineitem(spark, dir), "lineitem", "l_partkey", "l_suppkey"))
+  }
+
+  /** #262 2-D density heatmap: the (order value × line count) joint
+    * distribution on an 8×8 equi-width integer grid — the
+    * scatter-density primitive dashboards draw before any model is
+    * fit, and the 2-D refinement of #91's 1-D value histogram (a
+    * marginal can hide exactly the bimodal ridge the joint shows).
+    * Grain: orders with ≥1 lineitem — the joint needs both axes;
+    * zero-line orders are a corpus artifact the 1-D marginal keeps.
+    * Bin edges come from 1-row min/max broadcasts on both axes with
+    * the (v−lo)·B div span integer formula — the #233 calibration
+    * binning applied twice; one lineitem rollup + one 64-cell
+    * aggregate, linear, no windows.
+    */
+  def heatmap2d(spark: SparkSession, dir: String, bins: Int = 8): DataFrame = {
+    val per = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .join(
+        Tables
+          .orders(spark, dir)
+          .select(
+            col("o_orderkey").as("l_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v")),
+        "l_orderkey")
+    val bounds = per.agg(
+      min("v").as("xlo"),
+      max("v").as("xhi"),
+      min("n_lines").as("ylo"),
+      max("n_lines").as("yhi"))
+    per
+      .crossJoin(broadcast(bounds))
+      .select(
+        expr(s"((v - xlo) * $bins) div (xhi - xlo + 1)").as("xbin"),
+        expr(s"((n_lines - ylo) * $bins) div (yhi - ylo + 1)").as("ybin"),
+        col("v"))
+      .groupBy("xbin", "ybin")
+      .agg(count(lit(1)).as("n_orders"), sum("v").as("cell_cents"))
+  }
 }

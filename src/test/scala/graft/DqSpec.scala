@@ -59,4 +59,49 @@ class DqSpec extends SparkSpec {
     assert(viol("not_null:o_custkey") == 0)
     assert(viol("pk_unique:c_custkey") == 0)
   }
+
+  test("fd check: per-candidate scala replay; the PK FD holds, the known-false ones do not") {
+    import graft.operators.Profile
+    val got = Profile.fdCheck(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.size == 5)
+    def replay(df: org.apache.spark.sql.DataFrame, l: String, r: String) = {
+      val pairs = df.selectExpr(s"CAST($l AS STRING)", s"CAST($r AS STRING)")
+        .collect().map(x => (x.getString(0), x.getString(1)))
+      val byL = pairs.groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.size.toLong }
+      (byL.size.toLong, byL.count(_ > 1).toLong, byL.max,
+        if (byL.count(_ > 1) == 0) 1L else 0L)
+    }
+    assert(got(("nation", "n_nationkey", "n_regionkey")) ==
+      replay(graft.Tables.nation(spark, sf), "n_nationkey", "n_regionkey"))
+    assert(got(("events", "user_id", "event_type")) ==
+      replay(graft.Tables.events(spark, sf), "user_id", "event_type"))
+    assert(got(("lineitem", "l_partkey", "l_suppkey")) ==
+      replay(graft.Tables.lineitem(spark, sf), "l_partkey", "l_suppkey"))
+    // the key-determined FD holds; per-user event types genuinely vary
+    assert(got(("nation", "n_nationkey", "n_regionkey"))._4 == 1L)
+    assert(got(("events", "user_id", "event_type"))._4 == 0L)
+  }
+
+  test("heatmap 2d: cells partition the orders; marginal totals conserved") {
+    import graft.operators.Profile
+    val cells = Profile.heatmap2d(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // grain = orders with >= 1 lineitem (the joint needs both axes);
+    // zero-line orders are a data artifact the 1-D marginal (#91) keeps
+    val withLines = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(cells.map(_._3).sum == withLines, "every lined order lands in exactly one cell")
+    assert(cells.forall { case (x, y, n, _) => x >= 0 && x < 8 && y >= 0 && y < 8 && n > 0 })
+    // cents conservation over the same grain
+    val totCents = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf).select("l_orderkey").distinct()
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v")
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0)
+    assert(cells.map(_._4).sum == totCents)
+  }
 }
