@@ -405,7 +405,11 @@ object SparkEntry {
     // Functional-dependency discovery (§2 #261)
     "q_fd_check" -> (Profile.fdCheck _),
     // 2-D density heatmap on the integer grid (§2 #262)
-    "q_heatmap_2d" -> ((s: SparkSession, d: String) => Profile.heatmap2d(s, d))
+    "q_heatmap_2d" -> ((s: SparkSession, d: String) => Profile.heatmap2d(s, d)),
+    // Rolling-origin forecast backtest of the Holt model (§2 #264)
+    "q_forecast_backtest" -> (AnalyticsExt.forecastBacktest _),
+    // Linear gap interpolation between observations (§2 #265)
+    "q_interpolate_gaps" -> (AnalyticsExt.interpolateGaps _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5207,33 +5211,13 @@ object SparkEntry {
              AS BIGINT) AS purge_eligible
          FROM agg a JOIN lastop l ON l.user_id = a.user_id, clock
          WHERE l.final_op = 'DELETE'""",
-    "q_holt" -> {
-      // identical sign-factored dyadic trajectory as a recursive CTE;
-      // newl is substituted textually into the b update because SQL
-      // cannot bind a local - both engines fold the repeat via CSE
-      def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
-      val newl = tq("s.y + 3 * (h.l + h.b)")
-      s"""WITH daily AS (
-           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-           FROM events GROUP BY 1, 2),
-         idx AS (
-           SELECT event_type, day, y,
-             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
-           FROM daily),
-         rec AS (
-           WITH RECURSIVE h(event_type, i, day, y, l, b) AS (
-             SELECT event_type, i, day, y, y, CAST(0 AS BIGINT) FROM idx WHERE i = 1
-             UNION ALL
-             SELECT s.event_type, s.i, s.day, s.y,
-               $newl,
-               ${tq(s"($newl - h.l) + 3 * h.b")}
-             FROM idx s JOIN h ON s.event_type = h.event_type AND s.i = h.i + 1)
-           SELECT * FROM h)
+    "q_holt" ->
+      // identical sign-factored dyadic trajectory as a recursive CTE
+      // (shared holtCtes helper)
+      s"""WITH ${holtCtes}
          SELECT event_type, day, y AS cents, l AS level_c, b AS trend_c,
            l + b AS forecast_next_c
-         FROM rec"""
-    },
+         FROM rec""",
     "q_top_paths" ->
       // #16's sessionization + first-3 rank filter + path assembly +
       // alphabet-bounded top-10 with (count desc, path) tiebreak
@@ -5549,7 +5533,52 @@ object SparkEntry {
            ((n_lines - ylo) * 8) // (yhi - ylo + 1) AS ybin,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(v) AS BIGINT) AS cell_cents
-         FROM per, b GROUP BY 1, 2"""
+         FROM per, b GROUP BY 1, 2""",
+    "q_forecast_backtest" ->
+      // the shared Holt trajectory + one per-series lag pass scoring
+      // one-step-ahead Holt vs naive forecasts
+      s"""WITH ${holtCtes},
+         f AS (
+           SELECT event_type, day, y,
+             lag(l + b) OVER (PARTITION BY event_type ORDER BY day) AS prev_forecast,
+             lag(y) OVER (PARTITION BY event_type ORDER BY day) AS prev_y
+           FROM rec)
+         SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_evaluated,
+           CAST(sum(abs(y - prev_forecast)) AS BIGINT) AS holt_sae_c,
+           CAST(sum(abs(y - prev_y)) AS BIGINT) AS naive_sae_c,
+           CAST(sum(abs(y - prev_forecast)) // count(*) AS BIGINT) AS holt_mae_c,
+           CAST(sum(abs(y - prev_y)) // count(*) AS BIGINT) AS naive_mae_c,
+           CAST(sum(abs(y - prev_forecast)) < sum(abs(y - prev_y)) AS BIGINT) AS holt_wins
+         FROM f WHERE prev_forecast IS NOT NULL
+         GROUP BY 1""",
+    "q_interpolate_gaps" ->
+      // generate_series gap fill with the sign-factored interpolation
+      // quotient; observed days pass through flagged 0
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         nx AS (
+           SELECT event_type, day, c,
+             lead(day) OVER (PARTITION BY event_type ORDER BY day) AS next_day,
+             lead(c) OVER (PARTITION BY event_type ORDER BY day) AS next_c
+           FROM daily),
+         obs AS (
+           SELECT event_type, day, c AS cents, CAST(0 AS BIGINT) AS is_interpolated
+           FROM nx),
+         g0 AS (
+           SELECT event_type, day, c, next_day, next_c,
+             unnest(range(day + 1, next_day)) AS d
+           FROM nx WHERE next_day IS NOT NULL AND next_day > day + 1),
+         gaps AS (
+           SELECT event_type, d AS day,
+             c + (CASE WHEN (next_c - c) * (d - day) < 0
+                  THEN -((-((next_c - c) * (d - day))) // (next_day - day))
+                  ELSE ((next_c - c) * (d - day)) // (next_day - day) END) AS cents,
+             CAST(1 AS BIGINT) AS is_interpolated
+           FROM g0)
+         SELECT * FROM obs UNION ALL SELECT * FROM gaps"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles
@@ -5613,6 +5642,33 @@ object SparkEntry {
     * generated oracle (the BootstrapB discipline).
     */
   private val FpsK = 8
+
+  /** Shared Holt trajectory CTE chain (daily, idx, rec) — generated
+    * once, reused verbatim by the q_holt and q_forecast_backtest
+    * oracles so the two can never drift apart.
+    */
+  private def holtCtes: String = {
+    // sign-factored truncating quarter (both engines agree)
+    def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
+    val newl = tq("s.y + 3 * (h.l + h.b)")
+    s"""daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         rec AS (
+           WITH RECURSIVE h(event_type, i, day, y, l, b) AS (
+             SELECT event_type, i, day, y, y, CAST(0 AS BIGINT) FROM idx WHERE i = 1
+             UNION ALL
+             SELECT s.event_type, s.i, s.day, s.y,
+               $newl,
+               ${tq(s"($newl - h.l) + 3 * h.b")}
+             FROM idx s JOIN h ON s.event_type = h.event_type AND s.i = h.i + 1)
+           SELECT * FROM h)"""
+  }
 
   /** Generated farthest-point-sampling replay: k−1 unrolled greedy
     * rounds, each picking the minimum max-cosine vector (vec_id

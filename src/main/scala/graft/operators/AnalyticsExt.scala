@@ -3157,6 +3157,100 @@ object AnalyticsExt {
                       * (n1 + n2 - c1 - c2)) AS BIGINT)""").as("z2_e6"))
   }
 
+  /** #264 Rolling-origin forecast backtest: does #250's Holt model
+    * actually beat the naive last-value forecast? — the evaluation
+    * every forecasting deployment must publish before the model ships
+    * (the time-series member of the #238/#244/#245 evaluation
+    * family). For each day t ≥ 2 of each series, the one-step-ahead
+    * Holt forecast issued at t−1 (level+trend, already a #250
+    * column) and the naive forecast (y_{t−1}) are scored against the
+    * realized y_t; the deliverable is the exact summed absolute
+    * errors, their e6-mean MAEs, and the wins flag. All-integer; one
+    * per-series lag window over the calendar-bounded daily frame on
+    * top of the #250 fold.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    holt(spark, dir)
+      .withColumn("prev_forecast", lag("forecast_next_c", 1).over(w))
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .filter(col("prev_forecast").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_evaluated"),
+        sum(abs(col("cents") - col("prev_forecast"))).as("holt_sae_c"),
+        sum(abs(col("cents") - col("prev_cents"))).as("naive_sae_c"))
+      .select(
+        col("event_type"),
+        col("n_evaluated"),
+        col("holt_sae_c"),
+        col("naive_sae_c"),
+        expr("CAST(holt_sae_c div n_evaluated AS BIGINT)").as("holt_mae_c"),
+        expr("CAST(naive_sae_c div n_evaluated AS BIGINT)").as("naive_mae_c"),
+        (col("holt_sae_c") < col("naive_sae_c")).cast("long").as("holt_wins"))
+  }
+
+  /** #265 Linear gap interpolation: fill the missing calendar days of
+    * each event-type daily series by exact integer linear
+    * interpolation between the surrounding observations — the
+    * imputation rung above #122's LOCF (LOCF freezes the last value
+    * through a gap; this draws the line, which is what downstream
+    * trend/seasonality fits assume). v(d) = v₀ + (v₁−v₀)(d−d₀) div
+    * (d₁−d₀) with the division SIGN-FACTORED (#250's discipline) so
+    * falling segments replay identically under Spark's truncating
+    * div and DuckDB's flooring //. Gap days come from a bounded
+    * `sequence()` explode between consecutive observations (gap
+    * lengths are calendar-bounded); observed days pass through with
+    * is_interpolated = 0. One per-series lead window, linear.
+    */
+  def interpolateGaps(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+    interpolateDaily(daily)
+  }
+
+  /** The #265 interpolation kernel over an (event_type, day, c)
+    * frame — separated so the spec can plant gaps (the driver corpus
+    * is gap-free at every SF, which exercises only the pass-through
+    * path).
+    */
+  private[graft] def interpolateDaily(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val withNext = daily
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("next_c", lead("c", 1).over(w))
+    val observed = withNext.select(
+      col("event_type"),
+      col("day"),
+      col("c").as("cents"),
+      lit(0L).as("is_interpolated"))
+    val filled = withNext
+      .filter(col("next_day").isNotNull && col("next_day") > col("day") + 1)
+      .select(
+        col("event_type"),
+        explode(expr("sequence(day + 1, next_day - 1)")).as("d"),
+        col("day"),
+        col("c"),
+        col("next_day"),
+        col("next_c"))
+      .select(
+        col("event_type"),
+        col("d").as("day"),
+        expr("""c + (CASE WHEN (next_c - c) * (d - day) < 0
+                     THEN -((-((next_c - c) * (d - day))) div (next_day - day))
+                     ELSE ((next_c - c) * (d - day)) div (next_day - day) END)""")
+          .as("cents"),
+        lit(1L).as("is_interpolated"))
+    observed.unionAll(filled)
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

@@ -483,4 +483,59 @@ object CdcStream {
         col("window.start").as("win_start"),
         col("window.end").as("win_end"),
         col("n_distinct_users"))
+
+  /** #263 Streaming Holt state maintenance: the #250 level+trend
+    * smoother kept incrementally per series in `mapGroupsWithState` —
+    * state is ONE (last_day, level, trend) triple per event type
+    * regardless of stream length, each micro-batch folds only its own
+    * days, and because the batch trajectory is a left fold over
+    * day-ordered steps, the streamed state after any day-aligned
+    * prefix is BIT-IDENTICAL to the batch fold over the same prefix
+    * (the #149 streamed ≡ batch sketch discipline applied to a model
+    * state). Contract: micro-batch boundaries align to whole days
+    * (what an event-time trigger provides); days arriving within a
+    * batch are folded in day order. Emissions carry the full per-day
+    * trajectory of the batch's days.
+    */
+  def streamingHolt(changes: Dataset[Change]): Dataset[HoltEmit] = {
+    import changes.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L // Change.ts is µs (the changelog contract)
+    def tq(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+    changes
+      .groupByKey(_.op)
+      .mapGroupsWithState[HoltState, HoltEmit](GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Change], state: GroupState[HoltState]) =>
+          val daily = rows.toSeq
+            .groupBy(c => c.ts / usPerDay)
+            .map { case (d, cs) =>
+              d -> cs.map(c => math.floor(c.value * 100 + 0.5).toLong).sum
+            }
+            .toSeq
+            .sortBy(_._1)
+          var st = state.getOption.getOrElse(HoltState(series, Long.MinValue, 0L, 0L, first = true))
+          val steps = daily.map { case (day, y) =>
+            if (st.first) st = HoltState(series, day, y, 0L, first = false)
+            else {
+              val nl = tq(y + 3 * (st.level + st.trend))
+              st = HoltState(series, day, nl, tq((nl - st.level) + 3 * st.trend), first = false)
+            }
+            (day, y, st.level, st.trend)
+          }
+          state.update(st)
+          HoltEmit(series, steps.map(_._1), steps.map(_._2), steps.map(_._3), steps.map(_._4))
+      }
+  }
 }
+
+/** Per-series Holt smoother state: one bounded triple per key. */
+case class HoltState(series: String, lastDay: Long, level: Long, trend: Long, first: Boolean)
+
+/** One emission per (series, micro-batch): that batch's day-ordered
+  * trajectory (parallel arrays keep the encoder flat).
+  */
+case class HoltEmit(
+    series: String,
+    days: Seq[Long],
+    cents: Seq[Long],
+    levels: Seq[Long],
+    trends: Seq[Long])

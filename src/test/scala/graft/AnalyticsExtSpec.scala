@@ -1626,4 +1626,53 @@ class AnalyticsExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("forecast backtest: lag replay over the holt frame; errors tie to the fold") {
+    val got = AnalyticsExt.forecastBacktest(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val h = AnalyticsExt.holt(spark, sf)
+      .select("event_type", "day", "cents", "forecast_next_c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    h.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.sortBy(_._2).toSeq
+      val pairs = s.sliding(2).collect { case Seq(a, b) => (b._3, a._4, a._3) }.toSeq
+      val hs = pairs.map { case (y, f, _) => math.abs(y - f) }.sum
+      val ns = pairs.map { case (y, _, py) => math.abs(y - py) }.sum
+      val n = pairs.length.toLong
+      assert(got(t) == ((n, hs, ns, hs / n, ns / n, if (hs < ns) 1L else 0L)), s"type $t")
+    }
+  }
+
+  test("interpolation kernel: planted gaps filled exactly, falling segments sign-safe") {
+    import spark.implicits._
+    // planted series: a rising gap (10 -> 40 over 3 days), a falling
+    // gap with a truncation-sensitive slope, and a dense pair
+    val daily = Seq(
+      ("a", 0L, 10L), ("a", 3L, 40L),       // rising: expect 20, 30
+      ("b", 0L, 10L), ("b", 3L, -10L),      // falling: -20/3 steps
+      ("c", 0L, 5L), ("c", 1L, 7L)          // no gap
+    ).toDF("event_type", "day", "c")
+    val got = AnalyticsExt.interpolateDaily(daily)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("a", 1L)) == ((20L, 1L)) && got(("a", 2L)) == ((30L, 1L)))
+    // b: v(d) = 10 + trunc(-20*d/3): d=1 -> 10-6=4; d=2 -> 10-13=-3
+    assert(got(("b", 1L)) == ((4L, 1L)) && got(("b", 2L)) == ((-3L, 1L)))
+    // observed rows pass through unmodified
+    assert(got(("a", 0L)) == ((10L, 0L)) && got(("b", 3L)) == ((-10L, 0L)))
+    assert(got(("c", 0L)) == ((5L, 0L)) && got(("c", 1L)) == ((7L, 0L)))
+    assert(got.size == 10)
+    // and on the real corpus the operator is conservative: every
+    // observed day survives bit-identically
+    val obs = AnalyticsExt.interpolateGaps(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("is_interpolated") === 0L)
+      .count()
+    val dailyN = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 86400000000000 AS day").distinct().count()
+    assert(obs == dailyN)
+  }
 }

@@ -353,4 +353,56 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming holt: state carried over a day-aligned split equals the batch fold") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      val usPerDay = 86400L * 1000000L // classify emits µs timestamps
+      val splitDay = changes
+        .selectExpr(s"ts div $usPerDay AS d").agg(expr("CAST(avg(d) AS BIGINT)"))
+        .head.getLong(0)
+      // wave 1: strictly earlier days; wave 2: the rest — a day-aligned
+      // boundary, the operator's stated contract
+      changes.filter(col("ts") < splitDay * usPerDay)
+        .write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingHolt(CdcStream.readChangelog(spark, inDir))
+        .writeStream.format("memory").queryName("stream_holt")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") >= splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_holt")
+          .selectExpr(
+            "series",
+            "explode(arrays_zip(days, cents, levels, trends)) AS z")
+          .selectExpr("series", "z.days AS day", "z.cents", "z.levels", "z.trends")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        // independent batch fold over the SAME op-keyed daily series
+        def tq(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+        val daily = changes
+          .selectExpr("op", s"ts div $usPerDay AS day",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("op", "day").agg(sum("c").as("y"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var nChecked = 0
+        daily.groupBy(_._1).foreach { case (series, rows) =>
+          var (l, b) = (0L, 0L)
+          rows.sortBy(_._2).zipWithIndex.foreach { case ((_, day, y), i) =>
+            if (i == 0) { l = y; b = 0L }
+            else { val nl = tq(y + 3 * (l + b)); b = tq((nl - l) + 3 * b); l = nl }
+            assert(got((series, day)) == ((y, l, b)), s"$series day $day")
+            nChecked += 1
+          }
+        }
+        assert(nChecked == got.size && nChecked > 0)
+      } finally q.stop()
+    }
+  }
 }
