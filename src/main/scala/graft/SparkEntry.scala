@@ -409,7 +409,12 @@ object SparkEntry {
     // Rolling-origin forecast backtest of the Holt model (§2 #264)
     "q_forecast_backtest" -> (AnalyticsExt.forecastBacktest _),
     // Linear gap interpolation between observations (§2 #265)
-    "q_interpolate_gaps" -> (AnalyticsExt.interpolateGaps _)
+    "q_interpolate_gaps" -> (AnalyticsExt.interpolateGaps _),
+    // Experiment power analysis / sample-size table (§2 #266)
+    "q_power_analysis" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.powerAnalysis(s, d, PowerZsumE3)),
+    // Peak session concurrency sweep (§2 #267)
+    "q_peak_concurrency" -> (AnalyticsExt.peakConcurrency _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5578,7 +5583,54 @@ object SparkEntry {
                   ELSE ((next_c - c) * (d - day)) // (next_day - day) END) AS cents,
              CAST(1 AS BIGINT) AS is_interpolated
            FROM g0)
-         SELECT * FROM obs UNION ALL SELECT * FROM gaps"""
+         SELECT * FROM obs UNION ALL SELECT * FROM gaps""",
+    "q_power_analysis" ->
+      // (z_a/2 + z_b)^2 derived from the shared PowerZsumE3 constant;
+      // ceil-div with cleared denominators in HUGEINT
+      s"""WITH tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM orders),
+         mdes AS (SELECT CAST(unnest(range(1, 11)) * 50 AS BIGINT) AS mde_bp)
+         SELECT mde_bp,
+           CAST(c * 1000000 // t AS BIGINT) AS baseline_rate_e6,
+           CAST((2 * CAST(c AS HUGEINT) * (t - c) * ${PowerZsumE3 * PowerZsumE3} * 100000000
+                 + (CAST(t AS HUGEINT) * t * mde_bp * mde_bp * 1000000) - 1)
+               // (CAST(t AS HUGEINT) * t * mde_bp * mde_bp * 1000000) AS BIGINT)
+             AS n_per_arm
+         FROM mdes, tot""",
+    "q_peak_concurrency" ->
+      // sessionize -> half-open +1/-1 endpoint sweep; FLAT global
+      // order replay of the hierarchical day-carry construction
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+         gaps AS (
+           SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > 30 * 60 * 1000 * 1000
+                     THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+             ts
+           FROM gaps),
+         iv AS (SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+                FROM sess GROUP BY 1, 2),
+         ep AS (
+           SELECT s AS ts, CAST(1 AS BIGINT) AS delta FROM iv
+           UNION ALL SELECT e + 1, CAST(-1 AS BIGINT) FROM iv),
+         sweep AS (
+           SELECT ts, delta, ts // 86400000000 AS day,
+             CAST(sum(delta) OVER (ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+           FROM ep)
+         SELECT day, conc AS peak_concurrency, ts AS peak_first_ts
+         FROM (SELECT day, conc, ts,
+                 row_number() OVER (PARTITION BY day ORDER BY conc DESC, ts) AS rn
+               FROM sweep)
+         WHERE rn = 1"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles
@@ -5637,6 +5689,12 @@ object SparkEntry {
     */
   private val MmShardBudgetBytes = 262144L
   private val ErasureHorizonDays = 7
+
+  /** (z_{α/2} + z_β)·10³ at α=5%, power=80% for `q_power_analysis` —
+    * shared by the Spark call and the generated oracle (which squares
+    * it), the BootstrapB discipline.
+    */
+  private val PowerZsumE3 = 1960L + 842L
 
   /** Landmark count for `ann_fps` — shared by the Spark call and the
     * generated oracle (the BootstrapB discipline).

@@ -3251,6 +3251,108 @@ object AnalyticsExt {
     observed.unionAll(filled)
   }
 
+  /** #266 Experiment power analysis: the sample-size table a team
+    * reads BEFORE launching the #252 A/B test — for a grid of
+    * minimum detectable effects, the required n per arm
+    * n = ⌈2·p̄(1−p̄)·(z_α/2+z_β)² / δ²⌉ at α=5%, power=80%. The z
+    * constants are PRECOMPUTED e3 integers ((1960+842)² = the #211
+    * Benford pattern — no engine-side normal quantiles), the
+    * baseline rate p̄ comes from the corpus itself (the realistic
+    * workflow: power against the rate you actually observe), and the
+    * whole table is exact integer arithmetic: n = ceil-div of
+    * 2·c·(t−c)·zsum² by (t²·δ²) after clearing denominators. 1-row
+    * aggregate × a broadcast MDE grid; cross products in
+    * DECIMAL(38,0) ↔ HUGEINT.
+    */
+  def powerAnalysis(spark: SparkSession, dir: String, zsumE3: Long = 2802L): DataFrame = {
+    // zsumE3 = (z_{0.025} + z_{0.8})·10³ = 1960 + 842 — the caller
+    // (SparkEntry) passes the same shared constant the oracle derives
+    // its squared value from
+    val tot = Tables
+      .orders(spark, dir)
+      .agg(
+        count(lit(1)).as("t"),
+        sum((col("o_orderstatus") === "F").cast("long")).as("c"))
+    val mdes = spark
+      .range(1, 11)
+      .select((col("id") * 50L).as("mde_bp")) // 50..500 basis points
+    mdes
+      .crossJoin(broadcast(tot))
+      .select(
+        col("mde_bp"),
+        expr("CAST(c * 1000000 div t AS BIGINT)").as("baseline_rate_e6"),
+        // n = ceil( 2*c*(t-c)*zsum2 * 1e8 / (t^2 * mde_bp^2 * 1e6) )
+        // cleared: num = 2*c*(t-c)*zsum2*1e8 ; den = t*t*mde_bp*mde_bp*1e6
+        expr(s"""CAST((2 * CAST(c AS DECIMAL(38,0)) * (t - c) * ${zsumE3 * zsumE3}
+                   * 100000000
+                   + (CAST(t AS DECIMAL(38,0)) * t * mde_bp * mde_bp * 1000000) - 1)
+                 div (CAST(t AS DECIMAL(38,0)) * t * mde_bp * mde_bp * 1000000)
+                 AS BIGINT)""").as("n_per_arm"))
+  }
+
+  /** #267 Peak session concurrency: per day, the maximum number of
+    * simultaneously open #16 sessions and the µs instant the peak is
+    * first reached — the capacity-planning number (connection pools,
+    * seat licenses, autoscaler floors) that neither session COUNTS
+    * (#16) nor interval COVERAGE (#230) answers, because concurrency
+    * is the running sum of a +1/−1 sweep, not a union length.
+    *
+    * The sweep needs a GLOBAL time order, built hierarchically: the
+    * endpoint stream (+1 at session start, −1 after session end)
+    * cumsums inside each CALENDAR day partition, and day-boundary
+    * carries come from a ≤#days-row day aggregate — the #232 shard
+    * construction with the natural day as the monotone shard key.
+    * Tie order (ts, −delta) closes touching sessions before opening
+    * new ones at the same µs, the standard half-open convention.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessions = Tables
+      .events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "is_new",
+        (col("prev_ts").isNull || (col("ts") - col("prev_ts") > gapUs)).cast("long"))
+      .withColumn(
+        "session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s"), max("ts").as("e"))
+    val endpoints = sessions
+      .select(col("s").as("ts"), lit(1L).as("delta"))
+      .unionAll(sessions.select((col("e") + 1).as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", expr(s"ts div ${usPerDay}L"))
+      .localCheckpoint(eager = false)
+    // (ts, delta) tie order: a −1 end sorts before a +1 start at the
+    // same µs, so touching sessions never overlap (half-open + the
+    // e+1 shift make ends land strictly after their own last event)
+    val wd = Window.partitionBy("day").orderBy(col("ts"), col("delta"))
+    val local = endpoints
+      .withColumn(
+        "run",
+        sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carry = endpoints
+      .groupBy("day")
+      .agg(sum("delta").as("d"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("d").over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("day"), col("off"))
+    local
+      .join(broadcast(carry), "day")
+      .withColumn("conc", col("off") + col("run"))
+      .groupBy("day")
+      .agg(
+        max("conc").as("peak_concurrency"),
+        max_by(col("ts"), struct(col("conc"), (-col("ts")).as("nts"))).as("peak_first_ts"))
+      .select(col("day"), col("peak_concurrency"), col("peak_first_ts"))
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

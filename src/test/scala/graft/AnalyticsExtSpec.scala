@@ -1675,4 +1675,60 @@ class AnalyticsExtSpec extends SparkSpec {
       .selectExpr("event_type", "ts div 86400000000000 AS day").distinct().count()
     assert(obs == dailyN)
   }
+
+  test("power analysis: exact ceil-div replay; n falls with MDE; detects the textbook point") {
+    val rows = AnalyticsExt.powerAnalysis(spark, sf).orderBy("mde_bp").collect()
+    val (t, c) = {
+      val o = Tables.orders(spark, sf)
+        .selectExpr("o_orderstatus = 'F' AS f").collect().map(_.getBoolean(0))
+      (o.length.toLong, o.count(identity).toLong)
+    }
+    val z2 = BigInt(2802) * 2802
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val mde = r.getLong(0)
+      val num = 2 * BigInt(c) * (t - c) * z2 * BigInt(100000000L)
+      val den = BigInt(t) * t * mde * mde * 1000000L
+      val exp = ((num + den - 1) / den).toLong
+      assert(r.getLong(1) == c * 1000000L / t)
+      assert(r.getLong(2) == exp, s"mde $mde")
+      assert(r.getLong(2) <= prev, "required n decreases with larger MDE")
+      prev = r.getLong(2)
+    }
+    assert(rows.length == 10)
+    // float cross-check at one point: n ~ 2*p(1-p)*(2.802)^2/d^2
+    val p = c.toDouble / t
+    val d = rows.head.getLong(0) / 10000.0
+    val nf = 2 * p * (1 - p) * 2.802 * 2.802 / (d * d)
+    assert(math.abs(rows.head.getLong(2) - nf) <= math.max(2.0, nf * 0.001))
+  }
+
+  test("peak concurrency: sequential sweep replay; peak bounded by sessions that day") {
+    val got = AnalyticsExt.peakConcurrency(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // replay: sessions from #16's frame, then a global +-1 sweep
+    val sess = graft.operators.Analytics.sessionize(spark, sf)
+      .select("session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val events = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2 + 1, -1L)))
+      .sortBy(e => (e._1, e._2))
+    var conc = 0L
+    val best = collection.mutable.Map.empty[Long, (Long, Long)]
+    events.foreach { case (ts, d) =>
+      conc += d
+      val day = ts / 86400000000L
+      val (bc, _) = best.getOrElse(day, (Long.MinValue, 0L))
+      if (conc > bc) best(day) = (conc, ts)
+    }
+    assert(got == best.toMap, "peak differs from the sequential sweep replay")
+    // peak can never exceed the number of sessions alive that day
+    val perDay = sess.groupBy(_._1 / 86400000000L).map { case (d, xs) => d -> xs.length.toLong }
+    got.foreach { case (d, (pk, _)) =>
+      assert(pk >= 1)
+      // sessions starting today plus any carried from earlier days
+      val startedUpTo = sess.count(_._1 / 86400000000L <= d).toLong
+      assert(pk <= startedUpTo)
+    }
+    assert(perDay.nonEmpty)
+  }
 }
