@@ -414,7 +414,11 @@ object SparkEntry {
     "q_power_analysis" ->
       ((s: SparkSession, d: String) => AnalyticsExt.powerAnalysis(s, d, PowerZsumE3)),
     // Peak session concurrency sweep (§2 #267)
-    "q_peak_concurrency" -> (AnalyticsExt.peakConcurrency _)
+    "q_peak_concurrency" -> (AnalyticsExt.peakConcurrency _),
+    // Physical partition-skew audit (§2 #268)
+    "q_partition_skew" -> ((s: SparkSession, d: String) => Scale.partitionSkew(s, d)),
+    // New-vs-repeat revenue split (§2 #269)
+    "q_new_vs_repeat" -> (AnalyticsExt.newVsRepeat _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5630,7 +5634,45 @@ object SparkEntry {
          FROM (SELECT day, conc, ts,
                  row_number() OVER (PARTITION BY day ORDER BY conc DESC, ts) AS rn
                FROM sweep)
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+    "q_partition_skew" ->
+      // md5-parity hash60 bucket replay + <= P-row rollup
+      """WITH per AS (
+           SELECT ('0x' || substr(md5('graft-ps-1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 32 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+         byb AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows
+           FROM per GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t, CAST(max(n_rows) AS BIGINT) AS mx,
+                 CAST(count(*) AS BIGINT) AS nb FROM byb)
+         SELECT bucket, n_keys, n_rows,
+           CAST(n_rows * 1000000 // t AS BIGINT) AS row_share_e6,
+           CAST((mx * nb * 1000000) // t AS BIGINT) AS max_over_mean_e6
+         FROM byb, t""",
+    "q_new_vs_repeat" ->
+      // whole-first-month-is-new convention; exact integer months/cents
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+         j AS (
+           SELECT o.m, o.cents, CASE WHEN o.m = f.m0 THEN 1 ELSE 0 END AS is_new
+           FROM o JOIN f ON f.o_custkey = o.o_custkey)
+         SELECT m AS month, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_new) AS BIGINT) AS n_new_orders,
+           CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+           CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS BIGINT) AS repeat_cents,
+           CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) * 1000000
+             // greatest(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+                        + sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END), 1) AS BIGINT)
+             AS repeat_share_e6
+         FROM j GROUP BY 1"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

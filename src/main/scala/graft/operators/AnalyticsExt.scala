@@ -3353,6 +3353,40 @@ object AnalyticsExt {
       .select(col("day"), col("peak_concurrency"), col("peak_first_ts"))
   }
 
+  /** #269 New-vs-repeat revenue split: per order month, revenue and
+    * order counts split by whether the customer is in their FIRST
+    * month or returning — the finance decomposition behind "is
+    * growth acquisition or retention" (#240 runs this ledger on
+    * USERS; this runs it on DOLLARS, where a handful of returning
+    * whales can dominate a month that looks new-heavy by headcount).
+    * A customer's whole first MONTH counts as new (the standard
+    * monthly-cohort convention — a second order 10 days after the
+    * first is not "repeat revenue"). Exact integer months and cents;
+    * one per-customer min-month aggregate joined back on the
+    * customer key, one month rollup — two linear exchanges.
+    */
+  def newVsRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val firstM = o.groupBy("o_custkey").agg(min("m").as("m0"))
+    o.join(firstM, "o_custkey")
+      .withColumn("is_new", (col("m") === col("m0")).cast("long"))
+      .groupBy(col("m").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum("is_new").as("n_new_orders"),
+        sum(when(col("is_new") === 1L, col("cents")).otherwise(0L)).as("new_cents"),
+        sum(when(col("is_new") === 0L, col("cents")).otherwise(0L)).as("repeat_cents"))
+      .withColumn(
+        "repeat_share_e6",
+        expr("CAST(repeat_cents * 1000000 div greatest(new_cents + repeat_cents, 1) AS BIGINT)"))
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

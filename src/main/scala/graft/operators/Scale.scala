@@ -837,4 +837,45 @@ object Scale {
         min(when(col("rk") === hiIdx, col("mean_cents"))).as("ci_hi_cents"),
         expr("CAST(sum(mean_cents) div count(1) AS BIGINT)").as("boot_mean_cents"))
   }
+
+  /** #268 Partition-skew audit: the PHYSICAL complement to #99's
+    * key-level histogram — rows and keys landing in each of P hash
+    * partitions of the shuffle key, with every bucket's share and
+    * the max/mean imbalance ratio on the e6 grid. #99 says whether a
+    * heavy key EXISTS; this says what each executor actually
+    * receives at a given parallelism (a perfectly balanced key set
+    * can still alias into one bucket at small P, and one hot key is
+    * invisible in bucket totals until P exceeds the key count) — the
+    * number an engineer reads before picking
+    * spark.sql.shuffle.partitions or reaching for salting (#43).
+    * Bucketing uses the repo's cross-engine hash60 (the #155
+    * rendezvous convention) so the oracle replays the exact
+    * placement. One key aggregate + one ≤P-row aggregate.
+    */
+  def partitionSkew(spark: SparkSession, dir: String, p: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val perKey = Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+      .select(
+        pmod(Dedup.hash60(concat(lit("graft-ps-1:"), col("user_id"))), lit(p.toLong))
+          .as("bucket"),
+        col("c"))
+    val byBucket = perKey
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+    val tot = byBucket.agg(
+      sum("n_rows").as("t"),
+      max("n_rows").as("mx"),
+      count(lit(1)).as("nb"))
+    byBucket
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        col("n_keys"),
+        col("n_rows"),
+        expr("CAST(n_rows * 1000000 div t AS BIGINT)").as("row_share_e6"),
+        expr("CAST((mx * nb * 1000000) div t AS BIGINT)").as("max_over_mean_e6"))
+  }
 }

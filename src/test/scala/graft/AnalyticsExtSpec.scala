@@ -1731,4 +1731,31 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(perDay.nonEmpty)
   }
+
+  test("new vs repeat: per-month scala replay; first months are all-new; cents conserved") {
+    val got = AnalyticsExt.newVsRepeat(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firstM = o.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val exp = o.groupBy(_._2).map { case (m, xs) =>
+      val nw = xs.filter(x => firstM(x._1) == m)
+      val rp = xs.filterNot(x => firstM(x._1) == m)
+      val (nc, rc) = (nw.map(_._3).sum, rp.map(_._3).sum)
+      m -> ((xs.length.toLong, nw.length.toLong, nc, rc,
+        rc * 1000000L / math.max(nc + rc, 1L)))
+    }
+    assert(got == exp, "split differs from the scala replay")
+    // the corpus's first month is definitionally all-new
+    val m0 = o.map(_._2).min
+    assert(got(m0)._4 == 0L, "no repeat revenue before anyone is repeat")
+    // cents conserved across the split
+    assert(got.values.map(v => v._3 + v._4).sum == o.map(_._3).sum)
+  }
 }

@@ -274,4 +274,23 @@ class ScaleSpec extends SparkSpec {
     val w0 = cents.map { case (k, c) => w(h1000(k, 0)) }.sum
     assert(math.abs(w0 - cents.length) < 4 * math.sqrt(cents.length.toDouble), s"w0=$w0")
   }
+
+  test("partition skew: buckets conserve keys and rows; imbalance ratio consistent") {
+    val got = graft.operators.Scale.partitionSkew(spark, sf).cache()
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totKeys = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    val totRows = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum == totKeys, "every key in exactly one bucket")
+    assert(rows.map(_._3).sum == totRows, "every row in exactly one bucket")
+    assert(rows.forall { case (b, _, _, _, _) => b >= 0 && b < 32 })
+    // the on-row ratio equals max/mean over the emitted buckets
+    val mx = rows.map(_._3).max
+    val exp = mx * rows.length.toLong * 1000000L / rows.map(_._3).sum
+    assert(rows.forall(_._5 == exp))
+    // shares sum to ~1e6 (floor loss < buckets)
+    val share = rows.map(_._4).sum
+    assert(share <= 1000000L && share >= 1000000L - rows.length)
+    got.unpersist()
+  }
 }
