@@ -418,7 +418,11 @@ object SparkEntry {
     // Physical partition-skew audit (§2 #268)
     "q_partition_skew" -> ((s: SparkSession, d: String) => Scale.partitionSkew(s, d)),
     // New-vs-repeat revenue split (§2 #269)
-    "q_new_vs_repeat" -> (AnalyticsExt.newVsRepeat _)
+    "q_new_vs_repeat" -> (AnalyticsExt.newVsRepeat _),
+    // DAU/WAU stickiness ratio (§2 #270)
+    "q_stickiness" -> (AnalyticsExt.stickiness _),
+    // Repurchase cycle: per-customer median order gap (§2 #271)
+    "q_repurchase_cycle" -> (AnalyticsExt.repurchaseCycle _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5672,7 +5676,55 @@ object SparkEntry {
              // greatest(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
                         + sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END), 1) AS BIGINT)
              AS repeat_share_e6
-         FROM j GROUP BY 1"""
+         FROM j GROUP BY 1""",
+    "q_stickiness" ->
+      // dau over the #193 explode-covered trailing-7d distinct
+      """WITH pres AS (
+           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+         dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                 FROM pres GROUP BY 1),
+         days AS (SELECT DISTINCT day AS target_day FROM pres),
+         cov AS (
+           SELECT unnest(range(day, day + 7)) AS target_day, user_id FROM pres),
+         wau AS (
+           SELECT c.target_day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau_7d
+           FROM cov c JOIN days d ON d.target_day = c.target_day
+           GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau_7d,
+           CAST(dau * 1000000 // wau_7d AS BIGINT) AS stickiness_e6
+         FROM dau JOIN wau ON wau.target_day = dau.day""",
+    "q_repurchase_cycle" ->
+      // per-customer lag gaps + lower discrete median at (g+1) div 2
+      // under the (gap, orderkey) total order + the date-latest gap
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS d
+           FROM orders),
+         g AS (
+           SELECT o_custkey, o_orderkey, d,
+             d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+           FROM o QUALIFY gap IS NOT NULL),
+         r AS (
+           SELECT o_custkey, gap,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY gap, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS gg
+           FROM g),
+         med AS (
+           SELECT o_custkey, gg AS n_gaps, gap AS median_gap_days
+           FROM r WHERE rn = (gg + 1) // 2),
+         lastg AS (
+           SELECT o_custkey, gap AS last_gap_days
+           FROM (SELECT o_custkey, gap,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY d DESC, o_orderkey DESC) AS rl
+                 FROM g)
+           WHERE rl = 1)
+         SELECT m.o_custkey, n_gaps, median_gap_days, last_gap_days,
+           CAST(last_gap_days * 1000000 // greatest(median_gap_days, 1) AS BIGINT)
+             AS overdue_ratio_e6
+         FROM med m JOIN lastg l ON l.o_custkey = m.o_custkey"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

@@ -3387,6 +3387,86 @@ object AnalyticsExt {
         expr("CAST(repeat_cents * 1000000 div greatest(new_cents + repeat_cents, 1) AS BIGINT)"))
   }
 
+  /** #270 DAU/WAU stickiness: per day, daily actives over trailing
+    * 7-day actives on the e6 grid — the habit-formation ratio every
+    * product review opens with (a 7d-MAU (#193) can grow while
+    * stickiness collapses: users visiting once a week). Numerator =
+    * one (day, user) distinct; denominator = #193's explode-covered
+    * rolling distinct VERBATIM; one join on the calendar-bounded day
+    * key. Exact integer quotient — dau ≤ wau by construction, so the
+    * ratio lives in (0, 10⁶].
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val pres = Tables
+      .events(spark, dir)
+      .select(expr(s"ts div ${nsPerDay}L").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val dau = pres.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val days = pres.select(col("day").as("target_day")).distinct()
+    val wau = pres
+      .select(explode(expr("sequence(day, day + 6)")).as("target_day"), col("user_id"))
+      .join(days, "target_day")
+      .groupBy("target_day")
+      .agg(countDistinct("user_id").as("wau_7d"))
+    dau
+      .join(wau.select(col("target_day").as("day"), col("wau_7d")), "day")
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau_7d"),
+        expr("CAST(dau * 1000000 div wau_7d AS BIGINT)").as("stickiness_e6"))
+  }
+
+  /** #271 Repurchase cycle: each repeat customer's median gap in
+    * days between consecutive orders — the CRM cadence number that
+    * sets reorder-reminder timing and the churn clock (a customer
+    * 3 cycles past their own median is the actionable "overdue"
+    * definition, far better than a global 90-day rule). Exact lower
+    * discrete median of the per-customer gap list at rank
+    * ⌈g/2⌉ under the (gap, order-date) total order — the #106/#161
+    * integer machinery; gaps from one per-customer lag window
+    * (single custkey exchange), the median from a per-customer rank
+    * window on the same exchange. Output one row per repeat
+    * customer, plus each customer's last-gap-vs-median overdue
+    * ratio.
+    */
+  def repurchaseCycle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    val gaps = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("d"))
+      .withColumn("prev_d", lag("d", 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("d"), (col("d") - col("prev_d")).as("gap"))
+    val wg = Window.partitionBy("o_custkey").orderBy(col("gap"), col("o_orderkey"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wg).cast("long"))
+      .withColumn("g", count(lit(1)).over(Window.partitionBy("o_custkey")))
+    val med = ranked
+      .filter(col("rn") === expr("(g + 1) div 2"))
+      .select(col("o_custkey"), col("g").as("n_gaps"), col("gap").as("median_gap_days"))
+    val lastGap = gaps
+      .withColumn(
+        "rl",
+        row_number()
+          .over(Window.partitionBy("o_custkey")
+            .orderBy(col("d").desc, col("o_orderkey").desc))
+          .cast("long"))
+      .filter(col("rl") === 1)
+      .select(col("o_custkey"), col("gap").as("last_gap_days"))
+    med
+      .join(lastGap, "o_custkey")
+      .withColumn(
+        "overdue_ratio_e6",
+        expr("CAST(last_gap_days * 1000000 div greatest(median_gap_days, 1) AS BIGINT)"))
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

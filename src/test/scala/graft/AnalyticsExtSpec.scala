@@ -1758,4 +1758,46 @@ class AnalyticsExtSpec extends SparkSpec {
     // cents conserved across the split
     assert(got.values.map(v => v._3 + v._4).sum == o.map(_._3).sum)
   }
+
+  test("stickiness: dau/wau replay; bounded in (0, 1e6]; wau dominates dau") {
+    val got = AnalyticsExt.stickiness(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val pres = Tables.events(spark, sf)
+      .selectExpr("ts div 86400000000000 AS day", "user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pres.map(_._1).distinct
+    val exp = days.map { d =>
+      val dau = pres.count(_._1 == d).toLong
+      val wau = pres.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.length.toLong
+      d -> ((dau, wau, dau * 1000000L / wau))
+    }.toMap
+    assert(got == exp, "stickiness differs from the scala replay")
+    got.values.foreach { case (dau, wau, s) =>
+      assert(dau <= wau && s > 0 && s <= 1000000L)
+    }
+  }
+
+  test("repurchase cycle: per-customer gap-median replay; overdue ratio closes") {
+    val got = AnalyticsExt.repurchaseCycle(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_custkey", "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = o.groupBy(_._1).collect { case (c, xs) if xs.length >= 2 =>
+      val s = xs.sortBy(x => (x._3, x._2))
+      val gaps = s.sliding(2).collect { case Array(a, b) => (b._2, b._3, b._3 - a._3) }.toSeq
+      val sorted = gaps.sortBy(g => (g._3, g._1))
+      val med = sorted(((gaps.length + 1) / 2) - 1)._3
+      val last = gaps.maxBy(g => (g._2, g._1))._3
+      c -> ((gaps.length.toLong, med, last, last * 1000000L / math.max(med, 1L)))
+    }
+    assert(got == exp.toMap, "repurchase cycle differs from the scala replay")
+    // single-order customers never appear
+    assert(!o.groupBy(_._1).collect { case (c, xs) if xs.length == 1 => c }
+      .exists(got.contains))
+  }
 }
