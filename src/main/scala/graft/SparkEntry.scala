@@ -422,7 +422,11 @@ object SparkEntry {
     // DAU/WAU stickiness ratio (§2 #270)
     "q_stickiness" -> (AnalyticsExt.stickiness _),
     // Repurchase cycle: per-customer median order gap (§2 #271)
-    "q_repurchase_cycle" -> (AnalyticsExt.repurchaseCycle _)
+    "q_repurchase_cycle" -> (AnalyticsExt.repurchaseCycle _),
+    // Heaps-law vocabulary growth curve (§2 #272)
+    "text_heaps" -> (TextStats.heapsCurve _),
+    // Term clumping / Church-Gale burstiness (§2 #273)
+    "text_clumping" -> ((s: SparkSession, d: String) => TextStats.termClumping(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5724,7 +5728,55 @@ object SparkEntry {
          SELECT m.o_custkey, n_gaps, median_gap_days, last_gap_days,
            CAST(last_gap_days * 1000000 // greatest(median_gap_days, 1) AS BIGINT)
              AS overdue_ratio_e6
-         FROM med m JOIN lastg l ON l.o_custkey = m.o_custkey"""
+         FROM med m JOIN lastg l ON l.o_custkey = m.o_custkey""",
+    "text_heaps" ->
+      // FLAT global doc-rank replay of the hierarchical build; the
+      // doubling checkpoints derive from the corpus count
+      """WITH docs AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM docs),
+         cps AS (
+           SELECT DISTINCT CAST(CASE WHEN pow(2, i) < c THEN pow(2, i) ELSE c END
+             AS BIGINT) AS n_docs
+           FROM generate_series(1, 40) g(i), n),
+         rk AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank,
+             CAST(len(tok) AS BIGINT) AS n_tok
+           FROM docs),
+         fo AS (
+           SELECT t.term, min(r.rank) AS first_rank
+           FROM (SELECT doc_id, unnest(list_distinct(tok)) AS term FROM docs) t
+           JOIN rk r ON r.doc_id = t.doc_id GROUP BY 1),
+         v AS (
+           SELECT n_docs, CAST(count(*) AS BIGINT) AS vocab_size
+           FROM cps, fo WHERE first_rank <= n_docs GROUP BY 1),
+         tk AS (
+           SELECT n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM cps, rk WHERE rank <= n_docs GROUP BY 1)
+         SELECT v.n_docs, tk.n_tokens, v.vocab_size
+         FROM v JOIN tk ON tk.n_docs = v.n_docs""",
+    "text_clumping" ->
+      // per-(term, doc) counts -> per-term (cf, df); top-25 by
+      // (clump desc, term)
+      """WITH pd AS (
+           SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+                 FROM documents)
+           GROUP BY 1, 2),
+         t AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS cf, CAST(max(c) AS BIGINT) AS max_in_doc
+           FROM pd GROUP BY 1)
+         SELECT term, df, cf, max_in_doc,
+           (cf * 1000000) // df AS clump_e6,
+           CAST(row_number() OVER (ORDER BY (cf * 1000000) // df DESC, term)
+             AS BIGINT) AS rank
+         FROM t WHERE df >= 5
+         QUALIFY rank <= 25"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

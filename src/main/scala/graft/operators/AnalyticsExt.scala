@@ -3334,15 +3334,19 @@ object AnalyticsExt {
       .withColumn(
         "run",
         sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the calendar day IS the monotone shard of this hierarchical
+    // build — named `shard` so PlanDisciplineSpec can prove the carry
+    // window's input is the bounded shard aggregate
     val carry = endpoints
-      .groupBy("day")
+      .select(col("day").as("shard"), col("delta"))
+      .groupBy("shard")
       .agg(sum("delta").as("d"))
       .withColumn(
         "off",
         coalesce(
-          sum("d").over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
+          sum("d").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("day"), col("off"))
+      .select(col("shard").as("day"), col("off"))
     local
       .join(broadcast(carry), "day")
       .withColumn("conc", col("off") + col("run"))

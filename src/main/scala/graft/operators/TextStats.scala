@@ -668,6 +668,116 @@ object TextStats {
       .select(col("phrase"), col("doc_id"), col("n_hits"), col("first_start"))
   }
 
+  /** #272 Heaps-law vocabulary growth: vocabulary size at
+    * doubling corpus prefixes (first 2ᵏ docs in doc_id order) — the
+    * curve whose exponent says whether a corpus keeps yielding new
+    * types as it grows (natural text: V ∝ Nᵝ, β≈0.5) or has
+    * SATURATED (β→0, the fixed-vocab regime the sf1 scale audit
+    * measured: saturated shingle spaces densify posting lists
+    * superlinearly). This operator turns that audit prose into a
+    * measured, replayable table — the diagnostic a corpus curator
+    * reads before trusting any df-pruned join's cost model.
+    *
+    * Distributed shape: one pass computes each term's FIRST
+    * occurrence (min doc-rank) and each doc's token count; each
+    * checkpoint then counts terms with first_rank ≤ 2ᵏ — a
+    * (log₂ n)-row broadcast joined against the first-occurrence
+    * frame, never a per-prefix rescan. Doc rank uses the dense
+    * doc_id order of the corpus (stable, engine-agnostic).
+    */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .localCheckpoint(eager = false)
+    val nDocs = docs.count()
+    val checkpoints = (Iterator
+      .iterate(2L)(_ * 2)
+      .takeWhile(_ < nDocs)
+      .toSeq :+ nDocs).distinct
+    import spark.implicits._
+    val cpDf = checkpoints.toDF("n_docs")
+    // rank docs by doc_id hierarchically: doc_ids are dense enough
+    // that the id itself is NOT the rank (near-dup planting offsets
+    // ids), so rank = count of docs with smaller id, via the
+    // checkpoint-bounded theta join on the tiny cp frame
+    val firstRank = docs
+      .select(col("doc_id"), explode(array_distinct(col("tok"))).as("term"))
+      .groupBy("term")
+      .agg(min("doc_id").as("first_id"))
+    // global doc rank built hierarchically (the #232 shard
+    // construction): monotone id-range shard + within-shard
+    // row_number + a <= nShards-row carry — no global data window
+    val ids = docs.select(col("doc_id"))
+    val bounds = ids.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val sharded = ids
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr("((doc_id - lo) * 8) div (hi - lo + 1)"))
+      .localCheckpoint(eager = false)
+    val localRn = sharded.withColumn(
+      "local_rn",
+      row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long"))
+    val offs = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val idRank = localRn
+      .join(broadcast(offs), "shard")
+      .select(col("doc_id"), (col("off") + col("local_rn")).as("rank"))
+    val tokens = docs.select(col("doc_id"), size(col("tok")).cast("long").as("n_tok"))
+    cpDf
+      .join(
+        firstRank
+          .join(idRank.select(col("doc_id").as("first_id"), col("rank")), "first_id")
+          .select(col("rank")),
+        col("rank") <= col("n_docs"))
+      .groupBy("n_docs")
+      .agg(count(lit(1)).as("vocab_size"))
+      .join(
+        cpDf.join(
+            tokens.join(idRank, "doc_id").select(col("rank"), col("n_tok")),
+            col("rank") <= col("n_docs"))
+          .groupBy("n_docs")
+          .agg(sum("n_tok").as("n_tokens")),
+        "n_docs")
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"))
+  }
+
+  /** #273 Term clumping / Church-Gale burstiness: for the corpus's
+    * high-df terms, mean occurrences per CONTAINING document
+    * (cf/df on the e6 grid) — content words clump (a doc about a
+    * topic repeats its terms), function words spread evenly, so the
+    * ratio separates topical vocabulary from glue without any
+    * stopword list. The per-term sibling of #260's per-series Fano
+    * factor, and the statistic under burstiness-aware language
+    * models. One tokenize pass → per-(term, doc) counts → per-term
+    * (cf, df) — two map-side-combining aggregations; top-25 by
+    * (clump, term) through WindowGroupLimit.
+    */
+  def termClumping(spark: SparkSession, dir: String, k: Int = 25, minDf: Long = 5): DataFrame = {
+    val perDoc = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    perDoc
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"), max("c").as("max_in_doc"))
+      .filter(col("df") >= minDf)
+      .withColumn("clump_e6", expr("(cf * 1000000) div df"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("clump_e6").desc, col("term")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** #247 TextRank keyword extraction (Mihalcea & Tarau 2004):
     * PageRank over the word co-occurrence graph — words voted
     * important by being near OTHER important words, the global

@@ -557,4 +557,51 @@ class TextStatsSpec extends SparkSpec {
       .zipWithIndex.map { case ((w, s), i) => (w, s, i + 1L) }
     assert(got.sortBy(_._3).toSeq == exp, "textrank differs from the scala trajectory")
   }
+
+  test("heaps curve: prefix-vocabulary replay; both columns monotone; endpoints exact") {
+    val got = TextStats.heapsCurve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val toks = docs.map { case (_, t) => t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = docs.length.toLong
+    val cps = (Iterator.iterate(2L)(_ * 2).takeWhile(_ < n).toSeq :+ n).distinct
+    assert(got.map(_._1).toSeq == cps, "checkpoint grid")
+    cps.zip(got).foreach { case (cp, (_, nt, v)) =>
+      val prefix = toks.take(cp.toInt)
+      assert(nt == prefix.map(_.length.toLong).sum, s"tokens at $cp")
+      assert(v == prefix.flatten.distinct.length.toLong, s"vocab at $cp")
+    }
+    // growth curves never decrease
+    got.sliding(2).foreach {
+      case Array((_, t1, v1), (_, t2, v2)) => assert(t2 >= t1 && v2 >= v1)
+      case _ =>
+    }
+    // final point covers the whole corpus vocabulary
+    assert(got.last._3 == toks.flatten.distinct.length.toLong)
+  }
+
+  test("term clumping: per-term cf/df replay; clump >= 1e6 by definition") {
+    val got = TextStats.termClumping(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).trim.toLowerCase.split("\\s+")
+          .groupBy(identity).map { case (t, xs) => (t, r.getLong(0), xs.length.toLong) }
+      }
+    val stats = perDoc.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.length.toLong, xs.map(_._3).sum, xs.map(_._3).max))
+    }.filter(_._2._1 >= 5)
+    val exp = stats.toSeq
+      .map { case (t, (df, cf, mx)) => (t, df, cf, mx, cf * 1000000L / df) }
+      .sortBy { case (t, _, _, _, cl) => (-cl, t) }
+      .take(25)
+      .zipWithIndex.map { case ((t, df, cf, mx, cl), i) => t -> ((df, cf, mx, cl, i + 1L)) }
+    assert(got.sortBy(_._2._5).toSeq == exp, "clumping differs from the scala replay")
+    // cf >= df always, so the clump ratio is bounded below by 1e6
+    got.foreach { case (t, (_, _, _, cl, _)) => assert(cl >= 1000000L, t) }
+  }
 }
