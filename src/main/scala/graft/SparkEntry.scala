@@ -426,7 +426,13 @@ object SparkEntry {
     // Heaps-law vocabulary growth curve (§2 #272)
     "text_heaps" -> (TextStats.heapsCurve _),
     // Term clumping / Church-Gale burstiness (§2 #273)
-    "text_clumping" -> ((s: SparkSession, d: String) => TextStats.termClumping(s, d))
+    "text_clumping" -> ((s: SparkSession, d: String) => TextStats.termClumping(s, d)),
+    // Duplicate-payment forensic screen (§2 #274)
+    "q_dup_payments" -> (AnalyticsExt.dupPayments _),
+    // Structuring / split-ticket screen (§2 #275)
+    "q_structuring" -> ((s: SparkSession, d: String) => AnalyticsExt.structuring(s, d)),
+    // IVF cell-balance index-health audit (§2 #276)
+    "ann_cell_balance" -> (Similarity.cellBalance _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5776,7 +5782,76 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY (cf * 1000000) // df DESC, term)
              AS BIGINT) AS rank
          FROM t WHERE df >= 5
-         QUALIFY rank <= 25"""
+         QUALIFY rank <= 25""",
+    "q_dup_payments" ->
+      // planted mod-499 resubmissions (the #5 precedent) + exact-cents
+      // triple grouping; at-risk counts copies beyond one
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         aug AS (
+           SELECT * FROM o
+           UNION ALL SELECT * FROM o WHERE o_orderkey % 499 = 0)
+         SELECT o_custkey, o_date, cents,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST((count(*) - 1) * cents AS BIGINT) AS at_risk_cents
+         FROM aug GROUP BY 1, 2, 3 HAVING count(*) > 1""",
+    "q_structuring" ->
+      // planted mod-977 quarter-splits + self-calibrating p90
+      // threshold via the flat rank replay; same-day rollup
+      """WITH base AS (
+           SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         pl AS (
+           SELECT o_custkey,
+             o_orderkey * 10 + i + 100000000 AS o_orderkey, o_date,
+             CASE WHEN i < 4 THEN cents // 4 ELSE cents - 3 * (cents // 4) END AS cents
+           FROM base, unnest(range(1, 5)) r(i)
+           WHERE o_orderkey % 977 = 0),
+         o AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+         r AS (
+           SELECT cents AS v,
+             CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rn
+           FROM o),
+         thr AS (
+           SELECT min(v) AS threshold_cents
+           FROM r, n WHERE rn >= ((n + 1) * 9) // 10)
+         SELECT o_custkey, o_date, threshold_cents,
+           CAST(count(*) AS BIGINT) AS n_small_orders,
+           CAST(sum(cents) AS BIGINT) AS day_total_cents
+         FROM o, thr WHERE cents < threshold_cents
+         GROUP BY 1, 2, 3
+         HAVING count(*) >= 3 AND sum(cents) >= max(threshold_cents)""",
+    "ann_cell_balance" -> {
+      // composed #29 assignment replay + <= k-row balance rollup
+      val terms = (1 to 64).map(i => s"CAST(avg(embedding[$i]) AS FLOAT)").mkString(", ")
+      s"""WITH c AS (SELECT label, [$terms] AS centroid
+                     FROM embeddings GROUP BY label),
+          a AS (
+            SELECT vec_id, label, assigned_label FROM (
+              SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                CAST(c.label AS BIGINT) AS assigned_label,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC, c.label) AS rn
+              FROM embeddings e, c)
+            WHERE rn = 1),
+          byc AS (
+            SELECT assigned_label AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(sum(CASE WHEN label = assigned_label THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pure
+            FROM a GROUP BY 1),
+          t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t, CAST(max(n_vecs) AS BIGINT) AS mx,
+                  CAST(count(*) AS BIGINT) AS nc FROM byc)
+          SELECT cell, n_vecs,
+            CAST(n_vecs * 1000000 // t AS BIGINT) AS share_e6,
+            CAST(n_pure * 1000000 // n_vecs AS BIGINT) AS purity_e6,
+            CAST((mx * nc * 1000000) // t AS BIGINT) AS max_over_mean_e6
+          FROM byc, t"""
+    }
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

@@ -3471,6 +3471,107 @@ object AnalyticsExt {
         expr("CAST(last_gap_days * 1000000 div greatest(median_gap_days, 1) AS BIGINT)"))
   }
 
+  /** #274 Duplicate-payment screen: groups of orders sharing
+    * (customer, exact cents, order date) — the first query every
+    * payables audit runs (double-submitted invoices, replayed
+    * payment batches, fat-fingered resubmissions), and the
+    * TRANSACTION-level member of the forensic family beside #211's
+    * distribution-level Benford screen. Exact-match grouping is the
+    * deliberate contract: cents equality has no tolerance knob to
+    * tune or defend. The driver corpus is clean, so duplicates are
+    * PLANTED deterministically (every o_orderkey ≡ 0 mod 499
+    * re-submitted — the #5 simulated-redelivery precedent, shared
+    * verbatim with the oracle), and the spec pins exact recovery.
+    * One groupBy + HAVING; the at-risk amount counts every copy
+    * BEYOND the first (the legitimate one costs nothing).
+    */
+  def dupPayments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast("string").as("o_date"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    o.unionAll(o.filter(col("o_orderkey") % 499 === 0))
+      .groupBy("o_custkey", "o_date", "cents")
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .withColumn("at_risk_cents", (col("n_copies") - 1) * col("cents"))
+  }
+
+  /** #275 Structuring screen: customers whose SAME-DAY orders each
+    * sit below an approval threshold while together crossing it —
+    * the split-ticket pattern (many small orders instead of one
+    * reviewable large one) that procurement-fraud and AML controls
+    * both test for; #274 catches identical copies, this catches
+    * deliberately NON-identical splits, which is why both exist.
+    * Threshold = the corpus's own p90 order value (rank-defined
+    * ((n+1)·9) div 10 under the (cents, orderkey) total order, the
+    * #106 discrete-percentile machinery — self-calibrating, no magic
+    * dollar constant), computed on the hierarchical shard rank. The
+    * driver corpus contains no structuring, so the pattern is
+    * PLANTED (every o_orderkey ≡ 0 mod 977 re-entered as four
+    * same-day quarter-value pieces under offset keys — each piece
+    * below the threshold, the four together above it; the #274/#5
+    * simulated-input precedent, shared verbatim with the oracle).
+    * One (customer, day) aggregate over below-threshold orders.
+    */
+  def structuring(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val base = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast("string").as("o_date"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val planted = base
+      .filter(col("o_orderkey") % 977 === 0)
+      .select(
+        col("o_custkey"),
+        explode(expr("sequence(1, 4)")).as("i"),
+        col("o_orderkey"),
+        col("o_date"),
+        col("cents"))
+      .select(
+        col("o_custkey"),
+        (col("o_orderkey") * 10 + col("i") + 100000000L).as("o_orderkey"),
+        col("o_date"),
+        expr("CASE WHEN i < 4 THEN cents div 4 ELSE cents - 3 * (cents div 4) END")
+          .as("cents"))
+    val o = base.unionAll(planted).localCheckpoint(eager = false)
+    // p90 via hierarchical rank over the distinct-value grid
+    val byV = o.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+    val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"), sum("cnt").as("n"))
+    val sharded = byV
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((v - lo) * $nShards) div (hi - lo + 1)"))
+      .localCheckpoint(eager = false)
+    val wsh = Window.partitionBy("shard").orderBy("v")
+    val local = sharded.withColumn(
+      "below",
+      coalesce(sum("cnt").over(wsh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offs = sharded
+      .groupBy("shard")
+      .agg(sum("cnt").as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val p90 = local
+      .join(broadcast(offs), "shard")
+      .withColumn("cum", col("off") + col("below") + col("cnt"))
+      .filter(col("cum") >= expr("((n + 1) * 9) div 10"))
+      .agg(min("v").as("threshold_cents"))
+    o.crossJoin(broadcast(p90))
+      .filter(col("cents") < col("threshold_cents"))
+      .groupBy("o_custkey", "o_date", "threshold_cents")
+      .agg(count(lit(1)).as("n_small_orders"), sum("cents").as("day_total_cents"))
+      .filter(col("n_small_orders") >= 3 && col("day_total_cents") >= col("threshold_cents"))
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

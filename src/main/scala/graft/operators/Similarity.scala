@@ -717,6 +717,39 @@ object Similarity {
         col("cos"))
   }
 
+  /** #276 Index cell-balance audit: per #29 centroid cell — member
+    * count, corpus share, the cell's label PURITY (fraction of
+    * members whose true label is the cell's), and the global
+    * max/mean imbalance — the index-health read-out that decides
+    * whether an IVF layout is servable: one overfull cell serializes
+    * every probe that lands in it (the hot-partition problem in
+    * vector clothes), and low purity means the coarse quantizer is
+    * splitting true neighborhoods across cells (recall loss #238
+    * will then measure). The same audit shape as #268's partition
+    * skew, applied to the learned partitioner instead of the hash
+    * one. One ≤k-row aggregate over the #29 assignment frame.
+    */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = centroidAssign(spark, dir)
+    val byCell = assigned
+      .groupBy(col("assigned_label").as("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum((col("label") === col("assigned_label")).cast("long")).as("n_pure"))
+    val tot = byCell.agg(
+      sum("n_vecs").as("t"),
+      max("n_vecs").as("mx"),
+      count(lit(1)).as("nc"))
+    byCell
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        expr("CAST(n_vecs * 1000000 div t AS BIGINT)").as("share_e6"),
+        expr("CAST(n_pure * 1000000 div n_vecs AS BIGINT)").as("purity_e6"),
+        expr("CAST((mx * nc * 1000000) div t AS BIGINT)").as("max_over_mean_e6"))
+  }
+
   /** The Rademacher sign matrix for [[randomProjection]]: sign(i, j) =
     * ±1 from the parity of the engine-portable 60-bit md5 hash of
     * "graft-rp:i:j" — the same public definition as `hash60`, so any

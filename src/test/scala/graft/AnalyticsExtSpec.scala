@@ -1800,4 +1800,54 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(!o.groupBy(_._1).collect { case (c, xs) if xs.length == 1 => c }
       .exists(got.contains))
   }
+
+  test("dup payments: every planted resubmission flagged; exact group replay") {
+    val got = AnalyticsExt.dupPayments(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderkey", "CAST(o_orderdate AS STRING) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val aug = o ++ o.filter(_._2 % 499 == 0)
+    val exp = aug.groupBy(x => (x._1, x._3, x._4)).collect {
+      case (k, xs) if xs.length > 1 =>
+        k -> ((xs.length.toLong, (xs.length - 1).toLong * k._3))
+    }
+    assert(got == exp.toMap, "dup groups differ from the replay")
+    // every planted resubmission surfaces
+    o.filter(_._2 % 499 == 0).foreach { x =>
+      assert(got.contains((x._1, x._3, x._4)), s"planted dup of order ${x._2} missed")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("structuring: planted quarter-splits flagged when they cross the threshold") {
+    val rows = AnalyticsExt.structuring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderkey", "CAST(o_orderdate AS STRING) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val planted = o.filter(_._2 % 977 == 0).flatMap { x =>
+      (1 to 4).map(i =>
+        (x._1, x._2 * 10 + i + 100000000L, x._3,
+          if (i < 4) x._4 / 4 else x._4 - 3 * (x._4 / 4)))
+    }
+    val aug = o ++ planted
+    val n = aug.length.toLong
+    val thr = aug.map(_._4).sorted.apply((((n + 1) * 9 / 10) - 1).toInt)
+    val exp = aug.filter(_._4 < thr).groupBy(x => (x._1, x._3)).collect {
+      case (k, xs) if xs.length >= 3 && xs.map(_._4).sum >= thr =>
+        k -> ((thr, xs.length.toLong, xs.map(_._4).sum))
+    }
+    assert(rows == exp.toMap, "structuring groups differ from the replay")
+    // plants from big-enough sources must be flagged
+    o.filter(x => x._2 % 977 == 0 && x._4 >= thr && x._4 / 4 < thr &&
+        o.count(y => y._1 == x._1 && y._3 == x._3 && y._4 < thr) == 0)
+      .foreach { x => assert(rows.contains((x._1, x._3)), s"planted split of ${x._2} missed") }
+    assert(rows.nonEmpty)
+  }
 }

@@ -41,4 +41,30 @@ class IvfSpec extends SparkSpec {
     val maxCell = assign.groupBy("cell").count().agg(max("count")).head.getLong(0)
     assert(maxCell <= (4 * n) / 16, s"largest cell $maxCell of $n vectors")
   }
+
+  test("cell balance: rollup ties to the #29 assignment; shares and purity exact") {
+    val got = graft.operators.Similarity.cellBalance(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val a = graft.operators.Similarity.centroidAssign(spark, sf)
+      .select("vec_id", "label", "assigned_label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCell = a.groupBy(_._3).map { case (c, xs) =>
+      c -> ((xs.length.toLong, xs.count(x => x._2 == x._3).toLong))
+    }
+    val t = a.length.toLong
+    val mx = byCell.values.map(_._1).max
+    val nc = byCell.size.toLong
+    val exp = byCell.map { case (c, (n, p)) =>
+      c -> ((n, n * 1000000L / t, p * 1000000L / n, mx * nc * 1000000L / t))
+    }
+    assert(got == exp, "cell balance differs from the assignment rollup")
+    // label-mean centroids must beat the uniform-assignment baseline
+    // decisively (the synthetic labels are only weakly clustered —
+    // measured pooled purity ≈ 0.37 vs the 1/n_labels = 0.1 baseline)
+    val nLabels = a.map(_._2).distinct.length
+    val pooledPurity = byCell.values.map(_._2).sum.toDouble / t
+    assert(pooledPurity >= 2.0 / nLabels, s"pooled purity $pooledPurity")
+  }
 }
