@@ -432,7 +432,13 @@ object SparkEntry {
     // Structuring / split-ticket screen (§2 #275)
     "q_structuring" -> ((s: SparkSession, d: String) => AnalyticsExt.structuring(s, d)),
     // IVF cell-balance index-health audit (§2 #276)
-    "ann_cell_balance" -> (Similarity.cellBalance _)
+    "ann_cell_balance" -> (Similarity.cellBalance _),
+    // Point-in-time lag feature generation (§2 #277)
+    "q_lag_features" -> (AnalyticsExt.lagFeatures _),
+    // Leave-one-out smoothed target encoding (§2 #278)
+    "q_target_encoding" -> ((s: SparkSession, d: String) => AnalyticsExt.targetEncoding(s, d)),
+    // Feature-hashing collision audit (§2 #279)
+    "q_hash_collisions" -> (AnalyticsExt.hashCollisions _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -5851,7 +5857,56 @@ object SparkEntry {
             CAST(n_pure * 1000000 // n_vecs AS BIGINT) AS purity_e6,
             CAST((mx * nc * 1000000) // t AS BIGINT) AS max_over_mean_e6
           FROM byc, t"""
-    }
+    },
+    "q_lag_features" ->
+      // past-only lags and trailing frames per series
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, y,
+           lag(y, 1) OVER w AS lag1,
+           lag(y, 7) OVER w AS lag7,
+           CAST(coalesce(sum(y) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail7_sum,
+           ((day % 7) + 7) % 7 AS dow
+         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)""",
+    "q_target_encoding" ->
+      // leave-one-out smoothed rate; prior precomputed once on the
+      // e6 grid; m = 20
+      """WITH o AS (
+           SELECT o.o_orderkey, c.c_mktsegment,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         seg AS (
+           SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(y) AS BIGINT) AS c_seg
+           FROM o GROUP BY 1),
+         p AS (SELECT CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS prior_e6 FROM o)
+         SELECT o.o_orderkey, o.c_mktsegment, CAST(o.y AS BIGINT) AS y,
+           CAST(((c_seg - y) * 1000000 + prior_e6 * 20)
+             // (n_seg - 1 + 20) AS BIGINT) AS enc_e6
+         FROM o JOIN seg USING (c_mktsegment), p""",
+    "q_hash_collisions" ->
+      // md5-parity hash60 placement over the distinct category set at
+      // three widths
+      """WITH cats AS (
+           SELECT DISTINCT p_brand || '|' || p_type AS cat FROM part),
+         w AS (SELECT CAST(unnest([256, 1024, 4096]) AS BIGINT) AS width),
+         b AS (
+           SELECT width,
+             ('0x' || substr(md5('graft-fh-1:' || cat), 1, 15))::BIGINT % width AS b
+           FROM cats, w),
+         occ AS (
+           SELECT width, b, CAST(count(*) AS BIGINT) AS n_in_bucket
+           FROM b GROUP BY 1, 2)
+         SELECT width, CAST(sum(n_in_bucket) AS BIGINT) AS n_categories,
+           CAST(count(*) AS BIGINT) AS n_occupied,
+           CAST(sum(CASE WHEN n_in_bucket > 1 THEN n_in_bucket ELSE 0 END) AS BIGINT)
+             AS n_colliding,
+           CAST(sum(CASE WHEN n_in_bucket > 1 THEN n_in_bucket ELSE 0 END) * 1000000
+             // sum(n_in_bucket) AS BIGINT) AS collision_rate_e6
+         FROM occ GROUP BY 1"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

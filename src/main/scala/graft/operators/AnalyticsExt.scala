@@ -3572,6 +3572,108 @@ object AnalyticsExt {
       .filter(col("n_small_orders") >= 3 && col("day_total_cents") >= col("threshold_cents"))
   }
 
+  /** #277 Lag-feature generation: the feature-store frame a
+    * forecasting model trains on — per (series, day): the value,
+    * lag-1, lag-7, the trailing-7-day sum, and the day-of-week
+    * index, every column exact integers. This is the
+    * feature-engineering shape (point-in-time-correct lags over an
+    * entity×time grid) that leaks when done wrong — here each
+    * feature is strictly PAST-ONLY by window construction (lag and a
+    * [-7,-1] rows frame), the property a feature store certifies.
+    * One per-series sort powers all four features (a single window
+    * spec family over one exchange); calendar-bounded frames.
+    */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+      .withColumn("lag1", lag("y", 1).over(w))
+      .withColumn("lag7", lag("y", 7).over(w))
+      .withColumn(
+        "trail7_sum",
+        coalesce(sum("y").over(w.rowsBetween(-7, -1)), lit(0L)))
+      .withColumn("dow", expr("((day % 7) + 7) % 7"))
+  }
+
+  /** #278 Leave-one-out target encoding: each order's market segment
+    * replaced by the smoothed completion rate of the OTHER orders in
+    * that segment — enc = (c_seg − y_i + prior·m) div (n_seg − 1 + m)
+    * with smoothing weight m = 20 and the corpus rate as prior — the
+    * categorical-feature encoder gradient models actually ship with,
+    * where the leave-one-out subtraction is precisely what stops the
+    * feature from leaking its own label (the bug naive target
+    * encoding always has). All-integer on the e6 grid: the prior
+    * term is precomputed as prior_e6·m once, numerators stay in
+    * BIGINT. One segment aggregate broadcast back over one scan.
+    */
+  def targetEncoding(spark: SparkSession, dir: String, m: Int = 20): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .join(
+        Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .select(
+        col("o_orderkey"),
+        col("c_mktsegment"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+    val seg = o.groupBy("c_mktsegment").agg(count(lit(1)).as("n_seg"), sum("y").as("c_seg"))
+    val prior = o.agg(expr("CAST(sum(y) * 1000000 div count(1) AS BIGINT)").as("prior_e6"))
+    o.join(broadcast(seg), "c_mktsegment")
+      .crossJoin(broadcast(prior))
+      .select(
+        col("o_orderkey"),
+        col("c_mktsegment"),
+        col("y"),
+        expr(s"""CAST(((c_seg - y) * 1000000 + prior_e6 * $m)
+                  div (n_seg - 1 + $m) AS BIGINT)""").as("enc_e6"))
+  }
+
+  /** #279 Feature-hashing collision audit: for hash-table widths
+    * D ∈ {256, 1024, 4096}, how many distinct (brand, type)
+    * categories collide under the hashing trick — occupied buckets,
+    * colliding categories, and the collision rate e6 — the
+    * measurement that picks D before a model ships hashed features
+    * (the birthday problem, measured on the real category set
+    * instead of assumed). Hashing uses the cross-engine hash60
+    * (#155 convention) so the oracle replays placement exactly; one
+    * distinct-category aggregate, then a 3-width broadcast explode
+    * over the CATEGORY frame (vocab-sized, not corpus-sized).
+    */
+  def hashCollisions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cats = Tables
+      .part(spark, dir)
+      .select(concat_ws("|", col("p_brand"), col("p_type")).as("cat"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val widths = Seq(256L, 1024L, 4096L)
+    import spark.implicits._
+    val wdf = widths.toDF("width")
+    cats
+      .crossJoin(broadcast(wdf))
+      .select(
+        col("width"),
+        pmod(Dedup.hash60(concat(lit("graft-fh-1:"), col("cat"))), col("width")).as("b"))
+      .groupBy("width", "b")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .groupBy("width")
+      .agg(
+        sum("n_in_bucket").as("n_categories"),
+        count(lit(1)).as("n_occupied"),
+        sum(when(col("n_in_bucket") > 1, col("n_in_bucket")).otherwise(0L))
+          .as("n_colliding"))
+      .withColumn(
+        "collision_rate_e6",
+        expr("CAST(n_colliding * 1000000 div n_categories AS BIGINT)"))
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

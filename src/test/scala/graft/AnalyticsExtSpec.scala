@@ -1850,4 +1850,77 @@ class AnalyticsExtSpec extends SparkSpec {
       .foreach { x => assert(rows.contains((x._1, x._3)), s"planted split of ${x._2} missed") }
     assert(rows.nonEmpty)
   }
+
+  test("lag features: point-in-time correctness — every feature strictly past-only") {
+    val rows = AnalyticsExt.lagFeatures(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5), r.getLong(6))))
+      .toMap
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 86400000000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("event_type", "day").agg(sum("c").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, xs) =>
+      val s = xs.sortBy(_._2)
+      s.zipWithIndex.foreach { case ((_, day, y), i) =>
+        val (gy, l1, l7, t7, dow) = rows((t, day))
+        assert(gy == y)
+        assert(l1 == (if (i >= 1) Some(s(i - 1)._3) else None))
+        assert(l7 == (if (i >= 7) Some(s(i - 7)._3) else None))
+        assert(t7 == s.slice(math.max(0, i - 7), i).map(_._3).sum, s"$t $day trail7")
+        assert(dow == ((day % 7) + 7) % 7)
+      }
+    }
+    assert(rows.size == daily.length)
+  }
+
+  test("target encoding: leave-one-out replay; encoding never sees its own label") {
+    val got = AnalyticsExt.targetEncoding(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).selectExpr("c_custkey AS o_custkey", "c_mktsegment"),
+        "o_custkey")
+      .selectExpr("o_orderkey", "c_mktsegment", "CAST(o_orderstatus = 'F' AS LONG) AS y")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val seg = o.groupBy(_._2).map { case (s, xs) => s -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    val prior = o.map(_._3).sum * 1000000L / o.length
+    o.foreach { case (k, s, y) =>
+      val (n, c) = seg(s)
+      val exp = ((c - y) * 1000000L + prior * 20L) / (n - 1 + 20)
+      assert(got(k) == ((s, y, exp)), s"order $k")
+    }
+    // the LOO property: two same-segment orders with different labels
+    // get different encodings — the label leaks into NEITHER
+    val bySeg = o.groupBy(_._2).values.find(xs => xs.map(_._3).distinct.length == 2)
+    bySeg.foreach { xs =>
+      val e1 = got(xs.find(_._3 == 1L).get._1)._3
+      val e0 = got(xs.find(_._3 == 0L).get._1)._3
+      assert(e1 < e0, "excluding a positive label must lower the encoding")
+    }
+  }
+
+  test("hash collisions: exact placement replay; rate rises as width shrinks") {
+    val got = AnalyticsExt.hashCollisions(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val cats = Tables.part(spark, sf)
+      .selectExpr("p_brand || '|' || p_type AS cat").distinct()
+      .collect().map(_.getString(0))
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("graft-fh-1:" + s).take(15), 16)
+    Seq(256L, 1024L, 4096L).foreach { w =>
+      val buckets = cats.map(c => math.floorMod(h60(c), w)).groupBy(identity)
+      val nColl = buckets.values.filter(_.length > 1).map(_.length.toLong).sum
+      assert(got(w) == ((cats.length.toLong, buckets.size.toLong, nColl,
+        nColl * 1000000L / cats.length)), s"width $w")
+    }
+    // shrinking the table can only worsen (or tie) the collision rate
+    assert(got(256L)._4 >= got(1024L)._4 && got(1024L)._4 >= got(4096L)._4)
+  }
 }
