@@ -438,7 +438,9 @@ object SparkEntry {
     // Leave-one-out smoothed target encoding (§2 #278)
     "q_target_encoding" -> ((s: SparkSession, d: String) => AnalyticsExt.targetEncoding(s, d)),
     // Feature-hashing collision audit (§2 #279)
-    "q_hash_collisions" -> (AnalyticsExt.hashCollisions _)
+    "q_hash_collisions" -> (AnalyticsExt.hashCollisions _),
+    // PQ distortion / code-utilization audit (§2 #280)
+    "ann_pq_distortion" -> ((s: SparkSession, d: String) => Similarity.pqDistortion(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3158,6 +3160,14 @@ object SparkEntry {
          SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
            dist AS dist_e8
          FROM af""",
+    "ann_pq_distortion" ->
+      // <= M-row rollup over the same replayed assignment frame
+      s"""WITH $pqCtes
+         SELECT CAST(s AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist_e8,
+           CAST(max(dist) AS BIGINT) AS max_dist_e8,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
+         FROM af GROUP BY 1""",
     "ann_pq_search" -> pqSearchOracle(pqCtes),
     "ann_opq_search" -> opqSearchOracle,
     "q_locf_fill" ->

@@ -1127,6 +1127,33 @@ object Similarity {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       trainPqCodebooks(spark, dir, iters))
 
+  /** #280 PQ distortion audit: per subspace — mean and max residual
+    * quantization error (the e8 squared distance #120 already
+    * computes per assignment) and CODE UTILIZATION (distinct
+    * codewords actually used) — the third leg of the index-health
+    * tripod: #276 checks the coarse cells balance, #238/#244 check
+    * retrieval quality, this checks code FIDELITY (rising mean
+    * distortion means the frozen codebook has drifted off the data
+    * and the index needs a retrain; dead codewords mean capacity
+    * paid for and not used — the retrain trigger production PQ
+    * deployments alert on). A pure ≤M-row rollup over the #120 code
+    * frame; exact integers throughout.
+    */
+  def pqDistortion(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
+    pqCodes(spark, dir, iters)
+      .groupBy("s")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("dist_e8").as("total_dist_e8"),
+        max("dist_e8").as("max_dist_e8"),
+        count_distinct(col("code")).as("n_codes_used"))
+      .select(
+        col("s"),
+        col("n_vecs"),
+        expr("CAST(total_dist_e8 div n_vecs AS BIGINT)").as("mean_dist_e8"),
+        col("max_dist_e8"),
+        col("n_codes_used"))
+
   /** #121 PQ ADC search, the production two-stage: the query computes
     * its M·K distance table once (tiny — broadcast), every
     * candidate's ASYMMETRIC distance is M integer table lookups

@@ -122,4 +122,25 @@ class PqSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("pq distortion: rollup ties to the #120 code frame; utilization bounded by K") {
+    val got = Similarity.pqDistortion(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val codes = Similarity.pqCodes(spark, sf)
+      .select("vec_id", "s", "code", "dist_e8")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = codes.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.map(_._3).sum / xs.length,
+        xs.map(_._3).max, xs.map(_._2).distinct.length.toLong))
+    }
+    assert(got == exp, "distortion differs from the code-frame rollup")
+    // every subspace covers the whole corpus; utilization within [1, 256]
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    got.values.foreach { case (nv, _, _, used) =>
+      assert(nv == n && used >= 1 && used <= 256)
+    }
+  }
+
 }
