@@ -440,7 +440,11 @@ object SparkEntry {
     // Feature-hashing collision audit (§2 #279)
     "q_hash_collisions" -> (AnalyticsExt.hashCollisions _),
     // PQ distortion / code-utilization audit (§2 #280)
-    "ann_pq_distortion" -> ((s: SparkSession, d: String) => Similarity.pqDistortion(s, d))
+    "ann_pq_distortion" -> ((s: SparkSession, d: String) => Similarity.pqDistortion(s, d)),
+    // Catalog breadth / assortment growth (§2 #281)
+    "q_catalog_breadth" -> (AnalyticsExt.catalogBreadth _),
+    // Ship-delay SLA percentiles per priority (§2 #282)
+    "q_ship_delay" -> (AnalyticsExt.shipDelay _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3168,6 +3172,47 @@ object SparkEntry {
            CAST(max(dist) AS BIGINT) AS max_dist_e8,
            CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
          FROM af GROUP BY 1""",
+    "q_catalog_breadth" ->
+      // complete month frame then cumsum; zero-new months inherit
+      """WITH mp AS (
+           SELECT DISTINCT
+             CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+               + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             l.l_partkey
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         act AS (SELECT m, CAST(count(*) AS BIGINT) AS n_active_parts
+                 FROM mp GROUP BY 1),
+         fs AS (SELECT l_partkey, min(m) AS m FROM mp GROUP BY 1),
+         nw AS (SELECT m, CAST(count(*) AS BIGINT) AS n_new_parts FROM fs GROUP BY 1),
+         filled AS (
+           SELECT act.m, act.n_active_parts,
+             CAST(coalesce(nw.n_new_parts, 0) AS BIGINT) AS n_new_parts
+           FROM act LEFT JOIN nw ON nw.m = act.m)
+         SELECT m AS month, n_active_parts, n_new_parts,
+           CAST(sum(n_new_parts) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_catalog
+         FROM filled""",
+    "q_ship_delay" ->
+      // rank-defined discrete p50/p90 per priority + the >60d share
+      """WITH d AS (
+           SELECT o.o_orderpriority AS priority, l.l_orderkey, l.l_linenumber,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         r AS (
+           SELECT priority, delay,
+             CAST(row_number() OVER (PARTITION BY priority
+               ORDER BY delay, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+           FROM d)
+         SELECT priority, max(n) AS n_lines,
+           max(CASE WHEN rn = (n + 1) // 2 THEN delay END) AS p50_days,
+           max(CASE WHEN rn = ((n * 9) + 9) // 10 THEN delay END) AS p90_days,
+           CAST(sum(CASE WHEN delay > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN delay > 60 THEN 1 ELSE 0 END) * 1000000
+             // max(n) AS BIGINT) AS late_share_e6
+         FROM r GROUP BY 1""",
     "ann_pq_search" -> pqSearchOracle(pqCtes),
     "ann_opq_search" -> opqSearchOracle,
     "q_locf_fill" ->

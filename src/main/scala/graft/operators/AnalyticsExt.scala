@@ -3674,6 +3674,94 @@ object AnalyticsExt {
         expr("CAST(n_colliding * 1000000 div n_categories AS BIGINT)"))
   }
 
+  /** #281 Catalog breadth: per order month — parts actively sold,
+    * parts sold for the FIRST time, and the cumulative distinct
+    * catalog — the assortment-growth triple merchandising reads
+    * beside #269's revenue split (#269 says whether dollars are new;
+    * this says whether the CATALOG is, and a flat cumulative curve
+    * under growing active counts is concentration, not expansion).
+    * First-sale month per part from one min-aggregate; cumulative
+    * catalog = running sum of first-sales over the CALENDAR-bounded
+    * month frame (the #210 day-cumsum discipline, month-grained);
+    * active counts one (month, part) distinct. All exact integers.
+    */
+  def catalogBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val mp = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(
+        // the calendar month IS the monotone shard of the cumulative
+        // build — named `shard` end to end so PlanDisciplineSpec can
+        // prove every aggregate under the global window is bounded
+        expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("shard"),
+        col("l_partkey"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val active = mp.groupBy("shard").agg(count(lit(1)).as("n_active_parts"))
+    val firstSale = mp.groupBy("l_partkey").agg(min("shard").as("shard"))
+    val news = firstSale.groupBy("shard").agg(count(lit(1)).as("n_new_parts"))
+    // complete the month frame FIRST (zero-new months included), then
+    // cumsum — so no-new months inherit the running catalog naturally
+    active
+      .join(news, Seq("shard"), "left")
+      .select(
+        col("shard"),
+        col("n_active_parts"),
+        coalesce(col("n_new_parts"), lit(0L)).as("n_new_parts"))
+      .withColumn(
+        "cum_catalog",
+        sum("n_new_parts").over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("shard").as("month"),
+        col("n_active_parts"),
+        col("n_new_parts"),
+        col("cum_catalog"))
+  }
+
+  /** #282 Ship-delay percentiles: per order priority — exact lower
+    * discrete p50 and p90 of the order→ship delay in days, plus the
+    * late-order share beyond 60 days — the SLA table an operations
+    * review reads per service class (#111 counts late orders; this
+    * shows the whole delay DISTRIBUTION per priority, where a fine
+    * p50 with a fat p90 is precisely the story a mean hides). The
+    * #106 rank-defined percentile machinery per priority: rank =
+    * ⌈n/2⌉ and ⌈9n/10⌉ under the (delay, orderkey, linenumber)
+    * total order, one priority-partitioned window — never global.
+    */
+  def shipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables
+          .orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        "l_orderkey")
+      .select(
+        col("o_orderpriority").as("priority"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)")
+          .as("delay"))
+    val w = Window.partitionBy("priority").orderBy(col("delay"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = d
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("priority")))
+    ranked
+      .groupBy("priority")
+      .agg(
+        max("n").as("n_lines"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("delay"))).as("p50_days"),
+        max(when(col("rn") === expr("((n * 9) + 9) div 10"), col("delay"))).as("p90_days"),
+        sum((col("delay") > 60).cast("long")).as("n_late"))
+      .withColumn(
+        "late_share_e6",
+        expr("CAST(n_late * 1000000 div n_lines AS BIGINT)"))
+  }
+
   /** #253 Markov stationary distribution: the long-run occupancy of
     * #174's event-type transition matrix — "where does the user
     * process asymptotically spend its time", the one-vector summary

@@ -1923,4 +1923,53 @@ class AnalyticsExtSpec extends SparkSpec {
     // shrinking the table can only worsen (or tie) the collision rate
     assert(got(256L)._4 >= got(1024L)._4 && got(1024L)._4 >= got(4096L)._4)
   }
+
+  test("catalog breadth: per-month scala replay; cumulative closes to the full catalog") {
+    val got = AnalyticsExt.catalogBreadth(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val mp = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey AS l_orderkey", "o_orderdate"),
+        "l_orderkey")
+      .selectExpr(
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = mp.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1).min }
+    val months = mp.map(_._1).distinct.sorted
+    var cum = 0L
+    months.foreach { m =>
+      val active = mp.count(_._1 == m).toLong
+      val nw = first.count(_._2 == m).toLong
+      cum += nw
+      assert(got(m) == ((active, nw, cum)), s"month $m")
+    }
+    assert(cum == first.size.toLong, "cumulative closes to the distinct catalog")
+    assert(got.size == months.length)
+  }
+
+  test("ship delay: rank-percentile replay per priority; p50 <= p90; share exact") {
+    val got = AnalyticsExt.shipDelay(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val d = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .selectExpr("o_orderkey AS l_orderkey", "o_orderdate", "o_orderpriority"),
+        "l_orderkey")
+      .selectExpr("o_orderpriority AS p", "l_orderkey", "CAST(l_linenumber AS BIGINT) AS ln",
+        "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS delay")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    d.groupBy(_._1).foreach { case (p, xs) =>
+      val s = xs.sortBy(x => (x._4, x._2, x._3)).map(_._4)
+      val n = s.length.toLong
+      val p50 = s((((n + 1) / 2) - 1).toInt)
+      val p90 = s(((((n * 9) + 9) / 10) - 1).toInt)
+      val late = s.count(_ > 60).toLong
+      assert(got(p) == ((n, p50, p90, late, late * 1000000L / n)), s"priority $p")
+      assert(p50 <= p90)
+    }
+  }
 }
