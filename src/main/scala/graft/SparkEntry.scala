@@ -444,7 +444,17 @@ object SparkEntry {
     // Catalog breadth / assortment growth (§2 #281)
     "q_catalog_breadth" -> (AnalyticsExt.catalogBreadth _),
     // Ship-delay SLA percentiles per priority (§2 #282)
-    "q_ship_delay" -> (AnalyticsExt.shipDelay _)
+    "q_ship_delay" -> (AnalyticsExt.shipDelay _),
+    // Common-neighbor link prediction on the co-purchase graph (§2 #283)
+    "q_link_prediction" -> ((s: SparkSession, d: String) => AnalyticsExt.linkPrediction(s, d)),
+    // CUSUM drift chart on daily revenue (§2 #284)
+    "q_cusum" -> (AnalyticsExt.cusumChart _),
+    // Lorenz curve by customer decile (§2 #285)
+    "q_lorenz" -> ((s: SparkSession, d: String) => AnalyticsExt.lorenzCurve(s, d)),
+    // Promo diff-in-differences (§2 #286)
+    "q_did" -> (AnalyticsExt.diffInDiff _),
+    // Inclusion-dependency discovery (§2 #287)
+    "q_ind_discovery" -> (Profile.indCheck _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -590,6 +600,27 @@ object SparkEntry {
     s"""WITH $ctes,
          ${pqSearchBody("")}
          SELECT query_id, vec_id, dist_e8, rank FROM res"""
+
+  /** q_ind_discovery oracle — GENERATED from Profile.indCandidates so
+    * the oracle's candidate list can never drift from the operator's
+    * (the kcoreOracle shared-constant precedent).
+    */
+  private def indDiscoveryOracle: String =
+    Profile.indCandidates
+      .map { case (lt, lc, rt, rc) =>
+        s"""SELECT '$lt.$lc' AS lhs, '$rt.$rc' AS rhs, n_lhs_values, n_missing,
+              CAST((n_lhs_values - n_missing) * 1000000 // n_lhs_values AS BIGINT)
+                AS coverage_e6,
+              CAST(n_missing = 0 AS BIGINT) AS holds
+            FROM (
+              SELECT
+                (SELECT CAST(count(DISTINCT $lc) AS BIGINT) FROM $lt
+                 WHERE $lc IS NOT NULL) AS n_lhs_values,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM (SELECT DISTINCT $lc AS v FROM $lt WHERE $lc IS NOT NULL) t
+                 WHERE NOT EXISTS (SELECT 1 FROM $rt WHERE $rc = t.v)) AS n_missing)"""
+      }
+      .mkString("\n UNION ALL \n")
 
   private def plainEqList: String =
     """[CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
@@ -3213,6 +3244,127 @@ object SparkEntry {
            CAST(sum(CASE WHEN delay > 60 THEN 1 ELSE 0 END) * 1000000
              // max(n) AS BIGINT) AS late_share_e6
          FROM r GROUP BY 1""",
+    "q_link_prediction" ->
+      // hub-excluded common-neighbor wedges, Jaccard e6 on uncapped
+      // endpoint degrees, anti-join existing edges, total-order top-k
+      s"""WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e AS (SELECT pa, pb FROM pr WHERE n >= ${AnalyticsExt.LinkPredMinOrders}),
+         d AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+         adjc AS (
+           SELECT adj.u, adj.v FROM adj
+           JOIN d ON d.node = adj.u AND d.deg <= ${AnalyticsExt.LinkPredMaxCenterDeg}),
+         cn AS (
+           SELECT a.v AS pa, b.v AS pb, CAST(count(*) AS BIGINT) AS cn
+           FROM adjc a JOIN adjc b ON a.u = b.u AND a.v < b.v
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT cn.pa, cn.pb, cn.cn FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cn.pa AND e.pb = cn.pb))
+         SELECT cand.pa, cand.pb, cand.cn, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(cand.cn * 1000000 // (da.deg + db.deg - cand.cn) AS BIGINT) AS jaccard_e6
+         FROM cand JOIN d da ON da.node = cand.pa JOIN d db ON db.node = cand.pb
+         ORDER BY jaccard_e6 DESC, cand.cn DESC, cand.pa, cand.pb
+         LIMIT ${AnalyticsExt.LinkPredTopK}""",
+    "q_cusum" ->
+      // closed-form one-sided CUSUM: C+ = S - running min(S, 0),
+      // C- = running max(S, 0) - S; sigma via one-ulp-clamp isqrt
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx FROM byday),
+         mu AS (SELECT sx // n AS mu,
+                  (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                    // (CAST(n AS HUGEINT) * n) AS var_c
+                FROM tot),
+         sg AS (SELECT mu, CAST(floor(sqrt(CAST(var_c AS DOUBLE))) AS HUGEINT) AS s0, var_c
+                FROM mu),
+         sig AS (SELECT mu,
+                   CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_c THEN 1 ELSE 0 END)
+                           - (CASE WHEN s0 * s0 > var_c THEN 1 ELSE 0 END) AS BIGINT) AS sigma
+                 FROM sg),
+         s AS (SELECT d, x, sigma,
+                 CAST(sum(x - mu) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+               FROM byday, sig),
+         m AS (SELECT d, x, s, sigma,
+                 least(CAST(min(s) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS min_s,
+                 greatest(CAST(max(s) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS max_s
+               FROM s)
+         SELECT d AS day, x AS rev_cents, s - min_s AS c_plus, max_s - s AS c_minus,
+           CAST(4 * sigma AS BIGINT) AS h_cents,
+           CAST(CASE WHEN s - min_s > 4 * sigma THEN 1 ELSE 0 END AS BIGINT) AS alarm_high,
+           CAST(CASE WHEN max_s - s > 4 * sigma THEN 1 ELSE 0 END AS BIGINT) AS alarm_low
+         FROM m""",
+    "q_lorenz" ->
+      // rank-defined deciles ((i-1)*10) div n, cumulative share in
+      // HUGEINT (cum_cents * 1e6 exceeds 2^63 at corpus scale)
+      """WITH per AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS total_cents FROM per),
+         r AS (SELECT x,
+                 CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+               FROM per),
+         dec AS (SELECT ((i - 1) * 10) // n AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(x) AS BIGINT) AS decile_cents
+                 FROM r, tot GROUP BY 1)
+         SELECT decile, n_customers, decile_cents,
+           CAST(sum(decile_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+           CAST(CAST(sum(decile_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * 1000000
+             // CAST(total_cents AS HUGEINT) AS BIGINT) AS cum_share_e6
+         FROM dec, tot""",
+    "q_did" ->
+      // 2x2 diff-in-differences on the cents grid, data-derived
+      // midpoint split, floor-division means
+      """WITH dd AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           FROM orders),
+         split AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM dd),
+         lines AS (
+           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS treated,
+             CAST(CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o.o_orderdate AS DATE)) AS BIGINT) >= split.mid AS BIGINT) AS period,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN part p ON p.p_partkey = l.l_partkey, split),
+         agg AS (
+           SELECT
+             CAST(count(CASE WHEN treated = 1 AND period = 0 THEN 1 END) AS BIGINT) AS n_t0,
+             CAST(count(CASE WHEN treated = 1 AND period = 1 THEN 1 END) AS BIGINT) AS n_t1,
+             CAST(count(CASE WHEN treated = 0 AND period = 0 THEN 1 END) AS BIGINT) AS n_c0,
+             CAST(count(CASE WHEN treated = 0 AND period = 1 THEN 1 END) AS BIGINT) AS n_c1,
+             CAST(sum(CASE WHEN treated = 1 AND period = 0 THEN c END) AS BIGINT) AS s_t0,
+             CAST(sum(CASE WHEN treated = 1 AND period = 1 THEN c END) AS BIGINT) AS s_t1,
+             CAST(sum(CASE WHEN treated = 0 AND period = 0 THEN c END) AS BIGINT) AS s_c0,
+             CAST(sum(CASE WHEN treated = 0 AND period = 1 THEN c END) AS BIGINT) AS s_c1
+           FROM lines)
+         SELECT n_t0, n_t1, n_c0, n_c1,
+           s_t0 // n_t0 AS mean_t0_cents, s_t1 // n_t1 AS mean_t1_cents,
+           s_c0 // n_c0 AS mean_c0_cents, s_c1 // n_c1 AS mean_c1_cents,
+           (s_t1 // n_t1 - s_t0 // n_t0) - (s_c1 // n_c1 - s_c0 // n_c0) AS did_cents
+         FROM agg""",
+    "q_ind_discovery" -> indDiscoveryOracle,
     "ann_pq_search" -> pqSearchOracle(pqCtes),
     "ann_opq_search" -> opqSearchOracle,
     "q_locf_fill" ->

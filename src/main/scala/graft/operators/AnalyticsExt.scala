@@ -3854,4 +3854,271 @@ object AnalyticsExt {
         // e6 ratio of squared deviation to squared limit: >1e6 = violation
         expr("CAST(dev_sq * 1000000 div limit_sq AS BIGINT)").as("dev_ratio_e6"))
   }
+
+  /** #283 Link prediction by common neighbors: the non-adjacent
+    * co-purchase pairs most likely to become edges — "parts never yet
+    * bought together whose neighborhoods already overlap", the
+    * assortment-recommendation read beside #179's realized-pair lift
+    * (#179 ranks edges that EXIST; this ranks the holes). Score =
+    * overlap Jaccard on the e6 grid: cn·10⁶ div (dx + dy − cn).
+    *
+    * Candidate generation enumerates wedges by CENTER, and caps the
+    * center degree (≤ maxCenterDeg): a hub center contributes deg²
+    * wedge fan-out but vanishing per-pair evidence (every pair shares
+    * the bestseller), so the cap is both the scale bound — wedge
+    * volume ≤ |E|·D instead of Σdeg² — and the standard
+    * signal-quality move; the cap is part of the operator contract
+    * and the oracle replays it. Endpoint degrees stay UNCAPPED. Edges
+    * come from the #89 basket² explode; existing edges leave via one
+    * LeftAnti; top-k is a TakeOrdered on the (score, cn, pair) total
+    * order — map-side bounded, no global window.
+    */
+  /** Link-prediction contract constants — shared with the
+    * q_link_prediction oracle builder so the replay can't drift.
+    */
+  val LinkPredMinOrders = 2
+  val LinkPredMaxCenterDeg = 64
+  val LinkPredTopK = 100
+
+  def linkPrediction(
+      spark: SparkSession,
+      dir: String,
+      minOrders: Int = LinkPredMinOrders,
+      maxCenterDeg: Int = LinkPredMaxCenterDeg,
+      topK: Int = LinkPredTopK): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    val e = baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('pa', x, 'pb', y))))"""))
+          .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select("pa", "pb")
+      .localCheckpoint(eager = false)
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val adj = e
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .join(
+        deg.filter(col("deg") <= maxCenterDeg).select(col("node").as("u")),
+        Seq("u"),
+        "left_semi")
+    val cn = adj
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("pa"), col("w").as("pb"))
+      .agg(count(lit(1)).as("cn"))
+      .join(e, Seq("pa", "pb"), "left_anti")
+    cn.join(deg.select(col("node").as("pa"), col("deg").as("deg_a")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("deg_b")), "pb")
+      .select(
+        col("pa"),
+        col("pb"),
+        col("cn"),
+        col("deg_a"),
+        col("deg_b"),
+        expr("CAST(cn * 1000000 div (deg_a + deg_b - cn) AS BIGINT)").as("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("cn").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
+  /** #284 CUSUM drift chart: per day, the one-sided cumulative-sum
+    * statistics C⁺/C⁻ of daily order revenue against the corpus mean
+    * — the SPC chart that catches SUSTAINED small shifts the #254
+    * p-chart's per-point 3σ test is blind to (ten days each 1σ high
+    * never trip Shewhart; their accumulated sum trips CUSUM). Exact
+    * without any recursion: C⁺_i = S_i − min_{j≤i} S_j and C⁻_i =
+    * max_{j≤i} S_j − S_i where S is the prefix sum of (x_i − μ) with
+    * S₀ = 0 — the recursive max(0, ·) fold has this closed form, so
+    * two calendar-frame windows (cumsum + running extrema) over the
+    * day-keyed aggregate replace any sequential pass. Threshold h =
+    * 4σ of the daily series (the common CUSUM h ≈ 4–5σ), with σ via
+    * the #226 one-ulp-clamp exact integer sqrt of the population
+    * variance, moments in DECIMAL(38,0). Day grain is the bounded
+    * shard; all arithmetic whole cents.
+    */
+  def cusumChart(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("shard"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("shard")
+      .agg(sum("c").as("x"))
+    val tot = byDay.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    val mu = tot
+      .select(
+        col("n"),
+        expr("sx div n").as("mu"),
+        // population variance on the cents grid, DECIMAL cross products
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                 div (CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))""").as("var_c"))
+      .select(
+        col("mu"),
+        expr("CAST(floor(sqrt(CAST(var_c AS DOUBLE))) AS BIGINT)").as("s0"),
+        col("var_c"))
+      .select(
+        col("mu"),
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= var_c THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > var_c THEN 1 ELSE 0 END)""")
+          .as("sigma"))
+    val wCum = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    byDay
+      .crossJoin(broadcast(mu))
+      .withColumn("s", sum(col("x") - col("mu")).over(wCum))
+      .withColumn("min_s", least(min("s").over(wCum), lit(0L)))
+      .withColumn("max_s", greatest(max("s").over(wCum), lit(0L)))
+      .select(
+        col("shard").as("day"),
+        col("x").as("rev_cents"),
+        (col("s") - col("min_s")).as("c_plus"),
+        (col("max_s") - col("s")).as("c_minus"),
+        (lit(4L) * col("sigma")).as("h_cents"),
+        ((col("s") - col("min_s")) > lit(4L) * col("sigma")).cast("long").as("alarm_high"),
+        ((col("max_s") - col("s")) > lit(4L) * col("sigma")).cast("long").as("alarm_low"))
+  }
+
+  /** #285 Lorenz curve by customer decile: the 10-point cumulative
+    * revenue-share curve under #180's Gini — the deck-ready "bottom
+    * 50% of customers contribute x%" table (Gini integrates this
+    * curve to one number; auditors want the points). Deciles are
+    * rank-defined, ((i−1)·10) div n under the (spend, custkey) total
+    * order, with the global rank built hierarchically (#180's
+    * monotone value-range shard + offsets — no single-partition data
+    * window); the only unpartitioned windows ride the 8-row shard
+    * offsets and the 10-row decile frame. Cumulative share runs
+    * through DECIMAL(38,0) (cum_cents·10⁶ exceeds 2⁶³ at corpus
+    * scale), exact in both engines.
+    */
+  def lorenzCurve(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val per = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x"))
+    val bounds = per.agg(min("x").as("lo"), max("x").as("hi"))
+    val sharded = per
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((x - lo) * $nShards) div (hi - lo + 1)"))
+    val local = sharded.withColumn(
+      "rn",
+      row_number()
+        .over(Window.partitionBy("shard").orderBy(col("x"), col("o_custkey")))
+        .cast("long"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val tot = per.agg(count(lit(1)).as("n"), sum("x").as("total_cents"))
+    val deciles = local
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(tot))
+      .select(expr("((off + rn - 1) * 10) div n").as("shard"), col("x"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_customers"), sum("x").as("decile_cents"))
+    deciles
+      .withColumn(
+        "cum_cents",
+        sum("decile_cents").over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot.select(col("total_cents"))))
+      .select(
+        col("shard").as("decile"),
+        col("n_customers"),
+        col("decile_cents"),
+        col("cum_cents"),
+        expr("""CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000
+                 div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)""").as("cum_share_e6"))
+  }
+
+  /** #286 Promo diff-in-differences: the two-period × two-group
+    * causal read-out — did PROMO parts' mean line revenue move
+    * differently across the corpus midpoint than non-promo parts'?
+    * The #233/#245 evaluation discipline applied to an intervention:
+    * the control group's drift is the counterfactual, so
+    * did = (T̄₂−T̄₁) − (C̄₂−C̄₁) isolates the treatment delta from
+    * the common trend a naive before/after comparison absorbs. The
+    * period split is data-derived (midpoint of the order-date span,
+    * integer div — deterministic, no config date); means are floor
+    * divisions on the cents grid; one broadcast bounds row + one
+    * 4-cell aggregate folded to a single row, linear, no windows.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables
+          .orders(spark, dir)
+          .select(
+            col("o_orderkey").as("l_orderkey"),
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+              .as("day")),
+        "l_orderkey")
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .select(
+              col("p_partkey").as("l_partkey"),
+              col("p_type").startsWith("PROMO").cast("long").as("treated"))),
+        "l_partkey")
+      .select(
+        col("treated"),
+        col("day"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("c"))
+    val split = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+      .agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    lines
+      .crossJoin(broadcast(split))
+      .select(col("treated"), (col("day") >= col("mid")).cast("long").as("period"), col("c"))
+      .agg(
+        sum(when(col("treated") === 1 && col("period") === 0, col("c"))).as("s_t0"),
+        count(when(col("treated") === 1 && col("period") === 0, 1)).as("n_t0"),
+        sum(when(col("treated") === 1 && col("period") === 1, col("c"))).as("s_t1"),
+        count(when(col("treated") === 1 && col("period") === 1, 1)).as("n_t1"),
+        sum(when(col("treated") === 0 && col("period") === 0, col("c"))).as("s_c0"),
+        count(when(col("treated") === 0 && col("period") === 0, 1)).as("n_c0"),
+        sum(when(col("treated") === 0 && col("period") === 1, col("c"))).as("s_c1"),
+        count(when(col("treated") === 0 && col("period") === 1, 1)).as("n_c1"))
+      .select(
+        col("n_t0"),
+        col("n_t1"),
+        col("n_c0"),
+        col("n_c1"),
+        expr("s_t0 div n_t0").as("mean_t0_cents"),
+        expr("s_t1 div n_t1").as("mean_t1_cents"),
+        expr("s_c0 div n_c0").as("mean_c0_cents"),
+        expr("s_c1 div n_c1").as("mean_c1_cents"))
+      .withColumn(
+        "did_cents",
+        (col("mean_t1_cents") - col("mean_t0_cents"))
+          - (col("mean_c1_cents") - col("mean_c0_cents")))
+  }
 }

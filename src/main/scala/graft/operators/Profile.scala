@@ -285,6 +285,69 @@ object Profile {
       .unionAll(fd(Tables.lineitem(spark, dir), "lineitem", "l_partkey", "l_suppkey"))
   }
 
+  /** #287 Inclusion-dependency discovery: for each candidate
+    * lhs_col ⊆ rhs_col pair, how many DISTINCT lhs values are absent
+    * from the rhs — the foreign-key–discovery complement to #261's
+    * functional dependencies (FDs find keys WITHIN a table; INDs find
+    * the join edges BETWEEN tables, the schema-graph profiling step
+    * run before anyone writes a join). A holding IND is a candidate
+    * FK; a 99%-coverage IND is a referential-integrity bug, which is
+    * why the missing-value COUNT and e6 coverage ship, not just the
+    * flag. Candidates span the star schema's true FKs, both reverse
+    * directions (does every part appear in lineitem?), and
+    * known-false pairs, so both outcomes are exercised.
+    *
+    * Per candidate: distinct-project both sides, one LeftAnti at
+    * distinct-value cardinality (never row grain), two 1-row counts —
+    * the value sets are the scan reduction, so at 100 TB each
+    * candidate moves only its key domain. Exact counts: holds = 0
+    * missing is a contract, not an estimate.
+    */
+  /** The IND candidate set, (lhsTable, lhsCol, rhsTable, rhsCol) —
+    * shared with the q_ind_discovery oracle builder so the two sides
+    * can never drift (the kcoreOracle precedent).
+    */
+  val indCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"))
+
+  def indCheck(spark: SparkSession, dir: String): DataFrame = {
+    val tables: Map[String, DataFrame] = Map(
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "orders" -> Tables.orders(spark, dir),
+      "customer" -> Tables.customer(spark, dir),
+      "part" -> Tables.part(spark, dir),
+      "supplier" -> Tables.supplier(spark, dir),
+      "nation" -> Tables.nation(spark, dir),
+      "region" -> Tables.region(spark, dir),
+      "events" -> graft.Tables.events(spark, dir))
+    def ind(lt: String, lc: String, rt: String, rc: String): DataFrame = {
+      val l = tables(lt).select(col(lc).cast("long").as("v")).filter(col("v").isNotNull).distinct()
+      val r = tables(rt).select(col(rc).cast("long").as("v")).filter(col("v").isNotNull).distinct()
+      l.agg(count(lit(1)).as("n_lhs_values"))
+        .crossJoin(l.join(r, Seq("v"), "left_anti").agg(count(lit(1)).as("n_missing")))
+        .select(
+          lit(s"$lt.$lc").as("lhs"),
+          lit(s"$rt.$rc").as("rhs"),
+          col("n_lhs_values"),
+          col("n_missing"),
+          expr("CAST((n_lhs_values - n_missing) * 1000000 div n_lhs_values AS BIGINT)")
+            .as("coverage_e6"),
+          (col("n_missing") === 0L).cast("long").as("holds"))
+    }
+    indCandidates
+      .map { case (lt, lc, rt, rc) => ind(lt, lc, rt, rc) }
+      .reduce(_ unionAll _)
+  }
+
   /** #262 2-D density heatmap: the (order value × line count) joint
     * distribution on an 8×8 equi-width integer grid — the
     * scatter-density primitive dashboards draw before any model is

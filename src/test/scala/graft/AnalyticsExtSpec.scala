@@ -1972,4 +1972,149 @@ class AnalyticsExtSpec extends SparkSpec {
       assert(p50 <= p90)
     }
   }
+
+  test("link prediction: scala wedge replay; results never adjacent; top-k total order") {
+    val got = AnalyticsExt.linkPrediction(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val baskets = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted).toSeq
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val p = (ps(i), ps(j))
+        pairCount(p) = pairCount.getOrElse(p, 0) + 1
+      }
+    }
+    // NB: .collect on a Map yielding tuples would rebuild a Map keyed
+    // by the first element — filter/keys keeps every pair
+    val edges = pairCount.filter(_._2 >= 2).keys.toSet
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1
+      deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      if (deg(a) <= 64) nbrs(a) = b :: nbrs.getOrElse(a, Nil)
+      if (deg(b) <= 64) nbrs(b) = a :: nbrs.getOrElse(b, Nil)
+    }
+    val cnCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    nbrs.values.foreach { vsRaw =>
+      val vs = vsRaw.sorted
+      for (i <- vs.indices; j <- i + 1 until vs.length) {
+        val p = (vs(i), vs(j))
+        cnCount(p) = cnCount.getOrElse(p, 0L) + 1
+      }
+    }
+    val cn = cnCount.filter { case (p, _) => !edges.contains(p) }
+    val scored = cn.toSeq.map { case ((a, b), c) =>
+      (a, b, c, deg(a), deg(b), c * 1000000L / (deg(a) + deg(b) - c))
+    }
+    val want = scored.sortBy(t => (-t._6, -t._3, t._1, t._2)).take(100)
+    assert(got.toSeq.sortBy(t => (-t._6, -t._3, t._1, t._2)) == want)
+    got.foreach { case (a, b, c, da, db, _) =>
+      assert(!edges.contains((a, b)), s"($a,$b) already adjacent")
+      assert(c <= math.min(da, db), "common neighbors bounded by min degree")
+    }
+  }
+
+  test("cusum: closed form equals the recursive max(0, .) fold; alarms match threshold") {
+    val got = AnalyticsExt.cusumChart(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    val byDay = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("d").agg(sum("c").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = byDay.length.toLong
+    val sx = byDay.map(_._2).sum
+    val mu = sx / n
+    val sxx = byDay.map(x => BigInt(x._2) * x._2).sum
+    val varC = (BigInt(n) * sxx - BigInt(sx) * sx) / (BigInt(n) * n)
+    // exact integer sqrt: search around the double seed
+    var s0 = BigInt(math.sqrt(varC.toDouble).toLong)
+    while (s0 * s0 > varC) s0 -= 1
+    while ((s0 + 1) * (s0 + 1) <= varC) s0 += 1
+    val h = 4L * s0.toLong
+    // the recursive definition the closed form must reproduce
+    var cp = 0L
+    var cm = 0L
+    byDay.zip(got).foreach { case ((d, x), g) =>
+      cp = math.max(0L, cp + (x - mu))
+      cm = math.max(0L, cm - (x - mu))
+      assert(g._1 == d && g._2 == x)
+      assert(g._3 == cp, s"day $d c_plus")
+      assert(g._4 == cm, s"day $d c_minus")
+      assert(g._5 == h)
+      assert(g._6 == (if (cp > h) 1L else 0L))
+      assert(g._7 == (if (cm > h) 1L else 0L))
+    }
+  }
+
+  test("lorenz: decile replay; curve convex, shares close to exactly one million") {
+    val got = AnalyticsExt.lorenzCurve(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val per = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("o_custkey").agg(sum("c").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = per.sortBy(t => (t._2, t._1))
+    val nTot = sorted.length.toLong
+    val total = sorted.map(_._2).sum
+    val byDecile = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / nTot }
+    var cum = 0L
+    got.foreach { case (d, nc, dc, cumc, share) =>
+      val want = byDecile(d)
+      assert(nc == want.length.toLong, s"decile $d count")
+      assert(dc == want.map(_._1._2).sum, s"decile $d cents")
+      cum += dc
+      assert(cumc == cum)
+      assert(share == (BigInt(cum) * 1000000 / total).toLong)
+    }
+    assert(got.last._5 == 1000000L)
+    // convexity: per-customer decile means never decrease (decile
+    // SUMS can dip when a later decile holds one fewer customer)
+    got.sliding(2).foreach { w =>
+      assert(BigInt(w(0)._3) * w(1)._2 <= BigInt(w(1)._3) * w(0)._2)
+    }
+  }
+
+  test("did: 2x2 cell replay; did equals the double difference of floor means") {
+    val r = AnalyticsExt.diffInDiff(spark, sf).collect().head
+    val lines = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .selectExpr("o_orderkey AS l_orderkey",
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day"),
+        "l_orderkey")
+      .join(Tables.part(spark, sf)
+        .selectExpr("p_partkey AS l_partkey",
+          "CAST(p_type LIKE 'PROMO%' AS BIGINT) AS treated"),
+        "l_partkey")
+      .selectExpr("treated", "day",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val days = Tables.orders(spark, sf)
+      .selectExpr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day")
+      .collect().map(_.getLong(0))
+    val mid = (days.min + days.max + 1) / 2
+    def cell(t: Long, p: Long): (Long, Long) = {
+      val xs = lines.filter(x => x._1 == t && (if (x._2 >= mid) 1L else 0L) == p).map(_._3)
+      (xs.length.toLong, xs.sum / xs.length)
+    }
+    val (nt0, mt0) = cell(1, 0); val (nt1, mt1) = cell(1, 1)
+    val (nc0, mc0) = cell(0, 0); val (nc1, mc1) = cell(0, 1)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((nt0, nt1, nc0, nc1)))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) == ((mt0, mt1, mc0, mc1)))
+    assert(r.getLong(8) == (mt1 - mt0) - (mc1 - mc0))
+  }
 }

@@ -104,4 +104,41 @@ class DqSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0)
     assert(cells.map(_._4).sum == totCents)
   }
+
+  test("ind discovery: scala set-containment replay; star FKs hold, coverage bounded") {
+    val got = Profile.indCheck(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size == Profile.indCandidates.size)
+    // scala replay for two candidates: a true star FK and the reverse
+    def vals(t: String, c: String): Set[Long] = {
+      val df = t match {
+        case "lineitem" => Tables.lineitem(spark, sf)
+        case "orders" => Tables.orders(spark, sf)
+        case "customer" => Tables.customer(spark, sf)
+        case _ => fail(s"unexpected table $t")
+      }
+      df.selectExpr(s"CAST($c AS BIGINT) AS v").na.drop().distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    for ((lt, lc, rt, rc) <- Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"))) {
+      val l = vals(lt, lc)
+      val r = vals(rt, rc)
+      val missing = (l -- r).size.toLong
+      val (nl, nm, cov, holds) = got((s"$lt.$lc", s"$rt.$rc"))
+      assert(nl == l.size.toLong && nm == missing, s"$lt.$lc subset of $rt.$rc")
+      assert(cov == (nl - nm) * 1000000L / nl)
+      assert(holds == (if (missing == 0L) 1L else 0L))
+    }
+    // the orders->customer FK genuinely holds; contract sanity on all rows
+    assert(got(("orders.o_custkey", "customer.c_custkey"))._4 == 1L)
+    got.values.foreach { case (nl, nm, cov, holds) =>
+      assert(nm >= 0 && nm <= nl && cov >= 0 && cov <= 1000000L)
+      assert(holds == (if (nm == 0L) 1L else 0L))
+    }
+  }
 }
