@@ -454,7 +454,15 @@ object SparkEntry {
     // Promo diff-in-differences (§2 #286)
     "q_did" -> (AnalyticsExt.diffInDiff _),
     // Inclusion-dependency discovery (§2 #287)
-    "q_ind_discovery" -> (Profile.indCheck _)
+    "q_ind_discovery" -> (Profile.indCheck _),
+    // Mann–Whitney U rank-sum test, promo vs non-promo (§2 #288)
+    "q_mann_whitney" -> ((s: SparkSession, d: String) => AnalyticsExt.mannWhitney(s, d)),
+    // Wald–Wolfowitz runs test on daily revenue (§2 #289)
+    "q_runs_test" -> (AnalyticsExt.runsTest _),
+    // Day-of-week seasonality profile (§2 #290)
+    "q_dow_seasonality" -> (AnalyticsExt.dowSeasonality _),
+    // Flesch readability components (§2 #291)
+    "text_readability" -> (TextOps.readability _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3365,6 +3373,107 @@ object SparkEntry {
            (s_t1 // n_t1 - s_t0 // n_t0) - (s_c1 // n_c1 - s_c0 // n_c0) AS did_cents
          FROM agg""",
     "q_ind_discovery" -> indDiscoveryOracle,
+    "q_mann_whitney" ->
+      // doubled-midrank grid (2*midrank = 2*cum_below + t + 1), tie-
+      // corrected variance in HUGEINT, one-ulp-clamp isqrt, sign
+      // extracted before the div
+      """WITH lines AS (
+           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS t,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         bv AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(t) AS BIGINT) AS cnt1
+                FROM lines GROUP BY 1),
+         cu AS (SELECT c, cnt, cnt1,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM bv),
+         agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(cnt1) AS BIGINT) AS n1,
+                   CAST(sum(cnt1 * (2 * cum + cnt + 1)) AS BIGINT) AS r1_2x,
+                   sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
+                 FROM cu),
+         st AS (SELECT n1, n - n1 AS n2, n, r1_2x - n1 * (n1 + 1) AS u1_2x, tie_t FROM agg),
+         vv AS (SELECT *, (CAST(n1 AS HUGEINT) * (n - n1)
+                   * (CAST(n + 1 AS HUGEINT) * n * (n - 1) - tie_t))
+                   // (12 * CAST(n AS HUGEINT) * (n - 1)) AS var_u
+                FROM st),
+         sg AS (SELECT *, CAST(floor(sqrt(CAST(var_u AS DOUBLE))) AS HUGEINT) AS s0 FROM vv),
+         si AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_u THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > var_u THEN 1 ELSE 0 END) AS sigma
+                FROM sg)
+         SELECT n1, n2, u1_2x,
+           CAST(CAST(u1_2x AS HUGEINT) * 1000000
+             // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS cl_e6,
+           CAST((CASE WHEN u1_2x >= n1 * n2 THEN 1 ELSE -1 END)
+             * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
+                // (2 * sigma)) AS BIGINT) AS z_e6
+         FROM si""",
+    "q_runs_test" ->
+      // rank-defined lower median, equal days dropped, R = sign
+      // changes + 1 via lag; z = N div isqrt(A div B) (the n^2 in
+      // Var's denominator cancels into N)
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS nn
+               FROM byday),
+         med AS (SELECT max(CASE WHEN rn = (nn + 1) // 2 THEN x END) AS med FROM r),
+         s AS (SELECT d, CAST(x > med AS BIGINT) AS s FROM byday, med WHERE x <> med),
+         ch AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                    OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
+                FROM s),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1,
+                   CAST(sum(chg) AS BIGINT) AS runs FROM ch),
+         q AS (SELECT *, 2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n) // (n - 1) AS qv
+               FROM agg),
+         sg AS (SELECT *, CAST(floor(sqrt(CAST(qv AS DOUBLE))) AS BIGINT) AS s0 FROM q),
+         si AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= qv THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > qv THEN 1 ELSE 0 END) AS sigma
+                FROM sg)
+         SELECT n AS n_days_used, n1 AS n_above, n - n1 AS n_below,
+           (SELECT med FROM med) AS median_cents, runs,
+           CAST(1000000 + 2 * n1 * (n - n1) * 1000000 // n AS BIGINT) AS mu_e6,
+           CAST((CASE WHEN runs * n - n - 2 * n1 * (n - n1) >= 0 THEN 1 ELSE -1 END)
+             * (abs(runs * n - n - 2 * n1 * (n - n1)) * 1000000 // sigma) AS BIGINT) AS z_e6
+         FROM si""",
+    "q_dow_seasonality" ->
+      // weekday from epoch-day arithmetic ((d+3) % 7, 0 = Monday) —
+      // no engine dayofweek() convention involved
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         bd AS (SELECT (d + 3) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(x) AS BIGINT) AS dow_cents
+                FROM daily GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS td,
+                   CAST(sum(dow_cents) AS BIGINT) AS tc FROM bd)
+         SELECT dow, n_days, dow_cents, dow_cents // n_days AS mean_cents,
+           CAST(CAST(dow_cents // n_days AS HUGEINT) * 1000000
+             // (tc // td) AS BIGINT) AS index_e6
+         FROM bd, tot""",
+    "text_readability" ->
+      // #30's whitespace-token convention + the #79 regexp_count <->
+      // len(regexp_extract_all) parity; e3 Flesch grid
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT)
+               AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           n_words * 1000 // n_sentences AS wps_e3,
+           n_syllables * 1000 // greatest(n_words, 1) AS spw_e3,
+           206835 - 1015 * n_words // n_sentences
+             - 84600 * n_syllables // greatest(n_words, 1) AS flesch_e3
+         FROM base""",
     "ann_pq_search" -> pqSearchOracle(pqCtes),
     "ann_opq_search" -> opqSearchOracle,
     "q_locf_fill" ->

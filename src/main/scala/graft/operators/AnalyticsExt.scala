@@ -4121,4 +4121,198 @@ object AnalyticsExt {
         (col("mean_t1_cents") - col("mean_t0_cents"))
           - (col("mean_c1_cents") - col("mean_c0_cents")))
   }
+
+  /** #288 Mann–Whitney U rank-sum test: do PROMO parts' line revenues
+    * come from a different distribution than non-promo — the
+    * NONPARAMETRIC companion to #286's difference of means (DiD moves
+    * with outliers; rank-sum only with order). Everything integer:
+    * midranks with ties live on the DOUBLED grid (2·midrank =
+    * 2·cum_below + t + 1 — always a whole number), so U₁ ships as
+    * u1_2x; effect size is the common-language CL = U₁/(n₁n₂) on e6
+    * (P(random treated > random control)); z uses the tie-corrected
+    * variance Var = n₁n₂((n+1)n(n−1) − Σ(t³−t)) / (12n(n−1)) with
+    * cross products in DECIMAL(38,0) and σ via the #226 one-ulp-clamp
+    * isqrt (divide A by B FIRST — the quotient ~n₁n₂(n+1)/12 keeps
+    * √ inside the double-exactness domain through ~1000× this
+    * corpus); z's sign is extracted before the div so truncation
+    * semantics can't differ across engines. The global value rank is
+    * the #180 hierarchical build (monotone value-range shard +
+    * offsets) over the per-VALUE aggregate — ties collapse before any
+    * window, so the windows ride |distinct values|, not rows.
+    */
+  def mannWhitney(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val lines = Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .select(
+              col("p_partkey").as("l_partkey"),
+              col("p_type").startsWith("PROMO").cast("long").as("t"))),
+        "l_partkey")
+      .select(
+        col("t"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("c"))
+    val byVal = lines.groupBy("c").agg(count(lit(1)).as("cnt"), sum("t").as("cnt1"))
+    val bounds = byVal.agg(min("c").as("lo"), max("c").as("hi"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((c - lo) * $nShards) div (hi - lo + 1)"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("cnt").as("sc"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sc").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val cum = sharded
+      .withColumn(
+        "cum_local",
+        coalesce(
+          sum("cnt").over(
+            Window.partitionBy("shard").orderBy("c").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(offsets), "shard")
+      .select(col("c"), col("cnt"), col("cnt1"), (col("off") + col("cum_local")).as("cum"))
+    cum
+      .agg(
+        sum("cnt").as("n"),
+        sum("cnt1").as("n1"),
+        sum(expr("cnt1 * (2 * cum + cnt + 1)")).as("r1_2x"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie_t"))
+      .select(
+        col("n1"),
+        (col("n") - col("n1")).as("n2"),
+        col("n"),
+        (col("r1_2x") - col("n1") * (col("n1") + 1)).as("u1_2x"),
+        col("tie_t"))
+      .withColumn(
+        "cl_e6",
+        expr("""CAST(CAST(u1_2x AS DECIMAL(38,0)) * 1000000
+                 div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""))
+      .withColumn(
+        "var_u",
+        expr("""CAST(CAST(n1 AS DECIMAL(38,0)) * n2 *
+                  (CAST(n + 1 AS DECIMAL(38,0)) * n * (n - 1) - tie_t)
+                 div (12 * CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DECIMAL(38,0))"""))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(var_u AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "sigma",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= var_u THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > var_u THEN 1 ELSE 0 END)"""))
+      .select(
+        col("n1"),
+        col("n2"),
+        col("u1_2x"),
+        col("cl_e6"),
+        expr("""CAST(CASE WHEN u1_2x >= n1 * n2 THEN 1 ELSE -1 END
+                 * (abs(CAST(u1_2x AS DECIMAL(38,0)) - CAST(n1 AS DECIMAL(38,0)) * n2) * 1000000
+                    div (2 * sigma)) AS BIGINT)""").as("z_e6"))
+  }
+
+  /** #289 Wald–Wolfowitz runs test: is daily revenue's above/below-
+    * median sequence RANDOM, or does it trend/cycle — the
+    * sequential-independence screen beside #284 (CUSUM asks "did the
+    * level shift"; runs asks "is the ordering itself non-random" —
+    * too FEW runs = persistence/trend, too many = oscillation).
+    * Median is the #106 rank-defined lower median over the day frame;
+    * equal-to-median days drop (the standard convention); R counts
+    * sign changes + 1 via one lag over the day order. Exact z with no
+    * float: z = N div √(A div B) with N = R·n − n − 2n₁n₀,
+    * A = 2n₁n₀(2n₁n₀−n), B = n−1 (the n² in Var's denominator cancels
+    * into N), σ via the one-ulp-clamp isqrt, sign extracted before
+    * the div. Day grain bounds every window (≤ #days rows).
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("shard"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("shard")
+      .agg(sum("c").as("x"))
+    val withMed = byDay
+      .withColumn("rn", row_number().over(Window.orderBy(col("x"), col("shard"))).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val med = withMed
+      .agg(max(when(col("rn") === expr("(nn + 1) div 2"), col("x"))).as("med"))
+    val signs = byDay
+      .crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("shard"), (col("x") > col("med")).cast("long").as("s"))
+      .withColumn("prev", lag("s", 1).over(Window.orderBy("shard")))
+      .select(
+        col("s"),
+        when(col("prev").isNull || col("prev") =!= col("s"), 1L).otherwise(0L).as("chg"))
+    signs
+      .agg(count(lit(1)).as("n"), sum("s").as("n1"), sum("chg").as("runs"))
+      .crossJoin(broadcast(med))
+      .select(
+        col("n").as("n_days_used"),
+        col("n1").as("n_above"),
+        (col("n") - col("n1")).as("n_below"),
+        col("med").as("median_cents"),
+        col("runs"),
+        expr("CAST(1000000 + 2 * n1 * (n - n1) * 1000000 div n AS BIGINT)").as("mu_e6"))
+      .withColumn(
+        "q",
+        expr("2 * n_above * n_below * (2 * n_above * n_below - n_days_used) div (n_days_used - 1)"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(q AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "sigma",
+        expr("""s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= q THEN 1 ELSE 0 END)
+                   - (CASE WHEN s0 * s0 > q THEN 1 ELSE 0 END)"""))
+      .select(
+        col("n_days_used"),
+        col("n_above"),
+        col("n_below"),
+        col("median_cents"),
+        col("runs"),
+        col("mu_e6"),
+        expr("""CAST(CASE WHEN runs * n_days_used - n_days_used - 2 * n_above * n_below >= 0
+                    THEN 1 ELSE -1 END
+                 * (abs(runs * n_days_used - n_days_used - 2 * n_above * n_below) * 1000000
+                    div sigma) AS BIGINT)""").as("z_e6"))
+  }
+
+  /** #290 Day-of-week seasonality profile: per weekday, observed
+    * days, revenue, floor-mean daily revenue, and the seasonal index
+    * e6 vs the overall daily mean — the 7-row multiplicative profile
+    * ops dashboards key staffing and campaign timing on, and the
+    * descriptive companion to #221's seasonal decomposition (that
+    * fits a model; this is the raw profile a reviewer sanity-checks
+    * it against). Weekday from pure epoch-day arithmetic,
+    * pmod(day+3, 7) with 0 = Monday — no engine dayofweek()
+    * convention to disagree on. One day-keyed aggregate + one 7-row
+    * rollup; index through DECIMAL(38,0).
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("shard"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("shard")
+      .agg(sum("c").as("x"))
+    val byDow = daily
+      .select(expr("pmod(shard + 3, 7)").as("dow"), col("x"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("dow_cents"))
+    val tot = byDow.agg(sum("n_days").as("td"), sum("dow_cents").as("tc"))
+    byDow
+      .crossJoin(broadcast(tot))
+      .select(
+        col("dow"),
+        col("n_days"),
+        col("dow_cents"),
+        expr("dow_cents div n_days").as("mean_cents"),
+        expr("""CAST(CAST(dow_cents div n_days AS DECIMAL(38,0)) * 1000000
+                 div (tc div td) AS BIGINT)""").as("index_e6"))
+  }
 }

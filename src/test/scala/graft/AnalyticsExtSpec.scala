@@ -2117,4 +2117,98 @@ class AnalyticsExtSpec extends SparkSpec {
     assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) == ((mt0, mt1, mc0, mc1)))
     assert(r.getLong(8) == (mt1 - mt0) - (mc1 - mc0))
   }
+
+  test("mann-whitney: doubled-midrank replay; U1+U2 identity; CL in [0, 1e6]") {
+    val r = AnalyticsExt.mannWhitney(spark, sf).collect().head
+    val lines = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf)
+        .selectExpr("p_partkey AS l_partkey", "CAST(p_type LIKE 'PROMO%' AS BIGINT) AS t"),
+        "l_partkey")
+      .selectExpr("t", "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = lines.length.toLong
+    val n1 = lines.count(_._1 == 1L).toLong
+    val n2 = n - n1
+    // doubled midranks: 2*midrank(v) = 2*cum_below(v) + cnt(v) + 1
+    val byVal = lines.groupBy(_._2).map { case (v, xs) =>
+      v -> (xs.length.toLong, xs.count(_._1 == 1L).toLong)
+    }.toSeq.sortBy(_._1)
+    var cum = 0L
+    var r1x2 = 0L
+    var tieT = BigInt(0)
+    byVal.foreach { case (_, (cnt, c1)) =>
+      r1x2 += c1 * (2 * cum + cnt + 1)
+      tieT += BigInt(cnt) * cnt * cnt - cnt
+      cum += cnt
+    }
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n1, n2, u1x2)))
+    assert(r.getLong(3) == (BigInt(u1x2) * 1000000 / (2 * BigInt(n1) * n2)).toLong)
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    // U1 + U2 = n1*n2 identity on the doubled grid: replay group 2
+    var cum2 = 0L
+    var r2x2 = 0L
+    byVal.foreach { case (_, (cnt, c1)) =>
+      r2x2 += (cnt - c1) * (2 * cum2 + cnt + 1)
+      cum2 += cnt
+    }
+    val u2x2 = r2x2 - n2 * (n2 + 1)
+    assert(u1x2 + u2x2 == 2 * n1 * n2, "U1 + U2 = n1*n2")
+    val varU = BigInt(n1) * n2 * (BigInt(n + 1) * n * (n - 1) - tieT) /
+      (12 * BigInt(n) * (n - 1))
+    var s0 = BigInt(math.sqrt(varU.toDouble).toLong)
+    while (s0 * s0 > varU) s0 -= 1
+    while ((s0 + 1) * (s0 + 1) <= varU) s0 += 1
+    val num = BigInt(u1x2) - BigInt(n1) * n2
+    val zWant = (if (num >= 0) 1 else -1) * (num.abs * 1000000 / (2 * s0))
+    assert(r.getLong(4) == zWant.toLong)
+  }
+
+  test("runs test: sequential sign-change replay; runs bounded by used days") {
+    val r = AnalyticsExt.runsTest(spark, sf).collect().head
+    val byDay = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("d").agg(sum("c").as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = byDay.length.toLong
+    val med = byDay.map(x => (x._2, x._1)).sorted.apply((((n + 1) / 2) - 1).toInt)._1
+    val signs = byDay.sortBy(_._1).filter(_._2 != med).map(x => if (x._2 > med) 1L else 0L)
+    val nU = signs.length.toLong
+    val n1 = signs.count(_ == 1L).toLong
+    val runs = 1L + signs.sliding(2).count(w => w.length == 2 && w(0) != w(1)).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((nU, n1, nU - n1, med, runs)))
+    assert(r.getLong(5) == 1000000L + 2 * n1 * (nU - n1) * 1000000L / nU)
+    assert(runs >= 1L && runs <= nU)
+    val q = 2 * n1 * (nU - n1) * (2 * n1 * (nU - n1) - nU) / (nU - 1)
+    var s0 = math.sqrt(q.toDouble).toLong
+    while (s0 * s0 > q) s0 -= 1
+    while ((s0 + 1) * (s0 + 1) <= q) s0 += 1
+    val num = runs * nU - nU - 2 * n1 * (nU - n1)
+    assert(r.getLong(6) == (if (num >= 0) 1L else -1L) * (math.abs(num) * 1000000L / s0))
+  }
+
+  test("dow seasonality: 7-row replay; day and cents totals conserved") {
+    val got = AnalyticsExt.dowSeasonality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val daily = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("d").agg(sum("c").as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byDow = daily.groupBy(x => (x._1 + 3) % 7)
+    val td = daily.length.toLong
+    val tc = daily.map(_._2).sum
+    assert(got.length == byDow.size && got.length == 7)
+    got.foreach { case (dow, nd, dc, mean, idx) =>
+      val xs = byDow(dow)
+      assert(nd == xs.length.toLong && dc == xs.map(_._2).sum)
+      assert(mean == dc / nd)
+      assert(idx == (BigInt(dc / nd) * 1000000 / (tc / td)).toLong)
+    }
+    assert(got.map(_._2).sum == td && got.map(_._3).sum == tc)
+  }
 }

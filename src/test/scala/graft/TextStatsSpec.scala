@@ -604,4 +604,34 @@ class TextStatsSpec extends SparkSpec {
     // cf >= df always, so the clump ratio is bounded below by 1e6
     got.foreach { case (t, (_, _, _, cl, _)) => assert(cl >= 1000000L, t) }
   }
+
+  test("readability: java-regex replay per doc; planted punctuation drives the sentence count") {
+    val got = graft.operators.TextOps.readability(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val w =
+        if (text.trim.isEmpty) 0L
+        else text.trim.toLowerCase.split("\\s+").length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(text).size.toLong, 1L)
+      val sy = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong, 1L)
+      val w1 = math.max(w, 1L)
+      assert(
+        got(id) == ((w, s, sy, w * 1000 / s, sy * 1000 / w1,
+          206835L - 1015 * w / s - 84600 * sy / w1)),
+        s"doc $id")
+    }
+    // the synthetic corpus has no sentence punctuation; prove the
+    // sentence path live with planted text through the same kernel
+    val planted = spark.sql(
+      """SELECT greatest(regexp_count('One. Two!! Three? And', '[.!?]+'), 1) AS s,
+           greatest(regexp_count(lower('One. Two!! Three? And'), '[aeiouy]+'), 1) AS sy""")
+      .collect().head
+    assert(planted.get(0).toString.toLong == 3L)
+    assert(planted.get(1).toString.toLong == 5L)
+  }
 }
