@@ -462,7 +462,15 @@ object SparkEntry {
     // Day-of-week seasonality profile (§2 #290)
     "q_dow_seasonality" -> (AnalyticsExt.dowSeasonality _),
     // Flesch readability components (§2 #291)
-    "text_readability" -> (TextOps.readability _)
+    "text_readability" -> (TextOps.readability _),
+    // Holt-Winters additive triple smoothing (§2 #292)
+    "q_holt_winters" -> (AnalyticsExt.holtWinters _),
+    // ABC class migration matrix (§2 #293)
+    "q_abc_migration" -> ((s: SparkSession, d: String) => AnalyticsExt.abcMigration(s, d)),
+    // Vintage revenue ramp by part age (§2 #294)
+    "q_vintage_ramp" -> (AnalyticsExt.vintageRamp _),
+    // Monthly p25/p50/p75 daily-revenue bands (§2 #295)
+    "q_monthly_bands" -> (AnalyticsExt.monthlyBands _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3455,6 +3463,87 @@ object SparkEntry {
            CAST(CAST(dow_cents // n_days AS HUGEINT) * 1000000
              // (tc // td) AS BIGINT) AS index_e6
          FROM bd, tot""",
+    "q_holt_winters" ->
+      // identical dyadic sign-factored HW trajectory as a recursive
+      // CTE with a 7-slot seasonal list (shared hwCtes helper)
+      s"""WITH ${hwCtes}
+         SELECT event_type, day, y AS cents, l AS level_c, b AS trend_c,
+           s[CAST(day % 7 AS INT) + 1] AS season_c,
+           l + b + s[CAST((day + 1) % 7 AS INT) + 1] AS forecast_next_c
+         FROM rec""",
+    "q_abc_migration" ->
+      // per-period 80/95 cumulative-share classes, '-' for unsold,
+      // full-outer at part grain, <=16-row rollup
+      """WITH dd AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           FROM orders),
+         split AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM dd),
+         lines AS (
+           SELECT l.l_partkey,
+             CAST(CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o.o_orderdate AS DATE)) AS BIGINT) >= split.mid AS BIGINT) AS period,
+             CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)) AS BIGINT) AS r
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey, split),
+         r0 AS (SELECT l_partkey, CAST(sum(r) AS BIGINT) AS rev
+                FROM lines WHERE period = 0 GROUP BY 1),
+         r1 AS (SELECT l_partkey, CAST(sum(r) AS BIGINT) AS rev
+                FROM lines WHERE period = 1 GROUP BY 1),
+         c0 AS (SELECT l_partkey, rev,
+                  CASE WHEN share_e6 <= 800000 THEN 'A'
+                       WHEN share_e6 <= 950000 THEN 'B' ELSE 'C' END AS cls
+                FROM (SELECT l_partkey, rev,
+                        CAST(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+                          * 1000000 // (sum(rev) OVER ()) AS BIGINT) AS share_e6
+                      FROM r0)),
+         c1 AS (SELECT l_partkey, rev,
+                  CASE WHEN share_e6 <= 800000 THEN 'A'
+                       WHEN share_e6 <= 950000 THEN 'B' ELSE 'C' END AS cls
+                FROM (SELECT l_partkey, rev,
+                        CAST(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+                          * 1000000 // (sum(rev) OVER ()) AS BIGINT) AS share_e6
+                      FROM r1))
+         SELECT coalesce(c0.cls, '-') AS class_before,
+           coalesce(c1.cls, '-') AS class_after,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(coalesce(c1.rev, 0)) AS BIGINT) AS after_revenue_usd
+         FROM c0 FULL OUTER JOIN c1 ON c0.l_partkey = c1.l_partkey
+         GROUP BY 1, 2""",
+    "q_vintage_ramp" ->
+      // first-sale month per part, rollup by months-since-first
+      """WITH pm AS (
+           SELECT l.l_partkey,
+             CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+               + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+         f AS (SELECT l_partkey, min(m) AS m0 FROM pm GROUP BY 1)
+         SELECT pm.m - f.m0 AS age_months, CAST(count(*) AS BIGINT) AS n_part_months,
+           CAST(sum(pm.rev) AS BIGINT) AS revenue_usd,
+           CAST(sum(pm.rev) // count(*) AS BIGINT) AS mean_usd
+         FROM pm JOIN f ON f.l_partkey = pm.l_partkey GROUP BY 1""",
+    "q_monthly_bands" ->
+      // rank-defined lower p25/p50/p75 of daily revenue per month
+      """WITH daily AS (
+           SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS month,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1, 2),
+         r AS (SELECT month, x,
+                 CAST(row_number() OVER (PARTITION BY month ORDER BY x, day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY month) AS BIGINT) AS n
+               FROM daily)
+         SELECT month, max(n) AS n_days,
+           max(CASE WHEN rn = (n + 3) // 4 THEN x END) AS p25_cents,
+           max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS p50_cents,
+           max(CASE WHEN rn = (3 * n + 3) // 4 THEN x END) AS p75_cents
+         FROM r GROUP BY 1""",
     "text_readability" ->
       // #30's whitespace-token convention + the #79 regexp_count <->
       // len(regexp_extract_all) parity; e3 Flesch grid
@@ -6316,6 +6405,39 @@ object SparkEntry {
              SELECT s.event_type, s.i, s.day, s.y,
                $newl,
                ${tq(s"($newl - h.l) + 3 * h.b")}
+             FROM idx s JOIN h ON s.event_type = h.event_type AND s.i = h.i + 1)
+           SELECT * FROM h)"""
+  }
+
+  /** Holt–Winters recursive-CTE trajectory (the holtCtes pattern plus
+    * a 7-slot seasonal LIST rebuilt by slice concatenation, slot
+    * indexed by calendar day-of-week) — same dyadic sign-factored
+    * quarters as the Spark fold.
+    */
+  private def hwCtes: String = {
+    def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
+    val sOld = "h.s[CAST(s.day % 7 AS INT) + 1]"
+    val newl = tq(s"(s.y - $sOld) + 3 * (h.l + h.b)")
+    val newb = tq(s"($newl - h.l) + 3 * h.b")
+    val slot = tq(s"(s.y - $newl) + 3 * $sOld")
+    s"""daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+           FROM daily),
+         rec AS (
+           WITH RECURSIVE h(event_type, i, day, y, l, b, s) AS (
+             SELECT event_type, i, day, y, y, CAST(0 AS BIGINT),
+               [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] FROM idx WHERE i = 1
+             UNION ALL
+             SELECT s.event_type, s.i, s.day, s.y,
+               $newl,
+               $newb,
+               h.s[1:CAST(s.day % 7 AS INT)] || [$slot]
+                 || h.s[CAST(s.day % 7 AS INT) + 2:]
              FROM idx s JOIN h ON s.event_type = h.event_type AND s.i = h.i + 1)
            SELECT * FROM h)"""
   }

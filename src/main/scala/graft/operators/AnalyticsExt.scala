@@ -4291,6 +4291,216 @@ object AnalyticsExt {
     * convention to disagree on. One day-keyed aggregate + one 7-row
     * rollup; index through DECIMAL(38,0).
     */
+  /** #292 Holt–Winters additive triple smoothing per event-type daily
+    * series: level + trend + a 7-slot weekly seasonal state — the
+    * seasonal rung above #250's Holt (level+trend) and the
+    * state-space counterpart of #221's decomposition, with the same
+    * dyadic α = β = γ = ¼ and sign-factored truncating quarters so
+    * Spark's `div` and DuckDB's `//` replay the identical integer
+    * trajectory through negative states. The seasonal slot is indexed
+    * by CALENDAR day-of-week (day mod 7), not step order, so day gaps
+    * don't shear the season. Fold is sequential by definition; the
+    * step table is calendar-bounded, so it runs inside one collected
+    * array scalar per series (the #250/#234 bounded-model-state
+    * pattern), seasonal state carried as a 7-element array rebuilt by
+    * slice concatenation. Forecast = l + b + s[(day+1) mod 7] from
+    * the post-update state.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    def q(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) div 4) ELSE ($a) div 4 END)"
+    val sOld = "element_at(acc.s, CAST(s.day % 7 AS INT) + 1)"
+    val newL = q(s"(s.y - $sOld) + 3 * (acc.l + acc.b)")
+    val newB = q(s"($newL - acc.l) + 3 * acc.b")
+    val slot = q(s"(s.y - $newL) + 3 * $sOld")
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    daily
+      .groupBy("event_type")
+      .agg(expr("sort_array(collect_list(named_struct('day', day, 'y', y)))").as("steps"))
+      .select(
+        col("event_type"),
+        explode(
+          expr(s"""transform(steps, (x, i) -> named_struct(
+                     'day', x.day, 'cents', x.y,
+                     'st', aggregate(slice(steps, 2, i),
+                             named_struct(
+                               'l', element_at(steps, 1).y, 'b', 0L,
+                               's', array(0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+                             (acc, s) -> named_struct(
+                               'l', $newL,
+                               'b', $newB,
+                               's', concat(
+                                 slice(acc.s, 1, CAST(s.day % 7 AS INT)),
+                                 array($slot),
+                                 slice(acc.s, CAST(s.day % 7 AS INT) + 2,
+                                   6 - CAST(s.day % 7 AS INT)))))))"""))
+          .as("h"))
+      .select(
+        col("event_type"),
+        col("h.day").as("day"),
+        col("h.cents").as("cents"),
+        col("h.st.l").as("level_c"),
+        col("h.st.b").as("trend_c"),
+        expr("element_at(h.st.s, CAST(h.day % 7 AS INT) + 1)").as("season_c"),
+        expr("h.st.l + h.st.b + element_at(h.st.s, CAST((h.day + 1) % 7 AS INT) + 1)")
+          .as("forecast_next_c"))
+  }
+
+  /** #293 ABC class migration matrix: each part's revenue class
+    * (#191's 80/95 cumulative-share A/B/C, or '-' when unsold) in the
+    * first vs second half of the corpus, as a 4×4 transition matrix
+    * with part counts and second-half revenue — the assortment-drift
+    * read-out planners run quarter over quarter (#257 crosses ABC
+    * with variability at one point in time; this shows the CLASS
+    * ITSELF moving, "what was A and is now C"). The period split is
+    * the #286 data-derived midpoint; within each period the class is
+    * the #191 hierarchical cumulative-share build verbatim (reverse
+    * value-range shard + offsets, share through DECIMAL(38,0)) — two
+    * bounded-window builds + one full-outer join at part cardinality
+    * + a ≤16-row rollup.
+    */
+  def abcMigration(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val lines = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables
+          .orders(spark, dir)
+          .select(
+            col("o_orderkey").as("l_orderkey"),
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+              .as("day")),
+        "l_orderkey")
+      .select(
+        col("l_partkey"),
+        col("day"),
+        expr("CAST(floor(l_extendedprice * (1.0d - l_discount)) AS BIGINT)").as("r"))
+    val split = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+      .agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val withPeriod = lines
+      .crossJoin(broadcast(split))
+      .select(col("l_partkey"), (col("day") >= col("mid")).cast("long").as("period"), col("r"))
+      .localCheckpoint(eager = false)
+    def classify(period: Long): DataFrame = {
+      val rev = withPeriod
+        .filter(col("period") === period)
+        .groupBy("l_partkey")
+        .agg(sum("r").as("rev"))
+      val bounds = rev.agg(min("rev").as("lo"), max("rev").as("hi"))
+      val sharded = rev
+        .crossJoin(broadcast(bounds))
+        .withColumn("shard", expr(s"((hi - rev) * $nShards) div (hi - lo + 1)"))
+      val ws = Window.partitionBy("shard").orderBy(col("rev").desc, col("l_partkey"))
+      val offsets = sharded
+        .groupBy("shard")
+        .agg(sum("rev").as("s"))
+        .withColumn(
+          "roff",
+          coalesce(
+            sum("s").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("shard"), col("roff"))
+      val tot = rev.agg(sum("rev").as("t"))
+      sharded
+        .withColumn("csum", sum("rev").over(ws))
+        .join(broadcast(offsets), "shard")
+        .crossJoin(broadcast(tot))
+        .withColumn(
+          "share_e6",
+          expr("CAST((CAST(roff + csum AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)"))
+        .select(
+          col("l_partkey"),
+          when(col("share_e6") <= 800000, "A")
+            .when(col("share_e6") <= 950000, "B")
+            .otherwise("C")
+            .as(s"class_p$period"),
+          col("rev").as(s"rev_p$period"))
+    }
+    classify(0L)
+      .join(classify(1L), Seq("l_partkey"), "full_outer")
+      .select(
+        coalesce(col("class_p0"), lit("-")).as("class_before"),
+        coalesce(col("class_p1"), lit("-")).as("class_after"),
+        coalesce(col("rev_p1"), lit(0L)).as("r1"))
+      .groupBy("class_before", "class_after")
+      .agg(count(lit(1)).as("n_parts"), sum("r1").as("after_revenue_usd"))
+  }
+
+  /** #294 Vintage revenue ramp: mean revenue per part-month by part
+    * AGE (months since first sale) — the cold-start curve that says
+    * how fast a new catalog item ramps to steady state, the
+    * longitudinal companion to #281 (breadth counts new parts; this
+    * tracks what a part EARNS in its nth month of life, the basis of
+    * new-item forecasting baselines). Age from one min-aggregate
+    * joined back at (part, month) grain; one ≤#months-row rollup.
+    * All exact: whole-dollar revenue, floor-division means.
+    */
+  def vintageRamp(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables
+          .orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(
+        col("l_partkey"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(l_extendedprice * (1.0d - l_discount)) AS BIGINT)").as("r"))
+      .groupBy("l_partkey", "m")
+      .agg(sum("r").as("rev"))
+      .localCheckpoint(eager = false)
+    val first = pm.groupBy("l_partkey").agg(min("m").as("m0"))
+    pm.join(first, "l_partkey")
+      .select((col("m") - col("m0")).as("age_months"), col("rev"))
+      .groupBy("age_months")
+      .agg(count(lit(1)).as("n_part_months"), sum("rev").as("revenue_usd"))
+      .withColumn("mean_usd", expr("revenue_usd div n_part_months"))
+  }
+
+  /** #295 Monthly revenue bands: per calendar month, exact
+    * rank-defined p25/p50/p75 of DAILY revenue — the banded seasonal
+    * chart behind #290's weekday profile (that averages per weekday;
+    * this shows each month's daily spread, where a widening p25–p75
+    * band flags volatility a monthly total hides). The #106 lower
+    * percentile machinery per month partition: rank ⌈n/4⌉, ⌈n/2⌉,
+    * ⌈3n/4⌉ under the (value, day) total order — all windows
+    * month-partitioned, the frame bounded by days-per-month.
+    */
+  def monthlyBands(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("month"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("month", "day")
+      .agg(sum("c").as("x"))
+    val w = Window.partitionBy("month").orderBy(col("x"), col("day"))
+    daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("month")))
+      .groupBy("month")
+      .agg(
+        max("n").as("n_days"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("x"))).as("p25_cents"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("x"))).as("p50_cents"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("x"))).as("p75_cents"))
+  }
+
   def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables
       .orders(spark, dir)

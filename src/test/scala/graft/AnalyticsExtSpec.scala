@@ -2211,4 +2211,130 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(got.map(_._2).sum == td && got.map(_._3).sum == tc)
   }
+
+  test("holt-winters: sequential scala fold replay; slot moves only on its weekday") {
+    val nsPerDay = 86400L * 1000000000L
+    val got = AnalyticsExt.holtWinters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    def q(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", s"ts div ${nsPerDay}L AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("event_type", "day").agg(sum("c").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    var checked = 0
+    daily.groupBy(_._1).foreach { case (et, xs) =>
+      val steps = xs.map(t => (t._2, t._3)).sortBy(_._1)
+      var l = steps.head._2
+      var b = 0L
+      val s = Array.fill(7)(0L)
+      steps.zipWithIndex.foreach { case ((day, y), i) =>
+        if (i > 0) {
+          val dow = (day % 7).toInt
+          val sOld = s(dow)
+          val nl = q((y - sOld) + 3 * (l + b))
+          val nb = q((nl - l) + 3 * b)
+          val before = s.clone()
+          s(dow) = q((y - nl) + 3 * sOld)
+          // every other slot is untouched by this step
+          (0 until 7).filter(_ != dow).foreach(k => assert(s(k) == before(k)))
+          l = nl; b = nb
+        }
+        val fc = l + b + s(((day + 1) % 7).toInt)
+        assert(got((et, day)) == ((y, l, b, s((day % 7).toInt), fc)), s"$et day $day")
+        checked += 1
+      }
+    }
+    assert(checked == got.size)
+  }
+
+  test("abc migration: per-period class replay; matrix conserves the part universe") {
+    val got = AnalyticsExt.abcMigration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val lines = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .selectExpr("o_orderkey AS l_orderkey",
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day"),
+        "l_orderkey")
+      .selectExpr("l_partkey", "day",
+        "CAST(floor(l_extendedprice * (1.0d - l_discount)) AS BIGINT) AS r")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val days = lines.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    def classify(period: Int): Map[Long, (String, Long)] = {
+      val rev = lines.filter(x => (if (x._2 >= mid) 1 else 0) == period)
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).sum }
+      val tot = rev.values.sum
+      var cum = 0L
+      rev.toSeq.sortBy(t => (-t._2, t._1)).map { case (p, rv) =>
+        cum += rv
+        val share = BigInt(cum) * 1000000 / tot
+        val cls = if (share <= 800000) "A" else if (share <= 950000) "B" else "C"
+        p -> ((cls, rv))
+      }.toMap
+    }
+    val c0 = classify(0)
+    val c1 = classify(1)
+    val allParts = c0.keySet ++ c1.keySet
+    val want = allParts.toSeq
+      .map { p =>
+        (c0.get(p).map(_._1).getOrElse("-"), c1.get(p).map(_._1).getOrElse("-"),
+          c1.get(p).map(_._2).getOrElse(0L))
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, xs) => k -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    assert(got == want)
+    assert(got.values.map(_._1).sum == allParts.size.toLong)
+  }
+
+  test("vintage ramp: age replay; revenue conserved; age 0 covers every part") {
+    val got = AnalyticsExt.vintageRamp(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pm = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey AS l_orderkey", "o_orderdate"),
+        "l_orderkey")
+      .selectExpr("l_partkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(l_extendedprice * (1.0d - l_discount)) AS BIGINT) AS r")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((p, m), xs) => (p, m, xs.map(_._3).sum) }
+    val first = pm.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    val want = pm.groupBy(t => t._2 - first(t._1)).map { case (age, xs) =>
+      age -> ((xs.size.toLong, xs.map(_._3).sum))
+    }
+    assert(got.size == want.size)
+    want.foreach { case (age, (n, rv)) =>
+      assert(got(age) == ((n, rv, rv / n)), s"age $age")
+    }
+    // age 0 holds exactly one part-month per part (its first month)
+    assert(got(0L)._1 == first.size.toLong)
+    assert(got.values.map(_._2).sum == pm.map(_._3).sum)
+  }
+
+  test("monthly bands: rank replay per month; p25 <= p50 <= p75") {
+    val got = AnalyticsExt.monthlyBands(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val daily = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("m", "d").agg(sum("c").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (m, xs) =>
+      val s = xs.map(t => (t._3, t._2)).sorted.map(_._1)
+      val n = s.length.toLong
+      val p25 = s(((n + 3) / 4 - 1).toInt)
+      val p50 = s(((n + 1) / 2 - 1).toInt)
+      val p75 = s(((3 * n + 3) / 4 - 1).toInt)
+      assert(got(m) == ((n, p25, p50, p75)), s"month $m")
+      assert(p25 <= p50 && p50 <= p75)
+    }
+    assert(got.size == daily.map(_._1).distinct.length)
+  }
 }
