@@ -470,7 +470,9 @@ object SparkEntry {
     // Vintage revenue ramp by part age (§2 #294)
     "q_vintage_ramp" -> (AnalyticsExt.vintageRamp _),
     // Monthly p25/p50/p75 daily-revenue bands (§2 #295)
-    "q_monthly_bands" -> (AnalyticsExt.monthlyBands _)
+    "q_monthly_bands" -> (AnalyticsExt.monthlyBands _),
+    // Cell-bounded corpus k-NN graph (§2 #296)
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -2681,27 +2683,7 @@ object SparkEntry {
       // assignment cosines — see Similarity.trainCentroids), the
       // corpus cell assignment, the nprobe=2 query probe, and the
       // final 6dp-cosine rank.
-      val meanTerms = (1 to 64)
-        .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
-        .mkString(", ")
-      def assign(cents: String, out: String) =
-        s"""$out AS (SELECT vec_id, embedding, cell FROM (
-              SELECT u.vec_id, u.embedding, c.cell,
-                row_number() OVER (PARTITION BY u.vec_id
-                  ORDER BY floor(list_cosine_similarity(
-                    u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
-                    DESC, c.cell) AS rn
-              FROM u, $cents c) WHERE rn = 1)"""
-      def means(asg: String, out: String) =
-        s"$out AS (SELECT cell, [$meanTerms] AS centroid FROM $asg GROUP BY cell)"
-      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings),
-          s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-                   embedding AS centroid
-                 FROM embeddings ORDER BY vec_id LIMIT 16),
-          ${assign("s0", "a1")}, ${means("a1", "c1")},
-          ${assign("c1", "a2")}, ${means("a2", "c2")},
-          ${assign("c2", "a3")}, ${means("a3", "c3")},
-          ${assign("c3", "acorp")},
+      s"""WITH ${ivfTrainCtes},
           q AS (SELECT vec_id AS query_id, embedding AS q_emb
                 FROM embeddings WHERE vec_id < 10),
           qc AS (SELECT query_id, cell FROM (
@@ -3463,6 +3445,21 @@ object SparkEntry {
            CAST(CAST(dow_cents // n_days AS HUGEINT) * 1000000
              // (tc // td) AS BIGINT) AS index_e6
          FROM bd, tot""",
+    "ann_knn_graph" ->
+      // shared ivfTrainCtes quantizer replay, then within-cell
+      // pairwise 6dp cosine, top-5 per vector
+      s"""WITH ${ivfTrainCtes}
+         SELECT vec_id, nbr_id, cos, rank FROM (
+           SELECT a.vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+               b.vec_id) AS BIGINT) AS rank
+           FROM acorp a JOIN acorp b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         WHERE rank <= 5""",
     "q_holt_winters" ->
       // identical dyadic sign-factored HW trajectory as a recursive
       // CTE with a 7-slot seasonal list (shared hwCtes helper)
@@ -6407,6 +6404,36 @@ object SparkEntry {
                ${tq(s"($newl - h.l) + 3 * h.b")}
              FROM idx s JOIN h ON s.event_type = h.event_type AND s.i = h.i + 1)
            SELECT * FROM h)"""
+  }
+
+  /** The 3-round e4-quantized Lloyd train + corpus cell assignment as
+    * CTEs (u, s0, a1..c3, acorp) — shared by the ann_ivf and
+    * ann_knn_graph oracles so the replayed quantizer can never drift
+    * between them. String-identical to the block ann_ivf carried
+    * before the extraction.
+    */
+  private def ivfTrainCtes: String = {
+    val meanTerms = (1 to 64)
+      .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
+      .mkString(", ")
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, embedding, cell FROM (
+            SELECT u.vec_id, u.embedding, c.cell,
+              row_number() OVER (PARTITION BY u.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                  DESC, c.cell) AS rn
+            FROM u, $cents c) WHERE rn = 1)"""
+    def means(asg: String, out: String) =
+      s"$out AS (SELECT cell, [$meanTerms] AS centroid FROM $asg GROUP BY cell)"
+    s"""u AS (SELECT vec_id, embedding FROM embeddings),
+          s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+                 FROM embeddings ORDER BY vec_id LIMIT 16),
+          ${assign("s0", "a1")}, ${means("a1", "c1")},
+          ${assign("c1", "a2")}, ${means("a2", "c2")},
+          ${assign("c2", "a3")}, ${means("a3", "c3")},
+          ${assign("c3", "acorp")}"""
   }
 
   /** Holt–Winters recursive-CTE trajectory (the holtCtes pattern plus

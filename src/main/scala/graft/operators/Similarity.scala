@@ -682,6 +682,39 @@ object Similarity {
       .filter(col("rank") <= 10)
   }
 
+  /** #296 Cell-bounded k-NN graph: every corpus vector's top-k
+    * neighbors among vectors sharing its IVF cell — the
+    * corpus-to-corpus similarity primitive under SemDeDup-style
+    * near-dup clustering and graph-based label propagation (#27/#72
+    * answer query→corpus; this materializes the corpus's OWN
+    * neighborhood structure). The contract is explicitly
+    * within-cell: pairwise work is Σ|cell|², which with the √n-cell
+    * quantizer (trainCentroids' k ~ √n scaling note) is n^1.5 — the
+    * triangles-class bound, never all-pairs n². Cross-cell true
+    * neighbors are the recall tradeoff #238's harness prices.
+    * Reuses the exact #72 train + assignment (e4-quantized replay);
+    * the assignment frame is lazily checkpointed so the self-join
+    * doesn't retrain.
+    */
+  def knnGraph(spark: SparkSession, dir: String,
+      k: Int = 16, iters: Int = 3, kNbrs: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells = ivfAssign(spark, dir, centroidsDf(spark, trainCentroids(spark, dir, k, iters)))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    cells
+      .join(
+        cells.select(col("cell"), col("vec_id").as("nbr_id"), col("embedding").as("emb_b")),
+        "cell")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(
+        col("vec_id"),
+        col("nbr_id"),
+        round(expr("cosine_sim(embedding, emb_b)"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNbrs)
+  }
+
   /** #29 IVF-style centroid stats: per-label centroid (partial-agg
     * per-dimension means via posexplode), then nearest-centroid
     * assignment of every vector — the coarse quantizer of an IVF

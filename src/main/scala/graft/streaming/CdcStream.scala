@@ -525,6 +525,43 @@ object CdcStream {
           HoltEmit(series, steps.map(_._1), steps.map(_._2), steps.map(_._3), steps.map(_._4))
       }
   }
+
+  /** #297 Streaming CUSUM state maintenance: #284's one-sided C⁺/C⁻
+    * drift statistics kept incrementally per series in
+    * `mapGroupsWithState` against a FIXED reference mean (the
+    * monitoring target a baseline period supplies — streaming CUSUM's
+    * standard contract; the batch operator derives μ from the corpus,
+    * a monitor pins it). State per key is the bounded triple
+    * (S, min S, max S) — the prefix-extrema closed form means the
+    * recursive max(0,·) fold needs nothing else — so streamed C⁺/C⁻
+    * after any day-aligned prefix is BIT-IDENTICAL to the batch fold
+    * over that prefix (the #149/#263 streamed ≡ batch discipline).
+    * Same day-aligned micro-batch contract as [[streamingHolt]].
+    */
+  def streamingCusum(changes: Dataset[Change], muCents: Long): Dataset[CusumEmit] = {
+    import changes.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L
+    changes
+      .groupByKey(_.op)
+      .mapGroupsWithState[CusumState, CusumEmit](GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Change], state: GroupState[CusumState]) =>
+          val daily = rows.toSeq
+            .groupBy(c => c.ts / usPerDay)
+            .map { case (d, cs) =>
+              d -> cs.map(c => math.floor(c.value * 100 + 0.5).toLong).sum
+            }
+            .toSeq
+            .sortBy(_._1)
+          var st = state.getOption.getOrElse(CusumState(series, 0L, 0L, 0L))
+          val steps = daily.map { case (day, x) =>
+            val s = st.s + (x - muCents)
+            st = CusumState(series, s, math.min(st.minS, s), math.max(st.maxS, s))
+            (day, x, s - st.minS, st.maxS - s)
+          }
+          state.update(st)
+          CusumEmit(series, steps.map(_._1), steps.map(_._2), steps.map(_._3), steps.map(_._4))
+      }
+  }
 }
 
 /** Per-series Holt smoother state: one bounded triple per key. */
@@ -539,3 +576,18 @@ case class HoltEmit(
     cents: Seq[Long],
     levels: Seq[Long],
     trends: Seq[Long])
+
+/** Per-series CUSUM monitor state: the prefix sum and its running
+  * extrema — the closed form's entire requirement, bounded per key.
+  */
+case class CusumState(series: String, s: Long, minS: Long, maxS: Long)
+
+/** One emission per (series, micro-batch): that batch's day-ordered
+  * C⁺/C⁻ trajectory (parallel arrays keep the encoder flat).
+  */
+case class CusumEmit(
+    series: String,
+    days: Seq[Long],
+    cents: Seq[Long],
+    cPlus: Seq[Long],
+    cMinus: Seq[Long])

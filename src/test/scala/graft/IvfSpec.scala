@@ -67,4 +67,32 @@ class IvfSpec extends SparkSpec {
     val pooledPurity = byCell.values.map(_._2).sum.toDouble / t
     assert(pooledPurity >= 2.0 / nLabels, s"pooled purity $pooledPurity")
   }
+
+  test("knn graph: independent top-k selection replay within cells; degrees bounded") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val assign = Similarity.ivfAssignments(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all candidate pairs with the SAME Spark-computed cosine kernel;
+    // the replay re-does only the selection (join + rank), in scala
+    val emb = Tables.embeddings(spark, sf).selectExpr("vec_id", "embedding")
+    val pairs = emb.alias("a")
+      .crossJoin(emb.selectExpr("vec_id AS nbr_id", "embedding AS emb_b").alias("b"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .selectExpr("vec_id", "nbr_id", "round(cosine_sim(embedding, emb_b), 6) AS cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => assign(a) == assign(b) }
+    val want = pairs.groupBy(_._1).toSeq.flatMap { case (v, xs) =>
+      xs.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((_, nbr, cos), i) => (v, nbr, cos, i + 1L) }
+    }.toSet
+    assert(got.toSet == want)
+    // degree bound and co-celled contract
+    got.groupBy(_._1).foreach { case (v, xs) =>
+      assert(xs.length <= 5)
+      assert(xs.length == math.min(5, pairs.count(_._1 == v)))
+      xs.foreach { case (_, nbr, _, _) => assert(assign(v) == assign(nbr)) }
+    }
+  }
 }

@@ -405,4 +405,54 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming cusum: state over a day-aligned split equals the recursive batch fold") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      val usPerDay = 86400L * 1000000L
+      val mu = 12345L // the fixed monitoring target of the contract
+      val splitDay = changes
+        .selectExpr(s"ts div $usPerDay AS d").agg(expr("CAST(avg(d) AS BIGINT)"))
+        .head.getLong(0)
+      changes.filter(col("ts") < splitDay * usPerDay)
+        .write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingCusum(CdcStream.readChangelog(spark, inDir), mu)
+        .writeStream.format("memory").queryName("stream_cusum")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") >= splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_cusum")
+          .selectExpr("series", "explode(arrays_zip(days, cents, cPlus, cMinus)) AS z")
+          .selectExpr("series", "z.days AS day", "z.cents", "z.cPlus", "z.cMinus")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        // independent RECURSIVE fold (not the closed form): the
+        // stream must reproduce max(0, .) exactly
+        val daily = changes
+          .selectExpr("op", s"ts div $usPerDay AS day",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("op", "day").agg(sum("c").as("y"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var nChecked = 0
+        daily.groupBy(_._1).foreach { case (series, rows) =>
+          var cp = 0L
+          var cm = 0L
+          rows.sortBy(_._2).foreach { case (_, day, y) =>
+            cp = math.max(0L, cp + (y - mu))
+            cm = math.max(0L, cm - (y - mu))
+            assert(got((series, day)) == ((y, cp, cm)), s"$series day $day")
+            nChecked += 1
+          }
+        }
+        assert(nChecked == got.size && nChecked > 0)
+      } finally q.stop()
+    }
+  }
 }
