@@ -472,7 +472,11 @@ object SparkEntry {
     // Monthly p25/p50/p75 daily-revenue bands (§2 #295)
     "q_monthly_bands" -> (AnalyticsExt.monthlyBands _),
     // Cell-bounded corpus k-NN graph (§2 #296)
-    "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d))
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    // LSH band/row S-curve tuning table (§2 #298)
+    "dedup_scurve" -> ((s: SparkSession, _: String) => Dedup.scurveTable(s)),
+    // Seasonal/trend strength F-statistics (§2 #299)
+    "q_seasonal_strength" -> (AnalyticsExt.seasonalStrength _)
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -3445,6 +3449,45 @@ object SparkEntry {
            CAST(CAST(dow_cents // n_days AS HUGEINT) * 1000000
              // (tc // td) AS BIGINT) AS index_e6
          FROM bd, tot""",
+    "dedup_scurve" -> {
+      // GENERATED from Dedup's own (b, r, grid) constants — truncating
+      // e6 powers replayed verbatim (DuckDB // on positives ≡ div)
+      def powSql(base: String, p: Int): String =
+        (2 to p).foldLeft(base)((acc, _) => s"(($acc) * ($base) // 1000000)")
+      val step = 1000000L / Dedup.ScurvePoints
+      s"""WITH g AS (
+            SELECT CAST(unnest(generate_series(0, ${Dedup.ScurvePoints})) * $step AS BIGINT)
+              AS s_e6),
+          p AS (SELECT s_e6,
+                  CAST(${powSql("s_e6", Dedup.MinhashRowsPerBand)} AS BIGINT) AS p_band_e6
+                FROM g)
+          SELECT s_e6, p_band_e6,
+            CAST(1000000 - ${powSql("(1000000 - p_band_e6)", Dedup.MinhashBands)} AS BIGINT)
+              AS p_candidate_e6
+          FROM p"""
+    },
+    "q_seasonal_strength" ->
+      // shared decomposition kernel, then the two F-ratios on raw
+      // moment forms (shared n cancels), HUGEINT cross products
+      s"""${seasonalKernelSql},
+         frame AS (
+           SELECT k.event_type, k.det AS det, k.c - sc.seasonal AS des,
+             k.det - sc.seasonal AS rem
+           FROM kept k JOIN sc ON sc.event_type = k.event_type AND sc.dow = k.dow),
+         agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(det) AS BIGINT) AS sd, sum(CAST(det AS HUGEINT) * det) AS sdd,
+             CAST(sum(des) AS BIGINT) AS ss, sum(CAST(des AS HUGEINT) * des) AS sss,
+             CAST(sum(rem) AS BIGINT) AS sr, sum(CAST(rem AS HUGEINT) * rem) AS srr
+           FROM frame GROUP BY 1),
+         v AS (SELECT event_type, n_days,
+             greatest(CAST(n_days AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd, 1) AS vd,
+             greatest(CAST(n_days AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss, 1) AS vs,
+             CAST(n_days AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr AS vr
+           FROM agg)
+         SELECT event_type, n_days,
+           CAST(greatest(0, (vd - vr) * 1000000 // vd) AS BIGINT) AS f_seasonal_e6,
+           CAST(greatest(0, (vs - vr) * 1000000 // vs) AS BIGINT) AS f_trend_e6
+         FROM v""",
     "ann_knn_graph" ->
       // shared ivfTrainCtes quantizer replay, then within-cell
       // pairwise 6dp cosine, top-5 per vector

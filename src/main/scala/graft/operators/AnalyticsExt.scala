@@ -2520,6 +2520,51 @@ object AnalyticsExt {
         (col("det") - col("seasonal")).as("remainder_cents"))
   }
 
+  /** #299 Seasonal/trend strength (Hyndman's F-statistics): per
+    * event-type series, how much of the detrended variance the weekly
+    * seasonal explains — F_seasonal = max(0, 1 − Var(rem)/Var(det)) —
+    * and how much of the deseasonalized variance the trend explains —
+    * F_trend = max(0, 1 − Var(rem)/Var(cents − seasonal)). The
+    * one-number summary of whether #221's decomposition (and #292's
+    * seasonal state) is EARNING its complexity on this series: a
+    * near-zero F_seasonal says use #250's Holt and stop. Exact: both
+    * ratios computed on raw moment forms n·Σx² − (Σx)² (the shared n
+    * cancels), cross products in DECIMAL(38,0)↔HUGEINT, denominators
+    * floored at 1. One ≤|series|-row aggregate over the #221 frame.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecomp(spark, dir)
+      .select(
+        col("event_type"),
+        (col("cents") - col("trend_cents")).as("det"),
+        (col("cents") - col("seasonal_cents")).as("des"),
+        col("remainder_cents").as("rem"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("det").as("sd"),
+        sum(expr("CAST(det AS DECIMAL(38,0)) * det")).as("sdd"),
+        sum("des").as("ss"),
+        sum(expr("CAST(des AS DECIMAL(38,0)) * des")).as("sss"),
+        sum("rem").as("sr"),
+        sum(expr("CAST(rem AS DECIMAL(38,0)) * rem")).as("srr"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        expr("""CAST(greatest(CAST(n_days AS DECIMAL(38,0)) * sdd - CAST(sd AS DECIMAL(38,0)) * sd, 1)
+                 AS DECIMAL(38,0))""").as("vd"),
+        expr("""CAST(greatest(CAST(n_days AS DECIMAL(38,0)) * sss - CAST(ss AS DECIMAL(38,0)) * ss, 1)
+                 AS DECIMAL(38,0))""").as("vs"),
+        expr("""CAST(CAST(n_days AS DECIMAL(38,0)) * srr - CAST(sr AS DECIMAL(38,0)) * sr
+                 AS DECIMAL(38,0))""").as("vr"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        expr("CAST(greatest(0, (vd - vr) * 1000000 div vd) AS BIGINT)")
+          .as("f_seasonal_e6"),
+        expr("CAST(greatest(0, (vs - vr) * 1000000 div vs) AS BIGINT)")
+          .as("f_trend_e6"))
+
   /** #223 Seasonal-remainder anomaly flags: the capstone of the
     * time-series family — #221's decomposition explains trend and
     * weekly shape; what's left (the remainder) is where anomalies

@@ -24,8 +24,13 @@ import graft.functions.GraftFunctions
 object Dedup {
 
   private val MinhashSigSize = 32
-  private val MinhashBands = 8
-  private val MinhashRowsPerBand = MinhashSigSize / MinhashBands
+
+  /** The LSH banding contract (b bands × r rows = signature size) —
+    * public so the S-curve tuning table (and its oracle) derive from
+    * the SAME constants the banding join actually uses.
+    */
+  val MinhashBands = 8
+  val MinhashRowsPerBand: Int = MinhashSigSize / MinhashBands
 
   /** Pairs from the simhash band join survive at Hamming distance ≤ this
     * (of 64 bits) — shared by the plain and IDF-weighted variants.
@@ -1024,5 +1029,40 @@ object Dedup {
       .filter(col("containment_e6") >= tauE6)
       .select(col("doc_a"), col("doc_b"), col("na").cast("long").as("n_shingles_a"),
         col("inter"), col("containment_e6"))
+  }
+
+  /** Truncating e6-grid power (p ≥ 1): repeated x·y div 10⁶ — the
+    * integer formulation both the Spark column and the generated
+    * oracle replay verbatim, so the table is exact cross-engine (the
+    * float `pow` that kept this deferred never appears).
+    */
+  def powE6(base: String, p: Int): String =
+    (2 to p).foldLeft(base)((acc, _) => s"(($acc) * ($base) div 1000000)")
+
+  /** Grid resolution of [[scurveTable]] — shared with its oracle. */
+  val ScurvePoints = 20
+
+  /** #298 LSH band/row S-curve table: for Jaccard similarity s on an
+    * e6 grid, the banding scheme's candidate probability
+    * 1 − (1 − s^r)^b at the OPERATOR'S OWN (b, r) =
+    * ([[MinhashBands]], [[MinhashRowsPerBand]]) — the tuning table
+    * that justifies the banding choice (where the curve's jump sits
+    * is the similarity threshold the dedup chain effectively
+    * enforces; a reviewer reads this table before trusting #23's
+    * recall). All arithmetic is truncating e6 products — each
+    * truncation loses < 10⁻⁶ and is replayed bit-identically by the
+    * oracle, so this is a hashable CONTRACT, not a float
+    * approximation. 21 rows from a range — no data scan at all.
+    */
+  def scurveTable(spark: SparkSession, nPoints: Int = ScurvePoints): DataFrame = {
+    val step = 1000000L / nPoints
+    val sr = powE6("s_e6", MinhashRowsPerBand)
+    spark
+      .range(0, nPoints + 1)
+      .select((col("id") * step).as("s_e6"))
+      .withColumn("p_band_e6", expr(sr))
+      .withColumn(
+        "p_candidate_e6",
+        expr(s"1000000 - ${powE6("(1000000 - p_band_e6)", MinhashBands)}"))
   }
 }

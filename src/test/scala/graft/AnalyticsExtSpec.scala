@@ -2337,4 +2337,30 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(got.size == daily.map(_._1).distinct.length)
   }
+
+  test("seasonal strength: BigInt moment replay over the decomposition frame; bounded") {
+    val got = AnalyticsExt.seasonalStrength(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val frame = AnalyticsExt.seasonalDecomp(spark, sf)
+      .selectExpr("event_type", "cents - trend_cents AS det",
+        "cents - seasonal_cents AS des", "remainder_cents AS rem")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    frame.groupBy(_._1).foreach { case (et, xs) =>
+      val n = BigInt(xs.length)
+      def v(sel: ((String, Long, Long, Long)) => Long): BigInt = {
+        val s = xs.map(x => BigInt(sel(x))).sum
+        val ss = xs.map(x => BigInt(sel(x)) * sel(x)).sum
+        n * ss - s * s
+      }
+      val vd = v(_._2).max(1)
+      val vs = v(_._3).max(1)
+      val vr = v(_._4)
+      val fs = (((vd - vr) * 1000000) / vd).max(0).toLong
+      val ft = (((vs - vr) * 1000000) / vs).max(0).toLong
+      assert(got(et) == ((xs.length.toLong, fs, ft)), et)
+      assert(fs >= 0 && fs <= 1000000L && ft >= 0 && ft <= 1000000L)
+    }
+    assert(got.size == frame.map(_._1).distinct.length)
+  }
 }

@@ -495,4 +495,22 @@ class DedupSpec extends SparkSpec {
     assert(planted.values.forall(_._2 >= 500000L), "planted pairs exact-jaccard >= 0.5")
     ev.unpersist()
   }
+
+  test("s-curve table: long-arithmetic replay; endpoints exact; curve dominates the band prob") {
+    val got = Dedup.scurveTable(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def pow(x: Long, p: Int): Long = (2 to p).foldLeft(x)((a, _) => a * x / 1000000L)
+    assert(got.length == Dedup.ScurvePoints + 1)
+    got.foreach { case (s, pb, pc) =>
+      assert(pb == pow(s, Dedup.MinhashRowsPerBand), s"s=$s band")
+      assert(pc == 1000000L - pow(1000000L - pb, Dedup.MinhashBands), s"s=$s cand")
+      assert(pc >= pb, "banding amplifies: candidate prob dominates one band's")
+    }
+    assert(got.head == ((0L, 0L, 0L)) && got.last == ((1000000L, 1000000L, 1000000L)))
+    // both columns monotone in s
+    got.sliding(2).foreach { w =>
+      assert(w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3)
+    }
+  }
 }
