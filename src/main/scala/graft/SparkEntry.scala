@@ -476,7 +476,26 @@ object SparkEntry {
     // LSH band/row S-curve tuning table (§2 #298)
     "dedup_scurve" -> ((s: SparkSession, _: String) => Dedup.scurveTable(s)),
     // Seasonal/trend strength F-statistics (§2 #299)
-    "q_seasonal_strength" -> (AnalyticsExt.seasonalStrength _)
+    "q_seasonal_strength" -> (AnalyticsExt.seasonalStrength _),
+    // Economic order quantity (§2 #300)
+    "q_eoq" -> ((s: SparkSession, d: String) => AnalyticsExt.eoq(s, d)),
+    // Nelson-Aalen cumulative hazard (§2 #301)
+    "q_nelson_aalen" -> ((s: SparkSession, d: String) => AnalyticsExt.nelsonAalen(s, d)),
+    // Log-rank two-sample survival test (§2 #302)
+    "q_logrank" -> ((s: SparkSession, d: String) => AnalyticsExt.logRank(s, d)),
+    // Lift / cumulative-gains table (§2 #303)
+    "q_lift_table" -> ((s: SparkSession, d: String) => AnalyticsExt.liftTable(s, d)),
+    // Brand-partition modularity of the co-purchase graph (§2 #304)
+    "q_modularity" -> ((s: SparkSession, d: String) => AnalyticsExt.modularity(s, d)),
+    // Discount elasticity OLS per brand (§2 #305)
+    "q_discount_elasticity" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.discountElasticity(s, d)),
+    // Frequent 3-itemsets from basket combinations (§2 #306)
+    "q_itemsets3" -> ((s: SparkSession, d: String) => AnalyticsExt.itemsets3(s, d)),
+    // Simpson lexical diversity per source (§2 #307)
+    "text_simpson" -> ((s: SparkSession, d: String) => TextStats.simpson(s, d)),
+    // Systematic sample over the salted-hash layout (§2 #308)
+    "q_systematic_sample" -> ((s: SparkSession, d: String) => Sampling.systematicSample(s, d))
   )
 
   /** The minhash universal-hash family as a DuckDB list expression:
@@ -6351,7 +6370,256 @@ object SparkEntry {
              AS n_colliding,
            CAST(sum(CASE WHEN n_in_bucket > 1 THEN n_in_bucket ELSE 0 END) * 1000000
              // sum(n_in_bucket) AS BIGINT) AS collision_rate_e6
-         FROM occ GROUP BY 1"""
+         FROM occ GROUP BY 1""",
+    "q_eoq" ->
+      // Wilson lot size on the integer grid: x = (2*D*S) // h with
+      // S = 10000 cents, then the #226 one-ulp isqrt clamp
+      """WITH d AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS demand_qty
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT d.l_partkey, d.demand_qty,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS h_cents
+           FROM d JOIN part p ON p.p_partkey = d.l_partkey
+           WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) >= 1
+             AND d.demand_qty >= 1),
+         x AS (
+           SELECT *, CAST((2 * CAST(demand_qty AS HUGEINT) * 10000) // h_cents AS BIGINT) AS x
+           FROM j),
+         r AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM x),
+         c AS (
+           SELECT l_partkey, demand_qty, h_cents,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS eoq_qty
+           FROM r)
+         SELECT l_partkey, demand_qty, h_cents, eoq_qty,
+           CASE WHEN eoq_qty > 0 THEN demand_qty // eoq_qty ELSE NULL END AS n_orders_implied
+         FROM c""",
+    "q_nelson_aalen" ->
+      // #234's step table + e9-truncated per-step hazard increments
+      """WITH bc AS (
+           SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0,
+             max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m1
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(m1) AS mmax FROM bc),
+         lf AS (
+           SELECT CAST(m1 - m0 AS BIGINT) AS t,
+             CASE WHEN m1 < mmax - 2 THEN 1 ELSE 0 END AS death
+           FROM bc, mx),
+         bt AS (
+           SELECT t, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(death) AS BIGINT) AS d
+           FROM lf GROUP BY 1),
+         wr AS (
+           SELECT t, d,
+             CAST(sum(cnt) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+           FROM bt)
+         SELECT t, n AS n_risk, d,
+           (d * 1000000000) // n AS hazard_e9,
+           CAST(sum((d * 1000000000) // n) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_e9
+         FROM wr""",
+    "q_logrank" ->
+      // per-step hypergeometric E and V as e9-truncated HUGEINT
+      // quotients; chi2 on the e6 grid from the summed integer terms
+      """WITH bc AS (
+           SELECT o.o_custkey,
+             min(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m0,
+             max(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m1,
+             max(c.c_mktsegment) AS seg
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+         mx AS (SELECT max(m1) AS mmax FROM bc),
+         lf AS (
+           SELECT CAST(m1 - m0 AS BIGINT) AS t,
+             CASE WHEN m1 < mmax - 2 THEN 1 ELSE 0 END AS death,
+             CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+           FROM bc, mx),
+         bt AS (
+           SELECT t,
+             CAST(sum(is_a) AS BIGINT) AS cnt_a,
+             CAST(count(*) - sum(is_a) AS BIGINT) AS cnt_b,
+             CAST(sum(death * is_a) AS BIGINT) AS d_a,
+             CAST(sum(death * (1 - is_a)) AS BIGINT) AS d_b
+           FROM lf GROUP BY 1),
+         sfx AS (
+           SELECT *,
+             CAST(sum(cnt_a) OVER w AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) OVER w AS BIGINT) AS n_b
+           FROM bt
+           WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         st AS (SELECT *, d_a + d_b AS dd, n_a + n_b AS nn FROM sfx),
+         terms AS (
+           SELECT *,
+             CASE WHEN dd > 0 AND nn > 1
+               THEN CAST((CAST(dd AS HUGEINT) * n_a * 1000000000) // nn AS BIGINT)
+               ELSE 0 END AS e_a_e9,
+             CASE WHEN dd > 0 AND nn > 1
+               THEN CAST((CAST(dd AS HUGEINT) * n_a * n_b * (nn - dd) * 1000000000)
+                    // (CAST(nn AS HUGEINT) * nn * (nn - 1)) AS BIGINT)
+               ELSE 0 END AS v_e9
+           FROM st),
+         agg AS (
+           SELECT CAST(sum(cnt_a) AS BIGINT) AS n_cust_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_cust_b,
+             CAST(sum(d_a) AS BIGINT) AS o_a, CAST(sum(d_b) AS BIGINT) AS o_b,
+             CAST(sum(e_a_e9) AS BIGINT) AS e_a_e9, CAST(sum(v_e9) AS BIGINT) AS v_e9
+           FROM terms)
+         SELECT n_cust_a, n_cust_b, o_a, o_b, e_a_e9, v_e9,
+           CASE WHEN v_e9 > 0 THEN
+             CAST((CAST(o_a AS HUGEINT) * 1000000000 - e_a_e9)
+                  * (CAST(o_a AS HUGEINT) * 1000000000 - e_a_e9) // v_e9 // 1000 AS BIGINT)
+           ELSE NULL END AS chi2_e6
+         FROM agg""",
+    "q_lift_table" ->
+      // #232's hierarchical strictly-above prefix (desc), tie-block
+      // deciles, e6 rates/lifts through HUGEINT
+      """WITH bv AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM orders GROUP BY 1),
+         b AS (SELECT min(v) AS lo, max(v) AS hi FROM bv),
+         sh AS (SELECT bv.*, ((hi - v) * 8) // (hi - lo + 1) AS shard FROM bv, b),
+         loc AS (
+           SELECT *, COALESCE(sum(n_rows) OVER (PARTITION BY shard ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_above
+           FROM sh),
+         osh AS (SELECT shard, sum(n_rows) AS c FROM sh GROUP BY 1),
+         ofs AS (
+           SELECT shard, COALESCE(sum(c) OVER (ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM osh),
+         tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nt,
+                   CAST(sum(n_pos) AS BIGINT) AS pt FROM bv),
+         dec AS (
+           SELECT ((off + local_above) * 10) // nt AS decile, l.n_rows, l.n_pos
+           FROM loc l JOIN ofs USING (shard), tot),
+         g AS (SELECT decile, CAST(sum(n_rows) AS BIGINT) AS n,
+                 CAST(sum(n_pos) AS BIGINT) AS n_pos
+               FROM dec GROUP BY 1),
+         cum AS (
+           SELECT *, CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+           FROM g WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS rate_e6,
+           CAST((CAST(n_pos AS HUGEINT) * nt * 1000000)
+             // (CAST(n AS HUGEINT) * pt) AS BIGINT) AS lift_e6,
+           CAST(cum_pos * 1000000 // pt AS BIGINT) AS cum_gain_e6,
+           CAST((CAST(cum_pos AS HUGEINT) * nt * 1000000)
+             // (CAST(cum_n AS HUGEINT) * pt) AS BIGINT) AS cum_lift_e6
+         FROM cum, tot""",
+    "q_modularity" ->
+      // distinct basket edges, brand labels, per-brand Newman
+      // contribution (4m*m_c - deg_c^2) with the sign-factored e6 div
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         lab AS (
+           SELECT e.part_a, e.part_b, pa.p_brand AS brand_a, pb.p_brand AS brand_b
+           FROM e JOIN part pa ON pa.p_partkey = e.part_a
+                  JOIN part pb ON pb.p_partkey = e.part_b),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+         intra AS (
+           SELECT brand_a AS p_brand, CAST(count(*) AS BIGINT) AS intra_edges
+           FROM lab WHERE brand_a = brand_b GROUP BY 1),
+         ends AS (
+           SELECT part_a AS node, brand_a AS p_brand FROM lab
+           UNION ALL
+           SELECT part_b AS node, brand_b AS p_brand FROM lab),
+         deg AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS deg_sum,
+             CAST(count(DISTINCT node) AS BIGINT) AS n_parts
+           FROM ends GROUP BY 1)
+         SELECT d.p_brand, d.n_parts,
+           CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges, d.deg_sum,
+           CAST(4 * CAST(m.m AS HUGEINT) * COALESCE(i.intra_edges, 0)
+                - CAST(d.deg_sum AS HUGEINT) * d.deg_sum AS BIGINT) AS contrib_num,
+           CAST((CASE WHEN 4 * CAST(m.m AS HUGEINT) * COALESCE(i.intra_edges, 0)
+                           - CAST(d.deg_sum AS HUGEINT) * d.deg_sum < 0 THEN -1 ELSE 1 END)
+                * (abs(4 * CAST(m.m AS HUGEINT) * COALESCE(i.intra_edges, 0)
+                       - CAST(d.deg_sum AS HUGEINT) * d.deg_sum) * 1000000
+                   // (4 * CAST(m.m AS HUGEINT) * m.m)) AS BIGINT) AS contrib_e6
+         FROM deg d LEFT JOIN intra i ON i.p_brand = d.p_brand, m""",
+    "q_discount_elasticity" ->
+      // per-brand OLS slope of qty on the e2 discount grid; HUGEINT
+      // moments, sign-factored truncating e6 quotient
+      """WITH pts AS (
+           SELECT p.p_brand,
+             CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         m AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM pts GROUP BY 1),
+         nd AS (
+           SELECT p_brand, n,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den
+           FROM m)
+         SELECT p_brand, n, num, den,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * (abs(CAST(num AS HUGEINT)) * 1000000 // den) AS BIGINT) AS slope_e6
+         FROM nd WHERE den > 0""",
+    "q_itemsets3" ->
+      // 3-way distinct-basket join with the full-key tiebreak
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+           CAST(count(*) AS BIGINT) AS support
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+         JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+           ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+         JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+           ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+         GROUP BY 1, 2, 3
+         ORDER BY support DESC, part_a, part_b, part_c LIMIT 25""",
+    "text_simpson" ->
+      // #197's per-source term counts; both quotients single HUGEINT
+      // divisions
+      """WITH td AS (
+           SELECT source, unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM td GROUP BY 1, 2),
+         ag AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+           FROM tc GROUP BY 1)
+         SELECT source, vocab_size, n_tokens, CAST(rep AS BIGINT) AS repeat_pairs,
+           CAST((rep * 1000000000)
+             // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) AS simpson_e9,
+           CASE WHEN rep > 0 THEN
+             CAST((CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000) // rep AS BIGINT)
+           ELSE NULL END AS inv_simpson_e3
+         FROM ag WHERE n_tokens > 1""",
+    "q_systematic_sample" ->
+      // #95's layout (salted md5-hash order, shard + offset carry),
+      // every stride-th global index
+      """WITH t AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('graft-systematic-1:' || doc_id), 1, 15))::BIGINT AS ord
+           FROM documents),
+         laid AS (
+           SELECT doc_id, ord % 8 AS shard,
+             row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) - 1 AS pos
+           FROM t),
+         osh AS (SELECT shard, CAST(count(*) AS BIGINT) AS c FROM laid GROUP BY 1),
+         ofs AS (
+           SELECT shard, COALESCE(sum(c) OVER (ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM osh),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM osh)
+         SELECT l.doc_id, CAST(off + pos AS BIGINT) AS idx,
+           CAST(greatest(1, n // 200) AS BIGINT) AS stride
+         FROM laid l JOIN ofs USING (shard), tot
+         WHERE (off + pos) % greatest(1, n // 200) = 0"""
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

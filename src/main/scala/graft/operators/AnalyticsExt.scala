@@ -4570,4 +4570,409 @@ object AnalyticsExt {
         expr("""CAST(CAST(dow_cents div n_days AS DECIMAL(38,0)) * 1000000
                  div (tc div td) AS BIGINT)""").as("index_e6"))
   }
+
+  /** #300 Economic order quantity: per part, the Wilson lot size
+    * q* = √(2·D·S / h) that balances ordering cost against holding
+    * cost — the classical inventory-policy read-out that completes
+    * #256's WHEN (reorder point) with the HOW MUCH. D = corpus demand
+    * (the same rounded-qty grid as #256), S = a 10 000-cent fixed
+    * order cost, h = the part's retail price in cents (value-
+    * proportional holding, the textbook convention). All-integer:
+    * x = (2·D·S) div h on DECIMAL(38,0), then the #226 one-ulp-clamp
+    * EXACT integer sqrt — identical in both engines. Implied order
+    * count = D div q*. One aggregate + one dim join, linear, no
+    * windows.
+    */
+  def eoq(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey")
+      .agg(sum("q").as("demand_qty"))
+      .join(
+        Tables
+          .part(spark, dir)
+          .select(
+            col("p_partkey").as("l_partkey"),
+            expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("h_cents")),
+        "l_partkey")
+      .filter(col("h_cents") >= 1 && col("demand_qty") >= 1)
+      .withColumn(
+        "x",
+        expr("CAST((2 * CAST(demand_qty AS DECIMAL(38,0)) * 10000) div h_cents AS BIGINT)"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "eoq_qty",
+        expr("""s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                   - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END)"""))
+      .select(
+        col("l_partkey"),
+        col("demand_qty"),
+        col("h_cents"),
+        col("eoq_qty"),
+        expr("CASE WHEN eoq_qty > 0 THEN demand_qty div eoq_qty ELSE NULL END")
+          .as("n_orders_implied"))
+
+  /** The (lifetime-month, at-risk, deaths) step table shared by #234
+    * Kaplan-Meier, #301 Nelson-Aalen and #302 log-rank: per-customer
+    * lifetimes in whole months with right-censoring inside the
+    * `censorMonths` horizon, aggregated per lifetime t with the
+    * at-risk suffix count n(t) = Σ_{u≥t} cnt(u). The suffix window is
+    * global but rides a PER-LIFETIME-MONTH aggregate (≤ #calendar-
+    * months rows) — the documented KM exception class in
+    * PlanDisciplineSpec.
+    */
+  private def survivalSteps(spark: SparkSession, dir: String, censorMonths: Int): DataFrame = {
+    val byCust = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").cast("long").as("m"))
+      .groupBy("o_custkey")
+      .agg(min("m").as("m0"), max("m").as("m1"))
+    val corpusMax = byCust.agg(max("m1").as("mmax"))
+    byCust
+      .crossJoin(broadcast(corpusMax))
+      .select(
+        (col("m1") - col("m0")).as("t"),
+        (col("m1") < col("mmax") - censorMonths).cast("long").as("death"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum("death").as("d"))
+      .withColumn(
+        "n",
+        sum("cnt").over(
+          Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+  }
+
+  /** #301 Nelson–Aalen cumulative hazard: H(t) = Σ_{u≤t} d_u/n_u over
+    * #234's step table — the estimator survival analysis reads when
+    * the HAZARD (instantaneous churn intensity) is the quantity of
+    * interest rather than the survival probability; its slope changes
+    * are where retention interventions show up first. Exact/
+    * deterministic: each increment is the e9-truncated quotient
+    * (d·10⁹) div n, and the cumulative sum runs over those integers —
+    * bit-identical in both engines (a float Σd/n would not be). The
+    * prefix fold reuses #234's bounded-model-state shape: the
+    * ≤ #calendar-months step table collapses to one array scalar and
+    * the cumsum is a codegen'd `aggregate` over `slice` per step, so
+    * the plan carries exactly ONE global window (the shared at-risk
+    * suffix — the documented KM exception).
+    */
+  def nelsonAalen(spark: SparkSession, dir: String, censorMonths: Int = 2): DataFrame =
+    survivalSteps(spark, dir, censorMonths)
+      .select(col("t"), col("n"), col("d"))
+      .agg(expr("sort_array(collect_list(named_struct('t', t, 'n', n, 'd', d)))").as("steps"))
+      .select(
+        explode(
+          expr("""transform(steps, (x, i) -> named_struct(
+                    't', x.t, 'n_risk', x.n, 'd', x.d,
+                    'hazard_e9', (x.d * 1000000000L) div x.n,
+                    'cum_hazard_e9', aggregate(slice(steps, 1, i + 1), 0L,
+                                       (acc, y) -> acc + (y.d * 1000000000L) div y.n)))"""))
+          .as("s"))
+      .select(col("s.t"), col("s.n_risk"), col("s.d"), col("s.hazard_e9"), col("s.cum_hazard_e9"))
+
+  /** #302 Log-rank test: is the survival experience of BUILDING-
+    * segment customers different from everyone else's? The standard
+    * two-sample censored-data test (Mantel 1966) behind every
+    * retention A/B readout — at each death time the observed group-A
+    * deaths are compared with the hypergeometric expectation
+    * E = d·n_a/n, variance V = d·(n_a/n)·(n_b/n)·(n−d)/(n−1), and
+    * χ² = (O−E)²/ΣV. Exact/deterministic: per-step E and V are
+    * e9-truncated integer quotients through DECIMAL(38,0) (the #245
+    * per-term-truncation discipline — summing floats would diverge
+    * across engines), and the final χ² lands on the e6 grid via one
+    * integer division chain. Steps with n ≤ 1 or d = 0 contribute
+    * nothing, exactly as in the textbook statistic. Scale shape: one
+    * per-customer aggregate, one ≤#months pivot, ONE global window
+    * (both suffix sums share a frame) over the bounded step table —
+    * the documented KM exception class.
+    */
+  def logRank(spark: SparkSession, dir: String, censorMonths: Int = 2): DataFrame = {
+    val byCust = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").cast("long").as("m"))
+      .groupBy("o_custkey")
+      .agg(min("m").as("m0"), max("m").as("m1"))
+      .join(
+        Tables
+          .customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+    val corpusMax = byCust.agg(max("m1").as("mmax"))
+    val byT = byCust
+      .crossJoin(broadcast(corpusMax))
+      .select(
+        (col("m1") - col("m0")).as("t"),
+        (col("m1") < col("mmax") - censorMonths).cast("long").as("death"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("is_a"))
+      .groupBy("t")
+      .agg(
+        sum("is_a").as("cnt_a"),
+        (count(lit(1)) - sum("is_a")).as("cnt_b"),
+        sum(col("death") * col("is_a")).as("d_a"),
+        sum(col("death") * (lit(1L) - col("is_a"))).as("d_b"))
+    val wSuffix = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byT
+      .withColumn("n_a", sum("cnt_a").over(wSuffix))
+      .withColumn("n_b", sum("cnt_b").over(wSuffix))
+      .withColumn("dd", col("d_a") + col("d_b"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn(
+        "e_a_e9",
+        expr("""CASE WHEN dd > 0 AND nn > 1
+                 THEN CAST((CAST(dd AS DECIMAL(38,0)) * n_a * 1000000000) div nn AS BIGINT)
+                 ELSE 0L END"""))
+      .withColumn(
+        "v_e9",
+        expr("""CASE WHEN dd > 0 AND nn > 1
+                 THEN CAST((CAST(dd AS DECIMAL(38,0)) * n_a * n_b * (nn - dd) * 1000000000)
+                      div (CAST(nn AS DECIMAL(38,0)) * nn * (nn - 1)) AS BIGINT)
+                 ELSE 0L END"""))
+      .agg(
+        sum("cnt_a").as("n_cust_a"),
+        sum("cnt_b").as("n_cust_b"),
+        sum("d_a").as("o_a"),
+        sum("d_b").as("o_b"),
+        sum("e_a_e9").as("e_a_e9"),
+        sum("v_e9").as("v_e9"))
+      .select(
+        col("n_cust_a"),
+        col("n_cust_b"),
+        col("o_a"),
+        col("o_b"),
+        col("e_a_e9"),
+        col("v_e9"),
+        expr("""CASE WHEN v_e9 > 0 THEN
+                 CAST((CAST(o_a AS DECIMAL(38,0)) * 1000000000 - e_a_e9)
+                      * (CAST(o_a AS DECIMAL(38,0)) * 1000000000 - e_a_e9)
+                      div v_e9 div 1000 AS BIGINT)
+                ELSE NULL END""").as("chi2_e6"))
+  }
+
+  /** #303 Lift / gains table: order value as a propensity score for
+    * order completion, read as the 10-decile lift chart every
+    * targeting campaign is sized from — per decile the response rate,
+    * lift over base rate, and cumulative gains ("the top 30% of
+    * scores capture X% of responders"). Completes the evaluation
+    * family's score tooling: #232 AUC says the score ranks, #233
+    * calibration says the magnitude means something, this prices the
+    * CUTOFF decision.
+    *
+    * Deciles are TIE-BLOCK deciles on the exact integer rank: rows
+    * collapse per distinct score first, the strictly-above prefix is
+    * built hierarchically (#232's monotone score-shard + within-shard
+    * cumsum + ≤nShards offset carry — no global data window), and
+    * decile = (rows_above·10) div N, so tied scores land in one
+    * decile deterministically in both engines. Rates/lifts are e6
+    * integer quotients through DECIMAL(38,0). The only global window
+    * is the cumulative sum over the ≤10-row decile aggregate
+    * (documented in PlanDisciplineSpec).
+    */
+  def liftTable(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val byVal = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_rows"), sum("pos").as("n_pos"))
+    val bounds = byVal.agg(min("v").as("lo"), max("v").as("hi"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((hi - v) * $nShards) div (hi - lo + 1)"))
+      .localCheckpoint(eager = false)
+    val local = sharded.withColumn(
+      "local_above",
+      coalesce(
+        sum("n_rows").over(
+          Window
+            .partitionBy("shard")
+            .orderBy(col("v").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("n_rows").as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val tot = byVal.agg(sum("n_rows").as("nt"), sum("n_pos").as("pt"))
+    val deciles = local
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((off + local_above) * 10) div nt"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_scores"),
+        sum("n_rows").as("n"),
+        sum("n_pos").as("n_pos"),
+        max("nt").as("nt"),
+        max("pt").as("pt"))
+    deciles
+      .withColumn(
+        "cum_n",
+        sum("n").over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn(
+        "cum_pos",
+        sum("n_pos").over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("decile"),
+        col("n"),
+        col("n_pos"),
+        expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("rate_e6"),
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * nt * 1000000) div (CAST(n AS DECIMAL(38,0)) * pt) AS BIGINT)")
+          .as("lift_e6"),
+        expr("CAST(cum_pos * 1000000 div pt AS BIGINT)").as("cum_gain_e6"),
+        expr("""CAST((CAST(cum_pos AS DECIMAL(38,0)) * nt * 1000000)
+                 div (CAST(cum_n AS DECIMAL(38,0)) * pt) AS BIGINT)""").as("cum_lift_e6"))
+  }
+
+  /** #304 Partition modularity of the co-purchase graph: does the
+    * BRAND partition explain the basket network? Newman modularity
+    * Q = Σ_c [m_c/m − (deg_c/2m)²] per community, the quality score
+    * behind every community-detection readout — here scoring a GIVEN
+    * business partition (brand) rather than a discovered one, the
+    * assortment question "are same-brand parts actually bought
+    * together". Exact: per-brand contribution on the e6 grid as the
+    * signed quotient (4m·m_c − deg_c²)·10⁶ div (4m²) through
+    * DECIMAL(38,0) (deg_c² crosses 2⁶³ at warehouse scale); Σ over
+    * brands of the UNDIVIDED numerators is pinned to Q's exact
+    * rational form in the spec. Scale shape: edges come from
+    * per-order basket combinations (#89's bounded explode — never a
+    * fact self-join), deduped once; m is a 1-row broadcast; degree
+    * and intra-edge counts are two linear aggregates + one dim join.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val brand = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val labeled = edges
+      .join(brand.select(col("p_partkey").as("part_a"), col("p_brand").as("brand_a")), "part_a")
+      .join(brand.select(col("p_partkey").as("part_b"), col("p_brand").as("brand_b")), "part_b")
+    val m = labeled.agg(count(lit(1)).as("m"))
+    val intra = labeled
+      .filter(col("brand_a") === col("brand_b"))
+      .groupBy(col("brand_a").as("p_brand"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = labeled
+      .select(explode(array(
+        struct(col("part_a").as("node"), col("brand_a").as("p_brand")),
+        struct(col("part_b").as("node"), col("brand_b").as("p_brand")))).as("e"))
+      .select(col("e.node"), col("e.p_brand"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("deg_sum"), countDistinct("node").as("n_parts"))
+    deg
+      .join(intra, Seq("p_brand"), "left")
+      .na
+      .fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select(
+        col("p_brand"),
+        col("n_parts"),
+        col("intra_edges"),
+        col("deg_sum"),
+        expr("""CAST(4 * CAST(m AS DECIMAL(38,0)) * intra_edges
+                     - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum AS BIGINT)""").as("contrib_num"),
+        expr("""CAST(CASE WHEN 4 * CAST(m AS DECIMAL(38,0)) * intra_edges
+                          - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum < 0 THEN -1 ELSE 1 END
+                 * (abs(4 * CAST(m AS DECIMAL(38,0)) * intra_edges
+                        - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 1000000
+                    div (4 * CAST(m AS DECIMAL(38,0)) * m)) AS BIGINT)""").as("contrib_e6"))
+  }
+
+  /** #305 Discount elasticity: per brand, the OLS slope of line-item
+    * quantity on the discount level — "does a deeper discount move
+    * volume for this brand", the first-order pricing read every
+    * promo analysis starts from (a near-zero slope says the discount
+    * is subsidy, not stimulus). Same exact-integer OLS discipline as
+    * #159/#231: x = discount on the e2 grid, y = rounded qty, slope
+    * numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² through
+    * DECIMAL(38,0), slope on the e6 grid as a sign-factored
+    * truncating quotient (`div` ↔ `//` replay identically through
+    * negatives). One join + one aggregate per brand, linear, no
+    * windows; brands with a degenerate x spread (den = 0) are
+    * filtered as slope-undefined.
+    */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("y"))
+      .join(
+        Tables.part(spark, dir).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn(
+        "num",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)"))
+      .withColumn(
+        "den",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"))
+      .filter(col("den") > 0)
+      .select(
+        col("p_brand"),
+        col("n"),
+        col("num"),
+        col("den"),
+        expr("""CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                 * (abs(CAST(num AS DECIMAL(38,0))) * 1000000 div den) AS BIGINT)""")
+          .as("slope_e6"))
+
+  /** #306 Frequent triples (3-itemsets): the top part triples by
+    * basket co-occurrence — one apriori rung above #89's pairs, the
+    * bundle-building signal ("these THREE ship together") behind
+    * cross-sell kits. Scale shape: the 3-combination fan-out happens
+    * INSIDE each order's sorted distinct-part array (baskets are
+    * small and bounded, ≤ C(|basket|,3) ≈ 35 structs per order at
+    * TPC-H shape) — linear in orders, never a triple self-join of
+    * the fact table, which is the classic itemset scale-killer. One
+    * groupBy count + TakeOrdered top-k with the full-key tiebreak.
+    */
+  def itemsets3(spark: SparkSession, dir: String, topK: Int = 25): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+      .filter(size(col("parts")) >= 3)
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 flatten(transform(slice(parts, i + 2, size(parts)), (y, j) ->
+                   transform(slice(parts, i + j + 3, size(parts)),
+                     z -> named_struct('part_a', x, 'part_b', y, 'part_c', z))))))"""))
+          .as("t"))
+      .select(col("t.part_a"), col("t.part_b"), col("t.part_c"))
+      .groupBy("part_a", "part_b", "part_c")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"), col("part_c"))
+      .limit(topK)
 }

@@ -631,6 +631,50 @@ object Sampling {
       .select(col("doc_id"), col("epoch").cast("long").as("epoch"), col("shard"), col("pos"))
   }
 
+  /** #300-family systematic sample: lay the corpus out in a salted-
+    * hash pseudo-random order and take every stride-th document —
+    * the classical systematic design (one random start, fixed step)
+    * that guarantees an EVENLY SPACED draw through the permuted
+    * corpus, the property plain Bernoulli sampling lacks (its gaps
+    * are geometric). stride = max(1, N div k) for a ~k-doc sample.
+    * Content-addressed and reproducible like every sampler here.
+    *
+    * Scale shape: the global position is never built with a global
+    * sort — #95's layout verbatim: per-shard rank (partitioned
+    * window) + the ≤nShards-row shard-size offset carry (whitelisted
+    * shard-carry frame), so global_idx = offset(shard) + pos is a
+    * true permutation index assembled from bounded pieces.
+    */
+  def systematicSample(spark: SparkSession, dir: String, k: Int = 200, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    val laid = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        Dedup.hash60(concat(lit("graft-systematic-1:"), col("doc_id"))).as("ord"))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+    val offsets = laid
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"), col("c"))
+    val tot = offsets.agg(sum("c").as("n"))
+    laid
+      .join(broadcast(offsets.select("shard", "off")), "shard")
+      .crossJoin(broadcast(tot))
+      .withColumn("idx", col("off") + col("pos"))
+      .withColumn("stride", greatest(lit(1L), expr(s"n div $k")))
+      .filter(expr("idx % stride = 0"))
+      .select(col("doc_id"), col("idx"), col("stride"))
+  }
+
   def shuffleOrder(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)

@@ -521,6 +521,42 @@ object TextStats {
         col("n_tokens"),
         expr("(n_hapax * 1000000) div vocab_size").as("hapax_rate_e6"))
 
+  /** #300-family Simpson lexical diversity: per source, Simpson's
+    * concentration λ = Σ nᵢ(nᵢ−1) / (N(N−1)) over the term-frequency
+    * distribution and its inverse ("effective vocabulary" — how many
+    * equally-common terms would produce the same repeat probability).
+    * The diversity scalar beside #197's hapax curve and #204's Zipf
+    * slope: λ is literally P(two random tokens are the same term),
+    * so it reads as repetition at the CORPUS level where #67 reads it
+    * per document. Exact: both quotients are single integer divisions
+    * through DECIMAL(38,0) ↔ HUGEINT (Σnᵢ(nᵢ−1) crosses 2⁶³ on
+    * web-scale sources); tokenization is #30's shared convention.
+    * Two linear aggregates, no windows, no sort.
+    */
+  def simpson(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum("c").as("n_tokens"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("rep"))
+      .filter(col("n_tokens") > 1)
+      .select(
+        col("source"),
+        col("vocab_size"),
+        col("n_tokens"),
+        expr("CAST(rep AS BIGINT)").as("repeat_pairs"),
+        expr("""CAST((rep * 1000000000)
+                 div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)""")
+          .as("simpson_e9"),
+        expr("""CASE WHEN rep > 0 THEN
+                 CAST((CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) * 1000) div rep AS BIGINT)
+                ELSE NULL END""").as("inv_simpson_e3"))
+
   /** #218 RAKE keyword extraction: candidate phrases are the maximal
     * stopword-free token runs (gaps-and-islands per doc), every word
     * scores degree/frequency over those phrases (degree = Σ phrase

@@ -2363,4 +2363,199 @@ class AnalyticsExtSpec extends SparkSpec {
     }
     assert(got.size == frame.map(_._1).distinct.length)
   }
+
+  test("eoq: exact isqrt replay per part; implied orders identity") {
+    val got = AnalyticsExt.eoq(spark, sf).collect()
+    assert(got.nonEmpty)
+    val demand = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+      .groupBy("l_partkey").sum("q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val price = Tables.part(spark, sf)
+      .selectExpr("p_partkey", "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (pk, d, h, e) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d == demand(pk) && h == price(pk))
+      val x = (BigInt(2) * d * 10000) / h
+      assert(BigInt(e) * e <= x && (BigInt(e) + 1) * (BigInt(e) + 1) > x, s"isqrt at part $pk")
+      if (e > 0) assert(r.getLong(4) == d / e) else assert(r.isNullAt(4))
+    }
+  }
+
+  test("nelson-aalen: per-step e9 hazard replay; cumulative is the exact running sum") {
+    val got = AnalyticsExt.nelsonAalen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // independent lifetime replay
+    val byCust = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m")
+      .groupBy("o_custkey").agg(org.apache.spark.sql.functions.expr("min(m) AS m0"),
+        org.apache.spark.sql.functions.expr("max(m) AS m1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val mmax = byCust.map(_._2).max
+    val steps = byCust
+      .map { case (m0, m1) => (m1 - m0, if (m1 < mmax - 2) 1L else 0L) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    var atRisk = steps.map(_._2).sum
+    var cum = 0L
+    steps.zip(got).foreach { case ((t, cnt, d), (gt, gn, gd, ghz, gcum)) =>
+      assert(gt == t && gn == atRisk && gd == d)
+      val hz = d * 1000000000L / atRisk
+      cum += hz
+      assert(ghz == hz && gcum == cum)
+      atRisk -= cnt
+    }
+  }
+
+  test("logrank: full BigInt replay; chi2 nonnegative; group counts conserve customers") {
+    val r = AnalyticsExt.logRank(spark, sf).collect().head
+    val rows = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(
+        org.apache.spark.sql.functions.expr("CAST(min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS BIGINT) AS m0"),
+        org.apache.spark.sql.functions.expr("CAST(max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS BIGINT) AS m1"))
+      .join(Tables.customer(spark, sf)
+        .selectExpr("c_custkey AS o_custkey", "c_mktsegment"), "o_custkey")
+      .selectExpr("m0", "m1", "CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS a")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mmax = rows.map(_._2).max
+    val lifes = rows.map { case (m0, m1, a) => (m1 - m0, if (m1 < mmax - 2) 1L else 0L, a) }
+    val byT = lifes.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._3 == 1L).toLong, xs.count(_._3 == 0L).toLong,
+        xs.filter(_._3 == 1L).map(_._2).sum, xs.filter(_._3 == 0L).map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    var (na, nb) = (byT.map(_._2).sum, byT.map(_._3).sum)
+    var (ea, ve) = (BigInt(0), BigInt(0))
+    byT.foreach { case (_, ca, cb, da, db) =>
+      val (dd, nn) = (da + db, na + nb)
+      if (dd > 0 && nn > 1) {
+        ea += BigInt(dd) * na * 1000000000L / nn
+        ve += BigInt(dd) * na * nb * (nn - dd) * 1000000000L / (BigInt(nn) * nn * (nn - 1))
+      }
+      na -= ca; nb -= cb
+    }
+    val (oa, ob) = (byT.map(_._4).sum, byT.map(_._5).sum)
+    assert(r.getLong(0) == byT.map(_._2).sum && r.getLong(1) == byT.map(_._3).sum)
+    assert(r.getLong(2) == oa && r.getLong(3) == ob)
+    assert(BigInt(r.getLong(4)) == ea && BigInt(r.getLong(5)) == ve)
+    val dev = BigInt(oa) * 1000000000L - ea
+    assert(BigInt(r.getLong(6)) == dev * dev / ve / 1000)
+    assert(r.getLong(6) >= 0L)
+  }
+
+  test("lift table: tie-block decile replay; gains close at exactly 1e6; counts conserve") {
+    val got = AnalyticsExt.liftTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).sortBy(_._1)
+    val scored = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v",
+        "CAST(o_orderstatus = 'F' AS BIGINT) AS pos")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val nt = scored.length.toLong
+    val pt = scored.map(_._2).sum
+    // tie-block decile: rows with strictly higher v, times 10, div N
+    val byV = scored.groupBy(_._1).map { case (v, xs) =>
+      (v, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(-_._1)
+    var above = 0L
+    val decAgg = collection.mutable.Map[Long, (Long, Long)]().withDefaultValue((0L, 0L))
+    byV.foreach { case (_, cnt, p) =>
+      val d = above * 10 / nt
+      val (n0, p0) = decAgg(d)
+      decAgg(d) = (n0 + cnt, p0 + p)
+      above += cnt
+    }
+    assert(got.map(_._1).toSeq == decAgg.keys.toSeq.sorted)
+    var (cumN, cumP) = (0L, 0L)
+    got.foreach { case (d, n, np, rate, lift, gain, clift) =>
+      val (wn, wp) = decAgg(d)
+      assert(n == wn && np == wp)
+      cumN += n; cumP += np
+      assert(rate == np * 1000000L / n)
+      assert(lift == (BigInt(np) * nt * 1000000 / (BigInt(n) * pt)).toLong)
+      assert(gain == cumP * 1000000L / pt)
+      assert(clift == (BigInt(cumP) * nt * 1000000 / (BigInt(cumN) * pt)).toLong)
+    }
+    assert(cumN == nt && cumP == pt)
+    assert(got.last._6 == 1000000L, "cumulative gains close at 1e6")
+  }
+
+  test("modularity: per-brand replay; sum of degrees = 2m; Q numerators sum within [-4m2, 4m2]") {
+    val got = AnalyticsExt.modularity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val baskets = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val edges = baskets.flatMap(ps => ps.combinations(2).map(x => (x(0), x(1)))).toSet
+    val brand = Tables.part(spark, sf).selectExpr("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = edges.size.toLong
+    val intra = edges.toSeq.filter { case (a, b) => brand(a) == brand(b) }
+      .groupBy { case (a, _) => brand(a) }.map { case (k, v) => k -> v.size.toLong }
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(brand(a) -> a, brand(b) -> b) }
+    val degSum = deg.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nParts = deg.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size.toLong }
+    assert(got.map(_._4).sum == 2 * m, "sum of degrees = 2m")
+    got.foreach { case (b, np, ie, ds, num, e6) =>
+      assert(np == nParts(b) && ie == intra.getOrElse(b, 0L) && ds == degSum(b))
+      val want = BigInt(4) * m * ie - BigInt(ds) * ds
+      assert(BigInt(num) == want)
+      val div = BigInt(4) * m * m
+      val wantE6 = (if (want < 0) -1 else 1) * (want.abs * 1000000 / div)
+      assert(BigInt(e6) == wantE6)
+    }
+    val q = got.map(x => BigInt(x._5)).sum
+    assert(q.abs <= BigInt(4) * m * m, "Q in [-1, 1]")
+  }
+
+  test("discount elasticity: BigInt moment replay; slope sign follows the numerator") {
+    val got = AnalyticsExt.discountElasticity(spark, sf).collect()
+    assert(got.nonEmpty)
+    val pts = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).selectExpr("p_partkey AS l_partkey", "p_brand"), "l_partkey")
+      .selectExpr("p_brand", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.foreach { r =>
+      val xs = pts(r.getString(0))
+      val n = BigInt(xs.length)
+      val sx = BigInt(xs.map(_._2).sum)
+      val sy = BigInt(xs.map(_._3).sum)
+      val sxy = xs.map(p => BigInt(p._2) * p._3).sum
+      val sxx = xs.map(p => BigInt(p._2) * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      assert(BigInt(r.getLong(2)) == num && BigInt(r.getLong(3)) == den && den > 0)
+      val want = (if (num < 0) -1 else 1) * (num.abs * 1000000 / den)
+      assert(BigInt(r.getLong(4)) == want)
+      assert((r.getLong(4) < 0) == (num < 0) || num == 0)
+    }
+  }
+
+  test("itemsets3: triple support replay; apriori bound vs pair supports; top-k total order") {
+    val got = AnalyticsExt.itemsets3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted.toList).toSeq
+    val triples = baskets.flatMap(_.combinations(3))
+      .groupBy(identity).map { case (k, v) => (k(0), k(1), k(2)) -> v.size.toLong }
+    val pairs = baskets.flatMap(_.combinations(2))
+      .groupBy(identity).map { case (k, v) => (k(0), k(1)) -> v.size.toLong }
+    val wantTop = triples.toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(25)
+      .map { case ((a, b, c), s) => (a, b, c, s) }
+    assert(got.toSeq == wantTop)
+    got.foreach { case (a, b, c, s) =>
+      assert(s <= pairs((a, b)) && s <= pairs((a, c)) && s <= pairs((b, c)),
+        "apriori: triple support bounded by every pair support")
+    }
+  }
 }

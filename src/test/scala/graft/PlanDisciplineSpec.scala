@@ -52,7 +52,13 @@ class PlanDisciplineSpec extends SparkSpec {
         ("exact-ntile oracle mode by design; the 100 TB path is " +
           "zorderStats(scaleMode=true), pinned window-free by ScaleSpec")),
       "q_kaplan_meier" -> (1 ->
-        "at-risk suffix sum over a PER-LIFETIME-MONTH aggregate: <= #calendar-months rows"))
+        "at-risk suffix sum over a PER-LIFETIME-MONTH aggregate: <= #calendar-months rows"),
+      "q_nelson_aalen" -> (1 ->
+        "the shared KM at-risk suffix sum: <= #calendar-months rows (cum hazard is an array fold)"),
+      "q_logrank" -> (1 ->
+        "both group at-risk suffix sums share one frame over the <= #calendar-months step table"),
+      "q_lift_table" -> (1 ->
+        "cumulative gains over a PER-DECILE aggregate: exactly 10 rows"))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {

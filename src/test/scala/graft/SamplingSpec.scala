@@ -321,4 +321,23 @@ class SamplingSpec extends SparkSpec {
     assert(a.exceptAll(again).count() == 0)
     a.unpersist()
   }
+
+  test("systematic sample: exactly stride-spaced through the permutation; size = ceil(n/stride)") {
+    val got = Sampling.systematicSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    val stride = math.max(1L, n / 200)
+    assert(got.forall(_._3 == stride))
+    val idxs = got.map(_._2).sorted
+    assert(idxs.forall(_ % stride == 0))
+    // evenly spaced: consecutive picks are exactly one stride apart
+    assert(idxs.zip(idxs.tail).forall { case (a, b) => b - a == stride })
+    assert(idxs.head == 0L && idxs.length == ((n + stride - 1) / stride))
+    // a true sample of the corpus: distinct docs, all present
+    assert(got.map(_._1).distinct.length == got.length)
+    // reproducible: same layout, same picks
+    val again = Sampling.systematicSample(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == got.map(_._1).sorted.toSeq)
+  }
 }

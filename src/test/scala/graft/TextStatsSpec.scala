@@ -634,4 +634,30 @@ class TextStatsSpec extends SparkSpec {
     assert(planted.get(0).toString.toLong == 3L)
     assert(planted.get(1).toString.toLong == 5L)
   }
+
+  test("simpson: BigInt term-count replay; lambda in (0, 1e9]; inverse bounded by vocab") {
+    val got = TextStats.simpson(spark, sf).collect()
+    assert(got.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("t"))
+      .groupBy("source", "t").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    got.foreach { r =>
+      val cs = counts(r.getString(0))
+      val vocab = cs.size.toLong
+      val n = cs.sum
+      val rep = cs.map(c => BigInt(c) * (c - 1)).sum
+      assert(r.getLong(1) == vocab && r.getLong(2) == n)
+      assert(BigInt(r.getLong(3)) == rep)
+      assert(BigInt(r.getLong(4)) == rep * 1000000000L / (BigInt(n) * (n - 1)))
+      assert(r.getLong(4) > 0L && r.getLong(4) <= 1000000000L)
+      if (rep > 0) {
+        assert(BigInt(r.getLong(5)) == BigInt(n) * (n - 1) * 1000 / rep)
+        // effective vocabulary can't exceed the actual vocabulary
+        assert(r.getLong(5) <= vocab * 1000 + 1000)
+      }
+    }
+  }
 }
