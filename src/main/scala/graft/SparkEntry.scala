@@ -495,8 +495,57 @@ object SparkEntry {
     // Simpson lexical diversity per source (§2 #307)
     "text_simpson" -> ((s: SparkSession, d: String) => TextStats.simpson(s, d)),
     // Systematic sample over the salted-hash layout (§2 #308)
-    "q_systematic_sample" -> ((s: SparkSession, d: String) => Sampling.systematicSample(s, d))
+    "q_systematic_sample" -> ((s: SparkSession, d: String) => Sampling.systematicSample(s, d)),
+    // Kruskal-Wallis k-sample rank test (§2 #309)
+    "q_kruskal_wallis" -> ((s: SparkSession, d: String) => AnalyticsExt.kruskalWallis(s, d)),
+    // Laspeyres/Paasche/Fisher monthly price indices (§2 #310)
+    "q_price_index" -> ((s: SparkSession, d: String) => AnalyticsExt.priceIndex(s, d)),
+    // Jensen-Shannon drift per source (§2 #311)
+    "text_js_drift" -> (TextStats.jsDrift _),
+    // Newsvendor critical-fractile stocking level (§2 #312)
+    "q_newsvendor" -> ((s: SparkSession, d: String) => AnalyticsExt.newsvendor(s, d)),
+    // Mutual information lang x source (§2 #313)
+    "text_mutual_info" -> (TextStats.mutualInfo _),
+    // Pairwise Pearson correlation matrix over lineitem measures (§2 #314)
+    "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d))
   )
+
+  /** The #314 oracle, GENERATED from the same variable/pair list as
+    * the Spark operator (`AnalyticsExt.CorrMatrixVars`) — adding a
+    * variable changes both sides or neither (kcoreOracle precedent).
+    */
+  private def corrMatrixOracle: String = {
+    val vs = operators.AnalyticsExt.CorrMatrixVars
+    val names = vs.map(_._1)
+    val grids = vs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val sums = names.map(v => s"CAST(sum($v) AS BIGINT) AS s_$v") ++
+      (for { i <- names.indices; j <- i until names.length } yield {
+        val (a, b) = (names(i), names(j))
+        s"sum(CAST($a AS HUGEINT) * $b) AS s_${a}_${b}"
+      })
+    val pairSelects = (for {
+      i <- names.indices
+      j <- (i + 1) until names.length
+    } yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS var_x, '$b' AS var_y, n,
+            CAST(n AS HUGEINT) * s_${a}_${b} - CAST(s_$a AS HUGEINT) * s_$b AS num,
+            CAST(n AS HUGEINT) * s_${a}_${a} - CAST(s_$a AS HUGEINT) * s_$a AS den_x,
+            CAST(n AS HUGEINT) * s_${b}_${b} - CAST(s_$b AS HUGEINT) * s_$b AS den_y
+          FROM m"""
+    }).mkString("\n          UNION ALL\n          ")
+    s"""WITH base AS (SELECT $grids FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(", ")} FROM base),
+         pairs AS (
+          $pairSelects)
+         SELECT var_x, var_y, n,
+           CASE WHEN den_x > 0 AND den_y > 0 THEN
+             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((abs(num) * 1000 // den_x)
+                * (abs(num) * 1000 // den_y)) AS BIGINT)
+           ELSE NULL END AS r2_signed_e6
+         FROM pairs"""
+  }
 
   /** The minhash universal-hash family as a DuckDB list expression:
     * sig = [min over shingle hashes h of (aᵢ·(h mod P) + bᵢ) mod P]
@@ -3211,6 +3260,37 @@ object SparkEntry {
          SELECT source, n_s AS n_tokens, count(*) AS n_terms,
            CAST(sum(term_e6) AS BIGINT) / 1000000.0 AS kl_bits
          FROM terms GROUP BY source, n_s""",
+    "text_js_drift" ->
+      // present-pair float terms on the shared integer-product ratios
+      // (e6-quantized per term), absent-token tail as the exact
+      // closed-form quotient (n_total - cov) / (2 n_total)
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents),
+         cont AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM tok GROUP BY source, w),
+         bysrc AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM cont GROUP BY source),
+         bytok AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM cont GROUP BY w),
+         t AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n_total FROM cont),
+         terms AS (
+           SELECT c.source, b.n_s, t.n_total, x.c_w,
+             CAST(floor((
+               (CAST(c.c_sw AS DOUBLE) / b.n_s)
+                 * log2((2.0 * CAST(c.c_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+                        / (CAST(c.c_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                           + CAST(x.c_w AS DOUBLE) * CAST(b.n_s AS DOUBLE)))
+               + (CAST(x.c_w AS DOUBLE) / t.n_total)
+                 * log2((2.0 * CAST(x.c_w AS DOUBLE) * CAST(b.n_s AS DOUBLE))
+                        / (CAST(c.c_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                           + CAST(x.c_w AS DOUBLE) * CAST(b.n_s AS DOUBLE)))
+             ) * 1000000 + 0.5) AS BIGINT) AS term_e6
+           FROM cont c JOIN bysrc b USING (source) JOIN bytok x USING (w), t)
+         SELECT source, n_s AS n_tokens, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(CAST(sum(c_w) AS HUGEINT) * 1000000 // n_total AS BIGINT) AS coverage_e6,
+           CAST(CAST(sum(term_e6) AS BIGINT) // 2
+             + CAST(n_total - sum(c_w) AS HUGEINT) * 1000000 // (2 * n_total)
+             AS BIGINT) AS js_e6
+         FROM terms GROUP BY source, n_s, n_total""",
     "ann_pq_codes" ->
       s"""WITH $pqCtes
          SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
@@ -6619,7 +6699,142 @@ object SparkEntry {
          SELECT l.doc_id, CAST(off + pos AS BIGINT) AS idx,
            CAST(greatest(1, n // 200) AS BIGINT) AS stride
          FROM laid l JOIN ofs USING (shard), tot
-         WHERE (off + pos) % greatest(1, n // 200) = 0"""
+         WHERE (off + pos) % greatest(1, n // 200) = 0""",
+    "q_kruskal_wallis" ->
+      // #288's doubled-midrank grid generalized to k groups: per-group
+      // e6-truncated H terms 3*dev_2x^2/(n_g*n*(n+1)) in HUGEINT, tie
+      // correction as a second exact quotient
+      """WITH lines AS (
+           SELECT split_part(p.p_type, ' ', 1) AS type_family,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         bv AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM lines GROUP BY 1),
+         cu AS (SELECT c, cnt,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM bv),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
+                 FROM bv),
+         pg AS (SELECT type_family, CAST(sum(g.cnt_g) AS BIGINT) AS n_g,
+                  CAST(sum(g.cnt_g * (2 * cu.cum + cu.cnt + 1)) AS BIGINT) AS r_2x
+                FROM (SELECT type_family, c, CAST(count(*) AS BIGINT) AS cnt_g
+                      FROM lines GROUP BY 1, 2) g
+                JOIN cu USING (c) GROUP BY 1),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k_groups FROM pg),
+         terms AS (
+           SELECT pg.*, n, tie_t, k_groups,
+             r_2x - n_g * (n + 1) AS dev_2x,
+             CAST((3 * CAST(r_2x - n_g * (n + 1) AS HUGEINT)
+                     * (r_2x - n_g * (n + 1)) * 1000000)
+               // (CAST(n_g AS HUGEINT) * n * (n + 1)) AS BIGINT) AS term_e6
+           FROM pg, tot, kk),
+         h AS (
+           SELECT CAST(sum(term_e6) AS BIGINT) AS h_e6,
+             CASE WHEN CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n) - max(tie_t) > 0 THEN
+               CAST(CAST(sum(term_e6) AS HUGEINT)
+                      * (CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n))
+                 // (CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n) - max(tie_t))
+                 AS BIGINT)
+             ELSE NULL END AS h_tie_e6
+           FROM terms)
+         SELECT type_family, n_g, r_2x,
+           CAST(CAST(r_2x AS HUGEINT) * 1000000 // (2 * n_g) AS BIGINT) AS mean_rank_e6,
+           term_e6, k_groups, n, h_e6, h_tie_e6
+         FROM terms, h""",
+    "q_price_index" ->
+      // unit price = rev cents // qty per (part, month); base-month
+      // common basket; Fisher via one-ulp-clamp isqrt of the e12
+      // product
+      """WITH pm AS (
+           SELECT l_partkey,
+             CAST(year(CAST(l_shipdate AS DATE)) * 12
+                + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1, 2),
+         pp AS (SELECT l_partkey, m, qty, rev // qty AS p FROM pm WHERE qty >= 1),
+         m0 AS (SELECT min(m) AS m0 FROM pp),
+         base AS (SELECT l_partkey, p AS p0, qty AS q0 FROM pp, m0 WHERE m = m0),
+         j AS (
+           SELECT pp.m, CAST(count(*) AS BIGINT) AS n_parts,
+             sum(CAST(pp.p AS HUGEINT) * b.q0) AS l_num,
+             sum(CAST(b.p0 AS HUGEINT) * b.q0) AS l_den,
+             sum(CAST(pp.p AS HUGEINT) * pp.qty) AS p_num,
+             sum(CAST(b.p0 AS HUGEINT) * pp.qty) AS p_den
+           FROM pp JOIN base b USING (l_partkey) GROUP BY 1),
+         ix AS (
+           SELECT m, n_parts,
+             CAST(l_num * 1000000 // l_den AS BIGINT) AS laspeyres_e6,
+             CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_e6
+           FROM j),
+         sq AS (
+           SELECT *, CAST(laspeyres_e6 AS HUGEINT) * paasche_e6 AS x,
+             CAST(floor(sqrt(CAST(CAST(laspeyres_e6 AS HUGEINT) * paasche_e6 AS DOUBLE)))
+               AS HUGEINT) AS s0
+           FROM ix)
+         SELECT m, n_parts, laspeyres_e6, paasche_e6,
+           CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                   - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS BIGINT) AS fisher_e6
+         FROM sq""",
+    "q_newsvendor" ->
+      // rank formula generated from the NewsvendorCu/Co constants:
+      // q* = the ceil(cu*n/(cu+co))-th order statistic per part
+      s"""WITH daily AS (
+           SELECT l_partkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qd
+           FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY qd, d)
+                 AS BIGINT) AS rn
+               FROM daily),
+         st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(qd) AS BIGINT) AS total_qty
+                FROM daily GROUP BY 1)
+         SELECT r.l_partkey, n_days, total_qty, qd AS q_star, rn AS rank_at
+         FROM r JOIN st USING (l_partkey)
+         WHERE rn = (${operators.AnalyticsExt.NewsvendorCu} * n_days
+             + ${operators.AnalyticsExt.NewsvendorCu + operators.AnalyticsExt.NewsvendorCo - 1})
+           // ${operators.AnalyticsExt.NewsvendorCu + operators.AnalyticsExt.NewsvendorCo}""",
+    "text_mutual_info" ->
+      // per-cell e6-quantized MI terms on integer-product ratios;
+      // marginal entropies likewise; NMI as a sign-factored quotient
+      """WITH cont AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS c_ij
+           FROM documents GROUP BY 1, 2),
+         bl AS (SELECT lang, CAST(sum(c_ij) AS BIGINT) AS r_i FROM cont GROUP BY 1),
+         bs AS (SELECT source, CAST(sum(c_ij) AS BIGINT) AS c_j FROM cont GROUP BY 1),
+         t AS (SELECT CAST(sum(c_ij) AS BIGINT) AS n_docs FROM cont),
+         mi AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells, max(t.n_docs) AS n_docs,
+             CAST(sum(CAST(floor(
+               (CAST(c.c_ij AS DOUBLE) / t.n_docs)
+                 * log2((CAST(c.c_ij AS DOUBLE) * CAST(t.n_docs AS DOUBLE))
+                        / (CAST(bl.r_i AS DOUBLE) * CAST(bs.c_j AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_e6
+           FROM cont c JOIN bl USING (lang) JOIN bs USING (source), t),
+         hl AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(CAST(floor(
+               (CAST(r_i AS DOUBLE) / n_docs)
+                 * log2(CAST(n_docs AS DOUBLE) / CAST(r_i AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_lang_e6
+           FROM bl, t),
+         hs AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(CAST(floor(
+               (CAST(c_j AS DOUBLE) / n_docs)
+                 * log2(CAST(n_docs AS DOUBLE) / CAST(c_j AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_source_e6
+           FROM bs, t)
+         SELECT n_docs, n_langs, n_sources, n_cells, mi_e6, h_lang_e6, h_source_e6,
+           CASE WHEN least(h_lang_e6, h_source_e6) > 0 THEN
+             CAST((CASE WHEN mi_e6 < 0 THEN -1 ELSE 1 END)
+               * (abs(CAST(mi_e6 AS HUGEINT)) * 1000000
+                  // least(h_lang_e6, h_source_e6)) AS BIGINT)
+           ELSE NULL END AS nmi_e6
+         FROM mi, hl, hs""",
+    "q_corr_matrix" -> corrMatrixOracle
   )
 
   /** Shared CTE prefix for the classical-decomposition oracles

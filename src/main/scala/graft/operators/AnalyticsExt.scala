@@ -4975,4 +4975,290 @@ object AnalyticsExt {
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"), col("part_c"))
       .limit(topK)
+
+  /** #309 Kruskal–Wallis H test: do line revenues differ across the
+    * six part-type families (first word of p_type) — the k-sample
+    * generalization of #288's Mann–Whitney, the omnibus "is ANY group
+    * different" gate run before pairwise rank tests. Everything on
+    * #288's doubled-midrank grid: 2·midrank(v) = 2·cum_below + t + 1,
+    * so the per-group rank sum ships as r_2x = 2·R_g and the centered
+    * deviation dev_2x = r_2x − n_g(n+1) = 2·n_g·(r̄_g − r̄) is a whole
+    * number. H = Σ_g 3·dev_2x² / (n_g·n·(n+1)) — per-group terms
+    * e6-truncated through DECIMAL(38,0)↔HUGEINT (one combined
+    * denominator, ONE truncation per group, order-independent sum);
+    * tie correction H' = H·(n³−n)/(n³−n−Σ(t³−t)) as a second exact
+    * integer quotient (NULL when every value ties). dev_2x² ≤ 4n⁴
+    * bounds the cross product — inside DECIMAL(38,0) through ~10⁸
+    * rows per test; beyond that collapse the cents grid first.
+    *
+    * Scale shape: ranks come from the per-VALUE aggregate (ties
+    * collapse before any window) via the #180 hierarchical build —
+    * monotone value-range shard + within-shard cumsum + ≤nShards
+    * offset carry, no global data window; group totals are one
+    * (group, value) join + k-row aggregate; H is a k-row fold.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val lines = Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .select(
+              col("p_partkey").as("l_partkey"),
+              expr("split_part(p_type, ' ', 1)").as("type_family"))),
+        "l_partkey")
+      .select(
+        col("type_family"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("c"))
+    val byVal = lines.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val bounds = byVal.agg(min("c").as("lo"), max("c").as("hi"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((c - lo) * $nShards) div (hi - lo + 1)"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("cnt").as("sc"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sc").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val cum = sharded
+      .withColumn(
+        "cum_local",
+        coalesce(
+          sum("cnt").over(
+            Window.partitionBy("shard").orderBy("c").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(offsets), "shard")
+      .select(col("c"), col("cnt"), (col("off") + col("cum_local")).as("cum"))
+    val tot = cum.agg(
+      sum("cnt").as("n"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie_t"))
+    val perGroup = lines
+      .groupBy("type_family", "c")
+      .agg(count(lit(1)).as("cnt_g"))
+      .join(cum, "c")
+      .groupBy("type_family")
+      .agg(sum("cnt_g").as("n_g"), sum(expr("cnt_g * (2 * cum + cnt + 1)")).as("r_2x"))
+    val k = perGroup.agg(count(lit(1)).as("k_groups"))
+    val terms = perGroup
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(k))
+      .withColumn("dev_2x", expr("r_2x - n_g * (n + 1)"))
+      .withColumn(
+        "term_e6",
+        expr("""CAST((3 * CAST(dev_2x AS DECIMAL(38,0)) * dev_2x * 1000000)
+                 div (CAST(n_g AS DECIMAL(38,0)) * n * (n + 1)) AS BIGINT)"""))
+    val h = terms
+      .groupBy("n", "tie_t", "k_groups")
+      .agg(sum("term_e6").as("h_e6"))
+      .withColumn(
+        "h_tie_e6",
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n * n - n - tie_t > 0 THEN
+                  CAST(CAST(h_e6 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n * n - n)
+                    div (CAST(n AS DECIMAL(38,0)) * n * n - n - tie_t) AS BIGINT)
+                ELSE NULL END"""))
+      .select(col("h_e6"), col("h_tie_e6"))
+    terms
+      .crossJoin(broadcast(h))
+      .select(
+        col("type_family"),
+        col("n_g"),
+        col("r_2x"),
+        expr("CAST(CAST(r_2x AS DECIMAL(38,0)) * 1000000 div (2 * n_g) AS BIGINT)")
+          .as("mean_rank_e6"),
+        col("term_e6"),
+        col("k_groups"),
+        col("n"),
+        col("h_e6"),
+        col("h_tie_e6"))
+  }
+
+  /** #310 Price indices: monthly Laspeyres, Paasche and Fisher
+    * indices of realized unit prices over the base-month common
+    * basket — the inflation-tracking read a revenue team runs to
+    * split growth into price vs volume (Laspeyres freezes base-month
+    * quantities, Paasche uses current ones, Fisher is their geometric
+    * mean — the "ideal" index that cancels both substitution biases).
+    * Unit price per (part, month) = revenue cents div quantity (one
+    * truncation, replayable); basket = parts traded in BOTH the base
+    * month and the month under read, so the ratio compares like with
+    * like. L_e6 = Σp_m·q_0 ·10⁶ div Σp_0·q_0 and P_e6 analogously —
+    * single truncating quotients through DECIMAL(38,0)↔HUGEINT;
+    * Fisher = the #226 one-ulp-clamp EXACT isqrt of the e12 product,
+    * so √ never meets a float. Base-month row is exactly 10⁶ on all
+    * three. Scale shape: one (part, month) aggregate, one join on
+    * part against the base-month frame (shuffle on the part key —
+    * the basket is NOT assumed broadcast-small), one ≤#months-row
+    * aggregate; no windows.
+    */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)").as("m"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("rev"))
+      .groupBy("l_partkey", "m")
+      .agg(sum("q").as("qty"), sum("rev").as("rev"))
+      .filter(col("qty") >= 1)
+      .withColumn("p", expr("rev div qty"))
+    val m0 = pm.agg(min("m").as("m0"))
+    val base = pm
+      .crossJoin(broadcast(m0))
+      .filter(col("m") === col("m0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    pm.join(base, "l_partkey")
+      .groupBy("m")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * q0")).as("l_num"),
+        sum(expr("CAST(p0 AS DECIMAL(38,0)) * q0")).as("l_den"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * qty")).as("p_num"),
+        sum(expr("CAST(p0 AS DECIMAL(38,0)) * qty")).as("p_den"))
+      .withColumn("laspeyres_e6", expr("CAST(l_num * 1000000 div l_den AS BIGINT)"))
+      .withColumn("paasche_e6", expr("CAST(p_num * 1000000 div p_den AS BIGINT)"))
+      .withColumn(
+        "x",
+        expr("CAST(laspeyres_e6 AS DECIMAL(38,0)) * paasche_e6"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "fisher_e6",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > x THEN 1 ELSE 0 END)"""))
+      .select(
+        col("m"),
+        col("n_parts"),
+        col("laspeyres_e6"),
+        col("paasche_e6"),
+        col("fisher_e6"))
+  }
+
+  /** Newsvendor cost ratio: underage (lost margin) vs overage
+    * (holding/salvage loss) — 3:1 puts the critical fractile at 3/4.
+    * The oracle rank formula is generated from these constants
+    * (KmCensorMonths precedent), so changing them breaks loudly.
+    */
+  val NewsvendorCu = 3
+  val NewsvendorCo = 1
+
+  /** #312 Newsvendor critical-fractile stocking: per part, the stock
+    * level that balances underage against overage cost — order up to
+    * the τ-quantile of daily demand with τ = cu/(cu+co), the
+    * single-period stochastic-inventory answer that completes the
+    * deterministic #256 (reorder point) / #300 (EOQ) pair with
+    * demand-DISTRIBUTION-aware sizing. The quantile is the exact
+    * ⌈τ·n⌉-th order statistic of the part's daily demand under the
+    * (qty, day) total order (#106's rank-defined convention — no
+    * interpolation, engine-independent); ⌈cu·n/(cu+co)⌉ =
+    * (cu·n + cu+co − 1) div (cu+co) in integers. All windows are
+    * part-partitioned (frame = the part's ship days, calendar-
+    * bounded); one aggregate joins n back. Linear, no global windows.
+    */
+  def newsvendor(spark: SparkSession, dir: String): DataFrame = {
+    val cuco = NewsvendorCu + NewsvendorCo
+    val daily = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("d"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "d")
+      .agg(sum("q").as("qd"))
+    val ranked = daily
+      .withColumn(
+        "rn",
+        row_number()
+          .over(Window.partitionBy("l_partkey").orderBy(col("qd"), col("d")))
+          .cast("long"))
+    val stats = daily
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_days"), sum("qd").as("total_qty"))
+    ranked
+      .join(stats, "l_partkey")
+      .filter(col("rn") === expr(s"(${NewsvendorCu} * n_days + ${cuco - 1}) div $cuco"))
+      .select(
+        col("l_partkey"),
+        col("n_days"),
+        col("total_qty"),
+        col("qd").as("q_star"),
+        col("rn").as("rank_at"))
+  }
+
+  /** The #314 variable list on its integer grids (shared with the
+    * oracle generator so both sides enumerate identical pairs):
+    * name -> grid expression over lineitem.
+    */
+  val CorrMatrixVars: Seq[(String, String)] = Seq(
+    "qty" -> "CAST(floor(l_quantity + 0.5) AS BIGINT)",
+    "price_cents" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+    "discount_bps" -> "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)",
+    "tax_bps" -> "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)")
+
+  /** #314 Numeric correlation matrix: pairwise Pearson r² (signed)
+    * across the four lineitem measures on their integer grids — the
+    * profiling pass a feature-engineering pipeline runs before model
+    * fitting to find redundant / leaking columns, generalizing #202's
+    * single trend regression and #229's single graph correlation to
+    * the all-pairs read. ONE partial-aggregate pass computes every
+    * moment (n, 4 sums, 10 squares/cross-products in DECIMAL(38,0) —
+    * the map-side-combine shape: d² cells shuffle, never rows), then
+    * the 6 pairs unfold from the 1-row moment frame with the #229
+    * sign-factored e3×e3 quotient (each factor ≤10³ by
+    * Cauchy–Schwarz, so the product never overflows where num²
+    * would); den=0 (constant column) yields NULL. The pair list is
+    * shared with the oracle generator — adding a variable changes
+    * both sides or neither.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val vars = CorrMatrixVars.map(_._1)
+    val base = Tables
+      .lineitem(spark, dir)
+      .select(CorrMatrixVars.map { case (n, e) => expr(e).as(n) }: _*)
+    val momentCols =
+      vars.map(v => sum(col(v)).as(s"s_$v")) ++
+        (for { i <- vars.indices; j <- i until vars.length } yield {
+          val (a, b) = (vars(i), vars(j))
+          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"s_${a}_${b}")
+        })
+    val moments = base.agg(count(lit(1)).as("n"), momentCols: _*)
+    val pairStructs = (for {
+      i <- vars.indices
+      j <- (i + 1) until vars.length
+    } yield {
+      val (a, b) = (vars(i), vars(j))
+      s"""named_struct(
+            'var_x', '$a', 'var_y', '$b',
+            'num', CAST(n AS DECIMAL(38,0)) * s_${a}_${b}
+                     - CAST(s_$a AS DECIMAL(38,0)) * s_$b,
+            'den_x', CAST(n AS DECIMAL(38,0)) * s_${a}_${a}
+                     - CAST(s_$a AS DECIMAL(38,0)) * s_$a,
+            'den_y', CAST(n AS DECIMAL(38,0)) * s_${b}_${b}
+                     - CAST(s_$b AS DECIMAL(38,0)) * s_$b)"""
+    }).mkString(", ")
+    moments
+      .select(col("n"), explode(expr(s"array($pairStructs)")).as("pair"))
+      .select(
+        col("pair.var_x"),
+        col("pair.var_y"),
+        col("n"),
+        col("pair.num").as("num"),
+        col("pair.den_x").as("den_x"),
+        col("pair.den_y").as("den_y"))
+      .select(
+        col("var_x"),
+        col("var_y"),
+        col("n"),
+        expr("""CASE WHEN den_x > 0 AND den_y > 0 THEN
+                  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+                    ((abs(num) * 1000 div den_x)
+                     * (abs(num) * 1000 div den_y)) AS BIGINT)
+                ELSE NULL END""").as("r2_signed_e6"))
+  }
 }

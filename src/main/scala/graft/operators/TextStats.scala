@@ -197,6 +197,123 @@ object TextStats {
         (sum("term_e6") / lit(1e6)).as("kl_bits"))
   }
 
+  /** #311 Jensen–Shannon drift per source: JS(P_source ‖ P_corpus) in
+    * bits — the SYMMETRIC, bounded-[0,1] companion to #119's KL, the
+    * drift number dashboards prefer because it never diverges when a
+    * source drops a corpus-common token (KL's q→0 blowup). Split into
+    * an exact closed form plus present-pair float terms: for tokens
+    * ABSENT from the source p=0, so the term is q·log₂(q/(q/2)) = q
+    * exactly — the whole absent-token tail collapses to
+    * (n_total − cov)/(2·n_total) with cov = Σ_{w∈source} c_w, an
+    * EXACT integer quotient (no per-token work for the long tail —
+    * also the at-scale win: term count is |present pairs|, not
+    * |vocab|×|sources|). Present terms p·log₂(2p/(p+q)) + q·log₂(2q/(p+q))
+    * with the ratios formed from INTEGER products (2·c_sw·n_t/D and
+    * 2·c_w·n_s/D, D = c_sw·n_t + c_w·n_s — both engines evaluate
+    * log₂ of the same double), each term e6-quantized before the
+    * order-independent sum (#119's discipline); final
+    * js_e6 = Σterm div 2 + exact tail. One contingency aggregate +
+    * vocab-sized margins, no windows.
+    */
+  def jsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+    val cont = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val bySrc = cont.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val byTok = cont.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val total = cont.agg(sum("c_sw").as("n_total"))
+    val p = col("c_sw").cast("double") / col("n_s")
+    val q = col("c_w").cast("double") / col("n_total")
+    val dd = col("c_sw").cast("double") * col("n_total") +
+      col("c_w").cast("double") * col("n_s")
+    val termP = p * log2(lit(2d) * col("c_sw").cast("double") * col("n_total") / dd)
+    val termQ = q * log2(lit(2d) * col("c_w").cast("double") * col("n_s") / dd)
+    cont
+      .join(bySrc, "source")
+      .join(byTok, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("term_e6", floor((termP + termQ) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("n_s").as("n_tokens"), col("n_total"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("term_e6").as("sum_term_e6"),
+        sum("c_w").as("cov"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_terms"),
+        expr("CAST(CAST(cov AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)")
+          .as("coverage_e6"),
+        expr("""sum_term_e6 div 2
+                + CAST((n_total - cov) AS DECIMAL(38,0)) * 1000000 div (2 * n_total)""")
+          .cast("long")
+          .as("js_e6"))
+  }
+
+  /** #313 Mutual information lang × source: I(lang; source) in bits
+    * over the document contingency table, with both marginal
+    * entropies and the normalized MI — the "does source determine
+    * language" dependence read that #156's χ² tests for significance
+    * but cannot SIZE (MI is the effect measure: 0 = independent,
+    * min(H) = fully determined). Absent cells contribute exactly 0
+    * (p·log p → 0), so only present pairs carry terms — no
+    * vocab-cross materialization. Each MI term
+    * p_ij·log₂(c_ij·N/(r_i·c_j)) and entropy term (r_i/N)·log₂(N/r_i)
+    * is a float of INTEGER-product ratios (both engines form the same
+    * double) e6-quantized before the order-independent sum — #119's
+    * discipline; NMI = MI·10⁶ div min(H) as a final integer quotient.
+    * One alphabet-bounded contingency aggregate; margins are rollups
+    * of it; no windows, no sort.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cont = Tables
+      .documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c_ij"))
+    val byLang = cont.groupBy("lang").agg(sum("c_ij").as("r_i"))
+    val bySrc = cont.groupBy("source").agg(sum("c_ij").as("c_j"))
+    val total = cont.agg(sum("c_ij").as("n_docs"))
+    val miTerm = (col("c_ij").cast("double") / col("n_docs")) * log2(
+      (col("c_ij").cast("double") * col("n_docs").cast("double")) /
+        (col("r_i").cast("double") * col("c_j").cast("double")))
+    val cells = cont
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("mi_term_e6", floor(miTerm * lit(1e6) + lit(0.5)).cast("long"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        first("n_docs").as("n_docs"),
+        sum("mi_term_e6").as("mi_e6"))
+    def entropy(margin: DataFrame, cnt: String): DataFrame =
+      margin
+        .crossJoin(broadcast(total))
+        .withColumn(
+          "h_term_e6",
+          floor(
+            (col(cnt).cast("double") / col("n_docs")) *
+              log2(col("n_docs").cast("double") / col(cnt).cast("double")) *
+              lit(1e6) + lit(0.5)).cast("long"))
+        .agg(count(lit(1)).as(s"n_$cnt"), sum("h_term_e6").as(s"h_$cnt"))
+    cells
+      .crossJoin(broadcast(entropy(byLang, "r_i")))
+      .crossJoin(broadcast(entropy(bySrc, "c_j")))
+      .select(
+        col("n_docs"),
+        col("n_r_i").as("n_langs"),
+        col("n_c_j").as("n_sources"),
+        col("n_cells"),
+        col("mi_e6"),
+        col("h_r_i").as("h_lang_e6"),
+        col("h_c_j").as("h_source_e6"),
+        expr("""CASE WHEN least(h_r_i, h_c_j) > 0 THEN
+                  CAST((CASE WHEN mi_e6 < 0 THEN -1 ELSE 1 END)
+                    * (abs(CAST(mi_e6 AS DECIMAL(38,0))) * 1000000
+                       div least(h_r_i, h_c_j)) AS BIGINT)
+                ELSE NULL END""").as("nmi_e6"))
+  }
+
   /** #148 KMV (k-minimum-values / theta) overlap sketch: cross-corpus
     * distinct-cardinality and Jaccard estimates from two k-row
     * sketches — "how much does corpus B overlap corpus A" WITHOUT

@@ -2558,4 +2558,144 @@ class AnalyticsExtSpec extends SparkSpec {
         "apriori: triple support bounded by every pair support")
     }
   }
+
+  test("kruskal-wallis: doubled-midrank replay; rank-sum conservation; tie correction inflates") {
+    val got = AnalyticsExt.kruskalWallis(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    }
+    assert(got.length == 6)
+    val rows = Tables
+      .lineitem(spark, sf)
+      .join(
+        Tables.part(spark, sf)
+          .selectExpr("p_partkey AS l_partkey", "split_part(p_type, ' ', 1) AS g"),
+        "l_partkey")
+      .selectExpr("g", "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byVal = rows.groupBy(_._2).map { case (c, v) => c -> v.size.toLong }
+    val sortedVals = byVal.toSeq.sortBy(_._1)
+    val cumMap = sortedVals.map(_._1).zip(sortedVals.scanLeft(0L)(_ + _._2).init).toMap
+    val n = rows.length.toLong
+    val tieT = byVal.values.map(t => BigInt(t) * t * t - t).sum
+    val perG = rows.groupBy(_._1).map { case (g, v) =>
+      val r2x = v.groupBy(_._2).map { case (c, vv) =>
+        vv.size.toLong * (2 * cumMap(c) + byVal(c) + 1)
+      }.sum
+      g -> (v.size.toLong, r2x)
+    }
+    assert(perG.values.map(_._2).sum == n * (n + 1), "doubled rank sums total n(n+1)")
+    got.foreach { case (g, nG, r2x, meanRank, term, k, nn, _, _) =>
+      val (en, er) = perG(g)
+      assert(nG == en && r2x == er && nn == n && k == perG.size.toLong)
+      assert(meanRank == (BigInt(r2x) * 1000000 / (2 * nG)).toLong)
+      val dev = BigInt(r2x) - BigInt(nG) * (n + 1)
+      assert(term == (3 * dev * dev * 1000000 / (BigInt(nG) * n * (n + 1))).toLong)
+      assert(term >= 0)
+    }
+    val hExp = got.map(_._5).sum
+    assert(got.forall(_._8 == hExp), "h_e6 is the sum of the group terms")
+    val denom = BigInt(n) * n * n - n - tieT
+    assert(denom > 0)
+    val htie = (BigInt(hExp) * (BigInt(n) * n * n - n) / denom).toLong
+    assert(got.forall(_._9 == htie) && htie >= hExp, "tie correction only inflates H")
+  }
+
+  test("price index: base month pinned at 1e6; BigInt basket replay; Fisher is the exact isqrt") {
+    val got = AnalyticsExt.priceIndex(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val pm = Tables
+      .lineitem(spark, sf)
+      .selectExpr(
+        "l_partkey",
+        "CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val price = pm
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> (v.map(_._3).sum, v.map(_._4).sum) }
+      .collect { case (k, (qty, rev)) if qty >= 1 => k -> (rev / qty, qty) }
+    val m0 = price.keys.map(_._2).min
+    val base = price.collect { case ((pk, m), pq) if m == m0 => pk -> pq }
+    val want = price.keys.map(_._2).toSeq.distinct.flatMap { m =>
+      val common = price.collect {
+        case ((pk, mm), (p, qty)) if mm == m && base.contains(pk) =>
+          val (p0, q0) = base(pk); (p, qty, p0, q0)
+      }.toSeq
+      if (common.isEmpty) None
+      else {
+        val l = common.map(t => BigInt(t._1) * t._4).sum * 1000000 /
+          common.map(t => BigInt(t._3) * t._4).sum
+        val p = common.map(t => BigInt(t._1) * t._2).sum * 1000000 /
+          common.map(t => BigInt(t._3) * t._2).sum
+        Some(m -> (common.size.toLong, l.toLong, p.toLong))
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (m, (nParts, l, p, f)) =>
+      val (wn, wl, wp) = want(m)
+      assert(nParts == wn && l == wl && p == wp, s"month $m index replay")
+      val x = BigInt(l) * p
+      assert(BigInt(f) * f <= x && x < (BigInt(f) + 1) * (BigInt(f) + 1), "exact isqrt")
+      assert(f >= math.min(l, p) && f <= math.max(l, p), "geometric mean inside the bracket")
+    }
+    assert(got(m0) == ((base.size.toLong, 1000000L, 1000000L, 1000000L)), "base month is unity")
+  }
+
+  test("newsvendor: exact fractile order statistic per part; service-level coverage") {
+    val got = AnalyticsExt.newsvendor(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val daily = Tables
+      .lineitem(spark, sf)
+      .selectExpr(
+        "l_partkey",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    val byPart = daily.groupBy(_._1._1)
+    assert(got.length == byPart.size, "one stocking row per part")
+    got.foreach { case (pk, nDays, totQ, qStar, rankAt) =>
+      val ds = byPart(pk).toSeq.map { case ((_, d), q) => (q, d) }.sorted
+      assert(nDays == ds.size.toLong && totQ == ds.map(_._1).sum)
+      val rk = (AnalyticsExt.NewsvendorCu * ds.size + AnalyticsExt.NewsvendorCu +
+        AnalyticsExt.NewsvendorCo - 1) / (AnalyticsExt.NewsvendorCu + AnalyticsExt.NewsvendorCo)
+      assert(rankAt == rk.toLong && qStar == ds(rk - 1)._1, s"part $pk fractile")
+      assert(ds.count(_._1 <= qStar) >= rk, "coverage at least the fractile rank")
+    }
+  }
+
+  test("corr matrix: BigInt moment replay over all pairs; no degenerate columns") {
+    val got = AnalyticsExt.corrMatrix(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got.size == 6)
+    val names = AnalyticsExt.CorrMatrixVars.map(_._1)
+    val rows = Tables
+      .lineitem(spark, sf)
+      .selectExpr(AnalyticsExt.CorrMatrixVars.map { case (nm, e) => s"$e AS $nm" }: _*)
+      .collect().map(r => names.indices.map(r.getLong).toVector)
+    val n = BigInt(rows.length)
+    def s(i: Int) = rows.map(v => BigInt(v(i))).sum
+    def sxy(i: Int, j: Int) = rows.map(v => BigInt(v(i)) * v(j)).sum
+    for { i <- names.indices; j <- (i + 1) until names.length } {
+      val num = n * sxy(i, j) - s(i) * s(j)
+      val dx = n * sxy(i, i) - s(i) * s(i)
+      val dy = n * sxy(j, j) - s(j) * s(j)
+      val want =
+        if (dx > 0 && dy > 0)
+          Some(((num.abs * 1000 / dx) * (num.abs * 1000 / dy)).toLong *
+            (if (num < 0) -1L else 1L))
+        else None
+      val (gn, gr) = got((names(i), names(j)))
+      assert(gn == rows.length.toLong && gr == want, s"${names(i)} vs ${names(j)}")
+      gr.foreach(v => assert(v.abs <= 1000000L, "Cauchy-Schwarz bounds r^2"))
+    }
+    // every measure varies in this corpus, so no pair degenerates to NULL
+    assert(got.values.forall(_._2.isDefined), "no constant columns")
+  }
 }

@@ -660,4 +660,56 @@ class TextStatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("js drift: sources partition tokens; bounded [0,1] bits; exact coverage tail replay") {
+    val d = TextStats.jsDrift(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(d.count() == docs.select("source").distinct().count())
+    val totalTokens = d.agg(sum("n_tokens")).head.getLong(0)
+    val tok = docs.select(
+      col("source"),
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+    assert(totalTokens == tok.count())
+    // independent coverage replay: per source, the corpus mass of its present tokens
+    val cw = tok.groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = cw.values.sum
+    val present = tok.distinct().collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(x => cw(x._2)).sum }
+    d.collect().foreach { r =>
+      val src = r.getString(0)
+      val cov = present(src)
+      assert(r.getAs[Long]("coverage_e6") == (BigInt(cov) * 1000000 / nTotal).toLong,
+        s"coverage tail for $src")
+      // JS is bounded by 1 bit; per-term quantization dips at most 5e-7 each
+      val slack = r.getAs[Long]("n_terms") / 2 + 2
+      val js = r.getAs[Long]("js_e6")
+      assert(js >= -slack && js <= 1000000L + slack, s"JS out of [0,1] bits for $src: $js")
+    }
+  }
+
+  test("mutual info: float identity within quantization slack; NMI bounded by min entropy") {
+    val r = TextStats.mutualInfo(spark, sf).head()
+    val docs = Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    val cells = docs.groupBy("lang", "source").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.getAs[Long]("n_cells") == cells.length.toLong)
+    val n = cells.map(_._3).sum.toDouble
+    val rl = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cs = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    assert(r.getAs[Long]("n_langs") == rl.size.toLong &&
+      r.getAs[Long]("n_sources") == cs.size.toLong)
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val mi = cells.map { case (l, s, c) => (c / n) * lg2(c * n / (rl(l).toDouble * cs(s))) }.sum
+    val hl = rl.values.map(c => (c / n) * lg2(n / c)).sum
+    val hs = cs.values.map(c => (c / n) * lg2(n / c)).sum
+    assert(math.abs(r.getAs[Long]("mi_e6") / 1e6 - mi) < 1e-3)
+    assert(math.abs(r.getAs[Long]("h_lang_e6") / 1e6 - hl) < 1e-3)
+    assert(math.abs(r.getAs[Long]("h_source_e6") / 1e6 - hs) < 1e-3)
+    // MI <= min(H) up to per-cell rounding; NMI lives on [0, 1e6] within slack
+    val minH = math.min(r.getAs[Long]("h_lang_e6"), r.getAs[Long]("h_source_e6"))
+    assert(r.getAs[Long]("mi_e6") <= minH + cells.length)
+    val nmi = r.getAs[Long]("nmi_e6")
+    assert(nmi >= -cells.length.toLong && nmi <= 1000000L + cells.length)
+  }
 }
