@@ -507,7 +507,28 @@ object SparkEntry {
     // Mutual information lang x source (§2 #313)
     "text_mutual_info" -> (TextStats.mutualInfo _),
     // Pairwise Pearson correlation matrix over lineitem measures (§2 #314)
-    "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d))
+    "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
+    // K-truss edge peeling of the co-purchase graph (§2 #315)
+    "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // Croston intermittent-demand smoothing per part (§2 #316)
+    "q_croston" -> ((s: SparkSession, d: String) => AnalyticsExt.croston(s, d)),
+    // Link-prediction precision@K backtest on a time split (§2 #317)
+    "q_linkpred_backtest" -> ((s: SparkSession, d: String) => AnalyticsExt.linkPredBacktest(s, d)),
+    // Theil T inequality index decomposed by nation (§2 #318)
+    "q_theil" -> ((s: SparkSession, d: String) => AnalyticsExt.theil(s, d)),
+    // Propensity-stratified treatment effect (§2 #319)
+    "q_propensity_strata" -> ((s: SparkSession, d: String) => AnalyticsExt.propensityStrata(s, d)),
+    // Welch unequal-variance t-test, squared form (§2 #320)
+    "q_welch_t" -> ((s: SparkSession, d: String) => AnalyticsExt.welchT(s, d)),
+    // Cohen's kappa of the language-ID heuristic (§2 #321)
+    "text_lang_kappa" -> (TextStats.langKappa _),
+    // Order-vs-lineitem reconciliation audit (§2 #322)
+    "q_order_reconciliation" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.orderReconciliation(s, d)),
+    // Brier score + Murphy decomposition on a calendar holdout (§2 #323)
+    "q_brier_decomp" -> ((s: SparkSession, d: String) => AnalyticsExt.brierDecomp(s, d)),
+    // ACF-based dominant-period detection (§2 #324)
+    "q_period_detect" -> ((s: SparkSession, d: String) => AnalyticsExt.periodDetect(s, d))
   )
 
   /** The #314 oracle, GENERATED from the same variable/pair list as
@@ -3000,6 +3021,29 @@ object SparkEntry {
       s"""SELECT label_lang, pred_lang, count(*) AS n_docs,
             CAST(label_lang = pred_lang AS INT) AS is_correct
           FROM ($langIdOracle) GROUP BY label_lang, pred_lang""",
+    "text_lang_kappa" ->
+      // all-integer chance-corrected agreement over the same replayed
+      // confusion frame: kappa = (N*D - E)/(N^2 - E) in HUGEINT
+      s"""WITH conf AS (
+           SELECT label_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM ($langIdOracle) GROUP BY 1, 2),
+         rm AS (SELECT label_lang AS l, CAST(sum(n_docs) AS BIGINT) AS r FROM conf GROUP BY 1),
+         cm AS (SELECT pred_lang AS l, CAST(sum(n_docs) AS BIGINT) AS c FROM conf GROUP BY 1),
+         e AS (SELECT coalesce(sum(CAST(r AS HUGEINT) * c), 0) AS e_sum
+               FROM rm JOIN cm USING (l)),
+         d AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS diag
+               FROM conf WHERE label_lang = pred_lang),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_cells FROM conf)
+         SELECT n_docs, n_cells, diag AS n_agree,
+           CAST(CAST(diag AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS po_e6,
+           CAST(e_sum * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_e6,
+           CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - e_sum > 0 THEN
+             CAST((CASE WHEN CAST(n_docs AS HUGEINT) * diag - e_sum < 0 THEN -1 ELSE 1 END)
+               * (abs(CAST(n_docs AS HUGEINT) * diag - e_sum) * 1000000
+                  // (CAST(n_docs AS HUGEINT) * n_docs - e_sum)) AS BIGINT)
+           ELSE NULL END AS kappa_e6
+         FROM t, d, e""",
     "q20_dominant_supplier" ->
       """SELECT s.s_suppkey, s.s_name
          FROM supplier s
@@ -4860,6 +4904,337 @@ object SparkEntry {
            CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12""",
     "q_kcore" -> kcoreOracle(k = 3, maxRounds = 16),
+    "q_ktruss" -> ktrussOracle(k = 3, maxRounds = 8),
+    "q_croston" -> {
+      // identical sign-factored dyadic two-track trajectory as a
+      // per-part recursive CTE (the q_holt replay shape)
+      def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
+      s"""WITH dd AS (
+           SELECT l_partkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM lineitem GROUP BY 1, 2),
+         idx AS (
+           SELECT l_partkey, day, y,
+             CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS BIGINT) AS i
+           FROM dd),
+         rec AS (
+           WITH RECURSIVE h(l_partkey, i, day, q, z, p) AS (
+             SELECT l_partkey, i, day, y, y, CAST(1 AS BIGINT) FROM idx WHERE i = 1
+             UNION ALL
+             SELECT s.l_partkey, s.i, s.day, s.y,
+               h.z + ${tq("s.y - h.z")},
+               h.p + ${tq("(s.day - h.day) - h.p")}
+             FROM idx s JOIN h ON s.l_partkey = h.l_partkey AND s.i = h.i + 1)
+           SELECT * FROM h)
+         SELECT l_partkey, day, q AS demand_qty, z AS z_size, p AS p_interval,
+           CAST(CAST(z AS HUGEINT) * 1000 // p AS BIGINT) AS rate_e3
+         FROM rec"""
+    },
+    "q_linkpred_backtest" ->
+      // #283's scorer replayed on the train half of the #286 calendar
+      // split; precision@K vs pairs newly co-occurring in test
+      s"""WITH od AS (
+           SELECT o_orderkey AS l_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day
+           FROM orders),
+         m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM od),
+         li AS (SELECT l.l_orderkey, l.l_partkey, od.day
+                FROM lineitem l JOIN od USING (l_orderkey)),
+         bptr AS (SELECT DISTINCT l_orderkey, l_partkey FROM li, m WHERE day < mid),
+         prtr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bptr a JOIN bptr b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e AS MATERIALIZED (
+           SELECT pa, pb FROM prtr WHERE n >= ${AnalyticsExt.LinkPredMinOrders}),
+         bpte AS (SELECT DISTINCT l_orderkey, l_partkey FROM li, m WHERE day >= mid),
+         prte AS (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM bpte a JOIN bpte b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         testnew AS MATERIALIZED (
+           SELECT pa, pb FROM prte p
+           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = p.pa AND e.pb = p.pb)),
+         d AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+         adjc AS (
+           SELECT adj.u, adj.v FROM adj
+           JOIN d ON d.node = adj.u AND d.deg <= ${AnalyticsExt.LinkPredMaxCenterDeg}),
+         cnw AS (
+           SELECT a.v AS pa, b.v AS pb, CAST(count(*) AS BIGINT) AS cn
+           FROM adjc a JOIN adjc b ON a.u = b.u AND a.v < b.v
+           GROUP BY 1, 2),
+         cand AS MATERIALIZED (
+           SELECT c.pa, c.pb, c.cn,
+             CAST(c.cn * 1000000 // (da.deg + db.deg - c.cn) AS BIGINT) AS jaccard_e6,
+             CASE WHEN EXISTS (SELECT 1 FROM testnew t
+                               WHERE t.pa = c.pa AND t.pb = c.pb)
+               THEN 1 ELSE 0 END AS is_new
+           FROM cnw c
+           JOIN d da ON da.node = c.pa
+           JOIN d db ON db.node = c.pb
+           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = c.pa AND e.pb = c.pb)),
+         top AS (
+           SELECT * FROM cand
+           ORDER BY jaccard_e6 DESC, cn DESC, pa, pb
+           LIMIT ${AnalyticsExt.LinkPredTopK}),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                  CAST(coalesce(sum(is_new), 0) AS BIGINT) AS topk_hits FROM top),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                  CAST(coalesce(sum(is_new), 0) AS BIGINT) AS base_hits FROM cand),
+         tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train_edges FROM e),
+         te AS (SELECT CAST(count(*) AS BIGINT) AS n_test_new FROM testnew)
+         SELECT n_train_edges, n_test_new, n_candidates, base_hits, k_used, topk_hits,
+           CASE WHEN k_used > 0
+             THEN CAST(topk_hits * 1000000 // k_used AS BIGINT)
+             ELSE NULL END AS precision_e6,
+           CASE WHEN base_hits > 0 AND k_used > 0 THEN
+             CAST(CAST(topk_hits AS HUGEINT) * n_candidates * 1000000
+               // (CAST(k_used AS HUGEINT) * base_hits) AS BIGINT)
+           ELSE NULL END AS lift_e6
+         FROM ta, ca, tr, te""",
+    "q_theil" ->
+      // per-customer e6-quantized Theil terms (nats) on integer
+      // ratios; shares exact; between-component per nation
+      """WITH cu AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         cn AS (
+           SELECT n.n_name, cu.x
+           FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey
+           WHERE cu.x >= 1),
+         g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(x) AS BIGINT) AS x_g
+               FROM cn GROUP BY 1),
+         t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(x_g) AS BIGINT) AS xt FROM g),
+         terms AS (
+           SELECT cn.n_name, g.n_g, g.x_g, t.n, t.xt,
+             CAST(floor((CAST(cn.x AS DOUBLE) / t.xt)
+               * ln(CAST(cn.x AS DOUBLE) * t.n / t.xt) * 1000000 + 0.5) AS BIGINT)
+               AS t_term_e6,
+             CAST(floor((CAST(cn.x AS DOUBLE) / g.x_g)
+               * ln(CAST(cn.x AS DOUBLE) * g.n_g / g.x_g) * 1000000 + 0.5) AS BIGINT)
+               AS w_term_e6
+           FROM cn JOIN g USING (n_name), t),
+         bn AS (SELECT n_name, n_g, x_g, n, xt,
+                  CAST(sum(t_term_e6) AS BIGINT) AS t_part_e6,
+                  CAST(sum(w_term_e6) AS BIGINT) AS t_within_e6
+                FROM terms GROUP BY 1, 2, 3, 4, 5),
+         tt AS (SELECT CAST(sum(t_part_e6) AS BIGINT) AS t_total_e6 FROM bn)
+         SELECT n_name, n_g AS n_cust, x_g AS revenue_cents,
+           CAST(CAST(x_g AS HUGEINT) * 1000000 // xt AS BIGINT) AS share_e6,
+           t_within_e6,
+           CAST(floor((CAST(x_g AS DOUBLE) / xt)
+             * ln(CAST(x_g AS DOUBLE) * n / (CAST(xt AS DOUBLE) * n_g))
+             * 1000000 + 0.5) AS BIGINT) AS between_e6,
+           t_total_e6
+         FROM bn, tt""",
+    "q_propensity_strata" ->
+      // equal-width order-value strata, per-stratum arm rates,
+      // common-support flag, integer-weighted ATE over supported
+      """WITH tr AS (
+           SELECT DISTINCT l_orderkey AS o_orderkey
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')),
+         cu AS (
+           SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS bal,
+             CAST(o.o_orderstatus = 'F' AS BIGINT) AS rep,
+             CASE WHEN o.o_orderkey IN (SELECT o_orderkey FROM tr) THEN 1 ELSE 0 END AS treated
+           FROM orders o),
+         b AS (SELECT min(bal) AS lo, max(bal) AS hi FROM cu),
+         st AS (SELECT ((bal - lo) * 10) // (hi - lo + 1) AS stratum, treated, rep
+                FROM cu, b),
+         g AS (
+           SELECT stratum,
+             CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN treated = 1 THEN rep ELSE 0 END) AS BIGINT) AS y_t,
+             CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN treated = 0 THEN rep ELSE 0 END) AS BIGINT) AS y_c
+           FROM st GROUP BY 1),
+         gg AS (
+           SELECT *, CAST(n_t >= 1 AND n_c >= 1 AS BIGINT) AS in_support,
+             CASE WHEN n_t > 0 THEN CAST(y_t * 1000000 // n_t AS BIGINT) ELSE NULL END
+               AS rate_t_e6,
+             CASE WHEN n_c > 0 THEN CAST(y_c * 1000000 // n_c AS BIGINT) ELSE NULL END
+               AS rate_c_e6
+           FROM g),
+         g3 AS (SELECT *, CASE WHEN in_support = 1 THEN rate_t_e6 - rate_c_e6 ELSE NULL END
+                  AS diff_e6
+                FROM gg),
+         a AS (
+           SELECT CAST(sum(n_t + n_c) AS BIGINT) AS n_supported,
+             CAST(sum((n_t + n_c) * diff_e6) AS BIGINT) AS wsum
+           FROM g3 WHERE in_support = 1)
+         SELECT stratum, n_t, y_t, n_c, y_c, in_support, rate_t_e6, rate_c_e6, diff_e6,
+           n_supported,
+           CAST((CASE WHEN wsum < 0 THEN -1 ELSE 1 END)
+             * (abs(CAST(wsum AS HUGEINT)) // n_supported) AS BIGINT) AS ate_e6
+         FROM g3, a""",
+    "q_welch_t" ->
+      // staged HUGEINT quotients: a_i = s_i^2/n_i in one division,
+      // t^2 on the e6 grid (squared statistic, no sqrt), W-S df e3
+      """WITH j AS (
+           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS t,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+             sum(CASE WHEN t = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1,
+             CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN t = 0 THEN c ELSE 0 END) AS BIGINT) AS s2,
+             sum(CASE WHEN t = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q2
+           FROM j),
+         aa AS (
+           SELECT *,
+             (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+               // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) AS a1,
+             (CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+               // (CAST(n2 AS HUGEINT) * n2 * (n2 - 1)) AS a2,
+             CAST((CASE WHEN CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 < 0
+                     THEN -1 ELSE 1 END)
+               * (abs(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                  // (CAST(n1 AS HUGEINT) * n2)) AS BIGINT) AS d_cents
+           FROM m)
+         SELECT n1, n2, s1 // n1 AS mean1_cents, s2 // n2 AS mean2_cents, d_cents,
+           CAST(a1 AS BIGINT) AS se2_1_c2, CAST(a2 AS BIGINT) AS se2_2_c2,
+           CASE WHEN a1 + a2 >= 1 THEN
+             CAST(CAST(d_cents AS HUGEINT) * d_cents * 1000000 // (a1 + a2) AS BIGINT)
+           ELSE NULL END AS t2_e6,
+           CASE WHEN a1 * a1 // (n1 - 1) + a2 * a2 // (n2 - 1) >= 1 THEN
+             CAST((a1 + a2) * (a1 + a2) * 1000
+               // (a1 * a1 // (n1 - 1) + a2 * a2 // (n2 - 1)) AS BIGINT)
+           ELSE NULL END AS df_e3
+         FROM aa""",
+    "q_order_reconciliation" ->
+      // header vs recomputed line totals; exact rank-defined error
+      // percentiles over the per-VALUE frame
+      """WITH rc AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS recomputed
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total, rc.recomputed
+           FROM orders o LEFT JOIN rc ON rc.l_orderkey = o.o_orderkey),
+         summ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lineless,
+             CAST(sum(CASE WHEN recomputed = total THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+             CAST(sum(CASE WHEN recomputed IS NOT NULL THEN recomputed - total ELSE 0 END)
+               AS BIGINT) AS net_drift_cents
+           FROM j),
+         errs AS (
+           SELECT abs(recomputed - total) * 1000000 // total AS rel_e6
+           FROM j WHERE recomputed IS NOT NULL AND total >= 1),
+         bv AS (SELECT rel_e6, CAST(count(*) AS BIGINT) AS cnt FROM errs GROUP BY 1),
+         cu AS (
+           SELECT rel_e6, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY rel_e6
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1
+               AS first_rank
+           FROM bv),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_errs FROM bv),
+         tg AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+                  AS t(pctl, num, den)),
+         rk AS (SELECT pctl, CAST((n_errs * num + den - 1) // den AS BIGINT) AS rank
+                FROM tg, tot)
+         SELECT rk.pctl, rk.rank, cu.rel_e6 AS rel_err_e6,
+           s.n_orders, s.n_lineless, s.n_exact, s.net_drift_cents
+         FROM rk
+         JOIN cu ON rk.rank >= cu.first_rank AND rk.rank < cu.first_rank + cu.cnt, summ s""",
+    "q_brier_decomp" ->
+      // train-half bin rates as e6 forecasts; Brier/REL/RES masses
+      // expanded exactly on the e12 grid, one div N each
+      """WITH o AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+           FROM orders),
+         m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM o),
+         b AS (SELECT min(v) AS lo, max(v) AS hi FROM o),
+         binned AS (
+           SELECT ((v - lo) * 10) // (hi - lo + 1) AS bin, y,
+             CASE WHEN day < mid THEN 1 ELSE 0 END AS is_train
+           FROM o, m, b),
+         tr AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_train,
+                  CAST(sum(y) AS BIGINT) AS y_train
+                FROM binned WHERE is_train = 1 GROUP BY 1),
+         tr2 AS (SELECT bin, n_train,
+                   CAST(y_train * 1000000 // n_train AS BIGINT) AS p_e6 FROM tr),
+         te AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS o_b
+                FROM binned WHERE is_train = 0 GROUP BY 1),
+         te2 AS (SELECT bin, n_b, o_b,
+                   CAST(o_b * 1000000 // n_b AS BIGINT) AS obar_b_e6 FROM te),
+         bb AS (SELECT te2.*, tr2.n_train, tr2.p_e6 FROM te2 JOIN tr2 USING (bin)),
+         tt AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_test,
+                  CAST(sum(o_b) AS BIGINT) AS o_test FROM bb),
+         wt AS (SELECT bb.*, n_test,
+                  CAST(o_test * 1000000 // n_test AS BIGINT) AS obar_e6 FROM bb, tt),
+         g AS (
+           SELECT max(n_test) AS n_test, max(obar_e6) AS obar_e6,
+             CAST(sum(CAST(o_b AS HUGEINT) * (1000000 - p_e6) * (1000000 - p_e6)
+                  + CAST(n_b - o_b AS HUGEINT) * p_e6 * p_e6)
+               // max(n_test) AS BIGINT) AS brier_e12,
+             CAST(sum(CAST(n_b AS HUGEINT) * (p_e6 - obar_b_e6) * (p_e6 - obar_b_e6))
+               // max(n_test) AS BIGINT) AS rel_e12,
+             CAST(sum(CAST(n_b AS HUGEINT) * (obar_b_e6 - obar_e6) * (obar_b_e6 - obar_e6))
+               // max(n_test) AS BIGINT) AS res_e12,
+             CAST(CAST(max(obar_e6) AS HUGEINT) * (1000000 - max(obar_e6)) AS BIGINT)
+               AS unc_e12
+           FROM wt)
+         SELECT wt.bin, wt.n_train, wt.p_e6, wt.n_b, wt.o_b, wt.obar_b_e6,
+           g.n_test, g.obar_e6, g.brier_e12, g.rel_e12, g.res_e12, g.unc_e12
+         FROM wt, g""",
+    "q_period_detect" ->
+      // paired-series ACF per lag, sign-factored e3*e3 r^2, squared
+      // white-noise band r^2*m > 4e6, (r^2 desc, lag) winner
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         lags AS (SELECT unnest(generate_series(2, 14)) AS lag),
+         pairs AS (
+           SELECT l.lag, a.x AS x, b.x AS y
+           FROM lags l CROSS JOIN daily a JOIN daily b ON b.d = a.d + l.lag),
+         pl AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM pairs GROUP BY 1),
+         rr AS (
+           SELECT CAST(lag AS BIGINT) AS lag, m,
+             CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+             CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+           FROM pl),
+         r2 AS (
+           SELECT lag, m,
+             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+               * ((abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y)) AS BIGINT)
+               AS r2_signed_e6
+           FROM rr WHERE den_x > 0 AND den_y > 0),
+         r3 AS (SELECT *, CAST(abs(r2_signed_e6) * m > 4000000 AS BIGINT) AS significant
+                FROM r2),
+         best AS (SELECT lag AS best_lag, r2_signed_e6 AS best_r2_e6
+                  FROM r3 ORDER BY r2_signed_e6 DESC, lag LIMIT 1)
+         SELECT r3.lag, r3.m, r3.r2_signed_e6, r3.significant, best.best_lag, best.best_r2_e6
+         FROM r3, best""",
     "q_bootstrap_ci" -> bootstrapCiOracle(b = BootstrapB),
     "text_zipf" ->
       """WITH td AS (
@@ -7096,6 +7471,49 @@ object SparkEntry {
     * loop's convergence scalar: peeling only removes edges, so
     * last-two-rounds edge-count equality ⟺ fixpoint within the cap.
     */
+  /** Generated unrolled edge-peel replay for `q_ktruss`: per round a
+    * wedge+closure triangle CTE, a per-edge support CTE, and the
+    * filtered edge CTE — idempotent at the fixpoint, so the full
+    * unroll compares bit-exactly to Spark's early-exited loop. Every
+    * CTE MATERIALIZED (each round reads the previous edge set three
+    * times; default inlining would grow the plan exponentially).
+    */
+  private def ktrussOracle(k: Int, maxRounds: Int): String = {
+    def supportCtes(i: Int, edges: String) =
+      s"""tri$i AS MATERIALIZED (
+            SELECT w.a, w.b, w.c
+            FROM (SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+                  FROM $edges ab JOIN $edges bc ON ab.pb = bc.pa) w
+            WHERE EXISTS (SELECT 1 FROM $edges x WHERE x.pa = w.a AND x.pb = w.c)),
+          s$i AS MATERIALIZED (
+            SELECT pa, pb, CAST(count(*) AS BIGINT) AS sup FROM (
+              SELECT a AS pa, b AS pb FROM tri$i
+              UNION ALL SELECT b, c FROM tri$i
+              UNION ALL SELECT a, c FROM tri$i)
+            GROUP BY 1, 2)"""
+    val iters = (0 until maxRounds)
+      .map { i =>
+        s"""${supportCtes(i, s"e$i")},
+           e${i + 1} AS MATERIALIZED (
+             SELECT e.pa, e.pb FROM e$i e JOIN s$i s USING (pa, pb)
+             WHERE s.sup >= ${k - 2})"""
+      }
+      .mkString(",\n         ")
+    s"""WITH bp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e0 AS MATERIALIZED (SELECT pa, pb FROM pr WHERE n >= 2),
+         $iters,
+         ${supportCtes(maxRounds, s"e$maxRounds")},
+         conv AS (SELECT CAST((SELECT count(*) FROM e${maxRounds - 1})
+                            = (SELECT count(*) FROM e$maxRounds) AS BIGINT) AS converged)
+         SELECT e.pa, e.pb, s.sup AS support, converged
+         FROM e$maxRounds e JOIN s$maxRounds s USING (pa, pb), conv"""
+  }
+
   private def kcoreOracle(k: Int, maxRounds: Int): String = {
     // every CTE MATERIALIZED: each e_i references e_{i-1} three times,
     // so default inlining would expand the base scan 3^rounds times

@@ -5261,4 +5261,687 @@ object AnalyticsExt {
                      * (abs(num) * 1000 div den_y)) AS BIGINT)
                 ELSE NULL END""").as("r2_signed_e6"))
   }
+
+  /** Per-edge triangle support on an oriented (pa < pb) edge set:
+    * wedges a<b<c from two edge copies joined on the middle node,
+    * closed by a semi-join on (a,c); each closed triangle credits all
+    * three of its edges. Shared by #315's peel rounds and its final
+    * read-out.
+    */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val ab = e.select(col("pa").as("a"), col("pb").as("b"))
+    val bc = e.select(col("pa").as("b"), col("pb").as("c"))
+    val tri = ab
+      .join(bc, "b")
+      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"), "left_semi")
+    tri
+      .select(col("a").as("pa"), col("b").as("pb"))
+      .unionAll(tri.select(col("b").as("pa"), col("c").as("pb")))
+      .unionAll(tri.select(col("a").as("pa"), col("c").as("pb")))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** #315 K-truss decomposition (convergence-adaptive edge peeling):
+    * the maximal subgraph of the co-purchase graph in which every
+    * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's
+    * k-core (degree is gameable by stars; triangle support is not),
+    * the community-backbone extraction literature recommends when
+    * k-core keeps too much periphery. Each round recomputes per-edge
+    * triangle support on the SURVIVING subgraph (a removed edge
+    * un-closes its triangles, so support only falls — peeling is
+    * monotone) and drops edges below k−2; exits early the first
+    * round that removes nothing (per-round edge count doubles as the
+    * convergence scalar and the checkpoint materialization, the #200
+    * protocol), capped at `maxRounds` with a `converged` column.
+    * Removal is IDEMPOTENT at the fixpoint, so the DuckDB oracle
+    * unrolls all rounds (every CTE MATERIALIZED — each round
+    * references the previous three times) and compares bit-exactly
+    * to an early-exited run. Per round: two self-joins on node keys
+    * + one counting agg — all hash exchanges; wedge fan-out is the
+    * #176 oriented bound Σ outdeg². Output: surviving edges with
+    * their within-truss support. Default k = 3 (every surviving edge
+    * triangle-supported): the synthetic support-2 co-purchase graph
+    * holds NO 4-truss beyond sf0.001, and the 3-truss stays
+    * non-vacuous at every test SF.
+    */
+  def ktruss(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 8): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    var edges = baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('pa', x, 'pb', y))))"""))
+          .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select("pa", "pb")
+      .localCheckpoint(eager = true)
+    var nEdges = edges.count()
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      round += 1
+      val keep = edgeSupport(edges).filter(col("support") >= k - 2).select("pa", "pb")
+      edges = edges
+        .join(keep, Seq("pa", "pb"), "left_semi")
+        .localCheckpoint(eager = true)
+      val n = edges.count()
+      converged = n == nEdges
+      nEdges = n
+    }
+    edges
+      .join(edgeSupport(edges), Seq("pa", "pb"))
+      .select(
+        col("pa"),
+        col("pb"),
+        col("support"),
+        lit(if (converged) 1L else 0L).as("converged"))
+  }
+
+  /** #316 Croston intermittent-demand smoothing: per part, the
+    * two-track exponential state Croston (1972) built for series that
+    * are mostly ZERO — separate smoothings of demand SIZE z and
+    * inter-demand INTERVAL p, updated only on demand days, forecast
+    * rate z/p — the spare-parts/slow-mover forecaster where #250's
+    * Holt (which smooths the zeros in) systematically under-biases.
+    * Completes the inventory family: #256 reorder point, #300 EOQ,
+    * #312 newsvendor, and now the demand-RATE model they consume.
+    *
+    * All-integer dyadic α = ¼ with SIGN-FACTORED truncating division
+    * (#250's cross-engine discipline); state init (z₁ = first demand,
+    * p₁ = 1 day, documented convention) avoids lookahead; p ≥ 1 by
+    * induction (gaps ≥ 1), so the rate quotient is always defined.
+    * The fold is sequential by definition but runs inside one
+    * collected array scalar per part (the #234/#250 bounded-model-
+    * state pattern — demand-day count is calendar-bounded); the
+    * DuckDB oracle replays the identical trajectory as a per-part
+    * recursive CTE. One (part, day) aggregate + one part-keyed
+    * collect; no windows over unbounded data.
+    */
+  def croston(spark: SparkSession, dir: String): DataFrame = {
+    def q4(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) div 4) ELSE ($a) div 4 END)"
+    val daily = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "day")
+      .agg(sum("q").as("y"))
+    daily
+      .groupBy("l_partkey")
+      .agg(expr("sort_array(collect_list(named_struct('day', day, 'y', y)))").as("steps"))
+      .select(
+        col("l_partkey"),
+        explode(
+          expr(s"""transform(steps, (x, i) -> named_struct(
+                     'day', x.day, 'q', x.y,
+                     'st', aggregate(slice(steps, 2, i),
+                             named_struct('z', element_at(steps, 1).y, 'p', 1L,
+                                          'd', element_at(steps, 1).day),
+                             (acc, s) -> named_struct(
+                               'z', acc.z + ${q4("s.y - acc.z")},
+                               'p', acc.p + ${q4("(s.day - acc.d) - acc.p")},
+                               'd', s.day))))"""))
+          .as("h"))
+      .select(
+        col("l_partkey"),
+        col("h.day").as("day"),
+        col("h.q").as("demand_qty"),
+        col("h.st.z").as("z_size"),
+        col("h.st.p").as("p_interval"),
+        expr("CAST(CAST(h.st.z AS DECIMAL(38,0)) * 1000 div h.st.p AS BIGINT)")
+          .as("rate_e3"))
+  }
+
+  /** #317 Link-prediction backtest: does #283's common-neighbor
+    * scorer actually PREDICT? Time-split holdout — train = orders
+    * before the calendar midpoint (the #286 split), test = after;
+    * score every non-edge of the TRAIN co-purchase graph with #283's
+    * hub-capped common-neighbor Jaccard, take the top-K by the same
+    * (jaccard, cn, pa, pb) total order, and measure precision@K
+    * against pairs that NEWLY co-occur in test (≥1 shared test
+    * order, not a train edge). Lift compares against the base rate
+    * over ALL scored candidates — "is ranking by the score better
+    * than drawing any candidate" — the scorecard-beside-the-
+    * approximation pattern (#238/#245 discipline: a prediction
+    * operator ships WITH its evaluation). All counts exact BIGINTs;
+    * precision/lift e6 truncating quotients. Scale shape identical
+    * to #283 (wedge fan-out hub-capped at Σ min(deg,cap)²) plus two
+    * linear pair extractions; the summary is one row.
+    */
+  def linkPredBacktest(
+      spark: SparkSession,
+      dir: String,
+      minOrders: Int = LinkPredMinOrders,
+      maxCenterDeg: Int = LinkPredMaxCenterDeg,
+      topK: Int = LinkPredTopK): DataFrame = {
+    val ordDay = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").as("l_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+    val mid = ordDay.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val li = Tables
+      .lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+      .join(ordDay, "l_orderkey")
+      .crossJoin(broadcast(mid))
+    def pairsOf(df: DataFrame): DataFrame =
+      df.groupBy("l_orderkey")
+        .agg(array_sort(collect_set("l_partkey")).as("parts"))
+        .select(
+          explode(
+            expr(
+              """flatten(transform(parts, (x, i) ->
+                   transform(slice(parts, i + 2, size(parts)),
+                     y -> named_struct('pa', x, 'pb', y))))"""))
+            .as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+    val e = pairsOf(li.filter(col("day") < col("mid")))
+      .filter(col("n_orders") >= minOrders)
+      .select("pa", "pb")
+      .localCheckpoint(eager = false)
+    val testNew = pairsOf(li.filter(col("day") >= col("mid")))
+      .select("pa", "pb")
+      .join(e, Seq("pa", "pb"), "left_anti")
+      .localCheckpoint(eager = false)
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val adj = e
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .join(
+        deg.filter(col("deg") <= maxCenterDeg).select(col("node").as("u")),
+        Seq("u"),
+        "left_semi")
+    val cand = adj
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("pa"), col("w").as("pb"))
+      .agg(count(lit(1)).as("cn"))
+      .join(e, Seq("pa", "pb"), "left_anti")
+      .join(deg.select(col("node").as("pa"), col("deg").as("deg_a")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("deg_b")), "pb")
+      .withColumn("jaccard_e6", expr("CAST(cn * 1000000 div (deg_a + deg_b - cn) AS BIGINT)"))
+      .join(testNew.withColumn("is_new", lit(1L)), Seq("pa", "pb"), "left")
+      .withColumn("is_new", coalesce(col("is_new"), lit(0L)))
+      .localCheckpoint(eager = false)
+    val top = cand
+      .orderBy(col("jaccard_e6").desc, col("cn").desc, col("pa"), col("pb"))
+      .limit(topK)
+    val candAgg = cand.agg(
+      count(lit(1)).as("n_candidates"),
+      coalesce(sum("is_new"), lit(0L)).as("base_hits"))
+    val trainAgg = e.agg(count(lit(1)).as("n_train_edges"))
+    val testAgg = testNew.agg(count(lit(1)).as("n_test_new"))
+    top
+      .agg(count(lit(1)).as("k_used"), coalesce(sum("is_new"), lit(0L)).as("topk_hits"))
+      .crossJoin(broadcast(trainAgg))
+      .crossJoin(broadcast(testAgg))
+      .crossJoin(broadcast(candAgg))
+      .select(
+        col("n_train_edges"),
+        col("n_test_new"),
+        col("n_candidates"),
+        col("base_hits"),
+        col("k_used"),
+        col("topk_hits"),
+        expr("""CASE WHEN k_used > 0
+                THEN CAST(topk_hits * 1000000 div k_used AS BIGINT)
+                ELSE NULL END""").as("precision_e6"),
+        expr("""CASE WHEN base_hits > 0 AND k_used > 0 THEN
+                  CAST(CAST(topk_hits AS DECIMAL(38,0)) * n_candidates * 1000000
+                    div (CAST(k_used AS DECIMAL(38,0)) * base_hits) AS BIGINT)
+                ELSE NULL END""").as("lift_e6"))
+  }
+
+  /** #318 Theil T index with nation decomposition: customer-revenue
+    * inequality in nats, split EXACTLY (up to quantization) into
+    * within-nation and between-nation components — the decomposition
+    * #180's Gini famously lacks (Gini's between/within terms overlap;
+    * Theil's are additive), so "is inequality a country story or a
+    * within-country story" is answerable. T = Σ(xᵢ/X)·ln(xᵢ·n/X);
+    * within-g replaces (X, n) with the group's; between is the
+    * ≤|nations|-term Σ(X_g/X)·ln(X_g·n/(X·n_g)). Every float term is
+    * a double of INTEGER ratios e6-quantized before the
+    * order-independent sum (#119's discipline); shares are exact
+    * integer quotients. Zero-revenue customers carry no mass
+    * (x·ln x → 0) and are excluded by contract. One customer-grain
+    * aggregate + one nation join + ≤|nations| rollups; no windows.
+    * T = Σ s_g·T_g + T_between holds within per-term quantization —
+    * spec-pinned with the matching slack.
+    */
+  def theil(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("o_custkey")
+      .agg(sum("c").as("x"))
+      .filter(col("x") >= 1)
+      .join(
+        Tables
+          .customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .join(
+        broadcast(
+          Tables.nation(spark, dir).select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("n_name"), col("x"))
+    val groups = cust.groupBy("n_name").agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
+    val total = groups.agg(sum("n_g").as("n"), sum("x_g").as("xt"))
+    val terms = cust
+      .join(broadcast(groups), "n_name")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "t_term_e6",
+        floor(
+          (col("x").cast("double") / col("xt")) *
+            log(col("x").cast("double") * col("n") / col("xt")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn(
+        "w_term_e6",
+        floor(
+          (col("x").cast("double") / col("x_g")) *
+            log(col("x").cast("double") * col("n_g") / col("x_g")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val byNation = terms
+      .groupBy("n_name", "n_g", "x_g", "n", "xt")
+      .agg(sum("t_term_e6").as("t_part_e6"), sum("w_term_e6").as("t_within_e6"))
+    val tTotal = byNation
+      .agg(sum("t_part_e6").as("t_total_e6"))
+    byNation
+      .crossJoin(broadcast(tTotal))
+      .select(
+        col("n_name"),
+        col("n_g").as("n_cust"),
+        col("x_g").as("revenue_cents"),
+        expr("CAST(CAST(x_g AS DECIMAL(38,0)) * 1000000 div xt AS BIGINT)").as("share_e6"),
+        col("t_within_e6"),
+        floor(
+          (col("x_g").cast("double") / col("xt")) *
+            log(
+              col("x_g").cast("double") * col("n") /
+                (col("xt").cast("double") * col("n_g"))) * lit(1e6) + lit(0.5))
+          .cast("long")
+          .as("between_e6"),
+        col("t_total_e6"))
+  }
+
+  /** #319 Propensity-stratified treatment effect: does carrying a
+    * PROMO-part line associate with an order completing (status 'F'),
+    * after stratifying on order value — the subclassification
+    * estimator (Cochran 1968, Rosenbaum & Rubin's recommended 5–10
+    * strata) that completes the causal shelf: #286 DiD removes time
+    * confounding, this removes an OBSERVED covariate confounder
+    * (order size correlates with both basket composition and
+    * completion). Strata = 10 equal-width cents bins of o_totalprice
+    * from a 1-row min/max broadcast (#233's binning); per stratum the
+    * treated/control completion rates (e6 truncating), their
+    * difference, and an `in_support` flag (both arms present —
+    * off-support strata are excluded, the common-support rule);
+    * ATE = Σ n_s·diff_s div N over supported strata — integer weights
+    * on already-truncated diffs, deterministic in both engines. One
+    * order-grain semi-join + two ≤10-row rollups; no windows.
+    */
+  def propensityStrata(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables
+      .part(spark, dir)
+      .filter(col("p_type").startsWith("PROMO"))
+      .select(col("p_partkey").as("l_partkey"))
+    val treatedOrders = Tables
+      .lineitem(spark, dir)
+      .join(broadcast(promoParts), Seq("l_partkey"), "left_semi")
+      .select(col("l_orderkey").as("o_orderkey"))
+      .distinct()
+      .withColumn("treated", lit(1L))
+    val ords = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("bal"),
+        (col("o_orderstatus") === "F").cast("long").as("outcome"))
+      .join(treatedOrders, Seq("o_orderkey"), "left")
+      .withColumn("treated", coalesce(col("treated"), lit(0L)))
+    val bounds = ords.agg(min("bal").as("lo"), max("bal").as("hi"))
+    val strata = ords
+      .crossJoin(broadcast(bounds))
+      .withColumn("stratum", expr("((bal - lo) * 10) div (hi - lo + 1)"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") === 1, col("outcome")).otherwise(0L)).as("y_t"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated") === 0, col("outcome")).otherwise(0L)).as("y_c"))
+      .withColumn("in_support", (col("n_t") >= 1 && col("n_c") >= 1).cast("long"))
+      .withColumn(
+        "rate_t_e6",
+        expr("CASE WHEN n_t > 0 THEN CAST(y_t * 1000000 div n_t AS BIGINT) ELSE NULL END"))
+      .withColumn(
+        "rate_c_e6",
+        expr("CASE WHEN n_c > 0 THEN CAST(y_c * 1000000 div n_c AS BIGINT) ELSE NULL END"))
+      .withColumn(
+        "diff_e6",
+        expr("""CASE WHEN in_support = 1
+                THEN rate_t_e6 - rate_c_e6 ELSE NULL END"""))
+    val ate = strata
+      .filter(col("in_support") === 1)
+      .agg(
+        sum(expr("n_t + n_c")).as("n_supported"),
+        sum(expr("(n_t + n_c) * diff_e6")).as("wsum"))
+      .select(
+        col("n_supported"),
+        expr("""CAST(CASE WHEN wsum < 0 THEN -1 ELSE 1 END
+                 * (abs(CAST(wsum AS DECIMAL(38,0))) div n_supported) AS BIGINT)""")
+          .as("ate_e6"))
+    strata.crossJoin(broadcast(ate))
+  }
+
+  /** #320 Welch unequal-variance t test (squared form): do PROMO and
+    * non-promo line revenues differ in MEAN — the parametric
+    * counterpart to #288's rank test on the identical frame (rank
+    * test moves only with order; this with magnitude — run both, and
+    * disagreement itself is the skew/outlier diagnostic). Everything
+    * staged integer quotients so no engine meets a float or a √:
+    * aᵢ = s²ᵢ/nᵢ as ONE truncating division of DECIMAL(38,0) moment
+    * forms (nᵢΣx²−S²ᵢ) by n²ᵢ(nᵢ−1); mean gap d in whole cents
+    * (sign-factored); t² on the e6 grid as d²·10⁶ div (a₁+a₂) — the
+    * #254 squared-statistic trick (compare t² to z²_crit, no sqrt
+    * anywhere); Welch–Satterthwaite df on the e3 grid from the same
+    * aᵢ via a second staged quotient. One partial-agg moment pass,
+    * 1-row output, no windows.
+    */
+  def welchT(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .select(
+              col("p_partkey").as("l_partkey"),
+              col("p_type").startsWith("PROMO").cast("long").as("t"))),
+        "l_partkey")
+      .select(
+        col("t"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("c"))
+      .agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t") === 1, col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("t") === 1, expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("t") === 0, col("c")).otherwise(0L)).as("s2"),
+        sum(when(col("t") === 0, expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
+      .withColumn(
+        "a1",
+        expr("""(CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                 div (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1))"""))
+      .withColumn(
+        "a2",
+        expr("""(CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)
+                 div (CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1))"""))
+      .withColumn(
+        "d_cents",
+        expr("""CAST(CASE WHEN CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1 < 0
+                       THEN -1 ELSE 1 END
+                 * (abs(CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
+                    div (CAST(n1 AS DECIMAL(38,0)) * n2)) AS BIGINT)"""))
+      .select(
+        col("n1"),
+        col("n2"),
+        expr("s1 div n1").as("mean1_cents"),
+        expr("s2 div n2").as("mean2_cents"),
+        col("d_cents"),
+        expr("CAST(a1 AS BIGINT)").as("se2_1_c2"),
+        expr("CAST(a2 AS BIGINT)").as("se2_2_c2"),
+        expr("""CASE WHEN a1 + a2 >= 1 THEN
+                  CAST(CAST(d_cents AS DECIMAL(38,0)) * d_cents * 1000000 div (a1 + a2) AS BIGINT)
+                ELSE NULL END""").as("t2_e6"),
+        expr("""CASE WHEN CAST(a1 AS DECIMAL(38,0)) * a1 div (n1 - 1)
+                     + CAST(a2 AS DECIMAL(38,0)) * a2 div (n2 - 1) >= 1 THEN
+                  CAST((CAST(a1 AS DECIMAL(38,0)) + a2) * (CAST(a1 AS DECIMAL(38,0)) + a2) * 1000
+                    div (CAST(a1 AS DECIMAL(38,0)) * a1 div (n1 - 1)
+                         + CAST(a2 AS DECIMAL(38,0)) * a2 div (n2 - 1)) AS BIGINT)
+                ELSE NULL END""").as("df_e3"))
+
+  /** #322 Order↔lineitem reconciliation audit: per order, the header
+    * total against the recomputed Σ extendedprice·(1−disc)·(1+tax)
+    * over its lines — the cross-entity consistency check every CDC
+    * warehouse runs between a header feed and a detail feed (the
+    * classic "two systems disagree about money" screen; #190's DQ
+    * audit checks per-ROW invariants, this checks a cross-TABLE
+    * identity). Reports exact-match and headerless/lineless counts,
+    * the signed net drift in cents, and the p50/p90/p99 of per-order
+    * relative error (e6) — exact rank-defined percentiles via the
+    * #180 hierarchical build on the per-VALUE error frame (ties
+    * collapse first; windows ride distinct error values, never
+    * orders). On this synthetic corpus the header total is
+    * independent of the lines, so the audit reports ~100% mismatch —
+    * that IS the finding; the operator's value is the exact shape of
+    * the discrepancy distribution.
+    */
+  def orderReconciliation(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val recomputed = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        expr("""CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+                 AS BIGINT)""").as("lc"))
+      .groupBy("l_orderkey")
+      .agg(sum("lc").as("recomputed"))
+    val j = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").as("l_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("total"))
+      .join(recomputed, Seq("l_orderkey"), "left")
+    val errs = j
+      .filter(col("recomputed").isNotNull && col("total") >= 1)
+      .withColumn("rel_e6", expr("abs(recomputed - total) * 1000000 div total"))
+    val summary = j.agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("recomputed").isNull.cast("long")).as("n_lineless"),
+      sum((col("recomputed") === col("total")).cast("long")).as("n_exact"),
+      sum(expr("CASE WHEN recomputed IS NOT NULL THEN recomputed - total ELSE 0 END"))
+        .as("net_drift_cents"))
+    val byVal = errs.groupBy("rel_e6").agg(count(lit(1)).as("cnt"))
+    val bounds = byVal.agg(min("rel_e6").as("lo"), max("rel_e6").as("hi"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((rel_e6 - lo) * $nShards) div (hi - lo + 1)"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("cnt").as("sc"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sc").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val ranked = sharded
+      .withColumn(
+        "cum",
+        coalesce(
+          sum("cnt").over(
+            Window.partitionBy("shard").orderBy("rel_e6")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(offsets), "shard")
+      .select(col("rel_e6"), (col("off") + col("cum") + 1).as("first_rank"), col("cnt"))
+    val total = errs.agg(count(lit(1)).as("n_errs"))
+    val targets = spark
+      .createDataFrame(Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .toDF("pctl", "num", "den")
+    targets
+      .crossJoin(broadcast(total))
+      .withColumn("rank", expr("(n_errs * num + den - 1) div den"))
+      .join(
+        ranked,
+        col("rank") >= col("first_rank") && col("rank") < col("first_rank") + col("cnt"))
+      .select(col("pctl"), col("rank"), col("rel_e6").as("rel_err_e6"))
+      .crossJoin(broadcast(summary))
+  }
+
+  /** #323 Brier score with Murphy decomposition: the order-value
+    * score's probabilistic forecast quality on a held-out calendar
+    * half — train-half completion rate per value bin becomes the
+    * forecast p_b, the test half scores it, and Murphy (1973) splits
+    * the Brier mean-squared error into REliability (calibration
+    * error), RESolution (how much the bins separate outcomes) and
+    * UNCertainty (outcome variance — the no-skill floor):
+    * Brier = REL − RES + UNC. Completes the score-evaluation family:
+    * #232 AUC ranks, #233 calibration eyeballs, #303 prices the
+    * cutoff — this scores the probability NUMBERS on held-out data.
+    * All e12-grid integers: per-bin Brier mass expands exactly as
+    * o_b·(10⁶−p_b)² + (n_b−o_b)·p_b² with p_b the e6 train rate;
+    * REL/RES masses are n_b-weighted squared e6-rate gaps; each
+    * component is ONE truncating div N through DECIMAL(38,0)↔HUGEINT
+    * so the identity holds within per-bin quantization (spec-pinned
+    * with slack). Bins from a 1-row min/max broadcast over BOTH
+    * halves (stable bin edges); two linear passes + ≤10-row rollups.
+    */
+  def brierDecomp(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val ords = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+    val mid = ords.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val bounds = ords.agg(min("v").as("lo"), max("v").as("hi"))
+    val binned = ords
+      .crossJoin(broadcast(mid))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((v - lo) * $nBins) div (hi - lo + 1)"))
+      .select(col("bin"), col("y"), (col("day") < col("mid")).cast("long").as("is_train"))
+    val train = binned
+      .filter(col("is_train") === 1)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_train"), sum("y").as("y_train"))
+      .withColumn("p_e6", expr("CAST(y_train * 1000000 div n_train AS BIGINT)"))
+    val test = binned
+      .filter(col("is_train") === 0)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("o_b"))
+      .withColumn("obar_b_e6", expr("CAST(o_b * 1000000 div n_b AS BIGINT)"))
+    val bins = test.join(train.select(col("bin"), col("n_train"), col("p_e6")), "bin")
+    val tot = bins.agg(sum("n_b").as("n_test"), sum("o_b").as("o_test"))
+    val withTot = bins
+      .crossJoin(broadcast(tot))
+      .withColumn("obar_e6", expr("CAST(o_test * 1000000 div n_test AS BIGINT)"))
+      .withColumn(
+        "brier_mass",
+        expr("""CAST(o_b AS DECIMAL(38,0)) * (1000000 - p_e6) * (1000000 - p_e6)
+                + CAST(n_b - o_b AS DECIMAL(38,0)) * p_e6 * p_e6"""))
+      .withColumn(
+        "rel_mass",
+        expr("""CAST(n_b AS DECIMAL(38,0)) * (p_e6 - obar_b_e6) * (p_e6 - obar_b_e6)"""))
+      .withColumn(
+        "res_mass",
+        expr("""CAST(n_b AS DECIMAL(38,0)) * (obar_b_e6 - obar_e6) * (obar_b_e6 - obar_e6)"""))
+    val global = withTot
+      .groupBy("n_test", "o_test", "obar_e6")
+      .agg(
+        sum("brier_mass").as("bm"),
+        sum("rel_mass").as("rm"),
+        sum("res_mass").as("sm"))
+      .select(
+        col("n_test"),
+        col("obar_e6"),
+        expr("CAST(bm div n_test AS BIGINT)").as("brier_e12"),
+        expr("CAST(rm div n_test AS BIGINT)").as("rel_e12"),
+        expr("CAST(sm div n_test AS BIGINT)").as("res_e12"),
+        expr("CAST(CAST(obar_e6 AS DECIMAL(38,0)) * (1000000 - obar_e6) AS BIGINT)")
+          .as("unc_e12"))
+    withTot
+      .select(
+        col("bin"),
+        col("n_train"),
+        col("p_e6"),
+        col("n_b"),
+        col("o_b"),
+        col("obar_b_e6"))
+      .crossJoin(broadcast(global))
+  }
+
+  /** #324 Dominant-period detection: the lag-2..14 autocorrelation
+    * table of daily order revenue with the winning lag — ACF-based
+    * periodicity discovery, the data-driven gate BEFORE fitting a
+    * seasonal model (#221/#292 assume a period; this asks whether one
+    * exists — run it first, and a sub-threshold winner means "use
+    * #250 Holt and stop"). Per lag the paired series (d, d+L over
+    * days present in both) scores #229's sign-factored e3×e3 r²
+    * through DECIMAL(38,0)↔HUGEINT; winner by (signed r² desc, lag
+    * asc); the `significant` flag squares the classic |r| > 2/√m
+    * white-noise band — r²·m > 4·10⁶ on the e6 grid, no sqrt (the
+    * #254 trick). On this corpus NO lag clears the band (max |r| ≈
+    * 0.04) — the honest "no dominant period" reading, the #321-kappa
+    * class of finding. One day aggregate + one 13-way lag explode +
+    * self-join on day; windows none.
+    */
+  def periodDetect(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("d"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("x"))
+      .groupBy("d")
+      .agg(sum("x").as("x"))
+    val lagged = daily
+      .select(col("d"), col("x"), explode(expr(s"sequence(2, $maxLag)")).as("lag"))
+      .withColumn("d2", col("d") + col("lag"))
+      .join(daily.select(col("d").as("d2"), col("x").as("y")), Seq("d2"))
+    val perLag = lagged
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(
+        col("lag").cast("long").as("lag"),
+        col("m"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("den_x"),
+        expr("CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("den_y"))
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .select(
+        col("lag"),
+        col("m"),
+        expr("""CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                 ((abs(num) * 1000 div den_x) * (abs(num) * 1000 div den_y))
+                AS BIGINT)""").as("r2_signed_e6"))
+      .withColumn(
+        "significant",
+        expr("CAST(abs(r2_signed_e6) * m > 4000000 AS LONG)"))
+    val best = perLag
+      .orderBy(col("r2_signed_e6").desc, col("lag"))
+      .limit(1)
+      .select(col("lag").as("best_lag"), col("r2_signed_e6").as("best_r2_e6"))
+    perLag.crossJoin(broadcast(best))
+  }
 }

@@ -314,6 +314,51 @@ object TextStats {
                 ELSE NULL END""").as("nmi_e6"))
   }
 
+  /** #321 Cohen's kappa of the language-ID heuristic: chance-corrected
+    * agreement between #66's predicted language and the ground-truth
+    * label, computed over #107's confusion matrix — the one-number
+    * classifier scorecard that raw accuracy overstates whenever one
+    * class dominates (a majority-class guesser scores high accuracy
+    * but κ ≈ 0). ENTIRELY integer — no floats anywhere: with
+    * D = Σ diagonal, E = Σ_l row_l·col_l and N docs,
+    * κ = (N·D − E)/(N² − E) is one sign-factored e6 quotient through
+    * DECIMAL(38,0)↔HUGEINT; observed/expected agreement ship as e6
+    * quotients beside it. One |langs|²-bounded aggregate over the
+    * shared lang-id frame; no windows, no sort.
+    */
+  def langKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = TextOps
+      .langConfusion(spark, dir)
+      .select(col("label_lang"), col("pred_lang"), col("n_docs"))
+    val rowM = conf.groupBy("label_lang").agg(sum("n_docs").as("r"))
+    val colM = conf.groupBy("pred_lang").agg(sum("n_docs").as("c"))
+    val e = rowM
+      .join(colM, col("label_lang") === col("pred_lang"))
+      .agg(
+        coalesce(sum(expr("CAST(r AS DECIMAL(38,0)) * c")), expr("CAST(0 AS DECIMAL(38,0))"))
+          .as("e_sum"))
+    val d = conf
+      .filter(col("label_lang") === col("pred_lang"))
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("diag"))
+    val n = conf.agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_cells"))
+    n.crossJoin(broadcast(d))
+      .crossJoin(broadcast(e))
+      .select(
+        col("n_docs"),
+        col("n_cells"),
+        col("diag").as("n_agree"),
+        expr("CAST(CAST(diag AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)")
+          .as("po_e6"),
+        expr("""CAST(e_sum * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""")
+          .as("pe_e6"),
+        expr("""CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - e_sum > 0 THEN
+                  CAST(CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * diag - e_sum < 0
+                         THEN -1 ELSE 1 END
+                    * (abs(CAST(n_docs AS DECIMAL(38,0)) * diag - e_sum) * 1000000
+                       div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - e_sum)) AS BIGINT)
+                ELSE NULL END""").as("kappa_e6"))
+  }
+
   /** #148 KMV (k-minimum-values / theta) overlap sketch: cross-corpus
     * distinct-cardinality and Jaccard estimates from two k-row
     * sketches — "how much does corpus B overlap corpus A" WITHOUT

@@ -2698,4 +2698,322 @@ class AnalyticsExtSpec extends SparkSpec {
     // every measure varies in this corpus, so no pair degenerates to NULL
     assert(got.values.forall(_._2.isDefined), "no constant columns")
   }
+
+  test("ktruss: scala peel replay to fixpoint; every edge holds k-2 triangles; converged") {
+    val k = 3
+    val got = AnalyticsExt.ktruss(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val base = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.toSeq
+      .flatMap(b =>
+        b.map(_._2).distinct.sorted.toList.combinations(2).map(p => (p(0), p(1))).toSeq)
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nbrs = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
+      es.toSeq.flatMap { case (a, b) =>
+        (nbrs(a) & nbrs(b)).toSeq.flatMap { c =>
+          Seq((a, b)) // one credit to (a,b) per common neighbor c
+        }
+      }.groupBy(identity).map { case (e, v) => e -> v.size.toLong }
+    }
+    var edges = base
+    var changed = true
+    while (changed) {
+      val sup = supports(edges)
+      val next = edges.filter(e => sup.getOrElse(e, 0L) >= k - 2)
+      changed = next.size != edges.size
+      edges = next
+    }
+    val finalSup = supports(edges)
+    assert(got.keySet == edges, "surviving edge set matches the fixpoint")
+    got.foreach { case (e, (sup, conv)) =>
+      assert(sup == finalSup(e) && sup >= k - 2 && conv == 1L, s"edge $e")
+    }
+    // the peel actually removed something on this corpus
+    assert(edges.size < base.size)
+  }
+
+  test("croston: sequential two-track fold replay; interval state never below one day") {
+    val got = AnalyticsExt.croston(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val daily = Tables.lineitem(spark, sf)
+      .selectExpr(
+        "l_partkey",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    def q4(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+    daily.groupBy(_._1._1).foreach { case (pk, m) =>
+      val steps = m.toSeq.map { case ((_, d), q) => (d, q) }.sortBy(_._1)
+      var (z, p, prev) = (steps.head._2, 1L, steps.head._1)
+      steps.zipWithIndex.foreach { case ((d, q), i) =>
+        if (i > 0) {
+          z = z + q4(q - z)
+          p = p + q4((d - prev) - p)
+          prev = d
+        }
+        val (gq, gz, gp, grate) = got((pk, d))
+        assert(gq == q && gz == z && gp == p, s"part $pk day $d state")
+        assert(p >= 1, "interval state stays >= 1")
+        assert(grate == BigInt(z) * 1000 / p)
+      }
+    }
+    assert(got.size == daily.size)
+  }
+
+  test("linkpred backtest: full scala replay of split, scoring, top-k and hit counts") {
+    val r = AnalyticsExt.linkPredBacktest(spark, sf).head()
+    val rows = Tables.lineitem(spark, sf)
+      .join(
+        Tables.orders(spark, sf).selectExpr(
+          "o_orderkey AS l_orderkey",
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day"),
+        "l_orderkey")
+      .selectExpr("l_orderkey", "l_partkey", "day")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = (rows.map(_._3).min + rows.map(_._3).max + 1) / 2
+    def pairs(rs: Seq[(Long, Long, Long)]): Map[(Long, Long), Long] =
+      rs.map(t => (t._1, t._2)).distinct
+        .groupBy(_._1).values.toSeq
+        .flatMap(b =>
+          b.map(_._2).distinct.sorted.toList.combinations(2).map(p => (p(0), p(1))).toSeq)
+        .groupBy(identity).map { case (e, v) => e -> v.size.toLong }
+    val train = pairs(rows.filter(_._3 < mid).toSeq)
+      .filter(_._2 >= AnalyticsExt.LinkPredMinOrders).keySet
+    val testNew = pairs(rows.filter(_._3 >= mid).toSeq).keySet -- train
+    val deg = train.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+    val adj = train.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (u, _) => deg(u) <= AnalyticsExt.LinkPredMaxCenterDeg }
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2) }
+    val cn = adj.values.toSeq
+      .flatMap(vs => vs.sorted.toList.combinations(2).map(p => (p(0), p(1))).toSeq)
+      .groupBy(identity).map { case (e, v) => e -> v.size.toLong }
+      .filter(e => !train.contains(e._1))
+    val scored = cn.toSeq.map { case ((a, b), c) =>
+      val j = c * 1000000L / (deg(a) + deg(b) - c)
+      (a, b, c, j)
+    }
+    val top = scored.sortBy { case (a, b, c, j) => (-j, -c, a, b) }
+      .take(AnalyticsExt.LinkPredTopK)
+    val topkHits = top.count(t => testNew.contains((t._1, t._2))).toLong
+    val baseHits = scored.count(t => testNew.contains((t._1, t._2))).toLong
+    assert(r.getAs[Long]("n_train_edges") == train.size.toLong)
+    assert(r.getAs[Long]("n_test_new") == testNew.size.toLong)
+    assert(r.getAs[Long]("n_candidates") == scored.size.toLong)
+    assert(r.getAs[Long]("base_hits") == baseHits)
+    assert(r.getAs[Long]("k_used") == top.size.toLong)
+    assert(r.getAs[Long]("topk_hits") == topkHits)
+    assert(r.getAs[Long]("precision_e6") == topkHits * 1000000L / top.size)
+  }
+
+  test("theil: decomposition identity within quantization slack; shares partition unity") {
+    val rows = AnalyticsExt.theil(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Long]("share_e6"))
+    val nNations = rows.length
+    assert(math.abs(shares.sum - 1000000L) <= nNations, "shares partition unity")
+    val tTotal = rows.head.getAs[Long]("t_total_e6")
+    assert(rows.forall(_.getAs[Long]("t_total_e6") == tTotal))
+    // T >= 0 up to per-customer quantization
+    val nCust = rows.map(_.getAs[Long]("n_cust")).sum
+    assert(tTotal >= -(nCust / 2 + 2), "Theil index nonnegative")
+    // decomposition: T = sum share*T_within + sum between, in doubles
+    val within = rows.map(r =>
+      (r.getAs[Long]("share_e6") / 1e6) * (r.getAs[Long]("t_within_e6") / 1e6)).sum
+    val between = rows.map(_.getAs[Long]("between_e6") / 1e6).sum
+    assert(math.abs(tTotal / 1e6 - (within + between)) < 2e-3,
+      s"decomposition: ${tTotal / 1e6} vs within $within + between $between")
+  }
+
+  test("propensity strata: full scala replay; ATE is the support-weighted diff") {
+    val rows = AnalyticsExt.propensityStrata(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val promo = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_type").startsWith("PROMO"))
+        .selectExpr("p_partkey AS l_partkey"), Seq("l_partkey"), "left_semi")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val pop = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS bal",
+        "CAST(o_orderstatus = 'F' AS LONG) AS outcome")
+      .collect()
+      .map(r => (r.getLong(1), if (promo(r.getLong(0))) 1L else 0L, r.getLong(2)))
+    val (lo, hi) = (pop.map(_._1).min, pop.map(_._1).max)
+    val strata = pop.groupBy(t => (t._1 - lo) * 10 / (hi - lo + 1))
+    rows.foreach { r =>
+      val s = strata(r.getAs[Long]("stratum"))
+      val (nT, yT) = (s.count(_._2 == 1).toLong, s.filter(_._2 == 1).map(_._3).sum)
+      val (nC, yC) = (s.count(_._2 == 0).toLong, s.filter(_._2 == 0).map(_._3).sum)
+      assert(r.getAs[Long]("n_t") == nT && r.getAs[Long]("y_t") == yT &&
+        r.getAs[Long]("n_c") == nC && r.getAs[Long]("y_c") == yC,
+        s"stratum ${r.getAs[Long]("stratum")}")
+      assert(r.getAs[Long]("in_support") == (if (nT >= 1 && nC >= 1) 1L else 0L))
+    }
+    val supported = rows.filter(_.getAs[Long]("in_support") == 1)
+    val wsum = supported.map(r =>
+      (r.getAs[Long]("n_t") + r.getAs[Long]("n_c")) * r.getAs[Long]("diff_e6")).sum
+    val nSup = supported.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum
+    val want = (if (wsum < 0) -1L else 1L) * (math.abs(wsum) / nSup)
+    assert(rows.forall(_.getAs[Long]("ate_e6") == want))
+    assert(rows.forall(_.getAs[Long]("n_supported") == nSup))
+  }
+
+  test("welch t: BigInt staged-quotient replay of every output column") {
+    val r = AnalyticsExt.welchT(spark, sf).head()
+    val xs = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).selectExpr(
+        "p_partkey AS l_partkey", "CAST(p_type LIKE 'PROMO%' AS LONG) AS t"), "l_partkey")
+      .selectExpr("t", "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val g1 = xs.filter(_._1 == 1).map(_._2)
+    val g2 = xs.filter(_._1 == 0).map(_._2)
+    val (n1, n2) = (BigInt(g1.length), BigInt(g2.length))
+    val (s1, s2) = (g1.map(BigInt(_)).sum, g2.map(BigInt(_)).sum)
+    val (q1, q2) = (g1.map(x => BigInt(x) * x).sum, g2.map(x => BigInt(x) * x).sum)
+    val a1 = (n1 * q1 - s1 * s1) / (n1 * n1 * (n1 - 1))
+    val a2 = (n2 * q2 - s2 * s2) / (n2 * n2 * (n2 - 1))
+    val dNum = s1 * n2 - s2 * n1
+    val d = (if (dNum < 0) BigInt(-1) else BigInt(1)) * (dNum.abs / (n1 * n2))
+    assert(BigInt(r.getAs[Long]("n1")) == n1 && BigInt(r.getAs[Long]("n2")) == n2)
+    assert(BigInt(r.getAs[Long]("mean1_cents")) == s1 / n1)
+    assert(BigInt(r.getAs[Long]("mean2_cents")) == s2 / n2)
+    assert(BigInt(r.getAs[Long]("d_cents")) == d)
+    assert(BigInt(r.getAs[Long]("se2_1_c2")) == a1 && BigInt(r.getAs[Long]("se2_2_c2")) == a2)
+    assert(BigInt(r.getAs[Long]("t2_e6")) == d * d * 1000000 / (a1 + a2))
+    val dfDen = a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)
+    assert(BigInt(r.getAs[Long]("df_e3")) == (a1 + a2) * (a1 + a2) * 1000 / dfDen)
+    // Welch df is bounded by the pooled df
+    assert(r.getAs[Long]("df_e3") <= (n1 + n2 - 2).toLong * 1000)
+  }
+
+  test("order reconciliation: exact error-percentile ranks and summary counts replay") {
+    val rows = AnalyticsExt.orderReconciliation(spark, sf).collect()
+    assert(rows.length == 3)
+    val rc = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS lc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ords = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val errs = ords.flatMap { case (o, t) =>
+      rc.get(o).filter(_ => t >= 1).map(re => math.abs(re - t) * 1000000L / t)
+    }.sorted
+    val nLineless = ords.count(o => !rc.contains(o._1)).toLong
+    val nExact = ords.count(o => rc.get(o._1).contains(o._2)).toLong
+    val drift = ords.flatMap(o => rc.get(o._1).map(_ - o._2)).sum
+    val byP = rows.map(r => r.getString(0) -> r).toMap
+    Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)).foreach { case (p, num, den) =>
+      val rank = (errs.length * num + den - 1) / den
+      val r = byP(p)
+      assert(r.getAs[Long]("rank") == rank && r.getAs[Long]("rel_err_e6") == errs(rank.toInt - 1),
+        s"$p rank/value")
+      assert(r.getAs[Long]("n_orders") == ords.length.toLong)
+      assert(r.getAs[Long]("n_lineless") == nLineless)
+      assert(r.getAs[Long]("n_exact") == nExact)
+      assert(r.getAs[Long]("net_drift_cents") == drift)
+    }
+  }
+
+  test("brier decomposition: full BigInt replay; Murphy identity within quantization slack") {
+    val rows = AnalyticsExt.brierDecomp(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val pop = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v",
+        "CAST(o_orderstatus = 'F' AS LONG) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (pop.map(_._1).min + pop.map(_._1).max + 1) / 2
+    val (lo, hi) = (pop.map(_._2).min, pop.map(_._2).max)
+    def binOf(v: Long) = (v - lo) * 10 / (hi - lo + 1)
+    val train = pop.filter(_._1 < mid).groupBy(t => binOf(t._2))
+      .map { case (b, v) => b -> (v.size.toLong, v.map(_._3).sum) }
+    val test = pop.filter(_._1 >= mid).groupBy(t => binOf(t._2))
+      .map { case (b, v) => b -> (v.size.toLong, v.map(_._3).sum) }
+    val covered = test.keySet & train.keySet
+    val nTest = covered.toSeq.map(test(_)._1).sum
+    val oTest = covered.toSeq.map(test(_)._2).sum
+    val obar = BigInt(oTest) * 1000000 / nTest
+    var (bm, rm, sm) = (BigInt(0), BigInt(0), BigInt(0))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(covered(b))
+      val (nTr, yTr) = train(b)
+      val (nB, oB) = test(b)
+      val p = BigInt(yTr) * 1000000 / nTr
+      val ob = BigInt(oB) * 1000000 / nB
+      assert(r.getAs[Long]("n_train") == nTr && BigInt(r.getAs[Long]("p_e6")) == p)
+      assert(r.getAs[Long]("n_b") == nB && r.getAs[Long]("o_b") == oB)
+      assert(BigInt(r.getAs[Long]("obar_b_e6")) == ob)
+      bm += BigInt(oB) * (1000000 - p) * (1000000 - p) + BigInt(nB - oB) * p * p
+      rm += BigInt(nB) * (p - ob) * (p - ob)
+      sm += BigInt(nB) * (ob - obar) * (ob - obar)
+    }
+    assert(rows.length == covered.size)
+    val head = rows.head
+    assert(head.getAs[Long]("n_test") == nTest)
+    assert(BigInt(head.getAs[Long]("obar_e6")) == obar)
+    assert(BigInt(head.getAs[Long]("brier_e12")) == bm / nTest)
+    assert(BigInt(head.getAs[Long]("rel_e12")) == rm / nTest)
+    assert(BigInt(head.getAs[Long]("res_e12")) == sm / nTest)
+    assert(BigInt(head.getAs[Long]("unc_e12")) == obar * (1000000 - obar))
+    // Murphy: Brier = REL - RES + UNC, up to e6-rate quantization
+    val lhs = head.getAs[Long]("brier_e12")
+    val rhs = head.getAs[Long]("rel_e12") - head.getAs[Long]("res_e12") +
+      head.getAs[Long]("unc_e12")
+    assert(math.abs(lhs - rhs) < 20000000L, s"Murphy identity: $lhs vs $rhs")
+  }
+
+  test("period detect: per-lag BigInt ACF replay; winner by (r2, lag) total order") {
+    val rows = AnalyticsExt.periodDetect(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 13)
+    val daily = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).sum }
+    val want = (2 to 14).flatMap { lag =>
+      val pairsL = daily.keys.toSeq.flatMap(d => daily.get(d + lag).map(y => (daily(d), y)))
+      val m = BigInt(pairsL.size)
+      if (m == 0) None
+      else {
+        val sx = pairsL.map(p => BigInt(p._1)).sum
+        val sy = pairsL.map(p => BigInt(p._2)).sum
+        val sxy = pairsL.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairsL.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairsL.map(p => BigInt(p._2) * p._2).sum
+        val num = m * sxy - sx * sy
+        val dx = m * sxx - sx * sx
+        val dy = m * syy - sy * sy
+        if (dx <= 0 || dy <= 0) None
+        else {
+          val r2 = (if (num < 0) BigInt(-1) else BigInt(1)) *
+            ((num.abs * 1000 / dx) * (num.abs * 1000 / dy))
+          Some(lag.toLong -> (m.toLong, r2.toLong))
+        }
+      }
+    }.toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (m, r2) = want(r.getAs[Long]("lag"))
+      assert(r.getAs[Long]("m") == m && r.getAs[Long]("r2_signed_e6") == r2,
+        s"lag ${r.getAs[Long]("lag")}")
+      assert(r.getAs[Long]("significant") ==
+        (if (math.abs(r2) * m > 4000000L) 1L else 0L))
+    }
+    val bestWant = want.toSeq.map { case (l, (_, r2)) => (l, r2) }
+      .sortBy { case (l, r2) => (-r2, l) }.head
+    assert(rows.forall(r => r.getAs[Long]("best_lag") == bestWant._1 &&
+      r.getAs[Long]("best_r2_e6") == bestWant._2))
+  }
 }

@@ -712,4 +712,29 @@ class TextStatsSpec extends SparkSpec {
     val nmi = r.getAs[Long]("nmi_e6")
     assert(nmi >= -cells.length.toLong && nmi <= 1000000L + cells.length)
   }
+
+  test("lang kappa: all-integer replay from the confusion frame; sign follows po - pe") {
+    val r = TextStats.langKappa(spark, sf).head()
+    val conf = graft.operators.TextOps.langConfusion(spark, sf)
+      .select("label_lang", "pred_lang", "n_docs")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = conf.map(_._3).sum
+    val diag = conf.collect { case (l, p, c) if l == p => c }.sum
+    val rm = conf.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cm = conf.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val eSum = rm.keysIterator.flatMap(l => cm.get(l).map(c => BigInt(rm(l)) * c)).sum
+    assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("n_cells") == conf.length.toLong)
+    assert(r.getAs[Long]("n_agree") == diag)
+    assert(BigInt(r.getAs[Long]("po_e6")) == BigInt(diag) * 1000000 / n)
+    assert(BigInt(r.getAs[Long]("pe_e6")) == eSum * 1000000 / (BigInt(n) * n))
+    val num = BigInt(n) * diag - eSum
+    val den = BigInt(n) * n - eSum
+    assert(den > 0)
+    val want = (if (num < 0) BigInt(-1) else BigInt(1)) * (num.abs * 1000000 / den)
+    assert(BigInt(r.getAs[Long]("kappa_e6")) == want)
+    assert(r.getAs[Long]("kappa_e6") <= 1000000L)
+    // kappa's sign is the sign of observed-minus-expected agreement
+    assert((r.getAs[Long]("kappa_e6") >= 0) == (r.getAs[Long]("po_e6") >= r.getAs[Long]("pe_e6"))
+      || num == 0)
+  }
 }
