@@ -528,7 +528,13 @@ object SparkEntry {
     // Brier score + Murphy decomposition on a calendar holdout (§2 #323)
     "q_brier_decomp" -> ((s: SparkSession, d: String) => AnalyticsExt.brierDecomp(s, d)),
     // ACF-based dominant-period detection (§2 #324)
-    "q_period_detect" -> ((s: SparkSession, d: String) => AnalyticsExt.periodDetect(s, d))
+    "q_period_detect" -> ((s: SparkSession, d: String) => AnalyticsExt.periodDetect(s, d)),
+    // Seasonal Mann-Kendall trend test (§2 #326)
+    "q_seasonal_mk" -> ((s: SparkSession, d: String) => AnalyticsExt.seasonalMannKendall(s, d)),
+    // Cramer's V effect size for the status x priority table (§2 #327)
+    "q_cramers_v" -> ((s: SparkSession, d: String) => AnalyticsExt.cramersV(s, d)),
+    // Church-Gale term burstiness over top-df terms (§2 #328)
+    "text_burstiness" -> ((s: SparkSession, d: String) => TextStats.termBurstiness(s, d))
   )
 
   /** The #314 oracle, GENERATED from the same variable/pair list as
@@ -5235,6 +5241,85 @@ object SparkEntry {
                   FROM r3 ORDER BY r2_signed_e6 DESC, lag LIMIT 1)
          SELECT r3.lag, r3.m, r3.r2_signed_e6, r3.significant, best.best_lag, best.best_r2_e6
          FROM r3, best""",
+    "q_seasonal_mk" ->
+      // within-season pairwise sign sweeps + per-season tie-corrected
+      // var18, both summed across the 7 day-of-week seasons
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         dd AS (SELECT *, day % 7 AS season FROM daily),
+         s AS (
+           SELECT a.event_type,
+             CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_total,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM dd a JOIN dd b
+             ON a.event_type = b.event_type AND a.season = b.season AND a.day < b.day
+           GROUP BY 1),
+         t AS (SELECT event_type, season, c, CAST(count(*) AS BIGINT) AS t
+               FROM dd GROUP BY 1, 2, 3),
+         ps AS (
+           SELECT event_type, season,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+             CAST(sum(t) AS BIGINT) AS nd
+           FROM t GROUP BY 1, 2),
+         ties AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(nd) AS BIGINT) AS n_days,
+             CAST(sum(nd * (nd - 1) * (2 * nd + 5) - tie_term) AS BIGINT) AS var18_total
+           FROM ps GROUP BY 1)
+         SELECT s.event_type, n_days, n_seasons, n_pairs, s_total, var18_total
+         FROM s JOIN ties ON s.event_type = ties.event_type""",
+    "q_cramers_v" ->
+      // #189's per-cell e6 chi2 summed; V^2 e12 one further quotient;
+      // V e6 via the one-ulp-clamp exact isqrt
+      """WITH cells AS (
+           SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS o
+           FROM orders GROUP BY 1, 2),
+         rm AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_cols
+               FROM cells),
+         x AS (
+           SELECT n, n_rows, n_cols,
+             CAST(sum((CAST(n * o - r * c AS HUGEINT) * CAST(n * o - r * c AS HUGEINT)
+                       * 1000000)
+                  // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_e6
+           FROM cells JOIN rm USING (o_orderstatus) JOIN cm USING (o_orderpriority), t
+           GROUP BY 1, 2, 3),
+         v AS (
+           SELECT *, CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
+                  // (CAST(n AS HUGEINT) * (least(n_rows, n_cols) - 1)) AS BIGINT) AS v2_e12
+           FROM x),
+         sq AS (SELECT *, CAST(floor(sqrt(CAST(v2_e12 AS DOUBLE))) AS HUGEINT) AS s0 FROM v)
+         SELECT n, n_rows, n_cols, chi2_e6, v2_e12,
+           CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= v2_e12 THEN 1 ELSE 0 END)
+                   - (CASE WHEN s0 * s0 > v2_e12 THEN 1 ELSE 0 END) AS BIGINT) AS v_e6
+         FROM sq""",
+    "text_burstiness" ->
+      // per-doc counts; VMR over ALL docs (zeros via N only) as one
+      // truncating e6 HUGEINT quotient; (df desc, term) top-20
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents),
+         pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         st AS (
+           SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS total_count,
+             sum(CAST(c AS HUGEINT) * c) AS q
+           FROM pd GROUP BY 1)
+         SELECT term, n_docs, df, total_count,
+           CAST((CAST(n_docs AS HUGEINT) * q
+                 - CAST(total_count AS HUGEINT) * total_count) * 1000000
+             // (CAST(n_docs AS HUGEINT) * total_count) AS BIGINT) AS vmr_e6
+         FROM st, nd
+         ORDER BY df DESC, term
+         LIMIT 20""",
     "q_bootstrap_ci" -> bootstrapCiOracle(b = BootstrapB),
     "text_zipf" ->
       """WITH td AS (

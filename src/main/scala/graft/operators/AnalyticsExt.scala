@@ -5944,4 +5944,107 @@ object AnalyticsExt {
       .select(col("lag").as("best_lag"), col("r2_signed_e6").as("best_r2_e6"))
     perLag.crossJoin(broadcast(best))
   }
+
+  /** #326 Seasonal Mann–Kendall (Hirsch & Slack 1984,
+    * independent-seasons form): #242's monotone-trend test computed
+    * WITHIN each day-of-week season and summed — the trend test that
+    * stays valid when the series carries weekly seasonality (#290's
+    * profile), where plain MK's cross-weekday pairs read the seasonal
+    * cycle as spurious trend. Per (type, season): the pairwise sign
+    * sweep S_s and tie-corrected var18_s; the seasonal statistic sums
+    * both across seasons (independence assumed — the standard form;
+    * the serial-correlation correction is a documented non-goal).
+    * Same exact-integer grid as #242; pair fan-out is (days/7)² per
+    * season — 7× CHEAPER than plain MK's days². Callers compare
+    * S_total² against var18_total/18·z² without leaving the grid.
+    */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+      .withColumn("season", pmod(col("day"), lit(7L)))
+      .localCheckpoint(eager = false)
+    val s = daily
+      .alias("a")
+      .join(
+        daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.season") === col("b.season") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(
+        sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_total"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily
+      .groupBy(col("event_type"), col("season"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type", "season")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"), sum("t").as("nd"))
+      .withColumn("var18_s", expr("nd * (nd - 1) * (2 * nd + 5) - tie_term"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_seasons"),
+        sum("nd").as("n_days"),
+        sum("var18_s").as("var18_total"))
+    s.join(ties, "event_type")
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_seasons"),
+        col("n_pairs"),
+        col("s_total"),
+        col("var18_total"))
+  }
+
+  /** #327 Cramér's V for the status × priority association: the
+    * normalized effect SIZE on [0,1] that completes the categorical-
+    * association trio — #189's χ² tests significance (grows with n
+    * even for trivial dependence), #313's MI sizes it in bits
+    * (unbounded), V = √(χ²/(n·(min(r,c)−1))) puts it on the
+    * comparable-across-tables unit scale every profiling report
+    * wants. Same per-cell e6 χ² construction as #189 (one count pass
+    * + broadcast margins), V² on the e12 grid as one further
+    * truncating quotient, V on e6 via the #226 one-ulp-clamp EXACT
+    * isqrt — no float ever. 1-row output.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy("o_orderstatus").agg(sum("o").as("r"))
+    val colm = cells.groupBy("o_orderpriority").agg(sum("o").as("c"))
+    val tot = cells.agg(
+      sum("o").as("n"),
+      countDistinct("o_orderstatus").as("n_rows"),
+      countDistinct("o_orderpriority").as("n_cols"))
+    cells
+      .join(broadcast(rowm), "o_orderstatus")
+      .join(broadcast(colm), "o_orderpriority")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"),
+        col("n_rows"),
+        col("n_cols"),
+        expr("""CAST((CAST(n * o - r * c AS DECIMAL(38,0)) * CAST(n * o - r * c AS DECIMAL(38,0))
+                      * 1000000)
+                 div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""").as("contrib_e6"))
+      .groupBy("n", "n_rows", "n_cols")
+      .agg(sum("contrib_e6").as("chi2_e6"))
+      .withColumn(
+        "v2_e12",
+        expr("""CAST(CAST(chi2_e6 AS DECIMAL(38,0)) * 1000000
+                 div (CAST(n AS DECIMAL(38,0)) * (least(n_rows, n_cols) - 1)) AS BIGINT)"""))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(v2_e12 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "v_e6",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= v2_e12 THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > v2_e12 THEN 1 ELSE 0 END)"""))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_e6"), col("v2_e12"), col("v_e6"))
+  }
 }

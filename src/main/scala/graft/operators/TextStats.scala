@@ -359,6 +359,47 @@ object TextStats {
                 ELSE NULL END""").as("kappa_e6"))
   }
 
+  /** #328 Term burstiness (Church & Gale 1995): for the top-df terms,
+    * the variance-to-mean ratio of per-document counts over ALL docs
+    * (zeros included) — the content-vs-function-word separator: a
+    * Poisson-scattered term has VMR ≈ 1, a bursty topical term
+    * clusters its occurrences (VMR ≫ 1); beside #273's clumping
+    * (WITHIN-doc positional clustering) this reads ACROSS-doc
+    * clustering, the two axes of the classic term-weighting
+    * literature. Exact: VMR = (N·Σc² − S²)/(N·S) as one truncating
+    * e6 DECIMAL(38,0)↔HUGEINT quotient (population variance over N
+    * with the zero docs contributing only to N — no zero rows are
+    * materialized, the at-scale trick). Top-k by (df desc, term)
+    * total order via orderBy+limit; one (term, doc) aggregate +
+    * vocab rollup.
+    */
+  def termBurstiness(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val perDoc = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("w", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("c").as("total_count"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("w").as("term"),
+        col("n_docs"),
+        col("df"),
+        col("total_count"),
+        expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * q
+                      - CAST(total_count AS DECIMAL(38,0)) * total_count) * 1000000
+                 div (CAST(n_docs AS DECIMAL(38,0)) * total_count) AS BIGINT)""")
+          .as("vmr_e6"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+  }
+
   /** #148 KMV (k-minimum-values / theta) overlap sketch: cross-corpus
     * distinct-cardinality and Jaccard estimates from two k-row
     * sketches — "how much does corpus B overlap corpus A" WITHOUT

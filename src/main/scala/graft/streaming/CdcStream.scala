@@ -562,6 +562,58 @@ object CdcStream {
           CusumEmit(series, steps.map(_._1), steps.map(_._2), steps.map(_._3), steps.map(_._4))
       }
   }
+
+  /** #325 Streaming Croston state maintenance: #316's two-track
+    * intermittent-demand smoother (size z, interval p, dyadic α = ¼,
+    * sign-factored truncating quarter) kept incrementally per series
+    * in `mapGroupsWithState` — the monitor form a spare-parts pipeline
+    * runs on its live changelog. State per key is the bounded
+    * (z, p, lastDay) triple — everything the recursion needs — so the
+    * streamed trajectory after any day-aligned prefix is
+    * BIT-IDENTICAL to #316's batch fold over that prefix (the
+    * #149/#263 streamed ≡ batch discipline; same day-aligned
+    * micro-batch contract as [[streamingHolt]]). Demand days are the
+    * days EVENTS ARRIVE — gaps between arrivals are exactly the
+    * inter-demand intervals Croston smooths.
+    */
+  def streamingCroston(changes: Dataset[Change]): Dataset[CrostonEmit] = {
+    import changes.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L
+    def tq(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+    changes
+      .groupByKey(_.op)
+      .mapGroupsWithState[CrostonState, CrostonEmit](GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Change], state: GroupState[CrostonState]) =>
+          val daily = rows.toSeq
+            .groupBy(c => c.ts / usPerDay)
+            .map { case (d, cs) =>
+              d -> cs.map(c => math.floor(c.value * 100 + 0.5).toLong).sum
+            }
+            .toSeq
+            .sortBy(_._1)
+          var st =
+            state.getOption.getOrElse(CrostonState(series, Long.MinValue, 0L, 1L, first = true))
+          val steps = daily.map { case (day, y) =>
+            if (st.first) st = CrostonState(series, day, y, 1L, first = false)
+            else
+              st = CrostonState(
+                series,
+                day,
+                st.z + tq(y - st.z),
+                st.p + tq((day - st.lastDay) - st.p),
+                first = false)
+            (day, y, st.z, st.p, st.z * 1000L / st.p)
+          }
+          state.update(st)
+          CrostonEmit(
+            series,
+            steps.map(_._1),
+            steps.map(_._2),
+            steps.map(_._3),
+            steps.map(_._4),
+            steps.map(_._5))
+      }
+  }
 }
 
 /** Per-series Holt smoother state: one bounded triple per key. */
@@ -591,3 +643,19 @@ case class CusumEmit(
     cents: Seq[Long],
     cPlus: Seq[Long],
     cMinus: Seq[Long])
+
+/** Per-series Croston state: demand-size and interval smoothings plus
+  * the last demand day — the recursion's entire requirement.
+  */
+case class CrostonState(series: String, lastDay: Long, z: Long, p: Long, first: Boolean)
+
+/** One emission per (series, micro-batch): that batch's day-ordered
+  * Croston trajectory (parallel arrays keep the encoder flat).
+  */
+case class CrostonEmit(
+    series: String,
+    days: Seq[Long],
+    cents: Seq[Long],
+    zSize: Seq[Long],
+    pInterval: Seq[Long],
+    rateE3: Seq[Long])

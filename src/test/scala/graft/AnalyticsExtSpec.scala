@@ -3016,4 +3016,60 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("best_lag") == bestWant._1 &&
       r.getAs[Long]("best_r2_e6") == bestWant._2))
   }
+
+  test("seasonal mann-kendall: within-season sweeps replay; seasonal var18 below plain") {
+    val got = AnalyticsExt.seasonalMannKendall(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val nsPerDay = 86400L * 1000000000L
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", s"ts div ${nsPerDay}L AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((e, d), v) => (e, d) -> v.map(_._3).sum }
+    daily.keys.map(_._1).toSeq.distinct.foreach { et =>
+      val series = daily.collect { case ((e, d), c) if e == et => (d, c) }.toSeq
+      val bySeason = series.groupBy(_._1 % 7)
+      var (sTot, nPairs, var18) = (0L, 0L, 0L)
+      bySeason.values.foreach { rows =>
+        val sorted = rows.sortBy(_._1)
+        for { i <- sorted.indices; j <- (i + 1) until sorted.length } {
+          sTot += java.lang.Long.signum(sorted(j)._2 - sorted(i)._2)
+          nPairs += 1
+        }
+        val nd = sorted.length.toLong
+        val tie = sorted.groupBy(_._2).values
+          .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+        var18 += nd * (nd - 1) * (2 * nd + 5) - tie
+      }
+      val (gn, gs, gp, gst, gv) = got(et)
+      assert(gn == series.length.toLong && gs == bySeason.size.toLong)
+      assert(gp == nPairs && gst == sTot && gv == var18, s"series $et")
+      // restricting to within-season pairs can only shrink the pair count
+      assert(nPairs <= series.length.toLong * (series.length - 1) / 2)
+    }
+  }
+
+  test("cramers v: BigInt chi2 replay; V bounded to [0, 1]; exact isqrt bracket") {
+    val r = AnalyticsExt.cramersV(spark, sf).head()
+    val cells = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._3).sum
+    val rm = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cm = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val chi2 = cells.map { case (s, p, o) =>
+      val d = BigInt(n) * o - BigInt(rm(s)) * cm(p)
+      d * d * 1000000 / (BigInt(n) * rm(s) * cm(p))
+    }.sum
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_rows") == rm.size.toLong && r.getAs[Long]("n_cols") == cm.size.toLong)
+    assert(BigInt(r.getAs[Long]("chi2_e6")) == chi2)
+    val v2 = chi2 * 1000000 / (BigInt(n) * (math.min(rm.size, cm.size) - 1))
+    assert(BigInt(r.getAs[Long]("v2_e12")) == v2)
+    val v = BigInt(r.getAs[Long]("v_e6"))
+    assert(v * v <= v2 && v2 < (v + 1) * (v + 1), "exact isqrt")
+    assert(v >= 0 && v <= 1000000L, "V lives on [0, 1]")
+  }
 }

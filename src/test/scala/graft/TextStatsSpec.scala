@@ -737,4 +737,30 @@ class TextStatsSpec extends SparkSpec {
     assert((r.getAs[Long]("kappa_e6") >= 0) == (r.getAs[Long]("po_e6") >= r.getAs[Long]("pe_e6"))
       || num == 0)
   }
+
+  test("term burstiness: VMR replay over all docs; df cut is the (df, term) total order") {
+    val got = TextStats.termBurstiness(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.length == 20)
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+      .groupBy("w", "doc_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2) }
+    val nDocs = Tables.documents(spark, sf).count()
+    val wantTop = perDoc.toSeq.map { case (w, cs) => (w, cs.size.toLong) }
+      .sortBy { case (w, df) => (-df, w) }.take(20).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+    got.foreach { case (w, (gn, df, tot, vmr)) =>
+      val cs = perDoc(w)
+      val s = cs.sum
+      val q = cs.map(c => BigInt(c) * c).sum
+      assert(gn == nDocs && df == cs.size.toLong && tot == s)
+      assert(BigInt(vmr) ==
+        (BigInt(nDocs) * q - BigInt(s) * s) * 1000000 / (BigInt(nDocs) * s), s"term $w")
+      // VMR of counts over all docs is at least mean-free floor: nonneg
+      assert(vmr >= 0)
+    }
+  }
 }

@@ -406,6 +406,57 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming croston: state over a day-aligned split equals the batch two-track fold") {
+    withTempDir { inDir =>
+      val changes = Cdc.classify(spark, sf)
+      val usPerDay = 86400L * 1000000L
+      val splitDay = changes
+        .selectExpr(s"ts div $usPerDay AS d").agg(expr("CAST(avg(d) AS BIGINT)"))
+        .head.getLong(0)
+      changes.filter(col("ts") < splitDay * usPerDay)
+        .write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingCroston(CdcStream.readChangelog(spark, inDir))
+        .writeStream.format("memory").queryName("stream_croston")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") >= splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_croston")
+          .selectExpr("series", "explode(arrays_zip(days, cents, zSize, pInterval, rateE3)) AS z")
+          .selectExpr("series", "z.days AS day", "z.cents", "z.zSize", "z.pInterval", "z.rateE3")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .toMap
+        // independent batch Croston fold over the SAME op-keyed series
+        def tq(a: Long): Long = if (a < 0) -((-a) / 4) else a / 4
+        val daily = changes
+          .selectExpr("op", s"ts div $usPerDay AS day",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("op", "day").agg(sum("c").as("y"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var nChecked = 0
+        daily.groupBy(_._1).foreach { case (series, rows) =>
+          var (z, p, last) = (0L, 1L, Long.MinValue)
+          rows.sortBy(_._2).zipWithIndex.foreach { case ((_, day, y), i) =>
+            if (i == 0) { z = y; p = 1L }
+            else { z = z + tq(y - z); p = p + tq((day - last) - p) }
+            last = day
+            assert(p >= 1, "interval state stays >= 1")
+            assert(got((series, day)) == ((y, z, p, z * 1000L / p)), s"$series day $day")
+            nChecked += 1
+          }
+        }
+        assert(nChecked == got.size && nChecked > 0)
+      } finally q.stop()
+    }
+  }
+
   test("streaming cusum: state over a day-aligned split equals the recursive batch fold") {
     withTempDir { inDir =>
       val changes = Cdc.classify(spark, sf)
