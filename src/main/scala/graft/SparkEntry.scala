@@ -534,7 +534,9 @@ object SparkEntry {
     // Cramer's V effect size for the status x priority table (§2 #327)
     "q_cramers_v" -> ((s: SparkSession, d: String) => AnalyticsExt.cramersV(s, d)),
     // Church-Gale term burstiness over top-df terms (§2 #328)
-    "text_burstiness" -> ((s: SparkSession, d: String) => TextStats.termBurstiness(s, d))
+    "text_burstiness" -> ((s: SparkSession, d: String) => TextStats.termBurstiness(s, d)),
+    // Bigram conditional entropy of the corpus LM (§2 #329)
+    "text_cond_entropy" -> (TextStats.condEntropy _)
   )
 
   /** The #314 oracle, GENERATED from the same variable/pair list as
@@ -5320,6 +5322,35 @@ object SparkEntry {
          FROM st, nd
          ORDER BY df DESC, term
          LIMIT 20""",
+    "text_cond_entropy" ->
+      // e6-quantized entropy terms over unigram and bigram grids;
+      // conditional = the exact difference on the published grid
+      """WITH t AS (
+           SELECT regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         uni AS (SELECT unnest(tk) AS g FROM t),
+         uc AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+         un AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+         uh AS (
+           SELECT max(n) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CAST(floor((CAST(c AS DOUBLE) / n)
+               * log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_unigram_e6
+           FROM uc, un),
+         bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS g FROM t),
+         bc AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+         bn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bc),
+         bh AS (
+           SELECT max(n) AS n_bigrams, CAST(count(*) AS BIGINT) AS distinct_bigrams,
+             CAST(sum(CAST(floor((CAST(c AS DOUBLE) / n)
+               * log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_bigram_e6
+           FROM bc, bn)
+         SELECT n_tokens, vocab, h_unigram_e6, n_bigrams, distinct_bigrams, h_bigram_e6,
+           h_bigram_e6 - h_unigram_e6 AS h_cond_e6
+         FROM uh, bh""",
     "q_bootstrap_ci" -> bootstrapCiOracle(b = BootstrapB),
     "text_zipf" ->
       """WITH td AS (

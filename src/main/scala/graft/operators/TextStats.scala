@@ -400,6 +400,53 @@ object TextStats {
       .limit(topK)
   }
 
+  /** #329 Bigram conditional entropy: the plug-in language-model
+    * estimate Ĥ(w₂|w₁) = Ĥ(bigram) − Ĥ(unigram) in bits — how
+    * predictable the next token is given the current one, the
+    * sequence-structure number beside #204's Zipf slope (marginal
+    * shape) and #272's Heaps curve (vocabulary growth): natural text
+    * sits well below its unigram entropy (conditioning helps), a
+    * random-word corpus barely moves. Both entropies are per-term
+    * floats of INTEGER ratios e6-quantized before the
+    * order-independent sum (#119/#313's discipline); the subtraction
+    * is then exact on the published grid. #30's shared tokenizer and
+    * #160's bigram construction; two linear aggregates + vocab-sized
+    * rollups, no windows.
+    */
+  def condEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("tok")
+    val docs = Tables.documents(spark, dir).withColumn("tok", toks(col("text")))
+    val uni = docs
+      .select(explode(t).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"))
+    val bi = docs
+      .select(
+        explode(
+          when(size(t) < 2, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(t) - 1),
+                i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"))
+    def entropy(m: DataFrame, nName: String, kName: String, hName: String): DataFrame = {
+      val tot = m.agg(sum("c").as("n"))
+      m.crossJoin(broadcast(tot))
+        .withColumn(
+          "term_e6",
+          floor(
+            (col("c").cast("double") / col("n")) *
+              log2(col("n").cast("double") / col("c").cast("double")) *
+              lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy(col("n").as(nName))
+        .agg(count(lit(1)).as(kName), sum("term_e6").as(hName))
+    }
+    entropy(uni, "n_tokens", "vocab", "h_unigram_e6")
+      .crossJoin(broadcast(entropy(bi, "n_bigrams", "distinct_bigrams", "h_bigram_e6")))
+      .withColumn("h_cond_e6", col("h_bigram_e6") - col("h_unigram_e6"))
+  }
+
   /** #148 KMV (k-minimum-values / theta) overlap sketch: cross-corpus
     * distinct-cardinality and Jaccard estimates from two k-row
     * sketches — "how much does corpus B overlap corpus A" WITHOUT

@@ -763,4 +763,32 @@ class TextStatsSpec extends SparkSpec {
       assert(vmr >= 0)
     }
   }
+
+  test("cond entropy: float identity within quantization slack; conditioning cannot add bits") {
+    val r = TextStats.condEntropy(spark, sf).head()
+    val toks = Tables.documents(spark, sf)
+      .select(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("tk"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = toks.flatMap(tk => tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def h(m: Map[String, Long]): Double = {
+      val n = m.values.sum.toDouble
+      m.values.map(c => (c / n) * lg2(n / c)).sum
+    }
+    assert(r.getAs[Long]("n_tokens") == uni.values.sum)
+    assert(r.getAs[Long]("vocab") == uni.size.toLong)
+    assert(r.getAs[Long]("n_bigrams") == bi.values.sum)
+    assert(r.getAs[Long]("distinct_bigrams") == bi.size.toLong)
+    assert(math.abs(r.getAs[Long]("h_unigram_e6") / 1e6 - h(uni)) < 1e-3)
+    assert(math.abs(r.getAs[Long]("h_bigram_e6") / 1e6 - h(bi)) < 1e-3)
+    assert(r.getAs[Long]("h_cond_e6") ==
+      r.getAs[Long]("h_bigram_e6") - r.getAs[Long]("h_unigram_e6"))
+    // subadditivity: H(bigram) <= 2 H(unigram), so H_cond <= H_unigram
+    // (up to doc-boundary edge effects + quantization)
+    val slack = (uni.size + bi.size).toLong
+    assert(r.getAs[Long]("h_cond_e6") <= r.getAs[Long]("h_unigram_e6") + slack + 10000L)
+    assert(r.getAs[Long]("h_cond_e6") >= -(slack + 10000L))
+  }
 }
