@@ -536,7 +536,11 @@ object SparkEntry {
     // Church-Gale term burstiness over top-df terms (§2 #328)
     "text_burstiness" -> ((s: SparkSession, d: String) => TextStats.termBurstiness(s, d)),
     // Bigram conditional entropy of the corpus LM (§2 #329)
-    "text_cond_entropy" -> (TextStats.condEntropy _)
+    "text_cond_entropy" -> (TextStats.condEntropy _),
+    // Odds / risk ratio of the 2x2 promo x completion table (§2 #330)
+    "q_odds_ratio" -> ((s: SparkSession, d: String) => AnalyticsExt.oddsRatio(s, d)),
+    // Page-Hinkley self-calibrating drift chart (§2 #331)
+    "q_page_hinkley" -> ((s: SparkSession, d: String) => AnalyticsExt.pageHinkley(s, d))
   )
 
   /** The #314 oracle, GENERATED from the same variable/pair list as
@@ -5351,6 +5355,72 @@ object SparkEntry {
          SELECT n_tokens, vocab, h_unigram_e6, n_bigrams, distinct_bigrams, h_bigram_e6,
            h_bigram_e6 - h_unigram_e6 AS h_cond_e6
          FROM uh, bh""",
+    "q_odds_ratio" ->
+      // 2x2 cells from the promo-order semi-join; each effect size
+      // one truncating e6 HUGEINT quotient, zero margins -> NULL
+      """WITH tr AS (
+           SELECT DISTINCT l_orderkey AS o_orderkey
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')),
+         j AS (
+           SELECT CAST(o.o_orderstatus = 'F' AS BIGINT) AS y,
+             CASE WHEN o.o_orderkey IN (SELECT o_orderkey FROM tr) THEN 1 ELSE 0 END AS t
+           FROM orders o),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM j)
+         SELECT a, b, c, d,
+           CASE WHEN b > 0 AND c > 0 THEN
+             CAST(CAST(a AS HUGEINT) * d * 1000000 // (CAST(b AS HUGEINT) * c) AS BIGINT)
+           ELSE NULL END AS odds_ratio_e6,
+           CASE WHEN a + b > 0 AND c > 0 THEN
+             CAST(CAST(a AS HUGEINT) * (c + d) * 1000000
+               // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT)
+           ELSE NULL END AS risk_ratio_e6,
+           CASE WHEN a + b > 0 AND c + d > 0 THEN
+             CAST(a * 1000000 // (a + b) - c * 1000000 // (c + d) AS BIGINT)
+           ELSE NULL END AS risk_diff_e6
+         FROM m""",
+    "q_page_hinkley" ->
+      // running-mean deviations, prefix-extrema closed forms, 4-sigma
+      // threshold via the one-ulp-clamp exact isqrt
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx FROM byday),
+         vv AS (SELECT (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                   // (CAST(n AS HUGEINT) * n) AS var_c FROM tot),
+         sg AS (SELECT var_c, CAST(floor(sqrt(CAST(var_c AS DOUBLE))) AS HUGEINT) AS s0
+                FROM vv),
+         sig AS (SELECT CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_c THEN 1 ELSE 0 END)
+                      - (CASE WHEN s0 * s0 > var_c THEN 1 ELSE 0 END) AS BIGINT) AS sigma
+                 FROM sg),
+         w AS (
+           SELECT d, x,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             CAST(sum(x) OVER win AS BIGINT) AS s_pre
+           FROM byday
+           WINDOW win AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         w2 AS (SELECT *, x - s_pre // i AS dev FROM w),
+         w3 AS (SELECT *, CAST(sum(dev) OVER win AS BIGINT) AS m FROM w2
+                WINDOW win AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         w4 AS (SELECT *, CAST(min(m) OVER win AS BIGINT) AS m_min,
+                  CAST(max(m) OVER win AS BIGINT) AS m_max
+                FROM w3
+                WINDOW win AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT d AS day, x AS cents, s_pre // i AS mean_so_far, m,
+           m - m_min AS ph_plus, m_max - m AS ph_minus,
+           4 * sigma AS lambda_c,
+           CAST(m - m_min > 4 * sigma AS BIGINT) AS alarm_up,
+           CAST(m_max - m > 4 * sigma AS BIGINT) AS alarm_down
+         FROM w4, sig""",
     "q_bootstrap_ci" -> bootstrapCiOracle(b = BootstrapB),
     "text_zipf" ->
       """WITH td AS (

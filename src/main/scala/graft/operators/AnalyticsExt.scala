@@ -6047,4 +6047,115 @@ object AnalyticsExt {
                    - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > v2_e12 THEN 1 ELSE 0 END)"""))
       .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_e6"), col("v2_e12"), col("v_e6"))
   }
+
+  /** #330 Odds ratio / risk ratio of the 2×2 promo × completion
+    * table: the epidemiology-standard effect sizes for a binary
+    * exposure and outcome — OR = ad/bc (symmetric, the logistic-
+    * regression coefficient's exponent), RR = [a/(a+b)]/[c/(c+d)]
+    * (the interpretable one), and the risk DIFFERENCE — reading the
+    * same exposure #319 stratifies: unadjusted here, stratum-adjusted
+    * there, and the gap between the two numbers is itself the
+    * confounding read. All exact: each ratio one truncating e6
+    * DECIMAL(38,0)↔HUGEINT quotient, zero margins → NULL. One
+    * order-grain semi-join + a 4-cell aggregate; 1-row output.
+    */
+  def oddsRatio(spark: SparkSession, dir: String): DataFrame = {
+    val promoOrders = Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .filter(col("p_type").startsWith("PROMO"))
+            .select(col("p_partkey").as("l_partkey"))),
+        Seq("l_partkey"),
+        "left_semi")
+      .select(col("l_orderkey").as("o_orderkey"))
+      .distinct()
+      .withColumn("treated", lit(1L))
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_orderstatus") === "F").cast("long").as("y"))
+      .join(promoOrders, Seq("o_orderkey"), "left")
+      .withColumn("treated", coalesce(col("treated"), lit(0L)))
+      .agg(
+        sum(expr("CASE WHEN treated = 1 AND y = 1 THEN 1 ELSE 0 END")).as("a"),
+        sum(expr("CASE WHEN treated = 1 AND y = 0 THEN 1 ELSE 0 END")).as("b"),
+        sum(expr("CASE WHEN treated = 0 AND y = 1 THEN 1 ELSE 0 END")).as("c"),
+        sum(expr("CASE WHEN treated = 0 AND y = 0 THEN 1 ELSE 0 END")).as("d"))
+      .select(
+        col("a"),
+        col("b"),
+        col("c"),
+        col("d"),
+        expr("""CASE WHEN b > 0 AND c > 0 THEN
+                  CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000
+                    div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT)
+                ELSE NULL END""").as("odds_ratio_e6"),
+        expr("""CASE WHEN a + b > 0 AND c > 0 THEN
+                  CAST(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000
+                    div (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT)
+                ELSE NULL END""").as("risk_ratio_e6"),
+        expr("""CASE WHEN a + b > 0 AND c + d > 0 THEN
+                  CAST(a * 1000000 div (a + b) - c * 1000000 div (c + d) AS BIGINT)
+                ELSE NULL END""").as("risk_diff_e6"))
+  }
+
+  /** #331 Page–Hinkley drift chart: the third classic SPC monitor
+    * beside #254's Shewhart (per-point spikes) and #284's CUSUM
+    * (sustained shifts vs a FIXED mean) — Page–Hinkley tracks the
+    * deviation against the RUNNING mean, so it self-calibrates as the
+    * level drifts and flags CHANGES rather than excursions. Exact,
+    * no recursion: m_t = Σ_{i≤t}(x_i − x̄_i) with x̄_i = S_i div i
+    * (truncating prefix mean — deterministic both engines), and
+    * PH⁺_t = m_t − min_{j≤t} m_j, PH⁻_t = max_{j≤t} m_j − m_t —
+    * prefix-extrema closed forms (the #284 trick) over the
+    * day-keyed aggregate (calendar-bounded frames); threshold
+    * λ = 4σ via the #226 one-ulp-clamp exact isqrt of the
+    * population variance, alarm flags integer comparisons.
+    */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    // day grain is the calendar-bounded shard (the #284 naming
+    // convention PlanDisciplineSpec's shard-carry rule keys on)
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("shard"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("shard")
+      .agg(sum("c").as("x"))
+    val sig = byDay
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                 div (CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))""").as("var_c"))
+      .select(expr("CAST(floor(sqrt(CAST(var_c AS DOUBLE))) AS BIGINT)").as("s0"), col("var_c"))
+      .select(
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= var_c THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > var_c THEN 1 ELSE 0 END)""")
+          .as("sigma"))
+    val wAll = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("i", row_number().over(Window.orderBy("shard")).cast("long"))
+      .withColumn("s_pre", sum("x").over(wAll))
+      .withColumn("dev", col("x") - expr("s_pre div i"))
+      .withColumn("m", sum("dev").over(wAll))
+      .withColumn("m_min", min("m").over(wAll))
+      .withColumn("m_max", max("m").over(wAll))
+      .crossJoin(broadcast(sig))
+      .select(
+        col("shard").as("day"),
+        col("x").as("cents"),
+        expr("s_pre div i").as("mean_so_far"),
+        col("m"),
+        (col("m") - col("m_min")).as("ph_plus"),
+        (col("m_max") - col("m")).as("ph_minus"),
+        (lit(4L) * col("sigma")).as("lambda_c"),
+        (col("m") - col("m_min") > lit(4L) * col("sigma")).cast("long").as("alarm_up"),
+        (col("m_max") - col("m") > lit(4L) * col("sigma")).cast("long").as("alarm_down"))
+  }
 }

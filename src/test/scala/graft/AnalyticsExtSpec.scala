@@ -3072,4 +3072,54 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(v * v <= v2 && v2 < (v + 1) * (v + 1), "exact isqrt")
     assert(v >= 0 && v <= 1000000L, "V lives on [0, 1]")
   }
+
+  test("odds ratio: 2x2 cell replay; cells partition the orders; ratio quotients exact") {
+    val r = AnalyticsExt.oddsRatio(spark, sf).head()
+    val promo = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_type").startsWith("PROMO"))
+        .selectExpr("p_partkey AS l_partkey"), Seq("l_partkey"), "left_semi")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val pop = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(o_orderstatus = 'F' AS LONG) AS y")
+      .collect().map(x => (promo(x.getLong(0)), x.getLong(1) == 1L))
+    val a = pop.count(t => t._1 && t._2).toLong
+    val b = pop.count(t => t._1 && !t._2).toLong
+    val c = pop.count(t => !t._1 && t._2).toLong
+    val d = pop.count(t => !t._1 && !t._2).toLong
+    assert(r.getAs[Long]("a") == a && r.getAs[Long]("b") == b &&
+      r.getAs[Long]("c") == c && r.getAs[Long]("d") == d)
+    assert(a + b + c + d == pop.length.toLong, "cells partition the orders")
+    assert(BigInt(r.getAs[Long]("odds_ratio_e6")) == BigInt(a) * d * 1000000 / (BigInt(b) * c))
+    assert(BigInt(r.getAs[Long]("risk_ratio_e6")) ==
+      BigInt(a) * (c + d) * 1000000 / (BigInt(c) * (a + b)))
+    assert(r.getAs[Long]("risk_diff_e6") == a * 1000000L / (a + b) - c * 1000000L / (c + d))
+  }
+
+  test("page-hinkley: sequential replay of the running-mean fold; PH stats nonnegative") {
+    val rows = AnalyticsExt.pageHinkley(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    val daily = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    assert(rows.size == daily.size)
+    var (sPre, m, mMin, mMax) = (0L, 0L, Long.MaxValue, Long.MinValue)
+    daily.zipWithIndex.foreach { case ((d, x), idx) =>
+      sPre += x
+      val mean = sPre / (idx + 1)
+      m += x - mean
+      mMin = math.min(mMin, m)
+      mMax = math.max(mMax, m)
+      val r = rows(d)
+      assert(r.getAs[Long]("cents") == x && r.getAs[Long]("mean_so_far") == mean, s"day $d")
+      assert(r.getAs[Long]("m") == m, s"day $d m")
+      assert(r.getAs[Long]("ph_plus") == m - mMin && r.getAs[Long]("ph_minus") == mMax - m)
+      assert(r.getAs[Long]("ph_plus") >= 0 && r.getAs[Long]("ph_minus") >= 0)
+      assert(r.getAs[Long]("alarm_up") ==
+        (if (m - mMin > r.getAs[Long]("lambda_c")) 1L else 0L))
+    }
+  }
 }
