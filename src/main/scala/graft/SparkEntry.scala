@@ -540,7 +540,12 @@ object SparkEntry {
     // Odds / risk ratio of the 2x2 promo x completion table (§2 #330)
     "q_odds_ratio" -> ((s: SparkSession, d: String) => AnalyticsExt.oddsRatio(s, d)),
     // Page-Hinkley self-calibrating drift chart (§2 #331)
-    "q_page_hinkley" -> ((s: SparkSession, d: String) => AnalyticsExt.pageHinkley(s, d))
+    "q_page_hinkley" -> ((s: SparkSession, d: String) => AnalyticsExt.pageHinkley(s, d)),
+    // Month-over-month assortment turnover (§2 #332)
+    "q_assortment_turnover" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.assortmentTurnover(s, d)),
+    // Per-part supplier concentration / single-source risk (§2 #333)
+    "q_supplier_hhi" -> ((s: SparkSession, d: String) => AnalyticsExt.supplierConcentration(s, d))
   )
 
   /** The #314 oracle, GENERATED from the same variable/pair list as
@@ -5421,6 +5426,57 @@ object SparkEntry {
            CAST(m - m_min > 4 * sigma AS BIGINT) AS alarm_up,
            CAST(m_max - m > 4 * sigma AS BIGINT) AS alarm_down
          FROM w4, sig""",
+    "q_assortment_turnover" ->
+      // distinct (month, part) actives; adjacent-month equi-join
+      // intersection; Jaccard one truncating e6 quotient
+      """WITH mp AS (
+           SELECT DISTINCT
+             CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+                + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             l.l_partkey
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         sz AS (SELECT m, CAST(count(*) AS BIGINT) AS n_active FROM mp GROUP BY 1),
+         iv AS (
+           SELECT a.m, CAST(count(*) AS BIGINT) AS n_common
+           FROM mp a JOIN mp b ON b.m = a.m + 1 AND b.l_partkey = a.l_partkey
+           GROUP BY 1)
+         SELECT s.m AS month, s.m + 1 AS next_month, s.n_active,
+           t.n_active AS n_next,
+           coalesce(iv.n_common, 0) AS n_common,
+           t.n_active - coalesce(iv.n_common, 0) AS n_added,
+           s.n_active - coalesce(iv.n_common, 0) AS n_dropped,
+           CAST(coalesce(iv.n_common, 0) * 1000000
+             // (s.n_active + t.n_active - coalesce(iv.n_common, 0)) AS BIGINT) AS jaccard_e6
+         FROM sz s JOIN sz t ON t.m = s.m + 1
+         LEFT JOIN iv ON iv.m = s.m""",
+    "q_supplier_hhi" ->
+      // e4-truncated supplier shares squared to e8; (hhi desc, part)
+      // top-25 among multi-supplier parts; sole-source set counted
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qs
+           FROM lineitem GROUP BY 1, 2),
+         pp AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(qs) AS BIGINT) AS q_tot
+           FROM ps GROUP BY 1),
+         h AS (
+           SELECT ps.l_partkey, pp.n_suppliers, pp.q_tot,
+             CAST(sum((ps.qs * 10000 // pp.q_tot) * (ps.qs * 10000 // pp.q_tot)) AS BIGINT)
+               AS hhi_e8
+           FROM ps JOIN pp USING (l_partkey)
+           WHERE pp.q_tot >= 1
+           GROUP BY 1, 2, 3),
+         ss AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sole_source
+           FROM h)
+         SELECT h.l_partkey, h.n_suppliers, h.q_tot, h.hhi_e8, ss.n_parts, ss.n_sole_source
+         FROM h, ss
+         WHERE h.n_suppliers >= 2
+         ORDER BY h.hhi_e8 DESC, h.l_partkey
+         LIMIT 25""",
     "q_bootstrap_ci" -> bootstrapCiOracle(b = BootstrapB),
     "text_zipf" ->
       """WITH td AS (

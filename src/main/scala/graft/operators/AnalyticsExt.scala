@@ -6158,4 +6158,90 @@ object AnalyticsExt {
         (col("m") - col("m_min") > lit(4L) * col("sigma")).cast("long").as("alarm_up"),
         (col("m_max") - col("m") > lit(4L) * col("sigma")).cast("long").as("alarm_down"))
   }
+
+  /** #332 Assortment turnover: for each consecutive month pair, the
+    * Jaccard overlap of the ACTIVE part sets plus added/dropped
+    * counts — the catalog-churn read merchandising tracks (#281's
+    * catalog breadth counts actives and cumulative novelty; this
+    * measures month-over-month SET movement — a stable breadth can
+    * hide a fully-rotating assortment). Exact: actives from one
+    * DISTINCT (month, part) frame; |A∩B| by an equi-join on part
+    * across adjacent months (never a set product), |A∪B| = |A|+|B|−∩;
+    * Jaccard one truncating e6 quotient. Consecutive months via a
+    * lag over the ≤#months frame; part-keyed joins shuffle on part.
+    */
+  def assortmentTurnover(spark: SparkSession, dir: String): DataFrame = {
+    val mp = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)").as("m"),
+        col("l_partkey"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = mp.groupBy("m").agg(count(lit(1)).as("n_active"))
+    val inter = mp
+      .join(mp.select((col("m") - 1).as("m"), col("l_partkey").as("l_partkey")), Seq("m", "l_partkey"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_common"))
+    sizes
+      .join(
+        sizes.select((col("m") - 1).as("m"), col("n_active").as("n_next")),
+        Seq("m"))
+      .join(inter, Seq("m"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(
+        col("m").as("month"),
+        (col("m") + 1).as("next_month"),
+        col("n_active"),
+        col("n_next"),
+        col("n_common"),
+        (col("n_next") - col("n_common")).as("n_added"),
+        (col("n_active") - col("n_common")).as("n_dropped"),
+        expr("""CAST(n_common * 1000000 div (n_active + n_next - n_common) AS BIGINT)""")
+          .as("jaccard_e6"))
+  }
+
+  /** #333 Supplier concentration per part: the HHI of each part's
+    * supplier quantity shares — the single-source-risk screen
+    * procurement runs (#246's HHI reads the whole market; this reads
+    * EVERY part's supply base, and the top-concentrated multi-
+    * supplier parts are the de-risking worklist). Shares on the e4
+    * grid so the squared sum lands on e8 and a sole-source part is
+    * exactly 10⁸; per-part HHI = Σ (q_s·10⁴ div q_tot)² — truncated
+    * shares squared then summed, deterministic in both engines; top
+    * 25 by (hhi desc, part) among parts with ≥2 suppliers (the
+    * sole-source set is size-reported, not listed). One
+    * (part, supplier) aggregate + part rollup; no windows beyond the
+    * rank cut.
+    */
+  def supplierConcentration(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val ps = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        col("l_suppkey"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("q").as("qs"))
+    val perPart = ps
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum("qs").as("q_tot"))
+      .filter(col("q_tot") >= 1)
+    val hhi = ps
+      .join(perPart, "l_partkey")
+      .withColumn("share_e4", expr("qs * 10000 div q_tot"))
+      .groupBy("l_partkey", "n_suppliers", "q_tot")
+      .agg(sum(expr("share_e4 * share_e4")).as("hhi_e8"))
+    val soleSource = hhi.agg(
+      count(lit(1)).as("n_parts"),
+      sum((col("n_suppliers") === 1).cast("long")).as("n_sole_source"))
+    hhi
+      .filter(col("n_suppliers") >= 2)
+      .orderBy(col("hhi_e8").desc, col("l_partkey"))
+      .limit(topK)
+      .crossJoin(broadcast(soleSource))
+  }
 }

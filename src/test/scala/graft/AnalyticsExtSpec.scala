@@ -3122,4 +3122,61 @@ class AnalyticsExtSpec extends SparkSpec {
         (if (m - mMin > r.getAs[Long]("lambda_c")) 1L else 0L))
     }
   }
+
+  test("assortment turnover: set replay per month pair; add/drop conservation") {
+    val rows = AnalyticsExt.assortmentTurnover(spark, sf).collect()
+      .map(r => r.getAs[Long]("month") -> r).toMap
+    assert(rows.nonEmpty)
+    val mp = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey AS l_orderkey", "o_orderdate"),
+        "l_orderkey")
+      .selectExpr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m",
+        "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (m, v) => m -> v.map(_._2).toSet }
+    val months = mp.keys.toSeq.sorted
+    val pairs = months.zip(months.tail).filter { case (a, b) => b == a + 1 }
+    assert(rows.size == pairs.size, "one row per consecutive month pair")
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (mp(a), mp(b))
+      val r = rows(a)
+      val common = (sa & sb).size.toLong
+      assert(r.getAs[Long]("n_active") == sa.size.toLong &&
+        r.getAs[Long]("n_next") == sb.size.toLong && r.getAs[Long]("n_common") == common)
+      assert(r.getAs[Long]("n_added") == (sb -- sa).size.toLong)
+      assert(r.getAs[Long]("n_dropped") == (sa -- sb).size.toLong)
+      assert(r.getAs[Long]("jaccard_e6") ==
+        common * 1000000L / (sa.size + sb.size - common))
+    }
+  }
+
+  test("supplier hhi: share replay; sole-source exactly 1e8; top-set by (hhi, part)") {
+    val rows = AnalyticsExt.supplierConcentration(spark, sf).collect()
+    assert(rows.length <= 25 && rows.nonEmpty)
+    val ps = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_suppkey", "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    val byPart = ps.groupBy(_._1._1)
+      .map { case (pk, m) => pk -> m.values.toSeq }
+      .filter(_._2.sum >= 1)
+    val hhi = byPart.map { case (pk, qs) =>
+      val tot = qs.sum
+      pk -> ((qs.size.toLong, tot, qs.map(q => { val s = q * 10000L / tot; s * s }).sum))
+    }
+    val multi = hhi.filter(_._2._1 >= 2)
+    val wantTop = multi.toSeq.sortBy { case (pk, (_, _, h)) => (-h, pk) }.take(25).map(_._1)
+    assert(rows.map(_.getAs[Long]("l_partkey")).toSet == wantTop.toSet)
+    rows.foreach { r =>
+      val (ns, tot, h) = hhi(r.getAs[Long]("l_partkey"))
+      assert(r.getAs[Long]("n_suppliers") == ns && r.getAs[Long]("q_tot") == tot &&
+        r.getAs[Long]("hhi_e8") == h)
+      assert(h <= 100000000L, "HHI bounded by the sole-source ceiling")
+    }
+    val soleCount = hhi.count(_._2._1 == 1).toLong
+    assert(rows.forall(_.getAs[Long]("n_sole_source") == soleCount))
+    assert(rows.forall(_.getAs[Long]("n_parts") == hhi.size.toLong))
+    // every sole-source part is exactly the 1e8 ceiling (replay-side identity)
+    hhi.collect { case (_, (1L, _, h)) => h }.foreach(h => assert(h == 100000000L))
+  }
 }
