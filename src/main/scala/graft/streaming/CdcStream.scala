@@ -575,6 +575,14 @@ object CdcStream {
     * micro-batch contract as [[streamingHolt]]). Demand days are the
     * days EVENTS ARRIVE — gaps between arrivals are exactly the
     * inter-demand intervals Croston smooths.
+    *
+    * The p ≥ 1 invariant (rate = z·1000/p must never divide by zero)
+    * is ENFORCED, not assumed: a replayed or out-of-order micro-batch
+    * whose days fall at or before the folded `lastDay` is dropped
+    * (those days were already folded — refolding them would corrupt
+    * the batch-equivalence), and the interval update is clamped to 1
+    * as a final guard, so a contract-violating producer degrades to
+    * skipped rows rather than an ArithmeticException killing the query.
     */
   def streamingCroston(changes: Dataset[Change]): Dataset[CrostonEmit] = {
     import changes.sparkSession.implicits._
@@ -593,16 +601,20 @@ object CdcStream {
             .sortBy(_._1)
           var st =
             state.getOption.getOrElse(CrostonState(series, Long.MinValue, 0L, 1L, first = true))
-          val steps = daily.map { case (day, y) =>
-            if (st.first) st = CrostonState(series, day, y, 1L, first = false)
-            else
+          val steps = daily.flatMap { case (day, y) =>
+            if (st.first) {
+              st = CrostonState(series, day, y, 1L, first = false)
+              Some((day, y, st.z, st.p, st.z * 1000L / st.p))
+            } else if (day <= st.lastDay) None // replayed/out-of-order day: already folded
+            else {
               st = CrostonState(
                 series,
                 day,
                 st.z + tq(y - st.z),
-                st.p + tq((day - st.lastDay) - st.p),
+                math.max(1L, st.p + tq((day - st.lastDay) - st.p)),
                 first = false)
-            (day, y, st.z, st.p, st.z * 1000L / st.p)
+              Some((day, y, st.z, st.p, st.z * 1000L / st.p))
+            }
           }
           state.update(st)
           CrostonEmit(

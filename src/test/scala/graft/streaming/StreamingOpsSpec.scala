@@ -453,6 +453,18 @@ class StreamingOpsSpec extends SparkSpec {
           }
         }
         assert(nChecked == got.size && nChecked > 0)
+        // replayed micro-batch (days <= folded lastDay): the p >= 1
+        // guard must DROP the rows, not refold them into state or
+        // divide by zero — the query survives and the emitted
+        // trajectory is unchanged
+        changes.filter(col("ts") < splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val afterReplay = spark
+          .table("stream_croston")
+          .selectExpr("explode(days) AS d")
+          .count()
+        assert(afterReplay == nChecked.toLong, "replayed days are dropped, not refolded")
       } finally q.stop()
     }
   }
