@@ -5211,10 +5211,15 @@ object SparkEntry {
                // max(n_test) AS BIGINT) AS res_e12,
              CAST(CAST(max(obar_e6) AS HUGEINT) * (1000000 - max(obar_e6)) AS BIGINT)
                AS unc_e12
-           FROM wt)
+           FROM wt),
+         dr AS (
+           SELECT CAST(count(*) AS BIGINT) AS dropped_bins,
+             CAST(coalesce(sum(n_b), 0) AS BIGINT) AS dropped_rows
+           FROM te2 WHERE bin NOT IN (SELECT bin FROM tr2))
          SELECT wt.bin, wt.n_train, wt.p_e6, wt.n_b, wt.o_b, wt.obar_b_e6,
-           g.n_test, g.obar_e6, g.brier_e12, g.rel_e12, g.res_e12, g.unc_e12
-         FROM wt, g""",
+           g.n_test, g.obar_e6, g.brier_e12, g.rel_e12, g.res_e12, g.unc_e12,
+           dr.dropped_bins, dr.dropped_rows
+         FROM wt, g, dr""",
     "q_period_detect" ->
       // paired-series ACF per lag, sign-factored e3*e3 r^2, squared
       // white-noise band r^2*m > 4e6, (r^2 desc, lag) winner

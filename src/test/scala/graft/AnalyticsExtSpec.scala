@@ -2966,6 +2966,11 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(BigInt(head.getAs[Long]("rel_e12")) == rm / nTest)
     assert(BigInt(head.getAs[Long]("res_e12")) == sm / nTest)
     assert(BigInt(head.getAs[Long]("unc_e12")) == obar * (1000000 - obar))
+    // the documented unseen-bin exclusion is ACCOUNTED: test-only bins
+    // and their orders show up in the dropped_* columns
+    val testOnly = test.keySet -- train.keySet
+    assert(head.getAs[Long]("dropped_bins") == testOnly.size.toLong)
+    assert(head.getAs[Long]("dropped_rows") == testOnly.toSeq.map(test(_)._1).sum)
     // Murphy: Brier = REL - RES + UNC, up to e6-rate quantization
     val lhs = head.getAs[Long]("brier_e12")
     val rhs = head.getAs[Long]("rel_e12") - head.getAs[Long]("res_e12") +
