@@ -26,6 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the finished query's cache AND checkpoint blocks —
+      // clearCache only covers the CacheManager; localCheckpoint blocks
+      // live in getPersistentRDDs and would otherwise accumulate across
+      // all 300+ queries (the r6 shared-JVM conditioning finding)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

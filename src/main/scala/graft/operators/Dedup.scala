@@ -545,7 +545,8 @@ object Dedup {
     * every doc keep/drop. The driver-side loop is iteration control
     * only (a count per round); all data stays distributed.
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    Lineage.checkpointReleasing(spark) {
     // edges is the only input reused every round — cache it for the loop
     // and unpersist on exit (round-1 leaked these into every later query
     // sharing the JVM). labels goes through localCheckpoint, not cache:
@@ -585,12 +586,11 @@ object Dedup {
       labels = next.drop("chg")
       iter += 1
     }
-    edges.unpersist()
-    labels
+    (labels
       .select(
         col("doc_id"),
         col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).cast("int").as("keep"))
+        (col("doc_id") === col("label")).cast("int").as("keep")), Seq(edges))
   }
 
   /** #69 Dedup apply / corpus compaction: the terminal stage of the

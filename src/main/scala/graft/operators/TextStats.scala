@@ -1083,7 +1083,8 @@ object TextStats {
     * src-partitioned and cached once — rounds shuffle only the rank
     * vector. Top-20 via rank-filtered window (WindowGroupLimit).
     */
-  def textRank(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20): DataFrame = {
+  def textRank(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20): DataFrame =
+    Lineage.checkpointReleasing(spark) {
     val pos = Tables
       .documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "w")))
@@ -1129,9 +1130,6 @@ object TextStats {
         row_number().over(Window.orderBy(col("r").desc, col("word"))).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("word"), col("r").as("tr_e8"), col("rank"))
-      .localCheckpoint(eager = true)
-    pc.unpersist()
-    edges.unpersist()
-    out
+    (out, Seq(pc, edges))
   }
 }
