@@ -613,7 +613,13 @@ object Scale {
       files: Int = 32,
       overflowNum: Int = 3,
       overflowDen: Int = 2,
-      scaleMode: Boolean = false): DataFrame = {
+      scaleMode: Boolean = false,
+      // materialize=false is PLAN-AUDIT mode: skip the final eager
+      // checkpoint (which hides the whole build behind an RDD scan) so
+      // PlanDisciplineSpec can walk the real plan — including the 3
+      // exact-mode ntile windows behind the cached base. Callers of the
+      // audit form must clearCache() themselves.
+      materialize: Boolean = true): DataFrame = {
     val all = Tables
       .orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -684,13 +690,16 @@ object Scale {
           expr(s"($overflowNum * ((n_base_total + ${files - 1}) div $files)) div $overflowDen"))
           .cast("int"))
       .drop("n_base_total")
+    if (!materialize) out
+    else {
       // eager-materialize (bounded: one row per file) then release the
       // cached base layout — zfiled otherwise outlives the query in a
       // shared JVM (the r4 cache-leak finding, Dedup.clusters exit
       // discipline)
-      .localCheckpoint(eager = true)
-    zfiled.unpersist()
-    out
+      val m = out.localCheckpoint(eager = true)
+      zfiled.unpersist()
+      m
+    }
   }
 
   /** #186 Zone-map pruning simulator: per-file min/max statistics
