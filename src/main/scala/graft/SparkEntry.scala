@@ -510,6 +510,8 @@ object SparkEntry {
     "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
     // K-truss edge peeling of the co-purchase graph (§2 #315)
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // Sampled-source truncated-Brandes betweenness (§2 #334)
+    "q_betweenness" -> ((s: SparkSession, d: String) => AnalyticsExt.betweenness(s, d)),
     // Croston intermittent-demand smoothing per part (§2 #316)
     "q_croston" -> ((s: SparkSession, d: String) => AnalyticsExt.croston(s, d)),
     // Link-prediction precision@K backtest on a time split (§2 #317)
@@ -4922,6 +4924,7 @@ object SparkEntry {
          FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 12""",
     "q_kcore" -> kcoreOracle(k = 3, maxRounds = 16),
     "q_ktruss" -> ktrussOracle(k = 3, maxRounds = 8),
+    "q_betweenness" -> betweennessOracle(seedMod = 250, depth = 3, topK = 100),
     "q_croston" -> {
       // identical sign-factored dyadic two-track trajectory as a
       // per-part recursive CTE (the q_holt replay shape)
@@ -7759,6 +7762,68 @@ object SparkEntry {
                             = (SELECT count(*) FROM e$maxRounds) AS BIGINT) AS converged)
          SELECT e.pa, e.pb, s.sup AS support, converged
          FROM e$maxRounds e JOIN s$maxRounds s USING (pa, pb), conv"""
+  }
+
+  /** Generated unrolled truncated-Brandes replay for `q_betweenness`:
+    * `depth` BFS level CTEs (σ path counts as exact BIGINT sums, each
+    * level NOT-EXISTS-filtered against the visited set) then
+    * `depth−1` dependency CTEs downward, each edge term the same
+    * σ(v)·(10⁶+δ(w)) // σ(w) truncating HUGEINT quotient Spark
+    * computes in DECIMAL(38,0). δ at the truncation depth is 0 by
+    * convention; the v = s source rows never enter the sum. Every CTE
+    * MATERIALIZED — levels are referenced by both the next BFS round
+    * and two dependency rounds.
+    */
+  private def betweennessOracle(seedMod: Int, depth: Int, topK: Int): String = {
+    val bfs = (1 to depth)
+      .map { r =>
+        s"""l$r AS MATERIALIZED (
+              SELECT p.s, e.dst AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+              FROM l${r - 1} p JOIN sym e ON e.src = p.v
+              WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} x WHERE x.s = p.s AND x.v = e.dst)
+              GROUP BY 1, 2),
+            vis$r AS MATERIALIZED (
+              SELECT s, v FROM vis${r - 1} UNION ALL SELECT s, v FROM l$r)"""
+      }
+      .mkString(",\n         ")
+    val dep = ((depth - 1) to 1 by -1)
+      .map { r =>
+        s"""d$r AS MATERIALIZED (
+              SELECT l.s, l.v,
+                CAST(coalesce(sum(CAST(l.sigma AS HUGEINT) * (1000000 + d.delta) // w.sigma), 0)
+                  AS BIGINT) AS delta
+              FROM l$r l
+              LEFT JOIN sym e ON e.src = l.v
+              LEFT JOIN l${r + 1} w ON w.s = l.s AND w.v = e.dst
+              LEFT JOIN d${r + 1} d ON d.s = w.s AND d.v = w.v
+              GROUP BY 1, 2)"""
+      }
+      .mkString(",\n         ")
+    val union = ((depth - 1) to 1 by -1)
+      .map(r => s"SELECT v, delta FROM d$r")
+      .mkString(" UNION ALL ")
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pairs
+                 UNION ALL SELECT part_b, part_a FROM pairs),
+         l0 AS MATERIALIZED (
+           SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma
+           FROM (SELECT DISTINCT src AS v FROM sym) WHERE v % $seedMod = 1),
+         vis0 AS MATERIALIZED (SELECT s, v FROM l0),
+         $bfs,
+         d$depth AS MATERIALIZED (SELECT s, v, CAST(0 AS BIGINT) AS delta FROM l$depth),
+         $dep,
+         bc AS (SELECT v AS part, CAST(sum(CAST(delta AS HUGEINT)) AS BIGINT) AS bc_e6
+                FROM ($union) GROUP BY 1)
+         SELECT part, bc_e6, rank FROM (
+           SELECT part, bc_e6,
+             CAST(row_number() OVER (ORDER BY bc_e6 DESC, part) AS BIGINT) AS rank
+           FROM bc)
+         WHERE rank <= $topK"""
   }
 
   private def kcoreOracle(k: Int, maxRounds: Int): String = {

@@ -5278,6 +5278,112 @@ object AnalyticsExt {
       .agg(count(lit(1)).as("support"))
   }
 
+  /** #334 Sampled-source betweenness centrality (truncated Brandes):
+    * which parts sit ON the shortest paths between other parts in the
+    * co-purchase graph — the brokerage/bottleneck read PageRank's
+    * flow-volume score misses (a low-traffic bridge between two dense
+    * clusters is invisible to #124 and decisive here). Exact Brandes
+    * over ALL sources is O(V·E) — never distributed-affordable — so
+    * this is the standard k-SAMPLE estimator (Brandes & Pich 2007):
+    * deterministic seed sources (part % seedMod = 1 among non-isolated
+    * nodes — content-addressed, grows with the catalog), each source's
+    * BFS truncated at `depth` hops (bounded-depth betweenness: paths
+    * longer than `depth` contribute nothing — documented truncation,
+    * the at-scale convention for small-diameter graphs).
+    *
+    * All-integer Brandes: BFS rounds accumulate exact BIGINT
+    * path counts σ (σ(w) = Σ_pred σ(v), so σ(v) ≤ σ(w) — every
+    * dependency quotient is bounded); dependency accumulation runs
+    * level-by-level downward with the per-edge term
+    * σ(v)·(10⁶ + δ(w)) div σ(w) — ONE truncating DECIMAL(38,0) ↔
+    * HUGEINT division per edge, summed order-free, so the DuckDB
+    * unrolled-CTE replay is bit-identical. δ at the truncation depth
+    * is 0 by convention; the source's own row never enters the sum
+    * (Brandes excludes v = s). Output: top-`topK` parts by (bc desc,
+    * part) — rank-filtered, rides WindowGroupLimit.
+    *
+    * Scale shape: all sources advance TOGETHER — frames are keyed
+    * (s, v), every round is one edge join shuffled on the node key +
+    * one (s, v) aggregate, `depth` BFS rounds + `depth−1` dependency
+    * rounds total regardless of graph size; per-round lineage cut
+    * (eager localCheckpoint) with every intermediate released on exit
+    * via [[Lineage.checkpointReleasing]]. Reference surface: none —
+    * this extends the graph family (#124/#166/#200/#227/#315) with
+    * the centrality real users ask for next (SURVEY §15.2 deferral,
+    * cleared r7).
+    */
+  def betweenness(
+      spark: SparkSession,
+      dir: String,
+      seedMod: Int = 250,
+      depth: Int = 3,
+      topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = po
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val sym = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .repartition(col("src"))
+      .cache()
+    val seeds = sym.select(col("src").as("v")).distinct().filter(col("v") % seedMod === 1)
+    // ---- forward BFS: levels(r) = (s, v, sigma) at distance r ----
+    var levels = Vector(
+      seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma")).localCheckpoint(eager = true))
+    var visited = levels(0).select("s", "v")
+    for (r <- 1 to depth) {
+      val next = levels(r - 1)
+        .join(sym.withColumnRenamed("src", "v"), "v")
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .groupBy("s", "v")
+        .agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(eager = true)
+      levels = levels :+ next
+      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(eager = true)
+    }
+    // ---- dependency accumulation, deepest level first; the r = 0
+    // source rows are never needed (v = s is excluded from bc) ----
+    var delta = levels(depth).select(col("s"), col("v"), lit(0L).as("delta"))
+    var perLevel = Vector.empty[DataFrame]
+    for (r <- (depth - 1) to 1 by -1) {
+      val nextLvl = levels(r + 1)
+        .join(delta, Seq("s", "v"))
+        .select(col("s"), col("v").as("w"), col("sigma").as("sig_w"), col("delta").as("del_w"))
+      val terms = levels(r)
+        .join(sym.select(col("src").as("v"), col("dst").as("w")), "v")
+        .join(nextLvl, Seq("s", "w"))
+        .select(
+          col("s"),
+          col("v"),
+          expr("CAST(CAST(sigma AS DECIMAL(38,0)) * (1000000 + del_w) div sig_w AS BIGINT)")
+            .as("term"))
+        .groupBy("s", "v")
+        .agg(sum("term").as("dsum"))
+      delta = levels(r)
+        .join(terms, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("dsum"), lit(0L)).as("delta"))
+        .localCheckpoint(eager = true)
+      perLevel = perLevel :+ delta
+    }
+    val bc = perLevel
+      .reduce(_ unionAll _)
+      .groupBy(col("v").as("part"))
+      .agg(expr("CAST(sum(CAST(delta AS DECIMAL(38,0))) AS BIGINT)").as("bc_e6"))
+    val out = bc
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("bc_e6").desc, col("part"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("part"), col("bc_e6"), col("rank"))
+    (out, Seq(sym))
+  }
+
   /** #315 K-truss decomposition (convergence-adaptive edge peeling):
     * the maximal subgraph of the co-purchase graph in which every
     * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's

@@ -755,6 +755,70 @@ class AnalyticsExtSpec extends SparkSpec {
     core.unpersist()
   }
 
+  test("betweenness: exact truncated-Brandes replay; sigma sums and delta quotients bit-equal") {
+    val depth = 3
+    val got = AnalyticsExt.betweenness(spark, sf, seedMod = 250, depth = depth, topK = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // support-2 symmetric co-purchase graph, replayed from scratch
+    val pairInstances: Seq[(Long, Long)] = Tables
+      .lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }
+    val und = pairInstances
+      .groupBy(identity)
+      .iterator
+      .collect { case (e, xs) if xs.size >= 2 => e }
+      .toSet
+    val adj = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 250 == 1)
+    assert(seeds.nonEmpty, "seed set empty at this SF — the spec checks nothing")
+    // truncated Brandes per seed: BFS levels with exact path counts,
+    // then the SAME per-edge truncating quotient, summed per node
+    val bcAcc = collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+    seeds.foreach { s =>
+      var levels = Vector(Map(s -> BigInt(1)))
+      var visited = Set(s)
+      for (_ <- 1 to depth) {
+        val next = collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+        levels.last.foreach { case (v, sig) =>
+          adj(v).filterNot(visited).foreach(w => next(w) += sig)
+        }
+        levels = levels :+ next.toMap
+        visited ++= next.keySet
+      }
+      var delta = levels(depth).map { case (v, _) => v -> BigInt(0) }
+      for (r <- (depth - 1) to 1 by -1) {
+        delta = levels(r).map { case (v, sig) =>
+          val d = adj(v).toSeq
+            .flatMap(w => levels(r + 1).get(w).map(sw => sig * (1000000 + delta(w)) / sw))
+            .sum
+          v -> d
+        }
+        delta.foreach { case (v, d) => bcAcc(v) += d }
+      }
+    }
+    val want = bcAcc.toSeq
+      .map { case (v, d) => (v, d.toLong) }
+      .sortBy { case (v, d) => (-d, v) }
+      .take(100)
+      .zipWithIndex
+      .map { case ((v, d), i) => (v, d, (i + 1).toLong) }
+    assert(got.toSeq.sortBy(_._3) == want, "truncated-Brandes replay mismatch")
+    assert(got.nonEmpty && got.forall(_._2 >= 0))
+  }
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list
