@@ -512,6 +512,10 @@ object SparkEntry {
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
     // Sampled-source truncated-Brandes betweenness (§2 #334)
     "q_betweenness" -> ((s: SparkSession, d: String) => AnalyticsExt.betweenness(s, d)),
+    // Betweenness estimator scorecard vs a denser reference (§2 #335)
+    "q_betweenness_eval" -> ((s: SparkSession, d: String) => AnalyticsExt.betweennessEval(s, d)),
+    // Sampled harmonic closeness from the same BFS (§2 #336)
+    "q_closeness" -> ((s: SparkSession, d: String) => AnalyticsExt.closeness(s, d)),
     // Croston intermittent-demand smoothing per part (§2 #316)
     "q_croston" -> ((s: SparkSession, d: String) => AnalyticsExt.croston(s, d)),
     // Link-prediction precision@K backtest on a time split (§2 #317)
@@ -4925,6 +4929,9 @@ object SparkEntry {
     "q_kcore" -> kcoreOracle(k = 3, maxRounds = 16),
     "q_ktruss" -> ktrussOracle(k = 3, maxRounds = 8),
     "q_betweenness" -> betweennessOracle(seedMod = 250, depth = 3, topK = 100),
+    "q_betweenness_eval" ->
+      betweennessEvalOracle(seedMod = 250, depth = 3, refSeedMod = 50, refDepth = 4),
+    "q_closeness" -> closenessOracle(seedMod = 250, depth = 3, topK = 100),
     "q_croston" -> {
       // identical sign-factored dyadic two-track trajectory as a
       // per-part recursive CTE (the q_holt replay shape)
@@ -7764,65 +7771,133 @@ object SparkEntry {
          FROM e$maxRounds e JOIN s$maxRounds s USING (pa, pb), conv"""
   }
 
-  /** Generated unrolled truncated-Brandes replay for `q_betweenness`:
-    * `depth` BFS level CTEs (σ path counts as exact BIGINT sums, each
-    * level NOT-EXISTS-filtered against the visited set) then
-    * `depth−1` dependency CTEs downward, each edge term the same
-    * σ(v)·(10⁶+δ(w)) // σ(w) truncating HUGEINT quotient Spark
-    * computes in DECIMAL(38,0). δ at the truncation depth is 0 by
-    * convention; the v = s source rows never enter the sum. Every CTE
-    * MATERIALIZED — levels are referenced by both the next BFS round
-    * and two dependency rounds.
+  /** Shared graph CTEs for the sampled-BFS centrality oracles: the
+    * support-2 symmetric co-purchase edge list (`sym`).
     */
-  private def betweennessOracle(seedMod: Int, depth: Int, topK: Int): String = {
-    val bfs = (1 to depth)
-      .map { r =>
-        s"""l$r AS MATERIALIZED (
-              SELECT p.s, e.dst AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
-              FROM l${r - 1} p JOIN sym e ON e.src = p.v
-              WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} x WHERE x.s = p.s AND x.v = e.dst)
-              GROUP BY 1, 2),
-            vis$r AS MATERIALIZED (
-              SELECT s, v FROM vis${r - 1} UNION ALL SELECT s, v FROM l$r)"""
-      }
-      .mkString(",\n         ")
-    val dep = ((depth - 1) to 1 by -1)
-      .map { r =>
-        s"""d$r AS MATERIALIZED (
-              SELECT l.s, l.v,
-                CAST(coalesce(sum(CAST(l.sigma AS HUGEINT) * (1000000 + d.delta) // w.sigma), 0)
-                  AS BIGINT) AS delta
-              FROM l$r l
-              LEFT JOIN sym e ON e.src = l.v
-              LEFT JOIN l${r + 1} w ON w.s = l.s AND w.v = e.dst
-              LEFT JOIN d${r + 1} d ON d.s = w.s AND d.v = w.v
-              GROUP BY 1, 2)"""
-      }
-      .mkString(",\n         ")
-    val union = ((depth - 1) to 1 by -1)
-      .map(r => s"SELECT v, delta FROM d$r")
-      .mkString(" UNION ALL ")
-    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  private def symGraphCtes: String =
+    s"""po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (
            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
            FROM po a JOIN po b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
          sym AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pairs
-                 UNION ALL SELECT part_b, part_a FROM pairs),
-         l0 AS MATERIALIZED (
+                 UNION ALL SELECT part_b, part_a FROM pairs)"""
+
+  /** Unrolled sampled-BFS level CTEs `${p}l0..${p}l$depth` (σ path
+    * counts as exact BIGINT sums, each level NOT-EXISTS-filtered
+    * against the visited set). Every CTE MATERIALIZED — levels are
+    * referenced by the next BFS round and (for Brandes) two dependency
+    * rounds.
+    */
+  private def bfsCtes(p: String, seedMod: Int, depth: Int): String = {
+    val bfs = (1 to depth)
+      .map { r =>
+        s"""${p}l$r AS MATERIALIZED (
+              SELECT q.s, e.dst AS v, CAST(sum(q.sigma) AS BIGINT) AS sigma
+              FROM ${p}l${r - 1} q JOIN sym e ON e.src = q.v
+              WHERE NOT EXISTS (SELECT 1 FROM ${p}vis${r - 1} x WHERE x.s = q.s AND x.v = e.dst)
+              GROUP BY 1, 2),
+            ${p}vis$r AS MATERIALIZED (
+              SELECT s, v FROM ${p}vis${r - 1} UNION ALL SELECT s, v FROM ${p}l$r)"""
+      }
+      .mkString(",\n         ")
+    s"""${p}l0 AS MATERIALIZED (
            SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma
            FROM (SELECT DISTINCT src AS v FROM sym) WHERE v % $seedMod = 1),
-         vis0 AS MATERIALIZED (SELECT s, v FROM l0),
-         $bfs,
-         d$depth AS MATERIALIZED (SELECT s, v, CAST(0 AS BIGINT) AS delta FROM l$depth),
+         ${p}vis0 AS MATERIALIZED (SELECT s, v FROM ${p}l0),
+         $bfs"""
+  }
+
+  /** Truncated-Brandes core: BFS levels + `depth−1` dependency CTEs
+    * downward, each edge term the σ(v)·(10⁶+δ(w)) // σ(w) truncating
+    * HUGEINT quotient Spark computes in DECIMAL(38,0); δ = 0 at the
+    * truncation depth, v = s rows never enter. Emits `${p}bc(part,
+    * bc_e6)`.
+    */
+  private def brandesCtes(p: String, seedMod: Int, depth: Int): String = {
+    val dep = ((depth - 1) to 1 by -1)
+      .map { r =>
+        s"""${p}d$r AS MATERIALIZED (
+              SELECT l.s, l.v,
+                CAST(coalesce(sum(CAST(l.sigma AS HUGEINT) * (1000000 + d.delta) // w.sigma), 0)
+                  AS BIGINT) AS delta
+              FROM ${p}l$r l
+              LEFT JOIN sym e ON e.src = l.v
+              LEFT JOIN ${p}l${r + 1} w ON w.s = l.s AND w.v = e.dst
+              LEFT JOIN ${p}d${r + 1} d ON d.s = w.s AND d.v = w.v
+              GROUP BY 1, 2)"""
+      }
+      .mkString(",\n         ")
+    val union = ((depth - 1) to 1 by -1)
+      .map(r => s"SELECT v, delta FROM ${p}d$r")
+      .mkString(" UNION ALL ")
+    s"""${bfsCtes(p, seedMod, depth)},
+         ${p}d$depth AS MATERIALIZED (SELECT s, v, CAST(0 AS BIGINT) AS delta FROM ${p}l$depth),
          $dep,
-         bc AS (SELECT v AS part, CAST(sum(CAST(delta AS HUGEINT)) AS BIGINT) AS bc_e6
-                FROM ($union) GROUP BY 1)
+         ${p}bc AS (SELECT v AS part, CAST(sum(CAST(delta AS HUGEINT)) AS BIGINT) AS bc_e6
+                FROM ($union) GROUP BY 1)"""
+  }
+
+  private def betweennessOracle(seedMod: Int, depth: Int, topK: Int): String =
+    s"""WITH $symGraphCtes,
+         ${brandesCtes("", seedMod, depth)}
          SELECT part, bc_e6, rank FROM (
            SELECT part, bc_e6,
              CAST(row_number() OVER (ORDER BY bc_e6 DESC, part) AS BIGINT) AS rank
            FROM bc)
+         WHERE rank <= $topK"""
+
+  /** Scorecard for `q_betweenness` (the approximation-ships-with-its-
+    * scorecard invariant, §15.4): the production estimator's top-k
+    * sets vs a DENSER reference (5× the seeds, one hop deeper) —
+    * top-20/top-50 overlap counts + recall_e6, 1 row.
+    */
+  private def betweennessEvalOracle(
+      seedMod: Int,
+      depth: Int,
+      refSeedMod: Int,
+      refDepth: Int): String = {
+    def top(p: String, k: Int, name: String) =
+      s"""$name AS (SELECT part FROM (
+            SELECT part, CAST(row_number() OVER (ORDER BY bc_e6 DESC, part) AS BIGINT) AS rank
+            FROM ${p}bc) WHERE rank <= $k)"""
+    s"""WITH $symGraphCtes,
+         ${brandesCtes("a", seedMod, depth)},
+         ${brandesCtes("b", refSeedMod, refDepth)},
+         ${top("a", 20, "a20")}, ${top("a", 50, "a50")},
+         ${top("b", 20, "b20")}, ${top("b", 50, "b50")}
+         SELECT
+           CAST((SELECT count(*) FROM a20 JOIN b20 USING (part)) AS BIGINT) AS overlap_20,
+           CAST((SELECT count(*) FROM a50 JOIN b50 USING (part)) AS BIGINT) AS overlap_50,
+           CAST((SELECT count(*) FROM a20 JOIN b20 USING (part)) * 1000000 // 20 AS BIGINT)
+             AS recall20_e6,
+           CAST((SELECT count(*) FROM a50 JOIN b50 USING (part)) * 1000000 // 50 AS BIGINT)
+             AS recall50_e6,
+           CAST((SELECT count(*) FROM abc) AS BIGINT) AS n_scored,
+           CAST((SELECT count(*) FROM bbc) AS BIGINT) AS n_scored_ref"""
+  }
+
+  /** Sampled harmonic closeness from the same BFS levels: for each
+    * node, Σ over seeds reached of 10⁶ // d(s, v) (harmonic — the
+    * unreachable-safe closeness), d from the level index. Top-k by
+    * (harmonic desc, part).
+    */
+  private def closenessOracle(seedMod: Int, depth: Int, topK: Int): String = {
+    val union = (1 to depth)
+      .map(r => s"SELECT v, $r AS d FROM l$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $symGraphCtes,
+         ${bfsCtes("", seedMod, depth)},
+         harm AS (
+           SELECT v AS part,
+             CAST(sum(1000000 // d) AS BIGINT) AS harmonic_e6,
+             CAST(count(*) AS BIGINT) AS n_seeds_reached
+           FROM ($union) GROUP BY 1)
+         SELECT part, harmonic_e6, n_seeds_reached, rank FROM (
+           SELECT part, harmonic_e6, n_seeds_reached,
+             CAST(row_number() OVER (ORDER BY harmonic_e6 DESC, part) AS BIGINT) AS rank
+           FROM harm)
          WHERE rank <= $topK"""
   }
 

@@ -5384,6 +5384,104 @@ object AnalyticsExt {
     (out, Seq(sym))
   }
 
+  /** #335 Betweenness estimator scorecard (the §15.4 approximation-
+    * ships-with-its-scorecard invariant, applied to #334 in its birth
+    * round): the production estimator's top-20/top-50 against a
+    * DENSER reference — 5× the seed sample (part % 50 = 1) and one
+    * hop deeper truncation. High overlap ⇒ the cheap sample already
+    * ranks the bridges the expensive one finds; a collapse flags a
+    * graph whose betweenness mass sits past the truncation horizon.
+    * Overlap counts exact BIGINTs, recall as truncating e6 quotients,
+    * scored-node coverage for both estimators; 1-row output, every
+    * frame broadcast-sized.
+    */
+  def betweennessEval(
+      spark: SparkSession,
+      dir: String,
+      seedMod: Int = 250,
+      depth: Int = 3,
+      refSeedMod: Int = 50,
+      refDepth: Int = 4): DataFrame = {
+    val a = betweenness(spark, dir, seedMod, depth, topK = Int.MaxValue)
+    val b = betweenness(spark, dir, refSeedMod, refDepth, topK = Int.MaxValue)
+    def top(df: DataFrame, k: Int) = df.filter(col("rank") <= k).select("part")
+    val o20 = top(a, 20).join(top(b, 20), "part").agg(count(lit(1)).as("overlap_20"))
+    val o50 = top(a, 50).join(top(b, 50), "part").agg(count(lit(1)).as("overlap_50"))
+    val na = a.agg(count(lit(1)).as("n_scored"))
+    val nb = b.agg(count(lit(1)).as("n_scored_ref"))
+    o20
+      .crossJoin(broadcast(o50))
+      .crossJoin(broadcast(na))
+      .crossJoin(broadcast(nb))
+      .select(
+        col("overlap_20"),
+        col("overlap_50"),
+        expr("overlap_20 * 1000000 div 20").as("recall20_e6"),
+        expr("overlap_50 * 1000000 div 50").as("recall50_e6"),
+        col("n_scored"),
+        col("n_scored_ref"))
+  }
+
+  /** #336 Sampled harmonic closeness centrality: which parts are NEAR
+    * everything — Σ over reached seeds of 10⁶ div d(s, v), the
+    * harmonic form (Boldi & Vigna 2014) that handles unreachable
+    * pairs by contributing zero instead of breaking the mean — from
+    * the SAME truncated sampled BFS as #334 (betweenness scores
+    * brokers ON paths; closeness scores endpoints NEAR everything —
+    * the two ends of the centrality question). Distances are level
+    * indices, so the whole score is exact integers; seed sampling and
+    * truncation identical to #334 (documented estimator, not exact
+    * closeness). Scale: `depth` BFS rounds of one edge join + one
+    * (s, v) aggregate; top-k rides WindowGroupLimit.
+    */
+  def closeness(
+      spark: SparkSession,
+      dir: String,
+      seedMod: Int = 250,
+      depth: Int = 3,
+      topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = po
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val sym = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .repartition(col("src"))
+      .cache()
+    val seeds = sym.select(col("src").as("v")).distinct().filter(col("v") % seedMod === 1)
+    var levels = Vector(
+      seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma")).localCheckpoint(eager = true))
+    var visited = levels(0).select("s", "v")
+    for (r <- 1 to depth) {
+      val next = levels(r - 1)
+        .join(sym.withColumnRenamed("src", "v"), "v")
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .groupBy("s", "v")
+        .agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(eager = true)
+      levels = levels :+ next
+      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(eager = true)
+    }
+    val harm = (1 to depth)
+      .map(r => levels(r).select(col("v"), lit(1000000L / r).as("h")))
+      .reduce(_ unionAll _)
+      .groupBy(col("v").as("part"))
+      .agg(sum("h").as("harmonic_e6"), count(lit(1)).as("n_seeds_reached"))
+    val out = harm
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("harmonic_e6").desc, col("part"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("part"), col("harmonic_e6"), col("n_seeds_reached"), col("rank"))
+    (out, Seq(sym))
+  }
+
   /** #315 K-truss decomposition (convergence-adaptive edge peeling):
     * the maximal subgraph of the co-purchase graph in which every
     * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's

@@ -819,6 +819,76 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 >= 0))
   }
 
+  test("closeness: harmonic sums replay from a scala BFS; unreached seeds contribute zero") {
+    val depth = 3
+    val got = AnalyticsExt.closeness(spark, sf, seedMod = 250, depth = depth, topK = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairInstances: Seq[(Long, Long)] = Tables
+      .lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }
+    val und = pairInstances
+      .groupBy(identity)
+      .iterator
+      .collect { case (e, xs) if xs.size >= 2 => e }
+      .toSet
+    val adj = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 250 == 1)
+    assert(seeds.nonEmpty)
+    val acc = collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    seeds.foreach { s =>
+      var frontier = Set(s)
+      var visited = Set(s)
+      for (r <- 1 to depth) {
+        val next = frontier.flatMap(adj(_)).diff(visited)
+        next.foreach { v =>
+          val (h, n) = acc(v); acc(v) = (h + 1000000L / r, n + 1)
+        }
+        visited ++= next
+        frontier = next
+      }
+    }
+    val want = acc.toSeq
+      .map { case (v, (h, n)) => (v, h, n) }
+      .sortBy { case (v, h, _) => (-h, v) }
+      .take(100)
+      .zipWithIndex
+      .map { case ((v, h, n), i) => (v, h, n, (i + 1).toLong) }
+    assert(got.toSeq.sortBy(_._4) == want, "harmonic closeness replay mismatch")
+  }
+
+  test("betweenness eval: overlap/recall arithmetic pins to the two estimators' own top sets") {
+    val row = AnalyticsExt.betweennessEval(spark, sf).collect().head
+    def tops(seedMod: Int, depth: Int, k: Int): Set[Long] = AnalyticsExt
+      .betweenness(spark, sf, seedMod = seedMod, depth = depth, topK = k)
+      .select("part")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val o20 = (tops(250, 3, 20) & tops(50, 4, 20)).size.toLong
+    val o50 = (tops(250, 3, 50) & tops(50, 4, 50)).size.toLong
+    assert(row.getAs[Long]("overlap_20") == o20)
+    assert(row.getAs[Long]("overlap_50") == o50)
+    assert(row.getAs[Long]("recall20_e6") == o20 * 1000000L / 20)
+    assert(row.getAs[Long]("recall50_e6") == o50 * 1000000L / 50)
+    // the denser reference scores at least as many nodes (more seeds,
+    // deeper truncation can only grow the scored set)
+    assert(row.getAs[Long]("n_scored_ref") >= row.getAs[Long]("n_scored"))
+    assert(row.getAs[Long]("overlap_20") <= 20 && row.getAs[Long]("overlap_50") <= 50)
+  }
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list
