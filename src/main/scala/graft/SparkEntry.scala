@@ -457,6 +457,18 @@ object SparkEntry {
     "q_ind_discovery" -> (Profile.indCheck _),
     // Mann–Whitney U rank-sum test, promo vs non-promo (§2 #288)
     "q_mann_whitney" -> ((s: SparkSession, d: String) => AnalyticsExt.mannWhitney(s, d)),
+    // Kendall tau-b of daily order count vs revenue (§2 #337)
+    "q_kendall_tau" -> ((s: SparkSession, d: String) => AnalyticsExt.kendallTau(s, d)),
+    // Cohen's d / Hedges' g promo-vs-rest effect size (§2 #338)
+    "q_cohens_d" -> ((s: SparkSession, d: String) => AnalyticsExt.cohensD(s, d)),
+    // Cliff's delta ordinal effect size off the U frame (§2 #339)
+    "q_cliffs_delta" -> ((s: SparkSession, d: String) => AnalyticsExt.cliffsDelta(s, d)),
+    // One-way ANOVA F across order priorities (§2 #340)
+    "q_anova_f" -> ((s: SparkSession, d: String) => AnalyticsExt.anovaF(s, d)),
+    // Brown-Forsythe Levene variance-homogeneity test (§2 #341)
+    "q_levene" -> ((s: SparkSession, d: String) => AnalyticsExt.levene(s, d)),
+    // Ljung-Box portmanteau whiteness test, lags 1..10 (§2 #342)
+    "q_ljung_box" -> ((s: SparkSession, d: String) => AnalyticsExt.ljungBox(s, d)),
     // Wald–Wolfowitz runs test on daily revenue (§2 #289)
     "q_runs_test" -> (AnalyticsExt.runsTest _),
     // Day-of-week seasonality profile (§2 #290)
@@ -3567,6 +3579,186 @@ object SparkEntry {
              * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
                 // (2 * sigma)) AS BIGINT) AS z_e6
          FROM si""",
+    "q_kendall_tau" ->
+      // day-pair sign sweep; tau-b with both tie margins, one-ulp
+      // isqrt denominator, sign factored before the div
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         p AS (SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sx,
+                 CAST(sign(b.y - a.y) AS BIGINT) AS sy
+               FROM byday a JOIN byday b ON a.day < b.day),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+                   CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                   CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+                 FROM p),
+         d2 AS (SELECT *, CAST(n0 - tx AS HUGEINT) * (n0 - ty) AS den2 FROM agg),
+         d3 AS (SELECT *, CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS HUGEINT) AS s0 FROM d2),
+         d4 AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= den2 THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > den2 THEN 1 ELSE 0 END) AS den FROM d3)
+         SELECT n0, n_c, n_d, tx AS ties_x, ty AS ties_y,
+           CASE WHEN den > 0 THEN
+             CAST((CASE WHEN n_c >= n_d THEN 1 ELSE -1 END)
+               * (abs(CAST(n_c AS HUGEINT) - n_d) * 1000000 // den) AS BIGINT)
+           ELSE NULL END AS tau_b_e6
+         FROM d4""",
+    "q_cohens_d" ->
+      // staged HUGEINT quotients: per-group (n-1)s^2 with one
+      // truncation each, pooled variance, one-ulp isqrt, exact
+      // mean-gap numerator, Hedges correction on the grid
+      """WITH lines AS (
+           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS t,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         m AS (SELECT
+             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+             sum(CASE WHEN t = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1,
+             CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN t = 0 THEN c ELSE 0 END) AS BIGINT) AS s2,
+             sum(CASE WHEN t = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q2
+           FROM lines),
+         v AS (SELECT *,
+             (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+               // (CAST(n1 AS HUGEINT) * (n1 + n2 - 2)) AS v1,
+             (CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+               // (CAST(n2 AS HUGEINT) * (n1 + n2 - 2)) AS v2
+           FROM m),
+         sp2 AS (SELECT *, v1 + v2 AS sp2 FROM v),
+         sg AS (SELECT *, CAST(floor(sqrt(CAST(sp2 AS DOUBLE))) AS HUGEINT) AS s0 FROM sp2),
+         si AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= sp2 THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > sp2 THEN 1 ELSE 0 END) AS sp
+                FROM sg),
+         dd AS (SELECT *,
+             CASE WHEN sp > 0 THEN
+               CAST((CASE WHEN CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 < 0
+                      THEN -1 ELSE 1 END)
+                 * (abs(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1) * 1000000
+                    // (CAST(n1 AS HUGEINT) * n2 * sp)) AS BIGINT)
+             ELSE NULL END AS d_e6
+           FROM si)
+         SELECT n1, n2, CAST(sp AS BIGINT) AS pooled_sd_cents, d_e6,
+           CAST(d_e6 - (3 * d_e6) // (4 * (n1 + n2) - 9) AS BIGINT) AS g_e6
+         FROM dd""",
+    "q_cliffs_delta" ->
+      // the Mann-Whitney doubled-midrank frame, finished as the
+      // ordinal effect size with Romano magnitude bands
+      """WITH lines AS (
+           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS t,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         bv AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(t) AS BIGINT) AS cnt1
+                FROM lines GROUP BY 1),
+         cu AS (SELECT c, cnt, cnt1,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM bv),
+         agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(cnt1) AS BIGINT) AS n1,
+                   CAST(sum(cnt1 * (2 * cum + cnt + 1)) AS BIGINT) AS r1_2x
+                 FROM cu),
+         st AS (SELECT n1, n - n1 AS n2, r1_2x - n1 * (n1 + 1) AS u1_2x FROM agg),
+         de AS (SELECT *,
+             CAST((CASE WHEN u1_2x >= CAST(n1 AS HUGEINT) * n2 THEN 1 ELSE -1 END)
+               * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
+                  // (CAST(n1 AS HUGEINT) * n2)) AS BIGINT) AS delta_e6
+           FROM st)
+         SELECT n1, n2, u1_2x, delta_e6,
+           CASE WHEN abs(delta_e6) < 147000 THEN 'negligible'
+                WHEN abs(delta_e6) < 330000 THEN 'small'
+                WHEN abs(delta_e6) < 474000 THEN 'medium'
+                ELSE 'large' END AS magnitude
+         FROM de""",
+    "q_anova_f" ->
+      // one truncation per group (S_g^2 // n_g), staged F quotient;
+      // whole-dollar grid (cents-grid bsum crosses 2^63 at sf0.01)
+      """WITH per AS (
+           SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+             sum(CAST(CAST(floor(o_totalprice + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS q_g
+           FROM orders GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(s_g) AS BIGINT) AS s, sum(q_g) AS q,
+                   sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS bsum
+                 FROM per)
+         SELECT k, n,
+           CAST(bsum - CAST(s AS HUGEINT) * s // n AS BIGINT) AS ssb_d2,
+           CAST(q - bsum AS BIGINT) AS ssw_d2,
+           CASE WHEN q - bsum >= 1 THEN
+             CAST((bsum - CAST(s AS HUGEINT) * s // n) * (n - k) * 1000000
+               // ((q - bsum) * (k - 1)) AS BIGINT)
+           ELSE NULL END AS f_e6
+         FROM agg""",
+    "q_levene" ->
+      // per-group rank-defined lower median, |x - med_g|, then the
+      // same one-truncation-per-group F machinery on the deviations
+      """WITH vals AS (
+           SELECT o_orderpriority AS g, o_orderkey,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS c
+           FROM orders),
+         r AS (SELECT g, c,
+                 CAST(row_number() OVER (PARTITION BY g ORDER BY c, o_orderkey) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nn
+               FROM vals),
+         med AS (SELECT g, max(CASE WHEN rn = (nn + 1) // 2 THEN c END) AS med
+                 FROM r GROUP BY 1),
+         per AS (SELECT v.g, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(abs(v.c - med.med)) AS BIGINT) AS s_g,
+                   sum(CAST(abs(v.c - med.med) AS HUGEINT) * abs(v.c - med.med)) AS q_g
+                 FROM vals v JOIN med ON med.g = v.g GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(s_g) AS BIGINT) AS s, sum(q_g) AS q,
+                   sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS bsum
+                 FROM per)
+         SELECT k, n,
+           CAST(bsum - CAST(s AS HUGEINT) * s // n AS BIGINT) AS ssb_z2,
+           CAST(q - bsum AS BIGINT) AS ssw_z2,
+           CASE WHEN q - bsum >= 1 THEN
+             CAST((bsum - CAST(s AS HUGEINT) * s // n) * (n - k) * 1000000
+               // ((q - bsum) * (k - 1)) AS BIGINT)
+           ELSE NULL END AS w_e6
+         FROM agg""",
+    "q_ljung_box" ->
+      // per-lag pairwise-complete r^2 via the factored e3*e3 quotient
+      // (the q_period_detect construction), one truncation per lag
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+         pairs AS (
+           SELECT l.lag, a.x AS x, b.x AS y
+           FROM lags l CROSS JOIN daily a JOIN daily b ON b.d = a.d + l.lag),
+         pl AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  sum(CAST(x AS HUGEINT) * y) AS sxy,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx,
+                  sum(CAST(y AS HUGEINT) * y) AS syy
+                FROM pairs GROUP BY 1),
+         rr AS (SELECT CAST(lag AS BIGINT) AS lag,
+                  CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                  CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+                  CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+                FROM pl),
+         r2 AS (SELECT lag,
+                  (abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y) AS r2_e6
+                FROM rr WHERE den_x > 0 AND den_y > 0),
+         terms AS (SELECT n, r2_e6 // (n - lag) AS term FROM r2, nn),
+         agg AS (SELECT n, CAST(count(*) AS BIGINT) AS n_lags,
+                   CAST(sum(term) AS BIGINT) AS tsum
+                 FROM terms GROUP BY 1)
+         SELECT n AS n_days, n_lags,
+           CAST(CAST(n AS HUGEINT) * (n + 2) * tsum AS BIGINT) AS q_e6,
+           CAST(18307000 AS BIGINT) AS chi2_crit_e6,
+           CAST(CAST(n AS HUGEINT) * (n + 2) * tsum > 18307000 AS BIGINT) AS significant
+         FROM agg""",
     "q_runs_test" ->
       // rank-defined lower median, equal days dropped, R = sign
       // changes + 1 via lag; z = N div isqrt(A div B) (the n^2 in

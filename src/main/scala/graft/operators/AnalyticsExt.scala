@@ -4176,7 +4176,11 @@ object AnalyticsExt {
     * offsets) over the per-VALUE aggregate — ties collapse before any
     * window, so the windows ride |distinct values|, not rows.
     */
-  def mannWhitney(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  /** The doubled-midrank promo-vs-rest U frame shared by #288 (which
+    * adds the tie-corrected z) and #339 Cliff's delta (which reads the
+    * effect size straight off U): 1 row (n1, n2, n, u1_2x, tie_t).
+    */
+  private def promoRankAgg(spark: SparkSession, dir: String, nShards: Int): DataFrame = {
     val lines = Tables
       .lineitem(spark, dir)
       .join(
@@ -4226,6 +4230,10 @@ object AnalyticsExt {
         col("n"),
         (col("r1_2x") - col("n1") * (col("n1") + 1)).as("u1_2x"),
         col("tie_t"))
+  }
+
+  def mannWhitney(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    promoRankAgg(spark, dir, nShards)
       .withColumn(
         "cl_e6",
         expr("""CAST(CAST(u1_2x AS DECIMAL(38,0)) * 1000000
@@ -5924,6 +5932,307 @@ object AnalyticsExt {
                     div (CAST(a1 AS DECIMAL(38,0)) * a1 div (n1 - 1)
                          + CAST(a2 AS DECIMAL(38,0)) * a2 div (n2 - 1)) AS BIGINT)
                 ELSE NULL END""").as("df_e3"))
+
+  /** #337 Kendall τ-b: rank correlation of daily order COUNT vs daily
+    * REVENUE over the per-day frame — the tie-robust ordinal
+    * association (are busy days rich days, monotonically?) beside
+    * #243's Spearman (Spearman squares rank gaps and moves with tie
+    * structure; τ-b counts pair inversions and corrects BOTH margins).
+    * Everything exact: per day-pair a sign comparison (concordant /
+    * discordant / tied-x / tied-y counted in one aggregate),
+    * τ-b = (C−D)·10⁶ div √((n₀−Tx)(n₀−Ty)) with the √ via the #226
+    * one-ulp-clamp exact isqrt (the product ≤ n₀² keeps it in the
+    * double-exactness domain far past this corpus), sign factored out
+    * first. The pair fan-out is (#days choose 2) — calendar-bounded,
+    * never row-bounded; the day frame broadcasts so the pair join is
+    * a broadcast NLJ, not a shuffle.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("x"), sum("c").as("y"))
+    val pairs = byDay.alias("a")
+      .join(broadcast(byDay.alias("b")), col("a.day") < col("b.day"))
+      .select(
+        expr("CAST(sign(b.x - a.x) AS BIGINT)").as("sx"),
+        expr("CAST(sign(b.y - a.y) AS BIGINT)").as("sy"))
+    pairs
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(expr("sx * sy = 1"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(expr("sx * sy = -1"), 1L).otherwise(0L)).as("n_d"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ty"))
+      .withColumn(
+        "den2",
+        expr("CAST((n0 - tx) AS DECIMAL(38,0)) * (n0 - ty)"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "den",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= den2 THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > den2 THEN 1 ELSE 0 END)"""))
+      .select(
+        col("n0"),
+        col("n_c"),
+        col("n_d"),
+        col("tx").as("ties_x"),
+        col("ty").as("ties_y"),
+        expr("""CASE WHEN den > 0 THEN
+                  CAST(CASE WHEN n_c >= n_d THEN 1 ELSE -1 END
+                    * (abs(CAST(n_c AS DECIMAL(38,0)) - n_d) * 1000000 div den) AS BIGINT)
+                ELSE NULL END""").as("tau_b_e6"))
+  }
+
+  /** #338 Cohen's d / Hedges' g: the standardized mean difference of
+    * promo vs non-promo line revenue — the EFFECT SIZE #320's Welch t
+    * only tests (a significant t on a big corpus can be a trivial d;
+    * reviews want the magnitude, not the p). Pooled SD from staged
+    * integer quotients of the same DECIMAL(38,0) moment forms
+    * ((nᵢ−1)s²ᵢ = (nᵢΣx²−S²ᵢ) div nᵢ, one truncation each), σ_pooled
+    * via the #226 one-ulp-clamp exact isqrt, d = exact mean-gap
+    * numerator (S₁n₂ − S₂n₁) over n₁n₂σ as one sign-factored e6
+    * truncating quotient; Hedges' small-sample correction
+    * g = d − 3d div (4(n₁+n₂)−9) stays on the grid. One partial-agg
+    * moment pass, 1 row, no windows.
+    */
+  def cohensD(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(
+          Tables
+            .part(spark, dir)
+            .select(
+              col("p_partkey").as("l_partkey"),
+              col("p_type").startsWith("PROMO").cast("long").as("t"))),
+        "l_partkey")
+      .select(
+        col("t"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("c"))
+      .agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t") === 1, col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("t") === 1, expr("CAST(c AS DECIMAL(38,0)) * c"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("t") === 0, col("c")).otherwise(0L)).as("s2"),
+        sum(when(col("t") === 0, expr("CAST(c AS DECIMAL(38,0)) * c"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
+      // sp² = Σᵢ (nᵢΣx²−S²ᵢ) / (nᵢ(n₁+n₂−2)): dividing each group's
+      // moment form by its FULL denominator first keeps every staged
+      // quotient variance-sized (≈10¹³ cents²) at any SF — the interim
+      // (nᵢ−1)s²ᵢ form crosses 2⁶³ (div lands on BIGINT) at ~sf1
+      .withColumn(
+        "v1",
+        expr("""(CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                 div (CAST(n1 AS DECIMAL(38,0)) * (n1 + n2 - 2))"""))
+      .withColumn(
+        "v2",
+        expr("""(CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)
+                 div (CAST(n2 AS DECIMAL(38,0)) * (n1 + n2 - 2))"""))
+      .withColumn("sp2", expr("v1 + v2"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(sp2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "sp",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= sp2 THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > sp2 THEN 1 ELSE 0 END)"""))
+      .withColumn(
+        "d_e6",
+        expr("""CASE WHEN sp > 0 THEN
+                  CAST(CASE WHEN CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1 < 0
+                         THEN -1 ELSE 1 END
+                    * (abs(CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1) * 1000000
+                       div (CAST(n1 AS DECIMAL(38,0)) * n2 * sp)) AS BIGINT)
+                ELSE NULL END"""))
+      .select(
+        col("n1"),
+        col("n2"),
+        col("sp").as("pooled_sd_cents"),
+        col("d_e6"),
+        expr("CAST(d_e6 - (3 * d_e6) div (4 * (n1 + n2) - 9) AS BIGINT)").as("g_e6"))
+
+  /** #339 Cliff's delta: the ordinal effect size
+    * δ = P(X₁ > X₂) − P(X₁ < X₂) of promo vs non-promo line revenue —
+    * the magnitude companion to #288's Mann–Whitney exactly as #338
+    * is to #320's t (U tests; δ sizes, robust to any monotone
+    * transform). Reads straight off the SAME doubled-midrank frame:
+    * δ = (u1_2x − n₁n₂)/(n₁n₂) — the doubled grid makes the numerator
+    * whole — one sign-factored e6 truncating quotient; the standard
+    * magnitude bands (0.147/0.33/0.474, Romano et al. 2006) label it.
+    */
+  def cliffsDelta(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    promoRankAgg(spark, dir, nShards)
+      .withColumn(
+        "delta_e6",
+        expr("""CAST(CASE WHEN u1_2x >= CAST(n1 AS DECIMAL(38,0)) * n2 THEN 1 ELSE -1 END
+                 * (abs(CAST(u1_2x AS DECIMAL(38,0)) - CAST(n1 AS DECIMAL(38,0)) * n2) * 1000000
+                    div (CAST(n1 AS DECIMAL(38,0)) * n2)) AS BIGINT)"""))
+      .select(
+        col("n1"),
+        col("n2"),
+        col("u1_2x"),
+        col("delta_e6"),
+        expr("""CASE WHEN abs(delta_e6) < 147000 THEN 'negligible'
+                     WHEN abs(delta_e6) < 330000 THEN 'small'
+                     WHEN abs(delta_e6) < 474000 THEN 'medium'
+                     ELSE 'large' END""").as("magnitude"))
+
+  /** #340 One-way ANOVA F: does mean order value differ across the
+    * five order priorities — the parametric omnibus beside #309's
+    * rank-based Kruskal–Wallis (run both; disagreement is the
+    * skew/outlier diagnostic, the #320/#288 pairing at k groups).
+    * Integer sums of squares with ONE truncation per group (the #309
+    * discipline): SSB = Σ_g(S²_g div n_g) − S² div n,
+    * SSW = Σx² − Σ_g(S²_g div n_g), F on e6 as one staged
+    * DECIMAL(38,0) quotient (ssb·(n−k)·10⁶) div (ssw·(k−1)).
+    * One partial-agg pass + a k-row fold, no windows. WHOLE-DOLLAR
+    * grid, not cents: Σ_g S²_g div n_g crosses 2⁶³ on the cents grid
+    * already at sf0.01 (`div` lands on BIGINT), and F is a ratio —
+    * the 100× coarser grid costs nothing.
+    */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderpriority").as("g"),
+        expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").as("c"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum("c").as("s_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q_g"))
+    per
+      .agg(
+        count(lit(1)).as("k"),
+        sum("n_g").as("n"),
+        sum("s_g").as("s"),
+        sum("q_g").as("q"),
+        sum(expr("CAST(CAST(s_g AS DECIMAL(38,0)) * s_g div n_g AS DECIMAL(38,0))"))
+          .as("bsum"))
+      .select(
+        col("k"),
+        col("n"),
+        expr("CAST(bsum - CAST(s AS DECIMAL(38,0)) * s div n AS BIGINT)").as("ssb_d2"),
+        expr("CAST(q - bsum AS BIGINT)").as("ssw_d2"),
+        expr("""CASE WHEN q - bsum >= 1 THEN
+                  CAST((bsum - CAST(s AS DECIMAL(38,0)) * s div n) * (n - k) * 1000000
+                    div ((q - bsum) * (k - 1)) AS BIGINT)
+                ELSE NULL END""").as("f_e6"))
+  }
+
+  /** #341 Brown–Forsythe Levene test: do order-value SPREADS differ
+    * across priorities — variance homogeneity, the assumption #340's
+    * F quietly makes (run this first; a fat W says trust #309's ranks
+    * over #340's means). The robust median-centered form: per group
+    * the #106 rank-defined lower median (one PARTITIONED window),
+    * z = |x − med_g|, then the #340 one-truncation-per-group F
+    * machinery verbatim on z. Group count is the bounded alphabet;
+    * everything whole cents.
+    */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderpriority").as("g"),
+        col("o_orderkey"),
+        // whole dollars — the #340 overflow rationale, W is a ratio
+        expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").as("c"))
+    val w = Window.partitionBy("g").orderBy(col("c"), col("o_orderkey"))
+    val med = vals
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(max(when(col("rn") === expr("(nn + 1) div 2"), col("c"))).as("med"))
+    val per = vals
+      .join(broadcast(med), "g")
+      .select(col("g"), expr("abs(c - med)").as("z"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum("z").as("s_g"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("q_g"))
+    per
+      .agg(
+        count(lit(1)).as("k"),
+        sum("n_g").as("n"),
+        sum("s_g").as("s"),
+        sum("q_g").as("q"),
+        sum(expr("CAST(CAST(s_g AS DECIMAL(38,0)) * s_g div n_g AS DECIMAL(38,0))"))
+          .as("bsum"))
+      .select(
+        col("k"),
+        col("n"),
+        expr("CAST(bsum - CAST(s AS DECIMAL(38,0)) * s div n AS BIGINT)").as("ssb_z2"),
+        expr("CAST(q - bsum AS BIGINT)").as("ssw_z2"),
+        expr("""CASE WHEN q - bsum >= 1 THEN
+                  CAST((bsum - CAST(s AS DECIMAL(38,0)) * s div n) * (n - k) * 1000000
+                    div ((q - bsum) * (k - 1)) AS BIGINT)
+                ELSE NULL END""").as("w_e6"))
+  }
+
+  /** #342 Ljung–Box whiteness test: is daily order revenue's
+    * autocorrelation structure jointly zero over lags 1..10 —
+    * the portmanteau gate a forecasting pipeline runs on model
+    * RESIDUALS (and on the raw series before bothering with #250/#292
+    * at all; #324 asks "which single lag dominates", this asks "is
+    * there ANY structure"). Per-lag pairwise-complete r² on the e6
+    * grid via the #229 factored quotient (the #324 construction
+    * verbatim), Q = n(n+2)·Σ_k (r²_k div (n−k)) — one truncation per
+    * lag, order-free sum, compare to the χ²₁₀ 95% point 18.307 on the
+    * same grid. One day aggregate + a bounded lag self-join; 1 row.
+    */
+  def ljungBox(spark: SparkSession, dir: String, maxLag: Int = 10): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("d"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("x"))
+      .groupBy("d")
+      .agg(sum("x").as("x"))
+    val nDf = daily.agg(count(lit(1)).as("n"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    val pairs = broadcast(lags)
+      .join(daily.alias("a"), expr("true"))
+      .join(daily.alias("b"), expr("b.d = a.d + lag"))
+      .select(col("lag"), col("a.x").as("x"), col("b.x").as("y"))
+    val perLag = pairs
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(
+        col("lag"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("den_x"),
+        expr("CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("den_y"))
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .select(
+        col("lag"),
+        expr("(abs(num) * 1000 div den_x) * (abs(num) * 1000 div den_y)").as("r2_e6"))
+    perLag
+      .crossJoin(broadcast(nDf))
+      .select(col("n"), expr("r2_e6 div (n - lag)").as("term"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_lags"), sum("term").as("tsum"))
+      .select(
+        col("n").as("n_days"),
+        col("n_lags"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * (n + 2) * tsum AS BIGINT)").as("q_e6"),
+        lit(18307000L).as("chi2_crit_e6"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * (n + 2) * tsum > 18307000 AS BIGINT)")
+          .as("significant"))
+  }
 
   /** #322 Order↔lineitem reconciliation audit: per order, the header
     * total against the recomputed Σ extendedprice·(1−disc)·(1+tax)

@@ -889,6 +889,168 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(row.getAs[Long]("overlap_20") <= 20 && row.getAs[Long]("overlap_50") <= 50)
   }
 
+  test("kendall tau-b: exact pair-sweep replay with both tie margins and the isqrt clamp") {
+    val row = AnalyticsExt.kendallTau(spark, sf).collect().head
+    val byDay = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("day").agg(count(lit(1)).as("x"), sum("c").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var (nc, nd, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- byDay.indices; j <- i + 1 until byDay.length) {
+      val sx = java.lang.Long.signum(byDay(j)._2 - byDay(i)._2).toLong
+      val sy = java.lang.Long.signum(byDay(j)._3 - byDay(i)._3).toLong
+      n0 += 1
+      if (sx * sy == 1) nc += 1 else if (sx * sy == -1) nd += 1
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+    }
+    assert((row.getAs[Long]("n0"), row.getAs[Long]("n_c"), row.getAs[Long]("n_d")) ==
+      ((n0, nc, nd)))
+    assert((row.getAs[Long]("ties_x"), row.getAs[Long]("ties_y")) == ((tx, ty)))
+    val den2 = BigInt(n0 - tx) * BigInt(n0 - ty)
+    val den = {
+      var s0 = BigInt(math.sqrt(den2.toDouble).toLong)
+      if ((s0 + 1) * (s0 + 1) <= den2) s0 += 1
+      if (s0 * s0 > den2) s0 -= 1
+      s0
+    }
+    assert(den * den <= den2 && (den + 1) * (den + 1) > den2, "isqrt bracket")
+    val tau = (if (nc >= nd) BigInt(1) else BigInt(-1)) *
+      ((nc - nd).abs * BigInt(1000000) / den)
+    assert(BigInt(row.getAs[Long]("tau_b_e6")) == tau)
+  }
+
+  test("cohen's d: staged quotient replay; Hedges shrinks toward zero") {
+    val row = AnalyticsExt.cohensD(spark, sf).collect().head
+    val vals = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).selectExpr("p_partkey AS l_partkey",
+        "CAST(p_type LIKE 'PROMO%' AS LONG) AS t"), "l_partkey")
+      .selectExpr("t", "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g1 = vals.filter(_._1 == 1).map(_._2)
+    val g2 = vals.filter(_._1 == 0).map(_._2)
+    val (n1, n2) = (BigInt(g1.length), BigInt(g2.length))
+    val (s1, s2) = (g1.map(BigInt(_)).sum, g2.map(BigInt(_)).sum)
+    val q1 = g1.map(c => BigInt(c) * c).sum
+    val q2 = g2.map(c => BigInt(c) * c).sum
+    val v1 = (n1 * q1 - s1 * s1) / (n1 * (n1 + n2 - 2))
+    val v2 = (n2 * q2 - s2 * s2) / (n2 * (n1 + n2 - 2))
+    val sp2 = v1 + v2
+    var sp = BigInt(math.sqrt(sp2.toDouble).toLong)
+    if ((sp + 1) * (sp + 1) <= sp2) sp += 1
+    if (sp * sp > sp2) sp -= 1
+    val num = s1 * n2 - s2 * n1
+    val d = (if (num < 0) BigInt(-1) else BigInt(1)) * (num.abs * 1000000 / (n1 * n2 * sp))
+    assert(BigInt(row.getAs[Long]("pooled_sd_cents")) == sp)
+    assert(BigInt(row.getAs[Long]("d_e6")) == d)
+    val g = d - (3 * d) / (4 * (n1 + n2) - 9)
+    assert(BigInt(row.getAs[Long]("g_e6")) == g)
+    assert(g.abs <= d.abs, "Hedges correction shrinks |d|")
+  }
+
+  test("cliff's delta: brute-force pair dominance equals the doubled-midrank form") {
+    val row = AnalyticsExt.cliffsDelta(spark, sf).collect().head
+    val vals = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).selectExpr("p_partkey AS l_partkey",
+        "CAST(p_type LIKE 'PROMO%' AS LONG) AS t"), "l_partkey")
+      .selectExpr("t", "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g1 = vals.filter(_._1 == 1).map(_._2).sorted
+    val g2 = vals.filter(_._1 == 0).map(_._2).sorted
+    // O((n1+n2) log) dominance counts via merge positions
+    var (gt, lt) = (BigInt(0), BigInt(0))
+    g1.foreach { x =>
+      val below = {
+        var (lo, hi) = (0, g2.length)
+        while (lo < hi) { val m = (lo + hi) / 2; if (g2(m) < x) lo = m + 1 else hi = m }
+        lo
+      }
+      val upTo = {
+        var (lo, hi) = (0, g2.length)
+        while (lo < hi) { val m = (lo + hi) / 2; if (g2(m) <= x) lo = m + 1 else hi = m }
+        lo
+      }
+      gt += below
+      lt += (g2.length - upTo)
+    }
+    val (n1, n2) = (BigInt(g1.length), BigInt(g2.length))
+    val delta = (if (gt >= lt) BigInt(1) else BigInt(-1)) * ((gt - lt).abs * 1000000 / (n1 * n2))
+    assert(BigInt(row.getAs[Long]("delta_e6")) == delta)
+    // the doubled-midrank identity: u1_2x = 2*U1 = 2*gt + ties
+    val u = BigInt(row.getAs[Long]("u1_2x"))
+    assert((u - n1 * n2).abs == (gt - lt).abs, "doubled-U numerator identity")
+  }
+
+  test("anova F and levene W: one-truncation-per-group BigInt replay on the dollar grid") {
+    val vals = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority AS g", "o_orderkey",
+        "CAST(floor(o_totalprice + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def fStat(groups: Map[String, Seq[Long]]): (Long, Long, BigInt, BigInt, BigInt) = {
+      val k = groups.size
+      val n = groups.values.map(_.size).sum
+      val s = groups.values.flatten.map(BigInt(_)).sum
+      val q = groups.values.flatten.map(c => BigInt(c) * c).sum
+      val bsum = groups.values.map(g => g.map(BigInt(_)).sum.pow(2) / g.size).sum
+      val ssb = bsum - s * s / n
+      val ssw = q - bsum
+      (k.toLong, n.toLong, ssb, ssw, ssb * (n - k) * 1000000 / (ssw * (k - 1)))
+    }
+    val byG = vals.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._3).toSeq }
+    val (k, n, ssb, ssw, f) = fStat(byG)
+    val fRow = AnalyticsExt.anovaF(spark, sf).collect().head
+    assert(fRow.getAs[Long]("k") == k && fRow.getAs[Long]("n") == n)
+    assert(BigInt(fRow.getAs[Long]("ssb_d2")) == ssb && BigInt(fRow.getAs[Long]("ssw_d2")) == ssw)
+    assert(BigInt(fRow.getAs[Long]("f_e6")) == f)
+    // levene: same machinery on |x - lower-median_g|
+    val devs = vals.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.sortBy(t => (t._3, t._2))
+      val med = sorted((sorted.size + 1) / 2 - 1)._3
+      g -> xs.map(t => math.abs(t._3 - med)).toSeq
+    }
+    val (k2, n2, ssbz, sswz, w) = fStat(devs)
+    val wRow = AnalyticsExt.levene(spark, sf).collect().head
+    assert(wRow.getAs[Long]("k") == k2 && wRow.getAs[Long]("n") == n2)
+    assert(BigInt(wRow.getAs[Long]("ssb_z2")) == ssbz && BigInt(wRow.getAs[Long]("ssw_z2")) == sswz)
+    assert(BigInt(wRow.getAs[Long]("w_e6")) == w)
+  }
+
+  test("ljung-box: per-lag factored r2 replay; Q sums one truncation per lag") {
+    val row = AnalyticsExt.ljungBox(spark, sf).collect().head
+    val daily = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x")
+      .groupBy("d").agg(sum("x").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = daily.size.toLong
+    var tsum = BigInt(0)
+    var nLags = 0L
+    (1 to 10).foreach { lag =>
+      val pairs = daily.toSeq.flatMap { case (d, x) => daily.get(d + lag).map(y => (x, y)) }
+      val m = BigInt(pairs.size)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val num = m * sxy - sx * sy
+      val dx = m * sxx - sx * sx
+      val dy = m * syy - sy * sy
+      if (dx > 0 && dy > 0) {
+        nLags += 1
+        val r2 = (num.abs * 1000 / dx) * (num.abs * 1000 / dy)
+        tsum += r2 / (n - lag)
+      }
+    }
+    assert(row.getAs[Long]("n_days") == n && row.getAs[Long]("n_lags") == nLags)
+    assert(BigInt(row.getAs[Long]("q_e6")) == BigInt(n) * (n + 2) * tsum)
+    assert(row.getAs[Long]("significant") ==
+      (if (BigInt(n) * (n + 2) * tsum > 18307000) 1L else 0L))
+  }
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list
