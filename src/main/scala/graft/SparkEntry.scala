@@ -154,6 +154,12 @@ object SparkEntry {
     "text_contamination" -> (TextOps.contamination _),
     "text_pii" -> (TextOps.piiRedact _),
     "text_unigram_lp" -> (TextOps.unigramLogProb _),
+    // Bigram-LM cross-entropy per doc (§2 #343)
+    "text_bigram_ppl" -> ((s: SparkSession, d: String) => TextStats.bigramPerplexity(s, d)),
+    // Character-level entropy per doc (§2 #344)
+    "text_char_entropy" -> ((s: SparkSession, d: String) => TextStats.charEntropy(s, d)),
+    // Mean Segmental TTR lexical diversity (§2 #345)
+    "text_msttr" -> ((s: SparkSession, d: String) => TextOps.msttr(s, d)),
     "text_filter_pipeline" -> ((s: SparkSession, d: String) => TextOps.filterPipeline(s, d)),
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
@@ -522,6 +528,10 @@ object SparkEntry {
     "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
     // K-truss edge peeling of the co-purchase graph (§2 #315)
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // Degree distribution by octave + power-law ratio (§2 #348)
+    "q_degree_dist" -> ((s: SparkSession, d: String) => AnalyticsExt.degreeDist(s, d)),
+    // EWMA control chart with exact dyadic limits (§2 #349)
+    "q_ewma_chart" -> ((s: SparkSession, d: String) => AnalyticsExt.ewmaChart(s, d)),
     // Sampled-source truncated-Brandes betweenness (§2 #334)
     "q_betweenness" -> ((s: SparkSession, d: String) => AnalyticsExt.betweenness(s, d)),
     // Betweenness estimator scorecard vs a denser reference (§2 #335)
@@ -3579,6 +3589,111 @@ object SparkEntry {
              * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
                 // (2 * sigma)) AS BIGINT) AS z_e6
          FROM si""",
+    "text_bigram_ppl" ->
+      // self-trained add-one bigram LM; per-bigram surprisal
+      // e6-quantized before the order-free per-doc sum
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         db2 AS (
+           SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                 FROM t WHERE len(tk) >= 2)),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM db2 GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+               FROM (SELECT unnest(tk) AS w FROM t)),
+         terms AS (
+           SELECT d.doc_id,
+             CAST(floor(log2(CAST(c1.c1 + v.v AS DOUBLE) / CAST(c12.c12 + 1 AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS term_e6
+           FROM db2 d JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(term_e6) // count(*) AS BIGINT) AS h_bits_e6
+         FROM terms GROUP BY 1""",
+    "text_char_entropy" ->
+      // per-char cnt*log2(n/cnt) e6-quantized terms, one div per doc
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '')) AS ch
+           FROM documents),
+         pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+                FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM pc GROUP BY 1),
+         terms AS (
+           SELECT pc.doc_id, n,
+             CAST(floor(CAST(cnt AS DOUBLE)
+               * log2(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS term_e6
+           FROM pc JOIN pd USING (doc_id))
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(sum(term_e6) // max(n) AS BIGINT) AS h_bits_e6
+         FROM terms GROUP BY 1""",
+    "text_msttr" ->
+      // full 25-token segments; distinct counts inside the array
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                 CAST(len(tk) // 25 AS BIGINT) AS n_segments, tk
+               FROM t WHERE len(tk) >= 25),
+         segs AS (SELECT doc_id, n_tokens, n_segments,
+                    unnest(range(0, n_segments)) AS seg, tk FROM d),
+         dc AS (SELECT doc_id, n_tokens, n_segments,
+                  CAST(len(list_distinct(tk[seg * 25 + 1 : seg * 25 + 25])) AS BIGINT)
+                    AS d_cnt
+                FROM segs)
+         SELECT doc_id, n_tokens, n_segments,
+           CAST(sum(d_cnt) * 1000000 // (25 * n_segments) AS BIGINT) AS msttr_e6
+         FROM dc GROUP BY 1, 2, 3""",
+    "q_degree_dist" ->
+      // octave = len(bin(deg)) - 1, pure integer in both engines
+      """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+                 GROUP BY 1),
+         o AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS octave,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+               FROM deg GROUP BY 1)
+         SELECT octave, n_nodes, min_deg, max_deg,
+           CASE WHEN lag(n_nodes) OVER (ORDER BY octave) IS NULL THEN NULL
+                ELSE CAST(n_nodes * 1000000 // lag(n_nodes) OVER (ORDER BY octave) AS BIGINT)
+           END AS ratio_prev_e6
+         FROM o""",
+    "q_ewma_chart" ->
+      // the #196 dyadic cover join on the global day series; limits
+      // sqrt(3*Var) via the one-ulp isqrt (lambda/(2-lambda) = 1/3)
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         m0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx FROM byday),
+         m1 AS (SELECT sx // n AS mu,
+                  3 * ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                       // (CAST(n AS HUGEINT) * n)) AS v3 FROM m0),
+         m2 AS (SELECT mu, v3, CAST(floor(sqrt(CAST(v3 AS DOUBLE))) AS HUGEINT) AS s0 FROM m1),
+         m3 AS (SELECT mu, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= v3 THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > v3 THEN 1 ELSE 0 END) AS lim FROM m2),
+         cov AS (SELECT b.day AS src, b.x, unnest(range(b.day, b.day + 16)) AS t FROM byday b),
+         agg AS (SELECT t,
+                   CAST(sum(1::BIGINT << CAST(15 - (t - src) AS INT)) AS BIGINT) AS den,
+                   CAST(sum(x * (1::BIGINT << CAST(15 - (t - src) AS INT))) AS BIGINT) AS num
+                 FROM cov GROUP BY 1)
+         SELECT a.t AS day, b.x AS cents, CAST(num // den AS BIGINT) AS ewma_cents,
+           CAST(mu AS BIGINT) AS mu_cents, CAST(lim AS BIGINT) AS limit_cents,
+           CAST(abs(num // den - mu) > lim AS BIGINT) AS alarm
+         FROM agg a JOIN byday b ON b.day = a.t, m3""",
     "q_kendall_tau" ->
       // day-pair sign sweep; tau-b with both tie margins, one-ulp
       // isqrt denominator, sign factored before the div

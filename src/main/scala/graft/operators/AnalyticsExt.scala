@@ -5490,6 +5490,108 @@ object AnalyticsExt {
     (out, Seq(sym))
   }
 
+  /** #348 Degree distribution by octave: the co-purchase graph's
+    * degree histogram folded into powers-of-two bins with the
+    * octave-over-octave count ratio — the scale-free-or-not read
+    * (#204's Zipf octave trick applied to graph degrees: a power law
+    * is a straight ratio line, a random graph collapses past its
+    * Poisson mean) that decides whether hub-aware partitioning /
+    * skew salting is worth wiring before running the #124/#200
+    * family at 100 TB. Octave = len(bin(deg)) − 1 — pure integer in
+    * both engines, no log₂ float near a boundary; ratio one
+    * truncating e6 quotient via a lag over the ≤64-row octave frame
+    * (a documented PlanDisciplineSpec exception).
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = po
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val deg = pairs
+      .select(col("part_a").as("node"))
+      .unionAll(pairs.select(col("part_b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    deg
+      .withColumn("octave", (length(expr("bin(deg)")) - 1).cast("long"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .withColumn("prev_n", lag("n_nodes", 1).over(Window.orderBy("octave")))
+      .select(
+        col("octave"),
+        col("n_nodes"),
+        col("min_deg"),
+        col("max_deg"),
+        expr("CASE WHEN prev_n IS NULL THEN NULL ELSE CAST(n_nodes * 1000000 div prev_n AS BIGINT) END")
+          .as("ratio_prev_e6"))
+  }
+
+  /** #349 EWMA control chart: #196's exact dyadic EWMA (α = ½,
+    * 16-day horizon) run on the single corpus-wide daily-revenue
+    * series and wrapped with control limits — the smoothed SPC chart
+    * that completes the monitor family (#254 flags single-day spikes,
+    * #284/#331 cumulative shifts; EWMA charts catch SMALL sustained
+    * shifts soonest, the textbook recommendation for drift under
+    * ~1.5σ). Limits are exact integers: the asymptotic EWMA variance
+    * multiplier λ/(2−λ) at λ=½ is ⅓, so ±3σ·√⅓ = √(3·Var) — ONE
+    * #226 one-ulp-clamp isqrt of 3·population-variance (cents², the
+    * #284 moment machinery). The EWMA itself is the #196 cover join:
+    * each day covers its next 16 targets with dyadic weight 2^(15−i),
+    * num/den exact BIGINTs, ewma = num div den — no recursion, no
+    * window at all. Alarm = |ewma − μ| > limit, integer compare.
+    */
+  def ewmaChart(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(sum("c").as("x"))
+      .localCheckpoint(eager = false)
+    val mu = byDay
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(
+        expr("sx div n").as("mu"),
+        expr("""CAST(3 * ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                 div (CAST(n AS DECIMAL(38,0)) * n)) AS DECIMAL(38,0))""").as("v3"))
+      .select(col("mu"), expr("CAST(floor(sqrt(CAST(v3 AS DOUBLE))) AS BIGINT)").as("s0"), col("v3"))
+      .select(
+        col("mu"),
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= v3 THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > v3 THEN 1 ELSE 0 END)""")
+          .as("lim"))
+    val covers = byDay
+      .select(
+        col("day").as("src"),
+        col("x"),
+        explode(expr("sequence(day, day + 15)")).as("t"))
+      .select(
+        col("t"),
+        expr("shiftleft(1L, CAST(15 - (t - src) AS INT))").as("w"),
+        expr("x * shiftleft(1L, CAST(15 - (t - src) AS INT))").as("wx"))
+    covers
+      .groupBy("t")
+      .agg(sum("w").as("den"), sum("wx").as("num"))
+      .join(byDay.select(col("day").as("t"), col("x")), "t")
+      .crossJoin(broadcast(mu))
+      .select(
+        col("t").as("day"),
+        col("x").as("cents"),
+        expr("num div den").as("ewma_cents"),
+        col("mu").as("mu_cents"),
+        col("lim").as("limit_cents"),
+        (abs(expr("num div den") - col("mu")) > col("lim")).cast("long").as("alarm"))
+  }
+
   /** #315 K-truss decomposition (convergence-adaptive edge peeling):
     * the maximal subgraph of the co-purchase graph in which every
     * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's

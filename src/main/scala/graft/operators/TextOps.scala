@@ -560,4 +560,48 @@ object TextOps {
         expr("n_syllables * 1000 div greatest(n_words, 1)").as("spw_e3"),
         expr("""206835 - 1015 * n_words div n_sentences
                  - 84600 * n_syllables div greatest(n_words, 1)""").as("flesch_e3"))
+
+  /** #345 Mean Segmental TTR (MSTTR-100): lexical diversity as the
+    * mean type/token ratio over consecutive FULL 100-token segments —
+    * the length-robust diversity standard (raw TTR falls with doc
+    * length by Heaps' law (#272), so long docs always look "less
+    * diverse"; fixed segments remove the length confound that #307's
+    * corpus-level Simpson also inherits). Segment distinct counts are
+    * computed INSIDE the token array (array_distinct over slices — no
+    * per-token explode), msttr_e6 = Σdistinct·10⁶ div (seg·n_segs),
+    * one truncation per doc. Docs under one full segment are excluded
+    * by contract. Segment length 25 (not the literature's 100): the
+    * synthetic docs run 10–99 tokens, and MSTTR only standardizes
+    * when most docs hold ≥ 1 full segment — the parameter, not the
+    * operator, is corpus-tuned. Linear, no windows, no shuffle
+    * beyond the doc scan.
+    */
+  def msttr(spark: SparkSession, dir: String, segLen: Int = 25): DataFrame = {
+    val t = col("tok")
+    Tables
+      .documents(spark, dir)
+      .withColumn("tok", graft.operators.Dedup.toks(col("text")))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_segments", expr(s"n_tokens div $segLen"))
+      .filter(col("n_segments") >= 1)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_segments"),
+        explode(sequence(lit(0L), col("n_segments") - 1)).as("seg"),
+        col("tok"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_segments"),
+        expr(s"CAST(size(array_distinct(slice(tok, CAST(seg * $segLen + 1 AS INT), $segLen))) AS BIGINT)")
+          .as("d_cnt"))
+      .groupBy("doc_id", "n_tokens", "n_segments")
+      .agg(sum("d_cnt").as("dsum"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_segments"),
+        expr(s"dsum * 1000000 div ($segLen * n_segments)").as("msttr_e6"))
+  }
 }

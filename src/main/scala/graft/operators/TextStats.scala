@@ -1132,4 +1132,89 @@ object TextStats {
       .select(col("word"), col("r").as("tr_e8"), col("rank"))
     (out, Seq(pc, edges))
   }
+
+  /** #343 Bigram-LM cross-entropy per document: score every doc
+    * against the corpus's own add-one-smoothed bigram language model —
+    * the predictability rung above #81's unigram surprisal (a doc of
+    * common words in IMPOSSIBLE orders looks fine to a unigram LM and
+    * lights up here; templated/boilerplate docs score near zero). The
+    * LM is self-trained (c₁₂, context counts c₁ = Σ_w₂ c₁₂, vocab V
+    * from one distinct), p(w₂|w₁) = (c₁₂+1)/(c₁+V); per-bigram
+    * surprisal log₂((c₁+V)/(c₁₂+1)) is a float of INTEGER ratios —
+    * both engines form the same double — e6-quantized BEFORE the
+    * order-free per-doc sum (#119's discipline), H = Σterm div n
+    * (one truncation per doc). Docs under 2 tokens carry no bigram
+    * and are excluded by contract. One bigram explode + two
+    * vocabulary-keyed joins — linear, no windows.
+    */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("tok")
+    val docBigrams = Tables
+      .documents(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .filter(size(t) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val c12 = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .agg(countDistinct("w").as("v"))
+    docBigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "term_e6",
+        floor(
+          log2((col("c1") + col("v")).cast("double") / (col("c12") + lit(1)).cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("term_e6").as("tsum"))
+      .select(col("doc_id"), col("n_bigrams"), expr("tsum div n_bigrams").as("h_bits_e6"))
+  }
+
+  /** #344 Character-level entropy per document: Shannon entropy of the
+    * normalized character distribution in bits — the noise/encoding
+    * screen below the token level (mojibake, base64 blobs and
+    * hex dumps spike toward log₂|alphabet|; repeated-char padding
+    * collapses toward 0 — both invisible to token-level quality
+    * scores). Per (doc, char) counts from one char explode;
+    * term = cnt·log₂(n/cnt) is a float of integer ratios e6-quantized
+    * per character class (#119), H = Σterm div n. Empty docs carry no
+    * characters and are excluded by contract. Linear, no windows.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(Dedup.normText(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val perChar = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val perDoc = perChar.groupBy("doc_id").agg(sum("cnt").as("n"))
+    perChar
+      .join(perDoc, "doc_id")
+      .withColumn(
+        "term_e6",
+        floor(
+          col("cnt").cast("double") * log2(col("n").cast("double") / col("cnt").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        max("n").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum("term_e6").as("tsum"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_distinct_chars"),
+        expr("tsum div n_chars").as("h_bits_e6"))
+  }
 }

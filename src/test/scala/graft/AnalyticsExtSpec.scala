@@ -1051,6 +1051,73 @@ class AnalyticsExtSpec extends SparkSpec {
       (if (BigInt(n) * (n + 2) * tsum > 18307000) 1L else 0L))
   }
 
+
+  test("degree dist: octave histogram replay; octaves tile the degree range") {
+    val rows = AnalyticsExt.degreeDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(_._1)
+    val pairInstances: Seq[(Long, Long)] = Tables
+      .lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.toSeq
+      .flatMap { xs =>
+        val ps = xs.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }
+    val edges = pairInstances.groupBy(identity).iterator
+      .collect { case (e, xs) if xs.size >= 2 => e }.toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }
+    val want = deg.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d)).toSeq
+      .map { case (o, ds) => (o.toLong, ds.size.toLong, ds.min, ds.max) }
+      .sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq == want)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5.contains(b._2 * 1000000L / a._2), "octave ratio replay")
+        assert(a._4 < b._3, "octaves tile: max(deg) of octave k below min of k+1")
+      case _ => ()
+    }
+    assert(rows.head._5.isEmpty)
+  }
+
+  test("ewma chart: dyadic fold replay; limit brackets sqrt(3 var); alarms consistent") {
+    val rows = AnalyticsExt.ewmaChart(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+      .sortBy(_._1)
+    val daily = Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("day").agg(sum("c").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = BigInt(daily.size)
+    val sx = daily.values.map(BigInt(_)).sum
+    val sxx = daily.values.map(v => BigInt(v) * v).sum
+    val mu = sx / n
+    val v3 = 3 * ((n * sxx - sx * sx) / (n * n))
+    var s0 = BigInt(math.sqrt(v3.toDouble).toLong)
+    if ((s0 + 1) * (s0 + 1) <= v3) s0 += 1
+    if (s0 * s0 > v3) s0 -= 1
+    assert(s0 * s0 <= v3 && (s0 + 1) * (s0 + 1) > v3)
+    rows.foreach { case (day, cents, ewma, muG, lim, alarm) =>
+      assert(cents == daily(day) && BigInt(muG) == mu && BigInt(lim) == s0)
+      val (num, den) = (0 to 15).foldLeft((BigInt(0), BigInt(0))) { case ((nu, de), i) =>
+        daily.get(day - i) match {
+          case Some(x) => (nu + BigInt(x) * (BigInt(1) << (15 - i)), de + (BigInt(1) << (15 - i)))
+          case None    => (nu, de)
+        }
+      }
+      assert(BigInt(ewma) == num / den, s"ewma fold day $day")
+      assert((alarm == 1L) == ((BigInt(ewma) - mu).abs > s0))
+    }
+    assert(rows.nonEmpty)
+  }
+
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list

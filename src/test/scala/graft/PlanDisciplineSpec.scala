@@ -104,7 +104,9 @@ class PlanDisciplineSpec extends SparkSpec {
           "<= #calendar-days rows (global rank feeds a 1-row median)")),
       "q_page_hinkley" -> (3 ->
         ("running mean, deviation cumsum, and prefix extrema over a " +
-          "PER-DAY aggregate: <= #calendar-days rows")))
+          "PER-DAY aggregate: <= #calendar-days rows")),
+      "q_degree_dist" -> (1 ->
+        "octave-over-octave lag over the PER-OCTAVE aggregate: <= 64 rows"))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {

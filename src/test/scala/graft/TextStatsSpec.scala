@@ -791,4 +791,68 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("h_cond_e6") <= r.getAs[Long]("h_unigram_e6") + slack + 10000L)
     assert(r.getAs[Long]("h_cond_e6") >= -(slack + 10000L))
   }
+
+  test("bigram ppl: full scala LM replay; higher-count bigrams carry lower surprisal") {
+    val got = TextStats.bigramPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)).split(" ").toSeq).toMap
+    val bigrams = docs.toSeq.flatMap { case (d, tk) =>
+      if (tk.size < 2) Nil else tk.zip(tk.tail).map(b => (d, b))
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c12.toSeq.groupBy(_._1._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val v = docs.values.flatten.toSet.size.toLong
+    val want = bigrams.groupBy(_._1).map { case (d, bs) =>
+      val terms = bs.map { case (_, b) =>
+        math.floor(
+          (math.log((c1(b._1) + v).toDouble / (c12(b) + 1).toDouble) / math.log(2.0))
+            * 1e6 + 0.5).toLong
+      }
+      d -> ((bs.size.toLong, terms.sum / bs.size))
+    }
+    assert(got == want, "bigram-LM cross-entropy replay mismatch")
+    assert(got.nonEmpty && got.values.forall(_._2 > 0))
+  }
+
+  test("char entropy: scala replay; uniform-ish docs sit below log2(alphabet)") {
+    val got = TextStats.charEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect().flatMap { r =>
+      val cs = norm(r.getString(1)).toSeq.map(_.toString).filter(_.nonEmpty)
+      if (cs.isEmpty) None
+      else {
+        val counts = cs.groupBy(identity).map { case (_, xs) => xs.size.toLong }
+        val n = cs.size.toLong
+        val tsum = counts.map { c =>
+          math.floor(c.toDouble * (math.log(n.toDouble / c) / math.log(2.0)) * 1e6 + 0.5).toLong
+        }.sum
+        Some(r.getLong(0) -> ((n, counts.size.toLong, tsum / n)))
+      }
+    }.toMap
+    assert(got == want, "char-entropy replay mismatch")
+    // H <= log2(n_distinct): entropy bounded by the alphabet actually used
+    got.values.foreach { case (_, k, h) =>
+      assert(h <= math.ceil(math.log(k.toDouble) / math.log(2.0) * 1e6).toLong + 1)
+    }
+  }
+
+  test("msttr: per-segment distinct replay at seg=25; ratio bounded by (0, 1e6]") {
+    val got = graft.operators.TextOps.msttr(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect().flatMap { r =>
+      val tk = norm(r.getString(1)).split(" ").toSeq
+      val nseg = tk.size / 25
+      if (nseg < 1) None
+      else {
+        val dsum = (0 until nseg).map(s0 => tk.slice(s0 * 25, s0 * 25 + 25).distinct.size.toLong).sum
+        Some(r.getLong(0) -> ((tk.size.toLong, nseg.toLong, dsum * 1000000L / (25L * nseg))))
+      }
+    }.toMap
+    assert(got == want, "msttr replay mismatch")
+    got.values.foreach { case (_, _, m) => assert(m > 0 && m <= 1000000L) }
+  }
 }
