@@ -284,6 +284,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Cdc.outOfOrderRepair(s, d, OooDelayOffsets)),
     // ANN recall/MRR evaluation harness (§2 #238)
     "ann_eval_recall" -> ((s: SparkSession, d: String) => Similarity.evalRecall(s, d)),
+    // Binary 1-bit quantization + Hamming shortlist + rerank (§2 #346)
+    "ann_binary_quant" -> ((s: SparkSession, d: String) => Similarity.binaryQuant(s, d)),
+    // Binary-quantization recall scorecard (§2 #347)
+    "ann_binary_recall" -> ((s: SparkSession, d: String) => Similarity.evalBinaryRecall(s, d)),
     // Chi-square categorical association (§2 #189)
     "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _),
     "text_ks_drift" -> (TextStats.ksDrift _),
@@ -2521,6 +2525,96 @@ object SparkEntry {
            FROM w GROUP BY user_id)
          SELECT * FROM a WHERE naive_event_id <> repaired_event_id"""
     },
+    "ann_binary_quant" ->
+      // 1-bit lane packing, Hamming shortlist, exact-cosine rerank
+      """WITH binbits AS (
+            SELECT vec_id,
+              CAST(sum(CASE WHEN embedding[i] >= 0 AND i <= 32
+                   THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS w_lo,
+              CAST(sum(CASE WHEN embedding[i] >= 0 AND i > 32
+                   THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS w_hi
+            FROM embeddings, generate_series(1, 64) AS g(i) GROUP BY 1),
+          binq AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
+                   FROM binbits WHERE vec_id < 10),
+          binqe AS (SELECT vec_id AS query_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 10),
+          binham AS (
+            SELECT q.query_id, b.vec_id,
+              CAST(bit_count(xor(b.w_lo, q.q_lo)) + bit_count(xor(b.w_hi, q.q_hi)) AS BIGINT)
+                AS hamming
+            FROM binbits b, binq q WHERE b.vec_id <> q.query_id),
+          binshort AS (
+            SELECT query_id, vec_id, hamming FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming, vec_id) AS hr
+              FROM binham)
+            WHERE hr <= 50),
+          binrr AS (
+            SELECT s.query_id, s.vec_id, s.hamming,
+              round(list_cosine_similarity(e.embedding::DOUBLE[], qe.q_emb::DOUBLE[]), 6) AS cos
+            FROM binshort s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN binqe qe ON qe.query_id = s.query_id),
+          bintop AS (
+            SELECT query_id, vec_id, hamming, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM binrr)
+          SELECT query_id, vec_id, hamming, cos, rank
+          FROM bintop WHERE rank <= 10""",
+    "ann_binary_recall" ->
+      // the #346 pipeline vs the brute-force truth, one left join
+      """WITH binbits AS (
+            SELECT vec_id,
+              CAST(sum(CASE WHEN embedding[i] >= 0 AND i <= 32
+                   THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS w_lo,
+              CAST(sum(CASE WHEN embedding[i] >= 0 AND i > 32
+                   THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS w_hi
+            FROM embeddings, generate_series(1, 64) AS g(i) GROUP BY 1),
+          binq AS (SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
+                   FROM binbits WHERE vec_id < 10),
+          binqe AS (SELECT vec_id AS query_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 10),
+          binham AS (
+            SELECT q.query_id, b.vec_id,
+              CAST(bit_count(xor(b.w_lo, q.q_lo)) + bit_count(xor(b.w_hi, q.q_hi)) AS BIGINT)
+                AS hamming
+            FROM binbits b, binq q WHERE b.vec_id <> q.query_id),
+          binshort AS (
+            SELECT query_id, vec_id, hamming FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming, vec_id) AS hr
+              FROM binham)
+            WHERE hr <= 50),
+          binrr AS (
+            SELECT s.query_id, s.vec_id, s.hamming,
+              round(list_cosine_similarity(e.embedding::DOUBLE[], qe.q_emb::DOUBLE[]), 6) AS cos
+            FROM binshort s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN binqe qe ON qe.query_id = s.query_id),
+          bintop AS (
+            SELECT query_id, vec_id, hamming, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM binrr),
+          bq AS (SELECT query_id, vec_id, rank AS brank FROM bintop WHERE rank <= 10),
+          bf AS (
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.query_id, e.vec_id,
+                CAST(row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                  AS BIGINT) AS rank
+              FROM embeddings e, binqe q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 10)
+          SELECT bf.query_id,
+            CAST(count(bq.brank) AS BIGINT) AS n_hits10,
+            CAST(count(bq.brank) * 1000000 // 10 AS BIGINT) AS recall10_e6,
+            CAST(max(CASE WHEN bf.rank = 1
+                 THEN coalesce(1000000 // bq.brank, 0) END) AS BIGINT) AS rr_e6
+          FROM bf LEFT JOIN bq
+            ON bq.query_id = bf.query_id AND bq.vec_id = bf.vec_id
+          GROUP BY bf.query_id""",
     "ann_eval_recall" -> {
       // lsh candidates + ranks and the brute-force ground truth, both
       // replayed as in their own oracles, compared with one left join

@@ -213,6 +213,81 @@ object Similarity {
         expr(s"CAST(dcg_e6 * 1000000 div ${idcg}L AS BIGINT)").as("ndcg_e6"))
   }
 
+  /** #346 Binary (1-bit) quantization ANN: sign-quantize every
+    * embedding to 64 bits packed as two 32-bit words in BIGINTs,
+    * shortlist by Hamming distance (`bit_count(xor)` — the cheapest
+    * distance a SIMD fleet computes), then rerank the shortlist on
+    * exact cosine — the classic two-stage binary pipeline (32×
+    * memory compression, the coarsest rung under #52's int8 and
+    * #120's PQ). Two 32-bit lanes instead of one 64-bit word keep
+    * every packed value non-negative — no sign-bit arithmetic to
+    * disagree on — and the pack is a codegen'd aggregate-over-slice,
+    * no UDF. Shortlist = 50 per query by (hamming, vec_id) — rank
+    * filter rides WindowGroupLimit; rerank cost is 50 exact cosines
+    * per query regardless of corpus size. Ships with its scorecard
+    * (#347) in the same round — the §15.4 invariant.
+    */
+  def binaryQuant(spark: SparkSession, dir: String, shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(spark)
+    def pack(start: Int) = expr(
+      s"""aggregate(transform(slice(embedding, $start, 32),
+            (v, i) -> IF(v >= 0, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, x) -> a + x)""")
+    val bits = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), pack(1).as("w_lo"), pack(33).as("w_hi"))
+      .localCheckpoint(eager = false)
+    val q = bits
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        col("w_lo").as("q_lo"),
+        col("w_hi").as("q_hi"))
+    val wh = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
+    val short = bits
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("embedding"),
+        col("q_emb"),
+        expr("""CAST(bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi) AS BIGINT)""")
+          .as("hamming"))
+      .withColumn("hr", row_number().over(wh))
+      .filter(col("hr") <= shortlist)
+    val wc = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    short
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("hamming"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .withColumn("rank", row_number().over(wc).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  /** #347 Binary-quantization scorecard (the §15.4 invariant applied
+    * to #346 in its birth round): recall@10 and reciprocal rank of
+    * the Hamming-shortlist pipeline against the #27 brute-force
+    * truth — the #238 metric pair on the #346 index. The number this
+    * prints IS the compression trade: 1-bit codes at 32× compression
+    * recover this fraction of the exact neighbors.
+    */
+  def evalBinaryRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForce(spark, dir)
+    val bq = binaryQuant(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rank").as("brank"))
+    bf.join(bq, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("brank")).as("n_hits10"),
+        expr("CAST(count(brank) * 1000000 div 10 AS BIGINT)").as("recall10_e6"),
+        max(when(col("rank") === 1, coalesce(expr("CAST(1000000 div brank AS BIGINT)"), lit(0L))))
+          .as("rr_e6"))
+  }
+
   /** #255 Farthest-point sampling (Gonzalez k-center): k landmark
     * vectors chosen greedily — each round picks the vector FARTHEST
     * from every center chosen so far (lowest max-cosine, vec_id

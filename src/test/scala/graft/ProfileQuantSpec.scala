@@ -248,4 +248,36 @@ class ProfileQuantSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("binary quant: lane packing replays in scala; shortlist recall beats chance") {
+    import graft.operators.Similarity
+    // packing replay on every vector: sign bits into two 32-bit lanes
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def packLane(v: Seq[Float], start: Int): Long =
+      v.slice(start, start + 32).zipWithIndex.collect {
+        case (x, i) if x >= 0 => 1L << i
+      }.sum
+    val packed = emb.map { case (id, v) => id -> ((packLane(v, 0), packLane(v, 32))) }.toMap
+    val got = Similarity.binaryQuant(spark, sf).cache()
+    // every emitted hamming equals the replayed popcount distance
+    got.collect().foreach { r =>
+      val (qlo, qhi) = packed(r.getAs[Long]("query_id"))
+      val (vlo, vhi) = packed(r.getAs[Long]("vec_id"))
+      val h = java.lang.Long.bitCount(qlo ^ vlo) + java.lang.Long.bitCount(qhi ^ vhi)
+      assert(r.getAs[Long]("hamming") == h.toLong)
+    }
+    // per query exactly 10 ranked results, ranks contiguous
+    val perQ = got.groupBy("query_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 10L))
+    // two-stage recall against exact truth clears a chance-level floor
+    assert(recallAt10(got) > 0.3, "binary shortlist recall collapsed to chance")
+    // the scorecard's arithmetic pins to its own join
+    val ev = Similarity.evalBinaryRecall(spark, sf).collect()
+    ev.foreach { r =>
+      assert(r.getAs[Long]("recall10_e6") == r.getAs[Long]("n_hits10") * 100000L)
+      assert(r.getAs[Long]("rr_e6") >= 0L && r.getAs[Long]("rr_e6") <= 1000000L)
+    }
+    got.unpersist()
+  }
 }
