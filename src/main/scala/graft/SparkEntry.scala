@@ -288,6 +288,8 @@ object SparkEntry {
     "ann_binary_quant" -> ((s: SparkSession, d: String) => Similarity.binaryQuant(s, d)),
     // Binary-quantization recall scorecard (§2 #347)
     "ann_binary_recall" -> ((s: SparkSession, d: String) => Similarity.evalBinaryRecall(s, d)),
+    // MMR diversified top-k re-ranking (§2 #350)
+    "ann_mmr" -> ((s: SparkSession, d: String) => Similarity.mmr(s, d)),
     // Chi-square categorical association (§2 #189)
     "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _),
     "text_ks_drift" -> (TextStats.ksDrift _),
@@ -2525,6 +2527,7 @@ object SparkEntry {
            FROM w GROUP BY user_id)
          SELECT * FROM a WHERE naive_event_id <> repaired_event_id"""
     },
+    "ann_mmr" -> mmrOracle(k = 10, poolK = 50),
     "ann_binary_quant" ->
       // 1-bit lane packing, Hamming shortlist, exact-cosine rerank
       """WITH binbits AS (
@@ -8034,6 +8037,73 @@ object SparkEntry {
     * subqueries — derived from the SAME FpsK constant as the Spark
     * call.
     */
+  /** Generated unrolled MMR replay for `ann_mmr`: the top-`poolK`
+    * pool and its pairwise e6 sims once, then k−1 greedy rounds —
+    * each a tuple anti-filter, a max over sims into the selected set,
+    * and a rank-1 pick per query — the same integer score
+    * 7·rel − 3·maxsim Spark selects on. Every round CTE MATERIALIZED
+    * (each references the previous selection twice).
+    */
+  private def mmrOracle(k: Int, poolK: Int): String = {
+    val rounds = new StringBuilder
+    for (r <- 2 to k) {
+      rounds.append(s""",
+          p$r AS MATERIALIZED (
+            SELECT query_id, vec_id, rel_e6, mx,
+              7 * rel_e6 - 3 * mx AS score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY 7 * rel_e6 - 3 * mx DESC, vec_id) AS rn
+            FROM (
+              SELECT p.query_id, p.vec_id, p.rel_e6, max(s.sim_e6) AS mx
+              FROM pool p
+              JOIN sims s ON s.query_id = p.query_id AND s.va = p.vec_id
+              JOIN sel${r - 1} t ON t.query_id = s.query_id AND t.vec_id = s.vb
+              WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+                WHERE z.query_id = p.query_id AND z.vec_id = p.vec_id)
+              GROUP BY 1, 2, 3)),
+          pick$r AS MATERIALIZED (
+            SELECT query_id, vec_id, rel_e6, mx AS maxsim_e6, score AS mmr_score,
+              CAST($r AS BIGINT) AS rank
+            FROM p$r WHERE rn = 1),
+          sel$r AS MATERIALIZED (
+            SELECT query_id, vec_id FROM sel${r - 1}
+            UNION ALL SELECT query_id, vec_id FROM pick$r)""")
+    }
+    val out = (1 to k)
+      .map(r =>
+        if (r == 1) "SELECT * FROM pick1"
+        else s"SELECT * FROM pick$r")
+      .mkString("\n          UNION ALL ")
+    s"""WITH qe AS MATERIALIZED (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+            FROM embeddings WHERE vec_id < 10),
+          pool AS MATERIALIZED (
+            SELECT query_id, vec_id, emb,
+              CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS rel_e6
+            FROM (
+              SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS emb,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS cos,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6)
+                    DESC, e.vec_id) AS pr
+              FROM embeddings e, qe q WHERE e.vec_id <> q.query_id)
+            WHERE pr <= $poolK),
+          sims AS MATERIALIZED (
+            SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+              CAST(floor(round(list_cosine_similarity(a.emb, b.emb), 6) * 1000000 + 0.5)
+                AS BIGINT) AS sim_e6
+            FROM pool a JOIN pool b
+              ON b.query_id = a.query_id AND b.vec_id <> a.vec_id),
+          pick1 AS MATERIALIZED (
+            SELECT query_id, vec_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+              7 * rel_e6 AS mmr_score, CAST(1 AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel_e6 DESC, vec_id) AS rn FROM pool)
+            WHERE rn = 1),
+          sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1)${rounds.toString}
+          $out"""
+  }
+
   private def fpsOracle(k: Int): String = {
     val rounds = new StringBuilder
     for (r <- 2 to k) {

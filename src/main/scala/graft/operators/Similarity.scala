@@ -288,6 +288,100 @@ object Similarity {
           .as("rr_e6"))
   }
 
+  /** #350 Maximal Marginal Relevance (MMR) diversified top-k
+    * (Carbonell & Goldstein 1998): re-rank each query's candidate
+    * pool greedily by λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected — the diversified-retrieval standard that breaks up
+    * near-duplicate result lists (a plain top-10 returns ten copies
+    * of the best cluster; MMR's second pick is the best NOVEL one).
+    * The greedy argmax chain is inherently sequential in k, so it
+    * runs as k−1 UNROLLED distributed rounds (the #255 FPS shape):
+    * per round one anti-join (drop selected), one max over the
+    * PRECOMPUTED pool×pool similarity frame, one rank-1 pick per
+    * query (WindowGroupLimit). All-integer selection: rel/sim on the
+    * e6 grid from the 6dp-rounded cosine (floor(cos·10⁶ + ½) — the
+    * engine-parity grid), λ = 0.7 as the integer score 7·rel − 3·max.
+    *
+    * Scale shape: the pool is top-`poolK` per query (rank-limited),
+    * pairwise sims are pool²·queries rows — bounded by parameters,
+    * never corpus size; rounds shuffle only pool-sized frames.
+    */
+  def mmr(spark: SparkSession, dir: String, k: Int = 10, poolK: Int = 50): DataFrame =
+    graft.operators.Lineage.checkpointReleasing(spark) {
+      GraftFunctions.register(spark)
+      val wp = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      val pool = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(queryVectors(spark, dir)))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          col("embedding"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= poolK)
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          col("embedding"),
+          expr("CAST(floor(cos * 1000000 + 0.5) AS BIGINT)").as("rel_e6"))
+        .cache()
+      val sims = pool
+        .alias("a")
+        .join(
+          pool.select(col("query_id"), col("vec_id"), col("embedding")).alias("b"),
+          expr("a.query_id = b.query_id AND a.vec_id <> b.vec_id"))
+        .select(
+          col("a.query_id").as("query_id"),
+          col("a.vec_id").as("va"),
+          col("b.vec_id").as("vb"),
+          expr(
+            "CAST(floor(round(cosine_sim(a.embedding, b.embedding), 6) * 1000000 + 0.5) AS BIGINT)")
+            .as("sim_e6"))
+        .cache()
+      val w1 = Window.partitionBy("query_id").orderBy(col("rel_e6").desc, col("vec_id"))
+      var selected = pool
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          col("rel_e6"),
+          lit(0L).as("maxsim_e6"),
+          expr("7 * rel_e6").as("mmr_score"),
+          lit(1L).as("rank"))
+        .localCheckpoint(eager = true)
+      for (r <- 2 to k) {
+        val cand = pool
+          .select("query_id", "vec_id", "rel_e6")
+          .join(selected.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
+        val mx = sims
+          .join(
+            selected.select(col("query_id"), col("vec_id").as("vb")),
+            Seq("query_id", "vb"))
+          .groupBy(col("query_id"), col("va").as("vec_id"))
+          .agg(max("sim_e6").as("mx"))
+        val ws = Window
+          .partitionBy("query_id")
+          .orderBy(expr("7 * rel_e6 - 3 * mx").desc, col("vec_id"))
+        val pick = cand
+          .join(mx, Seq("query_id", "vec_id"))
+          .withColumn("rn", row_number().over(ws))
+          .filter(col("rn") === 1)
+          .select(
+            col("query_id"),
+            col("vec_id"),
+            col("rel_e6"),
+            col("mx").as("maxsim_e6"),
+            expr("7 * rel_e6 - 3 * mx").as("mmr_score"),
+            lit(r.toLong).as("rank"))
+        selected = selected.unionAll(pick).localCheckpoint(eager = true)
+      }
+      (selected, Seq(pool, sims))
+    }
+
   /** #255 Farthest-point sampling (Gonzalez k-center): k landmark
     * vectors chosen greedily — each round picks the vector FARTHEST
     * from every center chosen so far (lowest max-cosine, vec_id

@@ -563,6 +563,59 @@ object CdcStream {
       }
   }
 
+  /** #351 Streaming Page–Hinkley state maintenance: #331's
+    * self-calibrating drift statistics kept incrementally per series
+    * in `mapGroupsWithState` — the live form of the running-mean SPC
+    * monitor (#297 streams CUSUM against a FIXED reference mean;
+    * PH recalibrates as the level drifts, so its streaming state must
+    * carry the prefix moments too). State per key is the bounded
+    * 5-tuple (t, S, m, min m, max m) — exactly what the recursion
+    * m_t = m_{t−1} + (x_t − S_t div t) and the prefix-extrema closed
+    * forms need — so streamed PH⁺/PH⁻ after any day-aligned prefix is
+    * BIT-IDENTICAL to #331's batch windows over that prefix (the
+    * #149/#263 streamed ≡ batch discipline; same day-aligned
+    * micro-batch contract as [[streamingHolt]]).
+    */
+  def streamingPageHinkley(changes: Dataset[Change]): Dataset[PhEmit] = {
+    import changes.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L
+    changes
+      .groupByKey(_.op)
+      .mapGroupsWithState[PhState, PhEmit](GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Change], state: GroupState[PhState]) =>
+          val daily = rows.toSeq
+            .groupBy(c => c.ts / usPerDay)
+            .map { case (d, cs) =>
+              d -> cs.map(c => math.floor(c.value * 100 + 0.5).toLong).sum
+            }
+            .toSeq
+            .sortBy(_._1)
+          var st = state.getOption.getOrElse(
+            PhState(series, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          val steps = daily.map { case (day, x) =>
+            val t = st.t + 1
+            val sum = st.s + x
+            val m = st.m + (x - floorDiv(sum, t))
+            st = PhState(series, t, sum, m, math.min(st.minM, m), math.max(st.maxM, m))
+            (day, x, m, m - st.minM, st.maxM - m)
+          }
+          state.update(st)
+          PhEmit(
+            series,
+            steps.map(_._1),
+            steps.map(_._2),
+            steps.map(_._3),
+            steps.map(_._4),
+            steps.map(_._5))
+      }
+  }
+
+  // batch #331 uses SQL `div` (truncation toward zero); daily cent
+  // sums are positive in practice but the stream must not silently
+  // diverge if one goes negative — mirror truncating semantics
+  private def floorDiv(a: Long, b: Long): Long =
+    if (a < 0) -((-a) / b) else a / b
+
   /** #325 Streaming Croston state maintenance: #316's two-track
     * intermittent-demand smoother (size z, interval p, dyadic α = ¼,
     * sign-factored truncating quarter) kept incrementally per series
@@ -644,6 +697,22 @@ case class HoltEmit(
 /** Per-series CUSUM monitor state: the prefix sum and its running
   * extrema — the closed form's entire requirement, bounded per key.
   */
+/** Per-series Page-Hinkley state: prefix count/sum + deviation
+  * cumsum and its prefix extrema — one bounded 5-tuple per key.
+  */
+case class PhState(series: String, t: Long, s: Long, m: Long, minM: Long, maxM: Long)
+
+/** One emission per (series, micro-batch): that batch's day-ordered
+  * PH trajectory (parallel arrays keep the encoder flat).
+  */
+case class PhEmit(
+    series: String,
+    days: Seq[Long],
+    cents: Seq[Long],
+    m: Seq[Long],
+    phPlus: Seq[Long],
+    phMinus: Seq[Long])
+
 case class CusumState(series: String, s: Long, minS: Long, maxS: Long)
 
 /** One emission per (series, micro-batch): that batch's day-ordered

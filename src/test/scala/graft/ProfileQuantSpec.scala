@@ -280,4 +280,52 @@ class ProfileQuantSpec extends SparkSpec {
     }
     got.unpersist()
   }
+
+  test("mmr: greedy scala replay of every round; diversified picks differ from plain top-k") {
+    import graft.operators.Similarity
+    val got = Similarity.mmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Long]("rel_e6"), r.getAs[Long]("maxsim_e6"),
+          r.getAs[Long]("mmr_score"))))
+      .toMap
+    // pool + sims replayed from raw embeddings
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    (0L until 10L).foreach { q =>
+      val pool = emb.keys.filter(_ != q).toSeq
+        .map(v => (v, e6(cos(emb(q), emb(v)))))
+        .sortBy { case (v, r) => (-r, v) }
+        .take(50)
+      val rel = pool.toMap
+      var selected = Vector(pool.head._1)
+      assert(got((q, 1L))._1 == pool.head._1, s"rank-1 pick query $q")
+      (2 to 10).foreach { r =>
+        val cands = pool.map(_._1).filterNot(selected.contains)
+        val scored = cands.map { c =>
+          val mx = selected.map(s0 => e6(cos(emb(c), emb(s0)))).max
+          (c, rel(c), mx, 7 * rel(c) - 3 * mx)
+        }
+        val best = scored.minBy { case (v, _, _, sc) => (-sc, v) }
+        val g = got((q, r.toLong))
+        assert(g == ((best._1, best._2, best._3, best._4)), s"query $q round $r")
+        selected :+= best._1
+      }
+      // diversification really happened: the MMR list differs from the
+      // plain relevance top-10 for at least one query overall
+    }
+    val plainTop = (0L until 10L).flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .map(v => (v, e6(cos(emb(q), emb(v)))))
+        .sortBy { case (v, r) => (-r, v) }.take(10).map(_._1)
+    }.toSet
+    val mmrSet = got.values.map(_._1).toSet
+    assert(mmrSet != plainTop, "MMR degenerated to the plain top-10 on every query")
+  }
 }

@@ -518,4 +518,58 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming page-hinkley: state over a day-aligned split equals the batch recursive fold") {
+    withTempDir { dir =>
+      val usPerDay = 86400L * 1000000L
+      val inDir = s"$dir/in"
+      val changes = Cdc.classify(spark, sf)
+        .select("op", "ts", "value", "user_id", "event_id")
+        .cache()
+      val splitDay = changes.selectExpr(s"ts div $usPerDay AS day")
+        .agg(expr("(min(day) + max(day) + 1) div 2")).head.getLong(0)
+      changes.filter(col("ts") < splitDay * usPerDay)
+        .write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingPageHinkley(CdcStream.readChangelog(spark, inDir))
+        .writeStream.format("memory").queryName("stream_ph")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") >= splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_ph")
+          .selectExpr("series", "explode(arrays_zip(days, cents, m, phPlus, phMinus)) AS z")
+          .selectExpr("series", "z.days AS day", "z.cents", "z.m", "z.phPlus", "z.phMinus")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .toMap
+        // independent recursive fold with the truncating prefix mean
+        val daily = changes
+          .selectExpr("op", s"ts div $usPerDay AS day",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("op", "day").agg(sum("c").as("y"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var nChecked = 0
+        daily.groupBy(_._1).foreach { case (series, rows) =>
+          var (t, sSum, m) = (0L, 0L, 0L)
+          var (mn, mx) = (Long.MaxValue, Long.MinValue)
+          rows.sortBy(_._2).foreach { case (_, day, y) =>
+            t += 1; sSum += y
+            val mean = if (sSum < 0) -((-sSum) / t) else sSum / t
+            m += y - mean
+            mn = math.min(mn, m); mx = math.max(mx, m)
+            assert(got((series, day)) == ((y, m, m - mn, mx - m)), s"$series day $day")
+            nChecked += 1
+          }
+        }
+        assert(nChecked == got.size && nChecked > 0)
+      } finally q.stop()
+      changes.unpersist()
+    }
+  }
 }
