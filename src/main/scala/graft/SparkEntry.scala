@@ -534,6 +534,18 @@ object SparkEntry {
     "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
     // K-truss edge peeling of the co-purchase graph (§2 #315)
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // Supplier return-rate Wilson lower-bound ranking (§2 #352)
+    "q_return_wilson" -> ((s: SparkSession, d: String) => Warehouse.returnWilson(s, d)),
+    // Changelog hot-key audit (§2 #353)
+    "cdc_hot_keys" -> ((s: SparkSession, d: String) => Cdc.hotKeys(s, d)),
+    // Inter-arrival percentiles per event type (§2 #354)
+    "q_interarrival" -> ((s: SparkSession, d: String) => AnalyticsExt.interarrival(s, d)),
+    // Split-leakage audit over near-dup pairs (§2 #355)
+    "dedup_split_leakage" -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
+    // Payload byte-entropy screen (§2 #356)
+    "mm_byte_entropy" -> ((s: SparkSession, d: String) => Multimodal.byteEntropy(s, d)),
+    // Decision-stump Gini split gain (§2 #357)
+    "q_split_gain" -> ((s: SparkSession, d: String) => AnalyticsExt.splitGain(s, d)),
     // Degree distribution by octave + power-law ratio (§2 #348)
     "q_degree_dist" -> ((s: SparkSession, d: String) => AnalyticsExt.degreeDist(s, d)),
     // EWMA control chart with exact dyadic limits (§2 #349)
@@ -3686,6 +3698,149 @@ object SparkEntry {
              * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
                 // (2 * sigma)) AS BIGINT) AS z_e6
          FROM si""",
+    "q_return_wilson" ->
+      // z^2=4 Wilson lower bound, isqrt on the e6 grid (e3 precision)
+      """WITH per AS (
+           SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+           FROM lineitem GROUP BY 1),
+         sc AS (SELECT *, CAST(n_returns AS HUGEINT) * (n_lines - n_returns) * 1000000
+                  // n_lines + 1000000 AS inner_e6 FROM per),
+         s1 AS (SELECT *, CAST(floor(sqrt(CAST(inner_e6 AS DOUBLE))) AS HUGEINT) AS s0 FROM sc),
+         s2 AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= inner_e6 THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > inner_e6 THEN 1 ELSE 0 END) AS sq_e3 FROM s1),
+         s3 AS (SELECT suppkey, n_lines, n_returns,
+                  CAST(n_returns * 1000000 // n_lines AS BIGINT) AS rate_e6,
+                  CAST(((n_returns + 2) * 1000000 - 2 * sq_e3 * 1000) // (n_lines + 4) AS BIGINT)
+                    AS wilson_lb_e6
+                FROM s2)
+         SELECT rank, suppkey, n_lines, n_returns, rate_e6, wilson_lb_e6 FROM (
+           SELECT *, CAST(row_number() OVER (ORDER BY wilson_lb_e6 DESC, suppkey) AS BIGINT)
+             AS rank FROM s3)
+         WHERE rank <= 25""",
+    "cdc_hot_keys" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+                      FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_changes) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM per),
+         rk AS (SELECT *, CAST(row_number() OVER (ORDER BY n_changes DESC, user_id) AS BIGINT)
+                  AS rank FROM per)
+         SELECT rank, user_id, n_changes,
+           CAST(n_changes * 1000000 // n_total AS BIGINT) AS share_e6,
+           CAST(sum(n_changes) OVER (ORDER BY rank) * 1000000 // n_total AS BIGINT)
+             AS cum_share_e6,
+           n_keys, n_total
+         FROM rk, tot WHERE rank <= 10""",
+    "q_interarrival" ->
+      // per-(user,type) lag gaps; equal-ts runs yield the same gap
+      // multiset under any stable order, so percentiles are exact
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT event_type,
+                 ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, user_id) AS gap_us
+               FROM ev),
+         g2 AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+         r AS (SELECT event_type, gap_us,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY gap_us, event_type) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+               FROM g2)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) // max(n) AS BIGINT) AS mean_us,
+           max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS p50_us,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS p90_us,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS p99_us
+         FROM r GROUP BY 1""",
+    "dedup_split_leakage" ->
+      // the #23 banded candidates; split buckets = #54's md5 rule on
+      // the CANONICAL text (array_to_string of the normalized tokens)
+      s"""${minhashCandidatesCte(recursive = false)},
+         pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(tok, ' ')), 1, 4))::BIGINT % 100 AS b
+                 FROM corpus)),
+         cells AS (
+           SELECT least(a.split, b.split) AS split_lo, greatest(a.split, b.split) AS split_hi,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs
+           JOIN sp a ON a.doc_id = pairs.doc_a
+           JOIN sp b ON b.doc_id = pairs.doc_b
+           GROUP BY 1, 2),
+         c2 AS (SELECT *, CAST(split_lo <> split_hi AS BIGINT) AS is_leak FROM cells),
+         tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_pairs_total,
+                   CAST(coalesce(sum(CASE WHEN is_leak = 1 THEN n_pairs END), 0) AS BIGINT)
+                     AS n_leaked
+                 FROM c2)
+         SELECT split_lo, split_hi, n_pairs, is_leak, n_pairs_total, n_leaked,
+           CAST(n_leaked * 1000000 // n_pairs_total AS BIGINT) AS leak_rate_e6
+         FROM c2, tot""",
+    "mm_byte_entropy" ->
+      // hex-pair byte explosion (case-insensitive by construction:
+      // byte VALUES never reach the output, only their counts)
+      """WITH pay AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             hex(text) AS hx
+           FROM documents),
+         bytes AS (
+           SELECT doc_id, modality,
+             unnest([substr(hx, i * 2 + 1, 2)
+                     for i in range(0, CAST(length(hx) // 2 AS BIGINT))]) AS b
+           FROM pay),
+         pc AS (SELECT doc_id, modality, b, CAST(count(*) AS BIGINT) AS cnt
+                FROM bytes GROUP BY 1, 2, 3),
+         pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM pc GROUP BY 1),
+         terms AS (
+           SELECT pc.doc_id, pc.modality, n,
+             CAST(floor(CAST(cnt AS DOUBLE)
+               * log2(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS term_e6
+           FROM pc JOIN pd USING (doc_id))
+         SELECT doc_id, modality, CAST(max(n) AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+           CAST(sum(term_e6) // max(n) AS BIGINT) AS h_bits_e6,
+           CAST(sum(term_e6) // max(n) < 500000 AS BIGINT) AS flag_degenerate,
+           CAST(sum(term_e6) // max(n) > 7500000 AS BIGINT) AS flag_high_entropy
+         FROM terms GROUP BY 1, 2""",
+    "q_split_gain" ->
+      // equal-width bins, prefix counts, one truncation per Gini side
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+                      CAST(o_orderstatus = 'F' AS BIGINT) AS y FROM orders),
+         b AS (SELECT min(v) AS lo, max(v) AS hi FROM o),
+         bins AS (SELECT ((v - lo) * 10) // (hi - lo + 1) AS bin,
+                    CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b
+                  FROM o, b GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(pos_b) AS BIGINT) AS pos
+                 FROM bins),
+         cum AS (SELECT bin, CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS nl,
+                   CAST(sum(pos_b) OVER (ORDER BY bin) AS BIGINT) AS pl FROM bins),
+         g AS (SELECT bin AS threshold_bin, nl, pl, n - nl AS nr, pos - pl AS pr, n, pos
+               FROM cum, tot WHERE bin < 9),
+         sc AS (SELECT threshold_bin, nl AS n_left, pl AS pos_left, nr AS n_right,
+                  pr AS pos_right,
+                  (1000000 - CAST((CAST(pos AS HUGEINT) * pos
+                       + CAST(n - pos AS HUGEINT) * (n - pos)) * 1000000
+                     // (CAST(n AS HUGEINT) * n) AS BIGINT)) AS gini_parent_e6,
+                  CAST((CAST(nl AS HUGEINT) * (CASE WHEN nl > 0 THEN
+                          1000000 - CAST((CAST(pl AS HUGEINT) * pl
+                              + CAST(nl - pl AS HUGEINT) * (nl - pl)) * 1000000
+                            // (CAST(nl AS HUGEINT) * nl) AS BIGINT) ELSE 0 END)
+                      + CAST(nr AS HUGEINT) * (CASE WHEN nr > 0 THEN
+                          1000000 - CAST((CAST(pr AS HUGEINT) * pr
+                              + CAST(nr - pr AS HUGEINT) * (nr - pr)) * 1000000
+                            // (CAST(nr AS HUGEINT) * nr) AS BIGINT) ELSE 0 END))
+                    // n AS BIGINT) AS gini_split_e6
+                FROM g)
+         SELECT threshold_bin, n_left, pos_left, n_right, pos_right,
+           gini_parent_e6, gini_split_e6,
+           CAST(gini_parent_e6 - gini_split_e6 AS BIGINT) AS gain_e6,
+           CAST(row_number() OVER (ORDER BY gini_parent_e6 - gini_split_e6 DESC, threshold_bin)
+             = 1 AS BIGINT) AS is_best
+         FROM sc""",
     "text_bigram_ppl" ->
       // self-trained add-one bigram LM; per-bigram surprisal
       // e6-quantized before the order-free per-doc sum

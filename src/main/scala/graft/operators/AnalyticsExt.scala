@@ -5592,6 +5592,93 @@ object AnalyticsExt {
         (abs(expr("num div den") - col("mu")) > col("lim")).cast("long").as("alarm"))
   }
 
+  /** #354 Inter-arrival percentiles per event type: exact lower
+    * discrete p50/p90/p99 (plus floor mean) of the µs gap between a
+    * user's consecutive events OF EACH TYPE — the arrival-process
+    * read behind rate-limit sizing, session-gap calibration (#16's
+    * 30-min gap is an assumption; this measures the distribution it
+    * should come from) and #183's throttle interval. Gaps from one
+    * per-(user, type) lag window (bounded partitions); percentiles
+    * are the #282 rank-defined order statistics per type — the
+    * type-partitioned window precedent, never global.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val gaps = ev
+      .withColumn(
+        "prev",
+        lag("ts_us", 1).over(Window.partitionBy("user_id", "event_type").orderBy("ts_us", "user_id")))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev")).as("gap_us"))
+    val w = Window.partitionBy("event_type").orderBy(col("gap_us"), col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_gaps"),
+        expr("sum(gap_us) div max(n)").as("mean_us"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap_us"))).as("p50_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap_us"))).as("p90_us"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("gap_us"))).as("p99_us"))
+  }
+
+  /** #357 Decision-stump split gain: Gini impurity reduction of
+    * thresholding order VALUE to predict completion (status F) at
+    * each of 9 equal-width bin boundaries — the single-feature split
+    * scoring a tree learner (or a feature-usefulness audit) runs
+    * first; #303 prices a PROBABILITY cutoff, this scores a RAW
+    * FEATURE cutoff, and a near-zero best gain says the feature is
+    * noise before any model is fit. All-integer: bins from a 1-row
+    * min/max broadcast (#319's strata machinery), prefix counts via a
+    * cumulative sum over the ≤10-row bin aggregate, per-side Gini
+    * 10⁶ − (pos²+neg²)·10⁶/n² through DECIMAL(38,0) with ONE
+    * truncation per side, gain = parent − (n_l·g_l + n_r·g_r) div n.
+    */
+  def splitGain(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val ords = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+    val bounds = ords.agg(min("v").as("lo"), max("v").as("hi"))
+    val bins = ords
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((v - lo) * $nBins) div (hi - lo + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+    val tot = bins.agg(sum("n_b").as("n"), sum("pos_b").as("pos"))
+    def gini(n: String, p: String): String =
+      s"""CASE WHEN $n > 0 THEN
+            1000000 - CAST((CAST($p AS DECIMAL(38,0)) * $p
+                            + CAST($n - $p AS DECIMAL(38,0)) * ($n - $p)) * 1000000
+                       div (CAST($n AS DECIMAL(38,0)) * $n) AS BIGINT)
+          ELSE 0 END"""
+    val wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bins
+      .withColumn("nl", sum("n_b").over(wb))
+      .withColumn("pl", sum("pos_b").over(wb))
+      .filter(col("bin") < nBins - 1)
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin").as("threshold_bin"),
+        col("nl").as("n_left"),
+        col("pl").as("pos_left"),
+        (col("n") - col("nl")).as("n_right"),
+        (col("pos") - col("pl")).as("pos_right"),
+        expr(gini("n", "pos")).as("gini_parent_e6"),
+        expr(s"""CAST((CAST(nl AS DECIMAL(38,0)) * (${gini("nl", "pl")})
+                   + CAST(n - nl AS DECIMAL(38,0)) * (${gini("(n - nl)", "(pos - pl)")}))
+                  div n AS BIGINT)""").as("gini_split_e6"))
+      .withColumn("gain_e6", col("gini_parent_e6") - col("gini_split_e6"))
+      .withColumn(
+        "is_best",
+        (row_number().over(Window.orderBy(col("gain_e6").desc, col("threshold_bin"))) === 1)
+          .cast("long"))
+  }
+
   /** #315 K-truss decomposition (convergence-adaptive edge peeling):
     * the maximal subgraph of the co-purchase graph in which every
     * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's

@@ -932,4 +932,36 @@ object Cdc {
           .cast("long")
           .as("purge_eligible"))
   }
+
+  /** #353 Hot-key audit: the changelog's per-key change-count
+    * distribution — octave histogram (the #348 len(bin) trick) plus
+    * the top-10 hottest keys with their share and cumulative share of
+    * all changes. THE capacity question for a keyed CDC pipeline:
+    * state stores, upsert sinks and shuffle partitions all size to
+    * the hottest keys, not the mean (#99 diagnoses value skew for
+    * joins; this reads update-frequency skew for state). One per-key
+    * aggregate; top-10 rides WindowGroupLimit; shares are truncating
+    * e6 quotients against a 1-row broadcast total.
+    */
+  def hotKeys(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val perKey = classify(spark, dir).groupBy("user_id").agg(count(lit(1)).as("n_changes"))
+    val tot = perKey.agg(sum("n_changes").as("n_total"), count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n_changes").desc, col("user_id"))
+    perKey
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("share_e6", expr("CAST(n_changes * 1000000 div n_total AS BIGINT)"))
+      .withColumn(
+        "cum_share_e6",
+        expr("CAST(sum(n_changes) OVER (ORDER BY rank) * 1000000 div n_total AS BIGINT)"))
+      .select(
+        col("rank"),
+        col("user_id"),
+        col("n_changes"),
+        col("share_e6"),
+        col("cum_share_e6"),
+        col("n_keys"),
+        col("n_total"))
+  }
 }

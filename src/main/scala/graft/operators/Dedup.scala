@@ -1036,6 +1036,53 @@ object Dedup {
     * oracle replay verbatim, so the table is exact cross-engine (the
     * float `pow` that kept this deferred never appears).
     */
+  /** #355 Train/val/test split-leakage audit: near-dup pairs that
+    * CROSS the content-hash split — the held-out-set contamination a
+    * training pipeline must catch BEFORE eval numbers go out (#68
+    * decontaminates against an external benchmark; this audits the
+    * pipeline's own split: a val doc whose near-duplicate sits in
+    * train inflates eval exactly like benchmark leakage). Pairs from
+    * the #23 banded MinHash candidates; split buckets are #54's
+    * md5-mod-100 rule applied to the CANONICAL (normalized) text — a
+    * raw-vs-normalized whitespace difference must not separate two
+    * copies of one document into different splits, which is the
+    * failure this audit exists to find. Output: the split×split pair
+    * matrix (lexicographic cell order) with per-cell counts, the
+    * cross-split flag, and the corpus-level leak rate (e6) — the
+    * number a data-quality gate thresholds on.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = corpusWithNearDups(spark, dir)
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(normText(col("text")).cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(
+        col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test")
+          .as("split"))
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b").distinct()
+    val cells = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", (col("split_lo") =!= col("split_hi")).cast("long"))
+    val tot = cells.agg(
+      sum("n_pairs").as("n_pairs_total"),
+      coalesce(sum(when(col("is_leak") === 1, col("n_pairs"))), lit(0L)).as("n_leaked"))
+    cells
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "leak_rate_e6",
+        expr("CAST(n_leaked * 1000000 div n_pairs_total AS BIGINT)"))
+  }
+
   def powE6(base: String, p: Int): String =
     (2 to p).foldLeft(base)((acc, _) => s"(($acc) * ($base) div 1000000)")
 

@@ -316,4 +316,52 @@ object Multimodal {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
   }
+
+  /** #356 Payload byte-entropy screen: Shannon entropy of each opaque
+    * payload's BYTE distribution in bits — the binary-side quality
+    * gate (an all-zero/truncated payload collapses toward 0; a
+    * well-compressed or encrypted one saturates toward 8; plain text
+    * sits in between) that needs no codec at all, so it runs BEFORE
+    * decode and quarantines junk without spending decoder cycles.
+    * Bytes via hex-pair explosion (hex(payload) then 2-char
+    * substrings — deterministic in both engines; the payload never
+    * leaves the executor as anything but its hex projection);
+    * cnt·log₂(n/cnt) e6-quantized per byte value (#119), H = Σterm
+    * div n, flags at the 0.5/7.5-bit decision thresholds.
+    */
+  def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = manifest(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("modality"), hex(col("text").cast("binary")).as("hx"))
+    val bytes = payloads
+      .select(
+        col("doc_id"),
+        col("modality"),
+        explode(
+          expr("transform(sequence(0, CAST(length(hx) div 2 - 1 AS INT)), i -> substring(hx, i * 2 + 1, 2))"))
+          .as("b"))
+    val perByte = bytes.groupBy("doc_id", "modality", "b").agg(count(lit(1)).as("cnt"))
+    val perDoc = perByte.groupBy("doc_id").agg(sum("cnt").as("n"))
+    perByte
+      .join(perDoc, "doc_id")
+      .withColumn(
+        "term_e6",
+        floor(
+          col("cnt").cast("double")
+            * log2(col("n").cast("double") / col("cnt").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy("doc_id", "modality")
+      .agg(
+        max("n").as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        sum("term_e6").as("tsum"))
+      .select(
+        col("doc_id"),
+        col("modality"),
+        col("n_bytes"),
+        col("n_distinct_bytes"),
+        expr("tsum div n_bytes").as("h_bits_e6"),
+        expr("CAST(tsum div n_bytes < 500000 AS BIGINT)").as("flag_degenerate"),
+        expr("CAST(tsum div n_bytes > 7500000 AS BIGINT)").as("flag_high_entropy"))
+  }
 }

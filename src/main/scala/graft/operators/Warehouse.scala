@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -743,5 +744,53 @@ object Warehouse {
                  div (CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)""")
           .as("hhi_e6"),
         expr("CAST((max_rev * 1000000) div total_cents AS BIGINT)").as("cr1_e6"))
+  }
+
+  /** #352 Supplier return-rate Wilson ranking: suppliers ranked by
+    * the LOWER Wilson bound of their return rate (l_returnflag = 'R')
+    * — the "sort by bad reviews properly" classic: a raw rate ranks a
+    * 1-for-2 supplier above a 40-for-100 one; the Wilson bound prices
+    * the sample size in. z² = 4 (the ~95.4% two-sided point) keeps
+    * the whole bound rational: lb = (r + 2 − 2√(r(n−r)/n + 1))/(n+4);
+    * the √ is the #226 one-ulp-clamp isqrt on the e6 grid (inner·10⁶
+    * stays far inside the double-exactness domain at any SF; the
+    * bound carries e3 √-precision, documented). Top-25 by (lb desc,
+    * suppkey) rides WindowGroupLimit.
+    */
+  def returnWilson(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val per = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_returnflag") === "R").cast("long")).as("n_returns"))
+    val scored = per
+      .withColumn(
+        "inner_e6",
+        expr("""CAST(n_returns AS DECIMAL(38,0)) * (n_lines - n_returns) * 1000000
+                 div n_lines + 1000000"""))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(inner_e6 AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "sq_e3",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= inner_e6 THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > inner_e6 THEN 1 ELSE 0 END)"""))
+      .withColumn(
+        "wilson_lb_e6",
+        expr("CAST(((n_returns + 2) * 1000000 - 2 * sq_e3 * 1000) div (n_lines + 4) AS BIGINT)"))
+      .withColumn("rate_e6", expr("CAST(n_returns * 1000000 div n_lines AS BIGINT)"))
+    scored
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("wilson_lb_e6").desc, col("suppkey")))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(
+        col("rank"),
+        col("suppkey"),
+        col("n_lines"),
+        col("n_returns"),
+        col("rate_e6"),
+        col("wilson_lb_e6"))
   }
 }

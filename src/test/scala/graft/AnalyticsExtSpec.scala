@@ -1118,6 +1118,78 @@ class AnalyticsExtSpec extends SparkSpec {
   }
 
 
+
+  test("interarrival: gap-multiset percentiles replay per event type") {
+    val rows = AnalyticsExt.interarrival(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case ((_, t), xs) =>
+        val ts = xs.map(_._3).sorted
+        ts.zip(ts.tail).map { case (a, b) => (t, b - a) }
+      }
+      .groupBy(_._1)
+      .map { case (t, gs) =>
+        val sorted = gs.map(_._2).sorted
+        val n = sorted.size
+        def pct(num: Int, den: Int) = sorted((num * n + num) / den - 1)
+        t -> ((n.toLong, sorted.map(BigInt(_)).sum / n,
+          pct(1, 2), pct(9, 10), pct(99, 100)))
+      }
+    want.foreach { case (t, (n, mean, p50, p90, p99)) =>
+      val g = rows(t)
+      assert(g._1 == n && BigInt(g._2) == mean, s"type $t count/mean")
+      assert((g._3, g._4, g._5) == ((p50, p90, p99)), s"type $t percentiles")
+    }
+    assert(rows.keySet == want.keySet)
+  }
+
+  test("split gain: BigInt Gini replay over every threshold; exactly one best") {
+    val rows = AnalyticsExt.splitGain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .sortBy(_._1)
+    val pop = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v",
+        "CAST(o_orderstatus = 'F' AS LONG) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (pop.map(_._1).min, pop.map(_._1).max)
+    val bins = pop.groupBy(p => (p._1 - lo) * 10 / (hi - lo + 1))
+      .map { case (b, xs) => b -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val n = pop.size.toLong
+    val pos = pop.map(_._2).sum
+    def gini(nn: Long, pp: Long): BigInt =
+      if (nn <= 0) BigInt(0)
+      else BigInt(1000000) - (BigInt(pp) * pp + BigInt(nn - pp) * (nn - pp)) * 1000000 /
+        (BigInt(nn) * nn)
+    val gParent = gini(n, pos)
+    var bestGain = BigInt(Long.MinValue)
+    var bestBin = -1L
+    val want = (0L to 8L).map { t =>
+      val (nl, pl) = (0L to t).foldLeft((0L, 0L)) { case ((a, b), k) =>
+        bins.get(k).map(x => (a + x._1, b + x._2)).getOrElse((a, b))
+      }
+      val split = (BigInt(nl) * gini(nl, pl) + BigInt(n - nl) * gini(n - nl, pos - pl)) / n
+      val gain = gParent - split
+      if (gain > bestGain || (gain == bestGain && t < bestBin)) { bestGain = gain; bestBin = t }
+      (t, nl, pl, n - nl, pos - pl, gParent, split, gain)
+    }
+    val gotByBin = rows.map(r => r._1 -> r).toMap
+    want.foreach { case (t, nl, pl, nr, pr, gp, gs, gain) =>
+      gotByBin.get(t).foreach { g =>
+        assert((g._2, g._3, g._4, g._5) == ((nl, pl, nr, pr)), s"bin $t counts")
+        assert(BigInt(g._6) == gp && BigInt(g._7) == gs && BigInt(g._8) == gain, s"bin $t gini")
+      }
+    }
+    assert(rows.count(_._9 == 1L) == 1, "exactly one best split")
+    assert(rows.find(_._9 == 1L).get._1 == bestBin)
+  }
+
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list

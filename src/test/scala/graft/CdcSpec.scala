@@ -430,4 +430,23 @@ class CdcSpec extends SparkSpec {
     }
     ea.unpersist()
   }
+
+  test("hot keys: top-10 replay with exact shares; cumulative share monotone") {
+    val rows = Cdc.hotKeys(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    val per = Tables.events(spark, sf).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = per.map(_._2).sum
+    val want = per.sortBy { case (k, n) => (-n, k) }.take(10)
+    rows.zip(want).foreach { case ((rank, uid, n, share, _, nk, nt), (wuid, wn)) =>
+      assert(uid == wuid && n == wn)
+      assert(share == n * 1000000L / total)
+      assert(nt == total && nk == per.length.toLong)
+    }
+    val cums = rows.map(_._5)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cumulative share monotone")
+    assert(cums.last == want.map(_._2).sum * 1000000L / total)
+  }
 }

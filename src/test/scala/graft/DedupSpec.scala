@@ -513,4 +513,47 @@ class DedupSpec extends SparkSpec {
       assert(w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3)
     }
   }
+
+  test("split leakage: cells partition the pair set; leak rate replays; planted dups leak plausibly") {
+    val rows = Dedup.splitLeakage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // split replay: md5 of the CANONICAL text, same rule as the op
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 100
+    }
+    def splitOf(text: String): String = {
+      val b = bucket(text)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)))
+    val planted = docs.filter(_._1 % 5 == 0).map { case (id, t) =>
+      val tk = t.split(" ")
+      (id + 1000000L, tk.take(math.max(1, (tk.length * 0.8).toInt)).mkString(" "))
+    }
+    val splits = (docs ++ planted).map { case (id, t) => id -> splitOf(t) }.toMap
+    val pairs = Dedup.minhash(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cells = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (splits(a), splits(b))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }
+      .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == cells, "cell counts replay")
+    val total = cells.values.sum
+    val leaked = cells.collect { case ((a, b), n) if a != b => n }.sum
+    rows.foreach { case (lo, hi, _, isLeak, nt, nl, rate) =>
+      assert(isLeak == (if (lo != hi) 1L else 0L))
+      assert(nt == total && nl == leaked && rate == leaked * 1000000L / total)
+    }
+    // the 80/10/10 content split makes SOME cross-split near-dup pair
+    // overwhelmingly likely on this corpus; a zero here means the
+    // audit went blind, not that the corpus got lucky
+    assert(leaked > 0, "no cross-split near-dup pairs found — audit blind?")
+  }
 }

@@ -106,7 +106,10 @@ class PlanDisciplineSpec extends SparkSpec {
         ("running mean, deviation cumsum, and prefix extrema over a " +
           "PER-DAY aggregate: <= #calendar-days rows")),
       "q_degree_dist" -> (1 ->
-        "octave-over-octave lag over the PER-OCTAVE aggregate: <= 64 rows"))
+        "octave-over-octave lag over the PER-OCTAVE aggregate: <= 64 rows"),
+      "q_split_gain" -> (2 ->
+        ("prefix-count cumsum + best-gain rank over the PER-BIN " +
+          "aggregate: <= nBins = 10 rows")))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {

@@ -328,4 +328,29 @@ class ProfileQuantSpec extends SparkSpec {
     val mmrSet = got.values.map(_._1).toSet
     assert(mmrSet != plainTop, "MMR degenerated to the plain top-10 on every query")
   }
+
+  test("byte entropy: scala byte-histogram replay; flags honor thresholds") {
+    val rows = graft.operators.Multimodal.byteEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))))
+      .toMap
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes("UTF-8")
+      if (bytes.isEmpty) None
+      else {
+        val counts = bytes.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+        val n = bytes.length.toLong
+        val tsum = counts.map { c =>
+          math.floor(c.toDouble * (math.log(n.toDouble / c) / math.log(2.0)) * 1e6 + 0.5).toLong
+        }.sum
+        val h = tsum / n
+        val mod = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        Some(id -> ((mod, n, counts.size.toLong, h,
+          if (h < 500000L) 1L else 0L, if (h > 7500000L) 1L else 0L)))
+      }
+    }.toMap
+    assert(rows == want, "byte-entropy replay mismatch")
+    assert(rows.nonEmpty)
+  }
 }

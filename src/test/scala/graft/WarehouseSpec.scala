@@ -367,4 +367,30 @@ class WarehouseSpec extends SparkSpec {
       assert(gc >= 1000000L / revs.size - 1)
     }
   }
+
+  test("return wilson: BigInt bound replay; small-n high-rate ranks below large-n evidence") {
+    val rows = Warehouse.returnWilson(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+      .sortBy(_._1)
+    val per = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), sum((col("l_returnflag") === "R").cast("long")).as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val scored = per.map { case (k, n, r) =>
+      val inner = BigInt(r) * (n - r) * 1000000 / n + 1000000
+      var s0 = BigInt(math.sqrt(inner.toDouble).toLong)
+      if ((s0 + 1) * (s0 + 1) <= inner) s0 += 1
+      if (s0 * s0 > inner) s0 -= 1
+      val lb = (BigInt(r + 2) * 1000000 - 2 * s0 * 1000) / (n + 4)
+      (k, n, r, BigInt(r) * 1000000 / n, lb)
+    }
+    val want = scored.sortBy { case (k, _, _, _, lb) => (-lb, k) }.take(25).zipWithIndex
+      .map { case ((k, n, r, rate, lb), i) =>
+        ((i + 1).toLong, k, n, r, rate.toLong, lb.toLong)
+      }
+    assert(rows.toSeq == want.toSeq, "wilson ranking replay mismatch")
+    // the bound is always below the raw rate (it prices uncertainty in)
+    rows.foreach { case (_, _, _, r, rate, lb) => if (r > 0) assert(lb < rate) }
+  }
 }
