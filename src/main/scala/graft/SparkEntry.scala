@@ -534,6 +534,14 @@ object SparkEntry {
     "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
     // K-truss edge peeling of the co-purchase graph (§2 #315)
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // PSI drift monitor per event type x week (§2 #358)
+    "q_psi" -> ((s: SparkSession, d: String) => AnalyticsExt.psi(s, d)),
+    // LSH recall@k curve vs brute force (§2 #359)
+    "ann_recall_curve" -> ((s: SparkSession, d: String) => Similarity.recallCurve(s, d)),
+    // Split-balance KS audit across content-hash splits (§2 #360)
+    "q_split_balance" -> ((s: SparkSession, d: String) => Sampling.splitBalance(s, d)),
+    // Tukey-fence outlier profile per priority (§2 #361)
+    "q_tukey_fences" -> ((s: SparkSession, d: String) => AnalyticsExt.tukeyFences(s, d)),
     // Supplier return-rate Wilson lower-bound ranking (§2 #352)
     "q_return_wilson" -> ((s: SparkSession, d: String) => Warehouse.returnWilson(s, d)),
     // Changelog hot-key audit (§2 #353)
@@ -2630,6 +2638,47 @@ object SparkEntry {
           FROM bf LEFT JOIN bq
             ON bq.query_id = bf.query_id AND bq.vec_id = bf.vec_id
           GROUP BY bf.query_id""",
+    "ann_recall_curve" -> {
+      // the composed bf+lsh replay of ann_eval_recall, read at every
+      // cutoff k = 1..10
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          lscored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id),
+          ls AS (
+            SELECT query_id, vec_id, lrank FROM (
+              SELECT query_id, vec_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS lrank
+              FROM lscored)
+            WHERE lrank <= 10),
+          qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+          bf AS (
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.query_id, e.vec_id,
+                CAST(row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                  AS BIGINT) AS rank
+              FROM embeddings e, qs q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 10),
+          hits AS (SELECT bf.query_id, bf.rank, ls.lrank
+                   FROM bf JOIN ls ON ls.query_id = bf.query_id AND ls.vec_id = bf.vec_id),
+          nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_q FROM bf),
+          ks AS (SELECT unnest(range(1, 11)) AS k)
+          SELECT k, CAST(count(h.query_id) AS BIGINT) AS n_hits,
+            CAST(count(h.query_id) * 1000000 // (k * n_q) AS BIGINT) AS recall_e6
+          FROM ks LEFT JOIN hits h ON h.rank <= ks.k AND h.lrank <= ks.k, nq
+          GROUP BY k, n_q"""
+    },
     "ann_eval_recall" -> {
       // lsh candidates + ranks and the brute-force ground truth, both
       // replayed as in their own oracles, compared with one left join
@@ -3698,6 +3747,94 @@ object SparkEntry {
              * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
                 // (2 * sigma)) AS BIGINT) AS z_e6
          FROM si""",
+    "q_psi" ->
+      // first-week baseline, add-half-count smoothing as integer
+      // ratios (2c+1)/(2n+B), e6-quantized float terms
+      """WITH ev AS (SELECT event_type, epoch_ns(ts) // 604800000000000 AS week,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+         b AS (SELECT min(c) AS lo, max(c) AS hi, min(week) AS w0 FROM ev),
+         binned AS (SELECT event_type, week - w0 AS week_idx,
+                      ((c - lo) * 10) // (hi - lo + 1) AS bin FROM ev, b),
+         cells AS (SELECT event_type, week_idx, bin, CAST(count(*) AS BIGINT) AS cnt
+                   FROM binned GROUP BY 1, 2, 3),
+         wt AS (SELECT event_type, week_idx, CAST(sum(cnt) AS BIGINT) AS n_w
+                FROM cells GROUP BY 1, 2),
+         grid AS (
+           SELECT wt.event_type, wt.week_idx, g.bin, coalesce(c.cnt, 0) AS cnt, wt.n_w
+           FROM wt CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+           LEFT JOIN cells c ON c.event_type = wt.event_type
+             AND c.week_idx = wt.week_idx AND c.bin = g.bin),
+         base AS (SELECT event_type, bin, cnt AS cnt0, n_w AS n_0
+                  FROM grid WHERE week_idx = 0),
+         terms AS (
+           SELECT g.event_type, g.week_idx, g.n_w,
+             CAST(floor((
+                 (CAST(g.cnt * 2 + 1 AS DOUBLE) / (g.n_w * 2 + 10))
+               - (CAST(b2.cnt0 * 2 + 1 AS DOUBLE) / (b2.n_0 * 2 + 10)))
+               * ln((CAST(g.cnt * 2 + 1 AS DOUBLE) / (g.n_w * 2 + 10))
+                    / (CAST(b2.cnt0 * 2 + 1 AS DOUBLE) / (b2.n_0 * 2 + 10)))
+               * 1e6 + 0.5) AS BIGINT) AS term_e6
+           FROM grid g JOIN base b2 ON b2.event_type = g.event_type AND b2.bin = g.bin
+           WHERE g.week_idx > 0)
+         SELECT event_type, week_idx, CAST(max(n_w) AS BIGINT) AS n_events,
+           CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+           CAST(sum(term_e6) > 100000 AS BIGINT) AS flag_watch,
+           CAST(sum(term_e6) > 250000 AS BIGINT) AS flag_act
+         FROM terms GROUP BY 1, 2""",
+    "q_split_balance" ->
+      // pairwise KS on the #190 cross-multiplied integer grid, split
+      // buckets = #54's raw-text md5 rule
+      """WITH sp AS (
+           SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS b
+                 FROM documents)),
+         d AS (SELECT sp.split, CAST(n_chars AS BIGINT) AS len
+               FROM sp JOIN documents USING (doc_id)),
+         pairs(pair, pa, pb) AS (VALUES ('train|val', 'train', 'val'),
+           ('train|test', 'train', 'test'), ('val|test', 'val', 'test')),
+         tagged AS (SELECT p.pair, CAST(d.split = p.pa AS BIGINT) AS is_a, d.len
+                    FROM pairs p JOIN d ON d.split = p.pa OR d.split = p.pb),
+         bl AS (SELECT pair, len, CAST(sum(is_a) AS BIGINT) AS ca,
+                  CAST(sum(1 - is_a) AS BIGINT) AS cb
+                FROM tagged GROUP BY 1, 2),
+         tot AS (SELECT pair, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+                 FROM bl GROUP BY 1),
+         cum AS (SELECT pair, len,
+                   CAST(sum(ca) OVER (PARTITION BY pair ORDER BY len) AS BIGINT) AS cum_a,
+                   CAST(sum(cb) OVER (PARTITION BY pair ORDER BY len) AS BIGINT) AS cum_b
+                 FROM bl),
+         dm AS (SELECT c.pair, t.n_a, t.n_b,
+                  CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT) AS d_max
+                FROM cum c JOIN tot t USING (pair) GROUP BY 1, 2, 3)
+         SELECT pair, n_a, n_b,
+           CAST(CAST(d_max AS HUGEINT) * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS ks_e6
+         FROM dm""",
+    "q_tukey_fences" ->
+      """WITH vals AS (SELECT o_orderpriority AS g, o_orderkey,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+         r AS (SELECT g, c,
+                 CAST(row_number() OVER (PARTITION BY g ORDER BY c, o_orderkey) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nn
+               FROM vals),
+         q AS (SELECT g, CAST(max(nn) AS BIGINT) AS n,
+                 max(CASE WHEN rn = (nn + 3) // 4 THEN c END) AS q1,
+                 max(CASE WHEN rn = (3 * nn + 3) // 4 THEN c END) AS q3
+               FROM r GROUP BY 1),
+         f AS (SELECT g, n, q1, q3, q3 - q1 AS iqr,
+                 q1 - (3 * (q3 - q1)) // 2 AS lo_fence,
+                 q3 + (3 * (q3 - q1)) // 2 AS hi_fence
+               FROM q)
+         SELECT f.g AS priority, f.n, f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence,
+           CAST(sum(CASE WHEN v.c < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN v.c > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST((sum(CASE WHEN v.c < f.lo_fence THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN v.c > f.hi_fence THEN 1 ELSE 0 END)) * 1000000 // f.n
+             AS BIGINT) AS outlier_rate_e6
+         FROM vals v JOIN f ON f.g = v.g
+         GROUP BY 1, 2, 3, 4, 5, 6, 7""",
     "q_return_wilson" ->
       // z^2=4 Wilson lower bound, isqrt on the e6 grid (e3 precision)
       """WITH per AS (

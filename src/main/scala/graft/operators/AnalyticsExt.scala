@@ -5679,6 +5679,127 @@ object AnalyticsExt {
           .cast("long"))
   }
 
+  /** #358 Population Stability Index (PSI) drift monitor: per event
+    * type, the industry-standard drift score of each week's VALUE
+    * distribution against the first (baseline) week —
+    * PSI = Σ_bins (p−q)·ln(p/q), read against the conventional
+    * 0.10 (watch) / 0.25 (act) thresholds. The model-monitoring
+    * counterpart of the text family's KL/JS/KS (#119/#311/#190):
+    * those measure corpus drift, PSI is what an ML-ops dashboard
+    * actually alarms on, thresholds included. 10 equal-width cent
+    * bins from a 1-row min/max broadcast; add-half-count smoothing
+    * (p = (c+½)/(n+B/2) as the integer ratio (2c+1)/(2n+B)) keeps
+    * empty bins finite without dropping them; each term is a float
+    * of INTEGER ratios e6-quantized before the order-free sum (#119
+    * discipline). One (type, week, bin) aggregate + margins — linear,
+    * no windows.
+    */
+  def psi(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val nsPerWeek = 7L * 86400L * 1000000000L
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerWeek}L").as("week"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val bounds = ev.agg(min("c").as("lo"), max("c").as("hi"), min("week").as("w0"))
+    val binned = ev
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        (col("week") - col("w0")).as("week_idx"),
+        expr(s"((c - lo) * $nBins) div (hi - lo + 1)").as("bin"))
+    val cells = binned
+      .groupBy("event_type", "week_idx", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val weekTot = cells.groupBy("event_type", "week_idx").agg(sum("cnt").as("n_w"))
+    // complete the (type, week) × bin grid so empty bins carry their
+    // smoothed mass on BOTH sides of the ratio
+    val grid = weekTot
+      .crossJoin(spark.range(0, nBins).select(col("id").as("bin")))
+      .join(cells, Seq("event_type", "week_idx", "bin"), "left")
+      .select(
+        col("event_type"),
+        col("week_idx"),
+        col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("n_w"))
+    val base = grid
+      .filter(col("week_idx") === 0)
+      .select(
+        col("event_type"),
+        col("bin"),
+        col("cnt").as("cnt0"),
+        col("n_w").as("n_0"))
+    grid
+      .filter(col("week_idx") > 0)
+      .join(base, Seq("event_type", "bin"))
+      .withColumn(
+        "term_e6",
+        floor(
+          (((col("cnt") * 2 + 1).cast("double") / (col("n_w") * 2 + nBins))
+            - ((col("cnt0") * 2 + 1).cast("double") / (col("n_0") * 2 + nBins)))
+            * log(
+              ((col("cnt") * 2 + 1).cast("double") / (col("n_w") * 2 + nBins))
+                / ((col("cnt0") * 2 + 1).cast("double") / (col("n_0") * 2 + nBins)))
+            * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("event_type", "week_idx")
+      .agg(max("n_w").as("n_events"), sum("term_e6").as("psi_e6"))
+      .select(
+        col("event_type"),
+        col("week_idx"),
+        col("n_events"),
+        col("psi_e6"),
+        (col("psi_e6") > 100000L).cast("long").as("flag_watch"),
+        (col("psi_e6") > 250000L).cast("long").as("flag_act"))
+  }
+
+  /** #361 Tukey-fence outlier profile: per order priority, the
+    * 1.5·IQR box-plot rule — Q1/Q3 as #106 rank-defined lower
+    * quartiles, fences Q1 − 3·IQR div 2 and Q3 + 3·IQR div 2 (the
+    * ×1.5 exact as div 2 on cents), outlier counts and rates per
+    * side. THE profiling vocabulary every BI tool draws; #88's MAD
+    * flags by robust z-score, Tukey is the distribution-free box
+    * rule reviewers actually read. One priority-partitioned rank
+    * window + one aggregate; never global.
+    */
+  def tukeyFences(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderpriority").as("g"),
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+    val w = Window.partitionBy("g").orderBy(col("c"), col("o_orderkey"))
+    val q = vals
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(
+        max("nn").as("n"),
+        max(when(col("rn") === expr("(nn + 3) div 4"), col("c"))).as("q1"),
+        max(when(col("rn") === expr("(3 * nn + 3) div 4"), col("c"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", expr("q1 - (3 * iqr) div 2"))
+      .withColumn("hi_fence", expr("q3 + (3 * iqr) div 2"))
+    vals
+      .join(broadcast(q), "g")
+      .groupBy(
+        col("g").as("priority"),
+        col("n"),
+        col("q1"),
+        col("q3"),
+        col("iqr"),
+        col("lo_fence"),
+        col("hi_fence"))
+      .agg(
+        sum((col("c") < col("lo_fence")).cast("long")).as("n_below"),
+        sum((col("c") > col("hi_fence")).cast("long")).as("n_above"))
+      .withColumn(
+        "outlier_rate_e6",
+        expr("CAST((n_below + n_above) * 1000000 div n AS BIGINT)"))
+  }
+
   /** #315 K-truss decomposition (convergence-adaptive edge peeling):
     * the maximal subgraph of the co-purchase graph in which every
     * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's

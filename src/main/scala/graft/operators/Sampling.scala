@@ -688,4 +688,58 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** #360 Split-balance KS audit: for each pair of #54's content-hash
+    * splits, the Kolmogorov–Smirnov distance between their doc-LENGTH
+    * distributions — the companion gate to the leakage audit (#355):
+    * leakage asks "do splits SHARE content", this asks "do splits
+    * LOOK ALIKE" — a val set longer-skewed than train silently shifts
+    * every eval metric. The #190 all-integer KS: D evaluated on the
+    * cross-multiplied grid |ca·n_b − cb·n_a| over the pair's distinct
+    * lengths (both sides' CDFs via pair-partitioned cumulative
+    * windows — bounded by |distinct lengths|, never global),
+    * D_e6 = max|·|·10⁶ div (n_a·n_b). 3 rows.
+    */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = splitAssign(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("split"), col("n_chars").cast("long").as("len"))
+    val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+    val tagged = pairs
+      .map { case (a, b) =>
+        docs
+          .filter(col("split") === a || col("split") === b)
+          .select(
+            lit(s"$a|$b").as("pair"),
+            (col("split") === a).cast("long").as("is_a"),
+            col("len"))
+      }
+      .reduce(_ unionAll _)
+    val byLen = tagged
+      .groupBy("pair", "len")
+      .agg(sum("is_a").as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val tot = byLen.groupBy("pair").agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val wcum = Window
+      .partitionBy("pair")
+      .orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byLen
+      .withColumn("cum_a", sum("ca").over(wcum))
+      .withColumn("cum_b", sum("cb").over(wcum))
+      .join(tot, "pair")
+      .select(
+        col("pair"),
+        col("n_a"),
+        col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("d_num"))
+      .groupBy("pair", "n_a", "n_b")
+      .agg(max("d_num").as("d_max"))
+      .select(
+        col("pair"),
+        col("n_a"),
+        col("n_b"),
+        expr("""CAST(CAST(d_max AS DECIMAL(38,0)) * 1000000
+                 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""").as("ks_e6"))
+  }
 }

@@ -382,6 +382,32 @@ object Similarity {
       (selected, Seq(pool, sims))
     }
 
+  /** #359 Recall@k curve: the LSH index's recall at EVERY cutoff
+    * k = 1..10 against the brute-force truth — the curve behind
+    * #238's single recall@10 point (two indexes with equal recall@10
+    * can differ wildly at k=1, which is what a RAG pipeline serving
+    * one passage actually consumes). recall@k = Σ_q |bf∩lsh top-k| /
+    * (k·n_q), exact integers: one (query, neighbor) join of the two
+    * k-row-per-query frames, a 10-row k explode, counting aggregate,
+    * truncating e6 quotient. Negligible over the index cost.
+    */
+  def recallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForce(spark, dir).select(col("query_id"), col("vec_id"), col("rank"))
+    val ls = lsh(spark, dir).select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
+    val nQ = bf.select("query_id").distinct().count()
+    val hits = bf.join(ls, Seq("query_id", "vec_id"))
+    spark
+      .range(1, 11)
+      .select(col("id").as("k"))
+      .join(hits, expr("rank <= k AND lrank <= k"), "left")
+      .groupBy("k")
+      .agg(count(col("query_id")).as("n_hits"))
+      .select(
+        col("k"),
+        col("n_hits"),
+        expr(s"CAST(n_hits * 1000000 div (k * ${nQ}L) AS BIGINT)").as("recall_e6"))
+  }
+
   /** #255 Farthest-point sampling (Gonzalez k-center): k landmark
     * vectors chosen greedily — each round picks the vector FARTHEST
     * from every center chosen so far (lowest max-cosine, vec_id

@@ -1190,6 +1190,66 @@ class AnalyticsExtSpec extends SparkSpec {
   }
 
 
+
+  test("psi: scala float-identity replay within quantization; flags honor thresholds") {
+    val rows = AnalyticsExt.psi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val nsPerWeek = 7L * 86400L * 1000000000L
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", s"ts div ${nsPerWeek}L AS week",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (ev.map(_._3).min, ev.map(_._3).max)
+    val w0 = ev.map(_._2).min
+    val binned = ev.map { case (t, w, c) => (t, w - w0, (c - lo) * 10 / (hi - lo + 1)) }
+    val cells = binned.groupBy(x => (x._1, x._2, x._3)).map { case (k, xs) => k -> xs.size.toLong }
+    val weeks = binned.groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.size.toLong }
+    weeks.keys.filter(_._2 > 0).foreach { case (t, w) =>
+      val nW = weeks((t, w))
+      val n0 = weeks((t, 0L))
+      val tsum = (0L until 10L).map { b =>
+        val c = cells.getOrElse((t, w, b), 0L)
+        val c0 = cells.getOrElse((t, 0L, b), 0L)
+        val p = (c * 2 + 1).toDouble / (nW * 2 + 10)
+        val q = (c0 * 2 + 1).toDouble / (n0 * 2 + 10)
+        math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+      }.sum
+      val g = rows((t, w))
+      assert(g._1 == nW && g._2 == tsum, s"psi $t week $w")
+      assert(g._3 == (if (tsum > 100000L) 1L else 0L))
+      assert(g._4 == (if (tsum > 250000L) 1L else 0L))
+      assert(tsum >= 0, "PSI is a sum of (p-q)ln(p/q) terms, each nonnegative")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("tukey fences: quartile/fence/outlier replay per priority") {
+    val rows = AnalyticsExt.tukeyFences(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))))
+      .toMap
+    val vals = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority AS g", "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    vals.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.size.toLong
+      val q1 = sorted(((n + 3) / 4 - 1).toInt)
+      val q3 = sorted(((3 * n + 3) / 4 - 1).toInt)
+      val iqr = q3 - q1
+      val (loF, hiF) = (q1 - (3 * iqr) / 2, q3 + (3 * iqr) / 2)
+      val below = sorted.count(_ < loF).toLong
+      val above = sorted.count(_ > hiF).toLong
+      assert(rows(g) == ((n, q1, q3, iqr, loF, hiF, below, above,
+        (below + above) * 1000000L / n)), s"priority $g")
+    }
+    assert(rows.size == 5)
+  }
+
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list

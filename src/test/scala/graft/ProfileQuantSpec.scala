@@ -353,4 +353,19 @@ class ProfileQuantSpec extends SparkSpec {
     assert(rows == want, "byte-entropy replay mismatch")
     assert(rows.nonEmpty)
   }
+
+  test("recall curve: k=10 point matches evalRecall's aggregate; arithmetic pins") {
+    import graft.operators.Similarity
+    val curve = Similarity.recallCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve.keySet == (1L to 10L).toSet)
+    val nQ = 10L
+    curve.foreach { case (k, (hits, rec)) =>
+      assert(rec == hits * 1000000L / (k * nQ))
+      assert(hits <= k * nQ)
+    }
+    val eval10 = Similarity.evalRecall(spark, sf)
+      .agg(sum("n_hits10")).head.getLong(0)
+    assert(curve(10L)._1 == eval10, "recall@10 point ties to the evalRecall aggregate")
+  }
 }

@@ -340,4 +340,28 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.systematicSample(spark, sf).collect().map(_.getLong(0)).sorted
     assert(again.toSeq == got.map(_._1).sorted.toSeq)
   }
+
+  test("split balance: pairwise KS replay on the integer grid") {
+    val rows = Sampling.splitBalance(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Sampling.splitAssign(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "n_chars"), "doc_id")
+      .selectExpr("split", "CAST(n_chars AS LONG) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Seq(("train", "val"), ("train", "test"), ("val", "test")).foreach { case (a, b) =>
+      val la = docs.filter(_._1 == a).map(_._2)
+      val lb = docs.filter(_._1 == b).map(_._2)
+      val lens = (la ++ lb).distinct.sorted
+      val (na, nb) = (la.size.toLong, lb.size.toLong)
+      val dMax = lens.map { t =>
+        val ca = la.count(_ <= t).toLong
+        val cb = lb.count(_ <= t).toLong
+        (BigInt(ca) * nb - BigInt(cb) * na).abs
+      }.max
+      val g = rows(s"$a|$b")
+      assert(g._1 == na && g._2 == nb)
+      assert(BigInt(g._3) == dMax * 1000000 / (BigInt(na) * nb), s"pair $a|$b")
+    }
+    assert(rows.size == 3)
+  }
 }
