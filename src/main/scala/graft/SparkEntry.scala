@@ -121,6 +121,8 @@ object SparkEntry {
     // Sorted-neighborhood near-dup (§2 #170)
     "dedup_snm" -> ((s: SparkSession, d: String) => Dedup.snm(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
+    // Cluster-recovery P/R vs the planted truth (§2 #362)
+    "dedup_cluster_eval" -> ((s: SparkSession, d: String) => Dedup.clusterEval(s, d)),
     "dedup_apply" -> (Dedup.applyKeepList _),
     "dedup_report" -> (Dedup.report _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -2120,6 +2122,37 @@ object SparkEntry {
          SELECT doc_a, doc_b, n_inter, n_union,
            (n_inter * 10000) // n_union AS jaccard_e4
          FROM v WHERE 5 * n_inter >= 3 * n_union""",
+    "dedup_cluster_eval" ->
+      s"""${minhashCandidatesCte(recursive = true)},
+         edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                 UNION SELECT doc_b, doc_a FROM edges),
+         walk(a, b) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+         planted AS (SELECT doc_id AS a, doc_id + 1000000 AS b
+                     FROM documents WHERE doc_id % 5 = 0),
+         rec AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_planted,
+             CAST(sum(CASE WHEN la.cluster_id = lb.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_recovered
+           FROM planted p
+           JOIN labels la ON la.doc_id = p.a
+           JOIN labels lb ON lb.doc_id = p.b),
+         sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                   FROM labels GROUP BY 1),
+         cp AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cluster_pairs,
+                  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters
+                FROM sizes)
+         SELECT n_planted, n_recovered,
+           CAST(n_recovered * 1000000 // n_planted AS BIGINT) AS recall_e6,
+           n_cluster_pairs, n_multi_clusters,
+           CASE WHEN n_cluster_pairs > 0
+             THEN CAST(n_recovered * 1000000 // n_cluster_pairs AS BIGINT)
+             ELSE NULL END AS precision_e6
+         FROM rec, cp""",
     "dedup_clusters" ->
       s"""${minhashCandidatesCte(recursive = true)},
          edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),

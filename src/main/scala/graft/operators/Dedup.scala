@@ -1083,6 +1083,48 @@ object Dedup {
         expr("CAST(n_leaked * 1000000 div n_pairs_total AS BIGINT)"))
   }
 
+  /** #362 Cluster-recovery scorecard (the §15.4 invariant applied to
+    * the whole near-dup CLUSTERING pipeline, not just the MinHash
+    * estimator #245 calibrates): the planted truth is known by
+    * construction — every doc_id % NearDupEvery = 0 has a planted
+    * 80%-prefix copy at +NearDupOffset — so recall = planted pairs
+    * that landed in one cluster, precision = recovered planted pairs
+    * over ALL same-cluster pairs (Σ C(size,2); a chain that glues
+    * strangers shows up here and nowhere else). The end-to-end number
+    * for the banding + propagation stack that per-stage metrics
+    * can't see. 1 row, every comparison frame broadcast-sized.
+    */
+  def clusterEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val planted = Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") % NearDupEvery === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + NearDupOffset).as("b"))
+    val rec = planted
+      .join(labels.select(col("doc_id").as("a"), col("cluster_id").as("ca")), "a")
+      .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("cb")), "b")
+      .agg(
+        count(lit(1)).as("n_planted"),
+        sum((col("ca") === col("cb")).cast("long")).as("n_recovered"))
+    val cp = labels
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        sum(expr("sz * (sz - 1) div 2")).as("n_cluster_pairs"),
+        sum((col("sz") > 1).cast("long")).as("n_multi_clusters"))
+    rec
+      .crossJoin(broadcast(cp))
+      .select(
+        col("n_planted"),
+        col("n_recovered"),
+        expr("CAST(n_recovered * 1000000 div n_planted AS BIGINT)").as("recall_e6"),
+        col("n_cluster_pairs"),
+        col("n_multi_clusters"),
+        expr("""CASE WHEN n_cluster_pairs > 0
+                THEN CAST(n_recovered * 1000000 div n_cluster_pairs AS BIGINT)
+                ELSE NULL END""").as("precision_e6"))
+  }
+
   def powE6(base: String, p: Int): String =
     (2 to p).foldLeft(base)((acc, _) => s"(($acc) * ($base) div 1000000)")
 

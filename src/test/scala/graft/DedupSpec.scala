@@ -556,4 +556,23 @@ class DedupSpec extends SparkSpec {
     // audit went blind, not that the corpus got lucky
     assert(leaked > 0, "no cross-split near-dup pairs found — audit blind?")
   }
+
+  test("cluster eval: P/R arithmetic pins to the labels; planted recall is high") {
+    val row = Dedup.clusterEval(spark, sf).collect().head
+    val labels = Dedup.clusters(spark, sf).select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 5 == 0)
+      .map(d => (d, d + 1000000L))
+    val recovered = planted.count { case (a, b) => labels(a) == labels(b) }.toLong
+    assert(row.getAs[Long]("n_planted") == planted.length.toLong)
+    assert(row.getAs[Long]("n_recovered") == recovered)
+    assert(row.getAs[Long]("recall_e6") == recovered * 1000000L / planted.length)
+    val pairsTot = labels.values.groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }.map(sz => sz * (sz - 1) / 2).sum
+    assert(row.getAs[Long]("n_cluster_pairs") == pairsTot)
+    assert(row.getAs[Long]("precision_e6") == recovered * 1000000L / pairsTot)
+    // the banded pipeline should recover MOST 80%-prefix copies
+    assert(row.getAs[Long]("recall_e6") > 500000L, "cluster recall collapsed")
+  }
 }
