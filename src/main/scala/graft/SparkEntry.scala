@@ -536,6 +536,10 @@ object SparkEntry {
     "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
     // K-truss edge peeling of the co-purchase graph (§2 #315)
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // Month-over-month revenue bridge decomposition (§2 #363)
+    "q_revenue_bridge" -> ((s: SparkSession, d: String) => AnalyticsExt.revenueBridge(s, d)),
+    // Per-label embedding centroid drift (§2 #364)
+    "ann_embedding_drift" -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     // PSI drift monitor per event type x week (§2 #358)
     "q_psi" -> ((s: SparkSession, d: String) => AnalyticsExt.psi(s, d)),
     // LSH recall@k curve vs brute force (§2 #359)
@@ -3780,6 +3784,67 @@ object SparkEntry {
              * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
                 // (2 * sigma)) AS BIGINT) AS z_e6
          FROM si""",
+    "q_revenue_bridge" ->
+      // p = rev div qty reconstructed grid; the waterfall identity
+      // telescopes exactly on it (algebra, no rounding slack)
+      """WITH pm AS (
+           SELECT l_partkey,
+             CAST(year(CAST(l_shipdate AS DATE)) * 12
+                + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+           FROM lineitem GROUP BY 1, 2),
+         pp AS (SELECT l_partkey, m, q, r // q AS p FROM pm WHERE q >= 1),
+         months AS (SELECT DISTINCT m FROM pp),
+         valid AS (SELECT m FROM months WHERE m - 1 IN (SELECT m FROM months)),
+         j AS (
+           SELECT coalesce(c.m, pv.m + 1) AS m,
+             c.q AS q1, c.p AS p1, pv.q AS q0, pv.p AS p0
+           FROM pp c FULL OUTER JOIN pp pv
+             ON pv.l_partkey = c.l_partkey AND pv.m = c.m - 1)
+         SELECT m AS month,
+           CAST(sum(coalesce(p1 * q1, 0)) - sum(coalesce(p0 * q0, 0)) AS BIGINT)
+             AS total_delta_cents,
+           CAST(sum(CASE WHEN q0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN q0 IS NULL THEN p1 * q1 ELSE 0 END) AS BIGINT) AS new_rev,
+           CAST(sum(CASE WHEN q1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(sum(CASE WHEN q1 IS NULL THEN p0 * q0 ELSE 0 END) AS BIGINT) AS churned_rev,
+           CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                THEN (p1 - p0) * q0 ELSE 0 END) AS BIGINT) AS price_effect,
+           CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                THEN (q1 - q0) * p0 ELSE 0 END) AS BIGINT) AS volume_effect,
+           CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                THEN (p1 - p0) * (q1 - q0) ELSE 0 END) AS BIGINT) AS cross_effect
+         FROM j WHERE m IN (SELECT m FROM valid)
+         GROUP BY 1""",
+    "ann_embedding_drift" ->
+      // e6-quantize BEFORE summation (order-free integer sums); the
+      // per-dim mean is SIGN-FACTORED (negative sums: Spark div
+      // truncates, DuckDB // floors)
+      """WITH cells AS (
+           SELECT label, vec_id % 2 AS side, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v_e6
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         dims AS (SELECT label, side, pos, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(v_e6) AS BIGINT) AS s
+                  FROM cells GROUP BY 1, 2, 3),
+         d2 AS (SELECT label, side, pos, n,
+                  CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS m
+                FROM dims),
+         pr AS (SELECT a.label, a.pos, a.n AS n_a, a.m AS ma, b.n AS n_b, b.m AS mb
+                FROM d2 a JOIN d2 b ON b.label = a.label AND b.pos = a.pos
+                WHERE a.side = 0 AND b.side = 1)
+         SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(CAST(ma - mb AS HUGEINT) * (ma - mb)) AS BIGINT) AS shift_l2sq_e12,
+           CASE WHEN sum(CAST(ma AS HUGEINT) * ma) > 0
+                 AND sum(CAST(mb AS HUGEINT) * mb) > 0 THEN
+             CAST((CASE WHEN sum(CAST(ma AS HUGEINT) * mb) < 0 THEN -1 ELSE 1 END)
+               * ((abs(sum(CAST(ma AS HUGEINT) * mb)) * 1000
+                   // sum(CAST(ma AS HUGEINT) * ma))
+                  * (abs(sum(CAST(ma AS HUGEINT) * mb)) * 1000
+                     // sum(CAST(mb AS HUGEINT) * mb))) AS BIGINT)
+           ELSE NULL END AS cos2_signed_e6
+         FROM pr GROUP BY 1""",
     "q_psi" ->
       // first-week baseline, add-half-count smoothing as integer
       // ratios (2c+1)/(2n+B), e6-quantized float terms

@@ -5800,6 +5800,71 @@ object AnalyticsExt {
         expr("CAST((n_below + n_above) * 1000000 div n AS BIGINT)"))
   }
 
+  /** #363 Month-over-month revenue bridge (the finance waterfall):
+    * each month's GMV delta decomposed EXACTLY into new-part revenue,
+    * churned-part revenue, price effect, volume effect and the cross
+    * term — the "why did revenue move" slide every monthly review
+    * opens with (#310's indices answer "how much is price overall";
+    * the bridge attributes the delta part-by-part and adds the
+    * assortment flows #332 only counts). On the reconstructed grid
+    * rev' = p·q with p = rev div q per (part, month) — truncating
+    * unit price, both engines — the identity
+    * rev'₁ − rev'₀ = new − churned + Σ(p₁−p₀)q₀ + Σ(q₁−q₀)p₀ +
+    * Σ(p₁−p₀)(q₁−q₀) telescopes EXACTLY (algebra, no rounding
+    * slack; spec pins it). One (part, month) aggregate + one
+    * adjacent-month full-outer join on part (never a set product) +
+    * a ≤#months rollup. All BIGINT cents.
+    */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("r"))
+      .groupBy("l_partkey", "m")
+      .agg(sum("q").as("q"), sum("r").as("r"))
+      .filter(col("q") >= 1)
+      .select(col("l_partkey"), col("m"), col("q"), expr("r div q").as("p"))
+      .localCheckpoint(eager = false)
+    val cur = pm.select(col("l_partkey"), col("m"), col("q").as("q1"), col("p").as("p1"))
+    val prev = pm.select(col("l_partkey"), (col("m") + 1).as("m"), col("q").as("q0"), col("p").as("p0"))
+    val joined = cur.join(prev, Seq("l_partkey", "m"), "full_outer")
+    // months present in BOTH the current and previous frames — the
+    // first month has no bridge
+    val months = pm.select(col("m")).distinct()
+    val validM = months
+      .join(months.select((col("m") + 1).as("m")), Seq("m"), "left_semi")
+    joined
+      .join(validM, Seq("m"), "left_semi")
+      .groupBy("m")
+      .agg(
+        sum(when(col("q0").isNull, lit(1L)).otherwise(0L)).as("n_new"),
+        sum(when(col("q0").isNull, col("p1") * col("q1")).otherwise(0L)).as("new_rev"),
+        sum(when(col("q1").isNull, lit(1L)).otherwise(0L)).as("n_churned"),
+        sum(when(col("q1").isNull, col("p0") * col("q0")).otherwise(0L)).as("churned_rev"),
+        sum(when(col("q0").isNotNull && col("q1").isNotNull,
+          (col("p1") - col("p0")) * col("q0")).otherwise(0L)).as("price_effect"),
+        sum(when(col("q0").isNotNull && col("q1").isNotNull,
+          (col("q1") - col("q0")) * col("p0")).otherwise(0L)).as("volume_effect"),
+        sum(when(col("q0").isNotNull && col("q1").isNotNull,
+          (col("p1") - col("p0")) * (col("q1") - col("q0"))).otherwise(0L)).as("cross_effect"),
+        sum(coalesce(col("p1") * col("q1"), lit(0L))).as("rev1"),
+        sum(coalesce(col("p0") * col("q0"), lit(0L))).as("rev0"))
+      .select(
+        col("m").as("month"),
+        (col("rev1") - col("rev0")).as("total_delta_cents"),
+        col("n_new"),
+        col("new_rev"),
+        col("n_churned"),
+        col("churned_rev"),
+        col("price_effect"),
+        col("volume_effect"),
+        col("cross_effect"))
+  }
+
   /** #315 K-truss decomposition (convergence-adaptive edge peeling):
     * the maximal subgraph of the co-purchase graph in which every
     * EDGE sits in ≥ k−2 triangles — one cohesion rung above #200's

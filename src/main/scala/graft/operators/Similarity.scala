@@ -408,6 +408,74 @@ object Similarity {
         expr(s"CAST(n_hits * 1000000 div (k * ${nQ}L) AS BIGINT)").as("recall_e6"))
   }
 
+  /** #364 Embedding-drift monitor: per label, how far the class
+    * centroid MOVED between two corpus snapshots (vec_id parity
+    * stands in for before/after ingests) — the vector-side drift
+    * alarm an embedding pipeline needs beside the scalar PSI (#358):
+    * a re-trained or silently-updated encoder shifts centroids long
+    * before any scalar feature drifts. Exact integers end-to-end:
+    * each element is e6-quantized BEFORE summation (float sums are
+    * shuffle-order-dependent; integer sums are exact in any order —
+    * the #215 gram-matrix discipline), per-dim means by truncating
+    * div, squared-L2 shift on the e12 grid through DECIMAL(38,0),
+    * and the centroid cosine as the #229 sign-factored e3×e3
+    * quotient. One posexplode (64·n rows, linear) + label-keyed
+    * aggregates; output is label-bounded.
+    *
+    * Honest corpus finding (the #321/#324 convention): the synthetic
+    * embeddings are directionless noise per label, so class centroids
+    * sit near zero and the centroid-cosine column reads as noise
+    * (|cos²| ≪ 10⁶) — on this corpus the L2 shift is the robust
+    * signal and the cosine is shipped for corpora where classes have
+    * real directions.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("label"),
+        (col("vec_id") % 2).as("side"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(
+        col("label"),
+        col("side"),
+        col("pos"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("v_e6"))
+    val dims = cells
+      .groupBy("label", "side", "pos")
+      .agg(count(lit(1)).as("n"), sum("v_e6").as("s"))
+      .select(col("label"), col("side"), col("pos"), col("n"), expr("s div n").as("m_e6"))
+    val paired = dims
+      .filter(col("side") === 0)
+      .select(col("label"), col("pos"), col("n").as("n_a"), col("m_e6").as("ma"))
+      .join(
+        dims
+          .filter(col("side") === 1)
+          .select(col("label"), col("pos"), col("n").as("n_b"), col("m_e6").as("mb")),
+        Seq("label", "pos"))
+    paired
+      .groupBy("label")
+      .agg(
+        max("n_a").as("n_a"),
+        max("n_b").as("n_b"),
+        sum(expr("CAST(ma - mb AS DECIMAL(38,0)) * (ma - mb)")).as("l2sq"),
+        sum(expr("CAST(ma AS DECIMAL(38,0)) * mb")).as("dot"),
+        sum(expr("CAST(ma AS DECIMAL(38,0)) * ma")).as("na2"),
+        sum(expr("CAST(mb AS DECIMAL(38,0)) * mb")).as("nb2"))
+      .select(
+        col("label"),
+        col("n_a"),
+        col("n_b"),
+        expr("CAST(l2sq AS BIGINT)").as("shift_l2sq_e12"),
+        // centroid cosine², sign-factored (the #229 form): the
+        // PRODUCT of the two truncated factors is <= 10^6 by
+        // Cauchy-Schwarz; ~10^6 = unmoved direction, drop = rotation
+        expr("""CASE WHEN na2 > 0 AND nb2 > 0 THEN
+                  CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+                    ((abs(dot) * 1000 div na2) * (abs(dot) * 1000 div nb2)) AS BIGINT)
+                ELSE NULL END""").as("cos2_signed_e6"))
+  }
+
   /** #255 Farthest-point sampling (Gonzalez k-center): k landmark
     * vectors chosen greedily — each round picks the vector FARTHEST
     * from every center chosen so far (lowest max-cosine, vec_id

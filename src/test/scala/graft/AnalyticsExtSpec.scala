@@ -1250,6 +1250,41 @@ class AnalyticsExtSpec extends SparkSpec {
   }
 
 
+
+  test("revenue bridge: waterfall telescopes exactly; scala per-part replay") {
+    val rows = AnalyticsExt.revenueBridge(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    // identity: delta = new - churned + price + volume + cross
+    rows.values.foreach { case (d, _, nr, _, cr, pe, ve, ce) =>
+      assert(d == nr - cr + pe + ve + ce, "waterfall identity")
+    }
+    // replay one month end-to-end
+    val pm = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey",
+        "CAST(year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS r")
+      .groupBy("l_partkey", "m").agg(sum("q").as("q"), sum("r").as("r"))
+      .filter(col("q") >= 1)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3) / x.getLong(2))))
+      .toMap
+    val months = pm.keys.map(_._2).toSeq.distinct.sorted
+    val m = months.find(mm => months.contains(mm - 1) && rows.contains(mm)).get
+    val cur = pm.collect { case ((pk, mm), v) if mm == m => pk -> v }
+    val prev = pm.collect { case ((pk, mm), v) if mm == m - 1 => pk -> v }
+    val newRev = cur.collect { case (pk, (q, p)) if !prev.contains(pk) => p * q }.sum
+    val churn = prev.collect { case (pk, (q, p)) if !cur.contains(pk) => p * q }.sum
+    val cont = cur.keySet & prev.keySet
+    val pe = cont.toSeq.map { pk => (cur(pk)._2 - prev(pk)._2) * prev(pk)._1 }.sum
+    val ve = cont.toSeq.map { pk => (cur(pk)._1 - prev(pk)._1) * prev(pk)._2 }.sum
+    val ce = cont.toSeq.map { pk => (cur(pk)._2 - prev(pk)._2) * (cur(pk)._1 - prev(pk)._1) }.sum
+    val g = rows(m)
+    assert((g._3, g._5, g._6, g._7, g._8) == ((newRev, churn, pe, ve, ce)), s"month $m replay")
+  }
+
+
   test("ppr: exact integer replay of the seeded trajectory; teleport mass only on seeds") {
     val ppr = graft.operators.AnalyticsExt.personalizedPageRank(spark, sf).cache()
     // scala integer replay over the collected edge list

@@ -368,4 +368,32 @@ class ProfileQuantSpec extends SparkSpec {
       .agg(sum("n_hits10")).head.getLong(0)
     assert(curve(10L)._1 == eval10, "recall@10 point ties to the evalRecall aggregate")
   }
+
+  test("embedding drift: per-dim integer means replay; cos2 bounded (directionless corpus)") {
+    import graft.operators.Similarity
+    val rows = Similarity.embeddingDrift(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val emb = Tables.embeddings(spark, sf).select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getSeq[Float](2)))
+    emb.groupBy(_._1).foreach { case (label, xs) =>
+      val a = xs.filter(_._2 % 2 == 0)
+      val b = xs.filter(_._2 % 2 == 1)
+      def means(g: Seq[(Long, Long, Seq[Float])]): Array[Long] =
+        (0 until 64).map { d =>
+          val sum = g.map(v => math.floor(v._3(d).toDouble * 1e6 + 0.5).toLong).sum
+          if (sum < 0) -((-sum) / g.size) else sum / g.size
+        }.toArray
+      val (ma, mb) = (means(a), means(b))
+      val l2 = (0 until 64).map(d => BigInt(ma(d) - mb(d)) * (ma(d) - mb(d))).sum
+      val g = rows(label)
+      assert(g._1 == a.size.toLong && g._2 == b.size.toLong)
+      assert(BigInt(g._3) == l2, s"label $label l2")
+      // honest corpus finding: random synthetic embeddings give
+      // near-zero class centroids, so the centroid DIRECTION is
+      // noise (cos2 small) while the L2 shift stays the robust read
+      // — pin the bound, not a direction that isn't there
+      assert(g._4.abs <= 1000000L, s"label $label cos2 out of bounds: ${g._4}")
+    }
+  }
 }
