@@ -536,6 +536,8 @@ object SparkEntry {
     "q_corr_matrix" -> ((s: SparkSession, d: String) => AnalyticsExt.corrMatrix(s, d)),
     // K-truss edge peeling of the co-purchase graph (§2 #315)
     "q_ktruss" -> ((s: SparkSession, d: String) => AnalyticsExt.ktruss(s, d)),
+    // Bloom-filter measured-vs-theory FPR scorecard (§2 #365)
+    "q_bloom_fpr" -> ((s: SparkSession, d: String) => Scale.bloomFpr(s, d)),
     // Month-over-month revenue bridge decomposition (§2 #363)
     "q_revenue_bridge" -> ((s: SparkSession, d: String) => AnalyticsExt.revenueBridge(s, d)),
     // Per-label embedding centroid drift (§2 #364)
@@ -3784,6 +3786,32 @@ object SparkEntry {
              * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
                 // (2 * sigma)) AS BIGINT) AS z_e6
          FROM si""",
+    "q_bloom_fpr" ->
+      // the hash60 bit array replayed as a distinct-position set;
+      // a probe is a false positive iff all k of its rows hit
+      """WITH dim AS (SELECT c_custkey AS key FROM customer
+                      WHERE c_mktsegment = 'BUILDING'),
+         nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM dim),
+         setbits AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5('graft-bloom-' || i || ':' || CAST(key AS VARCHAR)), 1, 15))
+               ::BIGINT % 16384 AS pos
+           FROM dim, range(1, 4) AS r(i)),
+         probes AS (SELECT -(i + 1) AS key FROM range(100000) AS t(i)),
+         pp AS (
+           SELECT p.key,
+             ('0x' || substr(md5('graft-bloom-' || i || ':' || CAST(p.key AS VARCHAR)), 1, 15))
+               ::BIGINT % 16384 AS pos
+           FROM probes p, range(1, 4) AS r(i)),
+         hits AS (SELECT key, CAST(count(*) AS BIGINT) AS nhit
+                  FROM pp WHERE pos IN (SELECT pos FROM setbits) GROUP BY 1),
+         fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM hits WHERE nhit = 3)
+         SELECT CAST(16384 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k, n_keys,
+           CAST(100000 AS BIGINT) AS n_probes, n_false_pos,
+           CAST(n_false_pos * 1000000 // 100000 AS BIGINT) AS fpr_e6,
+           CAST(floor(power(1.0 - exp(-CAST(3 * n_keys AS DOUBLE) / 16384), 3)
+             * 1000000 + 0.5) AS BIGINT) AS theory_e6
+         FROM nk, fp""",
     "q_revenue_bridge" ->
       // p = rev div qty reconstructed grid; the waterfall identity
       // telescopes exactly on it (algebra, no rounding slack)

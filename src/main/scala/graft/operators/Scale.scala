@@ -505,6 +505,46 @@ object Scale {
       k)
   }
 
+  /** #365 Bloom-filter FPR scorecard (the §15.4 invariant applied to
+    * #144's runtime filter): probe the SAME hash60 bit array with
+    * keys that are provably absent (a negative synthetic range — dim
+    * keys are positive), and report the MEASURED false-positive rate
+    * beside the textbook bound (1 − e^(−kn/m))^k. The number that
+    * says whether the m/n sizing actually bought the advertised
+    * pruning — an undersized filter silently degrades to
+    * shuffle-everything and nothing else in the pipeline notices
+    * (false positives are correct, just slow). All counts exact; the
+    * theory column is the same double expression in both engines.
+    */
+  def bloomFpr(
+      spark: SparkSession,
+      dir: String,
+      bitsLog2: Int = 14,
+      k: Int = 3,
+      nProbes: Long = 100000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 1L << bitsLog2
+    val dim = Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val nKeys = dim.agg(count(lit(1)).as("n_keys"))
+    val probes = spark.range(nProbes).select((-col("id") - 1).as("key"))
+    val passed = bloomProbe(probes, "key", bloomBits(dim, bitsLog2, k), bitsLog2, k)
+      .agg(count(lit(1)).as("n_false_pos"))
+    passed
+      .crossJoin(broadcast(nKeys))
+      .select(
+        lit(m).as("m_bits"),
+        lit(k.toLong).as("k"),
+        col("n_keys"),
+        lit(nProbes).as("n_probes"),
+        col("n_false_pos"),
+        expr(s"CAST(n_false_pos * 1000000 div ${nProbes}L AS BIGINT)").as("fpr_e6"),
+        expr(s"""CAST(floor(power(1.0D - exp(-CAST($k * n_keys AS DOUBLE) / ${m}L), $k)
+                  * 1000000 + 0.5) AS BIGINT)""").as("theory_e6"))
+  }
+
   private[operators] def morton(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     (0 until 8)
       .map { i =>

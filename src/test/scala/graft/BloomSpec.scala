@@ -46,4 +46,18 @@ class BloomSpec extends SparkSpec {
     assert(passRate <= selectivity + 0.05, s"pass $passRate vs selectivity $selectivity")
     assert(passRate < 0.5, s"bloom barely prunes: $passRate")
   }
+
+  test("bloom fpr: measured rate in the theory band; absent probes never all-negative") {
+    val row = graft.operators.Scale.bloomFpr(spark, sf).collect().head
+    val (nKeys, nProbes, fp) = (row.getAs[Long]("n_keys"), row.getAs[Long]("n_probes"),
+      row.getAs[Long]("n_false_pos"))
+    assert(row.getAs[Long]("fpr_e6") == fp * 1000000L / nProbes)
+    val theory = math.pow(1.0 - math.exp(-(3.0 * nKeys) / 16384.0), 3)
+    assert(row.getAs[Long]("theory_e6") == math.floor(theory * 1e6 + 0.5).toLong)
+    // measured FPR within a loose band of theory (binomial noise on
+    // 100k probes): theory/3 - 10ppm .. 3*theory + 10ppm
+    val m = fp.toDouble / nProbes
+    assert(m <= 3 * theory + 1e-5 && m >= theory / 3 - 1e-5,
+      s"measured $m vs theory $theory out of band")
+  }
 }
