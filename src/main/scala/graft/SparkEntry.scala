@@ -461,6 +461,22 @@ object SparkEntry {
     "q_ship_delay" -> (AnalyticsExt.shipDelay _),
     // Common-neighbor link prediction on the co-purchase graph (§2 #283)
     "q_link_prediction" -> ((s: SparkSession, d: String) => AnalyticsExt.linkPrediction(s, d)),
+    // Weighted label-propagation communities (§2 #366)
+    "q_label_prop" -> ((s: SparkSession, d: String) => AnalyticsExt.labelProp(s, d)),
+    // LPA modularity scorecard vs the brand partition (§2 #367)
+    "q_label_prop_eval" -> (AnalyticsExt.labelPropEval _),
+    // Adamic-Adar hub-discounted link prediction (§2 #368)
+    "q_adamic_adar" -> ((s: SparkSession, d: String) => AnalyticsExt.adamicAdar(s, d)),
+    // Individuals & moving-range Shewhart chart (§2 #369)
+    "q_imr_chart" -> (AnalyticsExt.imrChart _),
+    // X̄-R grouped Shewhart chart over weekly subgroups (§2 #370)
+    "q_xbar_r" -> (AnalyticsExt.xbarRChart _),
+    // Net / gross revenue retention by base month (§2 #371)
+    "q_nrr" -> (AnalyticsExt.nrr _),
+    // Heuristics-miner dependency measure (§2 #372)
+    "q_hm_dependency" -> (AnalyticsExt.hmDependency _),
+    // Cross-source near-dup contamination matrix (§2 #373)
+    "dedup_source_matrix" -> (Dedup.sourceMatrix _),
     // CUSUM drift chart on daily revenue (§2 #284)
     "q_cusum" -> (AnalyticsExt.cusumChart _),
     // Lorenz curve by customer decile (§2 #285)
@@ -2205,6 +2221,32 @@ object SparkEntry {
              AS dup_rate
          FROM labels l JOIN src s USING (doc_id)
          GROUP BY s.source""",
+    "dedup_source_matrix" ->
+      // per-cluster source counts, then within-cluster source pairs:
+      // off-diagonal n_a*n_b, diagonal C(n,2); positive so // == div
+      s"""${minhashCandidatesCte(recursive = true)},
+         edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                 UNION SELECT doc_b, doc_a FROM edges),
+         walk(a, b) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+         labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a),
+         src AS (SELECT doc_id, source FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000, source FROM documents WHERE doc_id % 5 = 0),
+         cs AS (SELECT l.cluster_id, s.source, CAST(count(*) AS BIGINT) AS n
+                FROM labels l JOIN src s USING (doc_id) GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b, a.n * b.n AS pairs
+           FROM cs a JOIN cs b
+             ON b.cluster_id = a.cluster_id AND a.source < b.source
+           UNION ALL
+           SELECT source, source, n * (n - 1) // 2 FROM cs WHERE n >= 2)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(pairs) AS BIGINT) AS dup_pairs
+         FROM pairs GROUP BY 1, 2""",
     "dedup_simhash" ->
       """WITH toks0 AS (
            SELECT doc_id,
@@ -8080,6 +8122,142 @@ object SparkEntry {
                        - CAST(d.deg_sum AS HUGEINT) * d.deg_sum) * 1000000
                    // (4 * CAST(m.m AS HUGEINT) * m.m)) AS BIGINT) AS contrib_e6
          FROM deg d LEFT JOIN intra i ON i.p_brand = d.p_brand, m""",
+    // 4 unrolled synchronous LPA rounds over the support-2 weighted
+    // graph — shared CTE prefix with q_label_prop_eval
+    "q_label_prop" -> labelPropOracle,
+    "q_label_prop_eval" -> labelPropEvalOracle,
+    "q_adamic_adar" ->
+      // same wedge/cap contract as q_link_prediction, scored with the
+      // per-center e6 term floor(1e6/ln(deg)+0.5); ln of an exact
+      // integer degree, quantized per term then summed
+      """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         adj AS (
+           SELECT x.u, x.v,
+             CAST(floor(1000000.0 / ln(CAST(d.deg AS DOUBLE)) + 0.5) AS BIGINT) AS term_e6
+           FROM (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e) x
+           JOIN deg d ON d.node = x.u
+           WHERE d.deg <= 64),
+         sc AS (
+           SELECT a1.v AS pa, a2.v AS pb, CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(a1.term_e6) AS BIGINT) AS aa_e6
+           FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+           GROUP BY 1, 2)
+         SELECT pa, pb, cn, aa_e6 FROM sc
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = sc.pa AND e.pb = sc.pb)
+         ORDER BY aa_e6 DESC, cn DESC, pa, pb LIMIT 100""",
+    "q_imr_chart" ->
+      // cross-multiplied I-MR limits: |x*n - Sx|*1128*n1 > 3000*Smr*n
+      // and mr*1000*n1 > 3267*Smr, HUGEINT products
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         mr AS (SELECT day, x, abs(x - lag(x) OVER (ORDER BY day)) AS mr FROM byday),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(count(mr) AS BIGINT) AS n1, CAST(sum(mr) AS BIGINT) AS smr
+                FROM mr)
+         SELECT day, x AS x_c, CAST(mr AS BIGINT) AS mr_c, n AS n_days,
+           CAST(CASE WHEN abs(CAST(x AS HUGEINT) * n - sx) * 1128 * n1
+                          > 3000 * CAST(smr AS HUGEINT) * n
+                THEN 1 ELSE 0 END AS BIGINT) AS x_ooc,
+           CAST(CASE WHEN mr IS NOT NULL
+                          AND CAST(mr AS HUGEINT) * 1000 * n1
+                              > 3267 * CAST(smr AS HUGEINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS mr_ooc
+         FROM mr, st""",
+    "q_xbar_r" ->
+      // cross-multiplied X̄-R limits on the weekly sums (n=7 subgroup
+      // constants A2/D3/D4 as exact rationals): |s*W - Ss|*1000 >
+      // 2933*Sr, r*1000*W >< 1924/76*Sr; HUGEINT products
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         wk AS (
+           SELECT day // 7 AS week, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(x) AS BIGINT) AS s, CAST(max(x) - min(x) AS BIGINT) AS r
+           FROM byday GROUP BY 1 HAVING count(*) = 7),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS w, CAST(sum(s) AS BIGINT) AS ss,
+                  CAST(sum(r) AS BIGINT) AS sr
+                FROM wk)
+         SELECT week, s AS s_c, r AS r_c, w AS n_weeks,
+           CAST(CASE WHEN abs(CAST(s AS HUGEINT) * w - ss) * 1000
+                          > 2933 * CAST(sr AS HUGEINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS xbar_ooc,
+           CAST(CASE WHEN CAST(r AS HUGEINT) * 1000 * w > 1924 * CAST(sr AS HUGEINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS r_high_ooc,
+           CAST(CASE WHEN CAST(r AS HUGEINT) * 1000 * w < 76 * CAST(sr AS HUGEINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS r_low_ooc
+         FROM wk, st""",
+    "q_nrr" ->
+      // base-month cohort revenue re-measured in m+1; e6 ratios by
+      // truncating division (all magnitudes positive so // == div)
+      """WITH cm AS (
+           SELECT o_custkey,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev0
+           FROM orders GROUP BY 1, 2),
+         months AS (SELECT DISTINCT m FROM cm),
+         valid AS (SELECT m FROM months
+                   WHERE m + 1 IN (SELECT m FROM months)),
+         j AS (
+           SELECT coalesce(c.o_custkey, n.o_custkey) AS cust,
+             coalesce(c.m, n.m) AS m, c.rev0, n.rev1
+           FROM cm c
+           FULL OUTER JOIN (SELECT o_custkey, m - 1 AS m, rev0 AS rev1 FROM cm) n
+             ON n.o_custkey = c.o_custkey AND n.m = c.m),
+         f AS (
+           SELECT m, CAST(count(rev0) AS BIGINT) AS n_base,
+             CAST(count(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_retained,
+             CAST(coalesce(sum(rev0), 0) AS BIGINT) AS base_c,
+             CAST(coalesce(sum(CASE WHEN rev0 IS NOT NULL THEN rev1 END), 0)
+                  AS BIGINT) AS retained_c,
+             CAST(coalesce(sum(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                                    THEN least(rev0, rev1) END), 0)
+                  AS BIGINT) AS min_c,
+             CAST(coalesce(sum(CASE WHEN rev0 IS NULL THEN rev1 END), 0)
+                  AS BIGINT) AS new_c
+           FROM j WHERE m IN (SELECT m FROM valid) GROUP BY 1)
+         SELECT m, n_base, n_retained, base_c, retained_c, min_c, new_c,
+           CAST(CAST(retained_c AS HUGEINT) * 1000000 // base_c AS BIGINT) AS nrr_e6,
+           CAST(CAST(min_c AS HUGEINT) * 1000000 // base_c AS BIGINT) AS grr_e6
+         FROM f""",
+    "q_hm_dependency" ->
+      // directly-follows counts + the mirrored full-outer join; dep on
+      // the e6 grid sign-factored (magnitude division only)
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         t AS (
+           SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+           FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         j AS (
+           SELECT coalesce(t.a, r.a) AS a, coalesce(t.b, r.b) AS b,
+             coalesce(t.n_ab, 0) AS n_ab, coalesce(r.n_ba, 0) AS n_ba
+           FROM t
+           FULL OUTER JOIN (SELECT b AS a, a AS b, n_ab AS n_ba FROM t) r
+             ON r.a = t.a AND r.b = t.b)
+         SELECT a AS from_type, b AS to_type, n_ab, n_ba,
+           CAST(CASE WHEN a = b THEN n_ab * 1000000 // (n_ab + 1)
+                ELSE (CASE WHEN n_ab < n_ba THEN -1 ELSE 1 END)
+                     * (abs(n_ab - n_ba) * 1000000 // (n_ab + n_ba + 1))
+                END AS BIGINT) AS dep_e6
+         FROM j""",
     "q_discount_elasticity" ->
       // per-brand OLS slope of qty on the e2 discount grid; HUGEINT
       // moments, sign-factored truncating e6 quotient
@@ -8857,5 +9035,98 @@ object SparkEntry {
          sizes AS (SELECT label, count(*) AS comp_size FROM l$maxRounds GROUP BY label)
          SELECT part, l$maxRounds.label AS component, comp_size, converged
          FROM l$maxRounds JOIN sizes USING (label), conv"""
+  }
+
+  /** Shared CTE prefix for the q_label_prop / q_label_prop_eval
+    * oracles: the support-filtered weighted co-purchase graph and
+    * [[graft.operators.AnalyticsExt.LabelPropRounds]] unrolled
+    * synchronous LPA rounds (argmax-weight relabel, ties to the
+    * smallest label), ending at `r{R}` — the same single source of
+    * truth the operator's constants come from, so the replay can't
+    * drift from the Spark loop.
+    */
+  private def labelPropCtes: String = {
+    val minSupport = graft.operators.AnalyticsExt.LabelPropMinSupport
+    def round(i: Int) =
+      s"""g$i AS (
+            SELECT s.src AS part, l.label AS nl, CAST(sum(s.w) AS BIGINT) AS tw
+            FROM sym s JOIN r${i - 1} l ON l.part = s.dst GROUP BY 1, 2),
+          b$i AS (
+            SELECT part, nl FROM (
+              SELECT part, nl,
+                row_number() OVER (PARTITION BY part ORDER BY tw DESC, nl) AS rn
+              FROM g$i) WHERE rn = 1),
+          r$i AS MATERIALIZED (
+            SELECT r.part, COALESCE(b.nl, r.label) AS label
+            FROM r${i - 1} r LEFT JOIN b$i b USING (part))"""
+    val iters =
+      (1 to graft.operators.AnalyticsExt.LabelPropRounds).map(round).mkString(",\n         ")
+    s"""po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS w
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+         sym AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM pairs
+                UNION ALL SELECT pb, pa, w FROM pairs),
+         r0 AS MATERIALIZED (
+           SELECT DISTINCT l_partkey AS part, l_partkey AS label FROM po),
+         $iters"""
+  }
+
+  private def labelPropOracle: String = {
+    val r = s"r${graft.operators.AnalyticsExt.LabelPropRounds}"
+    s"""WITH $labelPropCtes,
+         sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+                   FROM $r GROUP BY label)
+         SELECT $r.part, $r.label AS community, comm_size
+         FROM $r JOIN sizes USING (label)"""
+  }
+
+  /** Modularity fold of the LPA partition vs the brand partition on
+    * the same support-filtered edge set; the sign-factored e6
+    * quotient mirrors the Spark DECIMAL(38,0) algebra in HUGEINT.
+    */
+  private def labelPropEvalOracle: String = {
+    val r = s"r${graft.operators.AnalyticsExt.LabelPropRounds}"
+    s"""WITH $labelPropCtes,
+         el AS (SELECT la.label AS ca, lb.label AS cb
+                FROM pairs e JOIN $r la ON la.part = e.pa
+                             JOIN $r lb ON lb.part = e.pb),
+         ml AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+         il AS (SELECT ca AS comm, CAST(count(*) AS BIGINT) AS mc
+                FROM el WHERE ca = cb GROUP BY 1),
+         dl AS (SELECT comm, CAST(count(*) AS BIGINT) AS degc
+                FROM (SELECT ca AS comm FROM el UNION ALL SELECT cb FROM el)
+                GROUP BY 1),
+         fl AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
+                  CAST(sum(COALESCE(i.mc, 0)) AS HUGEINT) AS sum_mc,
+                  sum(CAST(d.degc AS HUGEINT) * d.degc) AS sum_deg2
+                FROM dl d LEFT JOIN il i ON i.comm = d.comm),
+         eb AS (SELECT pa.p_brand AS ca, pb.p_brand AS cb
+                FROM pairs e JOIN part pa ON pa.p_partkey = e.pa
+                             JOIN part pb ON pb.p_partkey = e.pb),
+         ib AS (SELECT ca AS comm, CAST(count(*) AS BIGINT) AS mc
+                FROM eb WHERE ca = cb GROUP BY 1),
+         db AS (SELECT comm, CAST(count(*) AS BIGINT) AS degc
+                FROM (SELECT ca AS comm FROM eb UNION ALL SELECT cb FROM eb)
+                GROUP BY 1),
+         fb AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
+                  CAST(sum(COALESCE(i.mc, 0)) AS HUGEINT) AS sum_mc,
+                  sum(CAST(d.degc AS HUGEINT) * d.degc) AS sum_deg2
+                FROM db d LEFT JOIN ib i ON i.comm = d.comm)
+         SELECT ml.m, fl.n_comms AS n_comms_lpa, fb.n_comms AS n_comms_brand,
+           CAST((CASE WHEN 4 * CAST(ml.m AS HUGEINT) * fl.sum_mc - fl.sum_deg2 < 0
+                      THEN -1 ELSE 1 END)
+                * (abs(4 * CAST(ml.m AS HUGEINT) * fl.sum_mc - fl.sum_deg2) * 1000000
+                   // (4 * CAST(ml.m AS HUGEINT) * ml.m)) AS BIGINT) AS q_lpa_e6,
+           CAST((CASE WHEN 4 * CAST(ml.m AS HUGEINT) * fb.sum_mc - fb.sum_deg2 < 0
+                      THEN -1 ELSE 1 END)
+                * (abs(4 * CAST(ml.m AS HUGEINT) * fb.sum_mc - fb.sum_deg2) * 1000000
+                   // (4 * CAST(ml.m AS HUGEINT) * ml.m)) AS BIGINT) AS q_brand_e6,
+           CAST(4 * CAST(ml.m AS HUGEINT) * fl.sum_mc - fl.sum_deg2
+                > 4 * CAST(ml.m AS HUGEINT) * fb.sum_mc - fb.sum_deg2 AS BIGINT)
+             AS lpa_wins
+         FROM ml, fl, fb"""
   }
 }

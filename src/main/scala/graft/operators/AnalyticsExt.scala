@@ -7148,4 +7148,436 @@ object AnalyticsExt {
       .limit(topK)
       .crossJoin(broadcast(soleSource))
   }
+
+  /** Label-propagation contract constants — shared with the
+    * q_label_prop / q_label_prop_eval oracle builders so the replay
+    * can't drift from the operator.
+    */
+  val LabelPropRounds = 4
+  val LabelPropMinSupport = 2
+
+  /** #366 Weighted label-propagation communities (LPA — Raghavan,
+    * Albert & Kumara 2007): community detection over the co-purchase
+    * graph, the structure-DISCOVERY sibling of #166's connected
+    * components (CC answers "reachable at all?"; LPA answers "which
+    * densely-wired region?", splitting a bridged component along its
+    * weak seam). Each of exactly [[LabelPropRounds]] synchronous
+    * rounds relabels every vertex with the neighbor label carrying
+    * the largest total edge weight (support counts — a 5-basket tie
+    * outvotes 5 one-basket strangers), ties broken by smallest
+    * label; isolated parts keep their own label. The FIXED round
+    * count (no early exit) is the determinism contract: synchronous
+    * LPA can oscillate on bipartite-ish seams, so "the labeling
+    * after exactly R rounds" is the well-defined deliverable both
+    * engines replay bit-exactly, and the spec's planted two-cliques-
+    * and-a-bridge case shows R=4 already separates what CC cannot.
+    *
+    * Scale: per round one hash join against the dst-partitioned
+    * cached edge list + one (vertex, label) aggregate + one per-
+    * vertex rank — all keyed shuffles, linear in |E|; the argmax
+    * window is PARTITIONED by vertex (never global); round frames
+    * are eagerly lineage-cut and every block released on exit
+    * (#124/#166 discipline). Rounds are O(1) by contract, so the
+    * shape holds at any graph size.
+    */
+  def labelProp(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = LabelPropRounds,
+      minSupport: Int = LabelPropMinSupport): DataFrame =
+    Lineage.checkpointReleasing(spark) {
+      val po =
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = po
+        .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minSupport)
+        .cache()
+      val sym = pairs
+        .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
+        .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
+        .repartition(col("dst"))
+        .cache()
+      var labels = po
+        .select(col("l_partkey").as("part"))
+        .distinct()
+        .select(col("part"), col("part").as("label"))
+        .localCheckpoint(eager = true)
+      val byVertex = Window.partitionBy("part").orderBy(col("tw").desc, col("nl"))
+      var r = 0
+      while (r < rounds) {
+        r += 1
+        val best = sym
+          .join(labels.select(col("part").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src").as("part"), col("nl"))
+          .agg(sum("w").as("tw"))
+          .withColumn("rn", row_number().over(byVertex))
+          .filter(col("rn") === 1)
+          .select(col("part"), col("nl").as("bl"))
+        labels = labels
+          .join(best, Seq("part"), "left")
+          .select(col("part"), coalesce(col("bl"), col("label")).as("label"))
+          .localCheckpoint(eager = true)
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("comm_size"))
+      val out = labels
+        .join(sizes, "label")
+        .select(col("part"), col("label").as("community"), col("comm_size"))
+      (out, Seq(pairs, sym))
+    }
+
+  /** #367 Label-propagation modularity scorecard (§15.4: every
+    * discovered structure ships with its quality number in the same
+    * round): Newman modularity Q of the #366 LPA partition versus Q
+    * of the brand partition (#304's business baseline) on the SAME
+    * support-filtered edge set — the one number that says whether
+    * the discovered communities actually explain more basket wiring
+    * than the catalog taxonomy does (LPA losing to brand would mean
+    * the propagation found noise, the classic LPA failure no
+    * per-community size readout can see). Same exact algebra as
+    * #304: per-community numerator 4m·m_c − deg_c² in DECIMAL(38,0),
+    * Q = sign·(|Σ num|·10⁶ div 4m²) with ONE final truncating
+    * division per partition, so both engines land the identical
+    * BIGINT. 1-row output; every post-fold frame is 1-row broadcast.
+    *
+    * Honest finding (the §15.5 convention): on the synthetic basket
+    * graph both partitions score NEAR-ZERO modularity (sf0.01:
+    * Q_lpa = 0.0071 vs Q_brand = 0.0022, lpa_wins = 1; at sf0.001
+    * the order flips) — the corpus plants no community structure, so
+    * the deliverable is the exact comparison mechanics, and the spec
+    * pins the arithmetic, not a quality wish.
+    */
+  def labelPropEval(spark: SparkSession, dir: String): DataFrame = {
+    val lpa = labelProp(spark, dir).select(col("part"), col("community"))
+    val po =
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = po
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= LabelPropMinSupport)
+      .select("part_a", "part_b")
+      .localCheckpoint(eager = false)
+    val brand = Tables.part(spark, dir).select(col("p_partkey").as("part"), col("p_brand"))
+    // modularity numerator fold for one vertex→community assignment:
+    // Σ_c (4m·m_c − deg_c²), plus m and the community count
+    def qFold(assign: DataFrame, labelCol: String): DataFrame = {
+      val lab = assign.select(col("part"), col(labelCol).as("comm"))
+      val e = edges
+        .join(lab.select(col("part").as("part_a"), col("comm").as("ca")), "part_a")
+        .join(lab.select(col("part").as("part_b"), col("comm").as("cb")), "part_b")
+      val m = e.agg(count(lit(1)).as("m"))
+      val intra = e
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm"))
+        .agg(count(lit(1)).as("mc"))
+      val deg = e
+        .select(explode(array(
+          struct(col("part_a").as("node"), col("ca").as("comm")),
+          struct(col("part_b").as("node"), col("cb").as("comm")))).as("x"))
+        .groupBy(col("x.comm").as("comm"))
+        .agg(count(lit(1)).as("degc"))
+      deg
+        .join(intra, Seq("comm"), "left")
+        .na
+        .fill(0L, Seq("mc"))
+        .agg(
+          count(lit(1)).as("n_comms"),
+          sum(expr("CAST(mc AS DECIMAL(38,0))")).as("sum_mc"),
+          sum(expr("CAST(degc AS DECIMAL(38,0)) * degc")).as("sum_deg2"))
+        .crossJoin(broadcast(m))
+        .select(
+          col("n_comms"),
+          expr("CAST(4 * CAST(m AS DECIMAL(38,0)) * sum_mc - sum_deg2 AS DECIMAL(38,0))")
+            .as("q_num"),
+          col("m"))
+    }
+    val ql = qFold(lpa, "community")
+      .select(
+        col("n_comms").as("n_comms_lpa"),
+        col("q_num").as("q_num_lpa"),
+        col("m"))
+    val qb = qFold(brand, "p_brand")
+      .select(col("n_comms").as("n_comms_brand"), col("q_num").as("q_num_brand"))
+    ql.crossJoin(broadcast(qb))
+      .select(
+        col("m"),
+        col("n_comms_lpa"),
+        col("n_comms_brand"),
+        expr("""CAST(CASE WHEN q_num_lpa < 0 THEN -1 ELSE 1 END
+                 * (abs(q_num_lpa) * 1000000 div (4 * CAST(m AS DECIMAL(38,0)) * m))
+                 AS BIGINT)""").as("q_lpa_e6"),
+        expr("""CAST(CASE WHEN q_num_brand < 0 THEN -1 ELSE 1 END
+                 * (abs(q_num_brand) * 1000000 div (4 * CAST(m AS DECIMAL(38,0)) * m))
+                 AS BIGINT)""").as("q_brand_e6"),
+        (col("q_num_lpa") > col("q_num_brand")).cast("long").as("lpa_wins"))
+  }
+
+  /** #368 Adamic–Adar link prediction: the #283 common-neighbors
+    * ranking re-scored with the Adamic–Adar weight Σ_w 1/ln(deg w)
+    * over shared neighbors — the standard refinement that discounts
+    * evidence from promiscuous hubs (a shared niche accessory is a
+    * stronger tie signal than a shared bestseller; plain CN counts
+    * them equally, which is exactly the failure #317's backtest
+    * measures). Same wedge enumeration and center-degree cap as
+    * #283 (the cap is the Σdeg² → |E|·D scale bound AND part of the
+    * oracle-replayed contract); each wedge contributes its CENTER's
+    * precomputed term ⌊10⁶/ln(deg)+½⌋ — ln of an exact INTEGER
+    * degree, one double op per distinct degree value, quantized per
+    * term THEN summed (the order-free float recipe; deg ≥ 2 for any
+    * wedge center, so ln > 0). Top-k by (aa_e6, cn, pair) is a
+    * TakeOrdered — map-side bounded, no global window.
+    */
+  def adamicAdar(
+      spark: SparkSession,
+      dir: String,
+      minOrders: Int = LinkPredMinOrders,
+      maxCenterDeg: Int = LinkPredMaxCenterDeg,
+      topK: Int = LinkPredTopK): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("parts"))
+    val e = baskets
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)),
+                   y -> named_struct('pa', x, 'pb', y))))"""))
+          .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select("pa", "pb")
+      .localCheckpoint(eager = false)
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val adj = e
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .join(
+        deg.filter(col("deg") <= maxCenterDeg).select(col("node").as("u"), col("deg")),
+        Seq("u"))
+      .withColumn("term_e6", expr("CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)"))
+    adj
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("pa"), col("w").as("pb"))
+      .agg(count(lit(1)).as("cn"), sum("term_e6").as("aa_e6"))
+      .join(e, Seq("pa", "pb"), "left_anti")
+      .orderBy(col("aa_e6").desc, col("cn").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
+  /** #369 Individuals & moving-range (I-MR) control chart: the SPC
+    * chart for UNGROUPED daily observations — the #254 p-chart needs
+    * a defect fraction and the #349 EWMA/#284 CUSUM accumulate; I-MR
+    * is the Shewhart baseline for a single-value-per-period series,
+    * where σ is estimated from the average two-point moving range
+    * (M̄R/d₂, d₂ = 1.128 at n = 2) because no within-period spread
+    * exists. Both textbook tests, kept EXACT by cross-multiplying
+    * the rational limits instead of materializing them: the
+    * individuals test |xᵢ − x̄| > 3·M̄R/d₂ becomes
+    * |xᵢ·n − Σx|·1128·n₁ > 3000·ΣMR·n, and the range test
+    * mrᵢ > D₄·M̄R (D₄ = 3.267) becomes mrᵢ·1000·n₁ > 3267·ΣMR —
+    * every product through DECIMAL(38,0) (xᵢ·n·1128·n₁ crosses 2⁶³
+    * once daily revenue reaches ~10¹⁰ cents), both engines land the
+    * identical comparison. One per-day aggregate, one day-ordered
+    * lag for the moving range (≤ #calendar-days rows — a documented
+    * PlanDisciplineSpec exception; the lag subtree is planned twice,
+    * under the stats fold and under the output join), one 1-row
+    * broadcast stats frame.
+    */
+  def imrChart(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(sum("c").as("x"))
+    val withMr = byDay
+      .withColumn("mr", abs(col("x") - lag("x", 1).over(Window.orderBy("day"))))
+    val stats = withMr.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"),
+      count(col("mr")).as("n1"),
+      sum("mr").as("smr"))
+    withMr
+      .crossJoin(broadcast(stats))
+      .select(
+        col("day"),
+        col("x").as("x_c"),
+        col("mr").as("mr_c"),
+        col("n").as("n_days"),
+        expr("""CAST(CASE WHEN abs(CAST(x AS DECIMAL(38,0)) * n - sx) * 1128 * n1
+                          > 3000 * CAST(smr AS DECIMAL(38,0)) * n
+                     THEN 1 ELSE 0 END AS BIGINT)""").as("x_ooc"),
+        expr("""CAST(CASE WHEN mr IS NOT NULL
+                          AND CAST(mr AS DECIMAL(38,0)) * 1000 * n1
+                              > 3267 * CAST(smr AS DECIMAL(38,0))
+                     THEN 1 ELSE 0 END AS BIGINT)""").as("mr_ooc"))
+  }
+
+  /** #370 X̄-R control chart: the GROUPED Shewhart sibling of #369's
+    * I-MR — subgroups are epoch-aligned calendar weeks (day div 7) of
+    * daily revenue, kept only when FULL (7 days present) because the
+    * A₂/D₃/D₄ constants are tabulated per subgroup size (n = 7:
+    * A₂ = 0.419, D₃ = 0.076, D₄ = 1.924); within-subgroup spread
+    * exists here, so σ comes from the mean range R̄ instead of #369's
+    * moving range. Both charts kept EXACT by cross-multiplying the
+    * rational limits on the weekly SUM s = 7·X̄: the X̄ test
+    * |X̄_w − X̿| > A₂·R̄ becomes |s·W − Σs|·1000 > 2933·ΣR (2933 =
+    * 7·419), the range tests r > D₄·R̄ / r < D₃·R̄ become
+    * r·1000·W > 1924·ΣR / r·1000·W < 76·ΣR — every product through
+    * DECIMAL(38,0)↔HUGEINT. One day aggregate, one week aggregate,
+    * one 1-row broadcast stats frame — NO windows at all, linear at
+    * any scale.
+    */
+  def xbarRChart(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(sum("c").as("x"))
+    val byWeek = byDay
+      .groupBy(expr("day div 7").as("week"))
+      .agg(count(lit(1)).as("nd"), sum("x").as("s"), (max("x") - min("x")).as("r"))
+      .filter(col("nd") === 7)
+    val stats = byWeek.agg(count(lit(1)).as("w"), sum("s").as("ss"), sum("r").as("sr"))
+    byWeek
+      .crossJoin(broadcast(stats))
+      .select(
+        col("week"),
+        col("s").as("s_c"),
+        col("r").as("r_c"),
+        col("w").as("n_weeks"),
+        expr("""CAST(CASE WHEN abs(CAST(s AS DECIMAL(38,0)) * w - ss) * 1000
+                          > 2933 * CAST(sr AS DECIMAL(38,0))
+                     THEN 1 ELSE 0 END AS BIGINT)""").as("xbar_ooc"),
+        expr("""CAST(CASE WHEN CAST(r AS DECIMAL(38,0)) * 1000 * w
+                          > 1924 * CAST(sr AS DECIMAL(38,0))
+                     THEN 1 ELSE 0 END AS BIGINT)""").as("r_high_ooc"),
+        expr("""CAST(CASE WHEN CAST(r AS DECIMAL(38,0)) * 1000 * w
+                          < 76 * CAST(sr AS DECIMAL(38,0))
+                     THEN 1 ELSE 0 END AS BIGINT)""").as("r_low_ooc"))
+  }
+
+  /** #371 Net / gross revenue retention (NRR / GRR): for each base
+    * month m with a following month in the data, the revenue of m's
+    * active customers re-measured in m+1 — NRR = their full m+1
+    * revenue over their m revenue (expansion counts), GRR = the
+    * contraction-only floor Σ min(rev_m, rev_m+1) over the same base
+    * (expansion capped at 100%), plus the new-customer revenue the
+    * retention ratios deliberately exclude. THE SaaS/recurring-
+    * revenue health metric; #240's growth accounting counts HEADS,
+    * this weighs DOLLARS, and the two disagree exactly when churn
+    * concentrates in small accounts. Whole-cent BIGINT grid, ratios
+    * single truncating e6 divisions through DECIMAL(38,0) (both
+    * engines identical; base > 0 by construction — the base month is
+    * in the data). One (customer, month) aggregate, one shifted
+    * self-join on (customer, month), one ≤#months fold — linear, no
+    * windows.
+    */
+  def nrr(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("o_custkey", "m")
+      .agg(sum("c").as("rev0"))
+    val nxt = cm.select(col("o_custkey"), (col("m") - 1).as("m"), col("rev0").as("rev1"))
+    val months = cm.select("m").distinct()
+    // base months = months whose successor month also appears
+    val valid = months.join(
+      months.select((col("m") - 1).as("m")),
+      Seq("m"),
+      "left_semi")
+    cm.join(nxt, Seq("o_custkey", "m"), "full_outer")
+      .join(valid, Seq("m"), "left_semi")
+      .groupBy("m")
+      .agg(
+        count(col("rev0")).as("n_base"),
+        count(when(col("rev0").isNotNull && col("rev1").isNotNull, lit(1))).as("n_retained"),
+        coalesce(sum("rev0"), lit(0L)).as("base_c"),
+        coalesce(sum(when(col("rev0").isNotNull, col("rev1"))), lit(0L)).as("retained_c"),
+        // least() skips NULLs in both engines — guard to BOTH-active
+        // rows or single-sided revenue leaks into the GRR floor
+        coalesce(
+          sum(when(col("rev0").isNotNull && col("rev1").isNotNull,
+            least(col("rev0"), col("rev1")))),
+          lit(0L)).as("min_c"),
+        coalesce(sum(when(col("rev0").isNull, col("rev1"))), lit(0L)).as("new_c"))
+      .select(
+        col("m"),
+        col("n_base"),
+        col("n_retained"),
+        col("base_c"),
+        col("retained_c"),
+        col("min_c"),
+        col("new_c"),
+        expr("CAST(CAST(retained_c AS DECIMAL(38,0)) * 1000000 div base_c AS BIGINT)")
+          .as("nrr_e6"),
+        expr("CAST(CAST(min_c AS DECIMAL(38,0)) * 1000000 div base_c AS BIGINT)")
+          .as("grr_e6"))
+  }
+
+  /** #372 Heuristics-miner dependency measure (Weijters & van der
+    * Aalst): for every ordered event-type pair, the dependency score
+    * dep(a,b) = (|a>b| − |b>a|) / (|a>b| + |b>a| + 1) over the
+    * directly-follows counts — the noise-robust edge weight the
+    * heuristics miner thresholds to draw a process model. #174's
+    * transition matrix reports raw first-order frequencies; the
+    * dependency measure is the DIRECTIONAL read (near +1 = a truly
+    * precedes b, near 0 = concurrent/noise — the distinction
+    * frequency alone cannot make), with the +1 smoothing that keeps
+    * one stray observation from claiming certainty. Length-1 loops
+    * score the textbook |a>a| / (|a>a| + 1). Counts from one lag
+    * window per user (bounded partitions) + one pair aggregate; the
+    * mirror join runs at alphabet² cardinality; dep on the e6 grid
+    * via the sign-factored truncating division (magnitudes only, so
+    * Spark div ≡ DuckDB //).
+    */
+  def hmDependency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val rev = t.select(col("b").as("a"), col("a").as("b"), col("n_ab").as("n_ba"))
+    t.join(rev, Seq("a", "b"), "full_outer")
+      .na
+      .fill(0L, Seq("n_ab", "n_ba"))
+      .select(
+        col("a").as("from_type"),
+        col("b").as("to_type"),
+        col("n_ab"),
+        col("n_ba"),
+        expr("""CAST(CASE WHEN a = b THEN n_ab * 1000000 div (n_ab + 1)
+                     ELSE (CASE WHEN n_ab < n_ba THEN -1 ELSE 1 END)
+                          * (abs(n_ab - n_ba) * 1000000 div (n_ab + n_ba + 1))
+                END AS BIGINT)""").as("dep_e6"))
+  }
 }

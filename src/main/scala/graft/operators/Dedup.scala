@@ -1154,4 +1154,49 @@ object Dedup {
         "p_candidate_e6",
         expr(s"1000000 - ${powE6("(1000000 - p_band_e6)", MinhashBands)}"))
   }
+
+  /** #373 Cross-source duplication matrix: which sources duplicate
+    * WHICH — for every source pair (diagonal included), the number of
+    * near-dup clusters where both sides appear and the exact count of
+    * duplicate PAIRS crossing that boundary (off-diagonal n_a·n_b per
+    * shared cluster; within-source C(n,2)). #141's per-source report
+    * says THAT a source recycles content; the matrix says FROM WHOM —
+    * a vendor reselling another feed, a crawler re-crawling a mirror,
+    * and in-source churn all look identical in the scalar rate but
+    * land in different cells here. Composes [[clusters]] wholesale +
+    * the same planted-copy source map as #141 (NearDupEvery /
+    * NearDupOffset shared constants, so attribution cannot drift);
+    * one (cluster, source) aggregate, then a within-cluster source
+    * self-join — fan-out bounded by (distinct sources)² per cluster,
+    * never cluster size² — and one ≤ sources² fold. All counts exact
+    * BIGINTs; pair counts positive so div ≡ //.
+    */
+  def sourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val src = docs.unionAll(
+      docs
+        .filter(col("doc_id") % NearDupEvery === 0)
+        .select((col("doc_id") + NearDupOffset).as("doc_id"), col("source")))
+    val cs = clusters(spark, dir)
+      .join(src, "doc_id")
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val off = cs
+      .select(col("cluster_id"), col("source").as("source_a"), col("n").as("n_a"))
+      .join(
+        cs.select(col("cluster_id"), col("source").as("source_b"), col("n").as("n_b")),
+        "cluster_id")
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), (col("n_a") * col("n_b")).as("pairs"))
+    val diag = cs
+      .filter(col("n") >= 2)
+      .select(
+        col("source").as("source_a"),
+        col("source").as("source_b"),
+        expr("n * (n - 1) div 2").as("pairs"))
+    off
+      .unionAll(diag)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_clusters"), sum("pairs").as("dup_pairs"))
+  }
 }

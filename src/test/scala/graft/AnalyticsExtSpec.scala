@@ -3714,4 +3714,291 @@ class AnalyticsExtSpec extends SparkSpec {
     // every sole-source part is exactly the 1e8 ceiling (replay-side identity)
     hhi.collect { case (_, (1L, _, h)) => h }.foreach(h => assert(h == 100000000L))
   }
+
+  /** Shared scala build of the support-2 weighted co-purchase graph
+    * used by the LPA and Adamic-Adar replays below.
+    */
+  private def copurchaseGraph(): (Map[(Long, Long), Long], Set[Long]) = {
+    val baskets = graft.Tables
+      .lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .map(_.map(_._2).sorted)
+      .toSeq
+    val verts = baskets.flatten.toSet
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val p = (ps(i), ps(j))
+        pairCount(p) = pairCount.getOrElse(p, 0L) + 1L
+      }
+    }
+    (pairCount.filter(_._2 >= 2L).toMap, verts)
+  }
+
+  /** Scala replay of the exact 4-round synchronous weighted LPA. */
+  private def lpaReplay(edges: Map[(Long, Long), Long], verts: Set[Long]): Map[Long, Long] = {
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    edges.foreach { case ((a, b), w) =>
+      nbrs(a) = (b, w) :: nbrs.getOrElse(a, Nil)
+      nbrs(b) = (a, w) :: nbrs.getOrElse(b, Nil)
+    }
+    var labels = verts.map(v => v -> v).toMap
+    for (_ <- 1 to AnalyticsExt.LabelPropRounds) {
+      labels = labels.map { case (v, own) =>
+        val tally = nbrs
+          .getOrElse(v, Nil)
+          .groupBy { case (n, _) => labels(n) }
+          .map { case (l, xs) => l -> xs.map(_._2).sum }
+        if (tally.isEmpty) v -> own
+        else v -> tally.toSeq.minBy { case (l, tw) => (-tw, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("label prop: scala 4-round synchronous replay; isolated parts self-labeled") {
+    val got = AnalyticsExt
+      .labelProp(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (edges, verts) = copurchaseGraph()
+    val want = lpaReplay(edges, verts)
+    assert(got.keySet == verts)
+    val sizes = want.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    verts.foreach { v =>
+      assert(got(v) == ((want(v), sizes(want(v)))), s"part $v")
+    }
+    // a part with no support-2 edge keeps its own id as community
+    val touched = edges.keys.flatMap(p => Seq(p._1, p._2)).toSet
+    (verts -- touched).foreach(v => assert(got(v)._1 == v, s"isolated $v"))
+  }
+
+  test("label prop eval: modularity fold replay on the shared edge set; lpa_wins consistent") {
+    val r = AnalyticsExt.labelPropEval(spark, sf).collect().head
+    val (edges, verts) = copurchaseGraph()
+    val lpa = lpaReplay(edges, verts)
+    val brand = graft.Tables
+      .part(spark, sf)
+      .selectExpr("p_partkey", "p_brand")
+      .collect()
+      .map(x => x.getLong(0) -> x.getString(1))
+      .toMap
+    def qFold[L](assign: Long => L): (Long, BigInt) = {
+      val m = BigInt(edges.size)
+      val labeled = edges.keys.toSeq.map { case (a, b) => (assign(a), assign(b)) }
+      val intra = labeled.filter { case (x, y) => x == y }.groupBy(_._1).map {
+        case (c, xs) => c -> BigInt(xs.size)
+      }
+      val deg = labeled
+        .flatMap { case (x, y) => Seq(x, y) }
+        .groupBy(identity)
+        .map { case (c, xs) => c -> BigInt(xs.size) }
+      // NB: deg.keys is Set-backed — mapping it through a non-injective
+      // lookup would COLLAPSE equal mc values before the sum; intra's
+      // own values (keys ⊆ deg keys) are the safe fold
+      val sumMc = intra.values.sum
+      val sumDeg2 = deg.values.toSeq.map(d => d * d).sum
+      (deg.size.toLong, 4 * m * sumMc - sumDeg2)
+    }
+    val m = BigInt(edges.size)
+    val (nL, qnL) = qFold(lpa)
+    val (nB, qnB) = qFold(brand)
+    def e6(qn: BigInt): Long = (qn.sign * (qn.abs * 1000000 / (4 * m * m))).toLong
+    assert(r.getAs[Long]("m") == edges.size.toLong)
+    assert(r.getAs[Long]("n_comms_lpa") == nL && r.getAs[Long]("n_comms_brand") == nB)
+    assert(r.getAs[Long]("q_lpa_e6") == e6(qnL) && r.getAs[Long]("q_brand_e6") == e6(qnB))
+    assert(r.getAs[Long]("lpa_wins") == (if (qnL > qnB) 1L else 0L))
+    assert(math.abs(r.getAs[Long]("q_lpa_e6")) <= 1000000L)
+    assert(math.abs(r.getAs[Long]("q_brand_e6")) <= 1000000L)
+  }
+
+  test("adamic-adar: scala wedge replay with per-center e6 ln terms; never adjacent") {
+    val got = AnalyticsExt
+      .adamicAdar(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (edgesW, _) = copurchaseGraph()
+    val edges = edgesW.keySet
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1
+      deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    def term(d: Long): Long = math.floor(1000000.0 / math.log(d.toDouble) + 0.5).toLong
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      if (deg(a) <= AnalyticsExt.LinkPredMaxCenterDeg) nbrs(a) = b :: nbrs.getOrElse(a, Nil)
+      if (deg(b) <= AnalyticsExt.LinkPredMaxCenterDeg) nbrs(b) = a :: nbrs.getOrElse(b, Nil)
+    }
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    nbrs.foreach { case (center, vsRaw) =>
+      val vs = vsRaw.sorted
+      val t = term(deg(center))
+      for (i <- vs.indices; j <- i + 1 until vs.length) {
+        val p = (vs(i), vs(j))
+        val (c, s) = acc.getOrElse(p, (0L, 0L))
+        acc(p) = (c + 1, s + t)
+      }
+    }
+    val scored = acc.filter { case (p, _) => !edges.contains(p) }.toSeq.map {
+      case ((a, b), (c, s)) => (a, b, c, s)
+    }
+    val want = scored.sortBy(t => (-t._4, -t._3, t._1, t._2)).take(100)
+    assert(got.toSeq.sortBy(t => (-t._4, -t._3, t._1, t._2)) == want)
+    got.foreach { case (a, b, c, s) =>
+      assert(!edges.contains((a, b)), s"($a,$b) already adjacent")
+      assert(s >= c * term(AnalyticsExt.LinkPredMaxCenterDeg.toLong),
+        "each wedge term at least the max-degree floor")
+    }
+  }
+
+  test("imr chart: cross-multiplied limits equal the rational textbook limits") {
+    val got = AnalyticsExt
+      .imrChart(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    val days = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val xs = days.map(_._2)
+    val mrs = xs.zip(xs.drop(1)).map { case (a, b) => math.abs(b - a) }
+    val n = BigInt(xs.length)
+    val sx = xs.map(BigInt(_)).sum
+    val n1 = BigInt(mrs.length)
+    val smr = mrs.map(BigInt(_)).sum
+    assert(got.length == xs.length)
+    got.zipWithIndex.foreach { case ((day, x, mr, nDays, xOoc, mrOoc), i) =>
+      assert(day == days(i)._1 && x == xs(i) && nDays == xs.length.toLong)
+      assert(mr == (if (i == 0) None else Some(mrs(i - 1))))
+      val wantX = ((BigInt(x) * n - sx).abs * 1128 * n1 > 3000 * smr * n)
+      assert(xOoc == (if (wantX) 1L else 0L), s"day $day x_ooc")
+      val wantMr = i > 0 && BigInt(mrs(i - 1)) * 1000 * n1 > 3267 * smr
+      assert(mrOoc == (if (wantMr) 1L else 0L), s"day $day mr_ooc")
+    }
+  }
+
+  test("xbar-r chart: full-week subgroups only; flags replay the rational A2/D3/D4 limits") {
+    val got = AnalyticsExt
+      .xbarRChart(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    val byDay = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2).sum) }
+    val weeks = byDay.toSeq
+      .groupBy { case (d, _) => d / 7 }
+      .collect { case (wk, ds) if ds.length == 7 =>
+        val vals = ds.map(_._2)
+        (wk, vals.sum, vals.max - vals.min)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val w = BigInt(weeks.length)
+    val ss = weeks.map(t => BigInt(t._2)).sum
+    val sr = weeks.map(t => BigInt(t._3)).sum
+    assert(got.length == weeks.length && weeks.nonEmpty)
+    got.zipWithIndex.foreach { case ((wk, s, r, nW, xo, rh, rl), i) =>
+      assert((wk, s, r) == weeks(i) && nW == weeks.length.toLong)
+      // the cross-multiplied forms ARE the rational textbook limits:
+      // |s/7 - ss/(7w)| > (419/1000)(sr/w) multiplied through by 7000w
+      assert(xo == (if ((BigInt(s) * w - ss).abs * 1000 > 2933 * sr) 1L else 0L), s"wk $wk")
+      assert(rh == (if (BigInt(r) * 1000 * w > 1924 * sr) 1L else 0L), s"wk $wk r_high")
+      assert(rl == (if (BigInt(r) * 1000 * w < 76 * sr) 1L else 0L), s"wk $wk r_low")
+    }
+  }
+
+  test("nrr: full cohort-revenue replay; ratios exact; retention never exceeds floor<=nrr") {
+    val got = AnalyticsExt
+      .nrr(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val cm = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }
+    val months = cm.keys.map(_._2).toSet
+    val valid = months.filter(m => months.contains(m + 1))
+    assert(got.keySet == valid)
+    valid.foreach { m =>
+      val base = cm.collect { case ((c, `m`), v) => c -> v }.toMap
+      val next = cm.collect { case ((c, mm), v) if mm == m + 1 => c -> v }.toMap
+      val nBase = base.size.toLong
+      val nRet = base.keySet.intersect(next.keySet).size.toLong
+      val baseC = base.values.sum
+      val retC = base.keySet.toSeq.flatMap(next.get).sum
+      val minC = base.keySet.intersect(next.keySet).toSeq
+        .map(c => math.min(base(c), next(c))).sum
+      val newC = (next.keySet -- base.keySet).toSeq.map(next).sum
+      val nrrE6 = (BigInt(retC) * 1000000 / BigInt(baseC)).toLong
+      val grrE6 = (BigInt(minC) * 1000000 / BigInt(baseC)).toLong
+      assert(got(m) == ((nBase, nRet, baseC, retC, minC, newC, nrrE6, grrE6)), s"month $m")
+      assert(grrE6 <= nrrE6, s"month $m: GRR floor must not exceed NRR")
+    }
+  }
+
+  test("hm dependency: counts pin to eventTransitions; dep replays; antisymmetric off-diagonal") {
+    val dep = AnalyticsExt
+      .hmDependency(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val trans = AnalyticsExt
+      .eventTransitions(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // key set = observed directly-follows pairs closed under mirroring
+    assert(dep.keySet == trans.keySet.flatMap { case (a, b) => Set((a, b), (b, a)) })
+    dep.foreach { case ((a, b), (nAb, nBa, d)) =>
+      assert(nAb == trans.getOrElse((a, b), 0L), s"($a,$b) n_ab")
+      assert(nBa == trans.getOrElse((b, a), 0L), s"($a,$b) n_ba")
+      val want =
+        if (a == b) nAb * 1000000L / (nAb + 1L)
+        else {
+          val s = if (nAb < nBa) -1L else 1L
+          s * (math.abs(nAb - nBa) * 1000000L / (nAb + nBa + 1L))
+        }
+      assert(d == want, s"($a,$b) dep")
+      if (a != b) {
+        // sign-factored magnitude division makes dep exactly antisymmetric
+        assert(dep((b, a))._3 == -d || (nAb == nBa && d == 0L), s"($a,$b) antisymmetry")
+      }
+      assert(math.abs(d) <= 1000000L)
+    }
+  }
 }

@@ -575,4 +575,41 @@ class DedupSpec extends SparkSpec {
     // the banded pipeline should recover MOST 80%-prefix copies
     assert(row.getAs[Long]("recall_e6") > 500000L, "cluster recall collapsed")
   }
+
+  test("source matrix: scala replay from the cluster labels; pair counts conserve") {
+    val got = Dedup.sourceMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val srcBase = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // planted copies inherit the base doc's source (shared constants)
+    val src = (srcBase ++ srcBase.collect {
+      case (d, s) if d % 5 == 0 => (d + 1000000L, s)
+    }).toMap
+    val labels = Dedup.clusters(spark, sf).select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val cs = labels
+      .groupBy { case (d, c) => (c, src(d)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val want = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    cs.groupBy(_._1._1).foreach { case (_, bySrc) =>
+      val counts = bySrc.map { case ((_, s), n) => (s, n) }.toSeq.sortBy(_._1)
+      for (i <- counts.indices; j <- i until counts.length) {
+        val ((sa, na), (sb, nb)) = (counts(i), counts(j))
+        val pairs = if (i == j) na * (na - 1) / 2 else na * nb
+        if (i != j || na >= 2) {
+          val (c0, p0) = want.getOrElse((sa, sb), (0L, 0L))
+          want((sa, sb)) = (c0 + 1, p0 + pairs)
+        }
+      }
+    }
+    assert(got == want.toMap)
+    // conservation: matrix pair counts partition every within-cluster pair
+    val totalPairs = labels.groupBy(_._2)
+      .map { case (_, xs) => xs.length.toLong }.map(sz => sz * (sz - 1) / 2).sum
+    assert(got.values.map(_._2).sum == totalPairs)
+    // the planted copies make at least one diagonal cell non-empty
+    assert(got.exists { case ((a, b), (_, p)) => a == b && p > 0 },
+      "no within-source duplication found — matrix blind?")
+  }
 }

@@ -107,6 +107,10 @@ class PlanDisciplineSpec extends SparkSpec {
           "PER-DAY aggregate: <= #calendar-days rows")),
       "q_degree_dist" -> (1 ->
         "octave-over-octave lag over the PER-OCTAVE aggregate: <= 64 rows"),
+      "q_imr_chart" -> (2 ->
+        ("moving-range lag over a PER-DAY aggregate (<= #calendar-days " +
+          "rows); the lag subtree is planned twice — once under the " +
+          "1-row stats fold, once under the output join")),
       "q_split_gain" -> (2 ->
         ("prefix-count cumsum + best-gain rank over the PER-BIN " +
           "aggregate: <= nBins = 10 rows")))
