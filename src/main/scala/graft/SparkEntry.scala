@@ -477,6 +477,12 @@ object SparkEntry {
     "q_hm_dependency" -> (AnalyticsExt.hmDependency _),
     // Cross-source near-dup contamination matrix (§2 #373)
     "dedup_source_matrix" -> (Dedup.sourceMatrix _),
+    // Candidate-key discovery over the fixed combo list (§2 #375)
+    "q_key_discovery" -> (Profile.keyDiscovery _),
+    // Next-event entropy per state (§2 #376)
+    "q_markov_entropy" -> (AnalyticsExt.markovEntropy _),
+    // Alpha-miner footprint relation matrix (§2 #377)
+    "q_alpha_footprint" -> (AnalyticsExt.alphaFootprint _),
     // CUSUM drift chart on daily revenue (§2 #284)
     "q_cusum" -> (AnalyticsExt.cusumChart _),
     // Lorenz curve by customer decile (§2 #285)
@@ -8258,6 +8264,78 @@ object SparkEntry {
                      * (abs(n_ab - n_ba) * 1000000 // (n_ab + n_ba + 1))
                 END AS BIGINT) AS dep_e6
          FROM j""",
+    "q_key_discovery" ->
+      // fixed combo list mirrored from Profile.KeyCombos; dup factor a
+      // truncating e6 quotient (positive so // == div)
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+         c AS (
+           SELECT 'o_orderkey' AS combo,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+           UNION ALL SELECT 'o_custkey',
+             CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+           UNION ALL SELECT 'o_orderdate',
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+           UNION ALL SELECT 'o_custkey,o_orderdate',
+             CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) FROM orders
+           UNION ALL SELECT 'o_custkey,o_orderdate,o_totalprice',
+             CAST(count(DISTINCT (o_custkey, o_orderdate, o_totalprice)) AS BIGINT)
+             FROM orders
+           UNION ALL SELECT 'o_orderstatus,o_orderpriority',
+             CAST(count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT)
+             FROM orders)
+         SELECT combo, n_rows, n_distinct,
+           CAST(n_rows = n_distinct AS BIGINT) AS is_key,
+           CAST(n_rows * 1000000 // n_distinct AS BIGINT) AS dup_factor_e6
+         FROM c, n""",
+    "q_markov_entropy" ->
+      // next-event Shannon entropy per state: -p*log2(p) terms of
+      // integer ratios, e6-quantized before the order-free sum
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         t AS (
+           SELECT event_type AS from_type, next_type,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         m AS (
+           SELECT from_type, n_ab,
+             CAST(sum(n_ab) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+           FROM t),
+         terms AS (
+           SELECT from_type, n_from,
+             CAST(floor(-(CAST(n_ab AS DOUBLE) / n_from)
+                        * log2(CAST(n_ab AS DOUBLE) / n_from) * 1000000 + 0.5)
+               AS BIGINT) AS term_e6
+           FROM m)
+         SELECT from_type, n_from, CAST(count(*) AS BIGINT) AS n_next_types,
+           CAST(sum(term_e6) AS BIGINT) AS h_e6,
+           CAST(floor(log2(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS hmax_e6
+         FROM terms GROUP BY 1, 2""",
+    "q_alpha_footprint" ->
+      // completed alphabet x alphabet grid of ordering relations
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         t AS (
+           SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS n
+           FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         al AS (SELECT DISTINCT event_type AS x FROM events),
+         g AS (SELECT a.x AS a, b.x AS b FROM al a, al b)
+         SELECT g.a AS from_type, g.b AS to_type,
+           CAST(coalesce(f.n, 0) AS BIGINT) AS n_ab,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_ba,
+           CASE WHEN coalesce(f.n, 0) > 0 AND coalesce(r.n, 0) = 0 THEN 'causal'
+                WHEN coalesce(f.n, 0) = 0 AND coalesce(r.n, 0) > 0 THEN 'rev_causal'
+                WHEN coalesce(f.n, 0) > 0 AND coalesce(r.n, 0) > 0 THEN 'parallel'
+                ELSE 'choice' END AS rel
+         FROM g
+         LEFT JOIN t f ON f.a = g.a AND f.b = g.b
+         LEFT JOIN t r ON r.a = g.b AND r.b = g.a""",
     "q_discount_elasticity" ->
       // per-brand OLS slope of qty on the e2 discount grid; HUGEINT
       // moments, sign-factored truncating e6 quotient

@@ -7580,4 +7580,91 @@ object AnalyticsExt {
                           * (abs(n_ab - n_ba) * 1000000 div (n_ab + n_ba + 1))
                 END AS BIGINT)""").as("dep_e6"))
   }
+
+  /** #376 Next-event entropy per state: for each event type, the
+    * Shannon entropy (bits) of its next-event distribution — the
+    * predictability read on top of #174's transition matrix (a row
+    * can be 90/10 or uniform at the same n_from; entropy is the one
+    * number that says whether the next step is KNOWABLE, gating
+    * whether a next-event model is worth training on this state).
+    * Each term −p·log₂(p) is a float of the integer ratio
+    * n_ab/n_from, e6-quantized BEFORE the order-independent sum
+    * (#119's float-identity discipline — both engines evaluate log₂
+    * of the same double, so the quantized terms agree bit-exactly);
+    * h_max = log₂(k) quantized the same way, p = 1 rows contribute
+    * exactly 0. One per-user lag window + one pair aggregate + one
+    * per-state fold — linear, alphabet-bounded output.
+    */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_ab"))
+      .withColumn("n_from", sum("n_ab").over(Window.partitionBy("from_type")))
+      .withColumn(
+        "term_e6",
+        expr("""CAST(floor(-(CAST(n_ab AS DOUBLE) / n_from)
+                           * log2(CAST(n_ab AS DOUBLE) / n_from) * 1000000 + 0.5)
+                AS BIGINT)"""))
+      .groupBy(col("from_type"), col("n_from"))
+      .agg(
+        count(lit(1)).as("n_next_types"),
+        sum("term_e6").as("h_e6"))
+      .withColumn(
+        "hmax_e6",
+        expr("CAST(floor(log2(CAST(n_next_types AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+  }
+
+  /** #377 Alpha-miner footprint matrix (van der Aalst's alpha
+    * algorithm, step 1): the completed alphabet×alphabet grid of
+    * ordering relations derived from the directly-follows counts —
+    * `causal` (a>b observed, b>a never), `rev_causal`, `parallel`
+    * (both observed) and `choice` (neither) — the footprint table
+    * every discovered process model starts from, and the categorical
+    * summary of #372's numeric dependency scores. Grid COMPLETION is
+    * the point (absent cells are the `choice` relation, which the
+    * observed-pairs frames cannot represent): alphabet from one
+    * distinct aggregate, grid = broadcast alphabet² cross join, counts
+    * left-joined and coalesced to 0. All counts exact; output
+    * alphabet²-bounded.
+    */
+  def alphaFootprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val alphabet = Tables
+      .events(spark, dir)
+      .select(col("event_type").as("a"))
+      .distinct()
+    val grid = broadcast(alphabet)
+      .crossJoin(broadcast(alphabet.select(col("a").as("b"))))
+    grid
+      .join(t, Seq("a", "b"), "left")
+      .na
+      .fill(0L, Seq("n"))
+      .join(
+        t.select(col("b").as("a"), col("a").as("b"), col("n").as("n_rev")),
+        Seq("a", "b"),
+        "left")
+      .na
+      .fill(0L, Seq("n_rev"))
+      .select(
+        col("a").as("from_type"),
+        col("b").as("to_type"),
+        col("n").as("n_ab"),
+        col("n_rev").as("n_ba"),
+        expr("""CASE WHEN n > 0 AND n_rev = 0 THEN 'causal'
+                     WHEN n = 0 AND n_rev > 0 THEN 'rev_causal'
+                     WHEN n > 0 AND n_rev > 0 THEN 'parallel'
+                     ELSE 'choice' END""").as("rel"))
+  }
 }

@@ -386,4 +386,51 @@ object Profile {
       .groupBy("xbin", "ybin")
       .agg(count(lit(1)).as("n_orders"), sum("v").as("cell_cents"))
   }
+
+  /** Candidate-key column combos probed by [[keyDiscovery]] — a fixed,
+    * schema-derived list (shared with the oracle), from the known key
+    * through plausible business keys to a clearly-non-key control.
+    */
+  val KeyCombos: Seq[Seq[String]] = Seq(
+    Seq("o_orderkey"),
+    Seq("o_custkey"),
+    Seq("o_orderdate"),
+    Seq("o_custkey", "o_orderdate"),
+    Seq("o_custkey", "o_orderdate", "o_totalprice"),
+    Seq("o_orderstatus", "o_orderpriority"))
+
+  /** #375 Candidate-key discovery: for each combo in [[KeyCombos]],
+    * exact distinct cardinality vs row count — is_key plus the
+    * duplication factor rows·10⁶ div distinct. Completes the
+    * profiling family's dependency rung: #261 discovers FUNCTIONAL
+    * dependencies, #287 INCLUSION dependencies, this discovers UNIQUE
+    * constraints — the check run before declaring a merge key or
+    * bucketing column on an unfamiliar 100 TB table (a dup factor of
+    * 1.02 on a "key" is how silent MERGE fan-out starts). ONE
+    * aggregation pass: all combos' distinct counts computed
+    * side-by-side (Spark plans multi-distinct as one expand +
+    * aggregate — combos× the scan rows, not combos× the scans), then
+    * unpivoted to one row per combo; no windows, no joins.
+    */
+  def keyDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +:
+      KeyCombos.map(c =>
+        count_distinct(struct(c.map(col): _*)).as(s"d_${c.mkString("_")}"))
+    val wide = orders.agg(aggs.head, aggs.tail: _*)
+    val entries = KeyCombos.map { c =>
+      struct(
+        lit(c.mkString(",")).as("combo"),
+        col("n_rows"),
+        col(s"d_${c.mkString("_")}").as("n_distinct"))
+    }
+    wide
+      .select(explode(array(entries: _*)).as("e"))
+      .select(
+        col("e.combo").as("combo"),
+        col("e.n_rows").as("n_rows"),
+        col("e.n_distinct").as("n_distinct"),
+        (col("e.n_rows") === col("e.n_distinct")).cast("long").as("is_key"),
+        expr("CAST(e.n_rows * 1000000 div e.n_distinct AS BIGINT)").as("dup_factor_e6"))
+  }
 }

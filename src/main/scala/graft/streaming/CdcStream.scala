@@ -679,6 +679,69 @@ object CdcStream {
             steps.map(_._5))
       }
   }
+
+  /** #374 Streaming I-MR state maintenance: #369's individuals &
+    * moving-range chart kept incrementally per series in
+    * `mapGroupsWithState` — the LIVE form of the ungrouped Shewhart
+    * monitor. Unlike the recursive smoothers (#263/#297/#325/#351)
+    * the batch I-MR's limits are retrospective (full-series x̄ and
+    * M̄R), so the streaming contract is split honestly in two: the
+    * STATE (n, Σx, n₁, ΣMR) after any day-aligned prefix is
+    * BIT-IDENTICAL to the batch aggregate over that prefix (the
+    * streamed ≡ batch discipline on the sufficient statistics), and
+    * the emitted flags are the LIVE-limit decisions — each day judged
+    * against the limits of the data seen SO FAR (the only limits a
+    * live monitor can have; flags need ≥ 1 prior moving range, else
+    * 0). Cross-multiplied comparisons run in BigInt inside the
+    * per-group fold: x·n·1128·n₁ crosses 2⁶³ within the spec corpus
+    * already. Replayed / out-of-order days (≤ the folded lastDay) are
+    * dropped — the #325 hardened contract, so a misbehaving producer
+    * degrades to skipped rows, never corrupted statistics.
+    */
+  def streamingImr(changes: Dataset[Change]): Dataset[ImrEmit] = {
+    import changes.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L
+    changes
+      .groupByKey(_.op)
+      .mapGroupsWithState[ImrState, ImrEmit](GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Change], state: GroupState[ImrState]) =>
+          val daily = rows.toSeq
+            .groupBy(c => c.ts / usPerDay)
+            .map { case (d, cs) =>
+              d -> cs.map(c => math.floor(c.value * 100 + 0.5).toLong).sum
+            }
+            .toSeq
+            .sortBy(_._1)
+          var st = state.getOption.getOrElse(
+            ImrState(series, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          val steps = daily.flatMap { case (day, x) =>
+            if (day <= st.lastDay && st.n > 0) None // replayed day: already folded
+            else {
+              val mr = if (st.n == 0) -1L else math.abs(x - st.lastX)
+              val n = st.n + 1
+              val sx = st.sx + x
+              val n1 = st.n1 + (if (mr >= 0) 1L else 0L)
+              val smr = st.smr + (if (mr >= 0) mr else 0L)
+              st = ImrState(series, day, x, n, sx, n1, smr)
+              val xOoc =
+                if (n1 > 0 &&
+                  (BigInt(x) * n - sx).abs * 1128 * n1 > BigInt(3000) * smr * n) 1L
+                else 0L
+              val mrOoc =
+                if (mr >= 0 && BigInt(mr) * 1000 * n1 > BigInt(3267) * smr) 1L else 0L
+              Some((day, x, mr, xOoc, mrOoc))
+            }
+          }
+          state.update(st)
+          ImrEmit(
+            series,
+            steps.map(_._1),
+            steps.map(_._2),
+            steps.map(_._3),
+            steps.map(_._4),
+            steps.map(_._5))
+      }
+  }
 }
 
 /** Per-series Holt smoother state: one bounded triple per key. */
@@ -740,3 +803,28 @@ case class CrostonEmit(
     zSize: Seq[Long],
     pInterval: Seq[Long],
     rateE3: Seq[Long])
+
+/** Per-series I-MR sufficient statistics: one bounded 7-tuple per key
+  * — (lastDay, lastX) for the next moving range plus the four batch
+  * aggregates (n, Σx, n₁, ΣMR).
+  */
+case class ImrState(
+    series: String,
+    lastDay: Long,
+    lastX: Long,
+    n: Long,
+    sx: Long,
+    n1: Long,
+    smr: Long)
+
+/** One emission per (series, micro-batch): that batch's day-ordered
+  * I-MR trajectory; mr = −1 marks a series' first-ever day (no range
+  * yet), flags are live-limit decisions.
+  */
+case class ImrEmit(
+    series: String,
+    days: Seq[Long],
+    cents: Seq[Long],
+    mr: Seq[Long],
+    xOoc: Seq[Long],
+    mrOoc: Seq[Long])

@@ -4001,4 +4001,70 @@ class AnalyticsExtSpec extends SparkSpec {
       assert(math.abs(d) <= 1000000L)
     }
   }
+
+  test("markov entropy: quantized-term replay from the transition counts; H <= Hmax") {
+    val got = AnalyticsExt
+      .markovEntropy(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val trans = AnalyticsExt
+      .eventTransitions(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1)
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    assert(got.keySet == trans.keySet)
+    trans.foreach { case (from, rows) =>
+      val counts = rows.map(_._2)
+      val nFrom = counts.sum
+      val terms = counts.map { c =>
+        val p = c.toDouble / nFrom
+        math.floor(-p * lg2(p) * 1e6 + 0.5).toLong
+      }
+      val hmax = math.floor(lg2(counts.size.toDouble) * 1e6 + 0.5).toLong
+      assert(got(from) == ((nFrom, counts.size.toLong, terms.sum, hmax)), s"state $from")
+      // entropy bounded by the uniform maximum (up to per-term quantization)
+      assert(terms.sum <= hmax + counts.size, s"state $from H > Hmax")
+      assert(terms.sum >= 0L)
+    }
+  }
+
+  test("alpha footprint: completed grid; relations replay from the counts; mirrors consistent") {
+    val got = AnalyticsExt
+      .alphaFootprint(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val trans = AnalyticsExt
+      .eventTransitions(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val alphabet = graft.Tables
+      .events(spark, sf)
+      .select("event_type")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    // grid completion: exactly alphabet², including never-observed cells
+    assert(got.keySet == (for (a <- alphabet; b <- alphabet) yield (a, b)))
+    got.foreach { case ((a, b), (nAb, nBa, rel)) =>
+      assert(nAb == trans.getOrElse((a, b), 0L) && nBa == trans.getOrElse((b, a), 0L))
+      val want =
+        if (nAb > 0 && nBa == 0) "causal"
+        else if (nAb == 0 && nBa > 0) "rev_causal"
+        else if (nAb > 0 && nBa > 0) "parallel"
+        else "choice"
+      assert(rel == want, s"($a,$b)")
+      // mirror consistency: causal flips, parallel/choice are symmetric
+      val mirror = got((b, a))._3
+      assert(mirror == (rel match {
+        case "causal" => "rev_causal"
+        case "rev_causal" => "causal"
+        case s => s
+      }), s"($a,$b) mirror")
+    }
+  }
 }

@@ -141,4 +141,32 @@ class DqSpec extends SparkSpec {
       assert(holds == (if (nm == 0L) 1L else 0L))
     }
   }
+
+  test("key discovery: exact distinct replay per combo; the PK flags, the control does not") {
+    val got = Profile.keyDiscovery(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Profile.KeyCombos.map(_.mkString(",")).toSet)
+    val rows = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_orderkey", "o_custkey", "CAST(o_orderdate AS STRING) AS o_orderdate",
+        "o_totalprice", "o_orderstatus", "o_orderpriority")
+      .collect()
+      .map(r => Map(
+        "o_orderkey" -> r.get(0), "o_custkey" -> r.get(1), "o_orderdate" -> r.get(2),
+        "o_totalprice" -> r.get(3), "o_orderstatus" -> r.get(4),
+        "o_orderpriority" -> r.get(5)))
+    Profile.KeyCombos.foreach { combo =>
+      val distinct = rows.map(m => combo.map(m)).distinct.length.toLong
+      val n = rows.length.toLong
+      val (nr, nd, isKey, dup) = got(combo.mkString(","))
+      assert(nr == n && nd == distinct, s"combo $combo")
+      assert(isKey == (if (n == distinct) 1L else 0L))
+      assert(dup == (BigInt(n) * 1000000 / BigInt(distinct)).toLong)
+    }
+    // the declared PK really is one; the low-cardinality control is not
+    assert(got("o_orderkey")._3 == 1L)
+    assert(got("o_orderstatus,o_orderpriority")._3 == 0L)
+  }
 }

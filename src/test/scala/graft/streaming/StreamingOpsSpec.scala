@@ -572,4 +572,70 @@ class StreamingOpsSpec extends SparkSpec {
       changes.unpersist()
     }
   }
+
+  test("streaming imr: prefix state equals the batch aggregates; live flags replay") {
+    withTempDir { dir =>
+      val usPerDay = 86400L * 1000000L
+      val inDir = s"$dir/in"
+      val changes = Cdc.classify(spark, sf)
+        .select("op", "ts", "value", "user_id", "event_id")
+        .cache()
+      val splitDay = changes.selectExpr(s"ts div $usPerDay AS day")
+        .agg(expr("(min(day) + max(day) + 1) div 2")).head.getLong(0)
+      changes.filter(col("ts") < splitDay * usPerDay)
+        .write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingImr(CdcStream.readChangelog(spark, inDir))
+        .writeStream.format("memory").queryName("stream_imr")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") >= splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_imr")
+          .selectExpr("series", "explode(arrays_zip(days, cents, mr, xOoc, mrOoc)) AS z")
+          .selectExpr("series", "z.days AS day", "z.cents", "z.mr", "z.xOoc", "z.mrOoc")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .toMap
+        // independent running-limits fold over the day-ordered series
+        val daily = changes
+          .selectExpr("op", s"ts div $usPerDay AS day",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("op", "day").agg(sum("c").as("y"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var nChecked = 0
+        daily.groupBy(_._1).foreach { case (series, rows) =>
+          var (n, sx, n1, smr) = (0L, 0L, 0L, 0L)
+          var lastX = 0L
+          rows.sortBy(_._2).foreach { case (_, day, y) =>
+            val mr = if (n == 0) -1L else math.abs(y - lastX)
+            n += 1; sx += y
+            if (mr >= 0) { n1 += 1; smr += mr }
+            lastX = y
+            val xOoc =
+              if (n1 > 0 && (BigInt(y) * n - sx).abs * 1128 * n1 > BigInt(3000) * smr * n)
+                1L
+              else 0L
+            val mrOoc =
+              if (mr >= 0 && BigInt(mr) * 1000 * n1 > BigInt(3267) * smr) 1L else 0L
+            assert(got((series, day)) == ((y, mr, xOoc, mrOoc)), s"$series day $day")
+            nChecked += 1
+          }
+          // prefix-state ≡ batch-aggregate contract on the full series:
+          // the fold's (n, Σx, n1, ΣMR) are exactly the batch I-MR stats
+          val xs = rows.sortBy(_._2).map(_._3)
+          assert(n == xs.length.toLong && sx == xs.sum)
+          val mrs = xs.zip(xs.drop(1)).map { case (a, b) => math.abs(b - a) }
+          assert(n1 == mrs.length.toLong && smr == mrs.sum)
+        }
+        assert(nChecked == got.size && nChecked > 0)
+      } finally q.stop()
+      changes.unpersist()
+    }
+  }
 }
