@@ -290,6 +290,10 @@ object SparkEntry {
     "ann_binary_quant" -> ((s: SparkSession, d: String) => Similarity.binaryQuant(s, d)),
     // Binary-quantization recall scorecard (§2 #347)
     "ann_binary_recall" -> ((s: SparkSession, d: String) => Similarity.evalBinaryRecall(s, d)),
+    // IVF recall-vs-nprobe curve (§2 #378)
+    "ann_ivf_nprobe_curve" -> ((s: SparkSession, d: String) => Similarity.ivfNprobeCurve(s, d)),
+    // Int8 search + recall scorecard for #52 (§2 #379)
+    "ann_sq_recall" -> (Similarity.sqRecall _),
     // MMR diversified top-k re-ranking (§2 #350)
     "ann_mmr" -> ((s: SparkSession, d: String) => Similarity.mmr(s, d)),
     // Chi-square categorical association (§2 #189)
@@ -2807,6 +2811,106 @@ object SparkEntry {
             ON ls.query_id = bf.query_id AND ls.vec_id = bf.vec_id
           GROUP BY bf.query_id"""
     },
+    "ann_ivf_nprobe_curve" -> {
+      // shared ivfTrainCtes quantizer replay; ONE probe join at
+      // max(nprobe) keeping each candidate's min probed-cell rank, so
+      // every sweep point is a min_rn slice — same sweep list as
+      // Similarity.NprobePoints
+      val pvals = Similarity.NprobePoints.map(p => s"($p)").mkString(", ")
+      val maxP = Similarity.NprobePoints.max
+      s"""WITH ${ivfTrainCtes},
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 10),
+          qc AS (SELECT query_id, cell, rn FROM (
+              SELECT q.query_id, c.cell,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY floor(list_cosine_similarity(
+                    q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM q, c3 c) WHERE rn <= $maxP),
+          cand AS (
+            SELECT qc.query_id, a.vec_id, CAST(min(qc.rn) AS BIGINT) AS min_rn
+            FROM acorp a JOIN qc ON a.cell = qc.cell
+            WHERE a.vec_id <> qc.query_id
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id, cand.min_rn,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id),
+          bf AS (
+            SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                  AS rank
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 10),
+          ps AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES $pvals) v(p)),
+          ranked AS (
+            SELECT ps.p, s.query_id, s.vec_id,
+              row_number() OVER (PARTITION BY ps.p, s.query_id
+                ORDER BY s.cos DESC, s.vec_id) AS rank
+            FROM scored s, ps WHERE s.min_rn <= ps.p),
+          hits AS (
+            SELECT r.p, CAST(count(*) AS BIGINT) AS n_hits
+            FROM ranked r
+            JOIN bf ON bf.query_id = r.query_id AND bf.vec_id = r.vec_id
+            WHERE r.rank <= 10 GROUP BY 1),
+          cn AS (SELECT ps.p, CAST(count(*) AS BIGINT) AS n_candidates
+                 FROM scored s, ps WHERE s.min_rn <= ps.p GROUP BY 1),
+          nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+          SELECT cn.p AS nprobe, nq.n_queries, cn.n_candidates,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            CAST(coalesce(h.n_hits, 0) * 1000000 // (nq.n_queries * 10) AS BIGINT)
+              AS recall10_e6
+          FROM cn LEFT JOIN hits h ON h.p = cn.p, nq"""
+    },
+    "ann_sq_recall" ->
+      // the #52 int8 replay, exact-integer dot ranking (list products
+      // of ints <= 127 are exact in DOUBLE), float brute-force truth
+      """WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x * x AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+             [CAST(round(CASE WHEN nrm = 0 THEN 0
+                  ELSE CAST(x AS DOUBLE) / nrm * 127 END) AS INT) for x in embedding]
+               AS q
+           FROM n),
+         qq AS (SELECT vec_id AS query_id, q AS qvec FROM qv WHERE vec_id < 10),
+         sq AS (
+           SELECT query_id, vec_id, srank FROM (
+             SELECT qq.query_id, qv.vec_id,
+               CAST(row_number() OVER (PARTITION BY qq.query_id
+                 ORDER BY CAST(list_dot_product(qv.q::DOUBLE[], qq.qvec::DOUBLE[])
+                               AS BIGINT) DESC, qv.vec_id) AS BIGINT) AS srank
+             FROM qv, qq WHERE qv.vec_id <> qq.query_id)
+           WHERE srank <= 10),
+         q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+         bf AS (
+           SELECT query_id, vec_id, rank FROM (
+             SELECT q.query_id, e.vec_id,
+               CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                 AS BIGINT) AS rank
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           WHERE rank <= 10)
+         SELECT bf.query_id,
+           CAST(count(sq.srank) AS BIGINT) AS n_hits10,
+           CAST(count(sq.srank) * 1000000 // 10 AS BIGINT) AS recall10_e6,
+           CAST(max(CASE WHEN bf.rank = 1
+                THEN coalesce(1000000 // sq.srank, 0) END) AS BIGINT) AS rr_e6,
+           CAST(max(CASE WHEN bf.rank = 1 AND sq.srank = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS top1_match
+         FROM bf LEFT JOIN sq
+           ON sq.query_id = bf.query_id AND sq.vec_id = bf.vec_id
+         GROUP BY bf.query_id""",
     "ann_eval_ndcg" -> {
       // same composed bf+lsh replay as ann_eval_recall, discounted by
       // the shared NdcgWeightsE6 constants as a VALUES table; IDCG is

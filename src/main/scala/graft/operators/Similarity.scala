@@ -288,6 +288,120 @@ object Similarity {
           .as("rr_e6"))
   }
 
+  /** The nprobe settings swept by [[ivfNprobeCurve]] — shared with the
+    * oracle's VALUES table so the sweep cannot drift.
+    */
+  val NprobePoints: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** #378 IVF recall-vs-nprobe curve (§15.4 scorecard for #72's ONE
+    * tuning knob): total recall@10 of the IVF index against the
+    * brute-force truth at nprobe ∈ [[NprobePoints]], with the
+    * candidate volume each setting paid — the curve that prices the
+    * recall/latency trade BEFORE a fleet commits to a probe count
+    * (#276's cell balance says the cells are even; this says how many
+    * you must read). The quantizer is trained ONCE and the probe join
+    * runs ONCE at max(nprobe): each candidate keeps the MINIMUM rank
+    * of the probed cell that found it, so "the search at nprobe = p"
+    * is exactly the min_rn ≤ p slice — the sweep costs one search,
+    * not four, and the slices are nested by construction (recall
+    * monotone in p, spec-pinned). Ranks/cosines on the shared 6dp/e4
+    * grids of #72, counts exact, recall a truncating e6 quotient.
+    */
+  def ivfNprobeCurve(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = trainCentroids(spark, dir, k, iters)
+    val cdf = centroidsDf(spark, cents)
+    val corpusCells = ivfAssign(spark, dir, cdf)
+    val maxP = NprobePoints.max
+    val wQ = Window.partitionBy("query_id").orderBy(col("ccos_e4").desc, col("cell"))
+    val queryCells = queryVectors(spark, dir)
+      .crossJoin(broadcast(cdf))
+      .select(
+        col("query_id"), col("q_emb"), col("cell"),
+        ccosE4("q_emb", "centroid").as("ccos_e4"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= maxP)
+      .select(col("query_id"), col("q_emb"), col("cell"), col("rn"))
+    val scored = corpusCells
+      .join(broadcast(queryCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("rn"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .groupBy("query_id", "vec_id")
+      .agg(min("rn").as("min_rn"), max("cos").as("cos"))
+      .localCheckpoint(eager = false)
+    val truth = bruteForce(spark, dir).select(col("query_id"), col("vec_id"))
+    val nQ = queryVectors(spark, dir).agg(count(lit(1)).as("n_queries"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val perP = NprobePoints.map { p =>
+      val slice = scored.filter(col("min_rn") <= p)
+      val hits = slice
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      slice
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(hits))
+        .select(lit(p.toLong).as("nprobe"), col("n_candidates"), col("n_hits"))
+    }
+    perP
+      .reduce(_.unionAll(_))
+      .crossJoin(broadcast(nQ))
+      .select(
+        col("nprobe"),
+        col("n_queries"),
+        col("n_candidates"),
+        col("n_hits"),
+        expr("CAST(n_hits * 1000000 div (n_queries * 10) AS BIGINT)").as("recall10_e6"))
+  }
+
+  /** #379 Int8-quantization search + recall scorecard (§15.4 applied
+    * to #52, the one approximation in the repo that still lacked its
+    * quality number): top-10 by EXACT INTEGER int8 dot product over
+    * #52's quantized vectors — the SIMD search a 4×-compressed fleet
+    * actually runs — scored against the float brute-force truth with
+    * recall@10, reciprocal rank, and a top-1-preserved flag. Every
+    * dot product is a BIGINT (|q| ≤ 127 ⇒ a 64-dim dot ≤ ~10⁶ —
+    * exact in any engine, no float anywhere in the search path), so
+    * unlike the float indexes the RANKING itself is bit-exact by
+    * construction; only the truth side carries the 6dp grid. One
+    * broadcast of the quantized queries over one quantized-corpus
+    * scan — #27's shape at a quarter the bytes.
+    */
+  def sqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantize(spark, dir).select(col("vec_id"), col("qvec"))
+    val queries = q
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    val sq = q
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        expr("""aggregate(zip_with(qvec, q_qvec, (x, y) -> CAST(x AS BIGINT) * y),
+                          0L, (acc, v) -> acc + v)""").as("dot"))
+      .withColumn("srank", row_number().over(w).cast("long"))
+      .filter(col("srank") <= 10)
+    val bf = bruteForce(spark, dir)
+    bf.join(sq.select(col("query_id"), col("vec_id"), col("srank")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("srank")).as("n_hits10"),
+        expr("CAST(count(srank) * 1000000 div 10 AS BIGINT)").as("recall10_e6"),
+        max(when(col("rank") === 1, coalesce(expr("CAST(1000000 div srank AS BIGINT)"), lit(0L))))
+          .as("rr_e6"),
+        max(when(col("rank") === 1 && col("srank") === 1, 1L).otherwise(0L))
+          .as("top1_match"))
+  }
+
   /** #350 Maximal Marginal Relevance (MMR) diversified top-k
     * (Carbonell & Goldstein 1998): re-rank each query's candidate
     * pool greedily by λ·relevance − (1−λ)·max-similarity-to-already-

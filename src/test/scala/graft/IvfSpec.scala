@@ -95,4 +95,32 @@ class IvfSpec extends SparkSpec {
       xs.foreach { case (_, nbr, _, _) => assert(assign(v) == assign(nbr)) }
     }
   }
+
+  test("nprobe curve: each point ties the standalone ivf search; monotone in p") {
+    val curve = Similarity.ivfNprobeCurve(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(curve.keySet == Similarity.NprobePoints.map(_.toLong).toSet)
+    val truth = Similarity.bruteForce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = truth.map(_._1).size.toLong
+    Similarity.NprobePoints.foreach { p =>
+      // the min_rn <= p slice IS the nprobe=p search: hits must equal
+      // the standalone operator's intersection with the truth
+      val standalone = Similarity.ivf(spark, sf, nprobe = p)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (gotNq, _, hits, rec) = curve(p.toLong)
+      assert(gotNq == nQ)
+      assert(hits == standalone.intersect(truth).size.toLong, s"nprobe $p hits")
+      assert(rec == hits * 1000000L / (nQ * 10L))
+    }
+    // nested slices: candidates and recall monotone non-decreasing in p
+    val byP = Similarity.NprobePoints.map(p => curve(p.toLong)).toSeq
+    byP.zip(byP.drop(1)).foreach { case ((_, c1, h1, _), (_, c2, h2, _)) =>
+      assert(c2 >= c1 && h2 >= h1)
+    }
+  }
 }

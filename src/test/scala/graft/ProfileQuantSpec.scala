@@ -396,4 +396,50 @@ class ProfileQuantSpec extends SparkSpec {
       assert(g._4.abs <= 1000000L, s"label $label cos2 out of bounds: ${g._4}")
     }
   }
+
+  test("sq recall: scala int8 dot-ranking replay; int8 search tracks the float truth") {
+    val got = Similarity.sqRecall(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // scala replay: quantize, exact-integer dots, top-10 per query
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qvecs = vecs.map { case (id, e) =>
+      val nrm = math.sqrt(e.map(x => x.toDouble * x).sum)
+      id -> e.map(x =>
+        if (nrm == 0) 0L
+        else BigDecimal(x.toDouble / nrm * 127)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toMap
+    val truth = Similarity.bruteForce(spark, sf)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val queries = qvecs.keys.filter(_ < 10).toSeq.sorted
+    assert(got.keySet == queries.map(identity).toSet)
+    queries.foreach { qid =>
+      val qv = qvecs(qid)
+      val top = vecs
+        .collect { case (id, _) if id != qid =>
+          (id, qvecs(id).zip(qv).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (id, d) => (-d, id) }
+        .take(10)
+        .map(_._1)
+        .zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }
+        .toMap
+      val bfTop = truth.collect { case (q, v, r) if q == qid => (v, r) }
+      val hits = bfTop.count { case (v, _) => top.contains(v) }.toLong
+      val bf1 = bfTop.find(_._2 == 1L).get._1
+      val rr = top.get(bf1).map(1000000L / _).getOrElse(0L)
+      val t1 = if (top.get(bf1).contains(1L)) 1L else 0L
+      assert(got(qid) == ((hits, hits * 1000000L / 10L, rr, t1)), s"query $qid")
+    }
+    // 64-dim int8 preserves cosine to ~1e-2 (pinned above), so the
+    // integer ranking must track the float truth closely
+    val meanRecall = got.values.map(_._2).sum / got.size
+    assert(meanRecall >= 700000L, s"int8 recall collapsed: $meanRecall")
+  }
 }
