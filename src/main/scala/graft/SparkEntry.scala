@@ -487,6 +487,14 @@ object SparkEntry {
     "q_markov_entropy" -> (AnalyticsExt.markovEntropy _),
     // Alpha-miner footprint relation matrix (§2 #377)
     "q_alpha_footprint" -> (AnalyticsExt.alphaFootprint _),
+    // Hill tail-index estimator of customer revenue (§2 #380)
+    "q_hill_tail" -> ((s: SparkSession, d: String) => AnalyticsExt.hillTail(s, d)),
+    // Top whole-journey trace variants (§2 #381)
+    "q_trace_variants" -> ((s: SparkSession, d: String) => AnalyticsExt.traceVariants(s, d)),
+    // Monthly CR4/CR8 customer concentration (§2 #382)
+    "q_cr_concentration" -> (AnalyticsExt.crConcentration _),
+    // Purchase-streak gaps-and-islands histogram (§2 #383)
+    "q_purchase_streaks" -> (AnalyticsExt.purchaseStreaks _),
     // CUSUM drift chart on daily revenue (§2 #284)
     "q_cusum" -> (AnalyticsExt.cusumChart _),
     // Lorenz curve by customer decile (§2 #285)
@@ -8440,6 +8448,88 @@ object SparkEntry {
          FROM g
          LEFT JOIN t f ON f.a = g.a AND f.b = g.b
          LEFT JOIN t r ON r.a = g.b AND r.b = g.a""",
+    "q_hill_tail" -> {
+      // top-(k+1) order statistics, e6-quantized ln terms (nonneg:
+      // rev >= thr), truncating H and alpha quotients
+      val k = AnalyticsExt.HillK
+      s"""WITH rev AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+           FROM orders GROUP BY 1),
+         top AS (
+           SELECT * FROM (
+             SELECT rev,
+               CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+                 AS rank
+             FROM rev) WHERE rank <= ${k + 1}),
+         thr AS (SELECT rev AS thr FROM top WHERE rank = ${k + 1}),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(thr.thr) AS BIGINT) AS thr_c,
+             CAST(sum(CAST(floor(ln(CAST(top.rev AS DOUBLE) / thr.thr) * 1000000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6
+           FROM top, thr WHERE top.rank <= $k)
+         SELECT k, thr_c, CAST(sum_e6 // k AS BIGINT) AS hill_e6,
+           CAST(CASE WHEN sum_e6 // k > 0
+                THEN 1000000000000 // (sum_e6 // k) ELSE 0 END AS BIGINT)
+             AS alpha_e6
+         FROM t"""
+    },
+    "q_trace_variants" ->
+      // whole-journey variant strings on the (ts, event_id) total order
+      """WITH v AS (
+           SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS variant,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id)
+         SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(n_events) AS BIGINT) AS max_events
+         FROM v GROUP BY variant
+         ORDER BY n_users DESC, variant LIMIT 25""",
+    "q_cr_concentration" ->
+      // month-partitioned top-8 rank + one total fold; e6 shares via
+      // HUGEINT (all positive so // == div)
+      """WITH cm AS (
+           SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+                       + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+           FROM orders GROUP BY 1, 2),
+         top AS (
+           SELECT m,
+             CAST(sum(CASE WHEN rank <= 4 THEN rev ELSE 0 END) AS BIGINT) AS top4_c,
+             CAST(sum(rev) AS BIGINT) AS top8_c
+           FROM (SELECT m, rev,
+                   row_number() OVER (PARTITION BY m
+                     ORDER BY rev DESC, o_custkey) AS rank
+                 FROM cm)
+           WHERE rank <= 8 GROUP BY 1),
+         tot AS (SELECT m, CAST(sum(rev) AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n_cust
+                 FROM cm GROUP BY 1)
+         SELECT tot.m, n_cust, total_c, top4_c, top8_c,
+           CAST(CAST(top4_c AS HUGEINT) * 1000000 // total_c AS BIGINT) AS cr4_e6,
+           CAST(CAST(top8_c AS HUGEINT) * 1000000 // total_c AS BIGINT) AS cr8_e6
+         FROM tot JOIN top USING (m)""",
+    "q_purchase_streaks" ->
+      // gaps-and-islands: island = month - dense_rank per customer
+      """WITH cm AS (
+           SELECT DISTINCT o_custkey,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m
+           FROM orders),
+         i AS (SELECT o_custkey,
+                 m - dense_rank() OVER (PARTITION BY o_custkey ORDER BY m)
+                   AS island
+               FROM cm),
+         s AS (SELECT o_custkey, island, CAST(count(*) AS BIGINT) AS len
+               FROM i GROUP BY 1, 2),
+         l AS (SELECT o_custkey, CAST(max(len) AS BIGINT) AS longest
+               FROM s GROUP BY 1)
+         SELECT longest AS streak_months, CAST(count(*) AS BIGINT) AS n_customers
+         FROM l GROUP BY 1""",
     "q_discount_elasticity" ->
       // per-brand OLS slope of qty on the e2 discount grid; HUGEINT
       // moments, sign-factored truncating e6 quotient

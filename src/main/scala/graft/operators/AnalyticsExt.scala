@@ -7667,4 +7667,157 @@ object AnalyticsExt {
                      WHEN n > 0 AND n_rev > 0 THEN 'parallel'
                      ELSE 'choice' END""").as("rel"))
   }
+
+  /** Hill-estimator order-statistic count — shared with the oracle. */
+  val HillK = 100
+
+  /** #380 Hill tail-index estimator (Hill 1975): α̂ = 1/H with
+    * H = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k customer
+    * lifetime revenues — the heavy-tail diagnostic that says whether
+    * revenue concentration is Pareto-like and HOW heavy (α ≤ 1 means
+    * the mean is tail-dominated; #180's Gini and #285's Lorenz
+    * measure inequality, Hill measures the tail LAW, which is what
+    * capacity planning and whale-risk models consume). Exact
+    * discipline: the top-(k+1) order statistics ride a rank-limited
+    * global window (WindowGroupLimit — the #13 top-k shape, never a
+    * full sort), the threshold x₍ₖ₊₁₎ is a 1-row broadcast, each
+    * ln(xᵢ/thr) term is a float of the integer cent ratio
+    * e6-quantized BEFORE the order-free sum (#119 discipline),
+    * H = Σ div k and α̂_e6 = 10¹² div H_e6 are truncating integer
+    * divisions — both engines land the identical BIGINTs.
+    */
+  def hillTail(spark: SparkSession, dir: String, k: Int = HillK): DataFrame = {
+    val rev = Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val top = rev
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k + 1)
+    val thr = top.filter(col("rank") === k + 1).select(col("rev").as("thr"))
+    top
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(thr))
+      .select(
+        col("thr"),
+        expr("CAST(floor(ln(CAST(rev AS DOUBLE) / thr) * 1000000 + 0.5) AS BIGINT)")
+          .as("term_e6"))
+      .groupBy("thr")
+      .agg(count(lit(1)).as("k"), sum("term_e6").as("sum_e6"))
+      .select(
+        col("k"),
+        col("thr").as("thr_c"),
+        expr("CAST(sum_e6 div k AS BIGINT)").as("hill_e6"),
+        expr("""CAST(CASE WHEN sum_e6 div k > 0
+                     THEN 1000000000000 div (sum_e6 div k) ELSE 0 END AS BIGINT)""")
+          .as("alpha_e6"))
+  }
+
+  /** #381 Top trace variants (the process-mining variant explorer):
+    * each user's FULL ordered event-type sequence as one path string,
+    * grouped and ranked — the view every conformance discussion
+    * starts from ("80% of users follow 6 variants; the tail is the
+    * interesting part"). #251 ranks session OPENINGS, this ranks
+    * whole-journey variants. Sequence assembled inside one per-user
+    * aggregate (collect_list of (ts, event_id, type) structs,
+    * array_sort on the same total order as every sequence op, then a
+    * transform+join — per-key state bounded by a user's activity, the
+    * #195 contract); top-25 by (n_users desc, variant) is a
+    * TakeOrdered, no global window.
+    */
+  def traceVariants(spark: SparkSession, dir: String, topK: Int = 25): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        expr("""array_join(
+                  transform(
+                    array_sort(collect_list(struct(ts, event_id, event_type))),
+                    x -> x.event_type),
+                  '>')""").as("variant"),
+        count(lit(1)).as("n_events"))
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_users"),
+        max("n_events").as("max_events"))
+      .orderBy(col("n_users").desc, col("variant"))
+      .limit(topK)
+
+  /** #382 Monthly customer-concentration ratios (CR4 / CR8): per
+    * month, the revenue share of the top-4 and top-8 customers — the
+    * antitrust-style concentration read beside #246's HHI (CRk is
+    * what sales leadership actually quotes: "our top 4 accounts are
+    * 31% of the month"), trended monthly so concentration CREEP is
+    * visible. Top-8 per month rides a month-partitioned
+    * WindowGroupLimit (the #13 top-k-per-group shape — never a full
+    * within-month sort at any scale); month totals come from one
+    * aggregate; shares are truncating e6 quotients through
+    * DECIMAL(38,0). ≤#months output rows.
+    */
+  def crConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("m", "o_custkey")
+      .agg(sum("c").as("rev"))
+    val w = Window.partitionBy("m").orderBy(col("rev").desc, col("o_custkey"))
+    val top = cm
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 8)
+      .groupBy("m")
+      .agg(
+        sum(when(col("rank") <= 4, col("rev")).otherwise(0L)).as("top4_c"),
+        sum(col("rev")).as("top8_c"))
+    val tot = cm.groupBy("m").agg(sum("rev").as("total_c"), count(lit(1)).as("n_cust"))
+    tot
+      .join(top, "m")
+      .select(
+        col("m"),
+        col("n_cust"),
+        col("total_c"),
+        col("top4_c"),
+        col("top8_c"),
+        expr("CAST(CAST(top4_c AS DECIMAL(38,0)) * 1000000 div total_c AS BIGINT)")
+          .as("cr4_e6"),
+        expr("CAST(CAST(top8_c AS DECIMAL(38,0)) * 1000000 div total_c AS BIGINT)")
+          .as("cr8_e6"))
+  }
+
+  /** #383 Purchase-streak distribution (gaps-and-islands): per
+    * customer, the longest run of CONSECUTIVE active months, rolled
+    * up into a streak-length histogram — the habit-formation read
+    * #270's stickiness ratio can't give (DAU/WAU is a point ratio;
+    * streaks measure persistence, the strongest simple churn
+    * predictor in subscription analytics). The classic SQL
+    * construction kept exact: island id = month − dense_rank(month)
+    * per customer (consecutive months share an island), streak = max
+    * island size per customer. All windows partitioned BY CUSTOMER
+    * (a customer's months, never the table); the histogram fold is
+    * one ≤max-streak aggregate.
+    */
+  def purchaseStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("m")
+    cm.withColumn("island", col("m") - dense_rank().over(w))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("o_custkey")
+      .agg(max("len").as("longest"))
+      .groupBy(col("longest").as("streak_months"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
 }

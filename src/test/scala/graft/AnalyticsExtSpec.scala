@@ -4067,4 +4067,120 @@ class AnalyticsExtSpec extends SparkSpec {
       }), s"($a,$b) mirror")
     }
   }
+
+  test("hill tail: order-statistic + quantized ln-term replay; alpha inverts H") {
+    val r = AnalyticsExt.hillTail(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val revs = graft.Tables
+      .orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1)
+      .map { case (c, xs) => (c, xs.map(_._2).sum) }
+      .toSeq
+      .sortBy { case (c, v) => (-v, c) }
+    val k = AnalyticsExt.HillK
+    assert(revs.length > k)
+    val thr = revs(k)._2
+    val sum = revs.take(k).map { case (_, v) =>
+      math.floor(math.log(v.toDouble / thr) * 1e6 + 0.5).toLong
+    }.sum
+    val hill = sum / k
+    assert(row.getAs[Long]("k") == k.toLong)
+    assert(row.getAs[Long]("thr_c") == thr)
+    assert(row.getAs[Long]("hill_e6") == hill)
+    assert(row.getAs[Long]("alpha_e6") ==
+      (if (hill > 0) 1000000000000L / hill else 0L))
+    // all terms nonnegative by the order-statistic contract
+    assert(hill >= 0L)
+  }
+
+  test("trace variants: per-user journey strings replay; top set exact with tiebreak") {
+    val got = AnalyticsExt
+      .traceVariants(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byUser = graft.Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+      .map { case (u, xs) =>
+        val seq = xs.map(_._2).sortBy { case (ts, id, _) => (ts, id) }
+        (u, seq.map(_._3).mkString(">"), seq.length.toLong)
+      }
+    val want = byUser
+      .groupBy(_._2)
+      .map { case (v, xs) => (v, xs.size.toLong, xs.map(_._3).max) }
+      .toSeq
+      .sortBy { case (v, n, _) => (-n, v) }
+      .take(25)
+    assert(got.toSeq == want)
+  }
+
+  test("cr concentration: month replay; CR4 <= CR8 <= 1e6; small months saturate") {
+    val got = AnalyticsExt
+      .crConcentration(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))))
+      .toMap
+    val cm = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }
+      .toSeq
+    assert(got.keySet == cm.map(_._1._1).toSet)
+    cm.groupBy(_._1._1).foreach { case (m, rows) =>
+      val byCust = rows.map { case ((_, c), v) => (c, v) }.sortBy { case (c, v) => (-v, c) }
+      val total = byCust.map(_._2).sum
+      val top4 = byCust.take(4).map(_._2).sum
+      val top8 = byCust.take(8).map(_._2).sum
+      val (nC, tot, t4, t8, cr4, cr8) = got(m)
+      assert(nC == byCust.length.toLong && tot == total && t4 == top4 && t8 == top8,
+        s"month $m")
+      assert(cr4 == (BigInt(top4) * 1000000 / BigInt(total)).toLong)
+      assert(cr8 == (BigInt(top8) * 1000000 / BigInt(total)).toLong)
+      assert(cr4 <= cr8 && cr8 <= 1000000L)
+      if (byCust.length <= 4) assert(cr4 == 1000000L, s"month $m should saturate")
+    }
+  }
+
+  test("purchase streaks: gaps-and-islands replay; histogram conserves customers") {
+    val got = AnalyticsExt
+      .purchaseStreaks(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val cm = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .distinct
+      .groupBy(_._1)
+    val want = cm.map { case (_, xs) =>
+      val ms = xs.map(_._2).sorted
+      // longest run of consecutive months
+      var best = 1L; var cur = 1L
+      ms.zip(ms.drop(1)).foreach { case (a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1L
+        best = math.max(best, cur)
+      }
+      best
+    }.groupBy(identity).map { case (len, xs) => len -> xs.size.toLong }
+    assert(got == want)
+    assert(got.values.sum == cm.size.toLong)
+  }
 }
