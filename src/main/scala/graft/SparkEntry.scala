@@ -495,6 +495,10 @@ object SparkEntry {
     "q_cr_concentration" -> (AnalyticsExt.crConcentration _),
     // Purchase-streak gaps-and-islands histogram (§2 #383)
     "q_purchase_streaks" -> (AnalyticsExt.purchaseStreaks _),
+    // Markov removal-effect attribution (§2 #384)
+    "q_markov_attribution" -> ((s: SparkSession, d: String) => AnalyticsExt.markovAttribution(s, d)),
+    // Edge embeddedness / tie strength (§2 #385)
+    "q_edge_embeddedness" -> ((s: SparkSession, d: String) => AnalyticsExt.edgeEmbeddedness(s, d)),
     // CUSUM drift chart on daily revenue (§2 #284)
     "q_cusum" -> (AnalyticsExt.cusumChart _),
     // Lorenz curve by customer decile (§2 #285)
@@ -8530,6 +8534,34 @@ object SparkEntry {
                FROM s GROUP BY 1)
          SELECT longest AS streak_months, CAST(count(*) AS BIGINT) AS n_customers
          FROM l GROUP BY 1""",
+    "q_markov_attribution" -> markovAttrOracle,
+    "q_edge_embeddedness" ->
+      // common neighbors of ADJACENT pairs via the oriented wedge
+      // join; Jaccard over the endpoint-excluded union, e6 truncating
+      """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM po a JOIN po b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         cn AS (
+           SELECT x.v AS pa, y.v AS pb, CAST(count(*) AS BIGINT) AS cn
+           FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+           JOIN e ON e.pa = x.v AND e.pb = y.v
+           GROUP BY 1, 2)
+         SELECT e.pa, e.pb, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(coalesce(cn.cn, 0) AS BIGINT) AS cn,
+           CAST(CASE WHEN da.deg + db.deg - 2 - coalesce(cn.cn, 0) > 0
+                THEN coalesce(cn.cn, 0) * 1000000
+                     // (da.deg + db.deg - 2 - coalesce(cn.cn, 0))
+                ELSE 0 END AS BIGINT) AS emb_e6
+         FROM e
+         LEFT JOIN cn ON cn.pa = e.pa AND cn.pb = e.pb
+         JOIN deg da ON da.u = e.pa
+         JOIN deg db ON db.u = e.pb
+         ORDER BY emb_e6 DESC, e.pa, e.pb LIMIT 100""",
     "q_discount_elasticity" ->
       // per-brand OLS slope of qty on the e2 discount grid; HUGEINT
       // moments, sign-factored truncating e6 quotient
@@ -9400,5 +9432,70 @@ object SparkEntry {
                 > 4 * CAST(ml.m AS HUGEINT) * fb.sum_mc - fb.sum_deg2 AS BIGINT)
              AS lpa_wins
          FROM ml, fl, fb"""
+  }
+
+  /** Generated Markov-attribution replay: journey truncation + START/
+    * NULL framing per user, scenario edge redirection, and exactly
+    * [[graft.operators.AnalyticsExt.MarkovAttrRounds]] unrolled
+    * propagation rounds of the quantized trajectory mass·n // n_from
+    * — the same integer steps the Spark loop takes.
+    */
+  private def markovAttrOracle: String = {
+    val rounds = graft.operators.AnalyticsExt.MarkovAttrRounds
+    val roundCtes = (1 to rounds)
+      .map { i =>
+        val prev = s"m${i - 1}"
+        s"""m$i AS MATERIALIZED (
+           SELECT se.scenario, se.b AS state,
+             CAST(sum(p.mass * se.n // se.n_from) AS BIGINT) AS mass
+           FROM se JOIN $prev p ON p.scenario = se.scenario AND p.state = se.a
+           GROUP BY 1, 2)"""
+      }
+      .mkString(",\n         ")
+    s"""WITH seqs AS (
+           SELECT list(event_type ORDER BY ts, event_id) AS t0
+           FROM events GROUP BY user_id),
+         j1 AS (SELECT CASE WHEN list_position(t0, 'purchase') IS NOT NULL
+                        THEN t0[1:list_position(t0, 'purchase')] ELSE t0 END AS t1
+                FROM seqs),
+         j2 AS (SELECT ['START'] || t1 ||
+                  (CASE WHEN t1[-1] <> 'purchase' THEN ['NULL']
+                        ELSE CAST([] AS VARCHAR[]) END) AS t
+                FROM j1),
+         tr AS (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM j2),
+         e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+         ch AS (SELECT DISTINCT s AS removed
+                FROM (SELECT a AS s FROM e UNION ALL SELECT b FROM e)
+                WHERE s NOT IN ('START', 'NULL', 'purchase')),
+         sc AS (SELECT removed FROM ch UNION ALL SELECT 'base'),
+         se0 AS (
+           SELECT sc.removed AS scenario, e.a,
+             CASE WHEN e.b = sc.removed THEN 'NULL' ELSE e.b END AS b, e.n
+           FROM e, sc WHERE e.a <> sc.removed),
+         se1 AS (SELECT scenario, a, b, CAST(sum(n) AS BIGINT) AS n
+                 FROM se0 GROUP BY 1, 2, 3
+                 UNION ALL
+                 SELECT sc.removed, s.st, s.st, CAST(1 AS BIGINT)
+                 FROM sc, (VALUES ('purchase'), ('NULL')) s(st)),
+         se AS (SELECT scenario, a, b, n,
+                  CAST(sum(n) OVER (PARTITION BY scenario, a) AS BIGINT) AS n_from
+                FROM se1),
+         m0 AS (SELECT removed AS scenario, 'START' AS state,
+                  CAST(1000000 AS BIGINT) AS mass FROM sc),
+         $roundCtes,
+         conv AS (SELECT sc.removed AS scenario,
+                    CAST(coalesce(m.mass, 0) AS BIGINT) AS conv_e6
+                  FROM sc LEFT JOIN m$rounds m
+                    ON m.scenario = sc.removed AND m.state = 'purchase'),
+         base AS (SELECT conv_e6 AS base_conv_e6 FROM conv WHERE scenario = 'base'),
+         eff AS (SELECT c.scenario AS channel, b.base_conv_e6,
+                   c.conv_e6 AS removed_conv_e6,
+                   CAST(b.base_conv_e6 - c.conv_e6 AS BIGINT) AS effect_e6
+                 FROM conv c, base b WHERE c.scenario <> 'base'),
+         tot AS (SELECT CAST(sum(effect_e6) AS BIGINT) AS sum_eff FROM eff)
+         SELECT channel, base_conv_e6, removed_conv_e6, effect_e6,
+           CAST(CASE WHEN sum_eff > 0 THEN effect_e6 * 1000000 // sum_eff
+                ELSE 0 END AS BIGINT) AS attribution_e6
+         FROM eff, tot"""
   }
 }

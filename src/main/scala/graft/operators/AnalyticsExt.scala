@@ -7802,6 +7802,157 @@ object AnalyticsExt {
     * (a customer's months, never the table); the histogram fold is
     * one ≤max-streak aggregate.
     */
+  /** Markov-attribution contract constants — shared with the oracle
+    * builder: fixed propagation rounds (the LPA-style determinism
+    * contract) and the absorbing conversion state.
+    */
+  val MarkovAttrRounds = 6
+
+  /** #384 Markov removal-effect attribution (Anderl et al. 2014 —
+    * the data-driven multi-touch attribution standard): model user
+    * journeys as a first-order chain START → events → absorption at
+    * the first `purchase` (or NULL when the journey ends without
+    * one); a channel's credit is its REMOVAL EFFECT — how much total
+    * conversion probability dies when every path through that channel
+    * is cut — normalized into attribution shares. The causal-flavored
+    * answer to the heuristic #178 U-shape (which pays fixed
+    * positional credit no matter what the paths actually needed).
+    *
+    * Exactness contract: journey truncation at the first purchase +
+    * START/NULL framing happen inside one per-user aggregate (#195's
+    * activity-bounded state); the chain is the integer edge count
+    * matrix; propagation runs EXACTLY [[MarkovAttrRounds]] synchronous
+    * rounds of massₑ₆·n div n_from (the #253 quantized-trajectory
+    * recipe — both engines replay the identical integer trajectory),
+    * absorbing states carry n = n_from = 1 self-loops so absorbed
+    * mass is held exactly; conv = mass at `purchase` after the fixed
+    * rounds. Removal redirects every edge INTO the channel to NULL
+    * and drops the channel's outgoing edges — margins of surviving
+    * edges unchanged, so removed-conv ≤ base-conv holds round-by-
+    * round (monotonicity of truncating division; spec-pinned).
+    *
+    * Scale: the data-scale work is ONE per-user aggregate down to the
+    * alphabet²-bounded edge-count matrix (≤ (types+3)² rows — the
+    * whitelisted bounded-model-state pattern k-means training uses,
+    * `Similarity.scala` collect sites); scenarios and all propagation
+    * rounds fold driver-side on that matrix — distributing 6 rounds
+    * of ≤64-row shuffles would be pure scheduler overhead (measured
+    * 7.6 s distributed vs ~1.5 s folded at sf0.1).
+    */
+  def markovAttribution(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = MarkovAttrRounds): DataFrame = {
+    val seqs = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+        .as("t0"))
+      .select(expr("""CASE WHEN array_position(t0, 'purchase') > 0
+                      THEN slice(t0, 1, CAST(array_position(t0, 'purchase') AS INT))
+                      ELSE t0 END""").as("t1"))
+      .select(expr("""concat(array('START'), t1,
+                      CASE WHEN element_at(t1, -1) <> 'purchase'
+                      THEN array('NULL') ELSE array() END)""").as("t"))
+    // alphabet²-bounded model state: the chain's integer count matrix
+    val edges = seqs
+      .select(explode(expr(
+        """transform(slice(t, 1, size(t) - 1),
+             (x, i) -> named_struct('a', x, 'b', element_at(t, i + 2)))""")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val channels = (edges.keys.flatMap { case (a, b) => Seq(a, b) }.toSet
+      -- Set("START", "NULL", "purchase")).toSeq.sorted
+    def convFor(removed: Option[String]): Long = {
+      val redirected = edges.toSeq
+        .filter { case ((a, _), _) => !removed.contains(a) }
+        .map { case ((a, b), n) => ((a, if (removed.contains(b)) "NULL" else b), n) }
+        .groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).sum }
+      val withLoops =
+        redirected ++ Map(("purchase", "purchase") -> 1L, ("NULL", "NULL") -> 1L)
+      val nFrom = withLoops.groupBy(_._1._1).map { case (a, xs) => a -> xs.values.sum }
+      var mass = Map("START" -> 1000000L)
+      for (_ <- 1 to rounds) {
+        mass = withLoops.toSeq
+          .flatMap { case ((a, b), n) => mass.get(a).map(m => b -> m * n / nFrom(a)) }
+          .groupBy(_._1)
+          .map { case (b, xs) => b -> xs.map(_._2).sum }
+      }
+      mass.getOrElse("purchase", 0L)
+    }
+    val base = convFor(None)
+    val effects = channels.map(c => (c, base - convFor(Some(c))))
+    val sumEff = effects.map(_._2).sum
+    import spark.implicits._
+    effects
+      .map { case (c, eff) =>
+        (c, base, base - eff, eff, if (sumEff > 0) eff * 1000000L / sumEff else 0L)
+      }
+      .toDF("channel", "base_conv_e6", "removed_conv_e6", "effect_e6", "attribution_e6")
+  }
+
+  /** #385 Edge embeddedness (Granovetter tie strength on the
+    * co-purchase graph): for each support-2 edge, the Jaccard overlap
+    * of its endpoints' neighborhoods — cn div (deg_a + deg_b − 2 −
+    * cn), common neighbors over the union excluding the endpoints
+    * themselves — the classic strong-tie/weak-tie score: embedded
+    * edges live inside communities (#366's seams), zero-embeddedness
+    * edges are the BRIDGES information actually crosses. #176 counts
+    * triangles per graph, #283 scores NON-edges; this scores the
+    * edges themselves. Common neighbors via the oriented wedge join
+    * on the support-filtered edge set (Σdeg² bounded by the support
+    * filter, the #176 shape); top-100 by (emb desc, pair) rides
+    * WindowGroupLimit. Isolated edges (both endpoints degree 1) have
+    * an empty union — scored 0 by convention, documented here.
+    */
+  def edgeEmbeddedness(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val po =
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = po
+      .select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("pa", "pb")
+      .localCheckpoint(eager = false)
+    val adj = e
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val cn = adj
+      .select(col("u"), col("v").as("x"))
+      .join(adj.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("pa"), col("y").as("pb"))
+      .join(e, Seq("pa", "pb"), "left_semi")
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("cn"))
+    e.join(cn, Seq("pa", "pb"), "left")
+      .na
+      .fill(0L, Seq("cn"))
+      .join(deg.select(col("u").as("pa"), col("deg").as("deg_a")), "pa")
+      .join(deg.select(col("u").as("pb"), col("deg").as("deg_b")), "pb")
+      .select(
+        col("pa"),
+        col("pb"),
+        col("deg_a"),
+        col("deg_b"),
+        col("cn"),
+        expr("""CAST(CASE WHEN deg_a + deg_b - 2 - cn > 0
+                     THEN cn * 1000000 div (deg_a + deg_b - 2 - cn)
+                     ELSE 0 END AS BIGINT)""").as("emb_e6"))
+      .orderBy(col("emb_e6").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
   def purchaseStreaks(spark: SparkSession, dir: String): DataFrame = {
     val cm = Tables
       .orders(spark, dir)

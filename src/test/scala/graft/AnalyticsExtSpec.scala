@@ -4155,6 +4155,94 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
+  test("markov attribution: full integer-trajectory replay; removal never helps; shares bounded") {
+    val got = AnalyticsExt
+      .markovAttribution(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // scala replay: journeys -> truncation -> edges -> scenarios -> rounds
+    val journeys = graft.Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+      .values
+      .map { xs =>
+        val seq = xs.map(_._2).toSeq.sortBy { case (ts, id, _) => (ts, id) }.map(_._3)
+        val cut = seq.indexOf("purchase") match {
+          case -1 => seq
+          case i => seq.take(i + 1)
+        }
+        ("START" +: cut) ++ (if (cut.last != "purchase") Seq("NULL") else Seq())
+      }
+    val edges = journeys
+      .flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val channels = edges.keys
+      .flatMap { case (a, b) => Seq(a, b) }
+      .toSet -- Set("START", "NULL", "purchase")
+    def convFor(removed: Option[String]): Long = {
+      val redirected = edges.toSeq
+        .filter { case ((a, _), _) => !removed.contains(a) }
+        .map { case ((a, b), n) => ((a, if (removed.contains(b)) "NULL" else b), n) }
+        .groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).sum }
+      val withLoops = redirected ++ Map(("purchase", "purchase") -> 1L, ("NULL", "NULL") -> 1L)
+      val nFrom = withLoops.groupBy(_._1._1).map { case (a, xs) => a -> xs.values.sum }
+      var mass = Map("START" -> 1000000L)
+      for (_ <- 1 to AnalyticsExt.MarkovAttrRounds) {
+        mass = withLoops.toSeq
+          .flatMap { case ((a, b), n) =>
+            mass.get(a).map(m => b -> m * n / nFrom(a))
+          }
+          .groupBy(_._1)
+          .map { case (b, xs) => b -> xs.map(_._2).sum }
+      }
+      mass.getOrElse("purchase", 0L)
+    }
+    val base = convFor(None)
+    val effects = channels.map(c => c -> (base - convFor(Some(c)))).toMap
+    val sumEff = effects.values.sum
+    assert(got.keySet == channels)
+    channels.foreach { c =>
+      val (b, rc, eff, attr) = got(c)
+      assert(b == base, s"channel $c base")
+      assert(rc == base - effects(c), s"channel $c removed conv")
+      assert(eff == effects(c) && eff >= 0L, s"channel $c effect (removal must not help)")
+      assert(attr == (if (sumEff > 0) effects(c) * 1000000L / sumEff else 0L))
+    }
+    // shares sum to <= 1e6 (floor loss < #channels)
+    val shareSum = got.values.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - channels.size)
+  }
+
+  test("edge embeddedness: neighborhood-Jaccard replay on the support-2 graph; top set exact") {
+    val got = AnalyticsExt
+      .edgeEmbeddedness(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (edges, _) = copurchaseGraph()
+    val nbrs = edges.keys
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val scored = edges.keys.toSeq.map { case (a, b) =>
+      val cn = (nbrs(a) intersect nbrs(b)).size.toLong
+      val den = nbrs(a).size + nbrs(b).size - 2 - cn
+      val emb = if (den > 0) cn * 1000000L / den else 0L
+      (a, b, nbrs(a).size.toLong, nbrs(b).size.toLong, cn, emb)
+    }
+    val want = scored.sortBy { case (a, b, _, _, _, e) => (-e, a, b) }.take(100)
+    assert(got.toSeq == want)
+    // cn never exceeds either endpoint's external degree
+    got.foreach { case (_, _, da, db, cn, _) =>
+      assert(cn <= da - 1 && cn <= db - 1)
+    }
+  }
+
   test("purchase streaks: gaps-and-islands replay; histogram conserves customers") {
     val got = AnalyticsExt
       .purchaseStreaks(spark, sf)
