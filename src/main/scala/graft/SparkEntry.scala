@@ -499,6 +499,10 @@ object SparkEntry {
     "q_markov_attribution" -> ((s: SparkSession, d: String) => AnalyticsExt.markovAttribution(s, d)),
     // Edge embeddedness / tie strength (§2 #385)
     "q_edge_embeddedness" -> ((s: SparkSession, d: String) => AnalyticsExt.edgeEmbeddedness(s, d)),
+    // Temperature-scaled mixture sweep (§2 #386)
+    "q_alpha_mixture" -> (Sampling.alphaMixture _),
+    // Syntetos-Boylan demand-class quadrants (§2 #387)
+    "q_demand_classes" -> (AnalyticsExt.demandClasses _),
     // CUSUM drift chart on daily revenue (§2 #284)
     "q_cusum" -> (AnalyticsExt.cusumChart _),
     // Lorenz curve by customer decile (§2 #285)
@@ -8535,6 +8539,65 @@ object SparkEntry {
          SELECT longest AS streak_months, CAST(count(*) AS BIGINT) AS n_customers
          FROM l GROUP BY 1""",
     "q_markov_attribution" -> markovAttrOracle,
+    "q_alpha_mixture" -> {
+      // n_max-relative pow ratios e6-quantized per source, then pure
+      // integer weight/effective-count quotients; same alpha sweep as
+      // Sampling.AlphaPointsE1
+      val avals = Sampling.AlphaPointsE1.map(a => s"($a)").mkString(", ")
+      s"""WITH t AS (
+           SELECT source,
+             CAST(sum(len(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         mx AS (SELECT CAST(max(n_tokens) AS BIGINT) AS n_max FROM t),
+         al AS (SELECT CAST(a AS BIGINT) AS alpha_e1 FROM (VALUES $avals) v(a)),
+         r AS (
+           SELECT al.alpha_e1, t.source, t.n_tokens,
+             CAST(floor(pow(CAST(t.n_tokens AS DOUBLE) / mx.n_max,
+                            CAST(al.alpha_e1 AS DOUBLE) / 10) * 1000000 + 0.5)
+               AS BIGINT) AS r_e6
+           FROM t, mx, al),
+         tot AS (
+           SELECT alpha_e1, CAST(sum(r_e6) AS BIGINT) AS sum_r,
+             CAST(CAST(sum(r_e6) AS HUGEINT) * sum(r_e6) * 1000000
+                  // sum(CAST(r_e6 AS HUGEINT) * r_e6) AS BIGINT) AS eff_sources_e6
+           FROM r GROUP BY 1)
+         SELECT r.alpha_e1, r.source, r.n_tokens, r.r_e6,
+           CAST(CAST(r.r_e6 AS HUGEINT) * 1000000 // tot.sum_r AS BIGINT)
+             AS weight_e6,
+           tot.eff_sources_e6
+         FROM r JOIN tot USING (alpha_e1)"""
+    },
+    "q_demand_classes" ->
+      // SBC quadrants via cross-multiplied ADI/CV2 cutoffs, HUGEINT
+      """WITH daily AS (
+           SELECT l_partkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+         per AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(day) - min(day) AS BIGINT) AS span,
+             CAST(sum(q) AS BIGINT) AS s,
+             sum(CAST(q AS HUGEINT) * q) AS sq2
+           FROM daily GROUP BY 1),
+         cls AS (
+           SELECT s,
+             CASE WHEN n < 2 THEN 'single_day'
+                  WHEN CAST(span AS HUGEINT) * 100 < 132 * (n - 1) THEN
+                    CASE WHEN (n * sq2 - CAST(s AS HUGEINT) * s) * 100
+                              < 49 * CAST(s AS HUGEINT) * s
+                         THEN 'smooth' ELSE 'erratic' END
+                  ELSE
+                    CASE WHEN (n * sq2 - CAST(s AS HUGEINT) * s) * 100
+                              < 49 * CAST(s AS HUGEINT) * s
+                         THEN 'intermittent' ELSE 'lumpy' END END AS quadrant
+           FROM per)
+         SELECT quadrant, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(s) AS BIGINT) AS total_qty
+         FROM cls GROUP BY 1""",
     "q_edge_embeddedness" ->
       // common neighbors of ADJACENT pairs via the oriented wedge
       // join; Jaccard over the endpoint-excluded union, e6 truncating

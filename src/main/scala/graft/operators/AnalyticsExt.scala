@@ -7953,6 +7953,57 @@ object AnalyticsExt {
       .limit(topK)
   }
 
+  /** #387 Syntetos–Boylan demand classification (the SBC quadrants —
+    * Syntetos, Boylan & Croston 2005): each part classified smooth /
+    * intermittent / erratic / lumpy from ADI (mean inter-demand
+    * interval) vs the 1.32 cutoff and CV² (squared coefficient of
+    * variation of daily demand sizes) vs 0.49 — the decision table
+    * that says WHICH forecaster to run (#316's Croston only earns its
+    * keep in the intermittent/lumpy quadrants; smooth parts belong to
+    * #250's Holt). Both tests exact by cross-multiplication on the
+    * integer grid: ADI = span/(n−1) < 1.32 becomes span·100 <
+    * 132·(n−1), CV² = (nΣq²−S²)/S² < 0.49 becomes (nΣq²−S²)·100 <
+    * 49·S², every product through DECIMAL(38,0)↔HUGEINT. One
+    * (part, day) aggregate + one per-part moment fold + a ≤4-row
+    * quadrant rollup (with total demand so the rollup shows where the
+    * VOLUME sits, not just the part count); parts with a single
+    * demand day have no interval — reported as their own
+    * 'single_day' class rather than silently dropped.
+    */
+  def demandClasses(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "day")
+      .agg(sum("q").as("q"))
+    val per = daily
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n"),
+        (max("day") - min("day")).as("span"),
+        sum("q").as("s"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq2"))
+    per
+      .select(
+        col("l_partkey"),
+        col("s"),
+        expr("""CASE WHEN n < 2 THEN 'single_day'
+                WHEN CAST(span AS DECIMAL(38,0)) * 100 < 132 * (n - 1) THEN
+                  CASE WHEN (n * sq2 - CAST(s AS DECIMAL(38,0)) * s) * 100
+                            < 49 * CAST(s AS DECIMAL(38,0)) * s
+                       THEN 'smooth' ELSE 'erratic' END
+                ELSE
+                  CASE WHEN (n * sq2 - CAST(s AS DECIMAL(38,0)) * s) * 100
+                            < 49 * CAST(s AS DECIMAL(38,0)) * s
+                       THEN 'intermittent' ELSE 'lumpy' END END""").as("quadrant"))
+      .groupBy("quadrant")
+      .agg(count(lit(1)).as("n_parts"), sum("s").as("total_qty"))
+  }
+
   def purchaseStreaks(spark: SparkSession, dir: String): DataFrame = {
     val cm = Tables
       .orders(spark, dir)

@@ -742,4 +742,64 @@ object Sampling {
         expr("""CAST(CAST(d_max AS DECIMAL(38,0)) * 1000000
                  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""").as("ks_e6"))
   }
+
+  /** Temperature settings swept by [[alphaMixture]] (α·10, shared
+    * with the oracle's VALUES table).
+    */
+  val AlphaPointsE1: Seq[Int] = Seq(3, 5, 7, 10)
+
+  /** #386 Temperature-scaled mixture sweep (the multilingual/
+    * multi-source LM sampling standard — mT5/XLM-R's p_i ∝ n_i^α):
+    * per temperature α ∈ {0.3, 0.5, 0.7, 1.0}, each source's sampling
+    * weight AND the mixture's effective source count (inverse Simpson
+    * (Σr)²/Σr²) — the flattening CURVE behind #77's single-α pick:
+    * α = 1 mirrors the corpus (head sources dominate), α → 0
+    * approaches uniform (tail sources over-sampled into repetition),
+    * and the effective-count column is the one number that says what
+    * each α actually buys. Exactness: scale-free ratios r_i =
+    * (n_i/n_max)^α as floats of integer token ratios, e6-quantized
+    * per source BEFORE any normalization (#119 discipline — both
+    * engines pow the same doubles; the n_max-relative form keeps
+    * every r in (0,1] so ONE quantum fits all α); weights and
+    * effective count are then pure integer truncating quotients of
+    * the quantized r's. One per-source aggregate + ≤sources×α fold.
+    */
+  def alphaMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+    val mx = per.agg(max("n_tokens").as("n_max"))
+    val alphas = AlphaPointsE1.map(a => a.toLong).toDF("alpha_e1")
+    val r = per
+      .crossJoin(broadcast(mx))
+      .crossJoin(broadcast(alphas))
+      .select(
+        col("alpha_e1"),
+        col("source"),
+        col("n_tokens"),
+        expr("""CAST(floor(pow(CAST(n_tokens AS DOUBLE) / n_max,
+                               CAST(alpha_e1 AS DOUBLE) / 10) * 1000000 + 0.5)
+                AS BIGINT)""").as("r_e6"))
+    val tot = r
+      .groupBy("alpha_e1")
+      .agg(
+        sum("r_e6").as("sum_r"),
+        sum(expr("CAST(r_e6 AS DECIMAL(38,0)) * r_e6")).as("sum_r2"))
+      .select(
+        col("alpha_e1"),
+        col("sum_r"),
+        expr("""CAST(CAST(sum_r AS DECIMAL(38,0)) * sum_r * 1000000
+                 div sum_r2 AS BIGINT)""").as("eff_sources_e6"))
+    r.join(tot, "alpha_e1")
+      .select(
+        col("alpha_e1"),
+        col("source"),
+        col("n_tokens"),
+        col("r_e6"),
+        expr("CAST(CAST(r_e6 AS DECIMAL(38,0)) * 1000000 div sum_r AS BIGINT)")
+          .as("weight_e6"),
+        col("eff_sources_e6"))
+  }
 }

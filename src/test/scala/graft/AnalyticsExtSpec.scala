@@ -4243,6 +4243,46 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
+  test("demand classes: SBC quadrant replay; cross-multiplied cutoffs; parts conserve") {
+    val got = AnalyticsExt.demandClasses(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val daily = graft.Tables.lineitem(spark, sf)
+      .selectExpr(
+        "l_partkey",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }
+      .toSeq
+    val want = daily
+      .groupBy(_._1._1)
+      .toSeq
+      .map { case (_, xs) =>
+        val days = xs.map(_._1._2)
+        val qs = xs.map(_._2)
+        val n = BigInt(qs.length)
+        val span = BigInt(days.max - days.min)
+        val s = qs.map(BigInt(_)).sum
+        val sq2 = qs.map(q => BigInt(q) * q).sum
+        val lowCv = (n * sq2 - s * s) * 100 < 49 * s * s
+        val quadrant =
+          if (n < 2) "single_day"
+          else if (span * 100 < 132 * (n - 1)) { if (lowCv) "smooth" else "erratic" }
+          else { if (lowCv) "intermittent" else "lumpy" }
+        (quadrant, s.toLong)
+      }
+      .groupBy(_._1)
+      .map { case (qd, xs) => qd -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(got == want)
+    val nParts = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey").distinct().count()
+    assert(got.values.map(_._1).sum == nParts)
+  }
+
   test("purchase streaks: gaps-and-islands replay; histogram conserves customers") {
     val got = AnalyticsExt
       .purchaseStreaks(spark, sf)

@@ -364,4 +364,42 @@ class SamplingSpec extends SparkSpec {
     }
     assert(rows.size == 3)
   }
+
+  test("alpha mixture: quantized pow-ratio replay; alpha=1 mirrors corpus; flattening monotone") {
+    val got = Sampling.alphaMixture(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("source",
+        "size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS nt")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sum }
+    val nMax = toks.values.max
+    Sampling.AlphaPointsE1.foreach { a =>
+      val rs = toks.map { case (s, n) =>
+        s -> math.floor(math.pow(n.toDouble / nMax, a / 10.0) * 1e6 + 0.5).toLong
+      }
+      val sumR = rs.values.sum
+      val sumR2 = rs.values.map(r => BigInt(r) * r).sum
+      val eff = (BigInt(sumR) * sumR * 1000000 / sumR2).toLong
+      toks.keys.foreach { s =>
+        val (nt, rE6, wE6, effG) = got((a.toLong, s))
+        assert(nt == toks(s) && rE6 == rs(s), s"alpha $a source $s")
+        assert(wE6 == (BigInt(rs(s)) * 1000000 / sumR).toLong)
+        assert(effG == eff)
+      }
+    }
+    // the flattening contract: effective source count non-increasing in alpha
+    val effByAlpha = Sampling.AlphaPointsE1.map(a => got((a.toLong, toks.keys.head))._4)
+    effByAlpha.zip(effByAlpha.drop(1)).foreach { case (lo, hi) => assert(lo >= hi) }
+    // alpha = 1 mirrors the raw token shares (up to the r-grid quantization)
+    val w1 = got((10L, toks.keys.head))._3
+    val exact = (BigInt(toks(toks.keys.head)) * 1000000 /
+      BigInt(toks.values.sum)).toLong
+    assert(math.abs(w1 - exact) <= 25, s"alpha=1 weight $w1 vs corpus share $exact")
+  }
 }
