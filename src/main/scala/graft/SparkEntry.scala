@@ -294,6 +294,12 @@ object SparkEntry {
     "ann_ivf_nprobe_curve" -> ((s: SparkSession, d: String) => Similarity.ivfNprobeCurve(s, d)),
     // Int8 search + recall scorecard for #52 (§2 #379)
     "ann_sq_recall" -> (Similarity.sqRecall _),
+    // LSH recall-vs-tables curve (§2 #388)
+    "ann_lsh_tables_curve" -> (Similarity.lshTablesCurve _),
+    // MinHash banding advisor over the (b,r) factorizations (§2 #389)
+    "dedup_banding_advisor" -> ((s: SparkSession, _: String) => Dedup.bandingAdvisor(s)),
+    // OTIF on-time-in-full monthly trend (§2 #390)
+    "q_otif" -> (Warehouse.otif _),
     // MMR diversified top-k re-ranking (§2 #350)
     "ann_mmr" -> ((s: SparkSession, d: String) => Similarity.mmr(s, d)),
     // Chi-square categorical association (§2 #189)
@@ -753,9 +759,12 @@ object SparkEntry {
     * expose (vec_id, embedding); `countExpr` is a scalar subquery
     * yielding the n that `numPlanes` is derived from.
     */
-  private def lshBucketsCte(corpus: String, countExpr: String): String = {
+  private def lshBucketsCte(
+      corpus: String,
+      countExpr: String,
+      tables: Int = graft.operators.Similarity.NumTables): String = {
     val tb = graft.operators.Similarity.TargetBucket
-    val nt = graft.operators.Similarity.NumTables
+    val nt = tables
     s"""params AS (
           SELECT least(24, greatest(4, coalesce(
             (SELECT min(b) FROM range(25) rb(b)
@@ -8539,6 +8548,111 @@ object SparkEntry {
          SELECT longest AS streak_months, CAST(count(*) AS BIGINT) AS n_customers
          FROM l GROUP BY 1""",
     "q_markov_attribution" -> markovAttrOracle,
+    "ann_lsh_tables_curve" -> {
+      // buckets built once at max(tables); each candidate keeps its
+      // min table index, so "T tables" is the min_t < T slice — same
+      // sweep list as Similarity.TablesPoints
+      val tvals = Similarity.TablesPoints.map(t => s"($t)").mkString(", ")
+      val maxT = Similarity.TablesPoints.max
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings", maxT)},
+          cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id, CAST(min(c.t) AS BIGINT) AS min_t
+            FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id, cand.min_t,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 10),
+          bf AS (
+            SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
+                  AS rank
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            WHERE rank <= 10),
+          ts AS (SELECT CAST(tc AS BIGINT) AS tc FROM (VALUES $tvals) v(tc)),
+          ranked AS (
+            SELECT ts.tc, s.query_id, s.vec_id,
+              row_number() OVER (PARTITION BY ts.tc, s.query_id
+                ORDER BY s.cos DESC, s.vec_id) AS rank
+            FROM scored s, ts WHERE s.min_t < ts.tc),
+          hits AS (
+            SELECT r.tc, CAST(count(*) AS BIGINT) AS n_hits
+            FROM ranked r
+            JOIN bf ON bf.query_id = r.query_id AND bf.vec_id = r.vec_id
+            WHERE r.rank <= 10 GROUP BY 1),
+          cn AS (SELECT ts.tc, CAST(count(*) AS BIGINT) AS n_candidates
+                 FROM scored s, ts WHERE s.min_t < ts.tc GROUP BY 1),
+          nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+          SELECT cn.tc AS n_tables, nq.n_queries, cn.n_candidates,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            CAST(coalesce(h.n_hits, 0) * 1000000 // (nq.n_queries * 10) AS BIGINT)
+              AS recall10_e6
+          FROM cn LEFT JOIN hits h ON h.tc = cn.tc, nq"""
+    },
+    "dedup_banding_advisor" -> {
+      // the #298 truncating-e6 powers per (b, r) factorization; areas
+      // and the min-key pick replayed as pure integer folds
+      def powSql(base: String, p: Int): String =
+        (2 to p).foldLeft(base)((acc, _) => s"(($acc) * ($base) // 1000000)")
+      val step = 1000000L / Dedup.ScurvePoints
+      val tau = Dedup.BandingTauE6
+      val curves = Dedup.BandingConfigs
+        .map { case (b, r) =>
+          s"""SELECT b, r, s_e6,
+                CAST(1000000 - (${powSql("pb", b)}) AS BIGINT) AS p_cand_e6
+              FROM (SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, s_e6,
+                      CAST(1000000 - (${powSql("s_e6", r)}) AS BIGINT) AS pb
+                    FROM g)"""
+        }
+        .mkString("\n          UNION ALL\n          ")
+      s"""WITH g AS (
+            SELECT CAST(unnest(generate_series(0, ${Dedup.ScurvePoints})) * $step
+              AS BIGINT) AS s_e6),
+          curves AS ($curves),
+          a AS (
+            SELECT b, r,
+              CAST(max(CASE WHEN s_e6 = $tau THEN p_cand_e6 END) AS BIGINT)
+                AS p_at_tau_e6,
+              CAST(sum(CASE WHEN s_e6 < $tau THEN p_cand_e6 * $step ELSE 0 END)
+                   // 1000000 AS BIGINT) AS fp_area_e6,
+              CAST(sum(CASE WHEN s_e6 >= $tau THEN (1000000 - p_cand_e6) * $step
+                            ELSE 0 END) // 1000000 AS BIGINT) AS fn_area_e6
+            FROM curves GROUP BY 1, 2),
+          t AS (SELECT a.*, CAST(fp_area_e6 + fn_area_e6 AS BIGINT) AS total_e6 FROM a),
+          bk2 AS (SELECT min(total_e6 * 64 + b) AS best_key FROM t)
+          SELECT b, r, p_at_tau_e6, fp_area_e6, fn_area_e6, total_e6,
+            CAST(total_e6 * 64 + b = best_key AS BIGINT) AS is_best
+          FROM t, bk2"""
+    },
+    "q_otif" -> {
+      // all-lines-within-SLA conjunction per order, monthly e6 rate
+      val sla = Warehouse.OtifSlaDays
+      s"""WITH po AS (
+           SELECT l.l_orderkey, o.m,
+             CAST(min(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) <= $sla AS INT))
+               AS BIGINT) AS all_ok,
+             CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem l
+           JOIN (SELECT o_orderkey, o_orderdate,
+                   CAST(year(CAST(o_orderdate AS DATE)) * 12
+                        + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m
+                 FROM orders) o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2)
+         SELECT m, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(all_ok) AS BIGINT) AS n_otif,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(all_ok) * 1000000 // count(*) AS BIGINT) AS otif_e6
+         FROM po GROUP BY m"""
+    },
     "q_alpha_mixture" -> {
       // n_max-relative pow ratios e6-quantized per source, then pure
       // integer weight/effective-count quotients; same alpha sweep as

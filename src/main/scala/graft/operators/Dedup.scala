@@ -1155,6 +1155,71 @@ object Dedup {
         expr(s"1000000 - ${powE6("(1000000 - p_band_e6)", MinhashBands)}"))
   }
 
+  /** Banding-advisor contract constants: the Jaccard design threshold
+    * (e6) and the (bands, rows) divisor pairs of the 32-hash
+    * signature — shared with the oracle.
+    */
+  val BandingTauE6 = 500000L
+  val BandingConfigs: Seq[(Int, Int)] =
+    Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+
+  /** #389 MinHash banding advisor: for every (b, r) factorization of
+    * the 32-hash signature, the S-curve evaluated on the #298 e6 grid
+    * — candidate probability AT the design threshold
+    * [[BandingTauE6]], the false-positive area (Σ p(s) below τ — the
+    * verification work wasted on non-dups under a uniform similarity
+    * prior) and the false-negative area (Σ (1−p(s)) at/above τ — the
+    * dups the bucketing never pairs), and the advisor's pick: the
+    * config minimizing FP + FN (smallest b on ties). #298 plots the
+    * curve the PRODUCTION config (8, 4) commits to; this is the table
+    * that justifies choosing it — the step a 100 TB dedup owner runs
+    * BEFORE burning a cluster-day on the wrong banding. Same
+    * truncating-e6 power arithmetic as #298 ([[powE6]] — a hashable
+    * contract, not a float approximation); the pick is a pure
+    * aggregate compare (min over an area·64+b key — no window); 6
+    * rows from a range, no data scan.
+    */
+  def bandingAdvisor(spark: SparkSession, nPoints: Int = ScurvePoints): DataFrame = {
+    val step = 1000000L / nPoints
+    val grid = spark.range(0, nPoints + 1).select((col("id") * step).as("s_e6"))
+    val perConfig = BandingConfigs.map { case (b, r) =>
+      grid
+        .withColumn("p_band_e6", expr(powE6("s_e6", r)))
+        .withColumn(
+          "p_cand_e6",
+          expr(s"1000000 - ${powE6("(1000000 - p_band_e6)", b)}"))
+        .select(
+          lit(b.toLong).as("b"),
+          lit(r.toLong).as("r"),
+          col("s_e6"),
+          col("p_cand_e6"))
+    }
+    val curves = perConfig.reduce(_.unionAll(_))
+    val areas = curves
+      .groupBy("b", "r")
+      .agg(
+        max(when(col("s_e6") === lit(BandingTauE6), col("p_cand_e6")))
+          .as("p_at_tau_e6"),
+        expr(s"""CAST(sum(CASE WHEN s_e6 < $BandingTauE6
+                          THEN p_cand_e6 * $step ELSE 0 END) div 1000000 AS BIGINT)""")
+          .as("fp_area_e6"),
+        expr(s"""CAST(sum(CASE WHEN s_e6 >= $BandingTauE6
+                          THEN (1000000 - p_cand_e6) * $step ELSE 0 END) div 1000000
+                 AS BIGINT)""").as("fn_area_e6"))
+      .withColumn("total_e6", col("fp_area_e6") + col("fn_area_e6"))
+    val best = areas.agg(min(expr("total_e6 * 64 + b")).as("best_key"))
+    areas
+      .crossJoin(broadcast(best))
+      .select(
+        col("b"),
+        col("r"),
+        col("p_at_tau_e6"),
+        col("fp_area_e6"),
+        col("fn_area_e6"),
+        col("total_e6"),
+        (expr("total_e6 * 64 + b") === col("best_key")).cast("long").as("is_best"))
+  }
+
   /** #373 Cross-source duplication matrix: which sources duplicate
     * WHICH — for every source pair (diagonal included), the number of
     * near-dup clusters where both sides appear and the exact count of

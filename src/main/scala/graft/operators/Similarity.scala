@@ -293,6 +293,67 @@ object Similarity {
     */
   val NprobePoints: Seq[Int] = Seq(1, 2, 4, 8)
 
+  /** Table counts swept by [[lshTablesCurve]] — shared with the
+    * oracle.
+    */
+  val TablesPoints: Seq[Int] = Seq(1, 2, 4)
+
+  /** #388 LSH recall-vs-tables curve (§15.4 scorecard for the OTHER
+    * LSH knob: #60 sweeps probes within a table, this sweeps the
+    * TABLE COUNT — the memory axis: every extra table is a full extra
+    * index copy, and the curve prices recall per byte the way #378
+    * prices recall per probe for IVF). Same one-search sweep trick as
+    * #378: buckets are built ONCE at max(tables) and each candidate
+    * keeps the MINIMUM table index that found it, so "the search with
+    * T tables" is exactly the min_t < T slice — slices nested by
+    * construction, recall monotone (spec-pinned). Same 6dp cosine
+    * grid as #28; counts exact; recall a truncating e6 quotient.
+    */
+  def lshTablesCurve(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val bits = numPlanes(corpusSize(spark, dir))
+    val maxT = TablesPoints.max
+    val corpus = bandedBuckets(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", bits, maxT)
+    val queries = bandedBuckets(queryVectors(spark, dir), "q_emb", bits, maxT)
+    val scored = corpus
+      .join(broadcast(queries), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("t"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+      .groupBy("query_id", "vec_id")
+      .agg(min("t").as("min_t"), max("cos").as("cos"))
+      .localCheckpoint(eager = false)
+    val truth = bruteForce(spark, dir).select(col("query_id"), col("vec_id"))
+    val nQ = queryVectors(spark, dir).agg(count(lit(1)).as("n_queries"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    TablesPoints
+      .map { tcount =>
+        val slice = scored.filter(col("min_t") < tcount)
+        val hits = slice
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .join(truth, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        slice
+          .agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(hits))
+          .select(lit(tcount.toLong).as("n_tables"), col("n_candidates"), col("n_hits"))
+      }
+      .reduce(_.unionAll(_))
+      .crossJoin(broadcast(nQ))
+      .select(
+        col("n_tables"),
+        col("n_queries"),
+        col("n_candidates"),
+        col("n_hits"),
+        expr("CAST(n_hits * 1000000 div (n_queries * 10) AS BIGINT)").as("recall10_e6"))
+  }
+
   /** #378 IVF recall-vs-nprobe curve (§15.4 scorecard for #72's ONE
     * tuning knob): total recall@10 of the IVF index against the
     * brute-force truth at nprobe ∈ [[NprobePoints]], with the

@@ -793,4 +793,54 @@ object Warehouse {
         col("rate_e6"),
         col("wilson_lb_e6"))
   }
+
+  /** Promise window (days from order date) a line must ship within to
+    * count on-time — shared with the oracle; the testdata carries no
+    * commit date, so the SLA is order-date-anchored (the same
+    * convention #282's ship-delay and Q4's 45-day lateness use).
+    */
+  val OtifSlaDays = 30
+
+  /** #390 OTIF (on-time-in-full) monthly trend: the fraction of
+    * orders whose EVERY line shipped within [[OtifSlaDays]] of the
+    * order date — the supply-chain service KPI (#282's ship-delay
+    * percentiles measure HOW late lines run; OTIF measures how often
+    * the WHOLE order kept its promise, the number contracts and
+    * penalties bind to; the all-lines conjunction is what per-line
+    * rates silently overstate). One order-line join, one per-order
+    * min fold of the on-time flag, one ≤#months aggregate; rate a
+    * truncating e6 quotient. Linear, no windows.
+    */
+  def otif(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(
+        Tables
+          .orders(spark, dir)
+          .select(
+            col("o_orderkey").as("l_orderkey"),
+            col("o_orderdate"),
+            expr(
+              "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+              .as("m")),
+        "l_orderkey")
+      .select(
+        col("l_orderkey"),
+        col("m"),
+        expr(s"""CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
+                 <= $OtifSlaDays AS LONG)""").as("ok"))
+      .groupBy("l_orderkey", "m")
+      .agg(min("ok").as("all_ok"), count(lit(1)).as("n_lines"))
+      .groupBy("m")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum("all_ok").as("n_otif"),
+        sum("n_lines").as("n_lines"))
+      .select(
+        col("m"),
+        col("n_orders"),
+        col("n_otif"),
+        col("n_lines"),
+        expr("CAST(n_otif * 1000000 div n_orders AS BIGINT)").as("otif_e6"))
 }

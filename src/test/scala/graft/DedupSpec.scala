@@ -612,4 +612,35 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case ((a, b), (_, p)) => a == b && p > 0 },
       "no within-source duplication found — matrix blind?")
   }
+
+  test("banding advisor: BigInt e6-power replay; pick is the min-area config; curves sane") {
+    val got = Dedup.bandingAdvisor(spark)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.keySet == Dedup.BandingConfigs.map { case (b, r) => (b.toLong, r.toLong) }.toSet)
+    val step = 1000000L / Dedup.ScurvePoints
+    def powE6(x: Long, p: Int): Long = (2 to p).foldLeft(x)((a, _) => a * x / 1000000L)
+    val want = Dedup.BandingConfigs.map { case (b, r) =>
+      val pts = (0 to Dedup.ScurvePoints).map { i =>
+        val s = i * step
+        val pb = 1000000L - powE6(s, r)
+        (s, 1000000L - powE6(pb, b))
+      }
+      val pTau = pts.find(_._1 == Dedup.BandingTauE6).get._2
+      val fp = pts.collect { case (s, p) if s < Dedup.BandingTauE6 => p * step }.sum / 1000000L
+      val fn = pts.collect { case (s, p) if s >= Dedup.BandingTauE6 => (1000000L - p) * step }.sum / 1000000L
+      (b.toLong, r.toLong, pTau, fp, fn)
+    }
+    val bestKey = want.map { case (b, _, _, fp, fn) => (fp + fn) * 64 + b }.min
+    want.foreach { case (b, r, pTau, fp, fn) =>
+      val g = got((b, r))
+      assert(g == ((pTau, fp, fn, fp + fn, if ((fp + fn) * 64 + b == bestKey) 1L else 0L)),
+        s"config ($b,$r)")
+    }
+    // exactly one pick; the production (8,4) config is in the table
+    assert(got.values.count(_._5 == 1L) == 1)
+    assert(got.contains((8L, 4L)))
+  }
 }

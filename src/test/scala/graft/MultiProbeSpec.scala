@@ -48,4 +48,29 @@ class MultiProbeSpec extends SparkSpec {
     assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
     r.unpersist()
   }
+
+  test("tables curve: each point ties the standalone lsh search; monotone in tables") {
+    val curve = Similarity.lshTablesCurve(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(curve.keySet == Similarity.TablesPoints.map(_.toLong).toSet)
+    val truth = Similarity.bruteForce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = truth.map(_._1).size.toLong
+    Similarity.TablesPoints.foreach { t =>
+      val standalone = Similarity.lsh(spark, sf, tables = t)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (gotNq, _, hits, rec) = curve(t.toLong)
+      assert(gotNq == nQ)
+      assert(hits == standalone.intersect(truth).size.toLong, s"tables $t hits")
+      assert(rec == hits * 1000000L / (nQ * 10L))
+    }
+    val byT = Similarity.TablesPoints.map(t => curve(t.toLong))
+    byT.zip(byT.drop(1)).foreach { case ((_, c1, h1, _), (_, c2, h2, _)) =>
+      assert(c2 >= c1 && h2 >= h1)
+    }
+  }
 }

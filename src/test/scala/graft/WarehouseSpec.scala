@@ -393,4 +393,39 @@ class WarehouseSpec extends SparkSpec {
     // the bound is always below the raw rate (it prices uncertainty in)
     rows.foreach { case (_, _, _, r, rate, lb) => if (r > 0) assert(lb < rate) }
   }
+
+  test("otif: all-lines-within-SLA conjunction replay per month") {
+    val got = Warehouse.otif(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val orderInfo = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS od",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDate(1).toLocalDate, r.getLong(2))))
+      .toMap
+    val lines = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+      .map { case (o, xs) =>
+        val (od, m) = orderInfo(o)
+        val allOk = xs.forall { case (_, sd) =>
+          java.time.temporal.ChronoUnit.DAYS.between(od, sd) <= Warehouse.OtifSlaDays
+        }
+        (o, m, allOk, xs.size.toLong)
+      }
+      .toSeq
+    assert(got.keySet == lines.map(_._2).toSet)
+    lines.groupBy(_._2).foreach { case (m, os) =>
+      val n = os.length.toLong
+      val otif = os.count(_._3).toLong
+      val nl = os.map(_._4).sum
+      assert(got(m) == ((n, otif, nl, otif * 1000000L / n)), s"month $m")
+    }
+  }
 }
