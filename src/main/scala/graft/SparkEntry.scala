@@ -300,6 +300,10 @@ object SparkEntry {
     "dedup_banding_advisor" -> ((s: SparkSession, _: String) => Dedup.bandingAdvisor(s)),
     // OTIF on-time-in-full monthly trend (§2 #390)
     "q_otif" -> (Warehouse.otif _),
+    // Backlog aging waterfall over open orders (§2 #391)
+    "q_backlog_aging" -> (Warehouse.backlogAging _),
+    // Whale-dependency monthly revenue share (§2 #392)
+    "q_whale_dependency" -> ((s: SparkSession, d: String) => Warehouse.whaleDependency(s, d)),
     // MMR diversified top-k re-ranking (§2 #350)
     "ann_mmr" -> ((s: SparkSession, d: String) => Similarity.mmr(s, d)),
     // Chi-square categorical association (§2 #189)
@@ -8653,6 +8657,51 @@ object SparkEntry {
            CAST(sum(all_ok) * 1000000 // count(*) AS BIGINT) AS otif_e6
          FROM po GROUP BY m"""
     },
+    "q_backlog_aging" ->
+      // open orders bucketed by integer month age at the as-of month
+      """WITH o AS (
+           SELECT o_orderstatus,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+           FROM orders),
+         ao AS (SELECT CAST(max(m) AS BIGINT) AS asof_m FROM o)
+         SELECT o_orderstatus,
+           CASE WHEN asof_m - m < 6 THEN '0-5'
+                WHEN asof_m - m < 12 THEN '6-11'
+                WHEN asof_m - m < 24 THEN '12-23'
+                ELSE '24+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(c) AS BIGINT) AS open_value_c
+         FROM o, ao WHERE o_orderstatus <> 'F'
+         GROUP BY 1, 2""",
+    "q_whale_dependency" ->
+      // all-time top-10 customers' share of each month's revenue
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+           FROM orders),
+         whales AS (
+           SELECT o_custkey FROM (
+             SELECT o_custkey,
+               row_number() OVER (ORDER BY sum(c) DESC, o_custkey) AS rank
+             FROM o GROUP BY o_custkey) WHERE rank <= 10),
+         wm AS (
+           SELECT m, CAST(count(*) AS BIGINT) AS n_whale_orders,
+             CAST(sum(c) AS BIGINT) AS whale_c
+           FROM o WHERE o_custkey IN (SELECT o_custkey FROM whales)
+           GROUP BY 1),
+         tm AS (SELECT m, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(c) AS BIGINT) AS total_c
+                FROM o GROUP BY 1)
+         SELECT tm.m, tm.n_orders, tm.total_c,
+           CAST(coalesce(wm.n_whale_orders, 0) AS BIGINT) AS n_whale_orders,
+           CAST(coalesce(wm.whale_c, 0) AS BIGINT) AS whale_c,
+           CAST(CAST(coalesce(wm.whale_c, 0) AS HUGEINT) * 1000000 // tm.total_c
+             AS BIGINT) AS whale_share_e6
+         FROM tm LEFT JOIN wm ON wm.m = tm.m""",
     "q_alpha_mixture" -> {
       // n_max-relative pow ratios e6-quantized per source, then pure
       // integer weight/effective-count quotients; same alpha sweep as

@@ -801,6 +801,84 @@ object Warehouse {
     */
   val OtifSlaDays = 30
 
+  /** #391 Backlog aging waterfall: every order NOT yet finalized
+    * (status ≠ 'F'), bucketed by age at the corpus as-of date (months
+    * since order date: 0–5, 6–11, 12–23, 24+) × status, with counts
+    * and open value — the AR/fulfillment aging table every ops review
+    * opens with (#111 counts late-line orders in one year; this ages
+    * the ENTIRE open book). As-of = max order date, a 1-row
+    * broadcast; ages on the exact integer month grid; one aggregate,
+    * ≤ statuses×4 output rows, no windows.
+    */
+  def backlogAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderstatus"),
+        expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+    val asof = o.agg(max("m").as("asof_m"))
+    o.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(asof))
+      .select(
+        col("o_orderstatus"),
+        col("c"),
+        expr("""CASE WHEN asof_m - m < 6 THEN '0-5'
+                     WHEN asof_m - m < 12 THEN '6-11'
+                     WHEN asof_m - m < 24 THEN '12-23'
+                     ELSE '24+' END""").as("age_bucket"))
+      .groupBy("o_orderstatus", "age_bucket")
+      .agg(count(lit(1)).as("n_orders"), sum("c").as("open_value_c"))
+  }
+
+  /** #392 Whale-dependency trend: each month's revenue share held by
+    * the all-time top-10 customers — the key-account concentration
+    * TREND (#382's CR4/CR8 ranks each month's own top accounts, so a
+    * rotating cast can hide rising dependency on the same whales;
+    * this FIXES the cohort — the number a CFO tracks before renewal
+    * season). Top-10 by lifetime revenue rides a rank-limited global
+    * window (WindowGroupLimit, the #13/#380 shape) and is then a
+    * 10-row broadcast; one (month) aggregate each for whale and
+    * total revenue; share a truncating e6 quotient through
+    * DECIMAL(38,0). ≤#months rows, linear.
+    */
+  def whaleDependency(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val whales = o
+      .groupBy("o_custkey")
+      .agg(sum("c").as("rev"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("o_custkey")
+    val whaleByM = o
+      .join(broadcast(whales), Seq("o_custkey"), "left_semi")
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_whale_orders"), sum("c").as("whale_c"))
+    o.groupBy("m")
+      .agg(count(lit(1)).as("n_orders"), sum("c").as("total_c"))
+      .join(whaleByM, Seq("m"), "left")
+      .na
+      .fill(0L, Seq("n_whale_orders", "whale_c"))
+      .select(
+        col("m"),
+        col("n_orders"),
+        col("total_c"),
+        col("n_whale_orders"),
+        col("whale_c"),
+        expr("CAST(CAST(whale_c AS DECIMAL(38,0)) * 1000000 div total_c AS BIGINT)")
+          .as("whale_share_e6"))
+  }
+
   /** #390 OTIF (on-time-in-full) monthly trend: the fraction of
     * orders whose EVERY line shipped within [[OtifSlaDays]] of the
     * order date — the supply-chain service KPI (#282's ship-delay

@@ -428,4 +428,62 @@ class WarehouseSpec extends SparkSpec {
       assert(got(m) == ((n, otif, nl, otif * 1000000L / n)), s"month $m")
     }
   }
+
+  test("backlog aging: open-book bucket replay; buckets partition the open orders") {
+    val got = Warehouse.backlogAging(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_orderstatus",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val asof = o.map(_._2).max
+    val open = o.filter(_._1 != "F")
+    val want = open
+      .map { case (st, m, c) =>
+        val age = asof - m
+        val bucket =
+          if (age < 6) "0-5" else if (age < 12) "6-11" else if (age < 24) "12-23" else "24+"
+        ((st, bucket), c)
+      }
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    assert(got == want)
+    assert(got.values.map(_._1).sum == open.length.toLong)
+  }
+
+  test("whale dependency: fixed top-10 cohort replay; share bounded by each month's CR-10") {
+    val got = Warehouse.whaleDependency(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val o = Tables.orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val whales = o.groupBy(_._1)
+      .map { case (cust, xs) => (cust, xs.map(_._3).sum) }
+      .toSeq
+      .sortBy { case (cust, rev) => (-rev, cust) }
+      .take(10)
+      .map(_._1)
+      .toSet
+    assert(got.keySet == o.map(_._2).toSet)
+    o.groupBy(_._2).foreach { case (m, xs) =>
+      val total = xs.map(_._3).sum
+      val wx = xs.filter(x => whales.contains(x._1))
+      val wc = wx.map(_._3).sum
+      assert(
+        got(m) == ((xs.length.toLong, total, wx.length.toLong, wc,
+          (BigInt(wc) * 1000000 / BigInt(total)).toLong)),
+        s"month $m")
+    }
+  }
 }
