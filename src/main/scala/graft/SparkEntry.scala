@@ -405,6 +405,11 @@ object SparkEntry {
     // WebDataset-style shard packing manifest (§2 #248)
     "mm_shard_pack" ->
       ((s: SparkSession, d: String) => Multimodal.shardPack(s, d, MmShardBudgetBytes)),
+    // Shard-balance scorecard over the packer output (§2 #394)
+    "mm_shard_balance" ->
+      ((s: SparkSession, d: String) => Multimodal.shardBalance(s, d, MmShardBudgetBytes)),
+    // AOV mix-shift decomposition by market segment (§2 #393)
+    "q_mix_shift" -> (AnalyticsExt.mixShift _),
     // GDPR erasure / purge-manifest audit (§2 #249)
     "cdc_erasure_audit" ->
       ((s: SparkSession, d: String) => Cdc.erasureAudit(s, d, ErasureHorizonDays)),
@@ -7390,6 +7395,106 @@ object SparkEntry {
            CAST(sum(byte_len) AS BIGINT) AS shard_bytes,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM cum GROUP BY 1, 2""",
+    "mm_shard_balance" ->
+      // the packer replay rolled up per modality; moment-form CV2 and
+      // straggler/fill quotients in HUGEINT
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents),
+         cum AS (
+           SELECT modality, doc_id, byte_len,
+             CAST(coalesce(sum(byte_len) OVER (PARTITION BY modality ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM m),
+         sh AS (
+           SELECT modality, cum_before // $MmShardBudgetBytes AS shard_file,
+             CAST(sum(byte_len) AS BIGINT) AS shard_bytes
+           FROM cum GROUP BY 1, 2),
+         agg AS (
+           SELECT modality, CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(shard_bytes) AS BIGINT) AS total_bytes,
+             CAST(min(shard_bytes) AS BIGINT) AS min_bytes,
+             CAST(max(shard_bytes) AS BIGINT) AS max_bytes,
+             sum(CAST(shard_bytes AS HUGEINT) * shard_bytes) AS sb2
+           FROM sh GROUP BY 1)
+         SELECT modality, n_shards, total_bytes, min_bytes, max_bytes,
+           CAST((n_shards * sb2 - CAST(total_bytes AS HUGEINT) * total_bytes)
+                * 1000000 // (CAST(total_bytes AS HUGEINT) * total_bytes)
+             AS BIGINT) AS cv2_e6,
+           CAST(CAST(max_bytes AS HUGEINT) * n_shards * 1000000 // total_bytes
+             AS BIGINT) AS straggler_e6,
+           CAST(CAST(total_bytes AS HUGEINT) * 1000000
+                // (n_shards * $MmShardBudgetBytes) AS BIGINT) AS fill_e6
+         FROM agg""",
+    "q_mix_shift" ->
+      // Laspeyres-mix / current-weight-rate split on the e4 grid;
+      // sign-factored single divisions of DECIMAL(38)/HUGEINT products
+      """WITH cm AS (
+           SELECT c.c_mktsegment AS segment,
+             CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+                  + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1, 2),
+         tot AS (SELECT m, CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(s) AS BIGINT) AS st
+                 FROM cm GROUP BY 1),
+         valid AS (SELECT m FROM tot WHERE m + 1 IN (SELECT m FROM tot)),
+         j AS (
+           SELECT coalesce(c0.m, n1.m) AS m, coalesce(c0.segment, n1.segment) AS segment,
+             coalesce(c0.n, 0) AS n0, coalesce(c0.s, 0) AS s0,
+             coalesce(n1.n1, 0) AS n1, coalesce(n1.s1, 0) AS s1
+           FROM cm c0
+           FULL OUTER JOIN (SELECT segment, m - 1 AS m, n AS n1, s AS s1 FROM cm) n1
+             ON n1.segment = c0.segment AND n1.m = c0.m),
+         e AS (
+           SELECT j.m, j.segment, j.n0, j.n1, j.s0, j.s1,
+             t0.nt AS nt0, t1.nt AS nt1
+           FROM j
+           JOIN tot t0 ON t0.m = j.m
+           JOIN tot t1 ON t1.m = j.m + 1
+           WHERE j.m IN (SELECT m FROM valid))
+         SELECT m, segment, n0, n1, s0 AS s0_c, s1 AS s1_c,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN 'both'
+                WHEN n0 = 0 THEN 'new' ELSE 'gone' END AS status,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             CAST((CASE WHEN (CAST(n1 AS HUGEINT) * nt0 - CAST(n0 AS HUGEINT) * nt1) * s0 < 0
+                   THEN -1 ELSE 1 END)
+                * (abs((CAST(n1 AS HUGEINT) * nt0 - CAST(n0 AS HUGEINT) * nt1) * s0) * 10000
+                   // (CAST(nt0 AS HUGEINT) * nt1 * n0)) AS BIGINT)
+           END AS mix_e4,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             CAST((CASE WHEN CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1 < 0
+                   THEN -1 ELSE 1 END)
+                * (abs(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1) * 10000
+                   // (CAST(nt1 AS HUGEINT) * n0)) AS BIGINT)
+           END AS rate_e4,
+           CAST((CASE WHEN CAST(s1 AS HUGEINT) * nt0 - CAST(s0 AS HUGEINT) * nt1 < 0
+                 THEN -1 ELSE 1 END)
+              * (abs(CAST(s1 AS HUGEINT) * nt0 - CAST(s0 AS HUGEINT) * nt1) * 10000
+                 // (CAST(nt0 AS HUGEINT) * nt1)) AS BIGINT) AS dcontrib_e4,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             CAST((CASE WHEN CAST(s1 AS HUGEINT) * nt0 - CAST(s0 AS HUGEINT) * nt1 < 0
+                   THEN -1 ELSE 1 END)
+                * (abs(CAST(s1 AS HUGEINT) * nt0 - CAST(s0 AS HUGEINT) * nt1) * 10000
+                   // (CAST(nt0 AS HUGEINT) * nt1))
+              - (CASE WHEN (CAST(n1 AS HUGEINT) * nt0 - CAST(n0 AS HUGEINT) * nt1) * s0 < 0
+                   THEN -1 ELSE 1 END)
+                * (abs((CAST(n1 AS HUGEINT) * nt0 - CAST(n0 AS HUGEINT) * nt1) * s0) * 10000
+                   // (CAST(nt0 AS HUGEINT) * nt1 * n0))
+              - (CASE WHEN CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1 < 0
+                   THEN -1 ELSE 1 END)
+                * (abs(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1) * 10000
+                   // (CAST(nt1 AS HUGEINT) * n0)) AS BIGINT)
+           END AS resid_e4
+         FROM e""",
     "cdc_erasure_audit" ->
       // per-key change-type census + final-op filter + 1-row corpus
       // clock; horizon interpolated from ErasureHorizonDays

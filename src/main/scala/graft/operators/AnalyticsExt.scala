@@ -7953,6 +7953,92 @@ object AnalyticsExt {
       .limit(topK)
   }
 
+  /** #393 AOV mix-shift decomposition (the BI "mix vs rate" analysis:
+    * each month-over-month change in average order value split, per
+    * market segment, into a MIX effect — the segment's order-share
+    * moved — and a RATE effect — the segment's own AOV moved — the
+    * first question asked whenever a topline average moves: "did the
+    * business change, or did the mix?"; #363 decomposes revenue by
+    * part price×volume, this decomposes the AVERAGE by segment
+    * share×rate). Laspeyres-mix / current-weight-rate split, exact in
+    * rationals: Δ(S_i/N) = (n1_i·N0 − n0_i·N1)·S0_i/(N0·N1·n0_i)
+    * [mix] + (S1_i·n0_i − S0_i·n1_i)/(N1·n0_i) [rate] telescopes
+    * with zero slack; on the e4 grid each term is ONE sign-factored
+    * truncating division of a DECIMAL(38,0) product (the n·N·S·10⁴
+    * numerator crosses 2⁶³ at sf0.1 already), so the only slack is
+    * the documented ≤2-quanta truncation residual, emitted as its own
+    * column and spec-pinned. Segments present in only one month carry
+    * their whole contribution as status 'new'/'gone' (the #363
+    * new/churned morphology; a base rate for them does not exist).
+    * One (month, segment) aggregate + one shifted full-outer join +
+    * two broadcast month-total joins; ≤months×segments rows.
+    */
+  def mixShift(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables
+      .orders(spark, dir)
+      .join(
+        Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .select(
+        col("c_mktsegment").as("segment"),
+        expr(
+          "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("m", "segment")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"))
+      .localCheckpoint(eager = false)
+    val tot = cm.groupBy("m").agg(sum("n").as("nt"), sum("s").as("st"))
+    val months = tot.select("m")
+    val valid = months.join(months.select((col("m") - 1).as("m")), Seq("m"), "left_semi")
+    val nxt = cm.select(
+      col("segment"),
+      (col("m") - 1).as("m"),
+      col("n").as("n1"),
+      col("s").as("s1"))
+    cm.withColumnRenamed("n", "n0")
+      .withColumnRenamed("s", "s0")
+      .join(nxt, Seq("m", "segment"), "full_outer")
+      .join(valid, Seq("m"), "left_semi")
+      .join(broadcast(tot.select(col("m"), col("nt").as("nt0"), col("st").as("st0"))), "m")
+      .join(
+        broadcast(tot.select((col("m") - 1).as("m"), col("nt").as("nt1"))),
+        "m")
+      .na
+      .fill(0L, Seq("n0", "n1", "s0", "s1"))
+      .select(
+        col("m"),
+        col("segment"),
+        col("n0"),
+        col("n1"),
+        col("s0").as("s0_c"),
+        col("s1").as("s1_c"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 THEN 'both'
+                     WHEN n0 = 0 THEN 'new' ELSE 'gone' END""").as("status"),
+        // sign-factored truncating e4 terms; NULL outside 'both'
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 THEN
+                  CAST((CASE WHEN (CAST(n1 AS DECIMAL(38,0)) * nt0 - CAST(n0 AS DECIMAL(38,0)) * nt1) * s0 < 0
+                        THEN -1 ELSE 1 END)
+                     * (abs((CAST(n1 AS DECIMAL(38,0)) * nt0 - CAST(n0 AS DECIMAL(38,0)) * nt1) * s0) * 10000
+                        div (CAST(nt0 AS DECIMAL(38,0)) * nt1 * n0)) AS BIGINT)
+                END""").as("mix_e4"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 THEN
+                  CAST((CASE WHEN CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1 < 0
+                        THEN -1 ELSE 1 END)
+                     * (abs(CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1) * 10000
+                        div (CAST(nt1 AS DECIMAL(38,0)) * n0)) AS BIGINT)
+                END""").as("rate_e4"),
+        expr("""CAST((CASE WHEN CAST(s1 AS DECIMAL(38,0)) * nt0 - CAST(s0 AS DECIMAL(38,0)) * nt1 < 0
+                      THEN -1 ELSE 1 END)
+                   * (abs(CAST(s1 AS DECIMAL(38,0)) * nt0 - CAST(s0 AS DECIMAL(38,0)) * nt1) * 10000
+                      div (CAST(nt0 AS DECIMAL(38,0)) * nt1)) AS BIGINT)""")
+          .as("dcontrib_e4"))
+      .withColumn(
+        "resid_e4",
+        when(col("status") === "both",
+          col("dcontrib_e4") - col("mix_e4") - col("rate_e4")))
+  }
+
   /** #387 Syntetos–Boylan demand classification (the SBC quadrants —
     * Syntetos, Boylan & Croston 2005): each part classified smooth /
     * intermittent / erratic / lumpy from ADI (mean inter-demand

@@ -317,6 +317,42 @@ object Multimodal {
         max("doc_id").as("last_doc"))
   }
 
+  /** #394 Shard-balance scorecard (§15.4 applied to #248's packer: a
+    * training job reads shards in parallel, so the SLOWEST shard sets
+    * the step time — skewed shards silently serialize the fleet and
+    * no per-shard listing makes that visible; this is the one-row-
+    * per-modality read that does). Per modality: shard count, exact
+    * byte min/mean-by-division/max, CV² of shard sizes as the
+    * sign-free integer form (n·Σb² − (Σb)²)·10⁶ div (Σb)² (same
+    * moment algebra as #387's CV², DECIMAL(38,0) products), max/mean
+    * straggler ratio max·n·10⁶ div Σb, and budget fill Σb·10⁶ div
+    * (n·budget) — the same `budgetBytes` constant as the packer, so
+    * the scorecard cannot drift from what it scores. Composes
+    * [[shardPack]] wholesale + one ≤modalities-row fold.
+    */
+  def shardBalance(spark: SparkSession, dir: String, budgetBytes: Long = 262144L): DataFrame =
+    shardPack(spark, dir, budgetBytes)
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum("shard_bytes").as("total_bytes"),
+        min("shard_bytes").as("min_bytes"),
+        max("shard_bytes").as("max_bytes"),
+        sum(expr("CAST(shard_bytes AS DECIMAL(38,0)) * shard_bytes")).as("sb2"))
+      .select(
+        col("modality"),
+        col("n_shards"),
+        col("total_bytes"),
+        col("min_bytes"),
+        col("max_bytes"),
+        expr("""CAST((n_shards * sb2 - CAST(total_bytes AS DECIMAL(38,0)) * total_bytes)
+                 * 1000000 div (CAST(total_bytes AS DECIMAL(38,0)) * total_bytes)
+                AS BIGINT)""").as("cv2_e6"),
+        expr("""CAST(CAST(max_bytes AS DECIMAL(38,0)) * n_shards * 1000000
+                 div total_bytes AS BIGINT)""").as("straggler_e6"),
+        expr(s"""CAST(CAST(total_bytes AS DECIMAL(38,0)) * 1000000
+                 div (n_shards * ${budgetBytes}L) AS BIGINT)""").as("fill_e6"))
+
   /** #356 Payload byte-entropy screen: Shannon entropy of each opaque
     * payload's BYTE distribution in bits — the binary-side quality
     * gate (an all-zero/truncated payload collapses toward 0; a

@@ -4243,6 +4243,60 @@ class AnalyticsExtSpec extends SparkSpec {
     }
   }
 
+  test("mix shift: BigInt term replay; split telescopes to the contribution up to 2 quanta") {
+    val got = AnalyticsExt.mixShift(spark, sf)
+      .collect()
+      .map { r =>
+        (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+            if (r.isNullAt(7)) None else Some(r.getLong(7)),
+            if (r.isNullAt(8)) None else Some(r.getLong(8)),
+            r.getLong(9),
+            if (r.isNullAt(10)) None else Some(r.getLong(10))))
+      }
+      .toMap
+    val cm = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf)
+        .selectExpr("c_custkey AS o_custkey", "c_mktsegment"), "o_custkey")
+      .selectExpr(
+        "c_mktsegment AS segment",
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val tot = cm.toSeq.groupBy(_._1._2).map { case (m, xs) =>
+      m -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+    }
+    val months = tot.keySet
+    def tdiv(num: BigInt, den: BigInt): Long = {
+      val s = if (num < 0) -1 else 1
+      (s * (num.abs * 10000 / den)).toLong
+    }
+    months.filter(m => months.contains(m + 1)).foreach { m =>
+      val (nt0, _) = tot(m); val (nt1, _) = tot(m + 1)
+      val segs = cm.keys.collect { case (s, mm) if mm == m || mm == m + 1 => s }.toSet
+      segs.foreach { seg =>
+        val (n0, s0) = cm.getOrElse((seg, m), (0L, 0L))
+        val (n1, s1) = cm.getOrElse((seg, m + 1), (0L, 0L))
+        val status = if (n0 > 0 && n1 > 0) "both" else if (n0 == 0) "new" else "gone"
+        val dcontrib = tdiv(BigInt(s1) * nt0 - BigInt(s0) * nt1, BigInt(nt0) * nt1)
+        val g = got((m, seg))
+        assert((g._1, g._2, g._3, g._4, g._5) == ((n0, n1, s0, s1, status)), s"$m/$seg")
+        assert(g._8 == dcontrib, s"$m/$seg dcontrib")
+        if (status == "both") {
+          val mix = tdiv((BigInt(n1) * nt0 - BigInt(n0) * nt1) * s0, BigInt(nt0) * nt1 * n0)
+          val rate = tdiv(BigInt(s1) * n0 - BigInt(s0) * n1, BigInt(nt1) * n0)
+          assert(g._6.contains(mix) && g._7.contains(rate), s"$m/$seg terms")
+          // exact rational telescoping leaves only truncation slack
+          assert(g._9.contains(dcontrib - mix - rate) && math.abs(dcontrib - mix - rate) <= 2,
+            s"$m/$seg residual")
+        } else assert(g._6.isEmpty && g._7.isEmpty && g._9.isEmpty)
+      }
+    }
+  }
+
   test("demand classes: SBC quadrant replay; cross-multiplied cutoffs; parts conserve") {
     val got = AnalyticsExt.demandClasses(spark, sf)
       .collect()

@@ -177,6 +177,35 @@ class ProfileQuantSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 via 16-dim candidates: $recall")
   }
 
+  test("shard balance: moment replay from the packer output; CV2/straggler/fill exact") {
+    val budget = 262144L
+    val got = graft.operators.Multimodal.shardBalance(spark, sf, budget)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+      .toMap
+    val shards = graft.operators.Multimodal.shardPack(spark, sf, budget)
+      .select("modality", "shard_bytes")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    assert(got.keySet == shards.keySet)
+    shards.foreach { case (mod, xs) =>
+      val bs = xs.map(_._2)
+      val n = BigInt(bs.length)
+      val tot = bs.map(BigInt(_)).sum
+      val sb2 = bs.map(b => BigInt(b) * b).sum
+      val cv2 = ((n * sb2 - tot * tot) * 1000000 / (tot * tot)).toLong
+      val strag = (BigInt(bs.max) * n * 1000000 / tot).toLong
+      val fill = (tot * 1000000 / (n * budget)).toLong
+      assert(got(mod) ==
+        ((n.toLong, tot.toLong, bs.min, bs.max, cv2, strag, fill)), s"modality $mod")
+      // straggler ratio is >= 1e6 by construction (max >= mean)
+      assert(strag >= 1000000L && cv2 >= 0L)
+    }
+  }
+
   test("shard pack: sequential tar-writer replay; conservation; budget overflow bounded") {
     val budget = 262144L
     val got = graft.operators.Multimodal.shardPack(spark, sf, budget)
