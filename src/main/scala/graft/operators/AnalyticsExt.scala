@@ -436,10 +436,17 @@ object AnalyticsExt {
     * scale-equivalent for the ranking.
     *
     * Scale shape: the edge list is built once (orders⋈lineitem, one
-    * shuffle) and cached TWICE — partitioned by `cust` for the
-    * authority half-step and by `part` for the hub half-step — so
-    * each round shuffles only the two score vectors, never the edges
-    * (the two-copy layout a real HITS deployment uses at 100 TB).
+    * shuffle) and materialized ONCE, hash-partitioned by `cust` via an
+    * eager localCheckpoint — the authority half-step then joins it
+    * shuffle-free (the checkpoint preserves the partitioning), and the
+    * hub half-step re-shuffles the checkpointed edges by `part` once
+    * per round. At the default iters=2 that is 1 + 2 edge shuffles of
+    * an already-materialized frame, strictly cheaper than the r7
+    * two-cached-copies layout (which paid the orders⋈lineitem build
+    * twice); at high iteration counts a real 100 TB deployment would
+    * flip to the two-copy layout (one copy per key) so rounds shuffle
+    * only score vectors — the trade is iters×|edges| shuffle vs 2×
+    * materialization, and iters=2 sits below the crossover.
     * The per-round max is a 1-row broadcast. Top-k per side via
     * rank-filter; output is the two leaderboards in one frame.
     */
@@ -453,8 +460,9 @@ object AnalyticsExt {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .agg(count(lit(1)).as("w"))
-    val edgesByCust = edgesRaw.repartition(col("cust")).cache()
-    val edgesByPart = edgesRaw.repartition(col("part")).cache()
+    val edges = edgesRaw.repartition(col("cust")).localCheckpoint(eager = true)
+    val edgesByCust = edges
+    val edgesByPart = edges
     var hubs = edgesByCust
       .select(col("cust"))
       .distinct()
@@ -498,7 +506,7 @@ object AnalyticsExt {
         row_number().over(Window.orderBy(col("h").desc, col("cust"))).cast("long"))
       .filter(col("rank") <= topK)
       .select(lit("hub").as("kind"), col("cust").as("node"), col("h").as("score_e6"), col("rank"))
-    (topA.unionAll(topH), Seq(edgesByCust, edgesByPart))
+    (topA.unionAll(topH), Seq.empty)
   }
 
   /** #229 Degree assortativity of the co-purchase graph: the Pearson
@@ -5320,20 +5328,35 @@ object AnalyticsExt {
     * the centrality real users ask for next (SURVEY §15.2 deferral,
     * cleared r7).
     */
+  /** The ONE support-filtered co-purchase pair build the whole graph
+    * family shares (betweenness, closeness, degreeDist, labelProp,
+    * edgeEmbeddedness): distinct (order, part) incidences → oriented
+    * part pairs per order (self-join on the order key, part_a <
+    * part_b) → pair counts → support filter. Extracted so the
+    * support threshold and orientation cannot silently drift between
+    * operators that all claim to analyze the SAME graph; callers
+    * symmetrize/rename/persist per their own loop shape. One
+    * shuffle-heavy self-join keyed on l_orderkey + one pair
+    * aggregate — built per operator (never shared-state), so each
+    * caller's checkpoint/cache hygiene stays self-contained.
+    */
+  private def coPurchasePairs(spark: SparkSession, dir: String, minSupport: Int): DataFrame = {
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    po.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+  }
+
   def betweenness(
       spark: SparkSession,
       dir: String,
       seedMod: Int = 250,
       depth: Int = 3,
       topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) {
-    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = po
-      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val pairs = coPurchasePairs(spark, dir, minSupport = 2)
     val sym = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
@@ -5448,14 +5471,7 @@ object AnalyticsExt {
       seedMod: Int = 250,
       depth: Int = 3,
       topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) {
-    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = po
-      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val pairs = coPurchasePairs(spark, dir, minSupport = 2)
     val sym = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
@@ -5503,14 +5519,7 @@ object AnalyticsExt {
     * (a documented PlanDisciplineSpec exception).
     */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = po
-      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val pairs = coPurchasePairs(spark, dir, minSupport = 2)
     val deg = pairs
       .select(col("part_a").as("node"))
       .unionAll(pairs.select(col("part_b").as("node")))
@@ -7186,22 +7195,14 @@ object AnalyticsExt {
       rounds: Int = LabelPropRounds,
       minSupport: Int = LabelPropMinSupport): DataFrame =
     Lineage.checkpointReleasing(spark) {
-      val po =
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = po
-        .select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= minSupport)
-        .cache()
+      val pairs = coPurchasePairs(spark, dir, minSupport).cache()
       val sym = pairs
         .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
         .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
         .repartition(col("dst"))
         .cache()
-      var labels = po
+      var labels = Tables
+        .lineitem(spark, dir)
         .select(col("l_partkey").as("part"))
         .distinct()
         .select(col("part"), col("part").as("label"))
@@ -7367,7 +7368,13 @@ object AnalyticsExt {
       .select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
       .join(
-        deg.filter(col("deg") <= maxCenterDeg).select(col("node").as("u"), col("deg")),
+        // deg >= 2: a deg-1 center forms no wedge (its self-join pair is
+        // (v,v), killed by v < w) so dropping it is result-neutral — and
+        // it keeps 1/ln(1) = Infinity out of the BIGINT cast, which
+        // would throw under spark.sql.ansi.enabled
+        deg
+          .filter(col("deg") <= maxCenterDeg && col("deg") >= 2)
+          .select(col("node").as("u"), col("deg")),
         Seq("u"))
       .withColumn("term_e6", expr("CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)"))
     adj
@@ -7912,16 +7919,8 @@ object AnalyticsExt {
     * an empty union — scored 0 by convention, documented here.
     */
   def edgeEmbeddedness(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
-    val po =
-      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = po
-      .select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(po.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb")
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("pa", "pb")
+    val e = coPurchasePairs(spark, dir, minSupport = 2)
+      .select(col("part_a").as("pa"), col("part_b").as("pb"))
       .localCheckpoint(eager = false)
     val adj = e
       .select(col("pa").as("u"), col("pb").as("v"))

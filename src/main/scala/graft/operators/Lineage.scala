@@ -27,10 +27,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dropped cannot be recomputed — which is why step (1) must run
   * before step (3), and why the result's own blocks (created after the
   * body returns) are never touched.
+  *
+  * Concurrency contract: the before/after diff observes GLOBAL
+  * SparkContext state, so two wrapped bodies interleaving on one
+  * context would each sweep the other's in-flight checkpoint blocks —
+  * and a swept localCheckpoint is unrecoverable (lineage already
+  * truncated). The wrapper therefore SERIALIZES wrapped bodies on a
+  * process-wide lock: concurrent callers queue rather than corrupt.
+  * Residual caveat (documented, not enforced): a concurrent UNwrapped
+  * query that persists blocks while a wrapped body runs will have
+  * those blocks swept too — callers running ad-hoc concurrent work on
+  * the same context should persist outside wrapped-operator calls or
+  * accept recompute (plain caches recompute; only bare localCheckpoint
+  * blocks are unrecoverable, and graft's own operators only create
+  * those inside this wrapper).
   */
 object Lineage {
+  private val sweepLock = new Object
+
   def checkpointReleasing(spark: SparkSession)(
-      build: => (DataFrame, Seq[DataFrame])): DataFrame = {
+      build: => (DataFrame, Seq[DataFrame])): DataFrame = sweepLock.synchronized {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val (raw, caches) = build

@@ -369,7 +369,14 @@ object Multimodal {
     val payloads = manifest(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), col("modality"), hex(col("text").cast("binary")).as("hx"))
+    // length(hx) >= 2 guard: an EMPTY payload would make the sequence
+    // upper bound -1, and Spark's sequence(0, -1) is the DESCENDING
+    // [0, -1] (two phantom '' bytes) while DuckDB's range(0, 0) is
+    // empty — the empty doc must produce zero byte rows in BOTH
+    // engines (and drop out of the result) rather than a phantom
+    // n_bytes=2 row on one side only
     val bytes = payloads
+      .filter(length(col("hx")) >= 2)
       .select(
         col("doc_id"),
         col("modality"),

@@ -463,7 +463,8 @@ object TextStats {
     * bit-exactly alongside the exact values they approximate
     * (`TextStatsSpec` asserts the KMV error bounds hold).
     */
-  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    Lineage.checkpointReleasing(spark) {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables
       .documents(spark, dir)
@@ -472,8 +473,14 @@ object TextStats {
         col("doc_id"),
         explode(array_distinct(transform(Dedup.shingles(col("tok")), s => Dedup.hash60(s))))
           .as("h"))
-    val a = e.filter(col("doc_id") % 97 =!= 0).select("h").distinct()
-    val b = e.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    // lazy localCheckpoint: each distinct shingle-hash side feeds FOUR
+    // consumers (its k-min sketch, the union sketch, the exact counts,
+    // and the semi-joins) — without the cut the tokenize+shingle+
+    // explode scan re-executes ~6×, which is the whole query cost
+    // (the Dedup.scala semDedup pattern; blocks swept on exit by the
+    // checkpointReleasing wrapper)
+    val a = e.filter(col("doc_id") % 97 =!= 0).select("h").distinct().localCheckpoint(false)
+    val b = e.filter(col("doc_id") % 97 === 0).select("h").distinct().localCheckpoint(false)
     def kmv(s: DataFrame) = s.orderBy("h").limit(k)
     val u = a.unionAll(b).distinct()
     val kmvU = kmv(u)
@@ -488,7 +495,7 @@ object TextStats {
       .crossJoin(a.agg(count(lit(1)).as("exact_distinct_a")))
       .crossJoin(b.agg(count(lit(1)).as("exact_distinct_b")))
       .crossJoin(a.join(b, Seq("h"), "left_semi").agg(count(lit(1)).as("exact_overlap")))
-    row.select(
+    val out = row.select(
       lit(k.toLong).as("k"),
       col("theta_a"),
       col("theta_b"),
@@ -503,6 +510,7 @@ object TextStats {
       col("exact_overlap"),
       expr("CAST((exact_overlap * 10000) div (exact_distinct_a + exact_distinct_b - exact_overlap) AS BIGINT)")
         .as("jaccard_exact_bp"))
+    (out, Seq.empty)
   }
 
   /** #181 Shingle-novelty scoring: per document, the fraction of its

@@ -591,12 +591,17 @@ object CdcStream {
             .toSeq
             .sortBy(_._1)
           var st = state.getOption.getOrElse(
-            PhState(series, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
-          val steps = daily.map { case (day, x) =>
+            PhState(series, 0L, 0L, 0L, Long.MaxValue, Long.MinValue, Long.MinValue))
+          // replay guard (the #325/#374 hardened contract): a replayed
+          // or out-of-order micro-batch whose days fall at or before
+          // the folded lastDay is dropped — refolding a day into the
+          // (t, S, m, extrema) recursion would silently break the
+          // streamed ≡ batch bit-identity this operator promises
+          val steps = daily.filter(_._1 > st.lastDay).map { case (day, x) =>
             val t = st.t + 1
             val sum = st.s + x
             val m = st.m + (x - floorDiv(sum, t))
-            st = PhState(series, t, sum, m, math.min(st.minM, m), math.max(st.maxM, m))
+            st = PhState(series, t, sum, m, math.min(st.minM, m), math.max(st.maxM, m), day)
             (day, x, m, m - st.minM, st.maxM - m)
           }
           state.update(st)
@@ -761,9 +766,17 @@ case class HoltEmit(
   * extrema — the closed form's entire requirement, bounded per key.
   */
 /** Per-series Page-Hinkley state: prefix count/sum + deviation
-  * cumsum and its prefix extrema — one bounded 5-tuple per key.
+  * cumsum and its prefix extrema, plus the last folded day (the
+  * replay guard) — one bounded 6-tuple per key.
   */
-case class PhState(series: String, t: Long, s: Long, m: Long, minM: Long, maxM: Long)
+case class PhState(
+    series: String,
+    t: Long,
+    s: Long,
+    m: Long,
+    minM: Long,
+    maxM: Long,
+    lastDay: Long)
 
 /** One emission per (series, micro-batch): that batch's day-ordered
   * PH trajectory (parallel arrays keep the encoder flat).
