@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_scd2" -> (Cdc.scd2 _),
     "cdc_compact" -> (Cdc.compact _),
     "cdc_envelope_parse" -> (Cdc.envelopeParse _),
+    "cdc_avro_parse" -> (Cdc.avroParse _),
     "cdc_maxwell_parse" -> (Cdc.maxwellParse _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiff _),
     "q_json_extract" -> (Analytics.jsonExtract _),
@@ -1254,6 +1255,22 @@ object SparkEntry {
                FROM events)
          WHERE rn = 1""",
     "cdc_envelope_parse" ->
+      """WITH c AS (
+           SELECT event_id AS id, user_id, props AS account,
+             epoch_us(ts) AS registered_at,
+             CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+           FROM events)
+         SELECT id, user_id, account, registered_at,
+           CASE WHEN __deleted = 'true' THEN 'DELETE'
+                WHEN rn = 1 THEN 'INSERT' ELSE 'UPDATE' END AS op
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id, (__deleted = 'true')
+                  ORDER BY registered_at, id) AS rn
+               FROM c)""",
+    // Avro path: wire format is invisible to the oracle — DuckDB
+    // replays the SEMANTICS (same SQL as cdc_envelope_parse), so a
+    // hash match proves the Avro binary round trip lossless
+    "cdc_avro_parse" ->
       """WITH c AS (
            SELECT event_id AS id, user_id, props AS account,
              epoch_us(ts) AS registered_at,

@@ -176,6 +176,28 @@ object Cdc {
     graft.sources.Formats.parseDebezium(envelopes, col("value"))
   }
 
+  /** #396 Avro envelope parse: the same changelog carried as
+    * Avro-BINARY Debezium envelopes (the Confluent AvroConverter wire
+    * format — the production alternative to the JsonConverter the
+    * reference config ships, `mysql-connector-config-clean.json`)
+    * encoded and decoded with the runtime's Avro core via
+    * [[graft.sources.AvroEnvelope]], then classified by the SAME
+    * shared window as the JSON path — the oracle is therefore
+    * IDENTICAL SQL to [[envelopeParse]]'s: a hash-match proves the
+    * binary round trip is lossless AND the two converters agree.
+    */
+  def avroParse(spark: SparkSession, dir: String): DataFrame = {
+    val envelopes = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id").as("id"),
+        col("user_id"),
+        col("props").as("account"),
+        expr("ts div 1000").as("registered_at"),
+        when(col("event_type") === "error", "true").otherwise("false").as("__deleted"))
+    graft.sources.AvroEnvelope.parseDebeziumAvro(graft.sources.AvroEnvelope.encode(envelopes))
+  }
+
   /** #73 Maxwell envelope parse: the same changelog re-serialized as
     * Maxwell JSON (`{database, table, type, ts, data:{...}}` — the
     * other widely deployed MySQL-binlog CDC format) and parsed back to

@@ -30,10 +30,23 @@ object Formats {
   /** Parse a column of Debezium-flattened JSON envelopes into typed
     * change records with ops classified reference-style.
     */
-  def parseDebezium(df: DataFrame, jsonCol: Column): DataFrame = {
-    val parsed = df
-      .select(from_json(jsonCol, debeziumSchema).as("r"))
-      .select(col("r.id"), col("r.user_id"), col("r.account"), col("r.registered_at"), col("r.__deleted"))
+  def parseDebezium(df: DataFrame, jsonCol: Column): DataFrame =
+    classifyDebezium(
+      df.select(from_json(jsonCol, debeziumSchema).as("r"))
+        .select(
+          col("r.id"),
+          col("r.user_id"),
+          col("r.account"),
+          col("r.registered_at"),
+          col("r.__deleted")))
+
+  /** The reference-style op classification over ALREADY-parsed
+    * envelope columns (id, user_id, account, registered_at,
+    * __deleted) — shared by the JSON and Avro decode paths so the two
+    * converters cannot drift (the wire format is the only difference
+    * between them).
+    */
+  def classifyDebezium(parsed: DataFrame): DataFrame = {
     val isDel = col("__deleted") === "true"
     // rank non-tombstone changes per key: the first is the INSERT
     val w = Window
