@@ -136,6 +136,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
+    "ann_exact_knn_graph" -> ((s, d) => Similarity.exactKnnGraph(s, d)),
+    "ann_nsw_search" -> ((s, d) => Similarity.nswSearch(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
     // Range (threshold) ANN search (§2 #224)
@@ -3260,6 +3262,97 @@ object SparkEntry {
                  e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC, e.vec_id)
                AS BIGINT) AS rank
            FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+         WHERE rank <= 10""",
+    "ann_exact_knn_graph" ->
+      """SELECT src, dst, cos, rank FROM (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6)
+               AS cos,
+             CAST(row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC, b.vec_id)
+               AS BIGINT) AS rank
+           FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+         WHERE rank <= 10""",
+    // unrolled 4-hop greedy walk over the exact k-NN graph: beam_h =
+    // top-10 of (beam ∪ out-neighbors) by rounded cosine; result =
+    // top-10 of everything visited, self excluded — the Spark loop's
+    // exact replay
+    "ann_nsw_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+         g AS (SELECT src, dst FROM (
+                 SELECT a.vec_id AS src, b.vec_id AS dst,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY round(list_cosine_similarity(b.emb, a.emb), 6) DESC,
+                       b.vec_id) AS rnk
+                 FROM e a, e b WHERE a.vec_id <> b.vec_id)
+               WHERE rnk <= 10),
+         entry AS (SELECT min(vec_id) AS vec_id FROM e),
+         b0 AS (SELECT q.query_id, entry.vec_id FROM q, entry),
+         v0 AS (SELECT query_id, vec_id FROM b0),
+         c1 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM b0
+                 UNION ALL
+                 SELECT b.query_id, g.dst AS vec_id FROM b0 b JOIN g ON g.src = b.vec_id)),
+         s1 AS (SELECT c.query_id, c.vec_id,
+                  round(list_cosine_similarity(e.emb, q.q_emb), 6) AS cos
+                FROM c1 c JOIN e ON e.vec_id = c.vec_id
+                          JOIN q ON q.query_id = c.query_id),
+         b1 AS (SELECT query_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rnk FROM s1)
+                WHERE rnk <= 10),
+         v1 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM v0
+                 UNION ALL SELECT query_id, vec_id FROM c1)),
+         c2 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM b1
+                 UNION ALL
+                 SELECT b.query_id, g.dst AS vec_id FROM b1 b JOIN g ON g.src = b.vec_id)),
+         s2 AS (SELECT c.query_id, c.vec_id,
+                  round(list_cosine_similarity(e.emb, q.q_emb), 6) AS cos
+                FROM c2 c JOIN e ON e.vec_id = c.vec_id
+                          JOIN q ON q.query_id = c.query_id),
+         b2 AS (SELECT query_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rnk FROM s2)
+                WHERE rnk <= 10),
+         v2 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM v1
+                 UNION ALL SELECT query_id, vec_id FROM c2)),
+         c3 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM b2
+                 UNION ALL
+                 SELECT b.query_id, g.dst AS vec_id FROM b2 b JOIN g ON g.src = b.vec_id)),
+         s3 AS (SELECT c.query_id, c.vec_id,
+                  round(list_cosine_similarity(e.emb, q.q_emb), 6) AS cos
+                FROM c3 c JOIN e ON e.vec_id = c.vec_id
+                          JOIN q ON q.query_id = c.query_id),
+         b3 AS (SELECT query_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rnk FROM s3)
+                WHERE rnk <= 10),
+         v3 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM v2
+                 UNION ALL SELECT query_id, vec_id FROM c3)),
+         c4 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM b3
+                 UNION ALL
+                 SELECT b.query_id, g.dst AS vec_id FROM b3 b JOIN g ON g.src = b.vec_id)),
+         v4 AS (SELECT DISTINCT query_id, vec_id FROM (
+                 SELECT query_id, vec_id FROM v3
+                 UNION ALL SELECT query_id, vec_id FROM c4))
+         SELECT query_id, vec_id, cos, rank FROM (
+           SELECT f.query_id, f.vec_id,
+             round(list_cosine_similarity(e.emb, q.q_emb), 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY f.query_id
+               ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC, f.vec_id)
+               AS BIGINT) AS rank
+           FROM v4 f JOIN e ON e.vec_id = f.vec_id
+                     JOIN q ON q.query_id = f.query_id
+           WHERE f.vec_id <> f.query_id)
          WHERE rank <= 10""",
     "text_top_terms" ->
       """WITH td AS (
