@@ -620,6 +620,7 @@ object SparkEntry {
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
     // Payload byte-entropy screen (§2 #356)
     "mm_byte_entropy" -> ((s: SparkSession, d: String) => Multimodal.byteEntropy(s, d)),
+    "mm_cdc_chunks" -> ((s: SparkSession, d: String) => Multimodal.cdcChunks(s, d)),
     // Decision-stump Gini split gain (§2 #357)
     "q_split_gain" -> ((s: SparkSession, d: String) => AnalyticsExt.splitGain(s, d)),
     // Degree distribution by octave + power-law ratio (§2 #348)
@@ -4336,6 +4337,58 @@ object SparkEntry {
          SELECT split_lo, split_hi, n_pairs, is_leak, n_pairs_total, n_leaked,
            CAST(n_leaked * 1000000 // n_pairs_total AS BIGINT) AS leak_rate_e6
          FROM c2, tot""",
+    // rolling-hash chunking replay: byte values from hex pairs, the
+    // W=8 window hash as a list dot product (double-exact < 2^53),
+    // boundaries where hash % 64 = 0, chunk fingerprints md5 of the
+    // hex slice — identical content rule to the Spark side
+    "mm_cdc_chunks" ->
+      """WITH pay AS (
+           SELECT doc_id, hex(text) AS hx,
+             CAST(length(hex(text)) // 2 AS BIGINT) AS n
+           FROM documents WHERE length(hex(text)) >= 2),
+         pows AS (SELECT [1,33,1089,35937,1185921,39135393,1291467969,42618442977]::BIGINT[] AS pw),
+         b AS (
+           SELECT doc_id, hx, n,
+             [ (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+               for i in range(1, CAST(n AS INT) + 1) ]::BIGINT[] AS bs
+           FROM pay),
+         cu AS (
+           SELECT doc_id, hx, n,
+             list_append(
+               [ i for i in range(8, CAST(n AS INT))
+                 if CAST(list_dot_product(bs[i-7:i]::DOUBLE[], pw::DOUBLE[]) AS BIGINT)
+                    % 64 = 0 ],
+               n) AS cuts
+           FROM b, pows),
+         se AS (
+           SELECT doc_id, hx,
+             list_prepend(CAST(1 AS BIGINT),
+               [ CAST(cuts[i] + 1 AS BIGINT) for i in range(1, len(cuts)) ]) AS starts,
+             cuts AS ends
+           FROM cu),
+         ch AS (SELECT doc_id, unnest(starts) AS s, unnest(ends) AS e, hx FROM se),
+         fp AS (
+           SELECT doc_id,
+             md5(substr(hx, CAST(2*s - 1 AS INT), CAST(2*(e - s + 1) AS INT))) AS fp,
+             e - s + 1 AS nb
+           FROM ch),
+         tot AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS total_chunks,
+             CAST(count(DISTINCT fp) AS BIGINT) AS distinct_chunks,
+             CAST(sum(nb) AS BIGINT) AS total_bytes
+           FROM fp),
+         uq AS (
+           SELECT CAST(sum(nb) AS BIGINT) AS unique_bytes
+           FROM (SELECT fp, max(nb) AS nb FROM fp GROUP BY fp))
+         SELECT n_docs, total_chunks, distinct_chunks, total_bytes, unique_bytes,
+           CAST((total_chunks - distinct_chunks) * 1000000 // total_chunks AS BIGINT)
+             AS dup_chunk_ratio_e6,
+           CAST((total_bytes - unique_bytes) * 1000000 // total_bytes AS BIGINT)
+             AS savings_e6,
+           CAST(total_bytes * 100 // total_chunks AS BIGINT) AS avg_chunk_bytes_e2
+         FROM tot, uq""",
     "mm_byte_entropy" ->
       // hex-pair byte explosion (case-insensitive by construction:
       // byte VALUES never reach the output, only their counts)

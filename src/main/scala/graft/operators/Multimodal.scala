@@ -365,6 +365,83 @@ object Multimodal {
     * cnt·log₂(n/cnt) e6-quantized per byte value (#119), H = Σterm
     * div n, flags at the 0.5/7.5-bit decision thresholds.
     */
+  /** #399 Content-defined chunking dedup (the Rabin/gear rolling-hash
+    * storage primitive under every dedup filesystem and artifact
+    * store: LBFS, restic, borg, data-lake blob dedup): each opaque
+    * payload is split where a W=8-byte rolling window hash hits
+    * `hash % 64 == 0` — boundaries follow CONTENT, so an insertion
+    * shifts only the chunks it touches, unlike fixed-size blocks
+    * where one inserted byte re-fingerprints the whole tail — then
+    * chunks are fingerprinted and deduplicated ACROSS documents. The
+    * one-row scorecard reports the chunk-level dup ratio and the byte
+    * savings a content-addressed store would realize on this corpus —
+    * the sizing number a 100 TB multimodal lake computes before
+    * committing to a dedup store.
+    *
+    * Exact cross-engine: bytes via hex pairs (the [[byteEntropy]]
+    * path), the window hash is Σ b·33^j over the last 8 bytes — pure
+    * BIGINT, max ≈ 1.1e13, replayed in DuckDB as a list dot product
+    * (double-exact below 2^53) — and every ratio a truncating e6
+    * quotient. Pure content rule, no min/max clamp: a pathological
+    * payload can yield one giant chunk (production CDC adds stateful
+    * size clamps; a clamp is a sequential fold that would cost the
+    * declarative replay — documented trade). Scale: one explode to
+    * chunk rows + two aggregates; per-doc work linear in bytes × W.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    // the W=8 window hash Σ bs[i-7+j]·33^j, UNROLLED: a slice+zip_with
+    // formulation allocates two arrays per byte position and ran ~15×
+    // slower — flat element_at terms keep the filter allocation-free
+    val powTerms = (0 to 7)
+      .map(j => s"element_at(bs, CAST(i - ${7 - j} AS INT)) * ${math.pow(33, j).toLong}L")
+      .mkString(" + ")
+    val chunks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .filter(length(col("hx")) >= 2)
+      .withColumn("n", expr("CAST(length(hx) div 2 AS BIGINT)"))
+      .withColumn(
+        "bs",
+        expr("transform(sequence(1L, n), i -> CAST(conv(substring(hx, CAST(2*i - 1 AS INT), 2), 16, 10) AS BIGINT))"))
+      .withColumn(
+        "cuts",
+        expr(s"""concat(
+             CASE WHEN n < 9 THEN array()
+                  ELSE filter(sequence(8L, n - 1), i ->
+                    ($powTerms) % 64 = 0) END,
+             array(n))"""))
+      .withColumn(
+        "starts",
+        expr("concat(array(1L), transform(slice(cuts, 1, size(cuts) - 1), c -> c + 1))"))
+      .select(col("doc_id"), col("hx"), explode(arrays_zip(col("starts"), col("cuts"))).as("z"))
+      .select(
+        col("doc_id"),
+        md5(expr("substring(hx, CAST(2*z.starts - 1 AS INT), CAST(2*(z.cuts - z.starts + 1) AS INT))"))
+          .as("fp"),
+        expr("z.cuts - z.starts + 1").as("nb"))
+    val tot = chunks.agg(
+      countDistinct("doc_id").as("n_docs"),
+      count(lit(1)).as("total_chunks"),
+      countDistinct("fp").as("distinct_chunks"),
+      sum("nb").as("total_bytes"))
+    val uniq = chunks
+      .groupBy("fp")
+      .agg(max("nb").as("nb"))
+      .agg(sum("nb").as("unique_bytes"))
+    tot
+      .crossJoin(broadcast(uniq))
+      .select(
+        col("n_docs"),
+        col("total_chunks"),
+        col("distinct_chunks"),
+        col("total_bytes"),
+        col("unique_bytes"),
+        expr("(total_chunks - distinct_chunks) * 1000000 div total_chunks")
+          .as("dup_chunk_ratio_e6"),
+        expr("(total_bytes - unique_bytes) * 1000000 div total_bytes").as("savings_e6"),
+        expr("total_bytes * 100 div total_chunks").as("avg_chunk_bytes_e2"))
+  }
+
   def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
     val payloads = manifest(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
