@@ -88,6 +88,7 @@ object SparkEntry {
     "q_approx_percentiles" -> (Scale.approxPercentiles _),
     "q_winsorize" -> (Scale.winsorize _),
     "q_zorder_stats" -> ((s: SparkSession, d: String) => Scale.zorderStats(s, d)),
+    "q_curve_compare" -> ((s: SparkSession, d: String) => Scale.curveCompare(s, d)),
     "q_bloom_join" -> ((s: SparkSession, d: String) => Scale.bloomJoin(s, d)),
     // Sampling (§2 #54-56)
     "q_split_assign" -> (Sampling.splitAssign _),
@@ -491,6 +492,7 @@ object SparkEntry {
     "q_adamic_adar" -> ((s: SparkSession, d: String) => AnalyticsExt.adamicAdar(s, d)),
     // Individuals & moving-range Shewhart chart (§2 #369)
     "q_imr_chart" -> (AnalyticsExt.imrChart _),
+    "q_binseg_gain" -> ((s: SparkSession, d: String) => AnalyticsExt.binsegSplit(s, d)),
     // X̄-R grouped Shewhart chart over weekly subgroups (§2 #370)
     "q_xbar_r" -> (AnalyticsExt.xbarRChart _),
     // Net / gross revenue retention by base month (§2 #371)
@@ -1888,6 +1890,59 @@ object SparkEntry {
            round(greatest(lo, least(hi, value)), 2) AS value_w,
            CAST(value < lo OR value > hi AS INT) AS clipped
          FROM events e JOIN b USING (event_type)""",
+    "q_curve_compare" -> {
+      // morton mirrors Scale.morton; the hilbert walk is the same
+      // 8-round xy2d fold UNROLLED as a CTE chain (s = 128..1), each
+      // step's (x, y, d) computed from the previous step's columns
+      val mortonSql = (0 until 8)
+        .map(i =>
+          s"((ca >> $i) & 1) * ${1L << (2 * i + 1)} + ((cb >> $i) & 1) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      val hilbertSteps = (7 to 0 by -1)
+        .map { k =>
+          val s = 1L << k
+          val prev = if (k == 7) "z" else s"l${k + 1}"
+          val (px, py) = if (k == 7) ("ca", "cb") else ("x", "y")
+          val pd = if (k == 7) "0" else "d"
+          s"""l$k AS (SELECT o_orderkey, ca, cb, zval,
+              CASE WHEN ($py & $s) > 0 THEN $px
+                   WHEN ($px & $s) > 0 THEN 255 - $py ELSE $py END AS x,
+              CASE WHEN ($py & $s) > 0 THEN $py
+                   WHEN ($px & $s) > 0 THEN 255 - $px ELSE $px END AS y,
+              $pd + ${s * s} * (CASE WHEN ($px & $s) = 0 AND ($py & $s) = 0 THEN 0
+                   WHEN ($px & $s) = 0 THEN 1
+                   WHEN ($py & $s) > 0 THEN 2 ELSE 3 END) AS d
+            FROM $prev)"""
+        }
+        .mkString(",\n         ")
+      s"""WITH b AS (
+           SELECT o_orderkey,
+             CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS ca,
+             CAST(ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS cb
+           FROM orders),
+         z AS (SELECT o_orderkey, ca, cb, CAST($mortonSql AS BIGINT) AS zval FROM b),
+         $hilbertSteps,
+         fz AS (SELECT 'zorder' AS layout, ca, cb,
+                  CAST(ntile(32) OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS file_id
+                FROM l0),
+         fh AS (SELECT 'hilbert' AS layout, ca, cb,
+                  CAST(ntile(32) OVER (ORDER BY d, o_orderkey) AS BIGINT) AS file_id
+                FROM l0),
+         qs AS (SELECT * FROM (VALUES
+                  ('box32', 64, 95, 64, 95),
+                  ('box64', 128, 191, 128, 191),
+                  ('stripe_ca', 32, 47, 0, 255),
+                  ('stripe_cb', 0, 255, 200, 215)) AS t(query, alo, ahi, blo, bhi))
+         SELECT layout, query,
+           CAST(count(*) AS BIGINT) AS rows_matched,
+           CAST(count(DISTINCT file_id) AS BIGINT) AS files_touched,
+           CAST(32 AS BIGINT) AS total_files,
+           CAST((32 - count(DISTINCT file_id)) * 1000000 // 32 AS BIGINT)
+             AS prune_ratio_e6
+         FROM (SELECT * FROM fz UNION ALL SELECT * FROM fh) f, qs
+         WHERE ca BETWEEN alo AND ahi AND cb BETWEEN blo AND bhi
+         GROUP BY layout, query"""
+    },
     "q_zorder_stats" -> {
       // 16 interleave terms generated to mirror Scale.morton exactly
       val mortonSql = (0 until 8)
@@ -8561,6 +8616,35 @@ object SparkEntry {
          SELECT pa, pb, cn, aa_e6 FROM sc
          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = sc.pa AND e.pb = sc.pb)
          ORDER BY aa_e6 DESC, cn DESC, pa, pb LIMIT 100""",
+    // binary-segmentation first split: prefix sums only (the Σx²
+    // terms cancel), each Σ²/n one truncating HUGEINT division,
+    // gain floored at 0 before the //10000 rescale (negative operands
+    // would split div-toward-zero from floor-//)
+    "q_binseg_gain" ->
+      """WITH byday AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         pre AS (
+           SELECT day, CAST(count(*) OVER (ORDER BY day) AS BIGINT) AS nl,
+             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS sxl
+           FROM byday),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+                 FROM byday),
+         cand AS (
+           SELECT day AS split_day, nl AS n_left, n - nl AS n_right,
+             CAST(sxl // nl AS BIGINT) AS mean_left_cents,
+             CAST((sx - sxl) // (n - nl) AS BIGINT) AS mean_right_cents,
+             CAST(greatest(
+                 ((sxl // 1000)::HUGEINT * (sxl // 1000)) // nl
+               + (((sx - sxl) // 1000)::HUGEINT * ((sx - sxl) // 1000)) // (n - nl)
+               - ((sx // 1000)::HUGEINT * (sx // 1000)) // n, 0) AS BIGINT) AS gain_kc2
+           FROM pre, tot WHERE nl < n)
+         SELECT split_day, n_left, n_right, mean_left_cents, mean_right_cents, gain_kc2, rank
+         FROM (SELECT *, CAST(row_number() OVER (ORDER BY gain_kc2 DESC, split_day)
+                 AS BIGINT) AS rank FROM cand)
+         WHERE rank <= 5""",
     "q_imr_chart" ->
       // cross-multiplied I-MR limits: |x*n - Sx|*1128*n1 > 3000*Smr*n
       // and mr*1000*n1 > 3267*Smr, HUGEINT products

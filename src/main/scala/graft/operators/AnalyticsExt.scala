@@ -5601,6 +5601,74 @@ object AnalyticsExt {
         (abs(expr("num div den") - col("mu")) > col("lim")).cast("long").as("alarm"))
   }
 
+  /** #400 Binary-segmentation split gain (offline changepoint
+    * LOCALIZATION with effect size — #182's CUSUM V-apex DATES a
+    * shift per event type; this scores every candidate split of the
+    * daily-REVENUE series): the day that best splits the series
+    * into two constant-mean segments, scored by the exact
+    * variance-reduction gain Σ²_L/n_L + Σ²_R/n_R − Σ²/n (the Σx²
+    * terms CANCEL between the split and no-split SSEs, so the score
+    * needs only prefix sums — no squares of individual days). The SPC
+    * family (#284 CUSUM, #331 PH, #349 EWMA) DETECTS drift online;
+    * this LOCALIZES the shift offline — the "when exactly did the
+    * level move" question asked after any monitor fires. Top-`topK`
+    * candidate splits ship with both segment means so the analyst
+    * reads the before/after levels directly.
+    *
+    * Exactness: segment means stay on the cents grid; the GAIN terms
+    * first truncate the prefix sums to KILOCENTS (div 1000) — Σx is
+    * 3.8e11 cents at sf0.01, so a cents-grid Σ²/n is ~6e19 and
+    * overflows the BIGINT that Spark `div` returns even for DECIMAL
+    * operands (the ANOVA lesson: rescale BEFORE the div, never
+    * after) — then each Σ_k²/n term is ONE truncating
+    * DECIMAL(38,0)↔HUGEINT division; at sf100 Σ_k² ≈ 1e23 still sits
+    * inside DECIMAL38 and quotients stay ~1e19/n. Both engines
+    * truncate the SAME sums in the same order, so the kilocents²
+    * score replays bit-exactly; ties the coarser grid creates break
+    * on split_day. Prefix sums ride ONE day-ordered window over the
+    * ≤#calendar-days daily frame (the #369 documented
+    * PlanDisciplineSpec exception); the total is a 1-row broadcast;
+    * top-k rank-filtered.
+    */
+  def binsegSplit(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(sum("c").as("x"))
+      .localCheckpoint(eager = false)
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byDay.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val ranked = byDay
+      .withColumn("nl", count(lit(1)).over(w))
+      .withColumn("sxl", sum("x").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .select(
+        col("day").as("split_day"),
+        col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        expr("sxl div nl").as("mean_left_cents"),
+        expr("(sx - sxl) div (n - nl)").as("mean_right_cents"),
+        // floor at 0: the exact-rational gain is non-negative (convexity),
+        // but the per-term truncation can land the integer form at −1/−2 —
+        // and a negative operand would split Spark div (toward zero) from
+        // DuckDB // (floor). Kilocents rescale BEFORE the div: see doc.
+        expr("""greatest(CAST(sxl div 1000 AS DECIMAL(38,0)) * (sxl div 1000) div nl
+               + CAST((sx - sxl) div 1000 AS DECIMAL(38,0)) * ((sx - sxl) div 1000)
+                 div (n - nl)
+               - CAST(sx div 1000 AS DECIMAL(38,0)) * (sx div 1000) div n, 0L)""")
+          .as("gain_kc2"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("gain_kc2").desc, col("split_day"))).cast("long"))
+      .filter(col("rank") <= topK)
+    ranked
+  }
+
   /** #354 Inter-arrival percentiles per event type: exact lower
     * discrete p50/p90/p99 (plus floor mean) of the µs gap between a
     * user's consecutive events OF EACH TYPE — the arrival-process

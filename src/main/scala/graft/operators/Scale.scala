@@ -590,6 +590,87 @@ object Scale {
         min("cb").as("min_price_b"),
         max("cb").as("max_price_b"))
 
+  /** Hilbert distance of a 256×256 grid cell: the classic xy2d walk
+    * (8 rounds, high bit first — quadrant index q = Gray-coded (rx,ry),
+    * then the lower bits reflect/swap per the quadrant's frame), as
+    * one constant-depth `aggregate` fold — pure BIGINT CASE
+    * arithmetic, no XOR builtin needed (q enumerated explicitly), so
+    * the DuckDB replay is an unrolled 8-step CTE chain of the
+    * identical expressions.
+    */
+  private[operators] def hilbert(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.expr(
+      s"""aggregate(
+            sequence(7, 0, -1),
+            named_struct('x', CAST(${a.toString} AS BIGINT),
+                         'y', CAST(${b.toString} AS BIGINT), 'd', 0L),
+            (s, k) -> named_struct(
+              'x', CASE WHEN (s.y & shiftleft(1L, CAST(k AS INT))) > 0 THEN s.x
+                        WHEN (s.x & shiftleft(1L, CAST(k AS INT))) > 0 THEN 255 - s.y
+                        ELSE s.y END,
+              'y', CASE WHEN (s.y & shiftleft(1L, CAST(k AS INT))) > 0 THEN s.y
+                        WHEN (s.x & shiftleft(1L, CAST(k AS INT))) > 0 THEN 255 - s.x
+                        ELSE s.x END,
+              'd', s.d + shiftleft(1L, CAST(2 * k AS INT)) *
+                CASE WHEN (s.x & shiftleft(1L, CAST(k AS INT))) = 0
+                      AND (s.y & shiftleft(1L, CAST(k AS INT))) = 0 THEN 0
+                     WHEN (s.x & shiftleft(1L, CAST(k AS INT))) = 0 THEN 1
+                     WHEN (s.y & shiftleft(1L, CAST(k AS INT))) > 0 THEN 2
+                     ELSE 3 END),
+            s -> s.d)""")
+
+  /** #402 Space-filling-curve layout comparison (Hilbert vs Z-order):
+    * both curves bucket the same two order dimensions to 0..255 and
+    * range-split into `files`; a fixed family of rectangle/stripe
+    * predicates then measures, per layout, how many files a
+    * zonemap-pruned scan would touch. Hilbert never takes the long
+    * diagonal jumps Morton's bit-interleave does (every unit step is
+    * Manhattan-adjacent — `CurveSpec` proves it cell-by-cell), so its
+    * file extents are tighter and rectangles touch fewer files — the
+    * measured answer to "is OPTIMIZE ZORDER leaving scan pruning on
+    * the table?" before a 100 TB relayout. Exact ntile bucketing =
+    * oracle mode (the #135 recluster precedent; the documented scale
+    * path is the range-partitioner-sample construction in [[zfile]]);
+    * prune ratios truncating e6.
+    */
+  def curveCompare(spark: SparkSession, dir: String, files: Int = 32): DataFrame = {
+    val wCust = Window.orderBy("o_custkey", "o_orderkey")
+    val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
+    val bucketed = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
+      .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
+      .withColumn("zval", morton(col("ca"), col("cb")))
+      .withColumn("hval", hilbert(col("ca"), col("cb")))
+      .localCheckpoint(eager = false)
+    def layout(name: String, curve: String) =
+      bucketed
+        .withColumn(
+          "file_id",
+          ntile(files).over(Window.orderBy(col(curve), col("o_orderkey"))).cast("long"))
+        .select(lit(name).as("layout"), col("ca"), col("cb"), col("file_id"))
+    val queries = expr(
+      """stack(4,
+           'box32',     64L,  95L,  64L,  95L,
+           'box64',    128L, 191L, 128L, 191L,
+           'stripe_ca', 32L,  47L,   0L, 255L,
+           'stripe_cb',  0L, 255L, 200L, 215L) AS (query, alo, ahi, blo, bhi)""")
+    layout("zorder", "zval")
+      .unionAll(layout("hilbert", "hval"))
+      .crossJoin(broadcast(spark.range(1).select(queries).select("query", "alo", "ahi", "blo", "bhi")))
+      .filter(col("ca").between(col("alo"), col("ahi")) && col("cb").between(col("blo"), col("bhi")))
+      .groupBy("layout", "query")
+      .agg(count(lit(1)).as("rows_matched"), countDistinct("file_id").as("files_touched"))
+      .select(
+        col("layout"),
+        col("query"),
+        col("rows_matched"),
+        col("files_touched"),
+        lit(files.toLong).as("total_files"),
+        expr(s"($files - files_touched) * 1000000 div $files").as("prune_ratio_e6"))
+  }
+
   /** The z-ordered layout build shared by [[zorderStats]] and
     * [[zorderRecluster]]: rank-bucket both dimensions to 0..255,
     * Morton-interleave, split into `files` z-ranges.

@@ -563,6 +563,54 @@ object CdcStream {
       }
   }
 
+  /** #401 Streaming EWMA state maintenance: #349's exact dyadic EWMA
+    * (α = ½ via powers of two, 16-day horizon) kept incrementally per
+    * series in `mapGroupsWithState` — the live form of the
+    * small-sustained-shift monitor (#297 streams CUSUM, #351 PH; EWMA
+    * completes the streaming SPC trio). State per key is the ≤16-row
+    * (day, cents) register the horizon needs and nothing more —
+    * bounded REGARDLESS of stream length, unlike a naive recursive
+    * EWMA whose α-weights never truncate. Each folded day emits
+    * ewma = (Σ x_d·2^(15−gap)) div (Σ 2^(15−gap)) over register days
+    * with gap ≤ 15 — the EXACT cover-join closed form of #349, so the
+    * streamed trajectory after any day-aligned prefix is BIT-IDENTICAL
+    * to the batch operator on that prefix (the #149/#263 discipline;
+    * same day-aligned micro-batch contract as [[streamingHolt]]).
+    * Replayed or out-of-order days ≤ the register head are dropped
+    * (the #325/#374 hardened contract).
+    */
+  def streamingEwma(changes: Dataset[Change]): Dataset[EwmaEmit] = {
+    import changes.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L
+    changes
+      .groupByKey(_.op)
+      .mapGroupsWithState[EwmaState, EwmaEmit](GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Change], state: GroupState[EwmaState]) =>
+          val daily = rows.toSeq
+            .groupBy(c => c.ts / usPerDay)
+            .map { case (d, cs) =>
+              d -> cs.map(c => math.floor(c.value * 100 + 0.5).toLong).sum
+            }
+            .toSeq
+            .sortBy(_._1)
+          var st = state.getOption.getOrElse(EwmaState(series, Seq.empty, Seq.empty))
+          val lastDay = st.days.lastOption.getOrElse(Long.MinValue)
+          val steps = daily.filter(_._1 > lastDay).map { case (day, x) =>
+            val entries = st.days.zip(st.xs).filter(_._1 > day - 16) :+ (day -> x)
+            val num = entries.map { case (d, v) =>
+              v * (1L << (15 - (day - d)).toInt)
+            }.sum
+            val den = entries.map { case (d, _) => 1L << (15 - (day - d)).toInt }.sum
+            st = EwmaState(series, entries.map(_._1), entries.map(_._2))
+            // batch #349 emits num div den (SQL truncation toward zero);
+            // daily cent sums can in principle go negative — mirror it
+            (day, x, if (num < 0) -((-num) / den) else num / den)
+          }
+          state.update(st)
+          EwmaEmit(series, steps.map(_._1), steps.map(_._2), steps.map(_._3))
+      }
+  }
+
   /** #351 Streaming Page–Hinkley state maintenance: #331's
     * self-calibrating drift statistics kept incrementally per series
     * in `mapGroupsWithState` — the live form of the running-mean SPC
@@ -765,6 +813,16 @@ case class HoltEmit(
 /** Per-series CUSUM monitor state: the prefix sum and its running
   * extrema — the closed form's entire requirement, bounded per key.
   */
+/** Per-series EWMA register: the ≤16 most recent (day, cents) pairs —
+  * everything the dyadic 16-day-horizon EWMA needs, bounded per key.
+  */
+case class EwmaState(series: String, days: Seq[Long], xs: Seq[Long])
+
+/** One emission per (series, micro-batch): that batch's day-ordered
+  * EWMA trajectory (parallel arrays keep the encoder flat).
+  */
+case class EwmaEmit(series: String, days: Seq[Long], cents: Seq[Long], ewma: Seq[Long])
+
 /** Per-series Page-Hinkley state: prefix count/sum + deviation
   * cumsum and its prefix extrema, plus the last folded day (the
   * replay guard) — one bounded 6-tuple per key.

@@ -573,6 +573,59 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming ewma: register state over a day-aligned split equals the batch cover join") {
+    withTempDir { dir =>
+      val usPerDay = 86400L * 1000000L
+      val inDir = s"$dir/in"
+      val changes = Cdc.classify(spark, sf)
+        .select("op", "ts", "value", "user_id", "event_id")
+        .cache()
+      val splitDay = changes.selectExpr(s"ts div $usPerDay AS day")
+        .agg(expr("(min(day) + max(day) + 1) div 2")).head.getLong(0)
+      changes.filter(col("ts") < splitDay * usPerDay)
+        .write.mode("append").parquet(inDir)
+      val q = CdcStream
+        .streamingEwma(CdcStream.readChangelog(spark, inDir))
+        .writeStream.format("memory").queryName("stream_ewma")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        changes.filter(col("ts") >= splitDay * usPerDay)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark
+          .table("stream_ewma")
+          .selectExpr("series", "explode(arrays_zip(days, cents, ewma)) AS z")
+          .selectExpr("series", "z.days AS day", "z.cents", "z.ewma")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+          .toMap
+        // independent batch replay: the #349 cover-join closed form —
+        // every register day within 15 of the target weighs 2^(15-gap)
+        val daily = changes
+          .selectExpr("op", s"ts div $usPerDay AS day",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("op", "day").agg(sum("c").as("y"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var nChecked = 0
+        daily.groupBy(_._1).foreach { case (series, rows) =>
+          val byDay = rows.map(r => (r._2, r._3)).sortBy(_._1)
+          byDay.foreach { case (day, y) =>
+            val window = byDay.filter(e => e._1 > day - 16 && e._1 <= day)
+            val num = window.map { case (d, v) => v * (1L << (15 - (day - d)).toInt) }.sum
+            val den = window.map { case (d, _) => 1L << (15 - (day - d)).toInt }.sum
+            val ewma = if (num < 0) -((-num) / den) else num / den
+            assert(got((series, day)) == ((y, ewma)), s"$series day $day")
+            nChecked += 1
+          }
+        }
+        assert(nChecked == got.size && nChecked > 0)
+      } finally q.stop()
+      changes.unpersist()
+    }
+  }
+
   test("streaming imr: prefix state equals the batch aggregates; live flags replay") {
     withTempDir { dir =>
       val usPerDay = 86400L * 1000000L
