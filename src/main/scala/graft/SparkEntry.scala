@@ -138,6 +138,7 @@ object SparkEntry {
     // Similarity search (§2 #27-29)
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_exact_knn_graph" -> ((s, d) => Similarity.exactKnnGraph(s, d)),
+    "ann_matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "ann_nsw_search" -> ((s, d) => Similarity.nswSearch(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
@@ -511,6 +512,8 @@ object SparkEntry {
     "q_hill_tail" -> ((s: SparkSession, d: String) => AnalyticsExt.hillTail(s, d)),
     // Top whole-journey trace variants (§2 #381)
     "q_trace_variants" -> ((s: SparkSession, d: String) => AnalyticsExt.traceVariants(s, d)),
+    "q_footprint_conformance" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.footprintConformance(s, d)),
     // Monthly CR4/CR8 customer concentration (§2 #382)
     "q_cr_concentration" -> (AnalyticsExt.crConcentration _),
     // Purchase-streak gaps-and-islands histogram (§2 #383)
@@ -3319,6 +3322,34 @@ object SparkEntry {
                AS BIGINT) AS rank
            FROM embeddings e, q WHERE e.vec_id <> q.query_id)
          WHERE rank <= 10""",
+    "ann_matryoshka_recall" -> {
+      // one top-10 CTE per truncation dim, all scored against the
+      // full-dim truth — mirror of the Spark sweep
+      def top10(name: String, d: Int) =
+        s"""$name AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                   e.embedding[1:$d]::DOUBLE[], q.q_emb[1:$d]::DOUBLE[]), 6) DESC,
+                 e.vec_id) AS rank
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           WHERE rank <= 10)"""
+      val dims = Seq(64, 32, 16, 8)
+      val ctes = dims.map(d => top10(s"d$d", d)).mkString(",\n         ")
+      val rows = dims
+        .map(d => s"""SELECT CAST($d AS BIGINT) AS dim,
+             (SELECT CAST(count(*) AS BIGINT) FROM d64) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM d$d t
+              JOIN d64 USING (query_id, vec_id)) AS n_hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM d$d t
+              JOIN d64 USING (query_id, vec_id)) * 1000000
+               // (SELECT count(*) FROM d64) AS recall_e6""")
+        .mkString("\n         UNION ALL\n         ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 10),
+         $ctes
+         $rows"""
+    },
     "ann_exact_knn_graph" ->
       """SELECT src, dst, cos, rank FROM (
            SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -8849,6 +8880,38 @@ object SparkEntry {
              AS alpha_e6
          FROM t"""
     },
+    // dependency-threshold model mined from the log, then per-variant
+    // replay: a step conforms iff its (a,b) clears dep >= 0.5 (self
+    // loops n/(n+1)); 1-event traces carry no transitions and drop
+    "q_footprint_conformance" ->
+      """WITH tr AS (
+           SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+           FROM events),
+         t AS (SELECT user_id, a, b FROM tr WHERE b IS NOT NULL),
+         c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM t GROUP BY a, b),
+         model AS (
+           SELECT f.a, f.b FROM c f
+           LEFT JOIN c r ON r.a = f.b AND r.b = f.a
+           WHERE CASE WHEN f.a = f.b THEN f.n_ab * 1000 // (f.n_ab + 1)
+                      ELSE (f.n_ab - coalesce(r.n_ab, 0)) * 1000
+                           // (f.n_ab + coalesce(r.n_ab, 0) + 1) END >= 500),
+         pu AS (
+           SELECT t.user_id, CAST(count(*) AS BIGINT) AS steps,
+             CAST(sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_steps
+           FROM t LEFT JOIN model m ON m.a = t.a AND m.b = t.b
+           GROUP BY t.user_id),
+         v AS (
+           SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+           FROM events GROUP BY user_id)
+         SELECT variant, n_traces, n_steps, n_conforming,
+           CAST(n_conforming * 1000000 // n_steps AS BIGINT) AS fitness_e6
+         FROM (SELECT v.variant, CAST(count(*) AS BIGINT) AS n_traces,
+                 CAST(sum(pu.steps) AS BIGINT) AS n_steps,
+                 CAST(sum(pu.ok_steps) AS BIGINT) AS n_conforming
+               FROM v JOIN pu USING (user_id) GROUP BY v.variant)
+         ORDER BY n_traces DESC, variant LIMIT 25""",
     "q_trace_variants" ->
       // whole-journey variant strings on the (ts, event_id) total order
       """WITH v AS (

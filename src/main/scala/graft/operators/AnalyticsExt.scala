@@ -7801,6 +7801,73 @@ object AnalyticsExt {
     * #195 contract); top-25 by (n_users desc, variant) is a
     * TakeOrdered, no global window.
     */
+  /** #404 Footprint conformance / token-less trace fitness: replay
+    * every trace against the NOISE-FILTERED dependency model the
+    * heuristics miner (#372) would keep — a direct transition a→b
+    * conforms iff its dependency measure (|a→b|−|b→a|)/(|a→b|+|b→a|+1)
+    * clears the standard 0.5 threshold (self-loops score n/(n+1), so
+    * any observed loop stays legal) — closing the process-mining loop:
+    * #377/#372 DISCOVER the model, #381 counts variants, this scores
+    * how much of the live log the discovered model explains and WHICH
+    * variants deviate (the pm4py footprint-conformance shape; ping-
+    * pong a↔b noise fails the threshold in both directions and
+    * surfaces as the non-conforming steps). Per top-`topK` variant:
+    * traces, steps, conforming steps, fitness on the e6 grid.
+    *
+    * Scale: one per-user lead window (bounded partitions), transition
+    * counts fold to the alphabet²-bounded model frame (broadcast
+    * back), variants one per-user aggregate — no global windows; the
+    * dep threshold compares e3-truncated quotients (negative
+    * numerators truncate differently per engine but can never cross
+    * the +500 gate, so the edge SET is engine-identical).
+    */
+  def footprintConformance(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .withColumn("b", lead("event_type", 1).over(w))
+      .filter(col("b").isNotNull)
+      .select(col("user_id"), col("event_type").as("a"), col("b"))
+    val counts = trans.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val model = counts
+      .join(
+        counts.select(col("b").as("a"), col("a").as("b"), col("n_ab").as("n_ba")),
+        Seq("a", "b"),
+        "left")
+      .na
+      .fill(0L, Seq("n_ba"))
+      .filter(
+        expr("""CASE WHEN a = b THEN n_ab * 1000 div (n_ab + 1)
+                     ELSE (n_ab - n_ba) * 1000 div (n_ab + n_ba + 1) END >= 500"""))
+      .select(col("a"), col("b"), lit(1L).as("ok"))
+    val perUser = trans
+      .groupBy("user_id", "a", "b")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model), Seq("a", "b"), "left")
+      .na
+      .fill(0L, Seq("ok"))
+      .groupBy("user_id")
+      .agg(sum("cnt").as("steps"), sum(expr("cnt * ok")).as("ok_steps"))
+    ev.groupBy("user_id")
+      .agg(
+        expr("""array_join(
+                  transform(
+                    array_sort(collect_list(struct(ts, event_id, event_type))),
+                    x -> x.event_type),
+                  '>')""").as("variant"))
+      .join(perUser, "user_id") // 1-event traces have no transitions: fitness undefined, dropped
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_traces"),
+        sum("steps").as("n_steps"),
+        sum("ok_steps").as("n_conforming"))
+      .withColumn("fitness_e6", expr("n_conforming * 1000000 div n_steps"))
+      .orderBy(col("n_traces").desc, col("variant"))
+      .limit(topK)
+  }
+
   def traceVariants(spark: SparkSession, dir: String, topK: Int = 25): DataFrame =
     Tables
       .events(spark, dir)

@@ -2029,6 +2029,51 @@ object Similarity {
     (out, Seq.empty)
   }
 
+  /** #403 Matryoshka truncation recall curve (Kusupati et al. 2022:
+    * MRL-trained embeddings keep their best information in the
+    * PREFIX dimensions, so search can run at d/2, d/4, … and pay only
+    * measured recall): brute-force top-10 under prefix-truncated
+    * cosine at d ∈ {64, 32, 16, 8} scored against the full-dim truth
+    * — the sizing curve that prices "halve the vector store" BEFORE
+    * committing a 100 TB index to it. Knob-sweep discipline (#378):
+    * every sweep point is one corpus scan with the SAME rounded-1e-6
+    * cosine contract as #27; the d=64 row is the sanity anchor
+    * (recall ≡ 10⁶ by construction). Synthetic embeddings are NOT
+    * MRL-trained, so the measured curve here reads as the
+    * noise-corpus floor — the honest-null convention (§15.4).
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val dims = Seq(64, 32, 16, 8)
+    val truth = bruteForce(spark, dir).select("query_id", "vec_id").localCheckpoint(eager = false)
+    val nTruth = truth.count()
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val perDim = dims.map { d =>
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          round(expr(s"cosine_sim(slice(embedding, 1, $d), slice(q_emb, 1, $d))"), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+        .join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(
+          lit(d.toLong).as("dim"),
+          lit(nTruth).as("n_truth"),
+          col("n_hits"),
+          expr(s"n_hits * 1000000 div $nTruth").as("recall_e6"))
+    }
+    perDim.reduce(_ unionAll _)
+  }
+
   def gramMatrix(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
