@@ -495,6 +495,9 @@ object SparkEntry {
     // Individuals & moving-range Shewhart chart (§2 #369)
     "q_imr_chart" -> (AnalyticsExt.imrChart _),
     "q_binseg_gain" -> ((s: SparkSession, d: String) => AnalyticsExt.binsegSplit(s, d)),
+    "q_woe_iv" -> ((s: SparkSession, d: String) => AnalyticsExt.woeIv(s, d)),
+    "q_markov_prediction" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.markovPrediction(s, d)),
     // X̄-R grouped Shewhart chart over weekly subgroups (§2 #370)
     "q_xbar_r" -> (AnalyticsExt.xbarRChart _),
     // Net / gross revenue retention by base month (§2 #371)
@@ -8677,6 +8680,63 @@ object SparkEntry {
     // terms cancel), each Σ²/n one truncating HUGEINT division,
     // gain floored at 0 before the //10000 rescale (negative operands
     // would split div-toward-zero from floor-//)
+    // ML chain argmax per state + global-majority baseline, both
+    // scored over the log's transition counts
+    "q_markov_prediction" ->
+      """WITH tr AS (
+           SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+           FROM events),
+         c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM tr
+               WHERE b IS NOT NULL GROUP BY a, b),
+         pred AS (SELECT a, b AS predicted_next FROM (
+                   SELECT a, b, row_number() OVER (PARTITION BY a
+                     ORDER BY n DESC, b) AS rn FROM c) WHERE rn = 1),
+         g AS (SELECT b AS baseline_next FROM (
+                 SELECT b, sum(n) AS nb FROM c GROUP BY b
+                 ORDER BY nb DESC, b LIMIT 1))
+         SELECT c.a AS state, pred.predicted_next,
+           CAST(sum(c.n) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN c.b = pred.predicted_next THEN c.n ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN c.b = pred.predicted_next THEN c.n ELSE 0 END) * 1000000
+             // sum(c.n) AS BIGINT) AS accuracy_e6,
+           g.baseline_next,
+           CAST(sum(CASE WHEN c.b = g.baseline_next THEN c.n ELSE 0 END) AS BIGINT)
+             AS n_baseline_correct,
+           CAST(sum(CASE WHEN c.b = g.baseline_next THEN c.n ELSE 0 END) * 1000000
+             // sum(c.n) AS BIGINT) AS baseline_acc_e6
+         FROM c JOIN pred USING (a), g
+         GROUP BY c.a, pred.predicted_next, g.baseline_next""",
+    // WOE/IV: doubles of exact count ratios, e6-quantized per bin;
+    // zero-class bins NULL WOE / 0 IV (strict, no smoothing)
+    "q_woe_iv" ->
+      """WITH base AS (
+           SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END AS pos,
+             c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nat
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+         stacked AS (
+           SELECT 'mktsegment' AS feature, seg AS bin, pos FROM base
+           UNION ALL SELECT 'nation', nat, pos FROM base),
+         tot AS (SELECT CAST(sum(pos) AS BIGINT) AS total_pos,
+                   CAST(count(*) - sum(pos) AS BIGINT) AS total_neg FROM base)
+         SELECT feature, bin, n_pos, n_neg,
+           CAST(n_pos * 1000000 // total_pos AS BIGINT) AS pct_pos_e6,
+           CAST(n_neg * 1000000 // total_neg AS BIGINT) AS pct_neg_e6,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(floor(ln((CAST(n_pos AS DOUBLE) * total_neg)
+                          / (CAST(n_neg AS DOUBLE) * total_pos)) * 1e6 + 0.5) AS BIGINT)
+           END AS woe_e6,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(floor((CAST(n_pos AS DOUBLE) / total_pos
+                       - CAST(n_neg AS DOUBLE) / total_neg)
+                      * ln((CAST(n_pos AS DOUBLE) * total_neg)
+                          / (CAST(n_neg AS DOUBLE) * total_pos)) * 1e6 + 0.5) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS iv_term_e6
+         FROM (SELECT feature, bin, CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+               FROM stacked GROUP BY feature, bin), tot""",
     "q_binseg_gain" ->
       """WITH byday AS (
            SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

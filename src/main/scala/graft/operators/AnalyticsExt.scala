@@ -7743,6 +7743,131 @@ object AnalyticsExt {
                      ELSE 'choice' END""").as("rel"))
   }
 
+  /** #407 Markov next-event prediction scorecard (§15.4: the chain
+    * family ships its evaluation): train the first-order
+    * maximum-likelihood predictor — per state, the argmax next event
+    * by transition count, ties on event name — and score its top-1
+    * accuracy over the SAME log, per state, against the
+    * state-independent majority baseline (always predict the
+    * corpus-wide most common next event). #376 measures next-event
+    * ENTROPY (how predictable in principle); this measures what a
+    * 1-step predictor actually ACHIEVES and the per-state lift over
+    * ignoring state — the go/no-go read before wiring next-action
+    * prediction into a product. Training-set accuracy by design
+    * (documented): the question here is model-family signal, not
+    * generalization. Transition counts fold to the alphabet²-bounded
+    * frame; two rank-1 windows on it; one broadcast of the global
+    * argmax; accuracies truncating e6.
+    */
+  def markovPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("b", lead("event_type", 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("event_type").as("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val pred = trans
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("a").orderBy(col("n").desc, col("b"))))
+      .filter(col("rn") === 1)
+      .select(col("a"), col("b").as("predicted_next"))
+    val global = trans
+      .groupBy("b")
+      .agg(sum("n").as("nb"))
+      .orderBy(col("nb").desc, col("b"))
+      .limit(1)
+      .select(col("b").as("baseline_next"))
+    trans
+      .join(pred, "a")
+      .crossJoin(broadcast(global))
+      .groupBy(col("a").as("state"), col("predicted_next"), col("baseline_next"))
+      .agg(
+        sum("n").as("n_transitions"),
+        sum(when(col("b") === col("predicted_next"), col("n")).otherwise(0L)).as("n_correct"),
+        sum(when(col("b") === col("baseline_next"), col("n")).otherwise(0L))
+          .as("n_baseline_correct"))
+      .select(
+        col("state"),
+        col("predicted_next"),
+        col("n_transitions"),
+        col("n_correct"),
+        expr("n_correct * 1000000 div n_transitions").as("accuracy_e6"),
+        col("baseline_next"),
+        col("n_baseline_correct"),
+        expr("n_baseline_correct * 1000000 div n_transitions").as("baseline_acc_e6"))
+  }
+
+  /** #406 Weight-of-evidence / information-value scorecard (the
+    * credit-scoring feature screen, Siddiqi 2006): for each candidate
+    * categorical feature — customer market segment and customer
+    * nation — against the binary target "order is high-priority"
+    * (URGENT/HIGH), the per-bin WOE = ln(%pos/%neg) and IV
+    * contribution (%pos − %neg)·WOE, the standard pre-model read of
+    * which attributes separate the classes (IV < 0.02 useless,
+    * > 0.3 strong) and in WHICH bins. #313's mutual information
+    * scores association in bits corpus-wide; WOE/IV is the per-bin
+    * DIRECTIONAL decomposition modelers act on.
+    *
+    * Floats of integer ratios only (the established recipe): WOE and
+    * IV terms are doubles of exact BIGINT count ratios, e6-quantized
+    * per bin with floor(x·10⁶ + 0.5), never summed before
+    * quantization — bit-identical in DuckDB. Bins where either class
+    * count is zero get NULL WOE and a 0 IV term (strict convention,
+    * no smoothing — documented; smoothing constants are a modeling
+    * choice, not an engine one). One orders⋈customer join (customer
+    * side small → broadcast), two bin aggregates, 1-row totals
+    * broadcast.
+    */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("long").as("pos"))
+      .join(
+        broadcast(
+          Tables
+            .customer(spark, dir)
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        "o_custkey")
+      .select(
+        col("pos"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nat"))
+      .localCheckpoint(eager = false)
+    val stacked = base
+      .select(lit("mktsegment").as("feature"), col("seg").as("bin"), col("pos"))
+      .unionAll(base.select(lit("nation").as("feature"), col("nat").as("bin"), col("pos")))
+    val tot = base.agg(
+      sum("pos").as("total_pos"),
+      (count(lit(1)) - sum("pos")).as("total_neg"))
+    stacked
+      .groupBy("feature", "bin")
+      .agg(sum("pos").as("n_pos"), (count(lit(1)) - sum("pos")).as("n_neg"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("feature"),
+        col("bin"),
+        col("n_pos"),
+        col("n_neg"),
+        expr("n_pos * 1000000 div total_pos").as("pct_pos_e6"),
+        expr("n_neg * 1000000 div total_neg").as("pct_neg_e6"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                  CAST(floor(ln((CAST(n_pos AS DOUBLE) * total_neg)
+                               / (CAST(n_neg AS DOUBLE) * total_pos)) * 1e6 + 0.5) AS BIGINT)
+                END""").as("woe_e6"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                  CAST(floor((CAST(n_pos AS DOUBLE) / total_pos
+                            - CAST(n_neg AS DOUBLE) / total_neg)
+                           * ln((CAST(n_pos AS DOUBLE) * total_neg)
+                               / (CAST(n_neg AS DOUBLE) * total_pos)) * 1e6 + 0.5) AS BIGINT)
+                ELSE 0L END""").as("iv_term_e6"))
+  }
+
   /** Hill-estimator order-statistic count — shared with the oracle. */
   val HillK = 100
 
