@@ -172,6 +172,7 @@ object SparkEntry {
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
+    "text_bm25" -> ((s: SparkSession, d: String) => TextStats.bm25(s, d)),
     "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
     // Positional-index exact phrase search (§2 #222)
     "text_phrase_search" -> ((s: SparkSession, d: String) => TextStats.phraseSearch(s, d)),
@@ -3479,6 +3480,37 @@ object SparkEntry {
            SELECT term, count(*) AS doc_freq,
              CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS rank
            FROM td GROUP BY term)
+         WHERE rank <= 25""",
+    // BM25 k1=1.2 b=0.75: per-term double of integer inputs,
+    // e6-floored per term then summed; query = df-ranks 11..13
+    "text_bm25" ->
+      """WITH td AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM td GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM td GROUP BY doc_id),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         q AS (SELECT term, df FROM (
+                 SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r
+                 FROM df) WHERE r BETWEEN 11 AND 13),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         sc AS (
+           SELECT tf.doc_id,
+             CAST(floor(
+               ln((n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 0.3 + 0.9 * CAST(dl.dl AS DOUBLE) * n_docs / sum_dl)
+               * 1e6 + 0.5) AS BIGINT) AS term_e6
+           FROM tf JOIN q USING (term) JOIN dl USING (doc_id), tot)
+         SELECT doc_id, score_e6, n_terms_hit, rank FROM (
+           SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS score_e6,
+             CAST(count(*) AS BIGINT) AS n_terms_hit,
+             CAST(row_number() OVER (ORDER BY sum(term_e6) DESC, doc_id) AS BIGINT)
+               AS rank
+           FROM sc GROUP BY doc_id)
          WHERE rank <= 25""",
     "text_tfidf" ->
       """WITH td AS (

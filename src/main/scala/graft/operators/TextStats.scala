@@ -59,6 +59,59 @@ object TextStats {
         round(col("tfidf_raw"), 4).as("tfidf"))
   }
 
+  /** #408 BM25 ranking (Robertson–Spärck Jones, k1 = 1.2 / b = 0.75 —
+    * the lexical retrieval scorer every search engine defaults to;
+    * #48's TF-IDF has no saturation or length normalization, BM25 is
+    * what production ranking actually runs): score every document
+    * against a DETERMINISTIC 3-term query — the terms ranked 11..13
+    * by (df desc, term), mid-frequency by construction so idf carries
+    * signal — and return the top-25. Per-term score idf·tf·(k1+1) /
+    * (tf + k1(1−b) + k1·b·len·N/Σlen) with idf = ln((N−df+0.5)/
+    * (df+0.5)): a DOUBLE of exact integer inputs, e6-quantized PER
+    * TERM with floor(x·10⁶+0.5) then summed (order-free — the
+    * established float recipe), so DuckDB replays bit-exactly.
+    * One tokenize pass feeds both tf and doc length; the 3-term
+    * query prunes the tf table with a broadcast semi-join BEFORE any
+    * scoring — at 100 TB the scored frame is |query|·docs-with-term,
+    * never the full posting list.
+    */
+  def bm25(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .select(col("doc_id"), col("tok"))
+      .localCheckpoint(eager = false)
+    val dl = docs.select(col("doc_id"), size(col("tok")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("tok")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = df_
+      .withColumn(
+        "r",
+        row_number().over(Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r").between(11, 13))
+      .select("term", "df")
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        expr("""CAST(floor(
+                  ln((n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 0.3 + 0.9 * CAST(dl AS DOUBLE) * n_docs / sum_dl)
+                  * 1e6 + 0.5) AS BIGINT)""").as("term_e6"))
+      .groupBy("doc_id")
+      .agg(sum("term_e6").as("score_e6"), count(lit(1)).as("n_terms_hit"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** #49 Bigram counts: adjacent-token pairs from the position
     * sequence (no self-join), global top-25 with tiebreak.
     */
