@@ -142,6 +142,7 @@ object SparkEntry {
     "ann_kcenter_coreset" -> ((s, d) => Similarity.kCenterCoreset(s, d)),
     "ann_nsw_search" -> ((s, d) => Similarity.nswSearch(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
+    "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
     // Range (threshold) ANN search (§2 #224)
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
@@ -3075,6 +3076,59 @@ object SparkEntry {
           LEFT JOIN bf ON bf.query_id = ls.query_id AND bf.vec_id = ls.vec_id
           JOIN wt ON wt.lrank = ls.lrank
           GROUP BY ls.query_id"""
+    },
+    "ann_rrf_fusion" -> {
+      // compose the #28 and #72 replays (renamed CTEs), then the pure
+      // integer fusion 1e6 // (60 + rank)
+      s"""WITH ${lshBucketsCte("embeddings", "SELECT count(*) FROM embeddings")},
+          lcand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          lrank AS (SELECT query_id, vec_id, rank FROM (
+              SELECT s.query_id, s.vec_id,
+                CAST(row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY s.cos DESC, s.vec_id) AS BIGINT) AS rank
+              FROM (SELECT lcand.query_id, lcand.vec_id,
+                      round(list_cosine_similarity(
+                        e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+                    FROM lcand JOIN embeddings e ON e.vec_id = lcand.vec_id
+                               JOIN embeddings eq ON eq.vec_id = lcand.query_id) s)
+            WHERE rank <= 10),
+          ${ivfTrainCtes},
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 10),
+          iqc AS (SELECT query_id, cell FROM (
+              SELECT q.query_id, c.cell,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY floor(list_cosine_similarity(
+                    q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM q, c3 c) WHERE rn <= 2),
+          icand AS (
+            SELECT DISTINCT iqc.query_id, a.vec_id
+            FROM acorp a JOIN iqc ON a.cell = iqc.cell
+            WHERE a.vec_id <> iqc.query_id),
+          irank AS (SELECT query_id, vec_id, rank FROM (
+              SELECT s.query_id, s.vec_id,
+                CAST(row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY s.cos DESC, s.vec_id) AS BIGINT) AS rank
+              FROM (SELECT icand.query_id, icand.vec_id,
+                      round(list_cosine_similarity(
+                        e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+                    FROM icand JOIN embeddings e ON e.vec_id = icand.vec_id
+                               JOIN embeddings eq ON eq.vec_id = icand.query_id) s)
+            WHERE rank <= 10),
+          fused AS (
+            SELECT query_id, vec_id,
+              CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6,
+              CAST(count(*) AS BIGINT) AS n_rankers
+            FROM (SELECT * FROM lrank UNION ALL SELECT * FROM irank)
+            GROUP BY query_id, vec_id)
+          SELECT query_id, vec_id, rrf_e6, n_rankers, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_e6 DESC, vec_id) AS BIGINT) AS rank FROM fused)
+          WHERE rank <= 10"""
     },
     "ann_lsh" -> {
       // candidate set from the replayed buckets; scoring/ranking as in

@@ -2128,6 +2128,33 @@ object Similarity {
     (out.toDF("round", "vec_id", "radius_e6"), Seq.empty)
   }
 
+  /** #409 Reciprocal-rank-fusion hybrid search (Cormack et al. 2009,
+    * the standard combiner behind every "hybrid search" product
+    * surface): fuse the LSH (#28) and IVF (#72) candidate rankings
+    * with score Σ_r 10⁶ div (60 + rank_r) — rank-only, so rankers
+    * with incomparable score scales (hash-bucket cosine lists,
+    * quantizer probes, someday BM25 lexical lists) combine without
+    * calibration, and a candidate surfaced by BOTH indexes outranks
+    * either's singleton. Pure integer (10⁶ div (60+rank) is exact),
+    * so the DuckDB replay composes the two existing index replays and
+    * fuses bit-identically. Scale: both inputs are already k-bounded
+    * per query (≤10 rows each), fusion is one groupBy on ≤20 rows per
+    * query — the fusion layer costs nothing; the indexes dominate.
+    * `RrfSpec` pins the measured recall of fused vs each input.
+    */
+  def rrfFusion(spark: SparkSession, dir: String, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    val a = lsh(spark, dir).select(col("query_id"), col("vec_id"), col("rank"))
+    val b = ivf(spark, dir).select(col("query_id"), col("vec_id"), col("rank"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_e6").desc, col("vec_id"))
+    a.unionAll(b)
+      .groupBy("query_id", "vec_id")
+      .agg(
+        sum(expr(s"1000000 div ($kRrf + rank)")).as("rrf_e6"),
+        count(lit(1)).as("n_rankers"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   def gramMatrix(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
