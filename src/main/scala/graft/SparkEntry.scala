@@ -174,6 +174,7 @@ object SparkEntry {
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),
     "text_bm25" -> ((s: SparkSession, d: String) => TextStats.bm25(s, d)),
+    "text_qnorm" -> ((s: SparkSession, d: String) => TextStats.quantileNormalize(s, d)),
     "text_bigrams" -> ((s: SparkSession, d: String) => TextStats.topBigrams(s, d)),
     // Positional-index exact phrase search (§2 #222)
     "text_phrase_search" -> ((s: SparkSession, d: String) => TextStats.phraseSearch(s, d)),
@@ -500,6 +501,8 @@ object SparkEntry {
     "q_woe_iv" -> ((s: SparkSession, d: String) => AnalyticsExt.woeIv(s, d)),
     "q_markov_prediction" ->
       ((s: SparkSession, d: String) => AnalyticsExt.markovPrediction(s, d)),
+    "q_permutation_test" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.permutationTest(s, d)),
     // X̄-R grouped Shewhart chart over weekly subgroups (§2 #370)
     "q_xbar_r" -> (AnalyticsExt.xbarRChart _),
     // Net / gross revenue retention by base month (§2 #371)
@@ -3535,6 +3538,26 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS rank
            FROM td GROUP BY term)
          WHERE rank <= 25""",
+    // quantile normalization: within-source rank mapped to the pooled
+    // rank grid, single-doc sources to the pooled median index
+    "text_qnorm" ->
+      """WITH pool AS (
+           SELECT n_chars AS pooled_value,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS gidx
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM documents),
+         src AS (
+           SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+           FROM documents)
+         SELECT doc_id, source, n_chars, pooled_value AS qnorm_chars
+         FROM (SELECT doc_id, source, n_chars,
+                 CASE WHEN n_src = 1 THEN (n_pool + 1) // 2
+                      ELSE 1 + (rn - 1) * (n_pool - 1) // (n_src - 1) END AS gidx
+               FROM src, n) m
+         JOIN pool USING (gidx)""",
     // BM25 k1=1.2 b=0.75: per-term double of integer inputs,
     // e6-floored per term then summed; query = df-ranks 11..13
     "text_bm25" ->
@@ -8766,6 +8789,45 @@ object SparkEntry {
     // terms cancel), each Σ²/n one truncating HUGEINT division,
     // gain floored at 0 before the //10000 rescale (negative operands
     // would split div-toward-zero from floor-//)
+    // Knuth multiplicative-hash high-bit relabelings, exact
+    // centi-cent mean diffs, p on the e6 grid over the bit-identical
+    // null distribution
+    "q_permutation_test" ->
+      """WITH base AS (
+           SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+         obs AS (
+           SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             abs(CAST(sum(CASE WHEN g = 1 THEN c END) * 100
+                   // sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               - CAST(sum(CASE WHEN g = 0 THEN c END) * 100
+                   // sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)) AS observed_diff
+           FROM base),
+         nulls AS (
+           SELECT bi,
+             abs(CAST(sum(CASE WHEN gb = 1 THEN c END) * 100
+                   // nullif(sum(CASE WHEN gb = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               - CAST(sum(CASE WHEN gb = 0 THEN c END) * 100
+                   // nullif(sum(CASE WHEN gb = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)) AS diff
+           FROM (SELECT b.o_orderkey, b.c, bi,
+                   CASE WHEN (b.o_orderkey * 2654435761 + bi * 2246822519)
+                             % 4294967296 >= 2147483648
+                        THEN 1 ELSE 0 END AS gb
+                 FROM base b, (SELECT unnest(range(0, 200)) AS bi))
+           GROUP BY bi
+           HAVING sum(CASE WHEN gb = 1 THEN 1 ELSE 0 END) > 0
+              AND sum(CASE WHEN gb = 0 THEN 1 ELSE 0 END) > 0)
+         SELECT obs.n1 AS n_building, obs.n0 AS n_rest,
+           obs.observed_diff AS observed_diff_cc,
+           CAST(count(*) AS BIGINT) AS b_valid,
+           CAST(sum(CASE WHEN diff >= observed_diff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge,
+           CAST((1 + sum(CASE WHEN diff >= observed_diff THEN 1 ELSE 0 END)) * 1000000
+             // (count(*) + 1) AS BIGINT) AS p_e6
+         FROM nulls, obs
+         GROUP BY obs.n1, obs.n0, obs.observed_diff""",
     // ML chain argmax per state + global-majority baseline, both
     // scored over the log's transition counts
     "q_markov_prediction" ->

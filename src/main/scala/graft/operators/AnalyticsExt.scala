@@ -7743,6 +7743,76 @@ object AnalyticsExt {
                      ELSE 'choice' END""").as("rel"))
   }
 
+  /** #411 Hash-relabeling permutation test (the Monte-Carlo
+    * permutation test — the assumption-free significance check the
+    * parametric family (#320 Welch, #340 ANOVA) falls back to when
+    * normality/variance assumptions die: is the BUILDING-segment mean
+    * order value different from the rest, measured against the null
+    * distribution of B = 200 random relabelings?). Determinism: each
+    * relabeling b assigns orders by the HIGH BIT of the Knuth
+    * multiplicative hash (orderkey·2654435761 + b·2246822519) mod 2³²
+    * — pure codegen'd integer arithmetic (an md5-parity draft spent
+    * 19 s at sf0.1 on 30M digest calls; this runs in ~2 s), binomial
+    * label counts rather than a fixed-count shuffle, the standard
+    * Monte-Carlo relaxation, documented; every statistic is exact
+    * integer (means as
+    * centi-cents via sum·100 div n, diffs absolute), so the DuckDB
+    * replay reproduces the ENTIRE null distribution bit-exactly and
+    * p = (1 + #{b: diff_b ≥ diff_obs}) / (B_valid + 1) on the e6
+    * grid. Scale: the B-fold explode is embarrassingly parallel
+    * (B·rows partial-aggregated map-side to 2B cells); nothing
+    * driver-side.
+    */
+  def permutationTest(spark: SparkSession, dir: String, b: Int = 200): DataFrame = {
+    val base = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .join(
+        broadcast(
+          Tables
+            .customer(spark, dir)
+            .select(
+              col("c_custkey").as("o_custkey"),
+              (col("c_mktsegment") === "BUILDING").cast("long").as("g"))),
+        "o_custkey")
+      .select("o_orderkey", "c", "g")
+      .localCheckpoint(eager = false)
+    val obs = base
+      .agg(
+        sum(when(col("g") === 1, col("c"))).as("s1"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 0, col("c"))).as("s0"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"))
+      .select(
+        col("n1"),
+        col("n0"),
+        expr("abs(s1 * 100 div n1 - s0 * 100 div n0)").as("observed_diff"))
+    val nulls = base
+      .select(col("o_orderkey"), col("c"), explode(expr(s"sequence(0, ${b - 1})")).as("bi"))
+      .withColumn(
+        "gb",
+        expr("""CAST((o_orderkey * 2654435761L + bi * 2246822519L) % 4294967296L
+                     >= 2147483648L AS BIGINT)"""))
+      .groupBy("bi")
+      .agg(
+        sum(when(col("gb") === 1, col("c"))).as("s1"),
+        sum(when(col("gb") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("gb") === 0, col("c"))).as("s0"),
+        sum(when(col("gb") === 0, 1L).otherwise(0L)).as("n0"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+      .select(expr("abs(s1 * 100 div n1 - s0 * 100 div n0)").as("diff"))
+    nulls
+      .crossJoin(broadcast(obs))
+      .agg(
+        max("n1").as("n_building"),
+        max("n0").as("n_rest"),
+        max("observed_diff").as("observed_diff_cc"),
+        count(lit(1)).as("b_valid"),
+        sum(when(col("diff") >= col("observed_diff"), 1L).otherwise(0L)).as("n_ge"))
+      .withColumn("p_e6", expr("(1 + n_ge) * 1000000 div (b_valid + 1)"))
+  }
+
   /** #407 Markov next-event prediction scorecard (§15.4: the chain
     * family ships its evaluation): train the first-order
     * maximum-likelihood predictor — per state, the argmax next event

@@ -59,6 +59,57 @@ object TextStats {
         round(col("tfidf_raw"), 4).as("tfidf"))
   }
 
+  /** #410 Quantile normalization across sources (the microarray /
+    * batch-effect harmonizer, Bolstad 2003, applied to corpus mixing:
+    * per-source length distributions differ by crawler artifact, not
+    * content, so per-source quality cuts bite unevenly — mapping each
+    * source's empirical distribution ONTO the pooled one equalizes
+    * them before a single corpus-wide threshold): each document's
+    * n_chars is replaced by the pooled value at its within-source
+    * rank, index = 1 + (rn−1)(N−1) div (n_s−1) — pure integer rank
+    * arithmetic, deterministic (value, doc_id) tie order, so the
+    * replay is exact. Single-doc sources map to the pooled median
+    * index (N+1) div 2 (the only defensible point). Oracle-mode
+    * global window over the pooled frame (the #83/#135 precedent:
+    * documents-table scale; the 100 TB path replaces it with the
+    * range-partitioner-sample ranking in `Scale.zfile`'s scaleMode).
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .localCheckpoint(eager = false)
+    // pooled frame ranked by (value, doc_id) — a deterministic total
+    // order both engines replay identically
+    val pooledDet = docs
+      .select(col("n_chars").as("pooled_value"), col("doc_id").as("pid"))
+      .withColumn(
+        "gidx",
+        row_number().over(Window.orderBy(col("pooled_value"), col("pid"))).cast("long"))
+      .select("gidx", "pooled_value")
+    val n = docs.agg(count(lit(1)).as("n_pool"))
+    docs
+      .withColumn(
+        "rn",
+        row_number()
+          .over(Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id")))
+          .cast("long"))
+      .withColumn(
+        "n_src",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "gidx",
+        expr("""CASE WHEN n_src = 1 THEN (n_pool + 1) div 2
+                     ELSE 1 + (rn - 1) * (n_pool - 1) div (n_src - 1) END"""))
+      .join(pooledDet, "gidx")
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        col("pooled_value").as("qnorm_chars"))
+  }
+
   /** #408 BM25 ranking (Robertson–Spärck Jones, k1 = 1.2 / b = 0.75 —
     * the lexical retrieval scorer every search engine defaults to;
     * #48's TF-IDF has no saturation or length normalization, BM25 is
