@@ -139,7 +139,6 @@ object SparkEntry {
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_exact_knn_graph" -> ((s, d) => Similarity.exactKnnGraph(s, d)),
     "ann_matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
-    "ann_kcenter_coreset" -> ((s, d) => Similarity.kCenterCoreset(s, d)),
     "ann_nsw_search" -> ((s, d) => Similarity.nswSearch(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
@@ -3384,31 +3383,6 @@ object SparkEntry {
                AS BIGINT) AS rank
            FROM embeddings e, q WHERE e.vec_id <> q.query_id)
          WHERE rank <= 10""",
-    "ann_kcenter_coreset" -> {
-      // unrolled 8-round farthest-point traversal: per round one
-      // argmax CTE + one min-dist fold, radii from the folded frame
-      val dist = (v: String, c: String) =>
-        s"1000000 - CAST(floor(list_cosine_similarity($v, $c) * 1000000 + 0.5) AS BIGINT)"
-      val rounds = (2 to 8)
-        .map { r =>
-          s"""c$r AS (SELECT e.vec_id, e.emb FROM m${r - 1} m JOIN e ON e.vec_id = m.vec_id
-               ORDER BY m.mind DESC, e.vec_id LIMIT 1),
-             m$r AS (SELECT m.vec_id,
-                 least(m.mind, ${dist("v.emb", "c.emb")}) AS mind
-               FROM m${r - 1} m JOIN e v ON v.vec_id = m.vec_id, c$r c)"""
-        }
-        .mkString(",\n         ")
-      val rows = (1 to 8)
-        .map(r => s"""SELECT CAST($r AS BIGINT) AS round,
-             (SELECT vec_id FROM c$r) AS vec_id,
-             (SELECT CAST(max(mind) AS BIGINT) FROM m$r) AS radius_e6""")
-        .mkString("\n         UNION ALL\n         ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         c1 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
-         m1 AS (SELECT v.vec_id, ${dist("v.emb", "c.emb")} AS mind FROM e v, c1 c),
-         $rounds
-         $rows"""
-    },
     "ann_matryoshka_recall" -> {
       // one top-10 CTE per truncation dim, all scored against the
       // full-dim truth — mirror of the Spark sweep

@@ -2074,60 +2074,6 @@ object Similarity {
     perDim.reduce(_ unionAll _)
   }
 
-  /** #405 k-center greedy coreset (farthest-point traversal, the
-    * 2-approximation of Gonzalez 1985): pick the min-vec_id seed,
-    * then 7 rounds of "select the vector FARTHEST from every chosen
-    * center" — the diversity-first data-selection primitive an LLM
-    * pipeline runs to pick a small maximally-spread subset (the
-    * opposite pole from #94 SemDeDup, which REMOVES the redundant;
-    * k-center KEEPS the spread) and the classic k-means++-style
-    * seeding. Output per center: selection round, vec_id, and the
-    * corpus coverage radius AFTER adding it (max remaining min-dist
-    * — non-increasing by construction, `CoresetSpec` pins it).
-    *
-    * Distance = 10⁶ − floor(cos·10⁶ + 0.5) (the e6 grid; the cosine
-    * kernels are bit-identical cross-engine, so floor is
-    * straddle-free like the #94 e4 precedent). Each round is ONE
-    * corpus scan: a 1-row TakeOrdered argmax + a broadcast-1-center
-    * distance update folded into the running min-dist frame
-    * (localCheckpoint per round cuts the lineage); the k per-round
-    * 1-row driver reads are bounded model state (the trainCentroids
-    * whitelist). At 100 TB: k scans of the embedding column, no
-    * shuffle beyond the 1-row argmax.
-    */
-  def kCenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
-    Lineage.checkpointReleasing(spark) {
-    GraftFunctions.register(spark)
-    import spark.implicits._
-    val vecs = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(eager = false)
-    def distCol(centerEmb: Seq[Float]): Column = {
-      val arr = s"array(${centerEmb.map(x => s"CAST($x AS FLOAT)").mkString(", ")})"
-      expr(s"1000000L - CAST(floor(cosine_sim(embedding, $arr) * 1000000.0 + 0.5) AS BIGINT)")
-    }
-    val c1 = vecs.orderBy("vec_id").limit(1).head()
-    var picks = Vector((1L, c1.getLong(0)))
-    var mind = vecs
-      .select(col("vec_id"), col("embedding"), distCol(c1.getSeq[Float](1)).as("mind"))
-      .localCheckpoint(eager = true)
-    var out = Vector((1L, c1.getLong(0), mind.agg(max("mind")).head().getLong(0)))
-    for (r <- 2 to k) {
-      val sel = mind.orderBy(col("mind").desc, col("vec_id")).limit(1).head()
-      val selEmb = vecs.filter(col("vec_id") === sel.getLong(0)).head().getSeq[Float](1)
-      picks = picks :+ (r.toLong, sel.getLong(0))
-      mind = mind
-        .select(
-          col("vec_id"),
-          col("embedding"),
-          least(col("mind"), distCol(selEmb)).as("mind"))
-        .localCheckpoint(eager = true)
-      out = out :+ ((r.toLong, sel.getLong(0), mind.agg(max("mind")).head().getLong(0)))
-    }
-    (out.toDF("round", "vec_id", "radius_e6"), Seq.empty)
-  }
-
   /** #409 Reciprocal-rank-fusion hybrid search (Cormack et al. 2009,
     * the standard combiner behind every "hybrid search" product
     * surface): fuse the LSH (#28) and IVF (#72) candidate rankings
