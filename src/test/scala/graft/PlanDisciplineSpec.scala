@@ -113,7 +113,20 @@ class PlanDisciplineSpec extends SparkSpec {
           "1-row stats fold, once under the output join")),
       "q_split_gain" -> (2 ->
         ("prefix-count cumsum + best-gain rank over the PER-BIN " +
-          "aggregate: <= nBins = 10 rows")))
+          "aggregate: <= nBins = 10 rows")),
+      "q_binseg_gain" -> (1 ->
+        ("prefix count+sum over the PER-DAY aggregate: <= #calendar-days " +
+          "rows (the day fold sits behind a lazy localCheckpoint, so the " +
+          "walker sees an RDDScan child it cannot prove bounded)")),
+      "q_curve_compare" -> (2 ->
+        ("one exact-ntile file split per curve (Morton + Hilbert) — " +
+          "oracle mode by design, the #83/#135 zorder precedent; the " +
+          "documented scale path is the range-partitioner-sample " +
+          "construction in Scale.zfile's scaleMode")),
+      "text_qnorm" -> (1 ->
+        ("the pooled rank grid: ONE exact global row_number over the " +
+          "documents frame — oracle mode per the same zorder precedent; " +
+          "scale path = sampled range ranking")))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {
