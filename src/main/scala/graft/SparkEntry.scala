@@ -528,6 +528,8 @@ object SparkEntry {
     "q_purchase_streaks" -> (AnalyticsExt.purchaseStreaks _),
     // Markov removal-effect attribution (§2 #384)
     "q_markov_attribution" -> ((s: SparkSession, d: String) => AnalyticsExt.markovAttribution(s, d)),
+    "q_shapley_attribution" ->
+      ((s: SparkSession, d: String) => AnalyticsExt.shapleyAttribution(s, d)),
     // Edge embeddedness / tie strength (§2 #385)
     "q_edge_embeddedness" -> ((s: SparkSession, d: String) => AnalyticsExt.edgeEmbeddedness(s, d)),
     // Temperature-scaled mixture sweep (§2 #386)
@@ -9174,6 +9176,51 @@ object SparkEntry {
                FROM s GROUP BY 1)
          SELECT longest AS streak_months, CAST(count(*) AS BIGINT) AS n_customers
          FROM l GROUP BY 1""",
+    // full coalition enumeration over the bitmask-encoded touchsets;
+    // factorial weights keep phi as an exact integer over n!
+    "q_shapley_attribution" ->
+      """WITH t0 AS (
+           SELECT user_id, list(event_type ORDER BY ts, event_id) AS t0
+           FROM events GROUP BY user_id),
+         conv AS (
+           SELECT list_sort(list_distinct(t0[1 : list_position(t0, 'purchase') - 1]))
+             AS touchset
+           FROM t0 WHERE coalesce(list_position(t0, 'purchase'), 0) > 0),
+         ch AS (SELECT event_type AS channel,
+                  CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS r
+                FROM (SELECT DISTINCT event_type FROM events
+                      WHERE event_type <> 'purchase')),
+         ncc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM ch),
+         tm AS (SELECT touchset,
+                  coalesce((SELECT CAST(sum(1 << ch.r) AS BIGINT) FROM ch
+                            WHERE list_contains(t.touchset, ch.channel)), 0) AS tmask
+                FROM (SELECT DISTINCT touchset FROM conv) t),
+         tc AS (SELECT tmask, CAST(count(*) AS BIGINT) AS cnt
+                FROM conv JOIN tm USING (touchset) GROUP BY tmask),
+         masks AS (SELECT CAST(unnest(range(0, (SELECT 1 << nc FROM ncc))) AS BIGINT) AS m),
+         v AS (SELECT m, coalesce((SELECT CAST(sum(cnt) AS BIGINT) FROM tc
+                                   WHERE (tc.tmask & masks.m) = tc.tmask), 0) AS v
+               FROM masks),
+         terms AS (
+           SELECT ch.channel, ncc.nc,
+             CAST(factorial(CAST(list_sum([(v1.m >> j) & 1
+                for j in range(0, CAST(ncc.nc AS INT))]) AS INT)) AS BIGINT)
+             * CAST(factorial(CAST(ncc.nc - 1 - list_sum([(v1.m >> j) & 1
+                for j in range(0, CAST(ncc.nc AS INT))]) AS INT)) AS BIGINT)
+             * (v2.v - v1.v) AS term
+           FROM ch, ncc, v v1, v v2
+           WHERE (v1.m >> ch.r) % 2 = 0 AND v2.m = v1.m + (1 << ch.r)),
+         phi AS (SELECT channel, nc, CAST(sum(term) AS BIGINT) AS phi_num
+                 FROM terms GROUP BY channel, nc)
+         SELECT channel, phi_num,
+           CAST(factorial(CAST(nc AS INT)) AS BIGINT) AS denom,
+           CAST(phi_num * 1000 // factorial(CAST(nc AS INT)) AS BIGINT)
+             AS shapley_journeys_e3,
+           CASE WHEN (SELECT sum(phi_num) FROM phi) > 0
+                THEN CAST(phi_num * 1000000
+                       // (SELECT CAST(sum(phi_num) AS BIGINT) FROM phi) AS BIGINT)
+                ELSE 0 END AS share_e6
+         FROM phi""",
     "q_markov_attribution" -> markovAttrOracle,
     "ann_lsh_tables_curve" -> {
       // buckets built once at max(tables); each candidate keeps its

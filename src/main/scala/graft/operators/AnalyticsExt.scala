@@ -8176,6 +8176,114 @@ object AnalyticsExt {
     * of ≤64-row shuffles would be pure scheduler overhead (measured
     * 7.6 s distributed vs ~1.5 s folded at sf0.1).
     */
+  /** #412 Shapley-value channel attribution (the cooperative-game
+    * model Google Ads' data-driven attribution popularized; completes
+    * the attribution trio — #178 positional U-shape, #384 Markov
+    * removal-effect, this the axiomatic coalition split): journeys =
+    * each user's path up to the FIRST purchase, touchset = the
+    * distinct non-purchase channels in it; the coalition value v(S) =
+    * number of conversions whose touchset ⊆ S ("the coalition alone
+    * could have produced them"), and every channel's Shapley value is
+    * computed by FULL coalition enumeration — φ_c = Σ_{S∌c}
+    * |S|!(n−1−|S|)!·(v(S∪c)−v(S)) / n! — which is exact here because
+    * the channel alphabet is tiny (2^n coalitions, n ≤ 5). Exact
+    * integers end-to-end: touchsets encode as bitmasks, v() is a
+    * masked count, the factorial weights keep φ as an integer
+    * numerator over n! (emitted as `phi_num` + `denom`), shares on
+    * the truncating e6 grid. For THIS value function game theory says
+    * φ collapses to the closed form "each conversion splits 1/|T|
+    * across its touchset" (a sum of unanimity games) — `ShapleySpec`
+    * asserts the enumeration ≡ the closed form exactly, which both
+    * validates the machinery and documents why v(S) with synergy
+    * terms (where the closed form dies) would drop in unchanged.
+    *
+    * Scale: the ONLY data-scale work is one per-user path aggregate;
+    * everything after lives on ≤2^n·n bounded frames (the #384
+    * alphabet²-bounded discipline — explode of masks × channels, a
+    * BroadcastNLJ-class grid, never a data-scale shuffle).
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+        .as("t0"))
+      .filter(expr("array_position(t0, 'purchase') > 0"))
+      .select(
+        expr("""array_sort(array_distinct(
+                  slice(t0, 1, CAST(array_position(t0, 'purchase') AS INT) - 1)))""")
+          .as("touchset"))
+    val channels = Tables
+      .events(spark, dir)
+      .select(col("event_type").as("channel"))
+      .filter(col("channel") =!= "purchase")
+      .distinct()
+      .withColumn("r", (row_number().over(Window.orderBy("channel")) - 1).cast("long"))
+      .localCheckpoint(eager = false)
+    val nc = channels.agg(count(lit(1)).as("nc"))
+    // journey bitmask: Σ 2^rank over its touched channels (0 if empty)
+    // DISTINCT touchsets first — building the mask over raw journeys
+    // would sum each channel's bit once PER JOURNEY sharing the set
+    val tmasks = seqs
+      .select("touchset")
+      .distinct()
+      .select(explode_outer(col("touchset")).as("channel"), col("touchset"))
+      .join(channels, Seq("channel"), "left")
+      .groupBy("touchset")
+      .agg(coalesce(sum(expr("shiftleft(1L, CAST(r AS INT))")), lit(0L)).as("tmask"))
+    val tsCounts = seqs
+      .join(tmasks, "touchset")
+      .groupBy("tmask")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val masks = nc
+      .select(col("nc"), explode(expr("sequence(0L, shiftleft(1L, CAST(nc AS INT)) - 1)")).as("m"))
+    // grid-complete: masks no journey's touchset fits still need v=0
+    // rows, or the v(S∪c) inner join silently drops their terms
+    val vFrame = masks
+      .join(
+        masks
+          .crossJoin(tsCounts)
+          .filter(expr("(tmask & m) = tmask"))
+          .groupBy("m")
+          .agg(sum("cnt").as("v")),
+        Seq("m"),
+        "left")
+      .na
+      .fill(0L, Seq("v"))
+      .localCheckpoint(eager = false)
+    val terms = channels
+      .crossJoin(vFrame)
+      .filter(expr("(m >> CAST(r AS INT)) % 2 = 0"))
+      .withColumn(
+        "s",
+        expr("aggregate(sequence(0, CAST(nc - 1 AS INT)), 0L, (a, j) -> a + (m >> j) % 2)"))
+      .join(
+        vFrame.select(col("m").as("m2"), col("v").as("v2")),
+        expr("m2 = m + shiftleft(1L, CAST(r AS INT))"))
+      .select(
+        col("channel"),
+        col("nc"),
+        expr("CAST(factorial(CAST(s AS INT)) AS BIGINT) * CAST(factorial(CAST(nc - 1 - s AS INT)) AS BIGINT) * (v2 - v)")
+          .as("term"))
+    val phi = terms
+      .groupBy("channel", "nc")
+      .agg(sum("term").as("phi_num"))
+      .withColumn("denom", expr("CAST(factorial(CAST(nc AS INT)) AS BIGINT)"))
+    val tot = phi.agg(sum("phi_num").as("tot_num"))
+    phi
+      .crossJoin(broadcast(tot))
+      .select(
+        col("channel"),
+        col("phi_num"),
+        col("denom"),
+        expr("phi_num * 1000 div denom").as("shapley_journeys_e3"),
+        expr("CASE WHEN tot_num > 0 THEN phi_num * 1000000 div tot_num ELSE 0L END")
+          .as("share_e6"))
+  }
+
   def markovAttribution(
       spark: SparkSession,
       dir: String,
