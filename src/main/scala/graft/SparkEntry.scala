@@ -317,6 +317,7 @@ object SparkEntry {
     // Chi-square categorical association (§2 #189)
     "q_chi2_assoc" -> (AnalyticsExt.chi2Assoc _),
     "text_ks_drift" -> (TextStats.ksDrift _),
+    "text_bh_fdr" -> ((s: SparkSession, d: String) => TextStats.bhFdr(s, d)),
     "q_abc_pareto" -> ((s: SparkSession, d: String) => AnalyticsExt.abcPareto(s, d)),
     // Skyline / Pareto-frontier preference query (§2 #192)
     "q_skyline" -> ((s: SparkSession, d: String) => AnalyticsExt.skyline(s, d)),
@@ -6090,6 +6091,56 @@ object SparkEntry {
          SELECT o_orderstatus, o_orderpriority, n_cell, expected_e6, contrib_e6,
            CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_total_e6
          FROM x""",
+    // KS per source (the #190 grid) -> truncated Kolmogorov p (3
+    // signed e6-floored terms, clamped) -> BH step-up with the
+    // threshold compare cross-multiplied to exact integers
+    "text_bh_fdr" ->
+      """WITH cont AS (
+           SELECT source, n_chars AS len, count(*) AS c_sl
+           FROM documents GROUP BY 1, 2),
+         bylen AS (SELECT len, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cont GROUP BY 1),
+         bysrc AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS n_s FROM cont GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_sl) AS BIGINT) AS n FROM cont),
+         grid AS (
+           SELECT s.source, l.len, s.n_s, l.c_l, COALESCE(c.c_sl, 0) AS c_sl
+           FROM bysrc s CROSS JOIN bylen l
+           LEFT JOIN cont c ON c.source = s.source AND c.len = l.len),
+         cum AS (
+           SELECT source, len, n_s,
+             sum(c_sl) OVER (PARTITION BY source ORDER BY len) AS ca,
+             sum(c_l) OVER (PARTITION BY source ORDER BY len) AS c_all
+           FROM grid),
+         scored AS (
+           SELECT source, len, n_s, n - n_s AS nb,
+             abs(CAST(ca AS HUGEINT) * (n - n_s)
+                 - CAST(c_all - ca AS HUGEINT) * n_s) AS num
+           FROM cum, tot),
+         ks AS (
+           SELECT source, n_s AS n_docs,
+             CAST((num * 1000000) // (CAST(n_s AS HUGEINT) * nb) AS BIGINT) AS ks_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY num DESC, len) AS rk FROM scored)
+           WHERE rk = 1),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ks),
+         withp AS (
+           SELECT source, n_docs, ks_e6,
+             greatest(0, least(1000000,
+                 CAST(floor(2 * exp(-2.0 * lam2) * 1e6 + 0.5) AS BIGINT)
+               - CAST(floor(2 * exp(-8.0 * lam2) * 1e6 + 0.5) AS BIGINT)
+               + CAST(floor(2 * exp(-18.0 * lam2) * 1e6 + 0.5) AS BIGINT))) AS p_e6
+           FROM (SELECT source, n_docs, ks_e6,
+                   (CAST(ks_e6 AS DOUBLE) / 1e6) * (CAST(ks_e6 AS DOUBLE) / 1e6)
+                   * (CAST(n_docs AS DOUBLE) * (n - n_docs) / n) AS lam2
+                 FROM ks, tot)),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY p_e6, source) AS BIGINT) AS bh_rank,
+             CASE WHEN p_e6 * m <= CAST(row_number() OVER (ORDER BY p_e6, source) AS BIGINT)
+                       * 50000 THEN 1 ELSE 0 END AS passes
+           FROM withp, mm)
+         SELECT source, n_docs, ks_e6, p_e6, bh_rank,
+           CAST(bh_rank <= max(CASE WHEN passes = 1 THEN bh_rank ELSE 0 END) OVER ()
+             AS BIGINT) AS rejected
+         FROM ranked""",
     "text_ks_drift" ->
       // Cross-multiplied two-sample KS on the (source × distinct
       // length) grid; HUGEINT replays the DECIMAL(38,0) floor div.

@@ -850,6 +850,61 @@ object TextStats {
         col("len").as("at_len"))
   }
 
+  /** #413 Benjamini–Hochberg FDR screen over the drift battery (the
+    * multiple-testing control a monitoring suite needs once it runs a
+    * TEST PER SOURCE: at α=0.05 across ~20 sources, one false "this
+    * source drifted" page per run is EXPECTED — BH's step-up keeps
+    * the false-discovery RATE at α instead): each source's
+    * two-sample KS statistic (#190's exact machinery, source vs rest)
+    * gets the asymptotic Kolmogorov p-value p = 2Σ(−1)^{k−1}
+    * e^{−2k²λ²} (k ≤ 3 — the standard truncation, error < 1e−8 for
+    * any λ the reject region cares about; each SIGNED term e6-floored
+    * then summed, clamped to [0, 10⁶]), then the step-up: reject
+    * source at ascending-p rank i iff i ≤ max{j : p_j·m ≤ j·α_e6} —
+    * the threshold compare CROSS-MULTIPLIED so it is exact integer
+    * (p_e6·m ≤ j·50000·m/… reduces to p_e6·m ≤ j·α_e6·… both sides
+    * BIGINT; α_e6 = 50000). λ² = D²·n_s·n_b/(n_s+n_b) as a double of
+    * integer ratios — the established float recipe.
+    *
+    * Scale: the KS grid is the #190 shape (sources × distinct
+    * lengths); everything after lives on the ≤#sources frame — the
+    * two global windows there (ascending-p rank, step-up max) are
+    * bounded by source count (documented PlanDisciplineSpec entry).
+    */
+  def bhFdr(spark: SparkSession, dir: String, alphaE6: Long = 50000L): DataFrame = {
+    val ks = ksDrift(spark, dir).select(col("source"), col("n_docs"), col("ks_e6"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val m = ks.agg(count(lit(1)).as("m"))
+    val withP = ks
+      .crossJoin(broadcast(total))
+      .withColumn("lam2", expr(
+        """(CAST(ks_e6 AS DOUBLE) / 1e6) * (CAST(ks_e6 AS DOUBLE) / 1e6)
+           * (CAST(n_docs AS DOUBLE) * (n - n_docs) / n)"""))
+      .withColumn("p_e6", expr(
+        """greatest(0L, least(1000000L,
+             CAST(floor(2 * exp(-2.0 * lam2) * 1e6 + 0.5) AS BIGINT)
+           - CAST(floor(2 * exp(-8.0 * lam2) * 1e6 + 0.5) AS BIGINT)
+           + CAST(floor(2 * exp(-18.0 * lam2) * 1e6 + 0.5) AS BIGINT)))"""))
+    val ranked = withP
+      .crossJoin(broadcast(m))
+      .withColumn(
+        "bh_rank",
+        row_number().over(Window.orderBy(col("p_e6"), col("source"))).cast("long"))
+      .withColumn("passes", (col("p_e6") * col("m") <= col("bh_rank") * alphaE6).cast("long"))
+    ranked
+      .withColumn(
+        "cutoff",
+        max(when(col("passes") === 1, col("bh_rank")).otherwise(0L))
+          .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("ks_e6"),
+        col("p_e6"),
+        col("bh_rank"),
+        (col("bh_rank") <= col("cutoff")).cast("long").as("rejected"))
+  }
+
   /** #197 Hapax-legomena vocabulary health: per source, the size of
     * the within-source vocabulary, how much of it occurs exactly once
     * (hapax) or exactly twice (dis legomena), and the hapax rate —
