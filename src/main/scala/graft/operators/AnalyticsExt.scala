@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Lineage.CpOps
 
 /** Extended warehouse operators (§2 #35-41): as-of join, bounded
   * range join, exact percentiles, CUBE, pivot, ntile banding, and
@@ -276,7 +277,7 @@ object AnalyticsExt {
     * needed: every node with an out-edge receives contributions.
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3, topK: Int = 50): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     val pairs = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -321,7 +322,7 @@ object AnalyticsExt {
         .select(
           col("part"),
           expr("CAST(15 * 100000000 div (100 * n_nodes) + (85 * cs) div 100 AS BIGINT)").as("r"))
-        .localCheckpoint(false)
+        .cp(false)
     }
     // the wrapper eager-materializes the final top-k THROUGH the
     // loop's lazy checkpoints, then releases BOTH the cached edge
@@ -359,7 +360,7 @@ object AnalyticsExt {
       spark: SparkSession,
       dir: String,
       iters: Int = 3,
-      topK: Int = 50): DataFrame = Lineage.checkpointReleasing(spark) {
+      topK: Int = 50): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
     val pairs = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -384,7 +385,7 @@ object AnalyticsExt {
     val edges = edges0(pairs).join(outW, "src").repartition(col("src")).cache()
     val nodes = outW
       .select(col("src").as("part"), (col("src") % 100 === 0).cast("long").as("is_seed"))
-      .localCheckpoint(eager = false)
+      .cp(eager = false)
     val nSeedsDf = nodes.agg(sum("is_seed").as("n_seeds"))
     var ranks = nodes
       .crossJoin(broadcast(nSeedsDf))
@@ -406,7 +407,7 @@ object AnalyticsExt {
           expr("""CAST(CASE WHEN is_seed = 1 THEN 15 * 100000000 div (100 * n_seeds)
                        ELSE 0 END
                       + (85 * coalesce(cs, 0)) div 100 AS BIGINT)""").as("r"))
-        .localCheckpoint(false)
+        .cp(false)
     }
     val out = ranks
       .withColumn(
@@ -451,7 +452,7 @@ object AnalyticsExt {
     * rank-filter; output is the two leaderboards in one frame.
     */
   def hits(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     val edgesRaw = Tables
       .orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -460,7 +461,7 @@ object AnalyticsExt {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .agg(count(lit(1)).as("w"))
-    val edges = edgesRaw.repartition(col("cust")).localCheckpoint(eager = true)
+    val edges = edgesRaw.repartition(col("cust")).cp(eager = true)
     val edgesByCust = edges
     val edgesByPart = edges
     var hubs = edgesByCust
@@ -478,7 +479,7 @@ object AnalyticsExt {
       auths = araw
         .crossJoin(broadcast(amax))
         .select(col("part"), expr("ar * 1000000 div amax").as("a"))
-        .localCheckpoint(false)
+        .cp(false)
       val hraw = edgesByPart
         .join(auths, "part")
         .select(col("cust"), expr("a * w").as("c"))
@@ -488,7 +489,7 @@ object AnalyticsExt {
       hubs = hraw
         .crossJoin(broadcast(hmax))
         .select(col("cust"), expr("hr * 1000000 div hmax").as("h"))
-        .localCheckpoint(false)
+        .cp(false)
     }
     val topA = auths
       .withColumn(
@@ -997,7 +998,7 @@ object AnalyticsExt {
       dir: String,
       maxRounds: Int = 12,
       minSupport: Int = 2,
-      shortcut: Boolean = true): DataFrame = Lineage.checkpointReleasing(spark) {
+      shortcut: Boolean = true): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
     val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = po
       .select(col("l_orderkey"), col("l_partkey").as("part_a"))
@@ -1037,8 +1038,8 @@ object AnalyticsExt {
       seed: DataFrame,
       sym: DataFrame,
       maxRounds: Int,
-      shortcut: Boolean): (DataFrame, Boolean) = {
-    var labels = seed.localCheckpoint(eager = true)
+      shortcut: Boolean)(implicit scope: Lineage.Scope): (DataFrame, Boolean) = {
+    var labels = seed.cp(eager = true)
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
@@ -1062,7 +1063,7 @@ object AnalyticsExt {
                         hop.select(col("part").as("jp"), col("label").as("jl")),
                         col("label") === col("jp"))
                       .select(col("part"), col("prev"), col("jl").as("label"))
-                  else hop).localCheckpoint(eager = true)
+                  else hop).cp(eager = true)
       // bounded driver state: one scalar per round (did anything change?)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select("part", "label")
@@ -1092,7 +1093,7 @@ object AnalyticsExt {
       spark: SparkSession,
       dir: String,
       maxRounds: Int = 12,
-      minSupport: Int = 2): DataFrame = Lineage.checkpointReleasing(spark) {
+      minSupport: Int = 2): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
     val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
     def pairCounts(df: DataFrame): DataFrame = df
       .select(col("l_orderkey"), col("l_partkey").as("part_a"))
@@ -1101,8 +1102,8 @@ object AnalyticsExt {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("w"))
     // ---- base state (what a prior run would have persisted) ----
-    val poBase = po.filter(col("l_orderkey") % 10 =!= 0).localCheckpoint(eager = false)
-    val basePairs = pairCounts(poBase).localCheckpoint(eager = false)
+    val poBase = po.filter(col("l_orderkey") % 10 =!= 0).cp(eager = false)
+    val basePairs = pairCounts(poBase).cp(eager = false)
     val baseSym = basePairs
       .filter(col("w") >= minSupport)
       .select(col("part_a").as("src"), col("part_b").as("dst"))
@@ -2299,7 +2300,7 @@ object AnalyticsExt {
     * with its within-core degree.
     */
   def kcore(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 16): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     val baskets = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -2318,7 +2319,7 @@ object AnalyticsExt {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .select("pa", "pb")
-      .localCheckpoint(eager = false)
+      .cp(eager = false)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("pa").as("node"))
         .unionAll(e.select(col("pb").as("node")))
@@ -2336,7 +2337,7 @@ object AnalyticsExt {
         .join(keep.select(col("node").as("pa")), Seq("pa"), "left_semi")
         .join(keep.select(col("node").as("pb")), Seq("pb"), "left_semi")
         .select("pa", "pb")
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       val n = edges.count()
       converged = n == nEdges
       nEdges = n
@@ -5355,7 +5356,7 @@ object AnalyticsExt {
       dir: String,
       seedMod: Int = 250,
       depth: Int = 3,
-      topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) {
+      topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
     val pairs = coPurchasePairs(spark, dir, minSupport = 2)
     val sym = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
@@ -5365,7 +5366,7 @@ object AnalyticsExt {
     val seeds = sym.select(col("src").as("v")).distinct().filter(col("v") % seedMod === 1)
     // ---- forward BFS: levels(r) = (s, v, sigma) at distance r ----
     var levels = Vector(
-      seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma")).localCheckpoint(eager = true))
+      seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma")).cp(eager = true))
     var visited = levels(0).select("s", "v")
     for (r <- 1 to depth) {
       val next = levels(r - 1)
@@ -5374,9 +5375,9 @@ object AnalyticsExt {
         .groupBy("s", "v")
         .agg(sum("sigma").as("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       levels = levels :+ next
-      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(eager = true)
+      visited = visited.unionAll(next.select("s", "v")).cp(eager = true)
     }
     // ---- dependency accumulation, deepest level first; the r = 0
     // source rows are never needed (v = s is excluded from bc) ----
@@ -5399,7 +5400,7 @@ object AnalyticsExt {
       delta = levels(r)
         .join(terms, Seq("s", "v"), "left")
         .select(col("s"), col("v"), coalesce(col("dsum"), lit(0L)).as("delta"))
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       perLevel = perLevel :+ delta
     }
     val bc = perLevel
@@ -5470,7 +5471,7 @@ object AnalyticsExt {
       dir: String,
       seedMod: Int = 250,
       depth: Int = 3,
-      topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) {
+      topK: Int = 100): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
     val pairs = coPurchasePairs(spark, dir, minSupport = 2)
     val sym = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
@@ -5479,7 +5480,7 @@ object AnalyticsExt {
       .cache()
     val seeds = sym.select(col("src").as("v")).distinct().filter(col("v") % seedMod === 1)
     var levels = Vector(
-      seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma")).localCheckpoint(eager = true))
+      seeds.select(col("v").as("s"), col("v"), lit(1L).as("sigma")).cp(eager = true))
     var visited = levels(0).select("s", "v")
     for (r <- 1 to depth) {
       val next = levels(r - 1)
@@ -5488,9 +5489,9 @@ object AnalyticsExt {
         .groupBy("s", "v")
         .agg(sum("sigma").as("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       levels = levels :+ next
-      visited = visited.unionAll(next.select("s", "v")).localCheckpoint(eager = true)
+      visited = visited.unionAll(next.select("s", "v")).cp(eager = true)
     }
     val harm = (1 to depth)
       .map(r => levels(r).select(col("v"), lit(1000000L / r).as("h")))
@@ -5966,7 +5967,7 @@ object AnalyticsExt {
     * non-vacuous at every test SF.
     */
   def ktruss(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 8): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     val baskets = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -5985,7 +5986,7 @@ object AnalyticsExt {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .select("pa", "pb")
-      .localCheckpoint(eager = true)
+      .cp(eager = true)
     var nEdges = edges.count()
     var converged = false
     var round = 0
@@ -5994,7 +5995,7 @@ object AnalyticsExt {
       val keep = edgeSupport(edges).filter(col("support") >= k - 2).select("pa", "pb")
       edges = edges
         .join(keep, Seq("pa", "pb"), "left_semi")
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       val n = edges.count()
       converged = n == nEdges
       nEdges = n
@@ -7262,7 +7263,7 @@ object AnalyticsExt {
       dir: String,
       rounds: Int = LabelPropRounds,
       minSupport: Int = LabelPropMinSupport): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
       val pairs = coPurchasePairs(spark, dir, minSupport).cache()
       val sym = pairs
         .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
@@ -7274,7 +7275,7 @@ object AnalyticsExt {
         .select(col("l_partkey").as("part"))
         .distinct()
         .select(col("part"), col("part").as("label"))
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       val byVertex = Window.partitionBy("part").orderBy(col("tw").desc, col("nl"))
       var r = 0
       while (r < rounds) {
@@ -7289,7 +7290,7 @@ object AnalyticsExt {
         labels = labels
           .join(best, Seq("part"), "left")
           .select(col("part"), coalesce(col("bl"), col("label")).as("label"))
-          .localCheckpoint(eager = true)
+          .cp(eager = true)
       }
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("comm_size"))
       val out = labels

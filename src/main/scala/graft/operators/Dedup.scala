@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Lineage.CpOps
 import graft.functions.GraftFunctions
 
 /** Deduplication for LLM-training-data pipelines over `documents`.
@@ -546,7 +547,7 @@ object Dedup {
     * only (a count per round); all data stays distributed.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     // edges is the only input reused every round — cache it for the loop
     // and unpersist on exit (round-1 leaked these into every later query
     // sharing the JVM). labels goes through localCheckpoint, not cache:
@@ -562,7 +563,7 @@ object Dedup {
     // as a side effect — eager would run a second full job per round
     // (measured ~2× the loop's wall time).
     var labels =
-      docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(eager = false)
+      docs.select(col("doc_id"), col("doc_id").as("label")).cp(eager = false)
     // convergence probe: a per-row changed flag computed inside the
     // round's own select, summed by the same action that materializes
     // the checkpoint. Unlike the earlier compare-two-sums probe this
@@ -581,7 +582,7 @@ object Dedup {
           col("doc_id"),
           least(col("label"), coalesce(col("min_n_label"), col("label"))).as("label"),
           coalesce(col("min_n_label") < col("label"), lit(false)).cast("long").as("chg"))
-        .localCheckpoint(eager = false)
+        .cp(eager = false)
       converged = next.agg(sum("chg")).head.getLong(0) == 0L
       labels = next.drop("chg")
       iter += 1

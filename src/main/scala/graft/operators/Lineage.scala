@@ -1,6 +1,10 @@
 package graft.operators
 
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Checkpoint-block hygiene for the iterative operators.
   *
@@ -16,48 +20,80 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * late queries ran 2-3× slow. The fix is the same discipline the
   * operators already apply to their `.cache()`s: release on exit.
   *
-  * [[checkpointReleasing]] wraps an operator body. The body builds its
-  * result (creating any number of round checkpoints and caches) and
-  * returns the UNcheckpointed final frame plus the caches it holds;
-  * the wrapper then (1) eagerly checkpoints the result — materializing
+  * [[checkpointReleasing]] wraps an operator body. The body receives a
+  * per-invocation [[Scope]] and registers every round checkpoint with
+  * it (the `.cp(eager)` extension — a drop-in for `.localCheckpoint`);
+  * it returns the UNcheckpointed final frame plus the caches it holds.
+  * The wrapper then (1) eagerly checkpoints the result — materializing
   * it while every intermediate block is still alive, (2) unpersists
-  * the returned caches, and (3) unpersists every persistent RDD the
-  * body created, leaving ONLY the result's own blocks. Correctness:
-  * a localCheckpoint TRUNCATES lineage, so a frame whose blocks are
+  * the returned caches, and (3) releases exactly the blocks the body
+  * registered, leaving ONLY the result's own blocks. Correctness: a
+  * localCheckpoint TRUNCATES lineage, so a frame whose blocks are
   * dropped cannot be recomputed — which is why step (1) must run
   * before step (3), and why the result's own blocks (created after the
-  * body returns) are never touched.
+  * body returns, never registered) are never touched.
   *
-  * Concurrency contract: the before/after diff observes GLOBAL
-  * SparkContext state, so two wrapped bodies interleaving on one
-  * context would each sweep the other's in-flight checkpoint blocks —
-  * and a swept localCheckpoint is unrecoverable (lineage already
-  * truncated). The wrapper therefore SERIALIZES wrapped bodies on a
-  * process-wide lock: concurrent callers queue rather than corrupt.
-  * Residual caveat (documented, not enforced): a concurrent UNwrapped
-  * query that persists blocks while a wrapped body runs will have
-  * those blocks swept too — callers running ad-hoc concurrent work on
-  * the same context should persist outside wrapped-operator calls or
-  * accept recompute (plain caches recompute; only bare localCheckpoint
-  * blocks are unrecoverable, and graft's own operators only create
-  * those inside this wrapper).
+  * Concurrency contract: ownership is EXPLICIT. The scope tracks the
+  * persisted RDD behind each checkpoint it created (pulled from the
+  * checkpointed frame's `LogicalRDD` leaf — the same RDD
+  * `getPersistentRDDs` would list) and releases only those, so two
+  * wrapped bodies interleaving on one context never touch each
+  * other's blocks and run fully in parallel. This replaced the r6-r9
+  * form, which diffed GLOBAL `getPersistentRDDs` state around the body
+  * and therefore had to serialize every wrapped operator on a
+  * process-wide lock — a scheduling chokepoint under a shared
+  * SparkSession (1000-executor deployments routinely multiplex one
+  * context across query threads), and the prime suspect in the r7-r9
+  * monotone graph-query drift. Concurrent UNwrapped work is likewise
+  * safe now: only blocks this scope created are ever swept.
   */
 object Lineage {
-  private val sweepLock = new Object
+
+  /** Per-invocation checkpoint registry. Thread-safe: a body may fan
+    * out its rounds across threads; registration and release touch a
+    * private buffer only.
+    */
+  final class Scope private[Lineage] () {
+    private val tracked = ListBuffer.empty[RDD[_]]
+
+    /** `df.localCheckpoint(eager)` + register the persisted blocks for
+      * release when the wrapping [[checkpointReleasing]] exits.
+      */
+    def cp(df: DataFrame, eager: Boolean): DataFrame = {
+      val out = df.localCheckpoint(eager)
+      // the checkpointed frame's plan is a LogicalRDD leaf over the
+      // persisted internal-row RDD — the exact object the old global
+      // sweep pulled out of getPersistentRDDs
+      out.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }.foreach { r =>
+        tracked.synchronized { tracked += r }
+      }
+      out
+    }
+
+    private[Lineage] def releaseAll(): Unit = tracked.synchronized {
+      tracked.foreach(_.unpersist(blocking = false))
+      tracked.clear()
+    }
+  }
+
+  /** `.cp(eager)` — the in-body drop-in for `.localCheckpoint(eager)`
+    * that registers the blocks with the ambient scope.
+    */
+  implicit final class CpOps(private val df: DataFrame) extends AnyVal {
+    def cp(eager: Boolean)(implicit scope: Scope): DataFrame = scope.cp(df, eager)
+  }
 
   def checkpointReleasing(spark: SparkSession)(
-      build: => (DataFrame, Seq[DataFrame])): DataFrame = sweepLock.synchronized {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val (raw, caches) = build
-    val intermediates = sc.getPersistentRDDs.keySet.toSet -- before
-    // materialize the result FIRST: it may read both the caches and the
-    // round checkpoints, so nothing is released until its own blocks
-    // exist (created after the snapshot above — never swept below)
-    val out = raw.localCheckpoint(eager = true)
-    caches.foreach(_.unpersist())
-    intermediates.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    out
+      build: Scope => (DataFrame, Seq[DataFrame])): DataFrame = {
+    val scope = new Scope
+    try {
+      val (raw, caches) = build(scope)
+      // materialize the result FIRST: it may read both the caches and
+      // the round checkpoints, so nothing is released until its own
+      // blocks exist (never registered with the scope — never swept)
+      val out = raw.localCheckpoint(eager = true)
+      caches.foreach(_.unpersist())
+      out
+    } finally scope.releaseAll()
   }
 }

@@ -412,10 +412,12 @@ object Sampling {
     val indexed = local
       .join(broadcast(offsets), "shard")
       .select(col("doc_id"), (col("off") + col("rn") - 1).as("idx"))
-    val total = docs.agg(count(lit(1)).as("n_docs"))
+    // bounds already carries n_docs — broadcasting the SAME 1-row frame
+    // (not a fresh count agg) lets exchange reuse collapse the second
+    // scan+agg into a ReusedExchange of the first
     val draws = docs
       .filter(col("doc_id") % 11 === 0)
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(bounds))
       .select(
         col("doc_id").as("anchor_id"),
         explode(sequence(lit(1), lit(k))).as("j"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Lineage.CpOps
 import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (`array<float>[64]`).
@@ -482,7 +483,7 @@ object Similarity {
     * never corpus size; rounds shuffle only pool-sized frames.
     */
   def mmr(spark: SparkSession, dir: String, k: Int = 10, poolK: Int = 50): DataFrame =
-    graft.operators.Lineage.checkpointReleasing(spark) {
+    graft.operators.Lineage.checkpointReleasing(spark) { implicit scope =>
       GraftFunctions.register(spark)
       val wp = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
       val pool = Tables
@@ -527,7 +528,7 @@ object Similarity {
           lit(0L).as("maxsim_e6"),
           expr("7 * rel_e6").as("mmr_score"),
           lit(1L).as("rank"))
-        .localCheckpoint(eager = true)
+        .cp(eager = true)
       for (r <- 2 to k) {
         val cand = pool
           .select("query_id", "vec_id", "rel_e6")
@@ -552,7 +553,7 @@ object Similarity {
             col("mx").as("maxsim_e6"),
             expr("7 * rel_e6 - 3 * mx").as("mmr_score"),
             lit(r.toLong).as("rank"))
-        selected = selected.unionAll(pick).localCheckpoint(eager = true)
+        selected = selected.unionAll(pick).cp(eager = true)
       }
       (selected, Seq(pool, sims))
     }
@@ -1990,10 +1991,10 @@ object Similarity {
       dir: String,
       k: Int = 10,
       beam: Int = 10,
-      hops: Int = 4): DataFrame = Lineage.checkpointReleasing(spark) {
+      hops: Int = 4): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val graph = exactKnnGraph(spark, dir, k).select("src", "dst").localCheckpoint(eager = false)
+    val graph = exactKnnGraph(spark, dir, k).select("src", "dst").cp(eager = false)
     val queries = queryVectors(spark, dir)
     val entry = e.agg(min("vec_id").as("vec_id"))
     // score a (query_id, vec_id) candidate frame against the queries
@@ -2007,7 +2008,7 @@ object Similarity {
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
     val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     var beamDf = queries.select(col("query_id")).crossJoin(broadcast(entry))
-    var visited = beamDf.localCheckpoint(eager = false)
+    var visited = beamDf.cp(eager = false)
     for (_ <- 1 to hops) {
       val cand = beamDf
         .unionAll(
@@ -2015,8 +2016,8 @@ object Similarity {
             .join(graph, beamDf("vec_id") === graph("src"))
             .select(col("query_id"), col("dst").as("vec_id")))
         .distinct()
-        .localCheckpoint(eager = false)
-      visited = visited.unionAll(cand).distinct().localCheckpoint(eager = false)
+        .cp(eager = false)
+      visited = visited.unionAll(cand).distinct().cp(eager = false)
       beamDf = scored(cand)
         .withColumn("rnk", row_number().over(wq))
         .filter(col("rnk") <= beam)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Lineage.CpOps
 
 /** Corpus-level text statistics for LLM-data pipelines: term/document
   * frequencies, TF-IDF, bigram counts, and edit-distance fuzzy
@@ -568,7 +569,7 @@ object TextStats {
     * (`TextStatsSpec` asserts the KMV error bounds hold).
     */
   def kmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     graft.functions.GraftFunctions.register(spark)
     val e = Tables
       .documents(spark, dir)
@@ -583,8 +584,8 @@ object TextStats {
     // explode scan re-executes ~6×, which is the whole query cost
     // (the Dedup.scala semDedup pattern; blocks swept on exit by the
     // checkpointReleasing wrapper)
-    val a = e.filter(col("doc_id") % 97 =!= 0).select("h").distinct().localCheckpoint(false)
-    val b = e.filter(col("doc_id") % 97 === 0).select("h").distinct().localCheckpoint(false)
+    val a = e.filter(col("doc_id") % 97 =!= 0).select("h").distinct().cp(false)
+    val b = e.filter(col("doc_id") % 97 === 0).select("h").distinct().cp(false)
     def kmv(s: DataFrame) = s.orderBy("h").limit(k)
     val u = a.unionAll(b).distinct()
     val kmvU = kmv(u)
@@ -1251,12 +1252,12 @@ object TextStats {
     * vector. Top-20 via rank-filtered window (WindowGroupLimit).
     */
   def textRank(spark: SparkSession, dir: String, iters: Int = 2, topK: Int = 20): DataFrame =
-    Lineage.checkpointReleasing(spark) {
+    Lineage.checkpointReleasing(spark) { implicit scope =>
     val pos = Tables
       .documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "w")))
       .filter(!col("w").isin(TextOps.stopwords: _*))
-      .localCheckpoint(eager = false)
+      .cp(eager = false)
     val pc = pos
       .alias("a")
       .join(
@@ -1289,7 +1290,7 @@ object TextStats {
         .select(
           col("word"),
           expr("CAST(15 * 100000000 div (100 * n_nodes) + (85 * cs) div 100 AS BIGINT)").as("r"))
-        .localCheckpoint(false)
+        .cp(false)
     }
     val out = ranks
       .withColumn(
