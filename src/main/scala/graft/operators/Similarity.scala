@@ -2030,6 +2030,237 @@ object Similarity {
     (out, Seq.empty)
   }
 
+  /** The deterministic HNSW level of every vector: P(level ≥ l) = 4^-l
+    * via the trailing base-4 digits of the content hash — the
+    * hash-sampled analog of Malkov & Yashunin's floor(−ln(U)·mL) draw,
+    * reproducible across engines and rebuilds (a vector's level never
+    * depends on insertion order). Capped at 2 upper layers: at 4^-l
+    * occupancy a third layer is non-empty only past ~10⁶ vectors, and
+    * adding one is this same expression one digit deeper.
+    */
+  private def hnswLevels(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        Dedup.hash60(concat(lit("hnsw-lvl:"), col("vec_id"))).as("h60"))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        // integer div throughout — h60 is a positive 60-bit hash, so
+        // Spark div and DuckDB // agree digit for digit
+        expr("""CASE WHEN h60 % 4 = 0
+                     THEN CASE WHEN (h60 div 4) % 4 = 0 THEN 2L ELSE 1L END
+                     ELSE 0L END""").as("lvl"))
+
+  /** Exact top-`m` cosine graph among a layer's member set — the
+    * upper-layer analog of [[exactKnnGraph]]. Layer populations shrink
+    * 4× per level, so the all-pairs build is (n/4^l)² — already 16× /
+    * 256× below the layer-0 truth build; at 100 TB the upper layers
+    * use the same cell-bounded candidate generation as `ann_knn_graph`
+    * (the layer sets are plain vector frames, nothing here assumes the
+    * all-pairs construction).
+    */
+  private def knnAmong(sub: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    sub
+      .select(col("vec_id").as("src"), col("embedding"))
+      .crossJoin(broadcast(sub.select(col("vec_id").as("dst"), col("embedding").as("n_emb"))))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), round(expr("cosine_sim(embedding, n_emb)"), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select("src", "dst")
+  }
+
+  /** HNSW links are BIDIRECTIONAL (Malkov & Yashunin §4: every
+    * inserted link is added in both directions) — symmetrizing the
+    * kNN construction is what makes low-in-degree vectors reachable
+    * at all. This is the structural difference that buys HNSW its
+    * recall over #398's directed walk, independent of the layering.
+    */
+  private def symmetrize(g: DataFrame): DataFrame =
+    g.unionAll(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+  /** The layer-0 beam walk shared by [[nswSearch]]-style searches:
+    * from a per-query entry frame, `hops` rounds of expand-score-prune
+    * at width `beam`, returning the top-10 of everything visited
+    * (self excluded). Factored out so [[hnswSearch]] and the beam
+    * scorecard replay the identical trajectory from different entries.
+    */
+  private def beamWalk(
+      e: DataFrame,
+      graph: DataFrame,
+      queries: DataFrame,
+      entry: DataFrame,
+      beam: Int,
+      hops: Int)(implicit scope: Lineage.Scope): DataFrame = {
+    import graft.operators.Lineage.CpOps
+    def scored(cand: DataFrame): DataFrame =
+      cand
+        .join(e, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    var beamDf = entry
+    var visited = beamDf.cp(false)
+    for (_ <- 1 to hops) {
+      val cand = beamDf
+        .unionAll(
+          beamDf
+            .join(graph, beamDf("vec_id") === graph("src"))
+            .select(col("query_id"), col("dst").as("vec_id")))
+        .distinct()
+        .cp(false)
+      visited = visited.unionAll(cand).distinct().cp(false)
+      beamDf = scored(cand)
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= beam)
+        .select("query_id", "vec_id")
+    }
+    scored(visited)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  /** #414 HNSW hierarchical search (Malkov & Yashunin 2018): the #398
+    * beam walk layered over geometrically-coarsened graphs. Every
+    * vector draws a deterministic level ([[hnswLevels]]); layers 2 and
+    * 1 hold exact top-`mUpper` graphs among their members; a query
+    * descends greedily — two beam-1 hops per upper layer, argmax
+    * rounded cosine, ties to the smaller vec_id — and hands the
+    * layer-0 walk a PER-QUERY entry point near the query's
+    * neighborhood, which is what buys recall at the same hops/beam
+    * budget versus #398's single global entry (the walk no longer
+    * spends its first hops crossing the corpus diameter). Entry at the
+    * top: min vec_id among level-2 nodes (min of all vectors if the
+    * corpus is too small to populate level 2).
+    *
+    * Scale shape: descent frames are queries×1 rows, upper graphs are
+    * 4^-l-occupancy subsets with degree ≤ mUpper, and the layer-0 walk
+    * is hops × beam × k per query, corpus-independent — the whole
+    * search is k-bounded joins against pre-built graph frames. The
+    * all-pairs layer builds are the oracle-exact truth construction
+    * (see [[knnAmong]] for the 100 TB path). Every score is the
+    * rounded-1e-6 cosine contract, so the DuckDB oracle replays the
+    * full descent + walk bit-identically as unrolled CTEs.
+    */
+  def hnswSearch(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      beam: Int = 10,
+      hops: Int = 4,
+      mUpper: Int = HnswUpperM): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val lv = hnswLevels(spark, dir)
+    val g2 = symmetrize(knnAmong(lv.filter(col("lvl") >= 2), mUpper)).cp(false)
+    val g1 = symmetrize(knnAmong(lv.filter(col("lvl") >= 1), mUpper)).cp(false)
+    val graph = symmetrize(exactKnnGraph(spark, dir, k).select("src", "dst")).cp(false)
+    val queries = queryVectors(spark, dir)
+    val ent = hnswDescend(e, Seq(g2, g1), queries, lv)
+    (beamWalk(e, graph, queries, ent, beam, hops), Seq.empty)
+  }
+
+  /** Greedy upper-layer descent to a per-query layer-0 entry point —
+    * two beam-1 hops per layer, top to bottom.
+    */
+  private def hnswDescend(
+      e: DataFrame,
+      layers: Seq[DataFrame],
+      queries: DataFrame,
+      lv: DataFrame)(implicit scope: Lineage.Scope): DataFrame = {
+    import graft.operators.Lineage.CpOps
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val top = lv.agg(
+      coalesce(min(when(col("lvl") >= 2, col("vec_id"))), min(col("vec_id"))).as("vec_id"))
+    var cur = queries.select(col("query_id")).crossJoin(broadcast(top))
+    for (g <- layers; _ <- 1 to DescentHops) {
+      val cand = cur
+        .unionAll(
+          cur.join(g, cur("vec_id") === g("src")).select(col("query_id"), col("dst").as("vec_id")))
+        .distinct()
+      cur = cand
+        .join(e, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") === 1)
+        .select("query_id", "vec_id")
+        .cp(false)
+    }
+    cur
+  }
+
+  /** #415 HNSW recall-vs-beam scorecard (the §15.4 invariant — the
+    * approximation ships with its measured quality in the same round):
+    * recall@10 of [[hnswSearch]] against the #27 brute-force truth at
+    * beam ∈ {5, 10, 16}, shared hops. Beam changes the TRAJECTORY
+    * (unlike nprobe, the sweep points are not nested slices of one
+    * search), so each point is its own walk — but levels, upper
+    * graphs, the layer-0 graph, and the descent are built once and
+    * shared; the marginal cost per point is the k-bounded walk only.
+    */
+  def hnswRecallCurve(
+      spark: SparkSession,
+      dir: String,
+      beams: Seq[Int] = HnswBeamPoints,
+      hops: Int = 4,
+      mUpper: Int = HnswUpperM): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val lv = hnswLevels(spark, dir)
+    val g2 = symmetrize(knnAmong(lv.filter(col("lvl") >= 2), mUpper)).cp(false)
+    val g1 = symmetrize(knnAmong(lv.filter(col("lvl") >= 1), mUpper)).cp(false)
+    val graph = symmetrize(exactKnnGraph(spark, dir, 10).select("src", "dst")).cp(false)
+    val queries = queryVectors(spark, dir)
+    val ent = hnswDescend(e, Seq(g2, g1), queries, lv).cp(false)
+    val truth = bruteForce(spark, dir).select("query_id", "vec_id").cp(false)
+    val nTruthDf = truth.agg(count(lit(1)).as("n_truth"))
+    val perBeam = beams.map { b =>
+      beamWalk(e, graph, queries, ent, b, hops)
+        .select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(b.toLong).as("beam"), col("n_hits"))
+    }
+    val out = perBeam
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(nTruthDf))
+      .select(
+        col("beam"),
+        col("n_truth"),
+        col("n_hits"),
+        expr("n_hits * 1000000 div n_truth").as("recall_e6"))
+    (out, Seq.empty)
+  }
+
+  private[graft] val HnswBeamPoints = Seq(5, 10, 16)
+
+  /** Greedy hops per upper layer during descent. Measured finding at
+    * sf0.001: hops 2 vs 3 did NOT move recall — the binding constraint
+    * was graph directionality ([[symmetrize]]), not descent length; 3
+    * is kept as the convergence margin for sparser upper layers at
+    * larger corpora. Each hop is one queries×1-frame join,
+    * corpus-independent.
+    */
+  private[graft] val DescentHops = 3
+
+  /** Degree of the upper-layer graphs. Denser than layer 0 would be
+    * wasteful (layers exist only to navigate, not to answer); 8 keeps
+    * the beam-1 descent from dead-ending in a sparse direction.
+    */
+  private[graft] val HnswUpperM = 8
+
   /** #403 Matryoshka truncation recall curve (Kusupati et al. 2022:
     * MRL-trained embeddings keep their best information in the
     * PREFIX dimensions, so search can run at d/2, d/4, … and pay only
