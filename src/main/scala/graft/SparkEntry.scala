@@ -460,7 +460,7 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_power_analysis" ->
       ((s: SparkSession, d: String) => AnalyticsExt.powerAnalysis(s, d, PowerZsumE3)),
     // Peak session concurrency sweep (§2 #267)
-    "q_peak_concurrency" -> (AnalyticsExt.peakConcurrency _),
+    "q_peak_concurrency" -> ((s: SparkSession, d: String) => AnalyticsExt.peakConcurrency(s, d)),
     // Physical partition-skew audit (§2 #268)
     "q_partition_skew" -> ((s: SparkSession, d: String) => Scale.partitionSkew(s, d)),
     // New-vs-repeat revenue split (§2 #269)
@@ -488,7 +488,7 @@ object SparkEntry extends SparkEntryOracleHelpers
     // PQ distortion / code-utilization audit (§2 #280)
     "ann_pq_distortion" -> ((s: SparkSession, d: String) => Similarity.pqDistortion(s, d)),
     // Catalog breadth / assortment growth (§2 #281)
-    "q_catalog_breadth" -> (AnalyticsExt.catalogBreadth _),
+    "q_catalog_breadth" -> ((s: SparkSession, d: String) => AnalyticsExt.catalogBreadth(s, d)),
     // Ship-delay SLA percentiles per priority (§2 #282)
     "q_ship_delay" -> (AnalyticsExt.shipDelay _),
     // Common-neighbor link prediction on the co-purchase graph (§2 #283)

@@ -548,7 +548,7 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
     * Tie order (ts, −delta) closes touching sessions before opening
     * new ones at the same µs, the standard half-open convention.
     */
-  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+  def peakConcurrency(spark: SparkSession, dir: String, cut: Boolean = true): DataFrame = {
     val usPerDay = 86400L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = 30L * 60 * 1000 * 1000
@@ -564,11 +564,12 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
         sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("s"), max("ts").as("e"))
-    val endpoints = sessions
-      .select(col("s").as("ts"), lit(1L).as("delta"))
-      .unionAll(sessions.select((col("e") + 1).as("ts"), lit(-1L).as("delta")))
-      .withColumn("day", expr(s"ts div ${usPerDay}L"))
-      .localCheckpoint(eager = false)
+    // cut=false = the PlanDisciplineSpec audit form (no RDDScan)
+    val endpoints = Lineage.cutIf(cut)(
+      sessions
+        .select(col("s").as("ts"), lit(1L).as("delta"))
+        .unionAll(sessions.select((col("e") + 1).as("ts"), lit(-1L).as("delta")))
+        .withColumn("day", expr(s"ts div ${usPerDay}L")))
     // (ts, delta) tie order: a −1 end sorts before a +1 start at the
     // same µs, so touching sessions never overlap (half-open + the
     // e+1 shift make ends land strictly after their own last event)
@@ -929,21 +930,22 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
     * month frame (the #210 day-cumsum discipline, month-grained);
     * active counts one (month, part) distinct. All exact integers.
     */
-  def catalogBreadth(spark: SparkSession, dir: String): DataFrame = {
-    val mp = Tables
-      .lineitem(spark, dir)
-      .join(
-        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
-        "l_orderkey")
-      .select(
-        // the calendar month is the monotone carry key: the cumsum
-        // window rides the PER-MONTH aggregate, bounded by
-        // #calendar-months — a documented PlanDisciplineSpec exception
-        expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
-          .as("month"),
-        col("l_partkey"))
-      .distinct()
-      .localCheckpoint(eager = false)
+  def catalogBreadth(spark: SparkSession, dir: String, cut: Boolean = true): DataFrame = {
+    // cut=false = the PlanDisciplineSpec audit form (no RDDScan)
+    val mp = Lineage.cutIf(cut)(
+      Tables
+        .lineitem(spark, dir)
+        .join(
+          Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          "l_orderkey")
+        .select(
+          // the calendar month is the monotone carry key: the cumsum
+          // window rides the PER-MONTH aggregate, bounded by
+          // #calendar-months — a documented PlanDisciplineSpec exception
+          expr("CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
+            .as("month"),
+          col("l_partkey"))
+        .distinct())
     val active = mp.groupBy("month").agg(count(lit(1)).as("n_active_parts"))
     val firstSale = mp.groupBy("l_partkey").agg(min("month").as("month"))
     val news = firstSale.groupBy("month").agg(count(lit(1)).as("n_new_parts"))
@@ -1981,7 +1983,11 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
     * is the cumulative sum over the ≤10-row decile aggregate
     * (documented in PlanDisciplineSpec).
     */
-  def liftTable(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  def liftTable(
+      spark: SparkSession,
+      dir: String,
+      nShards: Int = 8,
+      cut: Boolean = true): DataFrame = {
     val byVal = Tables
       .orders(spark, dir)
       .select(
@@ -1990,10 +1996,11 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
       .groupBy("v")
       .agg(count(lit(1)).as("n_rows"), sum("pos").as("n_pos"))
     val bounds = byVal.agg(min("v").as("lo"), max("v").as("hi"))
-    val sharded = byVal
-      .crossJoin(broadcast(bounds))
-      .withColumn("shard", expr(s"((hi - v) * $nShards) div (hi - lo + 1)"))
-      .localCheckpoint(eager = false)
+    // cut=false = the PlanDisciplineSpec audit form (no RDDScan)
+    val sharded = Lineage.cutIf(cut)(
+      byVal
+        .crossJoin(broadcast(bounds))
+        .withColumn("shard", expr(s"((hi - v) * $nShards) div (hi - lo + 1)")))
     val local = sharded.withColumn(
       "local_above",
       coalesce(
@@ -2831,16 +2838,21 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
     * PlanDisciplineSpec exception); the total is a 1-row broadcast;
     * top-k rank-filtered.
     */
-  def binsegSplit(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
-    val byDay = Tables
-      .orders(spark, dir)
-      .select(
-        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
-          .as("day"),
-        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
-      .groupBy("day")
-      .agg(sum("c").as("x"))
-      .localCheckpoint(eager = false)
+  def binsegSplit(
+      spark: SparkSession,
+      dir: String,
+      topK: Int = 5,
+      cut: Boolean = true): DataFrame = {
+    // cut=false = the PlanDisciplineSpec audit form (no RDDScan)
+    val byDay = Lineage.cutIf(cut)(
+      Tables
+        .orders(spark, dir)
+        .select(
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("day"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+        .groupBy("day")
+        .agg(sum("c").as("x")))
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byDay.agg(count(lit(1)).as("n"), sum("x").as("sx"))
     val ranked = byDay

@@ -83,6 +83,17 @@ object Lineage {
     def cp(eager: Boolean)(implicit scope: Scope): DataFrame = scope.cp(df, eager)
   }
 
+  /** A mid-plan lineage cut that a PLAN AUDIT can disable: identity
+    * when `enabled` is false, so PlanDisciplineSpec can plan the full
+    * pre-checkpoint form of an operator whose production plan hides
+    * its upstream behind an RDDScan (a lazy localCheckpoint truncates
+    * the SparkPlan — the window walker cannot see through it).
+    * Production callers never pass false: the cut is load-bearing
+    * (multi-consumer subtrees re-execute without it).
+    */
+  def cutIf(enabled: Boolean)(df: DataFrame, eager: Boolean = false): DataFrame =
+    if (enabled) df.localCheckpoint(eager) else df
+
   def checkpointReleasing(spark: SparkSession)(
       build: Scope => (DataFrame, Seq[DataFrame])): DataFrame = {
     val scope = new Scope

@@ -633,17 +633,22 @@ object Scale {
     * path is the range-partitioner-sample construction in [[zfile]]);
     * prune ratios truncating e6.
     */
-  def curveCompare(spark: SparkSession, dir: String, files: Int = 32): DataFrame = {
+  def curveCompare(
+      spark: SparkSession,
+      dir: String,
+      files: Int = 32,
+      cut: Boolean = true): DataFrame = {
     val wCust = Window.orderBy("o_custkey", "o_orderkey")
     val wPrice = Window.orderBy("o_totalprice", "o_orderkey")
-    val bucketed = Tables
-      .orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
-      .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
-      .withColumn("zval", morton(col("ca"), col("cb")))
-      .withColumn("hval", hilbert(col("ca"), col("cb")))
-      .localCheckpoint(eager = false)
+    // cut=false = the PlanDisciplineSpec audit form (no RDDScan)
+    val bucketed = Lineage.cutIf(cut)(
+      Tables
+        .orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("ca", (ntile(256).over(wCust) - 1).cast("long"))
+        .withColumn("cb", (ntile(256).over(wPrice) - 1).cast("long"))
+        .withColumn("zval", morton(col("ca"), col("cb")))
+        .withColumn("hval", hilbert(col("ca"), col("cb"))))
     def layout(name: String, curve: String) =
       bucketed
         .withColumn(

@@ -75,11 +75,13 @@ object TextStats {
     * documents-table scale; the 100 TB path replaces it with the
     * range-partitioner-sample ranking in `Scale.zfile`'s scaleMode).
     */
-  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .localCheckpoint(eager = false)
+  def quantileNormalize(spark: SparkSession, dir: String, cut: Boolean = true): DataFrame = {
+    // cut=false is the PlanDisciplineSpec audit form (full plan, no
+    // RDDScan); production keeps the cut — docs feeds three consumers
+    val docs = Lineage.cutIf(cut)(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")))
     // pooled frame ranked by (value, doc_id) — a deterministic total
     // order both engines replay identically
     val pooledDet = docs

@@ -45,6 +45,32 @@ class PlanDisciplineSpec extends SparkSpec {
     go(p)
   }
 
+  // the structural boundedness whitelist, shared by the production-
+  // plan census below and the checkpoint-free audit-form census
+  private val shardLikeNames = Set("shard", "shard2", "bshard", "rshard")
+  private def structurallyBounded(w: WindowExec): Boolean = {
+    val sub = flatten(w.child)
+    val rankLimited = sub.exists(_.isInstanceOf[WindowGroupLimitExec])
+    val topkLimited = sub.exists {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec           => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec          => true
+      case _                                                           => false
+    }
+    val scalarInput = sub.exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _                    => false
+    }
+    val shardCarry = sub.exists {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.nonEmpty &&
+        a.groupingExpressions.forall(
+          _.references.toSeq.forall(r => shardLikeNames(r.name.toLowerCase)))
+      case _ => false
+    }
+    rankLimited || topkLimited || scalarInput || shardCarry
+  }
+
   test("every unpartitioned window rides a bounded input: rank-limited, shard-carry, or scalar") {
     // An unpartitioned WindowExec moves ALL rows to one partition — a
     // 100 TB scale-killer unless its input is provably bounded. The
@@ -69,7 +95,6 @@ class PlanDisciplineSpec extends SparkSpec {
     // those queries still fails. Anything else fails by name: a future
     // global window over an unbounded frame must either restructure or
     // extend this list.
-    val shardLike = Set("shard", "shard2", "bshard", "rshard")
     val documented: Map[String, (Int, String)] = Map(
       "cdc_balance_curve" -> (1 ->
         "running balance over a PER-DAY aggregate: <= #calendar-days rows"),
@@ -116,8 +141,8 @@ class PlanDisciplineSpec extends SparkSpec {
           "aggregate: <= nBins = 10 rows")),
       "q_binseg_gain" -> (1 ->
         ("prefix count+sum over the PER-DAY aggregate: <= #calendar-days " +
-          "rows (the day fold sits behind a lazy localCheckpoint, so the " +
-          "walker sees an RDDScan child it cannot prove bounded)")),
+          "rows (production plan checkpoints the day fold; the cut=false " +
+          "audit form is walked RDDScan-free by the checkpoint-audit test)")),
       "q_curve_compare" -> (2 ->
         ("one exact-ntile file split per curve (Morton + Hilbert) — " +
           "oracle mode by design, the #83/#135 zorder precedent; the " +
@@ -133,28 +158,7 @@ class PlanDisciplineSpec extends SparkSpec {
           val plan = fn(spark, sf).queryExecution.executedPlan
           flatten(plan).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
         } catch { case e: Throwable => fail(s"$name: planning failed: $e") }
-      val leftover = wins.filterNot { w =>
-        val sub = flatten(w.child)
-        val rankLimited = sub.exists(_.isInstanceOf[WindowGroupLimitExec])
-        val topkLimited = sub.exists {
-          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-          case _: org.apache.spark.sql.execution.GlobalLimitExec           => true
-          case _: org.apache.spark.sql.execution.CollectLimitExec          => true
-          case _                                                           => false
-        }
-        val scalarInput = sub.exists {
-          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-          case _                    => false
-        }
-        val shardCarry = sub.exists {
-          case a: BaseAggregateExec =>
-            a.groupingExpressions.nonEmpty &&
-            a.groupingExpressions.forall(
-              _.references.toSeq.forall(r => shardLike(r.name.toLowerCase)))
-          case _ => false
-        }
-        rankLimited || topkLimited || scalarInput || shardCarry
-      }
+      val leftover = wins.filterNot(structurallyBounded)
       documented.get(name) match {
         case Some((allowed, why)) =>
           if (leftover.size <= allowed) Nil
@@ -209,6 +213,51 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(
       childrenOnly.isEmpty,
       "the cached windows became visible to a children-only walk — cache layout changed")
+  }
+
+  test("no whitelist entry hides its plan behind a checkpoint: audit forms are RDDScan-free") {
+    // the r8-r10 blind spot, closed: a lazy mid-plan localCheckpoint
+    // truncates the SparkPlan to an RDDScan, so the window walker was
+    // taking those whitelist entries on faith. Every operator with a
+    // load-bearing mid-plan cut now exposes a cut=false audit form
+    // (Lineage.cutIf); this census plans it, demands the walker can
+    // see EVERYTHING (zero RDDScans), and pins the full-visibility
+    // unbounded-window counts (data-shape-bounded by the documented
+    // reasons in the main test; counts differ from production where
+    // disabling the cut re-plans a shared subtree per consumer).
+    val auditForms: Map[String, (Int, () => org.apache.spark.sql.DataFrame)] = Map(
+      "text_qnorm" -> (1 ->
+        (() => graft.operators.TextStats.quantileNormalize(spark, sf, cut = false))),
+      "q_lift_table" -> (1 ->
+        (() => graft.operators.AnalyticsExt.liftTable(spark, sf, cut = false))),
+      "q_peak_concurrency" -> (1 ->
+        (() => graft.operators.AnalyticsExt.peakConcurrency(spark, sf, cut = false))),
+      "q_catalog_breadth" -> (1 ->
+        (() => graft.operators.AnalyticsExt.catalogBreadth(spark, sf, cut = false))),
+      "q_binseg_gain" -> (1 ->
+        (() => graft.operators.AnalyticsExt.binsegSplit(spark, sf, cut = false))),
+      // 6, not production's 2: without the cut the shared 3-window
+      // exact-ntile base re-plans once per layout consumer (2 layouts
+      // × (cust-ntile + price-ntile + file-ntile)) — same oracle-mode
+      // windows, multiplied by consumer fan-out, the q_imr_chart
+      // planned-twice precedent
+      "q_curve_compare" -> (6 ->
+        (() => graft.operators.Scale.curveCompare(spark, sf, cut = false))),
+      "q_zorder_recluster" -> (3 ->
+        (() => graft.operators.Scale.zorderRecluster(spark, sf, materialize = false))))
+    val bad = auditForms.toSeq.sortBy(_._1).flatMap { case (name, (allowed, mk)) =>
+      val plan = mk().queryExecution.executedPlan
+      val nodes = flatten(plan)
+      val rdds = nodes.count(_.getClass.getSimpleName.contains("RDDScan"))
+      val leftover = nodes
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(structurallyBounded)
+      (if (rdds > 0) Seq(s"$name: $rdds RDDScan nodes in the audit form — still hidden") else Nil) ++
+        (if (leftover.size <= allowed) Nil
+         else Seq(s"$name: ${leftover.size} unbounded windows in the audit form exceed $allowed"))
+    }
+    spark.catalog.clearCache()
+    assert(bad.isEmpty, s"checkpoint-audit violations:\n${bad.mkString("\n")}")
   }
 
   test("no driver query plans a CartesianProduct or a Python UDF") {
