@@ -144,6 +144,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     // HNSW layering over the NSW graph (§2 #414-415)
     "ann_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
     "ann_hnsw_recall" -> ((s, d) => Similarity.hnswRecallCurve(s, d)),
+    // NN-Descent linear-cost graph build + convergence curve (§2 #416-417)
+    "ann_nndescent" -> ((s, d) => Similarity.nnDescent(s, d)),
+    "ann_nndescent_recall" -> ((s, d) => Similarity.nnDescentRecall(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),

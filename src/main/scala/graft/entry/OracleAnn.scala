@@ -764,6 +764,11 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
                      JOIN q ON q.query_id = f.query_id
            WHERE f.vec_id <> f.query_id)
          WHERE rank <= 10""",
+    // NN-Descent: hash-draw init + two unrolled local-join rounds;
+    // the recall oracle scores every round's state against the exact
+    // graph truth
+    "ann_nndescent" -> nnDescentOracle(k = 10, rounds = 3),
+    "ann_nndescent_recall" -> nnDescentRecallOracle(k = 10, rounds = 3),
     // HNSW: the same unrolled walk as ann_nsw_search, preceded by the
     // level/upper-graph CTEs and the 4-hop greedy descent to a
     // per-query entry; the recall oracle replays three beam widths

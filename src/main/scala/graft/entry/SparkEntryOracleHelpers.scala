@@ -1305,6 +1305,73 @@ private[graft] trait SparkEntryOracleHelpers {
     sb.toString
   }
 
+  /** #416/#417 NN-Descent oracle CTEs: deterministic hash-draw init,
+    * then `rounds` unrolled local-join refinements (symmetrize →
+    * two-hop closure ∪ current → per-node top-k by rounded cosine) —
+    * `Similarity.nnDescent`'s exact replay. MATERIALIZED throughout
+    * (the HNSW lesson: inlining re-evaluates the nested chain
+    * exponentially).
+    */
+  protected def nnDescentCtes(k: Int, rounds: Int): String = {
+    def topk(name: String, cand: String) =
+      s"""$name AS MATERIALIZED (SELECT src, dst, cos, rank FROM (
+             SELECT c.src, c.dst,
+               round(list_cosine_similarity(es.emb, ed.emb), 6) AS cos,
+               CAST(row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_cosine_similarity(es.emb, ed.emb), 6) DESC,
+                   c.dst) AS BIGINT) AS rank
+             FROM $cand c JOIN e es ON es.vec_id = c.src
+                          JOIN e ed ON ed.vec_id = c.dst)
+           WHERE rank <= $k)"""
+    val roundsSql = (1 to rounds)
+      .map { r =>
+        s"""sym$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM g${r - 1}
+             UNION ALL SELECT dst AS src, src AS dst FROM g${r - 1})),
+         cand$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT a.src, b.dst FROM sym$r a JOIN sym$r b ON a.dst = b.src
+             WHERE a.src <> b.dst
+             UNION ALL SELECT src, dst FROM g${r - 1})),
+         ${topk(s"g$r", s"cand$r")}"""
+      }
+      .mkString(",\n         ")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         i0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT v.vec_id AS src,
+               ('0x' || substr(md5('nnd:' || v.vec_id || '-' || gs.j), 1, 15))::BIGINT
+                 % nn.n AS dst
+             FROM e v, nn, generate_series(1, $k) gs(j))
+           WHERE src <> dst),
+         ${topk("g0", "i0")},
+         $roundsSql"""
+  }
+
+  protected def nnDescentOracle(k: Int, rounds: Int): String =
+    s"""WITH ${nnDescentCtes(k, rounds)}
+         SELECT src, dst, cos, rank FROM g$rounds"""
+
+  protected def nnDescentRecallOracle(k: Int, rounds: Int): String = {
+    val rows = (0 to rounds)
+      .map(r => s"""SELECT CAST($r AS BIGINT) AS round,
+             (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM g$r t
+              JOIN bf USING (src, dst)) AS n_hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM g$r t
+              JOIN bf USING (src, dst)) * 1000000
+               // (SELECT count(*) FROM bf) AS recall_e6""")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH ${nnDescentCtes(k, rounds)},
+         bf AS MATERIALIZED (SELECT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(b.emb, a.emb), 6) DESC,
+                   b.vec_id) AS rnk
+             FROM e a, e b WHERE a.vec_id <> b.vec_id)
+           WHERE rnk <= $k)
+         $rows"""
+  }
+
   protected def hnswSearchOracle: String =
     s"""WITH $hnswCtes,
          ${hnswWalkCtes("w_", s"d${2 * operators.Similarity.DescentHops}", beam = 10, hops = 4)}

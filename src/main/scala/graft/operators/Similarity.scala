@@ -2246,6 +2246,128 @@ object Similarity {
 
   private[graft] val HnswBeamPoints = Seq(5, 10, 16)
 
+  /** Score a (src, dst) candidate edge frame against the corpus: the
+    * rounded-1e-6 cosine of both endpoints' embeddings — two keyed
+    * joins (linear shuffle), never a broadcast of the corpus.
+    */
+  private def scoreEdges(e: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("s_emb")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("d_emb")), "dst")
+      .select(col("src"), col("dst"), round(expr("cosine_sim(s_emb, d_emb)"), 6).as("cos"))
+
+  /** One NN-Descent refinement round: candidates = the two-hop
+    * closure of the SYMMETRIZED current graph (neighbors of neighbors
+    * in either direction — Dong et al.'s local-join, expressed as one
+    * self-join) unioned with the current edges; keep the top-k per
+    * node by rounded cosine. Cost n·(2k)² candidate scores — linear
+    * in corpus size, the property the exact n² build lacks.
+    */
+  private def nnDescentRound(e: DataFrame, graph: DataFrame, k: Int)(
+      implicit scope: Lineage.Scope): DataFrame = {
+    val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val sym = graph
+      .select("src", "dst")
+      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val cand = sym
+      .alias("a")
+      .join(sym.select(col("src").as("mid"), col("dst")).alias("b"), col("a.dst") === col("b.mid"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(graph.select("src", "dst"))
+      .distinct()
+    scoreEdges(e, cand)
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .cp(false)
+  }
+
+  /** The deterministic NN-Descent init: k content-hash draws per node
+    * onto the dense vec_id range (the #86 negSample draw discipline —
+    * reproducible across engines and rebuilds, no RNG state), self
+    * and duplicate draws dropped, ranked by cosine.
+    */
+  private def nnDescentInit(e: DataFrame, k: Int)(implicit scope: Lineage.Scope): DataFrame = {
+    val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val nDf = e.agg(count(lit(1)).as("n"))
+    val draws = e
+      .select(col("vec_id").as("src"))
+      .crossJoin(broadcast(nDf))
+      .select(col("src"), explode(expr(s"sequence(1, $k)")).as("j"), col("n"))
+      .select(
+        col("src"),
+        pmod(Dedup.hash60(concat(lit("nnd:"), col("src"), lit("-"), col("j"))), col("n"))
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    scoreEdges(e, draws)
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .cp(false)
+  }
+
+  /** #416 NN-Descent approximate k-NN graph (Dong, Moses & Li 2011):
+    * the linear-cost graph BUILD that #397's exact construction, #296's
+    * cell-bounded variant, and the #398/#414 search rows all name as
+    * the 100 TB path — "a neighbor of a neighbor is likely a
+    * neighbor". Deterministic hash-drawn init, then `rounds` local-join
+    * refinements; every round costs n·(2k)² candidate scores versus
+    * the exact build's n², and each is plain joins + one per-node
+    * top-k (WindowGroupLimit) — no broadcast of the corpus anywhere.
+    * Same rounded-1e-6 cosine / (cos desc, dst) rank contract as #397,
+    * so the DuckDB oracle replays init and both rounds bit-exactly as
+    * MATERIALIZED CTEs. `NnDescentSpec` pins the measured per-round
+    * recall climb against the exact graph.
+    */
+  def nnDescent(spark: SparkSession, dir: String, k: Int = 10, rounds: Int = 3): DataFrame =
+    Lineage.checkpointReleasing(spark) { implicit scope =>
+      GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      var graph = nnDescentInit(e, k)
+      for (_ <- 1 to rounds) graph = nnDescentRound(e, graph, k)
+      (graph, Seq.empty)
+    }
+
+  /** #417 NN-Descent convergence scorecard (§15.4): recall of the
+    * round-r graph against the #397 exact truth for r = 0..rounds —
+    * the curve that says how many refinement rounds a corpus needs
+    * before the approximate build is indistinguishable from the n²
+    * one. States are successive refinements, so the whole curve costs
+    * one build plus a truth join per round.
+    */
+  def nnDescentRecall(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      rounds: Int = 3): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val truth = exactKnnGraph(spark, dir, k).select("src", "dst").cp(false)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    var graph = nnDescentInit(e, k)
+    var states = Vector(0 -> graph)
+    for (r <- 1 to rounds) {
+      graph = nnDescentRound(e, graph, k)
+      states = states :+ (r -> graph)
+    }
+    val out = states
+      .map { case (r, g) =>
+        g.select("src", "dst")
+          .join(truth, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(r.toLong).as("round"), col("n_hits"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(nTruth))
+      .select(
+        col("round"),
+        col("n_truth"),
+        col("n_hits"),
+        expr("n_hits * 1000000 div n_truth").as("recall_e6"))
+    (out, Seq.empty)
+  }
+
   /** Greedy hops per upper layer during descent. Measured finding at
     * sf0.001: hops 2 vs 3 did NOT move recall — the binding constraint
     * was graph directionality ([[symmetrize]]), not descent length; 3
