@@ -147,6 +147,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     // NN-Descent linear-cost graph build + convergence curve (§2 #416-417)
     "ann_nndescent" -> ((s, d) => Similarity.nnDescent(s, d)),
     "ann_nndescent_recall" -> ((s, d) => Similarity.nnDescentRecall(s, d)),
+    // incremental k-NN graph fold + per-kind recall (§2 #419-420)
+    "ann_graph_insert" -> ((s, d) => Similarity.graphInsert(s, d)),
+    "ann_graph_insert_eval" -> ((s, d) => Similarity.graphInsertEval(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
@@ -520,6 +523,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "dedup_source_matrix" -> (Dedup.sourceMatrix _),
     // Candidate-key discovery over the fixed combo list (§2 #375)
     "q_key_discovery" -> (Profile.keyDiscovery _),
+    // k-anonymity / l-diversity privacy audit (§2 #418)
+    "q_k_anonymity" -> (Profile.kAnonymity _),
     // Next-event entropy per state (§2 #376)
     "q_markov_entropy" -> (AnalyticsExt.markovEntropy _),
     // Alpha-miner footprint relation matrix (§2 #377)

@@ -2620,6 +2620,19 @@ private[graft] trait OracleWarehouseB { this: SparkEntryOracleHelpers =>
          WHERE rn = (${operators.AnalyticsExt.NewsvendorCu} * n_days
              + ${operators.AnalyticsExt.NewsvendorCu + operators.AnalyticsExt.NewsvendorCo - 1})
            // ${operators.AnalyticsExt.NewsvendorCu + operators.AnalyticsExt.NewsvendorCo}""",
-    "q_corr_matrix" -> corrMatrixOracle
+    "q_corr_matrix" -> corrMatrixOracle,
+    // cents shifted positive before the band division, so truncating
+    // div and floor // agree without sign-factoring
+    "q_k_anonymity" ->
+      """SELECT nation, segment, k_size, l_diversity,
+           CAST(CASE WHEN k_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS k_at_risk,
+           CAST(CASE WHEN l_diversity < 2 THEN 1 ELSE 0 END AS BIGINT) AS l_at_risk
+         FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS k_size,
+             CAST(count(DISTINCT
+               (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 100000)
+               AS BIGINT) AS l_diversity
+           FROM customer GROUP BY 1, 2)"""
   )
 }

@@ -1372,6 +1372,85 @@ private[graft] trait SparkEntryOracleHelpers {
          $rows"""
   }
 
+  /** #419/#420 incremental graph-fold CTEs: base directed lists, the
+    * symmetrized walk graph (named `g0`/`q`/`e` so [[hnswWalkCtes]]
+    * drops in unchanged), per-delta beam-walk insertion, within-batch
+    * exact pairs, and the reverse-updated base lists.
+    */
+  protected def graphInsertCtes(k: Int, beam: Int, hops: Int): String = {
+    def topk(name: String, cand: String) =
+      s"""$name AS MATERIALIZED (SELECT src, dst, cos, rank FROM (
+             SELECT c.src, c.dst,
+               round(list_cosine_similarity(es.emb, ed.emb), 6) AS cos,
+               CAST(row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_cosine_similarity(es.emb, ed.emb), 6) DESC,
+                   c.dst) AS BIGINT) AS rank
+             FROM $cand c JOIN e es ON es.vec_id = c.src
+                          JOIN e ed ON ed.vec_id = c.dst)
+           WHERE rank <= $k)"""
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         bse AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 10 <> 0),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb
+               FROM e WHERE vec_id % 10 = 0),
+         gbdc AS MATERIALIZED (
+             SELECT a.vec_id AS src, b.vec_id AS dst
+             FROM bse a, bse b WHERE a.vec_id <> b.vec_id),
+         ${topk("gbd", "gbdc")},
+         g0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM gbd
+             UNION ALL SELECT dst AS src, src AS dst FROM gbd)),
+         ent AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM bse),
+         ge0 AS MATERIALIZED (SELECT q.query_id, ent.vec_id FROM q, ent),
+         ${hnswWalkCtes("w_", "ge0", beam, hops)},
+         dcand AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT query_id AS src, vec_id AS dst FROM w_out
+             UNION ALL
+             SELECT a.query_id AS src, b.query_id AS dst
+             FROM q a, q b WHERE a.query_id <> b.query_id)),
+         ${topk("dl", "dcand")},
+         bcand AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM gbd
+             UNION ALL SELECT vec_id AS src, query_id AS dst FROM w_out)),
+         ${topk("bl", "bcand")}"""
+  }
+
+  protected def graphInsertOracle(k: Int, beam: Int, hops: Int): String =
+    s"""WITH ${graphInsertCtes(k, beam, hops)}
+         SELECT src, dst, cos, rank FROM bl
+         UNION ALL SELECT src, dst, cos, rank FROM dl"""
+
+  protected def graphInsertEvalOracle(k: Int, beam: Int, hops: Int): String = {
+    val kinds = Seq("delta" -> "src % 10 = 0", "base" -> "src % 10 <> 0", "all" -> "TRUE")
+    val rows = kinds
+      .map { case (name, pred) =>
+        s"""SELECT '$name' AS node_kind,
+             (SELECT CAST(count(*) AS BIGINT) FROM bf WHERE $pred) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM fold
+              JOIN bf USING (src, dst) WHERE $pred) AS n_hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM fold
+              JOIN bf USING (src, dst) WHERE $pred) * 1000000
+               // (SELECT count(*) FROM bf WHERE $pred) AS recall_e6"""
+      }
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH ${graphInsertCtes(k, beam, hops)},
+         fold AS MATERIALIZED (
+             SELECT src, dst FROM bl UNION ALL SELECT src, dst FROM dl),
+         bfc AS MATERIALIZED (
+             SELECT a.vec_id AS src, b.vec_id AS dst
+             FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         bft AS MATERIALIZED (SELECT src, dst, cos, rank FROM (
+             SELECT c.src, c.dst,
+               round(list_cosine_similarity(es.emb, ed.emb), 6) AS cos,
+               CAST(row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_cosine_similarity(es.emb, ed.emb), 6) DESC,
+                   c.dst) AS BIGINT) AS rank
+             FROM bfc c JOIN e es ON es.vec_id = c.src
+                        JOIN e ed ON ed.vec_id = c.dst)
+           WHERE rank <= $k),
+         bf AS MATERIALIZED (SELECT src, dst FROM bft)
+         $rows"""
+  }
+
   protected def hnswSearchOracle: String =
     s"""WITH $hnswCtes,
          ${hnswWalkCtes("w_", s"d${2 * operators.Similarity.DescentHops}", beam = 10, hops = 4)}

@@ -433,4 +433,44 @@ object Profile {
         (col("e.n_rows") === col("e.n_distinct")).cast("long").as("is_key"),
         expr("CAST(e.n_rows * 1000000 div e.n_distinct AS BIGINT)").as("dup_factor_e6"))
   }
+
+  /** #418 k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007): the privacy read a training-data pipeline runs BESIDE
+    * #79's PII redaction — redaction strips direct identifiers, but a
+    * record is still re-identifiable when its QUASI-identifier
+    * combination is rare (the famous ZIP × birthdate × sex result),
+    * and a k-anonymous class still leaks when every member shares the
+    * sensitive value (hence l-diversity). Quasi-identifiers here:
+    * (nation, market segment); sensitive attribute: the account-
+    * balance band in thousands. Per equivalence class: k (class
+    * size), l (distinct sensitive bands), and the at-risk flags at
+    * the conventional k < 5 / l < 2 thresholds.
+    *
+    * Exactness: the band is computed on the cents grid SHIFTED
+    * POSITIVE before the integer division ((cents + 10⁵) div 10⁵ —
+    * TPC-H balances sit in [-999.99, 9999.99], so the shifted operand
+    * is ≥ 1 and Spark's truncating div equals DuckDB's floor //
+    * without sign-factoring). One hash aggregation over the customer
+    * table — class count is bounded by |nations|×|segments|, so the
+    * audit output is a broadcast-sized frame at any corpus scale.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) div 100000")
+          .as("bal_band"))
+      .groupBy("nation", "segment")
+      .agg(
+        count(lit(1)).as("k_size"),
+        count_distinct(col("bal_band")).as("l_diversity"))
+      .select(
+        col("nation"),
+        col("segment"),
+        col("k_size"),
+        col("l_diversity"),
+        (col("k_size") < 5).cast("long").as("k_at_risk"),
+        (col("l_diversity") < 2).cast("long").as("l_at_risk"))
 }

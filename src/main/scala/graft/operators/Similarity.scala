@@ -2383,6 +2383,99 @@ object Similarity {
     */
   private[graft] val HnswUpperM = 8
 
+  /** #419 Incremental k-NN graph maintenance: fold a DELTA ingest
+    * batch (vec_id ≡ 0 mod 10 — the #74/#135/#225 incremental-
+    * maintenance split) into an EXISTING persisted graph index
+    * without rebuilding — the graph-family member of the incremental
+    * trio (components #225, dedup #74, merge #44), and the operation
+    * a continuously-ingested 100 TB vector lake actually runs (HNSW
+    * insertion, Malkov §4, expressed batch-wise). The fold:
+    * (a) each delta vector SEARCHES the base graph for its neighbor
+    * list — the #398/#414 beam walk over the symmetrized base graph
+    * from a deterministic entry, cost hops × beam × k per vector,
+    * corpus-independent; (b) delta×delta exact pairs complete the
+    * within-batch edges (batch²-bounded — the incremental contract:
+    * cost scales with the BATCH, never the corpus); (c) the chosen
+    * edges are added in REVERSE onto the affected base lists, which
+    * re-rank top-k — only lists a delta vector actually touches are
+    * rewritten. Output: the full updated directed index
+    * (src, dst, cos, rank). `GraphInsertSpec`/#420 pin the folded
+    * index's recall against the full-corpus exact rebuild.
+    */
+  def graphInsert(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      beam: Int = 10,
+      hops: Int = 4): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % 10 =!= 0)
+    val delta = all.filter(col("vec_id") % 10 === 0)
+    val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    // ---- base state: the directed top-k lists a prior run persisted;
+    // the walk navigates their symmetrized form (the #414 finding:
+    // directed lists strand low-in-degree nodes) ----
+    val baseGraph = knnAmong(base, k).cp(false)
+    val g0 = symmetrize(baseGraph).cp(false)
+    val queries = delta.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val entry = queries
+      .select(col("query_id"))
+      .crossJoin(broadcast(base.agg(min("vec_id").as("vec_id"))))
+    val walk = beamWalk(all, g0, queries, entry, beam, hops).cp(false)
+    // ---- delta lists: walk candidates ∪ exact within-batch pairs ----
+    // broadcast NLJ over the batch (batch-bounded by contract — the
+    // sanctioned broadcast pattern, never a CartesianProduct)
+    val dd = delta
+      .select(col("vec_id").as("src"))
+      .join(broadcast(delta.select(col("vec_id").as("dst"))), col("src") =!= col("dst"))
+    val deltaLists = scoreEdges(
+      all,
+      walk.select(col("query_id").as("src"), col("vec_id").as("dst")).unionAll(dd).distinct())
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+    // ---- reverse update: only base lists a new edge touches re-rank ----
+    val rev = walk.select(col("vec_id").as("src"), col("query_id").as("dst"))
+    val baseLists = scoreEdges(all, baseGraph.unionAll(rev).distinct())
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+    (baseLists.unionAll(deltaLists), Seq.empty)
+  }
+
+  /** #420 Incremental-fold scorecard (§15.4): the folded index's
+    * recall against the full-corpus exact rebuild, split by node kind
+    * — base rows measure reverse-update quality, delta rows measure
+    * search-based insertion quality (the two failure modes of any
+    * incremental index maintenance).
+    */
+  def graphInsertEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Lineage.checkpointReleasing(spark) { implicit scope =>
+      val folded = graphInsert(spark, dir, k).select("src", "dst").cp(false)
+      val truth = exactKnnGraph(spark, dir, k).select("src", "dst").cp(false)
+      val kinds = Seq(
+        ("delta", col("src") % 10 === 0),
+        ("base", col("src") % 10 =!= 0),
+        ("all", lit(true)))
+      val out = kinds
+        .map { case (name, p) =>
+          val t = truth.filter(p)
+          t.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(broadcast(
+              folded
+                .filter(p)
+                .join(t, Seq("src", "dst"), "left_semi")
+                .agg(count(lit(1)).as("n_hits"))))
+            .select(lit(name).as("node_kind"), col("n_truth"), col("n_hits"))
+        }
+        .reduce(_ unionAll _)
+        .select(
+          col("node_kind"),
+          col("n_truth"),
+          col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_e6"))
+      (out, Seq.empty)
+    }
+
   /** #403 Matryoshka truncation recall curve (Kusupati et al. 2022:
     * MRL-trained embeddings keep their best information in the
     * PREFIX dimensions, so search can run at d/2, d/4, … and pay only
