@@ -179,6 +179,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     // Mean Segmental TTR lexical diversity (§2 #345)
     "text_msttr" -> ((s: SparkSession, d: String) => TextOps.msttr(s, d)),
     "text_filter_pipeline" -> ((s: SparkSession, d: String) => TextOps.filterPipeline(s, d)),
+    // quality-filter scorecard on planted degenerates (§2 #421)
+    "text_filter_eval" -> ((s: SparkSession, d: String) => TextOps.filterEval(s, d)),
     // Corpus text statistics (§2 #47-50)
     "text_top_terms" -> ((s: SparkSession, d: String) => TextStats.topTerms(s, d)),
     "text_tfidf" -> (TextStats.tfidf _),

@@ -7,6 +7,82 @@ import graft.operators._
   */
 private[graft] trait OracleText { this: SparkEntryOracleHelpers =>
   protected def oracleText: Map[String, String] = Map(
+    // #421: planted degenerates + the SAME quality/repetition CTE
+    // bodies as the standalone oracles, folded per family
+    "text_filter_eval" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         srcs AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS tok
+           FROM base WHERE doc_id % 50 = 1),
+         planted AS (
+           SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(flatten([tok[1:3] for i in range(40)]), ' ') AS text,
+             'planted_repeat' AS kind
+           FROM srcs
+           UNION ALL
+           SELECT doc_id + 3000000, array_to_string(tok[1:2], ' '), 'planted_short'
+           FROM srcs
+           UNION ALL
+           SELECT doc_id + 4000000, repeat('#$%&!? ', 30), 'planted_symbol'
+           FROM srcs),
+         corpus AS (
+           SELECT doc_id, text, 'clean' AS kind FROM base
+           UNION ALL SELECT doc_id, text, kind FROM planted),
+         qt AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               AS n_punct
+           FROM corpus),
+         q AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END), 4)
+               AS quality_score
+           FROM qt),
+         rt AS (
+           SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tok
+           FROM corpus),
+         rtri AS (
+           SELECT doc_id, len(tok) AS n_tok,
+             CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                  ELSE [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)] END AS tri
+           FROM rt),
+         rbase AS (
+           SELECT doc_id, n_tok, len(tri) AS n_tri, len(list_distinct(tri)) AS n_uniq FROM rtri),
+         rtop AS (
+           SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, token, count(*) AS c
+             FROM (SELECT doc_id, unnest(tok) AS token FROM rt) GROUP BY doc_id, token)
+           GROUP BY doc_id),
+         r AS (
+           SELECT b.doc_id,
+             CAST((1.0 - CAST(n_uniq AS DOUBLE) / n_tri) > 0.2
+                  OR (CAST(topc AS DOUBLE) / n_tok) > 0.2 AS INT) AS is_repetitive
+           FROM rbase b JOIN rtop USING (doc_id)),
+         j AS (
+           SELECT c.kind,
+             CASE WHEN q.n_tokens < 15 THEN 'too_short'
+                  WHEN q.quality_score < 0.2 THEN 'low_quality'
+                  WHEN r.is_repetitive = 1 THEN 'repetitive'
+                  ELSE 'keep' END AS reason
+           FROM corpus c JOIN q USING (doc_id) JOIN r USING (doc_id))
+         SELECT kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN reason <> 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           CAST(sum(CASE WHEN reason <> 'keep' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS catch_rate_e6,
+           CAST(sum(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+           CAST(sum(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(sum(CASE WHEN reason = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+         FROM j GROUP BY kind""",
     "text_repetition" ->
       """WITH t AS (
            SELECT doc_id,

@@ -72,7 +72,14 @@ object TextOps {
     * composite score — the heuristic pre-filter stage of a training-
     * data pipeline.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir))
+
+  /** Frame-based form of [[qualityScore]] so the #421 scorecard can
+    * run the IDENTICAL signal over an augmented (planted) corpus —
+    * scoring a copy of the logic would validate nothing.
+    */
+  private[operators] def qualityScoreOf(docs: DataFrame): DataFrame = {
     // aliased once: referencing the tokens expression from multiple
     // ratio columns would otherwise re-tokenize per reference
     val t = col("tok")
@@ -86,8 +93,7 @@ object TextOps {
     val stopRatio = when(nTok === 0, 0.0).otherwise(nStop / nTok)
     val avgTokLen = when(nTok === 0, 0.0)
       .otherwise(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok)
-    Tables
-      .documents(spark, dir)
+    docs
       .withColumn("tok", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -264,9 +270,12 @@ object TextOps {
     * share is one explode + (doc, token) aggregation — linear shuffle,
     * the standard shape at 100 TB.
     */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables
-      .documents(spark, dir)
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, dir))
+
+  /** Frame-based form of [[repetition]] — see [[qualityScoreOf]]. */
+  private[operators] def repetitionOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("tok", Dedup.toks(col("text")))
       .withColumn("tri", Dedup.shingles(col("tok")))
     val base = d.select(
@@ -603,5 +612,76 @@ object TextOps {
         col("n_tokens"),
         col("n_segments"),
         expr(s"dsum * 1000000 div ($segLen * n_segments)").as("msttr_e6"))
+  }
+
+  /** #421 Quality-filter scorecard (the §15.4 invariant applied to the
+    * CONTENT filters #31/#67 and the #96 pipeline's thresholds): plant
+    * three deterministic degenerate-document families — token-loop
+    * spam ("repeat": the source doc's first 3 tokens looped 40×),
+    * truncation stubs ("short": 2 tokens), and symbol noise ("symbol":
+    * a punctuation run) — beside the untouched corpus, run the
+    * IDENTICAL quality/repetition signals ([[qualityScoreOf]] /
+    * [[repetitionOf]] — the filters themselves, not a copy) with the
+    * #96 pipeline's thresholds and precedence, and report per family
+    * the catch rate and which rule fired; the `clean` row is the
+    * measured false-positive rate on genuine documents. (The #68
+    * contamination and lang-id filters have their own planted probes —
+    * this scorecard covers the three content rules.)
+    *
+    * Scale shape: planting is a 2%-of-corpus projection (doc_id ≡ 1
+    * mod 50), the signals are the linear per-row/explode shapes they
+    * already are, and the fold is one ≤4-row aggregation.
+    */
+  def filterEval(
+      spark: SparkSession,
+      dir: String,
+      minTokens: Int = 15,
+      minQuality: Double = 0.2): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val srcs = base.filter(col("doc_id") % 50 === 1).withColumn("tok", Dedup.toks(col("text")))
+    val planted = srcs
+      .select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        array_join(flatten(array_repeat(slice(col("tok"), 1, 3), 40)), " ").as("text"),
+        lit("planted_repeat").as("kind"))
+      .unionAll(srcs.select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(col("tok"), 1, 2), " ").as("text"),
+        lit("planted_short").as("kind")))
+      .unionAll(srcs.select(
+        (col("doc_id") + 4000000L).as("doc_id"),
+        expr("repeat('#$%&!? ', 30)").as("text"),
+        lit("planted_symbol").as("kind")))
+    val corpus = base
+      .select(col("doc_id"), col("text"), lit("clean").as("kind"))
+      .unionAll(planted)
+    val q = qualityScoreOf(corpus.select("doc_id", "text"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val r = repetitionOf(corpus.select("doc_id", "text"))
+      .select(col("doc_id"), col("is_repetitive"))
+    // the #96 pipeline's content rules in its precedence order
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("quality_score") < minQuality, "low_quality")
+      .when(col("is_repetitive") === 1, "repetitive")
+      .otherwise("keep")
+    corpus
+      .join(q, "doc_id")
+      .join(r, "doc_id")
+      .select(col("kind"), reason.as("reason"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("reason") =!= "keep").cast("long")).as("n_caught"),
+        sum((col("reason") === "too_short").cast("long")).as("n_too_short"),
+        sum((col("reason") === "low_quality").cast("long")).as("n_low_quality"),
+        sum((col("reason") === "repetitive").cast("long")).as("n_repetitive"))
+      .select(
+        col("kind"),
+        col("n_docs"),
+        col("n_caught"),
+        expr("n_caught * 1000000 div n_docs").as("catch_rate_e6"),
+        col("n_too_short"),
+        col("n_low_quality"),
+        col("n_repetitive"))
   }
 }
