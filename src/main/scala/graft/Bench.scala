@@ -173,11 +173,18 @@ object Bench {
         f"""{"sf":"$sfDir","order":"alphabetical","retry":"fresh-jvm","total_best":$total%.3f,"queries":\n$detail}\n""")
 
     // queries first, verdict fields last — the tail survives capture
-    println(
+    val summary =
       f"""{"metric":"total","queries":${jmap(results.map { case (n, r) => n -> r._2 })},""" +
         f""""retry_isolated":${jmap(retries.toSeq.sortBy(_._1))},""" +
         f""""over2x_after_retry":${stillOver.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        f""""n_queries":${results.size},"value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+        f""""n_queries":${results.size},"value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
+    println(summary)
+    // the driver's stdout-tail capture has truncated this line two
+    // rounds running (BENCH_rN.json "parsed": null) — the summary is
+    // self-recovering from its own file, same full-suite-only guard
+    // as BENCH_DETAIL.json
+    if (only.isEmpty)
+      Files.writeString(Paths.get("BENCH_SUMMARY.json"), summary + "\n")
     spark.stop()
   }
 

@@ -537,6 +537,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_trace_variants" -> ((s: SparkSession, d: String) => AnalyticsExt.traceVariants(s, d)),
     "q_footprint_conformance" ->
       ((s: SparkSession, d: String) => AnalyticsExt.footprintConformance(s, d)),
+    // Token-replay conformance: four-counter fitness vs the filtered DFG (§2 #422)
+    "q_token_replay" -> ((s: SparkSession, d: String) => AnalyticsExt.tokenReplay(s, d)),
     // Monthly CR4/CR8 customer concentration (§2 #382)
     "q_cr_concentration" -> (AnalyticsExt.crConcentration _),
     // Purchase-streak gaps-and-islands histogram (§2 #383)

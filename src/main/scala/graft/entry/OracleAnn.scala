@@ -767,8 +767,14 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
     // incremental graph fold: base directed lists + per-delta beam
     // walk insertion + reverse updates; eval scores the fold against
     // the full-corpus exact rebuild per node kind
-    "ann_graph_insert" -> graphInsertOracle(k = 10, beam = 10, hops = 4),
-    "ann_graph_insert_eval" -> graphInsertEvalOracle(k = 10, beam = 10, hops = 4),
+    "ann_graph_insert" -> graphInsertOracle(
+      k = 10,
+      beam = operators.Similarity.GraphInsertBeam,
+      hops = operators.Similarity.GraphInsertHops),
+    "ann_graph_insert_eval" -> graphInsertEvalOracle(
+      k = 10,
+      beam = operators.Similarity.GraphInsertBeam,
+      hops = operators.Similarity.GraphInsertHops),
     // NN-Descent: hash-draw init + two unrolled local-join rounds;
     // the recall oracle scores every round's state against the exact
     // graph truth

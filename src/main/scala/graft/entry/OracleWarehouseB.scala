@@ -2218,6 +2218,41 @@ private[graft] trait OracleWarehouseB { this: SparkEntryOracleHelpers =>
                  CAST(sum(pu.ok_steps) AS BIGINT) AS n_conforming
                FROM v JOIN pu USING (user_id) GROUP BY v.variant)
          ORDER BY n_traces DESC, variant LIMIT 25""",
+    // four-counter token replay vs the top-12 happy-path DFG
+    // (START/END-augmented; sequential replay ⇒ missing = remaining,
+    // produced = consumed = pairs + 1; parallel unnest zips adjacent
+    // pairs)
+    "q_token_replay" ->
+      """WITH tr AS (
+           SELECT user_id,
+             ['START'] || list(event_type ORDER BY ts, event_id) || ['END'] AS t,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+           FROM events GROUP BY user_id),
+         pairs AS (
+           SELECT user_id, variant,
+             unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+           FROM tr),
+         c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM pairs GROUP BY 1, 2),
+         model AS (SELECT a, b FROM c ORDER BY n_ab DESC, a, b LIMIT 12),
+         pu AS (
+           SELECT p.user_id, p.variant, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN m.a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad
+           FROM pairs p LEFT JOIN model m ON m.a = p.a AND m.b = p.b
+           GROUP BY 1, 2),
+         pv AS (
+           SELECT variant, CAST(count(*) AS BIGINT) AS n_traces,
+             CAST(min(n_pairs) AS BIGINT) AS p_pairs,
+             CAST(min(bad) AS BIGINT) AS bad
+           FROM pu GROUP BY 1)
+         SELECT variant, n_traces,
+           CAST(p_pairs + 1 AS BIGINT) AS produced,
+           CAST(p_pairs + 1 AS BIGINT) AS consumed,
+           bad AS missing, bad AS remaining,
+           CAST(500000 * (p_pairs + 1 - bad) // (p_pairs + 1)
+              + 500000 * (p_pairs + 1 - bad) // (p_pairs + 1) AS BIGINT)
+             AS fitness_e6
+         FROM pv ORDER BY n_traces DESC, variant LIMIT 25""",
     "q_trace_variants" ->
       // whole-journey variant strings on the (ts, event_id) total order
       """WITH v AS (

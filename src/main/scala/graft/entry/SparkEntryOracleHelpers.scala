@@ -1209,11 +1209,14 @@ private[graft] trait SparkEntryOracleHelpers {
     * descent (two beam-1 hops per upper layer, argmax rounded cosine,
     * ties to the smaller vec_id) ending at the per-query entry `d4`.
     */
-  protected def hnswCtes: String = {
-    // HNSW links are bidirectional (the Spark side's `symmetrize`):
-    // the directed kNN build, then the deduped union of both directions
-    def knn(name: String, from: String, m: Int) =
-      s"""${name}d AS MATERIALIZED (SELECT src, dst FROM (
+  /** Symmetrized top-`m` cosine graph among `from`'s (vec_id, emb)
+    * rows — the oracle replay of `Similarity.symmetrize(knnAmong(…))`
+    * (HNSW links are bidirectional): the directed kNN build
+    * `${name}d`, then `$name` as the deduped union of both
+    * directions. Shared by [[hnswCtes]] and [[graphInsertCtes]].
+    */
+  protected def knnSymCtes(name: String, from: String, m: Int): String =
+    s"""${name}d AS MATERIALIZED (SELECT src, dst FROM (
              SELECT a.vec_id AS src, b.vec_id AS dst,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY round(list_cosine_similarity(b.emb, a.emb), 6) DESC,
@@ -1223,10 +1226,15 @@ private[graft] trait SparkEntryOracleHelpers {
          $name AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              SELECT src, dst FROM ${name}d
              UNION ALL SELECT dst AS src, src AS dst FROM ${name}d))"""
-    // descent hop i over graph g: expand prev's out-neighbors, keep
-    // the argmax-cosine candidate per query
-    def hop(i: Int, g: String) =
-      s"""dc$i AS MATERIALIZED (SELECT DISTINCT query_id, vec_id FROM (
+
+  /** Greedy-descent hop `i` over upper graph `g` (`Similarity
+    * .hnswDescend`'s replay): expand `d${i-1}`'s out-neighbors, keep
+    * the argmax-rounded-cosine candidate per query (ties to the
+    * smaller vec_id). Expects `e`(vec_id, emb) and
+    * `q`(query_id, q_emb) CTEs in scope.
+    */
+  protected def descentHopCtes(i: Int, g: String): String =
+    s"""dc$i AS MATERIALIZED (SELECT DISTINCT query_id, vec_id FROM (
              SELECT query_id, vec_id FROM d${i - 1}
              UNION ALL
              SELECT d.query_id, $g.dst AS vec_id
@@ -1239,6 +1247,10 @@ private[graft] trait SparkEntryOracleHelpers {
              FROM dc$i c JOIN e ON e.vec_id = c.vec_id
                          JOIN q ON q.query_id = c.query_id)
            WHERE rnk = 1)"""
+
+  protected def hnswCtes: String = {
+    def knn(name: String, from: String, m: Int) = knnSymCtes(name, from, m)
+    def hop(i: Int, g: String) = descentHopCtes(i, g)
     s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
                FROM embeddings WHERE vec_id < 10),
@@ -1374,7 +1386,10 @@ private[graft] trait SparkEntryOracleHelpers {
 
   /** #419/#420 incremental graph-fold CTEs: base directed lists, the
     * symmetrized walk graph (named `g0`/`q`/`e` so [[hnswWalkCtes]]
-    * drops in unchanged), per-delta beam-walk insertion, within-batch
+    * drops in unchanged), BASE-member HNSW levels + upper graphs +
+    * the per-delta greedy descent to a near layer-0 entry (the r11
+    * recall lift — `Similarity.graphInsertFrame`'s replay), the
+    * per-delta beam-walk insertion from that entry, within-batch
     * exact pairs, and the reverse-updated base lists.
     */
   protected def graphInsertCtes(k: Int, beam: Int, hops: Int): String = {
@@ -1399,9 +1414,29 @@ private[graft] trait SparkEntryOracleHelpers {
          g0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              SELECT src, dst FROM gbd
              UNION ALL SELECT dst AS src, src AS dst FROM gbd)),
-         ent AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM bse),
-         ge0 AS MATERIALIZED (SELECT q.query_id, ent.vec_id FROM q, ent),
-         ${hnswWalkCtes("w_", "ge0", beam, hops)},
+         lv AS MATERIALIZED (SELECT vec_id, emb,
+                  CASE WHEN h % 4 = 0
+                       THEN CASE WHEN (h // 4) % 4 = 0 THEN 2 ELSE 1 END
+                       ELSE 0 END AS lvl
+                FROM (SELECT vec_id, emb,
+                        ('0x' || substr(md5('hnsw-lvl:' || vec_id), 1, 15))::BIGINT AS h
+                      FROM bse)),
+         ${knnSymCtes(
+        "gi2",
+        "SELECT vec_id, emb FROM lv WHERE lvl >= 2",
+        operators.Similarity.HnswUpperM)},
+         ${knnSymCtes(
+        "gi1",
+        "SELECT vec_id, emb FROM lv WHERE lvl >= 1",
+        operators.Similarity.HnswUpperM)},
+         ent AS MATERIALIZED (SELECT coalesce(min(CASE WHEN lvl >= 2 THEN vec_id END),
+                   min(vec_id)) AS vec_id FROM lv),
+         d0 AS MATERIALIZED (SELECT q.query_id, ent.vec_id FROM q, ent),
+         ${(1 to 2 * operators.Similarity.DescentHops)
+        .map(i =>
+          descentHopCtes(i, if (i <= operators.Similarity.DescentHops) "gi2" else "gi1"))
+        .mkString(",\n         ")},
+         ${hnswWalkCtes("w_", s"d${2 * operators.Similarity.DescentHops}", beam, hops)},
          dcand AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              SELECT query_id AS src, vec_id AS dst FROM w_out
              UNION ALL
@@ -1410,7 +1445,7 @@ private[graft] trait SparkEntryOracleHelpers {
          ${topk("dl", "dcand")},
          bcand AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              SELECT src, dst FROM gbd
-             UNION ALL SELECT vec_id AS src, query_id AS dst FROM w_out)),
+             UNION ALL SELECT vec_id AS src, query_id AS dst FROM w_v$hops)),
          ${topk("bl", "bcand")}"""
   }
 

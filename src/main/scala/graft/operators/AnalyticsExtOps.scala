@@ -2333,18 +2333,6 @@ private[graft] trait AnalyticsExtOps { this: AnalyticsExt.type =>
           .as("alpha_e6"))
   }
 
-  /** #381 Top trace variants (the process-mining variant explorer):
-    * each user's FULL ordered event-type sequence as one path string,
-    * grouped and ranked — the view every conformance discussion
-    * starts from ("80% of users follow 6 variants; the tail is the
-    * interesting part"). #251 ranks session OPENINGS, this ranks
-    * whole-journey variants. Sequence assembled inside one per-user
-    * aggregate (collect_list of (ts, event_id, type) structs,
-    * array_sort on the same total order as every sequence op, then a
-    * transform+join — per-key state bounded by a user's activity, the
-    * #195 contract); top-25 by (n_users desc, variant) is a
-    * TakeOrdered, no global window.
-    */
   /** #404 Footprint conformance / token-less trace fitness: replay
     * every trace against the NOISE-FILTERED dependency model the
     * heuristics miner (#372) would keep — a direct transition a→b
@@ -2412,6 +2400,101 @@ private[graft] trait AnalyticsExtOps { this: AnalyticsExt.type =>
       .limit(topK)
   }
 
+  /** #422 Token-replay conformance (Rozinat & van der Aalst 2008, the
+    * standard four-counter fitness read): replay every trace variant
+    * against the happy-path DFG-as-workflow-net the transition rows
+    * (#377/#251) discover — places are activities plus virtual
+    * START/END, a transition exists per kept directly-follows edge,
+    * and the kept set is the top-`modelK` edges by (count desc, a, b)
+    * (the model the top-paths view shows; distinct from #404's
+    * DEPENDENCY threshold: that scores step legality against a causal
+    * model, this prices each deviation from the dominant flow in
+    * tokens — and on a structureless log a frequency FLOOR keeps
+    * every edge and the read degenerates to fitness ≡ 1, measured at
+    * sf0.001: all 34 edges clear count ≥ 2, so the floor form scores
+    * nothing). Per trace [START]+trace+[END] with p adjacent pairs:
+    * every firing produces and consumes one token (+1 initial
+    * produce at START, +1 final consume at END ⇒ produced = consumed
+    * = p+1); an out-of-model pair cannot fire, so a token is conjured
+    * before the successor (missing++) and the token sitting at the
+    * predecessor is stranded until the final marking (remaining++) —
+    * in a sequential DFG-net replay the conjure/strand pairs are 1:1,
+    * so missing = remaining (both reported: the textbook read keeps
+    * all four counters). fitness_e6 = ½(1−m/c) + ½(1−r/p), each half
+    * div-truncated on the e6 grid.
+    *
+    * Scale: pairs from one per-user zip (no window), the model is
+    * alphabet²+2-bounded and broadcast, variants one per-user
+    * aggregate, top-`topK` a TakeOrdered — no global windows; every
+    * count is positive so Spark div ≡ DuckDB // throughout.
+    */
+  def tokenReplay(spark: SparkSession, dir: String, topK: Int = 25, modelK: Int = 12): DataFrame = {
+    val seqs = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        expr("""transform(
+                  array_sort(collect_list(struct(ts, event_id, event_type))),
+                  x -> x.event_type)""").as("tr"))
+      .select(
+        col("user_id"),
+        expr("array_join(tr, '>')").as("variant"),
+        expr("concat(array('START'), tr, array('END'))").as("t"))
+    val pairs = seqs
+      .select(
+        col("user_id"),
+        col("variant"),
+        explode(expr("""zip_with(slice(t, 1, size(t) - 1),
+                                 slice(t, 2, size(t) - 1),
+                                 (x, y) -> struct(x AS a, y AS b))""")).as("p"))
+      .select(col("user_id"), col("variant"), col("p.a"), col("p.b"))
+    // alphabet²+2-bounded edge counts; the model cut is a TakeOrdered
+    // on that bounded frame, never a global window over data
+    val model = pairs
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(modelK)
+      .select(col("a"), col("b"), lit(1L).as("in_model"))
+    val perUser = pairs
+      .join(broadcast(model), Seq("a", "b"), "left")
+      .na
+      .fill(0L, Seq("in_model"))
+      .groupBy("user_id", "variant")
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("1 - in_model")).as("bad"))
+    perUser
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_traces"),
+        // every trace of a variant replays identically
+        min("n_pairs").as("p_pairs"),
+        min("bad").as("bad"))
+      .select(
+        col("variant"),
+        col("n_traces"),
+        expr("p_pairs + 1").as("produced"),
+        expr("p_pairs + 1").as("consumed"),
+        col("bad").as("missing"),
+        col("bad").as("remaining"),
+        expr("""500000 * (p_pairs + 1 - bad) div (p_pairs + 1)
+                + 500000 * (p_pairs + 1 - bad) div (p_pairs + 1)""").as("fitness_e6"))
+      .orderBy(col("n_traces").desc, col("variant"))
+      .limit(topK)
+  }
+
+  /** #381 Top trace variants (the process-mining variant explorer):
+    * each user's FULL ordered event-type sequence as one path string,
+    * grouped and ranked — the view every conformance discussion
+    * starts from ("80% of users follow 6 variants; the tail is the
+    * interesting part"). #251 ranks session OPENINGS, this ranks
+    * whole-journey variants. Sequence assembled inside one per-user
+    * aggregate (collect_list of (ts, event_id, type) structs,
+    * array_sort on the same total order as every sequence op, then a
+    * transform+join — per-key state bounded by a user's activity, the
+    * #195 contract); top-25 by (n_users desc, variant) is a
+    * TakeOrdered, no global window.
+    */
   def traceVariants(spark: SparkSession, dir: String, topK: Int = 25): DataFrame =
     Tables
       .events(spark, dir)

@@ -55,6 +55,21 @@ object Lineage {
     */
   final class Scope private[Lineage] () {
     private val tracked = ListBuffer.empty[RDD[_]]
+    private val caches = ListBuffer.empty[DataFrame]
+
+    /** Register an already-cached frame for unpersist when the
+      * wrapping [[checkpointReleasing]] exits — SUCCESS OR FAILURE.
+      * The tuple-return path releases caches only when the body
+      * returns them; a body that throws (or whose result's eager
+      * checkpoint throws) leaks its caches under that contract.
+      * Registration here closes the failure path: release runs in the
+      * wrapper's `finally`, which on success is after the result's
+      * own blocks are materialized.
+      */
+    def cache(df: DataFrame): DataFrame = {
+      caches.synchronized { caches += df }
+      df
+    }
 
     /** `df.localCheckpoint(eager)` + register the persisted blocks for
       * release when the wrapping [[checkpointReleasing]] exits.
@@ -70,9 +85,15 @@ object Lineage {
       out
     }
 
-    private[Lineage] def releaseAll(): Unit = tracked.synchronized {
-      tracked.foreach(_.unpersist(blocking = false))
-      tracked.clear()
+    private[Lineage] def releaseAll(): Unit = {
+      tracked.synchronized {
+        tracked.foreach(_.unpersist(blocking = false))
+        tracked.clear()
+      }
+      caches.synchronized {
+        caches.foreach(_.unpersist())
+        caches.clear()
+      }
     }
   }
 

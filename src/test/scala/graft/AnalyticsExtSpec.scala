@@ -4121,6 +4121,64 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("token replay: four-counter fold replays; clean variants hit 1e6; counters consistent") {
+    val got = AnalyticsExt
+      .tokenReplay(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))
+    // driver-side fold: augmented sequences -> DFG counts -> filtered
+    // model -> sequential replay
+    val seqs = graft.Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+      .map { case (u, xs) =>
+        u -> ("START" +: xs.map(_._2).sortBy { case (ts, id, _) => (ts, id) }.map(_._3) :+ "END")
+      }
+    val allPairs = seqs.values.flatMap(t => t.zip(t.tail)).toSeq
+    // top-12 happy-path edges by (count desc, a, b); toSeq first —
+    // Map.collect/map producing tuples rebuilds a Map and collapses
+    // edges by source activity
+    val model = allPairs
+      .groupBy(identity)
+      .toSeq
+      .map { case (p, xs) => (p, xs.size) }
+      .sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(12)
+      .map(_._1)
+      .toSet
+    val want = seqs.values
+      .map { t =>
+        val pairs = t.zip(t.tail)
+        val bad = pairs.count(!model.contains(_)).toLong
+        (t.slice(1, t.length - 1).mkString(">"), pairs.length.toLong, bad)
+      }
+      .groupBy(_._1)
+      .map { case (v, xs) =>
+        val (p, bad) = (xs.head._2, xs.head._3)
+        val fit = 500000L * (p + 1 - bad) / (p + 1) + 500000L * (p + 1 - bad) / (p + 1)
+        (v, xs.size.toLong, p + 1, p + 1, bad, bad, fit)
+      }
+      .toSeq
+      .sortBy { case (v, n, _, _, _, _, _) => (-n, v) }
+      .take(25)
+    assert(got.toSeq == want)
+    // the replay invariants: produced = consumed, missing = remaining
+    // <= pairs, and a deviation-free variant scores exactly 1e6
+    got.foreach { case (_, _, prod, cons, miss, rem, fit) =>
+      assert(prod == cons && miss == rem && miss <= prod - 1)
+      if (miss == 0) assert(fit == 1000000L) else assert(fit < 1000000L)
+    }
+    // the top-12 happy-path model must actually discriminate on this
+    // corpus (a frequency-floor model kept all 34 edges and scored
+    // nothing — the measured degenerate case the cut replaced)
+    assert(got.exists(_._5 > 0), "no variant deviates: the model cut is degenerate")
+  }
+
   test("cr concentration: month replay; CR4 <= CR8 <= 1e6; small months saturate") {
     val got = AnalyticsExt
       .crConcentration(spark, sf)
