@@ -126,6 +126,10 @@ object SparkEntry extends SparkEntryOracleHelpers
     "dedup_clusters" -> (Dedup.clusters _),
     // Cluster-recovery P/R vs the planted truth (§2 #362)
     "dedup_cluster_eval" -> ((s: SparkSession, d: String) => Dedup.clusterEval(s, d)),
+    // Fellegi-Sunter m/u-weight linkage over the blocked pairs (§2 #423)
+    "dedup_fs_linkage" -> ((s: SparkSession, d: String) => Dedup.fsLinkage(s, d)),
+    // FS decision scorecard vs the planted truth (§2 #424)
+    "dedup_fs_eval" -> ((s: SparkSession, d: String) => Dedup.fsLinkageEval(s, d)),
     "dedup_apply" -> (Dedup.applyKeepList _),
     "dedup_report" -> (Dedup.report _),
     "dedup_incremental" -> (Dedup.incremental _),

@@ -185,6 +185,29 @@ private[graft] trait OracleDedup { this: SparkEntryOracleHelpers =>
          SELECT doc_a, doc_b, n_inter, n_union,
            (n_inter * 10000) // n_union AS jaccard_e4
          FROM v WHERE 5 * n_inter >= 3 * n_union""",
+    // Fellegi-Sunter linkage: banding ∪ SNM candidates, hash-drawn u,
+    // one EM M-step for m, ln-odds scoring, three-way decision
+    "dedup_fs_linkage" ->
+      s"""${minhashCandidatesCte(recursive = false)},
+         $fsLinkageCtes
+         SELECT doc_a, doc_b, gamma, n_agree, score_e6, decision FROM fscored""",
+    "dedup_fs_eval" ->
+      s"""${minhashCandidatesCte(recursive = false)},
+         $fsLinkageCtes,
+         planted AS MATERIALIZED (
+           SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+           FROM documents WHERE doc_id % 5 = 0),
+         ptot AS (SELECT CAST(count(*) AS BIGINT) AS planted_total FROM planted)
+         SELECT decision, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_planted,
+           planted_total,
+           CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // planted_total AS BIGINT) AS planted_share_e6,
+           CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS purity_e6
+         FROM fscored s LEFT JOIN planted p USING (doc_a, doc_b), ptot
+         GROUP BY decision, planted_total""",
     "dedup_cluster_eval" ->
       s"""${minhashCandidatesCte(recursive = true)},
          edges AS (SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1),

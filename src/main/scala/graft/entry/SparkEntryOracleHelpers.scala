@@ -99,6 +99,96 @@ private[graft] trait SparkEntryOracleHelpers {
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
   }
 
+  /** #423/#424 Fellegi–Sunter CTEs, appended after
+    * [[minhashCandidatesCte]] (which supplies `corpus` and the banded
+    * `cand`): comparison fields, the SNM-window ∪ banding candidate
+    * union, the hash-drawn u estimate, the init-scored pass whose
+    * score ≥ 0 class re-estimates m (one EM M-step), and the final
+    * scored+decided pairs in `fscored` — `Dedup.fsLinkage`'s exact
+    * replay (ln-odds weights e6-floored per term, Laplace-smoothed
+    * rates, thresholds 0 / −4e6).
+    */
+  protected def fsLinkageCtes: String = {
+    val keys = Seq("prefix", "len", "last", "head")
+    val mInit = graft.operators.Dedup.FsMInitE6
+    def lnW(num: String, den: String) =
+      s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    def score(mOf: String => String) = keys
+      .map(k => s"""CASE WHEN g_$k = 1 THEN ${lnW(mOf(k), s"u_$k")}
+                    ELSE ${lnW(s"(1000000 - ${mOf(k)})", s"(1000000 - u_$k)")} END""")
+      .mkString(" + ")
+    val agrees = keys
+      .map(k => s"CAST(sum(CASE WHEN a.f_$k = b.f_$k THEN 1 ELSE 0 END) AS BIGINT) AS a_$k")
+      .mkString(",\n             ")
+    s"""flds AS MATERIALIZED (
+           SELECT doc_id,
+             substr(array_to_string(tok, ' '), 1, ${graft.operators.Dedup.FsPrefixLen})
+               AS f_prefix,
+             CAST(len(tok) // ${graft.operators.Dedup.FsLenBucket} AS BIGINT) AS f_len,
+             tok[-1] AS f_last,
+             array_to_string(tok[1:3], ' ') AS f_head
+           FROM corpus),
+         fsk AS MATERIALIZED (
+           SELECT doc_id, substr(array_to_string(tok, ' '), 1, 24) AS k FROM corpus),
+         fsr AS MATERIALIZED (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn
+           FROM fsk),
+         fsnm AS MATERIALIZED (
+           SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+           FROM fsr a CROSS JOIN range(1, 5) d(d) JOIN fsr b ON b.rn = a.rn + d.d),
+         fcand AS MATERIALIZED (
+           SELECT DISTINCT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b FROM cand WHERE n_shared_bands >= 1
+             UNION ALL SELECT doc_a, doc_b FROM fsnm)),
+         gam AS MATERIALIZED (
+           SELECT c.doc_a, c.doc_b,
+             ${keys
+        .map(k => s"CAST(CASE WHEN a.f_$k = b.f_$k THEN 1 ELSE 0 END AS BIGINT) AS g_$k")
+        .mkString(",\n             ")}
+           FROM fcand c JOIN flds a ON a.doc_id = c.doc_a
+                        JOIN flds b ON b.doc_id = c.doc_b),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         udraw AS MATERIALIZED (
+           SELECT doc_id AS doc_a,
+             CASE WHEN h % n = doc_id THEN (h % n + 1) % n ELSE h % n END AS doc_b
+           FROM (SELECT doc_id,
+                   ('0x' || substr(md5('fsu:' || doc_id), 1, 15))::BIGINT AS h
+                 FROM documents), nb),
+         uest AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS n_u,
+             $agrees
+           FROM udraw u JOIN flds a ON a.doc_id = u.doc_a
+                        JOIN flds b ON b.doc_id = u.doc_b),
+         ue6 AS MATERIALIZED (
+           SELECT ${keys
+        .map(k => s"CAST((a_$k + 1) * 1000000 // (n_u + 2) AS BIGINT) AS u_$k")
+        .mkString(", ")}
+           FROM uest),
+         p1 AS MATERIALIZED (
+           SELECT gam.*, ${score(_ => mInit.toString)} AS score1
+           FROM gam, ue6),
+         mest AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS n_m,
+             ${keys.map(k => s"CAST(sum(g_$k) AS BIGINT) AS a_$k").mkString(", ")}
+           FROM p1 WHERE score1 >= 0),
+         me6 AS MATERIALIZED (
+           SELECT ${keys
+        .map(k => s"CAST((a_$k + 1) * 1000000 // (n_m + 2) AS BIGINT) AS m_$k")
+        .mkString(", ")}
+           FROM mest),
+         fscored AS MATERIALIZED (
+           SELECT gam.doc_a, gam.doc_b,
+             ${keys.map(k => s"CAST(g_$k AS VARCHAR)").mkString(" || ")} AS gamma,
+             ${keys.map(k => s"g_$k").mkString(" + ")} AS n_agree,
+             ${score(k => s"m_$k")} AS score_e6,
+             CASE WHEN ${score(k => s"m_$k")} >= 0 THEN 'match'
+                  WHEN ${score(k => s"m_$k")} >= ${graft.operators.Dedup.FsPossibleFloorE6}
+                  THEN 'possible_match'
+                  ELSE 'non_match' END AS decision
+           FROM gam, ue6, me6)"""
+  }
+
   /** Shared CTE block of the hyperplane-LSH oracles — the exact
     * relational replay of `Similarity.hyperplaneBucket`: derived bit
     * count (smallest b with TargetBucket·2^b ≥ n, integer-exact on

@@ -486,6 +486,26 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       w: Int = 4,
+      keyLen: Int = 24): DataFrame =
+    snmWindowPairs(spark, dir, w, keyLen)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("dist"),
+        round(
+          size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+            size(array_union(col("sh_l"), col("sh_r"))),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+
+  /** The raw SNM window candidates (pre-verification): (doc_a, doc_b,
+    * dist, sh_l, sh_r). [[snm]] Jaccard-verifies them; [[fsLinkage]]
+    * reuses the blocking with its own Fellegi–Sunter scoring.
+    */
+  private def snmWindowPairs(
+      spark: SparkSession,
+      dir: String,
+      w: Int = 4,
       keyLen: Int = 24): DataFrame = {
     GraftFunctions.register(spark)
     val docs = corpusWithNearDups(spark, dir)
@@ -531,11 +551,8 @@ object Dedup {
         least(col("id_l"), col("id_r")).as("doc_a"),
         greatest(col("id_l"), col("id_r")).as("doc_b"),
         col("d").cast("long").as("dist"),
-        round(
-          size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-            size(array_union(col("sh_l"), col("sh_r"))),
-          4).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+        col("sh_l"),
+        col("sh_r"))
   }
 
   /** #64 Near-dup clustering + keep-list: candidate pairs → connected
@@ -1124,6 +1141,190 @@ object Dedup {
         expr("""CASE WHEN n_cluster_pairs > 0
                 THEN CAST(n_recovered * 1000000 div n_cluster_pairs AS BIGINT)
                 ELSE NULL END""").as("precision_e6"))
+  }
+
+  /** Fellegi–Sunter contract constants, shared with the oracle: the
+    * field set (16-char normalized prefix, token-count bucket of 8,
+    * last token, first-3-token head), the m-probability init the
+    * single EM-style M-step starts from (Splink's default-init
+    * discipline), and the lower decision threshold in ln-odds e6
+    * (≥ 0 ⇒ match — positive posterior odds; ≥ −4e6 ⇒ possible_match
+    * — within e⁴ of even odds; else non_match).
+    */
+  private[graft] val FsPrefixLen = 16
+  private[graft] val FsLenBucket = 8
+  private[graft] val FsMInitE6 = 900000L
+  private[graft] val FsPossibleFloorE6 = -4000000L
+
+  /** Per-doc comparison fields over the planted-dup corpus. */
+  private def fsFields(spark: SparkSession, dir: String): DataFrame =
+    corpusWithNearDups(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("tok", split(col("norm"), " "))
+      .select(
+        col("doc_id"),
+        substring(col("norm"), 1, FsPrefixLen).as("f_prefix"),
+        expr(s"CAST(size(tok) div $FsLenBucket AS BIGINT)").as("f_len"),
+        element_at(col("tok"), -1).as("f_last"),
+        array_join(slice(col("tok"), 1, 3), " ").as("f_head"))
+
+  private val FsFieldKeys = Seq("prefix", "len", "last", "head")
+
+  /** #423 Fellegi–Sunter record linkage (Fellegi & Sunter 1969): score
+    * every blocked candidate pair by the sum of per-field ln-odds
+    * weights — agreement on field k contributes ln(m_k/u_k),
+    * disagreement ln((1−m_k)/(1−u_k)) — and decide
+    * match / possible_match / non_match by thresholds on the total,
+    * the probabilistic upgrade over #170/#23's single-similarity
+    * verdicts (a high-discrimination field agreeing counts for more
+    * than a common one; structured disagreement subtracts evidence
+    * instead of just diluting a Jaccard).
+    *
+    * Candidates: the union of the two existing blocking paths
+    * (MinHash banding #23 ∪ SNM windows #170) — production linkage
+    * scores whatever its blockers surface. Parameters are estimated,
+    * not assumed: u_k from one deterministic hash-drawn partner per
+    * base doc (the #86 draw discipline — the random-pair agreement
+    * rate), m_k by a single EM-style M-step (score once from the
+    * [[FsMInitE6]] init, take the score ≥ 0 pairs as the match class,
+    * re-estimate m_k as their smoothed agreement rate) — both
+    * Laplace-smoothed (x+1)/(n+2) on the e6 grid so no weight is ever
+    * ±∞. Weights are e6-floored ln terms of exact integer ratios (the
+    * #380 Hill discipline), summed exactly per pair.
+    *
+    * Scale: fields are one projection of the corpus; the u-draw is one
+    * row per base doc; both weight tables are 1-row broadcast frames;
+    * scoring is a constant-width expression over the blocked pairs —
+    * the blockers' O(n·w + n·bands) candidate volume dominates, the
+    * FS layer adds nothing super-linear. `FsLinkageSpec` replays the
+    * whole estimate-score-decide fold and [[fsLinkageEval]] scores the
+    * decisions against the planted truth (§15.4).
+    */
+  def fsLinkage(spark: SparkSession, dir: String): DataFrame =
+    Lineage.checkpointReleasing(spark) { implicit scope =>
+      GraftFunctions.register(spark)
+      val fields = fsFields(spark, dir).cp(false)
+      val cand = minhashPairs(spark, dir)
+        .select("doc_a", "doc_b")
+        .unionAll(snmWindowPairs(spark, dir).select("doc_a", "doc_b"))
+        .distinct()
+      val fa = fields.select(
+        col("doc_id").as("doc_a"),
+        col("f_prefix").as("pa"),
+        col("f_len").as("la"),
+        col("f_last").as("za"),
+        col("f_head").as("ha"))
+      val fb = fields.select(
+        col("doc_id").as("doc_b"),
+        col("f_prefix").as("pb"),
+        col("f_len").as("lb"),
+        col("f_last").as("zb"),
+        col("f_head").as("hb"))
+      val gammas = cand
+        .join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          (col("pa") === col("pb")).cast("long").as("g_prefix"),
+          (col("la") === col("lb")).cast("long").as("g_len"),
+          (col("za") === col("zb")).cast("long").as("g_last"),
+          (col("ha") === col("hb")).cast("long").as("g_head"))
+        .cp(false)
+      // ---- u: agreement odds of a random pairing — one hash-drawn
+      // partner per base doc on the dense doc_id range ----
+      val base = fields.filter(col("doc_id") < NearDupOffset)
+      val nBase = base.agg(count(lit(1)).as("n"))
+      val uPairs = base
+        .select(col("doc_id").as("doc_a"))
+        .crossJoin(broadcast(nBase))
+        .withColumn("draw", pmod(hash60(concat(lit("fsu:"), col("doc_a"))), col("n")))
+        .withColumn(
+          "doc_b",
+          when(col("draw") === col("doc_a"), (col("draw") + 1) % col("n")).otherwise(col("draw")))
+        .join(fa, "doc_a")
+        .join(fb, "doc_b")
+      val u = uPairs.agg(
+        count(lit(1)).as("n_u"),
+        sum((col("pa") === col("pb")).cast("long")).as("a_prefix"),
+        sum((col("la") === col("lb")).cast("long")).as("a_len"),
+        sum((col("za") === col("zb")).cast("long")).as("a_last"),
+        sum((col("ha") === col("hb")).cast("long")).as("a_head"))
+      val uE6 = u.select(
+        FsFieldKeys.map(k =>
+          expr(s"CAST((a_$k + 1) * 1000000 div (n_u + 2) AS BIGINT)").as(s"u_$k")): _*)
+      // ---- pass 1: score from the m-init, take score >= 0 as the
+      // match class (the E-step under the init) ----
+      def lnW(numE6: String, denE6: String): String =
+        s"CAST(floor(ln(CAST($numE6 AS DOUBLE) / CAST($denE6 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+      def scoreExpr(mOf: String => String): String =
+        FsFieldKeys
+          .map(k =>
+            s"""CASE WHEN g_$k = 1 THEN ${lnW(mOf(k), s"u_$k")}
+                ELSE ${lnW(s"(1000000 - ${mOf(k)})", s"(1000000 - u_$k)")} END""")
+          .mkString(" + ")
+      val pass1 = gammas
+        .crossJoin(broadcast(uE6))
+        .withColumn("score1", expr(scoreExpr(_ => FsMInitE6.toString)))
+      // ---- M-step: m_k = smoothed agreement rate in the match class ----
+      val m = pass1
+        .filter(col("score1") >= 0)
+        .agg(
+          count(lit(1)).as("n_m"),
+          sum("g_prefix").as("a_prefix"),
+          sum("g_len").as("a_len"),
+          sum("g_last").as("a_last"),
+          sum("g_head").as("a_head"))
+        .select(
+          FsFieldKeys.map(k =>
+            expr(s"CAST((a_$k + 1) * 1000000 div (n_m + 2) AS BIGINT)").as(s"m_$k")): _*)
+      // ---- final score under (m, u); three-way decision ----
+      val out = gammas
+        .crossJoin(broadcast(uE6))
+        .crossJoin(broadcast(m))
+        .withColumn("score_e6", expr(scoreExpr(k => s"m_$k")))
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          expr("""concat(CAST(g_prefix AS STRING), CAST(g_len AS STRING),
+                         CAST(g_last AS STRING), CAST(g_head AS STRING))""").as("gamma"),
+          expr("g_prefix + g_len + g_last + g_head").as("n_agree"),
+          col("score_e6"),
+          when(col("score_e6") >= 0, "match")
+            .when(col("score_e6") >= FsPossibleFloorE6, "possible_match")
+            .otherwise("non_match")
+            .as("decision"))
+      (out, Seq.empty)
+    }
+
+  /** #424 Linkage scorecard (§15.4): [[fsLinkage]]'s decisions against
+    * the planted truth — per decision class, how many pairs landed
+    * there, how many are planted (a, a+1M) dups, that class's share
+    * of all planted pairs (the match row's share IS the linkage
+    * recall) and its planted purity (the match row's IS precision —
+    * on this corpus the only true links are the planted ones).
+    */
+  def fsLinkageEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = fsLinkage(spark, dir)
+    val planted = Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") % NearDupEvery === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + NearDupOffset).as("doc_b"))
+    val tot = planted.agg(count(lit(1)).as("planted_total"))
+    scored
+      .join(planted.withColumn("is_planted", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .na
+      .fill(0L, Seq("is_planted"))
+      .groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"), sum("is_planted").as("n_planted"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("decision"),
+        col("n_pairs"),
+        col("n_planted"),
+        col("planted_total"),
+        expr("CAST(n_planted * 1000000 div planted_total AS BIGINT)").as("planted_share_e6"),
+        expr("CAST(n_planted * 1000000 div n_pairs AS BIGINT)").as("purity_e6"))
   }
 
   def powE6(base: String, p: Int): String =

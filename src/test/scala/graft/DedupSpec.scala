@@ -643,4 +643,86 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._5 == 1L) == 1)
     assert(got.contains((8L, 4L)))
   }
+
+  test("FS linkage: estimate-score-decide fold replays over the blocked pairs; planted recall 1.0") {
+    // the blocking paths carry their own exactness specs/oracles; this
+    // replays the FELLEGI-SUNTER layer end-to-end on the operator's
+    // candidate set: fields -> gammas -> hash-drawn u -> init-scored
+    // pass -> M-step m -> final ln-odds score -> three-way decision
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val baseDocs = graft.Tables
+      .documents(spark, sf)
+      .selectExpr("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)))
+    val corpus = (baseDocs ++ baseDocs.collect { case (id, t) if id % 5 == 0 =>
+      val tok = t.split(" ")
+      (id + 1000000L) -> tok.take(math.max(1, (tok.length * 0.8).floor.toInt)).mkString(" ")
+    }).toMap
+    val fields = corpus.map { case (id, t) =>
+      val tok = t.split(" ", -1)
+      id -> Seq[Any](
+        t.take(16),
+        (tok.length / 8).toLong,
+        tok.last,
+        tok.take(3).mkString(" "))
+    }
+    def gamma(a: Long, b: Long): Seq[Long] =
+      fields(a).zip(fields(b)).map { case (x, y) => if (x == y) 1L else 0L }
+    val nBase = baseDocs.length.toLong
+    val uPairs = baseDocs.map { case (id, _) =>
+      val draw = hash60(s"fsu:$id") % nBase
+      id -> (if (draw == id) (draw + 1) % nBase else draw)
+    }
+    def smoothed(agrees: Seq[Long], n: Long): Seq[Long] =
+      agrees.map(a => (a + 1) * 1000000L / (n + 2))
+    val u = smoothed(
+      uPairs.toSeq.map { case (a, b) => gamma(a, b) }.transpose.map(_.sum),
+      nBase)
+    def w(numE6: Long, denE6: Long): Long =
+      math.floor(math.log(numE6.toDouble / denE6.toDouble) * 1e6 + 0.5).toLong
+    def score(g: Seq[Long], m: Seq[Long]): Long =
+      g.lazyZip(m).lazyZip(u).map { (gk, mk, uk) =>
+        if (gk == 1L) w(mk, uk) else w(1000000L - mk, 1000000L - uk)
+      }.sum
+    val got = Dedup
+      .fsLinkage(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    val mInit = Seq.fill(4)(Dedup.FsMInitE6)
+    val matches1 = got.map { case (a, b, _, _, _, _) => (a, b) }
+      .filter { case (a, b) => score(gamma(a, b), mInit) >= 0 }
+    val m = smoothed(
+      matches1.toSeq.map { case (a, b) => gamma(a, b) }.transpose.map(_.sum),
+      matches1.length.toLong)
+    got.foreach { case (a, b, gs, nAgree, scoreE6, decision) =>
+      val g = gamma(a, b)
+      assert(gs == g.mkString(""), s"gamma mismatch for ($a,$b)")
+      assert(nAgree == g.sum)
+      val want = score(g, m)
+      assert(scoreE6 == want, s"score mismatch for ($a,$b): $scoreE6 vs $want")
+      val wantDec =
+        if (want >= 0) "match"
+        else if (want >= Dedup.FsPossibleFloorE6) "possible_match"
+        else "non_match"
+      assert(decision == wantDec)
+    }
+    // §15.4 floors (measured: recall 1.0 at sf0.001/sf0.01; purity
+    // 0.637/0.685 — the rest are prefix+head-agreeing blocking
+    // survivors, honest non-planted candidates)
+    val eval = Dedup
+      .fsLinkageEval(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    val (_, _, share, purity) = eval("match")
+    assert(share == 1000000L, s"planted recall $share under 1.0 — the linkage lost a planted pair")
+    assert(purity >= 600000L, s"match purity $purity under the measured floor")
+    assert(eval.values.map(_._1).sum == got.length.toLong)
+  }
 }
