@@ -77,6 +77,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     // Degree assortativity of the co-purchase graph (§2 #229)
     "q_assortativity" -> ((s: SparkSession, d: String) => AnalyticsExt.assortativity(s, d)),
     "q_mad_outliers" -> (Scale.madOutliers _),
+    // HST hash-split density outliers + planted scorecard (§2 #426/#427)
+    "q_hst_outliers" -> ((s: SparkSession, d: String) => Scale.hstOutliers(s, d)),
+    "q_hst_eval" -> ((s: SparkSession, d: String) => Scale.hstOutlierEval(s, d)),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
     "q_key_skew" -> (Scale.keySkew _),
@@ -450,6 +453,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_control_chart" -> (AnalyticsExt.controlChart _),
     // Farthest-point k-center landmark selection (§2 #255)
     "ann_fps" -> ((s: SparkSession, d: String) => Similarity.fps(s, d, FpsK)),
+    // Sensitivity-sampling lightweight coreset (§2 #425)
+    "ann_coreset" -> ((s: SparkSession, d: String) => Similarity.coreset(s, d)),
     // Safety stock / reorder point with exact isqrt (§2 #256)
     "q_safety_stock" -> (AnalyticsExt.safetyStock _),
     // ABC-XYZ inventory planning matrix (§2 #257)

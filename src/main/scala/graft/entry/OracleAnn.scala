@@ -874,6 +874,36 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
            CAST(count(*) AS BIGINT) AS n_vecs
          FROM cells GROUP BY 1, 2""",
     "ann_fps" -> fpsOracle(FpsK),
+    // sensitivity-sampling coreset: e4 elements, integer mean, exact
+    // d², e12 sensitivity with HUGEINT headroom, hash-draw inclusion
+    "ann_coreset" ->
+      s"""WITH el AS MATERIALIZED (
+           SELECT vec_id,
+             unnest([{'p': i - 1,
+                      'x': CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)}
+                     for i in generate_series(1, 64)]) AS e
+           FROM embeddings),
+         mu AS MATERIALIZED (
+           SELECT e.p AS pos, CAST(floor(avg(CAST(e.x AS DOUBLE)) + 0.5) AS BIGINT) AS mu
+           FROM el GROUP BY 1),
+         d2 AS MATERIALIZED (
+           SELECT vec_id, CAST(sum((e.x - mu) * (e.x - mu)) AS BIGINT) AS d2
+           FROM el JOIN mu ON mu.pos = e.p GROUP BY 1),
+         tot AS (SELECT CAST(sum(d2) AS BIGINT) AS sum_d2,
+                   CAST(count(*) AS BIGINT) AS n FROM d2),
+         sc AS MATERIALIZED (
+           SELECT vec_id, d2,
+             CAST(1000000000000 // (2 * n)
+                  + d2::HUGEINT * 1000000000000 // (2 * sum_d2) AS BIGINT) AS q_e12
+           FROM d2, tot)
+         SELECT vec_id, d2, q_e12,
+           least(1000000000000, ${operators.Similarity.CoresetM} * q_e12) AS p_e12,
+           CAST(1000000000000000000
+                // least(1000000000000, ${operators.Similarity.CoresetM} * q_e12) AS BIGINT)
+             AS weight_e6
+         FROM sc
+         WHERE ('0x' || substr(md5('coreset:' || vec_id), 1, 15))::BIGINT % 1000000000000
+               < least(1000000000000, ${operators.Similarity.CoresetM} * q_e12)""",
     "ann_cell_balance" -> {
       // composed #29 assignment replay + <= k-row balance rollup
       val terms = (1 to 64).map(i => s"CAST(avg(embedding[$i]) AS FLOAT)").mkString(", ")

@@ -332,6 +332,32 @@ private[graft] trait OracleWarehouseA { this: SparkEntryOracleHelpers =>
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b LIMIT 25""",
+    // HST density outliers: planted ×3 copies, 16 hash-determinized
+    // trees × 10 half-space splits, score = summed leaf occupancy
+    "q_hst_outliers" ->
+      s"""WITH $hstScoreCtes
+         SELECT vec_id, is_planted, score FROM hscores
+         ORDER BY score, vec_id LIMIT 100""",
+    "q_hst_eval" ->
+      s"""WITH $hstScoreCtes,
+         htot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(score) AS BIGINT) AS sum_score FROM hscores),
+         hfl AS (SELECT s.*, CASE WHEN score * 2 * n < sum_score
+                   THEN 1 ELSE 0 END AS flagged
+                 FROM hscores s, htot)
+         SELECT max(n) AS n,
+           CAST(sum(is_planted) AS BIGINT) AS n_planted,
+           CAST(sum(flagged * is_planted) AS BIGINT) AS n_caught,
+           CAST(sum(flagged * is_planted) * 1000000 // sum(is_planted) AS BIGINT)
+             AS catch_e6,
+           CAST(sum(flagged * (1 - is_planted)) AS BIGINT) AS n_clean_flagged,
+           CAST(sum(flagged * (1 - is_planted)) * 1000000
+                // (max(n) - sum(is_planted)) AS BIGINT) AS fpr_e6,
+           CAST(sum(score * is_planted) // sum(is_planted) AS BIGINT)
+             AS planted_mean_score,
+           CAST(sum(score * (1 - is_planted)) // (max(n) - sum(is_planted)) AS BIGINT)
+             AS clean_mean_score
+         FROM hfl, htot""",
     "q_mad_outliers" ->
       """WITH m AS (
            SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

@@ -99,6 +99,61 @@ private[graft] trait SparkEntryOracleHelpers {
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
   }
 
+  /** #426/#427 HST density-outlier CTEs: planted ×scale copies on the
+    * e4 grid, per-dim bounds, the hash-determinized (tree, depth) →
+    * (dim, threshold-fraction) table, per-point leaf masks, leaf
+    * occupancy, and per-point scores in `hscores` —
+    * `Scale.hstScores`'s exact replay (all-BIGINT).
+    */
+  protected def hstScoreCtes: String = {
+    val t = graft.operators.Scale.HstTrees
+    val d = graft.operators.Scale.HstDepth
+    val every = graft.operators.Scale.HstPlantEvery
+    val off = graft.operators.Scale.HstPlantOffset
+    val scale = graft.operators.Scale.HstPlantScale
+    s"""hbase AS MATERIALIZED (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding] AS q
+           FROM embeddings),
+         hcorpus AS MATERIALIZED (
+           SELECT vec_id, q FROM hbase
+           UNION ALL
+           SELECT vec_id + $off, [x * $scale for x in q]
+           FROM hbase WHERE vec_id % $every = 0),
+         hel AS MATERIALIZED (
+           SELECT vec_id,
+             unnest([{'p': i - 1, 'x': q[i]} for i in generate_series(1, 64)]) AS e
+           FROM hcorpus),
+         hbounds AS MATERIALIZED (
+           SELECT e.p AS pos, CAST(min(e.x) AS BIGINT) AS lo,
+             CAST(max(e.x) AS BIGINT) AS hi
+           FROM hel GROUP BY 1),
+         hthr AS MATERIALIZED (
+           SELECT t, j, pos, lo + (hi - lo) * frac // 1000000 AS thr
+           FROM (SELECT t, j,
+                   ('0x' || substr(md5('hst:dim:' || t || ':' || j), 1, 15))::BIGINT
+                     % 64 AS pos,
+                   ('0x' || substr(md5('hst:thr:' || t || ':' || j), 1, 15))::BIGINT
+                     % 1000000 AS frac
+                 FROM range($t) r1(t), range($d) r2(j))
+           JOIN hbounds USING (pos)),
+         hleaves AS MATERIALIZED (
+           SELECT hel.vec_id, hthr.t,
+             CAST(sum(CASE WHEN hel.e.x > hthr.thr
+                      THEN 1::BIGINT << hthr.j ELSE 0 END) AS BIGINT) AS leaf
+           FROM hel JOIN hthr ON hthr.pos = hel.e.p
+           GROUP BY 1, 2),
+         hocc AS MATERIALIZED (
+           SELECT t, leaf, CAST(count(*) AS BIGINT) AS occ
+           FROM hleaves GROUP BY 1, 2),
+         hscores AS MATERIALIZED (
+           SELECT l.vec_id,
+             CAST(CASE WHEN l.vec_id >= $off THEN 1 ELSE 0 END AS BIGINT) AS is_planted,
+             CAST(sum(o.occ) AS BIGINT) AS score
+           FROM hleaves l JOIN hocc o ON o.t = l.t AND o.leaf = l.leaf
+           GROUP BY 1, 2)"""
+  }
+
   /** #423/#424 Fellegi–Sunter CTEs, appended after
     * [[minhashCandidatesCte]] (which supplies `corpus` and the banded
     * `cand`): comparison fields, the SNM-window ∪ banding candidate

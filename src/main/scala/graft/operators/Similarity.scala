@@ -701,6 +701,71 @@ object Similarity {
       .toDF("rank", "vec_id", "cov_cos")
   }
 
+  /** Coreset sample-size target — sized like k·d/ε² would be for a
+    * handful of clusters at ε ≈ 0.5; what matters for the contract is
+    * that it is a CONSTANT: the coreset is the fixed-size summary a
+    * 100 TB k-means fit actually trains on.
+    */
+  private[graft] val CoresetM = 64
+
+  /** #425 Lightweight coreset via sensitivity sampling (Bachem, Lucic
+    * & Krause 2018): importance-sample the corpus with per-point
+    * probability q(x) = ½·1/n + ½·d(x,μ)²/Σd(y,μ)² — the sensitivity
+    * upper bound for k-means — and weight each kept point 1/p(x) so
+    * the weighted sample is an unbiased estimator of any clustering
+    * cost. The importance-WEIGHTED member of the sampling family,
+    * distinct from #255's Gonzalez k-center greedy (spread, no
+    * weights) and #29/#72's Lloyd training (means, no sample): far
+    * points are kept with near-certainty (they dominate k-means cost),
+    * the bulk is thinned uniformly, and the weights conserve total
+    * mass in expectation.
+    *
+    * All-integer replay: elements e4-floored; μ per dim is
+    * floor(avg+0.5) of those BIGINTs (integer sums are exact doubles
+    * far below 2⁵³, so the mean is order-free); d² exact BIGINT;
+    * q on the e12 grid with the d² term via DECIMAL(38,0)·10¹²
+    * (HUGEINT in DuckDB) so nothing overflows; the inclusion draw is
+    * the #86 hash-draw discipline (hash60 mod 10¹² < m·q), weights
+    * 10¹⁸ div p on the e6 grid. One corpus scan + one d-row mean
+    * frame + one 1-row total — linear, no windows, model-free.
+    * `CoresetSpec` pins the draw-rule replay, the q floor, and the
+    * measured weight-conservation band.
+    */
+  def coreset(spark: SparkSession, dir: String, m: Int = CoresetM): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))")
+          .as("q"))
+    val el = e.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "x")))
+    val mu = el
+      .groupBy("pos")
+      .agg(expr("CAST(floor(avg(CAST(x AS DOUBLE)) + 0.5) AS BIGINT)").as("mu"))
+    val d2 = el
+      .join(broadcast(mu), "pos")
+      .groupBy("vec_id")
+      .agg(sum(expr("(x - mu) * (x - mu)")).as("d2"))
+    val tot = d2.agg(sum("d2").as("sum_d2"), count(lit(1)).as("n"))
+    d2.crossJoin(broadcast(tot))
+      .withColumn(
+        "q_e12",
+        expr("""CAST(1000000000000 div (2 * n)
+                + CAST(d2 AS DECIMAL(38, 0)) * 1000000000000 div (2 * sum_d2) AS BIGINT)"""))
+      .withColumn("p_e12", least(lit(1000000000000L), lit(m.toLong) * col("q_e12")))
+      .withColumn(
+        "r_e12",
+        pmod(Dedup.hash60(concat(lit("coreset:"), col("vec_id"))), lit(1000000000000L)))
+      .filter(col("r_e12") < col("p_e12"))
+      .select(
+        col("vec_id"),
+        col("d2"),
+        col("q_e12"),
+        col("p_e12"),
+        expr("1000000000000000000 div p_e12").as("weight_e6"))
+  }
+
   /** #60 Multi-probe LSH ANN: each query probes its own bucket plus
     * the `bits` buckets at Hamming distance 1 (one hyperplane flip)
     * in every table — ~(bits+1)× candidates for the recall of
