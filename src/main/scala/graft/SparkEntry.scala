@@ -455,6 +455,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     "ann_fps" -> ((s: SparkSession, d: String) => Similarity.fps(s, d, FpsK)),
     // Sensitivity-sampling lightweight coreset (§2 #425)
     "ann_coreset" -> ((s: SparkSession, d: String) => Similarity.coreset(s, d)),
+    // Vamana alpha-pruned navigable graph + search scorecard (§2 #428/#429)
+    "ann_vamana" -> ((s: SparkSession, d: String) => Similarity.vamana(s, d)),
+    "ann_vamana_recall" -> ((s: SparkSession, d: String) => Similarity.vamanaRecall(s, d)),
     // Safety stock / reorder point with exact isqrt (§2 #256)
     "q_safety_stock" -> (AnalyticsExt.safetyStock _),
     // ABC-XYZ inventory planning matrix (§2 #257)

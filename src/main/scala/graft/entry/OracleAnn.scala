@@ -783,6 +783,10 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
     // HNSW: the same unrolled walk as ann_nsw_search, preceded by the
     // level/upper-graph CTEs and the 4-hop greedy descent to a
     // per-query entry; the recall oracle replays three beam widths
+    "ann_vamana" ->
+      s"""WITH $vamanaCtes
+         SELECT src, dst, cos_e6, rank FROM vgf""",
+    "ann_vamana_recall" -> vamanaRecallOracle,
     "ann_hnsw_search" -> hnswSearchOracle,
     "ann_hnsw_recall" -> hnswRecallOracle,
     "ann_quantize" ->

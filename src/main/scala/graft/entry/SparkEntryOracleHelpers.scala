@@ -99,6 +99,123 @@ private[graft] trait SparkEntryOracleHelpers {
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
   }
 
+  /** The e6 half-up cosine used throughout the Vamana oracle. */
+  private def vCosE6(a: String, b: String): String =
+    s"CAST(floor(list_cosine_similarity($a, $b) * 1000000 + 0.5) AS BIGINT)"
+
+  /** Score a (p, c) candidate CTE on the e6 grid —
+    * `Similarity.scoreCandE6`'s replay.
+    */
+  private def vScoreCte(name: String, candCte: String): String =
+    s"""$name AS MATERIALIZED (
+           SELECT c0.p, c0.c, ${vCosE6("ep.emb", "ec.emb")} AS cos_e6
+           FROM $candCte c0 JOIN e ep ON ep.vec_id = c0.p
+                            JOIN e ec ON ec.vec_id = c0.c)"""
+
+  /** RobustPrune replay (`Similarity.robustPrune`): `r` unrolled
+    * pick-then-dominate rounds over a scored (p, c, cos_e6) CTE;
+    * `${pfx}out` is the pruned list with selection-order rank.
+    */
+  private def vPruneCtes(pfx: String, candCte: String, r: Int): String = {
+    val an = graft.operators.Similarity.VamanaAlphaNum
+    val ad = graft.operators.Similarity.VamanaAlphaDen
+    val rounds = (1 to r)
+      .map { i =>
+        val prev = if (i == 1) candCte else s"${pfx}r${i - 1}"
+        val rem =
+          if (i == r) ""
+          else s""",
+         ${pfx}r$i AS MATERIALIZED (
+           SELECT t.p, t.c, t.cos_e6
+           FROM $prev t
+           JOIN ${pfx}b$i b ON b.p = t.p
+           JOIN e es ON es.vec_id = b.c
+           JOIN e ev ON ev.vec_id = t.c
+           WHERE t.c <> b.c
+             AND NOT ($an * (1000000 - ${vCosE6("es.emb", "ev.emb")})
+                      <= $ad * (1000000 - t.cos_e6)))"""
+        s"""${pfx}b$i AS MATERIALIZED (
+           SELECT p, c, cos_e6 FROM (
+             SELECT p, c, cos_e6,
+               row_number() OVER (PARTITION BY p ORDER BY cos_e6 DESC, c) AS rn
+             FROM $prev) WHERE rn = 1)$rem"""
+      }
+      .mkString(",\n         ")
+    val out = (1 to r)
+      .map(i => s"SELECT p, c, cos_e6, CAST($i AS BIGINT) AS rank FROM ${pfx}b$i")
+      .mkString("\n             UNION ALL ")
+    s"""$rounds,
+         ${pfx}out AS MATERIALIZED (
+           SELECT p, c, cos_e6, rank FROM (
+             $out))"""
+  }
+
+  /** #428/#429 Vamana build CTEs: corpus `e`, the integer-mean medoid
+    * entry, the hash-drawn e6-ranked init graph, two batch rounds of
+    * symmetrized-graph walks (all points as queries) + robust prune,
+    * and the final reverse-insertion prune — ending in `vgf`
+    * (src, dst, cos_e6, rank), `Similarity.vamanaFrame`'s replay.
+    */
+  protected def vamanaCtes: String = {
+    val r = graft.operators.Similarity.VamanaR
+    val beam = graft.operators.Similarity.VamanaBeam
+    val hops = graft.operators.Similarity.VamanaHops
+    val roundSql = (1 to graft.operators.Similarity.VamanaRounds)
+      .map { k =>
+        s"""vsym$k AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM vg${k - 1}
+             UNION ALL SELECT dst AS src, src AS dst FROM vg${k - 1})),
+         vw${k}e AS MATERIALIZED (SELECT vq.query_id, vent.vec_id FROM vq, vent),
+         ${hnswWalkCtes(s"vw${k}_", s"vw${k}e", beam, hops, s"vsym$k", "vq", withOut = false)},
+         vc$k AS MATERIALIZED (SELECT DISTINCT p, c FROM (
+             SELECT query_id AS p, vec_id AS c FROM vw${k}_v$hops
+             UNION ALL SELECT src AS p, dst AS c FROM vg${k - 1}
+             UNION ALL SELECT dst AS p, src AS c FROM vg${k - 1})
+           WHERE p <> c),
+         ${vScoreCte(s"vcs$k", s"vc$k")},
+         ${vPruneCtes(s"vp${k}_", s"vcs$k", r)},
+         vg$k AS MATERIALIZED (SELECT p AS src, c AS dst, cos_e6, rank FROM vp${k}_out)"""
+      }
+      .mkString(",\n         ")
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         vq AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb FROM e),
+         vel AS MATERIALIZED (
+           SELECT vec_id,
+             unnest([{'p': i - 1,
+                      'x': CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)}
+                     for i in generate_series(1, 64)]) AS s
+           FROM embeddings),
+         vmu AS (SELECT s.p AS pos, CAST(floor(avg(CAST(s.x AS DOUBLE)) + 0.5) AS BIGINT) AS mu
+                 FROM vel GROUP BY 1),
+         vd2 AS MATERIALIZED (
+           SELECT vec_id, CAST(sum((s.x - mu) * (s.x - mu)) AS BIGINT) AS d2
+           FROM vel JOIN vmu ON vmu.pos = s.p GROUP BY 1),
+         vent AS (SELECT vec_id FROM vd2 ORDER BY d2, vec_id LIMIT 1),
+         vnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         vi0 AS MATERIALIZED (
+           SELECT DISTINCT p, c FROM (
+             SELECT v.vec_id AS p,
+               ('0x' || substr(md5('vam:' || v.vec_id || '-' || gs.j), 1, 15))::BIGINT
+                 % vnn.n AS c
+             FROM e v, vnn, generate_series(1, $r) gs(j))
+           WHERE p <> c),
+         ${vScoreCte("vi0s", "vi0")},
+         vg0 AS MATERIALIZED (SELECT p AS src, c AS dst, cos_e6, rank FROM (
+             SELECT p, c, cos_e6,
+               CAST(row_number() OVER (PARTITION BY p ORDER BY cos_e6 DESC, c) AS BIGINT)
+                 AS rank
+             FROM vi0s) WHERE rank <= $r),
+         $roundSql,
+         vcf AS MATERIALIZED (SELECT DISTINCT p, c FROM (
+             SELECT src AS p, dst AS c FROM vg${graft.operators.Similarity.VamanaRounds}
+             UNION ALL SELECT dst AS p, src AS c
+             FROM vg${graft.operators.Similarity.VamanaRounds})
+           WHERE p <> c),
+         ${vScoreCte("vcsf", "vcf")},
+         ${vPruneCtes("vpf_", "vcsf", r)},
+         vgf AS MATERIALIZED (SELECT p AS src, c AS dst, cos_e6, rank FROM vpf_out)"""
+  }
+
   /** #426/#427 HST density-outlier CTEs: planted ×scale copies on the
     * e4 grid, per-dim bounds, the hash-determinized (tree, depth) →
     * (dim, threshold-fraction) table, per-point leaf masks, leaf
@@ -1423,7 +1540,14 @@ private[graft] trait SparkEntryOracleHelpers {
     * per-query top-10 of everything visited, self excluded
     * (`Similarity.beamWalk`'s exact replay).
     */
-  protected def hnswWalkCtes(pfx: String, entryCte: String, beam: Int, hops: Int): String = {
+  protected def hnswWalkCtes(
+      pfx: String,
+      entryCte: String,
+      beam: Int,
+      hops: Int,
+      graph: String = "g0",
+      qCte: String = "q",
+      withOut: Boolean = true): String = {
     val sb = new StringBuilder
     sb ++= s"""${pfx}b0 AS MATERIALIZED (SELECT query_id, vec_id FROM $entryCte),
          ${pfx}v0 AS MATERIALIZED (SELECT query_id, vec_id FROM ${pfx}b0)"""
@@ -1432,8 +1556,8 @@ private[graft] trait SparkEntryOracleHelpers {
          ${pfx}c$i AS MATERIALIZED (SELECT DISTINCT query_id, vec_id FROM (
              SELECT query_id, vec_id FROM ${pfx}b${i - 1}
              UNION ALL
-             SELECT b.query_id, g0.dst AS vec_id
-             FROM ${pfx}b${i - 1} b JOIN g0 ON g0.src = b.vec_id)),
+             SELECT b.query_id, $graph.dst AS vec_id
+             FROM ${pfx}b${i - 1} b JOIN $graph ON $graph.src = b.vec_id)),
          ${pfx}v$i AS MATERIALIZED (SELECT DISTINCT query_id, vec_id FROM (
              SELECT query_id, vec_id FROM ${pfx}v${i - 1}
              UNION ALL SELECT query_id, vec_id FROM ${pfx}c$i))"""
@@ -1442,21 +1566,22 @@ private[graft] trait SparkEntryOracleHelpers {
          ${pfx}b$i AS MATERIALIZED (SELECT query_id, vec_id FROM (
              SELECT c.query_id, c.vec_id,
                row_number() OVER (PARTITION BY c.query_id
-                 ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC,
+                 ORDER BY round(list_cosine_similarity(e.emb, $qCte.q_emb), 6) DESC,
                    c.vec_id) AS rnk
              FROM ${pfx}c$i c JOIN e ON e.vec_id = c.vec_id
-                              JOIN q ON q.query_id = c.query_id)
+                              JOIN $qCte ON $qCte.query_id = c.query_id)
            WHERE rnk <= $beam)"""
     }
-    sb ++= s""",
+    if (withOut)
+      sb ++= s""",
          ${pfx}out AS MATERIALIZED (SELECT query_id, vec_id, cos, rank FROM (
              SELECT f.query_id, f.vec_id,
-               round(list_cosine_similarity(e.emb, q.q_emb), 6) AS cos,
+               round(list_cosine_similarity(e.emb, $qCte.q_emb), 6) AS cos,
                CAST(row_number() OVER (PARTITION BY f.query_id
-                 ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC,
+                 ORDER BY round(list_cosine_similarity(e.emb, $qCte.q_emb), 6) DESC,
                    f.vec_id) AS BIGINT) AS rank
              FROM ${pfx}v$hops f JOIN e ON e.vec_id = f.vec_id
-                                 JOIN q ON q.query_id = f.query_id
+                                 JOIN $qCte ON $qCte.query_id = f.query_id
              WHERE f.vec_id <> f.query_id)
            WHERE rank <= 10)"""
     sb.toString
@@ -1628,6 +1753,39 @@ private[graft] trait SparkEntryOracleHelpers {
                         JOIN e ed ON ed.vec_id = c.dst)
            WHERE rank <= $k),
          bf AS MATERIALIZED (SELECT src, dst FROM bft)
+         $rows"""
+  }
+
+  protected def vamanaRecallOracle: String = {
+    val beams = graft.operators.Similarity.HnswBeamPoints
+    val hops = graft.operators.Similarity.VamanaHops
+    val walks = beams
+      .map(b => hnswWalkCtes(s"vr${b}_", "vre", b, hops, "vgs", "q"))
+      .mkString(",\n         ")
+    val rows = beams
+      .map(b => s"""SELECT CAST($b AS BIGINT) AS beam,
+             (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM vr${b}_out t
+              JOIN bf USING (query_id, vec_id)) AS n_hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM vr${b}_out t
+              JOIN bf USING (query_id, vec_id)) * 1000000
+               // (SELECT count(*) FROM bf) AS recall_e6""")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH $vamanaCtes,
+         vgs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM vgf
+             UNION ALL SELECT dst AS src, src AS dst FROM vgf)),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb FROM e
+               WHERE vec_id < 10),
+         vre AS MATERIALIZED (SELECT q.query_id, vent.vec_id FROM q, vent),
+         $walks,
+         bf AS MATERIALIZED (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(e.emb, q.q_emb), 6) DESC,
+                   e.vec_id) AS rnk
+             FROM e, q WHERE e.vec_id <> q.query_id)
+           WHERE rnk <= 10)
          $rows"""
   }
 

@@ -85,6 +85,26 @@ object Lineage {
       out
     }
 
+    /** [[cp]] + STATS RESET. `Dataset.localCheckpoint` preserves the
+      * origin plan's estimated statistics through the cut, and
+      * Catalyst's non-CBO join estimate is the PRODUCT of child
+      * sizeInBytes — so an iterative operator whose per-round plan
+      * joins its own previous output compounds that product
+      * double-exponentially. Measured in the #428 Vamana build: the
+      * stat reached 416k BITS by round two and the planner's BigInt
+      * multiplications (Toom-Cook frames in every stack sample)
+      * became a ~2×-per-iteration driver bottleneck while the jobs
+      * themselves stayed at milliseconds. Rebuilding the frame from
+      * the checkpointed RDD drops the inherited stat to the session
+      * default, making per-iteration planning cost constant. The row
+      * round-trip adds an encode pass on reads — use for SMALL
+      * iterate-state frames only.
+      */
+    def cpFresh(df: DataFrame, eager: Boolean): DataFrame = {
+      val out = cp(df, eager)
+      out.sparkSession.createDataFrame(out.rdd, out.schema)
+    }
+
     private[Lineage] def releaseAll(): Unit = {
       tracked.synchronized {
         tracked.foreach(_.unpersist(blocking = false))
@@ -102,6 +122,9 @@ object Lineage {
     */
   implicit final class CpOps(private val df: DataFrame) extends AnyVal {
     def cp(eager: Boolean)(implicit scope: Scope): DataFrame = scope.cp(df, eager)
+
+    /** See [[Scope.cpFresh]] — checkpoint with inherited-stats reset. */
+    def cpf(eager: Boolean)(implicit scope: Scope): DataFrame = scope.cpFresh(df, eager)
   }
 
   /** A mid-plan lineage cut that a PLAN AUDIT can disable: identity

@@ -2619,6 +2619,220 @@ object Similarity {
       (out, Seq.empty)
     }
 
+  /** Vamana contract constants, shared with the oracle: out-degree
+    * cap R, the α pruning ratio as the integer pair 12/10 (α = 1.2,
+    * DiskANN's default), the per-round search budget, and the batch
+    * round count.
+    */
+  private[graft] val VamanaR = 8
+  private[graft] val VamanaAlphaNum = 12L
+  private[graft] val VamanaAlphaDen = 10L
+  private[graft] val VamanaBeam = 10
+  private[graft] val VamanaHops = 4
+  private[graft] val VamanaRounds = 2
+
+  /** e6 half-up cosine — the Vamana build's ONE similarity grid (the
+    * α inequality cross-multiplies exactly on it).
+    */
+  private def cosE6(a: String, b: String): Column =
+    expr(s"CAST(floor(cosine_sim($a, $b) * 1000000 + 0.5) AS BIGINT)")
+
+  /** Score a (p, c) candidate frame on the e6 grid: two keyed joins
+    * against the corpus, the [[scoreEdges]] shape.
+    */
+  private def scoreCandE6(e: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("p"), col("embedding").as("p_emb")), "p")
+      .join(e.select(col("vec_id").as("c"), col("embedding").as("c_emb")), "c")
+      .select(col("p"), col("c"), cosE6("p_emb", "c_emb").as("cos_e6"))
+
+  /** RobustPrune (Subramanya et al. 2019, Algorithm 2), batched over
+    * every node at once: `r` rounds of "pick each p's best remaining
+    * candidate, then drop every remaining v the pick dominates —
+    * α·(1−cos(c*,v)) ≤ (1−cos(p,v)), cross-multiplied to exact e6
+    * integers". The α > 1 slack keeps long-range edges a plain top-k
+    * would discard — the property that makes the graph navigable at
+    * low degree. Selection order is the emitted rank (per-pick cos is
+    * monotone non-increasing — each argmax runs over a shrinking
+    * set). Each round is one per-p argmax window + one e6 score of
+    * (pick, survivor) pairs — Σ|cand_p| rows, never corpus².
+    */
+  private def robustPrune(e: DataFrame, cand: DataFrame, r: Int)(
+      implicit scope: Lineage.Scope): DataFrame = {
+    val wp = Window.partitionBy("p").orderBy(col("cos_e6").desc, col("c"))
+    // EAGER, STATS-RESETTING per-iteration checkpoints: eager because
+    // 3 phases x R lazy checkpoints compose a deferred multi-parent
+    // DAG that re-evaluates pathologically at the final action
+    // (the sampled-Brandes per-level discipline), and cpf because the
+    // iterate re-joins its own previous output every round — the
+    // inherited-stats compounding [[Lineage.Scope.cpFresh]] documents
+    var remaining = cand.cpf(true)
+    var chosen = Seq.empty[DataFrame]
+    for (i <- 1 to r) {
+      val best = remaining
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .select(col("p"), col("c"), col("cos_e6"))
+        .cpf(true)
+      chosen = chosen :+ best.withColumn("rank", lit(i.toLong))
+      if (i < r) {
+        remaining = remaining
+          .join(best.select(col("p"), col("c").as("cstar")), "p")
+          .filter(col("c") =!= col("cstar"))
+          .join(e.select(col("vec_id").as("cstar"), col("embedding").as("s_emb")), "cstar")
+          .join(e.select(col("vec_id").as("c"), col("embedding").as("v_emb")), "c")
+          .filter(
+            !(lit(VamanaAlphaNum) * (lit(1000000L) - cosE6("s_emb", "v_emb"))
+              <= lit(VamanaAlphaDen) * (lit(1000000L) - col("cos_e6"))))
+          .select(col("p"), col("c"), col("cos_e6"))
+          .cpf(true)
+      }
+    }
+    chosen.reduce(_ unionAll _)
+  }
+
+  /** The approximate medoid: the corpus point nearest the e4 integer
+    * mean (argmin exact-BIGINT d², ties to the smaller vec_id) — the
+    * #425 mean machinery reused as DiskANN's entry-point heuristic,
+    * fully integer so both engines pick the identical node.
+    */
+  private def vamanaEntry(e: DataFrame): DataFrame = {
+    val el = e
+      .select(
+        col("vec_id"),
+        posexplode(
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+          .as(Seq("pos", "x")))
+    val mu = el
+      .groupBy("pos")
+      .agg(expr("CAST(floor(avg(CAST(x AS DOUBLE)) + 0.5) AS BIGINT)").as("mu"))
+    el.join(broadcast(mu), "pos")
+      .groupBy("vec_id")
+      .agg(sum(expr("(x - mu) * (x - mu)")).as("d2"))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(1)
+      .select(col("vec_id"))
+  }
+
+  /** #428 Vamana graph build (DiskANN, Subramanya et al. 2019; batch
+    * rounds after ParlayANN, Manohar et al. 2023 — the deterministic
+    * parallel formulation a distributed engine actually runs instead
+    * of the paper's sequential insertion): the flat α-pruned
+    * navigable graph behind the DISK-resident trillion-vector
+    * paradigm — one graph, low fixed degree R, no layers (contrast
+    * #414 HNSW: Vamana buys navigability with α-slack long edges
+    * instead of a hierarchy, which is what lets a search touch O(hops)
+    * disk pages). Build: hash-drawn R-regular init (the #86 draw
+    * discipline, `vam:` salt), then [[VamanaRounds]] batch rounds of
+    * "every node greedy-searches the CURRENT symmetrized graph from
+    * the [[vamanaEntry]] medoid, then [[robustPrune]]s its visited
+    * set ∪ current out ∪ reverse in", and a final reverse-edge
+    * insertion re-pruned to R (Alg 1's add-and-prune step, batched).
+    * Per round: n walks of hops × beam × k scored candidates
+    * (corpus-independent each) + one Σ|cand| prune — never n².
+    * Everything on the e6 half-up cosine grid with cross-multiplied
+    * α compares, so the DuckDB oracle replays the entire build —
+    * init, both walks, all three prune phases — bit-identically as
+    * unrolled MATERIALIZED CTEs. `VamanaSpec` pins the α invariant,
+    * the degree cap, selection-order monotonicity, and the measured
+    * search recall ([[vamanaRecall]], §15.4).
+    */
+  def vamana(spark: SparkSession, dir: String, r: Int = VamanaR): DataFrame =
+    Lineage.checkpointReleasing(spark) { implicit scope =>
+      (vamanaFrame(spark, dir, r), Seq.empty)
+    }
+
+  private def vamanaFrame(spark: SparkSession, dir: String, r: Int)(
+      implicit scope: Lineage.Scope): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val entry = vamanaEntry(e).cp(true)
+    // hash-drawn init on the dense vec_id range, ranked on the e6 grid
+    val nDf = e.agg(count(lit(1)).as("n"))
+    val draws = e
+      .select(col("vec_id").as("p"))
+      .crossJoin(broadcast(nDf))
+      .select(col("p"), explode(expr(s"sequence(1, $r)")).as("j"), col("n"))
+      .select(
+        col("p"),
+        pmod(Dedup.hash60(concat(lit("vam:"), col("p"), lit("-"), col("j"))), col("n")).as("c"))
+      .filter(col("p") =!= col("c"))
+      .distinct()
+    val wp = Window.partitionBy("p").orderBy(col("cos_e6").desc, col("c"))
+    var g = scoreCandE6(e, draws)
+      .withColumn("rank", row_number().over(wp).cast("long"))
+      .filter(col("rank") <= r)
+      .select(col("p").as("src"), col("c").as("dst"), col("cos_e6"), col("rank"))
+      .cp(false)
+    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val entryAll = queries
+      .select(col("query_id"))
+      .crossJoin(broadcast(entry.select(col("vec_id"))))
+    for (_ <- 1 to VamanaRounds) {
+      val sym = symmetrize(g.select("src", "dst")).cpf(true)
+      val visited = beamWalkVisited(e, sym, queries, entryAll, VamanaBeam, VamanaHops).cpf(true)
+      val cand = visited
+        .select(col("query_id").as("p"), col("vec_id").as("c"))
+        .unionAll(g.select(col("src").as("p"), col("dst").as("c")))
+        .unionAll(g.select(col("dst").as("p"), col("src").as("c")))
+        .filter(col("p") =!= col("c"))
+        .distinct()
+      g = robustPrune(e, scoreCandE6(e, cand), r)
+        .select(col("p").as("src"), col("c").as("dst"), col("cos_e6"), col("rank"))
+        .cpf(true)
+    }
+    // final reverse insertion, re-pruned to the degree cap
+    val revCand = g
+      .select(col("src").as("p"), col("dst").as("c"))
+      .unionAll(g.select(col("dst").as("p"), col("src").as("c")))
+      .filter(col("p") =!= col("c"))
+      .distinct()
+    robustPrune(e, scoreCandE6(e, revCand), r)
+      .select(col("p").as("src"), col("c").as("dst"), col("cos_e6"), col("rank"))
+  }
+
+  /** #429 Vamana search-recall scorecard (§15.4): recall@10 of the
+    * #398 beam walk over the symmetrized #428 graph (entry = the
+    * medoid) against the #27 brute-force truth, at beam ∈ {5, 10, 16}
+    * — the navigability read that justifies the α-slack: a plain
+    * top-R graph at the same degree strands queries (#414's
+    * symmetrize finding); the α long edges are what keep recall up at
+    * R = 8. Graph and truth built once, each sweep point is one
+    * k-bounded walk.
+    */
+  def vamanaRecall(
+      spark: SparkSession,
+      dir: String,
+      beams: Seq[Int] = HnswBeamPoints): DataFrame =
+    Lineage.checkpointReleasing(spark) { implicit scope =>
+      GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val g = symmetrize(vamanaFrame(spark, dir, VamanaR).select("src", "dst")).cp(false)
+      val entry = vamanaEntry(e).cp(false)
+      val queries = queryVectors(spark, dir)
+      val ent = queries
+        .select(col("query_id"))
+        .crossJoin(broadcast(entry.select(col("vec_id"))))
+      val truth = bruteForce(spark, dir).select("query_id", "vec_id").cp(false)
+      val nTruthDf = truth.agg(count(lit(1)).as("n_truth"))
+      val perBeam = beams.map { b =>
+        beamWalk(e, g, queries, ent, b, VamanaHops)
+          .select("query_id", "vec_id")
+          .join(truth, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(b.toLong).as("beam"), col("n_hits"))
+      }
+      val out = perBeam
+        .reduce(_ unionAll _)
+        .crossJoin(broadcast(nTruthDf))
+        .select(
+          col("beam"),
+          col("n_truth"),
+          col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_e6"))
+      (out, Seq.empty)
+    }
+
   /** #403 Matryoshka truncation recall curve (Kusupati et al. 2022:
     * MRL-trained embeddings keep their best information in the
     * PREFIX dimensions, so search can run at d/2, d/4, … and pay only
