@@ -15,7 +15,7 @@ import graft.operators._
   * `epoch_us(ts)` — exact integer parity.
   */
 object SparkEntry extends SparkEntryOracleHelpers
-    with OracleAnn with OracleCdc with OracleDedup with OracleMm with OracleText with OracleWarehouseA with OracleWarehouseB {
+    with OracleAnn with OracleCdc with OracleDedup with OracleMm with OracleText with OracleWarehouseA with OracleWarehouseB with OracleWarehouseC {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -251,6 +251,10 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_locf_fill" -> (Scale.locfFill _),
     // Data-quality constraint audit (§2 #123)
     "q_dq_audit" -> (Profile.dqAudit _),
+    // Value-mask pattern profiling (§2 #433)
+    "q_value_mask" -> ((s: SparkSession, d: String) => Profile.valueMask(s, d)),
+    // Payload schema-drift audit over a planted-evolution feed (§2 #434)
+    "cdc_schema_drift" -> ((s: SparkSession, d: String) => Cdc.schemaDrift(s, d)),
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125, #138)
@@ -687,6 +691,12 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_propensity_strata" -> ((s: SparkSession, d: String) => AnalyticsExt.propensityStrata(s, d)),
     // Welch unequal-variance t-test, squared form (§2 #320)
     "q_welch_t" -> ((s: SparkSession, d: String) => AnalyticsExt.welchT(s, d)),
+    // Wilcoxon signed-rank paired test (§2 #430)
+    "q_wilcoxon" -> ((s: SparkSession, d: String) => AnalyticsExt.wilcoxonSignedRank(s, d)),
+    // CUPED pre-period variance reduction (§2 #431)
+    "q_cuped" -> ((s: SparkSession, d: String) => AnalyticsExt.cuped(s, d)),
+    // Yule-Walker AR(2) fit + one-step backtest (§2 #432)
+    "q_ar2_forecast" -> ((s: SparkSession, d: String) => AnalyticsExt.ar2Forecast(s, d)),
     // Cohen's kappa of the language-ID heuristic (§2 #321)
     "text_lang_kappa" -> (TextStats.langKappa _),
     // Order-vs-lineitem reconciliation audit (§2 #322)
@@ -718,5 +728,5 @@ object SparkEntry extends SparkEntryOracleHelpers
   /** Assembled from the per-domain Oracle* traits — same 387
     * key/value pairs the single literal carried before the split.
     */
-  def oracleSql: Map[String, String] = oracleAnn ++ oracleCdc ++ oracleDedup ++ oracleMm ++ oracleText ++ oracleWarehouseA ++ oracleWarehouseB
+  def oracleSql: Map[String, String] = oracleAnn ++ oracleCdc ++ oracleDedup ++ oracleMm ++ oracleText ++ oracleWarehouseA ++ oracleWarehouseB ++ oracleWarehouseC
 }

@@ -7,6 +7,38 @@ import graft.operators._
   */
 private[graft] trait OracleCdc { this: SparkEntryOracleHelpers =>
   protected def oracleCdc: Map[String, String] = Map(
+    "cdc_schema_drift" ->
+      // planted-evolution feed replayed as direct key lists (the
+      // Spark side round-trips real JSON through json_object_keys —
+      // the hash match proves detector ≡ construction)
+      """WITH ev AS (
+           SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+         b AS (
+           SELECT min(day) + (max(day) - min(day) + 1) // 3 AS t1,
+             min(day) + 2 * ((max(day) - min(day) + 1) // 3) AS t2
+           FROM ev),
+         feed AS (
+           SELECT day,
+             CASE WHEN day < t1 THEN ['id', 'user_id', 'amount']
+                  WHEN day < t2 THEN ['id', 'user_id', 'amount', 'channel']
+                  ELSE ['id', 'user_id', 'amount_cents', 'channel'] END AS ks
+           FROM ev, b),
+         perday AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS day_msgs FROM feed GROUP BY 1),
+         keyed AS (SELECT unnest(ks) AS k, day FROM feed),
+         ka AS (
+           SELECT k, CAST(min(day) AS BIGINT) AS first_day,
+             CAST(max(day) AS BIGINT) AS last_day,
+             CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+             CAST(count(*) AS BIGINT) AS n_msgs
+           FROM keyed GROUP BY 1),
+         st AS (
+           SELECT ka.k, CAST(sum(p.day_msgs) AS BIGINT) AS span_msgs
+           FROM ka JOIN perday p ON p.day BETWEEN ka.first_day AND ka.last_day
+           GROUP BY 1)
+         SELECT ka.k AS key, first_day, last_day, active_days, n_msgs,
+           CAST(n_msgs * 1000000 // span_msgs AS BIGINT) AS presence_e6
+         FROM ka JOIN st ON st.k = ka.k""",
     "cdc_classify" ->
       """SELECT event_id, epoch_us(ts) AS ts, user_id,
          CASE WHEN event_type = 'signup' THEN 'INSERT'

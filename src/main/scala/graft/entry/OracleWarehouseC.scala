@@ -1,0 +1,199 @@
+package graft
+
+/** warehouse/OLAP + analytics oracles, third part (r11 — OracleWarehouseA/B
+  * sit at the ~2.7k-line cap; new entries land here, the assembled map is
+  * one concatenation either way).
+  */
+private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
+  protected def oracleWarehouseC: Map[String, String] = Map(
+    "q_value_mask" -> {
+      // same regex chain, DuckDB needs the explicit 'g' flag
+      def m(c: String) =
+        s"regexp_replace(regexp_replace(regexp_replace($c, '[A-Z]+', 'A', 'g'), " +
+          s"'[a-z]+', 'a', 'g'), '[0-9]+', '9', 'g')"
+      s"""WITH m AS (
+           SELECT 'customer.c_name' AS col_name, ${m("c_name")} AS mask FROM customer
+           UNION ALL
+           SELECT 'part.p_name', ${m("p_name")} FROM part
+           UNION ALL
+           SELECT 'orders.o_orderpriority', ${m("o_orderpriority")} FROM orders
+           UNION ALL
+           SELECT 'documents.source', ${m("source")} FROM documents),
+         g AS (
+           SELECT col_name, mask, CAST(count(*) AS BIGINT) AS cnt
+           FROM m GROUP BY 1, 2),
+         t AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS total FROM g GROUP BY 1),
+         r AS (
+           SELECT g.*, row_number() OVER (PARTITION BY col_name
+             ORDER BY cnt DESC, mask) AS rn
+           FROM g)
+         SELECT r.col_name, mask, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_e6
+         FROM r JOIN t ON t.col_name = r.col_name
+         WHERE rn <= 10"""
+    },
+    "q_wilcoxon" ->
+      // paired odd-vs-even-month customer spend; doubled midranks
+      // (2·below + t + 1), tie-corrected Var(2W+) = (2n(n+1)(2n+1) −
+      // Σ(t³−t)) // 12, one-ulp-clamp isqrt, sign factored first
+      """WITH p AS (
+           SELECT o_custkey,
+             sum(CASE WHEN month(CAST(o_orderdate AS DATE)) % 2 = 1
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS x,
+             sum(CASE WHEN month(CAST(o_orderdate AS DATE)) % 2 = 0
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS y
+           FROM orders GROUP BY 1),
+         d AS (
+           SELECT CAST(y - x AS BIGINT) AS d FROM p
+           WHERE x IS NOT NULL AND y IS NOT NULL AND x <> y),
+         v AS (
+           SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos
+           FROM d GROUP BY 1),
+         c AS (
+           SELECT a, cnt, cnt_pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+           FROM v),
+         agg AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_pos * (2 * cum + cnt + 1)) AS BIGINT) AS w_plus_2x,
+             sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
+           FROM c),
+         s AS (
+           SELECT *, n * (n + 1) // 2 AS mu_2x,
+             (2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_t) // 12 AS var_2x
+           FROM agg),
+         sg AS (
+           SELECT *,
+             CAST(floor(sqrt(CAST(var_2x AS DOUBLE))) AS HUGEINT) AS s0
+           FROM s),
+         sig AS (
+           SELECT *,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_2x THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > var_2x THEN 1 ELSE 0 END) AS sigma
+           FROM sg)
+         SELECT n AS n_pairs, w_plus_2x,
+           n * (n + 1) - w_plus_2x AS w_minus_2x,
+           CAST(tie_t AS BIGINT) AS tie_t,
+           CAST((CASE WHEN w_plus_2x >= mu_2x THEN 1 ELSE -1 END)
+             * (abs(CAST(w_plus_2x AS HUGEINT) - mu_2x) * 1000000 // sigma)
+             AS BIGINT) AS z_e6
+         FROM sig""",
+    "q_cuped" ->
+      // per-user pre/post value sums either side of the day-span
+      // midpoint; hash-split null arms; exact integer co-moments
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value + 0.5) AS BIGINT) AS v
+           FROM events),
+         sp AS (SELECT min(day) + (max(day) - min(day) + 1) // 2 AS split_day FROM ev),
+         pu AS (
+           SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN day < split_day THEN v END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN day >= split_day THEN v END), 0) AS BIGINT) AS y,
+             ('0x' || substr(md5('cuped:' || user_id), 1, 15))::BIGINT % 2 AS t
+           FROM ev, sp GROUP BY user_id, split_day),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             CAST(sum(t) AS BIGINT) AS n1,
+             CAST(sum(t * x) AS BIGINT) AS sx1,
+             CAST(sum(t * y) AS BIGINT) AS sy1
+           FROM pu),
+         mm AS (
+           SELECT *, n - n1 AS n0, sx - sx1 AS sx0, sy - sy1 AS sy0,
+             n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             n * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+             n * syy - CAST(sy AS HUGEINT) * sy AS den_y
+           FROM m),
+         th AS (
+           SELECT *,
+             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+               * (abs(num) * 1000000 // den_x) AS BIGINT) AS theta_e6,
+             CAST((CASE WHEN CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1 < 0
+                     THEN -1 ELSE 1 END)
+               * (abs(CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1)
+                  * 1000000 // (CAST(n1 AS HUGEINT) * n0)) AS BIGINT) AS d_raw_e6,
+             CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1 AS gap_x
+           FROM mm)
+         SELECT n AS n_users, n1 AS n_treat, n0 AS n_ctrl, theta_e6, d_raw_e6,
+           d_raw_e6 - CAST((CASE WHEN theta_e6 * gap_x < 0 THEN -1 ELSE 1 END)
+             * (abs(CAST(theta_e6 AS HUGEINT) * gap_x)
+                // (CAST(n1 AS HUGEINT) * n0)) AS BIGINT) AS d_cuped_e6,
+           CASE WHEN den_x > 0 AND den_y > 0 THEN
+             CAST(num * num * 1000000 // (den_x * den_y) AS BIGINT)
+           ELSE NULL END AS rho2_e6
+         FROM th""",
+    "q_ar2_forecast" ->
+      // Yule-Walker over dollar-grid deviations; staged phi quotients
+      // (num // greatest(den // 1e6, 1)); e6 backtest vs naive
+      """WITH byday AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                    AS day,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM byday),
+         lagged AS (
+           SELECT day, x,
+             lag(x, 1) OVER (ORDER BY day) AS x1,
+             lag(x, 2) OVER (ORDER BY day) AS x2,
+             n, s,
+             (CASE WHEN n * x - s < 0 THEN -1 ELSE 1 END) * (abs(n * x - s) // n) AS v,
+             CASE WHEN lag(x, 1) OVER (ORDER BY day) IS NULL THEN NULL ELSE
+               (CASE WHEN n * lag(x, 1) OVER (ORDER BY day) - s < 0 THEN -1 ELSE 1 END)
+               * (abs(n * lag(x, 1) OVER (ORDER BY day) - s) // n) END AS v1,
+             CASE WHEN lag(x, 2) OVER (ORDER BY day) IS NULL THEN NULL ELSE
+               (CASE WHEN n * lag(x, 2) OVER (ORDER BY day) - s < 0 THEN -1 ELSE 1 END)
+               * (abs(n * lag(x, 2) OVER (ORDER BY day) - s) // n) END AS v2
+           FROM byday, tot),
+         mom AS (
+           SELECT max(n) AS n, max(s) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS c0,
+             sum(CAST(v AS HUGEINT) * v1) AS c1,
+             sum(CAST(v AS HUGEINT) * v2) AS c2
+           FROM lagged),
+         moms AS (
+           SELECT *,
+             (CASE WHEN c0 < 0 THEN -1 ELSE 1 END) * (abs(c0) // 1000) AS c0s,
+             (CASE WHEN c1 < 0 THEN -1 ELSE 1 END) * (abs(c1) // 1000) AS c1s,
+             (CASE WHEN c2 < 0 THEN -1 ELSE 1 END) * (abs(c2) // 1000) AS c2s
+           FROM mom),
+         ph AS (
+           SELECT *, c0s * c0s - c1s * c1s AS den,
+             CASE WHEN c0s * c0s - c1s * c1s > 0 THEN
+               CAST((CASE WHEN c1s * (c0s - c2s) < 0 THEN -1 ELSE 1 END)
+                 * (abs(c1s * (c0s - c2s)) * 1000000
+                    // (c0s * c0s - c1s * c1s)) AS BIGINT)
+             ELSE NULL END AS phi1_e6,
+             CASE WHEN c0s * c0s - c1s * c1s > 0 THEN
+               CAST((CASE WHEN c0s * c2s - c1s * c1s < 0 THEN -1 ELSE 1 END)
+                 * (abs(c0s * c2s - c1s * c1s) * 1000000
+                    // (c0s * c0s - c1s * c1s)) AS BIGINT)
+             ELSE NULL END AS phi2_e6
+           FROM moms),
+         bt AS (
+           SELECT l.x, l.x1, l.v1, l.v2, p.*
+           FROM lagged l, ph p
+           WHERE l.v1 IS NOT NULL AND l.v2 IS NOT NULL)
+         SELECT max(n) AS n_days,
+           CAST(max(c0) AS BIGINT) AS c0, CAST(max(c1) AS BIGINT) AS c1,
+           CAST(max(c2) AS BIGINT) AS c2,
+           max(phi1_e6) AS phi1_e6, max(phi2_e6) AS phi2_e6,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(abs(CAST(x AS HUGEINT) * 1000000
+                  - (CAST(s AS HUGEINT) * 1000000 // n + phi1_e6 * v1 + phi2_e6 * v2)))
+                // (count(*) * 1000000) AS BIGINT) AS mae_ar,
+           CAST(sum(abs(CAST(x AS HUGEINT) - x1) * 1000000)
+                // (count(*) * 1000000) AS BIGINT) AS mae_naive,
+           CASE WHEN sum(abs(CAST(x AS HUGEINT) - x1)) > 0 THEN
+             CAST(sum(abs(CAST(x AS HUGEINT) * 1000000
+                    - (CAST(s AS HUGEINT) * 1000000 // n + phi1_e6 * v1 + phi2_e6 * v2)))
+                  * 1000000
+                  // sum(abs(CAST(x AS HUGEINT) - x1) * 1000000) AS BIGINT)
+           ELSE NULL END AS mae_ratio_e6
+         FROM bt""")
+}

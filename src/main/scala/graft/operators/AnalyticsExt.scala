@@ -4,4 +4,5 @@ package graft.operators
   * operators — assembled from the three part traits (r10
   * file-size refactor); call sites are unchanged.
   */
-object AnalyticsExt extends AnalyticsExtGraph with AnalyticsExtStats with AnalyticsExtOps
+object AnalyticsExt extends AnalyticsExtGraph with AnalyticsExtStats with AnalyticsExtStatsB
+    with AnalyticsExtOps

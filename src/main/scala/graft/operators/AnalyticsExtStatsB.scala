@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistics operators, second part trait (the r10 file-size
+  * discipline: AnalyticsExtStats sits at the ~2.9k-line cap, so new
+  * stats members land here; the assembled [[AnalyticsExt]] object is
+  * unchanged for call sites).
+  */
+private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
+
+  /** #430 Wilcoxon signed-rank test (Wilcoxon 1945): PAIRED
+    * location-shift test — does the same customer spend differently in
+    * even vs odd calendar months? The paired member beside #288
+    * Mann–Whitney (two independent samples) and #252's z (proportions):
+    * pairing removes the between-customer spend variance that swamps
+    * an unpaired comparison, and ranks make it robust to the heavy
+    * right tail where a paired t would hand the answer to whales.
+    *
+    * Pairs: per customer, total order cents in odd months (x) vs even
+    * months (y), customers active in both; d = y − x, zeros dropped
+    * (the standard convention). Ranks of |d| with midrank ties on the
+    * DOUBLED grid (2·avgrank = 2·below + t + 1 — integers, no halves),
+    * computed distributively via the #288 sharded two-pass rank: per-
+    * distinct-|d| counts, value-range shards, per-shard local prefix
+    * sums + shard-carry offsets — no global window ever sees a row-
+    * scale frame. z from the tie-corrected normal approximation,
+    * Var(2W⁺) = (2n(n+1)(2n+1) − Σ(t³−t)) / 12, σ via the one-ulp-
+    * clamp isqrt, sign factored before the truncating div (#289's
+    * exact-z discipline).
+    */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val pairs = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("CAST(month(CAST(o_orderdate AS DATE)) % 2 AS BIGINT)").as("par"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(col("par") === 1, col("c"))).as("x"),
+        sum(when(col("par") === 0, col("c"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select((col("y") - col("x")).as("d"))
+    val byVal = pairs
+      .select(abs(col("d")).as("a"), (col("d") > 0).cast("long").as("pos"))
+      .groupBy("a")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("cnt_pos"))
+    val bounds = byVal.agg(min("a").as("lo"), max("a").as("hi"))
+    val sharded = byVal
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((a - lo) * $nShards) div (hi - lo + 1)"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(sum("cnt").as("sc"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sc").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val cum = sharded
+      .withColumn(
+        "cum_local",
+        coalesce(
+          sum("cnt").over(
+            Window.partitionBy("shard").orderBy("a").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(offsets), "shard")
+      .select(col("cnt"), col("cnt_pos"), (col("off") + col("cum_local")).as("cum"))
+    cum
+      .agg(
+        sum("cnt").as("n"),
+        sum(expr("cnt_pos * (2 * cum + cnt + 1)")).as("w_plus_2x"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie_t"))
+      .withColumn("mu_2x", expr("n * (n + 1) div 2"))
+      .withColumn(
+        "var_2x",
+        expr("""CAST((2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie_t)
+                 div 12 AS DECIMAL(38,0))"""))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(var_2x AS DOUBLE))) AS BIGINT)"))
+      .withColumn(
+        "sigma",
+        expr("""s0 + (CASE WHEN (CAST(s0 AS DECIMAL(38,0)) + 1) * (s0 + 1) <= var_2x
+                       THEN 1 ELSE 0 END)
+                   - (CASE WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > var_2x THEN 1 ELSE 0 END)"""))
+      .select(
+        col("n").as("n_pairs"),
+        col("w_plus_2x"),
+        (col("n") * (col("n") + 1) - col("w_plus_2x")).as("w_minus_2x"),
+        col("tie_t").cast("long").as("tie_t"),
+        expr("""CAST((CASE WHEN w_plus_2x >= mu_2x THEN 1 ELSE -1 END)
+                 * (abs(CAST(w_plus_2x AS DECIMAL(38,0)) - mu_2x) * 1000000
+                    div sigma) AS BIGINT)""").as("z_e6"))
+  }
+
+  /** #431 CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013 —
+    * the industry-standard experiment readout: regress the experiment-
+    * period metric on its own PRE-period value and difference the
+    * residuals, cutting the variance a t-test has to overcome by the
+    * squared pre/post correlation). Units = event users; pre/post =
+    * value sums (whole-unit grid) either side of the calendar midpoint
+    * of the observed day span; arms = the #86 deterministic hash split
+    * (`cuped:` salt — a null experiment, so the RAW diff is the noise
+    * CUPED exists to shrink). θ = cov(x,y)/var(x) from exact integer
+    * co-moments (n·Σxy − Σx·Σy over n·Σx² − (Σx)², the #314 corr
+    * discipline), e6-floored with the sign factored out; the adjusted
+    * diff subtracts θ·(arm pre-mean gap) on the same grid; ρ²_e6 —
+    * the variance fraction removed — is the staged DECIMAL(38,0)
+    * quotient num²·1e6 div (den_x·den_y). Whole-value-unit grid keeps
+    * num² inside DECIMAL(38,0) through ~sf10; at larger corpora the
+    * same fold runs on a coarser metric grid (the #400 kilocents
+    * lesson). One per-user aggregate + one 1-row co-moment fold — no
+    * windows, no driver state.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nsPerDay = 86400L * 1000000000L
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value + 0.5) AS BIGINT)").as("v"))
+    val split = ev.agg(expr("min(day) + (max(day) - min(day) + 1) div 2").as("split_day"))
+    val perUser = ev
+      .crossJoin(broadcast(split))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("day") < col("split_day"), col("v"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("day") >= col("split_day"), col("v"))), lit(0L)).as("y"))
+      .withColumn("t", pmod(Dedup.hash60(concat(lit("cuped:"), col("user_id"))), lit(2L)))
+    perUser
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum("t").as("n1"),
+        sum(expr("t * x")).as("sx1"),
+        sum(expr("t * y")).as("sy1"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("sx0", col("sx") - col("sx1"))
+      .withColumn("sy0", col("sy") - col("sy1"))
+      .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den_x", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("den_y", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn(
+        "theta_e6",
+        expr("""CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (abs(num) * 1000000 div den_x) AS BIGINT)"""))
+      .withColumn(
+        "d_raw_e6",
+        expr("""CAST((CASE WHEN CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1 < 0
+                       THEN -1 ELSE 1 END)
+                 * (abs(CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1)
+                    * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n0)) AS BIGINT)"""))
+      .withColumn(
+        "gap_x",
+        expr("CAST(sx1 AS DECIMAL(38,0)) * n0 - CAST(sx0 AS DECIMAL(38,0)) * n1"))
+      .withColumn(
+        "adj_term_e6",
+        expr("""CAST((CASE WHEN theta_e6 * gap_x < 0 THEN -1 ELSE 1 END)
+                 * (abs(CAST(theta_e6 AS DECIMAL(38,0)) * gap_x)
+                    div (CAST(n1 AS DECIMAL(38,0)) * n0)) AS BIGINT)"""))
+      .select(
+        col("n").as("n_users"),
+        col("n1").as("n_treat"),
+        col("n0").as("n_ctrl"),
+        col("theta_e6"),
+        col("d_raw_e6"),
+        (col("d_raw_e6") - col("adj_term_e6")).as("d_cuped_e6"),
+        expr("""CASE WHEN den_x > 0 AND den_y > 0 THEN
+                  CAST(num * num * 1000000 div (den_x * den_y) AS BIGINT)
+                ELSE NULL END""").as("rho2_e6"))
+  }
+
+  /** #432 Yule–Walker AR(2) fit + one-step backtest: fit daily order
+    * revenue's autoregressive structure from its first two
+    * autocovariances (the method-of-moments solve every classical
+    * ARIMA fit starts from) and price it against the naive
+    * last-value forecast — the parametric member beside #159's OLS
+    * trend (deterministic drift), #250/#292's exponential smoothers
+    * (recency-weighted level), and #304 ACF (which reports the
+    * correlations this op turns into a MODEL). φ₁ = c₁(c₀−c₂)/
+    * (c₀²−c₁²), φ₂ = (c₀c₂−c₁²)/(c₀²−c₁²).
+    *
+    * Integer discipline: deviations on the n-scaled dollar grid
+    * (v = (n·x − S) div n — sign-factored, both engines truncate
+    * identically), co-moments c₀/c₁/c₂ as exact DECIMAL(38,0) sums of
+    * v-products over the available-lag terms, and the φ quotients on
+    * KILO-downscaled co-moments (each c-factor div 1e3 — num and den
+    * shrink by 1e6 together, the ratio moves ~1e-11 relative, and
+    * both den and the e6 quotient stay inside the LONG that Spark's
+    * `div` casts to at any corpus scale). Backtest on the e6
+    * grid: x̂ₜ = μ_e6 + φ₁·vₜ₋₁ + φ₂·vₜ₋₂ vs naive x̂ₜ = xₜ₋₁, MAE
+    * ratio e6-floored. The lag-2 window rides the PER-DAY aggregate
+    * (≤ #calendar-days rows — documented PlanDisciplineSpec
+    * exception, 1 instance, the #284 CUSUM precedent).
+    */
+  def ar2Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(expr("sum(c) div 100").as("x"))
+    val tot = byDay.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val lagged = byDay
+      .withColumn("x1", lag("x", 1).over(Window.orderBy("day")))
+      .withColumn("x2", lag("x", 2).over(Window.orderBy("day")))
+      .crossJoin(broadcast(tot))
+      // sign factored before the div: Spark `div` truncates toward
+      // zero, DuckDB `//` floors — identical only on magnitudes
+      .withColumn(
+        "v",
+        expr("(CASE WHEN n * x - s < 0 THEN -1 ELSE 1 END) * (abs(n * x - s) div n)"))
+      .withColumn(
+        "v1",
+        expr("""CASE WHEN x1 IS NULL THEN NULL ELSE
+                  (CASE WHEN n * x1 - s < 0 THEN -1 ELSE 1 END) * (abs(n * x1 - s) div n)
+                END"""))
+      .withColumn(
+        "v2",
+        expr("""CASE WHEN x2 IS NULL THEN NULL ELSE
+                  (CASE WHEN n * x2 - s < 0 THEN -1 ELSE 1 END) * (abs(n * x2 - s) div n)
+                END"""))
+    val moments = lagged.agg(
+      max("n").as("n"),
+      max("s").as("s"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("c0"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v1")).as("c1"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v2")).as("c2"))
+    // the phi quotients run on KILO-downscaled co-moments (sign-
+    // factored abs-div, both engines identical): Spark's `div` casts
+    // its result to LONG, so num·1e6 div den must keep BOTH the
+    // intermediate quotient and den inside 2⁶³ — downscaling each
+    // c-factor by 1e3 shrinks num and den by 1e6 together (the ratio
+    // is unchanged to ~1e-11 relative) and the e6 quotient is a
+    // small long at any corpus scale
+    val phis = moments
+      // `div` casts to LONG — widen back to DECIMAL(38,0) before the
+      // squares or c0s*c0s overflows the long under ANSI
+      .withColumn(
+        "c0s",
+        expr("CAST((CASE WHEN c0 < 0 THEN -1 ELSE 1 END) * (abs(c0) div 1000) AS DECIMAL(38,0))"))
+      .withColumn(
+        "c1s",
+        expr("CAST((CASE WHEN c1 < 0 THEN -1 ELSE 1 END) * (abs(c1) div 1000) AS DECIMAL(38,0))"))
+      .withColumn(
+        "c2s",
+        expr("CAST((CASE WHEN c2 < 0 THEN -1 ELSE 1 END) * (abs(c2) div 1000) AS DECIMAL(38,0))"))
+      .withColumn("den", expr("c0s * c0s - c1s * c1s"))
+      .withColumn(
+        "phi1_e6",
+        expr("""CASE WHEN den > 0 THEN
+                  CAST((CASE WHEN c1s * (c0s - c2s) < 0 THEN -1 ELSE 1 END)
+                    * (abs(c1s * (c0s - c2s)) * 1000000 div den) AS BIGINT)
+                ELSE NULL END"""))
+      .withColumn(
+        "phi2_e6",
+        expr("""CASE WHEN den > 0 THEN
+                  CAST((CASE WHEN c0s * c2s - c1s * c1s < 0 THEN -1 ELSE 1 END)
+                    * (abs(c0s * c2s - c1s * c1s) * 1000000 div den) AS BIGINT)
+                ELSE NULL END"""))
+      .select(col("n"), col("s"), col("c0"), col("c1"), col("c2"), col("phi1_e6"), col("phi2_e6"))
+    lagged
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
+      .select(col("x"), col("x1"), col("v1"), col("v2"))
+      .crossJoin(broadcast(phis))
+      .withColumn("mu_e6", expr("CAST(s AS DECIMAL(38,0)) * 1000000 div n"))
+      .withColumn(
+        "err_ar",
+        expr("abs(CAST(x AS DECIMAL(38,0)) * 1000000 - (mu_e6 + phi1_e6 * v1 + phi2_e6 * v2))"))
+      .withColumn("err_naive", expr("abs(CAST(x AS DECIMAL(38,0)) - x1) * 1000000"))
+      .agg(
+        max("n").as("n_days"),
+        max("c0").cast("long").as("c0"),
+        max("c1").cast("long").as("c1"),
+        max("c2").cast("long").as("c2"),
+        max("phi1_e6").as("phi1_e6"),
+        max("phi2_e6").as("phi2_e6"),
+        count(lit(1)).as("n_scored"),
+        sum("err_ar").as("sum_err_ar"),
+        sum("err_naive").as("sum_err_naive"))
+      .select(
+        col("n_days"),
+        col("c0"),
+        col("c1"),
+        col("c2"),
+        col("phi1_e6"),
+        col("phi2_e6"),
+        col("n_scored"),
+        expr("CAST(sum_err_ar div (n_scored * 1000000) AS BIGINT)").as("mae_ar"),
+        expr("CAST(sum_err_naive div (n_scored * 1000000) AS BIGINT)").as("mae_naive"),
+        expr("""CASE WHEN sum_err_naive > 0 THEN
+                  CAST(sum_err_ar * 1000000 div sum_err_naive AS BIGINT)
+                ELSE NULL END""").as("mae_ratio_e6"))
+  }
+}

@@ -986,4 +986,97 @@ object Cdc {
         col("n_keys"),
         col("n_total"))
   }
+
+  /** #434 Payload schema-drift audit: the schema-on-read monitor a
+    * JSON CDC feed needs because the registry only versions DECLARED
+    * schemas — what actually arrives drifts when an upstream deploy
+    * adds, drops, or renames a payload field mid-stream (the Debezium
+    * JsonConverter ships whatever the table has NOW). The detector is
+    * generic: per payload KEY across the feed's day timeline, report
+    * first/last day seen, active days, messages carrying the key, and
+    * presence within the key's own active span (n_msgs·1e6 div
+    * messages-in-span — 1e6 = the key is in every message while live;
+    * less = intermittent, the mixed-producer smell). One
+    * `json_object_keys` explode + two aggregates + a span join —
+    * linear, alphabet-bounded output, no windows.
+    *
+    * The audited feed is self-built with PLANTED evolution (the #426
+    * planted-truth discipline): phase thirds of the day span —
+    * base keys {id, user_id, amount}; the middle third ADDS `channel`;
+    * the final third RENAMES amount → amount_cents (drop + add, the
+    * classic breaking deploy) and keeps channel. The expected read:
+    * id/user_id span everything at presence 1e6; amount ends at t2
+    * with presence 1e6 inside its span; channel starts at t1;
+    * amount_cents starts at t2.
+    */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        expr(s"ts div ${nsPerDay}L").as("day"))
+    val bounds = ev.agg(
+      expr("min(day) + (max(day) - min(day) + 1) div 3").as("t1"),
+      expr("min(day) + 2 * ((max(day) - min(day) + 1) div 3)").as("t2"))
+    val phased = ev.crossJoin(broadcast(bounds))
+    val p0 = phased
+      .filter(col("day") < col("t1"))
+      .select(
+        col("day"),
+        to_json(
+          struct(
+            col("event_id").as("id"),
+            col("user_id"),
+            col("cents").as("amount"))).as("payload"))
+    val p1 = phased
+      .filter(col("day") >= col("t1") && col("day") < col("t2"))
+      .select(
+        col("day"),
+        to_json(
+          struct(
+            col("event_id").as("id"),
+            col("user_id"),
+            col("cents").as("amount"),
+            col("event_type").as("channel"))).as("payload"))
+    val p2 = phased
+      .filter(col("day") >= col("t2"))
+      .select(
+        col("day"),
+        to_json(
+          struct(
+            col("event_id").as("id"),
+            col("user_id"),
+            col("cents").as("amount_cents"),
+            col("event_type").as("channel"))).as("payload"))
+    val feed = p0.unionAll(p1).unionAll(p2)
+    // the generic detector: everything below sees only (day, payload)
+    val perDay = feed.groupBy("day").agg(count(lit(1)).as("day_msgs"))
+    val keyed = feed
+      .select(col("day"), explode(expr("json_object_keys(payload)")).as("k"))
+      .groupBy("k")
+      .agg(
+        min("day").as("first_day"),
+        max("day").as("last_day"),
+        count_distinct(col("day")).as("active_days"),
+        count(lit(1)).as("n_msgs"))
+    val spanTotals = keyed
+      .join(
+        perDay,
+        perDay("day") >= keyed("first_day") && perDay("day") <= keyed("last_day"))
+      .groupBy("k")
+      .agg(sum("day_msgs").as("span_msgs"))
+    keyed
+      .join(spanTotals, "k")
+      .select(
+        col("k").as("key"),
+        col("first_day"),
+        col("last_day"),
+        col("active_days"),
+        col("n_msgs"),
+        expr("CAST(n_msgs * 1000000 div span_msgs AS BIGINT)").as("presence_e6"))
+  }
 }

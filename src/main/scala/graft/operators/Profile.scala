@@ -473,4 +473,61 @@ object Profile {
         col("l_diversity"),
         (col("k_size") < 5).cast("long").as("k_at_risk"),
         (col("l_diversity") < 2).cast("long").as("l_at_risk"))
+
+  /** The collapsed character-class mask shared by [[valueMask]] and
+    * its oracle: uppercase runs → `A`, lowercase runs → `a`, digit
+    * runs → `9`, everything else kept verbatim. Replacement order is
+    * load-bearing — the single `A`/`a` replacement characters must not
+    * be re-consumed by a later class, so uppercase collapses first.
+    */
+  private def maskExpr(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, "[A-Z]+", "A"), "[a-z]+", "a"),
+      "[0-9]+",
+      "9")
+
+  /** #433 Value-mask pattern profiling: the shape histogram every
+    * data-profiling suite leads with (Potter's Wheel, Raman &
+    * Hellerstein 2001 calls these structure-inference masks) — each
+    * string collapses to its character-class skeleton
+    * (`Customer#000000042` → `Aa#9`, `4-NOT SPECIFIED` → `9-A A`) and
+    * the per-column mask histogram surfaces format drift, mixed
+    * conventions, and injection-shaped outliers that #306's
+    * per-column min/max/null profile cannot see. Top-10 masks per
+    * column by (count desc, mask) with e6 share-of-column; four
+    * heterogeneous columns (customer.c_name, part.p_name,
+    * orders.o_orderpriority, documents.source) to exercise all three
+    * classes. One scan + one grouped count per column, a per-column
+    * rank window over the per-MASK aggregate (mask cardinality ≪
+    * rows — the point of masking), WindowGroupLimit prunes to 10.
+    */
+  def valueMask(spark: SparkSession, dir: String): DataFrame = {
+    val inputs: Seq[(String, DataFrame, String)] = Seq(
+      ("customer.c_name", Tables.customer(spark, dir), "c_name"),
+      ("part.p_name", Tables.part(spark, dir), "p_name"),
+      ("orders.o_orderpriority", Tables.orders(spark, dir), "o_orderpriority"),
+      ("documents.source", Tables.documents(spark, dir), "source"))
+    val masked = inputs
+      .map { case (label, df, c) =>
+        df.select(lit(label).as("col_name"), maskExpr(col(c)).as("mask"))
+      }
+      .reduce(_ unionAll _)
+      .groupBy("col_name", "mask")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = masked.groupBy("col_name").agg(sum("cnt").as("total"))
+    masked
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("col_name")
+            .orderBy(col("cnt").desc, col("mask"))))
+      .filter(col("rn") <= 10)
+      .join(broadcast(totals), "col_name")
+      .select(
+        col("col_name"),
+        col("mask"),
+        col("cnt"),
+        expr("CAST(cnt * 1000000 div total AS BIGINT)").as("share_e6"))
+  }
 }

@@ -151,7 +151,11 @@ class PlanDisciplineSpec extends SparkSpec {
       "text_qnorm" -> (1 ->
         ("the pooled rank grid: ONE exact global row_number over the " +
           "documents frame — oracle mode per the same zorder precedent; " +
-          "scale path = sampled range ranking")))
+          "scale path = sampled range ranking")),
+      "q_ar2_forecast" -> (2 ->
+        ("lag-2 frame over a PER-DAY aggregate: <= #calendar-days rows; " +
+          "planned twice — once under the 1-row co-moment fold, once under " +
+          "the backtest scan (the q_imr_chart planned-twice precedent)")))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {

@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.AnalyticsExt
+
+/** Driver-side replays for the r11 stats batch (§2 #430-#432):
+  * Wilcoxon signed-rank, CUPED, and the Yule-Walker AR(2) backtest.
+  * Each test refolds the whole operator from the raw tables with
+  * BigInt arithmetic and compares every output column exactly — the
+  * same discipline as CoresetSpec/HstOutlierSpec.
+  */
+class StatsBSpec extends SparkSpec {
+
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("wilcoxon: exact replay of pairs, midranks, tie term and z; rank mass conserved") {
+    val row = AnalyticsExt.wilcoxonSignedRank(spark, sf).collect().head
+    val (nPairs, wPlus2x, wMinus2x, tieT, zE6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+
+    val orders = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(month(CAST(o_orderdate AS DATE)) % 2 AS BIGINT) AS par",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ds = orders
+      .groupBy(_._1)
+      .values
+      .flatMap { xs =>
+        val x = xs.filter(_._2 == 1).map(_._3)
+        val y = xs.filter(_._2 == 0).map(_._3)
+        if (x.nonEmpty && y.nonEmpty && x.sum != y.sum) Some(y.sum - x.sum) else None
+      }
+      .toSeq
+    val n = ds.size.toLong
+    assert(nPairs == n)
+    // doubled midranks: 2*avgrank = 2*(count strictly below) + t + 1
+    val byAbs = ds.groupBy(math.abs).toSeq.sortBy(_._1)
+    var below = 0L
+    var wp2 = BigInt(0)
+    var tie = BigInt(0)
+    byAbs.foreach { case (_, group) =>
+      val t = group.size.toLong
+      val pos = group.count(_ > 0).toLong
+      wp2 += BigInt(pos) * (2 * below + t + 1)
+      tie += BigInt(t) * t * t - t
+      below += t
+    }
+    assert(wPlus2x == wp2.toLong)
+    assert(tieT == tie.toLong)
+    // rank mass: W+ + W- on the doubled grid is n(n+1)
+    assert(wPlus2x + wMinus2x == n * (n + 1))
+    val mu2x = BigInt(n) * (n + 1) / 2
+    val var2x = (2 * BigInt(n) * (n + 1) * (2 * n + 1) - tie) / 12
+    val s0 = BigInt(math.sqrt(var2x.toDouble).floor.toLong)
+    val sigma = s0 + (if ((s0 + 1) * (s0 + 1) <= var2x) 1 else 0) -
+      (if (s0 * s0 > var2x) 1 else 0)
+    val diff = BigInt(wPlus2x) - mu2x
+    val want = (if (diff >= 0) 1 else -1) * (diff.abs * 1000000 / sigma)
+    assert(zE6 == want.toLong)
+  }
+
+  test("cuped: exact co-moment replay; rho2 in [0, 1e6]; adjusted diff = raw - theta*pre-gap") {
+    val row = AnalyticsExt.cuped(spark, sf).collect().head
+    val nsPerDay = 86400L * 1000000000L
+    val ev = graft.Tables
+      .events(spark, sf)
+      .selectExpr("user_id", s"ts div ${nsPerDay}L AS day", "CAST(floor(value + 0.5) AS BIGINT) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    val split = lo + (hi - lo + 1) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      val x = xs.filter(_._2 < split).map(_._3).sum
+      val y = xs.filter(_._2 >= split).map(_._3).sum
+      (u, BigInt(x), BigInt(y), hash60(s"cuped:$u") % 2)
+    }.toSeq
+    val n = BigInt(perUser.size)
+    val sx = perUser.map(_._2).sum
+    val sy = perUser.map(_._3).sum
+    val sxx = perUser.map(p => p._2 * p._2).sum
+    val syy = perUser.map(p => p._3 * p._3).sum
+    val sxy = perUser.map(p => p._2 * p._3).sum
+    val n1 = BigInt(perUser.map(_._4).sum)
+    val n0 = n - n1
+    val sx1 = perUser.filter(_._4 == 1).map(_._2).sum
+    val sy1 = perUser.filter(_._4 == 1).map(_._3).sum
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    def sdiv(a: BigInt, b: BigInt): BigInt = (if (a < 0) -1 else 1) * (a.abs / b)
+    val theta = sdiv(num * 1000000, denX)
+    val dRaw = sdiv((sy1 * n0 - (sy - sy1) * n1) * 1000000, n1 * n0)
+    val gapX = sx1 * n0 - (sx - sx1) * n1
+    val dCuped = dRaw - sdiv(theta * gapX, n1 * n0)
+    val rho2 = num * num * 1000000 / (denX * denY)
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == n1.toLong && row.getLong(2) == n0.toLong)
+    assert(row.getLong(3) == theta.toLong)
+    assert(row.getLong(4) == dRaw.toLong)
+    assert(row.getLong(5) == dCuped.toLong)
+    assert(row.getLong(6) == rho2.toLong)
+    assert(rho2 >= 0 && rho2 <= 1000000)
+  }
+
+  test("ar2: Yule-Walker replay from the day series; in-sample AR(2) beats the naive forecast") {
+    val row = AnalyticsExt.ar2Forecast(spark, sf).collect().head
+    val byDay = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2).sum / 100) }
+      .toSeq
+      .sortBy(_._1)
+    val n = BigInt(byDay.size)
+    val s = byDay.map(x => BigInt(x._2)).sum
+    def sdiv(a: BigInt, b: BigInt): BigInt = (if (a < 0) -1 else 1) * (a.abs / b)
+    val v = byDay.map { case (_, x) => sdiv(n * x - s, n) }
+    val c0 = v.map(u => u * u).sum
+    val c1 = v.zip(v.drop(1)).map { case (a, b) => a * b }.sum
+    val c2 = v.zip(v.drop(2)).map { case (a, b) => a * b }.sum
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == c0.toLong && row.getLong(2) == c1.toLong && row.getLong(3) == c2.toLong)
+    val c0s = sdiv(c0, 1000); val c1s = sdiv(c1, 1000); val c2s = sdiv(c2, 1000)
+    val den = c0s * c0s - c1s * c1s
+    assert(den > 0)
+    val phi1 = sdiv(c1s * (c0s - c2s) * 1000000, den)
+    val phi2 = sdiv((c0s * c2s - c1s * c1s) * 1000000, den)
+    assert(row.getLong(4) == phi1.toLong && row.getLong(5) == phi2.toLong)
+    // backtest replay on the e6 grid
+    val muE6 = s * 1000000 / n
+    val xs = byDay.map(x => BigInt(x._2))
+    val terms = (2 until xs.size).map { t =>
+      val pred = muE6 + phi1 * v(t - 1) + phi2 * v(t - 2)
+      val errAr = (xs(t) * 1000000 - pred).abs
+      val errNaive = (xs(t) - xs(t - 1)).abs * 1000000
+      (errAr, errNaive)
+    }
+    val sumAr = terms.map(_._1).sum
+    val sumNaive = terms.map(_._2).sum
+    val nScored = BigInt(terms.size)
+    assert(row.getLong(6) == nScored.toLong)
+    assert(row.getLong(7) == (sumAr / (nScored * 1000000)).toLong)
+    assert(row.getLong(8) == (sumNaive / (nScored * 1000000)).toLong)
+    val ratio = sumAr * 1000000 / sumNaive
+    assert(row.getLong(9) == ratio.toLong)
+    // the fitted AR(2) must beat last-value persistence in-sample
+    assert(ratio < 1000000)
+  }
+}
