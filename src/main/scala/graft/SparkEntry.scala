@@ -168,6 +168,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     "ann_triplets" -> ((s: SparkSession, d: String) => Similarity.tripletMine(s, d)),
     "ann_centroid_assign" -> (Similarity.centroidAssign _),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
+    // Label-filtered IVF search + pre/post strategy scorecard (§2 #435/#436)
+    "ann_filtered" -> ((s, d) => FilteredAnn.filteredSearch(s, d)),
+    "ann_filtered_recall" -> ((s, d) => FilteredAnn.filteredEval(s, d)),
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),
     // Document chunking with overlap (§2 #154)

@@ -632,6 +632,111 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
             FROM scored)
           WHERE rank <= 10"""
     },
+    "ann_filtered" -> {
+      // the #72 replay with the label predicate pushed into the probe
+      s"""WITH ${ivfTrainCtes},
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                  CAST(label AS BIGINT) AS q_label
+                FROM embeddings WHERE vec_id < 10),
+          qc AS (SELECT query_id, q_label, cell FROM (
+              SELECT q.query_id, q.q_label, c.cell,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY floor(list_cosine_similarity(
+                    q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM q, c3 c) WHERE rn <= 2),
+          cand AS (
+            SELECT DISTINCT qc.query_id, a.vec_id
+            FROM acorp a JOIN qc ON a.cell = qc.cell
+                 JOIN embeddings el ON el.vec_id = a.vec_id
+            WHERE a.vec_id <> qc.query_id
+              AND CAST(el.label AS BIGINT) = qc.q_label),
+          scored AS (
+            SELECT cand.query_id, cand.vec_id,
+              round(list_cosine_similarity(
+                e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) AS cos
+            FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                      JOIN embeddings eq ON eq.vec_id = cand.query_id)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM scored)
+          WHERE rank <= 10"""
+    },
+    "ann_filtered_recall" -> {
+      // shared train CTEs; pre/post/truth as top-10 sets, two
+      // aggregate rows
+      s"""WITH ${ivfTrainCtes},
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                  CAST(label AS BIGINT) AS q_label
+                FROM embeddings WHERE vec_id < 10),
+          qc AS (SELECT query_id, q_label, cell FROM (
+              SELECT q.query_id, q.q_label, c.cell,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY floor(list_cosine_similarity(
+                    q.q_emb::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
+                    DESC, c.cell) AS rn
+              FROM q, c3 c) WHERE rn <= 2),
+          candf AS (
+            SELECT DISTINCT qc.query_id, a.vec_id
+            FROM acorp a JOIN qc ON a.cell = qc.cell
+                 JOIN embeddings el ON el.vec_id = a.vec_id
+            WHERE a.vec_id <> qc.query_id
+              AND CAST(el.label AS BIGINT) = qc.q_label),
+          candu AS (
+            SELECT DISTINCT qc.query_id, a.vec_id
+            FROM acorp a JOIN qc ON a.cell = qc.cell
+            WHERE a.vec_id <> qc.query_id),
+          pre AS (SELECT query_id, vec_id FROM (
+              SELECT c.query_id, c.vec_id,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) DESC,
+                  c.vec_id) AS rank
+              FROM candf c JOIN embeddings e ON e.vec_id = c.vec_id
+                           JOIN embeddings eq ON eq.vec_id = c.query_id)
+            WHERE rank <= 10),
+          post0 AS (SELECT query_id, vec_id FROM (
+              SELECT c.query_id, c.vec_id,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], eq.embedding::DOUBLE[]), 6) DESC,
+                  c.vec_id) AS rank
+              FROM candu c JOIN embeddings e ON e.vec_id = c.vec_id
+                           JOIN embeddings eq ON eq.vec_id = c.query_id)
+            WHERE rank <= 10),
+          post AS (
+            SELECT p.query_id, p.vec_id
+            FROM post0 p JOIN embeddings el ON el.vec_id = p.vec_id
+                 JOIN q ON q.query_id = p.query_id
+            WHERE CAST(el.label AS BIGINT) = q.q_label),
+          truth AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC,
+                  e.vec_id) AS rank
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id
+                AND CAST(e.label AS BIGINT) = q.q_label)
+            WHERE rank <= 10)
+          SELECT 'prefilter' AS strategy,
+            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+            (SELECT CAST(count(*) AS BIGINT) FROM pre) AS n_returned,
+            (SELECT CAST(count(*) AS BIGINT) FROM pre JOIN truth
+               USING (query_id, vec_id)) AS n_hits,
+            CAST((SELECT count(*) FROM pre JOIN truth USING (query_id, vec_id))
+              * 1000000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_e6
+          UNION ALL
+          SELECT 'postfilter',
+            (SELECT CAST(count(*) AS BIGINT) FROM truth),
+            (SELECT CAST(count(*) AS BIGINT) FROM post),
+            (SELECT CAST(count(*) AS BIGINT) FROM post JOIN truth
+               USING (query_id, vec_id)),
+            CAST((SELECT count(*) FROM post JOIN truth USING (query_id, vec_id))
+              * 1000000 // (SELECT count(*) FROM truth) AS BIGINT)"""
+    },
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                     FROM embeddings WHERE vec_id < 10)

@@ -100,7 +100,7 @@ object Similarity {
   private def corpusSize(spark: SparkSession, dir: String): Long =
     Tables.embeddings(spark, dir).count()
 
-  private def queryVectors(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def queryVectors(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
       .filter(col("vec_id") < 10)
@@ -1053,7 +1053,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("l2_norm"), col("pos").cast("long").as("pos"), col("q"))
 
   /** Materialize a centroid model as a broadcastable DataFrame. */
-  private def centroidsDf(
+  private[operators] def centroidsDf(
       spark: SparkSession, cents: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     cents.toDF("cell", "centroid")
@@ -1068,14 +1068,14 @@ object Similarity {
     * half-way tie the way round() does). Ties the coarser grid
     * creates break on `cell`, which is engine-identical.
     */
-  private def ccosE4(vec: String, cent: String): Column =
+  private[operators] def ccosE4(vec: String, cent: String): Column =
     floor(expr(s"cosine_sim($vec, $cent)") * 10000d + lit(0.5))
 
   /** Nearest-cell assignment of the whole corpus: one broadcast join
     * over a single scan, top-1 via WindowGroupLimit, ranked on the
     * [[ccosE4]] quantized cosine.
     */
-  private def ivfAssign(spark: SparkSession, dir: String, cdf: DataFrame): DataFrame = {
+  private[operators] def ivfAssign(spark: SparkSession, dir: String, cdf: DataFrame): DataFrame = {
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
     Tables
       .embeddings(spark, dir)
@@ -1115,7 +1115,7 @@ object Similarity {
     * different path. e4 precision costs the quantizer nothing: cell
     * boundaries are O(10⁻¹)-scale cosine gaps.
     */
-  private def trainCentroids(
+  private[operators] def trainCentroids(
       spark: SparkSession, dir: String, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
     GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
