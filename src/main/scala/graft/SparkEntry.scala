@@ -171,6 +171,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     // Label-filtered IVF search + pre/post strategy scorecard (§2 #435/#436)
     "ann_filtered" -> ((s, d) => FilteredAnn.filteredSearch(s, d)),
     "ann_filtered_recall" -> ((s, d) => FilteredAnn.filteredEval(s, d)),
+    // k-means|| scalable seeding + seeding-cost scorecard (§2 #437/#438)
+    "ann_kmeanspar" -> ((s, d) => KmeansPar.seeds(s, d)),
+    "ann_kmeanspar_eval" -> ((s, d) => KmeansPar.seedingEval(s, d)),
     // Text analysis (§2 #30-32)
     "text_tokens" -> (TextOps.tokenCounts _),
     // Document chunking with overlap (§2 #154)

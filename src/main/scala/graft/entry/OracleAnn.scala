@@ -632,6 +632,53 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
             FROM scored)
           WHERE rank <= 10"""
     },
+    "ann_kmeanspar" -> {
+      val k = graft.operators.KmeansPar.FinalK
+      val rows = (1 to k)
+        .map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS sel_rank,
+               (SELECT vec_id FROM g$r) AS vec_id,
+               (SELECT w FROM g$r) AS weight,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates""")
+        .mkString("\n          UNION ALL ")
+      s"""WITH $kmeansParCtes
+          $rows"""
+    },
+    "ann_kmeanspar_eval" -> {
+      val d = EmbeddingDim
+      val k = graft.operators.KmeansPar.FinalK
+      def costCte(name: String, seedSet: String) =
+        s"""c_$name AS (SELECT CAST(sum(md) AS BIGINT) AS c FROM (
+             SELECT a.vec_id,
+               min(list_sum([(a.q[i] - s.q[i]) * (a.q[i] - s.q[i])
+                 for i in generate_series(1, $d)])) AS md
+             FROM e a, $seedSet s GROUP BY 1))"""
+      val selUnion = (1 to k).map(i => s"SELECT vec_id, q FROM g$i").mkString(" UNION ALL ")
+      s"""WITH $kmeansParCtes,
+          sel AS MATERIALIZED ($selUnion),
+          unif AS MATERIALIZED (
+            SELECT vec_id, q FROM e
+            ORDER BY ('0x' || substr(md5('kmunif:' || vec_id), 1, 15))::BIGINT
+              % 1000000000000, vec_id
+            LIMIT $k),
+          fk AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k),
+          ${costCte("sel", "sel")},
+          ${costCte("unif", "unif")},
+          ${costCte("fk", "fk")}
+          SELECT 'kmeans_par' AS seeding, CAST($k AS BIGINT) AS n_seeds,
+            c_sel.c AS cost,
+            CAST(CAST(c_sel.c AS HUGEINT) * 1000000 // c_unif.c AS BIGINT)
+              AS ratio_vs_uniform_e6
+          FROM c_sel, c_unif
+          UNION ALL
+          SELECT 'uniform', CAST($k AS BIGINT), c_unif.c,
+            CAST(1000000 AS BIGINT)
+          FROM c_unif
+          UNION ALL
+          SELECT 'first_k', CAST($k AS BIGINT), c_fk.c,
+            CAST(CAST(c_fk.c AS HUGEINT) * 1000000 // c_unif.c AS BIGINT)
+          FROM c_fk, c_unif"""
+    },
     "ann_filtered" -> {
       // the #72 replay with the label predicate pushed into the probe
       s"""WITH ${ivfTrainCtes},

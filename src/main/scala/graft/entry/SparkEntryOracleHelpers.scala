@@ -1019,6 +1019,73 @@ private[graft] trait SparkEntryOracleHelpers {
     */
   val EmbeddingDim = 64
 
+  /** Generated replay of the #437 k-means|| build (KmeansPar): the
+    * e4-grid corpus, [[graft.operators.KmeansPar.Rounds]] hash-draw
+    * oversampling rounds, nearest-candidate weights, and the
+    * [[graft.operators.KmeansPar.FinalK]] unrolled weighted-greedy
+    * selection rounds — shared by `ann_kmeanspar` and
+    * `ann_kmeanspar_eval` so both oracles replay ONE construction.
+    */
+  protected def kmeansParCtes: String = {
+    val d = EmbeddingDim
+    val rounds = graft.operators.KmeansPar.Rounds
+    val ell = graft.operators.KmeansPar.Oversample
+    val k = graft.operators.KmeansPar.FinalK
+    def d2(a: String, b: String) =
+      s"list_sum([($a.q[i] - $b.q[i]) * ($a.q[i] - $b.q[i]) for i in generate_series(1, $d)])"
+    val sb = new StringBuilder
+    sb.append(s"""e AS MATERIALIZED (
+          SELECT vec_id,
+            [CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)
+             for i in generate_series(1, $d)] AS q
+          FROM embeddings),
+        k0 AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        d$r AS MATERIALIZED (
+          SELECT a.vec_id, min(${d2("a", "s")}) AS d2
+          FROM e a, k${r - 1} s GROUP BY a.vec_id),
+        p$r AS (SELECT CAST(sum(d2) AS HUGEINT) AS phi FROM d$r),
+        n$r AS MATERIALIZED (
+          SELECT d.vec_id FROM d$r d, p$r
+          WHERE ('0x' || substr(md5('kmpar:$r:' || d.vec_id), 1, 15))::BIGINT
+                % 1000000000000
+              < least(1000000000000,
+                  CAST($ell AS HUGEINT) * d.d2 * 1000000000000 // phi)),
+        k$r AS MATERIALIZED (
+          SELECT DISTINCT vec_id, q FROM (
+            SELECT vec_id, q FROM k${r - 1}
+            UNION ALL
+            SELECT e.vec_id, e.q FROM n$r JOIN e USING (vec_id)))""")
+    }
+    sb.append(s""",
+        wgt AS MATERIALIZED (
+          SELECT cand_id, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT a.vec_id, s.vec_id AS cand_id,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ${d2("a", "s")}, s.vec_id) AS rn
+            FROM e a, k$rounds s) WHERE rn = 1 GROUP BY 1),
+        cand AS MATERIALIZED (
+          SELECT k.vec_id, k.q, coalesce(w.w, CAST(0 AS BIGINT)) AS w
+          FROM k$rounds k LEFT JOIN wgt w ON w.cand_id = k.vec_id),
+        g1 AS MATERIALIZED (
+          SELECT vec_id, q, w FROM cand ORDER BY w DESC, vec_id LIMIT 1)""")
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"SELECT vec_id, q FROM g$i").mkString(" UNION ALL ")
+      sb.append(s""",
+        ch$r AS MATERIALIZED ($prev),
+        g$r AS MATERIALIZED (
+          SELECT vec_id, q, w FROM (
+            SELECT c.vec_id, c.q, c.w,
+              min(${d2("c", "s")}) AS md
+            FROM cand c, ch$r s
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM ch$r)
+            GROUP BY c.vec_id, c.q, c.w)
+          ORDER BY CAST(w AS HUGEINT) * md DESC, vec_id LIMIT 1)""")
+    }
+    sb.toString
+  }
+
   /** Generated replay of the md5-quantized Poisson bootstrap for
     * `q_bootstrap_ci`: `range(0, b)` replicas and the discrete
     * 2.5%/97.5% ranks derived from the SAME formulas as
