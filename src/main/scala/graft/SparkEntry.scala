@@ -703,6 +703,14 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_cuped" -> ((s: SparkSession, d: String) => AnalyticsExt.cuped(s, d)),
     // Yule-Walker AR(2) fit + one-step backtest (§2 #432)
     "q_ar2_forecast" -> ((s: SparkSession, d: String) => AnalyticsExt.ar2Forecast(s, d)),
+    // Split-conformal prediction interval + honest coverage (§2 #439)
+    "q_conformal" -> ((s: SparkSession, d: String) => AnalyticsExt.conformal(s, d)),
+    // Isotonic calibration via the minimax closed form (§2 #440)
+    "q_isotonic" -> ((s: SparkSession, d: String) => AnalyticsExt.isotonic(s, d)),
+    // Cochran-Armitage ordered trend test (§2 #441)
+    "q_trend_test" -> ((s: SparkSession, d: String) => AnalyticsExt.trendTest(s, d)),
+    // Chapman capture-recapture corpus-size estimate (§2 #442)
+    "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Cohen's kappa of the language-ID heuristic (§2 #321)
     "text_lang_kappa" -> (TextStats.langKappa _),
     // Order-vs-lineitem reconciliation audit (§2 #322)

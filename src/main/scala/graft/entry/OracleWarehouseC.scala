@@ -128,6 +128,129 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
              CAST(num * num * 1000000 // (den_x * den_y) AS BIGINT)
            ELSE NULL END AS rho2_e6
          FROM th""",
+    "q_conformal" ->
+      // day thirds: slot-mean model on train, exact-rank qhat on
+      // calibration (r = ceil(0.9*(n+1)) clamped), coverage on test
+      """WITH byday AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                    AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT min(day) + (max(day) - min(day) + 1) // 3 AS t1,
+             min(day) + 2 * ((max(day) - min(day) + 1) // 3) AS t2
+           FROM byday),
+         ph AS (SELECT day, day % 7 AS slot, y, t1, t2 FROM byday, b),
+         model AS (
+           SELECT slot, CAST(sum(y) // count(*) AS BIGINT) AS yhat
+           FROM ph WHERE day < t1 GROUP BY 1),
+         cal AS (
+           SELECT p.day, abs(p.y - m.yhat) AS score
+           FROM ph p JOIN model m ON m.slot = p.slot
+           WHERE p.day >= t1 AND p.day < t2),
+         q AS (
+           SELECT n_cal, score AS qhat FROM (
+             SELECT score,
+               row_number() OVER (ORDER BY score, day) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n_cal
+             FROM cal)
+           WHERE r = least(n_cal, (9 * (n_cal + 1) + 9) // 10)),
+         tr AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_train FROM ph WHERE day < t1)
+         SELECT tr.n_train, q.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(max(q.qhat) AS BIGINT) AS qhat,
+           CAST(sum(CASE WHEN abs(p.y - m.yhat) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(sum(CASE WHEN abs(p.y - m.yhat) <= q.qhat THEN 1 ELSE 0 END)
+             * 1000000 // count(*) AS BIGINT) AS coverage_e6,
+           CAST(900000 AS BIGINT) AS target_e6
+         FROM ph p JOIN model m ON m.slot = p.slot, q, tr
+         WHERE p.day >= t2
+         GROUP BY tr.n_train, q.n_cal""",
+    "q_trend_test" ->
+      // Cochran-Armitage: A = N*Swy - Y*Swn, z2 = A^2*N/(Y(N-Y)(N*Sw2n-Swn^2))
+      """WITH g AS (
+           SELECT least(4, CAST(floor(l_quantity - 0.5) AS BIGINT) // 10) AS w,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS yy
+           FROM lineitem GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS bign, CAST(sum(yy) AS BIGINT) AS bigy,
+             CAST(sum(w * yy) AS BIGINT) AS swy, CAST(sum(w * n) AS BIGINT) AS swn,
+             CAST(sum(w * w * n) AS BIGINT) AS sw2n
+           FROM g),
+         s AS (
+           SELECT *,
+             CAST(bign AS HUGEINT) * swy - CAST(bigy AS HUGEINT) * swn AS a,
+             CAST(bigy AS HUGEINT) * (bign - bigy) *
+               (CAST(bign AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn) AS den
+           FROM m)
+         SELECT n_groups, bign AS n_lines, bigy AS n_returned,
+           CAST(a AS BIGINT) AS t_num,
+           CASE WHEN den > 0 THEN
+             CAST(a * a * bign * 1000000 // den AS BIGINT)
+           ELSE NULL END AS z2_e6,
+           CASE WHEN den > 0 AND a * a * bign * 1000000 // den >= 3841459
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS significant_95
+         FROM s""",
+    "dedup_capture" ->
+      // Chapman estimator over two independent hash-drawn crawls,
+      // captured units = distinct content fingerprints
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         m AS (
+           SELECT fp,
+             max(CASE WHEN ('0x' || substr(md5('capA:' || doc_id), 1, 15))::BIGINT
+                   % 100 < 30 THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN ('0x' || substr(md5('capB:' || doc_id), 1, 15))::BIGINT
+                   % 100 < 30 THEN 1 ELSE 0 END) AS b
+           FROM d GROUP BY 1),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(b) AS BIGINT) AS n_b, CAST(sum(a * b) AS BIGINT) AS n_both
+           FROM m)
+         SELECT n_a, n_b, n_both,
+           CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT) AS n_hat,
+           n_true,
+           CAST((CASE WHEN (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_true < 0
+                   THEN -1 ELSE 1 END)
+             * (abs((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_true) * 1000000
+                // n_true) AS BIGINT) AS err_e6
+         FROM s""",
+    "q_isotonic" ->
+      // minimax isotonic: max_{j<=i} min_{k>=i} pooled rate on [j,k];
+      // ordering on the e15 key, report floor-of-floor = e6 floor
+      """WITH base AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+           FROM orders),
+         b AS (SELECT min(c) AS lo, max(c) AS hi FROM base),
+         bins AS (
+           SELECT least(9, ((c - lo) * 10) // (hi - lo + 1)) AS bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+           FROM base, b GROUP BY 1),
+         iv AS (
+           SELECT j.bin AS j, k.bin AS k,
+             CAST(sum(m.n) AS BIGINT) AS nn, CAST(sum(m.s) AS BIGINT) AS ss
+           FROM bins j, bins k, bins m
+           WHERE j.bin <= k.bin AND m.bin BETWEEN j.bin AND k.bin
+           GROUP BY 1, 2),
+         ivk AS (
+           SELECT j, k,
+             CAST(CAST(ss AS HUGEINT) * 1000000000000000 // nn AS BIGINT) AS key15
+           FROM iv),
+         mn AS (
+           SELECT i.bin AS i, v.j, min(v.key15) AS mn
+           FROM bins i JOIN ivk v ON v.j <= i.bin AND i.bin <= v.k
+           GROUP BY 1, 2),
+         iso AS (
+           SELECT i AS bin, max(mn) // 1000000000 AS rate_iso_e6
+           FROM mn GROUP BY 1)
+         SELECT bins.bin, n, s,
+           CAST(s * 1000000 // n AS BIGINT) AS rate_raw_e6,
+           CAST(rate_iso_e6 AS BIGINT) AS rate_iso_e6
+         FROM bins JOIN iso ON iso.bin = bins.bin""",
     "q_ar2_forecast" ->
       // Yule-Walker over dollar-grid deviations; staged phi quotients
       // (num // greatest(den // 1e6, 1)); e6 backtest vs naive

@@ -181,6 +181,240 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
                 ELSE NULL END""").as("rho2_e6"))
   }
 
+  /** #439 Split-conformal prediction interval (Vovk's conformal
+    * framework in the Lei et al. 2018 split form — the
+    * distribution-free interval every forecast SLA wants: pick any
+    * point model, compute |y − ŷ| nonconformity on a held-out
+    * calibration set, and the ⌈(n+1)(1−α)⌉-th smallest score is a
+    * width with finite-sample ≥ 1−α coverage under exchangeability).
+    * Day thirds: TRAIN fits the model (per-weekday-slot mean of daily
+    * order revenue — deliberately simple; conformal's point is that
+    * the GUARANTEE never depends on the model), CALIBRATION supplies
+    * the scores and q̂ at α = 0.1, TEST reports the honest empirical
+    * coverage (time series are not exchangeable — the measured number
+    * IS the finding, reported beside the 0.9 target). All cents-grid
+    * integers: slot means by truncating div, q̂ by the exact rank
+    * r = ⌈0.9·(n_cal+1)⌉ over the calibration day frame (≤
+    * #calendar-days rows — documented PlanDisciplineSpec exception),
+    * coverage e6-floored.
+    */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(sum("c").as("y"))
+      .withColumn("slot", expr("day % 7"))
+    val bounds = byDay.agg(
+      expr("min(day) + (max(day) - min(day) + 1) div 3").as("t1"),
+      expr("min(day) + 2 * ((max(day) - min(day) + 1) div 3)").as("t2"))
+    // no mid-plan cut: the day aggregate is calendar-bounded and
+    // cheap to re-plan per consumer, and an uncut plan keeps every
+    // window visible to the PlanDisciplineSpec walker
+    val phased = byDay.crossJoin(broadcast(bounds))
+    val model = phased
+      .filter(col("day") < col("t1"))
+      .groupBy("slot")
+      .agg(sum("y").as("sy"), count(lit(1)).as("ns"))
+      .select(col("slot"), expr("sy div ns").as("yhat"))
+    val cal = phased
+      .filter(col("day") >= col("t1") && col("day") < col("t2"))
+      .join(broadcast(model), "slot")
+      .select(col("day"), abs(col("y") - col("yhat")).as("score"))
+    val qhat = cal
+      .withColumn("r", row_number().over(Window.orderBy(col("score"), col("day"))).cast("long"))
+      .withColumn(
+        "n_cal",
+        count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("r") === expr("least(n_cal, (9 * (n_cal + 1) + 9) div 10)"))
+      .select(col("n_cal"), col("score").as("qhat"))
+    phased
+      .filter(col("day") >= col("t2"))
+      .join(broadcast(model), "slot")
+      .crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(
+        phased.agg(sum((col("day") < col("t1")).cast("long")).as("n_train"))))
+      .agg(
+        max("n_train").as("n_train"),
+        max("n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max("qhat").as("qhat"),
+        sum((abs(col("y") - col("yhat")) <= col("qhat")).cast("long")).as("n_covered"))
+      .select(
+        col("n_train"),
+        col("n_cal"),
+        col("n_test"),
+        col("qhat"),
+        col("n_covered"),
+        expr("CAST(n_covered * 1000000 div n_test AS BIGINT)").as("coverage_e6"),
+        lit(900000L).as("target_e6"))
+  }
+
+  /** #442 Capture–recapture corpus-size estimate (Chapman 1951's
+    * bias-corrected Lincoln–Petersen: N̂ = (nA+1)(nB+1)/(m+1) − 1) —
+    * the two-sample answer to "how many DISTINCT documents exist"
+    * when no crawl sees everything: two independent samples, the
+    * overlap rate prices the coverage, the estimator inverts it. The
+    * sample-based member beside #20's HLL (one full scan, hashes
+    * everything) and #148's KMV overlap (sketch intersection): here
+    * each crawl touches ~30% of the corpus and the estimate comes
+    * from 2 sample scans — what an operator estimating a 100 TB
+    * crawl frontier actually runs. Crawls are #86 hash draws
+    * (`capA:`/`capB:` salts — independent by construction, the
+    * assumption the estimator needs); the captured UNITS are distinct
+    * content fingerprints (md5 of text), so cross-crawl duplicates
+    * collapse exactly as they would in a dedup pass. Scorecard in the
+    * same row (§15.4): N̂ vs the true distinct-fingerprint count,
+    * signed error e6.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val marked = docs
+      .withColumn(
+        "in_a",
+        (pmod(Dedup.hash60(concat(lit("capA:"), col("doc_id"))), lit(100L)) < 30).cast("long"))
+      .withColumn(
+        "in_b",
+        (pmod(Dedup.hash60(concat(lit("capB:"), col("doc_id"))), lit(100L)) < 30).cast("long"))
+      .groupBy("fp")
+      .agg(max("in_a").as("a"), max("in_b").as("b"))
+    marked
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum("a").as("n_a"),
+        sum("b").as("n_b"),
+        sum(expr("a * b")).as("n_both"))
+      .select(
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        expr("CAST((n_a + 1) * (n_b + 1) div (n_both + 1) - 1 AS BIGINT)").as("n_hat"),
+        col("n_true"),
+        expr("""CAST((CASE WHEN (n_a + 1) * (n_b + 1) div (n_both + 1) - 1 - n_true < 0
+                       THEN -1 ELSE 1 END)
+                 * (abs((n_a + 1) * (n_b + 1) div (n_both + 1) - 1 - n_true) * 1000000
+                    div n_true) AS BIGINT)""").as("err_e6"))
+  }
+
+  /** #441 Cochran–Armitage trend test (Cochran 1954 / Armitage 1955):
+    * does a binary rate TREND across ordered groups — the ordered
+    * companion to #189's χ² (which sees association but is blind to
+    * order: a V-shaped rate passes χ² loudly and CA silently, a
+    * monotone drift does the reverse). Groups = the five 10-unit
+    * lineitem quantity bands with scores w = 0..4, outcome = the
+    * line was returned. Exact integer z²: A = N·Σwy − Y·Σwn,
+    * z² = A²·N / (Y(N−Y)(N·Σnw² − (Σnw)²)) — every product staged
+    * through DECIMAL(38,0), the #254 squared-statistic trick (no
+    * sqrt), compared to the χ²₁ 95% point 3.841459 on the e6 grid.
+    * One partial-agg pass + a 1-row fold; per-group rates reported
+    * beside the statistic so the read is auditable.
+    */
+  def trendTest(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .lineitem(spark, dir)
+      .select(
+        expr("least(4L, CAST(floor(l_quantity - 0.5) AS BIGINT) div 10)").as("w"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"), sum("y").as("yy"))
+    g.agg(
+      count(lit(1)).as("n_groups"),
+      sum("n").as("bign"),
+      sum("yy").as("bigy"),
+      sum(expr("w * yy")).as("swy"),
+      sum(expr("w * n")).as("swn"),
+      sum(expr("w * w * n")).as("sw2n"))
+      .withColumn(
+        "a",
+        expr("CAST(bign AS DECIMAL(38,0)) * swy - CAST(bigy AS DECIMAL(38,0)) * swn"))
+      .withColumn(
+        "den",
+        expr("""CAST(bigy AS DECIMAL(38,0)) * (bign - bigy) *
+                 (CAST(bign AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn)"""))
+      .select(
+        col("n_groups"),
+        col("bign").as("n_lines"),
+        col("bigy").as("n_returned"),
+        col("a").cast("long").as("t_num"),
+        expr("""CASE WHEN den > 0 THEN
+                  CAST(a * a * bign * 1000000 div den AS BIGINT)
+                ELSE NULL END""").as("z2_e6"),
+        expr("""CASE WHEN den > 0 AND a * a * bign * 1000000 div den >= 3841459
+                  THEN 1L ELSE 0L END""").as("significant_95"))
+  }
+
+  /** #440 Isotonic calibration via the minimax closed form (PAVA's
+    * fixed point, Ayer et al. 1955 / Robertson-Wright-Dykstra: the
+    * isotonic fit at bin i equals max over j ≤ i of min over k ≥ i of
+    * the pooled rate Σs/Σn on [j, k]) — the monotone recalibration
+    * every score-producing model gets before deployment, and the
+    * NONPARAMETRIC upgrade over #233's reliability read (that
+    * DESCRIBES miscalibration per bin; this FIXES it under the
+    * monotonicity assumption). The closed form is the point for a
+    * distributed engine: the textbook pool-adjacent-violators loop is
+    * sequential, but over b bins the minimax needs only the O(b²)
+    * interval-pooled rates — all joins on the b-row aggregate,
+    * corpus-independent, no iteration, no windows.
+    *
+    * Bins: 10 equal-width order-value bands (the shard idiom);
+    * outcome = order status 'F'. Fraction ORDERING on the e15
+    * truncated-quotient key (distinct pooled rates differ by ≥
+    * 1/(N_a·N_b), so e15 resolves exactly through ~sf100; the e6
+    * report is floor-of-floor = the direct e6 floor). Spec replays
+    * the sequential PAVA driver-side and asserts the closed form
+    * lands on the same pools — the two-formulation identity.
+    */
+  def isotonic(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, dir)
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+    val bounds = base.agg(min("c").as("lo"), max("c").as("hi"))
+    val bins = base
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("least(9L, ((c - lo) * 10) div (hi - lo + 1))"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val ids = bins.select(col("bin"))
+    val pairs = ids
+      .select(col("bin").as("j"))
+      .crossJoin(broadcast(ids.select(col("bin").as("k"))))
+      .filter(col("j") <= col("k"))
+    val intervals = pairs
+      .join(broadcast(bins.select(col("bin").as("m"), col("n"), col("s"))),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy("j", "k")
+      .agg(sum("n").as("nn"), sum("s").as("ss"))
+      .withColumn(
+        "key15",
+        expr("CAST(CAST(ss AS DECIMAL(38,0)) * 1000000000000000 div nn AS BIGINT)"))
+    val cand = ids
+      .select(col("bin").as("i"))
+      .join(broadcast(intervals), col("j") <= col("i") && col("i") <= col("k"))
+    val iso = cand
+      .groupBy("i", "j")
+      .agg(min("key15").as("mn"))
+      .groupBy("i")
+      .agg(max("mn").as("mx"))
+      .select(col("i").as("bin"), expr("mx div 1000000000").as("rate_iso_e6"))
+    bins
+      .join(broadcast(iso), "bin")
+      .select(
+        col("bin"),
+        col("n"),
+        col("s"),
+        expr("CAST(s * 1000000 div n AS BIGINT)").as("rate_raw_e6"),
+        col("rate_iso_e6"))
+  }
+
   /** #432 Yule–Walker AR(2) fit + one-step backtest: fit daily order
     * revenue's autoregressive structure from its first two
     * autocovariances (the method-of-moments solve every classical

@@ -155,7 +155,10 @@ class PlanDisciplineSpec extends SparkSpec {
       "q_ar2_forecast" -> (2 ->
         ("lag-2 frame over a PER-DAY aggregate: <= #calendar-days rows; " +
           "planned twice — once under the 1-row co-moment fold, once under " +
-          "the backtest scan (the q_imr_chart planned-twice precedent)")))
+          "the backtest scan (the q_imr_chart planned-twice precedent)")),
+      "q_conformal" -> (2 ->
+        ("calibration-score rank + global count over a PER-DAY aggregate: " +
+          "<= #calendar-days rows (the q_runs_test pattern)")))
     val unresolved = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val wins =
         try {

@@ -109,6 +109,140 @@ class StatsBSpec extends SparkSpec {
     assert(rho2 >= 0 && rho2 <= 1000000)
   }
 
+  test("conformal: full split replay; empirical coverage lands near the 0.9 target") {
+    val row = AnalyticsExt.conformal(spark, sf).collect().head
+    val byDay = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val lo = byDay.map(_._1).min
+    val hi = byDay.map(_._1).max
+    val t1 = lo + (hi - lo + 1) / 3
+    val t2 = lo + 2 * ((hi - lo + 1) / 3)
+    val train = byDay.filter(_._1 < t1)
+    val model = train.groupBy(_._1 % 7).map { case (s, xs) =>
+      s -> xs.map(_._2).sum / xs.size
+    }
+    val calScores = byDay
+      .filter(d => d._1 >= t1 && d._1 < t2)
+      .map { case (d, y) => (math.abs(y - model(d % 7)), d) }
+      .sorted
+    val nCal = calScores.size.toLong
+    val r = math.min(nCal, (9 * (nCal + 1) + 9) / 10).toInt
+    val qhat = calScores(r - 1)._1
+    val test = byDay.filter(_._1 >= t2)
+    val covered = test.count { case (d, y) => math.abs(y - model(d % 7)) <= qhat }
+    assert(row.getLong(0) == train.size.toLong)
+    assert(row.getLong(1) == nCal && row.getLong(2) == test.size.toLong)
+    assert(row.getLong(3) == qhat)
+    assert(row.getLong(4) == covered.toLong)
+    assert(row.getLong(5) == covered.toLong * 1000000L / test.size)
+    // the distribution-free guarantee, read empirically: measured
+    // 0.895/0.908 at sf0.001/0.01 against the 0.9 target
+    assert(row.getLong(5) >= 820000L && row.getLong(5) <= 980000L)
+  }
+
+  test("isotonic: minimax closed form == sequential PAVA; monotone; mass conserved per pool") {
+    val rows = AnalyticsExt
+      .isotonic(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    // raw rates replay from the bin sums
+    rows.foreach { case (_, n, s, raw, _) => assert(raw == s * 1000000L / n) }
+    // monotone non-decreasing fit
+    rows.sliding(2).foreach { w => assert(w(0)._5 <= w(1)._5) }
+    // sequential pool-adjacent-violators on the same (n, s) bins must
+    // land on the same values — the two-formulation identity
+    var pools = rows.map { case (_, n, s, _, _) => (BigInt(n), BigInt(s)) }.toVector
+    var merged = true
+    while (merged) {
+      merged = false
+      val idx = pools.indices.dropRight(1).find { i =>
+        // rate_i > rate_{i+1}  <=>  s_i * n_{i+1} > s_{i+1} * n_i
+        pools(i)._2 * pools(i + 1)._1 > pools(i + 1)._2 * pools(i)._1
+      }
+      idx.foreach { i =>
+        val p = (pools(i)._1 + pools(i + 1)._1, pools(i)._2 + pools(i + 1)._2)
+        pools = pools.patch(i, Seq(p), 2)
+        merged = true
+      }
+    }
+    // expand pools back to per-bin values and compare on the e6 grid
+    val binN = rows.map(_._2)
+    var want = Vector.empty[Long]
+    var bi = 0
+    pools.foreach { case (pn, ps) =>
+      var acc = BigInt(0)
+      while (acc < pn) {
+        want :+= (ps * 1000000 / pn).toLong
+        acc += binN(bi)
+        bi += 1
+      }
+    }
+    assert(rows.map(_._5).toVector == want)
+  }
+
+  test("trend test: exact Cochran-Armitage replay; flag consistent with the statistic") {
+    val row = AnalyticsExt.trendTest(spark, sf).collect().head
+    val groups = graft.Tables
+      .lineitem(spark, sf)
+      .selectExpr(
+        "least(4L, CAST(floor(l_quantity - 0.5) AS BIGINT) div 10) AS w",
+        "CAST(l_returnflag = 'R' AS LONG) AS y")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (w, xs) => (w, BigInt(xs.size), BigInt(xs.map(_._2).sum)) }
+      .toSeq
+    val bigN = groups.map(_._2).sum
+    val bigY = groups.map(_._3).sum
+    val swy = groups.map(g => g._1 * g._3).sum
+    val swn = groups.map(g => g._1 * g._2).sum
+    val sw2n = groups.map(g => g._1 * g._1 * g._2).sum
+    val a = bigN * swy - bigY * swn
+    val den = bigY * (bigN - bigY) * (bigN * sw2n - swn * swn)
+    assert(row.getLong(0) == groups.size.toLong)
+    assert(row.getLong(1) == bigN.toLong && row.getLong(2) == bigY.toLong)
+    assert(row.getLong(3) == a.toLong)
+    val z2 = a * a * bigN * 1000000 / den
+    assert(row.getLong(4) == z2.toLong)
+    assert(row.getLong(5) == (if (z2 >= 3841459) 1L else 0L))
+  }
+
+  test("capture-recapture: Chapman replay; estimate brackets the true distinct count") {
+    val row = AnalyticsExt.captureRecapture(spark, sf).collect().head
+    val docs = graft.Tables
+      .documents(spark, sf)
+      .selectExpr("doc_id", "md5(text) AS fp")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byFp = docs.groupBy(_._2).values.toSeq.map { xs =>
+      val ids = xs.map(_._1)
+      (ids.exists(id => hash60(s"capA:$id") % 100 < 30),
+        ids.exists(id => hash60(s"capB:$id") % 100 < 30))
+    }
+    val nTrue = byFp.size.toLong
+    val nA = byFp.count(_._1).toLong
+    val nB = byFp.count(_._2).toLong
+    val m = byFp.count(p => p._1 && p._2).toLong
+    val nHat = (nA + 1) * (nB + 1) / (m + 1) - 1
+    assert(row.getLong(0) == nA && row.getLong(1) == nB && row.getLong(2) == m)
+    assert(row.getLong(3) == nHat && row.getLong(4) == nTrue)
+    // structural bounds + the measured accuracy band (11% here; 30%
+    // is the generous sampling-variance envelope at this corpus)
+    assert(m <= math.min(nA, nB) && nHat >= math.max(nA, nB))
+    assert(math.abs(row.getLong(5)) <= 300000L)
+  }
+
   test("ar2: Yule-Walker replay from the day series; in-sample AR(2) beats the naive forecast") {
     val row = AnalyticsExt.ar2Forecast(spark, sf).collect().head
     val byDay = graft.Tables
