@@ -82,6 +82,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_hst_eval" -> ((s: SparkSession, d: String) => Scale.hstOutlierEval(s, d)),
     // Scale techniques (§2 #43-46)
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
+    // Skew-salting advisor: per-key salt factors under the fair share (§2 #443)
+    "q_salt_advisor" -> ((s: SparkSession, d: String) => Scale.saltAdvisor(s, d)),
     "q_key_skew" -> (Scale.keySkew _),
     // Rendezvous sharding (§2 #155)
     "q_shard_rendezvous" -> ((s: SparkSession, d: String) => Scale.rendezvousShards(s, d)),

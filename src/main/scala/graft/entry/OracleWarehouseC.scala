@@ -168,6 +168,26 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
          FROM ph p JOIN model m ON m.slot = p.slot, q, tr
          WHERE p.day >= t2
          GROUP BY tr.n_train, q.n_cal""",
+    "q_salt_advisor" ->
+      // ceil divs as (a + b - 1) // b, positive operands everywhere
+      """WITH per AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS freq
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM per),
+         a AS (
+           SELECT event_type, freq, total,
+             (total + 31) // 32 AS t
+           FROM per, tot),
+         b AS (
+           SELECT *, (freq + t - 1) // t AS salt_factor FROM a)
+         SELECT event_type, freq,
+           CAST(freq * 1000000 // total AS BIGINT) AS share_e6,
+           t AS fair_share_rows,
+           salt_factor,
+           (freq + salt_factor - 1) // salt_factor AS post_salt_max_rows,
+           CAST((freq + salt_factor - 1) // salt_factor * 1000000 // total AS BIGINT)
+             AS post_share_e6
+         FROM b""",
     "q_trend_test" ->
       // Cochran-Armitage: A = N*Swy - Y*Swn, z2 = A^2*N/(Y(N-Y)(N*Sw2n-Swn^2))
       """WITH g AS (

@@ -1153,4 +1153,40 @@ object Scale {
         expr("CAST(planted_score_sum div n_planted AS BIGINT)").as("planted_mean_score"),
         expr("CAST(clean_score_sum div (n - n_planted) AS BIGINT)").as("clean_mean_score"))
   }
+
+  /** #443 Skew-salting advisor: turns #99's key-skew DIAGNOSTIC into
+    * the PRESCRIPTION #43's salted join consumes — per join key, the
+    * minimal salt factor that fits every salted sub-key under one
+    * shuffle partition's fair share. Key = event_type (the classic
+    * low-cardinality join-skew shape: 5 keys onto 32 partitions —
+    * hashing cannot spread what has fewer distinct values than
+    * partitions, salting is the ONLY fix). T = ⌈rows/nShards⌉ is the
+    * fair per-partition load; salt s = ⌈freq/T⌉ splits a hot key into
+    * s sub-keys of ⌈freq/s⌉ rows — and ⌈freq/⌈freq/T⌉⌉ ≤ T always, so
+    * the post-salt bound is exactly the fair share (the spec pins the
+    * inequality and the row-conservation identity Σ sub-key loads ≥
+    * freq ≥ s·(post−1)). All ceil divisions as (a + b − 1) div b —
+    * positive operands, both engines identical. One aggregate + a
+    * 1-row broadcast; output is key-cardinality-bounded.
+    */
+  def saltAdvisor(spark: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
+    val per = Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("freq"))
+    val tot = per.agg(sum("freq").as("total"))
+    per
+      .crossJoin(broadcast(tot))
+      .withColumn("t", expr(s"(total + $nShards - 1) div $nShards"))
+      .withColumn("salt_factor", expr("(freq + t - 1) div t"))
+      .withColumn("post_rows", expr("(freq + salt_factor - 1) div salt_factor"))
+      .select(
+        col("event_type"),
+        col("freq"),
+        expr("CAST(freq * 1000000 div total AS BIGINT)").as("share_e6"),
+        col("t").as("fair_share_rows"),
+        col("salt_factor"),
+        col("post_rows").as("post_salt_max_rows"),
+        expr("CAST(post_rows * 1000000 div total AS BIGINT)").as("post_share_e6"))
+  }
 }

@@ -293,4 +293,33 @@ class ScaleSpec extends SparkSpec {
     assert(share <= 1000000L && share >= 1000000L - rows.length)
     got.unpersist()
   }
+
+  test("salt advisor: ceil replay; every salted sub-key fits the fair share; rows conserved") {
+    val rows = graft.operators.Scale
+      .saltAdvisor(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val freqs = graft.Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val total = freqs.values.sum
+    val t = (total + 31) / 32
+    rows.foreach { case (k, freq, share, fair, s, post) =>
+      assert(freq == freqs(k))
+      assert(share == freq * 1000000L / total)
+      assert(fair == t)
+      assert(s == (freq + t - 1) / t)
+      assert(post == (freq + s - 1) / s)
+      // the advisor's guarantee: ceil(f / ceil(f/T)) <= T
+      assert(post <= t, s"$k post $post > fair $t")
+      // conservation: s sub-keys of <= post rows cover freq
+      assert(s * post >= freq && s * (post - 1) < freq)
+    }
+    assert(rows.map(_._2).sum == total)
+  }
 }
