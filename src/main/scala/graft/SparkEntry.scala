@@ -713,6 +713,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_trend_test" -> ((s: SparkSession, d: String) => AnalyticsExt.trendTest(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
+    // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)
+    "q_dp_counts" -> ((s: SparkSession, d: String) => Profile.dpCounts(s, d)),
     // Cohen's kappa of the language-ID heuristic (§2 #321)
     "text_lang_kappa" -> (TextStats.langKappa _),
     // Order-vs-lineitem reconciliation audit (§2 #322)

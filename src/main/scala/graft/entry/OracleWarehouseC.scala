@@ -168,6 +168,35 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
          FROM ph p JOIN model m ON m.slot = p.slot, q, tr
          WHERE p.day >= t2
          GROUP BY tr.n_train, q.n_cal""",
+    "q_dp_counts" -> {
+      // one SELECT per alpha tier; the e18 power table injected as the
+      // SAME precomputed constants the Spark frame uses
+      val parts = operators.Profile.DpTiers
+        .map { case (a, b) =>
+          val tbl = operators.Profile.dlapTable(a, b).mkString(", ")
+          def gexpr(salt: String) =
+            s"""CAST(sum(CASE WHEN t >
+                 (999999999999 - ('0x' || substr(md5('dp:$a/$b:$salt:' || nation), 1, 15))::BIGINT
+                   % 1000000000000) * 1000000
+               THEN 1 ELSE 0 END) AS BIGINT)"""
+          s"""SELECT '$a/$b' AS alpha, nation, n_true,
+               g_a - g_b AS noise,
+               n_true + g_a - g_b AS n_released,
+               abs(g_a - g_b) AS abs_err
+             FROM (
+               SELECT nation, n_true,
+                 ${gexpr("A")} AS g_a,
+                 ${gexpr("B")} AS g_b
+               FROM base, (SELECT unnest([$tbl]) AS t)
+               GROUP BY 1, 2)"""
+        }
+        .mkString("\n         UNION ALL\n         ")
+      s"""WITH base AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(count(*) AS BIGINT) AS n_true
+           FROM customer GROUP BY 1)
+         $parts"""
+    },
     "q_salt_advisor" ->
       // ceil divs as (a + b - 1) // b, positive operands everywhere
       """WITH per AS (

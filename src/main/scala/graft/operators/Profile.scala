@@ -474,6 +474,85 @@ object Profile {
         (col("k_size") < 5).cast("long").as("k_at_risk"),
         (col("l_diversity") < 2).cast("long").as("l_at_risk"))
 
+  /** The three discrete-Laplace α tiers of [[dpCounts]]: exact
+    * rationals a/b standing in for ε = ln(b/a) — (1,2) ≈ ε 0.69,
+    * (3,4) ≈ 0.29, (9,10) ≈ 0.105. Exact rationals are the point:
+    * the whole noise draw stays in integer arithmetic.
+    */
+  private[graft] val DpTiers: Seq[(Long, Long)] = Seq((1L, 2L), (3L, 4L), (9L, 10L))
+
+  /** The e18 power table T_k ≈ α^k·10¹⁸ via the EXACT truncating
+    * integer recursion T_k = T_{k-1}·a div b from T_0 = 10¹⁸, cut at
+    * zero — one deterministic sequence, generated here once and
+    * injected verbatim into the Spark frame AND the oracle's VALUES
+    * list (the #211 precomputed-constants pattern), so the geometric
+    * inverse-CDF is pure integer comparison in both engines.
+    */
+  private[graft] def dlapTable(a: Long, b: Long): Seq[Long] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[Long]
+    var t = BigInt("1000000000000000000")
+    var k = 0
+    while (t > 0 && k < 1000) {
+      t = t * a / b
+      k += 1
+      if (t > 0) buf += t.toLong
+    }
+    buf.toSeq
+  }
+
+  /** #444 Differentially-private noisy counts (discrete Laplace /
+    * two-sided geometric — Ghosh, Roughgarden & Sundararajan 2012's
+    * universally-optimal mechanism for counts): per-nation customer
+    * counts released with noise G_A − G_B, each G a geometric(1−α)
+    * drawn by inverse CDF from a #86 hash uniform — G = #{k ≥ 1 :
+    * T_k > (10¹² − 1 − u)·10⁶} against the exact [[dlapTable]], so
+    * the whole mechanism is hash-deterministic and integer-exact
+    * (DP's ε-indistinguishability is a property of the MECHANISM
+    * distribution; the deterministic draw is the replayable test
+    * harness for it, exactly like every #86 sampling operator). The
+    * DP member of the privacy family beside #418's k-anonymity
+    * (k-anon constrains the TABLE, DP the RELEASE). Three ε tiers as
+    * exact rationals α = 1/2, 3/4, 9/10 (ε = ln 2, ln 4/3, ln 10/9);
+    * per (tier, nation): true count, noise, released count, |err| —
+    * the utility-at-ε read, with the tier-ordering claim pinned by
+    * the spec (E|noise| = 2α/(1−α²) ≈ 1.3 / 3.4 / 9.5).
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables
+      .customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_true"))
+    DpTiers
+      .map { case (a, b) =>
+        val tdf = broadcast(dlapTable(a, b).toDF("t"))
+        def g(salt: String): Column = {
+          // u in [0, 1e12); rhs = (1e12 - 1 - u) * 1e6 on the e18 grid
+          val u = pmod(
+            Dedup.hash60(concat(lit(s"dp:$a/$b:$salt:"), col("nation"))),
+            lit(1000000000000L))
+          (lit(999999999999L) - u) * lit(1000000L)
+        }
+        base
+          .withColumn("rhs_a", g("A"))
+          .withColumn("rhs_b", g("B"))
+          .crossJoin(tdf)
+          .groupBy("nation", "n_true")
+          .agg(
+            sum((col("t") > col("rhs_a")).cast("long")).as("g_a"),
+            sum((col("t") > col("rhs_b")).cast("long")).as("g_b"))
+          .select(
+            lit(s"$a/$b").as("alpha"),
+            col("nation"),
+            col("n_true"),
+            (col("g_a") - col("g_b")).as("noise"),
+            (col("n_true") + col("g_a") - col("g_b")).as("n_released"),
+            abs(col("g_a") - col("g_b")).as("abs_err"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** The collapsed character-class mask shared by [[valueMask]] and
     * its oracle: uppercase runs → `A`, lowercase runs → `a`, digit
     * runs → `9`, everything else kept verbatim. Replacement order is

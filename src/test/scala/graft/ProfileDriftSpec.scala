@@ -40,6 +40,47 @@ class ProfileDriftSpec extends SparkSpec {
     }
   }
 
+  test("dp counts: exact draw replay from the shared table; utility orders by alpha") {
+    val rows = graft.operators.Profile
+      .dpCounts(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val trueCounts = graft.Tables
+      .customer(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("c_nationkey").cast("long"))
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    graft.operators.Profile.DpTiers.foreach { case (a, b) =>
+      val table = graft.operators.Profile.dlapTable(a, b)
+      val mine = rows.filter(_._1 == s"$a/$b")
+      assert(mine.length == trueCounts.size)
+      mine.foreach { case (_, nation, nTrue, noise, released, absErr) =>
+        assert(nTrue == trueCounts(nation))
+        def g(salt: String): Long = {
+          val u = hash60(s"dp:$a/$b:$salt:$nation") % 1000000000000L
+          val rhs = (999999999999L - u) * 1000000L
+          table.count(_ > rhs).toLong
+        }
+        val want = g("A") - g("B")
+        assert(noise == want, s"$a/$b nation $nation")
+        assert(released == nTrue + want && absErr == math.abs(want))
+      }
+    }
+    // utility orders by alpha: smaller alpha (bigger epsilon) = less noise
+    val l1 = graft.operators.Profile.DpTiers.map { case (a, b) =>
+      rows.filter(_._1 == s"$a/$b").map(_._6).sum
+    }
+    assert(l1(0) <= l1(1) && l1(1) <= l1(2), s"L1 ordering violated: $l1")
+  }
+
   test("schema drift: the planted add/rename evolution reads back exactly") {
     val rows = Cdc
       .schemaDrift(spark, sf)
