@@ -715,6 +715,9 @@ object SparkEntry extends SparkEntryOracleHelpers
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)
     "q_dp_counts" -> ((s: SparkSession, d: String) => Profile.dpCounts(s, d)),
+    // Two-stage residual vector quantization + family scorecard (§2 #445/#446)
+    "ann_rvq_codes" -> ((s, d) => Rvq.rvqCodes(s, d)),
+    "ann_rvq_eval" -> ((s, d) => Rvq.rvqEval(s, d)),
     // Cohen's kappa of the language-ID heuristic (§2 #321)
     "text_lang_kappa" -> (TextStats.langKappa _),
     // Order-vs-lineitem reconciliation audit (§2 #322)

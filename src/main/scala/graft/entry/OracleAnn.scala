@@ -1007,6 +1007,31 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
            FROM acorp a JOIN acorp b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          WHERE rank <= 5""",
+    "ann_rvq_codes" ->
+      s"""WITH $rvqCtes
+         SELECT a1.vec_id, CAST(a1.code AS BIGINT) AS code1,
+           CAST(a2.code AS BIGINT) AS code2,
+           a1.dist AS dist1_e8, a2.dist AS dist2_e8
+         FROM r1af a1 JOIN r2af a2 USING (vec_id)""",
+    "ann_rvq_eval" ->
+      s"""WITH $rvqCtes, $pqCtes,
+         pqtot AS (SELECT vec_id, CAST(sum(dist) AS BIGINT) AS d FROM af GROUP BY 1)
+         SELECT 'rvq_stage1' AS quantizer, CAST(4 AS BIGINT) AS bits_per_vec,
+           CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist_e8,
+           CAST(max(dist) AS BIGINT) AS max_dist_e8,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
+         FROM r1af
+         UNION ALL
+         SELECT 'rvq_cascade', CAST(8 AS BIGINT),
+           CAST(sum(a2.dist) // count(*) AS BIGINT),
+           CAST(max(a2.dist) AS BIGINT),
+           CAST(count(DISTINCT (a1.code || ':' || a2.code)) AS BIGINT)
+         FROM r1af a1 JOIN r2af a2 USING (vec_id)
+         UNION ALL
+         SELECT 'pq_m4_k16', CAST(16 AS BIGINT),
+           CAST((SELECT sum(d) FROM pqtot) // (SELECT count(*) FROM pqtot) AS BIGINT),
+           CAST((SELECT max(d) FROM pqtot) AS BIGINT),
+           CAST((SELECT count(DISTINCT (s || ':' || code)) FROM af) AS BIGINT)""",
     "ann_pq_search" -> pqSearchOracle(pqCtes),
     "ann_opq_search" -> opqSearchOracle,
     "ann_ivfadc" -> ivfAdcOracle,

@@ -535,6 +535,42 @@ private[graft] trait SparkEntryOracleHelpers {
         $pick"""
   }
 
+  /** Generated replay of the #445 two-stage RVQ cascade (Rvq): e4
+    * full vectors, K-seed + 2 Lloyd rounds per stage, residuals
+    * feeding stage 2 — the single-subspace mirror of [[pqCtesWith]].
+    */
+  protected def rvqCtes: String = {
+    val k = graft.operators.Rvq.K
+    val meanTerms = (1 to 64)
+      .map(i => s"CAST(floor(avg(sv[$i]) + 0.5) AS BIGINT)")
+      .mkString(", ")
+    val dist =
+      "list_sum([ (u.sv[i] - c.cw[i]) * (u.sv[i] - c.cw[i]) for i in generate_series(1, 64) ])"
+    def assign(cents: String, src: String, out: String) =
+      s"""$out AS (SELECT vec_id, sv, code, dist,
+            [sv[i] - cw[i] for i in generate_series(1, 64)] AS res
+          FROM (
+            SELECT u.vec_id, u.sv, c.code, c.cw, CAST($dist AS BIGINT) AS dist,
+              row_number() OVER (PARTITION BY u.vec_id ORDER BY $dist, c.code) AS rn
+            FROM $src u, $cents c) WHERE rn = 1)"""
+    def means(asg: String, out: String) =
+      s"$out AS (SELECT code, [$meanTerms] AS cw FROM $asg GROUP BY code)"
+    def seeds(src: String, out: String) =
+      s"""$out AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+            sv AS cw
+          FROM $src ORDER BY vec_id LIMIT $k)"""
+    s"""req AS (SELECT vec_id, $plainEqList AS sv FROM embeddings),
+       ${seeds("req", "r1s0")},
+       ${assign("r1s0", "req", "r1a1")}, ${means("r1a1", "r1c1")},
+       ${assign("r1c1", "req", "r1a2")}, ${means("r1a2", "r1c2")},
+       ${assign("r1c2", "req", "r1af")},
+       rsrc AS (SELECT vec_id, res AS sv FROM r1af),
+       ${seeds("rsrc", "r2s0")},
+       ${assign("r2s0", "rsrc", "r2a1")}, ${means("r2a1", "r2c1")},
+       ${assign("r2c1", "rsrc", "r2a2")}, ${means("r2a2", "r2c2")},
+       ${assign("r2c2", "rsrc", "r2af")}"""
+  }
+
   protected def pqCtesWith(eqList: String, pfx: String = ""): String = {
     val meanTerms = (1 to graft.operators.Similarity.PqSubDim)
       .map(i => s"CAST(floor(avg(sv[$i]) + 0.5) AS BIGINT)")

@@ -1481,7 +1481,7 @@ object Similarity {
     * per-element double op, identical IEEE everywhere (the
     * `lsh_bucket` 1e6 trick at PQ's coarser useful precision).
     */
-  private def quantE4(vec: Column): Column =
+  private[operators] def quantE4(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
 
   /** OPQ-style rotation (Ge et al. 2013): an orthogonal transform
@@ -1549,10 +1549,10 @@ object Similarity {
     * codeword (e4² units) — a zip/fold over 16 BIGINTs, exact and
     * order-free by construction.
     */
-  private val pqDist: Column =
+  private[operators] val pqDist: Column =
     expr("aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
 
-  private def pqCodebookDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+  private[operators] def pqCodebookDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
     import spark.implicits._
     cb.toDF("s", "code", "cw")
   }
@@ -1572,7 +1572,7 @@ object Similarity {
     * seed codebooks — shared by whole-vector PQ ([[pqCodes]]) and
     * residual PQ ([[ivfAdcSearch]]).
     */
-  private def trainPqOnSubs(
+  private[operators] def trainPqOnSubs(
       spark: SparkSession,
       subs: DataFrame,
       seeds: Seq[(Int, Int, Seq[Long])],
