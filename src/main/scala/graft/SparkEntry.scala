@@ -711,6 +711,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_isotonic" -> ((s: SparkSession, d: String) => AnalyticsExt.isotonic(s, d)),
     // Cochran-Armitage ordered trend test (§2 #441)
     "q_trend_test" -> ((s: SparkSession, d: String) => AnalyticsExt.trendTest(s, d)),
+    // G-test of independence on the #189 contingency table (§2 #447)
+    "q_g_test" -> ((s: SparkSession, d: String) => AnalyticsExt.gTest(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

@@ -168,6 +168,24 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
          FROM ph p JOIN model m ON m.slot = p.slot, q, tr
          WHERE p.day >= t2
          GROUP BY tr.n_train, q.n_cal""",
+    "q_g_test" ->
+      // same contingency as q_chi2_assoc; ln of exact-integer ratios
+      """WITH cells AS (
+           SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS o
+           FROM orders GROUP BY 1, 2),
+         rowm AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         colm AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         terms AS (
+           SELECT cells.o_orderstatus, cells.o_orderpriority, o AS n_cell,
+             CAST((CAST(r AS HUGEINT) * c * 1000000) // CAST(n AS HUGEINT) AS BIGINT)
+               AS expected_e6,
+             CAST(floor(2.0 * o * ln((CAST(o AS DOUBLE) * n) / (CAST(r AS DOUBLE) * c))
+                  * 1000000 + 0.5) AS BIGINT) AS g_term_e6
+           FROM cells
+           JOIN rowm USING (o_orderstatus)
+           JOIN colm USING (o_orderpriority), tot)
+         SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
     "q_dp_counts" -> {
       // one SELECT per alpha tier; the e18 power table injected as the
       // SAME precomputed constants the Spark frame uses

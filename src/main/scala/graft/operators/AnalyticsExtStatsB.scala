@@ -254,6 +254,43 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
         lit(900000L).as("target_e6"))
   }
 
+  /** #447 G-test of independence (the log-likelihood-ratio
+    * alternative to #189's Pearson χ² on the SAME status×priority
+    * contingency table — G = 2·Σ O·ln(O·N/(R·C)) is additive across
+    * partitions of the table (χ² is not), is what χ² approximates to
+    * second order, and diverges from χ² exactly where expected counts
+    * are small; running both on one table is the standard
+    * approximation check). Per-cell e6 terms as floor(2·O·ln(O·N/
+    * (R·C))·10⁶ + 0.5) — the ln of a ratio of EXACT integer products
+    * (each ≪ 2⁵³, so the doubles are identical across engines — the
+    * #376 float-identity discipline), observed-only cells (absent
+    * cells contribute 0·ln0 = 0 by convention); the total rides the
+    * same groupless-aggregate-anchored window as #189. One grouped
+    * count + two margin rollups + a 1-row total.
+    */
+  def gTest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy("o_orderstatus").agg(sum("o").as("r"))
+    val colm = cells.groupBy("o_orderpriority").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(rowm), "o_orderstatus")
+      .join(broadcast(colm), "o_orderpriority")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o").as("n_cell"),
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("expected_e6"),
+        expr("""CAST(floor(2.0 * o * ln((CAST(o AS DOUBLE) * n) / (CAST(r AS DOUBLE) * c))
+                     * 1000000 + 0.5) AS BIGINT)""").as("g_term_e6"))
+      .withColumn("g_total_e6", sum("g_term_e6").over(Window.partitionBy()))
+  }
+
   /** #442 Capture–recapture corpus-size estimate (Chapman 1951's
     * bias-corrected Lincoln–Petersen: N̂ = (nA+1)(nB+1)/(m+1) − 1) —
     * the two-sample answer to "how many DISTINCT documents exist"

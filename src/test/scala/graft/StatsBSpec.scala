@@ -218,6 +218,45 @@ class StatsBSpec extends SparkSpec {
     assert(row.getLong(5) == (if (z2 >= 3841459) 1L else 0L))
   }
 
+  test("g-test: exact term replay; G tracks chi2 on the shared large-N table") {
+    val rows = AnalyticsExt
+      .gTest(spark, sf)
+      .collect()
+      .map(r =>
+        ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val cells = graft.Tables
+      .orders(spark, sf)
+      .selectExpr("o_orderstatus", "o_orderpriority")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity)
+      .map { case (k, xs) => (k, xs.length.toLong) }
+    val n = cells.values.sum
+    val rowm = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val colm = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    var gTotal = 0L
+    cells.foreach { case ((st, pr), o) =>
+      val r = rowm(st); val c = colm(pr)
+      val term =
+        math.floor(2.0 * o * math.log((o.toDouble * n) / (r.toDouble * c)) * 1e6 + 0.5).toLong
+      val (nCell, expE6, gE6, _) = rows((st, pr))
+      assert(nCell == o && gE6 == term, s"$st/$pr")
+      assert(expE6 == (BigInt(r) * c * 1000000 / n).toLong)
+      gTotal += term
+    }
+    rows.values.foreach { case (_, _, _, tot) => assert(tot == gTotal) }
+    // on a large-N table G and Pearson chi2 agree to second order;
+    // both read the same (near-independent) contingency here
+    val chi2 = AnalyticsExt
+      .chi2Assoc(spark, sf)
+      .collect()
+      .head
+      .getLong(5)
+    assert(math.abs(gTotal - chi2) <= math.max(gTotal, chi2) / 10,
+      s"G $gTotal vs chi2 $chi2 diverge > 10%")
+  }
+
   test("capture-recapture: Chapman replay; estimate brackets the true distinct count") {
     val row = AnalyticsExt.captureRecapture(spark, sf).collect().head
     val docs = graft.Tables
