@@ -927,6 +927,18 @@ private[graft] trait OracleAnn { this: SparkEntryOracleHelpers =>
       k = 10,
       beam = operators.Similarity.GraphInsertBeam,
       hops = operators.Similarity.GraphInsertHops),
+    // #448-#450: the same three builds with the exact n² layer-0
+    // swapped for the cell-bounded #296 build (quantizer replay +
+    // within-cell top-k), symmetrized — the registered scale path
+    "ann_nsw_scalable" -> nswScalableOracle(
+      kNbrs = operators.Similarity.ScalableG0Degree, beam = 10, hops = 4),
+    "ann_hnsw_scalable" -> hnswScalableOracle(
+      kNbrs = operators.Similarity.ScalableG0Degree),
+    "ann_graph_insert_scalable" -> graphInsertOracle(
+      k = 10,
+      beam = operators.Similarity.GraphInsertBeam,
+      hops = operators.Similarity.GraphInsertHops,
+      cellBounded = true),
     // NN-Descent: hash-draw init + two unrolled local-join rounds;
     // the recall oracle scores every round's state against the exact
     // graph truth

@@ -875,28 +875,38 @@ private[graft] trait SparkEntryOracleHelpers {
     * between them. String-identical to the block ann_ivf carried
     * before the extraction.
     */
-  protected def ivfTrainCtes: String = {
+  protected def ivfTrainCtes: String = ivfTrainCtesFrom("embeddings")
+
+  /** [[ivfTrainCtes]] over an arbitrary source relation (table name or
+    * aliased subquery) — seeds are the 16 lowest vec_ids OF THE
+    * SOURCE, mirroring `Similarity.trainCentroidsOn`; the scalable
+    * graph oracles train on the base-90% members only. `finalProbe`
+    * spills the FINAL assignment to the nearest `finalProbe` cells
+    * (`Similarity.scalableCellPairs`' boundary duplication); training
+    * rounds always assign argmax-only.
+    */
+  protected def ivfTrainCtesFrom(src: String, finalProbe: Int = 1): String = {
     val meanTerms = (1 to 64)
       .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
       .mkString(", ")
-    def assign(cents: String, out: String) =
+    def assign(cents: String, out: String, probe: Int = 1) =
       s"""$out AS (SELECT vec_id, embedding, cell FROM (
             SELECT u.vec_id, u.embedding, c.cell,
               row_number() OVER (PARTITION BY u.vec_id
                 ORDER BY floor(list_cosine_similarity(
                   u.embedding::DOUBLE[], c.centroid::DOUBLE[]) * 10000 + 0.5)
                   DESC, c.cell) AS rn
-            FROM u, $cents c) WHERE rn = 1)"""
+            FROM u, $cents c) WHERE rn <= $probe)"""
     def means(asg: String, out: String) =
       s"$out AS (SELECT cell, [$meanTerms] AS centroid FROM $asg GROUP BY cell)"
-    s"""u AS (SELECT vec_id, embedding FROM embeddings),
+    s"""u AS (SELECT vec_id, embedding FROM $src),
           s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                    embedding AS centroid
-                 FROM embeddings ORDER BY vec_id LIMIT 16),
+                 FROM $src ORDER BY vec_id LIMIT 16),
           ${assign("s0", "a1")}, ${means("a1", "c1")},
           ${assign("c1", "a2")}, ${means("a2", "c2")},
           ${assign("c2", "a3")}, ${means("a3", "c3")},
-          ${assign("c3", "acorp")}"""
+          ${assign("c3", "acorp", finalProbe)}"""
   }
 
   /** Holt–Winters recursive-CTE trajectory (the holtCtes pattern plus
@@ -1613,7 +1623,74 @@ private[graft] trait SparkEntryOracleHelpers {
                          JOIN q ON q.query_id = c.query_id)
            WHERE rnk = 1)"""
 
-  protected def hnswCtes: String = {
+  /** #448–#450 scalable-index CTEs over `src` (the
+    * `Similarity.scalableIndex` replay): spill-`ScalableNprobe`
+    * quantizer assignment ([[ivfTrainCtesFrom]]), `ScalableDraws`
+    * content-hash long links per node (out-of-frame targets dropped
+    * by the `JOIN u` filter), top-`kNbrs` init over the union
+    * candidates, `ScalableRounds` NN-Descent refinement rounds, and
+    * the symmetrized walk graph keeping the long links. Defines
+    * `u..acorp` (train), `se`, `snn`, `sdraw`, `scand0`,
+    * `sg0..sg{rounds}` (directed lists; the final one is the index),
+    * and `swg` (the walk graph).
+    */
+  protected def scalableIndexCtes(src: String, kNbrs: Int): String = {
+    val nprobe = operators.Similarity.ScalableNprobe
+    val draws = operators.Similarity.ScalableDraws
+    val rounds = operators.Similarity.ScalableRounds
+    def stopk(name: String, cand: String) =
+      s"""$name AS MATERIALIZED (SELECT src, dst, cos, rank FROM (
+             SELECT c.src, c.dst,
+               round(list_cosine_similarity(es.emb, ed.emb), 6) AS cos,
+               CAST(row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_cosine_similarity(es.emb, ed.emb), 6) DESC,
+                   c.dst) AS BIGINT) AS rank
+             FROM $cand c JOIN se es ON es.vec_id = c.src
+                          JOIN se ed ON ed.vec_id = c.dst)
+           WHERE rank <= $kNbrs)"""
+    val roundsSql = (1 to rounds)
+      .map { r =>
+        s"""ssym$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM sg${r - 1}
+             UNION ALL SELECT dst AS src, src AS dst FROM sg${r - 1})),
+         scnd$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT a.src, b.dst FROM ssym$r a JOIN ssym$r b ON a.dst = b.src
+             WHERE a.src <> b.dst
+             UNION ALL SELECT src, dst FROM sg${r - 1})),
+         ${stopk(s"sg$r", s"scnd$r")}"""
+      }
+      .mkString(",\n         ")
+    s"""${ivfTrainCtesFrom(src, nprobe)},
+         se AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM u),
+         snn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         sdraw AS MATERIALIZED (SELECT DISTINCT d.src, d.dst FROM (
+             SELECT v.vec_id AS src,
+               ('0x' || substr(md5('sg0:' || v.vec_id || '-' || gs.j), 1, 15))::BIGINT
+                 % snn.n AS dst
+             FROM u v, snn, generate_series(1, $draws) gs(j)) d
+           JOIN u uu ON uu.vec_id = d.dst
+           WHERE d.src <> d.dst),
+         scand0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst
+             FROM acorp a JOIN acorp b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             UNION ALL SELECT src, dst FROM sdraw)),
+         ${stopk("sg0", "scand0")},
+         $roundsSql,
+         swg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM sg$rounds
+             UNION ALL SELECT dst AS src, src AS dst FROM sg$rounds
+             UNION ALL SELECT src, dst FROM sdraw
+             UNION ALL SELECT dst AS src, src AS dst FROM sdraw))"""
+  }
+
+  protected def hnswCtes: String =
+    hnswCtesWithG0(knnSymCtes("g0", "SELECT vec_id, emb FROM e", 10))
+
+  /** [[hnswCtes]] with the layer-0 block swappable — the exact build
+    * ([[knnSymCtes]], default via [[hnswCtes]]) or the cell-bounded
+    * one ([[cellG0Ctes]], #448). The block must define `g0`.
+    */
+  protected def hnswCtesWithG0(g0Block: String): String = {
     def knn(name: String, from: String, m: Int) = knnSymCtes(name, from, m)
     def hop(i: Int, g: String) = descentHopCtes(i, g)
     s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1628,7 +1705,7 @@ private[graft] trait SparkEntryOracleHelpers {
                       FROM e)),
          ${knn("g2", "SELECT vec_id, emb FROM lv WHERE lvl >= 2", operators.Similarity.HnswUpperM)},
          ${knn("g1", "SELECT vec_id, emb FROM lv WHERE lvl >= 1", operators.Similarity.HnswUpperM)},
-         ${knn("g0", "SELECT vec_id, emb FROM e", 10)},
+         $g0Block,
          ent AS MATERIALIZED (SELECT coalesce(min(CASE WHEN lvl >= 2 THEN vec_id END),
                    min(vec_id)) AS vec_id FROM lv),
          d0 AS MATERIALIZED (SELECT q.query_id, ent.vec_id FROM q, ent),
@@ -1765,7 +1842,11 @@ private[graft] trait SparkEntryOracleHelpers {
     * per-delta beam-walk insertion from that entry, within-batch
     * exact pairs, and the reverse-updated base lists.
     */
-  protected def graphInsertCtes(k: Int, beam: Int, hops: Int): String = {
+  protected def graphInsertCtes(
+      k: Int,
+      beam: Int,
+      hops: Int,
+      cellBounded: Boolean = false): String = {
     def topk(name: String, cand: String) =
       s"""$name AS MATERIALIZED (SELECT src, dst, cos, rank FROM (
              SELECT c.src, c.dst,
@@ -1776,17 +1857,35 @@ private[graft] trait SparkEntryOracleHelpers {
              FROM $cand c JOIN e es ON es.vec_id = c.src
                           JOIN e ed ON ed.vec_id = c.dst)
            WHERE rank <= $k)"""
-    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         bse AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 10 <> 0),
-         q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb
-               FROM e WHERE vec_id % 10 = 0),
-         gbdc AS MATERIALIZED (
+    // #450: the base directed lists come from the scalable index
+    // (spill-cell + long-link init, NN-Descent refined) under a
+    // quantizer trained on the base-90% members; the walk graph keeps
+    // the long links (swg). The exact variant keeps the all-pairs
+    // build and plain symmetrization.
+    val trainPrefix =
+      if (cellBounded)
+        scalableIndexCtes(
+          "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0) bsrc",
+          k) + ",\n         "
+      else ""
+    val baseBlocks =
+      if (cellBounded)
+        s"""gbd AS MATERIALIZED (SELECT src, dst, cos, rank
+               FROM sg${operators.Similarity.ScalableRounds}),
+         g0 AS MATERIALIZED (SELECT src, dst FROM swg),"""
+      else
+        s"""gbdc AS MATERIALIZED (
              SELECT a.vec_id AS src, b.vec_id AS dst
              FROM bse a, bse b WHERE a.vec_id <> b.vec_id),
          ${topk("gbd", "gbdc")},
          g0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              SELECT src, dst FROM gbd
-             UNION ALL SELECT dst AS src, src AS dst FROM gbd)),
+             UNION ALL SELECT dst AS src, src AS dst FROM gbd)),"""
+    s"""${trainPrefix}e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         bse AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 10 <> 0),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb
+               FROM e WHERE vec_id % 10 = 0),
+         $baseBlocks
          lv AS MATERIALIZED (SELECT vec_id, emb,
                   CASE WHEN h % 4 = 0
                        THEN CASE WHEN (h // 4) % 4 = 0 THEN 2 ELSE 1 END
@@ -1822,10 +1921,37 @@ private[graft] trait SparkEntryOracleHelpers {
          ${topk("bl", "bcand")}"""
   }
 
-  protected def graphInsertOracle(k: Int, beam: Int, hops: Int): String =
-    s"""WITH ${graphInsertCtes(k, beam, hops)}
+  protected def graphInsertOracle(
+      k: Int,
+      beam: Int,
+      hops: Int,
+      cellBounded: Boolean = false): String =
+    s"""WITH ${graphInsertCtes(k, beam, hops, cellBounded)}
          SELECT src, dst, cos, rank FROM bl
          UNION ALL SELECT src, dst, cos, rank FROM dl"""
+
+  /** #448: the unrolled NSW walk of `ann_nsw_search` with its graph
+    * CTE swapped for the scalable index's walk graph.
+    */
+  protected def nswScalableOracle(kNbrs: Int, beam: Int, hops: Int): String =
+    s"""WITH ${scalableIndexCtes("embeddings", kNbrs)},
+         e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+         sent AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM e),
+         ent0 AS MATERIALIZED (SELECT q.query_id, sent.vec_id FROM q, sent),
+         ${hnswWalkCtes("w_", "ent0", beam, hops, graph = "swg")}
+         SELECT query_id, vec_id, cos, rank FROM w_out"""
+
+  /** #449: `ann_hnsw_search`'s oracle with the layer-0 block swapped
+    * for the scalable index's walk graph; levels, upper graphs, and
+    * the descent are byte-identical to the exact variant.
+    */
+  protected def hnswScalableOracle(kNbrs: Int): String =
+    s"""WITH ${scalableIndexCtes("embeddings", kNbrs)},
+         ${hnswCtesWithG0("g0 AS MATERIALIZED (SELECT src, dst FROM swg)")},
+         ${hnswWalkCtes("w_", s"d${2 * operators.Similarity.DescentHops}", beam = 10, hops = 4)}
+         SELECT query_id, vec_id, cos, rank FROM w_out"""
 
   protected def graphInsertEvalOracle(k: Int, beam: Int, hops: Int): String = {
     val kinds = Seq("delta" -> "src % 10 = 0", "base" -> "src % 10 <> 0", "all" -> "TRUE")

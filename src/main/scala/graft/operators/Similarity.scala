@@ -1075,10 +1075,17 @@ object Similarity {
     * over a single scan, top-1 via WindowGroupLimit, ranked on the
     * [[ccosE4]] quantized cosine.
     */
-  private[operators] def ivfAssign(spark: SparkSession, dir: String, cdf: DataFrame): DataFrame = {
+  private[operators] def ivfAssign(spark: SparkSession, dir: String, cdf: DataFrame): DataFrame =
+    ivfAssignOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cdf)
+
+  /** [[ivfAssign]] over an arbitrary (vec_id, embedding) frame — the
+    * source-parameterized form the cell-bounded graph builds use to
+    * assign a SUBSET (e.g. the incremental fold's base members) under
+    * a quantizer trained on the same subset.
+    */
+  private[operators] def ivfAssignOn(vecs: DataFrame, cdf: DataFrame): DataFrame = {
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
-    Tables
-      .embeddings(spark, dir)
+    vecs
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cdf))
       .select(col("vec_id"), col("embedding"), col("cell"),
@@ -1116,9 +1123,18 @@ object Similarity {
     * boundaries are O(10⁻¹)-scale cosine gaps.
     */
   private[operators] def trainCentroids(
-      spark: SparkSession, dir: String, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
+      spark: SparkSession, dir: String, k: Int, iters: Int): Seq[(Int, Seq[Float])] =
+    trainCentroidsOn(
+      spark, Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k, iters)
+
+  /** [[trainCentroids]] over an arbitrary (vec_id, embedding) frame —
+    * seeds are the k lowest vec_ids OF THE FRAME, so a subset-trained
+    * quantizer (the incremental fold's base-only index) replays
+    * identically in the oracle's filtered CTEs.
+    */
+  private[operators] def trainCentroidsOn(
+      spark: SparkSession, vecs: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
     GraftFunctions.register(spark)
-    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // deterministic seeds: the k lowest vec_ids
     var cents: Seq[(Int, Seq[Float])] = vecs
       .orderBy("vec_id")
@@ -1201,19 +1217,40 @@ object Similarity {
     * doesn't retrain.
     */
   def knnGraph(spark: SparkSession, dir: String,
-      k: Int = 16, iters: Int = 3, kNbrs: Int = 5): DataFrame = {
-    GraftFunctions.register(spark)
-    val cells = ivfAssign(spark, dir, centroidsDf(spark, trainCentroids(spark, dir, k, iters)))
-      .localCheckpoint(eager = false)
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    cells
-      .join(
-        cells.select(col("cell"), col("vec_id").as("nbr_id"), col("embedding").as("emb_b")),
-        "cell")
-      .filter(col("vec_id") =!= col("nbr_id"))
+      k: Int = 16, iters: Int = 3, kNbrs: Int = 5): DataFrame =
+    cellKnnRanked(
+      spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k, iters, kNbrs)
       .select(
-        col("vec_id"),
-        col("nbr_id"),
+        col("src").as("vec_id"),
+        col("dst").as("nbr_id"),
+        col("cos"),
+        col("rank"))
+
+  /** The #296 cell-bounded build over an arbitrary (vec_id, embedding)
+    * frame, in graph (src, dst, cos, rank) shape: train the e4-replay
+    * quantizer ON THE FRAME, assign it, and keep each member's top-
+    * `kNbrs` rounded-cosine neighbors WITHIN its cell. Σ|cell|² work
+    * (n^1.5 under the √n-cell scaling) — the layer-0 source the
+    * scalable graph-ANN variants (#448–#450) swap in for the exact n²
+    * truth build, and the shared body [[knnGraph]] renames.
+    */
+  private def cellKnnRanked(spark: SparkSession, vecs: DataFrame,
+      k: Int, iters: Int, kNbrs: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells = ivfAssignOn(vecs, centroidsDf(spark, trainCentroidsOn(spark, vecs, k, iters)))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    cells
+      .select(col("vec_id").as("src"), col("embedding"), col("cell"))
+      .join(
+        cells.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("emb_b")),
+        "cell")
+      .filter(col("src") =!= col("dst"))
+      .select(
+        col("src"),
+        col("dst"),
         round(expr("cosine_sim(embedding, emb_b)"), 6).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kNbrs)
@@ -2333,6 +2370,165 @@ object Similarity {
 
   private[graft] val HnswBeamPoints = Seq(5, 10, 16)
 
+  /** Degree of the scalable layer-0: matches the exact builds' k=10
+    * lists so the recall delta isolates the GRAPH SOURCE (cell-bounded
+    * vs n² truth), not a degree change.
+    */
+  private[graft] val ScalableG0Degree = 10
+
+  /** Spill factor of the scalable build's cell assignment: each vector
+    * joins its `ScalableNprobe` nearest cells, not just the argmax —
+    * the SPANN-style boundary duplication. Measured at sf0.001
+    * (500 vectors, 16 cells): single-assignment leaves the cells
+    * CLOSED COMPONENTS (the within-cell graph plus any number of
+    * NN-Descent rounds never crosses a boundary — the two-hop closure
+    * of a within-cell graph is within-cell; build recall froze at
+    * 0.23). Spill 2 → 0.55 raw / 0.75 after refinement; spill 3 →
+    * 0.71 raw / 0.91 after refinement. Pairwise work is
+    * Σ(spill·|cell|)² = 9·Σ|cell|² — still n^1.5 under the √n-cell
+    * quantizer, never n².
+    */
+  private[graft] val ScalableNprobe = 3
+
+  /** Deterministic hash-drawn long links per node (the Kleinberg
+    * small-world ingredient and NN-Descent's init, `nnd:`-style
+    * content-hash draws onto the dense id range): they (a) seed the
+    * refinement with cross-cell candidates and (b) stay in the WALK
+    * graph as the long-range edges a single-entry greedy search needs
+    * to cross the corpus diameter — without them the search graph is
+    * near-decomposable and the #448 walk dead-ends in the entry's
+    * neighborhood (measured: 0.09 recall; with them: 1.00).
+    */
+  private[graft] val ScalableDraws = 4
+
+  /** NN-Descent refinement rounds over the spill-cell + draw init —
+    * each n·(2k)² local-join work. Measured build recall vs the exact
+    * graph at sf0.001: init 0.71 → round 1 ~0.85 → round 2 0.91.
+    */
+  private[graft] val ScalableRounds = 2
+
+  /** The `ScalableDraws` content-hash long links per member of `vecs`,
+    * self-edges and out-of-frame targets dropped (targets are drawn on
+    * the dense 0..n-1 id range; when `vecs` is a subset — the fold's
+    * base members — a draw landing outside it is discarded, same in
+    * the oracle's `JOIN u` filter).
+    */
+  private def scalableDraws(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    val nDf = vecs.agg(count(lit(1)).as("n"))
+    vecs
+      .select(col("vec_id").as("src"))
+      .crossJoin(broadcast(nDf))
+      .select(col("src"), explode(expr(s"sequence(1, $ScalableDraws)")).as("j"), col("n"))
+      .select(
+        col("src"),
+        pmod(Dedup.hash60(concat(lit("sg0:"), col("src"), lit("-"), col("j"))), col("n"))
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(vecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** Within-spill-cell candidate pairs: train the e4-replay quantizer
+    * on `vecs`, assign each member to its `nprobe` nearest cells, and
+    * emit every distinct same-cell pair. Σ(nprobe·|cell|)² work.
+    */
+  private def scalableCellPairs(spark: SparkSession, vecs: DataFrame, nprobe: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cdf = centroidsDf(spark, trainCentroidsOn(spark, vecs, 16, 3))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
+    val cells = vecs
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("cell"), ccosE4("embedding", "centroid").as("ccos_e4"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select("vec_id", "cell")
+      .localCheckpoint(eager = false)
+    cells
+      .select(col("vec_id").as("src"), col("cell"))
+      .join(cells.select(col("cell"), col("vec_id").as("dst")), "cell")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** The scalable index over `vecs`: directed top-`kNbrs` lists from
+    * the spill-cell + long-link init refined by [[nnDescentRound]]s,
+    * plus the symmetrized WALK graph (lists ∪ long links, both
+    * directions). Every stage is linear-ish (n^1.5 cell pairs, n·k
+    * draws, n·(2k)² per refinement round) — the 100 TB replacement
+    * for the exact n² layer-0 (#448–#450), with the measured recall cost pinned
+    * in NswSpec/HnswSpec/GraphInsertSpec.
+    *
+    * @return (directed lists (src, dst, cos, rank), walk graph (src, dst))
+    */
+  private def scalableIndex(spark: SparkSession, vecs: DataFrame, kNbrs: Int)(
+      implicit scope: Lineage.Scope): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val draws = scalableDraws(spark, vecs).cp(false)
+    val cand0 = scalableCellPairs(spark, vecs, ScalableNprobe).unionAll(draws).distinct()
+    val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    var lists = scoreEdges(vecs, cand0)
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= kNbrs)
+      .cp(false)
+    for (_ <- 1 to ScalableRounds) lists = nnDescentRound(vecs, lists, kNbrs)
+    val walkGraph = symmetrize(lists.select("src", "dst").unionAll(draws)).cp(false)
+    (lists, walkGraph)
+  }
+
+  /** #448 NSW search over the CELL-BOUNDED graph — the #398 walk with
+    * its n² layer-0 swapped for #296's within-cell build (Σ|cell|² ≈
+    * n^1.5 under the √n-cell quantizer): the registered scale path
+    * the exact-g0 row's scaladoc promises. Same walk contract (min-
+    * vec_id entry, hops × beam expand-score-prune, top-10 of
+    * everything visited); `NswSpec` pins the measured recall delta vs
+    * the exact-g0 walk — what the cell boundary costs at the same
+    * hops/beam budget.
+    */
+  def nswSearchScalable(
+      spark: SparkSession,
+      dir: String,
+      kNbrs: Int = ScalableG0Degree,
+      beam: Int = 10,
+      hops: Int = 4): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val graph = scalableIndex(spark, e, kNbrs)._2
+    val queries = queryVectors(spark, dir)
+    val ent = queries
+      .select(col("query_id"))
+      .crossJoin(broadcast(e.agg(min("vec_id").as("vec_id"))))
+    (beamWalk(e, graph, queries, ent, beam, hops), Seq.empty)
+  }
+
+  /** #449 HNSW search over the CELL-BOUNDED layer-0 — #414 with the
+    * g0 truth build swapped for #296's within-cell lists; the upper
+    * layers keep their exact builds (4^-l occupancy: 16×/256× below
+    * layer 0, never the scale term). This is the build a 100 TB corpus
+    * actually runs: quantizer train + within-cell top-k + upper-layer
+    * graphs, all linear-ish, no n² anywhere. `HnswSpec` pins the
+    * recall delta vs the exact-g0 search.
+    */
+  def hnswSearchScalable(
+      spark: SparkSession,
+      dir: String,
+      kNbrs: Int = ScalableG0Degree,
+      beam: Int = 10,
+      hops: Int = 4,
+      mUpper: Int = HnswUpperM): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val lv = hnswLevels(spark, dir)
+    val g2 = symmetrize(knnAmong(lv.filter(col("lvl") >= 2), mUpper)).cp(false)
+    val g1 = symmetrize(knnAmong(lv.filter(col("lvl") >= 1), mUpper)).cp(false)
+    val graph = scalableIndex(spark, e, kNbrs)._2
+    val queries = queryVectors(spark, dir)
+    val ent = hnswDescend(e, Seq(g2, g1), queries, lv)
+    (beamWalk(e, graph, queries, ent, beam, hops), Seq.empty)
+  }
+
   /** Score a (src, dst) candidate edge frame against the corpus: the
     * rounded-1e-6 cosine of both endpoints' embeddings — two keyed
     * joins (linear shuffle), never a broadcast of the corpus.
@@ -2498,6 +2694,24 @@ object Similarity {
     (graphInsertFrame(spark, dir, k, beam, hops), Seq.empty)
   }
 
+  /** #450 Incremental fold over the CELL-BOUNDED base index — #419
+    * with its base-90% exact build (the cost term BASELINE.md names as
+    * dominating the fold) swapped for #296's within-cell lists under
+    * a base-trained quantizer. The insertion machinery (descent
+    * entry, bounded walks, reverse re-rank) is unchanged — it was
+    * already batch-bounded; this closes the one n² term left in the
+    * fold's build path. `GraphInsertSpec` pins the folded recall
+    * delta vs the exact-base fold.
+    */
+  def graphInsertScalable(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      beam: Int = GraphInsertBeam,
+      hops: Int = GraphInsertHops): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    (graphInsertFrame(spark, dir, k, beam, hops, DescentHops, cellBounded = true), Seq.empty)
+  }
+
   /** Insertion walk width/length — HNSW's efConstruction discipline:
     * the INSERT-time search runs wider than the query-time one (#414
     * searches at beam 10; Malkov §4 recommends efConstruction well
@@ -2528,7 +2742,8 @@ object Similarity {
       k: Int,
       beam: Int,
       hops: Int,
-      descentHops: Int = DescentHops)(implicit scope: Lineage.Scope): DataFrame = {
+      descentHops: Int = DescentHops,
+      cellBounded: Boolean = false)(implicit scope: Lineage.Scope): DataFrame = {
     GraftFunctions.register(spark)
     val all = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val lvBase = hnswLevels(spark, dir).filter(col("vec_id") % 10 =!= 0)
@@ -2537,9 +2752,19 @@ object Similarity {
     val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     // ---- base state: the directed top-k lists a prior run persisted;
     // the walk navigates their symmetrized form (the #414 finding:
-    // directed lists strand low-in-degree nodes) ----
-    val baseGraph = knnAmong(base, k).cp(false)
-    val g0 = symmetrize(baseGraph).cp(false)
+    // directed lists strand low-in-degree nodes). `cellBounded` swaps
+    // the n² truth build for the [[scalableIndex]] (spill-cell +
+    // long-link init, NN-Descent refined) under a quantizer trained
+    // on the BASE members only — what a real incremental index would
+    // have persisted (#450); its walk graph keeps the long links. ----
+    val (baseGraph, g0) =
+      if (cellBounded) {
+        val (lists, wg) = scalableIndex(spark, base, k)
+        (lists.select("src", "dst").cp(false), wg)
+      } else {
+        val bg = knnAmong(base, k).cp(false)
+        (bg, symmetrize(bg).cp(false))
+      }
     val queries = delta.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // ---- per-delta entry: the #414 layered descent over upper
     // graphs built among the BASE members (levels are content-hash

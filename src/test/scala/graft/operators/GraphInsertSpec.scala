@@ -44,4 +44,20 @@ class GraphInsertSpec extends SparkSpec {
       rows("base") >= rows("delta"),
       "base lists (exact + reverse updates) must not trail walk-inserted delta lists")
   }
+
+  test("scalable fold: cell-bounded base index keeps the measured floor") {
+    // #450 recall-delta scorecard: the fold over the scalable base
+    // index (spill-3 + long links + 2 NN-Descent rounds, base-trained
+    // quantizer) measured 0.921 at sf0.001 / 0.929 at sf0.01 against
+    // the full-corpus exact rebuild — the ~0.07 delta IS the build's
+    // approximation cost (the exact-base fold measures 0.998); the
+    // insertion machinery is unchanged. Floor pinned under the
+    // measures with the honesty margin.
+    val folded = Similarity
+      .graphInsertScalable(spark, sf)
+      .select("src", "dst")
+    val truth = Similarity.exactKnnGraph(spark, sf).select("src", "dst")
+    val r = folded.intersect(truth).count().toDouble / truth.count()
+    assert(r >= 0.88, s"scalable fold recall regressed: $r < 0.88 (measured 0.921)")
+  }
 }

@@ -59,6 +59,16 @@ class HnswSpec extends SparkSpec {
     assert(hnsw >= nsw, s"layering must not lose recall: hnsw $hnsw < nsw $nsw")
   }
 
+  test("scalable (cell-bounded) layer-0 keeps the descent's recall") {
+    // #449 recall-delta scorecard: swapping the n² layer-0 for the
+    // scalable index measured 0.98 at sf0.001 / 1.00 at sf0.01
+    // against the exact build's 1.00/0.96 — the delta is ≤0.02 either
+    // way, i.e. the cell boundary costs the layered search nothing
+    // the long links don't repay. Floor pinned under the measures.
+    val scal = recallAt10(Similarity.hnswSearchScalable(spark, sf))
+    assert(scal >= 0.95, s"scalable HNSW recall regressed: $scal < 0.95 (measured 0.98)")
+  }
+
   test("recall-vs-beam scorecard: measured floors per sweep point") {
     val rows = Similarity
       .hnswRecallCurve(spark, sf)

@@ -38,4 +38,16 @@ class NswSpec extends SparkSpec {
     val r = recallAt10(Similarity.nswSearch(spark, sf, beam = 16, hops = 5))
     assert(r >= 0.99, s"hops=5/beam=16 measured 1.00 at entry; got $r")
   }
+
+  test("scalable (cell-bounded) walk matches or beats the exact-g0 walk") {
+    // #448 recall-delta scorecard: the n^1.5 build (spill-3 cells +
+    // 4 long links + 2 NN-Descent rounds, symmetrized walk graph)
+    // measured 1.00 at sf0.001 and 0.99 at sf0.01 vs the DIRECTED
+    // exact graph's 0.93/0.90 — symmetrization + long links buy more
+    // than the exact lists lose. Floor pinned under the measure.
+    val scal = recallAt10(Similarity.nswSearchScalable(spark, sf))
+    assert(scal >= 0.97, s"scalable NSW recall regressed: $scal < 0.97 (measured 1.00)")
+    val exact = recallAt10(Similarity.nswSearch(spark, sf))
+    assert(scal >= exact - 0.02, s"scalable walk fell behind exact-g0: $scal vs $exact")
+  }
 }
