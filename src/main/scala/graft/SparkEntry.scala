@@ -159,6 +159,10 @@ object SparkEntry extends SparkEntryOracleHelpers
     // incremental k-NN graph fold + per-kind recall (§2 #419-420)
     "ann_graph_insert" -> ((s, d) => Similarity.graphInsert(s, d)),
     "ann_graph_insert_eval" -> ((s, d) => Similarity.graphInsertEval(s, d)),
+    // cell-bounded (n^1.5) layer-0 variants of the graph-ANN builds (§2 #448-450)
+    "ann_nsw_scalable" -> ((s, d) => Similarity.nswSearchScalable(s, d)),
+    "ann_hnsw_scalable" -> ((s, d) => Similarity.hnswSearchScalable(s, d)),
+    "ann_graph_insert_scalable" -> ((s, d) => Similarity.graphInsertScalable(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbe(s, d)),
@@ -263,6 +267,19 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_value_mask" -> ((s: SparkSession, d: String) => Profile.valueMask(s, d)),
     // Payload schema-drift audit over a planted-evolution feed (§2 #434)
     "cdc_schema_drift" -> ((s: SparkSession, d: String) => Cdc.schemaDrift(s, d)),
+    // Structured Streaming operators driven to completion on the
+    // file-backed changelog — the former spec-only rows #84/#108/
+    // #143/#164/#205 as full driver-checkable entries
+    "cdc_stream_sessions" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.sessionsFinal(s, d)),
+    "cdc_stream_dedup" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.dedupFinal(s, d)),
+    "cdc_stream_interval_join" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.intervalJoinFinal(s, d)),
+    "cdc_stream_enrich" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.enrichFinal(s, d)),
+    "cdc_stream_rolling_mau" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.rollingDistinctFinal(s, d)),
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125, #138)

@@ -507,6 +507,78 @@ private[graft] trait OracleCdc { this: SparkEntryOracleHelpers =>
            CAST(now_ts - last_ts >= $ErasureHorizonDays * CAST(86400000000 AS BIGINT)
              AS BIGINT) AS purge_eligible
          FROM agg a JOIN lastop l ON l.user_id = a.user_id, clock
-         WHERE l.final_op = 'DELETE'"""
+         WHERE l.final_op = 'DELETE'""",
+    // ---- StreamDriver rows (#84/#108/#143/#164/#205 run to stream
+    // completion — the streamed result equals the batch form these
+    // oracles state; streamed ≡ batch itself is pinned per operator
+    // in StreamingOpsSpec) ----
+    "cdc_stream_sessions" ->
+      // session_window's HALF-OPEN gap rule: exactly 30 min starts a
+      // NEW session (#16's batch lag+cumsum uses strict >); end =
+      // last event + gap
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+             round(value, 2) AS value
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT CAST(min(ts) AS BIGINT) AS session_start_us,
+           CAST(max(ts) + 1800000000 AS BIGINT) AS session_end_us,
+           user_id, CAST(count(*) AS BIGINT) AS n_changes,
+           round(sum(value), 2) AS total_value
+         FROM sess GROUP BY user_id, sid""",
+    "cdc_stream_dedup" ->
+      // redeliveries collapse on event_id → the unique changelog
+      """SELECT event_id, epoch_us(ts) AS ts, user_id,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS op,
+           round(value, 2) AS value
+         FROM events""",
+    "cdc_stream_interval_join" ->
+      """WITH c AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op
+           FROM events)
+         SELECT i.user_id AS key, i.event_id AS l_id, d.event_id AS r_id,
+           CAST(i.ts AS BIGINT) AS l_t_us, CAST(d.ts AS BIGINT) AS r_t_us
+         FROM c i JOIN c d ON d.user_id = i.user_id
+           AND i.op = 'INSERT' AND d.op = 'DELETE'
+           AND d.ts >= i.ts AND d.ts <= i.ts + 3600000000""",
+    "cdc_stream_enrich" ->
+      """WITH c AS (
+           SELECT event_id, epoch_us(ts) AS ts, user_id,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value
+           FROM events)
+         SELECT c.user_id, c.event_id, c.ts, c.op, c.value,
+           cu.c_nationkey, cu.c_mktsegment
+         FROM c LEFT JOIN customer cu ON cu.c_custkey = c.user_id""",
+    "cdc_stream_rolling_mau" ->
+      // epoch-aligned sliding windows (7 d wide, 1 d slide): each
+      // event lands in exactly 7 window starts; distinct users per
+      // window — the sentinel row is not in `events`, and every real
+      // window's start is ≤ some real event ts, so the Spark side's
+      // sentinel filter drops nothing the oracle keeps
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+         w AS (SELECT DISTINCT user_id,
+                 (ts // 86400000000) * 86400000000
+                   - j * 86400000000 AS win_start
+               FROM e, generate_series(0, 6) AS g(j))
+         SELECT CAST(win_start AS BIGINT) AS win_start_us,
+           CAST(win_start + 604800000000 AS BIGINT) AS win_end_us,
+           CAST(count(*) AS BIGINT) AS n_distinct_users
+         FROM w GROUP BY win_start"""
   )
 }
