@@ -112,18 +112,24 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            FROM m),
          th AS (
            SELECT *,
-             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-               * (abs(num) * 1000000 // den_x) AS BIGINT) AS theta_e6,
-             CAST((CASE WHEN CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1 < 0
-                     THEN -1 ELSE 1 END)
-               * (abs(CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1)
-                  * 1000000 // (CAST(n1 AS HUGEINT) * n0)) AS BIGINT) AS d_raw_e6,
+             CASE WHEN den_x > 0 THEN
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (abs(num) * 1000000 // den_x) AS BIGINT)
+             ELSE NULL END AS theta_e6,
+             CASE WHEN n1 > 0 AND n0 > 0 THEN
+               CAST((CASE WHEN CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1 < 0
+                       THEN -1 ELSE 1 END)
+                 * (abs(CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1)
+                    * 1000000 // (CAST(n1 AS HUGEINT) * n0)) AS BIGINT)
+             ELSE NULL END AS d_raw_e6,
              CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1 AS gap_x
            FROM mm)
          SELECT n AS n_users, n1 AS n_treat, n0 AS n_ctrl, theta_e6, d_raw_e6,
-           d_raw_e6 - CAST((CASE WHEN theta_e6 * gap_x < 0 THEN -1 ELSE 1 END)
-             * (abs(CAST(theta_e6 AS HUGEINT) * gap_x)
-                // (CAST(n1 AS HUGEINT) * n0)) AS BIGINT) AS d_cuped_e6,
+           d_raw_e6 - CASE WHEN den_x > 0 AND n1 > 0 AND n0 > 0 THEN
+             CAST((CASE WHEN theta_e6 * gap_x < 0 THEN -1 ELSE 1 END)
+               * (abs(CAST(theta_e6 AS HUGEINT) * gap_x)
+                  // (CAST(n1 AS HUGEINT) * n0)) AS BIGINT)
+           ELSE NULL END AS d_cuped_e6,
            CASE WHEN den_x > 0 AND den_y > 0 THEN
              CAST(num * num * 1000000 // (den_x * den_y) AS BIGINT)
            ELSE NULL END AS rho2_e6
@@ -216,14 +222,15 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
          $parts"""
     },
     "q_salt_advisor" ->
-      // ceil divs as (a + b - 1) // b, positive operands everywhere
-      """WITH per AS (
+      // ceil divs as (a + b - 1) // b, positive operands everywhere;
+      // fair share from the SHARED Scale.SaltShards constant
+      s"""WITH per AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS freq
            FROM events GROUP BY 1),
          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM per),
          a AS (
            SELECT event_type, freq, total,
-             (total + 31) // 32 AS t
+             (total + ${operators.Scale.SaltShards - 1}) // ${operators.Scale.SaltShards} AS t
            FROM per, tot),
          b AS (
            SELECT *, (freq + t - 1) // t AS salt_factor FROM a)
@@ -319,8 +326,11 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            CAST(rate_iso_e6 AS BIGINT) AS rate_iso_e6
          FROM bins JOIN iso ON iso.bin = bins.bin""",
     "q_ar2_forecast" ->
-      // Yule-Walker over dollar-grid deviations; staged phi quotients
-      // (num // greatest(den // 1e6, 1)); e6 backtest vs naive
+      // Yule-Walker over dollar-grid deviations; phi from
+      // KILO-DOWNSCALED co-moments (each c-factor sign-factored
+      // // 1000 before the products, so num and den shrink together
+      // and every quotient fits BIGINT — see
+      // AnalyticsExtStatsB.ar2Forecast); e6 backtest vs naive
       """WITH byday AS (
            SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
                     AS day,

@@ -151,24 +151,35 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
       .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("den_x", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("den_y", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      // every quotient carries the degenerate-corpus guard rho2_e6
+      // always had (all-equal pre-period sums → den_x = 0; an empty
+      // hash arm → n1·n0 = 0): non-ANSI Spark would yield NULL but
+      // the DuckDB oracle would raise division-by-zero — the guard
+      // makes both engines emit the same clean NULL row
       .withColumn(
         "theta_e6",
-        expr("""CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                 * (abs(num) * 1000000 div den_x) AS BIGINT)"""))
+        expr("""CASE WHEN den_x > 0 THEN
+                  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                   * (abs(num) * 1000000 div den_x) AS BIGINT)
+                ELSE NULL END"""))
       .withColumn(
         "d_raw_e6",
-        expr("""CAST((CASE WHEN CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1 < 0
-                       THEN -1 ELSE 1 END)
-                 * (abs(CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1)
-                    * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n0)) AS BIGINT)"""))
+        expr("""CASE WHEN n1 > 0 AND n0 > 0 THEN
+                  CAST((CASE WHEN CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1 < 0
+                         THEN -1 ELSE 1 END)
+                   * (abs(CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1)
+                      * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n0)) AS BIGINT)
+                ELSE NULL END"""))
       .withColumn(
         "gap_x",
         expr("CAST(sx1 AS DECIMAL(38,0)) * n0 - CAST(sx0 AS DECIMAL(38,0)) * n1"))
       .withColumn(
         "adj_term_e6",
-        expr("""CAST((CASE WHEN theta_e6 * gap_x < 0 THEN -1 ELSE 1 END)
-                 * (abs(CAST(theta_e6 AS DECIMAL(38,0)) * gap_x)
-                    div (CAST(n1 AS DECIMAL(38,0)) * n0)) AS BIGINT)"""))
+        expr("""CASE WHEN den_x > 0 AND n1 > 0 AND n0 > 0 THEN
+                  CAST((CASE WHEN theta_e6 * gap_x < 0 THEN -1 ELSE 1 END)
+                   * (abs(CAST(theta_e6 AS DECIMAL(38,0)) * gap_x)
+                      div (CAST(n1 AS DECIMAL(38,0)) * n0)) AS BIGINT)
+                ELSE NULL END"""))
       .select(
         col("n").as("n_users"),
         col("n1").as("n_treat"),

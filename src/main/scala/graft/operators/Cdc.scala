@@ -1009,6 +1009,15 @@ object Cdc {
     * with presence 1e6 inside its span; channel starts at t1;
     * amount_cents starts at t2.
     */
+  /** to_json drops null struct fields by default
+    * (ignoreNullFields=true) — a null event_type/value/event_id/
+    * user_id in a future corpus would silently shrink a phase's key
+    * set and break both the oracle's hard-coded per-phase key lists
+    * and the presence == 1e6 invariant. Emitting explicit nulls keeps
+    * every payload carrying exactly the keys the phase declares.
+    */
+  private val KeepNulls = Map("ignoreNullFields" -> "false")
+
   def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
     val nsPerDay = 86400L * 1000000000L
     val ev = Tables
@@ -1031,7 +1040,8 @@ object Cdc {
           struct(
             col("event_id").as("id"),
             col("user_id"),
-            col("cents").as("amount"))).as("payload"))
+            col("cents").as("amount")),
+          KeepNulls).as("payload"))
     val p1 = phased
       .filter(col("day") >= col("t1") && col("day") < col("t2"))
       .select(
@@ -1041,7 +1051,8 @@ object Cdc {
             col("event_id").as("id"),
             col("user_id"),
             col("cents").as("amount"),
-            col("event_type").as("channel"))).as("payload"))
+            col("event_type").as("channel")),
+          KeepNulls).as("payload"))
     val p2 = phased
       .filter(col("day") >= col("t2"))
       .select(
@@ -1051,7 +1062,8 @@ object Cdc {
             col("event_id").as("id"),
             col("user_id"),
             col("cents").as("amount_cents"),
-            col("event_type").as("channel"))).as("payload"))
+            col("event_type").as("channel")),
+          KeepNulls).as("payload"))
     val feed = p0.unionAll(p1).unionAll(p2)
     // the generic detector: everything below sees only (day, payload)
     val perDay = feed.groupBy("day").agg(count(lit(1)).as("day_msgs"))

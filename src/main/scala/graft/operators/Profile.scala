@@ -516,6 +516,16 @@ object Profile {
     * per (tier, nation): true count, noise, released count, |err| —
     * the utility-at-ε read, with the tier-ordering claim pinned by
     * the spec (E|noise| = 2α/(1−α²) ≈ 1.3 / 3.4 / 9.5).
+    *
+    * WARNING — NOT a private release: the noise here is a
+    * deterministic, publicly recomputable function of the nation key
+    * and a FIXED salt, so n_true is exactly recoverable from
+    * n_released by anyone who can run this code. This operator is the
+    * replayable parity/utility harness for the mechanism ONLY; an
+    * actual DP release must draw its uniforms from a secret seed
+    * (swap the fixed `dp:a:b:` salt for caller-supplied secret
+    * material) — the ε guarantee is a property of the distribution,
+    * which the harness samples but does not keep secret.
     */
   def dpCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

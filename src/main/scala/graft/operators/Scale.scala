@@ -1154,6 +1154,13 @@ object Scale {
         expr("CAST(clean_score_sum div (n - n_planted) AS BIGINT)").as("clean_mean_score"))
   }
 
+  /** Shuffle-partition count the salting family prices against —
+    * shared by [[saltAdvisor]] and its oracle (and the session's
+    * `spark.sql.shuffle.partitions`), so the advisor's fair share is
+    * the partition count the plan actually shuffles into.
+    */
+  private[graft] val SaltShards = 32
+
   /** #443 Skew-salting advisor: turns #99's key-skew DIAGNOSTIC into
     * the PRESCRIPTION #43's salted join consumes — per join key, the
     * minimal salt factor that fits every salted sub-key under one
@@ -1168,8 +1175,13 @@ object Scale {
     * freq ≥ s·(post−1)). All ceil divisions as (a + b − 1) div b —
     * positive operands, both engines identical. One aggregate + a
     * 1-row broadcast; output is key-cardinality-bounded.
+    *
+    * Shard count is the shared [[SaltShards]] constant, not a
+    * parameter — the q_salt_advisor oracle derives its fair share
+    * from the same constant, so the two can never silently diverge
+    * (the KmeansPar.FinalK pattern).
     */
-  def saltAdvisor(spark: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
+  def saltAdvisor(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables
       .events(spark, dir)
       .groupBy("event_type")
@@ -1177,7 +1189,7 @@ object Scale {
     val tot = per.agg(sum("freq").as("total"))
     per
       .crossJoin(broadcast(tot))
-      .withColumn("t", expr(s"(total + $nShards - 1) div $nShards"))
+      .withColumn("t", expr(s"(total + ${SaltShards - 1}) div $SaltShards"))
       .withColumn("salt_factor", expr("(freq + t - 1) div t"))
       .withColumn("post_rows", expr("(freq + salt_factor - 1) div salt_factor"))
       .select(
