@@ -84,6 +84,8 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_salted_join" -> (Scale.saltedJoin(_, _)),
     // Skew-salting advisor: per-key salt factors under the fair share (§2 #443)
     "q_salt_advisor" -> ((s: SparkSession, d: String) => Scale.saltAdvisor(s, d)),
+    // Salted aggregate consuming the advisor end-to-end (§2 #451)
+    "q_salted_agg" -> ((s: SparkSession, d: String) => Scale.saltedAgg(s, d)),
     "q_key_skew" -> (Scale.keySkew _),
     // Rendezvous sharding (§2 #155)
     "q_shard_rendezvous" -> ((s: SparkSession, d: String) => Scale.rendezvousShards(s, d)),

@@ -242,6 +242,44 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            CAST((freq + salt_factor - 1) // salt_factor * 1000000 // total AS BIGINT)
              AS post_share_e6
          FROM b""",
+    "q_salted_agg" ->
+      // freq/sum_cents computed DIRECTLY (the unsalt must not change
+      // the answer — any error shows as a hash mismatch); only the
+      // distribution columns replay the salt hash. Constants from the
+      // shared Scale.SaltShards / Scale.SaltHeadroom.
+      s"""WITH per AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS freq
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM per),
+         adv AS (
+           SELECT event_type, freq, t AS fair_share_rows,
+             (freq + t - 1) // t AS salt_factor
+           FROM (SELECT event_type, freq,
+                   (total + ${operators.Scale.SaltShards - 1})
+                     // ${operators.Scale.SaltShards} AS t
+                 FROM per, tot)),
+         ev AS (
+           SELECT e.event_type,
+             ('0x' || substr(md5('saltagg:' || e.event_id), 1, 15))::BIGINT
+               % (a.salt_factor * ${operators.Scale.SaltHeadroom}) AS salt
+           FROM events e JOIN adv a USING (event_type)),
+         s1 AS (
+           SELECT event_type, salt, CAST(count(*) AS BIGINT) AS n
+           FROM ev GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_subkeys,
+             CAST(max(n) AS BIGINT) AS max_subkey_rows
+           FROM s1 GROUP BY 1),
+         direct AS (
+           SELECT event_type,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+           FROM events GROUP BY 1)
+         SELECT a.event_type, a.freq, d.sum_cents,
+           CAST(a.salt_factor * ${operators.Scale.SaltHeadroom} AS BIGINT) AS applied_salts,
+           g.n_subkeys, g.max_subkey_rows, a.fair_share_rows,
+           CAST(g.max_subkey_rows * 1000000 // total AS BIGINT) AS max_share_e6,
+           CAST(g.max_subkey_rows <= a.fair_share_rows AS BIGINT) AS within_fair
+         FROM adv a JOIN g USING (event_type) JOIN direct d USING (event_type), tot""",
     "q_trend_test" ->
       // Cochran-Armitage: A = N*Swy - Y*Swn, z2 = A^2*N/(Y(N-Y)(N*Sw2n-Swn^2))
       """WITH g AS (

@@ -322,4 +322,39 @@ class ScaleSpec extends SparkSpec {
     }
     assert(rows.map(_._2).sum == total)
   }
+
+  test("salted aggregate: unsalt exact, every key's max sub-key load within the fair share") {
+    // #451 — the advisor consumed end-to-end: the two-stage salted
+    // plan must return the DIRECT answer (count + integer-cents sum,
+    // both associative), and with the SaltHeadroom oversalting the
+    // measured max sub-key load sits well under the advisor's fair
+    // share (hash salting is multinomial; the minimal factor alone
+    // can exceed T by a sqrt fluctuation)
+    val got = graft.operators.Scale.saltedAgg(spark, sf).collect()
+    val direct = graft.Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("freq"),
+        org.apache.spark.sql.functions
+          .sum(org.apache.spark.sql.functions.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("sum_cents"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty && got.length == direct.size)
+    got.foreach { r =>
+      val key = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == direct(key), s"unsalt changed the answer for $key")
+      val (applied, nSub, mx, fair, withinFair) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8))
+      assert(applied == graft.operators.Scale.SaltHeadroom *
+        ((r.getLong(1) + fair - 1) / fair))
+      assert(nSub <= applied, s"$key hit more sub-keys than salts")
+      assert(mx <= fair, s"$key max sub-key load $mx over fair share $fair")
+      assert(withinFair == 1L)
+    }
+  }
 }
