@@ -335,11 +335,16 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
     // never drops checkpoint blocks, so un-released rounds accumulated
     // across the shared bench JVM); the returned frame is
     // checkpoint-backed, so callers re-read bounded top-k blocks.
+    // final top-k as TakeOrdered (orderBy + limit): distributed
+    // partial top-k with a driver merge, no single-task global sort;
+    // the rank column is re-derived over the k-row frame (the window
+    // rides a GlobalLimit, structurally bounded)
     val out = ranks
+      .orderBy(col("r").desc, col("part"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("r").desc, col("part"))).cast("long"))
-      .filter(col("rank") <= topK)
       .select(col("part"), col("r").as("pr_e8"), col("rank"))
     (out, Seq(pairs, edges))
   }
@@ -415,10 +420,11 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
         .cp(false)
     }
     val out = ranks
+      .orderBy(col("r").desc, col("part"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("r").desc, col("part"))).cast("long"))
-      .filter(col("rank") <= topK)
       .select(col("part"), col("r").as("ppr_e8"), col("rank"))
     (out, Seq(pairs, edges))
   }
@@ -497,20 +503,22 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
         .cp(false)
     }
     val topA = auths
+      .orderBy(col("a").desc, col("part"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("a").desc, col("part"))).cast("long"))
-      .filter(col("rank") <= topK)
       .select(
         lit("authority").as("kind"),
         col("part").as("node"),
         col("a").as("score_e6"),
         col("rank"))
     val topH = hubs
+      .orderBy(col("h").desc, col("cust"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("h").desc, col("cust"))).cast("long"))
-      .filter(col("rank") <= topK)
       .select(lit("hub").as("kind"), col("cust").as("node"), col("h").as("score_e6"), col("rank"))
     (topA.unionAll(topH), Seq.empty)
   }

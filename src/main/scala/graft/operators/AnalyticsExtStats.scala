@@ -336,12 +336,13 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
     paths
       .groupBy("path")
       .agg(count(lit(1)).as("n_sessions"), min("n_steps").as("n_steps"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number()
           .over(Window.orderBy(col("n_sessions").desc, col("path")))
           .cast("long"))
-      .filter(col("rank") <= topK)
   }
 
   /** #252 Two-proportion z-test (A/B test read-out): does order

@@ -970,8 +970,9 @@ object Cdc {
     val tot = perKey.agg(sum("n_changes").as("n_total"), count(lit(1)).as("n_keys"))
     val w = Window.orderBy(col("n_changes").desc, col("user_id"))
     perKey
+      .orderBy(col("n_changes").desc, col("user_id"))
+      .limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
       .crossJoin(broadcast(tot))
       .withColumn("share_e6", expr("CAST(n_changes * 1000000 div n_total AS BIGINT)"))
       .withColumn(

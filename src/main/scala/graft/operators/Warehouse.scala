@@ -779,12 +779,13 @@ object Warehouse {
         expr("CAST(((n_returns + 2) * 1000000 - 2 * sq_e3 * 1000) div (n_lines + 4) AS BIGINT)"))
       .withColumn("rate_e6", expr("CAST(n_returns * 1000000 div n_lines AS BIGINT)"))
     scored
+      .orderBy(col("wilson_lb_e6").desc, col("suppkey"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number()
           .over(Window.orderBy(col("wilson_lb_e6").desc, col("suppkey")))
           .cast("long"))
-      .filter(col("rank") <= topK)
       .select(
         col("rank"),
         col("suppkey"),
@@ -853,12 +854,12 @@ object Warehouse {
           "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)")
           .as("m"),
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
-    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    // whale pick needs no rank column at all: pure TakeOrdered
     val whales = o
       .groupBy("o_custkey")
       .agg(sum("c").as("rev"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(topK)
       .select("o_custkey")
     val whaleByM = o
       .join(broadcast(whales), Seq("o_custkey"), "left_semi")
