@@ -15,7 +15,8 @@ import graft.operators._
   * `epoch_us(ts)` — exact integer parity.
   */
 object SparkEntry extends SparkEntryOracleHelpers
-    with OracleAnn with OracleCdc with OracleDedup with OracleMm with OracleText with OracleWarehouseA with OracleWarehouseB with OracleWarehouseC {
+    with OracleAnn with OracleCdc with OracleDedup with OracleMm with OracleText with OracleWarehouseA with OracleWarehouseB with OracleWarehouseC
+    with OracleWarehouseD with OracleWarehouseE {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -770,5 +771,5 @@ object SparkEntry extends SparkEntryOracleHelpers
   /** Assembled from the per-domain Oracle* traits — same 387
     * key/value pairs the single literal carried before the split.
     */
-  def oracleSql: Map[String, String] = oracleAnn ++ oracleCdc ++ oracleDedup ++ oracleMm ++ oracleText ++ oracleWarehouseA ++ oracleWarehouseB ++ oracleWarehouseC
+  def oracleSql: Map[String, String] = oracleAnn ++ oracleCdc ++ oracleDedup ++ oracleMm ++ oracleText ++ oracleWarehouseA ++ oracleWarehouseB ++ oracleWarehouseC ++ oracleWarehouseD ++ oracleWarehouseE
 }

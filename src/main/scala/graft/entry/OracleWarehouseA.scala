@@ -1405,1270 +1405,6 @@ private[graft] trait OracleWarehouseA { this: SparkEntryOracleHelpers =>
            CAST(gini_parent_e6 - gini_split_e6 AS BIGINT) AS gain_e6,
            CAST(row_number() OVER (ORDER BY gini_parent_e6 - gini_split_e6 DESC, threshold_bin)
              = 1 AS BIGINT) AS is_best
-         FROM sc""",
-    "q_degree_dist" ->
-      // octave = len(bin(deg)) - 1, pure integer in both engines
-      """WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pairs AS (
-           SELECT a.l_partkey AS pa, b.l_partkey AS pb
-           FROM po a JOIN po b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
-                 FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
-                 GROUP BY 1),
-         o AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS octave,
-                 CAST(count(*) AS BIGINT) AS n_nodes,
-                 CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
-               FROM deg GROUP BY 1)
-         SELECT octave, n_nodes, min_deg, max_deg,
-           CASE WHEN lag(n_nodes) OVER (ORDER BY octave) IS NULL THEN NULL
-                ELSE CAST(n_nodes * 1000000 // lag(n_nodes) OVER (ORDER BY octave) AS BIGINT)
-           END AS ratio_prev_e6
-         FROM o""",
-    "q_ewma_chart" ->
-      // the #196 dyadic cover join on the global day series; limits
-      // sqrt(3*Var) via the one-ulp isqrt (lambda/(2-lambda) = 1/3)
-      """WITH byday AS (
-           SELECT CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1),
-         m0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                  sum(CAST(x AS HUGEINT) * x) AS sxx FROM byday),
-         m1 AS (SELECT sx // n AS mu,
-                  3 * ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-                       // (CAST(n AS HUGEINT) * n)) AS v3 FROM m0),
-         m2 AS (SELECT mu, v3, CAST(floor(sqrt(CAST(v3 AS DOUBLE))) AS HUGEINT) AS s0 FROM m1),
-         m3 AS (SELECT mu, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= v3 THEN 1 ELSE 0 END)
-                  - (CASE WHEN s0 * s0 > v3 THEN 1 ELSE 0 END) AS lim FROM m2),
-         cov AS (SELECT b.day AS src, b.x, unnest(range(b.day, b.day + 16)) AS t FROM byday b),
-         agg AS (SELECT t,
-                   CAST(sum(1::BIGINT << CAST(15 - (t - src) AS INT)) AS BIGINT) AS den,
-                   CAST(sum(x * (1::BIGINT << CAST(15 - (t - src) AS INT))) AS BIGINT) AS num
-                 FROM cov GROUP BY 1)
-         SELECT a.t AS day, b.x AS cents, CAST(num // den AS BIGINT) AS ewma_cents,
-           CAST(mu AS BIGINT) AS mu_cents, CAST(lim AS BIGINT) AS limit_cents,
-           CAST(abs(num // den - mu) > lim AS BIGINT) AS alarm
-         FROM agg a JOIN byday b ON b.day = a.t, m3""",
-    "q_kendall_tau" ->
-      // day-pair sign sweep; tau-b with both tie margins, one-ulp
-      // isqrt denominator, sign factored before the div
-      """WITH byday AS (
-           SELECT CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
-             CAST(count(*) AS BIGINT) AS x,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         p AS (SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sx,
-                 CAST(sign(b.y - a.y) AS BIGINT) AS sy
-               FROM byday a JOIN byday b ON a.day < b.day),
-         agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
-                   CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
-                   CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
-                   CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
-                   CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
-                 FROM p),
-         d2 AS (SELECT *, CAST(n0 - tx AS HUGEINT) * (n0 - ty) AS den2 FROM agg),
-         d3 AS (SELECT *, CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS HUGEINT) AS s0 FROM d2),
-         d4 AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= den2 THEN 1 ELSE 0 END)
-                  - (CASE WHEN s0 * s0 > den2 THEN 1 ELSE 0 END) AS den FROM d3)
-         SELECT n0, n_c, n_d, tx AS ties_x, ty AS ties_y,
-           CASE WHEN den > 0 THEN
-             CAST((CASE WHEN n_c >= n_d THEN 1 ELSE -1 END)
-               * (abs(CAST(n_c AS HUGEINT) - n_d) * 1000000 // den) AS BIGINT)
-           ELSE NULL END AS tau_b_e6
-         FROM d4""",
-    "q_cohens_d" ->
-      // staged HUGEINT quotients: per-group (n-1)s^2 with one
-      // truncation each, pooled variance, one-ulp isqrt, exact
-      // mean-gap numerator, Hedges correction on the grid
-      """WITH lines AS (
-           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS t,
-             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
-           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-         m AS (SELECT
-             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
-             sum(CASE WHEN t = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1,
-             CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-             CAST(sum(CASE WHEN t = 0 THEN c ELSE 0 END) AS BIGINT) AS s2,
-             sum(CASE WHEN t = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q2
-           FROM lines),
-         v AS (SELECT *,
-             (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
-               // (CAST(n1 AS HUGEINT) * (n1 + n2 - 2)) AS v1,
-             (CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
-               // (CAST(n2 AS HUGEINT) * (n1 + n2 - 2)) AS v2
-           FROM m),
-         sp2 AS (SELECT *, v1 + v2 AS sp2 FROM v),
-         sg AS (SELECT *, CAST(floor(sqrt(CAST(sp2 AS DOUBLE))) AS HUGEINT) AS s0 FROM sp2),
-         si AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= sp2 THEN 1 ELSE 0 END)
-                  - (CASE WHEN s0 * s0 > sp2 THEN 1 ELSE 0 END) AS sp
-                FROM sg),
-         dd AS (SELECT *,
-             CASE WHEN sp > 0 THEN
-               CAST((CASE WHEN CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 < 0
-                      THEN -1 ELSE 1 END)
-                 * (abs(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1) * 1000000
-                    // (CAST(n1 AS HUGEINT) * n2 * sp)) AS BIGINT)
-             ELSE NULL END AS d_e6
-           FROM si)
-         SELECT n1, n2, CAST(sp AS BIGINT) AS pooled_sd_cents, d_e6,
-           CAST(d_e6 - (3 * d_e6) // (4 * (n1 + n2) - 9) AS BIGINT) AS g_e6
-         FROM dd""",
-    "q_cliffs_delta" ->
-      // the Mann-Whitney doubled-midrank frame, finished as the
-      // ordinal effect size with Romano magnitude bands
-      """WITH lines AS (
-           SELECT CAST(p.p_type LIKE 'PROMO%' AS BIGINT) AS t,
-             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS c
-           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-         bv AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(t) AS BIGINT) AS cnt1
-                FROM lines GROUP BY 1),
-         cu AS (SELECT c, cnt, cnt1,
-                  CAST(coalesce(sum(cnt) OVER (ORDER BY c
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
-                FROM bv),
-         agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(cnt1) AS BIGINT) AS n1,
-                   CAST(sum(cnt1 * (2 * cum + cnt + 1)) AS BIGINT) AS r1_2x
-                 FROM cu),
-         st AS (SELECT n1, n - n1 AS n2, r1_2x - n1 * (n1 + 1) AS u1_2x FROM agg),
-         de AS (SELECT *,
-             CAST((CASE WHEN u1_2x >= CAST(n1 AS HUGEINT) * n2 THEN 1 ELSE -1 END)
-               * (abs(CAST(u1_2x AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 1000000
-                  // (CAST(n1 AS HUGEINT) * n2)) AS BIGINT) AS delta_e6
-           FROM st)
-         SELECT n1, n2, u1_2x, delta_e6,
-           CASE WHEN abs(delta_e6) < 147000 THEN 'negligible'
-                WHEN abs(delta_e6) < 330000 THEN 'small'
-                WHEN abs(delta_e6) < 474000 THEN 'medium'
-                ELSE 'large' END AS magnitude
-         FROM de""",
-    "q_anova_f" ->
-      // one truncation per group (S_g^2 // n_g), staged F quotient;
-      // whole-dollar grid (cents-grid bsum crosses 2^63 at sf0.01)
-      """WITH per AS (
-           SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_g,
-             CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
-             sum(CAST(CAST(floor(o_totalprice + 0.5) AS BIGINT) AS HUGEINT)
-                 * CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS q_g
-           FROM orders GROUP BY 1),
-         agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
-                   CAST(sum(s_g) AS BIGINT) AS s, sum(q_g) AS q,
-                   sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS bsum
-                 FROM per)
-         SELECT k, n,
-           CAST(bsum - CAST(s AS HUGEINT) * s // n AS BIGINT) AS ssb_d2,
-           CAST(q - bsum AS BIGINT) AS ssw_d2,
-           CASE WHEN q - bsum >= 1 THEN
-             CAST((bsum - CAST(s AS HUGEINT) * s // n) * (n - k) * 1000000
-               // ((q - bsum) * (k - 1)) AS BIGINT)
-           ELSE NULL END AS f_e6
-         FROM agg""",
-    "q_levene" ->
-      // per-group rank-defined lower median, |x - med_g|, then the
-      // same one-truncation-per-group F machinery on the deviations
-      """WITH vals AS (
-           SELECT o_orderpriority AS g, o_orderkey,
-             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS c
-           FROM orders),
-         r AS (SELECT g, c,
-                 CAST(row_number() OVER (PARTITION BY g ORDER BY c, o_orderkey) AS BIGINT) AS rn,
-                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nn
-               FROM vals),
-         med AS (SELECT g, max(CASE WHEN rn = (nn + 1) // 2 THEN c END) AS med
-                 FROM r GROUP BY 1),
-         per AS (SELECT v.g, CAST(count(*) AS BIGINT) AS n_g,
-                   CAST(sum(abs(v.c - med.med)) AS BIGINT) AS s_g,
-                   sum(CAST(abs(v.c - med.med) AS HUGEINT) * abs(v.c - med.med)) AS q_g
-                 FROM vals v JOIN med ON med.g = v.g GROUP BY 1),
-         agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
-                   CAST(sum(s_g) AS BIGINT) AS s, sum(q_g) AS q,
-                   sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS bsum
-                 FROM per)
-         SELECT k, n,
-           CAST(bsum - CAST(s AS HUGEINT) * s // n AS BIGINT) AS ssb_z2,
-           CAST(q - bsum AS BIGINT) AS ssw_z2,
-           CASE WHEN q - bsum >= 1 THEN
-             CAST((bsum - CAST(s AS HUGEINT) * s // n) * (n - k) * 1000000
-               // ((q - bsum) * (k - 1)) AS BIGINT)
-           ELSE NULL END AS w_e6
-         FROM agg""",
-    "q_ljung_box" ->
-      // per-lag pairwise-complete r^2 via the factored e3*e3 quotient
-      // (the q_period_detect construction), one truncation per lag
-      """WITH daily AS (
-           SELECT CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-         lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
-         pairs AS (
-           SELECT l.lag, a.x AS x, b.x AS y
-           FROM lags l CROSS JOIN daily a JOIN daily b ON b.d = a.d + l.lag),
-         pl AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
-                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                  sum(CAST(x AS HUGEINT) * y) AS sxy,
-                  sum(CAST(x AS HUGEINT) * x) AS sxx,
-                  sum(CAST(y AS HUGEINT) * y) AS syy
-                FROM pairs GROUP BY 1),
-         rr AS (SELECT CAST(lag AS BIGINT) AS lag,
-                  CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
-                  CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
-                  CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
-                FROM pl),
-         r2 AS (SELECT lag,
-                  (abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y) AS r2_e6
-                FROM rr WHERE den_x > 0 AND den_y > 0),
-         terms AS (SELECT n, r2_e6 // (n - lag) AS term FROM r2, nn),
-         agg AS (SELECT n, CAST(count(*) AS BIGINT) AS n_lags,
-                   CAST(sum(term) AS BIGINT) AS tsum
-                 FROM terms GROUP BY 1)
-         SELECT n AS n_days, n_lags,
-           CAST(CAST(n AS HUGEINT) * (n + 2) * tsum AS BIGINT) AS q_e6,
-           CAST(18307000 AS BIGINT) AS chi2_crit_e6,
-           CAST(CAST(n AS HUGEINT) * (n + 2) * tsum > 18307000 AS BIGINT) AS significant
-         FROM agg""",
-    "q_runs_test" ->
-      // rank-defined lower median, equal days dropped, R = sign
-      // changes + 1 via lag; z = N div isqrt(A div B) (the n^2 in
-      // Var's denominator cancels into N)
-      """WITH byday AS (
-           SELECT CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1),
-         r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS rn,
-                 CAST(count(*) OVER () AS BIGINT) AS nn
-               FROM byday),
-         med AS (SELECT max(CASE WHEN rn = (nn + 1) // 2 THEN x END) AS med FROM r),
-         s AS (SELECT d, CAST(x > med AS BIGINT) AS s FROM byday, med WHERE x <> med),
-         ch AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
-                    OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
-                FROM s),
-         agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1,
-                   CAST(sum(chg) AS BIGINT) AS runs FROM ch),
-         q AS (SELECT *, 2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n) // (n - 1) AS qv
-               FROM agg),
-         sg AS (SELECT *, CAST(floor(sqrt(CAST(qv AS DOUBLE))) AS BIGINT) AS s0 FROM q),
-         si AS (SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= qv THEN 1 ELSE 0 END)
-                  - (CASE WHEN s0 * s0 > qv THEN 1 ELSE 0 END) AS sigma
-                FROM sg)
-         SELECT n AS n_days_used, n1 AS n_above, n - n1 AS n_below,
-           (SELECT med FROM med) AS median_cents, runs,
-           CAST(1000000 + 2 * n1 * (n - n1) * 1000000 // n AS BIGINT) AS mu_e6,
-           CAST((CASE WHEN runs * n - n - 2 * n1 * (n - n1) >= 0 THEN 1 ELSE -1 END)
-             * (abs(runs * n - n - 2 * n1 * (n - n1)) * 1000000 // sigma) AS BIGINT) AS z_e6
-         FROM si""",
-    "q_dow_seasonality" ->
-      // weekday from epoch-day arithmetic ((d+3) % 7, 0 = Monday) —
-      // no engine dayofweek() convention involved
-      """WITH daily AS (
-           SELECT CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1),
-         bd AS (SELECT (d + 3) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
-                  CAST(sum(x) AS BIGINT) AS dow_cents
-                FROM daily GROUP BY 1),
-         tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS td,
-                   CAST(sum(dow_cents) AS BIGINT) AS tc FROM bd)
-         SELECT dow, n_days, dow_cents, dow_cents // n_days AS mean_cents,
-           CAST(CAST(dow_cents // n_days AS HUGEINT) * 1000000
-             // (tc // td) AS BIGINT) AS index_e6
-         FROM bd, tot""",
-    "q_seasonal_strength" ->
-      // shared decomposition kernel, then the two F-ratios on raw
-      // moment forms (shared n cancels), HUGEINT cross products
-      s"""${seasonalKernelSql},
-         frame AS (
-           SELECT k.event_type, k.det AS det, k.c - sc.seasonal AS des,
-             k.det - sc.seasonal AS rem
-           FROM kept k JOIN sc ON sc.event_type = k.event_type AND sc.dow = k.dow),
-         agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(det) AS BIGINT) AS sd, sum(CAST(det AS HUGEINT) * det) AS sdd,
-             CAST(sum(des) AS BIGINT) AS ss, sum(CAST(des AS HUGEINT) * des) AS sss,
-             CAST(sum(rem) AS BIGINT) AS sr, sum(CAST(rem AS HUGEINT) * rem) AS srr
-           FROM frame GROUP BY 1),
-         v AS (SELECT event_type, n_days,
-             greatest(CAST(n_days AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd, 1) AS vd,
-             greatest(CAST(n_days AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss, 1) AS vs,
-             CAST(n_days AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr AS vr
-           FROM agg)
-         SELECT event_type, n_days,
-           CAST(greatest(0, (vd - vr) * 1000000 // vd) AS BIGINT) AS f_seasonal_e6,
-           CAST(greatest(0, (vs - vr) * 1000000 // vs) AS BIGINT) AS f_trend_e6
-         FROM v""",
-    "q_holt_winters" ->
-      // identical dyadic sign-factored HW trajectory as a recursive
-      // CTE with a 7-slot seasonal list (shared hwCtes helper)
-      s"""WITH ${hwCtes}
-         SELECT event_type, day, y AS cents, l AS level_c, b AS trend_c,
-           s[CAST(day % 7 AS INT) + 1] AS season_c,
-           l + b + s[CAST((day + 1) % 7 AS INT) + 1] AS forecast_next_c
-         FROM rec""",
-    "q_abc_migration" ->
-      // per-period 80/95 cumulative-share classes, '-' for unsold,
-      // full-outer at part grain, <=16-row rollup
-      """WITH dd AS (
-           SELECT CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS day
-           FROM orders),
-         split AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM dd),
-         lines AS (
-           SELECT l.l_partkey,
-             CAST(CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o.o_orderdate AS DATE)) AS BIGINT) >= split.mid AS BIGINT) AS period,
-             CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)) AS BIGINT) AS r
-           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey, split),
-         r0 AS (SELECT l_partkey, CAST(sum(r) AS BIGINT) AS rev
-                FROM lines WHERE period = 0 GROUP BY 1),
-         r1 AS (SELECT l_partkey, CAST(sum(r) AS BIGINT) AS rev
-                FROM lines WHERE period = 1 GROUP BY 1),
-         c0 AS (SELECT l_partkey, rev,
-                  CASE WHEN share_e6 <= 800000 THEN 'A'
-                       WHEN share_e6 <= 950000 THEN 'B' ELSE 'C' END AS cls
-                FROM (SELECT l_partkey, rev,
-                        CAST(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
-                          * 1000000 // (sum(rev) OVER ()) AS BIGINT) AS share_e6
-                      FROM r0)),
-         c1 AS (SELECT l_partkey, rev,
-                  CASE WHEN share_e6 <= 800000 THEN 'A'
-                       WHEN share_e6 <= 950000 THEN 'B' ELSE 'C' END AS cls
-                FROM (SELECT l_partkey, rev,
-                        CAST(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
-                          * 1000000 // (sum(rev) OVER ()) AS BIGINT) AS share_e6
-                      FROM r1))
-         SELECT coalesce(c0.cls, '-') AS class_before,
-           coalesce(c1.cls, '-') AS class_after,
-           CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(sum(coalesce(c1.rev, 0)) AS BIGINT) AS after_revenue_usd
-         FROM c0 FULL OUTER JOIN c1 ON c0.l_partkey = c1.l_partkey
-         GROUP BY 1, 2""",
-    "q_vintage_ramp" ->
-      // first-sale month per part, rollup by months-since-first
-      """WITH pm AS (
-           SELECT l.l_partkey,
-             CAST(year(CAST(o.o_orderdate AS DATE)) * 12
-               + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
-             CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)) AS BIGINT))
-               AS BIGINT) AS rev
-           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-           GROUP BY 1, 2),
-         f AS (SELECT l_partkey, min(m) AS m0 FROM pm GROUP BY 1)
-         SELECT pm.m - f.m0 AS age_months, CAST(count(*) AS BIGINT) AS n_part_months,
-           CAST(sum(pm.rev) AS BIGINT) AS revenue_usd,
-           CAST(sum(pm.rev) // count(*) AS BIGINT) AS mean_usd
-         FROM pm JOIN f ON f.l_partkey = pm.l_partkey GROUP BY 1""",
-    "q_monthly_bands" ->
-      // rank-defined lower p25/p50/p75 of daily revenue per month
-      """WITH daily AS (
-           SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS month,
-             CAST(date_diff('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1, 2),
-         r AS (SELECT month, x,
-                 CAST(row_number() OVER (PARTITION BY month ORDER BY x, day) AS BIGINT) AS rn,
-                 CAST(count(*) OVER (PARTITION BY month) AS BIGINT) AS n
-               FROM daily)
-         SELECT month, max(n) AS n_days,
-           max(CASE WHEN rn = (n + 3) // 4 THEN x END) AS p25_cents,
-           max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS p50_cents,
-           max(CASE WHEN rn = (3 * n + 3) // 4 THEN x END) AS p75_cents
-         FROM r GROUP BY 1""",
-    "q_locf_fill" ->
-      """WITH ev AS (
-           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
-           FROM events),
-         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
-         users AS (SELECT DISTINCT user_id FROM ev),
-         cal AS (SELECT user_id,
-                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-                 FROM users, bounds),
-         agg AS (SELECT user_id, day, round(sum(value), 2) AS tv
-                 FROM ev GROUP BY user_id, day)
-         SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed,
-           coalesce(last_value(tv IGNORE NULLS) OVER (PARTITION BY user_id
-             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
-             AS filled_value
-         FROM (SELECT cal.user_id, cal.day, agg.tv,
-                 CAST(agg.tv IS NOT NULL AS INT) AS observed
-               FROM cal LEFT JOIN agg
-                 ON cal.user_id = agg.user_id AND cal.day = agg.day)""",
-    "q_dq_audit" ->
-      """WITH o AS (
-           SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nk,
-             count(*) FILTER (WHERE o_totalprice <= 0) AS bad_price,
-             count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
-                                 OR o_orderdate >= TIMESTAMP '2030-01-01') AS bad_date,
-             count(*) FILTER (WHERE o_custkey IS NULL) AS null_cust
-           FROM orders),
-         l AS (
-           SELECT count(*) AS n,
-             (SELECT count(*) FROM
-               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS nk,
-             count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS bad_qty,
-             count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_disc
-           FROM lineitem),
-         c AS (SELECT count(*) AS n, count(DISTINCT c_custkey) AS nk FROM customer),
-         e AS (
-           SELECT count(*) AS n,
-             count(*) FILTER (WHERE event_type NOT IN
-               ('signup','click','view','purchase','error')) AS bad_type
-           FROM events),
-         fo AS (SELECT count(*) AS v FROM orders o2
-                WHERE NOT EXISTS (SELECT 1 FROM customer c2
-                                  WHERE c2.c_custkey = o2.o_custkey)),
-         fl AS (SELECT count(*) AS v FROM lineitem l2
-                WHERE NOT EXISTS (SELECT 1 FROM orders o3
-                                  WHERE o3.o_orderkey = l2.l_orderkey))
-         SELECT table_name, rule, n_checked, n_violations,
-           CAST(n_violations = 0 AS INT) AS pass
-         FROM (
-           SELECT 'orders' AS table_name, 'pk_unique:o_orderkey' AS rule,
-             n AS n_checked, n - nk AS n_violations FROM o
-           UNION ALL SELECT 'orders', 'fk:o_custkey->customer', o.n, fo.v FROM o, fo
-           UNION ALL SELECT 'orders', 'not_null:o_custkey', n, null_cust FROM o
-           UNION ALL SELECT 'orders', 'range:o_totalprice>0', n, bad_price FROM o
-           UNION ALL SELECT 'orders', 'range:o_orderdate in [1990,2030)', n, bad_date FROM o
-           UNION ALL SELECT 'lineitem', 'pk_unique:(l_orderkey,l_linenumber)', n, n - nk FROM l
-           UNION ALL SELECT 'lineitem', 'fk:l_orderkey->orders', l.n, fl.v FROM l, fl
-           UNION ALL SELECT 'lineitem', 'range:l_quantity in [1,50]', n, bad_qty FROM l
-           UNION ALL SELECT 'lineitem', 'range:l_discount in [0,1]', n, bad_disc FROM l
-           UNION ALL SELECT 'customer', 'pk_unique:c_custkey', n, n - nk FROM c
-           UNION ALL SELECT 'events', 'domain:event_type', n, bad_type FROM e)""",
-    "q_components" -> componentsOracle(maxRounds = 12),
-    // the incremental fold's contract IS batch equality — shared oracle
-    // (the #103/#138 pattern)
-    "q_components_incremental" -> componentsOracle(maxRounds = 12),
-    "q_ppr" -> {
-      // PPR: teleport lands only on seed nodes (part % 100 = 0), the
-      // vector keeps zero-rank nodes via the left join; all-nonneg
-      // integer so // ≡ div
-      def round(prev: String, out: String) =
-        s"""$out AS MATERIALIZED (
-              SELECT a.part,
-                CAST((CASE WHEN a.part % 100 = 0
-                      THEN 15 * 100000000 // (100 * ns.n_seeds) ELSE 0 END)
-                     + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS r
-              FROM nodes a
-              LEFT JOIN (
-                SELECT e.dst AS part, sum(r.r * e.w // o.wout) AS cs
-                FROM edges e
-                JOIN outw o ON o.src = e.src
-                JOIN $prev r ON r.part = e.src
-                GROUP BY e.dst) c ON c.part = a.part, ns)"""
-      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pairs AS (
-           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
-           FROM po a JOIN po b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
-         edges AS (SELECT part_a AS src, part_b AS dst, w FROM pairs
-                   UNION ALL SELECT part_b, part_a, w FROM pairs),
-         outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
-         nodes AS (SELECT src AS part FROM outw),
-         ns AS (SELECT count(*) AS n_seeds FROM nodes WHERE part % 100 = 0),
-         r0 AS MATERIALIZED (
-           SELECT part, CAST(CASE WHEN part % 100 = 0
-             THEN 100000000 // ns.n_seeds ELSE 0 END AS BIGINT) AS r
-           FROM nodes, ns),
-         ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")}
-         SELECT part, ppr_e8, rank FROM (
-           SELECT part, r AS ppr_e8,
-             CAST(row_number() OVER (ORDER BY r DESC, part) AS BIGINT) AS rank
-           FROM r3)
-         WHERE rank <= 50"""
-    },
-    "q_hits" -> {
-      // two unrolled HITS iterations; each half-step is an exact
-      // BIGINT weighted sum + e6 max-normalization with floor
-      // division (nonneg, so // ≡ div)
-      def authStep(hPrev: String, out: String) =
-        s"""${out}r AS (SELECT e.part, sum(h.h * e.w) AS ar
-                        FROM edges e JOIN $hPrev h ON h.cust = e.cust
-                        GROUP BY e.part),
-            $out AS (SELECT part,
-                       CAST(ar * 1000000 // (SELECT max(ar) FROM ${out}r) AS BIGINT) AS a
-                     FROM ${out}r)"""
-      def hubStep(aPrev: String, out: String) =
-        s"""${out}r AS (SELECT e.cust, sum(a.a * e.w) AS hr
-                        FROM edges e JOIN $aPrev a ON a.part = e.part
-                        GROUP BY e.cust),
-            $out AS (SELECT cust,
-                       CAST(hr * 1000000 // (SELECT max(hr) FROM ${out}r) AS BIGINT) AS h
-                     FROM ${out}r)"""
-      s"""WITH edges AS (
-           SELECT o_custkey AS cust, l_partkey AS part, count(*) AS w
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           GROUP BY 1, 2),
-         h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM edges),
-         ${authStep("h0", "a1")}, ${hubStep("a1", "h1")},
-         ${authStep("h1", "a2")}, ${hubStep("a2", "h2")},
-         topa AS (SELECT 'authority' AS kind, part AS node, a AS score_e6,
-                    CAST(row_number() OVER (ORDER BY a DESC, part) AS BIGINT) AS rank
-                  FROM a2),
-         toph AS (SELECT 'hub' AS kind, cust AS node, h AS score_e6,
-                    CAST(row_number() OVER (ORDER BY h DESC, cust) AS BIGINT) AS rank
-                  FROM h2)
-         SELECT kind, node, score_e6, rank FROM topa WHERE rank <= 20
-         UNION ALL
-         SELECT kind, node, score_e6, rank FROM toph WHERE rank <= 20""".stripMargin
-    },
-    "q_assortativity" ->
-      // edge-level endpoint-degree Pearson moments in HUGEINT; the
-      // r2 quotient is the factored e3×e3 form (each factor ≤ 1000 by
-      // Cauchy-Schwarz, so no overflow where num² would)
-      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pairs AS (
-           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
-           FROM po a JOIN po b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2
-           HAVING count(*) >= 2),
-         edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
-                   UNION ALL SELECT part_b, part_a FROM pairs),
-         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-         xy AS (SELECT ds.deg AS x, dd.deg AS y
-                FROM edges e
-                JOIN deg ds ON ds.src = e.src
-                JOIN deg dd ON dd.src = e.dst),
-         mom AS (SELECT count(*) AS m,
-                   sum(x) AS sx, sum(y) AS sy,
-                   sum(CAST(x AS HUGEINT) * y) AS sxy,
-                   sum(CAST(x AS HUGEINT) * x) AS sxx,
-                   sum(CAST(y AS HUGEINT) * y) AS syy
-                 FROM xy)
-         SELECT m,
-           CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
-           CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
-           CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
-           CAST((CASE WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
-             ((abs(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
-               // (CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
-              * (abs(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
-                 // (CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)))
-           AS BIGINT) AS r2_signed_e6
-         FROM mom""",
-    "q_pagerank" -> {
-      // three unrolled integer power iterations; `//` is floor division
-      // on nonnegative ints = Spark's `div`
-      def round(prev: String, out: String) =
-        s"""$out AS (
-              SELECT e.dst AS part,
-                CAST(15 * 100000000 // (100 * n.n_nodes)
-                     + (85 * sum(r.r * e.w // o.wout)) // 100 AS BIGINT) AS r
-              FROM edges e
-              JOIN outw o ON o.src = e.src
-              JOIN $prev r ON r.part = e.src, n
-              GROUP BY e.dst, n.n_nodes)"""
-      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pairs AS (
-           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
-           FROM po a JOIN po b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
-         edges AS (SELECT part_a AS src, part_b AS dst, w FROM pairs
-                   UNION ALL SELECT part_b, part_a, w FROM pairs),
-         outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
-         n AS (SELECT count(*) AS n_nodes FROM outw),
-         r0 AS (SELECT src AS part, CAST(100000000 // n_nodes AS BIGINT) AS r
-                FROM outw, n),
-         ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")}
-         SELECT part, pr_e8, rank FROM (
-           SELECT part, r AS pr_e8,
-             CAST(row_number() OVER (ORDER BY r DESC, part) AS BIGINT) AS rank
-           FROM r3)
-         WHERE rank <= 50"""
-    },
-    "q_zorder_recluster" -> {
-      // frozen-boundary delta routing replayed relationally; same
-      // generated Morton terms as q_zorder_stats
-      val mortonSql = (0 until 8)
-        .map(i =>
-          s"((ca >> $i) & 1) * ${1L << (2 * i + 1)} + ((cb >> $i) & 1) * ${1L << (2 * i)}")
-        .mkString(" + ")
-      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-                        WHERE o_orderkey % 10 <> 0),
-         delta AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-                   WHERE o_orderkey % 10 = 0),
-         b AS (SELECT *,
-                 CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS ca,
-                 CAST(ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS cb
-               FROM base),
-         z AS (SELECT *, CAST($mortonSql AS BIGINT) AS zval FROM b),
-         zf AS (SELECT *, CAST(ntile(32) OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS file_id
-                FROM z),
-         cab AS (SELECT bv, bok FROM (
-                   SELECT o_custkey AS bv, o_orderkey AS bok,
-                     row_number() OVER (PARTITION BY ca
-                       ORDER BY o_custkey DESC, o_orderkey DESC) AS rn
-                   FROM b) WHERE rn = 1),
-         cbb AS (SELECT bv, bok FROM (
-                   SELECT o_totalprice AS bv, o_orderkey AS bok,
-                     row_number() OVER (PARTITION BY cb
-                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
-                   FROM b) WHERE rn = 1),
-         fb AS (SELECT bz, bok FROM (
-                  SELECT zval AS bz, o_orderkey AS bok,
-                    row_number() OVER (PARTITION BY file_id
-                      ORDER BY zval DESC, o_orderkey DESC) AS rn
-                  FROM zf) WHERE rn = 1),
-         dca AS (SELECT d.o_orderkey, least(count(c.bv), 255) AS ca
-                 FROM delta d LEFT JOIN cab c
-                   ON c.bv < d.o_custkey OR (c.bv = d.o_custkey AND c.bok < d.o_orderkey)
-                 GROUP BY d.o_orderkey),
-         dcb AS (SELECT d.o_orderkey, least(count(c.bv), 255) AS cb
-                 FROM delta d LEFT JOIN cbb c
-                   ON c.bv < d.o_totalprice OR (c.bv = d.o_totalprice AND c.bok < d.o_orderkey)
-                 GROUP BY d.o_orderkey),
-         dz AS (SELECT d.o_orderkey, dca.ca, dcb.cb, CAST($mortonSql AS BIGINT) AS zval
-                FROM delta d JOIN dca USING (o_orderkey) JOIN dcb USING (o_orderkey)),
-         df AS (SELECT z.o_orderkey, z.ca, z.cb, z.zval,
-                  least(count(f.bz) + 1, 32) AS file_id
-                FROM dz z LEFT JOIN fb f
-                  ON f.bz < z.zval OR (f.bz = z.zval AND f.bok < z.o_orderkey)
-                GROUP BY z.o_orderkey, z.ca, z.cb, z.zval),
-         tagged AS (SELECT file_id, ca, cb, 0 AS is_delta FROM zf
-                    UNION ALL SELECT file_id, ca, cb, 1 AS is_delta FROM df),
-         nb AS (SELECT count(*) AS n_base_total FROM base)
-         SELECT file_id,
-           CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
-           CAST(sum(is_delta) AS BIGINT) AS n_delta,
-           count(*) AS n_total,
-           min(ca) AS min_cust_b, max(ca) AS max_cust_b,
-           min(cb) AS min_price_b, max(cb) AS max_price_b,
-           CAST(count(*) > (3 * ((n_base_total + 31) // 32)) // 2 AS INT) AS needs_rewrite
-         FROM tagged, nb
-         GROUP BY file_id, n_base_total"""
-    },
-    "q7_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
-             AS BIGINT) AS revenue_c
-         FROM lineitem l
-         JOIN supplier s ON s.s_suppkey = l.l_suppkey
-         JOIN orders o ON o.o_orderkey = l.l_orderkey
-         JOIN customer c ON c.c_custkey = o.o_custkey
-         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-         WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
-            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
-         GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
-         ORDER BY supp_nation, cust_nation, l_year""",
-    "q8_market_share" ->
-      """SELECT o_year,
-           round(CAST(nation_rev_c AS DOUBLE) / total_rev_c, 4) AS mkt_share
-         FROM (
-           SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
-               THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS nation_rev_c,
-             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
-               AS BIGINT) AS total_rev_c
-           FROM lineitem l
-           JOIN orders o ON o.o_orderkey = l.l_orderkey
-           JOIN customer c ON c.c_custkey = o.o_custkey
-           JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-           JOIN region r ON r.r_regionkey = n2.n_regionkey
-           JOIN supplier s ON s.s_suppkey = l.l_suppkey
-           JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-           WHERE r.r_name = 'ASIA'
-           GROUP BY year(o.o_orderdate))
-         ORDER BY o_year""",
-    "q10_returned_items" ->
-      """SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
-             AS BIGINT) AS revenue_c
-         FROM customer c
-         JOIN orders o ON o.o_custkey = c.c_custkey
-         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-         JOIN nation n ON n.n_nationkey = c.c_nationkey
-         WHERE l.l_returnflag = 'R'
-           AND o.o_orderdate >= TIMESTAMP '1997-01-01'
-           AND o.o_orderdate < TIMESTAMP '1997-07-01'
-         GROUP BY c.c_custkey, c.c_name, n.n_name
-         ORDER BY revenue_c DESC, c.c_custkey
-         LIMIT 20""",
-    "q12_ship_priority" ->
-      """SELECT l.l_returnflag,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-         GROUP BY l.l_returnflag
-         ORDER BY l.l_returnflag""",
-    "q14_promo_share" ->
-      """SELECT round(100.0 * CAST(promo_c AS DOUBLE) / total_c, 4) AS promo_share
-         FROM (
-           SELECT
-             CAST(sum(CASE WHEN p.p_type = 'PROMO'
-               THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS promo_c,
-             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
-               AS BIGINT) AS total_c
-           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-           WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
-             AND l.l_shipdate < TIMESTAMP '1999-01-01')""",
-    "q16_supplier_relationship" ->
-      """SELECT p.p_brand, p.p_type, p.p_size,
-           count(DISTINCT l.l_suppkey) AS supplier_cnt
-         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-         WHERE p.p_brand <> 'Brand#1'
-           AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                   WHERE s_suppkey % 10 = 0)
-         GROUP BY p.p_brand, p.p_type, p.p_size
-         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
-         LIMIT 20""",
-    "q6_forecast_revenue" ->
-      """SELECT count(*) AS n_items,
-           CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
-             AS BIGINT) AS revenue_c
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-           AND l_shipdate < TIMESTAMP '1998-01-01'
-           AND l_discount BETWEEN 0.05 AND 0.07
-           AND l_quantity < 24""",
-    "q9_product_profit" ->
-      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
-                  - CAST(floor(p.p_retailprice * l.l_quantity * 0.8 * 100 + 0.5) AS BIGINT))
-             AS BIGINT) AS profit_c
-         FROM lineitem l
-         JOIN orders o ON o.o_orderkey = l.l_orderkey
-         JOIN supplier s ON s.s_suppkey = l.l_suppkey
-         JOIN nation n ON n.n_nationkey = s.s_nationkey
-         JOIN part p ON p.p_partkey = l.l_partkey
-         WHERE p.p_type IN ('ECONOMY', 'STANDARD')
-         GROUP BY n.n_name, year(o.o_orderdate)
-         ORDER BY nation, o_year""",
-    "q18_large_volume" ->
-      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
-         FROM customer c
-         JOIN orders o ON o.o_custkey = c.c_custkey
-         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-         WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
-                                GROUP BY l2.l_orderkey
-                                HAVING sum(l2.l_quantity) > 300)
-         GROUP BY c.c_custkey, c.c_name, o.o_orderkey
-         ORDER BY total_qty DESC, o.o_orderkey
-         LIMIT 20""",
-    "q_weighted_median" ->
-      // order-count-weighted lower median of customer balance per
-      // nation: winner row's running-weight interval (cum-w, cum]
-      // contains T = ceil(W/2)
-      """WITH w AS (SELECT o_custkey, count(*) AS w FROM orders GROUP BY 1),
-         b AS (
-           SELECT c_nationkey, c_custkey,
-             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c, w.w
-           FROM customer JOIN w ON c_custkey = o_custkey),
-         c AS (
-           SELECT *,
-             CAST(sum(w) OVER (PARTITION BY c_nationkey
-               ORDER BY bal_c, c_custkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-             CAST(sum(w) OVER (PARTITION BY c_nationkey) AS BIGINT) AS wtot
-           FROM b)
-         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, wtot AS w_total,
-           bal_c AS median_bal_c
-         FROM c
-         WHERE cum - w < (wtot + 1) // 2 AND (wtot + 1) // 2 <= cum""",
-    "q_top_p_select" ->
-      // nucleus selection replay: e4 quality ordering per source,
-      // integer token cumsum, cut at T = ceil(0.9 * W)
-      """WITH t AS (
-           SELECT doc_id, source, text,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct
-           FROM documents),
-         q AS (
-           SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
-             CAST(floor(least(1.0, len(toks) / 100.0) *
-               (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END) *
-               10000.0 + 0.5) AS BIGINT) AS q_e4
-           FROM t),
-         c AS (
-           SELECT *,
-             CAST(sum(ntok) OVER (PARTITION BY source
-               ORDER BY q_e4 DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-             CAST(sum(ntok) OVER (PARTITION BY source) AS BIGINT) AS wtot,
-             count(*) OVER (PARTITION BY source) AS ndocs
-           FROM q)
-         SELECT source, CAST(max(ndocs) AS BIGINT) AS n_docs, count(*) AS n_sel,
-           max(wtot) AS tok_total, CAST(sum(ntok) AS BIGINT) AS tok_sel,
-           min(q_e4) AS cut_q_e4
-         FROM c
-         WHERE cum - ntok < (9 * wtot + 9) // 10
-         GROUP BY source""",
-    "q_event_transitions" ->
-      // first-order Markov transitions per user timeline; p on the e6
-      // integer grid by integer division
-      """WITH e AS (
-           SELECT user_id, ts, event_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS next_type
-           FROM events),
-         t AS (
-           SELECT event_type AS from_type, next_type AS to_type,
-             count(*) AS n_trans
-           FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
-         f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
-               FROM t GROUP BY 1)
-         SELECT from_type, to_type, n_trans, n_from,
-           CAST((n_trans * 1000000) // n_from AS BIGINT) AS p_e6
-         FROM t JOIN f USING (from_type)""",
-    "q_source_diversity" ->
-      // Simpson on the e6 integer grid; Shannon via e6-quantized
-      // per-source contributions summed as integers (the #119
-      // discipline)
-      """WITH per AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
-         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, count(*) AS s FROM per),
-         terms AS (
-           SELECT per.n_s, tot.n, tot.s,
-             CAST(floor((CAST(n_s AS DOUBLE) / n)
-               * log2(CAST(n AS DOUBLE) / n_s) * 1000000 + 0.5) AS BIGINT) AS h_e6,
-             n_s * (n_s - 1) AS st
-           FROM per, tot)
-         SELECT n AS n_docs, s AS n_sources,
-           CAST((CAST(sum(st) AS BIGINT) * 1000000) // (max(n) * (max(n) - 1)) AS BIGINT)
-             AS simpson_e6,
-           CAST(sum(h_e6) AS BIGINT) / 1000000.0 AS shannon_bits
-         FROM terms GROUP BY n, s""",
-    "q_triangles" ->
-      // degree-oriented node-iterator replay: basket pairs -> edges at
-      // co-occurrence >= 2 -> (deg, id) orientation -> wedges from a
-      // common source -> equi-close on the ordered pair; EXISTS keeps
-      // wedge multiplicity (wedge rows carry their source u)
-      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (
-           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
-           FROM bp a JOIN bp b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
-         e AS (SELECT pa, pb FROM pr WHERE n >= 2),
-         d AS (
-           SELECT node, count(*) AS deg
-           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
-           GROUP BY 1),
-         oe AS (
-           SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS u,
-                  CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS v,
-                  CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg ELSE da.deg END AS dv
-           FROM e JOIN d da ON da.node = e.pa JOIN d db ON db.node = e.pb),
-         w AS (
-           SELECT a.u,
-                  CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN a.v ELSE b.v END AS lo,
-                  CASE WHEN (a.dv, a.v) < (b.dv, b.v) THEN b.v ELSE a.v END AS hi
-           FROM oe a JOIN oe b ON a.u = b.u AND a.v < b.v),
-         tri AS (
-           SELECT count(*) AS n_triangles FROM w
-           WHERE EXISTS (SELECT 1 FROM oe WHERE oe.u = w.lo AND oe.v = w.hi)),
-         dd AS (
-           SELECT count(*) AS n_nodes,
-             CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS open_wedges
-           FROM d),
-         ee AS (SELECT count(*) AS n_edges FROM e),
-         ww AS (SELECT count(*) AS n_wedges FROM w)
-         SELECT n_nodes, n_edges, open_wedges, n_wedges, n_triangles,
-           CAST((3 * n_triangles * 1000000) // greatest(open_wedges, 1) AS BIGINT) AS cc_e6
-         FROM dd, ee, ww, tri""",
-    "q_rfm" ->
-      // within-nation quintile scores via rank-defined banding
-      // ((rn-1)*5) div n + 1 — no percentile interpolation anywhere
-      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
-         per AS (
-           SELECT o_custkey,
-             max(CAST(o_orderdate AS DATE)) AS last_order,
-             count(*) AS frequency,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS monetary_c
-           FROM orders GROUP BY 1),
-         base AS (
-           SELECT p.o_custkey AS c_custkey,
-             CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
-             CAST(date_diff('day', p.last_order, ref.ref) AS BIGINT) AS recency_days,
-             p.frequency, p.monetary_c
-           FROM per p JOIN customer c ON c.c_custkey = p.o_custkey, ref),
-         r AS (
-           SELECT *,
-             count(*) OVER (PARTITION BY c_nationkey) AS n_nat,
-             CAST(row_number() OVER (PARTITION BY c_nationkey
-               ORDER BY recency_days DESC, c_custkey) AS BIGINT) AS rn_r,
-             CAST(row_number() OVER (PARTITION BY c_nationkey
-               ORDER BY frequency, c_custkey) AS BIGINT) AS rn_f,
-             CAST(row_number() OVER (PARTITION BY c_nationkey
-               ORDER BY monetary_c, c_custkey) AS BIGINT) AS rn_m
-           FROM base)
-         SELECT c_custkey, c_nationkey, recency_days, frequency, monetary_c,
-           ((rn_r - 1) * 5) // n_nat + 1 AS r_score,
-           ((rn_f - 1) * 5) // n_nat + 1 AS f_score,
-           ((rn_m - 1) * 5) // n_nat + 1 AS m_score,
-           (((rn_r - 1) * 5) // n_nat + 1) * 100
-             + (((rn_f - 1) * 5) // n_nat + 1) * 10
-             + (((rn_m - 1) * 5) // n_nat + 1) AS rfm_code
-         FROM r""",
-    "q_attribution" ->
-      // U-shape position credit in exact basis points: 40/20/40 with
-      // the middle share Hamilton-apportioned so each conversion
-      // telescopes to exactly 10000
-      """WITH ev AS (
-           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
-         conv AS (
-           SELECT user_id, ts_us AS conv_us, event_id AS conv_id
-           FROM ev WHERE event_type = 'purchase'),
-         j AS (
-           SELECT conv.conv_id, t.event_id, t.event_type, t.ts_us
-           FROM conv JOIN ev t
-             ON t.user_id = conv.user_id AND t.event_type <> 'purchase'
-           WHERE t.ts_us >= conv.conv_us - 86400000000 AND t.ts_us < conv.conv_us),
-         r AS (
-           SELECT *,
-             CAST(row_number() OVER (PARTITION BY conv_id
-               ORDER BY ts_us, event_id) AS BIGINT) AS rn,
-             count(*) OVER (PARTITION BY conv_id) AS n
-           FROM j),
-         c AS (
-           SELECT event_type, conv_id,
-             CASE WHEN n = 1 THEN 10000
-                  WHEN n = 2 THEN 5000
-                  WHEN rn = 1 OR rn = n THEN 4000
-                  ELSE 2000 // (n - 2)
-                       + (CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
-             END AS bp
-           FROM r)
-         SELECT event_type, count(*) AS n_touch,
-           count(DISTINCT conv_id) AS n_conversions,
-           CAST(sum(bp) AS BIGINT) AS credit_bp
-         FROM c GROUP BY 1""",
-    "q_basket_lift" ->
-      // market-basket rule metrics on the e6 integer grid; top-25 by
-      // (lift, pair)
-      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM bp),
-         ic AS (SELECT l_partkey, count(*) AS c_item FROM bp GROUP BY 1),
-         pr AS (
-           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
-           FROM bp a JOIN bp b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
-         m AS (
-           SELECT part_a, part_b, c_ab, ca.c_item AS c_a, cb.c_item AS c_b,
-             (c_ab * 1000000) // n_baskets AS support_e6,
-             (c_ab * 1000000) // ca.c_item AS conf_ab_e6,
-             (c_ab * 1000000) // cb.c_item AS conf_ba_e6,
-             (c_ab * n_baskets * 1000000) // (ca.c_item * cb.c_item) AS lift_e6
-           FROM pr
-           JOIN ic ca ON ca.l_partkey = pr.part_a
-           JOIN ic cb ON cb.l_partkey = pr.part_b, n
-           WHERE c_ab >= 2)
-         SELECT part_a, part_b, c_ab, c_a, c_b,
-           support_e6, conf_ab_e6, conf_ba_e6, lift_e6
-         FROM m
-         QUALIFY row_number() OVER (ORDER BY lift_e6 DESC, part_a, part_b) <= 25""",
-    "q_gini" ->
-      // sorted-rank Gini identity on whole-dollar spend; the e6 scale
-      // runs through HUGEINT (Spark side: DECIMAL(38,0)) — exact both
-      """WITH per AS (
-           SELECT o_custkey,
-             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
-           FROM orders GROUP BY 1),
-         r AS (
-           SELECT x,
-             CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
-           FROM per),
-         a AS (
-           SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(i * x) AS BIGINT) AS six, max(x) AS mx
-           FROM r)
-         SELECT n AS n_customers, sx AS total_usd,
-           CAST((CAST(2 * six - (n + 1) * sx AS HUGEINT) * 1000000)
-             // CAST(n * sx AS HUGEINT) AS BIGINT) AS gini_e6,
-           CAST((mx * 1000000) // sx AS BIGINT) AS top1_share_e6
-         FROM a""",
-    "q_changepoint" ->
-      // division-free CUSUM: trajectory scaled by n preserves the
-      // argmax; changepoint = (|S| desc, day asc) winner per type
-      """WITH daily AS (
-           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
-           FROM events GROUP BY 1, 2),
-         t AS (
-           SELECT event_type, CAST(sum(c) AS BIGINT) AS t, count(*) AS n_days
-           FROM daily GROUP BY 1),
-         s AS (
-           SELECT d.event_type, d.day, t.n_days, t.t,
-             CAST(sum(t.n_days * d.c - t.t) OVER (PARTITION BY d.event_type
-               ORDER BY d.day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
-           FROM daily d JOIN t USING (event_type))
-         SELECT event_type, n_days, t AS total_events, day AS cp_day_idx,
-           s AS s_at_cp, abs(s) AS s_abs
-         FROM s
-         QUALIFY row_number() OVER (PARTITION BY event_type
-           ORDER BY abs(s) DESC, day) = 1""",
-    "q_zonemap_prune" -> {
-      // per-file [min,max] envelopes vs a 90-day window; a file is
-      // scanned iff the envelope intersects — the parquet row-group test
-      def layout(name: String, fileExpr: String) =
-        s"""SELECT '$name' AS layout, count(*) AS n_files,
-              CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END) AS BIGINT)
-                AS files_scanned,
-              CAST(sum(n_rows) AS BIGINT) AS rows_total,
-              CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN n_rows ELSE 0 END) AS BIGINT)
-                AS rows_scanned,
-              CAST(sum(n_match) AS BIGINT) AS rows_matched
-            FROM (
-              SELECT $fileExpr AS file_id, min(d) AS mn, max(d) AS mx,
-                count(*) AS n_rows,
-                CAST(sum(CASE WHEN d >= lo AND d < hi THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_match,
-                any_value(lo) AS lo, any_value(hi) AS hi
-              FROM r GROUP BY 1)"""
-      s"""WITH o AS (
-           SELECT o_orderkey,
-             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
-           FROM orders),
-         b AS (SELECT min(d) AS d0, min(d) + 400 AS lo, min(d) + 490 AS hi FROM o),
-         r AS (SELECT * FROM o, b)
-         ${layout("insert_order", "o_orderkey // 4096")}
-         UNION ALL
-         ${layout("date_clustered", "(d - d0) // 32")}"""
-    },
-    "q_chi2_assoc" ->
-      // HUGEINT replay of the DECIMAL(38,0) floor divisions (the
-      // q_gini discipline): (n*O - R*C)^2 * 1e6 // (n*R*C) per cell
-      """WITH cells AS (
-           SELECT o_orderstatus, o_orderpriority, count(*) AS o
-           FROM orders GROUP BY 1, 2),
-         rm AS (SELECT o_orderstatus, CAST(sum(o) AS BIGINT) AS r
-                FROM cells GROUP BY 1),
-         cm AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS c
-                FROM cells GROUP BY 1),
-         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-         x AS (
-           SELECT cells.o_orderstatus, cells.o_orderpriority, o AS n_cell,
-             CAST((CAST(r AS HUGEINT) * c * 1000000) // CAST(n AS HUGEINT)
-               AS BIGINT) AS expected_e6,
-             CAST((CAST(n * o - r * c AS HUGEINT) * CAST(n * o - r * c AS HUGEINT)
-                   * 1000000)
-               // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_e6
-           FROM cells JOIN rm USING (o_orderstatus)
-             JOIN cm USING (o_orderpriority), t)
-         SELECT o_orderstatus, o_orderpriority, n_cell, expected_e6, contrib_e6,
-           CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_total_e6
-         FROM x""",
-    "q_abc_pareto" ->
-      // FLAT global-window replay of the hierarchical rank/cumsum —
-      // the hash-MATCH proves the shard decomposition.
-      """WITH rev AS (
-           SELECT l_partkey,
-             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)) AS BIGINT))
-               AS BIGINT) AS rev
-           FROM lineitem GROUP BY 1),
-         t AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM rev),
-         ranked AS (
-           SELECT rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
-           FROM rev),
-         classed AS (
-           SELECT rev,
-             CASE
-               WHEN CAST((CAST(cum AS HUGEINT) * 1000000) // t AS BIGINT) <= 800000
-                 THEN 'A'
-               WHEN CAST((CAST(cum AS HUGEINT) * 1000000) // t AS BIGINT) <= 950000
-                 THEN 'B'
-               ELSE 'C' END AS abc_class
-           FROM ranked, t)
-         SELECT abc_class, count(*) AS n_parts,
-           CAST(sum(rev) AS BIGINT) AS class_revenue_usd,
-           CAST((CAST(sum(rev) AS HUGEINT) * 1000000) // max(t) AS BIGINT)
-             AS class_share_e6
-         FROM classed, t GROUP BY 1""",
-    "q_skyline" ->
-      // Quadratic NOT-EXISTS dominance replay of the grid-pruned
-      // staircase plan — the hash-MATCH proves the pruning is lossless.
-      """WITH pts AS (
-           SELECT p_partkey,
-             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
-             CAST(p_size AS BIGINT) AS p_size
-           FROM part)
-         SELECT p.p_partkey, p.price_c, p.p_size
-         FROM pts p
-         WHERE NOT EXISTS (
-           SELECT 1 FROM pts q
-           WHERE q.price_c <= p.price_c AND q.p_size <= p.p_size
-             AND (q.price_c < p.price_c OR q.p_size < p.p_size))""",
-    "q_rolling_mau" ->
-      // Self-join-per-day replay of the bounded 7-way cover explode.
-      """WITH pres AS (
-           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
-           FROM events),
-         days AS (SELECT DISTINCT day AS target_day FROM pres)
-         SELECT d.target_day,
-           count(DISTINCT p.user_id) AS n_active_7d
-         FROM days d
-         JOIN pres p ON p.day BETWEEN d.target_day - 6 AND d.target_day
-         GROUP BY 1""",
-    "q_event_regex" ->
-      """WITH seqs AS (
-           SELECT user_id,
-             string_agg(
-               CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
-                    WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
-                    ELSE 'e' END,
-               '' ORDER BY ts, event_id) AS seq
-           FROM events GROUP BY 1)
-         SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
-           CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
-             AS n_browse_to_buy
-         FROM seqs""",
-    "q_ewma" ->
-      // Flat band-join replay of the cover-explode; all-positive cents,
-      // so DuckDB // and Spark div agree on the quotient.
-      """WITH daily AS (
-           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2)
-         SELECT a.event_type, a.day,
-           CAST(sum(b.c * (CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT)))
-             AS BIGINT) AS num,
-           CAST(sum(CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT))
-             AS BIGINT) AS den,
-           CAST(sum(b.c * (CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT)))
-             // sum(CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INT))
-             AS BIGINT) AS ewma_cents
-         FROM daily a
-         JOIN daily b ON b.event_type = a.event_type
-           AND b.day BETWEEN a.day - 15 AND a.day
-         GROUP BY 1, 2""",
-    "q_corpus_checksum" ->
-      """WITH d AS (
-           SELECT source, n_chars,
-             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-           FROM documents),
-         per AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             CAST(sum(h & 1073741823) AS BIGINT) AS digest_lo,
-             CAST(sum(h >> 30) AS BIGINT) AS digest_hi
-           FROM d GROUP BY 1)
-         SELECT source, n_docs, total_chars, digest_lo, digest_hi FROM per
-         UNION ALL
-         SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
-           CAST(sum(total_chars) AS BIGINT), CAST(sum(digest_lo) AS BIGINT),
-           CAST(sum(digest_hi) AS BIGINT)
-         FROM per""",
-    "q_kcore" -> kcoreOracle(k = 3, maxRounds = 16),
-    "q_ktruss" -> ktrussOracle(k = 3, maxRounds = 8),
-    "q_betweenness" -> betweennessOracle(seedMod = 250, depth = 3, topK = 100),
-    "q_betweenness_eval" ->
-      betweennessEvalOracle(seedMod = 250, depth = 3, refSeedMod = 50, refDepth = 4),
-    "q_closeness" -> closenessOracle(seedMod = 250, depth = 3, topK = 100),
-    "q_croston" -> {
-      // identical sign-factored dyadic two-track trajectory as a
-      // per-part recursive CTE (the q_holt replay shape)
-      def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
-      s"""WITH dd AS (
-           SELECT l_partkey,
-             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
-             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS y
-           FROM lineitem GROUP BY 1, 2),
-         idx AS (
-           SELECT l_partkey, day, y,
-             CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY day) AS BIGINT) AS i
-           FROM dd),
-         rec AS (
-           WITH RECURSIVE h(l_partkey, i, day, q, z, p) AS (
-             SELECT l_partkey, i, day, y, y, CAST(1 AS BIGINT) FROM idx WHERE i = 1
-             UNION ALL
-             SELECT s.l_partkey, s.i, s.day, s.y,
-               h.z + ${tq("s.y - h.z")},
-               h.p + ${tq("(s.day - h.day) - h.p")}
-             FROM idx s JOIN h ON s.l_partkey = h.l_partkey AND s.i = h.i + 1)
-           SELECT * FROM h)
-         SELECT l_partkey, day, q AS demand_qty, z AS z_size, p AS p_interval,
-           CAST(CAST(z AS HUGEINT) * 1000 // p AS BIGINT) AS rate_e3
-         FROM rec"""
-    },
-    "q_linkpred_backtest" ->
-      // #283's scorer replayed on the train half of the #286 calendar
-      // split; precision@K vs pairs newly co-occurring in test
-      s"""WITH od AS (
-           SELECT o_orderkey AS l_orderkey,
-             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
-               AS day
-           FROM orders),
-         m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM od),
-         li AS (SELECT l.l_orderkey, l.l_partkey, od.day
-                FROM lineitem l JOIN od USING (l_orderkey)),
-         bptr AS (SELECT DISTINCT l_orderkey, l_partkey FROM li, m WHERE day < mid),
-         prtr AS (
-           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
-           FROM bptr a JOIN bptr b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
-         e AS MATERIALIZED (
-           SELECT pa, pb FROM prtr WHERE n >= ${AnalyticsExt.LinkPredMinOrders}),
-         bpte AS (SELECT DISTINCT l_orderkey, l_partkey FROM li, m WHERE day >= mid),
-         prte AS (
-           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-           FROM bpte a JOIN bpte b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         testnew AS MATERIALIZED (
-           SELECT pa, pb FROM prte p
-           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = p.pa AND e.pb = p.pb)),
-         d AS (
-           SELECT node, CAST(count(*) AS BIGINT) AS deg
-           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
-           GROUP BY 1),
-         adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-         adjc AS (
-           SELECT adj.u, adj.v FROM adj
-           JOIN d ON d.node = adj.u AND d.deg <= ${AnalyticsExt.LinkPredMaxCenterDeg}),
-         cnw AS (
-           SELECT a.v AS pa, b.v AS pb, CAST(count(*) AS BIGINT) AS cn
-           FROM adjc a JOIN adjc b ON a.u = b.u AND a.v < b.v
-           GROUP BY 1, 2),
-         cand AS MATERIALIZED (
-           SELECT c.pa, c.pb, c.cn,
-             CAST(c.cn * 1000000 // (da.deg + db.deg - c.cn) AS BIGINT) AS jaccard_e6,
-             CASE WHEN EXISTS (SELECT 1 FROM testnew t
-                               WHERE t.pa = c.pa AND t.pb = c.pb)
-               THEN 1 ELSE 0 END AS is_new
-           FROM cnw c
-           JOIN d da ON da.node = c.pa
-           JOIN d db ON db.node = c.pb
-           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = c.pa AND e.pb = c.pb)),
-         top AS (
-           SELECT * FROM cand
-           ORDER BY jaccard_e6 DESC, cn DESC, pa, pb
-           LIMIT ${AnalyticsExt.LinkPredTopK}),
-         ta AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
-                  CAST(coalesce(sum(is_new), 0) AS BIGINT) AS topk_hits FROM top),
-         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
-                  CAST(coalesce(sum(is_new), 0) AS BIGINT) AS base_hits FROM cand),
-         tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train_edges FROM e),
-         te AS (SELECT CAST(count(*) AS BIGINT) AS n_test_new FROM testnew)
-         SELECT n_train_edges, n_test_new, n_candidates, base_hits, k_used, topk_hits,
-           CASE WHEN k_used > 0
-             THEN CAST(topk_hits * 1000000 // k_used AS BIGINT)
-             ELSE NULL END AS precision_e6,
-           CASE WHEN base_hits > 0 AND k_used > 0 THEN
-             CAST(CAST(topk_hits AS HUGEINT) * n_candidates * 1000000
-               // (CAST(k_used AS HUGEINT) * base_hits) AS BIGINT)
-           ELSE NULL END AS lift_e6
-         FROM ta, ca, tr, te"""
+         FROM sc"""
   )
 }
