@@ -126,8 +126,12 @@ object Bench {
     }
 
     // fresh-JVM isolated retries for everything over 2× baseline:
-    // stop this session first so the child doesn't compete for memory
-    val offenders = results
+    // stop this session first so the child doesn't compete for memory.
+    // SPARK_GRAFT_NO_RETRY=1 skips the retry pass — for scaling-gate
+    // runs at sf != 0.1 where EVERY query legitimately exceeds its
+    // sf0.1 baseline and a retry sweep would re-run the whole suite.
+    val noRetry = sys.env.get("SPARK_GRAFT_NO_RETRY").contains("1")
+    val offenders = (if (noRetry) Seq.empty else results)
       .collect {
         case (n, (_, best)) if best >= 0 && baseline.get(n).exists(b => best > 2 * b) =>
           n -> best / baseline(n)
