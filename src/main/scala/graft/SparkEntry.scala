@@ -283,6 +283,10 @@ object SparkEntry extends SparkEntryOracleHelpers
       ((s: SparkSession, d: String) => streaming.StreamDriver.enrichFinal(s, d)),
     "cdc_stream_rolling_mau" ->
       ((s: SparkSession, d: String) => streaming.StreamDriver.rollingDistinctFinal(s, d)),
+    "cdc_stream_current" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.currentStateFinal(s, d)),
+    "cdc_stream_cms" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.cmsFinal(s, d)),
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125, #138)

@@ -579,6 +579,24 @@ private[graft] trait OracleCdc { this: SparkEntryOracleHelpers =>
          SELECT CAST(win_start AS BIGINT) AS win_start_us,
            CAST(win_start + 604800000000 AS BIGINT) AS win_end_us,
            CAST(count(*) AS BIGINT) AS n_distinct_users
-         FROM w GROUP BY win_start"""
+         FROM w GROUP BY win_start""",
+    "cdc_stream_current" ->
+      // the upsert state machine run to completion IS the batch
+      // current table (cdc_current's shape, identical SQL)
+      """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts,
+           round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error'""",
+    "cdc_stream_cms" ->
+      // final streamed counters (monotone, max across emissions) =
+      // the batch sketch from the same md5 bucket hash
+      """WITH pos AS (
+           SELECT user_id, d,
+             ('0x' || substr(md5('graft-cms-' || d || ':' || user_id), 1, 15))::BIGINT
+               % 256 AS b
+           FROM events, range(3) r(d))
+         SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY d, b"""
   )
 }

@@ -152,6 +152,48 @@ object StreamDriver {
         col("c_nationkey"),
         col("c_mktsegment"))
 
+  /** #8 driver form: the flatMapGroupsWithState upsert state machine
+    * run to completion in update mode; the final frame (latest
+    * emission per key, tombstoned keys dropped) IS the batch
+    * current-state table, which the oracle states directly
+    * (`cdc_current`'s SQL shape).
+    */
+  def currentStateFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToCompletion(
+      spark,
+      writeChangelog(spark, sfDir),
+      d => CdcStream.currentState(CdcStream.readChangelog(spark, d)).toDF(),
+      "update")
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col("last_ts").desc, col("last_event_id").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select(col("user_id"), col("last_event_id"), col("last_ts"), col("value"))
+  }
+
+  /** #149 driver form: the mapGroupsWithState count-min maintenance
+    * run to completion; counters are monotone, so the final table is
+    * the per-(depth, bucket) max across emissions — equal to the
+    * batch sketch the oracle replays from the same md5 bucket hash.
+    */
+  def cmsFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToCompletion(
+      spark,
+      writeChangelog(spark, sfDir),
+      d =>
+        CdcStream
+          .streamingCms(CdcStream.readChangelog(spark, d))
+          .toDF("d", "b", "c"),
+      "update")
+      .groupBy("d", "b")
+      .agg(max("c").as("c"))
+  }
+
   /** #205 driver form: the chained dedup + sliding-window distinct
     * count (append mode — complete is unsupported over multiple
     * stateful operators), with a far-future SENTINEL row (user −1,
