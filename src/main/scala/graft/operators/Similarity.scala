@@ -2046,7 +2046,9 @@ object Similarity {
     * node — linear in candidates) or NN-Descent rounds, both of which
     * this graph scores. Searching the graph ([[nswSearch]]) is where
     * the paradigm pays: per-query cost is hops × beam × k,
-    * INDEPENDENT of corpus size.
+    * INDEPENDENT of corpus size. The registered scale path is
+    * [[scalableIndex]] (#448–#450): spill-cell candidates + long
+    * links + NN-Descent refinement, never n².
     */
   def exactKnnGraph(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     GraftFunctions.register(spark)
@@ -2433,9 +2435,13 @@ object Similarity {
     * on `vecs`, assign each member to its `nprobe` nearest cells, and
     * emit every distinct same-cell pair. Σ(nprobe·|cell|)² work.
     */
-  private def scalableCellPairs(spark: SparkSession, vecs: DataFrame, nprobe: Int): DataFrame = {
+  private def scalableCellPairs(
+      spark: SparkSession,
+      vecs: DataFrame,
+      nprobe: Int,
+      kCells: Int): DataFrame = {
     GraftFunctions.register(spark)
-    val cdf = centroidsDf(spark, trainCentroidsOn(spark, vecs, 16, 3))
+    val cdf = centroidsDf(spark, trainCentroidsOn(spark, vecs, kCells, 3))
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
     val cells = vecs
       .select(col("vec_id"), col("embedding"))
@@ -2459,15 +2465,21 @@ object Similarity {
     * directions). Every stage is linear-ish (n^1.5 cell pairs, n·k
     * draws, n·(2k)² per refinement round) — the 100 TB replacement
     * for the exact n² layer-0 (#448–#450), with the measured recall cost pinned
-    * in NswSpec/HnswSpec/GraphInsertSpec.
+    * in NswSpec/HnswSpec/GraphInsertSpec. `kCells` defaults to the
+    * oracle-pinned 16 (the DuckDB train unrolls at that constant —
+    * the #296 fixed-k artifact, visible as the ~30× sf1 ratio in the
+    * r12 scaling gate); production sets kCells ≈ √n, which holds
+    * Σ(spill·|cell|)² at n^1.5.
     *
     * @return (directed lists (src, dst, cos, rank), walk graph (src, dst))
     */
-  private def scalableIndex(spark: SparkSession, vecs: DataFrame, kNbrs: Int)(
+  private def scalableIndex(spark: SparkSession, vecs: DataFrame, kNbrs: Int,
+      kCells: Int = 16)(
       implicit scope: Lineage.Scope): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val draws = scalableDraws(spark, vecs).cp(false)
-    val cand0 = scalableCellPairs(spark, vecs, ScalableNprobe).unionAll(draws).distinct()
+    val cand0 =
+      scalableCellPairs(spark, vecs, ScalableNprobe, kCells).unionAll(draws).distinct()
     val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     var lists = scoreEdges(vecs, cand0)
       .withColumn("rank", row_number().over(wk).cast("long"))
