@@ -597,6 +597,31 @@ private[graft] trait OracleCdc { this: SparkEntryOracleHelpers =>
              ('0x' || substr(md5('graft-cms-' || d || ':' || user_id), 1, 15))::BIGINT
                % 256 AS b
            FROM events, range(3) r(d))
-         SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY d, b"""
+         SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY d, b""",
+    "cdc_stream_throttle" ->
+      // the per-key greedy spacing fold as a recursive CTE: process
+      // each key's rows in (ts, event_id) order; emit iff ts >= last
+      // emitted + interval (the first row of a key always emits)
+      s"""WITH c AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         rec AS (
+           WITH RECURSIVE h(user_id, rn, ts, event_id, op, value, last, emit) AS (
+             SELECT user_id, rn, ts, event_id, op, value, ts, TRUE
+             FROM c WHERE rn = 1
+             UNION ALL
+             SELECT s.user_id, s.rn, s.ts, s.event_id, s.op, s.value,
+               CASE WHEN s.ts >= h.last + ${streaming.StreamDriver.ThrottleIntervalUs}
+                    THEN s.ts ELSE h.last END,
+               s.ts >= h.last + ${streaming.StreamDriver.ThrottleIntervalUs}
+             FROM c s JOIN h ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+           SELECT * FROM h)
+         SELECT event_id, ts, user_id, op, value FROM rec WHERE emit"""
   )
 }

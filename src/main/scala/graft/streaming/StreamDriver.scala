@@ -194,6 +194,32 @@ object StreamDriver {
       .agg(max("c").as("c"))
   }
 
+  /** The [[throttleFinal]] spacing interval — one day of event time,
+    * shared with the oracle's recursive replay (the spec's measured
+    * flap-suppression grain: the synthetic stream flaps well inside a
+    * day, so the throttle genuinely drops rows at this interval).
+    */
+  private[graft] val ThrottleIntervalUs = 86400000000L
+
+  /** #183 driver form: the per-key greedy throttle run to completion
+    * (append mode — emissions are final). The greedy "emit iff ts ≥
+    * last emitted + interval" is a per-key sequential fold, which the
+    * oracle replays as a recursive CTE over each key's (ts, event_id)
+    * ordered rows.
+    */
+  def throttleFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToCompletion(
+      spark,
+      writeChangelog(spark, sfDir),
+      d =>
+        CdcStream
+          .throttled(CdcStream.readChangelog(spark, d), ThrottleIntervalUs)
+          .toDF(),
+      "append")
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("value"))
+  }
+
   /** #205 driver form: the chained dedup + sliding-window distinct
     * count (append mode — complete is unsupported over multiple
     * stateful operators), with a far-future SENTINEL row (user −1,
