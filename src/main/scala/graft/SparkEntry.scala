@@ -289,6 +289,8 @@ object SparkEntry extends SparkEntryOracleHelpers
       ((s: SparkSession, d: String) => streaming.StreamDriver.cmsFinal(s, d)),
     "cdc_stream_throttle" ->
       ((s: SparkSession, d: String) => streaming.StreamDriver.throttleFinal(s, d)),
+    "cdc_stream_holt" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.holtFinal(s, d)),
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125, #138)

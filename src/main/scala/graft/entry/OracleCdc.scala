@@ -622,6 +622,15 @@ private[graft] trait OracleCdc { this: SparkEntryOracleHelpers =>
                s.ts >= h.last + ${streaming.StreamDriver.ThrottleIntervalUs}
              FROM c s JOIN h ON s.user_id = h.user_id AND s.rn = h.rn + 1)
            SELECT * FROM h)
-         SELECT event_id, ts, user_id, op, value FROM rec WHERE emit"""
+         SELECT event_id, ts, user_id, op, value FROM rec WHERE emit""",
+    "cdc_stream_holt" ->
+      // the streamed fold keyed by CDC op — the shared recursive
+      // trajectory chain with the series key swapped (holtCtesBy)
+      s"""WITH ${holtCtesBy(
+        """CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END""")}
+         SELECT event_type AS op, day, y AS cents, l AS level_c, b AS trend_c
+         FROM rec"""
   )
 }

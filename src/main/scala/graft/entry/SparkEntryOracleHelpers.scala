@@ -846,12 +846,18 @@ private[graft] trait SparkEntryOracleHelpers {
     * once, reused verbatim by the q_holt and q_forecast_backtest
     * oracles so the two can never drift apart.
     */
-  protected def holtCtes: String = {
+  protected def holtCtes: String = holtCtesBy("event_type")
+
+  /** [[holtCtes]] with the series key parameterized — `q_holt` keys by
+    * event_type; the streaming-maintenance driver row keys by the CDC
+    * op (the #263 fold's group key).
+    */
+  protected def holtCtesBy(seriesExpr: String): String = {
     // sign-factored truncating quarter (both engines agree)
     def tq(a: String) = s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
     val newl = tq("s.y + 3 * (h.l + h.b)")
     s"""daily AS (
-           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           SELECT $seriesExpr AS event_type, epoch_us(ts) // 86400000000 AS day,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
            FROM events GROUP BY 1, 2),
          idx AS (

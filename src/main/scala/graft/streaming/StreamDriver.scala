@@ -220,6 +220,31 @@ object StreamDriver {
       .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("value"))
   }
 
+  /** #263 driver form: the per-series Holt level+trend maintenance
+    * run to completion; each emission carries its batch's day
+    * trajectory as arrays, so the flattened union across emissions is
+    * the full per-day trajectory — bit-identical to the batch fold
+    * (the spec's pin), which the oracle replays keyed by the CDC op
+    * (the stream's group key) via the shared recursive-CTE chain.
+    */
+  def holtFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToCompletion(
+      spark,
+      writeChangelog(spark, sfDir),
+      d => CdcStream.streamingHolt(CdcStream.readChangelog(spark, d)).toDF(),
+      "update")
+      .select(
+        col("series").as("op"),
+        explode(arrays_zip(col("days"), col("cents"), col("levels"), col("trends"))).as("z"))
+      .select(
+        col("op"),
+        col("z.days").as("day"),
+        col("z.cents").as("cents"),
+        col("z.levels").as("level_c"),
+        col("z.trends").as("trend_c"))
+  }
+
   /** #205 driver form: the chained dedup + sliding-window distinct
     * count (append mode — complete is unsupported over multiple
     * stateful operators), with a far-future SENTINEL row (user −1,
