@@ -291,6 +291,18 @@ object SparkEntry extends SparkEntryOracleHelpers
       ((s: SparkSession, d: String) => streaming.StreamDriver.throttleFinal(s, d)),
     "cdc_stream_holt" ->
       ((s: SparkSession, d: String) => streaming.StreamDriver.holtFinal(s, d)),
+    "cdc_stream_cusum" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.cusumFinal(s, d)),
+    "cdc_stream_ph" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.phFinal(s, d)),
+    "cdc_stream_ewma" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.ewmaFinal(s, d)),
+    "cdc_stream_croston" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.crostonFinal(s, d)),
+    "cdc_stream_imr" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.imrFinal(s, d)),
+    "cdc_stream_hh" ->
+      ((s: SparkSession, d: String) => streaming.StreamDriver.hhFinal(s, d)),
     // Co-purchase PageRank (§2 #124)
     "q_pagerank" -> ((s: SparkSession, d: String) => AnalyticsExt.pageRank(s, d)),
     // IVFADC (§2 #125, #138)
@@ -776,8 +788,10 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_supplier_hhi" -> ((s: SparkSession, d: String) => AnalyticsExt.supplierConcentration(s, d))
   )
 
-  /** Assembled from the per-domain Oracle* traits — same 387
-    * key/value pairs the single literal carried before the split.
+  /** Assembled from the per-domain Oracle* traits (the r10/r12
+    * file-size splits); one entry per oracle-checkable query in
+    * [[queries]] — the count is pinned by the driver's per-round
+    * CORRECTNESS gate, not here.
     */
   def oracleSql: Map[String, String] = oracleAnn ++ oracleCdc ++ oracleDedup ++ oracleMm ++ oracleText ++ oracleWarehouseA ++ oracleWarehouseB ++ oracleWarehouseC ++ oracleWarehouseD ++ oracleWarehouseE
 }

@@ -631,6 +631,176 @@ private[graft] trait OracleCdc { this: SparkEntryOracleHelpers =>
                 WHEN event_type = 'error' THEN 'DELETE'
                 ELSE 'UPDATE' END""")}
          SELECT event_type AS op, day, y AS cents, l AS level_c, b AS trend_c
-         FROM rec"""
+         FROM rec""",
+    "cdc_stream_cusum" ->
+      // the streamed per-series CUSUM (fixed reference mean μ = the
+      // truncating global mean of per-(op, day) cent sums — the same
+      // expression cusumMuCents computes batch-side) replayed with the
+      // prefix-extrema closed form; extrema seeds include 0 (the
+      // state's initial S/minS/maxS)
+      s"""WITH $streamDailyCtes,
+         m AS (SELECT CAST(sum(x) // count(*) AS BIGINT) AS mu FROM d),
+         s AS (
+           SELECT op, day, x,
+             CAST(sum(x - mu) OVER (PARTITION BY op ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM d, m)
+         SELECT op, day, x AS cents,
+           CAST(s - least(min(s) OVER w, 0) AS BIGINT) AS c_plus,
+           CAST(greatest(max(s) OVER w, 0) - s AS BIGINT) AS c_minus
+         FROM s WINDOW w AS (PARTITION BY op ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "cdc_stream_ph" ->
+      // the streamed per-series Page–Hinkley monitor: m_t is a cumsum
+      // of window-computable terms (x_i − trunc(S_i/i)); PH extrema
+      // range over EMITTED m only (the state's MaxValue/MinValue seeds)
+      s"""WITH $streamDailyCtes,
+         i AS (
+           SELECT op, day, x,
+             CAST(row_number() OVER (PARTITION BY op ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(x) OVER (PARTITION BY op ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM d),
+         mm AS (
+           SELECT op, day, x,
+             CAST(sum(x - (CASE WHEN s < 0 THEN -((-s) // t) ELSE s // t END))
+               OVER (PARTITION BY op ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+           FROM i)
+         SELECT op, day, x AS cents, m,
+           CAST(m - min(m) OVER w AS BIGINT) AS ph_plus,
+           CAST(max(m) OVER w - m AS BIGINT) AS ph_minus
+         FROM mm WINDOW w AS (PARTITION BY op ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "cdc_stream_ewma" ->
+      // the streamed per-series dyadic EWMA: each day's ≤16-entry
+      // register is exactly the observed days with gap ≤ 15, so the
+      // fold is the #349 cover join (truncating divide mirrored)
+      s"""WITH $streamDailyCtes
+         SELECT op, day, x AS cents,
+           CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END
+             AS BIGINT) AS ewma_c
+         FROM (
+           SELECT a.op, a.day, a.x,
+             CAST(sum(b.x * (CAST(1 AS BIGINT) << (15 - (a.day - b.day)))) AS BIGINT) AS num,
+             CAST(sum(CAST(1 AS BIGINT) << (15 - (a.day - b.day))) AS BIGINT) AS den
+           FROM d a JOIN d b
+             ON b.op = a.op AND b.day BETWEEN a.day - 15 AND a.day
+           GROUP BY a.op, a.day, a.x) t""",
+    "cdc_stream_croston" ->
+      // the streamed per-series Croston smoother: the (z, p) recursion
+      // is genuinely sequential — the #263 recursive chain with
+      // Croston's updates (dyadic α = ¼ sign-factored truncating
+      // quarter, interval clamped ≥ 1, rate = z·1000 trunc-div p)
+      s"""WITH $streamDailyCtes,
+         idx AS (
+           SELECT op, day, x,
+             CAST(row_number() OVER (PARTITION BY op ORDER BY day) AS BIGINT) AS i
+           FROM d),
+         rec AS (
+           WITH RECURSIVE h(op, i, day, x, z, p) AS (
+             SELECT op, i, day, x, x, CAST(1 AS BIGINT) FROM idx WHERE i = 1
+             UNION ALL
+             SELECT s.op, s.i, s.day, s.x,
+               h.z + ${crostonTq("s.x - h.z")},
+               greatest(CAST(1 AS BIGINT), h.p + ${crostonTq("(s.day - h.day) - h.p")})
+             FROM idx s JOIN h ON s.op = h.op AND s.i = h.i + 1)
+           SELECT * FROM h)
+         SELECT op, day, x AS cents, z AS z_size, p AS p_interval,
+           CAST(CASE WHEN z < 0 THEN -((-(z * 1000)) // p) ELSE (z * 1000) // p END
+             AS BIGINT) AS rate_e3
+         FROM rec""",
+    "cdc_stream_imr" ->
+      // the streamed per-series I-MR chart: sufficient statistics are
+      // prefix aggregates, mr is a lag (−1 marks a series' first day),
+      // flags are the live-limit decisions in HUGEINT cross products
+      // (the fold's BigInt comparisons)
+      s"""WITH $streamDailyCtes,
+         i AS (
+           SELECT op, day, x,
+             CAST(row_number() OVER wo AS BIGINT) AS n,
+             CASE WHEN lag(x) OVER wo IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE abs(x - lag(x) OVER wo) END AS mr,
+             CAST(sum(x) OVER (PARTITION BY op ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sx
+           FROM d WINDOW wo AS (PARTITION BY op ORDER BY day)),
+         j AS (
+           SELECT op, day, x, mr, n, sx,
+             CAST(sum(CASE WHEN mr >= 0 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN mr >= 0 THEN mr ELSE 0 END) OVER wc AS BIGINT) AS smr
+           FROM i WINDOW wc AS (PARTITION BY op ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT op, day, x AS cents, mr,
+           CASE WHEN n1 > 0
+                 AND abs(CAST(x AS HUGEINT) * n - sx) * 1128 * n1
+                     > CAST(3000 AS HUGEINT) * smr * n
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x_ooc,
+           CASE WHEN mr >= 0
+                 AND CAST(mr AS HUGEINT) * 1000 * n1 > CAST(3267 AS HUGEINT) * smr
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mr_ooc
+         FROM j""",
+    "cdc_stream_hh" ->
+      // the sharded streaming Misra-Gries table with one slot per
+      // shard = Boyer-Moore majority over each shard's
+      // (ts, event_id)-ordered op sequence; shard assignment is the
+      // stream's own String.hashCode map, interpolated from opShard so
+      // the two sides can never drift
+      s"""WITH c AS (
+           SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                       WHEN event_type = 'error' THEN 'DELETE'
+                       ELSE 'UPDATE' END AS op,
+             epoch_us(ts) AS ts, event_id
+           FROM events),
+         r AS (
+           SELECT op,
+             CAST(CASE op
+               WHEN 'INSERT' THEN ${streaming.StreamDriver
+        .opShard("INSERT", streaming.StreamDriver.HhShards)}
+               WHEN 'UPDATE' THEN ${streaming.StreamDriver
+        .opShard("UPDATE", streaming.StreamDriver.HhShards)}
+               ELSE ${streaming.StreamDriver
+        .opShard("DELETE", streaming.StreamDriver.HhShards)} END AS BIGINT) AS shard,
+             ts, event_id
+           FROM c),
+         rr AS (
+           SELECT op, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY ts, event_id) AS rn
+           FROM r),
+         rec AS (
+           WITH RECURSIVE h(shard, rn, cur, cnt) AS (
+             SELECT shard, rn, op, CAST(1 AS BIGINT) FROM rr WHERE rn = 1
+             UNION ALL
+             SELECT s.shard, s.rn,
+               CASE WHEN h.cnt = 0 THEN s.op ELSE h.cur END,
+               CASE WHEN h.cnt > 0 AND h.cur = s.op THEN h.cnt + 1
+                    WHEN h.cnt = 0 THEN CAST(1 AS BIGINT)
+                    ELSE h.cnt - 1 END
+             FROM rr s JOIN h ON s.shard = h.shard AND s.rn = h.rn + 1)
+           SELECT * FROM h),
+         fin AS (SELECT shard, max(rn) AS mx FROM rr GROUP BY shard)
+         SELECT rec.shard, rec.cur AS op, rec.cnt
+         FROM rec JOIN fin ON rec.shard = fin.shard AND rec.rn = fin.mx
+         WHERE rec.cnt > 0"""
   )
+
+  /** The streamed smoother family's shared daily series (keyed by the
+    * CDC op — the stream's group key): per-(op, day) cent sums on the
+    * µs-epoch day grid, the exact batch view of what each
+    * `mapGroupsWithState` fold aggregates per micro-batch.
+    */
+  private def streamDailyCtes: String =
+    """e AS (
+           SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                       WHEN event_type = 'error' THEN 'DELETE'
+                       ELSE 'UPDATE' END AS op,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+         d AS (SELECT op, day, CAST(sum(c) AS BIGINT) AS x FROM e GROUP BY op, day)"""
+
+  /** Croston's sign-factored truncating quarter (dyadic α = ¼) — the
+    * SQL twin of `CdcStream.streamingCroston`'s `tq`.
+    */
+  private def crostonTq(a: String): String =
+    s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 4) ELSE ($a) // 4 END)"
 }

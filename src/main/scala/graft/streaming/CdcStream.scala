@@ -289,6 +289,12 @@ object CdcStream {
     * most n_shard/(slots+1)) therefore lifts to the global support
     * contract, exactly how mergeable-summary systems shard MG.
     * Emissions carry a per-shard version; readers take the latest.
+    *
+    * MG is ORDER-SENSITIVE (which slot a decrement evicts depends on
+    * arrival order), so the fold processes each micro-batch's rows in
+    * (ts, event_id) order — the same determinism contract
+    * [[throttled]] pins — making the streamed table replayable from
+    * the batch view given day-ordered micro-batches.
     */
   def streamingHeavyHitters(
       changes: Dataset[Change],
@@ -300,7 +306,7 @@ object CdcStream {
       .mapGroupsWithState[MgEmit, MgEmit](GroupStateTimeout.NoTimeout) {
         (shard: Int, rows: Iterator[Change], state: GroupState[MgEmit]) =>
           var table = state.getOption.map(_.items).getOrElse(Map.empty[String, Long])
-          rows.foreach { c =>
+          rows.toSeq.sortBy(c => (c.ts, c.event_id)).foreach { c =>
             val item = c.op
             if (table.contains(item)) table = table.updated(item, table(item) + 1)
             else if (table.size < slots) table = table.updated(item, 1L)

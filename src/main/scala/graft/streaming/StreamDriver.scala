@@ -28,12 +28,22 @@ object StreamDriver {
   /** Write the inputs, run `build`'s stream to completion on a memory
     * sink, return the sink table eagerly materialized; scratch dir and
     * temp view are cleaned up before returning.
+    *
+    * `requireSingleBatch = true` pins the assumption the ORDER-SENSITIVE
+    * wrappers rely on (per-key greedy/sequential folds and
+    * watermark-bounded dedup process the whole feed as one day-ordered
+    * unit): the file source must deliver every scratch file in ONE
+    * micro-batch (its default — no `maxFilesPerTrigger`, all files
+    * available at start). If a source-config or corpus change ever
+    * splits the feed across triggers, the wrapper fails loudly here
+    * instead of silently diverging from the batch oracle.
     */
   private def runToCompletion(
       spark: SparkSession,
       write: String => Unit,
       build: String => DataFrame,
-      mode: String): DataFrame = {
+      mode: String,
+      requireSingleBatch: Boolean = false): DataFrame = {
     val dir = Files.createTempDirectory("graft_stream_drv_").toString
     val name = "drv_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
@@ -44,8 +54,17 @@ object StreamDriver {
         .queryName(name)
         .outputMode(mode)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        if (requireSingleBatch) {
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(
+            dataBatches <= 1,
+            s"order-sensitive stream wrapper expected one data micro-batch, saw $dataBatches " +
+              "(file source split the feed across triggers; the sequential-fold ≡ batch " +
+              "equivalence no longer holds)")
+        }
+      } finally q.stop()
       val out = spark.table(name).localCheckpoint(eager = true)
       spark.catalog.dropTempView(name)
       out
@@ -98,7 +117,8 @@ object StreamDriver {
         changes.filter(col("event_id") % 10 === 0).write.mode("append").parquet(scratch)
       },
       d => CdcStream.dedupWithinWatermark(CdcStream.readChangelog(spark, d), delay = "40 days"),
-      "append")
+      "append",
+      requireSingleBatch = true)
       .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("value"))
 
   /** #143 driver form: the watermarked stream-stream interval join
@@ -216,7 +236,8 @@ object StreamDriver {
         CdcStream
           .throttled(CdcStream.readChangelog(spark, d), ThrottleIntervalUs)
           .toDF(),
-      "append")
+      "append",
+      requireSingleBatch = true)
       .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("value"))
   }
 
@@ -233,7 +254,8 @@ object StreamDriver {
       spark,
       writeChangelog(spark, sfDir),
       d => CdcStream.streamingHolt(CdcStream.readChangelog(spark, d)).toDF(),
-      "update")
+      "update",
+      requireSingleBatch = true)
       .select(
         col("series").as("op"),
         explode(arrays_zip(col("days"), col("cents"), col("levels"), col("trends"))).as("z"))
@@ -283,5 +305,183 @@ object StreamDriver {
         unix_micros(col("win_end")).as("win_end_us"),
         col("n_distinct_users"))
       .filter(col("win_start_us") <= maxTsUs)
+  }
+
+  /** Explode a per-(series, micro-batch) trajectory emission (parallel
+    * arrays) into one row per folded day — the shared read-out of the
+    * `mapGroupsWithState` smoother family (#263's pattern).
+    */
+  private def explodeTrajectory(df: DataFrame, fields: Seq[(String, String)]): DataFrame = {
+    val zipped = arrays_zip(fields.map { case (src, _) => col(src) }: _*)
+    df.select(col("series").as("op"), explode(zipped).as("z"))
+      .select(
+        col("op") +: fields.map { case (src, out) => col(s"z.$src").as(out) }: _*)
+  }
+
+  /** The [[cusumFinal]] reference mean in cents — the FIXED monitoring
+    * target streaming CUSUM is parameterized by, derived batch-side as
+    * the truncating global mean of the per-(op, day) cent sums; the
+    * oracle computes the identical expression in SQL.
+    */
+  private[graft] def cusumMuCents(spark: SparkSession, sfDir: String): Long =
+    Cdc
+      .classify(spark, sfDir)
+      .select(
+        col("op"),
+        expr("ts div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("op", "day")
+      .agg(sum("c").as("x"))
+      .agg(expr("sum(x) div count(1)"))
+      .head()
+      .getLong(0)
+
+  /** #297 driver form: the per-series streaming CUSUM run to
+    * completion; each emission carries its batch's day trajectory, so
+    * the flattened union across emissions is the full per-day C⁺/C⁻
+    * trajectory — bit-identical to the prefix-extrema closed form the
+    * oracle states with window functions (s = Σ(x−μ) over day order,
+    * C⁺ = s − min(0, min prefix s), C⁻ = max(0, max prefix s) − s).
+    */
+  def cusumFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mu = cusumMuCents(spark, sfDir)
+    explodeTrajectory(
+      runToCompletion(
+        spark,
+        writeChangelog(spark, sfDir),
+        d => CdcStream.streamingCusum(CdcStream.readChangelog(spark, d), mu).toDF(),
+        "update",
+        requireSingleBatch = true),
+      Seq("days" -> "day", "cents" -> "cents", "cPlus" -> "c_plus", "cMinus" -> "c_minus"))
+  }
+
+  /** #351 driver form: the per-series streaming Page–Hinkley monitor
+    * run to completion; m_t = Σ_{i≤t}(x_i − trunc(S_i/i)) is a cumsum
+    * of window-computable terms, so the oracle replays PH⁺/PH⁻ with
+    * window functions (extrema over EMITTED m only — the state's
+    * MaxValue/MinValue seeds).
+    */
+  def phFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    explodeTrajectory(
+      runToCompletion(
+        spark,
+        writeChangelog(spark, sfDir),
+        d => CdcStream.streamingPageHinkley(CdcStream.readChangelog(spark, d)).toDF(),
+        "update",
+        requireSingleBatch = true),
+      Seq(
+        "days" -> "day",
+        "cents" -> "cents",
+        "m" -> "m",
+        "phPlus" -> "ph_plus",
+        "phMinus" -> "ph_minus"))
+  }
+
+  /** #401 driver form: the per-series streaming dyadic EWMA run to
+    * completion; each day's register is exactly the observed days with
+    * gap ≤ 15, so the oracle replays it as the #349 cover join
+    * (Σ x·2^(15−gap) trunc-div Σ 2^(15−gap) over a 15-day self-join).
+    */
+  def ewmaFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    explodeTrajectory(
+      runToCompletion(
+        spark,
+        writeChangelog(spark, sfDir),
+        d => CdcStream.streamingEwma(CdcStream.readChangelog(spark, d)).toDF(),
+        "update",
+        requireSingleBatch = true),
+      Seq("days" -> "day", "cents" -> "cents", "ewma" -> "ewma_c"))
+  }
+
+  /** #325 driver form: the per-series streaming Croston smoother run
+    * to completion; the (z, p) recursion is genuinely sequential, so
+    * the oracle replays it as a recursive CTE over each series'
+    * day-ordered demand rows (the #263 chain with Croston's updates).
+    */
+  def crostonFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    explodeTrajectory(
+      runToCompletion(
+        spark,
+        writeChangelog(spark, sfDir),
+        d => CdcStream.streamingCroston(CdcStream.readChangelog(spark, d)).toDF(),
+        "update",
+        requireSingleBatch = true),
+      Seq(
+        "days" -> "day",
+        "cents" -> "cents",
+        "zSize" -> "z_size",
+        "pInterval" -> "p_interval",
+        "rateE3" -> "rate_e3"))
+  }
+
+  /** #374 driver form: the per-series streaming I-MR chart run to
+    * completion; the sufficient statistics (n, Σx, n₁, ΣMR) are prefix
+    * aggregates and mr is a lag, so the oracle replays the live-limit
+    * flags with window functions and HUGEINT cross products (the
+    * BigInt comparisons the fold runs).
+    */
+  def imrFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    explodeTrajectory(
+      runToCompletion(
+        spark,
+        writeChangelog(spark, sfDir),
+        d => CdcStream.streamingImr(CdcStream.readChangelog(spark, d)).toDF(),
+        "update",
+        requireSingleBatch = true),
+      Seq(
+        "days" -> "day",
+        "cents" -> "cents",
+        "mr" -> "mr",
+        "xOoc" -> "x_ooc",
+        "mrOoc" -> "mr_ooc"))
+  }
+
+  /** The [[hhFinal]] sharding function — `String.hashCode`-based, the
+    * same key the stream groups on; interpolated into the oracle SQL
+    * as a CASE over the three CDC ops so the two sides can never
+    * drift. With `HhShards = 4`: INSERT/UPDATE → shard 1 (competing
+    * for the single slot — real Misra-Gries eviction dynamics),
+    * DELETE → shard 3 (alone, so its counter is exact).
+    */
+  private[graft] def opShard(op: String, nShards: Int): Int =
+    math.floorMod(op.hashCode, nShards)
+  private[graft] val HhShards = 4
+  private[graft] val HhSlots = 1
+
+  /** #145 driver form: the sharded streaming Misra-Gries heavy-hitter
+    * table run to completion (latest emission per shard, positive
+    * slots exploded). With one slot per shard the fold is exactly
+    * Boyer-Moore majority over the shard's (ts, event_id)-ordered op
+    * sequence — which the oracle replays as a per-shard recursive CTE
+    * (the operator's in-fold sort makes the streamed table
+    * deterministic and batch-replayable).
+    */
+  def hhFinal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToCompletion(
+      spark,
+      writeChangelog(spark, sfDir),
+      d =>
+        CdcStream
+          .streamingHeavyHitters(
+            CdcStream.readChangelog(spark, d),
+            slots = HhSlots,
+            nShards = HhShards)
+          .toDF(),
+      "update",
+      requireSingleBatch = true)
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard")
+            .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .select(col("shard").cast("long").as("shard"), explode(col("items")).as(Seq("op", "cnt")))
   }
 }
