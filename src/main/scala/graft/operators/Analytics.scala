@@ -346,23 +346,33 @@ object Analytics {
 
   /** #87 Cohort retention: users grouped by first-activity week, then
     * the fraction of each cohort still active N weeks later — the
-    * standard product-analytics retention triangle. Two aggregations
-    * sharing the user_id hash partitioning (the cohort assignment and
-    * the activity join reuse one exchange); the per-cohort size table
-    * is tiny (one row per week) so AQE broadcasts the rate join. At
-    * 100 TB nothing here is more than a linear shuffle on user_id.
+    * standard product-analytics retention triangle. ONE scan of
+    * events and ONE wide shuffle (the user_id aggregation producing
+    * each user's cohort week + distinct-week set; a user's weeks are
+    * bounded by the calendar, so the set state is small); both the
+    * activity triangle and the cohort sizes derive from that shared
+    * aggregation — its exchange is reused, not recomputed (r13: the
+    * previous shape scanned events twice, once for the cohort
+    * assignment and once for the activity join, and paid a
+    * countDistinct expansion the per-user set makes a plain count).
+    * The per-cohort size table is one row per week, so AQE broadcasts
+    * the rate join. At 100 TB nothing here is more than a linear
+    * shuffle on user_id.
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val WeekUs = 7L * 86400L * 1000000L
-    val ev = Tables
+    val perUser = Tables
       .events(spark, dir)
       .select(col("user_id"), floor(expr("ts div 1000") / WeekUs).cast("long").as("week"))
-    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
-    val active = ev
-      .join(cohort, "user_id")
+      .groupBy("user_id")
+      .agg(min("week").as("cohort_week"), collect_set("week").as("weeks"))
+    // weeks is a per-user DISTINCT set, so each user contributes at
+    // most one row per (cohort_week, offset) — count ≡ countDistinct
+    val active = perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct("user_id").as("n_users"))
-    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = perUser.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
     active
       .join(sizes, "cohort_week")
       .select(
