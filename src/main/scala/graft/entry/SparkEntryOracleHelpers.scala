@@ -884,14 +884,20 @@ private[graft] trait SparkEntryOracleHelpers {
   protected def ivfTrainCtes: String = ivfTrainCtesFrom("embeddings")
 
   /** [[ivfTrainCtes]] over an arbitrary source relation (table name or
-    * aliased subquery) — seeds are the 16 lowest vec_ids OF THE
+    * aliased subquery) — seeds are the k lowest vec_ids OF THE
     * SOURCE, mirroring `Similarity.trainCentroidsOn`; the scalable
     * graph oracles train on the base-90% members only. `finalProbe`
     * spills the FINAL assignment to the nearest `finalProbe` cells
     * (`Similarity.scalableCellPairs`' boundary duplication); training
-    * rounds always assign argmax-only.
+    * rounds always assign argmax-only. `sqrtCells = false` keeps the
+    * fixed 16-seed train of the IVF family; `true` derives the seed
+    * count as ⌈√count⌉ of the source — the production cell rule the
+    * scalable graph builds run (`Similarity.scalableIndex`, r13).
     */
-  protected def ivfTrainCtesFrom(src: String, finalProbe: Int = 1): String = {
+  protected def ivfTrainCtesFrom(
+      src: String,
+      finalProbe: Int = 1,
+      sqrtCells: Boolean = false): String = {
     val meanTerms = (1 to 64)
       .map(i => s"CAST(floor(avg(CAST(embedding[$i] AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS FLOAT)")
       .mkString(", ")
@@ -905,10 +911,19 @@ private[graft] trait SparkEntryOracleHelpers {
             FROM u, $cents c) WHERE rn <= $probe)"""
     def means(asg: String, out: String) =
       s"$out AS (SELECT cell, [$meanTerms] AS centroid FROM $asg GROUP BY cell)"
-    s"""u AS (SELECT vec_id, embedding FROM $src),
-          s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+    val seeds =
+      if (sqrtCells)
+        s"""kc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM u),
+          s0 AS (SELECT cell, centroid FROM (
+                   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                     embedding AS centroid
+                   FROM u) t, kc WHERE t.cell < kc.k)"""
+      else
+        s"""s0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                    embedding AS centroid
-                 FROM $src ORDER BY vec_id LIMIT 16),
+                 FROM $src ORDER BY vec_id LIMIT 16)"""
+    s"""u AS (SELECT vec_id, embedding FROM $src),
+          $seeds,
           ${assign("s0", "a1")}, ${means("a1", "c1")},
           ${assign("c1", "a2")}, ${means("a2", "c2")},
           ${assign("c2", "a3")}, ${means("a3", "c3")},
@@ -1666,16 +1681,18 @@ private[graft] trait SparkEntryOracleHelpers {
          ${stopk(s"sg$r", s"scnd$r")}"""
       }
       .mkString(",\n         ")
-    s"""${ivfTrainCtesFrom(src, nprobe)},
+    s"""${ivfTrainCtesFrom(src, nprobe, sqrtCells = true)},
          se AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM u),
          snn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
-         sdraw AS MATERIALIZED (SELECT DISTINCT d.src, d.dst FROM (
+         srk AS MATERIALIZED (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r FROM u),
+         sdraw AS MATERIALIZED (SELECT DISTINCT d.src, rk.vec_id AS dst FROM (
              SELECT v.vec_id AS src,
                ('0x' || substr(md5('sg0:' || v.vec_id || '-' || gs.j), 1, 15))::BIGINT
-                 % snn.n AS dst
+                 % snn.n AS r
              FROM u v, snn, generate_series(1, $draws) gs(j)) d
-           JOIN u uu ON uu.vec_id = d.dst
-           WHERE d.src <> d.dst),
+           JOIN srk rk ON rk.r = d.r
+           WHERE d.src <> rk.vec_id),
          scand0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              SELECT a.vec_id AS src, b.vec_id AS dst
              FROM acorp a JOIN acorp b ON a.cell = b.cell AND a.vec_id <> b.vec_id

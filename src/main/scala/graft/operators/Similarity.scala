@@ -2410,13 +2410,38 @@ object Similarity {
   private[graft] val ScalableRounds = 2
 
   /** The `ScalableDraws` content-hash long links per member of `vecs`,
-    * self-edges and out-of-frame targets dropped (targets are drawn on
-    * the dense 0..n-1 id range; when `vecs` is a subset — the fold's
-    * base members — a draw landing outside it is discarded, same in
-    * the oracle's `JOIN u` filter).
+    * self-edges dropped. Targets are drawn on the frame's DENSE RANK
+    * (r12 ADVICE: drawing on the raw id range meant subset frames —
+    * the fold's base members — had members with vec_id ≥ n that could
+    * never receive an inbound long link, a structural walk-graph
+    * bias). The rank is built hierarchically (monotone id-range shard
+    * + offsets, the #180 construction — the only unpartitioned window
+    * rides the 32-row shard-offset frame), and the draw joins back to
+    * the ranked frame, so every member is a possible target.
     */
   private def scalableDraws(spark: SparkSession, vecs: DataFrame): DataFrame = {
-    val nDf = vecs.agg(count(lit(1)).as("n"))
+    val nShards = 32
+    val ids = vecs.select(col("vec_id"))
+    val nDf = ids.agg(count(lit(1)).as("n"))
+    val bounds = ids.agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+    val sharded = ids
+      .crossJoin(broadcast(bounds))
+      .withColumn("shard", expr(s"((vec_id - lo) * $nShards) div (hi - lo + 1)"))
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("off"))
+    val rk = sharded
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("shard").orderBy("vec_id")).cast("long"))
+      .join(broadcast(offsets), "shard")
+      .select((col("off") + col("rn") - 1).as("r"), col("vec_id").as("dst"))
     vecs
       .select(col("vec_id").as("src"))
       .crossJoin(broadcast(nDf))
@@ -2424,9 +2449,9 @@ object Similarity {
       .select(
         col("src"),
         pmod(Dedup.hash60(concat(lit("sg0:"), col("src"), lit("-"), col("j"))), col("n"))
-          .as("dst"))
+          .as("r"))
+      .join(rk, "r")
       .filter(col("src") =!= col("dst"))
-      .join(vecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
       .select("src", "dst")
       .distinct()
   }
@@ -2465,21 +2490,26 @@ object Similarity {
     * directions). Every stage is linear-ish (n^1.5 cell pairs, n·k
     * draws, n·(2k)² per refinement round) — the 100 TB replacement
     * for the exact n² layer-0 (#448–#450), with the measured recall cost pinned
-    * in NswSpec/HnswSpec/GraphInsertSpec. `kCells` defaults to the
-    * oracle-pinned 16 (the DuckDB train unrolls at that constant —
-    * the #296 fixed-k artifact, visible as the ~30× sf1 ratio in the
-    * r12 scaling gate); production sets kCells ≈ √n, which holds
-    * Σ(spill·|cell|)² at n^1.5.
+    * in NswSpec/HnswSpec/GraphInsertSpec. `kCells ≤ 0` (the default)
+    * is the PRODUCTION setting: kCells = ⌈√n⌉ of the trained frame,
+    * which holds Σ(spill·|cell|)² at n^1.5 — r13 closed the r12 gap
+    * where the committed 16-cell constant (Σ|cell|² ≈ n²/16) made the
+    * three scalable builds the worst sf1 scalers; the oracle replays
+    * the same ⌈√count⌉ seed rule in SQL, so the dynamic cell count is
+    * hash-checked at every sf, not just documented.
     *
     * @return (directed lists (src, dst, cos, rank), walk graph (src, dst))
     */
   private def scalableIndex(spark: SparkSession, vecs: DataFrame, kNbrs: Int,
-      kCells: Int = 16)(
+      kCells: Int = 0)(
       implicit scope: Lineage.Scope): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
+    val kc =
+      if (kCells > 0) kCells
+      else math.ceil(math.sqrt(vecs.count().toDouble)).toInt
     val draws = scalableDraws(spark, vecs).cp(false)
     val cand0 =
-      scalableCellPairs(spark, vecs, ScalableNprobe, kCells).unionAll(draws).distinct()
+      scalableCellPairs(spark, vecs, ScalableNprobe, kc).unionAll(draws).distinct()
     val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     var lists = scoreEdges(vecs, cand0)
       .withColumn("rank", row_number().over(wk).cast("long"))

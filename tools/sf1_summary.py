@@ -26,7 +26,14 @@ def main() -> None:
         t01 = sf01.get(name)
         if t01 is None or t01 <= 0:
             missing_ref.append(name)
-            rows[name] = {"sf1_s": round(t1, 3), "sf01_s": None, "scale": None}
+            # uniform row schema: consumers iterate queries and read
+            # under_line; the missing-reference branch must carry it too
+            rows[name] = {
+                "sf1_s": round(t1, 3),
+                "sf01_s": None,
+                "scale": None,
+                "under_line": None,
+            }
             continue
         scale = t1 / t01
         rows[name] = {
