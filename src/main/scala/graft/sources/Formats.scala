@@ -46,7 +46,14 @@ object Formats {
     * converters cannot drift (the wire format is the only difference
     * between them).
     */
-  def classifyDebezium(parsed: DataFrame): DataFrame = {
+  def classifyDebezium(parsed: DataFrame): DataFrame =
+    classifyDebeziumKeeping(parsed, Nil)
+
+  /** [[classifyDebezium]] carrying extra payload columns through the
+    * classification untouched (the typed-envelope path keeps its
+    * decoded `balance_cents` beside the classified op).
+    */
+  def classifyDebeziumKeeping(parsed: DataFrame, extra: Seq[String]): DataFrame = {
     val isDel = col("__deleted") === "true"
     // rank non-tombstone changes per key: the first is the INSERT
     val w = Window
@@ -55,11 +62,13 @@ object Formats {
     parsed
       .withColumn("rn", row_number().over(w))
       .select(
-        col("id"),
-        col("user_id"),
-        col("account"),
-        col("registered_at"),
-        when(isDel, "DELETE").when(col("rn") === 1, "INSERT").otherwise("UPDATE").as("op"))
+        Seq(
+          col("id"),
+          col("user_id"),
+          col("account"),
+          col("registered_at"),
+          when(isDel, "DELETE").when(col("rn") === 1, "INSERT").otherwise("UPDATE").as("op"))
+          ++ extra.map(col): _*)
   }
 
   /** The Maxwell daemon's JSON envelope — the other widely deployed
@@ -147,6 +156,43 @@ object Formats {
       .filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
     QuarantinedRead(good, bad, parsed)
+  }
+
+  /** The STREAMING form of [[readJsonlWithQuarantine]] — the
+    * reference consumer's rollback-and-CONTINUE on a bad message
+    * (reference: airflow-dags/simple_kafka_etl.py:188-191) expressed
+    * as Structured Streaming ingress: the file source reads raw text
+    * lines, `from_json` parses each PERMISSIVE, well-formed records
+    * flow on typed while malformed lines route to a dead-letter frame
+    * — one poison record never fails (or stalls) the query, and the
+    * skip is OBSERVABLE (the dead letter carries the raw line for
+    * replay), not silent. Returns (good, bad) streaming frames split
+    * from the same single-parse plan; `PoisonPillSpec` replays a
+    * corrupt record mid-stream and pins skip-and-continue ≡ the batch
+    * view over the valid records.
+    */
+  def streamJsonlWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val parsed = spark.readStream
+      .text(path)
+      .select(
+        col("value").as("raw"),
+        from_json(
+          col("value"),
+          withCorrupt,
+          Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val good = parsed
+      .filter(col("r._corrupt_record").isNull)
+      .select(col("r.*"))
+      .drop("_corrupt_record")
+    val bad = parsed.filter(col("r._corrupt_record").isNotNull).select(col("raw"))
+    (good, bad)
   }
 
   /** CSV reader with explicit schema, header expected. */
