@@ -2235,6 +2235,70 @@ object Similarity {
     visited
   }
 
+  /** Fused multi-beam sweep (r13, the vamana-recall walk-cost task):
+    * the recall scorecards' beam points each re-ran the
+    * expand-score-prune loop over the SAME graph, paying hops × |beams|
+    * stage barriers. Here frontiers carry a `beam` tag and every hop
+    * expands, scores, and prunes ALL sweep points in ONE pass — the
+    * prune cutoff is the row's own tag (`rnk <= beam`), and rows never
+    * mix across tags, so each tagged trajectory is EXACTLY the
+    * per-point walk (the unchanged per-beam oracle replays still
+    * hash-match). Returns one (beam, n_hits) row per sweep point
+    * against `truth` (zero-hit beams included).
+    */
+  private def beamSweepHits(
+      e: DataFrame,
+      graph: DataFrame,
+      queries: DataFrame,
+      ent: DataFrame,
+      beams: Seq[Int],
+      hops: Int,
+      truth: DataFrame)(implicit scope: Lineage.Scope): DataFrame = {
+    import graft.operators.Lineage.CpOps
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bdf = beams.map(_.toLong).toDF("beam")
+    def scored(cand: DataFrame): DataFrame =
+      cand
+        .join(e, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(
+          col("query_id"),
+          col("beam"),
+          col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+    val wqb = Window.partitionBy("query_id", "beam").orderBy(col("cos").desc, col("vec_id"))
+    var beamDf = ent
+      .crossJoin(broadcast(bdf))
+      .select("query_id", "beam", "vec_id")
+    var visited = beamDf.cp(false)
+    for (_ <- 1 to hops) {
+      val cand = beamDf
+        .unionAll(
+          beamDf
+            .join(graph, beamDf("vec_id") === graph("src"))
+            .select(col("query_id"), col("beam"), col("dst").as("vec_id")))
+        .distinct()
+        .cp(false)
+      visited = visited.unionAll(cand).distinct().cp(false)
+      beamDf = scored(cand)
+        .withColumn("rnk", row_number().over(wqb))
+        .filter(col("rnk") <= col("beam"))
+        .select("query_id", "beam", "vec_id")
+    }
+    val hits = scored(visited)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wqb))
+      .filter(col("rank") <= 10)
+      .select("query_id", "beam", "vec_id")
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("beam")
+      .agg(count(lit(1)).as("n_hits"))
+    bdf
+      .join(hits, Seq("beam"), "left")
+      .select(col("beam"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Per-query top-10 of a visited set by rounded cosine, self
     * excluded — [[beamWalk]]'s final ranking, shared with the fold's
     * insertion path.
@@ -2352,15 +2416,9 @@ object Similarity {
     val ent = hnswDescend(e, Seq(g2, g1), queries, lv).cp(false)
     val truth = bruteForce(spark, dir).select("query_id", "vec_id").cp(false)
     val nTruthDf = truth.agg(count(lit(1)).as("n_truth"))
-    val perBeam = beams.map { b =>
-      beamWalk(e, graph, queries, ent, b, hops)
-        .select("query_id", "vec_id")
-        .join(truth, Seq("query_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(b.toLong).as("beam"), col("n_hits"))
-    }
-    val out = perBeam
-      .reduce(_ unionAll _)
+    // r13: one fused sweep (see beamSweepHits) — per-beam trajectories
+    // and the oracle replay are unchanged
+    val out = beamSweepHits(e, graph, queries, ent, beams, hops, truth)
       .crossJoin(broadcast(nTruthDf))
       .select(
         col("beam"),
@@ -3082,15 +3140,10 @@ object Similarity {
         .crossJoin(broadcast(entry.select(col("vec_id"))))
       val truth = bruteForce(spark, dir).select("query_id", "vec_id").cp(false)
       val nTruthDf = truth.agg(count(lit(1)).as("n_truth"))
-      val perBeam = beams.map { b =>
-        beamWalk(e, g, queries, ent, b, VamanaHops)
-          .select("query_id", "vec_id")
-          .join(truth, Seq("query_id", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(b.toLong).as("beam"), col("n_hits"))
-      }
-      val out = perBeam
-        .reduce(_ unionAll _)
+      // r13: ONE fused sweep — per-beam trajectories are bit-identical
+      // to the separate walks (the per-beam oracle replay is unchanged)
+      // but the graph is expanded/scored once per hop, not |beams| times
+      val out = beamSweepHits(e, g, queries, ent, beams, VamanaHops, truth)
         .crossJoin(broadcast(nTruthDf))
         .select(
           col("beam"),
