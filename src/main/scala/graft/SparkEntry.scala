@@ -753,6 +753,14 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_trend_test" -> ((s: SparkSession, d: String) => AnalyticsExt.trendTest(s, d)),
     // G-test of independence on the #189 contingency table (§2 #447)
     "q_g_test" -> ((s: SparkSession, d: String) => AnalyticsExt.gTest(s, d)),
+    // Jarque-Bera normality test per daily series (§2 #455)
+    "q_jarque_bera" -> ((s: SparkSession, d: String) => AnalyticsExt.jarqueBera(s, d)),
+    // Durbin-Watson serial-correlation test on detrended residuals (§2 #456)
+    "q_durbin_watson" -> ((s: SparkSession, d: String) => AnalyticsExt.durbinWatson(s, d)),
+    // Dickey-Fuller unit-root test per daily series (§2 #457)
+    "q_adf_test" -> ((s: SparkSession, d: String) => AnalyticsExt.adfTest(s, d)),
+    // Partial autocorrelation lags 1-3, Durbin-Levinson (§2 #458)
+    "q_pacf" -> ((s: SparkSession, d: String) => AnalyticsExt.pacf(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

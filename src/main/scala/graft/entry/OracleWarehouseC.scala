@@ -192,6 +192,213 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            JOIN rowm USING (o_orderstatus)
            JOIN colm USING (o_orderpriority), tot)
          SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
+    "q_jarque_bera" ->
+      // exact HUGEINT power sums; one fixed scalar double chain (the
+      // Spark side's selectExpr tree copied verbatim)
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(CAST(c AS HUGEINT)) AS s1,
+             sum(CAST(c AS HUGEINT) * c) AS s2,
+             sum(CAST(c AS HUGEINT) * c * c) AS s3,
+             sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+           FROM daily GROUP BY 1),
+         f AS (SELECT * FROM agg
+           WHERE n_days >= 8 AND CAST(n_days AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0),
+         m AS (
+           SELECT event_type, n_days,
+             CAST(s1 AS DOUBLE) / n_days AS m1, CAST(s2 AS DOUBLE) / n_days AS r2,
+             CAST(s3 AS DOUBLE) / n_days AS r3, CAST(s4 AS DOUBLE) / n_days AS r4
+           FROM f),
+         cm AS (
+           SELECT event_type, n_days,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+           FROM m),
+         sk AS (
+           SELECT event_type, n_days,
+             m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) AS kurt
+           FROM cm),
+         jb AS (
+           SELECT event_type, n_days,
+             CAST(floor(skew * 1000000 + 0.5) AS BIGINT) AS skew_e6,
+             CAST(floor(kurt * 1000000 + 0.5) AS BIGINT) AS kurt_e6,
+             CAST(floor((CAST(n_days AS DOUBLE) / 6.0)
+               * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) * 1000000 + 0.5)
+               AS BIGINT) AS jb_e6
+           FROM sk)
+         SELECT event_type, n_days, skew_e6, kurt_e6, jb_e6,
+           CAST(CASE WHEN jb_e6 > 5991465 THEN 1 ELSE 0 END AS BIGINT) AS reject_normal_5pct
+         FROM jb""",
+    "q_durbin_watson" ->
+      // residuals never materialized: full-series power sums + the
+      // successive-difference sums; one fixed double chain
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(day) AS BIGINT) AS sd, CAST(sum(c) AS BIGINT) AS sy,
+             sum(CAST(day AS HUGEINT) * day) AS sdd,
+             sum(CAST(day AS HUGEINT) * c) AS sdy,
+             sum(CAST(c AS HUGEINT) * c) AS syy
+           FROM daily GROUP BY 1),
+         f AS (SELECT * FROM agg
+           WHERE n >= 8 AND CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd > 0),
+         lagged AS (
+           SELECT event_type,
+             c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS u,
+             day - lag(day) OVER (PARTITION BY event_type ORDER BY day) AS v
+           FROM daily),
+         diffs AS (
+           SELECT event_type,
+             sum(CAST(u AS HUGEINT) * u) AS suu,
+             sum(CAST(u AS HUGEINT) * v) AS suv,
+             sum(CAST(v AS HUGEINT) * v) AS svv
+           FROM lagged WHERE u IS NOT NULL GROUP BY 1),
+         j AS (
+           SELECT f.event_type, n AS n_days,
+             (CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS b,
+             CAST(sd AS DOUBLE) AS sdf, CAST(sy AS DOUBLE) AS syf,
+             CAST(sdd AS DOUBLE) AS sddf, CAST(sdy AS DOUBLE) AS sdyf,
+             CAST(syy AS DOUBLE) AS syyf,
+             CAST(suu AS DOUBLE) AS suuf, CAST(suv AS DOUBLE) AS suvf,
+             CAST(svv AS DOUBLE) AS svvf
+           FROM f JOIN diffs ON diffs.event_type = f.event_type),
+         k AS (
+           SELECT event_type, n_days, (syf - b * sdf) / n_days AS a,
+             b, sdf, syf, sddf, sdyf, syyf, suuf, suvf, svvf
+           FROM j),
+         nd AS (
+           SELECT event_type, n_days,
+             suuf - 2.0 * b * suvf + b * b * svvf AS num,
+             syyf - 2.0 * a * syf - 2.0 * b * sdyf
+               + n_days * a * a + 2.0 * a * b * sdf + b * b * sddf AS den
+           FROM k),
+         dw AS (
+           SELECT event_type, n_days,
+             CAST(floor(num / den * 1000000 + 0.5) AS BIGINT) AS dw_e6
+           FROM nd WHERE den > 0)
+         SELECT event_type, n_days, dw_e6,
+           1000000 - dw_e6 // 2 AS rho_resid_e6,
+           CAST(CASE WHEN dw_e6 < 1500000 THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr
+         FROM dw""",
+    "q_adf_test" ->
+      // lag-0 Dickey-Fuller with constant: centered closed forms over
+      // exact (prev, delta) pair sums; t via one sqrt
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type,
+             lag(c) OVER (PARTITION BY event_type ORDER BY day) AS x,
+             c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS d
+           FROM daily),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(d) AS BIGINT) AS sd,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * d) AS sxd,
+             sum(CAST(d AS HUGEINT) * d) AS sdd
+           FROM p WHERE x IS NOT NULL GROUP BY 1),
+         f AS (SELECT * FROM agg
+           WHERE m >= 10 AND CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0),
+         cf AS (
+           SELECT event_type, m AS n_pairs,
+             CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+             CAST(m AS DOUBLE) * CAST(sxd AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) AS cxd,
+             CAST(m AS DOUBLE) * CAST(sdd AS DOUBLE)
+               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS cdd
+           FROM f),
+         t AS (
+           SELECT event_type, n_pairs,
+             CAST(floor(cxd / cxx * 1000000 + 0.5) AS BIGINT) AS rho_e6,
+             CAST(floor((cxd / cxx)
+               * sqrt((CAST(n_pairs AS DOUBLE) - 2.0) * cxx / (cdd - cxd * cxd / cxx))
+               * 1000000 + 0.5) AS BIGINT) AS t_stat_e6
+           FROM cf WHERE cdd * cxx - cxd * cxd > 0)
+         SELECT event_type, n_pairs, rho_e6, t_stat_e6,
+           CAST(CASE WHEN t_stat_e6 < -2860000 THEN 1 ELSE 0 END AS BIGINT) AS unit_root_rejected
+         FROM t""",
+    "q_pacf" ->
+      // three leads in one window pass; Durbin-Levinson on exact-
+      // integer ACF ratios, full-series-mean convention
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, c,
+             lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
+             lead(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS c2,
+             lead(c, 3) OVER (PARTITION BY event_type ORDER BY day) AS c3
+           FROM daily),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sy,
+             sum(CAST(c AS HUGEINT) * c) AS syy,
+             CAST(sum(CASE WHEN c1 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN c1 IS NOT NULL THEN c1 ELSE 0 END) AS BIGINT) AS t1,
+             sum(CASE WHEN c1 IS NOT NULL THEN CAST(c AS HUGEINT) * c1 ELSE 0 END) AS p1,
+             CAST(count(c1) AS BIGINT) AS m1,
+             CAST(sum(CASE WHEN c2 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS h2,
+             CAST(sum(CASE WHEN c2 IS NOT NULL THEN c2 ELSE 0 END) AS BIGINT) AS t2,
+             sum(CASE WHEN c2 IS NOT NULL THEN CAST(c AS HUGEINT) * c2 ELSE 0 END) AS p2,
+             CAST(count(c2) AS BIGINT) AS m2,
+             CAST(sum(CASE WHEN c3 IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS h3,
+             CAST(sum(CASE WHEN c3 IS NOT NULL THEN c3 ELSE 0 END) AS BIGINT) AS t3,
+             sum(CASE WHEN c3 IS NOT NULL THEN CAST(c AS HUGEINT) * c3 ELSE 0 END) AS p3,
+             CAST(count(c3) AS BIGINT) AS m3
+           FROM l GROUP BY 1),
+         f AS (SELECT * FROM agg
+           WHERE n >= 12 AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0),
+         cc AS (
+           SELECT event_type, n AS n_days,
+             CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c0,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p1 AS DOUBLE)
+               - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)
+                 * (CAST(h1 AS DOUBLE) + CAST(t1 AS DOUBLE))
+               + CAST(m1 AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c1n,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p2 AS DOUBLE)
+               - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)
+                 * (CAST(h2 AS DOUBLE) + CAST(t2 AS DOUBLE))
+               + CAST(m2 AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c2n,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p3 AS DOUBLE)
+               - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)
+                 * (CAST(h3 AS DOUBLE) + CAST(t3 AS DOUBLE))
+               + CAST(m3 AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c3n
+           FROM f),
+         r AS (SELECT event_type, n_days, c1n / c0 AS r1, c2n / c0 AS r2, c3n / c0 AS r3
+           FROM cc),
+         f2 AS (SELECT * FROM r WHERE 1.0 - r1 * r1 <> 0.0),
+         ph AS (
+           SELECT event_type, n_days, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+           FROM f2),
+         ph2 AS (
+           SELECT event_type, n_days, r1, r2, r3, phi22, r1 * (1.0 - phi22) AS phi21
+           FROM ph),
+         f3 AS (SELECT * FROM ph2 WHERE 1.0 - phi21 * r1 - phi22 * r2 <> 0.0)
+         SELECT event_type, n_days,
+           CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS r1_e6,
+           CAST(floor(r2 * 1000000 + 0.5) AS BIGINT) AS r2_e6,
+           CAST(floor(r3 * 1000000 + 0.5) AS BIGINT) AS r3_e6,
+           CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS pacf1_e6,
+           CAST(floor(phi22 * 1000000 + 0.5) AS BIGINT) AS pacf2_e6,
+           CAST(floor((r3 - phi21 * r2 - phi22 * r1)
+             / (1.0 - phi21 * r1 - phi22 * r2) * 1000000 + 0.5) AS BIGINT) AS pacf3_e6
+         FROM f3""",
     "q_dp_counts" -> {
       // one SELECT per alpha tier; the e18 power table injected as the
       // SAME precomputed constants the Spark frame uses

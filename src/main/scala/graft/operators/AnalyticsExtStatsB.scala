@@ -587,4 +587,292 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
                   CAST(sum_err_ar * 1000000 div sum_err_naive AS BIGINT)
                 ELSE NULL END""").as("mae_ratio_e6"))
   }
+
+  /** Daily cents series per event type — the shared frame under the
+    * r13 time-series diagnostics (#455–#458). One events scan → one
+    * (type, day) aggregate; everything downstream runs on the tiny
+    * (series × days) frame, so at 100 TB the only row-scale work is
+    * the map-side daily rollup.
+    */
+  private def dailyCents(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"ts div ${nsPerDay}L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c"))
+  }
+
+  /** #455 Jarque–Bera normality test per daily-cents series (Jarque &
+    * Bera 1980): JB = n/6·(g₁² + (g₂−3)²/4) from the sample skewness
+    * g₁ = m₃/m₂^1.5 and kurtosis g₂ = m₄/m₂² — the standard
+    * residual-diagnostic read BEFORE trusting any of the z/t-based
+    * tests (#252/#286/#433) on a series, and the moment-based
+    * complement to #289's runs test (randomness) and #242's
+    * Mann–Kendall (trend).
+    *
+    * Exactness: the four raw power sums Σc..Σc⁴ are exact integers
+    * (DECIMAL(38,0) ↔ HUGEINT; c⁴ ≲ 10³² per day keeps Σ under 38
+    * digits through sf10), and the closed-form central-moment /
+    * JB chain is ONE fixed scalar expression over those integers —
+    * deterministic IEEE doubles, identical in both engines (the #447
+    * G-test discipline), rounded once onto the e6 grid. Degenerate
+    * series (n < 8 or zero variance) are filtered identically on both
+    * sides. One aggregate over the bounded daily frame.
+    */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame =
+    dailyCents(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("c").as("s1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c")).as("s3"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c * c")).as("s4"))
+      .filter(expr(
+        "n_days >= 8 AND CAST(n_days AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0"))
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(s1 AS DOUBLE) / n_days AS m1",
+        "CAST(s2 AS DOUBLE) / n_days AS r2",
+        "CAST(s3 AS DOUBLE) / n_days AS r3",
+        "CAST(s4 AS DOUBLE) / n_days AS r4")
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "r2 - m1 * m1 AS m2",
+        "r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3",
+        "r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4")
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "m3 / sqrt(m2 * m2 * m2) AS skew",
+        "m4 / (m2 * m2) AS kurt")
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(floor(skew * 1000000 + 0.5) AS BIGINT) AS skew_e6",
+        "CAST(floor(kurt * 1000000 + 0.5) AS BIGINT) AS kurt_e6",
+        """CAST(floor((CAST(n_days AS DOUBLE) / 6.0)
+             * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) * 1000000 + 0.5)
+           AS BIGINT) AS jb_e6""")
+      .selectExpr(
+        "event_type", "n_days", "skew_e6", "kurt_e6", "jb_e6",
+        // chi2(2) 5% critical value 5.991465 on the e6 grid
+        "CAST(CASE WHEN jb_e6 > 5991465 THEN 1 ELSE 0 END AS BIGINT) AS reject_normal_5pct")
+
+  /** #456 Durbin–Watson serial-correlation test on detrended daily
+    * cents (Durbin & Watson 1950): DW = Σ(ê_t−ê_{t−1})²/Σê_t² over
+    * the residuals of the per-series OLS day trend — the canonical
+    * "are the residuals AR(1)?" gate that decides whether #159's OLS
+    * standard errors (and #264's backtest read) can be trusted, and
+    * the residual-side complement to #202's raw autocorrelation.
+    *
+    * Shape: residuals are never materialized — the numerator needs
+    * only the successive-difference sums Σu², Σuv, Σv² (u = Δc,
+    * v = Δday over observation-successive rows) because
+    * ê_t−ê_{t−1} = u − b·v, and the denominator expands in the full-
+    * series power sums; so the whole statistic is TWO aggregates over
+    * the bounded daily frame plus one fixed scalar double expression
+    * over exact integers (the #447 discipline). DW≈2(1−ρ̂₁); flag
+    * positive serial correlation at the conventional DW < 1.5.
+    */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir).localCheckpoint(eager = false)
+    val full = daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("day").as("sd"),
+        sum("c").as("sy"),
+        sum(expr("CAST(day AS DECIMAL(38,0)) * day")).as("sdd"),
+        sum(expr("CAST(day AS DECIMAL(38,0)) * c")).as("sdy"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("syy"))
+      .filter(expr(
+        "n >= 8 AND CAST(n AS DECIMAL(38,0)) * sdd - CAST(sd AS DECIMAL(38,0)) * sd > 0"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val diffs = daily
+      .withColumn("cp", lag("c", 1).over(w))
+      .withColumn("dp", lag("day", 1).over(w))
+      .filter(col("cp").isNotNull)
+      .select(
+        col("event_type"),
+        (col("c") - col("cp")).as("u"),
+        (col("day") - col("dp")).as("v"))
+      .groupBy("event_type")
+      .agg(
+        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * v")).as("suv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"))
+    full
+      .join(diffs, "event_type")
+      .selectExpr(
+        "event_type",
+        "n AS n_days",
+        """(CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+           AS b""",
+        "CAST(sd AS DOUBLE) AS sdf", "CAST(sy AS DOUBLE) AS syf",
+        "CAST(sdd AS DOUBLE) AS sddf", "CAST(sdy AS DOUBLE) AS sdyf",
+        "CAST(syy AS DOUBLE) AS syyf",
+        "CAST(suu AS DOUBLE) AS suuf", "CAST(suv AS DOUBLE) AS suvf",
+        "CAST(svv AS DOUBLE) AS svvf")
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "(syf - b * sdf) / n_days AS a",
+        "b", "sdf", "syf", "sddf", "sdyf", "syyf", "suuf", "suvf", "svvf")
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "suuf - 2.0 * b * suvf + b * b * svvf AS num",
+        """syyf - 2.0 * a * syf - 2.0 * b * sdyf
+           + n_days * a * a + 2.0 * a * b * sdf + b * b * sddf AS den""")
+      .filter(expr("den > 0"))
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(floor(num / den * 1000000 + 0.5) AS BIGINT) AS dw_e6")
+      .selectExpr(
+        "event_type", "n_days", "dw_e6",
+        "1000000 - dw_e6 div 2 AS rho_resid_e6",
+        "CAST(CASE WHEN dw_e6 < 1500000 THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr")
+  }
+
+  /** #457 (Augmented) Dickey–Fuller unit-root test per daily-cents
+    * series (Dickey & Fuller 1979, lag-0 form with constant):
+    * Δc_t = α + ρ·c_{t−1} + ε, H₀: ρ = 0 (random walk). The
+    * mean-reversion gate that decides whether #250's Holt / #433's
+    * AR(2) levels are even estimable — a unit-root series makes every
+    * trailing-window statistic (#17, #65) spurious. t(ρ̂) against the
+    * −2.86 5% critical value (constant, no trend, n→∞ table).
+    *
+    * All moments are exact integers over observation-successive
+    * (prev, Δ) pairs — one lag window on the bounded daily frame, one
+    * aggregate — and ρ̂, SSE, and t(ρ̂) come from the centered-sum
+    * closed forms evaluated as ONE fixed scalar double expression
+    * (no residual row ever exists; the #447 discipline).
+    */
+  def adfTest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    dailyCents(spark, dir)
+      .withColumn("cp", lag("c", 1).over(w))
+      .filter(col("cp").isNotNull)
+      .select(col("event_type"), col("cp").as("x"), (col("c") - col("cp")).as("d"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"),
+        sum("d").as("sd"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * d")).as("sxd"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sdd"))
+      .filter(expr(
+        "m >= 10 AND CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx > 0"))
+      .selectExpr(
+        "event_type",
+        "m AS n_pairs",
+        """CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx""",
+        """CAST(m AS DOUBLE) * CAST(sxd AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) AS cxd""",
+        """CAST(m AS DOUBLE) * CAST(sdd AS DOUBLE)
+           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS cdd""")
+      .filter(expr("cdd * cxx - cxd * cxd > 0"))
+      .selectExpr(
+        "event_type",
+        "n_pairs",
+        "CAST(floor(cxd / cxx * 1000000 + 0.5) AS BIGINT) AS rho_e6",
+        """CAST(floor((cxd / cxx)
+             * sqrt((CAST(n_pairs AS DOUBLE) - 2.0) * cxx / (cdd - cxd * cxd / cxx))
+             * 1000000 + 0.5) AS BIGINT) AS t_stat_e6""")
+      .selectExpr(
+        "event_type", "n_pairs", "rho_e6", "t_stat_e6",
+        // Dickey-Fuller 5% critical value (constant, no trend): -2.86
+        "CAST(CASE WHEN t_stat_e6 < -2860000 THEN 1 ELSE 0 END AS BIGINT) AS unit_root_rejected")
+  }
+
+  /** #458 Partial autocorrelation function, lags 1–3, per daily-cents
+    * series (Durbin–Levinson recursion on the sample ACF): the
+    * AR-order identification tool — #202 gives r₁, #433 FITS an
+    * AR(2); the PACF is what says whether AR(1), AR(2) or AR(3) is
+    * the right order in the first place (φ_kk ≈ 0 beyond the true
+    * order). Box–Jenkins identification, distributed.
+    *
+    * One window pass materializes lead-1/2/3 columns on the bounded
+    * daily frame; one aggregate collects the exact integer lagged
+    * cross-products and per-lag marginal sums; the ACF values
+    * r_k = ĉ_k/ĉ_0 (full-series-mean convention, n-normalized) and
+    * the Durbin–Levinson chain are one fixed scalar double expression
+    * over those integers (#447 discipline). Calendar gaps: pairing is
+    * observation-successive (the #433 convention).
+    */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    dailyCents(spark, dir)
+      .withColumn("c1", lead("c", 1).over(w))
+      .withColumn("c2", lead("c", 2).over(w))
+      .withColumn("c3", lead("c", 3).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").as("sy"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("syy"),
+        sum(expr("CASE WHEN c1 IS NOT NULL THEN c ELSE 0 END")).as("h1"),
+        sum(expr("CASE WHEN c1 IS NOT NULL THEN c1 ELSE 0 END")).as("t1"),
+        sum(expr("CASE WHEN c1 IS NOT NULL THEN CAST(c AS DECIMAL(38,0)) * c1 ELSE 0 END"))
+          .as("p1"),
+        count("c1").as("m1"),
+        sum(expr("CASE WHEN c2 IS NOT NULL THEN c ELSE 0 END")).as("h2"),
+        sum(expr("CASE WHEN c2 IS NOT NULL THEN c2 ELSE 0 END")).as("t2"),
+        sum(expr("CASE WHEN c2 IS NOT NULL THEN CAST(c AS DECIMAL(38,0)) * c2 ELSE 0 END"))
+          .as("p2"),
+        count("c2").as("m2"),
+        sum(expr("CASE WHEN c3 IS NOT NULL THEN c ELSE 0 END")).as("h3"),
+        sum(expr("CASE WHEN c3 IS NOT NULL THEN c3 ELSE 0 END")).as("t3"),
+        sum(expr("CASE WHEN c3 IS NOT NULL THEN CAST(c AS DECIMAL(38,0)) * c3 ELSE 0 END"))
+          .as("p3"),
+        count("c3").as("m3"))
+      .filter(expr(
+        "n >= 12 AND CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy > 0"))
+      .selectExpr(
+        "event_type",
+        "n AS n_days",
+        """CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c0""",
+        """(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p1 AS DOUBLE)
+           - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) * (CAST(h1 AS DOUBLE) + CAST(t1 AS DOUBLE))
+           + CAST(m1 AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c1n""",
+        """(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) * (CAST(h2 AS DOUBLE) + CAST(t2 AS DOUBLE))
+           + CAST(m2 AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c2n""",
+        """(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p3 AS DOUBLE)
+           - CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) * (CAST(h3 AS DOUBLE) + CAST(t3 AS DOUBLE))
+           + CAST(m3 AS DOUBLE) * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c3n""")
+      .selectExpr(
+        "event_type", "n_days",
+        "c1n / c0 AS r1", "c2n / c0 AS r2", "c3n / c0 AS r3")
+      .filter(expr("1.0 - r1 * r1 <> 0.0"))
+      .selectExpr(
+        "event_type", "n_days", "r1", "r2", "r3",
+        "(r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22")
+      .selectExpr(
+        "event_type", "n_days", "r1", "r2", "r3", "phi22",
+        "r1 * (1.0 - phi22) AS phi21")
+      .filter(expr("1.0 - phi21 * r1 - phi22 * r2 <> 0.0"))
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS r1_e6",
+        "CAST(floor(r2 * 1000000 + 0.5) AS BIGINT) AS r2_e6",
+        "CAST(floor(r3 * 1000000 + 0.5) AS BIGINT) AS r3_e6",
+        "CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS pacf1_e6",
+        "CAST(floor(phi22 * 1000000 + 0.5) AS BIGINT) AS pacf2_e6",
+        """CAST(floor((r3 - phi21 * r2 - phi22 * r1)
+             / (1.0 - phi21 * r1 - phi22 * r2) * 1000000 + 0.5) AS BIGINT) AS pacf3_e6""")
+  }
 }

@@ -257,6 +257,172 @@ class StatsBSpec extends SparkSpec {
       s"G $gTotal vs chi2 $chi2 diverge > 10%")
   }
 
+  /** Daily cents per event type, the shared series under the r13
+    * time-series diagnostics — independent Scala fold from raw events.
+    */
+  private def dailySeries(): Map[String, Vector[(Long, Long)]] = {
+    val nsPerDay = 86400L * 1000000000L
+    graft.Tables
+      .events(spark, sf)
+      .selectExpr(
+        "event_type",
+        s"ts div ${nsPerDay}L AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, xs) =>
+        t -> xs
+          .groupBy(_._2)
+          .map { case (d, ys) => (d, ys.map(_._3).sum) }
+          .toVector
+          .sortBy(_._1)
+      }
+  }
+
+  test("jarque-bera: exact power-sum replay; near-zero JB on a synthetic normal check") {
+    val got = AnalyticsExt
+      .jarqueBera(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    dailySeries().foreach { case (t, series) =>
+      val cs = series.map(_._2)
+      val n = cs.length.toLong
+      val s1 = cs.map(BigInt(_)).sum
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      if (n >= 8 && BigInt(n) * s2 - s1 * s1 > 0) {
+        val s3 = cs.map(c => BigInt(c) * c * c).sum
+        val s4 = cs.map(c => BigInt(c) * c * c * c).sum
+        val m1 = s1.toDouble / n; val r2 = s2.toDouble / n
+        val r3 = s3.toDouble / n; val r4 = s4.toDouble / n
+        val m2 = r2 - m1 * m1
+        val m3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+        val m4 = r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1
+        val skew = m3 / math.sqrt(m2 * m2 * m2)
+        val kurt = m4 / (m2 * m2)
+        val jb = (n.toDouble / 6.0) * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        val (gn, gs, gk, gj, rej) = got(t)
+        assert(gn == n, t)
+        assert(gs == math.floor(skew * 1e6 + 0.5).toLong, t)
+        assert(gk == math.floor(kurt * 1e6 + 0.5).toLong, t)
+        assert(gj == math.floor(jb * 1e6 + 0.5).toLong, t)
+        assert(rej == (if (gj > 5991465) 1L else 0L), t)
+      } else assert(!got.contains(t), t)
+    }
+  }
+
+  test("durbin-watson: closed form equals the explicit-residual statistic") {
+    val got = AnalyticsExt
+      .durbinWatson(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    dailySeries().foreach { case (t, series) =>
+      val n = series.length
+      if (got.contains(t)) {
+        // explicit residuals from the same OLS fit
+        val sd = series.map(p => BigInt(p._1)).sum
+        val sy = series.map(p => BigInt(p._2)).sum
+        val sdd = series.map(p => BigInt(p._1) * p._1).sum
+        val sdy = series.map(p => BigInt(p._1) * p._2).sum
+        val b = (BigInt(n) * sdy - sd * sy).toDouble / (BigInt(n) * sdd - sd * sd).toDouble
+        val a = (sy.toDouble - b * sd.toDouble) / n
+        val e = series.map { case (d, c) => c - a - b * d }
+        val num = e.sliding(2).map { w => val x = w(1) - w(0); x * x }.sum
+        val den = e.map(x => x * x).sum
+        val dwExplicit = num / den
+        val (gn, dwE6, rhoE6, flag) = got(t)
+        assert(gn == n.toLong, t)
+        // the operator's power-sum form and this residual form are
+        // algebraically equal; doubles may differ in the last ulps
+        assert(math.abs(dwE6 / 1e6 - dwExplicit) < 1e-4, s"$t: $dwE6 vs $dwExplicit")
+        assert(rhoE6 == 1000000L - dwE6 / 2, t)
+        assert(flag == (if (dwE6 < 1500000L) 1L else 0L), t)
+      } else assert(n < 8, t)
+    }
+  }
+
+  test("adf: centered-sum replay; t negative when the series mean-reverts") {
+    val got = AnalyticsExt
+      .adfTest(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    dailySeries().foreach { case (t, series) =>
+      val pairs = series.map(_._2).sliding(2).collect { case Vector(x0, x1) => (x0, x1 - x0) }.toVector
+      val m = pairs.length
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sdl = pairs.map(p => BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val sxd = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sdd = pairs.map(p => BigInt(p._2) * p._2).sum
+      if (m >= 10 && BigInt(m) * sxx - sx * sx > 0) {
+        val cxx = m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val cxd = m.toDouble * sxd.toDouble - sx.toDouble * sdl.toDouble
+        val cdd = m.toDouble * sdd.toDouble - sdl.toDouble * sdl.toDouble
+        if (cdd * cxx - cxd * cxd > 0) {
+          val rho = cxd / cxx
+          val tStat = rho * math.sqrt((m - 2.0) * cxx / (cdd - cxd * cxd / cxx))
+          val (gm, gr, gt, rej) = got(t)
+          assert(gm == m.toLong, t)
+          assert(gr == math.floor(rho * 1e6 + 0.5).toLong, t)
+          assert(gt == math.floor(tStat * 1e6 + 0.5).toLong, t)
+          assert(rej == (if (gt < -2860000L) 1L else 0L), t)
+          // daily spend around a stable level mean-reverts: rho < 0
+          assert(gr < 0, s"$t rho should be negative on level-stationary cents")
+        }
+      } else assert(!got.contains(t), t)
+    }
+  }
+
+  test("pacf: Durbin-Levinson replay; pacf1 == r1 by construction") {
+    val got = AnalyticsExt
+      .pacf(spark, sf)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getLong(7)))
+      .toMap
+    dailySeries().foreach { case (t, series) =>
+      val cs = series.map(_._2)
+      val n = cs.length
+      val sy = cs.map(BigInt(_)).sum
+      val syy = cs.map(c => BigInt(c) * c).sum
+      if (n >= 12 && BigInt(n) * syy - sy * sy > 0) {
+        def ckn(k: Int): Double = {
+          val head = cs.dropRight(k); val tail = cs.drop(k)
+          val p = head.zip(tail).map { case (x, y) => BigInt(x) * y }.sum
+          val h = head.map(BigInt(_)).sum; val tl = tail.map(BigInt(_)).sum
+          val m = (n - k).toDouble
+          n.toDouble * n.toDouble * p.toDouble -
+            n.toDouble * sy.toDouble * (h.toDouble + tl.toDouble) +
+            m * sy.toDouble * sy.toDouble
+        }
+        val c0 = n.toDouble * n.toDouble * syy.toDouble - n.toDouble * sy.toDouble * sy.toDouble
+        val (r1, r2, r3) = (ckn(1) / c0, ckn(2) / c0, ckn(3) / c0)
+        if (1.0 - r1 * r1 != 0.0) {
+          val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+          val phi21 = r1 * (1.0 - phi22)
+          if (1.0 - phi21 * r1 - phi22 * r2 != 0.0) {
+            val phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1.0 - phi21 * r1 - phi22 * r2)
+            val (gn, gr1, gr2, gr3, p1, p2, p3) = got(t)
+            assert(gn == n.toLong, t)
+            // replay multiplies the same exact integers in a different
+            // association order; allow one ulp on the e6 grid
+            assert(math.abs(gr1 - math.floor(r1 * 1e6 + 0.5).toLong) <= 1, t)
+            assert(math.abs(gr2 - math.floor(r2 * 1e6 + 0.5).toLong) <= 1, t)
+            assert(math.abs(gr3 - math.floor(r3 * 1e6 + 0.5).toLong) <= 1, t)
+            assert(p1 == gr1, s"$t pacf1 must equal r1")
+            assert(math.abs(p2 - math.floor(phi22 * 1e6 + 0.5).toLong) <= 1, t)
+            assert(math.abs(p3 - math.floor(phi33 * 1e6 + 0.5).toLong) <= 1, t)
+          }
+        }
+      } else assert(!got.contains(t), t)
+    }
+  }
+
   test("capture-recapture: Chapman replay; estimate brackets the true distinct count") {
     val row = AnalyticsExt.captureRecapture(spark, sf).collect().head
     val docs = graft.Tables
