@@ -761,6 +761,14 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_adf_test" -> ((s: SparkSession, d: String) => AnalyticsExt.adfTest(s, d)),
     // Partial autocorrelation lags 1-3, Durbin-Levinson (§2 #458)
     "q_pacf" -> ((s: SparkSession, d: String) => AnalyticsExt.pacf(s, d)),
+    // Empirical-Bayes pseudo-count rate shrinkage, top movers (§2 #459)
+    "q_eb_shrinkage" -> ((s: SparkSession, d: String) => AnalyticsExt.ebShrinkage(s, d)),
+    // Restricted mean survival time over the KM curve (§2 #460)
+    "q_rmst" -> ((s: SparkSession, d: String) => AnalyticsExt.rmst(s, d)),
+    // Good-Turing frequency spectrum + unseen mass (§2 #461)
+    "text_good_turing" -> (TextStats.goodTuring _),
+    // Log-log OLS price elasticity per brand (§2 #462)
+    "q_price_elasticity" -> ((s: SparkSession, d: String) => AnalyticsExt.priceElasticity(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

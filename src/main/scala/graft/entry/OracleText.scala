@@ -1047,6 +1047,30 @@ private[graft] trait OracleText { this: SparkEntryOracleHelpers =>
          SELECT word, r AS tr_e8,
            CAST(row_number() OVER (ORDER BY r DESC, word) AS BIGINT) AS rank
          FROM r2 QUALIFY rank <= 20""",
+    "text_good_turing" ->
+      // count-of-counts spectrum; r* and P0 as integer divs
+      """WITH t AS (
+           SELECT regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         tf AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS term FROM t),
+         tc AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM tf GROUP BY 1),
+         sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab FROM tc),
+         n1 AS (SELECT CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+                  AS nr1 FROM sp),
+         j AS (
+           SELECT a.r AS r, a.n_r AS n_r, COALESCE(b.n_r, 0) AS n_next,
+             n_tokens, vocab, nr1
+           FROM sp a LEFT JOIN sp b ON b.r = a.r + 1, tot, n1
+           WHERE a.r <= 10)
+         SELECT r, n_r, n_next, n_tokens, vocab,
+           (r + 1) * n_next * 1000000 // n_r AS r_star_e6,
+           (r + 1) * n_next * 1000000000 // (n_r * n_tokens) AS p_r_e9,
+           nr1 * 1000000 // n_tokens AS p0_e6
+         FROM j""",
     "text_heaps" ->
       // FLAT global doc-rank replay of the hierarchical build; the
       // doubling checkpoints derive from the corpus count

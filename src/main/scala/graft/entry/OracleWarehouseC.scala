@@ -192,6 +192,96 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            JOIN rowm USING (o_orderstatus)
            JOIN colm USING (o_orderpriority), tot)
          SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
+    "q_eb_shrinkage" ->
+      // pseudo-count posterior mean, K=20; top-50 movers, custkey tiebreak
+      """WITH per AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
+           FROM orders GROUP BY 1),
+         g AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot_n,
+                 CAST(sum(n_complete) AS BIGINT) AS tot_c FROM per),
+         s AS (
+           SELECT o_custkey, n_orders, n_complete,
+             n_complete * 1000000 // n_orders AS raw_e6,
+             (n_complete * tot_n + 20 * tot_c) * 1000000
+               // (tot_n * (n_orders + 20)) AS shrunk_e6
+           FROM per, g)
+         SELECT o_custkey, n_orders, n_complete, raw_e6, shrunk_e6,
+           shrunk_e6 - raw_e6 AS delta_e6
+         FROM s ORDER BY abs(shrunk_e6 - raw_e6) DESC, o_custkey LIMIT 50""",
+    "q_rmst" ->
+      // #234's recursive-CTE KM trajectory + an all-integer clipped
+      // step integral at tau = 6/12/24 months
+      s"""WITH bycust AS (
+           SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0,
+             max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m1
+           FROM orders GROUP BY o_custkey),
+         mm AS (SELECT max(m1) AS mmax FROM bycust),
+         lifes AS (
+           SELECT CAST(m1 - m0 AS BIGINT) AS t,
+             CASE WHEN m1 < mmax - $KmCensorMonths THEN 1 ELSE 0 END AS death
+           FROM bycust, mm),
+         byt AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(death) AS BIGINT) AS d
+                 FROM lifes GROUP BY t),
+         risk AS (
+           SELECT t, d,
+             CAST(sum(cnt) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+           FROM byt),
+         km AS (
+           WITH RECURSIVE rec(i, t, n, d, surv) AS (
+             SELECT i, t, n, d, CAST(1000000 * (n - d) // n AS BIGINT)
+             FROM risk WHERE i = 1
+             UNION ALL
+             SELECT s.i, s.t, s.n, s.d, CAST(k.surv * (s.n - s.d) // s.n AS BIGINT)
+             FROM risk s JOIN rec k ON s.i = k.i + 1)
+           SELECT * FROM rec),
+         steps AS (
+           SELECT t, surv AS surv_e6, lead(t) OVER (ORDER BY t) AS t_next FROM km),
+         taus AS (SELECT CAST(unnest([6, 12, 24]) AS BIGINT) AS tau),
+         body AS (
+           SELECT tau,
+             CAST(sum(surv_e6 * (least(coalesce(t_next, tau), tau) - least(t, tau)))
+               AS BIGINT) AS body
+           FROM steps, taus GROUP BY tau),
+         hd AS (SELECT tau, 1000000 * least((SELECT min(t) FROM km), tau) AS head FROM taus)
+         SELECT hd.tau AS tau_months,
+           CAST(head + body AS BIGINT) AS rmst_e6_months,
+           CAST((head + body) // hd.tau AS BIGINT) AS mean_frac_e6
+         FROM hd JOIN body ON body.tau = hd.tau""",
+    "q_price_elasticity" ->
+      // monthly (Q, P) on exact cents grids; ln -> e9 integers so the
+      // OLS sums are exact; slope = one fixed double expression
+      """WITH monthly AS (
+           SELECT p_brand,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m,
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS se
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           GROUP BY 1, 2),
+         lns AS (
+           SELECT p_brand,
+             CAST(floor(ln(CAST(sq AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS lq,
+             CAST(floor(ln(CAST(se AS DOUBLE) / CAST(sq AS DOUBLE)) * 1000000000 + 0.5)
+               AS BIGINT) AS lp
+           FROM monthly WHERE sq > 0 AND se > 0),
+         agg AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(lp) AS BIGINT) AS sp, CAST(sum(lq) AS BIGINT) AS sq2,
+             sum(CAST(lp AS HUGEINT) * lq) AS spq,
+             sum(CAST(lp AS HUGEINT) * lp) AS spp
+           FROM lns GROUP BY 1),
+         f AS (SELECT * FROM agg
+           WHERE n_months >= 12 AND CAST(n_months AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp > 0)
+         SELECT p_brand, n_months,
+           CAST(floor((CAST(n_months AS DOUBLE) * CAST(spq AS DOUBLE)
+               - CAST(sp AS DOUBLE) * CAST(sq2 AS DOUBLE))
+             / (CAST(n_months AS DOUBLE) * CAST(spp AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS elasticity_e6
+         FROM f""",
     "q_jarque_bera" ->
       // exact HUGEINT power sums; one fixed scalar double chain (the
       // Spark side's selectExpr tree copied verbatim)

@@ -606,6 +606,137 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
       .agg(sum("cents").as("c"))
   }
 
+  /** #459 Empirical-Bayes rate shrinkage (pseudo-count smoothing
+    * toward the corpus rate, the Beta-prior posterior mean with fixed
+    * prior strength K): per-customer order-completion rate
+    * (x_i + K·ḡ)/(n_i + K) — the estimator every per-entity rate
+    * table needs before ranking entities with tiny n (a 1/1 customer
+    * must not outrank a 95/100 one), and the model-based fix for what
+    * #278's leave-one-out encoding applies to features. Reported as
+    * the top-N movers |shrunk − raw| — exactly the entities whose raw
+    * rate was most misleading.
+    *
+    * Exact: shrunk = (x_i·N + K·R)·10⁶ div (N·(n_i+K)) with
+    * (N, R) the global totals — one integer expression per customer
+    * (x·N ≲ 10⁹ at sf1 — BIGINT-safe through sf100). One groupBy +
+    * one broadcast global scalar + TakeOrdered(N) — no windows, no
+    * second shuffle.
+    */
+  def ebShrinkage(spark: SparkSession, dir: String, k: Int = 20, topN: Int = 50): DataFrame = {
+    val per = Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")).as("n_complete"))
+    val g = per.agg(sum("n_orders").as("tot_n"), sum("n_complete").as("tot_c"))
+    per
+      .crossJoin(broadcast(g))
+      .select(
+        col("o_custkey"),
+        col("n_orders"),
+        col("n_complete"),
+        expr("n_complete * 1000000 div n_orders").as("raw_e6"),
+        expr(s"(n_complete * tot_n + $k * tot_c) * 1000000 div (tot_n * (n_orders + $k))")
+          .as("shrunk_e6"))
+      .withColumn("delta_e6", col("shrunk_e6") - col("raw_e6"))
+      .orderBy(abs(col("delta_e6")).desc, col("o_custkey"))
+      .limit(topN)
+  }
+
+  /** #460 Restricted mean survival time (RMST, Royston & Parmar 2013's
+    * recommended KM summary): ∫₀^τ S(t)dt over #234's Kaplan–Meier
+    * curve at τ = 6/12/24 months — "expected customer lifetime within
+    * the first τ months", the clinically-standard scalar when median
+    * survival is undefined (here S stays above ½) and the number a
+    * retention team can price. mean_frac_e6 = RMST/τ is average
+    * survival over the horizon.
+    *
+    * Exact: the KM fold already lives on the e6 integer grid, so the
+    * step-function integral Σ S(t_i)·(segment widths clipped to τ)
+    * is ALL-integer — no doubles anywhere. One lead window over the
+    * ≤ #calendar-months step table (the #234 boundedness argument)
+    * and a 3-row τ explode.
+    */
+  def rmst(spark: SparkSession, dir: String): DataFrame = {
+    val km = kaplanMeier(spark, dir).select(col("t"), col("surv_e6"))
+    val steps = km.withColumn("t_next", lead("t", 1).over(Window.orderBy("t")))
+    val taus = steps.sparkSession
+      .range(1)
+      .select(explode(array(lit(6L), lit(12L), lit(24L))).as("tau"))
+    val body = steps
+      .crossJoin(broadcast(taus))
+      .select(
+        col("tau"),
+        expr("surv_e6 * (least(coalesce(t_next, tau), tau) - least(t, tau))").as("seg"))
+      .groupBy("tau")
+      .agg(sum("seg").as("body"))
+    val head = km
+      .agg(min("t").as("t_first"))
+      .crossJoin(broadcast(taus))
+      .select(col("tau"), expr("1000000 * least(t_first, tau)").as("head"))
+    head
+      .join(body, "tau")
+      .select(
+        col("tau").as("tau_months"),
+        (col("head") + col("body")).as("rmst_e6_months"),
+        expr("(head + body) div tau").as("mean_frac_e6"))
+  }
+
+  /** #462 Price elasticity of demand (log-log OLS per part brand:
+    * ln Q_m = α + ε·ln P_m over ship months, ε the elasticity): the
+    * pricing-team read of the catalog — which brands' volumes move
+    * with price and which are inelastic. Monthly Q = Σ quantity
+    * (exact cents grid), P = the month's average unit price
+    * (Σ extended / Σ qty, a ratio of exact integers).
+    *
+    * Float-identity at OLS scale: ln of an exact integer (or of a
+    * ratio of two exact integers) is ONE deterministic double per
+    * month, immediately rounded onto the e9 integer grid — so the
+    * OLS power sums are exact integer arithmetic (DECIMAL(38,0) ↔
+    * HUGEINT) and the slope is one fixed double expression (#447
+    * discipline). Brand dim broadcast into the fact scan; months
+    * frame is bounded (brands × months).
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").cast("long").as("m"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("qc"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("ec"))
+      .groupBy("p_brand", "m")
+      .agg(sum("qc").as("sq"), sum("ec").as("se"))
+      .filter(col("sq") > 0 && col("se") > 0)
+      .select(
+        col("p_brand"),
+        expr("CAST(floor(ln(CAST(sq AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)").as("lq"),
+        expr("CAST(floor(ln(CAST(se AS DOUBLE) / CAST(sq AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)")
+          .as("lp"))
+    monthly
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum("lp").as("sp"),
+        sum("lq").as("sq2"),
+        sum(expr("CAST(lp AS DECIMAL(38,0)) * lq")).as("spq"),
+        sum(expr("CAST(lp AS DECIMAL(38,0)) * lp")).as("spp"))
+      .filter(expr(
+        "n_months >= 12 AND CAST(n_months AS DECIMAL(38,0)) * spp - CAST(sp AS DECIMAL(38,0)) * sp > 0"))
+      .selectExpr(
+        "p_brand",
+        "n_months",
+        """CAST(floor((CAST(n_months AS DOUBLE) * CAST(spq AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sq2 AS DOUBLE))
+             / (CAST(n_months AS DOUBLE) * CAST(spp AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS elasticity_e6""")
+  }
+
   /** #455 Jarque–Bera normality test per daily-cents series (Jarque &
     * Bera 1980): JB = n/6·(g₁² + (g₂−3)²/4) from the sample skewness
     * g₁ = m₃/m₂^1.5 and kurtosis g₂ = m₄/m₂² — the standard

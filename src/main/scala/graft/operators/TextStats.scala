@@ -1387,4 +1387,66 @@ object TextStats {
         col("n_distinct_chars"),
         expr("tsum div n_chars").as("h_bits_e6"))
   }
+
+  /** #461 Good–Turing frequency spectrum (Good 1953): count-of-counts
+    * N_r over the term-frequency table and the adjusted counts
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..10, plus the unseen-mass
+    * estimate P₀ = N₁/N — the smoothing calibration every n-gram
+    * language model (and #272's Heaps read) starts from: how much
+    * probability mass belongs to words the corpus has NEVER seen, and
+    * how sharply singleton counts must be discounted. Bench-corpus
+    * read: r* < r at the head of the spectrum = the Zipf tail is
+    * still growing (consistent with #272).
+    *
+    * All-integer: the spectrum is two counting aggregates (term →
+    * freq → count-of-counts); the adjusted counts, the per-count GT
+    * probability p_r = rstar/N and P₀ are integer `div`s on the
+    * e6/e9 grids. The spectrum self-join (r ↔ r+1) touches ≤ max-freq
+    * rows.
+    */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    // over BIGRAM counts (#49's construction verbatim): the unigram
+    // vocabulary here is closed (min term freq ≫ 10, no tail), while
+    // the bigram table has the genuine N₁/N₂ head GT exists to smooth
+    // — exactly the LM-training situation
+    val t = col("tok")
+    val termFreq = Tables
+      .documents(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .select(
+        explode(
+          when(size(t) < 2, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(t) - 1),
+                i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("r"))
+    val spectrum = termFreq.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val totals = termFreq.agg(sum("r").as("n_tokens"), count(lit(1)).as("vocab"))
+    val n1 = spectrum
+      .agg(coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L)).as("nr1"))
+    spectrum
+      .alias("a")
+      .join(spectrum.alias("b"), col("b.r") === col("a.r") + 1, "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(n1))
+      .filter(col("a.r") <= 10)
+      .select(
+        col("a.r").as("r"),
+        col("a.n_r").as("n_r"),
+        coalesce(col("b.n_r"), lit(0L)).as("n_next"),
+        col("n_tokens"),
+        col("vocab"),
+        col("nr1"))
+      .select(
+        col("r"),
+        col("n_r"),
+        col("n_next"),
+        col("n_tokens"),
+        col("vocab"),
+        expr("(r + 1) * n_next * 1000000 div n_r").as("r_star_e6"),
+        expr("(r + 1) * n_next * 1000000000 div (n_r * n_tokens)").as("p_r_e9"),
+        expr("nr1 * 1000000 div n_tokens").as("p0_e6"))
+  }
 }

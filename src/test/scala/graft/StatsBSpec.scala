@@ -496,4 +496,128 @@ class StatsBSpec extends SparkSpec {
     // the fitted AR(2) must beat last-value persistence in-sample
     assert(ratio < 1000000)
   }
+
+  test("eb shrinkage: exact replay; shrunk rate sits between raw and global") {
+    val got = AnalyticsExt.ebShrinkage(spark, sf).collect()
+    assert(got.length == 50)
+    val per = graft.Tables
+      .orders(spark, sf)
+      .selectExpr("o_custkey", "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+      .groupBy(_._1)
+      .map { case (c, xs) => (c, xs.length.toLong, xs.map(_._2).sum) }
+      .toVector
+    val totN = per.map(_._2).sum
+    val totC = per.map(_._3).sum
+    val all = per.map { case (c, n, x) =>
+      val raw = x * 1000000L / n
+      val shrunk = (x * totN + 20L * totC) * 1000000L / (totN * (n + 20L))
+      (c, n, x, raw, shrunk, shrunk - raw)
+    }
+    val top = all.sortBy { case (c, _, _, _, _, d) => (-math.abs(d), c) }.take(50)
+    val gotSorted = got
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy { case (c, _, _, _, _, d) => (-math.abs(d), c) }
+    assert(gotSorted.toVector == top)
+    val g = totC.toDouble / totN
+    top.foreach { case (c, n, x, raw, shrunk, _) =>
+      val lo = math.min(raw / 1e6, g) - 1e-6
+      val hi = math.max(raw / 1e6, g) + 1e-6
+      assert(shrunk / 1e6 >= lo && shrunk / 1e6 <= hi, s"cust $c shrunk outside [raw, global]")
+    }
+  }
+
+  test("rmst: independent KM fold + clipped integral; monotone in tau") {
+    val byCust = graft.Tables
+      .orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .toVector
+      .map { case (_, xs) => (xs.map(_._2).min, xs.map(_._2).max) }
+    val mmax = byCust.map(_._2).max
+    val lifes = byCust.map { case (m0, m1) => (m1 - m0, if (m1 < mmax - 2) 1L else 0L) }
+    val byT = lifes
+      .groupBy(_._1)
+      .map { case (t, xs) => (t, xs.length.toLong, xs.map(_._2).sum) }
+      .toVector
+      .sortBy(_._1)
+    // at-risk suffix counts + integer survival fold
+    val steps = {
+      var surv = 1000000L
+      val suffix = byT.scanRight(0L) { case ((_, cnt, _), acc) => cnt + acc }.init
+      byT.zip(suffix).map { case ((t, _, d), n) =>
+        surv = surv * (n - d) / n
+        (t, surv)
+      }
+    }
+    def rmstAt(tau: Long): Long = {
+      val tFirst = steps.head._1
+      var acc = 1000000L * math.min(tFirst, tau)
+      steps.zipWithIndex.foreach { case ((t, s), i) =>
+        val tNext = if (i + 1 < steps.length) steps(i + 1)._1 else tau
+        acc += s * (math.min(tNext, tau) - math.min(t, tau))
+      }
+      acc
+    }
+    val got = AnalyticsExt
+      .rmst(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Seq(6L, 12L, 24L).foreach { tau =>
+      val want = rmstAt(tau)
+      val (g, frac) = got(tau)
+      assert(g == want, s"tau $tau: $g vs $want")
+      assert(frac == g / tau, s"tau $tau frac")
+      assert(g <= 1000000L * tau, s"tau $tau: rmst cannot exceed tau")
+    }
+    assert(got(6L)._1 <= got(12L)._1 && got(12L)._1 <= got(24L)._1)
+    assert(got(6L)._2 >= got(12L)._2 && got(12L)._2 >= got(24L)._2)
+  }
+
+  test("price elasticity: e9-ln OLS replay per brand") {
+    val li = graft.Tables
+      .lineitem(spark, sf)
+      .join(
+        graft.Tables.part(spark, sf).select("p_partkey", "p_brand"),
+        org.apache.spark.sql.functions.expr("l_partkey = p_partkey"))
+      .selectExpr(
+        "p_brand",
+        "CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m",
+        "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ec")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = AnalyticsExt
+      .priceElasticity(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    li.groupBy(_._1).foreach { case (brand, xs) =>
+      val monthly = xs
+        .groupBy(_._2)
+        .toVector
+        .map { case (_, ys) => (ys.map(_._3).sum, ys.map(_._4).sum) }
+        .filter { case (sq, se) => sq > 0 && se > 0 }
+      val lns = monthly.map { case (sq, se) =>
+        (math.floor(math.log(se.toDouble / sq.toDouble) * 1e9 + 0.5).toLong,
+          math.floor(math.log(sq.toDouble) * 1e9 + 0.5).toLong)
+      }
+      val m = lns.length
+      val sp = lns.map(p => BigInt(p._1)).sum
+      val sq2 = lns.map(p => BigInt(p._2)).sum
+      val spq = lns.map(p => BigInt(p._1) * p._2).sum
+      val spp = lns.map(p => BigInt(p._1) * p._1).sum
+      if (m >= 12 && BigInt(m) * spp - sp * sp > 0) {
+        val el = (m.toDouble * spq.toDouble - sp.toDouble * sq2.toDouble) /
+          (m.toDouble * spp.toDouble - sp.toDouble * sp.toDouble)
+        val (gm, ge) = got(brand)
+        assert(gm == m.toLong, brand)
+        assert(ge == math.floor(el * 1e6 + 0.5).toLong, brand)
+      } else assert(!got.contains(brand), brand)
+    }
+  }
 }

@@ -855,4 +855,45 @@ class TextStatsSpec extends SparkSpec {
     assert(got == want, "msttr replay mismatch")
     got.values.foreach { case (_, _, m) => assert(m > 0 && m <= 1000000L) }
   }
+
+  test("good-turing: bigram spectrum replay; adjusted counts and unseen mass exact") {
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val counts = Tables
+      .documents(spark, sf)
+      .select("text")
+      .collect()
+      .flatMap { r =>
+        val tk = norm(r.getString(0)).split(" ", -1).toSeq
+        if (tk.size < 2) Seq.empty[String]
+        else tk.zip(tk.tail).map { case (a, b) => s"$a $b" }
+      }
+      .groupBy(identity)
+      .map { case (_, xs) => xs.length.toLong }
+      .toVector
+    val spectrum = counts.groupBy(identity).map { case (r, xs) => (r, xs.length.toLong) }
+    val nTokens = counts.sum
+    val vocab = counts.length.toLong
+    val nr1 = spectrum.getOrElse(1L, 0L)
+    val got = TextStats
+      .goodTuring(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getLong(7)))
+      .toMap
+    assert(got.nonEmpty, "bigram spectrum head must be non-empty")
+    spectrum.filter(_._1 <= 10).foreach { case (r, nR) =>
+      val nNext = spectrum.getOrElse(r + 1, 0L)
+      val (gNr, gNext, gTok, gVocab, rStar, pR, p0) = got(r)
+      assert(gNr == nR && gNext == nNext, s"r=$r")
+      assert(gTok == nTokens && gVocab == vocab, s"r=$r totals")
+      assert(rStar == (r + 1) * nNext * 1000000L / nR, s"r=$r r*")
+      assert(pR == (r + 1) * nNext * 1000000000L / (nR * nTokens), s"r=$r p_r")
+      assert(p0 == nr1 * 1000000L / nTokens, s"r=$r p0")
+    }
+    assert(got.keySet == spectrum.keySet.filter(_ <= 10), "spectrum head rows")
+    // mass conservation across the FULL spectrum: sum r*N_r = N
+    assert(spectrum.map { case (r, nR) => r * nR }.sum == nTokens)
+  }
 }
