@@ -769,6 +769,14 @@ object SparkEntry extends SparkEntryOracleHelpers
     "text_good_turing" -> (TextStats.goodTuring _),
     // Log-log OLS price elasticity per brand (§2 #462)
     "q_price_elasticity" -> ((s: SparkSession, d: String) => AnalyticsExt.priceElasticity(s, d)),
+    // Gumbel block-maxima fit + return levels (§2 #463)
+    "q_gumbel" -> ((s: SparkSession, d: String) => AnalyticsExt.gumbelFit(s, d)),
+    // Transition handoff waiting-time profile (§2 #464)
+    "q_handoff" -> ((s: SparkSession, d: String) => AnalyticsExt.handoffTimes(s, d)),
+    // Aspect-ratio bucketing plan for image batches (§2 #465)
+    "mm_aspect_bucket" -> ((s: SparkSession, d: String) => Multimodal.aspectBucket(s, d)),
+    // Landmark-BFS reach profile / diameter lower bound (§2 #466)
+    "q_graph_diameter" -> ((s: SparkSession, d: String) => AnalyticsExt.landmarkBfs(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

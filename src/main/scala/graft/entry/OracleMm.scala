@@ -114,6 +114,38 @@ private[graft] trait OracleMm { this: SparkEntryOracleHelpers =>
              AS savings_e6,
            CAST(total_bytes * 100 // total_chunks AS BIGINT) AS avg_chunk_bytes_e2
          FROM tot, uq""",
+    "mm_aspect_bucket" ->
+      // deterministic fake dims from doc_id; winner = list_min over
+      // the encoded (ae6*16+idx) bucket array, ties -> lower aspect
+      """WITH img AS (
+           SELECT doc_id,
+             256 + (doc_id * 7919) % 1281 AS w,
+             256 + (doc_id * 104729) % 1281 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         a AS (SELECT doc_id, w * 1000000 // h AS a_e6 FROM img),
+         win AS (
+           SELECT doc_id,
+             list_min(list_transform(
+               [6666656, 9142849, 10947362, 12444435, 16000004,
+                20571429, 23384614, 28000007, 38400008],
+               x -> abs(a_e6 - x // 16) * 16 + x % 16)) AS win
+           FROM a),
+         asg AS (SELECT doc_id, win % 16 AS bucket_idx, win // 16 AS absdiff_e6 FROM win),
+         g AS (SELECT bucket_idx, CAST(count(*) AS BIGINT) AS n_images,
+                 CAST(sum(absdiff_e6) AS BIGINT) AS sdiff
+               FROM asg GROUP BY 1)
+         SELECT CAST(bucket_idx AS BIGINT) AS bucket_idx,
+           CAST(CASE bucket_idx WHEN 0 THEN 640 WHEN 1 THEN 768 WHEN 2 THEN 832
+                WHEN 3 THEN 896 WHEN 4 THEN 1024 WHEN 5 THEN 1152 WHEN 6 THEN 1216
+                WHEN 7 THEN 1344 ELSE 1536 END AS BIGINT) AS bucket_w,
+           CAST(CASE bucket_idx WHEN 0 THEN 1536 WHEN 1 THEN 1344 WHEN 2 THEN 1216
+                WHEN 3 THEN 1152 WHEN 4 THEN 1024 WHEN 5 THEN 896 WHEN 6 THEN 832
+                WHEN 7 THEN 768 ELSE 640 END AS BIGINT) AS bucket_h,
+           n_images,
+           n_images // 32 AS n_full_batches,
+           n_images % 32 AS leftover,
+           sdiff // n_images AS mean_absdiff_e6
+         FROM g""",
     "mm_byte_entropy" ->
       // hex-pair byte explosion (case-insensitive by construction:
       // byte VALUES never reach the output, only their counts)

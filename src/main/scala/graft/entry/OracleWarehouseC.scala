@@ -192,6 +192,85 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            JOIN rowm USING (o_orderstatus)
            JOIN colm USING (o_orderpriority), tot)
          SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
+    "q_gumbel" ->
+      // 2-day block maxima; method-of-moments Gumbel; e2 grid
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         blocks AS (
+           SELECT event_type, day // 2 AS blk, CAST(max(c) AS BIGINT) AS m
+           FROM daily GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(m) AS BIGINT) AS s1,
+             sum(CAST(m AS HUGEINT) * m) AS s2
+           FROM blocks GROUP BY 1),
+         f AS (SELECT * FROM agg WHERE n_blocks >= 12
+           AND CAST(n_blocks AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0),
+         mv AS (
+           SELECT event_type, n_blocks,
+             CAST(s1 AS DOUBLE) / n_blocks AS mean,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_blocks)
+               / (n_blocks - 1) AS var
+           FROM f),
+         be AS (SELECT event_type, n_blocks, mean, sqrt(6.0 * var) / pi() AS beta FROM mv),
+         mu AS (SELECT event_type, n_blocks,
+                  mean - 0.5772156649015329 * beta AS mu, beta FROM be)
+         SELECT event_type, n_blocks,
+           CAST(floor(mu * 100 + 0.5) AS BIGINT) AS mu_e2,
+           CAST(floor(beta * 100 + 0.5) AS BIGINT) AS beta_e2,
+           CAST(floor((mu + beta * 2.441716398881459) * 100 + 0.5)
+             AS BIGINT) AS rl12_e2,
+           CAST(floor((mu + beta * 4.085952773003955) * 100 + 0.5)
+             AS BIGINT) AS rl60_e2
+         FROM mu""",
+    "q_handoff" ->
+      // per-user lead pairs on the (us, event_id) order; alphabet^2 agg
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+         led AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER w AS to_type,
+             lead(tus) OVER w - tus AS gap_us
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         trans AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans,
+             CAST(sum(gap_us) AS BIGINT) AS total_wait_us,
+             CAST(max(gap_us) AS BIGINT) AS max_gap_us
+           FROM led WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+                FROM trans GROUP BY 1)
+         SELECT trans.from_type, to_type, n_trans,
+           total_wait_us // n_trans AS mean_gap_us,
+           max_gap_us, total_wait_us,
+           (n_trans * 1000000) // n_from AS share_e6
+         FROM trans JOIN ft ON ft.from_type = trans.from_type""",
+    "q_graph_diameter" ->
+      // #166's edge build; BFS as a depth-capped recursive CTE with
+      // min-dist dedup; 4 lowest-id landmarks
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         e AS (SELECT pa AS src, pb AS dst FROM pr WHERE n >= 2
+               UNION ALL SELECT pb, pa FROM pr WHERE n >= 2),
+         lm AS (SELECT DISTINCT src AS node FROM e ORDER BY 1 LIMIT 4),
+         bfs AS (
+           WITH RECURSIVE rec(l, node, d) AS (
+             SELECT node, node, CAST(0 AS BIGINT) FROM lm
+             UNION
+             SELECT r.l, e.dst, r.d + 1 FROM rec r JOIN e ON e.src = r.node
+             WHERE r.d < 4)
+           SELECT l, node, CAST(min(d) AS BIGINT) AS d FROM rec GROUP BY 1, 2)
+         SELECT l AS landmark, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS within_1,
+           CAST(sum(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS within_2,
+           CAST(sum(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS within_3,
+           max(d) AS ecc_capped
+         FROM bfs GROUP BY 1""",
     "q_eb_shrinkage" ->
       // pseudo-count posterior mean, K=20; top-50 movers, custkey tiebreak
       """WITH per AS (

@@ -606,6 +606,182 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
       .agg(sum("cents").as("c"))
   }
 
+  /** #463 Gumbel extreme-value fit on 30-day block maxima (Gumbel
+    * 1958; method-of-moments: β = s·√6/π, μ = x̄ − γ·β with γ the
+    * Euler–Mascheroni constant): per series, the return levels a
+    * capacity planner reads — "the daily spend we should see exceeded
+    * once a year (T=12 blocks) / once in five years (T=60)":
+    * x_T = μ − β·ln(−ln(1−1/T)). Block maxima, not raw days, is what
+    * makes the Fisher–Tippett limit apply; #331/#284 watch the mean,
+    * this prices the TAIL.
+    *
+    * Blocks are pure integer windows (day div 2 on this corpus's
+    * 30-day span; at production span the divisor widens — no calendar
+    * dependence); block maxima and their two power sums are exact
+    * integers; β/μ/return levels are one fixed scalar double chain
+    * (#447 discipline, `pi()` agreeing bit-for-bit in both engines)
+    * on the e2 (cent) grid. Two bounded aggregates.
+    */
+  def gumbelFit(spark: SparkSession, dir: String): DataFrame =
+    dailyCents(spark, dir)
+      .select(col("event_type"), expr("day div 2").as("blk"), col("c"))
+      .groupBy("event_type", "blk")
+      .agg(max("c").as("m"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum("m").as("s1"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("s2"))
+      .filter(expr(
+        "n_blocks >= 12 AND CAST(n_blocks AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0"))
+      .selectExpr(
+        "event_type",
+        "n_blocks",
+        "CAST(s1 AS DOUBLE) / n_blocks AS mean",
+        """(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_blocks)
+           / (n_blocks - 1) AS var""")
+      .selectExpr(
+        "event_type",
+        "n_blocks",
+        "mean",
+        "sqrt(6.0 * var) / pi() AS beta")
+      .selectExpr(
+        "event_type",
+        "n_blocks",
+        "mean - 0.5772156649015329 * beta AS mu",
+        "beta")
+      .selectExpr(
+        "event_type",
+        "n_blocks",
+        "CAST(floor(mu * 100 + 0.5) AS BIGINT) AS mu_e2",
+        "CAST(floor(beta * 100 + 0.5) AS BIGINT) AS beta_e2",
+        // Gumbel quantiles -ln(-ln(1-1/T)) as full-precision literals:
+        // engines' ln() may differ in the last ulp on folded constants
+        """CAST(floor((mu + beta * 2.441716398881459) * 100 + 0.5)
+           AS BIGINT) AS rl12_e2""",
+        """CAST(floor((mu + beta * 4.085952773003955) * 100 + 0.5)
+           AS BIGINT) AS rl60_e2""")
+
+  /** #464 Transition handoff / waiting-time profile (the PERFORMANCE
+    * view of #174's transition matrix — process mining's bottleneck
+    * table: per (from→to) event-type handoff, how LONG the handoff
+    * takes, not just how often it happens; #354 profiles within-type
+    * inter-arrivals, this profiles the cross-type edges): count, mean
+    * and max gap (µs), total wait, and the handoff's share of its
+    * from-type's outflow.
+    *
+    * All-integer: gaps are exact ns-long differences on the (ts,
+    * event_id)-ordered per-user timeline (the #174 ordering), reported
+    * div 1000 on the µs grid; one user-partitioned lead window + one
+    * alphabet²-bounded aggregate + the #174 broadcast margin join.
+    */
+  def handoffTimes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(
+        col("event_type").as("from_type"),
+        col("next_type").as("to_type"),
+        // per-VALUE µs truncation (ts div 1000 ↔ epoch_us), not a
+        // truncated ns difference — the oracle-parity convention
+        expr("next_ts div 1000 - ts div 1000").as("gap_us"))
+      .groupBy("from_type", "to_type")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum("gap_us").as("total_wait_us"),
+        max("gap_us").as("max_gap_us"))
+    val fromTotals = trans.groupBy("from_type").agg(sum("n_trans").as("n_from"))
+    trans
+      .join(broadcast(fromTotals), "from_type")
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n_trans"),
+        expr("total_wait_us div n_trans").as("mean_gap_us"),
+        col("max_gap_us"),
+        col("total_wait_us"),
+        expr("(n_trans * 1000000) div n_from").as("share_e6"))
+  }
+
+  /** #466 Landmark-BFS reach profile / diameter lower bound (the
+    * multi-source BFS primitive behind approximate-diameter and
+    * closeness sketches, Palmer et al. 2002 ANF-style): from the 4
+    * lowest-id vertices of the #166 co-purchase graph, run 4 rounds
+    * of breadth-first expansion and report each landmark's reach
+    * curve (vertices within d = 0..4) and capped eccentricity; the
+    * max observed distance is a certified diameter LOWER bound —
+    * small-world co-purchase graphs saturate fast, and the curve
+    * says exactly how fast.
+    *
+    * Distributed shape: the #166 edge build (distinct basket pairs,
+    * support ≥ 2, symmetrized), then per round one frontier⋈edges
+    * join, an anti-join against visited, and an eager lineage cut —
+    * frontier-bounded work, the same discipline as the components
+    * loop. The oracle replays BFS as a recursive CTE with min-dist
+    * dedup. Landmark count and rounds are constants, so the plan is a
+    * fixed 4-join chain regardless of corpus size.
+    */
+  def landmarkBfs(
+      spark: SparkSession,
+      dir: String,
+      nLandmarks: Int = 4,
+      rounds: Int = 4): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    import Lineage.CpOps
+    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = po
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .cache()
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .repartition(col("src"))
+      .cache()
+    val landmarks = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .orderBy("node")
+      .limit(nLandmarks)
+      .cp(eager = true)
+    var visited = landmarks.select(col("node").as("l"), col("node"), lit(0L).as("d"))
+    var frontier = visited
+    for (r <- 1 to rounds) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("l"), col("dst").as("node"), lit(r.toLong).as("d"))
+        .distinct()
+        .join(visited.select(col("l").as("vl"), col("node").as("vn")),
+          col("l") === col("vl") && col("node") === col("vn"), "left_anti")
+        .cp(eager = true)
+      visited = visited.unionAll(next).cp(eager = true)
+      frontier = next
+    }
+    val out = visited
+      .groupBy("l")
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(expr("CASE WHEN d <= 1 THEN 1 ELSE 0 END")).as("within_1"),
+        sum(expr("CASE WHEN d <= 2 THEN 1 ELSE 0 END")).as("within_2"),
+        sum(expr("CASE WHEN d <= 3 THEN 1 ELSE 0 END")).as("within_3"),
+        max("d").as("ecc_capped"))
+      .select(
+        col("l").as("landmark"),
+        col("n_reached"),
+        col("within_1"),
+        col("within_2"),
+        col("within_3"),
+        col("ecc_capped"))
+    (out, Seq(pairs, edges))
+  }
+
   /** #459 Empirical-Bayes rate shrinkage (pseudo-count smoothing
     * toward the corpus rate, the Beta-prior posterior mean with fixed
     * prior strength K): per-customer order-completion rate

@@ -484,4 +484,58 @@ object Multimodal {
         expr("CAST(tsum div n_bytes < 500000 AS BIGINT)").as("flag_degenerate"),
         expr("CAST(tsum div n_bytes > 7500000 AS BIGINT)").as("flag_high_entropy"))
   }
+
+  /** #465 Aspect-ratio bucketing (the SDXL/NovelAI training-batch
+    * discipline: variable-aspect images snap to the nearest of 9
+    * fixed-resolution buckets so every batch is shape-homogeneous —
+    * random crop to a square wastes pixels, per-image shapes break
+    * batching; this table IS the bucketing plan a 100 TB image lake
+    * trains from): per bucket, member count, full batches at 32, the
+    * stragglers, and the mean aspect distortion the snap cost.
+    *
+    * The decode being container-stubbed (#34), (w, h) are the
+    * DETERMINISTIC FAKE dimensions derived from doc_id — the bucket
+    * assignment, batch math and distortion accounting are the real
+    * Spark-side plumbing a real decoder would feed. Assignment is one
+    * integer array fold per row: the 9 buckets ride a constant array
+    * encoded ae6·16+idx, the winner is array_min of
+    * |a − ae6|·16 + idx (ties → lower-aspect bucket) — no explode, no
+    * window, one groupBy(bucket).
+    */
+  def aspectBucket(spark: SparkSession, dir: String): DataFrame = {
+    // 9 SDXL-style buckets, ae6 = w*1e6 div h, encoded ae6*16+idx
+    val encoded = "array(6666656L, 9142849L, 10947362L, 12444435L, 16000004L, " +
+      "20571429L, 23384614L, 28000007L, 38400008L)"
+    val assigned = manifest(spark, dir)
+      .filter(col("modality") === "image")
+      .select(
+        col("doc_id"),
+        expr("256 + (doc_id * 7919) % 1281").as("w"),
+        expr("256 + (doc_id * 104729) % 1281").as("h"))
+      .withColumn("a_e6", expr("w * 1000000 div h"))
+      .withColumn(
+        "win",
+        expr(s"array_min(transform($encoded, x -> abs(a_e6 - x div 16) * 16 + x % 16))"))
+      .select(
+        col("doc_id"),
+        expr("win % 16").as("bucket_idx"),
+        expr("win div 16").as("absdiff_e6"))
+    assigned
+      .groupBy("bucket_idx")
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum("absdiff_e6").as("sdiff"))
+      .select(
+        col("bucket_idx"),
+        expr("""CASE bucket_idx WHEN 0 THEN 640 WHEN 1 THEN 768 WHEN 2 THEN 832
+                WHEN 3 THEN 896 WHEN 4 THEN 1024 WHEN 5 THEN 1152 WHEN 6 THEN 1216
+                WHEN 7 THEN 1344 ELSE 1536 END""").cast("long").as("bucket_w"),
+        expr("""CASE bucket_idx WHEN 0 THEN 1536 WHEN 1 THEN 1344 WHEN 2 THEN 1216
+                WHEN 3 THEN 1152 WHEN 4 THEN 1024 WHEN 5 THEN 896 WHEN 6 THEN 832
+                WHEN 7 THEN 768 ELSE 640 END""").cast("long").as("bucket_h"),
+        col("n_images"),
+        expr("n_images div 32").as("n_full_batches"),
+        expr("n_images % 32").as("leftover"),
+        expr("sdiff div n_images").as("mean_absdiff_e6"))
+  }
 }

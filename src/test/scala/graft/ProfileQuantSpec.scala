@@ -471,4 +471,44 @@ class ProfileQuantSpec extends SparkSpec {
     val meanRecall = got.values.map(_._2).sum / got.size
     assert(meanRecall >= 700000L, s"int8 recall collapsed: $meanRecall")
   }
+
+  test("aspect bucketing: per-image assignment replay; batch math and mass conserved") {
+    val buckets = Vector(
+      (640L, 1536L), (768L, 1344L), (832L, 1216L), (896L, 1152L), (1024L, 1024L),
+      (1152L, 896L), (1216L, 832L), (1344L, 768L), (1536L, 640L))
+    val enc = buckets.map { case (w, h) => w * 1000000L / h }
+    val imgs = graft.Tables
+      .documents(spark, sf)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .filter(_ % 3 == 0)
+    val assigned = imgs.map { id =>
+      val w = 256L + (id * 7919L) % 1281L
+      val h = 256L + (id * 104729L) % 1281L
+      val a = w * 1000000L / h
+      val win = enc.zipWithIndex.map { case (ae6, i) => math.abs(a - ae6) * 16 + i }.min
+      (win % 16, win / 16)
+    }
+    val want = assigned
+      .groupBy(_._1)
+      .map { case (idx, xs) => idx -> (xs.length.toLong, xs.map(_._2).sum) }
+    val got = graft.operators.Multimodal
+      .aspectBucket(spark, sf)
+      .collect()
+      .map { r =>
+        val idx = r.getLong(0)
+        idx -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      }
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (idx, (n, sdiff)) =>
+      val (bw, bh, gn, full, left, meanDiff) = got(idx)
+      assert((bw, bh) == buckets(idx.toInt), s"bucket $idx dims")
+      assert(gn == n, s"bucket $idx count")
+      assert(full == n / 32 && left == n % 32, s"bucket $idx batches")
+      assert(meanDiff == sdiff / n, s"bucket $idx distortion")
+    }
+    assert(got.values.map(_._3).sum == imgs.length.toLong, "image mass conserved")
+  }
 }

@@ -578,6 +578,124 @@ class StatsBSpec extends SparkSpec {
     assert(got(6L)._2 >= got(12L)._2 && got(12L)._2 >= got(24L)._2)
   }
 
+  test("gumbel: block-maxima moment replay; return levels ordered rl60 > rl12 > mu") {
+    val got = AnalyticsExt
+      .gumbelFit(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    dailySeries().foreach { case (t, series) =>
+      val blocks = series
+        .groupBy { case (d, _) => d / 2 }
+        .toVector
+        .map { case (_, xs) => xs.map(_._2).max }
+      val nb = blocks.length
+      val s1 = blocks.map(BigInt(_)).sum
+      val s2 = blocks.map(b => BigInt(b) * b).sum
+      if (nb >= 12 && BigInt(nb) * s2 - s1 * s1 > 0) {
+        val mean = s1.toDouble / nb
+        val v = (s2.toDouble - s1.toDouble * s1.toDouble / nb) / (nb - 1)
+        val beta = math.sqrt(6.0 * v) / math.Pi
+        val mu = mean - 0.5772156649015329 * beta
+        val (gn, gmu, gbeta, rl12, rl60) = got(t)
+        assert(gn == nb.toLong, t)
+        assert(gmu == math.floor(mu * 100 + 0.5).toLong, t)
+        assert(gbeta == math.floor(beta * 100 + 0.5).toLong, t)
+        assert(rl12 == math.floor((mu + beta * 2.441716398881459) * 100 + 0.5).toLong, t)
+        assert(rl60 == math.floor((mu + beta * 4.085952773003955) * 100 + 0.5).toLong, t)
+        assert(rl60 > rl12 && rl12 > gmu, s"$t return levels must order")
+      } else assert(!got.contains(t), t)
+    }
+  }
+
+  test("handoff: per-user timeline replay; share mass per from-type conserved") {
+    val rows = graft.Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "ts div 1000 AS tus", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = rows
+      .groupBy(_._1)
+      .toVector
+      .flatMap { case (_, xs) =>
+        val s = xs.sortBy(e => (e._2, e._3))
+        s.zip(s.tail).map { case (a, b) => ((a._4, b._4), b._2 - a._2) }
+      }
+    val want = pairs
+      .groupBy(_._1)
+      .map { case ((f, t2), gs) =>
+        (f, t2) -> (gs.length.toLong, gs.map(_._2).sum, gs.map(_._2).max)
+      }
+    val fromTotals = want.toSeq.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2._1).sum }
+    val got = AnalyticsExt
+      .handoffTimes(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k @ (f, _), (n, tot, mx)) =>
+      val (gn, mean, gmx, gtot, share) = got(k)
+      assert(gn == n && gtot == tot && gmx == mx, s"$k")
+      assert(mean == tot / n, s"$k mean")
+      assert(share == n * 1000000L / fromTotals(f), s"$k share")
+    }
+    // per from-type, the floored shares sum to at most 1e6 and within
+    // alphabet-size rounding of it
+    got.toSeq.groupBy(_._1._1).foreach { case (f, xs) =>
+      val s = xs.map(_._2._5).sum
+      assert(s <= 1000000L && s > 1000000L - xs.length, s"$f share mass")
+    }
+  }
+
+  test("graph diameter: scala BFS replay from the same edges; reach curve monotone") {
+    val po = graft.Tables
+      .lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toVector
+    val edges = po
+      .groupBy(_._1)
+      .toVector
+      .flatMap { case (_, xs) =>
+        val ps = xs.map(_._2).distinct.sorted
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      .groupBy(identity)
+      .iterator
+      .collect { case (e, os) if os.length >= 2 => e }
+      .toVector
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val landmarks = nodes.toVector.sorted.take(4)
+    val got = AnalyticsExt
+      .landmarkBfs(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == landmarks.toSet)
+    landmarks.foreach { l =>
+      var dist = Map(l -> 0L)
+      var frontier = Set(l)
+      (1 to 4).foreach { d =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d.toLong)
+      }
+      val (nr, w1, w2, w3, ecc) = got(l)
+      assert(nr == dist.size.toLong, s"$l reached")
+      assert(w1 == dist.values.count(_ <= 1).toLong, s"$l w1")
+      assert(w2 == dist.values.count(_ <= 2).toLong, s"$l w2")
+      assert(w3 == dist.values.count(_ <= 3).toLong, s"$l w3")
+      assert(ecc == dist.values.max, s"$l ecc")
+      assert(w1 <= w2 && w2 <= w3 && w3 <= nr && ecc <= 4)
+    }
+  }
+
   test("price elasticity: e9-ln OLS replay per brand") {
     val li = graft.Tables
       .lineitem(spark, sf)
