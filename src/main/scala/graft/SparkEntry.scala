@@ -777,6 +777,14 @@ object SparkEntry extends SparkEntryOracleHelpers
     "mm_aspect_bucket" -> ((s: SparkSession, d: String) => Multimodal.aspectBucket(s, d)),
     // Landmark-BFS reach profile / diameter lower bound (§2 #466)
     "q_graph_diameter" -> ((s: SparkSession, d: String) => AnalyticsExt.landmarkBfs(s, d)),
+    // McNemar paired-binary test (§2 #467)
+    "q_mcnemar" -> ((s: SparkSession, d: String) => AnalyticsExt.mcnemar(s, d)),
+    // Negative-binomial overdispersion fit (§2 #468)
+    "q_negbin_fit" -> ((s: SparkSession, d: String) => AnalyticsExt.negbinFit(s, d)),
+    // Friedman k-sample paired rank test on quarters (§2 #469)
+    "q_friedman" -> ((s: SparkSession, d: String) => AnalyticsExt.friedman(s, d)),
+    // Bass diffusion OLS fit on first-order adopters (§2 #470)
+    "q_bass_diffusion" -> ((s: SparkSession, d: String) => AnalyticsExt.bassDiffusion(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

@@ -192,6 +192,174 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            JOIN rowm USING (o_orderstatus)
            JOIN colm USING (o_orderpriority), tot)
          SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
+    "q_mcnemar" ->
+      // discordant-pair chi2 with continuity correction; paired design
+      """WITH per AS (
+           SELECT o_custkey,
+             max(CASE WHEN month(CAST(o_orderdate AS DATE)) % 2 = 1 THEN 1 ELSE 0 END)
+               AS has_odd,
+             max(CASE WHEN month(CAST(o_orderdate AS DATE)) % 2 = 0 THEN 1 ELSE 0 END)
+               AS has_even,
+             max(CASE WHEN month(CAST(o_orderdate AS DATE)) % 2 = 1
+                 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN month(CAST(o_orderdate AS DATE)) % 2 = 0
+                 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+           FROM orders GROUP BY 1),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM per WHERE has_odd = 1 AND has_even = 1),
+         s AS (
+           SELECT n_pairs, b, c,
+             (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000 // (b + c) AS chi2_e6
+           FROM agg WHERE b + c > 0)
+         SELECT n_pairs, b, c, chi2_e6,
+           CAST(CASE WHEN chi2_e6 > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS significant_5pct
+         FROM s""",
+    "q_negbin_fit" ->
+      // NB2 method of moments on daily counts; NULL params when v <= m
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2
+           FROM daily GROUP BY 1),
+         f AS (SELECT * FROM agg WHERE n_days >= 8),
+         mv AS (
+           SELECT event_type, n_days,
+             CAST(s1 AS DOUBLE) / n_days AS m,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+               / (n_days - 1) AS v
+           FROM f)
+         SELECT event_type, n_days,
+           CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS mean_e6,
+           CAST(floor(v / m * 1000000 + 0.5) AS BIGINT) AS dispersion_e6,
+           CASE WHEN v > m THEN CAST(floor(m * m / (v - m) * 1000000 + 0.5) AS BIGINT)
+             ELSE NULL END AS r_e6,
+           CASE WHEN v > m THEN CAST(floor(m / v * 1000000 + 0.5) AS BIGINT)
+             ELSE NULL END AS p_e6,
+           CAST(CASE WHEN v > m THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+         FROM mv WHERE m > 0 AND v > 0""",
+    "q_friedman" ->
+      // per-customer quarterly cents ranked WITHIN the row on the
+      // doubled midrank grid; tie-corrected chi2, all-integer
+      """WITH pc AS (
+           SELECT o_custkey,
+             CAST(sum(CASE WHEN (month(CAST(o_orderdate AS DATE)) - 1) // 3 = 0
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN (month(CAST(o_orderdate AS DATE)) - 1) // 3 = 1
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN (month(CAST(o_orderdate AS DATE)) - 1) // 3 = 2
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN (month(CAST(o_orderdate AS DATE)) - 1) // 3 = 3
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v3
+           FROM orders GROUP BY 1),
+         dr AS (
+           SELECT
+             2 * len(list_filter([v0, v1, v2, v3], x -> x < v0))
+               + len(list_filter([v0, v1, v2, v3], x -> x = v0)) + 1 AS dr0,
+             2 * len(list_filter([v0, v1, v2, v3], x -> x < v1))
+               + len(list_filter([v0, v1, v2, v3], x -> x = v1)) + 1 AS dr1,
+             2 * len(list_filter([v0, v1, v2, v3], x -> x < v2))
+               + len(list_filter([v0, v1, v2, v3], x -> x = v2)) + 1 AS dr2,
+             2 * len(list_filter([v0, v1, v2, v3], x -> x < v3))
+               + len(list_filter([v0, v1, v2, v3], x -> x = v3)) + 1 AS dr3
+           FROM pc),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(dr0) AS BIGINT) AS r2_0, CAST(sum(dr1) AS BIGINT) AS r2_1,
+             CAST(sum(dr2) AS BIGINT) AS r2_2, CAST(sum(dr3) AS BIGINT) AS r2_3,
+             sum(CAST(dr0 AS HUGEINT) * dr0 + CAST(dr1 AS HUGEINT) * dr1
+               + CAST(dr2 AS HUGEINT) * dr2 + CAST(dr3 AS HUGEINT) * dr3) AS sdr2
+           FROM dr),
+         f AS (SELECT * FROM agg WHERE sdr2 - CAST(n_blocks AS HUGEINT) * 4 * 25 > 0),
+         s AS (
+           SELECT n_blocks, r2_0, r2_1, r2_2, r2_3,
+             CAST(3 * (CAST(r2_0 - n_blocks * 5 AS HUGEINT) * (r2_0 - n_blocks * 5)
+                 + CAST(r2_1 - n_blocks * 5 AS HUGEINT) * (r2_1 - n_blocks * 5)
+                 + CAST(r2_2 - n_blocks * 5 AS HUGEINT) * (r2_2 - n_blocks * 5)
+                 + CAST(r2_3 - n_blocks * 5 AS HUGEINT) * (r2_3 - n_blocks * 5)) * 1000000
+               // CAST(sdr2 - CAST(n_blocks AS HUGEINT) * 4 * 25 AS HUGEINT)
+               AS BIGINT) AS chi2_e6
+           FROM f)
+         SELECT n_blocks, r2_0, r2_1, r2_2, r2_3, chi2_e6,
+           CAST(CASE WHEN chi2_e6 > 7814728 THEN 1 ELSE 0 END AS BIGINT) AS significant_5pct
+         FROM s""",
+    "q_bass_diffusion" ->
+      // daily first-order adopters; 3-regressor Cramer solve; honest
+      // corpus: not bass-shaped -> NULL (m, p, q)
+      """WITH fo AS (
+           SELECT o_custkey,
+             min(CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT)) AS d0
+           FROM orders GROUP BY 1),
+         daily AS (SELECT d0, CAST(count(*) AS BIGINT) AS n FROM fo GROUP BY 1),
+         wc AS (
+           SELECT d0, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY d0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev
+           FROM daily),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(cprev) AS BIGINT) AS sc,
+             sum(CAST(cprev AS HUGEINT) * cprev) AS sc2,
+             sum(CAST(cprev AS HUGEINT) * cprev * cprev) AS sc3,
+             sum(CAST(cprev AS HUGEINT) * cprev * cprev * cprev) AS sc4,
+             CAST(sum(n) AS BIGINT) AS sy,
+             sum(CAST(cprev AS HUGEINT) * n) AS syc,
+             sum(CAST(cprev AS HUGEINT) * cprev * n) AS syc2
+           FROM wc),
+         f AS (SELECT * FROM agg WHERE t >= 12),
+         md AS (
+           SELECT t,
+             CAST(t AS DOUBLE) AS m00, CAST(sc AS DOUBLE) AS m01,
+             CAST(sc2 AS DOUBLE) AS m02, CAST(sc3 AS DOUBLE) AS m12,
+             CAST(sc4 AS DOUBLE) AS m22,
+             CAST(sy AS DOUBLE) AS b0, CAST(syc AS DOUBLE) AS b1,
+             CAST(syc2 AS DOUBLE) AS b2
+           FROM f),
+         dt AS (
+           SELECT t, b0, b1, b2, m00, m01, m02, m12, m22,
+             m00 * (m02 * m22 - m12 * m12) - m01 * (m01 * m22 - m12 * m02)
+               + m02 * (m01 * m12 - m02 * m02) AS det
+           FROM md),
+         abc AS (
+           SELECT t,
+             (b0 * (m02 * m22 - m12 * m12) - m01 * (b1 * m22 - m12 * b2)
+               + m02 * (b1 * m12 - m02 * b2)) / det AS a,
+             (m00 * (b1 * m22 - b2 * m12) - b0 * (m01 * m22 - m12 * m02)
+               + m02 * (m01 * b2 - m02 * b1)) / det AS b,
+             (m00 * (m02 * b2 - m12 * b1) - m01 * (m01 * b2 - m02 * b1)
+               + b0 * (m01 * m12 - m02 * m02)) / det AS c
+           FROM dt WHERE det <> 0.0),
+         g AS (
+           SELECT t AS n_days,
+             CAST(floor(a * 1000000 + 0.5) AS BIGINT) AS a_e6,
+             CAST(floor(b * 1000000000 + 0.5) AS BIGINT) AS b_e9,
+             CAST(floor(c * 1000000000000 + 0.5) AS BIGINT) AS c_e12,
+             a, b, c, b * b - 4.0 * a * c AS disc
+           FROM abc)
+         SELECT n_days, a_e6, b_e9, c_e12,
+           CAST(CASE WHEN c < 0.0 AND disc > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS bass_shaped,
+           CASE WHEN c < 0.0 AND disc > 0.0 THEN
+             CAST(floor((0.0 - b - sqrt(disc)) / (2.0 * c) * 100 + 0.5) AS BIGINT)
+           ELSE NULL END AS m_e2,
+           CASE WHEN c < 0.0 AND disc > 0.0 THEN
+             CAST(floor(a / ((0.0 - b - sqrt(disc)) / (2.0 * c)) * 1000000000 + 0.5)
+               AS BIGINT)
+           ELSE NULL END AS p_e9,
+           CASE WHEN c < 0.0 AND disc > 0.0 THEN
+             CAST(floor((0.0 - c) * ((0.0 - b - sqrt(disc)) / (2.0 * c)) * 1000000000 + 0.5)
+               AS BIGINT)
+           ELSE NULL END AS q_e9
+         FROM g""",
     "q_gumbel" ->
       // 2-day block maxima; method-of-moments Gumbel; e2 grid
       """WITH daily AS (

@@ -782,6 +782,234 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
     (out, Seq(pairs, edges))
   }
 
+  /** #467 McNemar paired-binary test (McNemar 1947, continuity-
+    * corrected): does the same customer's "completed an order"
+    * indicator CHANGE between odd and even calendar months? The
+    * paired-binary member completing the test family — #252 compares
+    * two INDEPENDENT proportions, #430 pairs CONTINUOUS spend; McNemar
+    * reads only the discordant pairs b = (1,0), c = (0,1):
+    * χ² = (|b−c|−1)²/(b+c), χ²(1).
+    *
+    * All-integer: per-customer parity indicators are two conditional
+    * max-aggregates; b, c, and the e6 statistic are one bounded
+    * aggregate + integer div (grids as in #430's z). Customers active
+    * in both parities only — the paired-design requirement.
+    */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .selectExpr(
+        "o_custkey",
+        "CAST(month(CAST(o_orderdate AS DATE)) % 2 AS BIGINT) AS par",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f")
+      .groupBy("o_custkey")
+      .agg(
+        max(expr("CASE WHEN par = 1 THEN 1 ELSE 0 END")).as("has_odd"),
+        max(expr("CASE WHEN par = 0 THEN 1 ELSE 0 END")).as("has_even"),
+        max(expr("CASE WHEN par = 1 THEN f ELSE 0 END")).as("x"),
+        max(expr("CASE WHEN par = 0 THEN f ELSE 0 END")).as("y"))
+      .filter(col("has_odd") === 1 && col("has_even") === 1)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END")).as("b"),
+        sum(expr("CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END")).as("c"))
+      .filter(expr("b + c > 0"))
+      .selectExpr(
+        "n_pairs",
+        "b",
+        "c",
+        "(abs(b - c) - 1) * (abs(b - c) - 1) * 1000000 div (b + c) AS chi2_e6")
+      .selectExpr(
+        "n_pairs", "b", "c", "chi2_e6",
+        // chi2(1) 5% critical 3.841459 on the e6 grid (the #430 pin)
+        "CAST(CASE WHEN chi2_e6 > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS significant_5pct")
+
+  /** #468 Negative-binomial overdispersion fit (method of moments,
+    * NB2: r = m²/(v−m), p = m/v): per event type's daily counts, the
+    * COUNT MODEL #260's Fano factor only diagnoses — Poisson says
+    * v = m; when v > m the NB's r says HOW clustered arrivals are
+    * (small r = bursty), and (r, p) is what a simulator or anomaly
+    * threshold actually parameterizes.
+    *
+    * Daily counts and their power sums are exact integers; m, v and
+    * the (r, p) map are one fixed scalar double chain (#447
+    * discipline) on the e6 grid; Poisson-compatible series (v ≤ m)
+    * keep the dispersion read but NULL the NB parameters — the honest
+    * model-applicability flag. One aggregate over the bounded daily
+    * frame.
+    */
+  def negbinFit(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = 86400L * 1000000000L
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), expr(s"ts div ${nsPerDay}L").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("c").as("s1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .filter(expr("n_days >= 8"))
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(s1 AS DOUBLE) / n_days AS m",
+        """(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+           / (n_days - 1) AS v""")
+      .filter(expr("m > 0 AND v > 0"))
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS mean_e6",
+        "CAST(floor(v / m * 1000000 + 0.5) AS BIGINT) AS dispersion_e6",
+        """CASE WHEN v > m THEN CAST(floor(m * m / (v - m) * 1000000 + 0.5) AS BIGINT)
+           ELSE NULL END AS r_e6""",
+        """CASE WHEN v > m THEN CAST(floor(m / v * 1000000 + 0.5) AS BIGINT)
+           ELSE NULL END AS p_e6""",
+        "CAST(CASE WHEN v > m THEN 1 ELSE 0 END AS BIGINT) AS overdispersed")
+  }
+
+  /** #469 Friedman rank test (Friedman 1937, tie-corrected): do the
+    * four CALENDAR QUARTERS carry different spend, judged WITHIN each
+    * customer? The k-sample paired member above #430's Wilcoxon
+    * (k = 2) — blocking by customer removes the between-customer
+    * spend variance, and ranks remove the whale tail, so quarterly
+    * seasonality is read against each customer's own baseline.
+    *
+    * All-integer: each customer's 4 quarterly cent totals rank WITHIN
+    * THE ROW on the doubled midrank grid (2·less + ties + 1 — a pure
+    * array expression, no window, no shuffle beyond the customer
+    * rollup); the tie-corrected statistic
+    * χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ dr² − n·k·(k+1)²) is exact
+    * integer arithmetic over the four doubled column sums, one double
+    * div onto the e6 grid. χ²(3) 5% critical 7.814728.
+    */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables
+      .orders(spark, dir)
+      .selectExpr(
+        "o_custkey",
+        "CAST((month(CAST(o_orderdate AS DATE)) - 1) div 3 AS BIGINT) AS qtr",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy("o_custkey")
+      .agg(
+        sum(expr("CASE WHEN qtr = 0 THEN cents ELSE 0 END")).as("v0"),
+        sum(expr("CASE WHEN qtr = 1 THEN cents ELSE 0 END")).as("v1"),
+        sum(expr("CASE WHEN qtr = 2 THEN cents ELSE 0 END")).as("v2"),
+        sum(expr("CASE WHEN qtr = 3 THEN cents ELSE 0 END")).as("v3"))
+      .withColumn("vals", expr("array(v0, v1, v2, v3)"))
+    val dr = (0 to 3).map(j =>
+      expr(s"2 * size(filter(vals, x -> x < v$j)) + size(filter(vals, x -> x = v$j)) + 1")
+        .cast("long")
+        .as(s"dr$j"))
+    q.select(dr: _*)
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum("dr0").as("r2_0"),
+        sum("dr1").as("r2_1"),
+        sum("dr2").as("r2_2"),
+        sum("dr3").as("r2_3"),
+        sum(expr(
+          "CAST(dr0 AS DECIMAL(38,0)) * dr0 + CAST(dr1 AS DECIMAL(38,0)) * dr1 + " +
+            "CAST(dr2 AS DECIMAL(38,0)) * dr2 + CAST(dr3 AS DECIMAL(38,0)) * dr3")).as("sdr2"))
+      .filter(expr("sdr2 - CAST(n_blocks AS DECIMAL(38,0)) * 4 * 25 > 0"))
+      .selectExpr(
+        "n_blocks",
+        "r2_0", "r2_1", "r2_2", "r2_3",
+        """CAST(3 * (CAST(r2_0 - n_blocks * 5 AS DECIMAL(38,0)) * (r2_0 - n_blocks * 5)
+                + CAST(r2_1 - n_blocks * 5 AS DECIMAL(38,0)) * (r2_1 - n_blocks * 5)
+                + CAST(r2_2 - n_blocks * 5 AS DECIMAL(38,0)) * (r2_2 - n_blocks * 5)
+                + CAST(r2_3 - n_blocks * 5 AS DECIMAL(38,0)) * (r2_3 - n_blocks * 5)) * 1000000
+           div CAST(sdr2 - CAST(n_blocks AS DECIMAL(38,0)) * 4 * 25 AS DECIMAL(38,0))
+           AS BIGINT) AS chi2_e6""")
+      .selectExpr(
+        "n_blocks", "r2_0", "r2_1", "r2_2", "r2_3", "chi2_e6",
+        "CAST(CASE WHEN chi2_e6 > 7814728 THEN 1 ELSE 0 END AS BIGINT) AS significant_5pct")
+  }
+
+  /** #470 Bass diffusion fit (Bass 1969 discrete OLS: n_t = a +
+    * b·C_{t−1} + c·C²_{t−1} over daily FIRST-ORDER adopters): the
+    * product-adoption model behind launch forecasting — innovation
+    * coefficient p, imitation q, market size m from (a, b, c) when
+    * the curve is Bass-shaped (c < 0, positive discriminant). Honest
+    * corpus read: this corpus's adoption is front-loaded (c > 0), so
+    * the derived (m, p, q) are NULL and `bass_shaped` = 0 — the
+    * machinery (3-regressor normal equations via Cramer determinants)
+    * is what's verified, exactly the #440 isotonic convention.
+    *
+    * Exact: daily adopter counts and the cumulative C (a day-ordered
+    * prefix sum over the ≤ #calendar-days adopter frame) are
+    * integers; the six normal-equation sums run DECIMAL(38,0) (C⁴
+    * ≲ 10³² per day holds through sf10); the Cramer solve and the
+    * (m, p, q) map are one fixed scalar double chain (#447).
+    */
+  def bassDiffusion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(expr("min(CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT))")
+        .as("d0"))
+      .groupBy("d0")
+      .agg(count(lit(1)).as("n"))
+    val withC = daily
+      .withColumn(
+        "cprev",
+        coalesce(
+          sum("n").over(
+            Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    withC
+      .agg(
+        count(lit(1)).as("t"),
+        sum("cprev").as("sc"),
+        sum(expr("CAST(cprev AS DECIMAL(38,0)) * cprev")).as("sc2"),
+        sum(expr("CAST(cprev AS DECIMAL(38,0)) * cprev * cprev")).as("sc3"),
+        sum(expr("CAST(cprev AS DECIMAL(38,0)) * cprev * cprev * cprev")).as("sc4"),
+        sum("n").as("sy"),
+        sum(expr("CAST(cprev AS DECIMAL(38,0)) * n")).as("syc"),
+        sum(expr("CAST(cprev AS DECIMAL(38,0)) * cprev * n")).as("syc2"))
+      .filter(expr("t >= 12"))
+      .selectExpr(
+        "t",
+        "CAST(t AS DOUBLE) AS m00", "CAST(sc AS DOUBLE) AS m01", "CAST(sc2 AS DOUBLE) AS m02",
+        "CAST(sc3 AS DOUBLE) AS m12", "CAST(sc4 AS DOUBLE) AS m22",
+        "CAST(sy AS DOUBLE) AS b0", "CAST(syc AS DOUBLE) AS b1", "CAST(syc2 AS DOUBLE) AS b2")
+      .selectExpr(
+        "t", "b0", "b1", "b2", "m00", "m01", "m02", "m12", "m22",
+        """m00 * (m02 * m22 - m12 * m12) - m01 * (m01 * m22 - m12 * m02)
+           + m02 * (m01 * m12 - m02 * m02) AS det""")
+      .filter(expr("det <> 0.0"))
+      .selectExpr(
+        "t",
+        """(b0 * (m02 * m22 - m12 * m12) - m01 * (b1 * m22 - m12 * b2)
+            + m02 * (b1 * m12 - m02 * b2)) / det AS a""",
+        """(m00 * (b1 * m22 - b2 * m12) - b0 * (m01 * m22 - m12 * m02)
+            + m02 * (m01 * b2 - m02 * b1)) / det AS b""",
+        """(m00 * (m02 * b2 - m12 * b1) - m01 * (m01 * b2 - m02 * b1)
+            + b0 * (m01 * m12 - m02 * m02)) / det AS c""")
+      .selectExpr(
+        "t AS n_days",
+        "CAST(floor(a * 1000000 + 0.5) AS BIGINT) AS a_e6",
+        "CAST(floor(b * 1000000000 + 0.5) AS BIGINT) AS b_e9",
+        "CAST(floor(c * 1000000000000 + 0.5) AS BIGINT) AS c_e12",
+        "a", "b", "c",
+        "b * b - 4.0 * a * c AS disc")
+      .selectExpr(
+        "n_days", "a_e6", "b_e9", "c_e12",
+        "CAST(CASE WHEN c < 0.0 AND disc > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS bass_shaped",
+        """CASE WHEN c < 0.0 AND disc > 0.0 THEN
+             CAST(floor((0.0 - b - sqrt(disc)) / (2.0 * c) * 100 + 0.5) AS BIGINT)
+           ELSE NULL END AS m_e2""",
+        """CASE WHEN c < 0.0 AND disc > 0.0 THEN
+             CAST(floor(a / ((0.0 - b - sqrt(disc)) / (2.0 * c)) * 1000000000 + 0.5) AS BIGINT)
+           ELSE NULL END AS p_e9""",
+        """CASE WHEN c < 0.0 AND disc > 0.0 THEN
+             CAST(floor((0.0 - c) * ((0.0 - b - sqrt(disc)) / (2.0 * c)) * 1000000000 + 0.5)
+               AS BIGINT)
+           ELSE NULL END AS q_e9""")
+  }
+
   /** #459 Empirical-Bayes rate shrinkage (pseudo-count smoothing
     * toward the corpus rate, the Beta-prior posterior mean with fixed
     * prior strength K): per-customer order-completion rate

@@ -578,6 +578,149 @@ class StatsBSpec extends SparkSpec {
     assert(got(6L)._2 >= got(12L)._2 && got(12L)._2 >= got(24L)._2)
   }
 
+  test("mcnemar: discordant-pair replay; continuity-corrected chi2 exact") {
+    val per = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(month(CAST(o_orderdate AS DATE)) % 2 AS INT) AS par",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+      .toVector
+      .map { case (_, xs) =>
+        val odd = xs.filter(_._2 == 1); val even = xs.filter(_._2 == 0)
+        (odd.nonEmpty, even.nonEmpty,
+          if (odd.exists(_._3 == 1)) 1 else 0,
+          if (even.exists(_._3 == 1)) 1 else 0)
+      }
+      .filter(p => p._1 && p._2)
+    val b = per.count(p => p._3 == 1 && p._4 == 0).toLong
+    val c = per.count(p => p._3 == 0 && p._4 == 1).toLong
+    val row = AnalyticsExt.mcnemar(spark, sf).collect().head
+    assert(row.getLong(0) == per.size.toLong)
+    assert(row.getLong(1) == b && row.getLong(2) == c)
+    val chi2 = (math.abs(b - c) - 1) * (math.abs(b - c) - 1) * 1000000L / (b + c)
+    assert(row.getLong(3) == chi2)
+    assert(row.getLong(4) == (if (chi2 > 3841459L) 1L else 0L))
+  }
+
+  test("negbin: moment replay on daily counts; p in (0,1] and r > 0 when overdispersed") {
+    val daily = graft.Tables
+      .events(spark, sf)
+      .selectExpr("event_type", s"ts div ${86400L * 1000000000L}L AS day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (t, xs) => t -> xs.groupBy(_._2).values.map(_.length.toLong).toVector }
+    val got = AnalyticsExt
+      .negbinFit(spark, sf)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6)))
+      .toMap
+    daily.foreach { case (t, cs) =>
+      val n = cs.length
+      if (n >= 8) {
+        val s1 = cs.sum
+        val s2 = cs.map(c => BigInt(c) * c).sum
+        val m = s1.toDouble / n
+        val v = (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)
+        if (m > 0 && v > 0) {
+          val (gn, me, de, re, pe, od) = got(t)
+          assert(gn == n.toLong, t)
+          assert(me == math.floor(m * 1e6 + 0.5).toLong, t)
+          assert(de == math.floor(v / m * 1e6 + 0.5).toLong, t)
+          if (v > m) {
+            assert(od == 1L, t)
+            assert(re.get == math.floor(m * m / (v - m) * 1e6 + 0.5).toLong, t)
+            assert(pe.get == math.floor(m / v * 1e6 + 0.5).toLong, t)
+            assert(re.get > 0 && pe.get > 0 && pe.get <= 1000000L, t)
+          } else assert(od == 0L && re.isEmpty && pe.isEmpty, t)
+        }
+      } else assert(!got.contains(t), t)
+    }
+  }
+
+  test("friedman: doubled-midrank replay; rank mass 20 per block; tie-corrected chi2 exact") {
+    val per = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST((month(CAST(o_orderdate AS DATE)) - 1) div 3 AS INT) AS qtr",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .toVector
+      .map { case (_, xs) =>
+        (0 to 3).map(q => xs.filter(_._2 == q).map(_._3).sum).toVector
+      }
+    val drs = per.map { vals =>
+      vals.map(v => 2L * vals.count(_ < v) + vals.count(_ == v) + 1L)
+    }
+    // every block's doubled ranks sum to 2*(1+2+3+4) = 20 regardless of ties
+    drs.foreach(dr => assert(dr.sum == 20L))
+    val n = drs.length.toLong
+    val r2 = (0 to 3).map(j => drs.map(_(j)).sum)
+    val sdr2 = drs.flatten.map(d => BigInt(d) * d).sum
+    val den = sdr2 - BigInt(n) * 4 * 25
+    val num = BigInt(3) * r2.map(r => BigInt(r - n * 5) * (r - n * 5)).sum * 1000000
+    val row = AnalyticsExt.friedman(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    (0 to 3).foreach(j => assert(row.getLong(1 + j) == r2(j), s"R2_$j"))
+    assert(row.getLong(5) == (num / den).toLong)
+    assert(row.getLong(6) == (if ((num / den).toLong > 7814728L) 1L else 0L))
+  }
+
+  test("bass: Cramer replay from daily adopters; honest not-bass-shaped corpus read") {
+    val d0s = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .toVector
+      .map { case (_, xs) => xs.map(_._2).min }
+    val daily = d0s.groupBy(identity).toVector.map { case (d, xs) => (d, xs.length.toLong) }.sortBy(_._1)
+    val cprev = daily.scanLeft(0L) { case (acc, (_, nn)) => acc + nn }.init
+    val rows = daily.zip(cprev).map { case ((_, nn), cp) => (nn, cp) }
+    val t = rows.length
+    val sc = rows.map(r => BigInt(r._2)).sum
+    val sc2 = rows.map(r => BigInt(r._2) * r._2).sum
+    val sc3 = rows.map(r => BigInt(r._2) * r._2 * r._2).sum
+    val sc4 = rows.map(r => BigInt(r._2) * r._2 * r._2 * r._2).sum
+    val sy = rows.map(r => BigInt(r._1)).sum
+    val syc = rows.map(r => BigInt(r._2) * r._1).sum
+    val syc2 = rows.map(r => BigInt(r._2) * r._2 * r._1).sum
+    val (m00, m01, m02, m12, m22) = (t.toDouble, sc.toDouble, sc2.toDouble, sc3.toDouble, sc4.toDouble)
+    val (b0, b1, b2) = (sy.toDouble, syc.toDouble, syc2.toDouble)
+    val det = m00 * (m02 * m22 - m12 * m12) - m01 * (m01 * m22 - m12 * m02) +
+      m02 * (m01 * m12 - m02 * m02)
+    val a = (b0 * (m02 * m22 - m12 * m12) - m01 * (b1 * m22 - m12 * b2) +
+      m02 * (b1 * m12 - m02 * b2)) / det
+    val b = (m00 * (b1 * m22 - b2 * m12) - b0 * (m01 * m22 - m12 * m02) +
+      m02 * (m01 * b2 - m02 * b1)) / det
+    val c = (m00 * (m02 * b2 - m12 * b1) - m01 * (m01 * b2 - m02 * b1) +
+      b0 * (m01 * m12 - m02 * m02)) / det
+    val row = AnalyticsExt.bassDiffusion(spark, sf).collect().head
+    assert(row.getLong(0) == t.toLong)
+    assert(row.getLong(1) == math.floor(a * 1e6 + 0.5).toLong)
+    assert(row.getLong(2) == math.floor(b * 1e9 + 0.5).toLong)
+    assert(row.getLong(3) == math.floor(c * 1e12 + 0.5).toLong)
+    // the fit residuals must beat the intercept-only model in-sample
+    // (OLS guarantees it); and this corpus is NOT bass-shaped
+    val bassShaped = c < 0.0 && b * b - 4.0 * a * c > 0.0
+    assert(row.getLong(4) == (if (bassShaped) 1L else 0L))
+    if (!bassShaped) assert(row.isNullAt(5) && row.isNullAt(6) && row.isNullAt(7))
+  }
+
   test("gumbel: block-maxima moment replay; return levels ordered rl60 > rl12 > mu") {
     val got = AnalyticsExt
       .gumbelFit(spark, sf)
