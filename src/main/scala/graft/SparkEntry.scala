@@ -785,6 +785,10 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_friedman" -> ((s: SparkSession, d: String) => AnalyticsExt.friedman(s, d)),
     // Bass diffusion OLS fit on first-order adopters (§2 #470)
     "q_bass_diffusion" -> ((s: SparkSession, d: String) => AnalyticsExt.bassDiffusion(s, d)),
+    // Universe/coordinated sampling: join-consistent pilot queries (§2 #471)
+    "q_universe_sample" -> ((s: SparkSession, d: String) => Sampling.universeSample(s, d)),
+    // Kneser-Ney bigram cross-entropy vs MLE (§2 #472)
+    "text_kn_ppl" -> (TextStats.knBigramEntropy _),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

@@ -1047,6 +1047,43 @@ private[graft] trait OracleText { this: SparkEntryOracleHelpers =>
          SELECT word, r AS tr_e8,
            CAST(row_number() OVER (ORDER BY r DESC, word) AS BIGINT) AS rank
          FROM r2 QUALIFY rank <= 20""",
+    "text_kn_ppl" ->
+      // interpolated Kneser-Ney D=0.75; e9-rounded per-bigram nll so
+      // the instance-weighted sums are exact integers
+      """WITH t AS (
+           SELECT regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+           FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS b FROM t),
+         bi AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2 FROM bg),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+         byw1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                    CAST(count(*) AS BIGINT) AS nsucc FROM c12 GROUP BY 1),
+         byw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS npred FROM c12 GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS bb, CAST(sum(c12) AS BIGINT) AS nn
+                 FROM c12),
+         terms AS (
+           SELECT c12,
+             CAST(floor((0.0 - ln((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+                 + (0.75 * CAST(nsucc AS DOUBLE) / CAST(c1 AS DOUBLE))
+                   * (CAST(npred AS DOUBLE) / CAST(bb AS DOUBLE)))) * 1000000000 + 0.5)
+               AS BIGINT) AS nll_kn_e9,
+             CAST(floor((0.0 - ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+                 * 1000000000 + 0.5) AS BIGINT) AS nll_mle_e9,
+             bb, nn
+           FROM c12 JOIN byw1 USING (w1) JOIN byw2 USING (w2), tot),
+         agg AS (
+           SELECT CAST(max(nn) AS BIGINT) AS n_bigram_tokens,
+             CAST(max(bb) AS BIGINT) AS n_distinct_bigrams,
+             sum(CAST(c12 AS HUGEINT) * nll_kn_e9) AS skn,
+             sum(CAST(c12 AS HUGEINT) * nll_mle_e9) AS smle
+           FROM terms)
+         SELECT n_bigram_tokens, n_distinct_bigrams,
+           CAST(skn // n_bigram_tokens AS BIGINT) AS h_kn_e9,
+           CAST(smle // n_bigram_tokens AS BIGINT) AS h_mle_e9,
+           CAST((skn - smle) // n_bigram_tokens AS BIGINT) AS smoothing_cost_e9
+         FROM agg""",
     "text_good_turing" ->
       // count-of-counts spectrum; r* and P0 as integer divs
       """WITH t AS (

@@ -192,6 +192,38 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            JOIN rowm USING (o_orderstatus)
            JOIN colm USING (o_orderpriority), tot)
          SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
+    "q_universe_sample" ->
+      // coordinated hash sample on the customer key; join of samples
+      // == sample of join (orphans structurally 0)
+      """WITH cs AS (
+           SELECT * FROM customer
+           WHERE ('0x' || substr(md5('universe:' || c_custkey), 1, 15))::BIGINT
+             % 1000 < 125),
+         os AS (
+           SELECT * FROM orders
+           WHERE ('0x' || substr(md5('universe:' || o_custkey), 1, 15))::BIGINT
+             % 1000 < 125),
+         orphan AS (
+           SELECT CAST(count(*) AS BIGINT) AS orphan_orders
+           FROM os LEFT JOIN cs ON c_custkey = o_custkey WHERE c_custkey IS NULL),
+         samp AS (
+           SELECT c_mktsegment,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust_sampled,
+             CAST(count(*) AS BIGINT) AS n_orders_sampled,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_sampled_c
+           FROM os JOIN cs ON c_custkey = o_custkey GROUP BY 1),
+         tru AS (
+           SELECT c_mktsegment AS seg,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_true_c
+           FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1)
+         SELECT c_mktsegment, n_cust_sampled, n_orders_sampled, rev_sampled_c,
+           rev_sampled_c * 1000 // 125 AS est_rev_c,
+           rev_true_c,
+           abs(rev_sampled_c * 1000 // 125 - rev_true_c) * 1000000 // rev_true_c AS err_e6,
+           orphan_orders
+         FROM samp JOIN tru ON tru.seg = samp.c_mktsegment, orphan""",
     "q_mcnemar" ->
       // discordant-pair chi2 with continuity correction; paired design
       """WITH per AS (

@@ -804,4 +804,60 @@ object Sampling {
           .as("weight_e6"),
         col("eff_sources_e6"))
   }
+
+  /** #471 Universe (coordinated) sampling: ALL tables sample the same
+    * ENTITY — keep a customer iff hash(custkey) lands under θ, and
+    * every fact row inherits its customer's fate — so the sample of a
+    * JOIN equals the join of the samples (the property per-table
+    * Bernoulli sampling destroys: independently thinned sides
+    * intersect at θ², orphaning θ(1−θ) of fact rows). This is how
+    * warehouse engines (BigQuery/Snowflake TABLESAMPLE on a key,
+    * join-synopsis literature: Acharya et al. 1999) make sampled
+    * star-joins answerable; at 100 TB it is THE way to run a cheap
+    * but join-correct pilot query.
+    *
+    * Content-addressed (the #54 discipline): θ = 12.5% on the
+    * hash60 permil grid, identical in both engines. The report scales
+    * the sampled revenue back by 1000/permil and prices the error
+    * against the TRUE per-segment revenue; `orphan_orders` — sampled
+    * orders whose customer did NOT survive — is the join-consistency
+    * proof and is structurally 0 (same key, same hash). One extra
+    * full-join pass computes the truth; the sampled path touches θ of
+    * the data.
+    */
+  def universeSample(spark: SparkSession, dir: String, permil: Int = 125): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def keep(c: Column): Column =
+      pmod(Dedup.hash60(concat(lit("universe:"), c)), lit(1000L)) < lit(permil.toLong)
+    val custS = Tables.customer(spark, dir).filter(keep(col("c_custkey")))
+    val ordersS = Tables.orders(spark, dir).filter(keep(col("o_custkey")))
+    val orphans = ordersS
+      .join(custS, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    val samp = ordersS
+      .join(custS, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("c_custkey").as("n_cust_sampled"),
+        count(lit(1)).as("n_orders_sampled"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev_sampled_c"))
+    val tru = Tables
+      .orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev_true_c"))
+    samp
+      .join(tru, col("c_mktsegment") === col("seg"))
+      .crossJoin(broadcast(orphans))
+      .select(
+        col("c_mktsegment"),
+        col("n_cust_sampled"),
+        col("n_orders_sampled"),
+        col("rev_sampled_c"),
+        expr(s"rev_sampled_c * 1000 div $permil").as("est_rev_c"),
+        col("rev_true_c"),
+        expr(s"abs(rev_sampled_c * 1000 div $permil - rev_true_c) * 1000000 div rev_true_c")
+          .as("err_e6"),
+        col("orphan_orders"))
+  }
 }

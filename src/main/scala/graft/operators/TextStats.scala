@@ -1388,6 +1388,72 @@ object TextStats {
         expr("tsum div n_chars").as("h_bits_e6"))
   }
 
+  /** #472 Kneser–Ney bigram cross-entropy (Kneser & Ney 1995,
+    * absolute discount D = 0.75 — the interpolated form modern n-gram
+    * LMs standardize on): P(w₂|w₁) = (c₁₂−D)/c₁ + (D·N₁₊(w₁·)/c₁) ·
+    * N₁₊(·w₂)/B, where the continuation probability asks "how many
+    * contexts does w₂ follow" rather than "how often does w₂ occur" —
+    * the fix for high-frequency-but-single-context words that plain
+    * backoff over-weights. Reported as corpus cross-entropies (nats,
+    * e9 grid) for KN vs the per-bigram MLE; MLE is the in-sample
+    * optimum, so H_KN ≥ H_MLE and the GAP is the price of the
+    * smoothing mass reserved for unseen continuations — what you pay
+    * in-sample to not be infinitely surprised out-of-sample.
+    *
+    * Exactness: every count (c₁₂, c₁, successor/predecessor type
+    * counts, B, N) is an exact integer; each distinct bigram's −ln P
+    * is ONE fixed scalar double chain rounded onto the e9 integer
+    * grid BEFORE the instance-weighted sum (sums of raw doubles are
+    * order-dependent; e9 integers are not — the #462 discipline).
+    * Vocab-bounded joins; one bigram explode is the only row-scale
+    * pass.
+    */
+  def knBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("tok")
+    val bi = Tables
+      .documents(spark, dir)
+      .withColumn("tok", toks(col("text")))
+      .select(
+        explode(
+          when(size(t) < 2, expr("CAST(array() AS array<struct<w1: string, w2: string>>)"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(t) - 1),
+                i =>
+                  struct(
+                    element_at(t, i).as("w1"),
+                    element_at(t, i + 1).as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val byW1 = c12.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("nsucc"))
+    val byW2 = c12.groupBy("w2").agg(count(lit(1)).as("npred"))
+    val tot = c12.agg(count(lit(1)).as("bb"), sum("c12").as("nn"))
+    c12
+      .join(byW1, "w1")
+      .join(byW2, "w2")
+      .crossJoin(broadcast(tot))
+      .selectExpr(
+        "c12",
+        """CAST(floor((0.0 - ln((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+              + (0.75 * CAST(nsucc AS DOUBLE) / CAST(c1 AS DOUBLE))
+                * (CAST(npred AS DOUBLE) / CAST(bb AS DOUBLE)))) * 1000000000 + 0.5)
+           AS BIGINT) AS nll_kn_e9""",
+        """CAST(floor((0.0 - ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))) * 1000000000 + 0.5)
+           AS BIGINT) AS nll_mle_e9""",
+        "bb", "nn")
+      .agg(
+        max("nn").as("n_bigram_tokens"),
+        max("bb").as("n_distinct_bigrams"),
+        sum(expr("CAST(c12 AS DECIMAL(38,0)) * nll_kn_e9")).as("skn"),
+        sum(expr("CAST(c12 AS DECIMAL(38,0)) * nll_mle_e9")).as("smle"))
+      .selectExpr(
+        "n_bigram_tokens",
+        "n_distinct_bigrams",
+        "CAST(skn div n_bigram_tokens AS BIGINT) AS h_kn_e9",
+        "CAST(smle div n_bigram_tokens AS BIGINT) AS h_mle_e9",
+        "CAST((skn - smle) div n_bigram_tokens AS BIGINT) AS smoothing_cost_e9")
+  }
+
   /** #461 Good–Turing frequency spectrum (Good 1953): count-of-counts
     * N_r over the term-frequency table and the adjusted counts
     * r* = (r+1)·N_{r+1}/N_r for r = 1..10, plus the unseen-mass

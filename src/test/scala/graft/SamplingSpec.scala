@@ -402,4 +402,56 @@ class SamplingSpec extends SparkSpec {
       BigInt(toks.values.sum)).toLong
     assert(math.abs(w1 - exact) <= 25, s"alpha=1 weight $w1 vs corpus share $exact")
   }
+
+  test("universe sample: join of samples == sample of join; zero orphans; exact scaling") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def kept(k: Long): Boolean = h60(s"universe:$k") % 1000 < 125
+    val cust = Tables
+      .customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val orders = Tables
+      .orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sample-of-join: filter the JOINED rows by the customer hash —
+    // must equal the join of independently filtered sides
+    val joinedSample = orders.filter { case (ck, _) => kept(ck) }
+    val sampledCust = cust.keySet.filter(kept)
+    val joinOfSamples = orders.filter { case (ck, _) => sampledCust.contains(ck) }
+    assert(joinedSample.toSeq.sorted == joinOfSamples.toSeq.sorted,
+      "universe property: join of samples must equal sample of join")
+    val bySeg = joinedSample
+      .groupBy { case (ck, _) => cust(ck) }
+      .map { case (seg, xs) =>
+        seg -> (xs.map(_._1).distinct.length.toLong, xs.length.toLong, xs.map(_._2).sum)
+      }
+    val truth = orders
+      .groupBy { case (ck, _) => cust(ck) }
+      .map { case (seg, xs) => seg -> xs.map(_._2).sum }
+    val got = Sampling
+      .universeSample(spark, sf)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getLong(7)))
+      .toMap
+    assert(got.keySet == bySeg.keySet)
+    bySeg.foreach { case (seg, (nc, no, rev)) =>
+      val (gnc, gno, grev, gest, gtrue, gerr, orphans) = got(seg)
+      assert((gnc, gno, grev) == ((nc, no, rev)), seg)
+      assert(gest == rev * 1000 / 125, seg)
+      assert(gtrue == truth(seg), seg)
+      assert(gerr == math.abs(rev * 1000 / 125 - truth(seg)) * 1000000 / truth(seg), seg)
+      assert(orphans == 0L, "sampled orders must never orphan")
+    }
+  }
 }

@@ -896,4 +896,42 @@ class TextStatsSpec extends SparkSpec {
     // mass conservation across the FULL spectrum: sum r*N_r = N
     assert(spectrum.map { case (r, nR) => r * nR }.sum == nTokens)
   }
+
+  test("kneser-ney: full LM replay; H_KN >= H_MLE; per-context mass bounded by 1") {
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val bigrams = Tables
+      .documents(spark, sf)
+      .select("text")
+      .collect()
+      .flatMap { r =>
+        val tk = norm(r.getString(0)).split(" ", -1).toSeq
+        if (tk.size < 2) Seq.empty[(String, String)] else tk.zip(tk.tail)
+      }
+    val c12 = bigrams.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val nsucc = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val npred = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val bb = c12.size.toLong
+    val nn = c12.values.sum
+    def pKn(w1: String, w2: String): Double =
+      (c12((w1, w2)).toDouble - 0.75) / c1(w1).toDouble +
+        (0.75 * nsucc(w1).toDouble / c1(w1).toDouble) * (npred(w2).toDouble / bb.toDouble)
+    var skn = BigInt(0); var smle = BigInt(0)
+    c12.foreach { case ((w1, w2), c) =>
+      skn += BigInt(c) * math.floor(-math.log(pKn(w1, w2)) * 1e9 + 0.5).toLong
+      smle += BigInt(c) * math.floor(-math.log(c.toDouble / c1(w1).toDouble) * 1e9 + 0.5).toLong
+    }
+    val row = TextStats.knBigramEntropy(spark, sf).collect().head
+    assert(row.getLong(0) == nn && row.getLong(1) == bb)
+    assert(row.getLong(2) == (skn / nn).toLong, "H_KN")
+    assert(row.getLong(3) == (smle / nn).toLong, "H_MLE")
+    assert(row.getLong(4) == ((skn - smle) / nn).toLong)
+    // MLE is the in-sample optimum: smoothing always costs nats
+    assert(row.getLong(4) >= 0L)
+    // interpolated KN never assigns an observed-context mass above 1
+    c1.keys.foreach { w1 =>
+      val mass = c12.keys.filter(_._1 == w1).map { case (_, w2) => pKn(w1, w2) }.sum
+      assert(mass <= 1.0 + 1e-9, s"context $w1 mass $mass")
+    }
+  }
 }
