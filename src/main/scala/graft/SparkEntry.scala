@@ -789,6 +789,10 @@ object SparkEntry extends SparkEntryOracleHelpers
     "q_universe_sample" -> ((s: SparkSession, d: String) => Sampling.universeSample(s, d)),
     // Kneser-Ney bigram cross-entropy vs MLE (§2 #472)
     "text_kn_ppl" -> (TextStats.knBigramEntropy _),
+    // Hurst exponent by rescaled range (§2 #473)
+    "q_hurst" -> ((s: SparkSession, d: String) => AnalyticsExt.hurstRs(s, d)),
+    // Wald SPRT sequential A/B walk (§2 #474)
+    "q_sprt" -> ((s: SparkSession, d: String) => AnalyticsExt.sprt(s, d)),
     // Chapman capture-recapture corpus-size estimate (§2 #442)
     "dedup_capture" -> ((s: SparkSession, d: String) => AnalyticsExt.captureRecapture(s, d)),
     // Discrete-Laplace DP noisy counts at three epsilon tiers (§2 #444)

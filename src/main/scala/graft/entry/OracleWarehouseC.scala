@@ -192,6 +192,92 @@ private[graft] trait OracleWarehouseC { this: SparkEntryOracleHelpers =>
            JOIN rowm USING (o_orderstatus)
            JOIN colm USING (o_orderpriority), tot)
          SELECT *, CAST(sum(g_term_e6) OVER () AS BIGINT) AS g_total_e6 FROM terms""",
+    "q_hurst" ->
+      // R/S per observation-block, e9-rounded before means; 3-point
+      // log-log slope with literal weights
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         rn AS (SELECT event_type, day, c,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS rn
+                FROM daily),
+         sizes AS (SELECT CAST(unnest([5, 10, 15]) AS BIGINT) AS w),
+         blocks AS (
+           SELECT event_type, w, (rn - 1) // w AS blk, (rn - 1) % w + 1 AS k, c
+           FROM rn, sizes),
+         wb AS (
+           SELECT event_type, w, blk, k, c,
+             CAST(count(*) OVER (PARTITION BY event_type, w, blk) AS BIGINT) AS nblk,
+             CAST(sum(c) OVER (PARTITION BY event_type, w, blk ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+             CAST(sum(c) OVER (PARTITION BY event_type, w, blk) AS BIGINT) AS s1,
+             sum(CAST(c AS HUGEINT) * c) OVER (PARTITION BY event_type, w, blk) AS s2
+           FROM blocks),
+         fb AS (SELECT *, w * p - k * s1 AS cd FROM wb WHERE nblk = w),
+         pb AS (
+           SELECT event_type, w, blk,
+             CAST(max(cd) AS BIGINT) AS cdmax, CAST(min(cd) AS BIGINT) AS cdmin,
+             CAST(max(s1) AS BIGINT) AS s1m, max(s2) AS s2m,
+             CAST(max(w) AS BIGINT) AS wm
+           FROM fb GROUP BY 1, 2, 3),
+         rs AS (
+           SELECT event_type, w,
+             CAST(floor(CAST(cdmax - cdmin AS DOUBLE)
+               / sqrt(CAST(wm AS DOUBLE) * CAST(s2m AS DOUBLE)
+                      - CAST(s1m AS DOUBLE) * CAST(s1m AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT) AS rs_e9
+           FROM pb WHERE CAST(wm AS HUGEINT) * s2m - CAST(s1m AS HUGEINT) * s1m > 0),
+         mrs AS (
+           SELECT event_type, w, CAST(sum(rs_e9) // count(*) AS BIGINT) AS mrs_e9
+           FROM rs GROUP BY 1, 2),
+         piv AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_sizes,
+             CAST(sum(CASE WHEN w = 5 THEN mrs_e9 ELSE 0 END) AS BIGINT) AS rs5_e9,
+             CAST(sum(CASE WHEN w = 10 THEN mrs_e9 ELSE 0 END) AS BIGINT) AS rs10_e9,
+             CAST(sum(CASE WHEN w = 15 THEN mrs_e9 ELSE 0 END) AS BIGINT) AS rs15_e9
+           FROM mrs GROUP BY 1)
+         SELECT event_type, rs5_e9, rs10_e9, rs15_e9,
+           CAST(floor(
+             ((-0.5972531564093522) * ln(CAST(rs5_e9 AS DOUBLE) / 1000000000.0)
+              + (0.09589402415059345) * ln(CAST(rs10_e9 AS DOUBLE) / 1000000000.0)
+              + (0.5013591322587576) * ln(CAST(rs15_e9 AS DOUBLE) / 1000000000.0))
+             / 0.6172679762079831 * 1000000 + 0.5) AS BIGINT) AS hurst_e6
+         FROM piv
+         WHERE n_sizes = 3 AND rs5_e9 > 0 AND rs10_e9 > 0 AND rs15_e9 > 0""",
+    "q_sprt" ->
+      // Wald walk on the treatment arm; e6-rounded daily increments,
+      // prefix extrema decide first crossing
+      """WITH daily AS (
+           SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM orders
+           WHERE ('0x' || substr(md5('sprt:' || o_custkey), 1, 15))::BIGINT % 2 = 1
+           GROUP BY 1),
+         ll AS (
+           SELECT day, n, s,
+             CAST(floor((s * 0.06001800972625295 + (n - s) * (-0.06001800972625295))
+               * 1000000 + 0.5) AS BIGINT) AS llr_day_e6
+           FROM daily),
+         cum AS (
+           SELECT day, n, s, llr_day_e6,
+             CAST(sum(llr_day_e6) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr_cum_e6
+           FROM ll),
+         ex AS (
+           SELECT *,
+             CAST(max(llr_cum_e6) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_max,
+             CAST(min(llr_cum_e6) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_min
+           FROM cum)
+         SELECT day, n, s, llr_day_e6, llr_cum_e6,
+           CAST(CASE WHEN cum_max >= 2944439 THEN 1 ELSE 0 END AS BIGINT) AS rejected_h0,
+           CAST(CASE WHEN cum_min <= -2944439 THEN 1 ELSE 0 END AS BIGINT) AS accepted_h0
+         FROM ex""",
     "q_universe_sample" ->
       // coordinated hash sample on the customer key; join of samples
       // == sample of join (orphans structurally 0)

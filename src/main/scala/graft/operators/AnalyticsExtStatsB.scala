@@ -782,6 +782,148 @@ private[graft] trait AnalyticsExtStatsB { this: AnalyticsExt.type =>
     (out, Seq(pairs, edges))
   }
 
+  /** #473 Hurst exponent by rescaled range (Hurst 1951 / Mandelbrot-
+    * Wallis R/S analysis): per daily-cents series, mean R/S over
+    * observation-blocks of w = 5/10/15 days, and H = the slope of
+    * ln(R/S) on ln(w) — the long-memory diagnostic that separates
+    * mean-reverting (H < ½), random-walk (H ≈ ½) and trending
+    * (H > ½) series; the fractal complement to #456's lag-1 view
+    * (DW sees one step back, H sees the whole dependence decay).
+    *
+    * Exactness: within a block of w days, the cumulative deviation at
+    * step k is the INTEGER w·P_k − k·S (P = prefix sum) so the range
+    * R·w is exact; R/S = Rw/√(w·S2 − S²) is one double chain per
+    * block rounded onto the e9 grid BEFORE the per-(series, w) mean
+    * (the #472 order-independence discipline); the 3-point log-log
+    * slope is a fixed closed form over the three e9 means. Windows
+    * are partitioned by (series) and (series, w, block) — bounded
+    * frames, no global ordering.
+    */
+  def hurstRs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .localCheckpoint(eager = false)
+    val sizes = daily.sparkSession
+      .range(1)
+      .select(explode(array(lit(5L), lit(10L), lit(15L))).as("w"))
+    val blocks = daily
+      .crossJoin(broadcast(sizes))
+      .select(
+        col("event_type"),
+        col("w"),
+        expr("(rn - 1) div w").as("blk"),
+        expr("(rn - 1) % w + 1").as("k"),
+        col("c"))
+    val wB = Window.partitionBy("event_type", "w", "blk")
+    val wOrd = wB.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBlock = blocks
+      .withColumn("nblk", count(lit(1)).over(wB))
+      .filter(col("nblk") === col("w"))
+      .withColumn("p", sum("c").over(wOrd))
+      .withColumn("s1", sum("c").over(wB))
+      .withColumn("s2", sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(wB))
+      .withColumn("cd", expr("w * p - k * s1"))
+      .groupBy("event_type", "w", "blk")
+      .agg(
+        max("cd").as("cdmax"),
+        min("cd").as("cdmin"),
+        max("s1").as("s1m"),
+        max("s2").as("s2m"),
+        max("w").as("wm"))
+      .filter(expr(
+        "CAST(wm AS DECIMAL(38,0)) * s2m - CAST(s1m AS DECIMAL(38,0)) * s1m > 0"))
+      .selectExpr(
+        "event_type",
+        "w",
+        """CAST(floor(CAST(cdmax - cdmin AS DOUBLE)
+             / sqrt(CAST(wm AS DOUBLE) * CAST(s2m AS DOUBLE)
+                    - CAST(s1m AS DOUBLE) * CAST(s1m AS DOUBLE))
+             * 1000000000 + 0.5) AS BIGINT) AS rs_e9""")
+    val meanRs = perBlock
+      .groupBy("event_type", "w")
+      .agg(count(lit(1)).as("n_blocks"), sum("rs_e9").as("srs"))
+      .select(col("event_type"), col("w"), expr("srs div n_blocks").as("mrs_e9"))
+    meanRs
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_sizes"),
+        sum(expr("CASE WHEN w = 5 THEN mrs_e9 ELSE 0 END")).as("rs5_e9"),
+        sum(expr("CASE WHEN w = 10 THEN mrs_e9 ELSE 0 END")).as("rs10_e9"),
+        sum(expr("CASE WHEN w = 15 THEN mrs_e9 ELSE 0 END")).as("rs15_e9"))
+      .filter(col("n_sizes") === 3 && col("rs5_e9") > 0 && col("rs10_e9") > 0 &&
+        col("rs15_e9") > 0)
+      .selectExpr(
+        "event_type",
+        "rs5_e9", "rs10_e9", "rs15_e9",
+        // slope of ln(rs) on ln(w) at w = 5/10/15: with centered
+        // ln(w) weights the closed form is (ln3-weighted) —
+        // lw = (ln5, ln10, ln15), mean lw; slope = sum (lw-mean)*lr /
+        // sum (lw-mean)^2; constants as full-precision literals
+        """CAST(floor(
+             ((-0.5972531564093522) * ln(CAST(rs5_e9 AS DOUBLE) / 1000000000.0)
+              + (0.09589402415059345) * ln(CAST(rs10_e9 AS DOUBLE) / 1000000000.0)
+              + (0.5013591322587576) * ln(CAST(rs15_e9 AS DOUBLE) / 1000000000.0))
+             / 0.6172679762079831 * 1000000 + 0.5) AS BIGINT) AS hurst_e6""")
+  }
+
+  /** #474 Sequential probability ratio test (Wald 1945 SPRT, the
+    * ancestor of every always-valid A/B monitor): the treatment arm's
+    * daily completion outcomes drive a cumulative log-likelihood walk
+    * between Bernoulli(p₀ = 0.485) and Bernoulli(p₁ = 0.515); the
+    * walk decides REJECT-H₀ at ln((1−β)/α) or ACCEPT-H₀ at
+    * ln(β/(1−α)) (α = β = 0.05) the FIRST day it crosses — the
+    * peeking-safe alternative to #252's fixed-horizon z. Honest read:
+    * the arms are a null hash split, so the walk hovers and the
+    * decided flag prices how often a null experiment ends early.
+    *
+    * Exactness: per-day (s, n) are integers; the day's LLR increment
+    * s·ln(p₁/p₀) + (n−s)·ln((1−p₁)/(1−p₀)) uses the two ln constants
+    * as full-precision LITERALS (#463's folded-constant lesson),
+    * rounded onto the e6 grid per day BEFORE the cumulative/extrema
+    * windows (order-independent sums); all windows ride the
+    * ≤ #calendar-days daily frame.
+    */
+  def sprt(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // ln(0.515/0.485), ln(0.485/0.515) at full double precision
+    val lnPos = "0.06001800972625295"
+    val lnNeg = "-0.06001800972625295"
+    val aUp = 2944439L // floor(ln(19) * 1e6 + 0.5)
+    val bDn = -2944439L
+    val daily = Tables
+      .orders(spark, dir)
+      .withColumn(
+        "t",
+        pmod(Dedup.hash60(concat(lit("sprt:"), col("o_custkey"))), lit(2L)))
+      .filter(col("t") === 1)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("f").as("s"))
+      .selectExpr(
+        "day", "n", "s",
+        s"""CAST(floor((s * $lnPos + (n - s) * ($lnNeg)) * 1000000 + 0.5)
+           AS BIGINT) AS llr_day_e6""")
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr_cum_e6", sum("llr_day_e6").over(wCum))
+      .withColumn("cum_max", max("llr_cum_e6").over(wCum))
+      .withColumn("cum_min", min("llr_cum_e6").over(wCum))
+      .select(
+        col("day"),
+        col("n"),
+        col("s"),
+        col("llr_day_e6"),
+        col("llr_cum_e6"),
+        expr(s"CAST(CASE WHEN cum_max >= $aUp THEN 1 ELSE 0 END AS BIGINT)")
+          .as("rejected_h0"),
+        expr(s"CAST(CASE WHEN cum_min <= $bDn THEN 1 ELSE 0 END AS BIGINT)")
+          .as("accepted_h0"))
+  }
+
   /** #467 McNemar paired-binary test (McNemar 1947, continuity-
     * corrected): does the same customer's "completed an order"
     * indicator CHANGE between odd and even calendar months? The

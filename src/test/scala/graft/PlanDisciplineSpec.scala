@@ -102,6 +102,8 @@ class PlanDisciplineSpec extends SparkSpec {
         "replica-mean ranking over a PER-REPLICA aggregate: exactly B=100 rows"),
       "q_bass_diffusion" -> (1 ->
         "cumulative-adopter prefix sum over a PER-DAY first-order aggregate: <= #calendar-days rows"),
+      "q_sprt" -> (2 ->
+        "LLR cumsum + prefix extrema over a PER-DAY aggregate: <= #calendar-days rows"),
       "q_zorder_stats" -> (3 ->
         ("exact-ntile oracle mode by design; the 100 TB path is " +
           "zorderStats(scaleMode=true), pinned window-free by ScaleSpec")),

@@ -578,6 +578,95 @@ class StatsBSpec extends SparkSpec {
     assert(got(6L)._2 >= got(12L)._2 && got(12L)._2 >= got(24L)._2)
   }
 
+  test("hurst: per-block R/S replay; exponent from the 3-point log-log slope") {
+    val got = AnalyticsExt
+      .hurstRs(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    dailySeries().foreach { case (t, series) =>
+      val cs = series.map(_._2)
+      val mrs = Seq(5, 10, 15).flatMap { w =>
+        val rsBlocks = cs
+          .grouped(w)
+          .filter(_.length == w)
+          .flatMap { blk =>
+            val s1 = blk.sum
+            val s2 = blk.map(c => BigInt(c) * c).sum
+            val prefix = blk.scanLeft(0L)(_ + _).tail
+            val cds = prefix.zipWithIndex.map { case (p, i) => w * p - (i + 1) * s1 }
+            val den = BigInt(w) * s2 - BigInt(s1) * s1
+            if (den > 0)
+              Some(math.floor(
+                (cds.max - cds.min).toDouble /
+                  math.sqrt(w.toDouble * s2.toDouble - s1.toDouble * s1.toDouble) * 1e9 +
+                  0.5).toLong)
+            else None
+          }
+          .toVector
+        if (rsBlocks.nonEmpty) Some(w -> rsBlocks.sum / rsBlocks.length) else None
+      }.toMap
+      if (mrs.keySet == Set(5, 10, 15) && mrs.values.forall(_ > 0)) {
+        val (g5, g10, g15, h) = got(t)
+        assert((g5, g10, g15) == ((mrs(5), mrs(10), mrs(15))), t)
+        val hw = ((-0.5972531564093522) * math.log(mrs(5).toDouble / 1000000000.0)
+          + (0.09589402415059345) * math.log(mrs(10).toDouble / 1000000000.0)
+          + (0.5013591322587576) * math.log(mrs(15).toDouble / 1000000000.0)) /
+          0.6172679762079831
+        assert(h == math.floor(hw * 1e6 + 0.5).toLong, t)
+        // R/S exponents live in (0, 1.25) for any real series at
+        // these tiny block counts; a wild value means a broken fold
+        assert(h > 0 && h < 1250000, s"$t hurst $h")
+      } else assert(!got.contains(t), t)
+    }
+  }
+
+  test("sprt: Wald walk replay; crossing flags are prefix-monotone") {
+    def h60(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val daily = graft.Tables
+      .orders(spark, sf)
+      .selectExpr(
+        "o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS day",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (ck, _, _) => h60(s"sprt:$ck") % 2 == 1 }
+      .groupBy(_._2)
+      .toVector
+      .map { case (d, xs) => (d, xs.length.toLong, xs.map(_._3.toLong).sum) }
+      .sortBy(_._1)
+    val lnPos = 0.06001800972625295
+    val incr = daily.map { case (d, n, s) =>
+      (d, n, s, math.floor((s * lnPos + (n - s) * (-lnPos)) * 1e6 + 0.5).toLong)
+    }
+    val cums = incr.scanLeft(0L) { case (acc, (_, _, _, i)) => acc + i }.tail
+    val got = AnalyticsExt
+      .sprt(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))
+      .toMap
+    assert(got.keySet == incr.map(_._1).toSet)
+    var cmax = Long.MinValue; var cmin = Long.MaxValue
+    incr.zip(cums).foreach { case ((d, n, s, li), cum) =>
+      cmax = math.max(cmax, cum); cmin = math.min(cmin, cum)
+      val (gn, gs, gli, gcum, rej, acc) = got(d)
+      assert((gn, gs, gli, gcum) == ((n, s, li, cum)), s"day $d")
+      assert(rej == (if (cmax >= 2944439L) 1L else 0L), s"day $d rej")
+      assert(acc == (if (cmin <= -2944439L) 1L else 0L), s"day $d acc")
+    }
+    // flags latch: once crossed, they stay crossed for every later day
+    val ordered = incr.map(_._1).map(got)
+    ordered.map(_._5).foldLeft(0L) { (prev, r) => assert(r >= prev); r }
+    ordered.map(_._6).foldLeft(0L) { (prev, a) => assert(a >= prev); a }
+  }
+
   test("mcnemar: discordant-pair replay; continuity-corrected chi2 exact") {
     val per = graft.Tables
       .orders(spark, sf)
