@@ -52,4 +52,23 @@ object Tables {
     */
   def eventsWithTimestamp(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+
+  /** Raise a frame's partition count to the session's default
+    * parallelism ahead of a COMPUTE-HEAVY stage (r13 optimization
+    * round, guide §2/§6): parquet scan parallelism is bounded by
+    * row-group count, not `maxPartitionBytes`, so a small single-row-
+    * group input runs everything up to the first exchange in ONE task
+    * — measured: the n² cosine kernel of the exact k-NN graph build
+    * spent 5.6 s in one task at sf0.1 while 31 cores idled. The
+    * round-robin exchange is linear in the frame and is only added
+    * when the frame's parallelism is BELOW the cluster's (at 100 TB
+    * the scan already fans out and this is the identity — no shuffle
+    * is ever added at scale). Results are partition-invariant; callers
+    * must not use it under partition-id-dependent logic
+    * (`spark_partition_id`, `input_file_name`).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }

@@ -85,6 +85,20 @@ object GraftFunctions {
       },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "robust_prune",
+      args => {
+        checkArity("robust_prune", args, 4)
+        val lits = args.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"robust_prune: r, alphaNum, alphaDen must be integer literals, got $other")
+        }
+        RobustPruneExpr(args.head, lits(0).toInt, lits(1), lits(2))
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "rp_project",
       args => {
         checkArity("rp_project", args, 2)

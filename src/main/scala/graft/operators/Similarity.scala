@@ -114,8 +114,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
+      .fanOut(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .crossJoin(broadcast(queryVectors(spark, dir)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
@@ -2054,7 +2053,11 @@ object Similarity {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    e.select(col("vec_id").as("src"), col("embedding"))
+    // fanOut (r13 opt round): the n² cosine kernel otherwise runs in
+    // the scan's task count — ONE task on a single-row-group input
+    // (measured 5.6 s with 31 cores idle at sf0.1)
+    Tables
+      .fanOut(e.select(col("vec_id").as("src"), col("embedding")))
       .crossJoin(broadcast(e.select(col("vec_id").as("dst"), col("embedding").as("n_emb"))))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), round(expr("cosine_sim(embedding, n_emb)"), 6).as("cos"))
@@ -2092,37 +2095,10 @@ object Similarity {
     val graph = exactKnnGraph(spark, dir, k).select("src", "dst").cp(eager = false)
     val queries = queryVectors(spark, dir)
     val entry = e.agg(min("vec_id").as("vec_id"))
-    // score a (query_id, vec_id) candidate frame against the queries
-    def scored(cand: DataFrame): DataFrame =
-      cand
-        .join(e, "vec_id")
-        .join(broadcast(queries), "query_id")
-        .select(
-          col("query_id"),
-          col("vec_id"),
-          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
-    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    var beamDf = queries.select(col("query_id")).crossJoin(broadcast(entry))
-    var visited = beamDf.cp(eager = false)
-    for (_ <- 1 to hops) {
-      val cand = beamDf
-        .unionAll(
-          beamDf
-            .join(graph, beamDf("vec_id") === graph("src"))
-            .select(col("query_id"), col("dst").as("vec_id")))
-        .distinct()
-        .cp(eager = false)
-      visited = visited.unionAll(cand).distinct().cp(eager = false)
-      beamDf = scored(cand)
-        .withColumn("rnk", row_number().over(wq))
-        .filter(col("rnk") <= beam)
-        .select("query_id", "vec_id")
-    }
-    val out = scored(visited)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wq).cast("long"))
-      .filter(col("rank") <= 10)
-    (out, Seq.empty)
+    // r13 opt round: the inline loop was [[beamWalkVisited]] verbatim —
+    // share it (and its one-exchange-per-hop prune) instead
+    val ent = queries.select(col("query_id")).crossJoin(broadcast(entry))
+    (beamWalk(e, graph, queries, ent, beam, hops), Seq.empty)
   }
 
   /** The deterministic HNSW level of every vector: P(level ≥ l) = 4^-l
@@ -2159,8 +2135,9 @@ object Similarity {
     */
   private def knnAmong(sub: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    sub
-      .select(col("vec_id").as("src"), col("embedding"))
+    // fanOut: same single-task n² kernel as [[exactKnnGraph]]
+    Tables
+      .fanOut(sub.select(col("vec_id").as("src"), col("embedding")))
       .crossJoin(broadcast(sub.select(col("vec_id").as("dst"), col("embedding").as("n_emb"))))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), round(expr("cosine_sim(embedding, n_emb)"), 6).as("cos"))
@@ -2193,11 +2170,39 @@ object Similarity {
       hops: Int)(implicit scope: Lineage.Scope): DataFrame =
     rankVisited(e, queries, beamWalkVisited(e, graph, queries, entry, beam, hops))
 
-  /** The walk's raw visited set (query_id, vec_id) — every node the
-    * `hops` expand-score-prune rounds touched. [[beamWalk]] ranks it
-    * to the top-10 answer; [[graphInsertFrame]] additionally uses it
-    * whole as the reverse-update candidate pool (the exact re-rank
-    * downstream means a wider offer can only improve the fold).
+  /** Top-`limit` DISTINCT `vec_id`s per partition of a scored frame,
+    * ranked by (cos desc, vec_id) — the walk family's prune/rank
+    * primitive, duplicate-tolerant in ONE window pass (r13 opt round).
+    * A duplicated (partition, vec_id) row carries the identical cos
+    * (cos is a function of the pair), so duplicates sort adjacent:
+    * `dense_rank` counts distinct vec_ids exactly as `row_number` did
+    * over pre-distincted input, and the `lag` test keeps one instance
+    * per vec_id. This replaces the old two-exchange `distinct()` +
+    * window shape with a single exchange — plan change only; the
+    * selected set, the emitted rows, and the `rank` values are
+    * bit-identical (`rank` = dense_rank = the old row_number, both
+    * rank distinct vec_ids in the same total order).
+    */
+  private def topDistinct(scoredDf: DataFrame, partCols: Seq[String], limit: Column): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("cos").desc, col("vec_id"))
+    scoredDf
+      .withColumn("rank", dense_rank().over(w).cast("long"))
+      .withColumn("prev_vid", lag("vec_id", 1).over(w))
+      .filter(col("rank") <= limit && (col("prev_vid").isNull || col("prev_vid") =!= col("vec_id")))
+      .drop("prev_vid")
+  }
+
+  /** The walk's raw visited pool (query_id, vec_id) — every node the
+    * `hops` expand-score-prune rounds touched. MAY CONTAIN DUPLICATES
+    * (r13 opt round: the per-hop `distinct()` of the accumulated pool
+    * bought nothing — the pool is only consumed after the loop — and
+    * cost one exchange + one checkpoint per hop; every consumer either
+    * dedupes downstream or ranks through the duplicate-tolerant
+    * [[topDistinct]]). The SET of visited nodes per query is unchanged.
+    * [[beamWalk]] ranks it to the top-10 answer; [[graphInsertFrame]]
+    * additionally uses it whole as the reverse-update candidate pool
+    * (the exact re-rank downstream means a wider offer can only
+    * improve the fold).
     */
   private def beamWalkVisited(
       e: DataFrame,
@@ -2215,24 +2220,20 @@ object Similarity {
           col("query_id"),
           col("vec_id"),
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
-    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     var beamDf = entry
-    var visited = beamDf.cp(false)
+    var parts = Vector(beamDf.cp(false))
     for (_ <- 1 to hops) {
       val cand = beamDf
         .unionAll(
           beamDf
             .join(graph, beamDf("vec_id") === graph("src"))
             .select(col("query_id"), col("dst").as("vec_id")))
-        .distinct()
         .cp(false)
-      visited = visited.unionAll(cand).distinct().cp(false)
-      beamDf = scored(cand)
-        .withColumn("rnk", row_number().over(wq))
-        .filter(col("rnk") <= beam)
+      parts = parts :+ cand
+      beamDf = topDistinct(scored(cand), Seq("query_id"), lit(beam))
         .select("query_id", "vec_id")
     }
-    visited
+    parts.reduce(_ unionAll _)
   }
 
   /** Fused multi-beam sweep (r13, the vamana-recall walk-cost task):
@@ -2267,29 +2268,32 @@ object Similarity {
           col("beam"),
           col("vec_id"),
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
-    val wqb = Window.partitionBy("query_id", "beam").orderBy(col("cos").desc, col("vec_id"))
     var beamDf = ent
       .crossJoin(broadcast(bdf))
       .select("query_id", "beam", "vec_id")
-    var visited = beamDf.cp(false)
+    // r13 opt round: visited accumulates per-hop parts WITH duplicates
+    // (deduped once by the duplicate-tolerant [[topDistinct]] rank at
+    // the end) — the per-hop pool distinct + checkpoint and the
+    // pre-prune cand distinct were one-exchange-each plan overhead;
+    // the per-(query, beam) visited SET and the final ranking are
+    // bit-identical.
+    var parts = Vector(beamDf.cp(false))
     for (_ <- 1 to hops) {
       val cand = beamDf
         .unionAll(
           beamDf
             .join(graph, beamDf("vec_id") === graph("src"))
             .select(col("query_id"), col("beam"), col("dst").as("vec_id")))
-        .distinct()
         .cp(false)
-      visited = visited.unionAll(cand).distinct().cp(false)
-      beamDf = scored(cand)
-        .withColumn("rnk", row_number().over(wqb))
-        .filter(col("rnk") <= col("beam"))
+      parts = parts :+ cand
+      beamDf = topDistinct(scored(cand), Seq("query_id", "beam"), col("beam"))
         .select("query_id", "beam", "vec_id")
     }
-    val hits = scored(visited)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wqb))
-      .filter(col("rank") <= 10)
+    val visited = parts.reduce(_ unionAll _)
+    val hits = topDistinct(
+      scored(visited).filter(col("vec_id") =!= col("query_id")),
+      Seq("query_id", "beam"),
+      lit(10))
       .select("query_id", "beam", "vec_id")
       .join(truth, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("beam")
@@ -2299,23 +2303,24 @@ object Similarity {
       .select(col("beam"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
-  /** Per-query top-10 of a visited set by rounded cosine, self
+  /** Per-query top-10 of a visited pool by rounded cosine, self
     * excluded — [[beamWalk]]'s final ranking, shared with the fold's
-    * insertion path.
+    * insertion path. Duplicate-tolerant ([[topDistinct]]): the pool
+    * may carry repeats; the ranked rows and `rank` values equal the
+    * old row_number-over-distinct form exactly.
     */
-  private def rankVisited(e: DataFrame, queries: DataFrame, visited: DataFrame): DataFrame = {
-    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    visited
-      .join(e, "vec_id")
-      .join(broadcast(queries), "query_id")
-      .select(
-        col("query_id"),
-        col("vec_id"),
-        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wq).cast("long"))
-      .filter(col("rank") <= 10)
-  }
+  private def rankVisited(e: DataFrame, queries: DataFrame, visited: DataFrame): DataFrame =
+    topDistinct(
+      visited
+        .join(e, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+        .filter(col("vec_id") =!= col("query_id")),
+      Seq("query_id"),
+      lit(10))
 
   /** #414 HNSW hierarchical search (Malkov & Yashunin 2018): the #398
     * beam walk layered over geometrically-coarsened graphs. Every
@@ -2372,10 +2377,13 @@ object Similarity {
       coalesce(min(when(col("lvl") >= 2, col("vec_id"))), min(col("vec_id"))).as("vec_id"))
     var cur = queries.select(col("query_id")).crossJoin(broadcast(top))
     for (g <- layers; _ <- 1 to descentHops) {
+      // no distinct before an argmax (r13 opt round): duplicate
+      // (query_id, vec_id) candidates score identically, and rn = 1
+      // picks one copy of the same winning row — the emitted row is
+      // bit-identical, one exchange cheaper per hop
       val cand = cur
         .unionAll(
           cur.join(g, cur("vec_id") === g("src")).select(col("query_id"), col("dst").as("vec_id")))
-        .distinct()
       cur = cand
         .join(e, "vec_id")
         .join(broadcast(queries), "query_id")
@@ -2977,44 +2985,37 @@ object Similarity {
     * α·(1−cos(c*,v)) ≤ (1−cos(p,v)), cross-multiplied to exact e6
     * integers". The α > 1 slack keeps long-range edges a plain top-k
     * would discard — the property that makes the graph navigable at
-    * low degree. Selection order is the emitted rank (per-pick cos is
-    * monotone non-increasing — each argmax runs over a shrinking
-    * set). Each round is one per-p argmax window + one e6 score of
-    * (pick, survivor) pairs — Σ|cand_p| rows, never corpus².
+    * low degree.
+    *
+    * r13 optimization round: the r selection rounds used to run as r
+    * SEQUENTIAL distributed jobs (per round a window argmax + two
+    * corpus joins + an eager stats-resetting checkpoint — ~16
+    * stage-jobs per invocation, three invocations per build; the
+    * profiler put `ann_vamana` at 229 stage-jobs of ~175 ms). The
+    * selection loop is per-p sequential but across-p parallel, so it
+    * now runs as ONE pass: score + attach each candidate's embedding
+    * (two keyed joins), collect each p's list, and run the loop
+    * natively in [[graft.functions.RobustPruneExpr]] — identical
+    * integer arithmetic, bit-identical picks (the per-candidate
+    * work is unchanged: r argmaxes + the same α compares; only the
+    * stage-barrier count changes). Shuffle trade: one Σ|cand_p|
+    * collect of (c, cos_e6, emb) rows instead of r shuffles of
+    * (p, c, cos_e6) — linear either way, never corpus².
     */
   private def robustPrune(e: DataFrame, cand: DataFrame, r: Int)(
-      implicit scope: Lineage.Scope): DataFrame = {
-    val wp = Window.partitionBy("p").orderBy(col("cos_e6").desc, col("c"))
-    // EAGER, STATS-RESETTING per-iteration checkpoints: eager because
-    // 3 phases x R lazy checkpoints compose a deferred multi-parent
-    // DAG that re-evaluates pathologically at the final action
-    // (the sampled-Brandes per-level discipline), and cpf because the
-    // iterate re-joins its own previous output every round — the
-    // inherited-stats compounding [[Lineage.Scope.cpFresh]] documents
-    var remaining = cand.cpf(true)
-    var chosen = Seq.empty[DataFrame]
-    for (i <- 1 to r) {
-      val best = remaining
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") === 1)
-        .select(col("p"), col("c"), col("cos_e6"))
-        .cpf(true)
-      chosen = chosen :+ best.withColumn("rank", lit(i.toLong))
-      if (i < r) {
-        remaining = remaining
-          .join(best.select(col("p"), col("c").as("cstar")), "p")
-          .filter(col("c") =!= col("cstar"))
-          .join(e.select(col("vec_id").as("cstar"), col("embedding").as("s_emb")), "cstar")
-          .join(e.select(col("vec_id").as("c"), col("embedding").as("v_emb")), "c")
-          .filter(
-            !(lit(VamanaAlphaNum) * (lit(1000000L) - cosE6("s_emb", "v_emb"))
-              <= lit(VamanaAlphaDen) * (lit(1000000L) - col("cos_e6"))))
-          .select(col("p"), col("c"), col("cos_e6"))
-          .cpf(true)
-      }
-    }
-    chosen.reduce(_ unionAll _)
-  }
+      implicit scope: Lineage.Scope): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("c"), col("embedding").as("c_emb")), "c")
+      .groupBy("p")
+      .agg(collect_list(struct(col("c"), col("cos_e6"), col("c_emb"))).as("cands"))
+      .select(
+        col("p"),
+        explode(expr(s"robust_prune(cands, $r, $VamanaAlphaNum, $VamanaAlphaDen)")).as("pick"))
+      .select(
+        col("p"),
+        col("pick.c").as("c"),
+        col("pick.cos_e6").as("cos_e6"),
+        col("pick.rank").as("rank"))
 
   /** The approximate medoid: the corpus point nearest the e4 integer
     * mean (argmin exact-BIGINT d², ties to the smaller vec_id) — the
