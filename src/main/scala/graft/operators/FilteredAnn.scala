@@ -100,8 +100,9 @@ object FilteredAnn {
   private def filteredTruth(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      .fanOut(Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label")))
       .crossJoin(broadcast(labeledQueries(spark, dir)))
       .filter(col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
       .select(

@@ -132,7 +132,10 @@ object KmeansPar {
   def seeds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val corpus = qCorpus(spark, dir).localCheckpoint(eager = false)
+    // fanOut BEFORE the checkpoint (r13 opt round): the checkpointed
+    // blocks keep their build partitioning — a 1-partition block set
+    // would single-thread every minD2/weighting pass below
+    val corpus = Tables.fanOut(qCorpus(spark, dir)).localCheckpoint(eager = false)
     val cands = weighted(spark, corpus, oversample(spark, corpus))
     val sel = reduce(cands)
     sel.zipWithIndex
@@ -158,7 +161,8 @@ object KmeansPar {
   def seedingEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val corpus = qCorpus(spark, dir).localCheckpoint(eager = false)
+    // fanOut before the checkpoint — same as [[seeds]]
+    val corpus = Tables.fanOut(qCorpus(spark, dir)).localCheckpoint(eager = false)
     val sel = reduce(weighted(spark, corpus, oversample(spark, corpus)))
     val kmparSeeds = sel.map { case (id, q, _) => (id, q) }.toDF("seed_id", "sq")
     val uniformSeeds = corpus

@@ -395,10 +395,17 @@ object Multimodal {
     val powTerms = (0 to 7)
       .map(j => s"element_at(bs, CAST(i - ${7 - j} AS INT)) * ${math.pow(33, j).toLong}L")
       .mkString(" + ")
+    // fanOut + ONE shared materialization (r13 opt round): the chunking
+    // expression is ~5.5 s of per-doc rolling-hash work that (a) ran in
+    // the scan's single task and (b) ran TWICE — once under each of the
+    // two aggregate branches below (profiler: two 5.5 s single-task
+    // stages). The lazy checkpoint computes it once; the aggregates
+    // re-read bounded chunk rows.
     val chunks = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-      .filter(length(col("hx")) >= 2)
+      .fanOut(Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+        .filter(length(col("hx")) >= 2))
       .withColumn("n", expr("CAST(length(hx) div 2 AS BIGINT)"))
       .withColumn(
         "bs",
@@ -419,6 +426,7 @@ object Multimodal {
         md5(expr("substring(hx, CAST(2*z.starts - 1 AS INT), CAST(2*(z.cuts - z.starts + 1) AS INT))"))
           .as("fp"),
         expr("z.cuts - z.starts + 1").as("nb"))
+      .localCheckpoint(eager = false)
     val tot = chunks.agg(
       countDistinct("doc_id").as("n_docs"),
       count(lit(1)).as("total_chunks"),
@@ -452,8 +460,10 @@ object Multimodal {
     // empty — the empty doc must produce zero byte rows in BOTH
     // engines (and drop out of the result) rather than a phantom
     // n_bytes=2 row on one side only
-    val bytes = payloads
-      .filter(length(col("hx")) >= 2)
+    // fanOut (r13 opt round): the hex-pair explode otherwise runs in
+    // the single-row-group scan's one task before the first exchange
+    val bytes = Tables
+      .fanOut(payloads.filter(length(col("hx")) >= 2))
       .select(
         col("doc_id"),
         col("modality"),

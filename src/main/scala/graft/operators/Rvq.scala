@@ -73,7 +73,9 @@ object Rvq {
     */
   def rvqCodes(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val subs1 = toSubs(eqDf(spark, dir), "eq")
+    // fanOut (r13 opt round): the assignment/train kernels otherwise
+    // run at the single-row-group scan's task count
+    val subs1 = toSubs(Tables.fanOut(eqDf(spark, dir)), "eq")
     val cb1 = Similarity.trainPqOnSubs(spark, subs1, seedsOf(subs1), Iters)
     // one frame carries the stage-1 outcome AND feeds stage 2; the
     // lazy cut keeps the three consumers (seed collect, train rounds,

@@ -888,7 +888,9 @@ object Similarity {
     */
   def dbscan(spark: SparkSession, dir: String, minPts: Int = 2): DataFrame = {
     GraftFunctions.register(spark)
-    val corpus = dbscanCorpus(spark, dir)
+    // fanOut: the 4-branch union otherwise caps the bucket/edge
+    // kernel at 4 tasks (r13 opt round profile: 4.8 s CPU on 4 tasks)
+    val corpus = Tables.fanOut(dbscanCorpus(spark, dir))
     val bits = numPlanes((corpusSize(spark, dir) * 13L) / 10L)
     val b = bandedBuckets(corpus, "embedding", bits)
     val probes = (0 until bits).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
@@ -1084,8 +1086,10 @@ object Similarity {
     */
   private[operators] def ivfAssignOn(vecs: DataFrame, cdf: DataFrame): DataFrame = {
     val wCell = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
-    vecs
-      .select(col("vec_id"), col("embedding"))
+    // fanOut: the n×k assignment kernel otherwise runs at the scan's
+    // task count (r13 opt round, single-row-group inputs)
+    Tables
+      .fanOut(vecs.select(col("vec_id"), col("embedding")))
       .crossJoin(broadcast(cdf))
       .select(col("vec_id"), col("embedding"), col("cell"),
         ccosE4("embedding", "centroid").as("ccos_e4"))
@@ -1143,8 +1147,11 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
       .toSeq
     val w = Window.partitionBy("vec_id").orderBy(col("ccos_e4").desc, col("cell"))
+    // fanOut once for all Lloyd rounds (r13 opt round): each round's
+    // n×k assignment kernel otherwise runs at the scan's task count
+    val vecsP = Tables.fanOut(vecs)
     for (_ <- 1 to iters) {
-      val assigned = vecs
+      val assigned = vecsP
         .crossJoin(broadcast(centroidsDf(spark, cents)))
         .select(
           col("vec_id"),
@@ -1659,7 +1666,11 @@ object Similarity {
     val eqDf = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), quant(col("embedding")).as("eq"))
-    trainPqOnSubs(spark, pqSubvectorsOf(eqDf, "eq", Seq("vec_id")), pqSeeds(eqDf), iters)
+    trainPqOnSubs(
+      spark,
+      pqSubvectorsOf(Tables.fanOut(eqDf), "eq", Seq("vec_id")),
+      pqSeeds(eqDf),
+      iters)
   }
 
   /** #137 Code assignment under a FROZEN codebook — the streaming
@@ -1697,7 +1708,7 @@ object Similarity {
     */
   def pqCodes(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
     pqAssignFrozen(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      Tables.fanOut(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))),
       trainPqCodebooks(spark, dir, iters))
 
   /** #280 PQ distortion audit: per subspace — mean and max residual
@@ -1772,7 +1783,8 @@ object Similarity {
     // rotation-invariant, so one truth serves every candidate)
     val eq = Tables.embeddings(spark, dir).select(col("vec_id"), quantE4(col("embedding")).as("eq"))
     val wT = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    val truth = eq
+    val truth = Tables
+      .fanOut(eq)
       .crossJoin(broadcast(
         eq.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("eq").as("q_eq"))))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1812,7 +1824,12 @@ object Similarity {
     // bounded result (the pageRank/Dedup.clusters exit discipline);
     // cuts ~1/3 off the multi-candidate opqSearch wall time
     val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val eqDf = vecs.select(col("vec_id"), quant(col("embedding")).as("eq")).cache()
+    // fanOut BEFORE the cache (r13 opt round): cached blocks keep the
+    // partitioning they were built with — a 1-partition cache would
+    // single-thread every Lloyd round, assignment and re-rank below
+    val eqDf = Tables
+      .fanOut(vecs.select(col("vec_id"), quant(col("embedding")).as("eq")))
+      .cache()
     val subs = pqSubvectorsOf(eqDf, "eq", Seq("vec_id")).cache()
     val cb = trainPqOnSubs(spark, subs, pqSeeds(eqDf), iters)
     val cbDf = pqCodebookDf(spark, cb)
