@@ -48,24 +48,52 @@ object StreamDriver {
     val name = "drv_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       write(dir)
-      val q = build(dir)
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-      try {
-        q.processAllAvailable()
-        if (requireSingleBatch) {
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(
-            dataBatches <= 1,
-            s"order-sensitive stream wrapper expected one data micro-batch, saw $dataBatches " +
-              "(file source split the feed across triggers; the sequential-fold ≡ batch " +
-              "equivalence no longer holds)")
-        }
-      } finally q.stop()
-      val out = spark.table(name).localCheckpoint(eager = true)
+      // r13 optimization round: stateful-operator state is partitioned
+      // by spark.sql.shuffle.partitions AT QUERY START, and every
+      // micro-batch pays per-partition state-store open/snapshot/commit
+      // regardless of rows (measured: the interval join spent 260 s of
+      // CPU across 32 store partitions on a 75 KB feed). The wrapper
+      // just wrote the ENTIRE bounded feed, so size state partitions
+      // from its actual bytes (≥4 MB per partition), clamped at the
+      // session setting — at scale the feed is large and the clamp
+      // leaves the session value in charge; results are partition-
+      // count-invariant (keyed state machines / joins; the oracle
+      // compare sorts). Restored in the finally.
+      val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val feedBytes = {
+        import scala.jdk.CollectionConverters._
+        Files
+          .walk(java.nio.file.Paths.get(dir))
+          .iterator()
+          .asScala
+          .filter(Files.isRegularFile(_))
+          .map(Files.size)
+          .sum
+      }
+      val streamParts =
+        math.max(1L, math.min(sessionParts.toLong, feedBytes / (4L << 20) + 1))
+      val out =
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
+          val q = build(dir)
+            .writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+          try {
+            q.processAllAvailable()
+            if (requireSingleBatch) {
+              val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+              require(
+                dataBatches <= 1,
+                s"order-sensitive stream wrapper expected one data micro-batch, saw $dataBatches " +
+                  "(file source split the feed across triggers; the sequential-fold ≡ batch " +
+                  "equivalence no longer holds)")
+            }
+          } finally q.stop()
+          spark.table(name).localCheckpoint(eager = true)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
       spark.catalog.dropTempView(name)
       out
     } finally {
