@@ -283,10 +283,15 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3, topK: Int = 50): DataFrame =
     Lineage.checkpointReleasing(spark) { implicit scope =>
+    // fanOutBy: pin the basket-explosion stage's task count (see
+    // coPurchasePairs; AQE under-parallelizes fan-out stages)
     val pairs = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
+      .fanOutBy(
+        Tables
+          .lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .distinct(),
+        col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set("l_partkey")).as("parts"))
       .select(
@@ -311,7 +316,10 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
     // edges is repartitioned on `src` BEFORE caching so the cached
     // blocks carry hash(src) output partitioning — every round's join
     // shuffles only the (tiny) rank vector, never the edge list.
-    val outW = edges0(pairs).groupBy("src").agg(sum("w").as("wout"))
+    // one materialization for outW's three consumers (edges build,
+    // n_nodes, rank init) — it was recomputed per consumer, each a
+    // full pair-cache re-aggregation (r13 opt round)
+    val outW = scope.cp(edges0(pairs).groupBy("src").agg(sum("w").as("wout")), eager = false)
     val edges = edges0(pairs).join(outW, "src").repartition(col("src")).cache()
     val nDf = outW.agg(count(lit(1)).as("n_nodes"))
     var ranks = outW
@@ -371,10 +379,14 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
       dir: String,
       iters: Int = 3,
       topK: Int = 50): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
+    // fanOutBy — same basket-explosion pinning as pageRank
     val pairs = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
+      .fanOutBy(
+        Tables
+          .lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .distinct(),
+        col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set("l_partkey")).as("parts"))
       .select(
@@ -391,7 +403,8 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
     def edges0(p: DataFrame) = p
       .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
       .unionAll(p.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
-    val outW = edges0(pairs).groupBy("src").agg(sum("w").as("wout"))
+    // one materialization for outW's consumers — see pageRank
+    val outW = scope.cp(edges0(pairs).groupBy("src").agg(sum("w").as("wout")), eager = false)
     val edges = edges0(pairs).join(outW, "src").repartition(col("src")).cache()
     val nodes = outW
       .select(col("src").as("part"), (col("src") % 100 === 0).cast("long").as("is_seed"))
@@ -1012,7 +1025,11 @@ private[graft] trait AnalyticsExtGraph { this: AnalyticsExt.type =>
       maxRounds: Int = 12,
       minSupport: Int = 2,
       shortcut: Boolean = true): DataFrame = Lineage.checkpointReleasing(spark) { implicit scope =>
-    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    // fanOutBy: pin the pair-explosion join's task count (see
+    // coPurchasePairs; AQE under-parallelizes fan-out stages)
+    val po = Tables.fanOutBy(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct(),
+      col("l_orderkey"))
     val pairs = po
       .select(col("l_orderkey"), col("l_partkey").as("part_a"))
       .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")

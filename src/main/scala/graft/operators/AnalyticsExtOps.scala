@@ -388,7 +388,11 @@ private[graft] trait AnalyticsExtOps { this: AnalyticsExt.type =>
         expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
       .groupBy("l_partkey", "day")
       .agg(sum("q").as("y"))
-    daily
+    // fanOutBy (r13 opt round): the per-part fold below is quadratic
+    // in a part's demand days, and AQE coalesces the small (part, day)
+    // shuffle onto ~6 tasks before it — pin the fold's task count
+    Tables
+      .fanOutBy(daily, col("l_partkey"))
       .groupBy("l_partkey")
       .agg(expr("sort_array(collect_list(named_struct('day', day, 'y', y)))").as("steps"))
       .select(

@@ -2550,7 +2550,12 @@ private[graft] trait AnalyticsExtStats { this: AnalyticsExt.type =>
     * caller's checkpoint/cache hygiene stays self-contained.
     */
   private[operators] def coPurchasePairs(spark: SparkSession, dir: String, minSupport: Int): DataFrame = {
-    val po = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    // fanOutBy (r13 opt round): pin the pair-explosion join's task
+    // count — AQE coalesces the small pre-join shuffle onto ~4 tasks
+    // and the basket² fan-out then runs underparallelized
+    val po = Tables.fanOutBy(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct(),
+      col("l_orderkey"))
     po.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       .join(po.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
       .filter(col("part_a") < col("part_b"))

@@ -95,12 +95,16 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val t = toks(col("text"))
     val keep = greatest(lit(1), floor(size(t) * 0.8).cast("int"))
-    docs.unionAll(
-      docs
-        .filter(col("doc_id") % NearDupEvery === 0)
-        .select(
-          (col("doc_id") + NearDupOffset).as("doc_id"),
-          array_join(slice(t, lit(1), keep), " ").as("text")))
+    // fanOut (r13 opt round): every consumer tokenizes/shingles this
+    // corpus, and the 2-branch union otherwise caps those kernels at
+    // 2 tasks (single-row-group scan per branch)
+    Tables.fanOut(
+      docs.unionAll(
+        docs
+          .filter(col("doc_id") % NearDupEvery === 0)
+          .select(
+            (col("doc_id") + NearDupOffset).as("doc_id"),
+            array_join(slice(t, lit(1), keep), " ").as("text"))))
   }
 
   /** #21 Exact dedup: group by content hash of the normalized text —
@@ -365,7 +369,10 @@ object Dedup {
                       >= (3 * (n_a + n_b) + 7) div 8"""))
       .select("doc_a", "doc_b")
       .distinct()
-    cand
+    // fanOut: the exact verify below does heavy per-pair set algebra
+    // and AQE coalesces the small distinct output onto ~2 tasks
+    Tables
+      .fanOut(cand)
       .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))

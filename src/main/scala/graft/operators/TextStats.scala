@@ -677,18 +677,24 @@ object TextStats {
       maxDf: Int = 100,
       k: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // r13 opt round: fanOut the tokenize/shingle kernel (single-task
+    // scan otherwise) and cut tf/kept ONCE — tf fed df_ and kept, kept
+    // fed norms and posting, so the scan+shingle pass ran 3-4×
     val tf = Tables
-      .documents(spark, dir)
+      .fanOut(Tables.documents(spark, dir))
       .withColumn("tok", Dedup.toks(col("text")))
       .select(col("doc_id"), explode(Dedup.shingles(col("tok"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val kept = tf.join(
-      df_.filter(col("df") >= 2 && col("df") <= maxDf).select("term"),
-      "term")
+    val kept = tf
+      .join(df_.filter(col("df") >= 2 && col("df") <= maxDf).select("term"), "term")
+      .localCheckpoint(eager = false)
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm2"))
-    val posting = kept
+    // fanOutBy: the posting-list pair explosion follows this exchange
+    val posting = Tables
+      .fanOutBy(kept, col("term"))
       .groupBy("term")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
     val pairs = posting
